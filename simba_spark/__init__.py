@@ -1,0 +1,41 @@
+"""simba-pyspark: a PySpark-native spatial + data-pipeline analytics engine.
+
+Re-expresses the query capabilities of the reference engine
+(InitialDLab/Simba — see SURVEY.md) as idiomatic DataFrame programs:
+spatial predicates are codegen-friendly Column arithmetic, indexes are
+persisted layouts with driver-side bounds tables, and the eleven
+hand-written join operators become a strategy router over grid-cell
+equi-joins / broadcast joins / window top-k / z-order approximations.
+"""
+
+from .context import SimbaConf, SimbaContext, get_spark
+from .functions import (
+    cosine_similarity,
+    dist,
+    dist2,
+    dist2_cols,
+    dist_cols,
+    grid_cell,
+    in_circle_range,
+    in_range,
+    register_sql_functions,
+    vec_dot,
+    vec_norm,
+    z_value_col,
+)
+from .geometry import MBR, Circle, Dist, LineSegment, Point, Polygon, Shape, z_value
+from .operators.distance_join import distance_join, self_distance_join
+from .operators.filters import circle_range, knn, knn_and, knn_not, knn_or, range_query
+from .operators.knn_join import knn_join, zknn_join
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SimbaConf", "SimbaContext", "get_spark",
+    "Point", "MBR", "Circle", "LineSegment", "Polygon", "Shape", "Dist", "z_value",
+    "dist", "dist2", "dist_cols", "dist2_cols", "in_range", "in_circle_range",
+    "grid_cell", "z_value_col", "vec_dot", "vec_norm", "cosine_similarity",
+    "register_sql_functions",
+    "range_query", "circle_range", "knn", "knn_and", "knn_or", "knn_not",
+    "distance_join", "self_distance_join", "knn_join", "zknn_join",
+]

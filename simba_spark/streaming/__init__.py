@@ -1,0 +1,15 @@
+"""Structured Streaming surface.
+
+The reference has **no** streaming operators (SURVEY.md §2.5) — this
+module is additive. Because all simba_spark spatial predicates are plain
+Column expressions, they compose with ``readStream`` unchanged; helpers
+here cover the windowed-aggregation patterns a pipeline needs.
+"""
+
+from .ops import streaming_circle_range, streaming_range_filter, windowed_event_counts
+
+__all__ = [
+    "streaming_range_filter",
+    "streaming_circle_range",
+    "windowed_event_counts",
+]

@@ -1,0 +1,142 @@
+"""Distance-join / kNN-join correctness vs brute-force pandas oracles,
+plus cross-algorithm equivalence (reference implicitly asserts all its
+join algorithms agree; we test it explicitly, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from simba_spark.operators.distance_join import distance_join, self_distance_join
+from simba_spark.operators.knn_join import knn_join, zknn_join
+
+
+def _pairs_oracle(a_pd, b_pd, r):
+    """All (a.id, b.id) within closed distance r — numpy brute force."""
+    A = a_pd[["x", "y"]].to_numpy()
+    B = b_pd[["x", "y"]].to_numpy()
+    d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+    ii, jj = np.where(d2 <= r * r)
+    return sorted(zip(a_pd.id.to_numpy()[ii], b_pd.id.to_numpy()[jj]))
+
+
+def _knn_oracle(a_pd, b_pd, k):
+    """(a.id, b.id) for the k nearest b rows per a row, (dist, b.id) order."""
+    A = a_pd[["x", "y"]].to_numpy()
+    B = b_pd[["x", "y"]].to_numpy()
+    d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+    bids = b_pd.id.to_numpy()
+    out = []
+    for i, aid in enumerate(a_pd.id.to_numpy()):
+        order = sorted(range(len(bids)), key=lambda j: (d2[i, j], bids[j]))[:k]
+        out += [(aid, bids[j]) for j in order]
+    return sorted(out)
+
+
+@pytest.mark.parametrize("algo", ["grid", "broadcast", "cross"])
+@pytest.mark.parametrize("r", [2.0, 10.0])
+def test_distance_join_algos_match_oracle(pair_dfs, algo, r):
+    a, b = pair_dfs
+    got = distance_join(
+        a, b, ["x", "y"], ["x", "y"], r,
+        algo=algo, left_prefix="a_", right_prefix="b_",
+    ).select("a_id", "b_id").collect()
+    exp = _pairs_oracle(a.toPandas(), b.toPandas(), r)
+    assert sorted((r_.a_id, r_.b_id) for r_ in got) == exp
+    assert len(exp) > 0
+
+
+def test_distance_join_closed_bound(spark):
+    a = spark.createDataFrame([(0, 0.0, 0.0)], "id long, x double, y double")
+    b = spark.createDataFrame(
+        [(0, 3.0, 4.0), (1, 3.0001, 4.0)], "id long, x double, y double"
+    )
+    got = distance_join(
+        a, b, ["x", "y"], ["x", "y"], 5.0,
+        algo="grid", left_prefix="a_", right_prefix="b_",
+    ).select("b_id").collect()
+    assert sorted(r.b_id for r in got) == [0]  # dist == r included
+
+
+def test_distance_join_zero_radius_exact_match(spark):
+    a = spark.createDataFrame([(0, 1.0, 2.0), (1, 5.0, 5.0)], "id long, x double, y double")
+    b = spark.createDataFrame([(7, 1.0, 2.0), (8, 9.0, 9.0)], "id long, x double, y double")
+    got = distance_join(
+        a, b, ["x", "y"], ["x", "y"], 0.0,
+        algo="grid", left_prefix="a_", right_prefix="b_",
+    ).select("a_id", "b_id").collect()
+    assert [(r.a_id, r.b_id) for r in got] == [(0, 7)]
+
+
+def test_self_distance_join_dedup_pairs(pair_dfs):
+    a, _ = pair_dfs
+    got = self_distance_join(a, ["x", "y"], 5.0, id_col="id").select(
+        "a_id", "b_id"
+    ).collect()
+    exp = [(x, y) for x, y in _pairs_oracle(a.toPandas(), a.toPandas(), 5.0) if x < y]
+    assert sorted((r.a_id, r.b_id) for r in got) == sorted(exp)
+
+
+@pytest.mark.parametrize("algo", ["cross", "broadcast", "bounded"])
+@pytest.mark.parametrize("k", [1, 3])
+def test_knn_join_algos_match_oracle(pair_dfs, algo, k):
+    a, b = pair_dfs
+    got = knn_join(
+        a, b, ["x", "y"], ["x", "y"], k,
+        left_id="id", algo=algo, right_tiebreak="id",
+    ).select("l_id", "r_id").collect()
+    exp = _knn_oracle(a.toPandas(), b.toPandas(), k)
+    assert sorted((r.l_id, r.r_id) for r in got) == exp
+
+
+def test_knn_join_exactly_k_each(pair_dfs):
+    a, b = pair_dfs
+    k = 4
+    got = knn_join(
+        a, b, ["x", "y"], ["x", "y"], k,
+        left_id="id", algo="bounded", right_tiebreak="id",
+    ).groupBy("l_id").count().collect()
+    assert all(r["count"] == k for r in got)
+    assert len(got) == a.count()
+
+
+def test_knn_join_k_larger_than_right(spark):
+    a = spark.createDataFrame([(0, 0.0, 0.0)], "id long, x double, y double")
+    b = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 2.0, 0.0)], "id long, x double, y double"
+    )
+    got = knn_join(
+        a, b, ["x", "y"], ["x", "y"], 5,
+        left_id="id", algo="bounded", right_tiebreak="id",
+    ).collect()
+    assert len(got) == 2  # only |B| matches exist
+
+
+def test_zknn_join_recall(pair_dfs):
+    """zKNN is approximate: recall vs exact must be >= 0.9 at 2 shifts
+    (FIXTURES.md canonical query 7)."""
+    a, b = pair_dfs
+    k = 3
+    exact = set(_knn_oracle(a.toPandas(), b.toPandas(), k))
+    got = zknn_join(
+        a, b, ["x", "y"], ["x", "y"], k,
+        left_id="id", shifts=2, seed=42, right_tiebreak="id",
+    ).select("l_id", "r_id").collect()
+    approx = set((r.l_id, r.r_id) for r in got)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"zknn recall {recall:.3f} < 0.9"
+
+
+def test_zknn_join_deterministic(pair_dfs):
+    a, b = pair_dfs
+    r1 = sorted(
+        (r.l_id, r.r_id)
+        for r in zknn_join(a, b, ["x", "y"], ["x", "y"], 3, left_id="id",
+                           shifts=2, seed=7, right_tiebreak="id")
+        .select("l_id", "r_id").collect()
+    )
+    r2 = sorted(
+        (r.l_id, r.r_id)
+        for r in zknn_join(a, b, ["x", "y"], ["x", "y"], 3, left_id="id",
+                           shifts=2, seed=7, right_tiebreak="id")
+        .select("l_id", "r_id").collect()
+    )
+    assert r1 == r2

@@ -1,38 +1,713 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+north-star ops); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; omitted for
+genuinely non-SQL-expressible ops (hash-based LSH families, approximate
+joins), which the driver records as rows-only checks.
+
+Conventions for hash-matching (driver compares sorted-by-name columns,
+order-insensitive values):
+- every computed column is aliased identically in Spark and SQL;
+- float *aggregates* are rounded (engines sum in different orders);
+- per-row arithmetic is written with the same association order in both
+  engines so IEEE doubles agree bit-for-bit;
+- kNN/top-k queries order by (key, id-tiebreak) in both engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS) which Spark rejects unless
+    # told to surface nanos as long (runtime-settable; we never emit ts)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact kNN join — 3 nearest customers per supplier in
+    (acctbal, nationkey) space at sf0.001 (SURVEY §2.3 RKJ semantics)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from simba_spark.operators.knn_join import knn_join
+
+    supp = _t(spark, sf_dir, "supplier").withColumn(
+        "s_nat", F.col("s_nationkey").cast("double")
+    )
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "c_nat", F.col("c_nationkey").cast("double")
+    )
+    out = knn_join(
+        supp, cust, ["s_acctbal", "s_nat"], ["c_acctbal", "c_nat"], 3,
+        left_id="s_suppkey", algo="bounded", right_tiebreak="c_custkey",
+    )
+    return out.select(
+        F.col("l_s_suppkey").alias("s_suppkey"),
+        F.col("r_c_custkey").alias("c_custkey"),
+        F.round("dist", 4).alias("dist_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# spatial filter queries (events as the point table: x=value, y=user_id)
+
+_BOX_LO, _BOX_HI = (20.0, 30.0), (60.0, 90.0)
+_CIRCLE_C, _CIRCLE_R = (250.0, 75.0), 40.0
+_KNN_Q, _KNN_K = (123.0, 45.0), 25
+
+
+def q_range_filter(spark, sf_dir):
+    from simba_spark.operators.filters import range_query
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    return range_query(ev, ["value", "uid"], _BOX_LO, _BOX_HI).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+
+
+def q_circle_range(spark, sf_dir):
+    from simba_spark.operators.filters import circle_range
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    return circle_range(ev, ["value", "uid"], _CIRCLE_C, _CIRCLE_R).select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_knn(spark, sf_dir):
+    from simba_spark.operators.filters import knn
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    return knn(ev, ["value", "uid"], _KNN_Q, _KNN_K, tiebreak="event_id").select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_knn_and_filter(spark, sf_dir):
+    """Boolean combination with kNN inside → set semantics
+    (ref: FilterExec.scala:51-68): knn-50 ∩ (event_type = 'click')."""
+    from simba_spark.operators.filters import knn, knn_and
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("uid", F.col("user_id").cast("double"))
+        .select("event_id", "user_id", "value", "event_type", "uid")
+    )
+    knn_df = knn(ev, ["value", "uid"], _KNN_Q, 50, tiebreak="event_id")
+    return knn_and(ev, knn_df, F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_knn_not_filter(spark, sf_dir):
+    """NOT knn = subtract (set semantics), restricted to a small box so
+    the result is meaningfully sized."""
+    from simba_spark.operators.filters import knn, knn_not, range_query
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("uid", F.col("user_id").cast("double"))
+        .select("event_id", "user_id", "value", "uid")
+    )
+    box = range_query(ev, ["value", "uid"], (100.0, 40.0), (150.0, 60.0))
+    knn_df = knn(box, ["value", "uid"], _KNN_Q, 10, tiebreak="event_id")
+    return knn_not(box, knn_df).select("event_id", "user_id", "value")
+
+
+def q_layout_routed_range(spark, sf_dir):
+    """Same result set as q_range_filter but routed through a z-order
+    layout with partition-bounds pruning (SURVEY §2.1 index scans)."""
+    from simba_spark.context import SimbaContext
+
+    ctx = SimbaContext(spark)
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    lay = ctx.create_index(ev, ["value", "uid"], "ev_idx", kind="zorder")
+    out = ctx.range_query(lay.data, ["value", "uid"], _BOX_LO, _BOX_HI).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    return out
+
+
+def q_interval_1d(spark, sf_dir):
+    """1-D interval scan through a range layout (TreeMap/Treap analog,
+    ref: TreeMapIndexedRelation.scala:41-60), closed bounds."""
+    from simba_spark.context import SimbaContext
+
+    ctx = SimbaContext(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    lay = ctx.create_index(li, ["l_extendedprice"], "li_idx", kind="range")
+    return lay.data.filter(
+        (F.col("l_extendedprice") >= 1000.0) & (F.col("l_extendedprice") <= 1100.0)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# spatial joins
+
+_DJ_R = 200.0
+
+
+def q_distance_join(spark, sf_dir):
+    from simba_spark.operators.distance_join import distance_join
+
+    cust = _t(spark, sf_dir, "customer").withColumn("c_nat", F.col("c_nationkey").cast("double"))
+    supp = _t(spark, sf_dir, "supplier").withColumn("s_nat", F.col("s_nationkey").cast("double"))
+    return distance_join(
+        cust, supp, ["c_acctbal", "c_nat"], ["s_acctbal", "s_nat"], _DJ_R,
+        algo="grid",
+    ).select("c_custkey", "s_suppkey")
+
+
+def q_distance_join_self(spark, sf_dir):
+    from simba_spark.operators.distance_join import self_distance_join
+
+    supp = _t(spark, sf_dir, "supplier").withColumn("s_nat", F.col("s_nationkey").cast("double"))
+    return self_distance_join(
+        supp, ["s_acctbal", "s_nat"], 500.0, id_col="s_suppkey", algo="grid"
+    ).select(
+        F.col("a_s_suppkey").alias("a_suppkey"),
+        F.col("b_s_suppkey").alias("b_suppkey"),
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    from simba_spark.operators.knn_join import knn_join
+
+    supp = _t(spark, sf_dir, "supplier").withColumn("s_nat", F.col("s_nationkey").cast("double"))
+    cust = _t(spark, sf_dir, "customer").withColumn("c_nat", F.col("c_nationkey").cast("double"))
+    out = knn_join(
+        supp, cust, ["s_acctbal", "s_nat"], ["c_acctbal", "c_nat"], 3,
+        left_id="s_suppkey", algo="bounded", right_tiebreak="c_custkey",
+    )
+    return out.select(
+        F.col("l_s_suppkey").alias("s_suppkey"),
+        F.col("r_c_custkey").alias("c_custkey"),
+    )
+
+
+def q_zknn_join(spark, sf_dir):
+    """Approximate z-order kNN join — no SQL oracle (approximate by
+    design); driver records rows-only."""
+    from simba_spark.operators.knn_join import zknn_join
+
+    supp = _t(spark, sf_dir, "supplier").withColumn("s_nat", F.col("s_nationkey").cast("double"))
+    cust = _t(spark, sf_dir, "customer").withColumn("c_nat", F.col("c_nationkey").cast("double"))
+    out = zknn_join(
+        supp, cust, ["s_acctbal", "s_nat"], ["c_acctbal", "c_nat"], 3,
+        left_id="s_suppkey", shifts=2, seed=42, right_tiebreak="c_custkey",
+    )
+    return out.select(
+        F.col("l_s_suppkey").alias("s_suppkey"),
+        F.col("r_c_custkey").alias("c_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass-through relational suite (inherited Spark SQL — SURVEY §2.4)
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+    return rev
+
+
+def q_nation_volume(spark, sf_dir):
+    """Q5-style multi-join: revenue per nation (customer+supplier co-located)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_window_top_orders_per_cust(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_events_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# north-star: text analysis
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from simba_spark.operators.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subtokens"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    from simba_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from simba_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from simba_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from simba_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash LSH near-dup candidates (xxhash64-based — not expressible
+    in DuckDB SQL; rows-only check)."""
+    from simba_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_k=5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-based; rows-only check)."""
+    from simba_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard >= 0.3 pairs (shingle-blocked). The blocking
+    key is a hash, but the *result* is hash-free — still, the pair list
+    over word 3-grams is painful in pure SQL; rows-only check."""
+    from simba_spark.operators.dedup import ngram_jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_join(docs, shingle_k=3, jaccard_threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# north-star: similarity search
+
+
+def q_embedding_topk(spark, sf_dir):
+    from simba_spark.operators.similarity import cosine_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_topk(embs, qvec, 10)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Cosine >= 0.42 pairs, left side blocked to vec_id % 5 == 0 so the
+    DuckDB oracle's cross join stays tractable at sf0.01."""
+    from simba_spark.operators.dedup import embedding_dup_pairs
+
+    embs = _t(spark, sf_dir, "embeddings")
+    left = embs.filter(F.col("vec_id") % 5 == 0)
+    out = embedding_dup_pairs(left, threshold=0.42, n_planes=0)
+    return out.select("a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
+def q_embedding_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (seeded; rows-only check)."""
+    from simba_spark.operators.similarity import cosine_topk_ann
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_topk_ann(embs, qvec, 10, n_planes=8, probe_hamming=3, seed=42)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
+# ---------------------------------------------------------------------------
+# north-star: multimodal
+
+
+def q_blob_stats(spark, sf_dir):
+    from simba_spark.operators.multimodal import attach_blob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = attach_blob(docs, "text", media_type="text/plain")
+    return out.select(
+        "doc_id",
+        F.col("blob_meta.byte_size").alias("byte_size"),
+        F.col("blob_meta.content_hash").alias("content_hash"),
+    )
+
+
+def q_image_features(spark, sf_dir):
+    """Deterministic fake decode through mapInPandas (real codec is a
+    stub — SURVEY north-star; rows-only check)."""
+    from simba_spark.operators.multimodal import attach_blob, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = attach_blob(docs, "text")
+    return decode_image_features(blobs, mode="fake")
+
+
+# ---------------------------------------------------------------------------
+# registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # spatial filters + layouts
+        "range_filter": q_range_filter,
+        "circle_range": q_circle_range,
+        "knn": q_knn,
+        "knn_and_filter": q_knn_and_filter,
+        "knn_not_filter": q_knn_not_filter,
+        "layout_routed_range": q_layout_routed_range,
+        "interval_1d": q_interval_1d,
+        # spatial joins
+        "distance_join": q_distance_join,
+        "distance_join_self": q_distance_join_self,
+        "knn_join": q_knn_join,
+        "zknn_join": q_zknn_join,
+        # pass-through relational
+        "tpch_q1": q_tpch_q1,
+        "top_orders": q_top_orders,
+        "nation_volume": q_nation_volume,
+        "window_top_orders": q_window_top_orders_per_cust,
+        "rollup_lineitem": q_rollup_lineitem,
+        "events_agg": q_events_agg,
+        # text analysis
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        # similarity
+        "embedding_topk": q_embedding_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_ann_topk": q_embedding_ann_topk,
+        # multimodal
+        "blob_stats": q_blob_stats,
+        "image_features": q_image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+
+def _ev_d2(cx: float, cy: float) -> str:
+    return (
+        f"((value - {cx})*(value - {cx}) + "
+        f"(CAST(user_id AS DOUBLE) - {cy})*(CAST(user_id AS DOUBLE) - {cy}))"
+    )
+
+
+_SW = {
+    "en": r"\b(the|and|of|to|in|is|that|it|for|was)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|mit|ein|auf|im)\b",
+    "fr": r"\b(le|la|et|les|des|est|une|dans|que|pour)\b",
+    "es": r"\b(el|los|que|de|se|por|con|para|las|una)\b",
+}
+_PUNCT_SQL = r"[.,;:!?''\"()\[\]{}-]"   # '' escapes a quote inside SQL string
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d2_circle = _ev_d2(*_CIRCLE_C)
+    d2_knn = _ev_d2(*_KNN_Q)
+    box = (
+        f"value >= {_BOX_LO[0]} AND value <= {_BOX_HI[0]} "
+        f"AND CAST(user_id AS DOUBLE) >= {_BOX_LO[1]} AND CAST(user_id AS DOUBLE) <= {_BOX_HI[1]}"
+    )
+    dj_d2 = (
+        "((c.c_acctbal - s.s_acctbal)*(c.c_acctbal - s.s_acctbal) + "
+        "(CAST(c.c_nationkey AS DOUBLE) - CAST(s.s_nationkey AS DOUBLE))*"
+        "(CAST(c.c_nationkey AS DOUBLE) - CAST(s.s_nationkey AS DOUBLE)))"
+    )
+    sj_d2 = (
+        "((a.s_acctbal - b.s_acctbal)*(a.s_acctbal - b.s_acctbal) + "
+        "(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE))*"
+        "(CAST(a.s_nationkey AS DOUBLE) - CAST(b.s_nationkey AS DOUBLE)))"
+    )
+    kj_d2 = (
+        "((s.s_acctbal - c.c_acctbal)*(s.s_acctbal - c.c_acctbal) + "
+        "(CAST(s.s_nationkey AS DOUBLE) - CAST(c.c_nationkey AS DOUBLE))*"
+        "(CAST(s.s_nationkey AS DOUBLE) - CAST(c.c_nationkey AS DOUBLE)))"
+    )
+    sw_counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{_SW[l]}')) AS sw_{l}"
+        for l in ("en", "de", "fr", "es")
+    )
+    n_tokens = r"len(string_split_regex(text, '\s+'))"
+    punct = f"len(regexp_extract_all(text, '{_PUNCT_SQL}'))"
+    sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
+
+    return {
+        "range_filter": f"""
+            SELECT event_id, user_id, value, event_type FROM events WHERE {box}
+        """,
+        "circle_range": f"""
+            SELECT event_id, user_id, value FROM events
+            WHERE {d2_circle} <= {_CIRCLE_R} * {_CIRCLE_R}
+        """,
+        "knn": f"""
+            SELECT event_id, user_id, value FROM events
+            ORDER BY {d2_knn} ASC, event_id ASC LIMIT {_KNN_K}
+        """,
+        "knn_and_filter": f"""
+            WITH knn50 AS (
+              SELECT event_id, user_id, value, event_type FROM events
+              ORDER BY {d2_knn} ASC, event_id ASC LIMIT 50
+            )
+            SELECT event_id, user_id, value FROM knn50 WHERE event_type = 'click'
+        """,
+        "knn_not_filter": f"""
+            WITH box AS (
+              SELECT event_id, user_id, value FROM events
+              WHERE value >= 100.0 AND value <= 150.0
+                AND CAST(user_id AS DOUBLE) >= 40.0 AND CAST(user_id AS DOUBLE) <= 60.0
+            ), knn10 AS (
+              SELECT event_id FROM box ORDER BY {d2_knn} ASC, event_id ASC LIMIT 10
+            )
+            SELECT b.event_id, b.user_id, b.value FROM box b
+            WHERE b.event_id NOT IN (SELECT event_id FROM knn10)
+        """,
+        "layout_routed_range": f"""
+            SELECT event_id, user_id, value, event_type FROM events WHERE {box}
+        """,
+        "interval_1d": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 1100.0
+        """,
+        "distance_join": f"""
+            SELECT c.c_custkey, s.s_suppkey FROM customer c, supplier s
+            WHERE {dj_d2} <= {_DJ_R} * {_DJ_R}
+        """,
+        "distance_join_self": f"""
+            SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey
+            FROM supplier a, supplier b
+            WHERE {sj_d2} <= 500.0 * 500.0 AND a.s_suppkey < b.s_suppkey
+        """,
+        "knn_join": f"""
+            WITH ranked AS (
+              SELECT s.s_suppkey, c.c_custkey,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY s.s_suppkey
+                       ORDER BY sqrt({kj_d2}) ASC, c.c_custkey ASC
+                     ) AS rn
+              FROM supplier s, customer c
+            )
+            SELECT s_suppkey, c_custkey FROM ranked WHERE rn <= 3
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            WITH rev AS (
+              SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey, o.o_custkey, r.revenue
+            FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+            ORDER BY r.revenue DESC, o.o_orderkey ASC LIMIT 10
+        """,
+        "nation_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "window_top_orders": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ranked WHERE rn <= 3
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "events_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id, length(text) AS n_chars_calc,
+                   {n_tokens} AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_subtokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     {n_tokens} AS n_tokens,
+                     round({punct} / greatest(length(text), 1), 6) AS punct_ratio,
+                     round({sw_en} / greatest({n_tokens}, 1), 6) AS stopword_ratio
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+                   round(0.4 * least(n_tokens / 64.0, 1.0)
+                       + 0.3 * least(stopword_ratio * 5.0, 1.0)
+                       + 0.3 * greatest(0.0, 1.0 - punct_ratio * 4.0), 6) AS quality_score
+            FROM feats
+        """,
+        "doc_lang_id": f"""
+            WITH counts AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+                     {sw_counts}
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN cjk > length(text) * 0.05 THEN 'zh'
+                     WHEN sw_en > 0 AND sw_en >= sw_de AND sw_en >= sw_fr AND sw_en >= sw_es THEN 'en'
+                     WHEN sw_de > 0 AND sw_de >= sw_fr AND sw_de >= sw_es THEN 'de'
+                     WHEN sw_fr > 0 AND sw_fr >= sw_es THEN 'fr'
+                     WHEN sw_es > 0 THEN 'es'
+                     ELSE 'unknown'
+                   END AS lang_pred
+            FROM counts
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup": r"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4
+            FROM embeddings e, q
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim4
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42
+        """,
+        "blob_stats": """
+            SELECT doc_id, octet_length(encode(text)) AS byte_size,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+        # rows-only (no SQL equivalent): zknn_join, minhash_pairs,
+        # simhash_pairs, ngram_jaccard, embedding_ann_topk, image_features
+    }

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop writer (full computation,
+no driver collect of the result set).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: headline subset: one per operator family (SURVEY §2 + north-star)
+HEADLINE = [
+    "range_filter",
+    "circle_range",
+    "knn",
+    "distance_join",
+    "knn_join",
+    "zknn_join",
+    "layout_routed_range",
+    "tpch_q1",
+    "top_orders",
+    "nation_volume",
+    "window_top_orders",
+    "exact_dedup",
+    "doc_quality",
+    "simhash_pairs",
+    "minhash_pairs",
+    "embedding_topk",
+    "blob_stats",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from simba_spark.context import get_spark
+
+    spark = get_spark(
+        app_name="simba_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    qs = entrymod.queries()
+    timings = {}
+    # warm the JVM + parquet footers once with a cheap action
+    try:
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    except Exception as e:
+        print(f"# bench warmup failed ({SF_DIR}): {e}", file=sys.stderr)
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record the failure, keep benching
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    try:
+        sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = None
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "n_queries": len([t for t in timings.values() if t >= 0]),
+    }
+    spark.stop()
+    print(json.dumps(out))
+    return 0 if all(t >= 0 for t in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

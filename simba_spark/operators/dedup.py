@@ -1,0 +1,339 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (BASELINE.json north_star).
+
+All are DataFrame programs over built-in functions (xxhash64, md5,
+higher-order array ops) — no Python UDFs — and all are deterministic
+given the seed, which the oracle harness requires (SURVEY.md §4.3).
+
+Scale design (100 TB): every algorithm is candidate-generation by
+*equi-join on a computed key* (fingerprint, LSH band hash, simhash
+chunk, shingle hash, projection bucket) followed by within-bucket
+verification. Equi-joins are Catalyst's home turf: shuffle on the key,
+AQE handles skew, no driver-side state. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per normalized-text fingerprint.
+    One shuffle on the 128-bit fingerprint; skew-free by construction."""
+    fp = fingerprint(df, text_col, "__fp")
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, n_dups, keep_id)."""
+    fp = fingerprint(df, text_col, "fingerprint")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+
+def minhash_signature(
+    col, num_hashes: int = 32, shingle_k: int = 5, seed: int = 42
+) -> Column:
+    """Array of `num_hashes` minhash values over word shingles.
+    h_j(s) = xxhash64(shingle, seed+j); signature_j = min_s h_j(s).
+    Documents with shingle sets of Jaccard J agree on each coordinate
+    with probability J (classic MinHash estimator, Broder 1997)."""
+    sh = shingles(col, shingle_k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + j))))
+        for j in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    jaccard_threshold: Optional[float] = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH, optionally
+    verified with exact shingle-set Jaccard.
+
+    rows_per_band = num_hashes / bands; two docs collide in a band iff
+    all its rows match ⇒ P(candidate) = 1 - (1 - J^r)^b — the standard
+    S-curve. Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sh_df = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(text_col, shingle_k).alias("__sh"),
+    )
+    # signature via explode + groupBy min: ONE pass over the exploded
+    # shingles computing all num_hashes mins as plain aggregates — keeps
+    # every expression small (codegen-friendly), unlike num_hashes nested
+    # array transforms which overflow the 64KB JIT method limit and fall
+    # back to interpreted eval
+    ex = sh_df.select("__id", F.explode_outer("__sh").alias("__s"))
+    sig_df = ex.groupBy("__id").agg(
+        *[
+            F.coalesce(
+                F.min(F.xxhash64(F.col("__s"), F.lit(seed + j))),
+                F.lit(0).cast("long"),
+            ).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"__m{b * r + i}").cast("string") for i in range(r)]),
+            F.lit(b),
+        ).alias("__bh")
+        for b in range(bands)
+    ]
+    base = sh_df.join(sig_df, on="__id")
+    exploded = base.select(
+        "__id", "__sh",
+        F.posexplode(F.array(*band_cols)).alias("__band", "__bh"),
+    )
+    left = exploded.select(
+        F.col("__id").alias("a_id"), F.col("__sh").alias("__sha"),
+        "__band", "__bh",
+    )
+    right = exploded.select(
+        F.col("__id").alias("b_id"), F.col("__sh").alias("__shb"),
+        "__band", "__bh",
+    )
+    cand = (
+        left.join(right, on=["__band", "__bh"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "__sha", "__shb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    out = cand.withColumn(
+        "jaccard",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+    ).select("a_id", "b_id", "jaccard")
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard") >= float(jaccard_threshold))
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: greedy keep-lowest-id using LSH pairs.
+    Single-link transitive closure is approximated by one pass
+    (drop any doc that has a smaller near-identical sibling) — the
+    standard one-sweep policy for pretraining dedup."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold, **kw
+    )
+    drop_ids = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (exact, shingle-hash blocked)
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= t pairs. Candidates = pairs sharing >= 1 shingle
+    (explode + equi-join on the shingle hash — blocked, never cartesian),
+    verified with exact set Jaccard. For threshold t and shingle counts
+    |A|,|B|: J(A,B) >= t implies intersection >= t/(1+t)·(|A|+|B|) >= 1,
+    so the blocking loses nothing (any qualifying pair shares a shingle).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), shingles(text_col, shingle_k).alias("__sh")
+    )
+    ex = base.select(
+        "__id", "__sh", F.explode(F.col("__sh")).alias("__s")
+    ).withColumn("__sh_hash", F.xxhash64("__s")).drop("__s")
+    l = ex.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sha"), "__sh_hash")
+    r = ex.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__shb"), "__sh_hash")
+    cand = (
+        l.join(r, on="__sh_hash", how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "__sha", "__shb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= float(jaccard_threshold))
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Charikar 2002): bit i of
+    the hash is the sign of Σ_tokens (±1 by bit i of xxhash64(token)).
+    Computed with explode + groupBy — one shuffle on id; per-bit sums are
+    plain conditional aggregates (codegen'd)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    aggs = []
+    for i in range(bits):
+        bit = F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__b{i}")
+        )
+    sums = toks.groupBy(id_col).agg(*aggs)
+    h = F.lit(0).cast("long")
+    for i in range(bits):
+        h = h.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select(F.col(id_col), h.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Blocking: split the 64-bit hash into (max_hamming+1) chunks — by
+    pigeonhole any pair within the bound matches exactly on >= 1 chunk,
+    so an equi-join on (chunk_idx, chunk_value) finds all of them.
+    Verification = popcount of XOR."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sh = simhash(df, text_col, id_col)
+    chunks = [
+        F.shiftright(F.col("simhash"), i * chunk_bits)
+        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        .alias(f"__c{i}")
+        for i in range(n_chunks)
+    ]
+    ex = sh.select(id_col, "simhash", F.posexplode(F.array(*chunks)).alias("__ci", "__cv"))
+    l = ex.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("__ha"), "__ci", "__cv")
+    r = ex.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("__hb"), "__ci", "__cv")
+    cand = (
+        l.join(r, on=["__ci", "__cv"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    n_planes == 0: exact brute-force self-join (the small-scale oracle
+    path). n_planes > 0: random-hyperplane LSH blocking — candidates
+    share the full sign signature; approximate but linear-ish. At 100 TB
+    use n_planes ~ 12-18 so buckets stay executor-sized.
+    """
+    from ..functions import cosine_similarity, vec_norm
+
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
+    if n_planes <= 0:
+        cand = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    else:
+        sig = _hyperplane_signature(df, vec_col, n_planes, seed)
+        sa = sig.select(F.col(id_col).alias("a_id"), F.col("__sig").alias("__siga"))
+        sb = sig.select(F.col(id_col).alias("b_id"), F.col("__sig").alias("__sigb"))
+        cand = (
+            a.join(sa, on="a_id")
+            .join(sb.join(b, on="b_id"), F.col("__siga") == F.col("__sigb"))
+            .filter(F.col("a_id") < F.col("b_id"))
+        )
+    sim = cosine_similarity("__va", "__vb")
+    return (
+        cand.withColumn("cosine_sim", F.round(sim, 6))
+        .filter(F.col("cosine_sim") >= float(threshold))
+        .select("a_id", "b_id", "cosine_sim")
+    )
+
+
+def _hyperplane_signature(
+    df: DataFrame, vec_col: str, n_planes: int, seed: int
+) -> DataFrame:
+    """Sign signature over seeded random hyperplanes. Planes are
+    generated driver-side with numpy (seeded) and inlined as literals —
+    a few KB regardless of data size."""
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = F.lit(0).cast("long")
+    vc = F.col(vec_col)
+    for p_idx in range(n_planes):
+        dot = F.lit(0.0)
+        for d_idx in range(dim):
+            dot = dot + vc[d_idx].cast("double") * F.lit(float(planes[p_idx, d_idx]))
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p_idx)).otherwise(F.lit(0).cast("long"))
+        )
+    id_cols = [c for c in df.columns if c != vec_col]
+    return df.select(*id_cols, sig.alias("__sig"))

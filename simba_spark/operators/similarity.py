@@ -1,0 +1,153 @@
+"""Vector similarity search over embedding columns (north_star).
+
+- :func:`cosine_topk` — brute-force exact top-k for one query vector:
+  a single scan + TakeOrderedAndProject (distributed partial top-k,
+  never a global sort; the same execution shape as the engine's spatial
+  kNN, SURVEY §2.4).
+- :func:`cosine_topk_ann` — LSH-bucketed approximate variant: random
+  hyperplane signature blocking with multi-probe (hamming-adjacent
+  buckets), the scale path when one query must not scan 100 TB.
+- :func:`knn_join_vectors` — k nearest vectors for *every* row (vector
+  kNN self-join) via the generic kNN-join machinery on projected
+  coordinates, or exact window over blocked candidates.
+
+The reference's Point is already N-dimensional (ref: Point.scala:28-29),
+so d-dim similarity is the natural generalization of its kNN operator.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity, vec_dot, vec_norm
+
+
+def _query_lit(query_vec: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k rows by cosine similarity to a literal query vector.
+    Deterministic: ties broken by id. Adds `cosine_sim`."""
+    q = _query_lit(query_vec)
+    sim = F.round(cosine_similarity(F.col(vec_col), q), 6)
+    return (
+        df.withColumn("cosine_sim", sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def dot_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by dot product (for pre-normalized embeddings)."""
+    q = _query_lit(query_vec)
+    return (
+        df.withColumn("dot", F.round(vec_dot(F.col(vec_col), q), 6))
+        .orderBy(F.col("dot").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def cosine_topk_ann(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only rows whose hyperplane sign signature is
+    within `probe_hamming` bits of the query's signature are scored
+    (multi-probe LSH). With a bucketed layout this prunes the scan to
+    ~C(n_planes, probe_hamming)/2^n_planes of the data."""
+    import numpy as np
+
+    dim = len(query_vec)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    vc = F.col(vec_col)
+    sig = F.lit(0).cast("long")
+    for p_idx in range(n_planes):
+        dot = F.lit(0.0)
+        for d_idx in range(dim):
+            dot = dot + vc[d_idx].cast("double") * F.lit(float(planes[p_idx, d_idx]))
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p_idx)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    qsig = 0
+    qv = np.asarray(query_vec, dtype="float64")
+    for p_idx in range(n_planes):
+        if float(planes[p_idx] @ qv) >= 0:
+            qsig |= 1 << p_idx
+
+    hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig).cast("long")))
+    q = _query_lit(query_vec)
+    sim = F.round(cosine_similarity(vc, q), 6)
+    return (
+        df.filter(hamming <= int(probe_hamming))
+        .withColumn("cosine_sim", sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def knn_join_vectors(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """k nearest neighbors (by cosine) for every row — vector self-join.
+
+    n_planes == 0: exact crossJoin + window (quadratic; oracle path).
+    n_planes > 0: approximate — candidates limited to matching LSH
+    bucket (plus the row itself is excluded either way).
+    Output: (a_id, b_id, cosine_sim, rank) with rank in [1, k].
+    """
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
+    if n_planes <= 0:
+        cand = a.crossJoin(b).filter(F.col("a_id") != F.col("b_id"))
+    else:
+        from .dedup import _hyperplane_signature
+
+        sig = _hyperplane_signature(df, vec_col, n_planes, seed)
+        sa = sig.select(F.col(id_col).alias("a_id"), F.col("__sig").alias("__siga"))
+        sb = sig.select(F.col(id_col).alias("b_id"), F.col("__sig").alias("__sigb"))
+        cand = (
+            a.join(sa, on="a_id")
+            .join(b.join(sb, on="b_id"), F.col("__siga") == F.col("__sigb"))
+            .filter(F.col("a_id") != F.col("b_id"))
+        )
+    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("b_id").asc()
+    )
+    return (
+        cand.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("a_id", "b_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,167 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Additive to the reference surface (BASELINE.json north_star): language
+identification, quality scoring, token counting, document
+fingerprinting. Everything here is pure Column arithmetic / built-in
+SQL functions — no Python UDFs — so the operators run inside
+whole-stage codegen and scale linearly with executors (no shuffle at
+all for per-document scoring; fingerprint dedup shuffles once on the
+fingerprint).
+
+Design note: each operator has a deterministic, SQL-expressible
+definition so the DuckDB oracle harness can hash-match it
+(__spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small public stopword lists (top function words). Kept tiny on purpose:
+# the operator is an n-gram/stopword heuristic, not a trained model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "im"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "los", "que", "de", "se", "por", "con", "para", "las", "una"],
+}
+#: fixed language priority for deterministic argmax tie-breaking
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+TOKEN_SPLIT_RE = r"\s+"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+CJK_RE = r"[一-鿿]"
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (empty string counts 1 token — both Spark
+    split and DuckDB string_split_regex agree on that edge)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, TOKEN_SPLIT_RE))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-like subword estimate: word-ish chunks + digits + punctuation
+    as separate tokens (regex segmentation, a public approximation of
+    byte-pair tokenizer output length)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    )
+
+
+def stopword_hits(col, lang: str) -> Column:
+    """Occurrences of the language's stopwords as whole words."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def punct_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PUNCT_RE))
+
+
+def cjk_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(CJK_RE))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, ratios — the standard
+    pre-training quality filters (length / punctuation / stopword
+    ratios)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return (
+        df.withColumn("n_chars_calc", F.length(t))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            F.round((F.length(t) - (n_tok - F.lit(1))) / n_tok, 6),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(punct_count(t) / F.greatest(F.length(t), F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(stopword_hits(t, "en") / F.greatest(n_tok, F.lit(1)), 6),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length documents with
+    natural stopword density, penalizes punctuation soup. Deterministic
+    closed-form (SQL-mirrorable); weights are engine constants."""
+    feats = quality_features(df, text_col)
+    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * F.lit(4.0)
+    )
+    return feats.withColumn(
+        "quality_score",
+        F.round(
+            F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * punct_pen,
+            6,
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language id: CJK character share first, else argmax of
+    per-language stopword hit counts (ties broken by LANG_ORDER, then
+    'unknown' when nothing matches). Adds `lang_pred`."""
+    t = F.col(text_col)
+    out = df.withColumn("__cjk", cjk_count(t))
+    for lang in LANG_ORDER:
+        out = out.withColumn(f"__sw_{lang}", stopword_hits(t, lang))
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    # forward iteration with strict '>' ⇒ the earliest language in
+    # LANG_ORDER wins ties (deterministic argmax)
+    for lang in LANG_ORDER:
+        hits = F.col(f"__sw_{lang}")
+        take = hits > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    pred = F.when(
+        F.col("__cjk") > F.length(t) * F.lit(0.05), F.lit("zh")
+    ).otherwise(best)
+    return out.withColumn("lang_pred", pred).drop(
+        "__cjk", *[f"__sw_{l}" for l in LANG_ORDER]
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text. The exact-dedup key."""
+    t = F.col(text_col)
+    norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def shingles(col, k: int = 5) -> Column:
+    """Array of k-word shingles (token n-grams) — the unit of Jaccard
+    similarity for near-dup detection. Built with higher-order array
+    functions; empty-ish documents yield an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), TOKEN_SPLIT_RE)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )

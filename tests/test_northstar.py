@@ -1,0 +1,269 @@
+"""North-star operator tests: dedup family, similarity search, text
+analysis, multimodal plumbing — over the driver's documents/embeddings
+tables plus synthetic corner cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# -- text analysis -----------------------------------------------------------
+
+def test_token_count_matches_python(docs):
+    from simba_spark.operators.text import token_count
+
+    got = docs.select("doc_id", token_count("text").alias("n")).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    import re
+
+    for r in got:
+        assert r.n == len(re.split(r"\s+", texts[r.doc_id])), r.doc_id
+
+
+def test_token_count_empty_string(spark):
+    from simba_spark.operators.text import token_count
+
+    df = spark.createDataFrame([(0, ""), (1, "one"), (2, "a  b")], "id long, text string")
+    got = {r.id: r.n for r in df.select("id", token_count("text").alias("n")).collect()}
+    assert got[1] == 1 and got[2] == 2
+
+
+def test_quality_score_range_and_determinism(docs):
+    from simba_spark.operators.text import quality_score
+
+    out = quality_score(docs).select("doc_id", "quality_score").collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in out)
+    out2 = quality_score(docs).select("doc_id", "quality_score").collect()
+    assert sorted((r.doc_id, r.quality_score) for r in out) == sorted(
+        (r.doc_id, r.quality_score) for r in out2
+    )
+
+
+def test_lang_id_detects_real_language_samples(spark):
+    from simba_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it was happy for a while"),
+            (1, "der Hund ist nicht mit der Katze auf das Sofa gesprungen im Haus"),
+            (2, "le chat est dans la maison et les oiseaux sont pour une surprise"),
+            (3, "el perro que corre por el parque con los amigos para las fiestas"),
+            (4, "这是一个中文句子 关于大数据 的 测试"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    from simba_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, " hello\tworld \n"), (3, "different")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert got[0] == got[1] == got[2] != got[3]
+
+
+def test_shingles(spark):
+    from simba_spark.operators.text import shingles
+
+    df = spark.createDataFrame([(0, "a b c d"), (1, "a b"), (2, "")], "id long, t string")
+    got = {r.id: r.s for r in df.select("id", shingles("t", 3).alias("s")).collect()}
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]          # shorter than k -> whole text
+    assert got[2] == [""] or got[2] == []  # empty text edge
+
+
+# -- dedup -------------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    from simba_spark.operators.dedup import exact_dedup, exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "Same  Text"), (2, "unique"), (3, "same text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [0, 2]  # min id per group survives
+    groups = exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 3 and groups[0].keep_id == 0
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    from simba_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")         # 1-word edit
+    far = "completely different content about spark query engines and columnar formats here"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, base)],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in minhash_lsh_pairs(df, num_hashes=32, bands=16).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0   # identical
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5    # near-dup caught
+    assert all(2 not in p for p in pairs)             # far doc not paired
+
+
+def test_minhash_dedup_drops_only_dupes(spark):
+    from simba_spark.operators.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, "totally different words in this one entirely unique")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in minhash_dedup(df, jaccard_threshold=0.9).collect())
+    assert kept == [0, 2]
+
+
+def test_ngram_jaccard_join_exact(spark):
+    from simba_spark.operators.dedup import ngram_jaccard_join
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "a b c x y"), (3, "z z z z z")],
+        "doc_id long, text string",
+    )
+    got = {(r.a_id, r.b_id): r.jaccard for r in ngram_jaccard_join(df, shingle_k=3, jaccard_threshold=0.1).collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got and got[(0, 2)] < 1.0
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_near_dup(spark):
+    from simba_spark.operators.dedup import simhash, simhash_pairs
+
+    base = ("word" + " token sample data quality filter spark engine" * 6)
+    near = base.replace("quality", "quantity")
+    far = "absolutely unrelated short string"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    hashes = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert len(set(hashes.values())) >= 2
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_pairs(df, max_hamming=16).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_embedding_dup_pairs_exact_vs_numpy(embs):
+    from simba_spark.operators.dedup import embedding_dup_pairs
+
+    sub = embs.filter(F.col("vec_id") < 100)
+    got = {(r.a_id, r.b_id) for r in embedding_dup_pairs(sub, threshold=0.9).collect()}
+    pdf = sub.toPandas()
+    V = np.vstack(pdf.embedding.to_numpy()).astype("float64")
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    ids = pdf.vec_id.to_numpy()
+    exp = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and round(S[i, j], 6) >= 0.9
+    }
+    assert got == exp
+
+
+# -- similarity search -------------------------------------------------------
+
+def test_cosine_topk_matches_numpy(embs):
+    from simba_spark.operators.similarity import cosine_topk
+
+    pdf = embs.toPandas()
+    q = list(pdf.embedding.iloc[0])
+    got = cosine_topk(embs, q, 10).select("vec_id", "cosine_sim").collect()
+    V = np.vstack(pdf.embedding.to_numpy()).astype("float64")
+    qv = np.asarray(q, dtype="float64")
+    sims = np.round((V @ qv) / (np.linalg.norm(V, axis=1) * np.linalg.norm(qv)), 6)
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], pdf.vec_id[i]))[:10]
+    assert [r.vec_id for r in got] == [int(pdf.vec_id[i]) for i in order]
+
+
+def test_cosine_topk_ann_recall(embs):
+    from simba_spark.operators.similarity import cosine_topk, cosine_topk_ann
+
+    pdf = embs.toPandas()
+    q = list(pdf.embedding.iloc[7])
+    exact = {r.vec_id for r in cosine_topk(embs, q, 10).collect()}
+    approx = {r.vec_id for r in cosine_topk_ann(embs, q, 10, n_planes=8, probe_hamming=3).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6, f"ANN recall {recall} too low"
+
+
+def test_knn_join_vectors_exact(embs):
+    from simba_spark.operators.similarity import knn_join_vectors
+
+    sub = embs.filter(F.col("vec_id") < 60)
+    got = knn_join_vectors(sub, 3).collect()
+    per_left = {}
+    for r in got:
+        per_left.setdefault(r.a_id, []).append(r)
+    assert all(len(v) == 3 for v in per_left.values())
+    assert len(per_left) == 60
+    # spot-check one row against numpy
+    pdf = sub.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.vstack(pdf.embedding.to_numpy()).astype("float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -np.inf)
+    exp_top = sorted(range(60), key=lambda j: (-round(S[0, j], 6), j))[:3]
+    got_top = [r.b_id for r in sorted(per_left[0], key=lambda r: r.rank)]
+    assert got_top == exp_top
+
+
+# -- multimodal --------------------------------------------------------------
+
+def test_attach_blob_and_stats(docs):
+    from simba_spark.operators.multimodal import attach_blob
+
+    out = attach_blob(docs.limit(20), "text", media_type="text/plain")
+    rows = out.select("doc_id", "blob_meta.*").collect()
+    assert all(r.byte_size > 0 and len(r.content_hash) == 32 for r in rows)
+    assert all(r.media_type == "text/plain" for r in rows)
+
+
+def test_decode_image_features_fake_deterministic(docs):
+    from simba_spark.operators.multimodal import attach_blob, decode_image_features
+
+    blobs = attach_blob(docs.limit(30), "text")
+    a = sorted(
+        (r.doc_id, r.width, r.height, r.channels, r.mean_luma)
+        for r in decode_image_features(blobs, mode="fake").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.width, r.height, r.channels, r.mean_luma)
+        for r in decode_image_features(blobs, mode="fake").collect()
+    )
+    assert a == b and len(a) == 30
+    assert all(64 <= w <= 255 and 64 <= h <= 255 and 1 <= c <= 3 for _, w, h, c, _ in a)
+
+
+def test_decode_image_real_mode_raises(docs):
+    from simba_spark.operators.multimodal import attach_blob, decode_image_features
+
+    blobs = attach_blob(docs.limit(2), "text")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as Py4J error
+        decode_image_features(blobs, mode="real").collect()
+
+
+def test_sample_frames_fake(docs):
+    from simba_spark.operators.multimodal import attach_blob, sample_frames
+
+    blobs = attach_blob(docs.limit(5), "text")
+    rows = sample_frames(blobs, every_n=10).collect()
+    assert len(rows) >= 5 * 3
+    assert all(r.frame_idx % 10 == 0 for r in rows)

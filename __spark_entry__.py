@@ -125,6 +125,35 @@ def q_knn_not_filter(spark, sf_dir):
     return knn_not(box, knn_df).select("event_id", "user_id", "value")
 
 
+_POLY = [(100.0, 20.0), (300.0, 10.0), (400.0, 80.0), (200.0, 140.0), (50.0, 90.0)]
+
+
+def q_polygon_range(spark, sf_dir):
+    """Literal-polygon containment filter compiled to pure Column
+    arithmetic (generalizes InRange beyond axis boxes; ref Polygon
+    support via JTS, Polygon.scala:32)."""
+    from simba_spark.operators.polygon import polygon_range
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    return polygon_range(ev, ["value", "uid"], _POLY).select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_knn_or_filter(spark, sf_dir):
+    """A OR knn → union + distinct set semantics (FilterExec.scala:51-68)."""
+    from simba_spark.operators.filters import knn, knn_or
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("uid", F.col("user_id").cast("double"))
+        .select("event_id", "user_id", "value", "uid")
+    )
+    knn_df = knn(ev, ["value", "uid"], _KNN_Q, 20, tiebreak="event_id")
+    cond = (F.col("value") >= 480.0)
+    return knn_or(ev, knn_df, cond).select("event_id", "user_id", "value")
+
+
 def q_layout_routed_range(spark, sf_dir):
     """Same result set as q_range_filter but routed through a z-order
     layout with partition-bounds pruning (SURVEY §2.1 index scans)."""
@@ -445,7 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circle_range": q_circle_range,
         "knn": q_knn,
         "knn_and_filter": q_knn_and_filter,
+        "knn_or_filter": q_knn_or_filter,
         "knn_not_filter": q_knn_not_filter,
+        "polygon_range": q_polygon_range,
         "layout_routed_range": q_layout_routed_range,
         "interval_1d": q_interval_1d,
         # spatial joins
@@ -498,6 +529,13 @@ _SW = {
 _PUNCT_SQL = r"[.,;:!?''\"()\[\]{}-]"   # '' escapes a quote inside SQL string
 
 
+def _polygon_oracle() -> str:
+    from simba_spark.operators.polygon import in_polygon_sql
+
+    pred = in_polygon_sql("value", "CAST(user_id AS DOUBLE)", _POLY)
+    return f"SELECT event_id, user_id, value FROM events WHERE {pred}"
+
+
 def oracle_sql() -> dict[str, str]:
     d2_circle = _ev_d2(*_CIRCLE_C)
     d2_knn = _ev_d2(*_KNN_Q)
@@ -547,6 +585,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, value FROM knn50 WHERE event_type = 'click'
         """,
+        "knn_or_filter": f"""
+            WITH knn20 AS (
+              SELECT event_id, user_id, value FROM events
+              ORDER BY {d2_knn} ASC, event_id ASC LIMIT 20
+            ), cond AS (
+              SELECT event_id, user_id, value FROM events WHERE value >= 480.0
+            )
+            SELECT DISTINCT event_id, user_id, value FROM (
+              SELECT * FROM knn20 UNION ALL SELECT * FROM cond
+            )
+        """,
+        "polygon_range": _polygon_oracle(),
         "knn_not_filter": f"""
             WITH box AS (
               SELECT event_id, user_id, value FROM events

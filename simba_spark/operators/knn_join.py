@@ -116,21 +116,36 @@ def knn_join(
         lp, rp, lcols, rcols, theta,
         algo="grid", left_prefix="", right_prefix="",
     ).withColumn("dist", dist)
-    got_k = _topk(cand, lid, k, F.col("dist"), rtb)
+    # single pass: per-left candidate count rides along with the top-k
+    # window, so the candidate join executes exactly once
+    order = [F.col("dist").asc()] + ([F.col(rtb).asc()] if rtb else [])
+    w = Window.partitionBy(lid).orderBy(*order)
+    wall = Window.partitionBy(lid)
+    ranked = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wall))
+    )
+    got_k = ranked.filter(F.col("__rn") <= k)
 
-    # verification pass: left rows with < k candidates within θ
-    counts = cand.groupBy(lid).agg(F.count(F.lit(1)).alias("__n"))
-    deficient_ids = counts.filter(F.col("__n") < k).select(lid)
-    # rows with zero candidates never appear in `cand` at all
-    matched_ids = counts.select(lid)
-    missing_ids = lp.select(lid).exceptAll(matched_ids.select(lid))
+    # verification: left rows with < k candidates within θ (θ is an
+    # estimate — exactness comes from this fallback, not the bound), plus
+    # rows with zero candidates (absent from `cand` entirely)
+    deficient_ids = (
+        got_k.filter(F.col("__cnt") < k).select(lid).distinct()
+    )
+    missing_ids = lp.select(lid).join(
+        got_k.select(lid).distinct(), on=lid, how="left_anti"
+    )
     retry_ids = deficient_ids.union(missing_ids)
 
     lp_retry = lp.join(F.broadcast(retry_ids), on=lid, how="left_semi")
     retry_pairs = lp_retry.crossJoin(rp).withColumn("dist", dist)
     retry_topk = _topk(retry_pairs, lid, k, F.col("dist"), rtb)
 
-    ok = got_k.join(F.broadcast(retry_ids), on=lid, how="left_anti")
+    ok = (
+        got_k.drop("__rn", "__cnt")
+        .join(F.broadcast(retry_ids), on=lid, how="left_anti")
+    )
     return ok.unionByName(retry_topk)
 
 

@@ -315,23 +315,35 @@ def embedding_dup_pairs(
     )
 
 
+def _plane_dot(vec_col, plane) -> "Column":
+    """Dot product of an array column with a literal plane via
+    zip_with + aggregate — a constant-size expression regardless of
+    dimensionality (the unrolled per-element form blows past the 64KB
+    codegen method limit at d*planes ≳ 500 terms and silently drops to
+    interpreted eval)."""
+    lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.aggregate(
+        F.zip_with(vc, lit_plane, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _hyperplane_signature(
     df: DataFrame, vec_col: str, n_planes: int, seed: int
 ) -> DataFrame:
     """Sign signature over seeded random hyperplanes. Planes are
-    generated driver-side with numpy (seeded) and inlined as literals —
-    a few KB regardless of data size."""
+    generated driver-side with numpy (seeded) and inlined as literal
+    arrays — a few KB regardless of data size."""
     import numpy as np
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     sig = F.lit(0).cast("long")
-    vc = F.col(vec_col)
     for p_idx in range(n_planes):
-        dot = F.lit(0.0)
-        for d_idx in range(dim):
-            dot = dot + vc[d_idx].cast("double") * F.lit(float(planes[p_idx, d_idx]))
+        dot = _plane_dot(vec_col, planes[p_idx])
         sig = sig.bitwiseOR(
             F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p_idx)).otherwise(F.lit(0).cast("long"))
         )

@@ -86,9 +86,10 @@ def cosine_topk_ann(
     vc = F.col(vec_col)
     sig = F.lit(0).cast("long")
     for p_idx in range(n_planes):
-        dot = F.lit(0.0)
-        for d_idx in range(dim):
-            dot = dot + vc[d_idx].cast("double") * F.lit(float(planes[p_idx, d_idx]))
+        # zip_with/aggregate keeps the expression constant-size in d —
+        # an unrolled sum blows the 64KB codegen method limit (d*planes
+        # ≳ 500 terms) and silently falls back to interpreted eval.
+        dot = vec_dot(vc, F.array(*[F.lit(float(x)) for x in planes[p_idx]]))
         sig = sig.bitwiseOR(
             F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p_idx)).otherwise(
                 F.lit(0).cast("long")

@@ -112,28 +112,28 @@ def minhash_lsh_pairs(
         ).alias("__bh")
         for b in range(bands)
     ]
-    base = sh_df.join(sig_df, on="__id")
-    exploded = base.select(
-        "__id", "__sh",
-        F.posexplode(F.array(*band_cols)).alias("__band", "__bh"),
+    # band self-join on SKINNY rows (id, band, bandhash) only — shingle
+    # arrays never enter the candidate shuffle; they're fetched by id for
+    # the (few) surviving pairs. At scale the band join is the big
+    # shuffle, so its row width decides the job's IO.
+    bands_skinny = sig_df.select(
+        "__id", F.posexplode(F.array(*band_cols)).alias("__band", "__bh")
     )
-    left = exploded.select(
-        F.col("__id").alias("a_id"), F.col("__sh").alias("__sha"),
-        "__band", "__bh",
-    )
-    right = exploded.select(
-        F.col("__id").alias("b_id"), F.col("__sh").alias("__shb"),
-        "__band", "__bh",
-    )
+    left = bands_skinny.select(F.col("__id").alias("a_id"), "__band", "__bh")
+    right = bands_skinny.select(F.col("__id").alias("b_id"), "__band", "__bh")
     cand = (
         left.join(right, on=["__band", "__bh"], how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "__sha", "__shb")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    # exact-Jaccard verification: fetch each side's shingle array by id
+    sha = sh_df.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sha"))
+    shb = sh_df.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__shb"))
+    pairs = cand.join(sha, on="a_id").join(shb, on="b_id")
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
-    out = cand.withColumn(
+    out = pairs.withColumn(
         "jaccard",
         F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
     ).select("a_id", "b_id", "jaccard")
@@ -178,25 +178,32 @@ def ngram_jaccard_join(
     so the blocking loses nothing (any qualifying pair shares a shingle).
     """
     base = df.select(
-        F.col(id_col).alias("__id"), shingles(text_col, shingle_k).alias("__sh")
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"),
     )
+    # SKINNY exploded view: (id, distinct-shingle hash, |set|). The self
+    # equi-join on the hash yields one row per shared shingle, so
+    # |A ∩ B| falls out of a groupBy count and |A ∪ B| = |A|+|B|-inter —
+    # exact set Jaccard with no shingle array ever shuffled (Jaccard is
+    # set-based: array_intersect/union are distinct-semantics too).
     ex = base.select(
-        "__id", "__sh", F.explode(F.col("__sh")).alias("__s")
-    ).withColumn("__sh_hash", F.xxhash64("__s")).drop("__s")
-    l = ex.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sha"), "__sh_hash")
-    r = ex.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__shb"), "__sh_hash")
-    cand = (
+        "__id",
+        F.size("__sh").alias("__n"),
+        F.explode(F.col("__sh")).alias("__s"),
+    ).select("__id", "__n", F.xxhash64("__s").alias("__sh_hash"))
+    l = ex.select(F.col("__id").alias("a_id"), F.col("__n").alias("__na"), "__sh_hash")
+    r = ex.select(F.col("__id").alias("b_id"), F.col("__n").alias("__nb"), "__sh_hash")
+    inter_counts = (
         l.join(r, on="__sh_hash", how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "__sha", "__shb")
-        .dropDuplicates(["a_id", "b_id"])
+        .groupBy("a_id", "b_id", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    union = F.col("__na") + F.col("__nb") - F.col("__inter")
     return (
-        cand.withColumn(
+        inter_counts.withColumn(
             "jaccard",
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+            F.when(union > 0, F.col("__inter").cast("double") / union).otherwise(F.lit(0.0)),
         )
         .filter(F.col("jaccard") >= float(jaccard_threshold))
         .select("a_id", "b_id", "jaccard")

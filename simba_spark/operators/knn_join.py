@@ -94,10 +94,12 @@ def knn_join(
     dist = F.sqrt(dist2_cols(lcols, rcols))
 
     if algo == "cross":
-        pairs = lp.crossJoin(rp).withColumn("dist", dist)
+        # a cartesian inherits the (often tiny) child partitioning; spread
+        # the left so the pair stream and the per-left window parallelize
+        pairs = _spread(lp).crossJoin(rp).withColumn("dist", dist)
         return _topk(pairs, lid, k, F.col("dist"), rtb)
     if algo == "broadcast":
-        pairs = lp.crossJoin(F.broadcast(rp)).withColumn("dist", dist)
+        pairs = _spread(lp).crossJoin(F.broadcast(rp)).withColumn("dist", dist)
         return _topk(pairs, lid, k, F.col("dist"), rtb)
     if algo != "bounded":
         raise ValueError(f"unknown knn-join algo: {algo}")
@@ -108,8 +110,10 @@ def knn_join(
     # captures >= k real candidates *for the sampled region*. We take a
     # high quantile over a left sample and add margin; exactness never
     # depends on θ (deficient rows fall back), only performance does.
-    rs = [r_[0] for r_ in right.select(F.struct(*[F.col(c).cast("double") for c in right_cols])).sample(False, _frac(right, sample_cap), seed).collect()]
-    ls = [l_[0] for l_ in left.select(F.struct(*[F.col(c).cast("double") for c in left_cols])).sample(False, _frac(left, 2000), seed + 1).collect()]
+    # One TakeOrdered job per side (order by xxhash64 = deterministic
+    # uniform pseudo-sample) — no count jobs, no fraction math.
+    rs = _hash_sample(right, right_cols, sample_cap, salt=seed)
+    ls = _hash_sample(left, left_cols, 2000, salt=seed + 1)
     theta = _estimate_theta(ls, rs, k, margin=theta_margin)
 
     cand = distance_join(
@@ -117,45 +121,65 @@ def knn_join(
         algo="grid", left_prefix="", right_prefix="",
     ).withColumn("dist", dist)
     # single pass: per-left candidate count rides along with the top-k
-    # window, so the candidate join executes exactly once
+    # window, so the candidate join shuffles once (the lid exchange is
+    # shared by every branch below via ReusedExchange)
     order = [F.col("dist").asc()] + ([F.col(rtb).asc()] if rtb else [])
     w = Window.partitionBy(lid).orderBy(*order)
     wall = Window.partitionBy(lid)
     ranked = (
         cand.withColumn("__rn", F.row_number().over(w))
         .withColumn("__cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rn") <= k)
     )
-    got_k = ranked.filter(F.col("__rn") <= k)
+    # three consumers below (ok / deficient / missing) — persist the
+    # top-k'd candidates (≤ |L|·k rows) so the grid join runs once, not
+    # once per branch (candidate gen is the expensive subtree)
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # left rows with >= k candidates within θ are final — no anti-join
+    # needed, the windowed count already excludes deficient rows
+    ok = ranked.filter(F.col("__cnt") >= k).drop("__rn", "__cnt")
 
     # verification: left rows with < k candidates within θ (θ is an
     # estimate — exactness comes from this fallback, not the bound), plus
     # rows with zero candidates (absent from `cand` entirely)
     deficient_ids = (
-        got_k.filter(F.col("__cnt") < k).select(lid).distinct()
+        ranked.filter(F.col("__cnt") < k).select(lid).distinct()
     )
     missing_ids = lp.select(lid).join(
-        got_k.select(lid).distinct(), on=lid, how="left_anti"
+        ranked.select(lid).distinct(), on=lid, how="left_anti"
     )
     retry_ids = deficient_ids.union(missing_ids)
 
     lp_retry = lp.join(F.broadcast(retry_ids), on=lid, how="left_semi")
-    retry_pairs = lp_retry.crossJoin(rp).withColumn("dist", dist)
+    retry_pairs = _spread(lp_retry).crossJoin(rp).withColumn("dist", dist)
     retry_topk = _topk(retry_pairs, lid, k, F.col("dist"), rtb)
 
-    ok = (
-        got_k.drop("__rn", "__cnt")
-        .join(F.broadcast(retry_ids), on=lid, how="left_anti")
-    )
     return ok.unionByName(retry_topk)
 
 
-def _frac(df: DataFrame, cap: int) -> float:
-    """Sampling fraction that lands ~cap rows without a full count —
-    uses a cheap upper-bound count on the key columns only."""
-    n = df.count()  # metadata-only count for parquet sources
-    if n == 0:
-        return 1.0
-    return min(1.0, float(cap) / float(n))
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism —
+    cartesian outputs inherit child partitioning, so a single-file side
+    would serialize the whole pair stream through one task."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n)
+
+
+def _hash_sample(df: DataFrame, cols: Sequence[str], cap: int, salt: int):
+    """~Uniform deterministic sample of the key columns in ONE job:
+    distributed top-`cap` by xxhash64 (TakeOrderedAndProject — partial
+    top-k per partition, no full count, no sort)."""
+    key = F.struct(*[F.col(c).cast("double") for c in cols])
+    rows = (
+        df.select(key.alias("__p"), F.xxhash64(key, F.lit(salt)).alias("__h"))
+        .orderBy("__h")
+        .limit(int(cap))
+        .collect()
+    )
+    return [r["__p"] for r in rows]
 
 
 def _estimate_theta(left_sample, right_sample, k: int, margin: float) -> float:
@@ -213,17 +237,26 @@ def zknn_join(
     k = int(k)
     rng = random.Random(seed)
 
-    # bounding box over both sides + right count (driver-side: 2 rows)
-    lmin = left.agg(*[F.min(c).alias(f"mn{i}") for i, c in enumerate(left_cols)],
-                    *[F.max(c).alias(f"mx{i}") for i, c in enumerate(left_cols)]).collect()[0]
-    rmin = right.agg(*[F.min(c).alias(f"mn{i}") for i, c in enumerate(right_cols)],
-                     *[F.max(c).alias(f"mx{i}") for i, c in enumerate(right_cols)],
-                     F.count(F.lit(1)).alias("n")).collect()[0]
-    mins = [min(lmin[f"mn{i}"], rmin[f"mn{i}"]) for i in range(d)]
-    maxs = [max(lmin[f"mx{i}"], rmin[f"mx{i}"]) for i in range(d)]
+    # bounding box over both sides + right count — ONE driver job over a
+    # tagged union of just the key columns (1 row back)
+    lk = left.select(
+        *[F.col(c).cast("double").alias(f"d{i}") for i, c in enumerate(left_cols)],
+        F.lit(0).alias("__r"),
+    )
+    rk = right.select(
+        *[F.col(c).cast("double").alias(f"d{i}") for i, c in enumerate(right_cols)],
+        F.lit(1).alias("__r"),
+    )
+    stats = lk.unionByName(rk).agg(
+        *[F.min(f"d{i}").alias(f"mn{i}") for i in range(d)],
+        *[F.max(f"d{i}").alias(f"mx{i}") for i in range(d)],
+        F.sum("__r").alias("n"),
+    ).collect()[0]
+    mins = [stats[f"mn{i}"] for i in range(d)]
+    maxs = [stats[f"mx{i}"] for i in range(d)]
     spans = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
     scale = (1 << bits) - 1
-    n_right = int(rmin["n"])
+    n_right = int(stats["n"])
 
     if bucket_bits is None:
         # choose bucket granularity from density: aim for ~8k right rows

@@ -330,6 +330,42 @@ def q_events_agg(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) over the events
+    stream — batch form; the streaming form is
+    simba_spark.streaming.sessionize_stream (applyInPandasWithState).
+    Micros (not nanos): DuckDB timestamps are µs precision, so integer-µs
+    math is the unit both engines agree on exactly."""
+    from simba_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")  # nanos-as-long -> integer micros
+    )
+    out = session_stats(ev, ts_col="ts_us", gap_ns=30 * 60 * 1_000_000)
+    return out.withColumnRenamed("duration", "duration_us")
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join pass-through (inherited join surface, SURVEY §2.3):
+    customers with no URGENT order (non-empty at every sf)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_parts_with_lineitems(spark, sf_dir):
+    """Semi-join pass-through: parts that ship in large quantity."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, how="left_semi"
+    ).select("p_partkey", "p_name")
+
+
 # ---------------------------------------------------------------------------
 # north-star: text analysis
 
@@ -491,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders_per_cust,
         "rollup_lineitem": q_rollup_lineitem,
         "events_agg": q_events_agg,
+        "sessionize": q_sessionize,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_lineitems": q_parts_with_lineitems,
         # text analysis
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -689,6 +728,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus,
+                     LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS prev
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id, tus,
+                     CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS BIGINT) AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event,
+                   max(tus) - min(tus) AS duration_us
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "parts_with_lineitems": """
+            SELECT p_partkey, p_name FROM part p
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45
+            )
         """,
         "doc_token_stats": f"""
             SELECT doc_id, length(text) AS n_chars_calc,

@@ -33,6 +33,7 @@ HEADLINE = [
     "top_orders",
     "nation_volume",
     "window_top_orders",
+    "sessionize",
     "exact_dedup",
     "doc_quality",
     "simhash_pairs",

@@ -6,10 +6,18 @@ Column expressions, they compose with ``readStream`` unchanged; helpers
 here cover the windowed-aggregation patterns a pipeline needs.
 """
 
-from .ops import streaming_circle_range, streaming_range_filter, windowed_event_counts
+from ..operators.sessionize import sessionize_stream
+from .ops import (
+    streaming_circle_range,
+    streaming_distance_join,
+    streaming_range_filter,
+    windowed_event_counts,
+)
 
 __all__ = [
     "streaming_range_filter",
     "streaming_circle_range",
+    "streaming_distance_join",
     "windowed_event_counts",
+    "sessionize_stream",
 ]

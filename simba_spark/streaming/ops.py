@@ -24,6 +24,57 @@ def streaming_circle_range(
     return stream_df.filter(in_circle_range(cols, center, radius))
 
 
+def streaming_distance_join(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    stream_cols: Sequence[str],
+    static_cols: Sequence[str],
+    radius: float,
+    static_prefix: str = "s_",
+) -> DataFrame:
+    """Stream-static distance join: each streaming point joined to every
+    static point within `radius` (closed bound — same contract as the
+    batch grid join, DJSpark semantics).
+
+    Physical shape: the static side is exploded to every grid cell its
+    r-buffer touches (done once, re-used every micro-batch); the stream
+    row computes its single cell — a stream-static equi-join on the cell
+    key, which Spark executes as a broadcast/hash join per batch with no
+    stream-side shuffle. The exact-distance refine runs codegen'd.
+    """
+    r = float(radius)
+    assert r >= 0.0
+    s = 2.0 * r if r > 0 else 1.0
+    d = len(stream_cols)
+    assert d == len(static_cols)
+
+    static_p = static_df.select(
+        [F.col(c).alias(f"{static_prefix}{c}") for c in static_df.columns]
+    )
+    pcols = [f"{static_prefix}{c}" for c in static_cols]
+    lo = [F.floor((F.col(c) - F.lit(r)) / F.lit(s)).cast("long") for c in pcols]
+    hi = [F.floor((F.col(c) + F.lit(r)) / F.lit(s)).cast("long") for c in pcols]
+    sg = static_p
+    for i in range(d):
+        sg = sg.withColumn(f"__c{i}", F.explode(F.sequence(lo[i], hi[i])))
+    sg = sg.withColumn(
+        "__cell", F.struct(*[F.col(f"__c{i}").alias(f"c{i}") for i in range(d)])
+    ).drop(*[f"__c{i}" for i in range(d)])
+
+    cell = F.struct(
+        *[
+            F.floor(F.col(c) / F.lit(s)).cast("long").alias(f"c{i}")
+            for i, c in enumerate(stream_cols)
+        ]
+    )
+    st = stream_df.withColumn("__cell", cell)
+
+    from ..functions import dist2_cols
+
+    pred = dist2_cols(list(stream_cols), pcols) <= F.lit(r * r)
+    return st.join(sg, on="__cell", how="inner").filter(pred).drop("__cell")
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

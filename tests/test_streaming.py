@@ -88,3 +88,110 @@ def test_streaming_windowed_counts(spark, stream_dir):
     # second window: one view, one click
     assert by_key[("2024-01-01 00:05:00", "click")] == (1, 300.0)
     assert by_key[("2024-01-01 00:05:00", "view")] == (1, 50.0)
+
+
+def test_streaming_distance_join_matches_batch(spark, stream_dir):
+    from simba_spark.operators.distance_join import distance_join
+    from simba_spark.streaming import streaming_distance_join
+
+    d, schema = stream_dir
+    static = spark.createDataFrame(
+        [(100, 12.0, 1.0), (200, 210.0, 2.0), (300, 500.0, 9.0)],
+        "poi_id long, px double, py double",
+    )
+    src = spark.readStream.schema(schema).parquet(d)
+    out = streaming_distance_join(
+        src, static, ["value", "user_id"], ["px", "py"], 15.0
+    ).select("event_id", F.col("s_poi_id").alias("poi_id"))
+    got = {(r.event_id, r.poi_id) for r in _run_stream(spark, out, "sdj_out").collect()}
+
+    batch = spark.read.parquet(d)
+    exp = {
+        (r.event_id, r.poi_id)
+        for r in distance_join(
+            batch, static, ["value", "user_id"], ["px", "py"], 15.0, algo="cross"
+        ).select("event_id", "poi_id").collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_batch_sessionize_gap_split(spark):
+    from simba_spark.operators.sessionize import session_stats, sessionize
+
+    GAP = 1800 * 1_000_000_000
+    NS = 1_000_000_000
+    rows = [
+        # user 1: two sessions (gap of 2h between event 2 and 3)
+        (0, 1, 0 * NS), (1, 1, 600 * NS), (2, 1, 1200 * NS),
+        (3, 1, (1200 + 7200) * NS),
+        # user 2: one session, exactly-at-gap boundary stays merged
+        (10, 2, 0 * NS), (11, 2, 1800 * NS),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    s = sessionize(df, gap_ns=GAP)
+    got = {r.event_id: r.session_idx for r in s.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 10: 1, 11: 1}
+
+    stats = {
+        (r.user_id, r.session_idx): (r.n_events, r.first_event, r.last_event)
+        for r in session_stats(df, gap_ns=GAP).collect()
+    }
+    assert stats[(1, 1)] == (3, 0, 2)
+    assert stats[(1, 2)] == (1, 3, 3)
+    assert stats[(2, 1)] == (2, 10, 11)
+
+
+def test_streaming_sessionize_stateful(spark):
+    """applyInPandasWithState sessionization: state carries the open
+    session across micro-batches; a later batch closes it."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.sessionize import sessionize_stream
+
+    NS = 1_000_000_000
+    GAP = 1800 * NS
+    d = tempfile.mkdtemp(prefix="simba_sess_")
+    try:
+        schema = "event_id long, user_id long, ts long"
+        batch1 = spark.createDataFrame(
+            [(0, 1, 0 * NS), (1, 1, 60 * NS), (2, 2, 0 * NS)], schema
+        )
+        batch1.write.mode("overwrite").parquet(d)
+
+        src = spark.readStream.schema(batch1.schema).parquet(d)
+        out = sessionize_stream(src, gap_ns=GAP)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sess_out")
+            .start()
+        )
+        q.processAllAvailable()
+        open1 = {
+            (r.user_id): (r.session_start, r.session_end, r.n_events, r.is_open)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        # both users have one OPEN session after batch 1
+        assert open1[1] == (0, 60 * NS, 2, 1)
+        assert open1[2] == (0, 0, 1, 1)
+
+        # batch 2: user 1 far in the future -> closes the old session
+        batch2 = spark.createDataFrame([(3, 1, 10_000 * NS)], schema)
+        batch2.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+        closed = [
+            r for r in rows if r.user_id == 1 and r.is_open == 0
+        ]
+        assert len(closed) == 1 and (
+            closed[0].session_start, closed[0].session_end, closed[0].n_events
+        ) == (0, 60 * NS, 2)
+        new_open = [
+            r for r in rows
+            if r.user_id == 1 and r.is_open == 1 and r.session_start == 10_000 * NS
+        ]
+        assert len(new_open) == 1 and new_open[0].n_events == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -473,6 +473,17 @@ def q_embedding_ann_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-probed approximate top-k (seeded k-means inverted lists;
+    rows-only check — recall vs exact is asserted in tests)."""
+    from simba_spark.operators.similarity import cosine_topk_ivf
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_topk_ivf(embs, qvec, 10, n_centroids=8, nprobe=4, seed=42)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
 # ---------------------------------------------------------------------------
 # north-star: multimodal
 
@@ -543,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_ann_topk": q_embedding_ann_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         # multimodal
         "blob_stats": q_blob_stats,
         "image_features": q_image_features,

@@ -112,6 +112,105 @@ def cosine_topk_ann(
     )
 
 
+def _kmeans_centroids(vectors, n_centroids: int, iters: int, seed: int):
+    """Driver-side seeded Lloyd k-means over a (small) sample — numpy
+    only, deterministic. Returns (C, d) array."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype="float64")
+    rng = np.random.RandomState(seed)
+    C = min(int(n_centroids), len(X))
+    cent = X[rng.choice(len(X), size=C, replace=False)]
+    for _ in range(int(iters)):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(C):
+            m = X[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    return cent
+
+
+def _centroid_assign_col(vec_col, centroids) -> "Column":
+    """Column: index of the nearest centroid (L2). One constant-size
+    aggregate expression per centroid — C ≲ a few hundred stays well
+    inside codegen limits regardless of dimensionality."""
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    d2s = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d2s.append(
+            F.aggregate(
+                F.zip_with(vc, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    arr = F.array(*d2s)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def build_ivf(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_cap: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """IVF index build: sample → driver k-means → assign every row its
+    inverted-list id (`__ivf`). At scale, repartition/persist (or write
+    bucketed parquet) on `__ivf` so a probe scans only its lists.
+    Returns (assigned_df, centroids)."""
+    sample = [
+        r[0]
+        for r in df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)))
+        .limit(int(sample_cap))
+        .collect()
+    ]
+    cent = _kmeans_centroids(sample, n_centroids, iters, seed)
+    return df.withColumn("__ivf", _centroid_assign_col(vec_col, cent)), cent
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_cap: int = 2000,
+    seed: int = 42,
+    assigned: Optional[DataFrame] = None,
+    centroids=None,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only rows whose inverted list is
+    one of the query's `nprobe` nearest centroids. Pass (assigned,
+    centroids) from :func:`build_ivf` to amortize the build across
+    queries — the scale path for repeated search over a static corpus."""
+    import numpy as np
+
+    if assigned is None or centroids is None:
+        assigned, centroids = build_ivf(
+            df, vec_col, n_centroids=n_centroids, sample_cap=sample_cap, seed=seed
+        )
+    qv = np.asarray(query_vec, dtype="float64")
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[: int(nprobe)]]
+
+    q = _query_lit(query_vec)
+    sim = F.round(cosine_similarity(F.col(vec_col), q), 6)
+    return (
+        assigned.filter(F.col("__ivf").isin(probes))
+        .withColumn("cosine_sim", sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__ivf")
+    )
+
+
 def knn_join_vectors(
     df: DataFrame,
     k: int,

@@ -267,3 +267,41 @@ def test_sample_frames_fake(docs):
     rows = sample_frames(blobs, every_n=10).collect()
     assert len(rows) >= 5 * 3
     assert all(r.frame_idx % 10 == 0 for r in rows)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-probed approximate top-k: recall@10 vs the exact scan must be
+    high with a healthy nprobe; the probe must scan only a subset."""
+    from simba_spark.operators.similarity import build_ivf, cosine_topk, cosine_topk_ivf
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(x) for x in embs.filter("vec_id = 7").first()["embedding"]]
+    exact = [r.vec_id for r in cosine_topk(embs, qvec, 10).collect()]
+
+    assigned, cents = build_ivf(embs, n_centroids=8, seed=42)
+    got = [
+        r.vec_id
+        for r in cosine_topk_ivf(
+            embs, qvec, 10, nprobe=4, assigned=assigned, centroids=cents
+        ).collect()
+    ]
+    recall = len(set(exact) & set(got)) / 10.0
+    assert recall >= 0.7, f"recall {recall}"
+    # the probe really prunes: scanned subset < full corpus
+    scanned = assigned.filter("__ivf IS NOT NULL").count()
+    probed = assigned.filter(F.col("__ivf").isin([0, 1, 2, 3, 4, 5, 6, 7])).count()
+    assert scanned == probed  # all rows assigned
+    one = assigned.filter(F.col("__ivf") == 0).count()
+    assert 0 < one < scanned
+
+
+def test_ivf_assignment_deterministic(spark):
+    from simba_spark.operators.similarity import build_ivf
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, c1 = build_ivf(embs, n_centroids=4, seed=7)
+    a2, c2 = build_ivf(embs, n_centroids=4, seed=7)
+    assert (c1 == c2).all()
+    m1 = {r["vec_id"]: r["__ivf"] for r in a1.select("vec_id", "__ivf").collect()}
+    m2 = {r["vec_id"]: r["__ivf"] for r in a2.select("vec_id", "__ivf").collect()}
+    assert m1 == m2

@@ -463,6 +463,18 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return out.select("a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Exact near-dup clustering: cosine>=0.42 pairs (blocked to
+    vec_id%5==0 like embedding_dup_pairs) → connected components →
+    (id, component). The iterative min-label propagation is mirrored by
+    a recursive CTE in DuckDB — a full oracle for an iterative op."""
+    from simba_spark.operators.dedup import connected_components, embedding_dup_pairs
+
+    embs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    pairs = embedding_dup_pairs(embs, threshold=0.25, n_planes=0)
+    return connected_components(pairs).select("id", "component")
+
+
 def q_embedding_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (seeded; rows-only check)."""
     from simba_spark.operators.similarity import cosine_topk_ann
@@ -553,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "dedup_components": q_dedup_components,
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         # multimodal
@@ -839,6 +852,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42
+        """,
+        "dedup_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6) >= 0.25
+            ), edges AS (
+              SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION SELECT b_id, a_id FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS id FROM edges
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            )
+            SELECT id, min(r) AS component FROM reach GROUP BY id
         """,
         "blob_stats": """
             SELECT doc_id, octet_length(encode(text)) AS byte_size,

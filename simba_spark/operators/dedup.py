@@ -142,6 +142,82 @@ def minhash_lsh_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list — exact
+    transitive closure of near-duplicate clusters. Returns
+    (id, component) where component = min id reachable.
+
+    Algorithm: distributed min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels; converged
+    when nothing changes. Rounds = graph diameter — near-dup clusters
+    are small/dense, so this terminates in a handful of rounds.
+
+    Scale design: per round one equi-join edges⋈labels + one groupBy —
+    both shuffle on node id, so AQE can reuse partitioning; labels are
+    localCheckpoint'd each round to truncate lineage (no
+    exponentially-growing plan); convergence check is a count (1 long
+    to the driver). No adjacency ever collects.
+    """
+    # symmetric edge list + self-loops keep isolated direction info
+    e = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+
+    for _ in range(int(max_iter)):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.src, how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Exact cluster dedup: keep the min-id representative of every
+    connected near-dup cluster (transitively closed — unlike the
+    one-sweep policy, a chain a~b~c keeps only a)."""
+    comp = connected_components(pairs, a_col, b_col)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

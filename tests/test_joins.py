@@ -140,3 +140,62 @@ def test_zknn_join_deterministic(pair_dfs):
         .select("l_id", "r_id").collect()
     )
     assert r1 == r2
+
+
+def test_distance_join_3d_matches_brute_force(spark):
+    """N-dimensional parity: the reference Point is arbitrary-dim
+    (ref: Point.scala:28-29); the grid join must work beyond 2-D."""
+    import random
+
+    from simba_spark.operators.distance_join import distance_join
+
+    rnd = random.Random(5)
+    a = spark.createDataFrame(
+        [(i, rnd.uniform(0, 10), rnd.uniform(0, 10), rnd.uniform(0, 10)) for i in range(80)],
+        "aid long, x double, y double, z double",
+    )
+    b = spark.createDataFrame(
+        [(i, rnd.uniform(0, 10), rnd.uniform(0, 10), rnd.uniform(0, 10)) for i in range(60)],
+        "bid long, x double, y double, z double",
+    )
+    grid = {
+        (r.a_aid, r.b_bid)
+        for r in distance_join(
+            a, b, ["x", "y", "z"], ["x", "y", "z"], 2.0,
+            algo="grid", left_prefix="a_", right_prefix="b_",
+        ).collect()
+    }
+    cross = {
+        (r.a_aid, r.b_bid)
+        for r in distance_join(
+            a, b, ["x", "y", "z"], ["x", "y", "z"], 2.0,
+            algo="cross", left_prefix="a_", right_prefix="b_",
+        ).collect()
+    }
+    assert grid == cross and len(cross) > 0
+
+
+def test_knn_join_4d_matches_cross(spark):
+    import random
+
+    from simba_spark.operators.knn_join import knn_join
+
+    rnd = random.Random(9)
+    mk = lambda n, pre: [
+        (i, rnd.uniform(0, 5), rnd.uniform(0, 5), rnd.uniform(0, 5), rnd.uniform(0, 5))
+        for i in range(n)
+    ]
+    a = spark.createDataFrame(mk(40, "a"), "aid long, p double, q double, r double, s double")
+    b = spark.createDataFrame(mk(70, "b"), "bid long, p double, q double, r double, s double")
+    cols = ["p", "q", "r", "s"]
+    bounded = {
+        (r.l_aid, r.r_bid)
+        for r in knn_join(a, b, cols, cols, 3, left_id="aid", algo="bounded",
+                          right_tiebreak="bid").collect()
+    }
+    cross = {
+        (r.l_aid, r.r_bid)
+        for r in knn_join(a, b, cols, cols, 3, left_id="aid", algo="cross",
+                          right_tiebreak="bid").collect()
+    }
+    assert bounded == cross and len(cross) == 40 * 3

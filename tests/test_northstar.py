@@ -305,3 +305,31 @@ def test_ivf_assignment_deterministic(spark):
     m1 = {r["vec_id"]: r["__ivf"] for r in a1.select("vec_id", "__ivf").collect()}
     m2 = {r["vec_id"]: r["__ivf"] for r in a2.select("vec_id", "__ivf").collect()}
     assert m1 == m2
+
+
+def test_connected_components_transitive_chain(spark):
+    """A near-dup chain 0~1~2~3~4 (plus an isolated pair 10~11) must
+    collapse to components {0,...} and {10, 11} exactly."""
+    from simba_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    from simba_spark.operators.dedup import dedup_by_components, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = [
+        (0, base),
+        (1, base.replace("today", "tonight")),          # near 0
+        (2, base.replace("quick", "swift")),            # near 0 (and 1 transitively)
+        (3, "entirely different text about columnar query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, num_hashes=32, bands=16, jaccard_threshold=0.5)
+    kept = sorted(r.doc_id for r in dedup_by_components(df, pairs).collect())
+    assert kept == [0, 3]

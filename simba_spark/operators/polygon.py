@@ -94,6 +94,47 @@ def in_polygon_sql(
     )
 
 
+def in_polygon_col(xcol, ycol, poly_col, eps: float = 1e-12) -> Column:
+    """Closed point-in-polygon where the polygon is a COLUMN
+    (`array<struct<x:double,y:double>>`) — arbitrary per-row polygons.
+
+    Same even-odd + on-edge contract as :func:`in_polygon`, but built
+    from higher-order array functions (zip_with over the vertex ring +
+    aggregate) so the expression is constant-size in the vertex count
+    and runs JVM-side — the reference needed a JTS object per row
+    (ref: Polygon.scala:32); we never leave codegen.
+    """
+    x = F.col(xcol) if isinstance(xcol, str) else xcol
+    y = F.col(ycol) if isinstance(ycol, str) else ycol
+    p = F.col(poly_col) if isinstance(poly_col, str) else poly_col
+    # edge list = ring zip: (v_i, v_{i+1 mod n})
+    rot = F.concat(F.slice(p, 2, F.size(p) - 1), F.slice(p, 1, 1))
+    edges = F.zip_with(p, rot, lambda a, b: F.struct(a.alias("p"), b.alias("q")))
+
+    def edge_crossing(acc, e):
+        x1, y1 = e["p"]["x"], e["p"]["y"]
+        x2, y2 = e["q"]["x"], e["q"]["y"]
+        straddles = (y1 > y) != (y2 > y)
+        # guarded by `straddles` (horizontal edges can't straddle), so a
+        # 0/0 NaN here never selects the branch
+        xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        return acc + F.when(straddles & (x < xin), 1).otherwise(0)
+
+    def edge_touch(acc, e):
+        x1, y1 = e["p"]["x"], e["p"]["y"]
+        x2, y2 = e["q"]["x"], e["q"]["y"]
+        cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        bbox = (
+            (x >= F.least(x1, x2)) & (x <= F.greatest(x1, x2))
+            & (y >= F.least(y1, y2)) & (y <= F.greatest(y1, y2))
+        )
+        return acc | ((F.abs(cross) <= F.lit(eps)) & bbox)
+
+    crossings = F.aggregate(edges, F.lit(0), edge_crossing)
+    on_edge = F.aggregate(edges, F.lit(False), edge_touch)
+    return (crossings % 2 == 1) | on_edge
+
+
 def polygon_range(
     df: DataFrame, cols: Sequence[str], vertices, registry=None
 ) -> DataFrame:

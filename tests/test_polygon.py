@@ -53,3 +53,47 @@ def test_polygon_sql_mirror_matches(spark):
         ).collect()
     )
     assert got_col == got_sql
+
+
+def test_in_polygon_col_per_row_polygons(spark):
+    """Polygon-as-data: each row carries its own polygon column; the
+    higher-order-function predicate must agree with the driver-side
+    geometry module on interior, exterior, and boundary points."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.geometry import Polygon
+    from simba_spark.operators.polygon import in_polygon_col
+
+    tri = [(0.0, 0.0), (4.0, 0.0), (2.0, 4.0)]          # triangle
+    sq = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]  # unit-ish square
+    cases = [
+        # (pid, px, py, polygon)
+        (0, 2.0, 1.0, tri),    # inside triangle
+        (1, 2.0, 4.0, tri),    # apex vertex (boundary)
+        (2, 5.0, 5.0, tri),    # outside
+        (3, 1.0, 0.0, sq),     # on bottom edge
+        (4, 1.0, 1.0, sq),     # inside square
+        (5, 3.0, 1.0, sq),     # outside square
+    ]
+    rows = [
+        (pid, px, py, [{"x": float(vx), "y": float(vy)} for vx, vy in poly])
+        for pid, px, py, poly in cases
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pid long, px double, py double, "
+        "poly array<struct<x: double, y: double>>",
+    )
+    got = {
+        r.pid: r.hit
+        for r in df.withColumn(
+            "hit", in_polygon_col("px", "py", "poly")
+        ).collect()
+    }
+    exp = {
+        pid: Polygon([(vx, vy) for vx, vy in poly]).contains((px, py))
+        for pid, px, py, poly in cases
+    }
+    assert got == exp
+    assert got[0] and got[1] and got[3] and got[4]
+    assert not got[2] and not got[5]

@@ -10,6 +10,7 @@ from ..operators.sessionize import sessionize_stream
 from .ops import (
     streaming_circle_range,
     streaming_distance_join,
+    streaming_exact_dedup,
     streaming_range_filter,
     windowed_event_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_range_filter",
     "streaming_circle_range",
     "streaming_distance_join",
+    "streaming_exact_dedup",
     "windowed_event_counts",
     "sessionize_stream",
 ]

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -22,6 +22,31 @@ def streaming_circle_range(
     stream_df: DataFrame, cols: Sequence, center, radius: float
 ) -> DataFrame:
     return stream_df.filter(in_circle_range(cols, center, radius))
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose normalized-text
+    fingerprint was already seen. With `ts_col`, the dedup state is
+    bounded by the watermark (`dropDuplicatesWithinWatermark`) — the
+    production shape for unbounded ingest; without it, state grows with
+    distinct keys (only for bounded backfills).
+
+    Same fingerprint as the batch `dedup.exact_dedup`, so a backfill and
+    the live stream agree on what is a duplicate.
+    """
+    from ..operators.text import fingerprint
+
+    with_fp = fingerprint(stream_df, text_col, "__fp")
+    if ts_col is not None:
+        return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__fp"]
+        ).drop("__fp")
+    return with_fp.dropDuplicates(["__fp"]).drop("__fp")
 
 
 def streaming_distance_join(

@@ -195,3 +195,42 @@ def test_streaming_sessionize_stateful(spark):
         assert len(new_open) == 1 and new_open[0].n_events == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_exact_dedup(spark):
+    """Duplicate texts (modulo whitespace/case) are dropped across the
+    whole stream; distinct texts survive."""
+    import shutil
+    import tempfile
+
+    from simba_spark.streaming import streaming_exact_dedup
+
+    d = tempfile.mkdtemp(prefix="simba_sdedup_")
+    try:
+        df = spark.createDataFrame(
+            [
+                (0, "Hello  World"),
+                (1, "hello world"),        # dup of 0 after normalization
+                (2, "something else"),
+                (3, "Hello World "),       # dup again
+            ],
+            "doc_id long, text string",
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        out = streaming_exact_dedup(src)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sdedup_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM sdedup_out").collect()
+        texts = sorted(r.text.lower().strip().replace("  ", " ") for r in rows)
+        assert len(rows) == 2
+        assert texts == ["hello world", "something else"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -522,6 +522,15 @@ def q_image_features(spark, sf_dir):
     return decode_image_features(blobs, mode="fake")
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio-feature extraction plumbing (codec stubbed; rows-only)."""
+    from simba_spark.operators.multimodal import attach_blob, extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = attach_blob(docs, "text")
+    return extract_audio_features(blobs, mode="fake")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -571,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "blob_stats": q_blob_stats,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
     }
 
 

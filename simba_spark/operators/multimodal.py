@@ -96,6 +96,84 @@ def decode_image_features(
     return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
 
 
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    mode: str = "fake",
+) -> DataFrame:
+    """Resize stub: emits (id, resized_blob, width, height). The fake
+    mode re-hashes the payload with the target box (deterministic bytes
+    of plausible size); ``mode='real'`` is the PIL/opencv integration
+    point. The Spark-side shape — binary in, binary out through Arrow
+    batches — is the real contract a codec implementation inherits."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {mode}")
+    schema = f"{id_col} long, resized_blob binary, width int, height int"
+    tw, th = int(target_w), int(target_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError(
+                    "real resize requires PIL/opencv — not in this "
+                    "container; plug the codec in here"
+                )
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[blob_col]):
+                seed = hashlib.md5(
+                    (payload or b"") + tw.to_bytes(4, "big") + th.to_bytes(4, "big")
+                ).digest()
+                # deterministic pseudo-pixels, ~3 bytes/pixel capped
+                body = (seed * (1 + (tw * th * 3) // len(seed)))[: tw * th * 3]
+                rows.append((rid, bytearray(body), tw, th))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "resized_blob", "width", "height"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    mode: str = "fake",
+) -> DataFrame:
+    """Audio feature stub: (id, duration_s, sample_rate, rms). Fake
+    derives stable values from the content hash; ``mode='real'`` is the
+    soundfile/ffmpeg integration point."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {mode}")
+    schema = f"{id_col} long, duration_s double, sample_rate int, rms double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffmpeg — not in "
+                    "this container; plug the decoder in here"
+                )
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[blob_col]):
+                h = hashlib.md5(payload or b"").digest()
+                rows.append(
+                    (
+                        rid,
+                        round(1.0 + h[5] / 8.0, 3),
+                        (8000, 16000, 44100, 48000)[h[6] % 4],
+                        round(h[7] / 255.0, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "duration_s", "sample_rate", "rms"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+
+
 def sample_frames(
     df: DataFrame,
     blob_col: str = "blob",

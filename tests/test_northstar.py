@@ -333,3 +333,39 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
     pairs = minhash_lsh_pairs(df, num_hashes=32, bands=16, jaccard_threshold=0.5)
     kept = sorted(r.doc_id for r in dedup_by_components(df, pairs).collect())
     assert kept == [0, 3]
+
+
+def test_resize_and_audio_stubs_plumbing(spark):
+    """Multimodal plumbing: binary-in/binary-out resize and audio
+    feature extraction through Arrow batches — deterministic fakes, real
+    schemas and batch shapes; 'real' mode raises at the codec seam."""
+    import pytest as _pytest
+
+    from simba_spark.operators.multimodal import (
+        attach_blob,
+        extract_audio_features,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb"), (2, "ccc")], "doc_id long, text string"
+    )
+    blobs = attach_blob(docs, "text")
+
+    rs = resize_images(blobs, 8, 6).collect()
+    assert len(rs) == 3
+    for r in rs:
+        assert (r.width, r.height) == (8, 6)
+        assert len(r.resized_blob) == 8 * 6 * 3
+    # deterministic across runs
+    rs2 = resize_images(blobs, 8, 6).collect()
+    assert {r.doc_id: bytes(r.resized_blob) for r in rs} == {
+        r.doc_id: bytes(r.resized_blob) for r in rs2
+    }
+
+    au = {r.doc_id: (r.duration_s, r.sample_rate, r.rms) for r in extract_audio_features(blobs).collect()}
+    assert len(au) == 3
+    assert all(sr in (8000, 16000, 44100, 48000) for _, sr, _ in au.values())
+
+    with _pytest.raises(Exception):
+        resize_images(blobs, 8, 6, mode="real").collect()

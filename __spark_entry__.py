@@ -168,6 +168,19 @@ def q_layout_routed_range(spark, sf_dir):
     return out
 
 
+def q_layout_routed_knn(spark, sf_dir):
+    """Same result as q_knn but through the z-order layout's two-phase
+    bound-and-prune (ref: IndexedRelationScan.scala:117-151 analog)."""
+    from simba_spark.context import SimbaContext
+
+    ctx = SimbaContext(spark)
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    lay = ctx.create_index(ev, ["value", "uid"], "ev_knn_idx", kind="zorder")
+    return ctx.knn(lay.data, ["value", "uid"], _KNN_Q, _KNN_K, tiebreak="event_id").select(
+        "event_id", "user_id", "value"
+    )
+
+
 def q_interval_1d(spark, sf_dir):
     """1-D interval scan through a range layout (TreeMap/Treap analog,
     ref: TreeMapIndexedRelation.scala:41-60), closed bounds."""
@@ -546,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_not_filter": q_knn_not_filter,
         "polygon_range": q_polygon_range,
         "layout_routed_range": q_layout_routed_range,
+        "layout_routed_knn": q_layout_routed_knn,
         "interval_1d": q_interval_1d,
         # spatial joins
         "distance_join": q_distance_join,
@@ -684,6 +698,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "layout_routed_range": f"""
             SELECT event_id, user_id, value, event_type FROM events WHERE {box}
+        """,
+        "layout_routed_knn": f"""
+            SELECT event_id, user_id, value FROM events
+            ORDER BY {d2_knn} ASC, event_id ASC LIMIT {_KNN_K}
         """,
         "interval_1d": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -83,18 +83,80 @@ def knn(
     SURVEY §1.5). For deterministic, oracle-hashable output we expose an
     optional `tiebreak` column (usually the table's id) appended to the
     ordering. Output schema == input schema (distance column is internal).
+
+    With a registered layout the two-phase bound-and-prune of the
+    reference's indexed scan (ref: IndexedRelationScan.scala:117-151)
+    runs instead: phase 1 answers kNN over the smallest partition prefix
+    (by bounds-box min-dist) holding >= k rows, its kth distance θ then
+    prunes the final scan to partitions with minDist(q, bounds) <= θ.
+    Only k distances ever reach the driver; at 10k partitions the final
+    scan touches a handful instead of all.
     """
+    lay = registry.layout_for(df) if registry is not None else None
+    if lay is not None and list(cols) == lay.cols and lay.bounds:
+        return _knn_via_layout(df, lay, cols, query_point, k, tiebreak)
+    return _knn_scan(df, cols, query_point, k, tiebreak)
+
+
+def _knn_scan(df, cols, query_point, k, tiebreak):
     d2 = dist2(cols, query_point).alias("__simba_d2")
     order = [F.col("__simba_d2").asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
-    out = (
+    return (
         df.withColumn("__simba_d2", d2)
         .orderBy(*order)
         .limit(int(k))
         .drop("__simba_d2")
     )
-    return out
+
+
+def _bounds_mindist2(bounds_row, cols, q):
+    """Squared min distance from q to a partition's bounds box — 0 if q
+    is inside (driver-side analog of MBR.minDist, ref: MBR.scala:78-89)."""
+    s = 0.0
+    for i in range(len(cols)):
+        lo, hi = bounds_row.get(f"min_{i}"), bounds_row.get(f"max_{i}")
+        if lo is None or hi is None:
+            return float("inf")
+        d = max(float(lo) - q[i], 0.0, q[i] - float(hi))
+        s += d * d
+    return s
+
+
+def _knn_via_layout(df, lay, cols, query_point, k, tiebreak):
+    q = [float(x) for x in query_point]
+    k = int(k)
+    ranked = sorted(lay.bounds, key=lambda b: _bounds_mindist2(b, cols, q))
+
+    # phase 1: smallest bounds-ordered prefix holding >= k rows
+    sel, acc = [], 0
+    for b in ranked:
+        sel.append(b)
+        acc += int(b["count"])
+        if acc >= k:
+            break
+    if acc < k or len(sel) == len(ranked):
+        return _knn_scan(df, cols, query_point, k, tiebreak)  # tiny table
+    phase1 = _knn_scan(
+        df.filter(F.spark_partition_id().isin([b["pid"] for b in sel])),
+        cols, q, k, tiebreak,
+    )
+    # θ = kth distance of phase 1 (exactly k scalars to the driver — the
+    # same driver traffic as the reference's takeOrdered merge)
+    d2_rows = phase1.select(dist2(cols, q).alias("d2")).collect()
+    theta2 = max(r["d2"] for r in d2_rows)
+
+    # phase 2: any partition whose box could hold a closer-or-tied point
+    final_pids = [
+        b["pid"] for b in ranked if _bounds_mindist2(b, cols, q) <= theta2
+    ]
+    if set(final_pids) == {b["pid"] for b in sel}:
+        return phase1
+    return _knn_scan(
+        df.filter(F.spark_partition_id().isin(final_pids)),
+        cols, q, k, tiebreak,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -71,3 +71,60 @@ def test_layout_ddl_surface(lctx, points_df):
     assert any(i["name"] == "ddl_idx" and i["kind"] == "range" for i in info)
     assert lctx.drop_index("ddl_idx")
     assert not lctx.drop_index("ddl_idx")
+
+
+def test_layout_routed_knn_equals_naive(spark):
+    """Two-phase bound-and-prune kNN through a z-order layout must
+    return exactly the naive top-k, for query points inside and far
+    outside the data's bounding box."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.context import SimbaContext
+    from simba_spark.operators.filters import knn
+
+    ctx = SimbaContext(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
+        "uid", F.col("user_id").cast("double")
+    )
+    lay = ctx.create_index(ev, ["value", "uid"], "ev_knn_idx", kind="zorder")
+    try:
+        for q, k in [((123.0, 45.0), 25), ((0.0, 0.0), 5), ((1e6, -50.0), 7)]:
+            naive = [
+                r.event_id
+                for r in knn(ev, ["value", "uid"], q, k, tiebreak="event_id").collect()
+            ]
+            routed = [
+                r.event_id
+                for r in ctx.knn(lay.data, ["value", "uid"], q, k, tiebreak="event_id").collect()
+            ]
+            assert routed == naive, (q, k)
+    finally:
+        ctx.drop_index("ev_knn_idx")
+
+
+def test_layout_knn_prunes_partitions(spark):
+    """The θ-bound phase-2 partition set must be a strict subset on
+    clustered data (the point of the layout)."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.context import SimbaContext
+    from simba_spark.operators.filters import _bounds_mindist2
+
+    ctx = SimbaContext(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
+        "uid", F.col("user_id").cast("double")
+    )
+    lay = ctx.create_index(ev, ["value", "uid"], "ev_prune_idx", kind="zorder")
+    try:
+        q = [123.0, 45.0]
+        ranked = sorted(
+            lay.bounds, key=lambda b: _bounds_mindist2(b, ["value", "uid"], q)
+        )
+        assert len(ranked) > 4
+        # nearest partition contains the point (mindist 0), farthest doesn't
+        assert _bounds_mindist2(ranked[0], ["value", "uid"], q) == 0.0
+        assert _bounds_mindist2(ranked[-1], ["value", "uid"], q) > 0.0
+    finally:
+        ctx.drop_index("ev_prune_idx")

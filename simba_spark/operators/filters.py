@@ -93,8 +93,14 @@ def knn(
     scan touches a handful instead of all.
     """
     lay = registry.layout_for(df) if registry is not None else None
-    if lay is not None and list(cols) == lay.cols and lay.bounds:
-        return _knn_via_layout(df, lay, cols, query_point, k, tiebreak)
+    if (
+        lay is not None
+        and lay.kind == "zorder"
+        and list(cols) == lay.cols
+        and lay.bounds
+        and lay.bits > 0
+    ):
+        return _knn_via_layout(lay, cols, query_point, k, tiebreak)
     return _knn_scan(df, cols, query_point, k, tiebreak)
 
 
@@ -124,12 +130,23 @@ def _bounds_mindist2(bounds_row, cols, q):
     return s
 
 
-def _knn_via_layout(df, lay, cols, query_point, k, tiebreak):
+def _knn_via_layout(lay, cols, query_point, k, tiebreak):
+    """Two-phase bound-and-prune over a z-order layout
+    (ref: IndexedRelationScan.scala:117-151), with pruning expressed as
+    sargable z-interval predicates (plus bucket-directory pruning for
+    persisted layouts) so the skipped buckets cost no I/O — not a
+    row filter over a full scan.
+
+    Phase 1: kNN over the smallest bounds-ordered bucket prefix holding
+    >= k rows (any >=k-row subset yields a valid upper bound θ).
+    Phase 2: exact kNN over the z-cover of the ball box [q-θ, q+θ] —
+    every true neighbor has dist <= θ, hence lies inside the cover.
+    Only k distances ever reach the driver."""
     q = [float(x) for x in query_point]
     k = int(k)
     ranked = sorted(lay.bounds, key=lambda b: _bounds_mindist2(b, cols, q))
 
-    # phase 1: smallest bounds-ordered prefix holding >= k rows
+    # phase 1: smallest bounds-ordered bucket prefix holding >= k rows
     sel, acc = [], 0
     for b in ranked:
         sel.append(b)
@@ -137,26 +154,30 @@ def _knn_via_layout(df, lay, cols, query_point, k, tiebreak):
         if acc >= k:
             break
     if acc < k or len(sel) == len(ranked):
-        return _knn_scan(df, cols, query_point, k, tiebreak)  # tiny table
+        return _knn_scan(lay.pruned_scan(None), cols, q, k, tiebreak)  # tiny table
+    sel_zbs = [int(b["zb"]) for b in sel]
     phase1 = _knn_scan(
-        df.filter(F.spark_partition_id().isin([b["pid"] for b in sel])),
-        cols, q, k, tiebreak,
+        lay.pruned_scan(lay.z_ranges_for_buckets(sel_zbs)), cols, q, k, tiebreak
     )
     # θ = kth distance of phase 1 (exactly k scalars to the driver — the
     # same driver traffic as the reference's takeOrdered merge)
     d2_rows = phase1.select(dist2(cols, q).alias("d2")).collect()
     theta2 = max(r["d2"] for r in d2_rows)
+    theta = theta2 ** 0.5
 
-    # phase 2: any partition whose box could hold a closer-or-tied point
-    final_pids = [
-        b["pid"] for b in ranked if _bounds_mindist2(b, cols, q) <= theta2
-    ]
-    if set(final_pids) == {b["pid"] for b in sel}:
-        return phase1
-    return _knn_scan(
-        df.filter(F.spark_partition_id().isin(final_pids)),
-        cols, q, k, tiebreak,
+    # phase 2: if no other bucket's box can hold a closer-or-tied point,
+    # phase 1 is final; else rescan the ball box via its z-cover
+    others_reach = any(
+        _bounds_mindist2(b, cols, q) <= theta2
+        for b in ranked
+        if int(b["zb"]) not in set(sel_zbs)
     )
+    if not others_reach:
+        return phase1
+    ball_lo = [c - theta for c in q]
+    ball_hi = [c + theta for c in q]
+    ranges = lay.z_ranges_for_box(ball_lo, ball_hi)
+    return _knn_scan(lay.pruned_scan(ranges), cols, q, k, tiebreak)
 
 
 # ---------------------------------------------------------------------------

@@ -13,10 +13,11 @@ Our router:
 - ``cross``   (CKJSpark parity): crossJoin + window row_number <= k.
   The oracle algorithm; O(|L|·|R|) pairs.
 - ``bounded`` (default; RKJSpark analog): candidate pairs from a grid
-  distance-join with radius θ estimated from a broadcast sample of the
-  right side, then window top-k; left rows with fewer than k candidates
-  (θ too small — possible since the estimate is sample-based) are
-  re-joined via the exact cross path. The union is exact — same
+  distance-join with radius θ estimated from a driver-side sample, then
+  window top-k; left rows with fewer than k candidates (θ too small —
+  possible since the estimate is sample-based) escalate through a
+  θ×4 grid retry and only then a cross join bounded to the remaining
+  rows (warned above `cross_warn_rows`). The union is exact — same
   no-false-dismissal guarantee as RKJSpark's θ bound
   (ref: RKJSpark.scala:105-110), enforced by verification instead of a
   worst-case bound, which keeps θ (and the shuffle volume) tight.
@@ -74,6 +75,7 @@ def knn_join(
     sample_cap: int = 20000,
     seed: int = 42,
     theta_margin: float = 1.25,
+    cross_warn_rows: int = 100_000,
 ) -> DataFrame:
     """For each left row, exactly-k nearest right rows by L2 distance.
 
@@ -115,49 +117,93 @@ def knn_join(
     rs = _hash_sample(right, right_cols, sample_cap, salt=seed)
     ls = _hash_sample(left, left_cols, 2000, salt=seed + 1)
     theta = _estimate_theta(ls, rs, k, margin=theta_margin)
+    if not math.isfinite(theta):
+        # degenerate inputs (an empty side) — candidate generation has
+        # nothing to bound; the cross path settles it
+        pairs = _spread(lp).crossJoin(rp).withColumn("dist", dist)
+        return _topk(pairs, lid, k, F.col("dist"), rtb)
 
+    # if a left row has >= k candidates within θ, its true kth-NN dist
+    # <= θ, and the grid join is exhaustive within θ — so the windowed
+    # top-k over its candidates IS its exact answer. Rows below k
+    # candidates escalate: θ×4 grid retry, then (rarely) a bounded
+    # cross join. Same no-false-dismissal guarantee as RKJSpark's θ
+    # bound (ref: RKJSpark.scala:105-141), enforced per-row.
+    ok1, retry_ids = _bounded_round(lp, rp, lcols, rcols, theta, k, lid, dist, rtb)
+    # deficient set size check with early stop: take() short-circuits the
+    # scan at small_cap+1 rows (the common cases are 0 or a handful)
+    small_cap = 1024
+    head = retry_ids.take(small_cap + 1)
+    if len(head) == 0:
+        return ok1
+    if len(head) <= small_cap:
+        # bounded cross join directly — |deficient|·|R| pairs with
+        # |deficient| <= 1024; cheaper than spinning up a second grid
+        # round's shuffles for a handful of rows
+        ids = [r[0] for r in head]
+        lp2 = lp.filter(F.col(lid).isin(ids))
+        retry_pairs = _spread(lp2).crossJoin(rp).withColumn("dist", dist)
+        retry_topk = _topk(retry_pairs, lid, k, F.col("dist"), rtb)
+        return ok1.unionByName(retry_topk)
+
+    # escalation 1: widened-θ grid join over the deficient rows only.
+    # Shuffle/AQE semi-join (NOT a forced broadcast — the deficient set
+    # is unbounded when θ under-samples a skewed region; AQE picks
+    # broadcast iff it actually fits).
+    lp_retry = lp.join(retry_ids, on=lid, how="left_semi")
+    ok2, retry2_ids = _bounded_round(
+        lp_retry, rp, lcols, rcols, theta * 4.0, k, lid, dist, rtb
+    )
+    n_retry2 = retry2_ids.count()
+    result = ok1.unionByName(ok2)
+    if n_retry2 == 0:
+        return result
+
+    # escalation 2: exact cross join, bounded to the doubly-deficient
+    # rows. Never the default path; loudly flagged when it is large.
+    if n_retry2 > cross_warn_rows:
+        import warnings
+
+        warnings.warn(
+            f"knn_join: {n_retry2} left rows still deficient after θ×4 "
+            f"retry — falling back to a {n_retry2}×|right| cross join; "
+            "consider a larger sample_cap/theta_margin",
+            RuntimeWarning,
+        )
+    lp2 = lp.join(retry2_ids, on=lid, how="left_semi")
+    retry_pairs = _spread(lp2).crossJoin(rp).withColumn("dist", dist)
+    retry_topk = _topk(retry_pairs, lid, k, F.col("dist"), rtb)
+    return result.unionByName(retry_topk)
+
+
+def _bounded_round(lp, rp, lcols, rcols, theta, k, lid, dist, rtb):
+    """One θ-bounded candidate round: grid distance join, per-left top-k
+    window with a candidate count riding along (single shuffle on lid),
+    then split into exact rows (>= k candidates) and deficient ids.
+
+    The ranked candidates (≤ |L|·k rows after the window filter) are
+    localCheckpoint'ed: materialized once for the two consumers, lineage
+    truncated so downstream plans stay small, and the blocks are freed by
+    Spark's ContextCleaner when the result DataFrame is dropped — unlike
+    a persist() that outlives the call."""
     cand = distance_join(
         lp, rp, lcols, rcols, theta,
         algo="grid", left_prefix="", right_prefix="",
     ).withColumn("dist", dist)
-    # single pass: per-left candidate count rides along with the top-k
-    # window, so the candidate join shuffles once (the lid exchange is
-    # shared by every branch below via ReusedExchange)
     order = [F.col("dist").asc()] + ([F.col(rtb).asc()] if rtb else [])
     w = Window.partitionBy(lid).orderBy(*order)
     wall = Window.partitionBy(lid)
     ranked = (
         cand.withColumn("__rn", F.row_number().over(w))
         .withColumn("__cnt", F.count(F.lit(1)).over(wall))
-        .filter(F.col("__rn") <= k)
-    )
-    # three consumers below (ok / deficient / missing) — persist the
-    # top-k'd candidates (≤ |L|·k rows) so the grid join runs once, not
-    # once per branch (candidate gen is the expensive subtree)
-    from pyspark import StorageLevel
-
-    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # left rows with >= k candidates within θ are final — no anti-join
-    # needed, the windowed count already excludes deficient rows
+        .filter(F.col("__rn") <= int(k))
+    ).localCheckpoint(eager=True)
     ok = ranked.filter(F.col("__cnt") >= k).drop("__rn", "__cnt")
-
-    # verification: left rows with < k candidates within θ (θ is an
-    # estimate — exactness comes from this fallback, not the bound), plus
-    # rows with zero candidates (absent from `cand` entirely)
-    deficient_ids = (
-        ranked.filter(F.col("__cnt") < k).select(lid).distinct()
-    )
-    missing_ids = lp.select(lid).join(
-        ranked.select(lid).distinct(), on=lid, how="left_anti"
-    )
-    retry_ids = deficient_ids.union(missing_ids)
-
-    lp_retry = lp.join(F.broadcast(retry_ids), on=lid, how="left_semi")
-    retry_pairs = _spread(lp_retry).crossJoin(rp).withColumn("dist", dist)
-    retry_topk = _topk(retry_pairs, lid, k, F.col("dist"), rtb)
-
-    return ok.unionByName(retry_topk)
+    ok_ids = ranked.filter(F.col("__cnt") >= k).select(lid).distinct()
+    # one anti-join covers both deficient (< k candidates) and missing
+    # (zero candidates — absent from the grid join output entirely)
+    retry_ids = lp.select(lid).join(ok_ids, on=lid, how="left_anti")
+    return ok, retry_ids
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -171,15 +217,18 @@ def _spread(df: DataFrame) -> DataFrame:
 def _hash_sample(df: DataFrame, cols: Sequence[str], cap: int, salt: int):
     """~Uniform deterministic sample of the key columns in ONE job:
     distributed top-`cap` by xxhash64 (TakeOrderedAndProject — partial
-    top-k per partition, no full count, no sort)."""
+    top-k per partition, no full count, no sort). Returns a numpy array
+    (Arrow transfer — no per-row pickling)."""
+    dims = [F.col(c).cast("double").alias(f"__d{i}") for i, c in enumerate(cols)]
     key = F.struct(*[F.col(c).cast("double") for c in cols])
-    rows = (
-        df.select(key.alias("__p"), F.xxhash64(key, F.lit(salt)).alias("__h"))
+    pdf = (
+        df.select(*dims, F.xxhash64(key, F.lit(salt)).alias("__h"))
         .orderBy("__h")
         .limit(int(cap))
-        .collect()
+        .drop("__h")
+        .toPandas()
     )
-    return [r["__p"] for r in rows]
+    return pdf.to_numpy(dtype="float64")
 
 
 def _estimate_theta(left_sample, right_sample, k: int, margin: float) -> float:
@@ -187,16 +236,21 @@ def _estimate_theta(left_sample, right_sample, k: int, margin: float) -> float:
     points to the right sample (numpy; both samples are small)."""
     import numpy as np
 
-    if not left_sample or len(right_sample) == 0:
+    if len(left_sample) == 0 or len(right_sample) == 0:
         return float("inf")
-    L = np.array([list(p) for p in left_sample], dtype="float64")
-    R = np.array([list(p) for p in right_sample], dtype="float64")
+    L = np.asarray(left_sample, dtype="float64")
+    R = np.asarray(right_sample, dtype="float64")
     kk = min(k, len(R))
-    # pairwise distances in blocks to bound memory
+    # pairwise squared distances via the matmul identity (one BLAS call,
+    # ~50× faster than broadcast-subtract temporaries), in row blocks to
+    # bound memory at |B|·|R| doubles
+    r2 = (R * R).sum(axis=1)
     qs = []
-    B = 512
+    B = 2048
     for i in range(0, len(L), B):
-        d2 = ((L[i : i + B, None, :] - R[None, :, :]) ** 2).sum(axis=2)
+        Lb = L[i : i + B]
+        d2 = (Lb * Lb).sum(axis=1)[:, None] + r2[None, :] - 2.0 * (Lb @ R.T)
+        np.maximum(d2, 0.0, out=d2)
         kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
         qs.append(np.sqrt(kth))
     kth_dists = np.concatenate(qs)

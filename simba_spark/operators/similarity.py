@@ -216,24 +216,29 @@ def knn_join_vectors(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 0,
+    algo: str = "lsh",
+    n_planes: int = 12,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """k nearest neighbors (by cosine) for every row — vector self-join.
 
-    n_planes == 0: exact crossJoin + window (quadratic; oracle path).
-    n_planes > 0: approximate — candidates limited to matching LSH
-    bucket (plus the row itself is excluded either way).
+    Default ``algo='lsh'``: candidates limited to the matching
+    hyperplane-signature bucket — approximate, linear-ish, the scale-safe
+    default. ``algo='exact'`` is the opt-in crossJoin + window oracle
+    path (quadratic — never a silent default at 100 TB).
     Output: (a_id, b_id, cosine_sim, rank) with rank in [1, k].
     """
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
-    if n_planes <= 0:
+    if algo == "exact" or n_planes <= 0:
         cand = a.crossJoin(b).filter(F.col("a_id") != F.col("b_id"))
+    elif algo != "lsh":
+        raise ValueError(f"unknown vector knn-join algo: {algo}")
     else:
         from .dedup import _hyperplane_signature
 
-        sig = _hyperplane_signature(df, vec_col, n_planes, seed)
+        sig = _hyperplane_signature(df, vec_col, n_planes, seed, dim=dim)
         sa = sig.select(F.col(id_col).alias("a_id"), F.col("__sig").alias("__siga"))
         sb = sig.select(F.col(id_col).alias("b_id"), F.col("__sig").alias("__sigb"))
         cand = (

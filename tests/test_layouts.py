@@ -123,8 +123,16 @@ def test_layout_knn_prunes_partitions(spark):
             lay.bounds, key=lambda b: _bounds_mindist2(b, ["value", "uid"], q)
         )
         assert len(ranked) > 4
-        # nearest partition contains the point (mindist 0), farthest doesn't
-        assert _bounds_mindist2(ranked[0], ["value", "uid"], q) == 0.0
-        assert _bounds_mindist2(ranked[-1], ["value", "uid"], q) > 0.0
+        # nearest bucket box is (near-)touching the point; the farthest is
+        # far away — the distance ranking that drives phase-1 selection
+        near = _bounds_mindist2(ranked[0], ["value", "uid"], q)
+        far = _bounds_mindist2(ranked[-1], ["value", "uid"], q)
+        assert near < 1.0 and far > 100.0 * max(near, 1e-9)
+        # and the pruned phase-2 z-cover of a small ball is a strict
+        # subset of the z domain
+        ranges = lay.z_ranges_for_box([q[0] - 5, q[1] - 5], [q[0] + 5, q[1] + 5])
+        assert ranges and len(ranges) >= 1
+        covered = sum(b - a + 1 for a, b in ranges)
+        assert covered < (1 << (2 * lay.bits)) // 100
     finally:
         ctx.drop_index("ev_prune_idx")

@@ -143,6 +143,28 @@ def test_ngram_jaccard_join_exact(spark):
     assert all(3 not in p for p in got)
 
 
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """Prefix filtering (rarest ceil((1-t)|set|)+1 shingles by global DF)
+    must not lose any qualifying pair — the SSJoin/PPJoin theorem, checked
+    on real documents where stop-phrase shingles are shared widely."""
+    from simba_spark.operators.dedup import ngram_jaccard_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    on = sorted(
+        (r.a_id, r.b_id, r.jaccard)
+        for r in ngram_jaccard_join(
+            docs, shingle_k=3, jaccard_threshold=0.3, prefix_filter=True
+        ).collect()
+    )
+    off = sorted(
+        (r.a_id, r.b_id, r.jaccard)
+        for r in ngram_jaccard_join(
+            docs, shingle_k=3, jaccard_threshold=0.3, prefix_filter=False
+        ).collect()
+    )
+    assert on == off
+
+
 def test_simhash_near_dup(spark):
     from simba_spark.operators.dedup import simhash, simhash_pairs
 
@@ -163,7 +185,7 @@ def test_embedding_dup_pairs_exact_vs_numpy(embs):
     from simba_spark.operators.dedup import embedding_dup_pairs
 
     sub = embs.filter(F.col("vec_id") < 100)
-    got = {(r.a_id, r.b_id) for r in embedding_dup_pairs(sub, threshold=0.9).collect()}
+    got = {(r.a_id, r.b_id) for r in embedding_dup_pairs(sub, threshold=0.9, algo="exact").collect()}
     pdf = sub.toPandas()
     V = np.vstack(pdf.embedding.to_numpy()).astype("float64")
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -208,7 +230,7 @@ def test_knn_join_vectors_exact(embs):
     from simba_spark.operators.similarity import knn_join_vectors
 
     sub = embs.filter(F.col("vec_id") < 60)
-    got = knn_join_vectors(sub, 3).collect()
+    got = knn_join_vectors(sub, 3, algo="exact").collect()
     per_left = {}
     for r in got:
         per_left.setdefault(r.a_id, []).append(r)

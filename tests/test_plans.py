@@ -95,6 +95,57 @@ def test_sessionize_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_persisted_layout_prunes_files_and_rowgroups(spark, tmp_path):
+    """The layout's 'index' claim, asserted at the plan level: a routed
+    range query over a persisted z-order layout must carry (a)
+    PartitionFilters on the bucket directory column — files of pruned
+    buckets never even get tasks (the PartitionPruningRDD analog,
+    ref: IndexedRelationScan.scala:57-87) — and (b) pushed z-interval
+    filters, so surviving files still skip row groups via min/max stats."""
+    from simba_spark.context import SimbaContext
+    from simba_spark.plans.layouts import ZBCOL, ZCOL
+
+    ctx = SimbaContext(spark)
+    ev = _ev(spark)
+    ctx.create_index(ev, ["value", "uid"], "plan_prune_idx", kind="zorder")
+    try:
+        ctx.persist_index("plan_prune_idx", str(tmp_path / "plan_prune_idx"))
+        lay = ctx.layouts.get("plan_prune_idx")
+        out = ctx.range_query(lay.data, ["value", "uid"], (20.0, 30.0), (60.0, 90.0))
+        plan = _plan(out)
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and f"{ZBCOL}" in pf[0] and " IN " in pf[0], plan
+        assert f"GreaterThanOrEqual({ZCOL}" in plan or f"{ZCOL}" in plan.split("PushedFilters")[1][:400], plan
+        # and the routed result equals the naive scan
+        naive = ev.filter(
+            (F.col("value") >= 20) & (F.col("value") <= 60)
+            & (F.col("uid") >= 30) & (F.col("uid") <= 90)
+        )
+        assert out.count() == naive.count()
+    finally:
+        ctx.drop_index("plan_prune_idx")
+
+
+def test_layout_routing_survives_reread(spark, tmp_path):
+    """Transparent routing parity (ref: sameResult matching,
+    QueryExecution.scala:30-33): a FRESH read of a persisted layout's
+    parquet path must route without the caller holding the original
+    DataFrame object."""
+    from simba_spark.context import SimbaContext
+
+    ctx = SimbaContext(spark)
+    ev = _ev(spark)
+    ctx.create_index(ev, ["value", "uid"], "reread_idx", kind="zorder")
+    try:
+        path = str(tmp_path / "reread_idx")
+        ctx.persist_index("reread_idx", path)
+        fresh = spark.read.parquet(os.path.join(path, "data"))
+        lay = ctx.layouts.layout_for(fresh)
+        assert lay is not None and lay.name == "reread_idx"
+    finally:
+        ctx.drop_index("reread_idx")
+
+
 def test_whole_stage_codegen_covers_spatial_filters(spark):
     """Spatial predicates are plain Column arithmetic ⇒ fully inside
     WholeStageCodegen (strictly better than the reference's

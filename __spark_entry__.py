@@ -222,10 +222,55 @@ def _ev_layout(spark, sf_dir):
     return ctx, lay
 
 
+def _build_once(sf_dir: str, name: str, src_file: str, builder) -> str:
+    """Generic build-once cache: run `builder(path)` unless `path` holds
+    a fresh artifact for the source file (size+mtime fingerprint)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_LAYOUT_ROOT, tag, name)
+    fp = _source_fingerprint(os.path.join(sf_dir, src_file))
+    fp_file = os.path.join(path, "source.json")
+    if os.path.exists(fp_file):
+        try:
+            with open(fp_file) as f:
+                if json.load(f) == fp:
+                    return path
+        except Exception:
+            pass
+    builder(path)
+    with open(fp_file, "w") as f:
+        json.dump(fp, f)
+    return path
+
+
+def _ivf_layout_path(spark, sf_dir) -> str:
+    """Build-once persisted IVF layout over embeddings (inverted lists
+    as parquet partition dirs — a probe reads only its nprobe lists)."""
+    from simba_spark.operators.similarity import build_ivf_layout
+
+    def build(path):
+        embs = _t(spark, sf_dir, "embeddings")
+        build_ivf_layout(embs, path, n_centroids=8, seed=42)
+
+    return _build_once(sf_dir, "emb_ivf", "embeddings.parquet", build)
+
+
+def _ann_layout_path(spark, sf_dir) -> str:
+    """Build-once persisted hyperplane-LSH layout over embeddings."""
+    from simba_spark.operators.similarity import build_ann_layout
+
+    def build(path):
+        embs = _t(spark, sf_dir, "embeddings")
+        build_ann_layout(embs, path, n_planes=8, seed=42)
+
+    return _build_once(sf_dir, "emb_ann", "embeddings.parquet", build)
+
+
 def prepare(spark, sf_dir):
     """Optional bench hook: pre-build persisted layouts so the timed
     region measures the query, not the (amortized) index build."""
     _ev_layout(spark, sf_dir)
+    _ivf_layout_path(spark, sf_dir)
+    _ann_layout_path(spark, sf_dir)
 
 
 def q_layout_routed_range(spark, sf_dir):
@@ -243,6 +288,61 @@ def q_layout_routed_knn(spark, sf_dir):
     bound-and-prune (ref: IndexedRelationScan.scala:117-151 analog)."""
     ctx, lay = _ev_layout(spark, sf_dir)
     return ctx.knn(lay.data, ["value", "uid"], _KNN_Q, _KNN_K, tiebreak="event_id").select(
+        "event_id", "user_id", "value"
+    )
+
+
+#: shape-column query box (InRange over non-point shape rows,
+#: ref: InRange.scala:35-42 — intersection, not containment)
+_SHAPE_LO, _SHAPE_HI = (200.0, 40.0), (260.0, 80.0)
+
+
+def _ev_segments(spark, sf_dir):
+    """Deterministic segment column derived from events: start at
+    (value, uid), end offset by small id-dependent integer deltas."""
+    from simba_spark.operators.shapes import segment_struct
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    return ev.withColumn(
+        "seg",
+        segment_struct(
+            F.col("value"),
+            F.col("uid"),
+            F.col("value") + (F.col("event_id") % 17).cast("double") - F.lit(8.0),
+            F.col("uid") + (F.col("event_id") % 11).cast("double") - F.lit(5.0),
+        ),
+    )
+
+
+def q_segment_range(spark, sf_dir):
+    """InRange over a line-segment column: closed segment-box
+    intersection via separating axes, pure Column arithmetic
+    (ref semantics: InRange.scala:35-42 + LineSegment JTS analog)."""
+    from simba_spark.operators.shapes import shape_range
+
+    segs = _ev_segments(spark, sf_dir)
+    return shape_range(segs, "seg", _SHAPE_LO, _SHAPE_HI, kind="segment").select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_box_range(spark, sf_dir):
+    """InRange over an MBR column: closed box-box intersection
+    (ref: MBR.intersects, MBR.scala:60-67)."""
+    from simba_spark.operators.shapes import mbr_struct, shape_range
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    boxes = ev.withColumn(
+        "box",
+        mbr_struct(
+            [F.col("value"), F.col("uid")],
+            [
+                F.col("value") + (F.col("event_id") % 13).cast("double"),
+                F.col("uid") + (F.col("event_id") % 7).cast("double"),
+            ],
+        ),
+    )
+    return shape_range(boxes, "box", _SHAPE_LO, _SHAPE_HI, kind="mbr").select(
         "event_id", "user_id", "value"
     )
 
@@ -555,23 +655,28 @@ def q_dedup_components(spark, sf_dir):
 
 
 def q_embedding_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (seeded; rows-only check)."""
-    from simba_spark.operators.similarity import cosine_topk_ann
+    """Approximate top-k through a persisted LSH layout: multi-probe
+    signature buckets are parquet partition dirs, so the probe prunes
+    files at planning time (seeded; rows-only check)."""
+    from simba_spark.operators.similarity import cosine_topk_ann_layout
 
     embs = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = cosine_topk_ann(embs, qvec, 10, n_planes=8, probe_hamming=3, seed=42)
+    path = _ann_layout_path(spark, sf_dir)
+    out = cosine_topk_ann_layout(spark, path, qvec, 10, probe_hamming=3)
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
-    """IVF-probed approximate top-k (seeded k-means inverted lists;
-    rows-only check — recall vs exact is asserted in tests)."""
-    from simba_spark.operators.similarity import cosine_topk_ivf
+    """Approximate top-k through a persisted IVF layout: inverted lists
+    are parquet partition dirs, the probe reads only its nprobe lists
+    (seeded k-means; rows-only check — recall asserted in tests)."""
+    from simba_spark.operators.similarity import cosine_topk_ivf_layout
 
     embs = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = cosine_topk_ivf(embs, qvec, 10, n_centroids=8, nprobe=4, seed=42)
+    path = _ivf_layout_path(spark, sf_dir)
+    out = cosine_topk_ivf_layout(spark, path, qvec, 10, nprobe=4)
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
@@ -627,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_routed_range": q_layout_routed_range,
         "layout_routed_knn": q_layout_routed_knn,
         "interval_1d": q_interval_1d,
+        "segment_range": q_segment_range,
+        "box_range": q_box_range,
         # spatial joins
         "distance_join": q_distance_join,
         "distance_join_self": q_distance_join_self,
@@ -772,6 +879,42 @@ def oracle_sql() -> dict[str, str]:
         "interval_1d": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
             WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 1100.0
+        """,
+        "box_range": f"""
+            WITH boxes AS (
+              SELECT event_id, user_id, value,
+                     value AS xlo, CAST(user_id AS DOUBLE) AS ylo,
+                     value + CAST(event_id % 13 AS DOUBLE) AS xhi,
+                     CAST(user_id AS DOUBLE) + CAST(event_id % 7 AS DOUBLE) AS yhi
+              FROM events
+            )
+            SELECT event_id, user_id, value FROM boxes
+            WHERE xhi >= {_SHAPE_LO[0]} AND xlo <= {_SHAPE_HI[0]}
+              AND yhi >= {_SHAPE_LO[1]} AND ylo <= {_SHAPE_HI[1]}
+        """,
+        "segment_range": f"""
+            WITH segs AS (
+              SELECT event_id, user_id, value,
+                     value AS x1, CAST(user_id AS DOUBLE) AS y1,
+                     value + CAST(event_id % 17 AS DOUBLE) - 8.0 AS x2,
+                     CAST(user_id AS DOUBLE) + CAST(event_id % 11 AS DOUBLE) - 5.0 AS y2
+              FROM events
+            ), c AS (
+              SELECT event_id, user_id, value, x1, y1, x2, y2,
+                     x2 - x1 AS dx, y2 - y1 AS dy FROM segs
+            ), k AS (
+              SELECT *,
+                     dx * ({_SHAPE_LO[1]} - y1) - dy * ({_SHAPE_LO[0]} - x1) AS c1,
+                     dx * ({_SHAPE_LO[1]} - y1) - dy * ({_SHAPE_HI[0]} - x1) AS c2,
+                     dx * ({_SHAPE_HI[1]} - y1) - dy * ({_SHAPE_LO[0]} - x1) AS c3,
+                     dx * ({_SHAPE_HI[1]} - y1) - dy * ({_SHAPE_HI[0]} - x1) AS c4
+              FROM c
+            )
+            SELECT event_id, user_id, value FROM k
+            WHERE least(x1, x2) <= {_SHAPE_HI[0]} AND greatest(x1, x2) >= {_SHAPE_LO[0]}
+              AND least(y1, y2) <= {_SHAPE_HI[1]} AND greatest(y1, y2) >= {_SHAPE_LO[1]}
+              AND NOT (c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
+              AND NOT (c1 < 0 AND c2 < 0 AND c3 < 0 AND c4 < 0)
         """,
         "distance_join": f"""
             SELECT c.c_custkey, s.s_suppkey FROM customer c, supplier s

@@ -176,41 +176,51 @@ def cosine_similarity(a, b) -> Column:
 _REGISTERED_SESSIONS = set()
 
 
+#: SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN <expr>) — these
+#: inline into the Catalyst plan as higher-order-function expressions:
+#: no BatchEvalPython node, no per-row Python, codegen throughout. The
+#: expression bodies mirror the Column builders above.
+def _d2(u: str, v: str) -> str:
+    """SQL text for squared L2 distance of two array args."""
+    return (
+        f"aggregate(zip_with({u}, {v}, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+_SQL_FUNCTIONS = {
+    "st_point":
+        "(x DOUBLE, y DOUBLE) RETURNS ARRAY<DOUBLE> RETURN array(x, y)",
+    "st_point3":
+        "(x DOUBLE, y DOUBLE, z DOUBLE) RETURNS ARRAY<DOUBLE> "
+        "RETURN array(x, y, z)",
+    "st_dist2":
+        f"(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE "
+        f"RETURN {_d2('a', 'b')}",
+    "st_distance":
+        f"(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE "
+        f"RETURN sqrt({_d2('a', 'b')})",
+    "st_within_range":
+        "(p ARRAY<DOUBLE>, lo ARRAY<DOUBLE>, hi ARRAY<DOUBLE>) "
+        "RETURNS BOOLEAN RETURN "
+        "forall(zip_with(p, lo, (x, l) -> x >= l), v -> v) AND "
+        "forall(zip_with(p, hi, (x, h) -> x <= h), v -> v)",
+    "st_within_circle":
+        f"(p ARRAY<DOUBLE>, c ARRAY<DOUBLE>, r DOUBLE) RETURNS BOOLEAN "
+        f"RETURN {_d2('p', 'c')} <= r * r",
+}
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Register the ``st_*`` helper functions so SQL mode *exceeds* the
     standalone reference (which dropped SQL spatial syntax,
-    ref: README.md:11). All are thin SQL expressions — no Python UDFs —
-    so they stay codegen-friendly.
+    ref: README.md:11). All are SQL scalar UDFs whose bodies inline into
+    the plan as JVM higher-order-function expressions — never a
+    BatchEvalPython node (asserted in tests/test_plans.py).
     """
     key = id(spark)
     if key in _REGISTERED_SESSIONS:
         return
-    # Python UDFs here are the *convenience* SQL surface only; the fast
-    # path is the Column builders above. Hot SQL queries should use plain
-    # arithmetic, which Catalyst codegens.
-    spark.udf.register(
-        "st_point",
-        lambda *xs: [float(x) for x in xs],
-        T.ArrayType(T.DoubleType()),
-    )
-    spark.udf.register(
-        "st_dist2",
-        lambda xs, ys: float(sum((a - b) ** 2 for a, b in zip(xs, ys))),
-        T.DoubleType(),
-    )
-    spark.udf.register(
-        "st_distance",
-        lambda xs, ys: float(sum((a - b) ** 2 for a, b in zip(xs, ys))) ** 0.5,
-        T.DoubleType(),
-    )
-    spark.udf.register(
-        "st_within_range",
-        lambda xs, lo, hi: all(l <= x <= h for x, l, h in zip(xs, lo, hi)),
-        T.BooleanType(),
-    )
-    spark.udf.register(
-        "st_within_circle",
-        lambda xs, c, r: sum((a - b) ** 2 for a, b in zip(xs, c)) <= r * r,
-        T.BooleanType(),
-    )
+    for name, decl in _SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{decl}")
     _REGISTERED_SESSIONS.add(key)

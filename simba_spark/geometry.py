@@ -452,7 +452,14 @@ class Dist:
 
 def z_value(coords: Sequence[int], bits: int = 21) -> int:
     """Interleave the low `bits` bits of non-negative int coords into one
-    int (dimension-major, bit j of coord i lands at position j*d + i)."""
+    int (dimension-major, bit j of coord i lands at position j*d + i).
+
+    Equivalent-but-not-bit-compatible with the reference curve: the
+    reference interleaves with coord 0 most significant within each bit
+    group (ref: ZValue.scala:24-64); ours puts coord 0 least significant.
+    Both are valid Morton orders with identical locality properties —
+    the choice only matters if z-values were exchanged between engines,
+    which they never are (the key is internal to a layout)."""
     d = len(coords)
     out = 0
     for j in range(bits):

@@ -152,16 +152,22 @@ def connected_components(
     transitive closure of near-duplicate clusters. Returns
     (id, component) where component = min id reachable.
 
-    Algorithm: distributed min-label propagation. Each round every node
-    takes the min of its own label and its neighbors' labels; converged
-    when nothing changes. Rounds = graph diameter — near-dup clusters
-    are small/dense, so this terminates in a handful of rounds.
+    Algorithm: distributed min-label propagation with **pointer
+    doubling** — each round a node takes the min of (its label, its
+    neighbors' labels, its label's label). The label-of-label hop halves
+    the remaining chain length, so convergence is O(log diameter) rounds
+    (a 1M-node duplicate chain converges in ~20 rounds, not 1M) —
+    the standard large-graph CC recipe (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
 
-    Scale design: per round one equi-join edges⋈labels + one groupBy —
-    both shuffle on node id, so AQE can reuse partitioning; labels are
-    localCheckpoint'd each round to truncate lineage (no
-    exponentially-growing plan); convergence check is a count (1 long
-    to the driver). No adjacency ever collects.
+    Raises RuntimeError if max_iter rounds pass without convergence —
+    silently returning partial labels would mislabel clusters.
+
+    Scale design: per round one equi-join edges⋈labels + one groupBy +
+    one self-join — all shuffle on node id, so AQE can reuse
+    partitioning; labels are localCheckpoint'd each round to truncate
+    lineage (no exponentially-growing plan); convergence check is a
+    count (1 long to the driver). No adjacency ever collects.
     """
     # symmetric edge list + self-loops keep isolated direction info
     e = pairs.select(
@@ -173,18 +179,30 @@ def connected_components(
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
 
+    changed = None
     for _ in range(int(max_iter)):
         neigh_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        prop = labels.join(neigh_min, labels.id == neigh_min.src, how="left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: component <- label(component); halves the
+        # remaining chain each round => O(log diameter) total rounds
+        lol = labels.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__cc")
+        )
         new_labels = (
-            labels.join(neigh_min, labels.id == neigh_min.src, how="left")
+            prop.join(lol, prop.component == lol.__cid, how="left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -198,6 +216,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels
 
 
@@ -448,25 +471,35 @@ def _plane_dot(vec_col, plane) -> "Column":
     )
 
 
-def _hyperplane_signature(
-    df: DataFrame, vec_col: str, n_planes: int, seed: int,
-    dim: Optional[int] = None,
-) -> DataFrame:
-    """Sign signature over seeded random hyperplanes. Planes are
-    generated driver-side with numpy (seeded) and inlined as literal
-    arrays — a few KB regardless of data size. Pass `dim` to avoid the
-    one-row dimensionality probe job."""
-    import numpy as np
-
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
+def hyperplane_sig_col(vec_col, planes) -> "Column":
+    """Sign-signature Column over literal hyperplanes (one bit per
+    plane) — constant-size expression per plane, codegen-safe."""
     sig = F.lit(0).cast("long")
-    for p_idx in range(n_planes):
+    for p_idx in range(len(planes)):
         dot = _plane_dot(vec_col, planes[p_idx])
         sig = sig.bitwiseOR(
             F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p_idx)).otherwise(F.lit(0).cast("long"))
         )
+    return sig
+
+
+def hyperplane_planes(n_planes: int, dim: int, seed: int):
+    """Seeded plane matrix (n_planes, dim) — generated driver-side with
+    numpy and inlined as literals; a few KB regardless of data size."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _hyperplane_signature(
+    df: DataFrame, vec_col: str, n_planes: int, seed: int,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Sign signature over seeded random hyperplanes. Pass `dim` to
+    avoid the one-row dimensionality probe job."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplane_planes(n_planes, dim, seed)
     id_cols = [c for c in df.columns if c != vec_col]
-    return df.select(*id_cols, sig.alias("__sig"))
+    return df.select(*id_cols, hyperplane_sig_col(vec_col, planes).alias("__sig"))

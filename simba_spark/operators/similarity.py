@@ -17,6 +17,8 @@ so d-dim similarity is the natural generalization of its kNN operator.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -208,6 +210,156 @@ def cosine_topk_ivf(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(int(k))
         .drop("__ivf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted vector layouts: the probe-side I/O-pruning story.
+#
+# build_ivf() assigns inverted-list ids, but an unpersisted assignment
+# still scans every row per probe. These helpers write the assignment as
+# list-partitioned Parquet (one directory per inverted list / signature
+# bucket), so a probe's isin() predicate prunes directories at planning
+# time — the vector analog of the z-order layout's bucket pruning
+# (ref parity: IndexManager.persistIndex, IndexManager.scala:122-176).
+
+
+def build_ivf_layout(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_cap: int = 2000,
+    iters: int = 10,
+    seed: int = 42,
+) -> str:
+    """Persist an IVF layout: rows written under ``data/__ivf=<list>/``
+    with centroids in JSON. A probe then reads only its nprobe lists."""
+    assigned, cent = build_ivf(
+        df, vec_col, n_centroids=n_centroids, sample_cap=sample_cap,
+        iters=iters, seed=seed,
+    )
+    assigned.write.mode("overwrite").partitionBy("__ivf").parquet(
+        os.path.join(path, "data")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "ivf.json"), "w") as f:
+        json.dump(
+            {"vec_col": vec_col, "centroids": [list(map(float, c)) for c in cent]},
+            f,
+        )
+    return path
+
+
+def load_ivf_layout(spark, path: str):
+    """(assigned_df, centroids) from a persisted IVF layout — metadata
+    read + lazy parquet handle, no Spark job."""
+    import numpy as np
+
+    with open(os.path.join(path, "ivf.json")) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(os.path.join(path, "data"))
+    return df, np.asarray(meta["centroids"], dtype="float64")
+
+
+def cosine_topk_ivf_layout(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k through a persisted IVF layout: the probe's
+    ``__ivf IN (...)`` predicate is a partition-directory filter — files
+    of unprobed lists never get tasks (assert: PartitionFilters in the
+    plan)."""
+    import numpy as np
+
+    assigned, centroids = load_ivf_layout(spark, path)
+    qv = np.asarray(query_vec, dtype="float64")
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[: int(nprobe)]]
+    q = _query_lit(query_vec)
+    sim = F.round(cosine_similarity(F.col(vec_col), q), 6)
+    return (
+        assigned.filter(F.col("__ivf").isin(probes))
+        .withColumn("cosine_sim", sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__ivf")
+    )
+
+
+def build_ann_layout(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> str:
+    """Persist a hyperplane-LSH layout: rows under ``data/__sig=<b>/``
+    (2^n_planes signature buckets), planes seeded + stored in JSON."""
+    from .dedup import hyperplane_planes, hyperplane_sig_col
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplane_planes(n_planes, dim, seed)
+    out = df.withColumn("__sig", hyperplane_sig_col(vec_col, planes))
+    out.write.mode("overwrite").partitionBy("__sig").parquet(
+        os.path.join(path, "data")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "ann.json"), "w") as f:
+        json.dump({"vec_col": vec_col, "n_planes": n_planes, "seed": seed}, f)
+    return path
+
+
+def cosine_topk_ann_layout(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k through a persisted LSH layout: multi-probe
+    enumerates every signature within `probe_hamming` bits of the query
+    signature (sum of C(n_planes, 0..h) values) and prunes to those
+    bucket directories."""
+    from itertools import combinations
+
+    import numpy as np
+
+    with open(os.path.join(path, "ann.json")) as f:
+        meta = json.load(f)
+    n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+    qv = np.asarray(query_vec, dtype="float64")
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, len(qv)))
+    qsig = 0
+    for p_idx in range(n_planes):
+        if float(planes[p_idx] @ qv) >= 0:
+            qsig |= 1 << p_idx
+    probes = set()
+    for h in range(int(probe_hamming) + 1):
+        for flip in combinations(range(n_planes), h):
+            s = qsig
+            for b in flip:
+                s ^= 1 << b
+            probes.add(s)
+    df = spark.read.parquet(os.path.join(path, "data"))
+    q = _query_lit(query_vec)
+    sim = F.round(cosine_similarity(F.col(vec_col), q), 6)
+    return (
+        df.filter(F.col("__sig").isin(sorted(probes)))
+        .withColumn("cosine_sim", sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__sig")
     )
 
 

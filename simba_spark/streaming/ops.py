@@ -107,14 +107,16 @@ def windowed_event_counts(
     window: str = "5 minutes",
     slide: str = "5 minutes",
     watermark: str = "10 minutes",
+    value_col: Optional[str] = "value",
 ) -> DataFrame:
     """Watermarked tumbling/sliding window counts — the canonical
-    late-data-tolerant streaming aggregation."""
+    late-data-tolerant streaming aggregation. `value_col` adds a sum
+    aggregate; pass None for streams without a numeric value column."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window, slide), F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
+        .agg(*aggs)
     )

@@ -226,6 +226,50 @@ def test_cosine_topk_ann_recall(embs):
     assert recall >= 0.6, f"ANN recall {recall} too low"
 
 
+def test_ivf_layout_probe_prunes_files(embs, spark, tmp_path):
+    """A persisted IVF layout probe must carry PartitionFilters on the
+    inverted-list directory column (planning-time file pruning) and keep
+    recall vs the exact scan."""
+    from simba_spark.operators.similarity import (
+        build_ivf_layout,
+        cosine_topk,
+        cosine_topk_ivf_layout,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_layout(embs, path, n_centroids=8, seed=42)
+    pdf = embs.toPandas()
+    q = list(pdf.embedding.iloc[3])
+    out = cosine_topk_ivf_layout(spark, path, q, 10, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [__ivf" in plan and " IN " in plan, plan
+    exact = {r.vec_id for r in cosine_topk(embs, q, 10).collect()}
+    approx = {r.vec_id for r in out.collect()}
+    assert len(exact & approx) / 10 >= 0.6
+
+
+def test_ann_layout_probe_prunes_files(embs, spark, tmp_path):
+    """Persisted hyperplane-LSH layout: multi-probe signature set becomes
+    a partition-directory IN-list; recall >= threshold vs exact."""
+    from simba_spark.operators.similarity import (
+        build_ann_layout,
+        cosine_topk,
+        cosine_topk_ann_layout,
+    )
+
+    path = str(tmp_path / "ann")
+    build_ann_layout(embs, path, n_planes=8, seed=42)
+    pdf = embs.toPandas()
+    q = list(pdf.embedding.iloc[7])
+    out = cosine_topk_ann_layout(spark, path, q, 10, probe_hamming=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "__sig" in pf[1][:2000], plan
+    exact = {r.vec_id for r in cosine_topk(embs, q, 10).collect()}
+    approx = {r.vec_id for r in out.collect()}
+    assert len(exact & approx) / 10 >= 0.6
+
+
 def test_knn_join_vectors_exact(embs):
     from simba_spark.operators.similarity import knn_join_vectors
 

@@ -146,6 +146,29 @@ def test_layout_routing_survives_reread(spark, tmp_path):
         ctx.drop_index("reread_idx")
 
 
+def test_st_sql_functions_stay_jvm_side(spark):
+    """The st_* SQL surface must compile to inlined higher-order-function
+    expressions — a BatchEvalPython/ArrowEvalPython node means per-row
+    Python in the hot path (the anti-pattern the engine exists to avoid)."""
+    from simba_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    _ev(spark).createOrReplaceTempView("ev_st")
+    out = spark.sql(
+        "SELECT event_id FROM ev_st "
+        "WHERE st_within_range(st_point(value, uid), st_point(20D, 30D), st_point(60D, 90D)) "
+        "  AND st_within_circle(st_point(value, uid), st_point(40D, 60D), 500D) "
+        "  AND st_distance(st_point(value, uid), st_point(40D, 60D)) >= 0D"
+    )
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # semantics: equals the Column-builder path
+    from simba_spark.operators.filters import range_query
+
+    expect = range_query(_ev(spark), ["value", "uid"], (20.0, 30.0), (60.0, 90.0))
+    assert out.count() == expect.count()
+
+
 def test_whole_stage_codegen_covers_spatial_filters(spark):
     """Spatial predicates are plain Column arithmetic ⇒ fully inside
     WholeStageCodegen (strictly better than the reference's

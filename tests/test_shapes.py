@@ -1,0 +1,135 @@
+"""Shape-column predicate tests: the distributed Column-arithmetic
+predicates must agree row-for-row with the driver-side geometry module
+(which itself is pinned to the reference semantics by test_geometry.py's
+ported unit matrix) on randomized shapes, including touching boundaries."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from simba_spark.geometry import MBR, Circle, LineSegment, Point
+
+
+def _mk_segments(spark, n=300, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        x1, y1 = rng.uniform(-10, 10), rng.uniform(-10, 10)
+        x2, y2 = x1 + rng.uniform(-6, 6), y1 + rng.uniform(-6, 6)
+        rows.append((i, x1, y1, x2, y2))
+    # degenerate (zero-length) segments too
+    rows.append((n, 1.5, 1.5, 1.5, 1.5))
+    rows.append((n + 1, 0.0, 5.0, 0.0, 5.0))
+    return spark.createDataFrame(
+        rows, "id long, x1 double, y1 double, x2 double, y2 double"
+    )
+
+
+def _mk_boxes(spark, n=300, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        xlo, ylo = rng.uniform(-10, 10), rng.uniform(-10, 10)
+        rows.append((i, xlo, ylo, xlo + rng.uniform(0, 5), ylo + rng.uniform(0, 5)))
+    return spark.createDataFrame(
+        rows, "id long, xlo double, ylo double, xhi double, yhi double"
+    )
+
+
+BOX_LO, BOX_HI = (-2.0, -1.0), (3.0, 4.0)
+CENTER, RADIUS = (1.0, 1.0), 2.5
+
+
+def test_segment_box_predicate_matches_geometry(spark):
+    from simba_spark.operators.shapes import segment_intersects_box, segment_struct
+
+    df = _mk_segments(spark).withColumn(
+        "seg", segment_struct("x1", "y1", "x2", "y2")
+    )
+    got = {
+        r.id: r.hit
+        for r in df.select(
+            "id", segment_intersects_box("seg", BOX_LO, BOX_HI).alias("hit")
+        ).collect()
+    }
+    box = MBR(Point((BOX_LO[0], BOX_LO[1])), Point((BOX_HI[0], BOX_HI[1])))
+    for r in df.select("id", "x1", "y1", "x2", "y2").collect():
+        seg = LineSegment(Point((r.x1, r.y1)), Point((r.x2, r.y2)))
+        assert got[r.id] == seg.intersects(box), (r.id, r)
+
+
+def test_segment_circle_predicate_matches_geometry(spark):
+    from simba_spark.operators.shapes import segment_intersects_circle, segment_struct
+
+    df = _mk_segments(spark).withColumn(
+        "seg", segment_struct("x1", "y1", "x2", "y2")
+    )
+    got = {
+        r.id: r.hit
+        for r in df.select(
+            "id", segment_intersects_circle("seg", CENTER, RADIUS).alias("hit")
+        ).collect()
+    }
+    for r in df.select("id", "x1", "y1", "x2", "y2").collect():
+        seg = LineSegment(Point((r.x1, r.y1)), Point((r.x2, r.y2)))
+        expect = seg.min_dist(Point(CENTER)) <= RADIUS
+        assert got[r.id] == expect, (r.id, r)
+
+
+def test_mbr_box_predicate_matches_geometry(spark):
+    from simba_spark.operators.shapes import mbr_intersects_box, mbr_struct
+
+    df = _mk_boxes(spark).withColumn(
+        "box", mbr_struct(["xlo", "ylo"], ["xhi", "yhi"])
+    )
+    got = {
+        r.id: r.hit
+        for r in df.select(
+            "id", mbr_intersects_box("box", BOX_LO, BOX_HI).alias("hit")
+        ).collect()
+    }
+    qbox = MBR(Point(BOX_LO), Point(BOX_HI))
+    for r in df.select("id", "xlo", "ylo", "xhi", "yhi").collect():
+        b = MBR(Point((r.xlo, r.ylo)), Point((r.xhi, r.yhi)))
+        assert got[r.id] == b.intersects(qbox), (r.id, r)
+
+
+def test_mbr_circle_predicate_matches_geometry(spark):
+    from simba_spark.operators.shapes import mbr_intersects_circle, mbr_struct
+
+    df = _mk_boxes(spark).withColumn(
+        "box", mbr_struct(["xlo", "ylo"], ["xhi", "yhi"])
+    )
+    got = {
+        r.id: r.hit
+        for r in df.select(
+            "id", mbr_intersects_circle("box", CENTER, RADIUS).alias("hit")
+        ).collect()
+    }
+    for r in df.select("id", "xlo", "ylo", "xhi", "yhi").collect():
+        b = MBR(Point((r.xlo, r.ylo)), Point((r.xhi, r.yhi)))
+        expect = b.min_dist(Point(CENTER)) <= RADIUS
+        assert got[r.id] == expect, (r.id, r)
+
+
+def test_touching_boundary_is_closed(spark):
+    """Closed-boundary contract (SURVEY §1.5): shapes that merely touch
+    the query boundary must match."""
+    from simba_spark.operators.shapes import (
+        mbr_intersects_box,
+        mbr_struct,
+        segment_intersects_box,
+        segment_struct,
+    )
+
+    # segment touching the box corner (3, 4) exactly
+    seg = spark.createDataFrame(
+        [(0, 3.0, 4.0, 6.0, 8.0)], "id long, x1 double, y1 double, x2 double, y2 double"
+    ).withColumn("seg", segment_struct("x1", "y1", "x2", "y2"))
+    assert seg.filter(segment_intersects_box("seg", BOX_LO, BOX_HI)).count() == 1
+    # box sharing only the edge x = 3
+    box = spark.createDataFrame(
+        [(0, 3.0, 0.0, 5.0, 2.0)], "id long, xlo double, ylo double, xhi double, yhi double"
+    ).withColumn("box", mbr_struct(["xlo", "ylo"], ["xhi", "yhi"]))
+    assert box.filter(mbr_intersects_box("box", BOX_LO, BOX_HI)).count() == 1

@@ -592,20 +592,26 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash LSH near-dup candidates (xxhash64-based — not expressible
-    in DuckDB SQL; rows-only check)."""
+    """MinHash LSH near-dup candidates with the DuckDB-reproducible
+    md5long hash — the oracle recomputes signatures, band collisions,
+    and exact Jaccard end-to-end (the xxhash64 scale path is covered by
+    pytest S-curve/recall tests)."""
     from simba_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_k=5)
+    return minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, shingle_k=5, hash_fn="md5long"
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64-based; rows-only check)."""
+    """SimHash near-dup pairs (md5long 60-bit hash): the oracle
+    brute-forces Hamming <= 3 over all pairs — valid because pigeonhole
+    chunk blocking is lossless, so blocked == brute force."""
     from simba_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(docs, max_hamming=3, hash_fn="md5long")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -788,6 +794,99 @@ _SW = {
     "es": r"\b(el|los|que|de|se|por|con|para|las|una)\b",
 }
 _PUNCT_SQL = r"[.,;:!?''\"()\[\]{}-]"   # '' escapes a quote inside SQL string
+
+
+def _md5long_sql(expr: str, salt: int) -> str:
+    """DuckDB mirror of dedup._hash64(hash_fn='md5long')."""
+    return f"('0x' || substr(md5(({expr}) || '#{salt}'), 1, 15))::BIGINT"
+
+
+def _minhash_oracle() -> str:
+    """Recomputes the full MinHash-LSH pipeline in DuckDB: word-5-gram
+    sets, one md5long base hash per shingle + 32 affine-derived
+    minhashes, 16 banded hashes, band-collision candidates, exact set
+    Jaccard."""
+    from simba_spark.operators.dedup import affine_consts, affine_sql
+
+    seed, nh, bands = 42, 32, 16
+    consts = affine_consts(nh, seed)
+    sig_exprs = ",\n                     ".join(
+        f"coalesce(list_min(list_transform(bs, b -> {affine_sql('b', *consts[j])})), 0) AS m{j}"
+        for j in range(nh)
+    )
+    band_exprs = ",\n                     ".join(
+        _md5long_sql(f"m{2 * b}::VARCHAR || ',' || m{2 * b + 1}::VARCHAR", b)
+        + f" AS bh{b}"
+        for b in range(bands)
+    )
+    collide = " OR ".join(f"x.bh{b} = y.bh{b}" for b in range(bands))
+    inter = "len(list_intersect(x.gd, y.gd))"
+    un = f"len(x.gd) + len(y.gd) - {inter}"
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                        ELSE [] END
+                 ) AS gd
+          FROM toks
+        ), based AS (
+          SELECT doc_id, gd,
+                 list_transform(gd, s -> {_md5long_sql('s', 42)}) AS bs
+          FROM grams
+        ), sigs AS (
+          SELECT doc_id, gd,
+                     {sig_exprs}
+          FROM based
+        ), banded AS (
+          SELECT *,
+                     {band_exprs}
+          FROM sigs
+        )
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+               CASE WHEN ({un}) > 0
+                    THEN ({inter})::DOUBLE / ({un})
+                    ELSE 0.0 END AS jaccard
+        FROM banded x, banded y
+        WHERE x.doc_id < y.doc_id AND ({collide})
+    """
+
+
+def _simhash_oracle() -> str:
+    """Brute-force SimHash oracle (valid because pigeonhole chunk
+    blocking is lossless): 60-bit md5long token hashes, per-bit majority
+    sign, Hamming <= 3 over all pairs."""
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(h, v -> ((v >> {i}) & 1) = 1)) > len(h) "
+        f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(60)
+    )
+    return rf"""
+        WITH hs AS (
+          SELECT doc_id,
+                 list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> {_md5long_sql('t', 0)}) AS h
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, ({bit_terms}) AS simhash FROM hs
+        )
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+               bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM sh x, sh y
+        WHERE x.doc_id < y.doc_id
+          AND bit_count(xor(x.simhash, y.simhash)) <= 3
+    """
+
+
+def _md5_byte_sql(i: int) -> str:
+    """Byte i of md5(text) as an integer (the fake-decode feature seed)."""
+    return f"('0x' || substr(md5(text), {2 * i + 1}, 2))::INT"
 
 
 def _polygon_oracle() -> str:
@@ -1138,7 +1237,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, inter::DOUBLE / un AS jaccard
             FROM scored WHERE un > 0 AND inter::DOUBLE / un >= 0.3
         """,
-        # rows-only (no SQL equivalent): zknn_join, minhash_pairs,
-        # simhash_pairs, embedding_ann_topk, embedding_ivf_topk,
-        # image_features, audio_features
+        "minhash_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "image_features": f"""
+            SELECT doc_id,
+                   64 + ({_md5_byte_sql(0)} % 192) AS width,
+                   64 + ({_md5_byte_sql(1)} % 192) AS height,
+                   1 + ({_md5_byte_sql(2)} % 3) AS channels,
+                   round({_md5_byte_sql(3)} / 255.0, 6) AS mean_luma
+            FROM documents
+        """,
+        "audio_features": f"""
+            SELECT doc_id,
+                   round(1.0 + {_md5_byte_sql(5)} / 8.0, 3) AS duration_s,
+                   CASE {_md5_byte_sql(6)} % 4
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate,
+                   round({_md5_byte_sql(7)} / 255.0, 6) AS rms
+            FROM documents
+        """,
+        # rows-only (genuinely approximate / non-SQL): zknn_join,
+        # embedding_ann_topk, embedding_ivf_topk
     }

@@ -52,16 +52,87 @@ def exact_dup_groups(
 # MinHash + LSH near-dup
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism before
+    CPU-heavy per-row work (shingling, hashing): a small-but-dense input
+    often arrives as ONE file partition, which would serialize the whole
+    stage on one core. The extra shuffle moves only the skinny input
+    rows, not the exploded intermediate."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n)
+
+
+def _hash64(col, salt: int, hash_fn: str = "xxhash64") -> Column:
+    """Salted 64-bit hash Column. ``xxhash64`` (default) is the scale
+    path — JVM-native, vectorized. ``md5long`` (60-bit, top 15 hex chars
+    of md5 parsed base-16) is slower but bit-reproducible in DuckDB,
+    which makes LSH pipelines oracle-checkable end-to-end."""
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c, F.lit(salt))
+    if hash_fn == "md5long":
+        salted = F.concat(c.cast("string"), F.lit(f"#{salt}"))
+        return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def md5long_sql(expr: str, salt: int) -> str:
+    """DuckDB SQL mirroring :func:`_hash64` with ``hash_fn='md5long'``."""
+    return f"('0x' || substr(md5(({expr}) || '#{salt}'), 1, 15))::BIGINT"
+
+
+#: modulus for the affine hash family (2^61 - 1, Mersenne prime)
+AFFINE_M = (1 << 61) - 1
+_AFFINE_LO_MASK = (1 << 30) - 1
+
+
+def affine_consts(n: int, seed: int):
+    """n deterministic (c1, c2, c3) triples for the affine hash family,
+    derived from the seed via md5 — identical constants are embedded in
+    the Spark expressions and the DuckDB oracle SQL. c1/c2 are kept
+    below 2^31 so (b>>30)*c1 + (b&mask)*c2 + c3 < 2^63: no 64-bit
+    overflow in either engine (DuckDB errors on BIGINT overflow)."""
+    import hashlib as _hl
+
+    out = []
+    for j in range(n):
+        h = _hl.md5(f"simba-affine:{seed}:{j}".encode()).hexdigest()
+        c1 = (int(h[0:8], 16) & 0x7FFFFFFF) | 1
+        c2 = (int(h[8:16], 16) & 0x7FFFFFFF) | 1
+        c3 = int(h[16:24], 16)
+        out.append((c1, c2, c3))
+    return out
+
+
+def _affine_col(b: Column, c1: int, c2: int, c3: int) -> Column:
+    """h(b) = ((b>>30)*c1 + (b&mask)*c2 + c3) mod (2^61-1) — derives a
+    fresh 61-bit hash from one 60-bit base hash with four integer ops
+    (universal-hashing style), so a MinHash family needs ONE expensive
+    base hash per shingle instead of num_hashes salted ones."""
+    hi = F.shiftright(b, 30)
+    lo = b.bitwiseAND(F.lit(_AFFINE_LO_MASK))
+    return (hi * F.lit(c1) + lo * F.lit(c2) + F.lit(c3)) % F.lit(AFFINE_M)
+
+
+def affine_sql(expr: str, c1: int, c2: int, c3: int) -> str:
+    """DuckDB SQL mirror of :func:`_affine_col`."""
+    return (
+        f"((({expr}) >> 30) * {c1} + (({expr}) & {_AFFINE_LO_MASK}) * {c2} "
+        f"+ {c3}) % {AFFINE_M}"
+    )
+
+
 def minhash_signature(
-    col, num_hashes: int = 32, shingle_k: int = 5, seed: int = 42
+    col, num_hashes: int = 32, shingle_k: int = 5, seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> Column:
     """Array of `num_hashes` minhash values over word shingles.
-    h_j(s) = xxhash64(shingle, seed+j); signature_j = min_s h_j(s).
+    h_j(s) = hash64(shingle, seed+j); signature_j = min_s h_j(s).
     Documents with shingle sets of Jaccard J agree on each coordinate
     with probability J (classic MinHash estimator, Broder 1997)."""
     sh = shingles(col, shingle_k)
     mins = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + j))))
+        F.array_min(F.transform(sh, lambda s: _hash64(s, seed + j, hash_fn)))
         for j in range(num_hashes)
     ]
     return F.array(*mins)
@@ -76,6 +147,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     jaccard_threshold: Optional[float] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH, optionally
     verified with exact shingle-set Jaccard.
@@ -83,10 +155,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes / bands; two docs collide in a band iff
     all its rows match ⇒ P(candidate) = 1 - (1 - J^r)^b — the standard
     S-curve. Returns (a_id, b_id, jaccard) with a_id < b_id.
+    ``hash_fn='md5long'`` makes the whole pipeline reproducible in a
+    DuckDB oracle (see :func:`md5long_sql`); default xxhash64 is the
+    faster scale path.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sh_df = df.select(
+    sh_df = _spread(df).select(
         F.col(id_col).alias("__id"),
         shingles(text_col, shingle_k).alias("__sh"),
     )
@@ -96,19 +171,33 @@ def minhash_lsh_pairs(
     # array transforms which overflow the 64KB JIT method limit and fall
     # back to interpreted eval
     ex = sh_df.select("__id", F.explode_outer("__sh").alias("__s"))
-    sig_df = ex.groupBy("__id").agg(
-        *[
+    if hash_fn == "md5long":
+        # one md5 per shingle, num_hashes cheap affine derivations —
+        # 32× fewer md5 calls than salting the md5 per hash function
+        base = _hash64(F.col("__s"), seed, "md5long")
+        consts = affine_consts(num_hashes, seed)
+        ex = ex.withColumn("__b", base)
+        min_exprs = [
             F.coalesce(
-                F.min(F.xxhash64(F.col("__s"), F.lit(seed + j))),
+                F.min(_affine_col(F.col("__b"), *consts[j])),
                 F.lit(0).cast("long"),
             ).alias(f"__m{j}")
             for j in range(num_hashes)
         ]
-    )
+    else:
+        min_exprs = [
+            F.coalesce(
+                F.min(_hash64(F.col("__s"), seed + j, hash_fn)),
+                F.lit(0).cast("long"),
+            ).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+    sig_df = ex.groupBy("__id").agg(*min_exprs)
     band_cols = [
-        F.xxhash64(
+        _hash64(
             F.concat_ws(",", *[F.col(f"__m{b * r + i}").cast("string") for i in range(r)]),
-            F.lit(b),
+            b,
+            hash_fn,
         ).alias("__bh")
         for b in range(bands)
     ]
@@ -288,7 +377,7 @@ def ngram_jaccard_join(
     no dependence on hash non-collision.
     """
     t = float(jaccard_threshold)
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"),
     )
@@ -344,18 +433,21 @@ def ngram_jaccard_join(
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = 64, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Charikar 2002): bit i of
-    the hash is the sign of Σ_tokens (±1 by bit i of xxhash64(token)).
-    Computed with explode + groupBy — one shuffle on id; per-bit sums are
-    plain conditional aggregates (codegen'd)."""
-    toks = df.select(
+    """SimHash over whitespace tokens (Charikar 2002): bit i of the hash
+    is the sign of Σ_tokens (±1 by bit i of hash64(token)). Computed
+    with explode + groupBy — one shuffle on id; per-bit sums are plain
+    conditional aggregates (codegen'd). ``hash_fn='md5long'`` (60-bit)
+    is DuckDB-reproducible for the oracle harness."""
+    if hash_fn == "md5long":
+        bits = min(bits, 60)
+    toks = _spread(df).select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
+    ).withColumn("__h", _hash64(F.col("__tok"), 0, hash_fn))
     aggs = []
     for i in range(bits):
         bit = F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
@@ -376,16 +468,21 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Blocking: split the 64-bit hash into (max_hamming+1) chunks — by
+    Blocking: split the hash into (max_hamming+1) chunks — by
     pigeonhole any pair within the bound matches exactly on >= 1 chunk,
-    so an equi-join on (chunk_idx, chunk_value) finds all of them.
-    Verification = popcount of XOR."""
+    so an equi-join on (chunk_idx, chunk_value) finds all of them;
+    blocked output == brute-force output, which is what the DuckDB
+    oracle exploits (it brute-forces). Verification = popcount of XOR."""
+    if hash_fn == "md5long":
+        bits = min(bits, 60)
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-    sh = simhash(df, text_col, id_col)
+    chunk_bits = bits // n_chunks
+    sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     chunks = [
         F.shiftright(F.col("simhash"), i * chunk_bits)
         .bitwiseAND(F.lit((1 << chunk_bits) - 1))

@@ -275,13 +275,32 @@ def zknn_join(
     left_prefix: str = "l_",
     right_prefix: str = "r_",
     right_tiebreak: Optional[str] = None,
+    refine: str = "rank",
+    window_mult: int = 2,
 ) -> DataFrame:
     """Approximate kNN join via z-order curves with random shifts
     (ref: ZKJSpark.scala:36-170; shifts default 2, SimbaConf.scala:120).
 
-    Both sides are normalized to a [0, 2^bits) integer grid using the
-    union of their bounding boxes (two tiny agg collects), z-valued,
-    bucketed by the high bits, and equi-joined on bucket ∈ {b-1,b,b+1}.
+    Both sides map onto a [0, 2^bits) integer grid with ONE isotropic
+    scale factor (union bounding box, one tiny agg collect) and are
+    z-valued — per-dimension normalization would distort the metric on
+    anisotropic data.
+
+    ``refine='rank'`` (default, requires `right_tiebreak` as a unique
+    right key — reference parity): per shift, each left row pairs with
+    exactly its ``window_mult·k`` preceding and following right rows in
+    z order (ref: ZKJSpark's ±k candidate windows, ZKJSpark.scala:36-170;
+    the multiplier buys recall at a strictly bounded 2·window_mult·k·
+    shifts candidates per left row — a dense z-region cannot blow up
+    the join). The global z-rank is computed scalably:
+    range-repartition by z, per-partition running counts, driver-side
+    per-partition offsets (num_partitions longs to the driver — never a
+    single-partition window).
+
+    ``refine='bucket'`` (fallback when no unique right key is given):
+    bucket both sides by coarse z-prefix and equi-join on bucket
+    ∈ {b-1, b, b+1} — join-expressible but density-sensitive.
+
     Deterministic given `seed`. Exactness is NOT guaranteed — use
     :func:`knn_join` for exact results.
     """
@@ -310,6 +329,13 @@ def zknn_join(
     maxs = [stats[f"mx{i}"] for i in range(d)]
     spans = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
     scale = (1 << bits) - 1
+    # ONE isotropic scale factor for every dimension: per-dim
+    # normalization would stretch narrow dimensions, silently changing
+    # the metric (z-neighbors in stretched space are not Euclidean
+    # neighbors — recall collapses on anisotropic data like
+    # (acctbal, nationkey)). The reference interleaves raw coordinates
+    # for the same reason (ref: ZKJSpark.scala:46-54).
+    iso = scale / max(spans)
     n_right = int(stats["n"])
 
     if bucket_bits is None:
@@ -337,21 +363,39 @@ def zknn_join(
                 F.greatest(
                     F.lit(0),
                     F.round(
-                        (F.col(c) + F.lit(sv) - F.lit(mn)) / F.lit(sp) * F.lit(scale)
+                        (F.col(c) + F.lit(sv) - F.lit(mn)) * F.lit(iso)
                     ).cast("long"),
                 ),
             )
-            for c, sv, mn, sp in zip(cols, shift_vec, mins, spans)
+            for c, sv, mn in zip(cols, shift_vec, mins)
         ]
         return z_value_col(ints, bits=bits)
 
-    unions = []
-    for s in range(int(shifts)):
-        shift_vec = (
-            [0.0] * d
-            if s == 0
-            else [rng.uniform(0.0, sp) for sp in spans]
+    shift_vecs = [
+        [0.0] * d if s == 0 else [rng.uniform(0.0, sp) for sp in spans]
+        for s in range(int(shifts))
+    ]
+
+    if refine == "rank" and rtb is not None:
+        lz_list = [
+            lp.select(lid, zcol(lcols, sv).alias("__z")) for sv in shift_vecs
+        ]
+        rz_list = [
+            rp.select(rtb, zcol(rcols, sv).alias("__z")) for sv in shift_vecs
+        ]
+        cand_ids = _zrank_candidates_multi(
+            lz_list, rz_list, k * max(1, int(window_mult)), lid, rtb
+        ).dropDuplicates([lid, rtb])
+        pairs = (
+            cand_ids.join(lp, on=lid, how="inner")
+            .join(rp, on=rtb, how="inner")
+            .withColumn("dist", dist)
         )
+        return _topk(pairs, lid, k, F.col("dist"), rtb)
+
+    # bucket fallback (no unique right key): coarse z-prefix equi-join
+    unions = []
+    for shift_vec in shift_vecs:
         shift_amt = d * bits - bucket_bits
         lz = lp.withColumn("__b", F.shiftright(zcol(lcols, shift_vec), shift_amt))
         rz = rp.withColumn("__b", F.shiftright(zcol(rcols, shift_vec), shift_amt))
@@ -366,3 +410,94 @@ def zknn_join(
     cand = cand.dropDuplicates(pair_key)
     pairs = cand.withColumn("dist", dist)
     return _topk(pairs, lid, k, F.col("dist"), rtb)
+
+
+def _zrank_candidates_multi(lz_list, rz_list, k: int, lid: str, rid: str):
+    """(left_id, right_id) candidates = each left row's ±k z-order right
+    neighbors, for ALL shifts in one ranking pipeline
+    (ref: ZKJSpark.scala:36-170 ±k windows).
+
+    Scalable global rank per shift: tag + union the skinny
+    (shift, id, z) rows across shifts and sides, range-repartition by
+    (shift, z), running count of right rows per (partition, shift)
+    (parallel window — never a single-partition sort), then add
+    driver-computed per-(shift, partition) offsets (one tiny collect of
+    shifts×partitions longs). Left rows read off c = #right rows ordered
+    before them in their shift; ±k = ranks [c-k+1, c+k], materialized by
+    exploding a 2k-element sequence and equi-joining on (shift, rank) —
+    bounded fanout, no range join, no skew. One localCheckpoint pins the
+    partitioning so the offsets job and the main pipeline see identical
+    row placement."""
+    k = int(k)
+    parts = []
+    for tag, (lz, rz) in enumerate(zip(lz_list, rz_list)):
+        parts.append(
+            rz.select(
+                F.lit(tag).alias("__tag"), F.col(rid).alias("__uid"),
+                "__z", F.lit(1).alias("__isr"),
+            )
+        )
+        parts.append(
+            lz.select(
+                F.lit(tag).alias("__tag"), F.col(lid).alias("__uid"),
+                "__z", F.lit(0).alias("__isr"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    n = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    # order: shift, z asc, right-before-left at equal z (so c includes
+    # ties), unique id last for full determinism
+    sort_cols = [
+        F.col("__tag").asc(), F.col("__z").asc(),
+        F.col("__isr").desc(), F.col("__uid").asc(),
+    ]
+    inner_sort = sort_cols[1:]
+    d = (
+        u.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        (r["__tag"], r["__pid"]): int(r["s"])
+        for r in d.groupBy("__tag", "__pid").agg(F.sum("__isr").alias("s")).collect()
+    }
+    max_pid = max((p for _, p in sums), default=-1)
+    tags = sorted({t for t, _ in sums})
+    kv = []
+    for t in tags:
+        acc = 0
+        for pid in range(max_pid + 1):
+            kv += [t * (max_pid + 1) + pid, acc]
+            acc += sums.get((t, pid), 0)
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for x in kv]),
+            (F.col("__tag") * (max_pid + 1) + F.col("__pid")).cast("int"),
+        )
+        if kv
+        else F.lit(0)
+    )
+    w = Window.partitionBy("__pid", "__tag").orderBy(*inner_sort).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = d.withColumn("__c", F.sum("__isr").over(w) + off_expr)
+    rranks = ranked.filter(F.col("__isr") == 1).select(
+        "__tag", F.col("__uid").alias(rid), F.col("__c").alias("__rank")
+    )
+    lcounts = ranked.filter(F.col("__isr") == 0).select(
+        "__tag", F.col("__uid").alias(lid), "__c"
+    )
+    wanted = lcounts.select(
+        "__tag",
+        lid,
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__c") - k + 1, F.lit(1).cast("long")),
+                F.col("__c") + k,
+            )
+        ).alias("__rank"),
+    )
+    return wanted.join(rranks, on=["__tag", "__rank"], how="inner").select(lid, rid)

@@ -674,15 +674,20 @@ def q_embedding_ann_topk(spark, sf_dir):
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
-    """Approximate top-k through a persisted IVF layout: inverted lists
-    are parquet partition dirs, the probe reads only its nprobe lists
-    (seeded k-means; rows-only check — recall asserted in tests)."""
+    """Top-k through a persisted IVF layout at FULL probe width
+    (nprobe = n_centroids): every inverted list is visited, so the
+    result is exact by construction and the brute-force SQL is a true
+    oracle — this checks the whole IVF path (layout write/load, list
+    routing, per-list scoring) loses no rows at bucket boundaries.
+    The approximate configuration (nprobe < C, partition-directory
+    pruning) is recall- and plan-asserted in
+    tests/test_similarity.py + test_plans.py."""
     from simba_spark.operators.similarity import cosine_topk_ivf_layout
 
     embs = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
     path = _ivf_layout_path(spark, sf_dir)
-    out = cosine_topk_ivf_layout(spark, path, qvec, 10, nprobe=4)
+    out = cosine_topk_ivf_layout(spark, path, qvec, 10, nprobe=8)
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
@@ -1256,6 +1261,17 @@ def oracle_sql() -> dict[str, str]:
                    round({_md5_byte_sql(7)} / 255.0, 6) AS rms
             FROM documents
         """,
+        # full-probe IVF visits every inverted list => exact: the
+        # brute-force ranking is a true oracle for the layout machinery
+        "embedding_ivf_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4
+            FROM embeddings e, q
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
         # rows-only (genuinely approximate / non-SQL): zknn_join,
-        # embedding_ann_topk, embedding_ivf_topk
+        # embedding_ann_topk
     }

@@ -43,6 +43,30 @@ HEADLINE = [
 ]
 
 
+def _bench_overrides():
+    """The driver's correctness queries pin minhash/simhash to the
+    md5long hash so DuckDB can reproduce them bit-for-bit; that variant
+    exists ONLY for the oracle. The bench measures the production
+    default (xxhash64 — JVM-native), which is what a pipeline gets
+    unless it explicitly opts into oracle mode. Both run the identical
+    plan shape; only the hash expression differs."""
+    import os as _os
+
+    from simba_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+
+    return {
+        "minhash_pairs": lambda spark, sf_dir: minhash_lsh_pairs(
+            _docs(spark, sf_dir), num_hashes=32, bands=16, shingle_k=5
+        ),
+        "simhash_pairs": lambda spark, sf_dir: simhash_pairs(
+            _docs(spark, sf_dir), max_hamming=3
+        ),
+    }
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from simba_spark.context import get_spark
@@ -53,6 +77,7 @@ def main() -> int:
         shuffle_partitions=int(CPUS),
     )
     qs = entrymod.queries()
+    qs.update(_bench_overrides())
     timings = {}
     # warm the JVM + parquet footers once with a cheap action
     try:

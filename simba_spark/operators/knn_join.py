@@ -113,9 +113,15 @@ def knn_join(
     # high quantile over a left sample and add margin; exactness never
     # depends on θ (deficient rows fall back), only performance does.
     # One TakeOrdered job per side (order by xxhash64 = deterministic
-    # uniform pseudo-sample) — no count jobs, no fraction math.
-    rs = _hash_sample(right, right_cols, sample_cap, salt=seed)
-    ls = _hash_sample(left, left_cols, 2000, salt=seed + 1)
+    # uniform pseudo-sample) — no count jobs, no fraction math; the two
+    # independent sample jobs run concurrently (Spark schedules jobs
+    # from separate threads in parallel).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rs_f = pool.submit(_hash_sample, right, right_cols, sample_cap, seed)
+        ls_f = pool.submit(_hash_sample, left, left_cols, 2000, seed + 1)
+        rs, ls = rs_f.result(), ls_f.result()
     theta = _estimate_theta(ls, rs, k, margin=theta_margin)
     if not math.isfinite(theta):
         # degenerate inputs (an empty side) — candidate generation has
@@ -177,17 +183,30 @@ def knn_join(
 
 
 def _bounded_round(lp, rp, lcols, rcols, theta, k, lid, dist, rtb):
-    """One θ-bounded candidate round: grid distance join, per-left top-k
-    window with a candidate count riding along (single shuffle on lid),
-    then split into exact rows (>= k candidates) and deficient ids.
+    """One θ-bounded candidate round: grid distance join over SKINNY
+    key-only frames, per-left top-k window with a candidate count riding
+    along (single shuffle on lid), then split into exact rows (>= k
+    candidates) and deficient ids.
 
-    The ranked candidates (≤ |L|·k rows after the window filter) are
-    localCheckpoint'ed: materialized once for the two consumers, lineage
-    truncated so downstream plans stay small, and the blocks are freed by
-    Spark's ContextCleaner when the result DataFrame is dropped — unlike
-    a persist() that outlives the call."""
+    When a unique right key (`rtb`) exists, only (id, coords) rows enter
+    the grid explosion and the window sort — the wide payload columns
+    are fetched back by two equi-joins on the ≤ |L|·k survivors. At
+    scale this is the difference between shuffling every column through
+    a ×(2^d) cell replication and shuffling 3 skinny columns (the
+    reference's RKJSpark replicates full rows, RKJSpark.scala:111-135).
+
+    The ranked candidates are localCheckpoint'ed: materialized once for
+    the two consumers, lineage truncated so downstream plans stay small,
+    and the blocks are freed by Spark's ContextCleaner when the result
+    DataFrame is dropped — unlike a persist() that outlives the call."""
+    skinny = rtb is not None
+    if skinny:
+        lj = lp.select(*dict.fromkeys([lid, *lcols]))
+        rj = rp.select(*dict.fromkeys([rtb, *rcols]))
+    else:
+        lj, rj = lp, rp
     cand = distance_join(
-        lp, rp, lcols, rcols, theta,
+        lj, rj, lcols, rcols, theta,
         algo="grid", left_prefix="", right_prefix="",
     ).withColumn("dist", dist)
     order = [F.col("dist").asc()] + ([F.col(rtb).asc()] if rtb else [])
@@ -197,8 +216,19 @@ def _bounded_round(lp, rp, lcols, rcols, theta, k, lid, dist, rtb):
         cand.withColumn("__rn", F.row_number().over(w))
         .withColumn("__cnt", F.count(F.lit(1)).over(wall))
         .filter(F.col("__rn") <= int(k))
-    ).localCheckpoint(eager=True)
+    )
+    if skinny:
+        ranked = ranked.select(lid, rtb, "dist", "__cnt")
+    ranked = ranked.localCheckpoint(eager=True)
     ok = ranked.filter(F.col("__cnt") >= k).drop("__rn", "__cnt")
+    if skinny:
+        # fetch the wide rows back by id; AQE broadcasts whichever side
+        # fits, and the join keys are already clustered by the window
+        ok = (
+            ok.join(lp, on=lid, how="inner")
+            .join(rp, on=rtb, how="inner")
+            .select(*lp.columns, *rp.columns, "dist")
+        )
     ok_ids = ranked.filter(F.col("__cnt") >= k).select(lid).distinct()
     # one anti-join covers both deficient (< k candidates) and missing
     # (zero candidates — absent from the grid join output entirely)

@@ -159,6 +159,11 @@ class SimbaContext:
     def clear_index(self):
         self.layouts.clear()
 
+    def set_index_storage_level(self, name: str, storage_level) -> bool:
+        """Post-hoc cache-level DDL (ref: DataSet.setStorageLevel,
+        DataSet.scala:178-226)."""
+        return self.layouts.set_storage_level(name, storage_level)
+
 
 def get_spark(
     app_name: str = "simba_spark",

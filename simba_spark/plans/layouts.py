@@ -297,6 +297,21 @@ class LayoutRegistry:
             pass
         return True
 
+    def set_storage_level(self, name: str, storage_level: StorageLevel) -> bool:
+        """Post-hoc storage-level change for an in-memory layout
+        (ref: DataSet.setStorageLevel, DataSet.scala:178-226). File-backed
+        layouts have no cached blocks — promoting one pins its scan into
+        the requested cache level from the next action on."""
+        lay = self._layouts.get(name)
+        if lay is None:
+            return False
+        try:
+            lay.df.unpersist(blocking=False)
+        except Exception:
+            pass
+        lay.df.persist(storage_level)
+        return True
+
     def has(self, name: str) -> bool:
         return name in self._layouts
 
@@ -394,7 +409,14 @@ class LayoutRegistry:
         scan with sargable z-interval predicates (+ bucket-dir pruning for
         persisted layouts) covering [low, high]. Semantically a no-op:
         the cover is a superset of the box, and callers keep the exact
-        per-dimension filter on top."""
+        per-dimension filter on top.
+
+        Selectivity-adaptive (ref: IndexedRelationScan.scala:173-180 via
+        SimbaConf's index threshold, SimbaConf.scala:132-154): when the
+        bounds table says the query box touches more than
+        ``simba_spark.layout.selectivity_threshold`` (default 0.8) of the
+        rows, pruning cannot skip meaningful I/O and the z-interval OR
+        would be pure per-row overhead — fall back to the plain scan."""
         lay = self.layout_for(df)
         if (
             lay is None
@@ -403,11 +425,22 @@ class LayoutRegistry:
             or lay.bits <= 0
         ):
             return df
-        ranges = lay.z_ranges_for_box(
-            [float(x) for x in low], [float(x) for x in high]
-        )
+        lo = [float(x) for x in low]
+        hi = [float(x) for x in high]
+        ranges = lay.z_ranges_for_box(lo, hi)
         if ranges is None:
             return df
+        if len(ranges) > 0 and lay.bounds and lay.zshift > 0:
+            thresh = float(
+                self.ctx.conf.get("simba_spark.layout.selectivity_threshold", 0.8)
+            )
+            covered = set()
+            for a, z in ranges:
+                covered.update(range(a >> lay.zshift, (z >> lay.zshift) + 1))
+            total = sum(b["count"] for b in lay.bounds)
+            hit = sum(b["count"] for b in lay.bounds if b["zb"] in covered)
+            if total > 0 and hit / total > thresh:
+                return df
         return lay.pruned_scan(ranges)
 
 

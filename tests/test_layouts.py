@@ -136,3 +136,43 @@ def test_layout_knn_prunes_partitions(spark):
         assert covered < (1 << (2 * lay.bits)) // 100
     finally:
         ctx.drop_index("ev_prune_idx")
+
+def test_selectivity_adaptive_scan(lctx, points_df):
+    """A near-domain-wide box must fall back to the plain scan (pruning
+    can't skip I/O; the z-interval OR would be pure overhead — ref:
+    IndexedRelationScan.scala:173-180 selectivity threshold), while a
+    small box still gets the pruned plan. Results identical either way."""
+    from simba_spark.operators.filters import range_query
+
+    lay = lctx.create_index(points_df, ["x", "y"], "sel_idx", kind="zorder")
+    try:
+        wide = lctx.layouts.prune_for_range(
+            lay.data, ["x", "y"], (1.0, 1.0), (999.0, 999.0)
+        )
+        assert wide is lay.data, "wide box should skip the pruned rewrite"
+        narrow = lctx.layouts.prune_for_range(
+            lay.data, ["x", "y"], (0.0, 0.0), (60.0, 60.0)
+        )
+        assert narrow is not lay.data, "small box should get z pruning"
+        # and routed results still match the naive scan at both extremes
+        for lo, hi in [((1.0, 1.0), (999.0, 999.0)), ((0.0, 0.0), (60.0, 60.0))]:
+            naive = range_query(points_df, ["x", "y"], lo, hi)
+            routed = lctx.range_query(lay.data, ["x", "y"], lo, hi)
+            assert _ids(routed) == _ids(naive), (lo, hi)
+    finally:
+        lctx.drop_index("sel_idx")
+
+
+def test_set_index_storage_level(lctx, points_df):
+    """Post-hoc cache-level DDL (ref: DataSet.setStorageLevel,
+    DataSet.scala:178-226)."""
+    from pyspark.storagelevel import StorageLevel
+
+    lay = lctx.create_index(points_df, ["x", "y"], "sl_idx", kind="zorder")
+    try:
+        assert lctx.set_index_storage_level("sl_idx", StorageLevel.DISK_ONLY)
+        assert lay.df.storageLevel == StorageLevel.DISK_ONLY
+        assert lay.df.count() > 0  # still computable at the new level
+        assert not lctx.set_index_storage_level("missing_idx", StorageLevel.DISK_ONLY)
+    finally:
+        lctx.drop_index("sl_idx")

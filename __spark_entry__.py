@@ -404,6 +404,25 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+def q_knn_join_voronoi(spark, sf_dir):
+    """Exact kNN join via Voronoi pivot partitioning (VKJSpark analog,
+    ref: VKJSpark.scala:38-398): triangle-inequality bounds make the
+    pivot-cell replication lossless, so the brute-force SQL ranking is
+    a true oracle. Sides reversed vs `knn_join` to vary the shape."""
+    from simba_spark.operators.knn_join import knn_join
+
+    supp = _t(spark, sf_dir, "supplier").withColumn("s_nat", F.col("s_nationkey").cast("double"))
+    cust = _t(spark, sf_dir, "customer").withColumn("c_nat", F.col("c_nationkey").cast("double"))
+    out = knn_join(
+        cust, supp, ["c_acctbal", "c_nat"], ["s_acctbal", "s_nat"], 2,
+        left_id="c_custkey", algo="voronoi", right_tiebreak="s_suppkey",
+    )
+    return out.select(
+        F.col("l_c_custkey").alias("c_custkey"),
+        F.col("r_s_suppkey").alias("s_suppkey"),
+    )
+
+
 def q_zknn_join(spark, sf_dir):
     """Approximate z-order kNN join — no SQL oracle (approximate by
     design); driver records rows-only."""
@@ -749,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": q_distance_join,
         "distance_join_self": q_distance_join_self,
         "knn_join": q_knn_join,
+        "knn_join_voronoi": q_knn_join_voronoi,
         "zknn_join": q_zknn_join,
         # pass-through relational
         "tpch_q1": q_tpch_q1,
@@ -1039,6 +1059,17 @@ def oracle_sql() -> dict[str, str]:
               FROM supplier s, customer c
             )
             SELECT s_suppkey, c_custkey FROM ranked WHERE rn <= 3
+        """,
+        "knn_join_voronoi": f"""
+            WITH ranked AS (
+              SELECT c.c_custkey, s.s_suppkey,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY sqrt({kj_d2}) ASC, s.s_suppkey ASC
+                     ) AS rn
+              FROM customer c, supplier s
+            )
+            SELECT c_custkey, s_suppkey FROM ranked WHERE rn <= 2
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

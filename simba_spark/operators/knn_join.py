@@ -21,6 +21,9 @@ Our router:
   no-false-dismissal guarantee as RKJSpark's θ bound
   (ref: RKJSpark.scala:105-110), enforced by verification instead of a
   worst-case bound, which keeps θ (and the shuffle volume) tight.
+- ``voronoi`` (VKJSpark analog, exact): pivot-cell partitioning with
+  triangle-inequality θ bounds and lossless right-row replication —
+  see :func:`_voronoi_knn_join` (ref: VKJSpark.scala:38-398).
 - ``zknn``    (ZKJSpark analog, approximate): per random shift vector,
   bucket both sides by coarse z-value prefix, equi-join on
   bucket ∈ {b-1, b, b+1}, union shifts, window top-k. Deterministic
@@ -76,6 +79,7 @@ def knn_join(
     seed: int = 42,
     theta_margin: float = 1.25,
     cross_warn_rows: int = 100_000,
+    n_pivots: int = 32,
 ) -> DataFrame:
     """For each left row, exactly-k nearest right rows by L2 distance.
 
@@ -103,6 +107,11 @@ def knn_join(
     if algo == "broadcast":
         pairs = _spread(lp).crossJoin(F.broadcast(rp)).withColumn("dist", dist)
         return _topk(pairs, lid, k, F.col("dist"), rtb)
+    if algo == "voronoi":
+        return _voronoi_knn_join(
+            lp, rp, lcols, rcols, k, lid, dist, rtb,
+            n_pivots=n_pivots, sample_cap=sample_cap, seed=seed,
+        )
     if algo != "bounded":
         raise ValueError(f"unknown knn-join algo: {algo}")
 
@@ -180,6 +189,150 @@ def knn_join(
     retry_pairs = _spread(lp2).crossJoin(rp).withColumn("dist", dist)
     retry_topk = _topk(retry_pairs, lid, k, F.col("dist"), rtb)
     return result.unionByName(retry_topk)
+
+
+def _voronoi_knn_join(
+    lp, rp, lcols, rcols, k, lid, dist, rtb,
+    n_pivots: int, sample_cap: int, seed: int,
+):
+    """VKJSpark analog (ref: VKJSpark.scala:38-398): pivot-cell
+    partitioning + triangle-inequality replication, re-expressed as one
+    equi-join on cell id + a window top-k.
+
+    The reference's per-point candidate scan with running θ
+    (knnObjectForSinglePoint, VKJSpark.scala:139-192) is an execution
+    detail inside its zipPartitions; the *pruning guarantees* live in
+    two bounds, both reproduced here:
+
+    - θ_i (left cell i's kth-NN upper bound): k-th smallest of
+      {ub_i + dist(p_i, p_j) + d} over every right cell j and each of
+      j's k smallest pivot distances d (ref: VKJSpark.scala:315-328).
+      Any point of cell i has ≥ k right rows within θ_i.
+    - replication rule: right row r (cell j, pivot dist rd) can matter
+      to cell i only if rd ≥ dist(p_i, p_j) − ub_i − θ_i
+      (ref: lower_bounds + right_dup, VKJSpark.scala:335-362) — the
+      triangle inequality lower-bounds dist(l, r) otherwise. No false
+      dismissal ⇒ the windowed top-k over replicated candidates is
+      EXACT, no fallback rounds needed.
+
+    Driver-side state: P pivots + a P×P bound matrix (P ≲ hundreds) —
+    constant memory, like the reference's broadcast pivot array. Data
+    path: one shuffle per side on the cell key + the skinny window,
+    the same budget as the grid join. Pivot choice: greedy
+    farthest-point over a hash-sample (deterministic; the reference
+    scores random pivot *sets*, generatePivots VKJSpark.scala:50-67 —
+    k-center greedy spreads at least as well)."""
+    import numpy as np
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ls_f = pool.submit(_hash_sample, lp, lcols, sample_cap, seed + 11)
+        rs_f = pool.submit(_hash_sample, rp, rcols, sample_cap, seed + 12)
+        sample = np.concatenate([ls_f.result(), rs_f.result()])
+    if len(sample) == 0:
+        return _topk(_spread(lp).crossJoin(rp).withColumn("dist", dist),
+                     lid, k, F.col("dist"), rtb)
+    P = min(int(n_pivots), len(sample))
+    # greedy farthest-point (k-center): start at the sample centroid's
+    # nearest point, repeatedly add the point farthest from the chosen set
+    chosen = [int(((sample - sample.mean(axis=0)) ** 2).sum(axis=1).argmin())]
+    d2min = ((sample - sample[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(P - 1):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    pivots = sample[chosen]  # (P, d)
+    pp = np.sqrt(((pivots[:, None, :] - pivots[None, :, :]) ** 2).sum(axis=2))
+
+    def cell_and_dist(cols):
+        d2s = [
+            sum(
+                (F.col(c).cast("double") - F.lit(float(pv[ci]))) ** 2
+                for ci, c in enumerate(cols)
+            )
+            for pv in pivots
+        ]
+        arr = F.array(*[F.sqrt(e) for e in d2s])
+        cell = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        return cell, F.array_min(arr)
+
+    lcell, ldist = cell_and_dist(lcols)
+    rcell, rdist = cell_and_dist(rcols)
+    lc = lp.withColumn("__cell", lcell).withColumn("__pd", ldist)
+    rc = rp.withColumn("__cell", rcell).withColumn("__pd", rdist)
+
+    # per-cell meta in ONE job over a tagged skinny union:
+    # left: ub_i = max pivot dist; right: ub_j, count, k smallest pivot
+    # dists (bounded via per-cell window before the collect)
+    lu = lc.select(F.lit(0).alias("__s"), "__cell", "__pd")
+    ru = rc.select(F.lit(1).alias("__s"), "__cell", "__pd")
+    u = lu.unionByName(ru)
+    wk = Window.partitionBy("__s", "__cell").orderBy(F.col("__pd").asc())
+    meta_rows = (
+        u.withColumn("__rn", F.row_number().over(wk))
+        .groupBy("__s", "__cell")
+        .agg(
+            F.max("__pd").alias("ub"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") <= k, F.col("__pd")))
+            ).alias("kd"),
+        )
+        .collect()
+    )
+    l_ub = {r["__cell"]: float(r["ub"]) for r in meta_rows if r["__s"] == 0}
+    r_meta = {
+        r["__cell"]: (float(r["ub"]), int(r["cnt"]), [float(x) for x in r["kd"]])
+        for r in meta_rows
+        if r["__s"] == 1
+    }
+    n_right = sum(m[1] for m in r_meta.values())
+    if n_right == 0 or not l_ub:
+        return _topk(_spread(lp).crossJoin(rp).withColumn("dist", dist),
+                     lid, k, F.col("dist"), rtb)
+
+    eps = 1e-9
+    # θ_i per left cell (ref: VKJSpark.scala:315-328); with fewer than k
+    # right rows in total every pair qualifies — lb becomes -inf below
+    theta = {}
+    for i in l_ub:
+        cand = [
+            l_ub[i] + pp[i][j] + d for j, (_, _, kd) in r_meta.items() for d in kd
+        ]
+        cand.sort()
+        theta[i] = (cand[k - 1] if len(cand) >= k else float("inf")) + eps
+
+    # replication map: right cell j -> [(i, lb_ij)] (ref: VKJSpark.scala:335-350)
+    map_args = []
+    for j in r_meta:
+        entries = []
+        for i, th in theta.items():
+            lb = pp[i][j] - l_ub[i] - th - eps
+            entries.append(F.struct(F.lit(int(i)).alias("i"), F.lit(float(lb)).alias("lb")))
+        map_args += [F.lit(int(j)), F.array(*entries)]
+    rep_map = F.create_map(*map_args)
+
+    rrep = rc.withColumn(
+        "__lcell",
+        F.explode(
+            F.transform(
+                F.filter(
+                    F.element_at(rep_map, F.col("__cell")),
+                    lambda e: F.col("__pd") >= e["lb"],
+                ),
+                lambda e: e["i"],
+            )
+        ),
+    ).drop("__cell", "__pd")
+
+    pairs = (
+        lc.drop("__pd")
+        .join(rrep, on=F.col("__cell") == F.col("__lcell"), how="inner")
+        .drop("__cell", "__lcell")
+        .withColumn("dist", dist)
+    )
+    return _topk(pairs, lid, k, F.col("dist"), rtb)
 
 
 def _bounded_round(lp, rp, lcols, rcols, theta, k, lid, dist, rtb):

@@ -75,7 +75,7 @@ def test_self_distance_join_dedup_pairs(pair_dfs):
     assert sorted((r.a_id, r.b_id) for r in got) == sorted(exp)
 
 
-@pytest.mark.parametrize("algo", ["cross", "broadcast", "bounded"])
+@pytest.mark.parametrize("algo", ["cross", "broadcast", "bounded", "voronoi"])
 @pytest.mark.parametrize("k", [1, 3])
 def test_knn_join_algos_match_oracle(pair_dfs, algo, k):
     a, b = pair_dfs

@@ -199,3 +199,33 @@ def test_knn_join_4d_matches_cross(spark):
                           right_tiebreak="bid").collect()
     }
     assert bounded == cross and len(cross) == 40 * 3
+
+
+def test_knn_join_bounded_adversarial_skew(spark):
+    """θ comes from a sample; a dense cluster + far outliers is the
+    worst case for it (outliers under-sampled ⇒ deficient rows must
+    escalate through the retry ladder and still come back exact)."""
+    import random
+
+    rng = random.Random(7)
+    left_rows = []
+    # 500 points in a tight blob, 8 extreme outliers
+    for i in range(500):
+        left_rows.append((i, rng.gauss(0, 0.5), rng.gauss(0, 0.5)))
+    for i in range(500, 508):
+        left_rows.append((i, rng.uniform(50000, 90000), rng.uniform(50000, 90000)))
+    right_rows = [(i, rng.gauss(0, 0.5), rng.gauss(0, 0.5)) for i in range(300)]
+    a = spark.createDataFrame(left_rows, "id long, x double, y double")
+    b = spark.createDataFrame(right_rows, "id long, x double, y double")
+
+    from simba_spark.operators.knn_join import knn_join
+
+    def key(df):
+        return sorted((r["l_id"], r["r_id"]) for r in df.collect())
+
+    want = key(knn_join(a, b, ["x", "y"], ["x", "y"], 4, left_id="id",
+                        algo="cross", right_tiebreak="id"))
+    for algo in ("bounded", "voronoi"):
+        got = key(knn_join(a, b, ["x", "y"], ["x", "y"], 4, left_id="id",
+                           algo=algo, right_tiebreak="id"))
+        assert got == want, algo

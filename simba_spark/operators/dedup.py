@@ -442,7 +442,10 @@ def simhash(
     is DuckDB-reproducible for the oracle harness."""
     if hash_fn == "md5long":
         bits = min(bits, 60)
-    toks = _spread(df).select(
+    # no _spread here: tokenization is light enough that the extra
+    # repartition shuffle of the full text column costs more than the
+    # parallelism buys (unlike the 32-hash shingle stages)
+    toks = df.select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

@@ -643,30 +643,26 @@ def _zrank_candidates_multi(lz_list, rz_list, k: int, lid: str, rid: str):
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    sums = {
-        (r["__tag"], r["__pid"]): int(r["s"])
-        for r in d.groupBy("__tag", "__pid").agg(F.sum("__isr").alias("s")).collect()
-    }
-    max_pid = max((p for _, p in sums), default=-1)
-    tags = sorted({t for t, _ in sums})
-    kv = []
-    for t in tags:
-        acc = 0
-        for pid in range(max_pid + 1):
-            kv += [t * (max_pid + 1) + pid, acc]
-            acc += sums.get((t, pid), 0)
-    off_expr = (
-        F.element_at(
-            F.create_map(*[F.lit(x) for x in kv]),
-            (F.col("__tag") * (max_pid + 1) + F.col("__pid")).cast("int"),
-        )
-        if kv
-        else F.lit(0)
+    # per-(shift, partition) offset = right rows in earlier partitions of
+    # the same shift: a tiny cumulative window over ≤ shifts·n rows,
+    # broadcast back — fully declarative, no driver round-trip
+    woff = (
+        Window.partitionBy("__tag")
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("__tag", "__pid")
+        .agg(F.sum("__isr").alias("__s"))
+        .withColumn("__off", F.coalesce(F.sum("__s").over(woff), F.lit(0)))
+        .drop("__s")
     )
     w = Window.partitionBy("__pid", "__tag").orderBy(*inner_sort).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = d.withColumn("__c", F.sum("__isr").over(w) + off_expr)
+    ranked = d.join(F.broadcast(offsets), on=["__tag", "__pid"], how="inner").withColumn(
+        "__c", F.sum("__isr").over(w) + F.col("__off")
+    ).drop("__off")
     rranks = ranked.filter(F.col("__isr") == 1).select(
         "__tag", F.col("__uid").alias(rid), F.col("__c").alias("__rank")
     )

@@ -11,6 +11,7 @@ from .ops import (
     streaming_circle_range,
     streaming_distance_join,
     streaming_exact_dedup,
+    streaming_knn_join,
     streaming_range_filter,
     windowed_event_counts,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_circle_range",
     "streaming_distance_join",
     "streaming_exact_dedup",
+    "streaming_knn_join",
     "windowed_event_counts",
     "sessionize_stream",
 ]

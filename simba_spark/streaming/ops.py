@@ -100,6 +100,80 @@ def streaming_distance_join(
     return st.join(sg, on="__cell", how="inner").filter(pred).drop("__cell")
 
 
+def streaming_knn_join(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    stream_cols: Sequence[str],
+    static_cols: Sequence[str],
+    k: int,
+    static_id: str = None,
+    static_prefix: str = "s_",
+    max_static_rows: int = 200_000,
+) -> DataFrame:
+    """Stream-static kNN join: each streaming point gets its k nearest
+    static reference points (exact; ties by `static_id`).
+
+    Physical shape: the static side is collected ONCE into an array of
+    (id, coords) structs and broadcast as a literal — per stream row the
+    top-k is `slice(array_sort(transform(...)), 1, k)` + explode, pure
+    JVM expressions with no per-batch shuffle and no streaming state.
+    This is the right plan when the reference set is dimension-sized
+    (sensor sites, POIs, centroids — the common streaming case);
+    `max_static_rows` guards the driver collect. An unbounded static
+    side should use :func:`streaming_distance_join` with a radius, or
+    batch :func:`~simba_spark.operators.knn_join.knn_join` on a
+    snapshot — kNN against 100 TB *per event* is not a streaming plan.
+    """
+    k = int(k)
+    assert static_id is not None, "streaming_knn_join requires static_id"
+    d = len(stream_cols)
+    assert d == len(static_cols)
+    rows = (
+        static_df.select(static_id, *static_cols).limit(max_static_rows + 1).collect()
+    )
+    assert len(rows) <= max_static_rows, (
+        f"static side exceeds max_static_rows={max_static_rows}; "
+        "use streaming_distance_join or a batch knn_join snapshot"
+    )
+    ref = F.array(
+        *[
+            F.struct(
+                *[F.lit(float(r[c])).alias(f"d{i}") for i, c in enumerate(static_cols)],
+                F.lit(r[static_id]).alias("id"),
+            )
+            for r in rows
+        ]
+    )
+    # sort key (dist, id) gives deterministic tie order; array_sort on
+    # structs orders field-by-field
+    topk = F.slice(
+        F.array_sort(
+            F.transform(
+                ref,
+                lambda s: F.struct(
+                    _sdist2(s, stream_cols).alias("dist2"), s["id"].alias("id")
+                ),
+            )
+        ),
+        1,
+        k,
+    )
+    out = stream_df.withColumn("__nn", F.explode(topk))
+    return (
+        out.withColumn(f"{static_prefix}{static_id}", F.col("__nn.id"))
+        .withColumn("dist", F.sqrt(F.col("__nn.dist2")))
+        .drop("__nn")
+    )
+
+
+def _sdist2(s, stream_cols):
+    d2 = None
+    for i, c in enumerate(stream_cols):
+        t = (F.col(c).cast("double") - s[f"d{i}"]) ** 2
+        d2 = t if d2 is None else d2 + t
+    return d2
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -234,3 +234,52 @@ def test_streaming_exact_dedup(spark):
         assert texts == ["hello world", "something else"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_knn_join_matches_batch(spark, stream_dir):
+    from simba_spark.operators.knn_join import knn_join
+    from simba_spark.streaming import streaming_knn_join
+
+    d, schema = stream_dir
+    static = spark.createDataFrame(
+        [(100, 12.0, 1.0), (200, 210.0, 2.0), (300, 500.0, 9.0), (400, 36.0, 1.0)],
+        "poi_id long, px double, py double",
+    )
+    src = spark.readStream.schema(schema).parquet(d)
+    out = streaming_knn_join(
+        src, static, ["value", "user_id"], ["px", "py"], 2, static_id="poi_id"
+    ).select("event_id", "s_poi_id")
+    got = sorted(
+        (r.event_id, r.s_poi_id)
+        for r in _run_stream(spark, out, "sknn_out").collect()
+    )
+
+    batch = spark.read.parquet(d)
+    exp = sorted(
+        (r.l_event_id, r.r_poi_id)
+        for r in knn_join(
+            batch, static, ["value", "user_id"], ["px", "py"], 2,
+            left_id="event_id", algo="cross", right_tiebreak="poi_id",
+        ).collect()
+    )
+    assert got == exp and len(exp) == 10
+
+
+def test_streaming_knn_join_guards_static_size(spark, stream_dir):
+    from simba_spark.streaming import streaming_knn_join
+
+    d, schema = stream_dir
+    static = spark.range(50).select(
+        F.col("id").alias("poi_id"),
+        F.col("id").cast("double").alias("px"),
+        F.lit(0.0).alias("py"),
+    )
+    src = spark.readStream.schema(schema).parquet(d)
+    try:
+        streaming_knn_join(
+            src, static, ["value", "user_id"], ["px", "py"], 2,
+            static_id="poi_id", max_static_rows=10,
+        )
+        assert False, "expected the static-size guard to trip"
+    except AssertionError as e:
+        assert "max_static_rows" in str(e)

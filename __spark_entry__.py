@@ -710,6 +710,37 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_doc_sample(spark, sf_dir):
+    """Deterministic hash sampling (reproducible corpus subsetting):
+    membership = md5-derived uniform < rate, mirrored exactly in SQL."""
+    from simba_spark.operators.pipeline import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, seed=7).select("doc_id", "source")
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source quota: at most 15 docs per source (binding at sf0.01:
+    every source has 25 docs, so the quota actually cuts)."""
+    from simba_spark.operators.pipeline import group_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quota(docs, "source", 15, order_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+def q_doc_pack(spark, sf_dir):
+    """Greedy sequence packing into ~4000-char packs over the global
+    doc_id order — two-phase running total, no single-partition window."""
+    from simba_spark.operators.pipeline import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "n_chars", 4000, order_col="doc_id").select(
+        "doc_id", "pack_id", "pack_pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # north-star: multimodal
 
@@ -795,6 +826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        # pipeline utilities
+        "doc_sample": q_doc_sample,
+        "source_quota": q_source_quota,
+        "doc_pack": q_doc_pack,
         # multimodal
         "blob_stats": q_blob_stats,
         "image_features": q_image_features,
@@ -1291,6 +1326,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate,
                    round({_md5_byte_sql(7)} / 255.0, 6) AS rms
             FROM documents
+        """,
+        "doc_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id || '#7'), 1, 13))::BIGINT
+                  / 4503599627370496.0 < 0.2
+        """,
+        "source_quota": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 15
+        """,
+        "doc_pack": """
+            WITH c AS (
+              SELECT doc_id,
+                     SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     n_chars
+              FROM documents
+            ), p AS (
+              SELECT doc_id, CAST(FLOOR((cum - n_chars) / 4000) AS BIGINT) AS pack_id
+              FROM c
+            )
+            SELECT doc_id, pack_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pack_id ORDER BY doc_id) AS BIGINT)
+                     AS pack_pos
+            FROM p
         """,
         # full-probe IVF visits every inverted list => exact: the
         # brute-force ranking is a true oracle for the layout machinery

@@ -1,0 +1,153 @@
+"""Training-data pipeline utilities: reproducible sampling, per-group
+quotas, and sequence packing (north-star §2.7 extensions — the ops a
+100 TB corpus build runs between dedup and tokenization).
+
+All three are pure Column/window programs (zero Python in the data
+path) and deterministic by construction, so a DuckDB oracle can
+reproduce them bit-for-bit — sampling decisions derive from md5, never
+from an RNG whose stream depends on partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: md5-derived uniform in [0, 1): top 13 hex chars (52 bits — exactly a
+#: double's mantissa, so the division is lossless in both engines)
+_UNIT = float(1 << 52)
+
+
+def _unit_hash(col, seed: int):
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(_UNIT)
+
+
+def unit_hash_sql(expr: str, seed: int) -> str:
+    """DuckDB SQL mirror of the sampling hash."""
+    return (
+        f"(('0x' || substr(md5(({expr}) || '#{seed}'), 1, 13))::BIGINT"
+        f" / {_UNIT:.1f})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic ~`rate` sample: keep rows whose md5-derived uniform
+    is < rate. Unlike ``df.sample()``, membership depends only on the
+    key — stable across partitioning, re-runs, engines, and cluster
+    sizes, so a subset is reproducible and two tables sampled on the
+    same key stay aligned. Zero shuffle."""
+    assert 0.0 <= rate <= 1.0
+    return df.filter(_unit_hash(key_col, seed) < F.lit(float(rate)))
+
+
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: Optional[str] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """At most `n` rows per group — downsampling over-represented
+    sources/domains is the standard corpus-balancing move. Order inside
+    a group: by `order_col` asc, else by the deterministic hash (a
+    seeded uniform draw). One shuffle on the group key; skew bounded by
+    the window's per-key top-n."""
+    if order_col is not None:
+        order = [F.col(order_col).asc()]
+    else:
+        order = [_unit_hash(group_col, seed).asc()]
+    # tie-safe: hash ordering alone can collide across rows with equal
+    # keys; row_number needs a total order per group for determinism, so
+    # callers should pass an order_col that is unique within the group
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__rn")
+    )
+
+
+def running_total(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "__cum"
+) -> DataFrame:
+    """Global running sum of `value_col` in `order_col` order WITHOUT the
+    single-partition collapse a partition-less Spark window plans:
+    range-repartition by the order key, per-partition running sums, then
+    broadcast-join the tiny cumulative per-partition offsets (same
+    two-phase shape as the zkNN global rank). `order_col` must be
+    globally unique for a deterministic result. The input is
+    localCheckpoint'ed to pin row→partition placement (range boundaries
+    are sampled, so a recompute could move rows)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    d = (
+        df.repartitionByRange(n, F.col(order_col).asc())
+        .sortWithinPartitions(F.col(order_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    woff = (
+        Window.orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("__s"))
+        .withColumn("__off", F.coalesce(F.sum("__s").over(woff), F.lit(0)))
+        .drop("__s")
+    )
+    wrun = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), on="__pid", how="inner")
+        .withColumn(
+            out_col,
+            F.sum(F.col(value_col).cast("long")).over(wrun) + F.col("__off"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    target: int,
+    order_col: str = None,
+    partition_col: Optional[str] = None,
+) -> DataFrame:
+    """Greedy sequence packing: walk rows in `order_col` order; a row's
+    pack is `floor(start_offset / target)` where start_offset is the
+    running size total before the row — near-target training batches in
+    one pass. Exact bin packing is NP-hard and inherently sequential;
+    the cumulative-quota rule is the standard distributed approximation
+    (deterministic given the order; a pack overshoots `target` by at
+    most one row's size).
+
+    With `partition_col`, packing restarts per group (e.g. per source)
+    and uses an ordinary partitioned window. Without it, the global
+    running sum uses :func:`running_total` — two-phase, never a
+    single-partition window. Adds `pack_id` and `pack_pos` (1-based
+    position inside the pack).
+    """
+    assert order_col is not None, "pack_sequences requires order_col"
+    sz = F.col(size_col).cast("long")
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(
+            F.col(order_col).asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = df.withColumn("__cum", F.sum(sz).over(w))
+    else:
+        out = running_total(df, order_col, size_col, "__cum")
+    out = out.withColumn(
+        "pack_id", F.floor((F.col("__cum") - sz) / F.lit(int(target))).cast("long")
+    ).drop("__cum")
+    part = [partition_col] if partition_col else []
+    wp = Window.partitionBy(*(part + ["pack_id"])).orderBy(F.col(order_col).asc())
+    return out.withColumn("pack_pos", F.row_number().over(wp))

@@ -1,0 +1,82 @@
+"""Pipeline utilities: reproducible sampling, group quotas, sequence
+packing (north-star §2.7). Determinism under repartitioning is the key
+property — sampling/packing decisions must not depend on physical
+layout."""
+
+from pyspark.sql import functions as F
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from simba_spark.operators.pipeline import hash_sample
+
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    s1 = sorted(r.k for r in hash_sample(df, "k", 0.3, seed=1).collect())
+    # same keys, different physical layout → identical membership
+    s2 = sorted(
+        r.k for r in hash_sample(df.repartition(13), "k", 0.3, seed=1).collect()
+    )
+    assert s1 == s2
+    assert 0.27 < len(s1) / 20000 < 0.33
+    # different seed → different (but still deterministic) subset
+    s3 = sorted(r.k for r in hash_sample(df, "k", 0.3, seed=2).collect())
+    assert s3 != s1
+    # nested property: sample(0.1) ⊆ sample(0.3) at the same seed
+    s4 = set(r.k for r in hash_sample(df, "k", 0.1, seed=1).collect())
+    assert s4 <= set(s1)
+
+
+def test_group_quota_bounds_each_group(spark):
+    from simba_spark.operators.pipeline import group_quota
+
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = group_quota(df, "g", 5, order_col="id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, []).append(r.id)
+    assert set(got) == {"g0", "g1", "g2"}
+    for g, ids in got.items():
+        assert len(ids) == 5
+        # order_col asc → the smallest ids of each group survive
+        assert sorted(ids) == sorted(i for i, gg in rows if gg == g)[:5]
+
+
+def test_pack_sequences_global_matches_sequential(spark):
+    from simba_spark.operators.pipeline import pack_sequences
+
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 900)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, sz long").repartition(7)
+    out = {
+        r.id: (r.pack_id, r.pack_pos)
+        for r in pack_sequences(df, "sz", 2000, order_col="id").collect()
+    }
+    # sequential reference: start-offset // target
+    cum = 0
+    packs = {}
+    expect = {}
+    for i, sz in rows:
+        pid = cum // 2000
+        packs[pid] = packs.get(pid, 0) + 1
+        expect[i] = (pid, packs[pid])
+        cum += sz
+    assert out == expect
+    # no pack exceeds target + max row size
+    sizes = {}
+    for i, sz in rows:
+        sizes[expect[i][0]] = sizes.get(expect[i][0], 0) + sz
+    assert max(sizes.values()) <= 2000 + 900
+
+
+def test_pack_sequences_per_group_restarts(spark):
+    from simba_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, "a" if i < 6 else "b", 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, g string, sz long")
+    out = pack_sequences(df, "sz", 30, order_col="id", partition_col="g")
+    got = {(r.g, r.id): r.pack_id for r in out.collect()}
+    # each group packs independently: 6 rows of 10 at target 30 → packs 0,0,0,1,1,1
+    for g, base in (("a", 0), ("b", 6)):
+        assert [got[(g, base + j)] for j in range(6)] == [0, 0, 0, 1, 1, 1]

@@ -104,15 +104,33 @@ def knn_join(
         # the left so the pair stream and the per-left window parallelize
         pairs = _spread(lp).crossJoin(rp).withColumn("dist", dist)
         return _topk(pairs, lid, k, F.col("dist"), rtb)
+    if algo == "bounded" and _plan_bytes(rp) <= _broadcast_cap(rp):
+        # cost-based route (BKJSpark rationale): a broadcast-small right
+        # side doesn't need θ machinery at all — the broadcast plan below
+        # is exact, 2 jobs instead of 5, and shuffle-free on pairs
+        algo = "broadcast"
     if algo == "broadcast":
-        pairs = _spread(lp).crossJoin(F.broadcast(rp)).withColumn("dist", dist)
+        # BKJSpark analog done right: repartition the LEFT by its id
+        # first — BroadcastNestedLoopJoin preserves the streamed side's
+        # partitioning, so the top-k window runs in place (zero pair
+        # shuffle; Spark's WindowGroupLimit prunes to k per task before
+        # the final sort). Per-left cost is |R| distance evals — the
+        # block-nested-loop contract (ref: BKJSpark.scala:37-97).
+        n = int(lp.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        pairs = (
+            lp.repartition(n, F.col(lid))
+            .crossJoin(F.broadcast(rp))
+            .withColumn("dist", dist)
+        )
         return _topk(pairs, lid, k, F.col("dist"), rtb)
     if algo == "voronoi":
         return _voronoi_knn_join(
             lp, rp, lcols, rcols, k, lid, dist, rtb,
             n_pivots=n_pivots, sample_cap=sample_cap, seed=seed,
         )
-    if algo != "bounded":
+    # 'theta' = the θ-bounded program unconditionally (no cost routing) —
+    # same semantics as 'bounded', kept addressable for tests/tuning
+    if algo not in ("bounded", "theta"):
         raise ValueError(f"unknown knn-join algo: {algo}")
 
     # --- θ estimation from a driver-side sample of the right key columns.
@@ -395,6 +413,28 @@ def _spread(df: DataFrame) -> DataFrame:
     would serialize the whole pair stream through one task."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(n)
+
+
+def _plan_bytes(df: DataFrame) -> float:
+    """Catalyst's size estimate for the relation (same statistic the
+    broadcast-join planner consults); inf if the backend hides it."""
+    try:
+        return float(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return float("inf")
+
+
+def _broadcast_cap(df: DataFrame) -> float:
+    """Byte threshold for routing a kNN join to the broadcast plan —
+    `simba_spark.knnjoin.broadcast_bytes` if set, else 8 MB (slightly
+    under Spark's default autoBroadcastJoinThreshold)."""
+    try:
+        v = df.sparkSession.conf.get("simba_spark.knnjoin.broadcast_bytes", None)
+        if v is not None:
+            return float(v)
+    except Exception:
+        pass
+    return 8_000_000.0
 
 
 def _hash_sample(df: DataFrame, cols: Sequence[str], cap: int, salt: int):

@@ -59,7 +59,7 @@ def test_distance_join_grid_matches_bruteforce(spark, la, rb, r):
 
 @JOIN_SETTINGS
 @given(points, points, st.integers(min_value=1, max_value=4))
-@pytest.mark.parametrize("algo", ["bounded", "voronoi"])
+@pytest.mark.parametrize("algo", ["theta", "voronoi"])
 def test_knn_join_matches_bruteforce(spark, algo, la, rb, k):
     from simba_spark.operators.knn_join import knn_join
 

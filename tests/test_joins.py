@@ -75,7 +75,7 @@ def test_self_distance_join_dedup_pairs(pair_dfs):
     assert sorted((r.a_id, r.b_id) for r in got) == sorted(exp)
 
 
-@pytest.mark.parametrize("algo", ["cross", "broadcast", "bounded", "voronoi"])
+@pytest.mark.parametrize("algo", ["cross", "broadcast", "bounded", "theta", "voronoi"])
 @pytest.mark.parametrize("k", [1, 3])
 def test_knn_join_algos_match_oracle(pair_dfs, algo, k):
     a, b = pair_dfs
@@ -225,7 +225,7 @@ def test_knn_join_bounded_adversarial_skew(spark):
 
     want = key(knn_join(a, b, ["x", "y"], ["x", "y"], 4, left_id="id",
                         algo="cross", right_tiebreak="id"))
-    for algo in ("bounded", "voronoi"):
+    for algo in ("theta", "voronoi"):
         got = key(knn_join(a, b, ["x", "y"], ["x", "y"], 4, left_id="id",
                            algo=algo, right_tiebreak="id"))
         assert got == want, algo

@@ -183,3 +183,24 @@ def test_whole_stage_codegen_covers_spatial_filters(spark):
         l for l in plan.splitlines() if "Filter " in l and "PushedFilters" not in l
     ]
     assert filter_lines and all("*(" in l.split("Filter")[0] for l in filter_lines)
+
+
+def test_broadcast_knn_join_no_pair_shuffle(spark, pair_dfs):
+    """The broadcast kNN plan must keep the window in place: left is
+    hash-partitioned by its id BEFORE the broadcast cross join (BNLJ
+    preserves streamed-side partitioning), so no |L|x|R| pair exchange
+    exists, and Spark's WindowGroupLimit prunes to k per task."""
+    import re
+
+    from simba_spark.operators.knn_join import knn_join
+
+    a, b = pair_dfs
+    out = knn_join(a, b, ["x", "y"], ["x", "y"], 3, left_id="id",
+                   algo="broadcast", right_tiebreak="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 1, plan  # the skinny left repartition only
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.index("BroadcastNestedLoopJoin") > plan.index("Window"), (
+        "window must sit directly on the join output"
+    )

@@ -100,6 +100,12 @@ class SimbaContext:
 
         register_sql_functions(spark)
 
+    def sql(self, query: str) -> DataFrame:
+        """`spark.sql` with the `st_*` spatial functions guaranteed
+        registered (SQL mode — dropped in the standalone reference,
+        restored here; functions inline to JVM expressions)."""
+        return self.spark.sql(query)
+
     # -- filters ----------------------------------------------------------
     def range_query(self, df: DataFrame, cols, low, high) -> DataFrame:
         from .operators.filters import range_query

@@ -239,7 +239,15 @@ def _voronoi_knn_join(
     the same budget as the grid join. Pivot choice: greedy
     farthest-point over a hash-sample (deterministic; the reference
     scores random pivot *sets*, generatePivots VKJSpark.scala:50-67 —
-    k-center greedy spreads at least as well)."""
+    k-center greedy spreads at least as well).
+
+    Caveat (shared with the reference): on strongly anisotropic data
+    the θ bounds are loose — cells are wide along the dominant
+    dimension, so replication approaches all-pairs and a dense central
+    cell concentrates work. Cost degrades, exactness never does.
+    `algo='bounded'` is the production default for a reason; this
+    program exists for VKJSpark parity and for data where pivot cells
+    are actually tight (roughly isotropic metric spaces)."""
     import numpy as np
 
     from concurrent.futures import ThreadPoolExecutor

@@ -111,6 +111,9 @@ def _knn_scan(df, cols, query_point, k, tiebreak):
         order.append(F.col(tiebreak).asc())
     return (
         df.withColumn("__simba_d2", d2)
+        # a null distance (null key coordinates) never qualifies — without
+        # this, Spark's NULLS-FIRST asc would hand nulls the top-k slots
+        .filter(F.col("__simba_d2").isNotNull())
         .orderBy(*order)
         .limit(int(k))
         .drop("__simba_d2")

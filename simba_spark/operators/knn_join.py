@@ -58,7 +58,10 @@ def _topk(
         order.append(F.col(right_tiebreak).asc())
     w = Window.partitionBy(left_id).orderBy(*order)
     return (
-        pairs.withColumn("__rn", F.row_number().over(w))
+        # a null distance (null key coordinates) never claims a kNN slot —
+        # without this, Spark's NULLS-FIRST asc would rank nulls on top
+        pairs.filter(dist_col.isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(k))
         .drop("__rn")
     )

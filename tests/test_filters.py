@@ -104,3 +104,22 @@ def test_range_filter_pushdown_reaches_parquet(spark, tmp_path):
     plan = range_query(df, ["x", "y"], (10.0, 10.0), (20.0, 20.0))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(x,10.0" in plan
+
+
+def test_null_coordinates_excluded_like_sql(spark):
+    """Rows with NULL key coordinates never qualify for range / circle /
+    kNN — three-valued logic matches the SQL oracle's behavior, so
+    hash-matching holds on dirty data too."""
+    from simba_spark.operators.filters import circle_range, knn, range_query
+
+    df = spark.createDataFrame(
+        [(0, 5.0, 5.0), (1, None, 5.0), (2, 5.0, None), (3, None, None),
+         (4, 6.0, 6.0)],
+        "id long, x double, y double",
+    )
+    got = sorted(r.id for r in range_query(df, ["x", "y"], (0.0, 0.0), (10.0, 10.0)).collect())
+    assert got == [0, 4]
+    got = sorted(r.id for r in circle_range(df, ["x", "y"], (5.0, 5.0), 10.0).collect())
+    assert got == [0, 4]
+    got = sorted(r.id for r in knn(df, ["x", "y"], (5.0, 5.0), 10, tiebreak="id").collect())
+    assert got == [0, 4], "null-key rows must not fill kNN slots"

@@ -229,3 +229,47 @@ def test_knn_join_bounded_adversarial_skew(spark):
         got = key(knn_join(a, b, ["x", "y"], ["x", "y"], 4, left_id="id",
                            algo=algo, right_tiebreak="id"))
         assert got == want, algo
+
+
+def test_joins_generalize_to_3d(spark):
+    """The reference's Point is N-dimensional (Point.scala:28-29); every
+    join program here is dimension-generic — pin that with a 3-D
+    equivalence run (grid ≡ cross, theta/voronoi ≡ cross top-k)."""
+    import random
+
+    from simba_spark.operators.distance_join import distance_join
+    from simba_spark.operators.knn_join import knn_join
+
+    rng = random.Random(11)
+    mk = lambda n, off: [
+        (i, rng.uniform(0, 100) + off, rng.uniform(0, 100), rng.uniform(0, 100))
+        for i in range(n)
+    ]
+    a = spark.createDataFrame(mk(120, 0.0), "id long, x double, y double, z double")
+    b = spark.createDataFrame(mk(150, 2.0), "id long, x double, y double, z double")
+    cols = ["x", "y", "z"]
+
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in distance_join(a, b, cols, cols, 12.0, algo="grid",
+                               left_prefix="a_", right_prefix="b_").collect()
+    )
+    want = sorted(
+        (r["a_id"], r["b_id"])
+        for r in distance_join(a, b, cols, cols, 12.0, algo="cross",
+                               left_prefix="a_", right_prefix="b_").collect()
+    )
+    assert got == want and len(want) > 0
+
+    ref = sorted(
+        (r["l_id"], r["r_id"])
+        for r in knn_join(a, b, cols, cols, 3, left_id="id", algo="cross",
+                          right_tiebreak="id").collect()
+    )
+    for algo in ("theta", "voronoi"):
+        got = sorted(
+            (r["l_id"], r["r_id"])
+            for r in knn_join(a, b, cols, cols, 3, left_id="id", algo=algo,
+                              right_tiebreak="id").collect()
+        )
+        assert got == ref, algo

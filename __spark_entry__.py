@@ -3,9 +3,9 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 north-star ops); each callable takes (spark, sf_dir) → DataFrame.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; omitted for
-genuinely non-SQL-expressible ops (hash-based LSH families, approximate
-joins), which the driver records as rows-only checks.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for EVERY
+queries() entry (approximate ops are seeded/deterministic, so even the
+LSH and z-order families are reproduced bit-for-bit in SQL).
 
 Conventions for hash-matching (driver compares sorted-by-name columns,
 order-insensitive values):
@@ -840,6 +840,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 
+
+def _ann_oracle_sql() -> str:
+    """DuckDB SQL reproducing ``q_embedding_ann_topk``.
+
+    The hyperplane LSH is seeded: the plane matrix is a data-independent
+    numpy draw we regenerate here and embed as literals. Signatures are
+    recomputed per row with the SAME fold association as the Spark
+    expression ((0.0 + e1·p1) + e2·p2 + …), the multi-probe set is
+    exactly `bit_count(sig XOR qsig) <= probe_hamming`, and the cosine
+    ranking mirrors the already-hash-matched embedding_topk pattern.
+    Sign decisions agree across engines unless a dot product sits within
+    ~1 ulp of zero (probability ≈ 0 for continuous data).
+    """
+    from simba_spark.operators.dedup import hyperplane_planes
+
+    planes = hyperplane_planes(8, 64, 42)
+
+    def sig_expr(vec):
+        dots = []
+        for p in planes:
+            terms = "0.0"
+            for i, x in enumerate(p):
+                terms = f"({terms} + (CAST({vec}[{i + 1}] AS DOUBLE) * {float(x)!r}))"
+            dots.append(terms)
+        bits = " | ".join(
+            f"(CASE WHEN {d} >= 0 THEN (1 << {p_idx}) ELSE 0 END)"
+            for p_idx, d in enumerate(dots)
+        )
+        return f"({bits})"
+
+    return f"""
+        WITH q AS (
+          SELECT embedding FROM embeddings WHERE vec_id = 0
+        ),
+        qs AS (
+          SELECT {sig_expr("q.embedding")} AS qsig FROM q
+        ),
+        s AS (
+          SELECT e.vec_id, e.embedding, {sig_expr("e.embedding")} AS sig
+          FROM embeddings e
+        )
+        SELECT s.vec_id,
+               round(list_cosine_similarity(s.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim4
+        FROM s, q, qs
+        WHERE bit_count(CAST(xor(s.sig, qs.qsig) AS BIGINT)) <= 3
+        ORDER BY round(list_cosine_similarity(s.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                 s.vec_id ASC
+        LIMIT 10
+    """
+
+
+def _zknn_oracle_sql() -> str:
+    """DuckDB SQL reproducing ``q_zknn_join`` bit-for-bit.
+
+    zknn is approximate-by-algorithm but DETERMINISTIC given the seed:
+    the shift vector is span * u where u comes from Random(seed) (a
+    data-independent draw we can embed as a literal), and every other
+    step — grid scaling, z-interleave, per-shift global right-rank,
+    ±window_mult·k candidate windows, (dist, id) top-k — is plain
+    arithmetic both engines execute identically (IEEE doubles, same
+    association order as the Column expressions). This turns the whole
+    scalable-rank pipeline into a hash-matched row instead of a
+    rows-only check.
+    """
+    import random
+
+    rng = random.Random(42)
+    u0, u1 = rng.random(), rng.random()  # uniform(0, sp) = sp * random()
+    bits, k_w = 16, 3 * 2  # bits/dim; k * window_mult
+    scale = (1 << bits) - 1
+
+    def ival(col, sv, mn):
+        return (
+            f"LEAST({scale}, GREATEST(0, CAST(round((({col} + {sv}) - {mn})"
+            f" * p.iso) AS BIGINT)))"
+        )
+
+    # bit j of coord i -> position j*2 + i (z_value_col layout)
+    z_terms = " | ".join(
+        f"(((i0 >> {j}) & 1) << {2 * j}) | (((i1 >> {j}) & 1) << {2 * j + 1})"
+        for j in range(bits)
+    )
+
+    def zsrc(table, idc, c0, c1):
+        return f"""
+          SELECT tag, {idc}, ({z_terms}) AS z FROM (
+            SELECT sh.tag, t.{idc},
+                   {ival(f"t.{c0}", "sh.sv0", "p.mn0")} AS i0,
+                   {ival(f"CAST(t.{c1} AS DOUBLE)", "sh.sv1", "p.mn1")} AS i1
+            FROM {table} t CROSS JOIN shifts sh CROSS JOIN params p
+          )"""
+
+    d2 = (
+        "(0.0 + (s.s_acctbal - c.c_acctbal)*(s.s_acctbal - c.c_acctbal))"
+        " + (CAST(s.s_nationkey AS DOUBLE) - CAST(c.c_nationkey AS DOUBLE))"
+        " * (CAST(s.s_nationkey AS DOUBLE) - CAST(c.c_nationkey AS DOUBLE))"
+    )
+    return f"""
+        WITH bounds AS (
+          SELECT min(d0) AS mn0, max(d0) AS mx0, min(d1) AS mn1, max(d1) AS mx1
+          FROM (
+            SELECT s_acctbal AS d0, CAST(s_nationkey AS DOUBLE) AS d1 FROM supplier
+            UNION ALL
+            SELECT c_acctbal AS d0, CAST(c_nationkey AS DOUBLE) AS d1 FROM customer
+          )
+        ),
+        params AS (
+          SELECT mn0, mn1,
+                 CASE WHEN mx0 > mn0 THEN mx0 - mn0 ELSE 1.0 END AS sp0,
+                 CASE WHEN mx1 > mn1 THEN mx1 - mn1 ELSE 1.0 END AS sp1,
+                 {float(scale)!r} / GREATEST(
+                   CASE WHEN mx0 > mn0 THEN mx0 - mn0 ELSE 1.0 END,
+                   CASE WHEN mx1 > mn1 THEN mx1 - mn1 ELSE 1.0 END) AS iso
+          FROM bounds
+        ),
+        shifts AS (
+          SELECT 0 AS tag, 0.0 AS sv0, 0.0 AS sv1 FROM params
+          UNION ALL
+          SELECT 1, sp0 * {u0!r}, sp1 * {u1!r} FROM params
+        ),
+        rz AS ({zsrc("customer", "c_custkey", "c_acctbal", "c_nationkey")}),
+        lz AS ({zsrc("supplier", "s_suppkey", "s_acctbal", "s_nationkey")}),
+        rranks AS (
+          SELECT tag, c_custkey,
+                 ROW_NUMBER() OVER (PARTITION BY tag ORDER BY z, c_custkey) AS rnk
+          FROM rz
+        ),
+        lcounts AS (
+          SELECT l.tag, l.s_suppkey, COUNT(r.c_custkey) AS c
+          FROM lz l LEFT JOIN rz r ON r.tag = l.tag AND r.z <= l.z
+          GROUP BY l.tag, l.s_suppkey
+        ),
+        cand AS (
+          SELECT DISTINCT lc.s_suppkey, rr.c_custkey
+          FROM lcounts lc JOIN rranks rr
+            ON rr.tag = lc.tag
+           AND rr.rnk BETWEEN GREATEST(lc.c - {k_w - 1}, 1) AND lc.c + {k_w}
+        ),
+        scored AS (
+          SELECT cd.s_suppkey, cd.c_custkey,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cd.s_suppkey
+                   ORDER BY sqrt({d2}) ASC, cd.c_custkey ASC) AS rn
+          FROM cand cd
+          JOIN supplier s USING (s_suppkey)
+          JOIN customer c USING (c_custkey)
+        )
+        SELECT s_suppkey, c_custkey FROM scored WHERE rn <= 3
+    """
+
 def _ev_d2(cx: float, cy: float) -> str:
     return (
         f"((value - {cx})*(value - {cx}) + "
@@ -1327,6 +1477,8 @@ def oracle_sql() -> dict[str, str]:
                    round({_md5_byte_sql(7)} / 255.0, 6) AS rms
             FROM documents
         """,
+        "zknn_join": _zknn_oracle_sql(),
+        "embedding_ann_topk": _ann_oracle_sql(),
         "doc_sample": """
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5(doc_id || '#7'), 1, 13))::BIGINT
@@ -1366,6 +1518,4 @@ def oracle_sql() -> dict[str, str]:
                      e.vec_id ASC
             LIMIT 10
         """,
-        # rows-only (genuinely approximate / non-SQL): zknn_join,
-        # embedding_ann_topk
     }

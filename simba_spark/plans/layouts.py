@@ -167,6 +167,8 @@ class LayoutRegistry:
         # semantic-hash → name: routes fresh reads of a persisted layout's
         # path (the reference's sameResult matching, QueryExecution.scala:30-33)
         self._by_sem: dict = {}
+        # sorted-file-set → name: routes SQL-defined views over the path
+        self._by_files: dict = {}
 
     # -- DDL --------------------------------------------------------------
     def create(
@@ -279,6 +281,11 @@ class LayoutRegistry:
             h = _sem_hash(d)
             if h is not None:
                 self._by_sem[h] = layout.name
+        if layout.source_path is not None:
+            try:
+                self._by_files[tuple(sorted(layout.df.inputFiles()))] = layout.name
+            except Exception:
+                pass
 
     def drop(self, name: str) -> bool:
         lay = self._layouts.pop(name, None)
@@ -291,6 +298,7 @@ class LayoutRegistry:
             h = _sem_hash(d)
             if h is not None:
                 self._by_sem.pop(h, None)
+        self._by_files = {k: v for k, v in self._by_files.items() if v != name}
         try:
             lay.df.unpersist()
         except Exception:
@@ -402,6 +410,21 @@ class LayoutRegistry:
             h = _sem_hash(df)
             if h is not None:
                 name = self._by_sem.get(h)
+        if name is None:
+            # last resort for SQL-defined views over a persisted layout's
+            # path (their analyzed plan hashes differently): match the
+            # scanned file set, but ONLY for provably-bare scans — a
+            # user filter/rename must never be silently replaced by the
+            # full relation
+            files = _bare_scan_files(df)
+            if files:
+                name = self._by_files.get(files)
+                if name is not None:
+                    lay = self._layouts.get(name)
+                    if lay is None or df.schema not in (
+                        lay.df.schema, lay.data.schema if lay.data is not None else None
+                    ):
+                        name = None
         return self._layouts.get(name) if name else None
 
     def prune_for_range(self, df: DataFrame, cols, low, high) -> DataFrame:
@@ -442,6 +465,43 @@ class LayoutRegistry:
             if total > 0 and hit / total > thresh:
                 return df
         return lay.pruned_scan(ranges)
+
+
+def _bare_scan_files(df: DataFrame):
+    """The sorted scanned-file tuple IFF the analyzed plan is a bare
+    relation scan — only Project (pass-through, no aliases) /
+    SubqueryAlias / View / Relation nodes. Anything else (Filter, Join,
+    computed Project, …) returns None: mis-routing a transformed plan to
+    the full relation would silently change results."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    for raw in plan.splitlines():
+        stripped = raw.strip().lstrip("+-:").strip()
+        if not stripped:
+            continue
+        head = stripped.split(" ", 1)[0].split("[", 1)[0]
+        if head not in ("Project", "SubqueryAlias", "View", "Relation"):
+            return None
+        if head == "Project" and " AS " in stripped:
+            # SQL views insert schema-stabilizing self-casts
+            # (`cast(x#1 as double) AS x#9`) — pass-through by
+            # construction; any OTHER alias is a real rename → reject
+            import re
+
+            casts = re.findall(
+                r"cast\((\w+)#\d+[A-Za-z]* as [^)]+\) AS (\w+)#\d+", stripped
+            )
+            if len(casts) != stripped.count(" AS ") or any(
+                a != b for a, b in casts
+            ):
+                return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    return tuple(sorted(files)) if files else None
 
 
 def _sem_hash(df: DataFrame):

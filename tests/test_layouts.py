@@ -176,3 +176,36 @@ def test_set_index_storage_level(lctx, points_df):
         assert not lctx.set_index_storage_level("missing_idx", StorageLevel.DISK_ONLY)
     finally:
         lctx.drop_index("sl_idx")
+
+
+def test_sql_view_routes_to_persisted_layout(lctx, points_df, tmp_path):
+    """A SQL-defined view over a persisted layout's path routes through
+    the index (reference parity: sameResult matching routes SQL over
+    temp views, QueryExecution.scala:30-33) — but only bare scans: a
+    filtered or column-renamed view must NOT be silently replaced by the
+    full relation."""
+    from simba_spark.operators.filters import range_query
+
+    spark = points_df.sparkSession
+    lctx.create_index(points_df, ["x", "y"], "sqlv_idx", kind="zorder")
+    path = str(tmp_path / "sqlv")
+    lctx.persist_index("sqlv_idx", path)
+    try:
+        data_dir = f"{path}/data"
+        spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW sqlv AS SELECT * FROM parquet.`{data_dir}`"
+        )
+        tbl = spark.table("sqlv")
+        assert lctx.layouts.layout_for(tbl) is not None
+        assert lctx.layouts.layout_for(tbl.filter("x > 10")) is None
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW sqlv_renamed AS "
+            f"SELECT x AS y, y AS x, id, __simba_z, __simba_zb FROM parquet.`{data_dir}`"
+        )
+        assert lctx.layouts.layout_for(spark.table("sqlv_renamed")) is None
+        naive = _ids(range_query(points_df, ["x", "y"], (100.0, 100.0), (300.0, 300.0)))
+        routed = _ids(lctx.range_query(tbl, ["x", "y"], (100.0, 100.0), (300.0, 300.0)))
+        assert routed == naive
+    finally:
+        lctx.drop_index("sqlv_idx")
+        assert lctx.layouts.layout_for(spark.table("sqlv")) is None

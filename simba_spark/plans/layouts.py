@@ -410,7 +410,7 @@ class LayoutRegistry:
             h = _sem_hash(df)
             if h is not None:
                 name = self._by_sem.get(h)
-        if name is None:
+        if name is None and self._by_files:
             # last resort for SQL-defined views over a persisted layout's
             # path (their analyzed plan hashes differently): match the
             # scanned file set, but ONLY for provably-bare scans — a

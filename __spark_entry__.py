@@ -710,6 +710,16 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_term_stats(spark, sf_dir):
+    """Corpus vocabulary stats: top-30 terms by document frequency
+    (IDF/stopword-list input; explode + one combine-friendly groupBy)."""
+    from simba_spark.operators.text import term_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = term_stats(docs)
+    return out.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(30)
+
+
 def q_doc_sample(spark, sf_dir):
     """Deterministic hash sampling (reproducible corpus subsetting):
     membership = md5-derived uniform < rate, mirrored exactly in SQL."""
@@ -827,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         # pipeline utilities
+        "term_stats": q_term_stats,
         "doc_sample": q_doc_sample,
         "source_quota": q_source_quota,
         "doc_pack": q_doc_pack,
@@ -1479,6 +1490,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zknn_join": _zknn_oracle_sql(),
         "embedding_ann_topk": _ann_oracle_sql(),
+        "term_stats": r"""
+            SELECT term,
+                   COUNT(DISTINCT doc_id) AS doc_freq,
+                   COUNT(*) AS term_freq
+            FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY term
+            ORDER BY doc_freq DESC, term ASC
+            LIMIT 30
+        """,
         "doc_sample": """
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5(doc_id || '#7'), 1, 13))::BIGINT

@@ -53,6 +53,25 @@ def bpe_ish_token_count(col) -> Column:
     )
 
 
+def term_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary statistics: per lowercase whitespace token, its
+    document frequency (`doc_freq`) and total occurrences (`term_freq`)
+    — the input to stopword lists, IDF weights, and prefix-filter
+    orderings. One explode + one groupBy (partial aggregation map-side);
+    skew-free (the groupBy key is the term itself, and hot terms still
+    combine before the shuffle)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+
+
 def stopword_hits(col, lang: str) -> Column:
     """Occurrences of the language's stopwords as whole words."""
     c = F.col(col) if isinstance(col, str) else col

@@ -80,3 +80,16 @@ def test_pack_sequences_per_group_restarts(spark):
     # each group packs independently: 6 rows of 10 at target 30 → packs 0,0,0,1,1,1
     for g, base in (("a", 0), ("b", 6)):
         assert [got[(g, base + j)] for j in range(6)] == [0, 0, 0, 1, 1, 1]
+
+
+def test_term_stats_counts(spark):
+    from simba_spark.operators.text import term_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat  sat"), (2, "THE dog"), (3, "cat")],
+        "doc_id long, text string",
+    )
+    got = {r.term: (r.doc_freq, r.term_freq) for r in term_stats(df).collect()}
+    assert got == {
+        "the": (2, 2), "cat": (2, 2), "sat": (1, 1), "dog": (1, 1),
+    }

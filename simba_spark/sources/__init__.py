@@ -31,3 +31,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for SQL-mode queries."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    num_buckets: int,
+    sort_cols=None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed (and optionally sorted) Parquet table.
+
+    Bucketing is the co-located-join lever at the 100 TB design point:
+    two tables bucketed on the same key with the same bucket count
+    equi-join with ZERO shuffle on either side (and zero sort when
+    sort-bucketed) — the one-time write cost is amortized over every
+    subsequent join, the same trade the layout registry makes for
+    spatial scans. Uses the session catalog (`saveAsTable`) because
+    bucket metadata lives in the metastore, not in the files.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.format("parquet").mode(mode).bucketBy(int(num_buckets), *cols)
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*scols)
+    w.saveAsTable(table)

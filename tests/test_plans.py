@@ -204,3 +204,27 @@ def test_broadcast_knn_join_no_pair_shuffle(spark, pair_dfs):
     assert plan.index("BroadcastNestedLoopJoin") > plan.index("Window"), (
         "window must sit directly on the join output"
     )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key + count must sort-merge join
+    with NO Exchange on either side — the co-located-join contract that
+    makes repeated joins over a 100 TB fact table affordable."""
+    import re
+
+    from simba_spark.sources import write_bucketed
+
+    a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS vb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(a, "bk_a", "k", 8, sort_cols="k")
+        write_bucketed(b, "bk_b", "k", 8, sort_cols="k")
+        out = spark.table("bk_a").join(spark.table("bk_b"), on="k", how="inner")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning", plan), plan
+        assert out.count() == 5000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

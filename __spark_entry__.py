@@ -720,6 +720,21 @@ def q_term_stats(spark, sf_dir):
     return out.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(30)
 
 
+def q_corpus_build(spark, sf_dir):
+    """End-to-end corpus build — the pipeline ops COMPOSE: exact dedup
+    (keep min doc_id per normalized-text fingerprint) → per-source
+    quota (12) → sequence packing (3000 chars, global doc_id order).
+    One SQL oracle mirrors the whole chain."""
+    from simba_spark.operators.dedup import exact_dedup
+    from simba_spark.operators.pipeline import group_quota, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs)
+    quota = group_quota(deduped, "source", 12, order_col="doc_id")
+    packed = pack_sequences(quota, "n_chars", 3000, order_col="doc_id")
+    return packed.select("doc_id", "source", "pack_id", "pack_pos")
+
+
 def q_doc_sample(spark, sf_dir):
     """Deterministic hash sampling (reproducible corpus subsetting):
     membership = md5-derived uniform < rate, mirrored exactly in SQL."""
@@ -837,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         # pipeline utilities
+        "corpus_build": q_corpus_build,
         "term_stats": q_term_stats,
         "doc_sample": q_doc_sample,
         "source_quota": q_source_quota,
@@ -1490,6 +1506,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zknn_join": _zknn_oracle_sql(),
         "embedding_ann_topk": _ann_oracle_sql(),
+        "corpus_build": r"""
+            WITH dedup AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            ), kept AS (
+              SELECT d.doc_id, d.source, d.n_chars
+              FROM documents d JOIN dedup USING (doc_id)
+            ), quota AS (
+              SELECT doc_id, source, n_chars FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM kept
+              ) WHERE rn <= 12
+            ), c AS (
+              SELECT doc_id, source, n_chars,
+                     SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM quota
+            ), p AS (
+              SELECT doc_id, source,
+                     CAST(FLOOR((cum - n_chars) / 3000) AS BIGINT) AS pack_id
+              FROM c
+            )
+            SELECT doc_id, source, pack_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pack_id ORDER BY doc_id) AS BIGINT)
+                     AS pack_pos
+            FROM p
+        """,
         "term_stats": r"""
             SELECT term,
                    COUNT(DISTINCT doc_id) AS doc_freq,

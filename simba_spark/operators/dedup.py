@@ -451,17 +451,30 @@ def simhash(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("__tok"),
     ).withColumn("__h", _hash64(F.col("__tok"), 0, hash_fn))
-    aggs = []
-    for i in range(bits):
-        bit = F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"__b{i}")
-        )
+    # bit i is set iff sign(Σ ±1) > 0 ⟺ 2·count_of_1s(i) > n_tokens.
+    # The per-bit counters are PACKED three to a long (21-bit lanes) so
+    # the groupBy runs 22 sum aggregates instead of 64 — ~3× less
+    # aggregation work per row, bit-identical signatures. Lane capacity
+    # 2^21 tokens/doc; the packed per-token value (≤ 2^42+2^21+1) times
+    # 2^20 tokens stays under 2^63, so docs up to ~1M tokens are safe.
+    LANE, PER = 21, 3
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for g in range((bits + PER - 1) // PER):
+        packed = None
+        for lane in range(min(PER, bits - g * PER)):
+            i = g * PER + lane
+            b = F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+            t = F.shiftleft(b, LANE * lane)
+            packed = t if packed is None else packed + t
+        aggs.append(F.sum(packed).alias(f"__g{g}"))
     sums = toks.groupBy(id_col).agg(*aggs)
     h = F.lit(0).cast("long")
+    mask = (1 << LANE) - 1
     for i in range(bits):
+        g, lane = divmod(i, PER)
+        c = F.shiftright(F.col(f"__g{g}"), LANE * lane).bitwiseAND(F.lit(mask))
         h = h.bitwiseOR(
-            F.when(F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+            F.when(c * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
     return sums.select(F.col(id_col), h.alias("simhash"))
 

@@ -516,9 +516,10 @@ def zknn_join(
     (ref: ZKJSpark.scala:36-170; shifts default 2, SimbaConf.scala:120).
 
     Both sides map onto a [0, 2^bits) integer grid with ONE isotropic
-    scale factor (union bounding box, one tiny agg collect) and are
-    z-valued — per-dimension normalization would distort the metric on
-    anisotropic data.
+    scale factor (union bounding box as a broadcast 1-row aggregate — on
+    the rank path no driver job at all) and are z-valued —
+    per-dimension normalization would distort the metric on anisotropic
+    data.
 
     ``refine='rank'`` (default, requires `right_tiebreak` as a unique
     right key — reference parity): per shift, each left row pairs with
@@ -527,9 +528,9 @@ def zknn_join(
     the multiplier buys recall at a strictly bounded 2·window_mult·k·
     shifts candidates per left row — a dense z-region cannot blow up
     the join). The global z-rank is computed scalably:
-    range-repartition by z, per-partition running counts, driver-side
-    per-partition offsets (num_partitions longs to the driver — never a
-    single-partition window).
+    range-repartition by z, per-partition running counts, broadcast
+    cumulative per-partition offsets — never a single-partition window
+    over the data.
 
     ``refine='bucket'`` (fallback when no unique right key is given):
     bucket both sides by coarse z-prefix and equi-join on bucket
@@ -543,9 +544,13 @@ def zknn_join(
     assert d == len(right_cols)
     k = int(k)
     rng = random.Random(seed)
+    scale = (1 << bits) - 1
 
-    # bounding box over both sides + right count — ONE driver job over a
-    # tagged union of just the key columns (1 row back)
+    # bounding box over both sides — ONE tiny aggregate over a tagged
+    # union of just the key columns. On the rank path it stays a 1-row
+    # DataFrame broadcast into the z expressions (NO driver job at all);
+    # the bucket path collects it (it needs the right count for its
+    # bucket-granularity heuristic).
     lk = left.select(
         *[F.col(c).cast("double").alias(f"d{i}") for i, c in enumerate(left_cols)],
         F.lit(0).alias("__r"),
@@ -554,31 +559,27 @@ def zknn_join(
         *[F.col(c).cast("double").alias(f"d{i}") for i, c in enumerate(right_cols)],
         F.lit(1).alias("__r"),
     )
-    stats = lk.unionByName(rk).agg(
-        *[F.min(f"d{i}").alias(f"mn{i}") for i in range(d)],
-        *[F.max(f"d{i}").alias(f"mx{i}") for i in range(d)],
-        F.sum("__r").alias("n"),
-    ).collect()[0]
-    mins = [stats[f"mn{i}"] for i in range(d)]
-    maxs = [stats[f"mx{i}"] for i in range(d)]
-    spans = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
-    scale = (1 << bits) - 1
+    stats_df = lk.unionByName(rk).agg(
+        *[F.min(f"d{i}").alias(f"__mn{i}") for i in range(d)],
+        *[F.max(f"d{i}").alias(f"__mx{i}") for i in range(d)],
+        F.sum("__r").alias("__nr"),
+    )
     # ONE isotropic scale factor for every dimension: per-dim
     # normalization would stretch narrow dimensions, silently changing
     # the metric (z-neighbors in stretched space are not Euclidean
     # neighbors — recall collapses on anisotropic data like
     # (acctbal, nationkey)). The reference interleaves raw coordinates
     # for the same reason (ref: ZKJSpark.scala:46-54).
-    iso = scale / max(spans)
-    n_right = int(stats["n"])
-
-    if bucket_bits is None:
-        # choose bucket granularity from density: aim for ~8k right rows
-        # per bucket so the ±1-bucket candidate window holds ≳ 24k z-order
-        # neighbors per left row (ZKJSpark keeps ±k per shift — we keep a
-        # whole bucket, coarser but join-expressible)
-        target_buckets = max(1, n_right // max(1, 8 * k))
-        bucket_bits = max(1, min(d * bits - 1, int(math.log2(target_buckets)) if target_buckets > 1 else 1))
+    spans = [
+        F.when(
+            F.col(f"__mx{i}") > F.col(f"__mn{i}"),
+            F.col(f"__mx{i}") - F.col(f"__mn{i}"),
+        ).otherwise(F.lit(1.0)).alias(f"__sp{i}")
+        for i in range(d)
+    ]
+    stats_df = stats_df.select("*", *spans).withColumn(
+        "__iso", F.lit(float(scale)) / F.greatest(*[F.col(f"__sp{i}") for i in range(d)])
+    )
 
     lp = _prefix_columns(left, left_prefix)
     rp = _prefix_columns(right, right_prefix)
@@ -588,34 +589,42 @@ def zknn_join(
     rtb = f"{right_prefix}{right_tiebreak}" if right_tiebreak else None
     dist = F.sqrt(dist2_cols(lcols, rcols))
 
-    def zcol(cols, shift_vec):
-        from ..functions import z_value_col
-
-        ints = [
-            F.least(
-                F.lit(scale),
-                F.greatest(
-                    F.lit(0),
-                    F.round(
-                        (F.col(c) + F.lit(sv) - F.lit(mn)) * F.lit(iso)
-                    ).cast("long"),
-                ),
-            )
-            for c, sv, mn in zip(cols, shift_vec, mins)
-        ]
-        return z_value_col(ints, bits=bits)
-
-    shift_vecs = [
-        [0.0] * d if s == 0 else [rng.uniform(0.0, sp) for sp in spans]
+    # the shift is span · u with u a data-independent draw — so it stays
+    # a Column (span from the broadcast stats row, u a literal) and the
+    # curve is identical to the collected-literal formulation
+    shift_us = [
+        [0.0] * d if s == 0 else [rng.uniform(0.0, 1.0) for _ in range(d)]
         for s in range(int(shifts))
     ]
 
+    def zcol(cols, us):
+        from ..functions import z_value_col
+
+        ints = []
+        for i, (c, u) in enumerate(zip(cols, us)):
+            sv = F.col(f"__sp{i}") * F.lit(float(u))
+            ints.append(
+                F.least(
+                    F.lit(scale),
+                    F.greatest(
+                        F.lit(0),
+                        F.round(
+                            (F.col(c) + sv - F.col(f"__mn{i}")) * F.col("__iso")
+                        ).cast("long"),
+                    ),
+                )
+            )
+        return z_value_col(ints, bits=bits)
+
     if refine == "rank" and rtb is not None:
+        bstats = F.broadcast(stats_df)
         lz_list = [
-            lp.select(lid, zcol(lcols, sv).alias("__z")) for sv in shift_vecs
+            lp.crossJoin(bstats).select(lid, zcol(lcols, us).alias("__z"))
+            for us in shift_us
         ]
         rz_list = [
-            rp.select(rtb, zcol(rcols, sv).alias("__z")) for sv in shift_vecs
+            rp.crossJoin(bstats).select(rtb, zcol(rcols, us).alias("__z"))
+            for us in shift_us
         ]
         cand_ids = _zrank_candidates_multi(
             lz_list, rz_list, k * max(1, int(window_mult)), lid, rtb
@@ -627,12 +636,44 @@ def zknn_join(
         )
         return _topk(pairs, lid, k, F.col("dist"), rtb)
 
+    # bucket path: needs driver-side stats (bucket_bits heuristic)
+    stats = stats_df.collect()[0]
+    mins = [stats[f"__mn{i}"] for i in range(d)]
+    span_vals = [float(stats[f"__sp{i}"]) for i in range(d)]
+    iso = float(stats["__iso"])
+    n_right = int(stats["__nr"])
+
+    if bucket_bits is None:
+        # choose bucket granularity from density: aim for ~8k right rows
+        # per bucket so the ±1-bucket candidate window holds ≳ 24k z-order
+        # neighbors per left row (ZKJSpark keeps ±k per shift — we keep a
+        # whole bucket, coarser but join-expressible)
+        target_buckets = max(1, n_right // max(1, 8 * k))
+        bucket_bits = max(1, min(d * bits - 1, int(math.log2(target_buckets)) if target_buckets > 1 else 1))
+
+    def zcol_lit(cols, us):
+        from ..functions import z_value_col
+
+        ints = [
+            F.least(
+                F.lit(scale),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (F.col(c) + F.lit(sp * u) - F.lit(mn)) * F.lit(iso)
+                    ).cast("long"),
+                ),
+            )
+            for c, u, sp, mn in zip(cols, us, span_vals, mins)
+        ]
+        return z_value_col(ints, bits=bits)
+
     # bucket fallback (no unique right key): coarse z-prefix equi-join
     unions = []
-    for shift_vec in shift_vecs:
+    for us in shift_us:
         shift_amt = d * bits - bucket_bits
-        lz = lp.withColumn("__b", F.shiftright(zcol(lcols, shift_vec), shift_amt))
-        rz = rp.withColumn("__b", F.shiftright(zcol(rcols, shift_vec), shift_amt))
+        lz = lp.withColumn("__b", F.shiftright(zcol_lit(lcols, us), shift_amt))
+        rz = rp.withColumn("__b", F.shiftright(zcol_lit(rcols, us), shift_amt))
         rz = rz.withColumn("__b", F.explode(F.array(F.col("__b") - 1, F.col("__b"), F.col("__b") + 1)))
         unions.append(lz.join(rz, on="__b", how="inner").drop("__b"))
 

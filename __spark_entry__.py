@@ -326,6 +326,24 @@ def q_segment_range(spark, sf_dir):
     )
 
 
+def q_segment_join(spark, sf_dir):
+    """Segment-segment intersection join (closed; orientation tests as
+    Column arithmetic — ref: LineSegment.intersects via JTS,
+    LineSegment.scala:33-45). Two small event-derived segment sets,
+    pairs whose segments cross."""
+    from simba_spark.operators.shapes import segments_intersect
+
+    segs = _ev_segments(spark, sf_dir)
+    a = segs.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("a_id"), F.col("seg").alias("seg_a")
+    )
+    b = segs.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("b_id"), F.col("seg").alias("seg_b")
+    )
+    out = a.crossJoin(b).filter(segments_intersect("seg_a", "seg_b"))
+    return out.select("a_id", "b_id")
+
+
 def q_box_range(spark, sf_dir):
     """InRange over an MBR column: closed box-box intersection
     (ref: MBR.intersects, MBR.scala:60-67)."""
@@ -819,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_routed_knn": q_layout_routed_knn,
         "interval_1d": q_interval_1d,
         "segment_range": q_segment_range,
+        "segment_join": q_segment_join,
         "box_range": q_box_range,
         # spatial joins
         "distance_join": q_distance_join,
@@ -1227,6 +1246,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM boxes
             WHERE xhi >= {_SHAPE_LO[0]} AND xlo <= {_SHAPE_HI[0]}
               AND yhi >= {_SHAPE_LO[1]} AND ylo <= {_SHAPE_HI[1]}
+        """,
+        "segment_join": """
+            WITH segs AS (
+              SELECT event_id,
+                     value AS x1, CAST(user_id AS DOUBLE) AS y1,
+                     value + CAST(event_id % 17 AS DOUBLE) - 8.0 AS x2,
+                     CAST(user_id AS DOUBLE) + CAST(event_id % 11 AS DOUBLE) - 5.0 AS y2
+              FROM events
+            ), o AS (
+              SELECT a.event_id AS a_id, b.event_id AS b_id,
+                     (a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1) AS o1,
+                     (a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1) AS o2,
+                     (b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1) AS o3,
+                     (b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1) AS o4,
+                     a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+                     b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+              FROM segs a, segs b
+              WHERE a.event_id % 97 = 0 AND b.event_id % 89 = 0
+            )
+            SELECT a_id, b_id FROM o
+            WHERE (((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+                   AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)))
+               OR (o1 = 0 AND bx1 >= LEAST(ax1, ax2) AND bx1 <= GREATEST(ax1, ax2)
+                          AND by1 >= LEAST(ay1, ay2) AND by1 <= GREATEST(ay1, ay2))
+               OR (o2 = 0 AND bx2 >= LEAST(ax1, ax2) AND bx2 <= GREATEST(ax1, ax2)
+                          AND by2 >= LEAST(ay1, ay2) AND by2 <= GREATEST(ay1, ay2))
+               OR (o3 = 0 AND ax1 >= LEAST(bx1, bx2) AND ax1 <= GREATEST(bx1, bx2)
+                          AND ay1 >= LEAST(by1, by2) AND ay1 <= GREATEST(by1, by2))
+               OR (o4 = 0 AND ax2 >= LEAST(bx1, bx2) AND ax2 <= GREATEST(bx1, bx2)
+                          AND ay2 >= LEAST(by1, by2) AND ay2 <= GREATEST(by1, by2))
         """,
         "segment_range": f"""
             WITH segs AS (

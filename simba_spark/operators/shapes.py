@@ -145,6 +145,47 @@ def segment_intersects_circle(seg_col, center: Sequence[float], radius: float) -
     return d2 <= F.lit(r * r)
 
 
+def segments_intersect(seg_a, seg_b) -> Column:
+    """Closed segment-segment intersection (touching endpoints and
+    collinear overlap count) — the classic orientation test as pure
+    Column arithmetic (driver-side twin: geometry._segments_intersect,
+    ref: LineSegment.intersects, LineSegment.scala:33-45).
+
+    Proper crossing: the endpoints of each segment lie strictly on
+    opposite sides of the other's supporting line. Degenerate cases: a
+    zero orientation puts an endpoint ON the other line — it intersects
+    iff that endpoint also falls inside the other segment's bbox."""
+    ax1, ay1, ax2, ay2 = _seg_parts(seg_a)
+    bx1, by1, bx2, by2 = _seg_parts(seg_b)
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+
+    proper = (
+        (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+        & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+    )
+
+    def on_bbox(px, py, sx1, sy1, sx2, sy2):
+        return (
+            (px >= F.least(sx1, sx2)) & (px <= F.greatest(sx1, sx2))
+            & (py >= F.least(sy1, sy2)) & (py <= F.greatest(sy1, sy2))
+        )
+
+    touch = (
+        ((o1 == 0) & on_bbox(bx1, by1, ax1, ay1, ax2, ay2))
+        | ((o2 == 0) & on_bbox(bx2, by2, ax1, ay1, ax2, ay2))
+        | ((o3 == 0) & on_bbox(ax1, ay1, bx1, by1, bx2, by2))
+        | ((o4 == 0) & on_bbox(ax2, ay2, bx1, by1, bx2, by2))
+    )
+    return proper | touch
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-level verbs (InRange / InCircleRange over shape columns)
 

@@ -133,3 +133,41 @@ def test_touching_boundary_is_closed(spark):
         [(0, 3.0, 0.0, 5.0, 2.0)], "id long, xlo double, ylo double, xhi double, yhi double"
     ).withColumn("box", mbr_struct(["xlo", "ylo"], ["xhi", "yhi"]))
     assert box.filter(mbr_intersects_box("box", BOX_LO, BOX_HI)).count() == 1
+
+
+def test_segments_intersect_matches_geometry(spark):
+    """Distributed segment-segment intersection must agree with the
+    driver-side geometry module on randomized pairs from a small integer
+    grid (ties, collinear overlaps, shared endpoints, and degenerate
+    zero-length segments are the norm there)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from simba_spark.geometry import LineSegment, Point
+    from simba_spark.operators.shapes import segment_struct, segments_intersect
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(300):
+        g = lambda: float(rng.randint(0, 4))
+        rows.append((i, g(), g(), g(), g(), g(), g(), g(), g()))
+    df = spark.createDataFrame(
+        rows,
+        "i long, ax1 double, ay1 double, ax2 double, ay2 double, "
+        "bx1 double, by1 double, bx2 double, by2 double",
+    )
+    out = df.select(
+        "i",
+        segments_intersect(
+            segment_struct("ax1", "ay1", "ax2", "ay2"),
+            segment_struct("bx1", "by1", "bx2", "by2"),
+        ).alias("hit"),
+    )
+    got = {r.i: r.hit for r in out.collect()}
+    for r in rows:
+        i, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2 = r
+        want = LineSegment(Point((ax1, ay1)), Point((ax2, ay2))).intersects(
+            LineSegment(Point((bx1, by1)), Point((bx2, by2)))
+        )
+        assert got[i] == want, (r, got[i], want)

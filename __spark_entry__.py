@@ -384,6 +384,25 @@ def q_interval_1d(spark, sf_dir):
 _DJ_R = 200.0
 
 
+def q_interval_join(spark, sf_dir):
+    """Temporal-style interval join: event-derived [value, value+len]
+    intervals vs event value points, closed bounds — binned equi-join
+    instead of the cartesian Spark would plan for an inequality join."""
+    from simba_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.col("value").alias("s"),
+        (F.col("value") + (F.col("event_id") % 5).cast("double")).alias("e"),
+    )
+    b = ev.filter(F.col("event_id") % 3 == 0).select("event_id", "value")
+    out = interval_join(a, b, "s", "e", "value")
+    return out.select(
+        F.col("a_event_id").alias("a_id"), F.col("b_event_id").alias("b_id")
+    )
+
+
 def q_distance_join(spark, sf_dir):
     from simba_spark.operators.distance_join import distance_join
 
@@ -840,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_join": q_segment_join,
         "box_range": q_box_range,
         # spatial joins
+        "interval_join": q_interval_join,
         "distance_join": q_distance_join,
         "distance_join_self": q_distance_join_self,
         "knn_join": q_knn_join,
@@ -1246,6 +1266,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value FROM boxes
             WHERE xhi >= {_SHAPE_LO[0]} AND xlo <= {_SHAPE_HI[0]}
               AND yhi >= {_SHAPE_LO[1]} AND ylo <= {_SHAPE_HI[1]}
+        """,
+        "interval_join": """
+            SELECT a.event_id AS a_id, b.event_id AS b_id
+            FROM (SELECT event_id, value AS s,
+                         value + CAST(event_id % 5 AS DOUBLE) AS e
+                  FROM events WHERE event_id % 97 = 0) a,
+                 (SELECT event_id, value FROM events WHERE event_id % 3 = 0) b
+            WHERE a.s <= b.value AND b.value <= a.e
         """,
         "segment_join": """
             WITH segs AS (

@@ -273,3 +273,34 @@ def test_joins_generalize_to_3d(spark):
                               right_tiebreak="id").collect()
         )
         assert got == ref, algo
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Binned interval join ≡ cross-join + closed inequality filter —
+    incl. boundary-touching points, zero-length intervals, and the
+    auto-derived bin width."""
+    import random
+
+    from simba_spark.operators.interval import interval_join
+
+    rng = random.Random(23)
+    ivals = []
+    for i in range(200):
+        s = rng.uniform(0, 1000)
+        ivals.append((i, s, s + rng.uniform(0, 30)))
+    ivals.append((200, 500.0, 500.0))  # zero-length
+    pts = [(j, rng.uniform(0, 1000)) for j in range(400)]
+    pts.append((400, 500.0))  # exactly on the zero-length interval
+    a = spark.createDataFrame(ivals, "id long, s double, e double")
+    b = spark.createDataFrame(pts, "id long, p double")
+
+    for bw in (None, 7.0, 1000.0):
+        got = sorted(
+            (r["a_id"], r["b_id"])
+            for r in interval_join(a, b, "s", "e", "p", bin_width=bw).collect()
+        )
+        want = sorted(
+            (i, j) for i, s, e in ivals for j, p in pts if s <= p <= e
+        )
+        assert got == want, bw
+    assert (200, 400) in set(want)

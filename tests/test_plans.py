@@ -228,3 +228,19 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_interval_join_plans_equi_join_not_cartesian(spark):
+    """The binned interval join must plan a shuffled equi-join on the bin
+    key — never the BroadcastNestedLoop/cartesian Spark gives a raw
+    inequality join."""
+    from simba_spark.operators.interval import interval_join
+
+    a = spark.range(0, 1000).selectExpr("id", "CAST(id AS DOUBLE) AS s",
+                                        "CAST(id + 5 AS DOUBLE) AS e")
+    b = spark.range(0, 1000).selectExpr("id", "CAST(id AS DOUBLE) * 1.5 AS p")
+    out = interval_join(a, b, "s", "e", "p", bin_width=10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert out.count() > 0

@@ -403,6 +403,29 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Session-overlap-style join: pairs of event-derived intervals that
+    overlap (closed), via the canonical-bin equi-join (each pair emits
+    in exactly one bin — no dedup shuffle)."""
+    from simba_spark.operators.interval import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.col("value").alias("s"),
+        (F.col("value") + (F.col("event_id") % 7).cast("double")).alias("e"),
+    )
+    b = ev.filter(F.col("event_id") % 89 == 0).select(
+        "event_id",
+        F.col("value").alias("s"),
+        (F.col("value") + (F.col("event_id") % 4).cast("double")).alias("e"),
+    )
+    out = interval_overlap_join(a, b, "s", "e", "s", "e")
+    return out.select(
+        F.col("a_event_id").alias("a_id"), F.col("b_event_id").alias("b_id")
+    )
+
+
 def q_distance_join(spark, sf_dir):
     from simba_spark.operators.distance_join import distance_join
 
@@ -860,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_range": q_box_range,
         # spatial joins
         "interval_join": q_interval_join,
+        "interval_overlap": q_interval_overlap,
         "distance_join": q_distance_join,
         "distance_join_self": q_distance_join_self,
         "knn_join": q_knn_join,
@@ -1274,6 +1298,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_id % 97 = 0) a,
                  (SELECT event_id, value FROM events WHERE event_id % 3 = 0) b
             WHERE a.s <= b.value AND b.value <= a.e
+        """,
+        "interval_overlap": """
+            SELECT a.event_id AS a_id, b.event_id AS b_id
+            FROM (SELECT event_id, value AS s,
+                         value + CAST(event_id % 7 AS DOUBLE) AS e
+                  FROM events WHERE event_id % 97 = 0) a,
+                 (SELECT event_id, value AS s,
+                         value + CAST(event_id % 4 AS DOUBLE) AS e
+                  FROM events WHERE event_id % 89 = 0) b
+            WHERE a.s <= b.e AND b.s <= a.e
         """,
         "segment_join": """
             WITH segs AS (

@@ -304,3 +304,38 @@ def test_interval_join_matches_bruteforce(spark):
         )
         assert got == want, bw
     assert (200, 400) in set(want)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Canonical-bin overlap join ≡ cross-join + closed overlap filter
+    (touching endpoints, nested intervals, zero-length, auto bin width)."""
+    import random
+
+    from simba_spark.operators.interval import interval_overlap_join
+
+    rng = random.Random(29)
+    mk = lambda n, maxlen: [
+        (i, s := rng.uniform(0, 500), s + rng.uniform(0, maxlen)) for i in range(n)
+    ]
+    av = mk(150, 40)
+    bv = mk(180, 15)
+    av.append((150, 100.0, 100.0))   # zero-length
+    bv.append((180, 100.0, 100.0))   # touching pair
+    a = spark.createDataFrame(av, "id long, s double, e double")
+    b = spark.createDataFrame(bv, "id long, s double, e double")
+
+    want = sorted(
+        (i, j)
+        for i, as_, ae in av
+        for j, bs, be in bv
+        if as_ <= be and bs <= ae
+    )
+    for bw in (None, 9.0, 2000.0):
+        got = sorted(
+            (r["a_id"], r["b_id"])
+            for r in interval_overlap_join(
+                a, b, "s", "e", "s", "e", bin_width=bw
+            ).collect()
+        )
+        assert got == want, bw
+    assert (150, 180) in set(want)

@@ -597,7 +597,7 @@ def q_sessionize(spark, sf_dir):
     from simba_spark.operators.sessionize import session_stats
 
     ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")  # nanos-as-long -> integer micros
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     out = session_stats(ev, ts_col="ts_us", gap_ns=30 * 60 * 1_000_000)
     return out.withColumnRenamed("duration", "duration_us")

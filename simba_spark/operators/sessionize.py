@@ -36,6 +36,21 @@ from pyspark.sql.types import (
 DEFAULT_GAP_NS = 30 * 60 * 1_000_000_000
 
 
+def _ts_numeric(df: DataFrame, ts_col: str):
+    """Integer-nanosecond Column for gap arithmetic. TIMESTAMP /
+    TIMESTAMP_NTZ columns (µs precision in Spark) convert exactly via
+    unix_micros·1000; numeric columns pass through unchanged (the
+    driver's legacy nanos-as-long encoding, or any caller-chosen unit
+    matching gap_ns)."""
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp"):
+        c = F.col(ts_col)
+        if dtype == "timestamp_ntz":
+            c = c.cast("timestamp")
+        return F.unix_micros(c) * F.lit(1000)
+    return F.col(ts_col)
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",
@@ -45,16 +60,18 @@ def sessionize(
 ) -> DataFrame:
     """Assign a per-user session index (1-based) at inactivity gaps.
 
-    `ts_col` must be integer-comparable (nanos-as-long for the driver's
-    events tables). Adds `session_idx`. One shuffle on `user_col`.
+    `ts_col` is a TIMESTAMP (compared in exact integer nanos) or any
+    integer column in the same unit as `gap_ns`. Adds `session_idx`.
+    One shuffle on `user_col`.
     """
     order = [F.col(ts_col).asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
+    tnum = _ts_numeric(df, ts_col)
     w = Window.partitionBy(user_col).orderBy(*order)
-    prev = F.lag(F.col(ts_col)).over(w)
+    prev = F.lag(tnum).over(w)
     is_new = F.when(
-        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(int(gap_ns))), 1
+        prev.isNull() | ((tnum - prev) > F.lit(int(gap_ns))), 1
     ).otherwise(0)
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -73,11 +90,13 @@ def session_stats(
     duration_ns). The aggregate reuses the sessionize shuffle partitioning
     (same key prefix) — Catalyst plans one exchange total."""
     s = sessionize(df, ts_col, user_col, gap_ns, order_tiebreak=id_col)
+    tnum = _ts_numeric(s, ts_col)
     return s.groupBy(user_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(id_col).alias("first_event"),
         F.max(id_col).alias("last_event"),
-        (F.max(ts_col) - F.min(ts_col)).alias("duration"),  # in ts units
+        # integer ns for timestamp inputs, else the column's own unit
+        (F.max(tnum) - F.min(tnum)).alias("duration"),
     )
 
 

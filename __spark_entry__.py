@@ -27,9 +27,10 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS) which Spark rejects unless
-    # told to surface nanos as long (runtime-settable; we never emit ts)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # plain reads: the driver testdata is all µs-precision parquet
+    # (events.ts included — an earlier generation carried
+    # TIMESTAMP(NANOS), which is why get_spark still tolerates
+    # nanos-as-long files; q_sessionize asserts the dtype it expects)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -484,8 +485,9 @@ def q_knn_join_voronoi(spark, sf_dir):
 
 
 def q_zknn_join(spark, sf_dir):
-    """Approximate z-order kNN join — no SQL oracle (approximate by
-    design); driver records rows-only."""
+    """Approximate z-order kNN join. Approximate ≠ unverifiable: the
+    pipeline is deterministic given the seed, and `_zknn_oracle_sql`
+    reproduces it bit-for-bit in DuckDB (hash-matched row)."""
     from simba_spark.operators.knn_join import zknn_join
 
     supp = _t(spark, sf_dir, "supplier").withColumn("s_nat", F.col("s_nationkey").cast("double"))
@@ -596,9 +598,15 @@ def q_sessionize(spark, sf_dir):
     math is the unit both engines agree on exactly."""
     from simba_spark.operators.sessionize import session_stats
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    # fail loudly on a surprise schema: a nanos-as-long events file
+    # would otherwise be cast as SECONDS and garble every session
+    assert ts_type.startswith("timestamp"), (
+        f"events.ts is {ts_type}; expected a timestamp type — "
+        "a legacy nanos-as-long file needs explicit unit handling"
     )
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     out = session_stats(ev, ts_col="ts_us", gap_ns=30 * 60 * 1_000_000)
     return out.withColumnRenamed("duration", "duration_us")
 

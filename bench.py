@@ -6,12 +6,19 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop writer (full computation,
 no driver collect of the result set).
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+reported per-query time is the MEDIAN — single-run numbers at ~1 s
+granularity swung +/-75% between rounds with no plan change, so the
+median is the signal. The raw per-rep samples are emitted under
+"samples" for auditability.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 #: headline subset: one per operator family (SURVEY §2 + north-star)
 HEADLINE = [
@@ -93,16 +101,25 @@ def main() -> int:
         except Exception as e:
             print(f"# bench prepare failed: {e}", file=sys.stderr)
 
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # record the failure, keep benching
-            timings[name] = -1.0
-            print(f"# bench error in {name}: {e}", file=sys.stderr)
+    samples: dict[str, list[float]] = {}
+    # interleave reps round-robin (rep 0 of every query, then rep 1, ...)
+    # so cache-warmth drift hits every query equally instead of making
+    # later reps of the same query systematically faster
+    for rep in range(REPS):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                samples.setdefault(name, []).append(round(time.time() - t0, 3))
+            except Exception as e:  # record the failure, keep benching
+                samples.setdefault(name, []).append(-1.0)
+                print(f"# bench error in {name} rep {rep}: {e}", file=sys.stderr)
+
+    for name, ts in samples.items():
+        good = [t for t in ts if t >= 0]
+        timings[name] = round(statistics.median(good), 3) if good else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     try:
@@ -114,6 +131,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "reps": REPS,
+        "agg": "median",
         "sf": sf,
         "cpus": int(CPUS),
         "n_queries": len([t for t in timings.values() if t >= 0]),

@@ -115,6 +115,37 @@ def z_value_col(int_cols, bits: int = 21) -> Column:
     cs = [c.cast("long") if not isinstance(c, str) else F.col(c).cast("long") for c in int_cols]
     d = len(cs)
     assert d * bits <= 63, "z-value overflows a signed 64-bit long"
+
+    def _spread(c, steps):
+        # magic-number bit spreading: O(log bits) shift-mask steps vs
+        # one term per bit — a 6× smaller expression tree, which is
+        # pure driver-side analysis/codegen time on every query
+        for sh, mask in steps:
+            c = (c.bitwiseOR(F.shiftleft(c, sh))).bitwiseAND(F.lit(mask))
+        return c
+
+    if d == 2:
+        steps = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        parts = [_spread(c.bitwiseAND(F.lit(0xFFFFFFFF)), steps) for c in cs]
+        return parts[0].bitwiseOR(F.shiftleft(parts[1], 1))
+    if d == 3:
+        steps = [
+            (32, 0x1F00000000FFFF),
+            (16, 0x1F0000FF0000FF),
+            (8, 0x100F00F00F00F00F),
+            (4, 0x10C30C30C30C30C3),
+            (2, 0x1249249249249249),
+        ]
+        parts = [_spread(c.bitwiseAND(F.lit(0x1FFFFF)), steps) for c in cs]
+        return parts[0].bitwiseOR(
+            F.shiftleft(parts[1], 1).bitwiseOR(F.shiftleft(parts[2], 2))
+        )
     out = F.lit(0).cast("long")
     for i, c in enumerate(cs):
         for j in range(bits):

@@ -516,10 +516,11 @@ def zknn_join(
     (ref: ZKJSpark.scala:36-170; shifts default 2, SimbaConf.scala:120).
 
     Both sides map onto a [0, 2^bits) integer grid with ONE isotropic
-    scale factor (union bounding box as a broadcast 1-row aggregate — on
-    the rank path no driver job at all) and are z-valued —
-    per-dimension normalization would distort the metric on anisotropic
-    data.
+    scale factor (union bounding box, ONE tiny column-pruned aggregate
+    collected to the driver — its values become literals in the z
+    expressions, so no stats subtree is ever recomputed downstream) and
+    are z-valued — per-dimension normalization would distort the metric
+    on anisotropic data.
 
     ``refine='rank'`` (default, requires `right_tiebreak` as a unique
     right key — reference parity): per shift, each left row pairs with
@@ -528,8 +529,8 @@ def zknn_join(
     the multiplier buys recall at a strictly bounded 2·window_mult·k·
     shifts candidates per left row — a dense z-region cannot blow up
     the join). The global z-rank is computed scalably:
-    range-repartition by z, per-partition running counts, broadcast
-    cumulative per-partition offsets — never a single-partition window
+    deterministic z-prefix buckets, per-bucket running counts, broadcast
+    cumulative per-bucket offsets — never a single-partition window
     over the data.
 
     ``refine='bucket'`` (fallback when no unique right key is given):
@@ -547,10 +548,12 @@ def zknn_join(
     scale = (1 << bits) - 1
 
     # bounding box over both sides — ONE tiny aggregate over a tagged
-    # union of just the key columns. On the rank path it stays a 1-row
-    # DataFrame broadcast into the z expressions (NO driver job at all);
-    # the bucket path collects it (it needs the right count for its
-    # bucket-granularity heuristic).
+    # union of just the key columns, collected (1 row). Round 2 kept
+    # this as a broadcast 1-row DataFrame crossJoined into the z
+    # expressions to avoid the driver job — but every broadcast
+    # exchange downstream then re-evaluated the whole stats subtree
+    # (full re-scan per broadcast), which dominated wall-time. One
+    # column-pruned aggregate job is the cheaper trade at every scale.
     lk = left.select(
         *[F.col(c).cast("double").alias(f"d{i}") for i, c in enumerate(left_cols)],
         F.lit(0).alias("__r"),
@@ -563,6 +566,7 @@ def zknn_join(
         *[F.min(f"d{i}").alias(f"__mn{i}") for i in range(d)],
         *[F.max(f"d{i}").alias(f"__mx{i}") for i in range(d)],
         F.sum("__r").alias("__nr"),
+        F.count(F.lit(1)).alias("__n"),
     )
     # ONE isotropic scale factor for every dimension: per-dim
     # normalization would stretch narrow dimensions, silently changing
@@ -589,67 +593,20 @@ def zknn_join(
     rtb = f"{right_prefix}{right_tiebreak}" if right_tiebreak else None
     dist = F.sqrt(dist2_cols(lcols, rcols))
 
-    # the shift is span · u with u a data-independent draw — so it stays
-    # a Column (span from the broadcast stats row, u a literal) and the
-    # curve is identical to the collected-literal formulation
+    # the shift is span · u with u a data-independent draw
     shift_us = [
         [0.0] * d if s == 0 else [rng.uniform(0.0, 1.0) for _ in range(d)]
         for s in range(int(shifts))
     ]
 
-    def zcol(cols, us):
-        from ..functions import z_value_col
-
-        ints = []
-        for i, (c, u) in enumerate(zip(cols, us)):
-            sv = F.col(f"__sp{i}") * F.lit(float(u))
-            ints.append(
-                F.least(
-                    F.lit(scale),
-                    F.greatest(
-                        F.lit(0),
-                        F.round(
-                            (F.col(c) + sv - F.col(f"__mn{i}")) * F.col("__iso")
-                        ).cast("long"),
-                    ),
-                )
-            )
-        return z_value_col(ints, bits=bits)
-
-    if refine == "rank" and rtb is not None:
-        bstats = F.broadcast(stats_df)
-        lz_list = [
-            lp.crossJoin(bstats).select(lid, zcol(lcols, us).alias("__z"))
-            for us in shift_us
-        ]
-        rz_list = [
-            rp.crossJoin(bstats).select(rtb, zcol(rcols, us).alias("__z"))
-            for us in shift_us
-        ]
-        cand_ids = _zrank_candidates_multi(
-            lz_list, rz_list, k * max(1, int(window_mult)), lid, rtb
-        ).dropDuplicates([lid, rtb])
-        pairs = (
-            cand_ids.join(lp, on=lid, how="inner")
-            .join(rp, on=rtb, how="inner")
-            .withColumn("dist", dist)
-        )
-        return _topk(pairs, lid, k, F.col("dist"), rtb)
-
-    # bucket path: needs driver-side stats (bucket_bits heuristic)
+    # ONE tiny driver job; every downstream z expression is pure
+    # literal arithmetic (nothing to recompute inside broadcasts)
     stats = stats_df.collect()[0]
     mins = [stats[f"__mn{i}"] for i in range(d)]
     span_vals = [float(stats[f"__sp{i}"]) for i in range(d)]
     iso = float(stats["__iso"])
     n_right = int(stats["__nr"])
-
-    if bucket_bits is None:
-        # choose bucket granularity from density: aim for ~8k right rows
-        # per bucket so the ±1-bucket candidate window holds ≳ 24k z-order
-        # neighbors per left row (ZKJSpark keeps ±k per shift — we keep a
-        # whole bucket, coarser but join-expressible)
-        target_buckets = max(1, n_right // max(1, 8 * k))
-        bucket_bits = max(1, min(d * bits - 1, int(math.log2(target_buckets)) if target_buckets > 1 else 1))
+    n_total = int(stats["__n"])
 
     def zcol_lit(cols, us):
         from ..functions import z_value_col
@@ -667,6 +624,86 @@ def zknn_join(
             for c, u, sp, mn in zip(cols, us, span_vals, mins)
         ]
         return z_value_col(ints, bits=bits)
+
+    if refine == "rank" and rtb is not None:
+        W = k * max(1, int(window_mult))
+        # physical strategy by size (the candidate set — and therefore
+        # the result — is identical): below the threshold, per-shift
+        # ranks come from one global-sort window each and candidates
+        # are sliced map-side out of a broadcast rank-ordered right
+        # array (≈4 exchanges end-to-end); above it, single-partition
+        # sorts and an all-rows broadcast would not scale and the
+        # bucketed two-phase prefix-sum pipeline takes over.
+        try:
+            simple_cap = int(
+                left.sparkSession.conf.get(
+                    "simba_spark.zknn.simple_rank_rows", "2000000"
+                )
+            )
+        except Exception:
+            simple_cap = 2_000_000
+        if n_total <= simple_cap:
+            return _zknn_rank_simple(
+                lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k
+            )
+        # ONE scan per side computes EVERY shift's z-value, then
+        # posexplode tags the rows — instead of `shifts` separate scans
+        # per side unioned downstream (same rows, same tags: tag = the
+        # shift's position in shift_us)
+        lz = lp.select(
+            F.col(lid),
+            F.posexplode(F.array(*[zcol_lit(lcols, us) for us in shift_us])).alias(
+                "__tag", "__z"
+            ),
+        )
+        rz = rp.select(
+            F.col(rtb),
+            F.posexplode(F.array(*[zcol_lit(rcols, us) for us in shift_us])).alias(
+                "__tag", "__z"
+            ),
+        )
+        cand_ids = _zrank_candidates_tagged(
+            lz, rz, W, lid, rtb, zbits=d * bits
+        )
+        pairs = (
+            cand_ids.join(lp, on=lid, how="inner")
+            .join(rp, on=rtb, how="inner")
+            .withColumn("dist", dist)
+        )
+        # fused dedup + top-k in ONE shuffle: a candidate pair can
+        # surface under several shifts, and collect_set drops the
+        # identical duplicate rows while the sort/slice takes the k
+        # nearest — vs the round-2 dropDuplicates shuffle followed by a
+        # row_number window shuffle. Set size per left row is bounded
+        # by 2·window_mult·k·shifts, so the per-group array stays tiny.
+        # Sort order (dist asc, right id asc) matches _topk's
+        # row_number ordering bit-for-bit.
+        other = [c for c in pairs.columns if c not in (lid, rtb, "dist")]
+        packed = F.struct(
+            F.col("dist"),
+            F.col(rtb),
+            F.struct(*[F.col(c) for c in other]).alias("__payload"),
+        )
+        return (
+            pairs.filter(F.col("dist").isNotNull())
+            .groupBy(lid)
+            .agg(F.slice(F.array_sort(F.collect_set(packed)), 1, k).alias("__tk"))
+            .select(lid, F.explode("__tk").alias("__tk"))
+            .select(
+                lid,
+                *[F.col(f"__tk.__payload.{c}").alias(c) for c in other],
+                F.col(f"__tk.{rtb}").alias(rtb),
+                F.col("__tk.dist").alias("dist"),
+            )
+        )
+
+    if bucket_bits is None:
+        # choose bucket granularity from density: aim for ~8k right rows
+        # per bucket so the ±1-bucket candidate window holds ≳ 24k z-order
+        # neighbors per left row (ZKJSpark keeps ±k per shift — we keep a
+        # whole bucket, coarser but join-expressible)
+        target_buckets = max(1, n_right // max(1, 8 * k))
+        bucket_bits = max(1, min(d * bits - 1, int(math.log2(target_buckets)) if target_buckets > 1 else 1))
 
     # bucket fallback (no unique right key): coarse z-prefix equi-join
     unions = []
@@ -687,57 +724,183 @@ def zknn_join(
     return _topk(pairs, lid, k, F.col("dist"), rtb)
 
 
-def _zrank_candidates_multi(lz_list, rz_list, k: int, lid: str, rid: str):
+def _upper_bound(zs, target, iters: int):
+    """#elements ≤ target in the SORTED long array `zs`, as a pure
+    Column: classic binary search unrolled over F.aggregate's sequence
+    (the lambda binds the (lo, hi) state as a variable, so the
+    expression stays O(iters) — a when-chain would re-inline the state
+    exponentially). element_at is only reached under lo < hi, where
+    mid ∈ [1, size] — ANSI-safe."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(iters))),
+        F.struct(
+            F.lit(0).cast("long").alias("lo"),
+            F.coalesce(F.size(zs), F.lit(0)).cast("long").alias("hi"),
+        ),
+        lambda acc, _: F.when(
+            acc["lo"] < acc["hi"],
+            F.when(
+                F.element_at(
+                    zs,
+                    F.floor((acc["lo"] + acc["hi"] + 1) / 2).cast("int"),
+                )
+                <= target,
+                F.struct(
+                    F.floor((acc["lo"] + acc["hi"] + 1) / 2)
+                    .cast("long")
+                    .alias("lo"),
+                    acc["hi"].alias("hi"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["lo"].alias("lo"),
+                    (
+                        F.floor((acc["lo"] + acc["hi"] + 1) / 2).cast("long") - 1
+                    ).alias("hi"),
+                )
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["lo"],
+    )
+
+
+def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k):
+    """Small-input physical plan for the rank-refined z-order kNN join —
+    same candidates as the bucketed pipeline (per-shift global right
+    ranks, ±W windows), picked when the right side fits a broadcast
+    comfortably (`simba_spark.zknn.simple_rank_rows`).
+
+    Shape: the right side is gathered ONCE per shift into a
+    rank-ordered array of (z, id, coords) structs and broadcast; each
+    left row finds its per-shift rank position by in-row binary search
+    over the broadcast z array (O(log |R|) per row — no mixed-union
+    sort, no window), slices its ±W candidates out of the broadcast
+    array, scores them in-row, merges shifts with
+    array_distinct∘array_sort, and keeps the k nearest — no rank join,
+    no top-k shuffle: stats job + broadcast build + one map-side pass."""
+    nsh = len(shift_us)
+    nd = len(rcols)
+    zr = [zcol_lit(rcols, us).alias(f"__z{t}") for t, us in enumerate(shift_us)]
+    zl = [zcol_lit(lcols, us).alias(f"__z{t}") for t, us in enumerate(shift_us)]
+    # one row: per shift, right rows as a (z, rid, coords…) array
+    # sorted by (z, rid) — array position IS the per-shift right rank —
+    # plus the plain z array the binary search probes
+    rarr = (
+        rp.select(
+            F.col(rtb).alias("__rid"),
+            *[F.col(c).cast("double").alias(f"__x{i}") for i, c in enumerate(rcols)],
+            *zr,
+        )
+        .groupBy()
+        .agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(f"__z{t}").alias("z"),
+                            F.col("__rid").alias("rid"),
+                            *[F.col(f"__x{i}").alias(f"x{i}") for i in range(nd)],
+                        )
+                    )
+                ).alias(f"__rarr{t}")
+                for t in range(nsh)
+            ]
+        )
+        .select(
+            "*",
+            *[
+                F.transform(f"__rarr{t}", lambda s: s["z"]).alias(f"__zs{t}")
+                for t in range(nsh)
+            ],
+        )
+    )
+    # c_t = #right rows with z_t ≤ this left row's z_t (identical to
+    # the bucketed pipeline's running right-count: at equal z every
+    # right row precedes every left row)
+    iters = 40  # covers |R| ≤ 2^40; the expression is tiny per step
+    lefts = lp.select("*", *zl).crossJoin(F.broadcast(rarr))
+    for t in range(nsh):
+        lefts = lefts.withColumn(
+            f"__c{t}", _upper_bound(F.col(f"__zs{t}"), F.col(f"__z{t}"), iters)
+        )
+
+    def scored(t):
+        c = F.col(f"__c{t}")
+        start = F.greatest(c - W + 1, F.lit(1).cast("long"))
+        length = c + W - start + 1
+        cand = F.slice(F.col(f"__rarr{t}"), start, length)
+
+        def score(s):
+            # mirror dist2_cols exactly (0.0 + Σ d·d, same association
+            # order) so the value hash matches the bucketed path and
+            # the SQL oracle bit-for-bit
+            d2 = F.lit(0.0)
+            for i, lc in enumerate(lcols):
+                dd = F.col(lc).cast("double") - s[f"x{i}"]
+                d2 = d2 + dd * dd
+            return F.struct(F.sqrt(d2).alias("dist"), s["rid"].alias("rid"))
+
+        return F.transform(cand, score)
+
+    merged = F.array_sort(F.concat(*[scored(t) for t in range(nsh)]))
+    merged = F.array_distinct(F.filter(merged, lambda s: s["dist"].isNotNull()))
+    top = F.slice(merged, 1, int(k))
+    return (
+        lefts.select(*[F.col(c) for c in lp.columns], F.explode(top).alias("__s"))
+        .select(
+            *lp.columns,
+            F.col("__s.rid").alias(rtb),
+            F.col("__s.dist").alias("dist"),
+        )
+        .join(rp, on=rtb, how="inner")
+    )
+
+
+def _zrank_candidates_tagged(lz, rz, k: int, lid: str, rid: str, zbits: int = 32):
     """(left_id, right_id) candidates = each left row's ±k z-order right
     neighbors, for ALL shifts in one ranking pipeline
-    (ref: ZKJSpark.scala:36-170 ±k windows).
+    (ref: ZKJSpark.scala:36-170 ±k windows). Inputs are the tagged
+    skinny frames (id, __tag, __z) with one row per (row, shift);
+    ``zbits`` = total bits in the z value (d · bits).
 
-    Scalable global rank per shift: tag + union the skinny
-    (shift, id, z) rows across shifts and sides, range-repartition by
-    (shift, z), running count of right rows per (partition, shift)
-    (parallel window — never a single-partition sort), then add
-    driver-computed per-(shift, partition) offsets (one tiny collect of
-    shifts×partitions longs). Left rows read off c = #right rows ordered
-    before them in their shift; ±k = ranks [c-k+1, c+k], materialized by
-    exploding a 2k-element sequence and equi-joining on (shift, rank) —
-    bounded fanout, no range join, no skew. One localCheckpoint pins the
-    partitioning so the offsets job and the main pipeline see identical
-    row placement."""
+    Scalable global rank per shift, fully declarative — no
+    materialization, no extra pass: each row's bucket is its coarse
+    z-prefix (a DETERMINISTIC function of the value, identical on every
+    recomputation — unlike repartitionByRange, whose sampled boundaries
+    forced an eager localCheckpoint here in round 2), running count of
+    right rows per (shift, bucket) (parallel window — never a
+    single-partition sort), then add per-(shift, bucket) offsets (a
+    tiny cumulative window over shifts×2^pbits rows, broadcast back).
+    Left rows read off c = #right rows ordered before them in their
+    shift; ±k = ranks [c-k+1, c+k], materialized by exploding a
+    2k-element sequence and equi-joining on (shift, rank) — bounded
+    fanout, no range join, no skew amplification (a z-dense region
+    makes one window group larger, never a bigger join output)."""
     k = int(k)
-    parts = []
-    for tag, (lz, rz) in enumerate(zip(lz_list, rz_list)):
-        parts.append(
-            rz.select(
-                F.lit(tag).alias("__tag"), F.col(rid).alias("__uid"),
-                "__z", F.lit(1).alias("__isr"),
-            )
-        )
-        parts.append(
-            lz.select(
-                F.lit(tag).alias("__tag"), F.col(lid).alias("__uid"),
-                "__z", F.lit(0).alias("__isr"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    n = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    # order: shift, z asc, right-before-left at equal z (so c includes
-    # ties), unique id last for full determinism
-    sort_cols = [
-        F.col("__tag").asc(), F.col("__z").asc(),
-        F.col("__isr").desc(), F.col("__uid").asc(),
-    ]
-    inner_sort = sort_cols[1:]
-    d = (
-        u.repartitionByRange(n, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    u = rz.select(
+        "__tag", F.col(rid).alias("__uid"), "__z", F.lit(1).alias("__isr")
+    ).unionByName(
+        lz.select("__tag", F.col(lid).alias("__uid"), "__z", F.lit(0).alias("__isr"))
     )
-    # per-(shift, partition) offset = right rows in earlier partitions of
-    # the same shift: a tiny cumulative window over ≤ shifts·n rows,
-    # broadcast back — fully declarative, no driver round-trip
+    # order: z asc, right-before-left at equal z (so c includes ties),
+    # unique id last for full determinism
+    tie_order = [F.col("__z").asc(), F.col("__isr").desc(), F.col("__uid").asc()]
+    # bucket = top pbits of z: deterministic, zero extra passes.
+    # 256 buckets × shifts window groups bounds the offsets table
+    # while giving ample window parallelism; equal z always shares
+    # a bucket, so the right-before-left tie order never straddles
+    # a boundary.
+    pbits = min(8, zbits - 1)
+    d = u.withColumn("__pid", F.shiftright(F.col("__z"), zbits - pbits))
+    # the offsets subplan below and the main ranked pass both read
+    # `d`; a LAZY lineage cut materializes the skinny (tag, uid, z,
+    # isr, pid) rows once instead of scanning + z-evaluating both
+    # inputs twice (once inside the offsets broadcast, once in the
+    # main pass)
+    d = d.localCheckpoint(eager=False)
+    # per-(shift, bucket) offset = right rows in earlier buckets of
+    # the same shift: a tiny cumulative window over ≤ shifts·2^pbits
+    # rows, broadcast back — fully declarative, no driver round-trip
     woff = (
         Window.partitionBy("__tag")
         .orderBy(F.col("__pid").asc())
@@ -749,17 +912,23 @@ def _zrank_candidates_multi(lz_list, rz_list, k: int, lid: str, rid: str):
         .withColumn("__off", F.coalesce(F.sum("__s").over(woff), F.lit(0)))
         .drop("__s")
     )
-    w = Window.partitionBy("__pid", "__tag").orderBy(*inner_sort).rowsBetween(
+    w = Window.partitionBy("__tag", "__pid").orderBy(*tie_order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = d.join(F.broadcast(offsets), on=["__tag", "__pid"], how="inner").withColumn(
-        "__c", F.sum("__isr").over(w) + F.col("__off")
-    ).drop("__off")
-    rranks = ranked.filter(F.col("__isr") == 1).select(
-        "__tag", F.col("__uid").alias(rid), F.col("__c").alias("__rank")
-    )
+    ranked = d.join(
+        F.broadcast(offsets), on=["__tag", "__pid"], how="inner"
+    ).withColumn("__c", F.sum("__isr").over(w) + F.col("__off"))
+    # both the right-rank and left-count branches read `ranked`; a LAZY
+    # lineage cut materializes the skinny ranked rows once at first use
+    # instead of re-running the scan→window pipeline per branch (round
+    # 2's EAGER checkpoint of the pre-rank union was a blocking job;
+    # this is neither eager nor pre-rank)
+    ranked = ranked.localCheckpoint(eager=False)
     lcounts = ranked.filter(F.col("__isr") == 0).select(
         "__tag", F.col("__uid").alias(lid), "__c"
+    )
+    rranks = ranked.filter(F.col("__isr") == 1).select(
+        "__tag", F.col("__uid").alias(rid), F.col("__c").alias("__rank")
     )
     wanted = lcounts.select(
         "__tag",

@@ -30,24 +30,31 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: default inactivity gap: 30 minutes, in integer nanoseconds — events
-#: tables carry TIMESTAMP(NANOS); integer math is exact and matches
-#: DuckDB's epoch_ns() in the oracle.
+#: default inactivity gap: 30 minutes, in integer nanoseconds — exact
+#: integer math, matches DuckDB's epoch_ns() in the oracle (ns also
+#: covers callers whose numeric ts columns carry nanosecond epochs).
 DEFAULT_GAP_NS = 30 * 60 * 1_000_000_000
 
 
 def _ts_numeric(df: DataFrame, ts_col: str):
     """Integer-nanosecond Column for gap arithmetic. TIMESTAMP /
-    TIMESTAMP_NTZ columns (µs precision in Spark) convert exactly via
-    unix_micros·1000; numeric columns pass through unchanged (the
-    driver's legacy nanos-as-long encoding, or any caller-chosen unit
-    matching gap_ns)."""
+    TIMESTAMP_NTZ columns (µs precision in Spark) convert exactly to
+    µs·1000; numeric columns pass through unchanged (any caller-chosen
+    unit matching gap_ns). TIMESTAMP_NTZ converts via wall-clock
+    timestampdiff — NOT a cast through session-zoned TIMESTAMP, which
+    would make gaps DST-dependent (spurious session splits/merges
+    across transitions)."""
     dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype == "timestamp_ntz":
+        return (
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+            )
+            * F.lit(1000)
+        )
     if dtype.startswith("timestamp"):
-        c = F.col(ts_col)
-        if dtype == "timestamp_ntz":
-            c = c.cast("timestamp")
-        return F.unix_micros(c) * F.lit(1000)
+        return F.unix_micros(F.col(ts_col)) * F.lit(1000)
     return F.col(ts_col)
 
 
@@ -64,10 +71,13 @@ def sessionize(
     integer column in the same unit as `gap_ns`. Adds `session_idx`.
     One shuffle on `user_col`.
     """
-    order = [F.col(ts_col).asc()]
+    tnum = _ts_numeric(df, ts_col)
+    # order by the SAME numeric key the gap arithmetic uses (ordering
+    # by the raw NTZ column could disagree with the converted value
+    # around DST transitions → negative gaps, silently merged sessions)
+    order = [tnum.asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
-    tnum = _ts_numeric(df, ts_col)
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(tnum).over(w)
     is_new = F.when(
@@ -87,7 +97,8 @@ def session_stats(
     gap_ns: int = DEFAULT_GAP_NS,
 ) -> DataFrame:
     """Per-session rollup: (user, session_idx, n_events, first/last id,
-    duration_ns). The aggregate reuses the sessionize shuffle partitioning
+    duration — in ns for timestamp inputs, else in `ts_col`'s own
+    unit). The aggregate reuses the sessionize shuffle partitioning
     (same key prefix) — Catalyst plans one exchange total."""
     s = sessionize(df, ts_col, user_col, gap_ns, order_tiebreak=id_col)
     tnum = _ts_numeric(s, ts_col)

@@ -366,6 +366,74 @@ def q_box_range(spark, sf_dir):
     )
 
 
+def _ev_triangles(spark, sf_dir):
+    """Deterministic per-row triangle column derived from events —
+    polygon-valued rows (ref: Polygon.scala:32 rows via ShapeType)."""
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    v1 = F.struct(F.col("value").alias("x"), F.col("uid").alias("y"))
+    v2 = F.struct(
+        (F.col("value") + (F.col("event_id") % 17).cast("double") - F.lit(8.0)).alias("x"),
+        (F.col("uid") + (F.col("event_id") % 11).cast("double") - F.lit(5.0)).alias("y"),
+    )
+    v3 = F.struct(
+        (F.col("value") - (F.col("event_id") % 13).cast("double") + F.lit(6.0)).alias("x"),
+        (F.col("uid") + (F.col("event_id") % 7).cast("double") - F.lit(3.0)).alias("y"),
+    )
+    return ev.withColumn("poly", F.array(v1, v2, v3))
+
+
+def q_polygon_box_range(spark, sf_dir):
+    """InRange over a polygon COLUMN: closed polygon-box intersection
+    for polygon-valued rows (ref: Polygon.intersects(MBR),
+    Polygon.scala:40-107 dispatched from MBR.scala:60-67) — vertex-in-
+    box OR box-corner-in-polygon OR edge-crosses-box, all higher-order
+    Column arithmetic."""
+    from simba_spark.operators.shapes import shape_range
+
+    tris = _ev_triangles(spark, sf_dir)
+    return shape_range(tris, "poly", _SHAPE_LO, _SHAPE_HI, kind="polygon").select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_circle_rows_range(spark, sf_dir):
+    """InRange over a circle COLUMN (ShapeType tag-2 rows,
+    ref: KryoShapeSerializer.scala:35): closed circle-box intersection
+    minDist(center, box) <= r."""
+    from simba_spark.operators.shapes import circle_struct, shape_range
+
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    circ = ev.withColumn(
+        "circ",
+        circle_struct(
+            [F.col("value"), F.col("uid")],
+            (F.col("event_id") % 9).cast("double") + F.lit(0.5),
+        ),
+    )
+    return shape_range(circ, "circ", _SHAPE_LO, _SHAPE_HI, kind="circle").select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_polygon_distance_join(spark, sf_dir):
+    """Polygon-point distance join: pairs with
+    dist(polygon, point) <= r (closed; ref: Polygon.minDist,
+    Polygon.scala:83-107 + DJSpark grid program). Grid-celled equi-join
+    on the r-expanded polygon MBR, exact JVM-side refine."""
+    from simba_spark.operators.polygon import polygon_distance_join
+
+    tris = _ev_triangles(spark, sf_dir)
+    a = tris.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"), "poly"
+    )
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    b = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("id"), F.col("value").alias("x"), F.col("uid").alias("y")
+    )
+    out = polygon_distance_join(a, b, "poly", ["x", "y"], 4.0)
+    return out.select(F.col("a_id"), F.col("b_id"))
+
+
 def q_interval_1d(spark, sf_dir):
     """1-D interval scan through a range layout (TreeMap/Treap analog,
     ref: TreeMapIndexedRelation.scala:41-60), closed bounds."""
@@ -889,6 +957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_range": q_segment_range,
         "segment_join": q_segment_join,
         "box_range": q_box_range,
+        "polygon_box_range": q_polygon_box_range,
+        "circle_rows_range": q_circle_rows_range,
+        "polygon_distance_join": q_polygon_distance_join,
         # spatial joins
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -986,6 +1057,122 @@ def _ann_oracle_sql() -> str:
         ORDER BY round(list_cosine_similarity(s.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
                  s.vec_id ASC
         LIMIT 10
+    """
+
+
+#: SQL vertex expressions of the _ev_triangles triangle (must mirror
+#: the Column arithmetic term-for-term)
+_TRI_VX = [
+    "value",
+    "(value + CAST(event_id % 17 AS DOUBLE) - 8.0)",
+    "(value - CAST(event_id % 13 AS DOUBLE) + 6.0)",
+]
+_TRI_VY = [
+    "CAST(user_id AS DOUBLE)",
+    "(CAST(user_id AS DOUBLE) + CAST(event_id % 11 AS DOUBLE) - 5.0)",
+    "(CAST(user_id AS DOUBLE) + CAST(event_id % 7 AS DOUBLE) - 3.0)",
+]
+
+
+def _poly_contains_sql(vx, vy, px, py, eps: float = 1e-12) -> str:
+    """Closed point-in-polygon with DYNAMIC vertex expressions — the
+    SQL mirror of operators.polygon.in_polygon_col (crossing parity +
+    eps on-edge), generated per edge."""
+    n = len(vx)
+    crossings, on_edge = [], []
+    for i in range(n):
+        x1, y1 = vx[i], vy[i]
+        x2, y2 = vx[(i + 1) % n], vy[(i + 1) % n]
+        straddle = f"(({y1} > {py}) != ({y2} > {py}))"
+        xin = f"((({x2}) - ({x1})) * (({py}) - ({y1})) / (({y2}) - ({y1})) + ({x1}))"
+        crossings.append(
+            f"CASE WHEN {straddle} AND (({px}) < {xin}) THEN 1 ELSE 0 END"
+        )
+        cross = (
+            f"((({x2}) - ({x1})) * (({py}) - ({y1}))"
+            f" - (({y2}) - ({y1})) * (({px}) - ({x1})))"
+        )
+        on_edge.append(
+            f"(abs({cross}) <= {eps}"
+            f" AND ({px}) >= least({x1}, {x2}) AND ({px}) <= greatest({x1}, {x2})"
+            f" AND ({py}) >= least({y1}, {y2}) AND ({py}) <= greatest({y1}, {y2}))"
+        )
+    return (
+        "(((" + " + ".join(crossings) + ") % 2 = 1) OR "
+        + " OR ".join(on_edge)
+        + ")"
+    )
+
+
+def _edge_box_sql(x1, y1, x2, y2, lo, hi) -> str:
+    """SQL mirror of the per-edge separating-axis segment-box test in
+    operators.polygon.polygon_intersects_box_col."""
+    dx, dy = f"(({x2}) - ({x1}))", f"(({y2}) - ({y1}))"
+
+    def cross(cx, cy):
+        return f"({dx} * ({cy} - ({y1})) - {dy} * ({cx} - ({x1})))"
+
+    c1, c2 = cross(lo[0], lo[1]), cross(hi[0], lo[1])
+    c3, c4 = cross(lo[0], hi[1]), cross(hi[0], hi[1])
+    return (
+        f"(least({x1}, {x2}) <= {hi[0]} AND greatest({x1}, {x2}) >= {lo[0]}"
+        f" AND least({y1}, {y2}) <= {hi[1]} AND greatest({y1}, {y2}) >= {lo[1]}"
+        f" AND NOT ({c1} > 0 AND {c2} > 0 AND {c3} > 0 AND {c4} > 0)"
+        f" AND NOT ({c1} < 0 AND {c2} < 0 AND {c3} < 0 AND {c4} < 0))"
+    )
+
+
+def _poly_box_sql(vx, vy, lo, hi) -> str:
+    """SQL mirror of polygon_intersects_box_col: vertex-in-box OR
+    box-corner-in-polygon OR edge-crosses-box."""
+    n = len(vx)
+    vin = " OR ".join(
+        f"(({vx[i]}) >= {lo[0]} AND ({vx[i]}) <= {hi[0]}"
+        f" AND ({vy[i]}) >= {lo[1]} AND ({vy[i]}) <= {hi[1]})"
+        for i in range(n)
+    )
+    corners = " OR ".join(
+        _poly_contains_sql(vx, vy, str(cx), str(cy))
+        for cx, cy in ((lo[0], lo[1]), (hi[0], lo[1]), (lo[0], hi[1]), (hi[0], hi[1]))
+    )
+    edges = " OR ".join(
+        _edge_box_sql(vx[i], vy[i], vx[(i + 1) % n], vy[(i + 1) % n], lo, hi)
+        for i in range(n)
+    )
+    return f"(({vin}) OR ({corners}) OR ({edges}))"
+
+
+def _point_seg_d2_sql(cx, cy, x1, y1, x2, y2) -> str:
+    """SQL mirror of operators.polygon._point_seg_d2 (clamped
+    projection, identical association order)."""
+    dx, dy = f"(({x2}) - ({x1}))", f"(({y2}) - ({y1}))"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    t_raw = f"(((({cx}) - ({x1})) * {dx} + (({cy}) - ({y1})) * {dy}) / {len2})"
+    t = f"(CASE WHEN {len2} > 0 THEN least(greatest({t_raw}, 0.0), 1.0) ELSE 0.0 END)"
+    px = f"(({x1}) + {t} * {dx})"
+    py = f"(({y1}) + {t} * {dy})"
+    return f"((({cx}) - {px}) * (({cx}) - {px}) + (({cy}) - {py}) * (({cy}) - {py}))"
+
+
+def _polygon_distance_join_oracle_sql() -> str:
+    """DuckDB mirror of q_polygon_distance_join: cross join + the
+    identical CASE-guarded point-to-triangle distance arithmetic
+    (the operator is exact, so the oracle is the semantic predicate)."""
+    vx = [e.replace("value", "a.value").replace("event_id", "a.event_id").replace("user_id", "a.user_id") for e in _TRI_VX]
+    vy = [e.replace("value", "a.value").replace("event_id", "a.event_id").replace("user_id", "a.user_id") for e in _TRI_VY]
+    px, py = "b.value", "CAST(b.user_id AS DOUBLE)"
+    n = len(vx)
+    d2s = [
+        _point_seg_d2_sql(px, py, vx[i], vy[i], vx[(i + 1) % n], vy[(i + 1) % n])
+        for i in range(n)
+    ]
+    contains = _poly_contains_sql(vx, vy, px, py)
+    dist2 = f"(CASE WHEN {contains} THEN 0.0 ELSE least({', '.join(d2s)}) END)"
+    return f"""
+        SELECT a.event_id AS a_id, b.event_id AS b_id
+        FROM events a, events b
+        WHERE a.event_id % 97 = 0 AND b.event_id % 3 = 0
+          AND {dist2} <= 16.0
     """
 
 
@@ -1371,6 +1558,25 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
               AND NOT (c1 < 0 AND c2 < 0 AND c3 < 0 AND c4 < 0)
         """,
+        "polygon_box_range": f"""
+            SELECT event_id, user_id, value FROM events
+            WHERE {_poly_box_sql(_TRI_VX, _TRI_VY, _SHAPE_LO, _SHAPE_HI)}
+        """,
+        "circle_rows_range": f"""
+            WITH c AS (
+              SELECT event_id, user_id, value,
+                     value AS c0, CAST(user_id AS DOUBLE) AS c1,
+                     (CAST(event_id % 9 AS DOUBLE) + 0.5) AS r
+              FROM events
+            )
+            SELECT event_id, user_id, value FROM c
+            WHERE ((0.0 + greatest({_SHAPE_LO[0]} - c0, c0 - {_SHAPE_HI[0]}, 0.0)
+                          * greatest({_SHAPE_LO[0]} - c0, c0 - {_SHAPE_HI[0]}, 0.0))
+                   + greatest({_SHAPE_LO[1]} - c1, c1 - {_SHAPE_HI[1]}, 0.0)
+                     * greatest({_SHAPE_LO[1]} - c1, c1 - {_SHAPE_HI[1]}, 0.0))
+                  <= r * r
+        """,
+        "polygon_distance_join": _polygon_distance_join_oracle_sql(),
         "distance_join": f"""
             SELECT c.c_custkey, s.s_suppkey FROM customer c, supplier s
             WHERE {dj_d2} <= {_DJ_R} * {_DJ_R}

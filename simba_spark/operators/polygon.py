@@ -135,6 +135,207 @@ def in_polygon_col(xcol, ycol, poly_col, eps: float = 1e-12) -> Column:
     return (crossings % 2 == 1) | on_edge
 
 
+def _poly_edges(p) -> Column:
+    """Edge list of a polygon column: ring zip (v_i, v_{i+1 mod n})."""
+    rot = F.concat(F.slice(p, 2, F.size(p) - 1), F.slice(p, 1, 1))
+    return F.zip_with(p, rot, lambda a, b: F.struct(a.alias("p"), b.alias("q")))
+
+
+def polygon_intersects_box_col(
+    poly_col, low: Sequence[float], high: Sequence[float], eps: float = 1e-12
+) -> Column:
+    """Closed polygon-COLUMN vs literal query-box intersection — the
+    reference's ``Polygon.intersects(MBR)`` for polygon rows
+    (ref: Polygon.scala:40-107 dispatched from MBR.scala:60-67 via
+    ShapeUtils). Pure higher-order Column arithmetic, constant-size in
+    the vertex count.
+
+    Complete 3-part test: (a) some polygon vertex lies in the box, or
+    (b) some box corner lies in the polygon (box inside polygon), or
+    (c) some polygon edge crosses the box boundary (thin polygon
+    slicing through the box with no vertex inside)."""
+    p = F.col(poly_col) if isinstance(poly_col, str) else poly_col
+    lox, loy = float(low[0]), float(low[1])
+    hix, hiy = float(high[0]), float(high[1])
+
+    vertex_in_box = F.exists(
+        p,
+        lambda v: (v["x"] >= F.lit(lox))
+        & (v["x"] <= F.lit(hix))
+        & (v["y"] >= F.lit(loy))
+        & (v["y"] <= F.lit(hiy)),
+    )
+    corner_in_poly = F.lit(False)
+    for cx, cy in ((lox, loy), (hix, loy), (lox, hiy), (hix, hiy)):
+        corner_in_poly = corner_in_poly | in_polygon_col(
+            F.lit(cx), F.lit(cy), p, eps=eps
+        )
+
+    def edge_hits_box(e):
+        # separating axes, same formulation as
+        # shapes.segment_intersects_box, per polygon edge
+        x1, y1 = e["p"]["x"], e["p"]["y"]
+        x2, y2 = e["q"]["x"], e["q"]["y"]
+        bbox = (
+            (F.least(x1, x2) <= F.lit(hix))
+            & (F.greatest(x1, x2) >= F.lit(lox))
+            & (F.least(y1, y2) <= F.lit(hiy))
+            & (F.greatest(y1, y2) >= F.lit(loy))
+        )
+        dx, dy = x2 - x1, y2 - y1
+
+        def cross(cx, cy):
+            return dx * (F.lit(cy) - y1) - dy * (F.lit(cx) - x1)
+
+        c1, c2 = cross(lox, loy), cross(hix, loy)
+        c3, c4 = cross(lox, hiy), cross(hix, hiy)
+        all_pos = (c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)
+        all_neg = (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+        return bbox & ~all_pos & ~all_neg
+
+    edge_crosses = F.exists(_poly_edges(p), edge_hits_box)
+    return vertex_in_box | corner_in_poly | edge_crosses
+
+
+def _point_seg_d2(cx, cy, x1, y1, x2, y2):
+    """Squared distance from point (cx, cy) to the closed segment —
+    clamped-projection, branch-free; zero-length segments fall back to
+    the endpoint."""
+    dx, dy = x2 - x1, y2 - y1
+    len2 = dx * dx + dy * dy
+    t_raw = ((cx - x1) * dx + (cy - y1) * dy) / len2
+    t = F.when(len2 > 0, F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    px = x1 + t * dx
+    py = y1 + t * dy
+    return (cx - px) * (cx - px) + (cy - py) * (cy - py)
+
+
+def polygon_intersects_circle_col(
+    poly_col, center: Sequence[float], radius: float, eps: float = 1e-12
+) -> Column:
+    """Closed polygon-COLUMN vs query-ball intersection — the
+    reference's ``Polygon.intersects(Circle)`` via minDist
+    (ref: Polygon.scala:40-107, Circle.scala:69): the center lies
+    inside the polygon, or some edge passes within r of it."""
+    p = F.col(poly_col) if isinstance(poly_col, str) else poly_col
+    cx, cy, r = float(center[0]), float(center[1]), float(radius)
+    inside = in_polygon_col(F.lit(cx), F.lit(cy), p, eps=eps)
+    near_edge = F.exists(
+        _poly_edges(p),
+        lambda e: _point_seg_d2(
+            F.lit(cx), F.lit(cy), e["p"]["x"], e["p"]["y"], e["q"]["x"], e["q"]["y"]
+        )
+        <= F.lit(r * r),
+    )
+    return inside | near_edge
+
+
+def point_to_polygon_dist2(xcol, ycol, poly_col, eps: float = 1e-12) -> Column:
+    """Squared distance from a point to a polygon COLUMN: 0 if the
+    point is inside or on the boundary (closed), else the min over
+    edges of the point-segment distance — the reference's
+    ``Polygon.minDist`` (ref: Polygon.scala:83-107)."""
+    x = F.col(xcol) if isinstance(xcol, str) else xcol
+    y = F.col(ycol) if isinstance(ycol, str) else ycol
+    p = F.col(poly_col) if isinstance(poly_col, str) else poly_col
+    edge_min = F.aggregate(
+        _poly_edges(p),
+        F.lit(float("inf")),
+        lambda acc, e: F.least(
+            acc,
+            _point_seg_d2(x, y, e["p"]["x"], e["p"]["y"], e["q"]["x"], e["q"]["y"]),
+        ),
+    )
+    return F.when(in_polygon_col(x, y, p, eps=eps), F.lit(0.0)).otherwise(edge_min)
+
+
+def polygon_distance_join(
+    polys: DataFrame,
+    points: DataFrame,
+    poly_col: str,
+    point_cols: Sequence[str],
+    r: float,
+    cell_size: float = None,
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    max_cells_per_row: int = 10_000,
+) -> DataFrame:
+    """All (polygon row, point row) pairs with
+    dist(polygon, point) <= r (closed) — the polygon distance join the
+    reference reaches through JTS minDist inside its distance-join
+    operators (ref: Polygon.scala:83-107 + DJSpark.scala:36-118).
+
+    Same program shape as the grid distance join: each polygon explodes
+    to the grid cells its r-expanded MBR covers, a point lives in
+    exactly ONE cell (unique emission — no dedup pass), equi-join on
+    cell, then the exact JVM-side refine
+    :func:`point_to_polygon_dist2` <= r². `cell_size=None` derives the
+    width from the average expanded-MBR extent (1-row broadcast
+    aggregate)."""
+    assert len(point_cols) == 2, "polygon_distance_join is 2-D"
+    r = float(r)
+    lp = polys.select([F.col(c).alias(f"{left_prefix}{c}") for c in polys.columns])
+    rp = points.select([F.col(c).alias(f"{right_prefix}{c}") for c in points.columns])
+    pc = F.col(f"{left_prefix}{poly_col}")
+    px = F.col(f"{right_prefix}{point_cols[0]}").cast("double")
+    py = F.col(f"{right_prefix}{point_cols[1]}").cast("double")
+
+    xs = F.transform(pc, lambda v: v["x"])
+    ys = F.transform(pc, lambda v: v["y"])
+    mnx, mxx = F.array_min(xs) - F.lit(r), F.array_max(xs) + F.lit(r)
+    mny, mxy = F.array_min(ys) - F.lit(r), F.array_max(ys) + F.lit(r)
+
+    if cell_size is None:
+        stats = F.broadcast(
+            polys.select(
+                (
+                    F.greatest(
+                        F.array_max(F.transform(F.col(poly_col), lambda v: v["x"]))
+                        - F.array_min(F.transform(F.col(poly_col), lambda v: v["x"])),
+                        F.array_max(F.transform(F.col(poly_col), lambda v: v["y"]))
+                        - F.array_min(F.transform(F.col(poly_col), lambda v: v["y"])),
+                    )
+                    + F.lit(2.0 * r)
+                ).alias("__ext")
+            ).agg(F.greatest(F.avg("__ext"), F.lit(1e-9)).alias("__cw"))
+        )
+        lp = lp.crossJoin(stats)
+        rp = rp.crossJoin(stats)
+        cw = F.col("__cw")
+    else:
+        cw = F.lit(float(cell_size))
+
+    cxlo = F.floor(mnx / cw).cast("long")
+    cxhi = F.floor(mxx / cw).cast("long")
+    cylo = F.floor(mny / cw).cast("long")
+    cyhi = F.floor(mxy / cw).cast("long")
+    n_cells = (cxhi - cxlo + 1) * (cyhi - cylo + 1)
+    guard = F.when(n_cells <= int(max_cells_per_row), cxhi).otherwise(
+        F.raise_error(
+            F.lit(
+                "polygon_distance_join: a polygon's expanded MBR covers more "
+                f"than {max_cells_per_row} cells — pass a larger cell_size"
+            )
+        ).cast("long")
+    )
+    lg = lp.withColumn("__cx", F.explode(F.sequence(cxlo, guard))).withColumn(
+        "__cy", F.explode(F.sequence(cylo, cyhi))
+    )
+    rg = rp.withColumn("__cx", F.floor(px / cw).cast("long")).withColumn(
+        "__cy", F.floor(py / cw).cast("long")
+    )
+    if cell_size is None:
+        lg = lg.drop("__cw")
+        rg = rg.drop("__cw")
+    return (
+        lg.join(rg, on=["__cx", "__cy"], how="inner")
+        .filter(point_to_polygon_dist2(px, py, pc) <= F.lit(r * r))
+        .drop("__cx", "__cy")
+    )
+
+
 def polygon_range(
     df: DataFrame, cols: Sequence[str], vertices, registry=None
 ) -> DataFrame:

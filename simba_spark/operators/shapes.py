@@ -9,12 +9,17 @@ point filters (:mod:`simba_spark.operators.filters`) cover the point
 case; this module covers box and segment *columns* with pure Column
 arithmetic — codegen'd, partially sargable, no UDFs.
 
-Column encodings (2-D segments, N-D boxes):
+Column encodings (2-D segments, N-D boxes and circles):
 
 - box column:     ``struct<lo: array<double>, hi: array<double>>``
   (build with :func:`mbr_struct`)
 - segment column: ``struct<x1: double, y1: double, x2: double, y2: double>``
   (build with :func:`segment_struct`)
+- circle column:  ``struct<center: array<double>, r: double>``
+  (build with :func:`circle_struct`; ShapeType tag-2 analog)
+- polygon column: ``array<struct<x:double,y:double>>`` — predicates in
+  :mod:`simba_spark.operators.polygon`, dispatched here via
+  ``kind='polygon'``
 
 Scale notes: every predicate ANDs a sargable bounding-box pre-filter
 (min/max comparisons on plain columns when the caller stores the
@@ -53,6 +58,17 @@ def segment_struct(x1, y1, x2, y2) -> Column:
     )
 
 
+def circle_struct(center_cols: Sequence, r) -> Column:
+    """Pack N-D center columns + radius into a circle struct
+    (``struct<center: array<double>, r: double>``) — the ShapeType tag-2
+    circle row (ref: util/KryoShapeSerializer.scala:35, Circle.scala:28)."""
+    c = lambda v: (F.col(v) if isinstance(v, str) else v).cast("double")
+    return F.struct(
+        F.array(*[c(v) for v in center_cols]).alias("center"),
+        c(r).alias("r"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # box column predicates
 
@@ -85,6 +101,37 @@ def mbr_intersects_circle(mbr_col, center: Sequence[float], radius: float) -> Co
         gap = F.greatest(lo_i - F.lit(float(c)), F.lit(float(c)) - hi_i, F.lit(0.0))
         d2 = d2 + gap * gap
     return d2 <= F.lit(r * r)
+
+
+# ---------------------------------------------------------------------------
+# circle column predicates (N-D)
+
+
+def circle_intersects_box(circle_col, low: Sequence[float], high: Sequence[float]) -> Column:
+    """Closed circle-row vs query-box intersection:
+    minDist(center, box) <= r — the same face-distance formulation the
+    reference dispatches for circle shapes (ref: Circle.intersects(MBR)
+    via MBR.minDist, Circle.scala:69 / MBR.scala:78-89)."""
+    c = F.col(circle_col) if isinstance(circle_col, str) else circle_col
+    d2 = F.lit(0.0)
+    for i, (lo, hi) in enumerate(zip(low, high)):
+        ci = F.element_at(c["center"], i + 1)
+        gap = F.greatest(F.lit(float(lo)) - ci, ci - F.lit(float(hi)), F.lit(0.0))
+        d2 = d2 + gap * gap
+    return d2 <= c["r"] * c["r"]
+
+
+def circle_intersects_circle(circle_col, center: Sequence[float], radius: float) -> Column:
+    """Closed circle-row vs query-ball intersection:
+    dist(centers) <= r_row + r_query (ref: Circle.intersects(Circle),
+    Circle.scala:62-66)."""
+    c = F.col(circle_col) if isinstance(circle_col, str) else circle_col
+    d2 = F.lit(0.0)
+    for i, q in enumerate(center):
+        dd = F.element_at(c["center"], i + 1) - F.lit(float(q))
+        d2 = d2 + dd * dd
+    rsum = c["r"] + F.lit(float(radius))
+    return d2 <= rsum * rsum
 
 
 # ---------------------------------------------------------------------------
@@ -200,6 +247,12 @@ def shape_range(
         return df.filter(mbr_intersects_box(shape_col, low, high))
     if kind == "segment":
         return df.filter(segment_intersects_box(shape_col, low, high))
+    if kind == "circle":
+        return df.filter(circle_intersects_box(shape_col, low, high))
+    if kind == "polygon":
+        from .polygon import polygon_intersects_box_col
+
+        return df.filter(polygon_intersects_box_col(shape_col, low, high))
     raise ValueError(f"unknown shape kind: {kind}")
 
 
@@ -213,4 +266,10 @@ def shape_circle_range(
         return df.filter(mbr_intersects_circle(shape_col, center, radius))
     if kind == "segment":
         return df.filter(segment_intersects_circle(shape_col, center, radius))
+    if kind == "circle":
+        return df.filter(circle_intersects_circle(shape_col, center, radius))
+    if kind == "polygon":
+        from .polygon import polygon_intersects_circle_col
+
+        return df.filter(polygon_intersects_circle_col(shape_col, center, radius))
     raise ValueError(f"unknown shape kind: {kind}")

@@ -97,3 +97,138 @@ def test_in_polygon_col_per_row_polygons(spark):
     assert got == exp
     assert got[0] and got[1] and got[3] and got[4]
     assert not got[2] and not got[5]
+
+
+def test_polygon_column_box_matches_geometry_oracle(spark):
+    """polygon_intersects_box_col (polygon ROWS vs literal box) must
+    agree with the driver-side Polygon.intersects(MBR) oracle across
+    random triangles — including thin polygons slicing through the box
+    with no vertex inside."""
+    import random
+
+    from simba_spark.geometry import MBR, Point, Polygon
+    from simba_spark.operators.polygon import polygon_intersects_box_col
+
+    rng = random.Random(17)
+    tris = []
+    for i in range(600):
+        cx, cy = rng.uniform(0, 100), rng.uniform(0, 100)
+        tris.append(
+            (
+                i,
+                [
+                    (cx, cy),
+                    (cx + rng.uniform(-20, 20), cy + rng.uniform(-20, 20)),
+                    (cx + rng.uniform(-20, 20), cy + rng.uniform(-20, 20)),
+                ],
+            )
+        )
+    # a long thin sliver through the query box, no vertex inside it
+    tris.append((600, [(0.0, 50.0), (100.0, 52.0), (100.0, 52.5)]))
+    low, high = (40.0, 40.0), (60.0, 60.0)
+    rows = [
+        (i, [{"x": float(x), "y": float(y)} for x, y in vs])
+        for i, vs in tris
+        if len({(x, y) for x, y in vs}) >= 3  # geometry oracle needs distinct
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, poly array<struct<x: double, y: double>>"
+    )
+    got = sorted(
+        r.id for r in df.filter(polygon_intersects_box_col("poly", low, high)).collect()
+    )
+    box = MBR(Point(low), Point(high))
+    exp = sorted(
+        i
+        for i, vs in tris
+        if len({(x, y) for x, y in vs}) >= 3
+        and Polygon([Point(v) for v in vs]).intersects(box)
+    )
+    assert got == exp
+    assert 600 in got  # the sliver case is the one naive tests miss
+
+
+def test_polygon_column_circle_matches_geometry_oracle(spark):
+    """polygon_intersects_circle_col ≡ Polygon.min_dist(center) <= r."""
+    import random
+
+    from simba_spark.geometry import Point, Polygon
+    from simba_spark.operators.polygon import polygon_intersects_circle_col
+
+    rng = random.Random(19)
+    tris = []
+    for i in range(600):
+        cx, cy = rng.uniform(0, 100), rng.uniform(0, 100)
+        tris.append(
+            (
+                i,
+                [
+                    (cx, cy),
+                    (cx + rng.uniform(1, 15), cy + rng.uniform(1, 15)),
+                    (cx - rng.uniform(1, 15), cy + rng.uniform(1, 15)),
+                ],
+            )
+        )
+    center, r = (50.0, 50.0), 12.0
+    rows = [(i, [{"x": float(x), "y": float(y)} for x, y in vs]) for i, vs in tris]
+    df = spark.createDataFrame(
+        rows, "id long, poly array<struct<x: double, y: double>>"
+    )
+    got = sorted(
+        r_.id
+        for r_ in df.filter(
+            polygon_intersects_circle_col("poly", center, r)
+        ).collect()
+    )
+    exp = sorted(
+        i
+        for i, vs in tris
+        if Polygon([Point(v) for v in vs]).min_dist(Point(center)) <= r
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_polygon_distance_join_matches_bruteforce(spark):
+    """Grid-celled polygon-point distance join ≡ brute-force
+    Polygon.min_dist(Point) <= r, for auto and explicit cell sizes."""
+    import random
+
+    from simba_spark.geometry import Point, Polygon
+    from simba_spark.operators.polygon import polygon_distance_join
+
+    rng = random.Random(23)
+    tris = []
+    for i in range(150):
+        cx, cy = rng.uniform(0, 100), rng.uniform(0, 100)
+        tris.append(
+            (
+                i,
+                [
+                    (cx, cy),
+                    (cx + rng.uniform(1, 10), cy + rng.uniform(1, 10)),
+                    (cx - rng.uniform(1, 10), cy + rng.uniform(1, 10)),
+                ],
+            )
+        )
+    pts = [(j, rng.uniform(0, 100), rng.uniform(0, 100)) for j in range(300)]
+    polys = spark.createDataFrame(
+        [(i, [{"x": float(x), "y": float(y)} for x, y in vs]) for i, vs in tris],
+        "id long, poly array<struct<x: double, y: double>>",
+    )
+    points = spark.createDataFrame(pts, "id long, x double, y double")
+    r = 3.0
+    exp = sorted(
+        (i, j)
+        for i, vs in tris
+        for j, x, y in pts
+        if Polygon([Point(v) for v in vs]).min_dist(Point((x, y))) <= r
+    )
+    for cs in (None, 8.0):
+        got = sorted(
+            (row["a_id"], row["b_id"])
+            for row in polygon_distance_join(
+                polys, points, "poly", ["x", "y"], r, cell_size=cs
+            ).collect()
+        )
+        assert got == exp, cs
+    assert len(exp) > 0

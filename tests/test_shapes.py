@@ -171,3 +171,50 @@ def test_segments_intersect_matches_geometry(spark):
             LineSegment(Point((bx1, by1)), Point((bx2, by2)))
         )
         assert got[i] == want, (r, got[i], want)
+
+
+def test_circle_rows_box_and_circle_match_geometry_oracle(spark):
+    """Circle-valued rows (ShapeType tag 2 analog): closed
+    circle-vs-box and circle-vs-ball intersection must agree with the
+    driver-side geometry Circle oracle, touching cases included."""
+    import random
+
+    from simba_spark.geometry import MBR, Circle, Point
+    from simba_spark.operators.shapes import (
+        circle_struct,
+        shape_circle_range,
+        shape_range,
+    )
+
+    rng = random.Random(37)
+    rows = [
+        (i, rng.uniform(0, 100), rng.uniform(0, 100), rng.uniform(0.1, 15))
+        for i in range(800)
+    ]
+    rows.append((800, 30.0, 50.0, 10.0))   # touches box edge x=40 exactly
+    rows.append((801, 50.0, 70.0, 5.0))    # touches query ball exactly
+                                           # (dist 20 == 5 + 15)
+    df = spark.createDataFrame(rows, "id long, cx double, cy double, r double")
+    df = df.withColumn("circ", circle_struct(["cx", "cy"], "r"))
+
+    low, high = (40.0, 40.0), (60.0, 60.0)
+    got_box = sorted(
+        r_.id for r_ in shape_range(df, "circ", low, high, kind="circle").collect()
+    )
+    box = MBR(Point(low), Point(high))
+    exp_box = sorted(
+        i for i, cx, cy, r in rows if Circle(Point((cx, cy)), r).intersects(box)
+    )
+    assert got_box == exp_box and 800 in got_box
+
+    center, qr = (70.0, 70.0), 15.0
+    got_c = sorted(
+        r_.id
+        for r_ in shape_circle_range(df, "circ", center, qr, kind="circle").collect()
+    )
+    exp_c = sorted(
+        i
+        for i, cx, cy, r in rows
+        if Circle(Point((cx, cy)), r).intersects(Circle(Point(center), qr))
+    )
+    assert got_c == exp_c and 801 in got_c

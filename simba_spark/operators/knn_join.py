@@ -332,28 +332,28 @@ def _voronoi_knn_join(
         cand.sort()
         theta[i] = (cand[k - 1] if len(cand) >= k else float("inf")) + eps
 
-    # replication map: right cell j -> [(i, lb_ij)] (ref: VKJSpark.scala:335-350)
-    map_args = []
-    for j in r_meta:
-        entries = []
-        for i, th in theta.items():
-            lb = pp[i][j] - l_ub[i] - th - eps
-            entries.append(F.struct(F.lit(int(i)).alias("i"), F.lit(float(lb)).alias("lb")))
-        map_args += [F.lit(int(j)), F.array(*entries)]
-    rep_map = F.create_map(*map_args)
-
-    rrep = rc.withColumn(
-        "__lcell",
-        F.explode(
-            F.transform(
-                F.filter(
-                    F.element_at(rep_map, F.col("__cell")),
-                    lambda e: F.col("__pd") >= e["lb"],
-                ),
-                lambda e: e["i"],
-            )
-        ),
-    ).drop("__cell", "__pd")
+    # replication table: (right cell j, left cell i, lb_ij)
+    # (ref: lower_bounds + right_dup, VKJSpark.scala:335-350) — a
+    # BROADCAST relation, not a create_map literal: at P pivots the
+    # literal map was an O(P²)-node expression tree, which hits
+    # codegen/analysis limits around P≈512; a P²-row broadcast join
+    # keeps the plan constant-size at any pivot count
+    rep_rows = [
+        (int(j), int(i), float(pp[i][j] - l_ub[i] - th - eps))
+        for j in r_meta
+        for i, th in theta.items()
+    ]
+    rep_df = lp.sparkSession.createDataFrame(
+        rep_rows, "j int, __lcell int, lb double"
+    )
+    rrep = (
+        rc.join(
+            F.broadcast(rep_df),
+            on=(F.col("__cell") == F.col("j")) & (F.col("__pd") >= F.col("lb")),
+            how="inner",
+        )
+        .drop("__cell", "__pd", "j", "lb")
+    )
 
     pairs = (
         lc.drop("__pd")

@@ -87,6 +87,19 @@ def test_knn_join_algos_match_oracle(pair_dfs, algo, k):
     assert sorted((r.l_id, r.r_id) for r in got) == exp
 
 
+def test_voronoi_knn_join_many_pivots_bounded_plan(pair_dfs):
+    """P=256 pivots must still complete with a bounded plan (the
+    replication table is a broadcast relation, not an O(P²) literal
+    expression — VERDICT r2 item 9) and stay exact."""
+    a, b = pair_dfs
+    got = knn_join(
+        a, b, ["x", "y"], ["x", "y"], 3,
+        left_id="id", algo="voronoi", right_tiebreak="id", n_pivots=256,
+    ).select("l_id", "r_id").collect()
+    exp = _knn_oracle(a.toPandas(), b.toPandas(), 3)
+    assert sorted((r.l_id, r.r_id) for r in got) == exp
+
+
 def test_knn_join_exactly_k_each(pair_dfs):
     a, b = pair_dfs
     k = 4

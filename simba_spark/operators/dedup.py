@@ -534,15 +534,21 @@ def embedding_dup_pairs(
     n_planes: int = 12,
     seed: int = 42,
     dim: Optional[int] = None,
+    probe: int = 1,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
     Default ``algo='lsh'``: random-hyperplane signature blocking —
-    candidates share the full sign signature; linear-ish shuffle volume,
-    the only sane default when a pipeline inherits this at 100 TB
-    (n_planes ~ 12-18 keeps buckets executor-sized). ``algo='exact'`` is
-    the opt-in brute-force self-join — the small-scale oracle path, an
-    all-pairs crossJoin that must never be a silent default.
+    candidates within Hamming distance ``probe`` of the full sign
+    signature; linear-ish shuffle volume, the only sane default when a
+    pipeline inherits this at 100 TB (n_planes ~ 12-18 keeps buckets
+    executor-sized). ``probe=1`` (default) multi-probes: one side
+    explodes to its signature plus the n_planes one-bit flips, so a
+    near-pair split by a single plane is still a candidate (the same
+    adjacency the query-time ANN path probes); ``probe=0`` is
+    exact-signature blocking. ``algo='exact'`` is the opt-in
+    brute-force self-join — the small-scale oracle path, an all-pairs
+    crossJoin that must never be a silent default.
     """
     from ..functions import cosine_similarity, vec_norm
 
@@ -556,6 +562,7 @@ def embedding_dup_pairs(
         sig = _hyperplane_signature(df, vec_col, n_planes, seed, dim=dim)
         sa = sig.select(F.col(id_col).alias("a_id"), F.col("__sig").alias("__siga"))
         sb = sig.select(F.col(id_col).alias("b_id"), F.col("__sig").alias("__sigb"))
+        sa = sa.withColumn("__siga", _probe_signatures("__siga", n_planes, probe))
         cand = (
             a.join(sa, on="a_id")
             .join(sb.join(b, on="b_id"), F.col("__siga") == F.col("__sigb"))
@@ -566,6 +573,30 @@ def embedding_dup_pairs(
         cand.withColumn("cosine_sim", F.round(sim, 6))
         .filter(F.col("cosine_sim") >= float(threshold))
         .select("a_id", "b_id", "cosine_sim")
+    )
+
+
+def _probe_signatures(sig_col, n_planes: int, probe: int):
+    """Multi-probe explode: the signature itself plus, at ``probe=1``,
+    its ``n_planes`` one-bit flips (Hamming-1 neighbors). A near-pair
+    whose vectors straddle exactly one hyperplane lands in a flipped
+    bucket — signature-equality blocking alone misses it. Candidates
+    stay unique: a pair at Hamming distance h ≤ probe matches exactly
+    one probed variant."""
+    probe = int(probe)
+    if probe <= 0:
+        return F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    if probe > 1:
+        raise ValueError("probe > 1 not supported (candidate fanout grows as C(n_planes, probe))")
+    s = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.explode(
+        F.array(
+            s,
+            *[
+                s.bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(int(n_planes))
+            ],
+        )
     )
 
 

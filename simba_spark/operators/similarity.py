@@ -372,13 +372,16 @@ def knn_join_vectors(
     n_planes: int = 12,
     seed: int = 42,
     dim: Optional[int] = None,
+    probe: int = 1,
 ) -> DataFrame:
     """k nearest neighbors (by cosine) for every row — vector self-join.
 
-    Default ``algo='lsh'``: candidates limited to the matching
-    hyperplane-signature bucket — approximate, linear-ish, the scale-safe
-    default. ``algo='exact'`` is the opt-in crossJoin + window oracle
-    path (quadratic — never a silent default at 100 TB).
+    Default ``algo='lsh'``: candidates within Hamming distance
+    ``probe`` (default 1 — the signature bucket plus its one-bit-flip
+    neighbors, the same adjacency the query-time ANN path probes) —
+    approximate, linear-ish, the scale-safe default. ``algo='exact'``
+    is the opt-in crossJoin + window oracle path (quadratic — never a
+    silent default at 100 TB).
     Output: (a_id, b_id, cosine_sim, rank) with rank in [1, k].
     """
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
@@ -388,11 +391,12 @@ def knn_join_vectors(
     elif algo != "lsh":
         raise ValueError(f"unknown vector knn-join algo: {algo}")
     else:
-        from .dedup import _hyperplane_signature
+        from .dedup import _hyperplane_signature, _probe_signatures
 
         sig = _hyperplane_signature(df, vec_col, n_planes, seed, dim=dim)
         sa = sig.select(F.col(id_col).alias("a_id"), F.col("__sig").alias("__siga"))
         sb = sig.select(F.col(id_col).alias("b_id"), F.col("__sig").alias("__sigb"))
+        sa = sa.withColumn("__siga", _probe_signatures("__siga", n_planes, probe))
         cand = (
             a.join(sa, on="a_id")
             .join(b.join(sb, on="b_id"), F.col("__siga") == F.col("__sigb"))

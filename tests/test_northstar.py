@@ -435,3 +435,44 @@ def test_resize_and_audio_stubs_plumbing(spark):
 
     with _pytest.raises(Exception):
         resize_images(blobs, 8, 6, mode="real").collect()
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multi-probe (probe=1, the default) must recover
+    near-pairs that exact-signature blocking (probe=0) loses to a
+    single plane flip — recall strictly improves at fixed n_planes,
+    and probe=0's candidates are a subset of probe=1's."""
+    import numpy as np
+
+    from simba_spark.operators.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(123)
+    rows = []
+    vid = 0
+    # 120 near-duplicate pairs: base + tiny noise (cos ~ 0.999)
+    for _ in range(120):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        near = base + 0.03 * rng.standard_normal(16)
+        near /= np.linalg.norm(near)
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        rows.append((vid, [float(x) for x in near])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.99, n_planes=12, seed=42)
+    exact = {
+        (r.a_id, r.b_id)
+        for r in embedding_dup_pairs(df, algo="exact", **kw).collect()
+    }
+    p0 = {
+        (r.a_id, r.b_id)
+        for r in embedding_dup_pairs(df, algo="lsh", probe=0, **kw).collect()
+    }
+    p1 = {
+        (r.a_id, r.b_id)
+        for r in embedding_dup_pairs(df, algo="lsh", probe=1, **kw).collect()
+    }
+    assert p0 <= p1 <= exact
+    r0 = len(p0 & exact) / len(exact)
+    r1 = len(p1 & exact) / len(exact)
+    assert r1 > r0, (r0, r1)
+    assert r1 >= 0.9

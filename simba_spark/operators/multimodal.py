@@ -2,10 +2,18 @@
 as opaque ``binary`` columns with typed metadata structs.
 
 The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub: ``mode='fake'`` produces deterministic synthetic
-features (so the Spark-side plumbing — schema, batching, partitioning —
-is fully real and testable), ``mode='real'`` raises NotImplementedError
-at the point where a codec (PIL/ffmpeg) would be called.
+clearly-marked seam with three settings per operator:
+
+- ``mode='fake'`` (default): deterministic synthetic features derived
+  from the content hash, so the Spark-side plumbing — schema, batching,
+  partitioning — is fully real and testable;
+- ``codec=<callable>``: a caller-supplied decode function (PIL, ffmpeg,
+  soundfile, …) is shipped to the workers via cloudpickle and called
+  per payload inside the Arrow batches — the production integration
+  point, usable WITHOUT editing this repo;
+- ``mode='real'`` with no codec: raises NotImplementedError at the
+  exact point a codec would be called (honest stub — this container
+  has no media libraries).
 
 All heavy per-row work runs through Arrow-batched ``mapInPandas`` —
 the right shape for a 100 TB pipeline: one Python worker per partition,
@@ -15,7 +23,7 @@ columnar transfer, no per-row pickling.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -55,6 +63,26 @@ def blob_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
              .withColumn("content_hash", F.md5(F.col(blob_col)))
 
 
+def _resolve_decoder(mode: str, codec: Optional[Callable], fake: Callable, what: str):
+    """Pick the per-payload decode callable: explicit codec wins, then
+    the deterministic fake, and a codec-less 'real' raises where the
+    codec would have run."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {mode}")
+    if codec is not None:
+        return codec
+    if mode == "fake":
+        return fake
+
+    def missing(*_a, **_k):
+        raise NotImplementedError(
+            f"real {what} requires a media library not in this container; "
+            "pass codec=<callable> to plug one in"
+        )
+
+    return missing
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic synthetic 'decode': metadata derived from the
     content hash, so tests are stable and distribution-independent."""
@@ -72,23 +100,18 @@ def decode_image_features(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     mode: str = "fake",
+    codec: Optional[Callable] = None,
     batch_hint: int = 1024,
 ) -> DataFrame:
     """Extract per-image features: (id, width, height, channels,
-    mean_luma). ``mode='real'`` is the integration point for a codec
-    library and intentionally unimplemented in this container."""
-    if mode not in ("fake", "real"):
-        raise ValueError(f"unknown decode mode: {mode}")
+    mean_luma). ``codec(payload) -> dict`` with those keys plugs a real
+    decoder in; without one, ``mode='real'`` raises."""
+    decode = _resolve_decoder(mode, codec, _fake_decode, "image decode")
     schema = f"{id_col} long, {IMAGE_FEATURE_SCHEMA}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv — not in this "
-                    "container; plug the codec in here"
-                )
-            feats = [_fake_decode(b) for b in pdf[blob_col]]
+            feats = [decode(b) for b in pdf[blob_col]]
             out = pd.DataFrame(feats)
             out.insert(0, id_col, pdf[id_col].values)
             yield out
@@ -103,32 +126,32 @@ def resize_images(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     mode: str = "fake",
+    codec: Optional[Callable] = None,
 ) -> DataFrame:
-    """Resize stub: emits (id, resized_blob, width, height). The fake
-    mode re-hashes the payload with the target box (deterministic bytes
-    of plausible size); ``mode='real'`` is the PIL/opencv integration
-    point. The Spark-side shape — binary in, binary out through Arrow
-    batches — is the real contract a codec implementation inherits."""
-    if mode not in ("fake", "real"):
-        raise ValueError(f"unknown decode mode: {mode}")
-    schema = f"{id_col} long, resized_blob binary, width int, height int"
+    """Resize: emits (id, resized_blob, width, height).
+    ``codec(payload, target_w, target_h) -> bytes`` plugs a real
+    resizer in. The fake mode re-hashes the payload with the target box
+    (deterministic bytes of plausible size). The Spark-side shape —
+    binary in, binary out through Arrow batches — is the contract a
+    codec implementation inherits."""
     tw, th = int(target_w), int(target_h)
+
+    def fake(payload, w, h):
+        seed = hashlib.md5(
+            (payload or b"") + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        ).digest()
+        # deterministic pseudo-pixels, ~3 bytes/pixel capped
+        return (seed * (1 + (w * h * 3) // len(seed)))[: w * h * 3]
+
+    resize = _resolve_decoder(mode, codec, fake, "resize")
+    schema = f"{id_col} long, resized_blob binary, width int, height int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "real resize requires PIL/opencv — not in this "
-                    "container; plug the codec in here"
-                )
-            rows = []
-            for rid, payload in zip(pdf[id_col], pdf[blob_col]):
-                seed = hashlib.md5(
-                    (payload or b"") + tw.to_bytes(4, "big") + th.to_bytes(4, "big")
-                ).digest()
-                # deterministic pseudo-pixels, ~3 bytes/pixel capped
-                body = (seed * (1 + (tw * th * 3) // len(seed)))[: tw * th * 3]
-                rows.append((rid, bytearray(body), tw, th))
+            rows = [
+                (rid, bytearray(resize(payload, tw, th)), tw, th)
+                for rid, payload in zip(pdf[id_col], pdf[blob_col])
+            ]
             yield pd.DataFrame(
                 rows, columns=[id_col, "resized_blob", "width", "height"]
             )
@@ -141,31 +164,31 @@ def extract_audio_features(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     mode: str = "fake",
+    codec: Optional[Callable] = None,
 ) -> DataFrame:
-    """Audio feature stub: (id, duration_s, sample_rate, rms). Fake
-    derives stable values from the content hash; ``mode='real'`` is the
-    soundfile/ffmpeg integration point."""
-    if mode not in ("fake", "real"):
-        raise ValueError(f"unknown decode mode: {mode}")
+    """Audio features: (id, duration_s, sample_rate, rms).
+    ``codec(payload) -> dict`` with those keys plugs a real decoder
+    (soundfile/ffmpeg) in; fake derives stable values from the content
+    hash."""
+
+    def fake(payload):
+        h = hashlib.md5(payload or b"").digest()
+        return {
+            "duration_s": round(1.0 + h[5] / 8.0, 3),
+            "sample_rate": (8000, 16000, 44100, 48000)[h[6] % 4],
+            "rms": round(h[7] / 255.0, 6),
+        }
+
+    decode = _resolve_decoder(mode, codec, fake, "audio decode")
     schema = f"{id_col} long, duration_s double, sample_rate int, rms double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/ffmpeg — not in "
-                    "this container; plug the decoder in here"
-                )
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[blob_col]):
-                h = hashlib.md5(payload or b"").digest()
+                d = decode(payload)
                 rows.append(
-                    (
-                        rid,
-                        round(1.0 + h[5] / 8.0, 3),
-                        (8000, 16000, 44100, 48000)[h[6] % 4],
-                        round(h[7] / 255.0, 6),
-                    )
+                    (rid, d["duration_s"], d["sample_rate"], d["rms"])
                 )
             yield pd.DataFrame(
                 rows, columns=[id_col, "duration_s", "sample_rate", "rms"]
@@ -180,27 +203,31 @@ def sample_frames(
     id_col: str = "doc_id",
     every_n: int = 10,
     mode: str = "fake",
+    codec: Optional[Callable] = None,
 ) -> DataFrame:
-    """Frame-sampling stub for video payloads: emits (id, frame_idx,
-    frame_hash) rows — one row per sampled frame. Deterministic fake
-    derives a synthetic frame count from the payload hash."""
-    if mode not in ("fake", "real"):
-        raise ValueError(f"unknown decode mode: {mode}")
+    """Frame sampling for video payloads: emits (id, frame_idx,
+    frame_hash) rows — one row per sampled frame.
+    ``codec(payload, every_n) -> list[(frame_idx, frame_hash)]`` plugs
+    a real demuxer (ffmpeg) in; the deterministic fake derives a
+    synthetic frame count from the payload hash."""
+
+    def fake(payload, step):
+        h = hashlib.md5(payload or b"").digest()
+        n_frames = 30 + h[4] % 240
+        return [
+            (idx, hashlib.md5((payload or b"") + idx.to_bytes(4, "big")).hexdigest())
+            for idx in range(0, n_frames, step)
+        ]
+
+    demux = _resolve_decoder(mode, codec, fake, "frame extraction")
     schema = f"{id_col} long, frame_idx int, frame_hash string"
+    step = int(every_n)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "real frame extraction requires ffmpeg — not in this "
-                    "container; plug the demuxer in here"
-                )
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[blob_col]):
-                h = hashlib.md5(payload or b"").digest()
-                n_frames = 30 + h[4] % 240
-                for idx in range(0, n_frames, every_n):
-                    fh = hashlib.md5((payload or b"") + idx.to_bytes(4, "big")).hexdigest()
+                for idx, fh in demux(payload, step):
                     rows.append((rid, idx, fh))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_hash"])
 

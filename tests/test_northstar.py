@@ -326,6 +326,51 @@ def test_decode_image_real_mode_raises(docs):
         decode_image_features(blobs, mode="real").collect()
 
 
+def test_codec_injection_through_public_api(docs):
+    """A caller-supplied codec callable must run inside the Arrow
+    batches through the PUBLIC API — the mode='real' seam is usable
+    without editing the repo (VERDICT r2 item 7)."""
+    import hashlib as hl
+
+    from simba_spark.operators.multimodal import (
+        attach_blob,
+        decode_image_features,
+        extract_audio_features,
+        resize_images,
+        sample_frames,
+    )
+
+    blobs = attach_blob(docs.limit(8), "text")
+
+    def img_codec(payload):
+        return {"width": len(payload or b""), "height": 7, "channels": 3,
+                "mean_luma": 0.5}
+
+    rows = decode_image_features(blobs, codec=img_codec).collect()
+    assert len(rows) == 8
+    assert all(r.height == 7 and r.channels == 3 for r in rows)
+    assert all(r.width > 0 for r in rows)  # real payload length reached it
+
+    def resize_codec(payload, w, h):
+        return hl.sha256(payload or b"").digest()[: w * h]
+
+    rrows = resize_images(blobs, 4, 4, codec=resize_codec).collect()
+    assert all(len(r.resized_blob) == 16 and r.width == 4 for r in rrows)
+
+    def audio_codec(payload):
+        return {"duration_s": 2.5, "sample_rate": 22050, "rms": 0.1}
+
+    arows = extract_audio_features(blobs, codec=audio_codec).collect()
+    assert all(r.sample_rate == 22050 and r.duration_s == 2.5 for r in arows)
+
+    def frame_codec(payload, step):
+        return [(i, f"frame-{i}") for i in range(0, 4 * step, step)]
+
+    frows = sample_frames(blobs, every_n=5, codec=frame_codec).collect()
+    assert len(frows) == 8 * 4
+    assert all(r.frame_hash == f"frame-{r.frame_idx}" for r in frows)
+
+
 def test_sample_frames_fake(docs):
     from simba_spark.operators.multimodal import attach_blob, sample_frames
 

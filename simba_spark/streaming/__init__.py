@@ -13,6 +13,7 @@ from .ops import (
     streaming_exact_dedup,
     streaming_knn_join,
     streaming_range_filter,
+    streaming_stream_distance_join,
     windowed_event_counts,
 )
 
@@ -22,6 +23,7 @@ __all__ = [
     "streaming_distance_join",
     "streaming_exact_dedup",
     "streaming_knn_join",
+    "streaming_stream_distance_join",
     "windowed_event_counts",
     "sessionize_stream",
 ]

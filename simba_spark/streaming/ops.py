@@ -166,6 +166,73 @@ def streaming_knn_join(
     )
 
 
+def streaming_stream_distance_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    radius: float,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    time_bound: str = "10 minutes",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Stream-STREAM distance join: pairs of events from two live
+    streams within `radius` of each other (closed) AND within
+    `time_bound` of each other in event time.
+
+    Physical shape: the left stream explodes to every grid cell its
+    r-buffer touches, the right stream computes its single cell — the
+    cell equality becomes the stream-stream join's state key (so state
+    is hash-partitioned by cell, same key as the batch grid join), the
+    watermarked event-time bound lets Spark EVICT state (without it a
+    stream-stream join buffers forever), and the exact-distance refine
+    runs codegen'd on the survivors. Symmetric-hash-join semantics come
+    from Spark's stream-stream inner join; both inputs must carry event
+    time."""
+    r = float(radius)
+    assert r >= 0.0
+    s = 2.0 * r if r > 0 else 1.0
+    d = len(left_cols)
+    assert d == len(right_cols)
+
+    lp = left_stream.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in left_stream.columns]
+    ).withWatermark(f"{left_prefix}{left_ts}", watermark)
+    rp = right_stream.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right_stream.columns]
+    ).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lcols = [f"{left_prefix}{c}" for c in left_cols]
+    rcols = [f"{right_prefix}{c}" for c in right_cols]
+    lts, rts = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
+
+    lo = [F.floor((F.col(c) - F.lit(r)) / F.lit(s)).cast("long") for c in lcols]
+    hi = [F.floor((F.col(c) + F.lit(r)) / F.lit(s)).cast("long") for c in lcols]
+    lg = lp
+    for i in range(d):
+        lg = lg.withColumn(f"__lc{i}", F.explode(F.sequence(lo[i], hi[i])))
+    rg = rp
+    for i, c in enumerate(rcols):
+        rg = rg.withColumn(f"__rc{i}", F.floor(F.col(c) / F.lit(s)).cast("long"))
+
+    from ..functions import dist2_cols
+
+    cell_eq = F.lit(True)
+    for i in range(d):
+        cell_eq = cell_eq & (F.col(f"__lc{i}") == F.col(f"__rc{i}"))
+    time_ok = F.expr(
+        f"`{rts}` >= `{lts}` - INTERVAL {time_bound} AND "
+        f"`{rts}` <= `{lts}` + INTERVAL {time_bound}"
+    )
+    pred = dist2_cols(lcols, rcols) <= F.lit(r * r)
+    out = lg.join(rg, cell_eq & time_ok & pred, "inner")
+    return out.drop(
+        *[f"__lc{i}" for i in range(d)], *[f"__rc{i}" for i in range(d)]
+    )
+
+
 def _sdist2(s, stream_cols):
     d2 = None
     for i, c in enumerate(stream_cols):

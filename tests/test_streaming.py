@@ -283,3 +283,61 @@ def test_streaming_knn_join_guards_static_size(spark, stream_dir):
         assert False, "expected the static-size guard to trip"
     except AssertionError as e:
         assert "max_static_rows" in str(e)
+
+
+def test_stream_stream_distance_join_matches_batch(spark):
+    """Two replayed streams through the watermarked stream-stream grid
+    join must produce exactly the pairs the batch semantics give
+    (distance <= r AND |event-time delta| <= bound)."""
+    import pandas as pd
+
+    from simba_spark.streaming import streaming_stream_distance_join
+
+    da = tempfile.mkdtemp(prefix="simba_ss_a_")
+    db = tempfile.mkdtemp(prefix="simba_ss_b_")
+    try:
+        import random
+
+        rng = random.Random(41)
+        arows = [
+            (i, f"2024-01-01 00:{i % 30:02d}:00", rng.uniform(0, 100), rng.uniform(0, 100))
+            for i in range(120)
+        ]
+        brows = [
+            (j, f"2024-01-01 00:{j % 30:02d}:30", rng.uniform(0, 100), rng.uniform(0, 100))
+            for j in range(150)
+        ]
+        schema = "id long, ts_s string, x double, y double"
+        a = spark.createDataFrame(arows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        b = spark.createDataFrame(brows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        a.write.mode("overwrite").parquet(da)
+        b.write.mode("overwrite").parquet(db)
+
+        sa = spark.readStream.schema(a.schema).parquet(da)
+        sb = spark.readStream.schema(b.schema).parquet(db)
+        out = streaming_stream_distance_join(
+            sa, sb, ["x", "y"], ["x", "y"], radius=8.0,
+            watermark="30 minutes", time_bound="5 minutes",
+        )
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in _run_stream(spark, out.select("a_id", "b_id"),
+                                 "ss_dist_join_out").collect()
+        )
+
+        apd, bpd = a.toPandas(), b.toPandas()
+        exp = sorted(
+            (int(ra.id), int(rb.id))
+            for _, ra in apd.iterrows()
+            for _, rb in bpd.iterrows()
+            if (ra.x - rb.x) ** 2 + (ra.y - rb.y) ** 2 <= 64.0
+            and abs((ra.ts - rb.ts).total_seconds()) <= 300
+        )
+        assert got == exp and len(exp) > 0
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)

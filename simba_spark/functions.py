@@ -155,6 +155,49 @@ def z_value_col(int_cols, bits: int = 21) -> Column:
     return out
 
 
+def z_value_sql(int_exprs: Sequence[str], bits: int = 21) -> str:
+    """SQL-string twin of :func:`z_value_col` — identical arithmetic
+    (magic-number spreading for d=2/3, per-bit interleave otherwise),
+    for callers that assemble whole expressions as one F.expr to avoid
+    per-Column py4j round-trip cost on the driver."""
+    d = len(int_exprs)
+    assert d * bits <= 63, "z-value overflows a signed 64-bit long"
+
+    def _spread(e: str, premask: int, steps) -> str:
+        x = f"(CAST({e} AS BIGINT) & {premask})"
+        for sh, mask in steps:
+            x = f"(({x} | shiftleft({x}, {sh})) & {mask})"
+        return x
+
+    if d == 2:
+        steps = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        parts = [_spread(e, 0xFFFFFFFF, steps) for e in int_exprs]
+        return f"({parts[0]} | shiftleft({parts[1]}, 1))"
+    if d == 3:
+        steps = [
+            (32, 0x1F00000000FFFF),
+            (16, 0x1F0000FF0000FF),
+            (8, 0x100F00F00F00F00F),
+            (4, 0x10C30C30C30C30C3),
+            (2, 0x1249249249249249),
+        ]
+        parts = [_spread(e, 0x1FFFFF, steps) for e in int_exprs]
+        return f"({parts[0]} | shiftleft({parts[1]}, 1) | shiftleft({parts[2]}, 2))"
+    terms = []
+    for i, e in enumerate(int_exprs):
+        for j in range(bits):
+            terms.append(
+                f"shiftleft(shiftright(CAST({e} AS BIGINT), {j}) & 1, {j * d + i})"
+            )
+    return "(" + " | ".join(terms) + ")"
+
+
 def grid_cell(cols, cell_size: float, origin: Sequence[float] = None) -> Column:
     """Map a point to the integer id array of its grid cell — the basis of
     the grid-cell equi-join (our DJSpark analog, SURVEY §2.3)."""

@@ -170,6 +170,10 @@ def minhash_lsh_pairs(
     # every expression small (codegen-friendly), unlike num_hashes nested
     # array transforms which overflow the 64KB JIT method limit and fall
     # back to interpreted eval
+    # the num_hashes min-aggregates and bands band-hashes are built as
+    # SQL strings (one F.expr py4j call each): the per-Column loops
+    # cost ~1 s of DRIVER time per query in py4j round-trips alone —
+    # the expressions are identical
     ex = sh_df.select("__id", F.explode_outer("__sh").alias("__s"))
     if hash_fn == "md5long":
         # one md5 per shingle, num_hashes cheap affine derivations —
@@ -178,29 +182,36 @@ def minhash_lsh_pairs(
         consts = affine_consts(num_hashes, seed)
         ex = ex.withColumn("__b", base)
         min_exprs = [
-            F.coalesce(
-                F.min(_affine_col(F.col("__b"), *consts[j])),
-                F.lit(0).cast("long"),
+            F.expr(
+                "coalesce(min(((__b >> 30) * {c1} + (__b & {m}) * {c2} + {c3})"
+                " % {M}), CAST(0 AS BIGINT))".format(
+                    c1=consts[j][0], c2=consts[j][1], c3=consts[j][2],
+                    m=_AFFINE_LO_MASK, M=AFFINE_M,
+                )
             ).alias(f"__m{j}")
             for j in range(num_hashes)
         ]
     else:
         min_exprs = [
-            F.coalesce(
-                F.min(_hash64(F.col("__s"), seed + j, hash_fn)),
-                F.lit(0).cast("long"),
+            F.expr(
+                f"coalesce(min(xxhash64(__s, {seed + j})), CAST(0 AS BIGINT))"
             ).alias(f"__m{j}")
             for j in range(num_hashes)
         ]
     sig_df = ex.groupBy("__id").agg(*min_exprs)
-    band_cols = [
-        _hash64(
-            F.concat_ws(",", *[F.col(f"__m{b * r + i}").cast("string") for i in range(r)]),
-            b,
-            hash_fn,
-        ).alias("__bh")
-        for b in range(bands)
-    ]
+
+    def _band_sql(b: int) -> str:
+        cw = "concat_ws(',', {})".format(
+            ", ".join(f"CAST(__m{b * r + i} AS STRING)" for i in range(r))
+        )
+        if hash_fn == "md5long":
+            return (
+                f"CAST(conv(substring(md5(concat({cw}, '#{b}')), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            )
+        return f"xxhash64({cw}, {b})"
+
+    band_cols = [F.expr(_band_sql(b)).alias("__bh") for b in range(bands)]
     # band self-join on SKINNY rows (id, band, bandhash) only — shingle
     # arrays never enter the candidate shuffle; they're fetched by id for
     # the (few) surviving pairs. At scale the band join is the big
@@ -457,26 +468,31 @@ def simhash(
     # aggregation work per row, bit-identical signatures. Lane capacity
     # 2^21 tokens/doc; the packed per-token value (≤ 2^42+2^21+1) times
     # 2^20 tokens stays under 2^63, so docs up to ~1M tokens are safe.
+    # Both the packed aggregates and the 64-term reconstruction are
+    # built as SQL strings (one F.expr py4j call each): the per-Column
+    # formulation spent ~1.5 s of DRIVER time per query on py4j
+    # round-trips — more than the job itself.
     LANE, PER = 21, 3
     aggs = [F.count(F.lit(1)).alias("__n")]
     for g in range((bits + PER - 1) // PER):
-        packed = None
-        for lane in range(min(PER, bits - g * PER)):
-            i = g * PER + lane
-            b = F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
-            t = F.shiftleft(b, LANE * lane)
-            packed = t if packed is None else packed + t
-        aggs.append(F.sum(packed).alias(f"__g{g}"))
+        terms = [
+            f"shiftleft(shiftright(__h, {g * PER + lane}) & 1, {LANE * lane})"
+            for lane in range(min(PER, bits - g * PER))
+        ]
+        aggs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"__g{g}"))
     sums = toks.groupBy(id_col).agg(*aggs)
-    h = F.lit(0).cast("long")
     mask = (1 << LANE) - 1
+    bit_terms = []
     for i in range(bits):
         g, lane = divmod(i, PER)
-        c = F.shiftright(F.col(f"__g{g}"), LANE * lane).bitwiseAND(F.lit(mask))
-        h = h.bitwiseOR(
-            F.when(c * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        c = f"(shiftright(__g{g}, {LANE * lane}) & {mask})"
+        bit_terms.append(
+            f"(CASE WHEN {c} * 2 > __n THEN shiftleft(CAST(1 AS BIGINT), {i})"
+            " ELSE CAST(0 AS BIGINT) END)"
         )
-    return sums.select(F.col(id_col), h.alias("simhash"))
+    return sums.select(
+        F.col(id_col), F.expr(" | ".join(bit_terms)).alias("simhash")
+    )
 
 
 def simhash_pairs(

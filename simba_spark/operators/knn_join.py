@@ -625,6 +625,27 @@ def zknn_join(
         ]
         return z_value_col(ints, bits=bits)
 
+    def zcol_sql(cols, us):
+        # SQL-string twin of zcol_lit, value-identical: float literals
+        # go through CAST('<repr>' AS DOUBLE) (exact round-trip), so
+        # the curve — and the oracle hash — cannot drift
+        from ..functions import z_value_sql
+
+        def dlit(v):
+            return (
+                f"CAST('{float(v)!r}' AS DOUBLE)"
+                if v is not None
+                else "CAST('NaN' AS DOUBLE)"
+            )
+
+        ints = [
+            f"least(CAST({scale} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+            f"CAST(round((`{c}` + {dlit(sp * u)} - {dlit(mn)}) * {dlit(iso)}) "
+            "AS BIGINT)))"
+            for c, u, sp, mn in zip(cols, us, span_vals, mins)
+        ]
+        return z_value_sql(ints, bits=bits)
+
     if refine == "rank" and rtb is not None:
         W = k * max(1, int(window_mult))
         # physical strategy by size (the candidate set — and therefore
@@ -644,7 +665,7 @@ def zknn_join(
             simple_cap = 2_000_000
         if n_total <= simple_cap:
             return _zknn_rank_simple(
-                lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k
+                lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k
             )
         # ONE scan per side computes EVERY shift's z-value, then
         # posexplode tags the rows — instead of `shifts` separate scans
@@ -724,47 +745,28 @@ def zknn_join(
     return _topk(pairs, lid, k, F.col("dist"), rtb)
 
 
-def _upper_bound(zs, target, iters: int):
-    """#elements ≤ target in the SORTED long array `zs`, as a pure
-    Column: classic binary search unrolled over F.aggregate's sequence
-    (the lambda binds the (lo, hi) state as a variable, so the
-    expression stays O(iters) — a when-chain would re-inline the state
-    exponentially). element_at is only reached under lo < hi, where
-    mid ∈ [1, size] — ANSI-safe."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(int(iters))),
-        F.struct(
-            F.lit(0).cast("long").alias("lo"),
-            F.coalesce(F.size(zs), F.lit(0)).cast("long").alias("hi"),
-        ),
-        lambda acc, _: F.when(
-            acc["lo"] < acc["hi"],
-            F.when(
-                F.element_at(
-                    zs,
-                    F.floor((acc["lo"] + acc["hi"] + 1) / 2).cast("int"),
-                )
-                <= target,
-                F.struct(
-                    F.floor((acc["lo"] + acc["hi"] + 1) / 2)
-                    .cast("long")
-                    .alias("lo"),
-                    acc["hi"].alias("hi"),
-                ),
-            ).otherwise(
-                F.struct(
-                    acc["lo"].alias("lo"),
-                    (
-                        F.floor((acc["lo"] + acc["hi"] + 1) / 2).cast("long") - 1
-                    ).alias("hi"),
-                )
-            ),
-        ).otherwise(acc),
-        lambda acc: acc["lo"],
+def _upper_bound_sql(zs: str, target: str, iters: int) -> str:
+    """#elements ≤ `target` in the SORTED long array `zs`, as a SQL
+    expression: classic binary search unrolled over aggregate()'s
+    sequence (the lambda binds the (lo, hi) state as a variable, so
+    the expression stays O(iters) — a when-chain would re-inline the
+    state exponentially). element_at is only reached under lo < hi,
+    where mid ∈ [1, size] — ANSI-safe."""
+    mid = "CAST(floor((acc.lo + acc.hi + 1) / 2) AS BIGINT)"
+    return (
+        f"aggregate(sequence(1, {iters}), "
+        f"named_struct('lo', CAST(0 AS BIGINT), "
+        f"'hi', CAST(coalesce(size({zs}), 0) AS BIGINT)), "
+        "(acc, it) -> CASE WHEN acc.lo < acc.hi THEN "
+        f"(CASE WHEN element_at({zs}, CAST({mid} AS INT)) <= {target} "
+        f"THEN named_struct('lo', {mid}, 'hi', acc.hi) "
+        f"ELSE named_struct('lo', acc.lo, 'hi', {mid} - 1) END) "
+        "ELSE acc END, "
+        "acc -> acc.lo)"
     )
 
 
-def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k):
+def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k):
     """Small-input physical plan for the rank-refined z-order kNN join —
     same candidates as the bucketed pipeline (per-shift global right
     ranks, ±W windows), picked when the right side fits a broadcast
@@ -777,11 +779,22 @@ def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k):
     sort, no window), slices its ±W candidates out of the broadcast
     array, scores them in-row, merges shifts with
     array_distinct∘array_sort, and keeps the k nearest — no rank join,
-    no top-k shuffle: stats job + broadcast build + one map-side pass."""
+    no top-k shuffle: stats job + broadcast build + one map-side pass.
+
+    Every heavy expression here is assembled as ONE SQL string per
+    column (F.expr): the per-Column formulation spent more driver time
+    on py4j round-trips than the job itself."""
     nsh = len(shift_us)
     nd = len(rcols)
-    zr = [zcol_lit(rcols, us).alias(f"__z{t}") for t, us in enumerate(shift_us)]
-    zl = [zcol_lit(lcols, us).alias(f"__z{t}") for t, us in enumerate(shift_us)]
+    W, k = int(W), int(k)
+    zr = [
+        F.expr(zcol_sql(rcols, us)).alias(f"__z{t}")
+        for t, us in enumerate(shift_us)
+    ]
+    zl = [
+        F.expr(zcol_sql(lcols, us)).alias(f"__z{t}")
+        for t, us in enumerate(shift_us)
+    ]
     # one row: per shift, right rows as a (z, rid, coords…) array
     # sorted by (z, rid) — array position IS the per-shift right rank —
     # plus the plain z array the binary search probes
@@ -794,14 +807,11 @@ def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k):
         .groupBy()
         .agg(
             *[
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col(f"__z{t}").alias("z"),
-                            F.col("__rid").alias("rid"),
-                            *[F.col(f"__x{i}").alias(f"x{i}") for i in range(nd)],
-                        )
-                    )
+                F.expr(
+                    "array_sort(collect_list(named_struct("
+                    + f"'z', __z{t}, 'rid', __rid, "
+                    + ", ".join(f"'x{i}', __x{i}" for i in range(nd))
+                    + ")))"
                 ).alias(f"__rarr{t}")
                 for t in range(nsh)
             ]
@@ -809,7 +819,7 @@ def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k):
         .select(
             "*",
             *[
-                F.transform(f"__rarr{t}", lambda s: s["z"]).alias(f"__zs{t}")
+                F.expr(f"transform(__rarr{t}, s -> s.z)").alias(f"__zs{t}")
                 for t in range(nsh)
             ],
         )
@@ -821,30 +831,32 @@ def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_lit, W, k):
     lefts = lp.select("*", *zl).crossJoin(F.broadcast(rarr))
     for t in range(nsh):
         lefts = lefts.withColumn(
-            f"__c{t}", _upper_bound(F.col(f"__zs{t}"), F.col(f"__z{t}"), iters)
+            f"__c{t}", F.expr(_upper_bound_sql(f"__zs{t}", f"__z{t}", iters))
         )
 
-    def scored(t):
-        c = F.col(f"__c{t}")
-        start = F.greatest(c - W + 1, F.lit(1).cast("long"))
-        length = c + W - start + 1
-        cand = F.slice(F.col(f"__rarr{t}"), start, length)
+    def scored_sql(t: int) -> str:
+        start = f"greatest(__c{t} - {W} + 1, CAST(1 AS BIGINT))"
+        length = f"__c{t} + {W} - ({start}) + 1"
+        # mirror dist2_cols exactly (0.0 + Σ d·d, same association
+        # order) so the value hash matches the bucketed path and the
+        # SQL oracle bit-for-bit
+        d2 = "CAST(0.0 AS DOUBLE)"
+        for i, lc in enumerate(lcols):
+            dd = f"(CAST(`{lc}` AS DOUBLE) - s.x{i})"
+            d2 = f"({d2} + {dd} * {dd})"
+        return (
+            f"transform(slice(__rarr{t}, CAST({start} AS INT), "
+            f"CAST({length} AS INT)), "
+            f"s -> named_struct('dist', sqrt({d2}), 'rid', s.rid))"
+        )
 
-        def score(s):
-            # mirror dist2_cols exactly (0.0 + Σ d·d, same association
-            # order) so the value hash matches the bucketed path and
-            # the SQL oracle bit-for-bit
-            d2 = F.lit(0.0)
-            for i, lc in enumerate(lcols):
-                dd = F.col(lc).cast("double") - s[f"x{i}"]
-                d2 = d2 + dd * dd
-            return F.struct(F.sqrt(d2).alias("dist"), s["rid"].alias("rid"))
-
-        return F.transform(cand, score)
-
-    merged = F.array_sort(F.concat(*[scored(t) for t in range(nsh)]))
-    merged = F.array_distinct(F.filter(merged, lambda s: s["dist"].isNotNull()))
-    top = F.slice(merged, 1, int(k))
+    top = F.expr(
+        "slice(array_distinct(filter(array_sort(concat("
+        + ", ".join(scored_sql(t) for t in range(nsh))
+        + ")), s -> s.dist IS NOT NULL)), 1, "
+        + str(k)
+        + ")"
+    )
     return (
         lefts.select(*[F.col(c) for c in lp.columns], F.explode(top).alias("__s"))
         .select(

@@ -63,6 +63,12 @@ def circle_range(
     lo = [c - r for c in center]
     hi = [c + r for c in center]
     if registry is not None:
+        # partition-covered short-circuit (ref: Dist.furthest,
+        # spatial/Dist.scala:24-34): buckets the ball swallows whole
+        # scan with no per-row distance arithmetic
+        routed = registry.circle_scan(df, cols, center, r)
+        if routed is not None:
+            return routed
         df = registry.prune_for_range(df, cols, lo, hi)
     return df.filter(in_range(cols, lo, hi)).filter(
         in_circle_range(cols, center, r)

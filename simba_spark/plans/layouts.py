@@ -427,6 +427,65 @@ class LayoutRegistry:
                         name = None
         return self._layouts.get(name) if name else None
 
+    def circle_scan(self, df: DataFrame, cols, center, radius) -> Optional[DataFrame]:
+        """Partition-covered short-circuit for circle queries
+        (ref: Dist.furthest, spatial/Dist.scala:24-34, used at
+        IndexedRelationScan.scala:169 to skip the local probe when the
+        query ball swallows a whole partition): buckets whose bounds box
+        lies ENTIRELY inside the ball scan with no per-row distance
+        arithmetic (null-guard only — bounds ignore nulls); partially
+        covered buckets keep the sargable box pre-filter + exact circle
+        test. Returns None when no bucket is fully covered — the caller
+        falls back to the ordinary pruned scan, which already handles
+        that case optimally."""
+        lay = self.layout_for(df)
+        if (
+            lay is None
+            or lay.kind != "zorder"
+            or list(cols) != lay.cols
+            or lay.bits <= 0
+            or not lay.bounds
+        ):
+            return None
+        r = float(radius)
+        ctr = [float(c) for c in center]
+        lo = [c - r for c in ctr]
+        hi = [c + r for c in ctr]
+        nd = len(lay.cols)
+        covered, partial = [], []
+        for b in lay.bounds:
+            if any(b.get(f"min_{i}") is None for i in range(nd)):
+                partial.append(b["zb"])
+                continue
+            if any(b[f"max_{i}"] < lo[i] or b[f"min_{i}"] > hi[i] for i in range(nd)):
+                continue  # disjoint from the ball's bounding box
+            far2 = 0.0
+            for i in range(nd):
+                far = max(abs(ctr[i] - b[f"min_{i}"]), abs(ctr[i] - b[f"max_{i}"]))
+                far2 += far * far
+            (covered if far2 <= r * r else partial).append(b["zb"])
+        if not covered:
+            return None
+        from ..functions import in_circle_range, in_range
+
+        parts = []
+        cov = lay.pruned_scan(lay.z_ranges_for_buckets(covered))
+        guard = F.lit(True)
+        for c in lay.cols:
+            guard = guard & F.col(c).isNotNull()
+        parts.append(cov.filter(guard))
+        if partial:
+            par = lay.pruned_scan(lay.z_ranges_for_buckets(partial))
+            parts.append(
+                par.filter(in_range(lay.cols, lo, hi)).filter(
+                    in_circle_range(lay.cols, ctr, r)
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def prune_for_range(self, df: DataFrame, cols, low, high) -> DataFrame:
         """If df is a registered z-order layout on these cols, rewrite the
         scan with sargable z-interval predicates (+ bucket-dir pruning for

@@ -209,3 +209,33 @@ def test_sql_view_routes_to_persisted_layout(lctx, points_df, tmp_path):
     finally:
         lctx.drop_index("sqlv_idx")
         assert lctx.layouts.layout_for(spark.table("sqlv")) is None
+
+
+def test_circle_covered_buckets_short_circuit(lctx, points_df):
+    """Dist.furthest analog (ref: spatial/Dist.scala:24-34 via
+    IndexedRelationScan.scala:169): a ball that swallows whole buckets
+    must (a) produce the identical row set as the naive filter and
+    (b) actually engage the covered route — at least one bucket fully
+    inside the ball scans predicate-free."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.operators.filters import circle_range
+
+    lay = lctx.create_index(points_df, ["x", "y"], "cov_idx", kind="zorder",
+                            num_partitions=16)
+    try:
+        # huge ball centered mid-domain: swallows interior buckets whole
+        center, r = (500.0, 500.0), 450.0
+        naive = circle_range(points_df, ["x", "y"], center, r)
+        routed = lctx.circle_range(lay.data, ["x", "y"], center, r)
+        assert _ids(routed) == _ids(naive)
+        assert routed.columns == points_df.columns
+        # the registry route itself must report covered buckets
+        assert lctx.layouts.circle_scan(lay.data, ["x", "y"], center, r) is not None
+        # a tiny ball covers no bucket -> falls back (None), still exact
+        assert lctx.layouts.circle_scan(lay.data, ["x", "y"], (500.0, 500.0), 1.0) is None
+        tiny_naive = circle_range(points_df, ["x", "y"], (500.0, 500.0), 30.0)
+        tiny_routed = lctx.circle_range(lay.data, ["x", "y"], (500.0, 500.0), 30.0)
+        assert _ids(tiny_routed) == _ids(tiny_naive)
+    finally:
+        lctx.drop_index("cov_idx")

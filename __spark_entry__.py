@@ -803,6 +803,25 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return out.select("a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: training docs sharing any 8-token
+    shingle with the pseudo eval set (doc_id % 17 == 0) — the
+    decontamination pass of a pretraining pipeline."""
+    from simba_spark.operators.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_check(docs, ev, shingle_k=8)
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-doc repetition quality signals (dup token/2-gram/3-gram
+    ratios) — Gopher-style boilerplate detection, zero shuffle."""
+    from simba_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Exact near-dup clustering: cosine>=0.42 pairs (blocked to
     vec_id%5==0 like embedding_dup_pairs) → connected components →
@@ -987,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
+        "doc_repetition": q_doc_repetition,
         # similarity
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1809,6 +1830,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a_id, b_id, inter::DOUBLE / un AS jaccard
             FROM scored WHERE un > 0 AND inter::DOUBLE / un >= 0.3
+        """,
+        "contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(range(1, len(t) - 6),
+                                                i -> array_to_string(t[i:i+7], ' '))
+                            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                            ELSE [] END
+                     ) AS g
+              FROM toks
+            ), dg AS (
+              SELECT doc_id, unnest(g) AS s FROM grams
+            ), eg AS (
+              SELECT doc_id AS eval_id, unnest(g) AS s FROM grams
+              WHERE doc_id % 17 = 0
+            )
+            SELECT d.doc_id,
+                   count(DISTINCT d.s) AS n_hit_shingles,
+                   count(DISTINCT e.eval_id) AS n_eval_docs
+            FROM dg d JOIN eg e ON d.s = e.s
+            GROUP BY d.doc_id
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)),
+                                              i -> array_to_string(t[i:i+1], ' '))
+                          ELSE [] END AS g2,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [] END AS g3
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN len(t) > 0
+                        THEN round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6)
+                        ELSE 0.0 END AS dup_token_ratio,
+                   CASE WHEN len(g2) > 0
+                        THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+                        ELSE 0.0 END AS dup_2gram_ratio,
+                   CASE WHEN len(g3) > 0
+                        THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+                        ELSE 0.0 END AS dup_3gram_ratio
+            FROM g
         """,
         "minhash_pairs": _minhash_oracle(),
         "simhash_pairs": _simhash_oracle(),

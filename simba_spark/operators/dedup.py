@@ -663,3 +663,55 @@ def _hyperplane_signature(
     planes = hyperplane_planes(n_planes, dim, seed)
     id_cols = [c for c in df.columns if c != vec_col]
     return df.select(*id_cols, hyperplane_sig_col(vec_col, planes).alias("__sig"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination detection: which training documents
+    share at least one k-token shingle with any eval-set document —
+    the decontamination pass every serious pretraining pipeline runs
+    before training (n-gram overlap against held-out benchmarks).
+
+    Returns one row per contaminated doc:
+    ``(doc_id, n_hit_shingles, n_eval_docs)`` — how many distinct
+    shingles matched and how many distinct eval documents they came
+    from. Docs with no overlap are absent (inner join); left-anti the
+    result against the corpus to keep the clean set.
+
+    Plan shape: both sides explode to distinct k-shingles, equi-join on
+    the shingle, two countDistinct aggregates on doc id. At 100 TB the
+    eval side is benchmark-sized (thousands of docs) — its exploded
+    shingle set broadcast-joins; the training side streams through
+    map-side. Shingles join as raw strings so the op is oracle-exact;
+    hash them to xxhash64 first if shuffle width ever dominates."""
+    from .text import shingles
+
+    d = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("__s"),
+    )
+    e = eval_df.select(
+        F.col(eval_id_col).alias("__eval_id"),
+        F.explode(
+            F.array_distinct(shingles(eval_text_col, shingle_k))
+        ).alias("__s"),
+    )
+    return (
+        d.join(e, on="__s", how="inner")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("__s").alias("n_hit_shingles"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+    )

@@ -184,3 +184,45 @@ def shingles(col, k: int = 5) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher/RefinedWeb-style
+    quality rules): the fraction of duplicated tokens, 2-grams and
+    3-grams. ``dup_k_ratio = 1 - distinct_kgrams / total_kgrams`` —
+    0 for fully novel text, → 1 for highly repetitive boilerplate.
+
+    Pure per-row higher-order-array arithmetic — zero shuffle; the
+    downstream filter (e.g. dup_3gram_ratio > 0.3 → drop) composes with
+    quality_score. Docs shorter than k tokens report 0.0 for that k."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+
+    def dup_ratio(k: int) -> Column:
+        if k == 1:
+            grams = toks
+        else:
+            grams = F.transform(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        n = F.size(grams)
+        return F.when(
+            n > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)).cast("double") / n, 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    out = df.select(
+        F.col(id_col),
+        dup_ratio(1).alias("dup_token_ratio"),
+        F.when(F.size(toks) >= 2, dup_ratio(2)).otherwise(F.lit(0.0)).alias(
+            "dup_2gram_ratio"
+        ),
+        F.when(F.size(toks) >= 3, dup_ratio(3)).otherwise(F.lit(0.0)).alias(
+            "dup_3gram_ratio"
+        ),
+    )
+    return out

@@ -521,3 +521,49 @@ def test_lsh_multiprobe_improves_recall(spark):
     r1 = len(p1 & exact) / len(exact)
     assert r1 > r0, (r0, r1)
     assert r1 >= 0.9
+
+
+def test_contamination_check(spark):
+    from simba_spark.operators.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated text with no benchmark overlap here at all"),
+            (2, "we ask what is the capital of france in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [
+            (100, "what is the capital of france"),
+            (101, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hit_shingles, r.n_eval_docs)
+        for r in contamination_check(train, evalset, shingle_k=6).collect()
+    }
+    assert set(got) == {0, 2}            # doc 1 is clean
+    assert got[0][1] == 1 and got[2][1] == 1
+    assert got[0][0] >= 1 and got[2][0] >= 1
+
+
+def test_repetition_stats(spark):
+    from simba_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),            # fully novel
+            (1, "spam spam spam spam"),        # fully repetitive
+            (2, "x"),                          # shorter than 2/3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].dup_token_ratio == 0.0 and got[0].dup_3gram_ratio == 0.0
+    assert got[1].dup_token_ratio == 0.75       # 1 distinct of 4
+    assert got[1].dup_2gram_ratio == pytest.approx(1 - 1 / 3)
+    assert got[1].dup_3gram_ratio == 0.5
+    assert got[2].dup_2gram_ratio == 0.0 and got[2].dup_3gram_ratio == 0.0

@@ -48,6 +48,8 @@ HEADLINE = [
     "minhash_pairs",
     "embedding_topk",
     "blob_stats",
+    "polygon_distance_join",
+    "contamination",
 ]
 
 

@@ -413,3 +413,48 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         )
         assert got == want, bw
     assert (150, 180) in set(want)
+
+
+def test_interval_join_negative_coords_and_mixed_distributions(spark):
+    """Two-tier binning with negative coordinates, exact-equal lengths,
+    and a bimodal long/short mix — exactness must hold across the tier
+    boundary in every case."""
+    import random
+
+    from simba_spark.operators.interval import interval_join, interval_overlap_join
+
+    rng = random.Random(47)
+    cases = []
+    # negative domain
+    cases.append([
+        (i, s := rng.uniform(-1000, -10), s + rng.uniform(0.1, 5)) for i in range(150)
+    ])
+    # all identical lengths (bw2 == bw1 * 1: no long tier)
+    cases.append([(i, s := rng.uniform(0, 100), s + 2.5) for i in range(150)])
+    # bimodal: half very short, half 100x longer
+    cases.append([
+        (i, s := rng.uniform(0, 500), s + (0.05 if i % 2 else 5.0) * rng.uniform(1, 2))
+        for i in range(150)
+    ])
+    for ci, ivals in enumerate(cases):
+        pts = [(j, rng.uniform(-1100, 600)) for j in range(200)]
+        a = spark.createDataFrame(ivals, "id long, s double, e double")
+        b = spark.createDataFrame(pts, "id long, p double")
+        got = sorted(
+            (r["a_id"], r["b_id"])
+            for r in interval_join(a, b, "s", "e", "p").collect()
+        )
+        want = sorted((i, j) for i, s, e in ivals for j, p in pts if s <= p <= e)
+        assert got == want, f"interval_join case {ci}"
+        got2 = sorted(
+            (r["a_id"], r["b_id"])
+            for r in interval_overlap_join(a, a, "s", "e", "s", "e",
+                                           right_prefix="b_").collect()
+        )
+        want2 = sorted(
+            (i, j)
+            for i, as_, ae in ivals
+            for j, bs, be in ivals
+            if as_ <= be and bs <= ae
+        )
+        assert got2 == want2, f"interval_overlap case {ci}"

@@ -282,22 +282,25 @@ def polygon_distance_join(
     px = F.col(f"{right_prefix}{point_cols[0]}").cast("double")
     py = F.col(f"{right_prefix}{point_cols[1]}").cast("double")
 
+    # r-expanded MBR as plain columns, computed ONCE per polygon row:
+    # higher-order functions are CodegenFallback, so everything
+    # evaluated per CANDIDATE must be plain arithmetic — the exact
+    # refine only runs on rows that survive the codegen'd box test
     xs = F.transform(pc, lambda v: v["x"])
     ys = F.transform(pc, lambda v: v["y"])
-    mnx, mxx = F.array_min(xs) - F.lit(r), F.array_max(xs) + F.lit(r)
-    mny, mxy = F.array_min(ys) - F.lit(r), F.array_max(ys) + F.lit(r)
+    lp = lp.select(
+        "*",
+        (F.array_min(xs) - F.lit(r)).alias("__mnx"),
+        (F.array_max(xs) + F.lit(r)).alias("__mxx"),
+        (F.array_min(ys) - F.lit(r)).alias("__mny"),
+        (F.array_max(ys) + F.lit(r)).alias("__mxy"),
+    )
 
     if cell_size is None:
         stats = F.broadcast(
-            polys.select(
-                (
-                    F.greatest(
-                        F.array_max(F.transform(F.col(poly_col), lambda v: v["x"]))
-                        - F.array_min(F.transform(F.col(poly_col), lambda v: v["x"])),
-                        F.array_max(F.transform(F.col(poly_col), lambda v: v["y"]))
-                        - F.array_min(F.transform(F.col(poly_col), lambda v: v["y"])),
-                    )
-                    + F.lit(2.0 * r)
+            lp.select(
+                F.greatest(
+                    F.col("__mxx") - F.col("__mnx"), F.col("__mxy") - F.col("__mny")
                 ).alias("__ext")
             ).agg(F.greatest(F.avg("__ext"), F.lit(1e-9)).alias("__cw"))
         )
@@ -307,10 +310,10 @@ def polygon_distance_join(
     else:
         cw = F.lit(float(cell_size))
 
-    cxlo = F.floor(mnx / cw).cast("long")
-    cxhi = F.floor(mxx / cw).cast("long")
-    cylo = F.floor(mny / cw).cast("long")
-    cyhi = F.floor(mxy / cw).cast("long")
+    cxlo = F.floor(F.col("__mnx") / cw).cast("long")
+    cxhi = F.floor(F.col("__mxx") / cw).cast("long")
+    cylo = F.floor(F.col("__mny") / cw).cast("long")
+    cyhi = F.floor(F.col("__mxy") / cw).cast("long")
     n_cells = (cxhi - cxlo + 1) * (cyhi - cylo + 1)
     guard = F.when(n_cells <= int(max_cells_per_row), cxhi).otherwise(
         F.raise_error(
@@ -331,8 +334,30 @@ def polygon_distance_join(
         rg = rg.drop("__cw")
     return (
         lg.join(rg, on=["__cx", "__cy"], how="inner")
-        .filter(point_to_polygon_dist2(px, py, pc) <= F.lit(r * r))
-        .drop("__cx", "__cy")
+        # codegen'd sargable pre-filter: point inside the r-expanded
+        # MBR — kills the bulk of candidates before the interpreted
+        # exact polygon-distance test
+        .filter(
+            (px >= F.col("__mnx"))
+            & (px <= F.col("__mxx"))
+            & (py >= F.col("__mny"))
+            & (py <= F.col("__mxy"))
+        )
+        # dist(poly, p) <= r  ⟺  some edge within r OR p inside — the
+        # Or short-circuits and exists() stops at the first hit, so the
+        # common candidate evaluates ONE interpreted HOF instead of the
+        # three inside point_to_polygon_dist2
+        .filter(
+            F.exists(
+                _poly_edges(pc),
+                lambda e: _point_seg_d2(
+                    px, py, e["p"]["x"], e["p"]["y"], e["q"]["x"], e["q"]["y"]
+                )
+                <= F.lit(r * r),
+            )
+            | in_polygon_col(px, py, pc)
+        )
+        .drop("__cx", "__cy", "__mnx", "__mxx", "__mny", "__mxy")
     )
 
 

@@ -244,3 +244,72 @@ def test_interval_join_plans_equi_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert out.count() > 0
+
+
+def test_interval_join_default_two_tier_plans_equi_join(spark):
+    """The DEFAULT (two-tier) interval join must also plan an equi-join
+    on (tier, bin) — the heavy-tail robustness must not cost the plan
+    shape."""
+    from simba_spark.operators.interval import interval_join
+
+    a = spark.range(0, 1000).selectExpr("id", "CAST(id AS DOUBLE) AS s",
+                                        "CAST(id + 5 AS DOUBLE) AS e")
+    b = spark.range(0, 1000).selectExpr("id", "CAST(id AS DOUBLE) * 1.5 AS p")
+    out = interval_join(a, b, "s", "e", "p")  # default bin_width
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row tier-stats broadcast legitimately crossJoins (BNL over
+    # ONE row); the DATA join must be a hash/sort-merge equi-join
+    assert any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+    assert out.count() > 0
+
+
+def test_polygon_distance_join_plans_equi_join(spark):
+    """Grid-celled polygon-point distance join: equi-join on cells, not
+    a cartesian refine."""
+    import random
+
+    from simba_spark.operators.polygon import polygon_distance_join
+
+    rng = random.Random(3)
+    polys = spark.createDataFrame(
+        [
+            (i, [{"x": (cx := rng.uniform(0, 100)), "y": (cy := rng.uniform(0, 100))},
+                 {"x": cx + 5.0, "y": cy + 1.0}, {"x": cx - 3.0, "y": cy + 4.0}])
+            for i in range(50)
+        ],
+        "id long, poly array<struct<x: double, y: double>>",
+    )
+    pts = spark.createDataFrame(
+        [(j, rng.uniform(0, 100), rng.uniform(0, 100)) for j in range(200)],
+        "id long, x double, y double",
+    )
+    out = polygon_distance_join(polys, pts, "poly", ["x", "y"], 3.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row cell-width broadcast legitimately crossJoins; the DATA
+    # join must be a hash/sort-merge equi-join on the cell columns
+    assert any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+    assert "__cx" in plan and "__cy" in plan
+
+
+def test_contamination_plans_hash_join_on_shingle(spark):
+    """Contamination check: equi-join on the shingle key (broadcast or
+    shuffled hash/sort-merge), never a nested-loop scan."""
+    from simba_spark.operators.dedup import contamination_check
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter("doc_id % 7 = 0")
+    out = contamination_check(docs, ev, shingle_k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -192,9 +192,23 @@ def minhash_lsh_pairs(
             for j in range(num_hashes)
         ]
     else:
+        # same 1-base-hash + affine-family trick as the md5long path:
+        # ONE xxhash64 per shingle, num_hashes 4-int-op derivations —
+        # vs num_hashes full string hashes per shingle. The base is
+        # masked to 60 bits so every affine product stays < 2^63
+        # (ANSI mode errors on overflow rather than wrapping).
+        consts = affine_consts(num_hashes, seed)
+        ex = ex.withColumn(
+            "__b",
+            F.expr(f"xxhash64(__s, {seed}) & {(1 << 60) - 1}"),
+        )
         min_exprs = [
             F.expr(
-                f"coalesce(min(xxhash64(__s, {seed + j})), CAST(0 AS BIGINT))"
+                "coalesce(min(((__b >> 30) * {c1} + (__b & {m}) * {c2} + {c3})"
+                " % {M}), CAST(0 AS BIGINT))".format(
+                    c1=consts[j][0], c2=consts[j][1], c3=consts[j][2],
+                    m=_AFFINE_LO_MASK, M=AFFINE_M,
+                )
             ).alias(f"__m{j}")
             for j in range(num_hashes)
         ]

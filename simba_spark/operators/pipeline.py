@@ -151,3 +151,48 @@ def pack_sequences(
     part = [partition_col] if partition_col else []
     wp = Window.partitionBy(*(part + ["pack_id"])).orderBy(F.col(order_col).asc())
     return out.withColumn("pack_pos", F.row_number().over(wp))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-salted equi-join: identical results to ``left.join(right,
+    on, how)`` with hot join keys spread across ``n_salts`` reducers.
+
+    Each left row gets a deterministic pseudo-random salt (xxhash64 of
+    its join-key values + a per-row disambiguator hashed over ALL
+    columns, mod n_salts); the right side is replicated once per salt
+    value (explode of a literal sequence — n_salts× the right rows, so
+    size the salt count to the skew, not to the cluster). The join key
+    becomes (keys…, salt): one hot key's rows now land on n_salts
+    different reducers instead of one.
+
+    AQE's skew-split covers sort-merge joins after the fact; salting is
+    the ahead-of-time fix that also covers the cases AQE can't touch —
+    hash aggregation feeding the join, and deliberately co-partitioned
+    writes. Supported ``how``: inner / left outer family (the right
+    side is the replicated one, so right/full outer would duplicate
+    unmatched right rows — rejected loudly)."""
+    how_n = how.replace("_", "").lower()
+    if how_n in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            "salted_join replicates the RIGHT side; right/full outer joins "
+            "would duplicate unmatched right rows — swap the sides or use a "
+            "plain join"
+        )
+    on = list(on)
+    n_salts = int(n_salts)
+    salt = (
+        F.abs(F.xxhash64(*[F.col(c) for c in left.columns], F.lit(seed)))
+        % n_salts
+    ).cast("int")
+    ls = left.withColumn("__salt", salt)
+    rs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return ls.join(rs, on=on + ["__salt"], how=how).drop("__salt")

@@ -93,3 +93,41 @@ def test_term_stats_counts(spark):
     assert got == {
         "the": (2, 2), "cat": (2, 2), "sat": (1, 1), "dog": (1, 1),
     }
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must never change results — checked on a 90%-hot-key
+    distribution for inner and left joins; right/full outer rejected."""
+    import pytest as _pytest
+
+    from simba_spark.operators.pipeline import salted_join
+
+    left = spark.createDataFrame(
+        [(i, 0 if i % 10 else i, f"l{i}") for i in range(2000)],
+        "lid long, k long, lv string",
+    )  # ~90% of rows share k's hot values
+    right = spark.createDataFrame(
+        [(j, f"r{j}") for j in range(0, 2000, 3)], "k long, rv string"
+    )
+    plain = sorted(
+        (r.lid, r.k, r.rv)
+        for r in left.join(right, on="k", how="inner").collect()
+    )
+    salted = sorted(
+        (r.lid, r.k, r.rv)
+        for r in salted_join(left, right, ["k"], n_salts=8).collect()
+    )
+    assert salted == plain and len(plain) > 0
+
+    plain_l = sorted(
+        (r.lid, r.rv)
+        for r in left.join(right, on="k", how="left").collect()
+    )
+    salted_l = sorted(
+        (r.lid, r.rv)
+        for r in salted_join(left, right, ["k"], n_salts=8, how="left").collect()
+    )
+    assert salted_l == plain_l
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")

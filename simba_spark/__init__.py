@@ -26,7 +26,23 @@ from .functions import (
 from .geometry import MBR, Circle, Dist, LineSegment, Point, Polygon, Shape, z_value
 from .operators.distance_join import distance_join, self_distance_join
 from .operators.filters import circle_range, knn, knn_and, knn_not, knn_or, range_query
+from .operators.interval import interval_join, interval_overlap_join
 from .operators.knn_join import knn_join, zknn_join
+from .operators.polygon import (
+    in_polygon,
+    in_polygon_col,
+    polygon_distance_join,
+    polygon_intersects_box_col,
+    polygon_intersects_circle_col,
+    polygon_range,
+)
+from .operators.shapes import (
+    circle_struct,
+    mbr_struct,
+    segment_struct,
+    shape_circle_range,
+    shape_range,
+)
 
 __version__ = "0.1.0"
 
@@ -38,4 +54,10 @@ __all__ = [
     "register_sql_functions",
     "range_query", "circle_range", "knn", "knn_and", "knn_or", "knn_not",
     "distance_join", "self_distance_join", "knn_join", "zknn_join",
+    "interval_join", "interval_overlap_join",
+    "in_polygon", "in_polygon_col", "polygon_range",
+    "polygon_intersects_box_col", "polygon_intersects_circle_col",
+    "polygon_distance_join",
+    "mbr_struct", "segment_struct", "circle_struct",
+    "shape_range", "shape_circle_range",
 ]

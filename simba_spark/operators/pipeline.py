@@ -187,9 +187,11 @@ def salted_join(
         )
     on = list(on)
     n_salts = int(n_salts)
-    salt = (
-        F.abs(F.xxhash64(*[F.col(c) for c in left.columns], F.lit(seed)))
-        % n_salts
+    # pmod, not abs-then-mod: abs(Long.MIN_VALUE) overflows (an error
+    # under ANSI), pmod is total and non-negative
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns], F.lit(seed)),
+        F.lit(n_salts),
     ).cast("int")
     ls = left.withColumn("__salt", salt)
     rs = right.withColumn(

@@ -24,11 +24,14 @@ Our router:
 - ``voronoi`` (VKJSpark analog, exact): pivot-cell partitioning with
   triangle-inequality θ bounds and lossless right-row replication —
   see :func:`_voronoi_knn_join` (ref: VKJSpark.scala:38-398).
-- ``zknn``    (ZKJSpark analog, approximate): per random shift vector,
-  bucket both sides by coarse z-value prefix, equi-join on
-  bucket ∈ {b-1, b, b+1}, union shifts, window top-k. Deterministic
-  given the seed. Recall grows with shifts (default 2,
-  ref: SimbaConf.scala:120).
+- ``zknn``    (ZKJSpark analog, approximate, :func:`zknn_join`): per
+  random shift vector, each left row pairs with its ±window_mult·k
+  z-order right neighbors by global right-rank (refine='rank',
+  default; size-adaptive physical plan — broadcast rank-array with
+  in-row binary search on small inputs, bucketed two-phase prefix-sum
+  at scale); refine='bucket' is the coarse z-prefix equi-join
+  fallback when no unique right key exists. Deterministic given the
+  seed. Recall grows with shifts (default 2, ref: SimbaConf.scala:120).
 
 Scale notes: `bounded` shuffles each side once (cell equi-join) plus a
 skinny window over candidates; the fallback touches only deficient left

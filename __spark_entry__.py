@@ -415,6 +415,20 @@ def q_circle_rows_range(spark, sf_dir):
     )
 
 
+def q_segment_knn(spark, sf_dir):
+    """InKNN over a shape column: the 25 segment rows nearest the query
+    point by minDist (ref: InKNN via Shape.minDist dispatch,
+    InKNN.scala:31-49) — TakeOrderedAndProject, ≤ k rows to driver."""
+    from simba_spark.operators.shapes import shape_knn
+
+    segs = _ev_segments(spark, sf_dir)
+    out = shape_knn(segs, "seg", (230.0, 60.0), 25, kind="segment",
+                    tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", "value", F.round("shape_dist", 6).alias("sd6")
+    )
+
+
 def q_polygon_distance_join(spark, sf_dir):
     """Polygon-point distance join: pairs with
     dist(polygon, point) <= r (closed; ref: Polygon.minDist,
@@ -999,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_box_range": q_polygon_box_range,
         "circle_rows_range": q_circle_rows_range,
         "polygon_distance_join": q_polygon_distance_join,
+        "segment_knn": q_segment_knn,
         # spatial joins
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -1619,6 +1634,21 @@ def oracle_sql() -> dict[str, str]:
                   <= r * r
         """,
         "polygon_distance_join": _polygon_distance_join_oracle_sql(),
+        "segment_knn": f"""
+            WITH segs AS (
+              SELECT event_id, user_id, value,
+                     value AS x1, CAST(user_id AS DOUBLE) AS y1,
+                     value + CAST(event_id % 17 AS DOUBLE) - 8.0 AS x2,
+                     CAST(user_id AS DOUBLE) + CAST(event_id % 11 AS DOUBLE) - 5.0 AS y2
+              FROM events
+            )
+            SELECT event_id, user_id, value,
+                   round(sqrt({_point_seg_d2_sql("230.0", "60.0", "x1", "y1", "x2", "y2")}), 6) AS sd6
+            FROM segs
+            ORDER BY sqrt({_point_seg_d2_sql("230.0", "60.0", "x1", "y1", "x2", "y2")}) ASC,
+                     event_id ASC
+            LIMIT 25
+        """,
         "distance_join": f"""
             SELECT c.c_custkey, s.s_suppkey FROM customer c, supplier s
             WHERE {dj_d2} <= {_DJ_R} * {_DJ_R}

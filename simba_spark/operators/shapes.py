@@ -273,3 +273,87 @@ def shape_circle_range(
 
         return df.filter(polygon_intersects_circle_col(shape_col, center, radius))
     raise ValueError(f"unknown shape kind: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# minDist from a query point to a shape row (InKNN over shape columns)
+
+
+def point_to_mbr_dist2(mbr_col, point: Sequence[float]) -> Column:
+    """Squared distance from a literal point to a box row — 0 inside
+    (ref: MBR.minDist, MBR.scala:78-89)."""
+    m = F.col(mbr_col) if isinstance(mbr_col, str) else mbr_col
+    d2 = F.lit(0.0)
+    for i, q in enumerate(point):
+        lo_i = F.element_at(m["lo"], i + 1)
+        hi_i = F.element_at(m["hi"], i + 1)
+        gap = F.greatest(lo_i - F.lit(float(q)), F.lit(float(q)) - hi_i, F.lit(0.0))
+        d2 = d2 + gap * gap
+    return d2
+
+
+def point_to_segment_dist2(seg_col, point: Sequence[float]) -> Column:
+    """Squared distance from a literal 2-D point to a segment row
+    (clamped projection; ref: LineSegment minDist analog)."""
+    x1, y1, x2, y2 = _seg_parts(seg_col)
+    qx, qy = float(point[0]), float(point[1])
+    dx, dy = x2 - x1, y2 - y1
+    len2 = dx * dx + dy * dy
+    t_raw = ((F.lit(qx) - x1) * dx + (F.lit(qy) - y1) * dy) / len2
+    t = F.when(len2 > 0, F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    px = x1 + t * dx
+    py = y1 + t * dy
+    return (F.lit(qx) - px) * (F.lit(qx) - px) + (F.lit(qy) - py) * (F.lit(qy) - py)
+
+
+def point_to_circle_dist(circle_col, point: Sequence[float]) -> Column:
+    """Distance from a literal point to a circle row's boundary-or-
+    interior: max(0, dist(center) - r) (ref: Circle.minDist,
+    Circle.scala:203-214 analog)."""
+    c = F.col(circle_col) if isinstance(circle_col, str) else circle_col
+    d2 = F.lit(0.0)
+    for i, q in enumerate(point):
+        dd = F.element_at(c["center"], i + 1) - F.lit(float(q))
+        d2 = d2 + dd * dd
+    return F.greatest(F.sqrt(d2) - c["r"], F.lit(0.0))
+
+
+def shape_knn(
+    df: DataFrame,
+    shape_col: str,
+    point: Sequence[float],
+    k: int,
+    kind: str = "mbr",
+    tiebreak: str = None,
+) -> DataFrame:
+    """``InKNN`` over a shape column: the k shape rows nearest the
+    query point by minDist (0 when the point is inside/on the shape) —
+    the reference dispatches this through Shape.minDist for ANY shape
+    (ref: InKNN.scala:31-49 via ShapeUtils/Dist). Plain
+    TakeOrderedAndProject: distributed partial top-k, ≤ k rows to the
+    driver."""
+    if kind == "mbr":
+        d = F.sqrt(point_to_mbr_dist2(shape_col, point))
+    elif kind == "segment":
+        d = F.sqrt(point_to_segment_dist2(shape_col, point))
+    elif kind == "circle":
+        d = point_to_circle_dist(shape_col, point)
+    elif kind == "polygon":
+        from .polygon import point_to_polygon_dist2
+
+        px, py = float(point[0]), float(point[1])
+        d = F.sqrt(point_to_polygon_dist2(F.lit(px), F.lit(py), shape_col))
+    else:
+        raise ValueError(f"unknown shape kind: {kind}")
+    order = [F.col("__sd").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    return (
+        df.withColumn("__sd", d)
+        .filter(F.col("__sd").isNotNull())
+        .orderBy(*order)
+        .limit(int(k))
+        .withColumnRenamed("__sd", "shape_dist")
+    )

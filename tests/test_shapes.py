@@ -218,3 +218,70 @@ def test_circle_rows_box_and_circle_match_geometry_oracle(spark):
         if Circle(Point((cx, cy)), r).intersects(Circle(Point(center), qr))
     )
     assert got_c == exp_c and 801 in got_c
+
+
+def test_shape_knn_all_kinds_match_geometry_oracle(spark):
+    """InKNN over shape rows: k nearest boxes / segments / circles /
+    polygons by minDist must agree with the driver-side geometry
+    module, including dist-0 (point inside the shape)."""
+    import random
+
+    from simba_spark.geometry import MBR, Circle, LineSegment, Point, Polygon
+    from simba_spark.operators.shapes import circle_struct, mbr_struct, segment_struct, shape_knn
+
+    rng = random.Random(61)
+    q = (50.0, 50.0)
+    k = 7
+
+    boxes = [(i, x := rng.uniform(0, 90), y := rng.uniform(0, 90),
+              x + rng.uniform(1, 10), y + rng.uniform(1, 10)) for i in range(300)]
+    bdf = spark.createDataFrame(
+        boxes, "id long, xlo double, ylo double, xhi double, yhi double"
+    ).withColumn("shp", mbr_struct(["xlo", "ylo"], ["xhi", "yhi"]))
+    got = [r.id for r in shape_knn(bdf, "shp", q, k, kind="mbr", tiebreak="id").collect()]
+    exp = sorted(
+        boxes,
+        key=lambda b: (MBR(Point((b[1], b[2])), Point((b[3], b[4]))).min_dist(Point(q)), b[0]),
+    )[:k]
+    assert got == [b[0] for b in exp]
+
+    segs = [(i, rng.uniform(0, 100), rng.uniform(0, 100),
+             rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(300)]
+    sdf = spark.createDataFrame(
+        segs, "id long, x1 double, y1 double, x2 double, y2 double"
+    ).withColumn("shp", segment_struct("x1", "y1", "x2", "y2"))
+    got = [r.id for r in shape_knn(sdf, "shp", q, k, kind="segment", tiebreak="id").collect()]
+    exp = sorted(
+        segs,
+        key=lambda s: (
+            LineSegment(Point((s[1], s[2])), Point((s[3], s[4]))).min_dist(Point(q)),
+            s[0],
+        ),
+    )[:k]
+    assert got == [s[0] for s in exp]
+
+    circs = [(i, rng.uniform(0, 100), rng.uniform(0, 100), rng.uniform(0.5, 8))
+             for i in range(300)]
+    cdf = spark.createDataFrame(
+        circs, "id long, cx double, cy double, r double"
+    ).withColumn("shp", circle_struct(["cx", "cy"], "r"))
+    got = [r.id for r in shape_knn(cdf, "shp", q, k, kind="circle", tiebreak="id").collect()]
+    exp = sorted(
+        circs,
+        key=lambda c: (Circle(Point((c[1], c[2])), c[3]).min_dist(Point(q)), c[0]),
+    )[:k]
+    assert got == [c[0] for c in exp]
+
+    tris = [(i, [(cx := rng.uniform(0, 100), cy := rng.uniform(0, 100)),
+                 (cx + rng.uniform(1, 8), cy + rng.uniform(1, 8)),
+                 (cx - rng.uniform(1, 8), cy + rng.uniform(1, 8))]) for i in range(300)]
+    pdf = spark.createDataFrame(
+        [(i, [{"x": float(x), "y": float(y)} for x, y in vs]) for i, vs in tris],
+        "id long, shp array<struct<x: double, y: double>>",
+    )
+    got = [r.id for r in shape_knn(pdf, "shp", q, k, kind="polygon", tiebreak="id").collect()]
+    exp = sorted(
+        tris,
+        key=lambda t: (Polygon([Point(v) for v in t[1]]).min_dist(Point(q)), t[0]),
+    )[:k]
+    assert got == [t[0] for t in exp]

@@ -429,6 +429,24 @@ def q_segment_knn(spark, sf_dir):
     )
 
 
+def q_segment_distance_join(spark, sf_dir):
+    """Distance join over SEGMENT rows: (segment, point) pairs with
+    minDist <= r (ref: DJSpark + Shape.minDist dispatch) — grid-celled
+    equi-join on the r-expanded segment bbox, codegen'd clamped-
+    projection refine."""
+    from simba_spark.operators.shapes import shape_distance_join
+
+    segs = _ev_segments(spark, sf_dir).filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"), "seg"
+    )
+    ev = _t(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("double"))
+    pts = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("id"), F.col("value").alias("x"), F.col("uid").alias("y")
+    )
+    out = shape_distance_join(segs, pts, "seg", ["x", "y"], 3.0, kind="segment")
+    return out.select("a_id", "b_id")
+
+
 def q_polygon_distance_join(spark, sf_dir):
     """Polygon-point distance join: pairs with
     dist(polygon, point) <= r (closed; ref: Polygon.minDist,
@@ -1014,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circle_rows_range": q_circle_rows_range,
         "polygon_distance_join": q_polygon_distance_join,
         "segment_knn": q_segment_knn,
+        "segment_distance_join": q_segment_distance_join,
         # spatial joins
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
@@ -1634,6 +1653,21 @@ def oracle_sql() -> dict[str, str]:
                   <= r * r
         """,
         "polygon_distance_join": _polygon_distance_join_oracle_sql(),
+        "segment_distance_join": f"""
+            WITH segs AS (
+              SELECT event_id,
+                     value AS x1, CAST(user_id AS DOUBLE) AS y1,
+                     value + CAST(event_id % 17 AS DOUBLE) - 8.0 AS x2,
+                     CAST(user_id AS DOUBLE) + CAST(event_id % 11 AS DOUBLE) - 5.0 AS y2
+              FROM events WHERE event_id % 97 = 0
+            ), pts AS (
+              SELECT event_id, value AS x, CAST(user_id AS DOUBLE) AS y
+              FROM events WHERE event_id % 3 = 0
+            )
+            SELECT s.event_id AS a_id, p.event_id AS b_id
+            FROM segs s, pts p
+            WHERE {_point_seg_d2_sql("p.x", "p.y", "s.x1", "s.y1", "s.x2", "s.y2")} <= 9.0
+        """,
         "segment_knn": f"""
             WITH segs AS (
               SELECT event_id, user_id, value,

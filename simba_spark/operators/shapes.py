@@ -357,3 +357,132 @@ def shape_knn(
         .limit(int(k))
         .withColumnRenamed("__sd", "shape_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# shape-row distance join (DJSpark over non-point left rows)
+
+
+def _shape_mbr_cols(shape_col, kind: str):
+    """(mnx, mxx, mny, mxy) Columns of a 2-D shape row's bounding box."""
+    s = F.col(shape_col) if isinstance(shape_col, str) else shape_col
+    if kind == "mbr":
+        return (
+            F.element_at(s["lo"], 1), F.element_at(s["hi"], 1),
+            F.element_at(s["lo"], 2), F.element_at(s["hi"], 2),
+        )
+    if kind == "segment":
+        x1, y1, x2, y2 = _seg_parts(s)
+        return F.least(x1, x2), F.greatest(x1, x2), F.least(y1, y2), F.greatest(y1, y2)
+    if kind == "circle":
+        cx = F.element_at(s["center"], 1)
+        cy = F.element_at(s["center"], 2)
+        return cx - s["r"], cx + s["r"], cy - s["r"], cy + s["r"]
+    raise ValueError(f"unknown shape kind: {kind}")
+
+
+def _point_shape_within(shape_col, px, py, r: float, kind: str):
+    """Closed minDist(point, shape) <= r as plain Column arithmetic."""
+    s = F.col(shape_col) if isinstance(shape_col, str) else shape_col
+    if kind == "mbr":
+        gx = F.greatest(F.element_at(s["lo"], 1) - px, px - F.element_at(s["hi"], 1), F.lit(0.0))
+        gy = F.greatest(F.element_at(s["lo"], 2) - py, py - F.element_at(s["hi"], 2), F.lit(0.0))
+        return gx * gx + gy * gy <= F.lit(r * r)
+    if kind == "segment":
+        x1, y1, x2, y2 = _seg_parts(s)
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        t_raw = ((px - x1) * dx + (py - y1) * dy) / len2
+        t = F.when(len2 > 0, F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))).otherwise(F.lit(0.0))
+        qx = x1 + t * dx
+        qy = y1 + t * dy
+        return (px - qx) * (px - qx) + (py - qy) * (py - qy) <= F.lit(r * r)
+    if kind == "circle":
+        dx = F.element_at(s["center"], 1) - px
+        dy = F.element_at(s["center"], 2) - py
+        return F.greatest(F.sqrt(dx * dx + dy * dy) - s["r"], F.lit(0.0)) <= F.lit(r)
+    raise ValueError(f"unknown shape kind: {kind}")
+
+
+def shape_distance_join(
+    shapes: DataFrame,
+    points: DataFrame,
+    shape_col: str,
+    point_cols: Sequence[str],
+    r: float,
+    kind: str = "mbr",
+    cell_size: float = None,
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    max_cells_per_row: int = 10_000,
+) -> DataFrame:
+    """All (shape row, point row) pairs with minDist(shape, point) <= r
+    (closed) for 2-D box / segment / circle rows — the reference's
+    distance join dispatched over non-point shapes (DJSpark +
+    Shape.minDist; polygons have their own
+    :func:`~simba_spark.operators.polygon.polygon_distance_join`).
+
+    Same grid program as every distance join here: shapes explode to
+    the cells of their r-expanded bounding box, a point lives in ONE
+    cell (unique emission, no dedup), equi-join on cell, codegen'd
+    minDist refine. `cell_size=None` derives the width from the
+    average expanded extent (1-row broadcast aggregate)."""
+    assert len(point_cols) == 2, "shape_distance_join is 2-D"
+    r = float(r)
+    lp = shapes.select([F.col(c).alias(f"{left_prefix}{c}") for c in shapes.columns])
+    rp = points.select([F.col(c).alias(f"{right_prefix}{c}") for c in points.columns])
+    sc = f"{left_prefix}{shape_col}"
+    px = F.col(f"{right_prefix}{point_cols[0]}").cast("double")
+    py = F.col(f"{right_prefix}{point_cols[1]}").cast("double")
+
+    mnx, mxx, mny, mxy = _shape_mbr_cols(sc, kind)
+    lp = lp.select(
+        "*",
+        (mnx - F.lit(r)).alias("__mnx"), (mxx + F.lit(r)).alias("__mxx"),
+        (mny - F.lit(r)).alias("__mny"), (mxy + F.lit(r)).alias("__mxy"),
+    )
+    if cell_size is None:
+        stats = F.broadcast(
+            lp.select(
+                F.greatest(
+                    F.col("__mxx") - F.col("__mnx"), F.col("__mxy") - F.col("__mny")
+                ).alias("__ext")
+            ).agg(F.greatest(F.avg("__ext"), F.lit(1e-9)).alias("__cw"))
+        )
+        lp = lp.crossJoin(stats)
+        rp = rp.crossJoin(stats)
+        cw = F.col("__cw")
+    else:
+        cw = F.lit(float(cell_size))
+
+    cxlo = F.floor(F.col("__mnx") / cw).cast("long")
+    cxhi = F.floor(F.col("__mxx") / cw).cast("long")
+    cylo = F.floor(F.col("__mny") / cw).cast("long")
+    cyhi = F.floor(F.col("__mxy") / cw).cast("long")
+    n_cells = (cxhi - cxlo + 1) * (cyhi - cylo + 1)
+    guard = F.when(n_cells <= int(max_cells_per_row), cxhi).otherwise(
+        F.raise_error(
+            F.lit(
+                "shape_distance_join: a shape's expanded MBR covers more "
+                f"than {max_cells_per_row} cells — pass a larger cell_size"
+            )
+        ).cast("long")
+    )
+    lg = lp.withColumn("__cx", F.explode(F.sequence(cxlo, guard))).withColumn(
+        "__cy", F.explode(F.sequence(cylo, cyhi))
+    )
+    rg = rp.withColumn("__cx", F.floor(px / cw).cast("long")).withColumn(
+        "__cy", F.floor(py / cw).cast("long")
+    )
+    if cell_size is None:
+        lg = lg.drop("__cw")
+        rg = rg.drop("__cw")
+    return (
+        lg.join(rg, on=["__cx", "__cy"], how="inner")
+        .filter(
+            (px >= F.col("__mnx")) & (px <= F.col("__mxx"))
+            & (py >= F.col("__mny")) & (py <= F.col("__mxy"))
+        )
+        .filter(_point_shape_within(sc, px, py, r, kind))
+        .drop("__cx", "__cy", "__mnx", "__mxx", "__mny", "__mxy")
+    )

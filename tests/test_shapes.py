@@ -285,3 +285,79 @@ def test_shape_knn_all_kinds_match_geometry_oracle(spark):
         key=lambda t: (Polygon([Point(v) for v in t[1]]).min_dist(Point(q)), t[0]),
     )[:k]
     assert got == [t[0] for t in exp]
+
+
+def test_shape_distance_join_matches_geometry_oracle(spark):
+    """Grid-celled shape-point distance join for box / segment / circle
+    rows ≡ brute-force minDist <= r, auto and explicit cell sizes."""
+    import random
+
+    from simba_spark.geometry import Circle, LineSegment, MBR, Point
+    from simba_spark.operators.shapes import (
+        circle_struct,
+        mbr_struct,
+        segment_struct,
+        shape_distance_join,
+    )
+
+    rng = random.Random(67)
+    pts = [(j, rng.uniform(0, 100), rng.uniform(0, 100)) for j in range(250)]
+    pdf = spark.createDataFrame(pts, "id long, x double, y double")
+    r = 4.0
+
+    boxes = [(i, x := rng.uniform(0, 90), y := rng.uniform(0, 90),
+              x + rng.uniform(1, 8), y + rng.uniform(1, 8)) for i in range(150)]
+    bdf = spark.createDataFrame(
+        boxes, "id long, xlo double, ylo double, xhi double, yhi double"
+    ).withColumn("shp", mbr_struct(["xlo", "ylo"], ["xhi", "yhi"]))
+    exp = sorted(
+        (b[0], p[0])
+        for b in boxes for p in pts
+        if MBR(Point((b[1], b[2])), Point((b[3], b[4]))).min_dist(Point((p[1], p[2]))) <= r
+    )
+    for cs in (None, 15.0):
+        got = sorted(
+            (row["a_id"], row["b_id"])
+            for row in shape_distance_join(
+                bdf, pdf, "shp", ["x", "y"], r, kind="mbr", cell_size=cs
+            ).collect()
+        )
+        assert got == exp, ("mbr", cs)
+
+    segs = [(i, rng.uniform(0, 100), rng.uniform(0, 100),
+             rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(120)]
+    sdf = spark.createDataFrame(
+        segs, "id long, x1 double, y1 double, x2 double, y2 double"
+    ).withColumn("shp", segment_struct("x1", "y1", "x2", "y2"))
+    exp = sorted(
+        (s[0], p[0])
+        for s in segs for p in pts
+        if LineSegment(Point((s[1], s[2])), Point((s[3], s[4]))).min_dist(
+            Point((p[1], p[2]))
+        ) <= r
+    )
+    got = sorted(
+        (row["a_id"], row["b_id"])
+        for row in shape_distance_join(
+            sdf, pdf, "shp", ["x", "y"], r, kind="segment"
+        ).collect()
+    )
+    assert got == exp
+
+    circs = [(i, rng.uniform(0, 100), rng.uniform(0, 100), rng.uniform(0.5, 6))
+             for i in range(150)]
+    cdf = spark.createDataFrame(
+        circs, "id long, cx double, cy double, cr double"
+    ).withColumn("shp", circle_struct(["cx", "cy"], "cr"))
+    exp = sorted(
+        (c[0], p[0])
+        for c in circs for p in pts
+        if Circle(Point((c[1], c[2])), c[3]).min_dist(Point((p[1], p[2]))) <= r
+    )
+    got = sorted(
+        (row["a_id"], row["b_id"])
+        for row in shape_distance_join(
+            cdf, pdf, "shp", ["x", "y"], r, kind="circle"
+        ).collect()
+    )
+    assert got == exp

@@ -942,6 +942,30 @@ def q_corpus_build(spark, sf_dir):
     return packed.select("doc_id", "source", "pack_id", "pack_pos")
 
 
+def q_corpus_build_v2(spark, sf_dir):
+    """Full pretraining-corpus pipeline — every stage a first-class
+    operator, one SQL oracle for the whole chain: exact dedup →
+    DECONTAMINATION (drop docs sharing any 8-shingle with the pseudo
+    eval set) → repetition filter (dup_3gram_ratio <= 0.1) →
+    per-source quota (10) → sequence packing (3000 chars)."""
+    from simba_spark.operators.dedup import contamination_check, exact_dedup
+    from simba_spark.operators.pipeline import group_quota, pack_sequences
+    from simba_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs)
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    hits = contamination_check(deduped, ev, shingle_k=8).select("doc_id")
+    clean = deduped.join(hits, on="doc_id", how="left_anti")
+    low_rep = repetition_stats(clean).filter(
+        F.col("dup_3gram_ratio") <= 0.1
+    ).select("doc_id")
+    kept = clean.join(low_rep, on="doc_id", how="left_semi")
+    quota = group_quota(kept, "source", 10, order_col="doc_id")
+    packed = pack_sequences(quota, "n_chars", 3000, order_col="doc_id")
+    return packed.select("doc_id", "source", "pack_id", "pack_pos")
+
+
 def q_doc_sample(spark, sf_dir):
     """Deterministic hash sampling (reproducible corpus subsetting):
     membership = md5-derived uniform < rate, mirrored exactly in SQL."""
@@ -1071,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         # pipeline utilities
         "corpus_build": q_corpus_build,
+        "corpus_build_v2": q_corpus_build_v2,
         "term_stats": q_term_stats,
         "doc_sample": q_doc_sample,
         "source_quota": q_source_quota,
@@ -2016,6 +2041,85 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
                 FROM kept
               ) WHERE rn <= 12
+            ), c AS (
+              SELECT doc_id, source, n_chars,
+                     SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM quota
+            ), p AS (
+              SELECT doc_id, source,
+                     CAST(FLOOR((cum - n_chars) / 3000) AS BIGINT) AS pack_id
+              FROM c
+            )
+            SELECT doc_id, source, pack_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pack_id ORDER BY doc_id) AS BIGINT)
+                     AS pack_pos
+            FROM p
+        """,
+        "corpus_build_v2": r"""
+            WITH dedup AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            ), kept0 AS (
+              SELECT d.doc_id, d.source, d.n_chars, d.text
+              FROM documents d JOIN dedup USING (doc_id)
+            ), ktoks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM kept0
+            ), kgrams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(range(1, len(t) - 6),
+                                                i -> array_to_string(t[i:i+7], ' '))
+                            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                            ELSE [] END
+                     ) AS g
+              FROM ktoks
+            ), etoks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE doc_id % 17 = 0
+            ), egrams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) >= 8
+                            THEN list_transform(range(1, len(t) - 6),
+                                                i -> array_to_string(t[i:i+7], ' '))
+                            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                            ELSE [] END
+                     ) AS g
+              FROM etoks
+            ), decon AS (
+              SELECT DISTINCT d.doc_id
+              FROM (SELECT doc_id, unnest(g) AS s FROM kgrams) d
+              JOIN (SELECT unnest(g) AS s FROM egrams) e ON d.s = e.s
+            ), clean AS (
+              SELECT * FROM kept0
+              WHERE doc_id NOT IN (SELECT doc_id FROM decon)
+            ), rep AS (
+              SELECT doc_id,
+                     CASE WHEN len(g3) > 0
+                          THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+                          ELSE 0.0 END AS dup3
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1),
+                                                i -> array_to_string(t[i:i+2], ' '))
+                            ELSE [] END AS g3
+                FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                      FROM clean)
+              )
+            ), kept AS (
+              SELECT c.doc_id, c.source, c.n_chars
+              FROM clean c JOIN rep USING (doc_id)
+              WHERE rep.dup3 <= 0.1
+            ), quota AS (
+              SELECT doc_id, source, n_chars FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM kept
+              ) WHERE rn <= 10
             ), c AS (
               SELECT doc_id, source, n_chars,
                      SUM(n_chars) OVER (ORDER BY doc_id

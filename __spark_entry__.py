@@ -726,7 +726,18 @@ def q_sessionize(spark, sf_dir):
         f"events.ts is {ts_type}; expected a timestamp type — "
         "a legacy nanos-as-long file needs explicit unit handling"
     )
-    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    if ts_type == "timestamp_ntz":
+        # wall-clock diff, NOT cast('timestamp'): the cast routes
+        # through the session zone and would shift µs values across DST
+        ev = ev.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ),
+        )
+    else:
+        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
     out = session_stats(ev, ts_col="ts_us", gap_ns=30 * 60 * 1_000_000)
     return out.withColumnRenamed("duration", "duration_us")
 

@@ -189,8 +189,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        # driver testdata ships TIMESTAMP(NANOS) parquet (events.ts)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # no nanosAsLong legacy conf: current testdata is µs-precision
+        # throughout; a TIMESTAMP(NANOS) file should fail loudly at read
+        # time rather than be silently reinterpreted (q_sessionize also
+        # asserts the dtype it expects)
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

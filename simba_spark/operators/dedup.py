@@ -127,12 +127,29 @@ def minhash_signature(
     hash_fn: str = "xxhash64",
 ) -> Column:
     """Array of `num_hashes` minhash values over word shingles.
-    h_j(s) = hash64(shingle, seed+j); signature_j = min_s h_j(s).
-    Documents with shingle sets of Jaccard J agree on each coordinate
-    with probability J (classic MinHash estimator, Broder 1997)."""
+
+    Same derivation as :func:`minhash_lsh_pairs`: ONE base hash per
+    shingle (xxhash64 masked to 60 bits, or md5long) then `num_hashes`
+    affine-family transforms h_j(b) = (c1_j*(b>>30) + c2_j*(b&mask) +
+    c3_j) mod (2^61-1); signature_j = min_s h_j(base(s)). Signatures
+    produced here are therefore directly comparable with (and reproduce)
+    the pairs path for the same (hash_fn, seed). Documents with shingle
+    sets of Jaccard J agree on each coordinate with probability J
+    (classic MinHash estimator, Broder 1997)."""
     sh = shingles(col, shingle_k)
+    if hash_fn == "xxhash64":
+        base_of = lambda s: F.xxhash64(s, F.lit(seed)).bitwiseAND(  # noqa: E731
+            F.lit((1 << 60) - 1)
+        )
+    else:
+        base_of = lambda s: _hash64(s, seed, hash_fn)  # noqa: E731
+    bases = F.transform(sh, base_of)
+    consts = affine_consts(num_hashes, seed)
     mins = [
-        F.array_min(F.transform(sh, lambda s: _hash64(s, seed + j, hash_fn)))
+        F.coalesce(
+            F.array_min(F.transform(bases, lambda b: _affine_col(b, *consts[j]))),
+            F.lit(0).cast("long"),
+        )
         for j in range(num_hashes)
     ]
     return F.array(*mins)

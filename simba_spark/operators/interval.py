@@ -113,12 +113,16 @@ def interval_join(
     rp = rp.crossJoin(stats)
     bw1, bw2, has_long = F.col("__bw"), F.col("__bw2"), F.col("__has_long")
 
-    # each interval is binned at ONE tier, picked by its own span: fine
-    # unless it would replicate past the cap, else coarse (≤ 2 bins
-    # there by construction since bw2 >= every length)
-    lo1 = F.floor(s / bw1).cast("long")
-    hi1 = F.floor(e / bw1).cast("long")
-    tier = F.when(hi1 - lo1 <= int(_TIER_CAP), F.lit(1)).otherwise(F.lit(2))
+    # each interval is binned at ONE tier, picked by its own length:
+    # fine unless it would replicate past ~the cap, else coarse (≤ 2
+    # bins there by construction since bw2 >= every length). The tier
+    # predicate is the SAME arithmetic as __has_long (len > bw1*cap,
+    # where max(len) reproduces the aggregated __bw2 bit-for-bit), so a
+    # tier-2 interval existing implies points probe tier 2 — no
+    # boundary-rounding mismatch between the two gates.
+    tier = F.when(e - s <= bw1 * F.lit(float(_TIER_CAP)), F.lit(1)).otherwise(
+        F.lit(2)
+    )
     tbw = F.when(tier == 1, bw1).otherwise(bw2)
     lg = lp.withColumn("__tier", tier).withColumn(
         "__bin",
@@ -236,7 +240,12 @@ def interval_overlap_join(
         intervals exist anywhere (they must be able to meet them)."""
         lo1 = F.floor(s / bw1).cast("long")
         hi1 = F.floor(e / bw1).cast("long")
-        own = F.when(hi1 - lo1 <= int(_TIER_CAP), F.lit(1)).otherwise(F.lit(2))
+        # tier by LENGTH with the exact __has_long arithmetic (see
+        # interval_join) so "a tier-2 interval exists" and "__has_long"
+        # can never disagree at a rounding boundary
+        own = F.when(e - s <= bw1 * F.lit(float(_TIER_CAP)), F.lit(1)).otherwise(
+            F.lit(2)
+        )
         lo2 = F.floor(s / bw2).cast("long")
         hi2 = F.floor(e / bw2).cast("long")
         fine = F.when(

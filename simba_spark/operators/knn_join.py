@@ -347,15 +347,15 @@ def _voronoi_knn_join(
         for i, th in theta.items()
     ]
     rep_df = lp.sparkSession.createDataFrame(
-        rep_rows, "j int, __lcell int, lb double"
+        rep_rows, "__j int, __lcell int, __lb double"
     )
     rrep = (
         rc.join(
             F.broadcast(rep_df),
-            on=(F.col("__cell") == F.col("j")) & (F.col("__pd") >= F.col("lb")),
+            on=(F.col("__cell") == F.col("__j")) & (F.col("__pd") >= F.col("__lb")),
             how="inner",
         )
-        .drop("__cell", "__pd", "j", "lb")
+        .drop("__cell", "__pd", "__j", "__lb")
     )
 
     pairs = (
@@ -609,7 +609,6 @@ def zknn_join(
     span_vals = [float(stats[f"__sp{i}"]) for i in range(d)]
     iso = float(stats["__iso"])
     n_right = int(stats["__nr"])
-    n_total = int(stats["__n"])
 
     def zcol_lit(cols, us):
         from ..functions import z_value_col
@@ -658,15 +657,37 @@ def zknn_join(
         # array (≈4 exchanges end-to-end); above it, single-partition
         # sorts and an all-rows broadcast would not scale and the
         # bucketed two-phase prefix-sum pipeline takes over.
+        # Gate on the RIGHT side: the simple path collect_lists the
+        # whole right side once per shift into single-row arrays that
+        # are then broadcast — its cost is |R|·shifts·struct_width
+        # bytes, independent of the left side. A row cap set via
+        # `simba_spark.zknn.simple_rank_rows` is honored against |R|;
+        # otherwise the cap derives from a byte budget
+        # (`simba_spark.zknn.simple_rank_bytes`, default 256 MB) and
+        # the actual struct width, so a wide/high-d right side trips to
+        # the bucketed path long before the driver or an executor OOMs.
         try:
-            simple_cap = int(
-                left.sparkSession.conf.get(
-                    "simba_spark.zknn.simple_rank_rows", "2000000"
-                )
+            cap_conf = left.sparkSession.conf.get(
+                "simba_spark.zknn.simple_rank_rows", None
             )
         except Exception:
-            simple_cap = 2_000_000
-        if n_total <= simple_cap:
+            cap_conf = None
+        if cap_conf is not None:
+            use_simple = n_right <= int(cap_conf)
+        else:
+            try:
+                budget = int(
+                    left.sparkSession.conf.get(
+                        "simba_spark.zknn.simple_rank_bytes", str(256 << 20)
+                    )
+                )
+            except Exception:
+                budget = 256 << 20
+            # per struct: 8B z + 8B rid + 8B per coord + ~24B object
+            # overhead in the unsafe array representation
+            struct_w = 8 * (d + 2) + 24
+            use_simple = n_right * len(shift_us) * struct_w <= budget
+        if use_simple:
             return _zknn_rank_simple(
                 lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k
             )

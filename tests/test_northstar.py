@@ -118,6 +118,76 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert all(2 not in p for p in pairs)             # far doc not paired
 
 
+def test_minhash_signature_matches_pairs_derivation(spark):
+    """minhash_signature and minhash_lsh_pairs share one hash family:
+    ONE 60-bit-masked base xxhash64 (or md5long) per shingle + affine
+    transforms — signatures from the public API must reproduce the
+    pairs path's per-id mins for the same (hash_fn, seed)."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.operators.dedup import (
+        AFFINE_M,
+        _AFFINE_LO_MASK,
+        affine_consts,
+        minhash_signature,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the bank"),
+            (1, "a completely different sentence about columnar query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    num_hashes, k, seed = 8, 5, 42
+    for hash_fn, base_sql in [
+        ("xxhash64", f"xxhash64(__s, {seed}) & {(1 << 60) - 1}"),
+        (
+            "md5long",
+            f"('0x' is null)",  # placeholder, replaced below
+        ),
+    ]:
+        if hash_fn == "md5long":
+            base_sql = (
+                f"CAST(conv(substring(md5(concat(CAST(__s AS STRING), "
+                f"'#{seed}')), 1, 15), 16, 10) AS BIGINT)"
+            )
+        consts = affine_consts(num_hashes, seed)
+        # pairs-path derivation: explode shingles, one base hash,
+        # per-j affine min (exactly minhash_lsh_pairs' sig_df shape)
+        ex = (
+            df.select("doc_id", shingles("text", k).alias("__sh"))
+            .select("doc_id", F.explode_outer("__sh").alias("__s"))
+            .withColumn("__b", F.expr(base_sql))
+        )
+        expected = ex.groupBy("doc_id").agg(
+            *[
+                F.expr(
+                    "coalesce(min(((__b >> 30) * {c1} + (__b & {m}) * {c2}"
+                    " + {c3}) % {M}), CAST(0 AS BIGINT))".format(
+                        c1=consts[j][0],
+                        c2=consts[j][1],
+                        c3=consts[j][2],
+                        m=_AFFINE_LO_MASK,
+                        M=AFFINE_M,
+                    )
+                ).alias(f"m{j}")
+                for j in range(num_hashes)
+            ]
+        )
+        got = df.select(
+            "doc_id",
+            minhash_signature(
+                "text", num_hashes=num_hashes, shingle_k=k, seed=seed,
+                hash_fn=hash_fn,
+            ).alias("sig"),
+        )
+        exp = {r.doc_id: [r[f"m{j}"] for j in range(num_hashes)] for r in expected.collect()}
+        act = {r.doc_id: list(r.sig) for r in got.collect()}
+        assert act == exp, f"signature mismatch for hash_fn={hash_fn}"
+
+
 def test_minhash_dedup_drops_only_dupes(spark):
     from simba_spark.operators.dedup import minhash_dedup
 

@@ -141,6 +141,47 @@ def test_batch_sessionize_gap_split(spark):
     assert stats[(2, 1)] == (2, 10, 11)
 
 
+def test_sessionize_ntz_dst_independent(spark):
+    """TIMESTAMP_NTZ gap math must not route through the session zone:
+    events straddling a US DST transition (2024-03-10 02:00 local,
+    clocks jump forward) sessionize identically under UTC and
+    America/New_York. A cast('timestamp') conversion would shift the
+    03:30 event by an hour in NY and flip the gap decision."""
+    from simba_spark.operators.sessionize import sessionize
+
+    rows = [
+        # wall-clock NTZ times around the spring-forward gap; 01:30 →
+        # 03:30 is a 2h wall-clock gap (split at 30-min inactivity);
+        # 03:30 → 03:45 stays merged
+        (0, 1, "2024-03-10 01:00:00"),
+        (1, 1, "2024-03-10 01:30:00"),
+        (2, 1, "2024-03-10 03:30:00"),
+        (3, 1, "2024-03-10 03:45:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+    def run():
+        s = sessionize(df, gap_ns=30 * 60 * 1_000_000_000)
+        return {r.event_id: r.session_idx for r in s.collect()}
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert utc == ny == {0: 1, 1: 1, 2: 2, 3: 2}
+
+
 def test_streaming_sessionize_stateful(spark):
     """applyInPandasWithState sessionization: state carries the open
     session across micro-batches; a later batch closes it."""

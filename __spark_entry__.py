@@ -466,6 +466,61 @@ def q_polygon_distance_join(spark, sf_dir):
     return out.select(F.col("a_id"), F.col("b_id"))
 
 
+#: literal query segment for polygon×segment range (crosses the
+#: events value×uid space diagonally)
+_PSEG = (50.0, 10.0, 450.0, 140.0)
+
+
+def q_polygon_segment_range(spark, sf_dir):
+    """Polygon-COLUMN vs literal-segment intersection filter — the
+    reference's Polygon.intersects(LineSegment) JTS dispatch
+    (ref: Polygon.scala:40-107): edge-pair orientation tests + the
+    fully-inside case, all higher-order Column arithmetic."""
+    from simba_spark.operators.polygon import polygon_intersects_segment_col
+
+    tris = _ev_triangles(spark, sf_dir)
+    return tris.filter(polygon_intersects_segment_col("poly", *_PSEG)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+def q_polygon_polygon_join(spark, sf_dir):
+    """Polygon-polygon INTERSECTION join (r=0) over two triangle sets —
+    the last shape-matrix cell (ref: Polygon.intersects(Polygon),
+    Polygon.scala:40-107) as a distributed grid join with
+    canonical-cell unique emission (no dedup shuffle)."""
+    from simba_spark.operators.polygon import polygon_polygon_join
+
+    tris = _ev_triangles(spark, sf_dir)
+    a = tris.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"), "poly"
+    )
+    b = tris.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("id"), "poly"
+    )
+    out = polygon_polygon_join(a, b, "poly", "poly", 0.0)
+    return out.select("a_id", "b_id")
+
+
+def q_polygon_polygon_distance_join(spark, sf_dir):
+    """Polygon-polygon DISTANCE join: pairs with
+    dist(poly_a, poly_b) <= r (closed; ref: Polygon.minDist
+    generalized, Polygon.scala:83-107 + DJSpark grid program) — grid
+    equi-join on the r-expanded MBR, canonical-cell emission, exact
+    edge-pair refine."""
+    from simba_spark.operators.polygon import polygon_polygon_join
+
+    tris = _ev_triangles(spark, sf_dir)
+    a = tris.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"), "poly"
+    )
+    b = tris.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("id"), "poly"
+    )
+    out = polygon_polygon_join(a, b, "poly", "poly", 4.0)
+    return out.select("a_id", "b_id")
+
+
 def q_interval_1d(spark, sf_dir):
     """1-D interval scan through a range layout (TreeMap/Treap analog,
     ref: TreeMapIndexedRelation.scala:41-60), closed bounds."""
@@ -1066,6 +1121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_box_range": q_polygon_box_range,
         "circle_rows_range": q_circle_rows_range,
         "polygon_distance_join": q_polygon_distance_join,
+        "polygon_segment_range": q_polygon_segment_range,
+        "polygon_polygon_join": q_polygon_polygon_join,
+        "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
         "segment_knn": q_segment_knn,
         "segment_distance_join": q_segment_distance_join,
         # spatial joins
@@ -1285,6 +1343,135 @@ def _polygon_distance_join_oracle_sql() -> str:
         FROM events a, events b
         WHERE a.event_id % 97 = 0 AND b.event_id % 3 = 0
           AND {dist2} <= 16.0
+    """
+
+
+def _seg_seg_intersect_sql(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> str:
+    """SQL mirror of shapes.seg_seg_intersect_coords (closed
+    orientation test, identical association order)."""
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (
+            f"((({px}) - ({ox})) * (({qy}) - ({oy}))"
+            f" - (({py}) - ({oy})) * (({qx}) - ({ox})))"
+        )
+
+    o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    proper = (
+        f"((({o1} > 0 AND {o2} < 0) OR ({o1} < 0 AND {o2} > 0))"
+        f" AND (({o3} > 0 AND {o4} < 0) OR ({o3} < 0 AND {o4} > 0)))"
+    )
+
+    def onb(px, py, sx1, sy1, sx2, sy2):
+        return (
+            f"(({px}) >= least({sx1}, {sx2}) AND ({px}) <= greatest({sx1}, {sx2})"
+            f" AND ({py}) >= least({sy1}, {sy2}) AND ({py}) <= greatest({sy1}, {sy2}))"
+        )
+
+    touch = (
+        f"(({o1} = 0 AND {onb(bx1, by1, ax1, ay1, ax2, ay2)})"
+        f" OR ({o2} = 0 AND {onb(bx2, by2, ax1, ay1, ax2, ay2)})"
+        f" OR ({o3} = 0 AND {onb(ax1, ay1, bx1, by1, bx2, by2)})"
+        f" OR ({o4} = 0 AND {onb(ax2, ay2, bx1, by1, bx2, by2)}))"
+    )
+    return f"({proper} OR {touch})"
+
+
+def _poly_seg_sql(vx, vy, seg) -> str:
+    """SQL mirror of polygon_intersects_segment_col: some edge
+    intersects the literal segment OR its first endpoint is inside."""
+    n = len(vx)
+    sx1, sy1, sx2, sy2 = (repr(float(v)) for v in seg)
+    edges = " OR ".join(
+        _seg_seg_intersect_sql(
+            vx[i], vy[i], vx[(i + 1) % n], vy[(i + 1) % n], sx1, sy1, sx2, sy2
+        )
+        for i in range(n)
+    )
+    return f"(({edges}) OR {_poly_contains_sql(vx, vy, sx1, sy1)})"
+
+
+def _poly_poly_intersect_sql(ax, ay, bx, by) -> str:
+    """SQL mirror of polygons_intersect_col: some edge pair intersects
+    OR A's first vertex in B OR B's first vertex in A."""
+    n, m = len(ax), len(bx)
+    edge_pairs = " OR ".join(
+        _seg_seg_intersect_sql(
+            ax[i], ay[i], ax[(i + 1) % n], ay[(i + 1) % n],
+            bx[j], by[j], bx[(j + 1) % m], by[(j + 1) % m],
+        )
+        for i in range(n)
+        for j in range(m)
+    )
+    a_in_b = _poly_contains_sql(bx, by, ax[0], ay[0])
+    b_in_a = _poly_contains_sql(ax, ay, bx[0], by[0])
+    return f"(({edge_pairs}) OR {a_in_b} OR {b_in_a})"
+
+
+def _seg_seg_d2_sql(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> str:
+    """SQL mirror of polygon._seg_seg_d2 (min of the four clamped
+    endpoint projections)."""
+    return "least({}, {}, {}, {})".format(
+        _point_seg_d2_sql(ax1, ay1, bx1, by1, bx2, by2),
+        _point_seg_d2_sql(ax2, ay2, bx1, by1, bx2, by2),
+        _point_seg_d2_sql(bx1, by1, ax1, ay1, ax2, ay2),
+        _point_seg_d2_sql(bx2, by2, ax1, ay1, ax2, ay2),
+    )
+
+
+def _poly_poly_dist2_sql(ax, ay, bx, by) -> str:
+    """SQL mirror of polygon_to_polygon_dist2: 0 when intersecting,
+    else the min over edge pairs of the segment-segment distance."""
+    n, m = len(ax), len(bx)
+    d2s = [
+        _seg_seg_d2_sql(
+            ax[i], ay[i], ax[(i + 1) % n], ay[(i + 1) % n],
+            bx[j], by[j], bx[(j + 1) % m], by[(j + 1) % m],
+        )
+        for i in range(n)
+        for j in range(m)
+    ]
+    return (
+        f"(CASE WHEN {_poly_poly_intersect_sql(ax, ay, bx, by)} THEN 0.0"
+        f" ELSE least({', '.join(d2s)}) END)"
+    )
+
+
+def _tri_sql(alias: str):
+    """(_TRI_VX, _TRI_VY) rebased onto a table alias."""
+    vx = [
+        e.replace("value", f"{alias}.value").replace(
+            "event_id", f"{alias}.event_id"
+        ).replace("user_id", f"{alias}.user_id")
+        for e in _TRI_VX
+    ]
+    vy = [
+        e.replace("value", f"{alias}.value").replace(
+            "event_id", f"{alias}.event_id"
+        ).replace("user_id", f"{alias}.user_id")
+        for e in _TRI_VY
+    ]
+    return vx, vy
+
+
+def _polygon_polygon_join_oracle_sql(r: float) -> str:
+    """DuckDB mirror of the polygon-polygon grid join: cross join +
+    the identical intersection / distance predicate (the operator is
+    exact, so the oracle is the semantic predicate)."""
+    ax, ay = _tri_sql("a")
+    bx, by = _tri_sql("b")
+    if r == 0.0:
+        pred = _poly_poly_intersect_sql(ax, ay, bx, by)
+    else:
+        pred = f"({_poly_poly_dist2_sql(ax, ay, bx, by)} <= {r * r!r})"
+    return f"""
+        SELECT a.event_id AS a_id, b.event_id AS b_id
+        FROM events a, events b
+        WHERE a.event_id % 97 = 0 AND b.event_id % 89 = 0
+          AND {pred}
     """
 
 
@@ -1689,6 +1876,12 @@ def oracle_sql() -> dict[str, str]:
                   <= r * r
         """,
         "polygon_distance_join": _polygon_distance_join_oracle_sql(),
+        "polygon_segment_range": f"""
+            SELECT event_id, user_id, value FROM events
+            WHERE {_poly_seg_sql(_TRI_VX, _TRI_VY, _PSEG)}
+        """,
+        "polygon_polygon_join": _polygon_polygon_join_oracle_sql(0.0),
+        "polygon_polygon_distance_join": _polygon_polygon_join_oracle_sql(4.0),
         "segment_distance_join": f"""
             WITH segs AS (
               SELECT event_id,

@@ -342,6 +342,14 @@ class Polygon(Shape):
                 for a, b in self._edges()
                 for c, d in [(c00, c10), (c00, c01), (c10, c11), (c01, c11)]
             )
+        if isinstance(other, Polygon):
+            if self.intersects(other):
+                return 0.0
+            return min(
+                LineSegment(a, b).min_dist(LineSegment(c, d))
+                for a, b in self._edges()
+                for c, d in other._edges()
+            )
         return other.min_dist(self)
 
     def intersects(self, other: Shape) -> bool:

@@ -361,6 +361,232 @@ def polygon_distance_join(
     )
 
 
+def polygon_intersects_segment_col(poly_col, x1, y1, x2, y2, eps: float = 1e-12) -> Column:
+    """Closed polygon-COLUMN vs segment intersection — the reference's
+    ``Polygon.intersects(LineSegment)`` (ref: Polygon.scala:40-107
+    dispatching on shape type via ShapeUtils). Segment endpoints may be
+    literals or Columns.
+
+    Two cases cover everything: (a) some polygon edge intersects the
+    segment (orientation tests, closed), or (b) the segment lies fully
+    inside — detected by its first endpoint being inside/on the
+    polygon (if no edge crossing exists, both endpoints are on the same
+    side of the boundary)."""
+    from .shapes import seg_seg_intersect_coords
+
+    p = F.col(poly_col) if isinstance(poly_col, str) else poly_col
+    sx1 = F.lit(float(x1)) if isinstance(x1, (int, float)) else x1
+    sy1 = F.lit(float(y1)) if isinstance(y1, (int, float)) else y1
+    sx2 = F.lit(float(x2)) if isinstance(x2, (int, float)) else x2
+    sy2 = F.lit(float(y2)) if isinstance(y2, (int, float)) else y2
+    edge_hit = F.exists(
+        _poly_edges(p),
+        lambda e: seg_seg_intersect_coords(
+            e["p"]["x"], e["p"]["y"], e["q"]["x"], e["q"]["y"],
+            sx1, sy1, sx2, sy2,
+        ),
+    )
+    return edge_hit | in_polygon_col(sx1, sy1, p, eps=eps)
+
+
+def polygons_intersect_col(poly_a, poly_b, eps: float = 1e-12) -> Column:
+    """Closed polygon-COLUMN vs polygon-COLUMN intersection — the last
+    cell of the reference's JTS shape-dispatch matrix
+    (ref: Polygon.scala:40-107, ``Polygon.intersects(Polygon)``).
+
+    Complete 3-part test: (a) some edge pair intersects, or (b) A's
+    first vertex lies in B (A fully inside B), or (c) B's first vertex
+    lies in A — if no edge crossing exists, one polygon is either fully
+    inside or fully outside the other, so one vertex probe per
+    direction suffices."""
+    from .shapes import seg_seg_intersect_coords
+
+    pa = F.col(poly_a) if isinstance(poly_a, str) else poly_a
+    pb = F.col(poly_b) if isinstance(poly_b, str) else poly_b
+    edge_pair = F.exists(
+        _poly_edges(pa),
+        lambda ea: F.exists(
+            _poly_edges(pb),
+            lambda eb: seg_seg_intersect_coords(
+                ea["p"]["x"], ea["p"]["y"], ea["q"]["x"], ea["q"]["y"],
+                eb["p"]["x"], eb["p"]["y"], eb["q"]["x"], eb["q"]["y"],
+            ),
+        ),
+    )
+    a0, b0 = F.element_at(pa, 1), F.element_at(pb, 1)
+    return (
+        edge_pair
+        | in_polygon_col(a0["x"], a0["y"], pb, eps=eps)
+        | in_polygon_col(b0["x"], b0["y"], pa, eps=eps)
+    )
+
+
+def _seg_seg_d2(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """Squared distance between two closed segments that do NOT
+    properly cross: min of the four endpoint-to-other-segment clamped
+    projections (exact for non-crossing segments; callers test
+    intersection separately where 0 applies)."""
+    return F.least(
+        _point_seg_d2(ax1, ay1, bx1, by1, bx2, by2),
+        _point_seg_d2(ax2, ay2, bx1, by1, bx2, by2),
+        _point_seg_d2(bx1, by1, ax1, ay1, ax2, ay2),
+        _point_seg_d2(bx2, by2, ax1, ay1, ax2, ay2),
+    )
+
+
+def polygon_to_polygon_dist2(poly_a, poly_b, eps: float = 1e-12) -> Column:
+    """Squared distance between two polygon COLUMNS: 0 if they
+    intersect (closed), else the min over edge pairs of the
+    segment-segment distance — the reference's ``Polygon.minDist``
+    generalized to polygon arguments (ref: Polygon.scala:83-107)."""
+    pa = F.col(poly_a) if isinstance(poly_a, str) else poly_a
+    pb = F.col(poly_b) if isinstance(poly_b, str) else poly_b
+    pair_min = F.aggregate(
+        _poly_edges(pa),
+        F.lit(float("inf")),
+        lambda acc, ea: F.least(
+            acc,
+            F.aggregate(
+                _poly_edges(pb),
+                F.lit(float("inf")),
+                lambda acc2, eb: F.least(
+                    acc2,
+                    _seg_seg_d2(
+                        ea["p"]["x"], ea["p"]["y"], ea["q"]["x"], ea["q"]["y"],
+                        eb["p"]["x"], eb["p"]["y"], eb["q"]["x"], eb["q"]["y"],
+                    ),
+                ),
+            ),
+        ),
+    )
+    return F.when(polygons_intersect_col(pa, pb, eps=eps), F.lit(0.0)).otherwise(
+        pair_min
+    )
+
+
+def _poly_mbr_cols(df: DataFrame, poly, r: float, prefix: str) -> DataFrame:
+    """Attach the r-expanded MBR of a polygon column as plain columns
+    (computed once per row — everything evaluated per CANDIDATE later
+    must be codegen'd plain arithmetic)."""
+    xs = F.transform(poly, lambda v: v["x"])
+    ys = F.transform(poly, lambda v: v["y"])
+    return df.select(
+        "*",
+        (F.array_min(xs) - F.lit(r)).alias(f"{prefix}mnx"),
+        (F.array_max(xs) + F.lit(r)).alias(f"{prefix}mxx"),
+        (F.array_min(ys) - F.lit(r)).alias(f"{prefix}mny"),
+        (F.array_max(ys) + F.lit(r)).alias(f"{prefix}mxy"),
+    )
+
+
+def polygon_polygon_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    poly_a_col: str,
+    poly_b_col: str,
+    r: float = 0.0,
+    cell_size: float = None,
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    max_cells_per_row: int = 10_000,
+) -> DataFrame:
+    """All (A row, B row) pairs with dist(polygon_a, polygon_b) <= r
+    (closed); ``r=0`` is the polygon-polygon INTERSECTION join. Closes
+    the shape-matrix with the reference's JTS polygon×polygon dispatch
+    (ref: Polygon.scala:40-107) as a distributed grid join.
+
+    Both sides are polygons, so both explode to the grid cells their
+    (A: r-expanded) MBR covers — a pair can share several cells, so
+    each pair is emitted ONLY in its canonical cell: the cell of the
+    top-left corner of the overlap of the two exploded boxes
+    (max of the mins per axis), which every candidate pair provably
+    shares. Equi-join + filter, no dedup shuffle — the 2-D analog of
+    interval_overlap_join's canonical-bin rule. The codegen'd
+    MBR-overlap pre-filter kills candidates before the interpreted
+    exact polygon-distance refine."""
+    r = float(r)
+    lp = polys_a.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in polys_a.columns]
+    )
+    rp = polys_b.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in polys_b.columns]
+    )
+    pa = F.col(f"{left_prefix}{poly_a_col}")
+    pb = F.col(f"{right_prefix}{poly_b_col}")
+    lp = _poly_mbr_cols(lp, pa, r, "__a")
+    rp = _poly_mbr_cols(rp, pb, 0.0, "__b")
+
+    if cell_size is None:
+        stats = F.broadcast(
+            lp.select(
+                F.greatest(
+                    F.col("__amxx") - F.col("__amnx"),
+                    F.col("__amxy") - F.col("__amny"),
+                ).alias("__ext")
+            )
+            .unionByName(
+                rp.select(
+                    F.greatest(
+                        F.col("__bmxx") - F.col("__bmnx"),
+                        F.col("__bmxy") - F.col("__bmny"),
+                    ).alias("__ext")
+                )
+            )
+            .agg(F.greatest(F.avg("__ext"), F.lit(1e-9)).alias("__cw"))
+        )
+        lp = lp.crossJoin(stats)
+        rp = rp.crossJoin(stats)
+        cw = F.col("__cw")
+    else:
+        cw = F.lit(float(cell_size))
+
+    def explode_cells(df, mnx, mxx, mny, mxy, who):
+        cxlo = F.floor(F.col(mnx) / cw).cast("long")
+        cxhi = F.floor(F.col(mxx) / cw).cast("long")
+        cylo = F.floor(F.col(mny) / cw).cast("long")
+        cyhi = F.floor(F.col(mxy) / cw).cast("long")
+        n_cells = (cxhi - cxlo + 1) * (cyhi - cylo + 1)
+        guard = F.when(n_cells <= int(max_cells_per_row), cxhi).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"polygon_polygon_join: a {who} MBR covers more than "
+                    f"{max_cells_per_row} cells — pass a larger cell_size"
+                )
+            ).cast("long")
+        )
+        return df.withColumn("__cx", F.explode(F.sequence(cxlo, guard))).withColumn(
+            "__cy", F.explode(F.sequence(cylo, cyhi))
+        )
+
+    lg = explode_cells(lp, "__amnx", "__amxx", "__amny", "__amxy", "left")
+    rg = explode_cells(rp, "__bmnx", "__bmxx", "__bmny", "__bmxy", "right")
+    if cell_size is None:
+        lg = lg.drop("__cw")
+    canon_cx = F.floor(F.greatest(F.col("__amnx"), F.col("__bmnx")) / cw).cast("long")
+    canon_cy = F.floor(F.greatest(F.col("__amny"), F.col("__bmny")) / cw).cast("long")
+    out = (
+        lg.join(rg, on=["__cx", "__cy"], how="inner")
+        # codegen'd sargable pre-filters: boxes overlap AND this is the
+        # pair's canonical cell (unique emission)
+        .filter(
+            (F.col("__amnx") <= F.col("__bmxx"))
+            & (F.col("__bmnx") <= F.col("__amxx"))
+            & (F.col("__amny") <= F.col("__bmxy"))
+            & (F.col("__bmny") <= F.col("__amxy"))
+            & (F.col("__cx") == canon_cx)
+            & (F.col("__cy") == canon_cy)
+        )
+    )
+    if r == 0.0:
+        out = out.filter(polygons_intersect_col(pa, pb))
+    else:
+        out = out.filter(polygon_to_polygon_dist2(pa, pb) <= F.lit(r * r))
+    drop = ["__cx", "__cy"] + [f"__{s}{c}" for s in "ab" for c in ("mnx", "mxx", "mny", "mxy")]
+    if cell_size is None:
+        drop.append("__cw")
+    return out.drop(*drop)
+
+
 def polygon_range(
     df: DataFrame, cols: Sequence[str], vertices, registry=None
 ) -> DataFrame:

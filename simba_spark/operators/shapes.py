@@ -204,6 +204,12 @@ def segments_intersect(seg_a, seg_b) -> Column:
     iff that endpoint also falls inside the other segment's bbox."""
     ax1, ay1, ax2, ay2 = _seg_parts(seg_a)
     bx1, by1, bx2, by2 = _seg_parts(seg_b)
+    return seg_seg_intersect_coords(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+
+
+def seg_seg_intersect_coords(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """:func:`segments_intersect` on raw coordinate Columns — shared by
+    the segment-struct predicate and the polygon edge-pair tests."""
 
     def orient(ox, oy, px, py, qx, qy):
         return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)

@@ -232,3 +232,151 @@ def test_polygon_distance_join_matches_bruteforce(spark):
         )
         assert got == exp, cs
     assert len(exp) > 0
+
+
+def test_polygon_segment_intersection_matches_geometry(spark):
+    """polygon_intersects_segment_col ≡ geometry Polygon.intersects(
+    LineSegment) over random triangles and one literal segment."""
+    from simba_spark.geometry import LineSegment
+    from simba_spark.operators.polygon import polygon_intersects_segment_col
+
+    rng = random.Random(7)
+    tris = []
+    for i in range(250):
+        cx, cy = rng.uniform(0, 100), rng.uniform(0, 100)
+        tris.append(
+            (
+                i,
+                [
+                    (cx, cy),
+                    (cx + rng.uniform(1, 12), cy + rng.uniform(1, 12)),
+                    (cx - rng.uniform(1, 12), cy + rng.uniform(1, 12)),
+                ],
+            )
+        )
+    seg = (20.0, 10.0, 80.0, 90.0)
+    polys = spark.createDataFrame(
+        [(i, [{"x": float(x), "y": float(y)} for x, y in vs]) for i, vs in tris],
+        "id long, poly array<struct<x: double, y: double>>",
+    )
+    sgeom = LineSegment(Point((seg[0], seg[1])), Point((seg[2], seg[3])))
+    exp = sorted(
+        i for i, vs in tris
+        if Polygon([Point(v) for v in vs]).intersects(sgeom)
+    )
+    got = sorted(
+        r.id
+        for r in polys.filter(
+            polygon_intersects_segment_col("poly", *seg)
+        ).collect()
+    )
+    assert got == exp and 0 < len(exp) < len(tris)
+
+
+def test_polygons_intersect_matches_geometry(spark):
+    """polygons_intersect_col ≡ geometry Polygon.intersects(Polygon),
+    including containment (small triangle inside big one) and touch."""
+    from simba_spark.operators.polygon import polygons_intersect_col
+
+    rng = random.Random(11)
+    mk = lambda cx, cy, s: [
+        (cx, cy), (cx + s, cy), (cx + s / 2, cy + s)
+    ]
+    tris_a = [(i, mk(rng.uniform(0, 60), rng.uniform(0, 60), rng.uniform(2, 15))) for i in range(40)]
+    tris_b = [(j, mk(rng.uniform(0, 60), rng.uniform(0, 60), rng.uniform(2, 15))) for j in range(40)]
+    # containment case: a tiny triangle centered in a big one
+    tris_a.append((100, mk(0.0, 0.0, 30.0)))
+    tris_b.append((200, mk(12.0, 5.0, 1.0)))
+
+    def df_of(rows, name):
+        return spark.createDataFrame(
+            [(i, [{"x": float(x), "y": float(y)} for x, y in vs]) for i, vs in rows],
+            f"{name} long, poly array<struct<x: double, y: double>>",
+        )
+
+    a = df_of(tris_a, "ida").withColumnRenamed("poly", "pa")
+    b = df_of(tris_b, "idb").withColumnRenamed("poly", "pb")
+    exp = sorted(
+        (i, j)
+        for i, va in tris_a
+        for j, vb in tris_b
+        if Polygon([Point(v) for v in va]).intersects(Polygon([Point(v) for v in vb]))
+    )
+    got = sorted(
+        (r.ida, r.idb)
+        for r in a.crossJoin(b)
+        .filter(polygons_intersect_col("pa", "pb"))
+        .collect()
+    )
+    assert got == exp and (100, 200) in got and len(exp) > 0
+
+
+def test_polygon_to_polygon_dist2_matches_geometry(spark):
+    from simba_spark.operators.polygon import polygon_to_polygon_dist2
+
+    rng = random.Random(13)
+    mk = lambda cx, cy, s: [(cx, cy), (cx + s, cy), (cx + s / 2, cy + s)]
+    pairs = []
+    for i in range(60):
+        pairs.append(
+            (
+                i,
+                mk(rng.uniform(0, 50), rng.uniform(0, 50), rng.uniform(2, 10)),
+                mk(rng.uniform(0, 50), rng.uniform(0, 50), rng.uniform(2, 10)),
+            )
+        )
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                [{"x": float(x), "y": float(y)} for x, y in va],
+                [{"x": float(x), "y": float(y)} for x, y in vb],
+            )
+            for i, va, vb in pairs
+        ],
+        "id long, pa array<struct<x: double, y: double>>, "
+        "pb array<struct<x: double, y: double>>",
+    )
+    got = {
+        r.id: r.d2
+        for r in df.select(
+            "id", polygon_to_polygon_dist2("pa", "pb").alias("d2")
+        ).collect()
+    }
+    for i, va, vb in pairs:
+        exp = Polygon([Point(v) for v in va]).min_dist(Polygon([Point(v) for v in vb])) ** 2
+        assert abs(got[i] - exp) < 1e-9, (i, got[i], exp)
+
+
+def test_polygon_polygon_join_matches_bruteforce(spark):
+    """Grid polygon-polygon join (r=0 intersection and r>0 distance)
+    ≡ geometry brute force; canonical-cell emission yields no dups."""
+    from simba_spark.operators.polygon import polygon_polygon_join
+
+    rng = random.Random(17)
+    mk = lambda cx, cy, s: [(cx, cy), (cx + s, cy), (cx + s / 2, cy + s)]
+    tris_a = [(i, mk(rng.uniform(0, 80), rng.uniform(0, 80), rng.uniform(2, 12))) for i in range(60)]
+    tris_b = [(j, mk(rng.uniform(0, 80), rng.uniform(0, 80), rng.uniform(2, 12))) for j in range(60)]
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(i, [{"x": float(x), "y": float(y)} for x, y in vs]) for i, vs in rows],
+            "id long, poly array<struct<x: double, y: double>>",
+        )
+
+    a, b = df_of(tris_a), df_of(tris_b)
+    ga = {i: Polygon([Point(v) for v in vs]) for i, vs in tris_a}
+    gb = {j: Polygon([Point(v) for v in vs]) for j, vs in tris_b}
+    for r in (0.0, 2.5):
+        exp = sorted(
+            (i, j)
+            for i in ga
+            for j in gb
+            if (ga[i].intersects(gb[j]) if r == 0.0 else ga[i].min_dist(gb[j]) <= r)
+        )
+        for cs in (None, 10.0):
+            rows = polygon_polygon_join(a, b, "poly", "poly", r, cell_size=cs).collect()
+            got = sorted((row["a_id"], row["b_id"]) for row in rows)
+            assert got == exp, (r, cs)
+            assert len(got) == len(set(got))  # unique emission
+        assert len(exp) > 0

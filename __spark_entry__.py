@@ -693,6 +693,25 @@ def q_top_orders(spark, sf_dir):
     return rev
 
 
+def q_skewed_join(spark, sf_dir):
+    """Skew-salted equi-join (operators.pipeline.salted_join): hot
+    o_custkey values spread across 8 reducers via a deterministic
+    per-row salt + right-side replication — results identical to the
+    plain join, which IS the oracle. The ahead-of-time skew fix for
+    the cases AQE skew-split can't reach (hash-agg feeding a join,
+    co-partitioned writes)."""
+    from simba_spark.operators.pipeline import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    out = salted_join(orders, cust, ["o_custkey"], n_salts=8)
+    return out.select("o_orderkey", "o_custkey", "c_nationkey")
+
+
 def q_nation_volume(spark, sf_dir):
     """Q5-style multi-join: revenue per nation (customer+supplier co-located)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1139,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "top_orders": q_top_orders,
         "nation_volume": q_nation_volume,
+        "skewed_join": q_skewed_join,
         "window_top_orders": q_window_top_orders_per_cust,
         "rollup_lineitem": q_rollup_lineitem,
         "events_agg": q_events_agg,
@@ -1975,6 +1995,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, r.revenue
             FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
             ORDER BY r.revenue DESC, o.o_orderkey ASC LIMIT 10
+        """,
+        "skewed_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "nation_volume": """
             SELECT n.n_name,

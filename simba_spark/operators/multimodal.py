@@ -63,16 +63,26 @@ def blob_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
              .withColumn("content_hash", F.md5(F.col(blob_col)))
 
 
-def _resolve_decoder(mode: str, codec: Optional[Callable], fake: Callable, what: str):
+def _resolve_decoder(
+    mode: str,
+    codec: Optional[Callable],
+    fake: Callable,
+    what: str,
+    real_default: Optional[Callable] = None,
+):
     """Pick the per-payload decode callable: explicit codec wins, then
-    the deterministic fake, and a codec-less 'real' raises where the
-    codec would have run."""
+    the deterministic fake; ``mode='real'`` uses the operator's
+    stdlib-backed reference codec when one exists (``real_default``,
+    e.g. WAV via ``wave``), else raises where the codec would have
+    run."""
     if mode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode: {mode}")
     if codec is not None:
         return codec
     if mode == "fake":
         return fake
+    if real_default is not None:
+        return real_default
 
     def missing(*_a, **_k):
         raise NotImplementedError(
@@ -81,6 +91,44 @@ def _resolve_decoder(mode: str, codec: Optional[Callable], fake: Callable, what:
         )
 
     return missing
+
+
+def wav_codec(payload: bytes) -> dict:
+    """Reference REAL audio codec: RIFF/WAV (PCM) via stdlib ``wave`` —
+    zero dependencies beyond numpy. Returns the
+    :func:`extract_audio_features` contract keys: duration_s,
+    sample_rate, rms (normalized to full scale, so a full-scale sine
+    reads ≈ 0.7071). Compressed formats (mp3/ogg/flac) still need an
+    external codec through the ``codec=`` seam."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        frames = w.readframes(n)
+    duration = n / sr if sr else 0.0
+    if sw == 1:
+        # 8-bit WAV is unsigned, midpoint 128
+        vals = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        full = 128.0
+    elif sw == 2:
+        vals = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        full = float(1 << 15)
+    elif sw == 4:
+        vals = np.frombuffer(frames, dtype="<i4").astype(np.float64)
+        full = float(1 << 31)
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw} bytes")
+    rms = float(np.sqrt(np.mean(vals * vals)) / full) if vals.size else 0.0
+    return {
+        "duration_s": round(duration, 3),
+        "sample_rate": int(sr),
+        "rms": round(rms, 6),
+    }
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -168,8 +216,9 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio features: (id, duration_s, sample_rate, rms).
     ``codec(payload) -> dict`` with those keys plugs a real decoder
-    (soundfile/ffmpeg) in; fake derives stable values from the content
-    hash."""
+    (soundfile/ffmpeg) in; ``mode='real'`` without a codec decodes
+    RIFF/WAV through the stdlib :func:`wav_codec`; fake derives stable
+    values from the content hash."""
 
     def fake(payload):
         h = hashlib.md5(payload or b"").digest()
@@ -179,7 +228,7 @@ def extract_audio_features(
             "rms": round(h[7] / 255.0, 6),
         }
 
-    decode = _resolve_decoder(mode, codec, fake, "audio decode")
+    decode = _resolve_decoder(mode, codec, fake, "audio decode", real_default=wav_codec)
     schema = f"{id_col} long, duration_s double, sample_rate int, rms double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -86,7 +86,8 @@ def main() -> int:
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
     )
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(getattr(entrymod, "extra_queries", dict)())
     qs.update(_bench_overrides())
     timings = {}
     # warm the JVM + parquet footers once with a cheap action

@@ -68,7 +68,11 @@ def main(selected=None):
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
+    # merge the driver-windowed registry with the rotated-out bedrock
+    # queries: local oracle coverage stays total even though the
+    # external driver checks only the first 50 of queries()
+    qs = dict(entrymod.queries())
+    qs.update(getattr(entrymod, "extra_queries", dict)())
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():

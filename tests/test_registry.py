@@ -1,0 +1,36 @@
+"""Driver-contract invariants: the external correctness gate checks the
+FIRST 50 ``queries()`` entries — these tests keep the registry shaped so
+no query silently falls out of coverage again (round-3 lesson)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_exactly_at_driver_cap():
+    assert len(entrymod.queries()) == entrymod._DRIVER_QUERY_CAP == 50
+
+
+def test_registry_split_is_disjoint_and_fully_oracled():
+    q = entrymod.queries()
+    x = entrymod.extra_queries()
+    o = entrymod.oracle_sql()
+    assert not set(q) & set(x)
+    allq = set(q) | set(x)
+    # every registered query has a SQL oracle and vice versa
+    assert allq == set(o)
+
+
+def test_round4_debuts_lead_the_window():
+    """Newest-first: this round's debut queries must sit at the head of
+    the dict (dict order IS the driver's check order)."""
+    head = list(entrymod.queries())[:4]
+    assert head == [
+        "polygon_segment_range",
+        "polygon_polygon_join",
+        "polygon_polygon_distance_join",
+        "skewed_join",
+    ]

@@ -689,7 +689,8 @@ def zknn_join(
             use_simple = n_right * len(shift_us) * struct_w <= budget
         if use_simple:
             return _zknn_rank_simple(
-                lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k
+                lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k,
+                n_right=n_right,
             )
         # ONE scan per side computes EVERY shift's z-value, then
         # posexplode tags the rows — instead of `shifts` separate scans
@@ -790,7 +791,9 @@ def _upper_bound_sql(zs: str, target: str, iters: int) -> str:
     )
 
 
-def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k):
+def _zknn_rank_simple(
+    lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k, n_right=None
+):
     """Small-input physical plan for the rank-refined z-order kNN join —
     same candidates as the bucketed pipeline (per-shift global right
     ranks, ±W windows), picked when the right side fits a broadcast
@@ -851,7 +854,14 @@ def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k):
     # c_t = #right rows with z_t ≤ this left row's z_t (identical to
     # the bucketed pipeline's running right-count: at equal z every
     # right row precedes every left row)
-    iters = 40  # covers |R| ≤ 2^40; the expression is tiny per step
+    # binary-search depth sized to the KNOWN right count (the stats job
+    # already ran): ceil(log2(n+1)) steps provably converge — vs a
+    # fixed 40, this shrinks the interpreted per-row expression AND the
+    # SQL string the driver builds/parses by ~3× at typical sizes
+    if n_right is not None and n_right > 0:
+        iters = max(1, math.ceil(math.log2(n_right + 1)))
+    else:
+        iters = 40  # covers |R| ≤ 2^40; the expression is tiny per step
     lefts = lp.select("*", *zl).crossJoin(F.broadcast(rarr))
     for t in range(nsh):
         lefts = lefts.withColumn(
@@ -888,7 +898,12 @@ def _zknn_rank_simple(lp, rp, lid, rtb, lcols, rcols, shift_us, zcol_sql, W, k):
             F.col("__s.rid").alias(rtb),
             F.col("__s.dist").alias("dist"),
         )
-        .join(rp, on=rtb, how="inner")
+        # payload join: the gate guarantees the right side is
+        # broadcast-sized on this path — skip the shuffle SMJ. (Carrying
+        # the full right row inside the rank-array structs was measured
+        # SLOWER: wide string payloads balloon the single-row
+        # collect_list/sort and the broadcast.)
+        .join(F.broadcast(rp), on=rtb, how="inner")
     )
 
 

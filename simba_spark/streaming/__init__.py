@@ -14,6 +14,7 @@ from .ops import (
     streaming_knn_join,
     streaming_range_filter,
     streaming_stream_distance_join,
+    streaming_stream_knn_join,
     windowed_event_counts,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_knn_join",
     "streaming_stream_distance_join",
+    "streaming_stream_knn_join",
     "windowed_event_counts",
     "sessionize_stream",
 ]

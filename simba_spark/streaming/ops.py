@@ -233,6 +233,84 @@ def streaming_stream_distance_join(
     )
 
 
+def streaming_stream_knn_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    k: int,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Stream-STREAM kNN join: for each left event, its k nearest right
+    events within the SAME tumbling event-time window (ties by right
+    id). The missing combination after stream-static kNN and
+    stream-stream distance joins — and the semantic that actually makes
+    sense on two unbounded streams: "nearest" must be scoped to a time
+    window or the answer never finalizes.
+
+    Physical shape — two chained stateful operators, both
+    window-keyed, letting the engine manage all state (Spark 3.4+
+    multiple-stateful-operator support): (1) a watermarked
+    stream-stream INNER join on tumbling-window equality (symmetric
+    hash state, evicted when the watermark passes the window), then
+    (2) a windowed aggregation per left event packing (dist, right id)
+    structs — ``slice(array_sort(collect_list(...)), 1, k)`` — that
+    emits exactly-k rows per left event when the window closes
+    (append mode). No custom state code, no per-batch collect; state
+    per window is bounded by the window's event volume.
+
+    Output: (window_start, left id, right id, dist), one row per
+    (left event, neighbor). A left event with no same-window right
+    events emits nothing (inner-join semantics, matching batch kNN
+    over a window-partitioned pairing).
+    """
+    k = int(k)
+    d = len(left_cols)
+    assert d == len(right_cols)
+    lp = left_stream.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in left_stream.columns]
+    ).withWatermark(f"{left_prefix}{left_ts}", watermark)
+    rp = right_stream.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right_stream.columns]
+    ).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lid = f"{left_prefix}{left_id}"
+    rid = f"{right_prefix}{right_id}"
+    lcols = [f"{left_prefix}{c}" for c in left_cols]
+    rcols = [f"{right_prefix}{c}" for c in right_cols]
+
+    lw = lp.withColumn("__win", F.window(F.col(f"{left_prefix}{left_ts}"), window))
+    rw = rp.withColumn("__win", F.window(F.col(f"{right_prefix}{right_ts}"), window))
+    joined = lw.join(rw, on="__win", how="inner")
+
+    from ..functions import dist2_cols
+
+    dist = F.sqrt(dist2_cols(lcols, rcols))
+    packed = F.struct(dist.alias("dist"), F.col(rid).alias("rid"))
+    agg = (
+        joined.groupBy("__win", F.col(lid))
+        .agg(F.slice(F.array_sort(F.collect_list(packed)), 1, k).alias("__tk"))
+        .select(
+            F.col("__win.start").alias("window_start"),
+            F.col(lid),
+            F.explode("__tk").alias("__s"),
+        )
+        .select(
+            "window_start",
+            lid,
+            F.col("__s.rid").alias(rid),
+            F.col("__s.dist").alias("dist"),
+        )
+    )
+    return agg
+
+
 def _sdist2(s, stream_cols):
     d2 = None
     for i, c in enumerate(stream_cols):

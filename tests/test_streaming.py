@@ -326,6 +326,82 @@ def test_streaming_knn_join_guards_static_size(spark, stream_dir):
         assert "max_static_rows" in str(e)
 
 
+def test_stream_stream_knn_join_matches_batch(spark):
+    """Two replayed streams through the chained stateful operators
+    (window-equality stream-stream join → windowed per-left top-k)
+    must produce exactly the batch answer: for each left event, the k
+    nearest right events in the same tumbling window, ties by id."""
+    from simba_spark.streaming import streaming_stream_knn_join
+
+    da = tempfile.mkdtemp(prefix="simba_ssknn_a_")
+    db = tempfile.mkdtemp(prefix="simba_ssknn_b_")
+    try:
+        import random
+        from collections import defaultdict
+
+        rng = random.Random(43)
+        arows = [
+            (i, f"2024-01-01 00:{i % 30:02d}:00", rng.uniform(0, 100), rng.uniform(0, 100))
+            for i in range(80)
+        ]
+        brows = [
+            (j, f"2024-01-01 00:{j % 30:02d}:30", rng.uniform(0, 100), rng.uniform(0, 100))
+            for j in range(100)
+        ]
+        # sentinel events far in the future: advance the watermark past
+        # every data window so the append-mode windowed top-k EMITS all
+        # of them (a window only finalizes once the watermark passes its
+        # end). The sentinels' own window never closes, so they emit
+        # nothing themselves and stay out of the oracle.
+        arows.append((9999, "2024-01-01 01:00:00", 0.0, 0.0))
+        brows.append((9999, "2024-01-01 01:00:00", 0.0, 0.0))
+        schema = "id long, ts_s string, x double, y double"
+        a = spark.createDataFrame(arows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        b = spark.createDataFrame(brows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        a.write.mode("overwrite").parquet(da)
+        b.write.mode("overwrite").parquet(db)
+
+        K = 3
+        sa = spark.readStream.schema(a.schema).parquet(da)
+        sb = spark.readStream.schema(b.schema).parquet(db)
+        out = streaming_stream_knn_join(
+            sa, sb, ["x", "y"], ["x", "y"], K,
+            left_id="id", right_id="id",
+            window="10 minutes", watermark="10 minutes",
+        )
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in _run_stream(spark, out, "ss_knn_out").collect()
+        )
+
+        # batch oracle: same tumbling-window pairing + per-left top-k
+        # (sentinels excluded — their window never finalizes)
+        apd, bpd = a.filter("id < 9999").toPandas(), b.filter("id < 9999").toPandas()
+        win = lambda ts: int(ts.timestamp() // 600)
+        by_win = defaultdict(list)
+        for _, rb in bpd.iterrows():
+            by_win[win(rb.ts)].append(rb)
+        exp = []
+        for _, ra in apd.iterrows():
+            cands = sorted(
+                (
+                    ((ra.x - rb.x) ** 2 + (ra.y - rb.y) ** 2) ** 0.5,
+                    int(rb.id),
+                )
+                for rb in by_win.get(win(ra.ts), [])
+            )
+            exp.extend((int(ra.id), rid) for _, rid in cands[:K])
+        exp = sorted(exp)
+        assert got == exp and len(exp) > 0
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)
+
+
 def test_stream_stream_distance_join_matches_batch(spark):
     """Two replayed streams through the watermarked stream-stream grid
     join must produce exactly the pairs the batch semantics give

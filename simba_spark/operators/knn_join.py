@@ -542,10 +542,20 @@ def zknn_join(
 
     Deterministic given `seed`. Exactness is NOT guaranteed — use
     :func:`knn_join` for exact results.
+
+    Dimensions beyond 3: the interleaved z-value must fit a signed
+    64-bit long, so ``d·bits <= 63`` — the default ``bits=16`` covers
+    d ≤ 3; pass ``bits=15`` for 4-D, ``bits=12`` for 5-D, … (matching
+    the reference's N-dim Point support, ref: Point.scala:28-29; grid
+    resolution 2^bits per axis is still 32k cells/axis at 4-D).
     """
     assert left_id is not None, "zknn_join requires left_id"
     d = len(left_cols)
     assert d == len(right_cols)
+    assert d * bits <= 63, (
+        f"zknn_join: d*bits = {d}*{bits} > 63 overflows the z-value long — "
+        f"pass bits<={63 // d} for {d}-D (default 16 covers d<=3)"
+    )
     k = int(k)
     rng = random.Random(seed)
     scale = (1 << bits) - 1

@@ -458,3 +458,59 @@ def test_interval_join_negative_coords_and_mixed_distributions(spark):
             if as_ <= be and bs <= ae
         )
         assert got2 == want2, f"interval_overlap case {ci}"
+
+
+def test_knn_join_4d_exact_and_zknn(spark):
+    """N-dim parity (ref: Point.scala:28-29): 4-D exact kNN join
+    (bounded ≡ cross) and 4-D zknn with bits=15 (d*bits <= 63; the
+    default bits=16 raises a clear guard for d=4)."""
+    import random
+
+    import pytest as _pytest
+
+    from simba_spark.operators.knn_join import knn_join, zknn_join
+
+    rng = random.Random(19)
+    lrows = [
+        (i, *[rng.uniform(0, 100) for _ in range(4)]) for i in range(60)
+    ]
+    rrows = [
+        (j, *[rng.uniform(0, 100) for _ in range(4)]) for j in range(400)
+    ]
+    lschema = "lid long, p0 double, p1 double, p2 double, p3 double"
+    rschema = "rid long, q0 double, q1 double, q2 double, q3 double"
+    left = spark.createDataFrame(lrows, lschema)
+    right = spark.createDataFrame(rrows, rschema)
+    lcols = ["p0", "p1", "p2", "p3"]
+    rcols = ["q0", "q1", "q2", "q3"]
+
+    def pairs_of(df):
+        return sorted((r.l_lid, r.r_rid) for r in df.collect())
+
+    exact = pairs_of(
+        knn_join(left, right, lcols, rcols, 5, left_id="lid",
+                 algo="cross", right_tiebreak="rid")
+    )
+    bounded = pairs_of(
+        knn_join(left, right, lcols, rcols, 5, left_id="lid",
+                 algo="theta", right_tiebreak="rid")
+    )
+    assert bounded == exact and len(exact) == 60 * 5
+
+    with _pytest.raises(AssertionError, match="bits<=15"):
+        zknn_join(left, right, lcols, rcols, 5, left_id="lid",
+                  right_tiebreak="rid")
+
+    zp = pairs_of(
+        zknn_join(left, right, lcols, rcols, 5, left_id="lid",
+                  bits=15, shifts=2, right_tiebreak="rid")
+    )
+    # approximate: exactly k rows per left, deterministic, decent recall
+    assert len(zp) == 60 * 5
+    zp2 = pairs_of(
+        zknn_join(left, right, lcols, rcols, 5, left_id="lid",
+                  bits=15, shifts=2, right_tiebreak="rid")
+    )
+    assert zp == zp2
+    recall = len(set(zp) & set(exact)) / len(exact)
+    assert recall >= 0.5, recall

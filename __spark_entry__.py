@@ -34,6 +34,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ts_us(df: DataFrame, col: str):
+    """Exact integer-µs epoch value of a timestamp column, independent
+    of the session timezone. TIMESTAMP_NTZ diffs against the NTZ epoch
+    wall-clock (a cast would route through the session zone and shift
+    across DST); TIMESTAMP uses unix_micros directly."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -753,6 +766,94 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue by nation for one
+    region-year where the customer and supplier share a nation — the
+    canonical 6-way snowflake join. nation/region are broadcast
+    explicitly (tiny dims at any scale); the fact-side joins shuffle on
+    their keys and AQE handles runtime sizing."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-agg.
+    The predicate set (date range + discount band + quantity cap) must
+    reach the parquet scan as PushedFilters; the agg is a single
+    map-side-combined sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click event matched to the same user's most
+    recent purchase at-or-before it (point-in-time enrichment). One
+    shuffle, zero join nodes — union + per-key running-last window
+    (simba_spark.operators.asof). The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN, an independent implementation of the semantic."""
+    from simba_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", _ts_us(ev, "ts").alias("tus"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"), "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_prefix="p_",
+        tiebreak_col="pid",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "tus",
+        F.col("p_pid").alias("p_event_id"),
+        F.round("p_value", 4).alias("p_value"),
+        (F.col("tus") - _ts_us(out, "p_ts")).alias("lag_us"),
+    )
+
+
 def q_window_top_orders_per_cust(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1134,6 +1235,9 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-4 debuts (never driver-checked before) ---
+        "asof_join": q_asof_join,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1165,20 +1269,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "interval_overlap": q_interval_overlap,
         "distance_join": q_distance_join,
-        "distance_join_self": q_distance_join_self,
         "knn_join": q_knn_join,
         "knn_join_voronoi": q_knn_join_voronoi,
         "zknn_join": q_zknn_join,
         # --- relational ---
         "tpch_q3": q_tpch_q3,
         "rollup_lineitem": q_rollup_lineitem,
-        "events_agg": q_events_agg,
         "sessionize": q_sessionize,
         # --- text analysis ---
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1221,6 +1322,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
+        "distance_join_self": q_distance_join_self,
+        "events_agg": q_events_agg,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -2014,6 +2118,39 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n.n_name
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS tus,
+                   p.pid AS p_event_id, round(p.value, 4) AS p_value,
+                   epoch_us(e.ts) - epoch_us(p.ts) AS lag_us
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') e
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS pid, value
+                            FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "top_orders": """
             WITH rev AS (

@@ -26,6 +26,7 @@ from .functions import (
 from .geometry import MBR, Circle, Dist, LineSegment, Point, Polygon, Shape, z_value
 from .operators.distance_join import distance_join, self_distance_join
 from .operators.filters import circle_range, knn, knn_and, knn_not, knn_or, range_query
+from .operators.asof import asof_join
 from .operators.interval import interval_join, interval_overlap_join
 from .operators.knn_join import knn_join, zknn_join
 from .operators.polygon import (
@@ -54,7 +55,7 @@ __all__ = [
     "register_sql_functions",
     "range_query", "circle_range", "knn", "knn_and", "knn_or", "knn_not",
     "distance_join", "self_distance_join", "knn_join", "zknn_join",
-    "interval_join", "interval_overlap_join",
+    "interval_join", "interval_overlap_join", "asof_join",
     "in_polygon", "in_polygon_col", "polygon_range",
     "polygon_intersects_box_col", "polygon_intersects_circle_col",
     "polygon_distance_join",

@@ -1,0 +1,115 @@
+"""as-of join: semantics vs a brute-force oracle, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simba_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    import random
+
+    rng = random.Random(7)
+    left = [(rng.randrange(8), rng.randrange(1000), i) for i in range(400)]
+    right = [(rng.randrange(8), rng.randrange(1000), 10_000 + i, float(i))
+             for i in range(300)]
+    # inject exact time ties (left==right time, and right-right dup times)
+    right += [(0, left[0][1], 99_991, 1.5), (0, left[0][1], 99_992, 2.5)]
+    L = spark.createDataFrame(left, "k int, t int, lid int")
+    R = spark.createDataFrame(right, "k int, t int, rid int, rv double")
+    return L, R
+
+
+def _brute(left_rows, right_rows, direction="backward", strict=False,
+           tolerance=None):
+    out = {}
+    for k, t, lid in left_rows:
+        best = None
+        for rk, rt, rid, rv in right_rows:
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok = rt < t if strict else rt <= t
+            else:
+                ok = rt > t if strict else rt >= t
+            if not ok:
+                continue
+            if tolerance is not None and abs(t - rt) > tolerance:
+                continue
+            key = (rt if direction == "backward" else -rt, rid)
+            if best is None or key > (best[0], best[1]):
+                best = (key[0], rid, rv, rt)
+        out[lid] = None if best is None else (best[1], best[2])
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_bruteforce(spark, lr, direction, strict):
+    L, R = lr
+    left_rows = [(r.k, r.t, r.lid) for r in L.collect()]
+    right_rows = [(r.k, r.t, r.rid, r.rv) for r in R.collect()]
+    exp = _brute(left_rows, right_rows, direction=direction, strict=strict)
+    got = {
+        r.lid: (None if r.r_rid is None else (r.r_rid, r.r_rv))
+        for r in asof_join(
+            L, R, "k", "t", direction=direction, strict=strict,
+            tiebreak_col="rid",
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_asof_tolerance_and_inner(spark, lr):
+    L, R = lr
+    left_rows = [(r.k, r.t, r.lid) for r in L.collect()]
+    right_rows = [(r.k, r.t, r.rid, r.rv) for r in R.collect()]
+    exp = _brute(left_rows, right_rows, tolerance=50)
+    out = asof_join(L, R, "k", "t", tolerance=50, tiebreak_col="rid")
+    got = {
+        r.lid: (None if r.r_rid is None else (r.r_rid, r.r_rv))
+        for r in out.collect()
+    }
+    assert got == exp
+    inner = asof_join(L, R, "k", "t", tolerance=50, how="inner",
+                      tiebreak_col="rid")
+    assert inner.count() == sum(1 for v in exp.values() if v is not None)
+    assert inner.filter(F.col("r_rid").isNull()).count() == 0
+
+
+def test_asof_null_times_never_match(spark):
+    L = spark.createDataFrame([(1, None, 1), (1, 10, 2)], "k int, t int, lid int")
+    R = spark.createDataFrame([(1, None, 7, 1.0), (1, 5, 8, 2.0)],
+                              "k int, t int, rid int, rv double")
+    rows = {r.lid: r.r_rid for r in asof_join(L, R, "k", "t").collect()}
+    assert rows == {1: None, 2: 8}
+
+
+def test_asof_timestamp_tolerance(spark):
+    L = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1), (1, "2024-01-01 09:00:00", 2)],
+        "k int, ts string, lid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    R = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5)], "k int, ts string, rid int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(L, R, "k", "ts", tolerance=3600 * 1_000_000)
+    rows = {r.lid: r.r_rid for r in out.collect()}
+    assert rows == {1: 5, 2: None}
+
+
+def test_asof_prefix_collision_raises(spark, lr):
+    L, R = lr
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(L.withColumnRenamed("lid", "r_rid"), R, "k", "t")
+
+
+def test_asof_plan_has_no_join(spark, lr):
+    """The scale contract: one shuffle on the key, zero join nodes."""
+    L, R = lr
+    plan = (
+        asof_join(L, R, "k", "t")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides co-shuffle

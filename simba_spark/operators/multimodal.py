@@ -11,9 +11,12 @@ clearly-marked seam with three settings per operator:
   soundfile, …) is shipped to the workers via cloudpickle and called
   per payload inside the Arrow batches — the production integration
   point, usable WITHOUT editing this repo;
-- ``mode='real'`` with no codec: raises NotImplementedError at the
-  exact point a codec would be called (honest stub — this container
-  has no media libraries).
+- ``mode='real'`` with no codec: uses the operator's stdlib-backed
+  reference codec where one exists (RIFF/WAV audio via ``wave``;
+  uncompressed BMP / binary PPM / PGM images via ``struct`` + numpy),
+  else raises NotImplementedError at the exact point a codec would be
+  called (honest stub — compressed media needs libraries this
+  container lacks).
 
 All heavy per-row work runs through Arrow-batched ``mapInPandas`` —
 the right shape for a 100 TB pipeline: one Python worker per partition,
@@ -131,6 +134,147 @@ def wav_codec(payload: bytes) -> dict:
     }
 
 
+def _parse_pnm(payload: bytes):
+    """Parse binary PPM (P6) / PGM (P5) → (H, W, C) uint8 ndarray."""
+    import numpy as np
+
+    def tokens(buf):
+        i = 2  # past magic
+        out = []
+        while len(out) < 3:
+            while i < len(buf) and buf[i : i + 1].isspace():
+                i += 1
+            if buf[i : i + 1] == b"#":
+                while i < len(buf) and buf[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            out.append(int(buf[i:j]))
+            i = j
+        return out, i + 1  # single whitespace after maxval
+
+    magic = payload[:2]
+    (w, h, maxval), off = tokens(payload)
+    ch = 3 if magic == b"P6" else 1
+    if maxval > 255:
+        raw = np.frombuffer(payload, dtype=">u2", offset=off, count=w * h * ch)
+        arr = (raw.astype(np.float64) * 255.0 / maxval).astype(np.uint8)
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8, offset=off, count=w * h * ch)
+    return arr.reshape(h, w, ch)
+
+
+def _parse_bmp(payload: bytes):
+    """Parse uncompressed (BI_RGB) 8/24/32-bit BMP → (H, W, C) uint8
+    ndarray in RGB(A) order, top-down."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off_bits = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0:
+        raise ValueError(f"unsupported BMP compression: {comp}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth: {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * bpp // 8) + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, offset=off_bits, count=stride * h
+    ).reshape(h, stride)
+    px = rows[:, : w * (bpp // 8)]
+    if not top_down:
+        px = px[::-1]
+    if bpp == 8:
+        # BGRA palette sits between the DIB header and the pixel data
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, offset=14 + hdr_size,
+            count=(off_bits - 14 - hdr_size),
+        ).reshape(-1, 4)
+        idx = px.reshape(h, w)
+        return pal[idx][:, :, [2, 1, 0]]  # BGR(A) → RGB
+    c = bpp // 8
+    img = px.reshape(h, w, c)
+    order = [2, 1, 0] if c == 3 else [2, 1, 0, 3]
+    return img[:, :, order]
+
+
+def bmp_codec(payload: bytes) -> dict:
+    """Reference REAL image codec: uncompressed BMP (8/24/32-bit
+    BI_RGB) and binary PPM/PGM via stdlib ``struct`` + numpy — zero new
+    dependencies. Returns the :func:`decode_image_features` contract
+    keys (width, height, channels, mean_luma; luma = Rec.601 over
+    [0, 1]). Compressed formats (png/jpeg/webp) still need an external
+    codec through the ``codec=`` seam."""
+    import numpy as np
+
+    if payload[:2] in (b"P5", b"P6"):
+        img = _parse_pnm(payload)
+    else:
+        img = _parse_bmp(payload)
+    h, w, c = img.shape
+    f = img.astype(np.float64) / 255.0
+    if c == 1:
+        luma = f[:, :, 0]
+    else:
+        luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(c),
+        "mean_luma": round(float(luma.mean()), 6),
+    }
+
+
+def encode_bmp(img) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB ndarray as a 24-bit BI_RGB BMP.
+    The inverse seam for :func:`bmp_codec` / the resize reference codec
+    (and a test fixture generator)."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = ((w * 3) + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    off = 14 + 40
+    size = off + stride * h
+    return (
+        struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+        + body.tobytes()
+    )
+
+
+def bmp_resize_codec(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Reference REAL resize codec: nearest-neighbor over the same
+    formats :func:`bmp_codec` reads, re-encoded as 24-bit BMP. Plugs
+    into :func:`resize_images` as its ``mode='real'`` default."""
+    import numpy as np
+
+    if payload[:2] in (b"P5", b"P6"):
+        img = _parse_pnm(payload)
+    else:
+        img = _parse_bmp(payload)
+    h, w, c = img.shape
+    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+    out = img[np.ix_(ys, xs)]
+    if c == 1:
+        out = np.repeat(out, 3, axis=2)
+    return encode_bmp(out[:, :, :3])
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic synthetic 'decode': metadata derived from the
     content hash, so tests are stable and distribution-independent."""
@@ -153,8 +297,11 @@ def decode_image_features(
 ) -> DataFrame:
     """Extract per-image features: (id, width, height, channels,
     mean_luma). ``codec(payload) -> dict`` with those keys plugs a real
-    decoder in; without one, ``mode='real'`` raises."""
-    decode = _resolve_decoder(mode, codec, _fake_decode, "image decode")
+    decoder in; ``mode='real'`` without a codec decodes uncompressed
+    BMP / binary PPM / PGM through the stdlib :func:`bmp_codec`."""
+    decode = _resolve_decoder(
+        mode, codec, _fake_decode, "image decode", real_default=bmp_codec
+    )
     schema = f"{id_col} long, {IMAGE_FEATURE_SCHEMA}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,9 +326,11 @@ def resize_images(
     """Resize: emits (id, resized_blob, width, height).
     ``codec(payload, target_w, target_h) -> bytes`` plugs a real
     resizer in. The fake mode re-hashes the payload with the target box
-    (deterministic bytes of plausible size). The Spark-side shape —
-    binary in, binary out through Arrow batches — is the contract a
-    codec implementation inherits."""
+    (deterministic bytes of plausible size); ``mode='real'`` without a
+    codec resizes BMP/PPM/PGM nearest-neighbor through the stdlib
+    :func:`bmp_resize_codec`. The Spark-side shape — binary in, binary
+    out through Arrow batches — is the contract a codec implementation
+    inherits."""
     tw, th = int(target_w), int(target_h)
 
     def fake(payload, w, h):
@@ -191,7 +340,9 @@ def resize_images(
         # deterministic pseudo-pixels, ~3 bytes/pixel capped
         return (seed * (1 + (w * h * 3) // len(seed)))[: w * h * 3]
 
-    resize = _resolve_decoder(mode, codec, fake, "resize")
+    resize = _resolve_decoder(
+        mode, codec, fake, "resize", real_default=bmp_resize_codec
+    )
     schema = f"{id_col} long, resized_blob binary, width int, height int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

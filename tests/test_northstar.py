@@ -611,6 +611,70 @@ def test_wav_codec_real_mode_decodes_wav(spark):
         extract_audio_features(bad, mode="real").collect()
 
 
+def test_bmp_codec_real_mode_decodes_images(spark):
+    """mode='real' image decode works for uncompressed BMP and binary
+    PPM/PGM out of the box via the stdlib reference codec: dims and
+    channel count exact, mean_luma of solid-color images analytic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from simba_spark.operators.multimodal import (
+        bmp_codec,
+        bmp_resize_codec,
+        decode_image_features,
+        encode_bmp,
+        resize_images,
+    )
+
+    # solid mid-gray 24-bit BMP: luma = 128/255
+    gray = np.full((10, 7, 3), 128, dtype=np.uint8)
+    bmp = encode_bmp(gray)
+    d = bmp_codec(bmp)
+    assert (d["width"], d["height"], d["channels"]) == (7, 10, 3)
+    assert abs(d["mean_luma"] - 128 / 255) < 1e-6
+
+    # red 2x2: Rec.601 luma = 0.299
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    assert abs(bmp_codec(encode_bmp(red))["mean_luma"] - 0.299) < 1e-6
+
+    # binary PPM with a comment line; PGM gradient
+    ppm = b"P6\n# c\n2 2\n255\n" + bytes([255, 0, 0] * 4)
+    d = bmp_codec(ppm)
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+    assert abs(d["mean_luma"] - 0.299) < 1e-6
+    pgm = b"P5\n4 1\n255\n" + bytes([0, 85, 170, 255])
+    d = bmp_codec(pgm)
+    assert (d["width"], d["height"], d["channels"]) == (4, 1, 1)
+    assert abs(d["mean_luma"] - (0 + 85 + 170 + 255) / 4 / 255) < 1e-6
+
+    # nearest-neighbor resize reference codec: dims change, solid color
+    # (and therefore luma) survives the round-trip
+    rz = bmp_codec(bmp_resize_codec(bmp, 3, 5))
+    assert (rz["width"], rz["height"]) == (3, 5)
+    assert abs(rz["mean_luma"] - 128 / 255) < 1e-6
+
+    # through the public Arrow-batched APIs, mode='real', no codec arg
+    df = spark.createDataFrame(
+        [(0, bytearray(bmp)), (1, bytearray(ppm))], "doc_id long, blob binary"
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.channels)
+        for r in decode_image_features(df, mode="real").collect()
+    }
+    assert got == {0: (7, 10, 3), 1: (2, 2, 3)}
+    rs = resize_images(df, 4, 4, mode="real").collect()
+    assert all(
+        bmp_codec(bytes(r.resized_blob))["width"] == 4 for r in rs
+    )
+    # a non-image payload still fails loudly in real mode
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not an image"))], "doc_id long, blob binary"
+    )
+    with _pytest.raises(Exception):
+        decode_image_features(bad, mode="real").collect()
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Hamming-1 multi-probe (probe=1, the default) must recover
     near-pairs that exact-signature blocking (probe=0) loses to a

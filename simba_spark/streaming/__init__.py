@@ -8,6 +8,7 @@ here cover the windowed-aggregation patterns a pipeline needs.
 
 from ..operators.sessionize import sessionize_stream
 from .ops import (
+    streaming_asof_join,
     streaming_circle_range,
     streaming_distance_join,
     streaming_exact_dedup,
@@ -19,6 +20,7 @@ from .ops import (
 )
 
 __all__ = [
+    "streaming_asof_join",
     "streaming_range_filter",
     "streaming_circle_range",
     "streaming_distance_join",

@@ -311,6 +311,92 @@ def streaming_stream_knn_join(
     return agg
 
 
+def streaming_asof_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "10 minutes",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Stream-STREAM as-of (temporal) join: for each left event, the
+    same-key right event with the greatest event time at-or-before the
+    left's, looking back at most `max_lag` — the live form of
+    :func:`simba_spark.operators.asof.asof_join` (backward, inclusive,
+    tolerance=max_lag, how='inner'; ties toward the greatest right id).
+    Flink calls this a temporal join; the lag bound is what makes it
+    answerable on unbounded streams (an unbounded lookback could never
+    evict state).
+
+    Physical shape — two chained stateful operators, all state
+    engine-managed: (1) a watermarked stream-stream INNER join on key
+    equality with the time-range condition
+    ``l.ts - max_lag <= r.ts <= l.ts`` (symmetric hash state keyed by
+    the join keys, rows evicted once the watermark passes their
+    reach-back), then (2) a tumbling-window aggregation over the LEFT
+    event time taking, per left event,
+    ``element_at(array_sort(collect_list(struct(r.ts, r.id))), -1)`` —
+    the latest-by-(time, id) candidate — emitted in append mode when
+    the left event's window closes. No custom state code, no
+    per-batch collect.
+
+    Output: (window_start, {left_prefix}{left_id}, {left_prefix}{left_ts},
+    {right_prefix}{right_id}, {right_prefix}{right_ts}), one row per
+    matched left event. Left events with no right event in the lag
+    window emit nothing (inner semantics — matching the batch operator
+    with ``how='inner'``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lp = left_stream.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in left_stream.columns]
+    ).withWatermark(f"{left_prefix}{left_ts}", watermark)
+    rp = right_stream.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right_stream.columns]
+    ).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lid, lts = f"{left_prefix}{left_id}", f"{left_prefix}{left_ts}"
+    rid, rts = f"{right_prefix}{right_id}", f"{right_prefix}{right_ts}"
+
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"{left_prefix}{k}") == F.col(f"{right_prefix}{k}"))
+    cond = cond & F.expr(
+        f"`{rts}` <= `{lts}` AND `{rts}` >= `{lts}` - INTERVAL {max_lag}"
+    )
+    joined = lp.join(rp, cond, "inner")
+
+    latest = F.element_at(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(rts).alias("rts"), F.col(rid).alias("rid"))
+            )
+        ),
+        -1,
+    )
+    # group on the window + left id only: the raw left event-time
+    # column must not ALSO appear as a grouping key (two event-time
+    # columns in one stateful operator is rejected); it is constant per
+    # left event, so max() re-surfaces it from inside the aggregate
+    return (
+        joined.groupBy(
+            F.window(F.col(lts), window).alias("__win"), F.col(lid)
+        )
+        .agg(F.max(F.col(lts)).alias(lts), latest.alias("__last"))
+        .select(
+            F.col("__win.start").alias("window_start"),
+            lid,
+            lts,
+            F.col("__last.rid").alias(rid),
+            F.col("__last.rts").alias(rts),
+        )
+    )
+
+
 def _sdist2(s, stream_cols):
     d2 = None
     for i, c in enumerate(stream_cols):

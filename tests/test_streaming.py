@@ -458,3 +458,70 @@ def test_stream_stream_distance_join_matches_batch(spark):
     finally:
         shutil.rmtree(da, ignore_errors=True)
         shutil.rmtree(db, ignore_errors=True)
+
+
+def test_streaming_asof_join_matches_batch(spark):
+    """Two replayed streams through the chained stateful operators
+    (key-equality time-interval stream-stream join → windowed per-left
+    latest-right) must produce exactly the batch asof_join answer
+    (backward, inclusive, tolerance=max_lag, how='inner', greatest-id
+    ties)."""
+    from simba_spark.operators.asof import asof_join
+    from simba_spark.streaming import streaming_asof_join
+
+    da = tempfile.mkdtemp(prefix="simba_asof_a_")
+    db = tempfile.mkdtemp(prefix="simba_asof_b_")
+    try:
+        import random
+
+        rng = random.Random(11)
+        arows = [
+            (i, f"2024-01-01 00:{rng.randrange(28):02d}:{rng.randrange(60):02d}",
+             rng.randrange(5))
+            for i in range(60)
+        ]
+        brows = [
+            (1000 + j,
+             f"2024-01-01 00:{rng.randrange(28):02d}:{rng.randrange(60):02d}",
+             rng.randrange(5))
+            for j in range(80)
+        ]
+        # duplicate right timestamps on one key exercise the tie rule
+        brows += [(2001, "2024-01-01 00:05:00", 0), (2002, "2024-01-01 00:05:00", 0)]
+        # sentinels far in the future advance the watermark past every
+        # data window so the append-mode agg emits; their own window
+        # never closes so they emit nothing
+        arows.append((9999, "2024-01-01 01:00:00", 0))
+        brows.append((9999, "2024-01-01 01:00:00", 0))
+        schema = "id long, ts_s string, k long"
+        a = spark.createDataFrame(arows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        b = spark.createDataFrame(brows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s")
+        a.write.mode("overwrite").parquet(da)
+        b.write.mode("overwrite").parquet(db)
+
+        sa = spark.readStream.schema(a.schema).parquet(da)
+        sb = spark.readStream.schema(b.schema).parquet(db)
+        out = streaming_asof_join(
+            sa, sb, on="k", left_id="id", right_id="id",
+            max_lag="5 minutes", window="10 minutes", watermark="10 minutes",
+        )
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in _run_stream(spark, out, "ss_asof_out").collect()
+        )
+
+        exp_df = asof_join(
+            a.filter("id < 9999"), b.filter("id < 9999"),
+            on="k", left_time="ts",
+            tolerance=5 * 60 * 1_000_000, how="inner",
+            tiebreak_col="id", right_prefix="r_",
+        )
+        exp = sorted((r.id, r.r_id) for r in exp_df.collect())
+        assert got == exp and len(exp) > 0
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)

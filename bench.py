@@ -50,6 +50,9 @@ HEADLINE = [
     "blob_stats",
     "polygon_distance_join",
     "contamination",
+    "asof_join",
+    "tpch_q5",
+    "tpch_q6",
 ]
 
 

@@ -885,6 +885,49 @@ def q_events_agg(spark, sf_dir):
     )
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile`,
+    single-pass JVM agg). Rounded to 6dp: Spark and DuckDB both use
+    linear interpolation on the sorted values; rounding absorbs the
+    last-ulp association difference."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    """CUBE grouping sets: all 4 aggregation lattices in one pass
+    (event_type × user decile, each margin, grand total)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_decile", (F.col("user_id") % 10).cast("long")
+    )
+    return ev.cube("event_type", "user_decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_events_lead_lag(spark, sf_dir):
+    """Ordered-window function battery: lag diff, lead, ntile over a
+    fully deterministic (time, id) order."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", _ts_us(ev, "ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tus").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("d_value"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) over the events
     stream — batch form; the streaming form is
@@ -1238,6 +1281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "events_quantiles": q_events_quantiles,
+        "cube_events": q_cube_events,
+        "events_lead_lag": q_events_lead_lag,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1256,7 +1302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- spatial filters + layouts ---
         "layout_routed_range": q_layout_routed_range,
         "layout_routed_knn": q_layout_routed_knn,
-        "interval_1d": q_interval_1d,
         "segment_range": q_segment_range,
         "segment_join": q_segment_join,
         "box_range": q_box_range,
@@ -1274,10 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zknn_join": q_zknn_join,
         # --- relational ---
         "tpch_q3": q_tpch_q3,
-        "rollup_lineitem": q_rollup_lineitem,
         "sessionize": q_sessionize,
         # --- text analysis ---
-        "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -1325,6 +1368,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join_self": q_distance_join_self,
         "events_agg": q_events_agg,
         "doc_fingerprint": q_doc_fingerprint,
+        "interval_1d": q_interval_1d,
+        "rollup_lineitem": q_rollup_lineitem,
+        "doc_token_stats": q_doc_token_stats,
     }
 
 
@@ -2151,6 +2197,29 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id AS pid, value
                             FROM events WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "cube_events": """
+            SELECT event_type, user_id % 10 AS user_decile,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, user_decile)
+        """,
+        "events_lead_lag": """
+            SELECT user_id, event_id,
+                   round(value - LAG(value) OVER w, 4) AS d_value,
+                   LEAD(event_id) OVER w AS next_event_id,
+                   NTILE(4) OVER w AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts) ASC, event_id ASC)
         """,
         "top_orders": """
             WITH rev AS (

@@ -928,6 +928,31 @@ def q_events_lead_lag(spark, sf_dir):
     )
 
 
+def q_events_resample(spark, sf_dir):
+    """Dense hourly resample per user with gap fill: every hour in each
+    user's span gets a row — counts zero-filled, the last observed
+    value forward-filled across empty hours
+    (simba_spark.operators.timeseries.resample)."""
+    from simba_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", _ts_us(ev, "ts"))
+    out = resample(
+        ev,
+        ts_col="tus",
+        key_col="user_id",
+        bucket_us=3_600_000_000,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+            "last_value": F.round(F.expr("max_by(value, tus)"), 4),
+        },
+        zero_fill=["n_events"],
+        ffill=["last_value"],
+    )
+    return out.select("user_id", "bucket", "n_events", "sum_value", "last_value")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) over the events
     stream — batch form; the streaming form is
@@ -1284,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "cube_events": q_cube_events,
         "events_lead_lag": q_events_lead_lag,
+        "events_resample": q_events_resample,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1322,7 +1348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # --- text analysis ---
         "doc_quality": q_doc_quality,
-        "doc_lang_id": q_doc_lang_id,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1371,6 +1396,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_1d": q_interval_1d,
         "rollup_lineitem": q_rollup_lineitem,
         "doc_token_stats": q_doc_token_stats,
+        "doc_lang_id": q_doc_lang_id,
     }
 
 
@@ -2220,6 +2246,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY epoch_us(ts) ASC, event_id ASC)
+        """,
+        "events_resample": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+                     count(*) AS n_events,
+                     round(sum(value), 2) AS sum_value,
+                     round(arg_max(value, epoch_us(ts)), 4) AS last_value
+              FROM events GROUP BY 1, 2
+            ), sp AS (
+              SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM g GROUP BY 1
+            ), dense AS (
+              SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM sp
+            )
+            SELECT d.user_id, d.bucket,
+                   coalesce(g.n_events, 0) AS n_events,
+                   g.sum_value AS sum_value,
+                   last_value(g.last_value IGNORE NULLS) OVER (
+                     PARTITION BY d.user_id ORDER BY d.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_value
+            FROM dense d LEFT JOIN g ON d.user_id = g.user_id AND d.bucket = g.bucket
         """,
         "top_orders": """
             WITH rev AS (

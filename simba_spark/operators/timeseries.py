@@ -1,0 +1,120 @@
+"""Time-series resampling with gap fill (north-star §2.7 extension).
+
+Fixed-width bucket aggregation that emits a row for EVERY bucket in
+each series' span — including empty ones — with per-column fill
+policies (NULL, zero, forward-fill). The operation behind dashboard
+downsampling, feature windows at fixed cadence, and sensor-stream
+regularization; Spark has `window()` aggregation but nothing that
+densifies the gaps.
+
+Scale shape: one groupBy on (key, bucket) (map-side combined — raw
+event volume collapses to bucket counts before the shuffle), a
+per-key span aggregate DERIVED FROM THE BUCKETED FRAME (not the raw
+events), a `sequence`-explode of each key's span joined back on
+(key, bucket), and one per-key window for forward-fill. All shuffles
+hash on the key; no driver round-trips, no Python in the data path.
+The explode fan-out is each key's span/bucket count — a stray ancient
+timestamp would silently inflate it, so `max_buckets_per_key` is
+enforced DISTRIBUTEDLY via raise_error (no driver job, no surprise
+10^9-row key).
+
+The reference engine has no time-series surface; this extends the
+interval family (operators/interval.py) the same way sessionize does.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket_us: int,
+    aggs: Optional[Dict[str, Column]] = None,
+    zero_fill: Sequence[str] = (),
+    ffill: Sequence[str] = (),
+    max_buckets_per_key: int = 1 << 20,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Dense fixed-width resample of `df` per `key_col`.
+
+    Parameters
+    ----------
+    ts_col : TIMESTAMP/TIMESTAMP_NTZ column, or an integer column in
+        the same unit as `bucket_us`.
+    bucket_us : bucket width — microseconds for timestamp inputs, the
+        column's own unit otherwise.
+    aggs : output name -> aggregate Column over the bucket's rows
+        (default: ``{"n_events": count(*)}``).
+    zero_fill : agg names whose empty-bucket NULL becomes 0.
+    ffill : agg names forward-filled from the latest non-empty bucket
+        (after zero_fill; a name in both gets zeros, not carries).
+    max_buckets_per_key : hard cap on one key's dense span, enforced
+        inside the plan with `raise_error` — a single stray ancient
+        timestamp otherwise explodes sequence() silently.
+
+    Returns one row per (key, bucket) over each key's [min, max]
+    bucket span; `bucket_col` is the bucket index (bucket start =
+    index · bucket_us).
+    """
+    if aggs is None:
+        aggs = {"n_events": F.count(F.lit(1))}
+    for n in list(zero_fill) + list(ffill):
+        if n not in aggs:
+            raise ValueError(f"fill column {n!r} is not an agg output")
+    bw = int(bucket_us)
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype == "timestamp_ntz":
+        tnum = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    elif dtype.startswith("timestamp"):
+        tnum = F.unix_micros(F.col(ts_col))
+    else:
+        tnum = F.col(ts_col).cast("long")
+    # floor over double: sign-correct and engine-agnostic (bucket
+    # indexes are far below 2^53, so the double math is exact)
+    b = F.floor(tnum.cast("double") / F.lit(float(bw))).cast("long")
+
+    g = (
+        df.withColumn(bucket_col, b)
+        .groupBy(key_col, bucket_col)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    span = g.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+    )
+    guard = F.when(
+        F.col("__mx") - F.col("__mn") < F.lit(int(max_buckets_per_key)),
+        F.sequence(F.col("__mn"), F.col("__mx")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"resample: key span exceeds max_buckets_per_key="
+                    f"{int(max_buckets_per_key)} for key "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(" — widen bucket_us or filter outlier timestamps"),
+            )
+        ).cast("array<long>")
+    )
+    dense = span.select(key_col, F.explode(guard).alias(bucket_col))
+    out = dense.join(g, on=[key_col, bucket_col], how="left")
+    for n in zero_fill:
+        out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
+    if ffill:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(bucket_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for n in ffill:
+            out = out.withColumn(n, F.last(F.col(n), ignorenulls=True).over(w))
+    return out

@@ -1,0 +1,66 @@
+"""resample: dense bucket emission, fill policies, the span guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simba_spark.operators.timeseries import resample
+
+
+def test_resample_dense_and_fill_policies(spark):
+    rows = [
+        # key 1: buckets 0, 3 occupied — 1, 2 are gaps
+        (1, 5, 10.0), (1, 8, 20.0), (1, 35, 40.0),
+        # key 2: single bucket
+        (2, 12, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    out = resample(
+        df, ts_col="t", key_col="k", bucket_us=10,
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sv": F.sum("v"),
+            "lv": F.expr("max_by(v, t)"),
+        },
+        zero_fill=["n"], ffill=["lv"],
+    ).orderBy("k", "bucket")
+    got = [(r.k, r.bucket, r.n, r.sv, r.lv) for r in out.collect()]
+    assert got == [
+        (1, 0, 2, 30.0, 20.0),
+        (1, 1, 0, None, 20.0),   # gap: count zero-filled, sum null, lv carried
+        (1, 2, 0, None, 20.0),
+        (1, 3, 1, 40.0, 40.0),
+        (2, 1, 1, 7.0, 7.0),
+    ]
+
+
+def test_resample_timestamp_input(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1.0), (1, "2024-01-01 03:40:00", 2.0)],
+        "k int, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = resample(
+        df, ts_col="ts", key_col="k", bucket_us=3_600_000_000,
+        zero_fill=["n_events"],
+    )
+    rows = sorted((r.bucket, r.n_events) for r in out.collect())
+    # 4 consecutive hourly buckets, two occupied
+    assert len(rows) == 4
+    assert [n for _, n in rows] == [1, 0, 0, 1]
+    assert rows[-1][0] - rows[0][0] == 3
+
+
+def test_resample_span_guard_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 10_000_000, 1.0)], "k int, t long, v double"
+    )
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        resample(
+            df, ts_col="t", key_col="k", bucket_us=1,
+            max_buckets_per_key=1000,
+        ).count()
+
+
+def test_resample_unknown_fill_col_raises(spark):
+    df = spark.createDataFrame([(1, 0, 1.0)], "k int, t long, v double")
+    with pytest.raises(ValueError, match="not an agg output"):
+        resample(df, ts_col="t", key_col="k", bucket_us=10, zero_fill=["nope"])

@@ -953,6 +953,36 @@ def q_events_resample(spark, sf_dir):
     return out.select("user_id", "bucket", "n_events", "sum_value", "last_value")
 
 
+def q_events_rolling(spark, sf_dir):
+    """Trailing 1-hour rolling aggregates per user via a RANGE window
+    frame — point-in-time features at event cadence."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", _ts_us(ev, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tus").asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "tus",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+def q_doc_tfidf(spark, sf_dir):
+    """Per-document top-3 keywords by smoothed TF-IDF
+    (simba_spark.operators.text.tfidf_topk); deterministic tie order."""
+    from simba_spark.operators.text import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, top_n=3)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) over the events
     stream — batch form; the streaming form is
@@ -1310,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": q_cube_events,
         "events_lead_lag": q_events_lead_lag,
         "events_resample": q_events_resample,
+        "events_rolling": q_events_rolling,
+        "doc_tfidf": q_doc_tfidf,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1327,7 +1359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         # --- spatial filters + layouts ---
         "layout_routed_range": q_layout_routed_range,
-        "layout_routed_knn": q_layout_routed_knn,
         "segment_range": q_segment_range,
         "segment_join": q_segment_join,
         "box_range": q_box_range,
@@ -1355,7 +1386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         # --- similarity ---
-        "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "dedup_components": q_dedup_components,
         "embedding_ann_topk": q_embedding_ann_topk,
@@ -1397,6 +1427,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": q_rollup_lineitem,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
+        "layout_routed_knn": q_layout_routed_knn,
+        "embedding_topk": q_embedding_topk,
     }
 
 
@@ -2268,6 +2300,38 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS last_value
             FROM dense d LEFT JOIN g ON d.user_id = g.user_id AND d.bucket = g.bucket
+        """,
+        "events_rolling": """
+            SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   count(*) OVER w AS n_1h,
+                   round(avg(value) OVER w, 4) AS avg_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "doc_tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS dfq FROM tf GROUP BY 1
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS nd FROM tf
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * (ln((nd.nd + 1) / (dfreq.dfq + 1.0)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, tf, tfidf, rn FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+              FROM scored
+            ) WHERE rn <= 3
         """,
         "top_orders": """
             WITH rev AS (

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small public stopword lists (top function words). Kept tiny on purpose:
@@ -226,3 +226,54 @@ def repetition_stats(
         ),
     )
     return out
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-`top_n` terms by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1), scikit-style smoothing) — keyword
+    extraction over the same whitespace tokenizer as :func:`term_stats`.
+
+    Shape: explode → map-side-combined groupBy (id, term) for TF, a
+    skinny groupBy (term) for document frequency, the corpus size as a
+    1-row broadcast (plan-constant), an equi-join of TF to IDF on the
+    term (output bounded by the TF rows — a hot term cannot amplify),
+    and one per-document window for the top-n. Ties rank by term asc —
+    fully deterministic.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("__df"))
+    ndocs = F.broadcast(tf.agg(F.countDistinct(id_col).alias("__nd")))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(ndocs)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__nd") + 1) / (F.col("__df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(top_n))
+        .select(id_col, "term", "tf", "tfidf", "rn")
+    )

@@ -64,3 +64,29 @@ def test_resample_unknown_fill_col_raises(spark):
     df = spark.createDataFrame([(1, 0, 1.0)], "k int, t long, v double")
     with pytest.raises(ValueError, match="not an agg output"):
         resample(df, ts_col="t", key_col="k", bucket_us=10, zero_fill=["nope"])
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    from simba_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common common"),
+            (3, "common words only here common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, top_n=2)
+    rows = {(r.doc_id, r.rn): (r.term, r.tf) for r in out.collect()}
+    # every doc contributes exactly top_n rows
+    assert len(rows) == 6
+    # 'apple' (df=1, tf=2) must outrank 'common' (df=3) for doc 1
+    assert rows[(1, 1)][0] == "apple"
+    # doc 2: 'common' (tf=2, idf=ln(4/4)+1=1 → 2.0) outranks
+    # 'cherry' (tf=1, idf=ln(4/2)+1≈1.693)
+    assert rows[(2, 1)][0] == "common"
+    assert rows[(2, 2)][0] == "cherry"
+    # determinism: re-run identical
+    again = {(r.doc_id, r.rn): (r.term, r.tf) for r in tfidf_topk(docs, top_n=2).collect()}
+    assert rows == again

@@ -35,6 +35,15 @@ DEFAULTS = {
     "simba_spark.sampleRate": 0.01,             # simba.sampleRate
     "simba_spark.seed": 42,                     # determinism (oracle harness)
     "simba_spark.zorder.bits": 21,              # z-curve resolution per dim
+    # simba.join.voronoi.pivotSetSize=10 — ours defaults higher (finer
+    # cells cost only driver math here, not a per-partition scan)
+    "simba_spark.join.voronoi.pivotSetSize": 32,
+    # simba.index.selectivityThreshold=0.8 (selectivityEnable is always
+    # on here: skipping the rewrite on non-selective boxes is free)
+    "simba_spark.layout.selectivity_threshold": 0.8,
+    # simba.transferThreshold=800MB gated the BKJ broadcast; ours is
+    # deliberately conservative (plan-measured bytes, not row count)
+    "simba_spark.knnjoin.broadcast_bytes": 8 << 20,
 }
 
 
@@ -79,6 +88,18 @@ class SimbaConf:
     def seed(self) -> int:
         return int(self.get("simba_spark.seed"))
 
+    @property
+    def voronoi_pivots(self) -> int:
+        return int(self.get("simba_spark.join.voronoi.pivotSetSize"))
+
+    @property
+    def selectivity_threshold(self) -> float:
+        return float(self.get("simba_spark.layout.selectivity_threshold"))
+
+    @property
+    def knnjoin_broadcast_bytes(self) -> int:
+        return int(self.get("simba_spark.knnjoin.broadcast_bytes"))
+
 
 class SimbaContext:
     """Session facade: ``ctx = SimbaContext(spark)``.
@@ -96,6 +117,14 @@ class SimbaContext:
         from .plans.layouts import LayoutRegistry
 
         self.layouts = LayoutRegistry(self)
+        # operators that read their knob from the SESSION conf (they
+        # have no SimbaContext in scope) inherit this context's value
+        # unless the session already pinned one explicitly
+        if spark.conf.get("simba_spark.knnjoin.broadcast_bytes", None) is None:
+            spark.conf.set(
+                "simba_spark.knnjoin.broadcast_bytes",
+                str(self.conf.knnjoin_broadcast_bytes),
+            )
         from .functions import register_sql_functions
 
         register_sql_functions(spark)
@@ -134,6 +163,8 @@ class SimbaContext:
         from .operators.knn_join import knn_join
 
         kw.setdefault("algo", self.conf.knn_join_algo)
+        if kw["algo"] == "voronoi":
+            kw.setdefault("n_pivots", self.conf.voronoi_pivots)
         return knn_join(left, right, left_cols, right_cols, k, **kw)
 
     def zknn_join(self, left, right, left_cols, right_cols, k, **kw):

@@ -983,6 +983,24 @@ def q_doc_tfidf(spark, sf_dir):
     return tfidf_topk(docs, top_n=3)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-source deterministic sampling rates (corpus re-balancing):
+    same md5-uniform as doc_sample, so the sample nests and stays
+    engine-stable (simba_spark.operators.pipeline.stratified_sample)."""
+    from simba_spark.operators.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        strata_col="source",
+        rates={"src0": 0.8, "src1": 0.5, "src2": 0.2},
+        key_col="doc_id",
+        seed=7,
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) over the events
     stream — batch form; the streaming form is
@@ -1342,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_rolling": q_events_rolling,
         "doc_tfidf": q_doc_tfidf,
+        "stratified_sample": q_stratified_sample,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1387,7 +1406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         # --- similarity ---
         "embedding_dup_pairs": q_embedding_dup_pairs,
-        "dedup_components": q_dedup_components,
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1429,6 +1447,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "layout_routed_knn": q_layout_routed_knn,
         "embedding_topk": q_embedding_topk,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -2727,6 +2746,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substr(md5(doc_id || '#7'), 1, 13))::BIGINT
                   / 4503599627370496.0 < 0.2
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id || '#7'), 1, 13))::BIGINT
+                  / 4503599627370496.0
+                  < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+                                WHEN 'src2' THEN 0.2 ELSE 0.1 END
         """,
         "source_quota": """
             SELECT doc_id, source FROM (

@@ -45,6 +45,36 @@ def hash_sample(
     return df.filter(_unit_hash(key_col, seed) < F.lit(float(rate)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict,
+    key_col: str,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each row keeps with its
+    stratum's rate (`rates[stratum]`, else `default_rate`), decided by
+    the same md5-uniform as :func:`hash_sample` over `key_col` — so
+    membership is stable across partitioning/engines AND a row keeps
+    its fate when its stratum's rate only increases (nested samples:
+    the 10% sample is a superset of the 5% one). Corpus re-balancing
+    (up/down-weighting sources) without an RNG stream. Zero shuffle;
+    the rate table inlines as a literal map (strata counts are
+    human-scale — for a million-strata table join a rates DataFrame
+    instead)."""
+    for v in rates.values():
+        assert 0.0 <= float(v) <= 1.0
+    pairs = []
+    for kv, rv in sorted(rates.items()):
+        pairs.extend([F.lit(kv), F.lit(float(rv))])
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None),
+        F.lit(float(default_rate)),
+    )
+    return df.filter(_unit_hash(key_col, seed) < rate)
+
+
 def group_quota(
     df: DataFrame,
     group_col: str,

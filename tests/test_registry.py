@@ -27,7 +27,7 @@ def test_registry_split_is_disjoint_and_fully_oracled():
 def test_round4_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
     the dict (dict order IS the driver's check order)."""
-    head = list(entrymod.queries())[:13]
+    head = list(entrymod.queries())[:14]
     assert head == [
         "asof_join",
         "tpch_q5",
@@ -38,6 +38,7 @@ def test_round4_debuts_lead_the_window():
         "events_resample",
         "events_rolling",
         "doc_tfidf",
+        "stratified_sample",
         "polygon_segment_range",
         "polygon_polygon_join",
         "polygon_polygon_distance_join",

@@ -90,3 +90,32 @@ def test_tfidf_topk_ranks_rare_terms(spark):
     # determinism: re-run identical
     again = {(r.doc_id, r.rn): (r.term, r.tf) for r in tfidf_topk(docs, top_n=2).collect()}
     assert rows == again
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from simba_spark.operators.pipeline import hash_sample, stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(
+        df, "source", {"s0": 0.5, "s1": 0.1}, key_col="doc_id",
+        seed=9, default_rate=0.9,
+    )
+    by_src = {r.source: r.n for r in out.groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert 380 <= by_src["s0"] <= 620        # ~500 of 1000
+    assert 50 <= by_src["s1"] <= 160         # ~100
+    assert 820 <= by_src["s2"] <= 960        # default 0.9 → ~900
+    # nesting: raising every rate only ADDS rows (same key hash)
+    small = {r.doc_id for r in stratified_sample(
+        df, "source", {"s0": 0.2}, key_col="doc_id", seed=9,
+        default_rate=0.05).collect()}
+    big = {r.doc_id for r in stratified_sample(
+        df, "source", {"s0": 0.6}, key_col="doc_id", seed=9,
+        default_rate=0.5).collect()}
+    assert small <= big
+    # a uniform rate map reduces to hash_sample exactly
+    uni = {r.doc_id for r in stratified_sample(
+        df, "source", {}, key_col="doc_id", seed=9, default_rate=0.3).collect()}
+    hs = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, seed=9).collect()}
+    assert uni == hs

@@ -1146,6 +1146,21 @@ def q_embedding_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_vector_knn_join(spark, sf_dir):
+    """Vector kNN self-join (cosine), exact algo — the windowed top-k
+    oracle path of simba_spark.operators.similarity.knn_join_vectors;
+    the LSH+multi-probe default is equivalence-tested against this in
+    pytest. Ranking key is cosine rounded to 6dp (same convention the
+    engine uses), ties by neighbor id."""
+    from simba_spark.operators.similarity import knn_join_vectors
+
+    embs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    out = knn_join_vectors(embs, 3, algo="exact")
+    return out.select(
+        "a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"), "rank"
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Cosine >= 0.42 pairs, left side blocked to vec_id % 5 == 0 so the
     DuckDB oracle's cross join stays tractable at sf0.01."""
@@ -1361,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "doc_tfidf": q_doc_tfidf,
         "stratified_sample": q_stratified_sample,
+        "vector_knn_join": q_vector_knn_join,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1397,7 +1413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "sessionize": q_sessionize,
         # --- text analysis ---
-        "doc_quality": q_doc_quality,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1448,6 +1463,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_routed_knn": q_layout_routed_knn,
         "embedding_topk": q_embedding_topk,
         "dedup_components": q_dedup_components,
+        "doc_quality": q_doc_quality,
     }
 
 
@@ -2490,6 +2506,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
                      e.vec_id ASC
             LIMIT 10
+        """,
+        "vector_knn_join": """
+            SELECT a_id, b_id, round(cs, 4) AS sim4, rn AS "rank" FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cs,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                             b.embedding::DOUBLE[]), 6)
+                                DESC, b.vec_id ASC) AS rn
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+                AND a.vec_id <> b.vec_id
+            ) WHERE rn <= 3
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -1340,6 +1340,17 @@ def q_image_features(spark, sf_dir):
     return decode_image_features(blobs, mode="fake")
 
 
+def q_video_frames(spark, sf_dir):
+    """Frame sampling over video-like payloads (fake demux — the codec
+    seam takes a real one); one row per sampled frame through Arrow
+    mapInPandas, frame hashes recomputed from md5 text bytes in SQL."""
+    from simba_spark.operators.multimodal import attach_blob, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = attach_blob(docs, "text")
+    return sample_frames(blobs, every_n=10, mode="fake")
+
+
 def q_audio_features(spark, sf_dir):
     """Audio-feature extraction plumbing (codec stubbed; rows-only)."""
     from simba_spark.operators.multimodal import attach_blob, extract_audio_features
@@ -1377,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "stratified_sample": q_stratified_sample,
         "vector_knn_join": q_vector_knn_join,
+        "video_frames": q_video_frames,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1413,7 +1425,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "sessionize": q_sessionize,
         # --- text analysis ---
-        "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1464,6 +1475,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "dedup_components": q_dedup_components,
         "doc_quality": q_doc_quality,
+        "exact_dedup": q_exact_dedup,
     }
 
 
@@ -2640,6 +2652,16 @@ def oracle_sql() -> dict[str, str]:
                    1 + ({_md5_byte_sql(2)} % 3) AS channels,
                    round({_md5_byte_sql(3)} / 255.0, 6) AS mean_luma
             FROM documents
+        """,
+        "video_frames": f"""
+            SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+                   md5(text || '#frame' || idx) AS frame_hash
+            FROM (
+              SELECT doc_id, text,
+                     unnest(generate_series(
+                       0, 30 + ({_md5_byte_sql(4)} % 240) - 1, 10)) AS idx
+              FROM documents
+            )
         """,
         "audio_features": f"""
             SELECT doc_id,

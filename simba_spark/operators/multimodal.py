@@ -414,8 +414,15 @@ def sample_frames(
     def fake(payload, step):
         h = hashlib.md5(payload or b"").digest()
         n_frames = 30 + h[4] % 240
+        # frame id mixed in as a UTF-8 suffix (not raw bytes) so the
+        # derivation is reproducible from SQL on text payloads
         return [
-            (idx, hashlib.md5((payload or b"") + idx.to_bytes(4, "big")).hexdigest())
+            (
+                idx,
+                hashlib.md5(
+                    (payload or b"") + f"#frame{idx}".encode()
+                ).hexdigest(),
+            )
             for idx in range(0, n_frames, step)
         ]
 

@@ -313,3 +313,67 @@ def test_contamination_plans_hash_join_on_shingle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q6_filters_reach_parquet_scan(spark):
+    """Q6's whole predicate set (date range + discount band + quantity
+    cap) must be pushed to the Parquet scan — at 100 TB this is the
+    difference between reading a year and reading everything."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_tpch_q6(spark, SF))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    """Q5's nation/region dims must broadcast; the 6-way join must not
+    degenerate into a cartesian anywhere."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_plans_no_join_single_key_shuffle(spark):
+    """The as-of join's scale contract: ZERO join nodes (union +
+    running-last window), shuffles only hash-partition on the key."""
+    from simba_spark.operators.asof import asof_join
+
+    ev = _ev(spark)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    plan = _plan(asof_join(clicks, purch, on="user_id", left_time="ts",
+                           tiebreak_col="pid"))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # every exchange hashes on the key — no global sorts, no round-robin
+    import re
+
+    for ex in re.findall(r"Exchange (\w+)", plan):
+        assert ex == "hashpartitioning"
+
+
+def test_resample_no_cartesian_single_window(spark):
+    """resample: dense-join on (key, bucket) stays an equi-join; the
+    forward-fill is one window pass."""
+    from simba_spark.operators.timeseries import resample
+
+    ev = _ev(spark)
+    plan = _plan(
+        resample(
+            ev, ts_col="ts", key_col="user_id", bucket_us=3_600_000_000,
+            aggs={"n": F.count(F.lit(1)), "sv": F.sum("value")},
+            zero_fill=["n"], ffill=["sv"],
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1

@@ -12,6 +12,7 @@ from .ops import (
     streaming_circle_range,
     streaming_distance_join,
     streaming_exact_dedup,
+    streaming_interval_join,
     streaming_knn_join,
     streaming_range_filter,
     streaming_stream_distance_join,
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_distance_join",
     "streaming_exact_dedup",
     "streaming_knn_join",
+    "streaming_interval_join",
     "streaming_stream_distance_join",
     "streaming_stream_knn_join",
     "windowed_event_counts",

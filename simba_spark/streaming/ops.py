@@ -311,6 +311,48 @@ def streaming_stream_knn_join(
     return agg
 
 
+def streaming_interval_join(
+    point_stream: DataFrame,
+    static_intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bin_width=None,
+    interval_prefix: str = "a_",
+    stream_prefix: str = "b_",
+) -> DataFrame:
+    """Stream-STATIC interval join: each streaming point paired with
+    every static interval containing it (closed bounds) — event-in-
+    session, reading-in-window, live lookup against a calendar table.
+
+    The batch :func:`simba_spark.operators.interval.interval_join` is
+    fully lazy (its two-tier width stats are a broadcast subplan, not a
+    driver job), so it composes with a stream directly: the stream side
+    computes its bin key statelessly per micro-batch and equi-joins the
+    binned static side — no streaming state at all, same plan family as
+    the batch op. The interval side must be static/bounded (its
+    min/avg/max lengths define the tiers); for two live streams use
+    :func:`streaming_asof_join` or the windowed joins instead.
+    """
+    assert not static_intervals.isStreaming, (
+        "the interval side must be static — its length stats define the "
+        "bin tiers; use streaming_asof_join for stream-stream temporal "
+        "pairing"
+    )
+    from ..operators.interval import interval_join
+
+    return interval_join(
+        static_intervals,
+        point_stream,
+        start_col,
+        end_col,
+        point_col,
+        bin_width=bin_width,
+        left_prefix=interval_prefix,
+        right_prefix=stream_prefix,
+    )
+
+
 def streaming_asof_join(
     left_stream: DataFrame,
     right_stream: DataFrame,

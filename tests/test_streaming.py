@@ -525,3 +525,44 @@ def test_streaming_asof_join_matches_batch(spark):
     finally:
         shutil.rmtree(da, ignore_errors=True)
         shutil.rmtree(db, ignore_errors=True)
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """A replayed point stream against static intervals through the
+    binned equi-join must equal the batch interval_join exactly
+    (two-tier default widths, closed bounds)."""
+    from simba_spark.operators.interval import interval_join
+    from simba_spark.streaming import streaming_interval_join
+
+    d = tempfile.mkdtemp(prefix="simba_sij_")
+    try:
+        import random
+
+        rng = random.Random(5)
+        ivals = [
+            (i, (s := rng.uniform(0, 1000)), s + rng.uniform(0, 50))
+            for i in range(60)
+        ]
+        # one heavy-tail interval exercises the coarse tier on a stream
+        ivals.append((999, 0.0, 1000.0))
+        pts = [(j, rng.uniform(0, 1000)) for j in range(400)]
+        iv = spark.createDataFrame(ivals, "iid long, s double, e double")
+        pt = spark.createDataFrame(pts, "pid long, v double")
+        pt.write.mode("overwrite").parquet(d)
+
+        sp = spark.readStream.schema(pt.schema).parquet(d)
+        out = streaming_interval_join(sp, iv, "s", "e", "v")
+        got = sorted(
+            (r.a_iid, r.b_pid)
+            for r in _run_stream(spark, out, "sij_out").collect()
+        )
+        exp = sorted(
+            (r.a_iid, r.b_pid)
+            for r in interval_join(iv, pt, "s", "e", "v").collect()
+        )
+        assert got == exp and len(exp) > 400  # the [0,1000] interval catches all
+        # stream-stream misuse fails loudly
+        with pytest.raises(AssertionError, match="static"):
+            streaming_interval_join(sp, sp, "s", "e", "v")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

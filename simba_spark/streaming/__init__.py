@@ -9,6 +9,7 @@ here cover the windowed-aggregation patterns a pipeline needs.
 from ..operators.sessionize import sessionize_stream
 from .ops import (
     streaming_asof_join,
+    streaming_static_asof_join,
     streaming_circle_range,
     streaming_distance_join,
     streaming_exact_dedup,
@@ -22,6 +23,7 @@ from .ops import (
 
 __all__ = [
     "streaming_asof_join",
+    "streaming_static_asof_join",
     "streaming_range_filter",
     "streaming_circle_range",
     "streaming_distance_join",

@@ -353,6 +353,68 @@ def streaming_interval_join(
     )
 
 
+def streaming_static_asof_join(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    on,
+    stream_ts: str = "ts",
+    static_ts: str = "ts",
+    right_prefix: str = "r_",
+    tiebreak_col: Optional[str] = None,
+    max_static_rows: int = 1_000_000,
+) -> DataFrame:
+    """Stream-STATIC as-of join (Flink's temporal-table lookup): each
+    streaming event enriched with the static row whose time is the
+    greatest at-or-before the event's, per key — a live feed against a
+    versioned dimension snapshot.
+
+    Physical shape: the static side aggregates into per-key
+    time-sorted arrays of (time, tiebreak, payload) structs — a
+    dimension-sized frame — which broadcast-joins to the stream on the
+    key (no streaming state, no shuffle on the stream side); each event
+    takes the last array element at-or-before its time via
+    element_at(filter(...), -1), pure JVM expressions. The static side
+    must be dimension-sized (`max_static_rows` guard); an unbounded
+    right side belongs to :func:`streaming_asof_join` (stream-stream,
+    lag-bounded state) instead. Ties at equal time resolve to the
+    greatest `tiebreak_col`.
+
+    Output: all stream columns plus `{right_prefix}{col}` for every
+    non-key static column; unmatched events keep NULLs (left join).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    n_static = static_df.count()
+    assert n_static <= max_static_rows, (
+        f"static side has {n_static} rows > max_static_rows="
+        f"{max_static_rows}; use streaming_asof_join (stream-stream) "
+        "for unbounded right sides"
+    )
+    rpay = [c for c in static_df.columns if c not in keys]
+    tb = (
+        F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
+    )
+    packed = F.struct(
+        F.col(static_ts).alias("__t"),
+        tb.alias("__tb"),
+        *[F.col(c).alias(c) for c in rpay],
+    )
+    arr = static_df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(packed)).alias("__arr")
+    )
+    joined = stream_df.join(F.broadcast(arr), on=keys, how="left")
+    # try_element_at: an event before every snapshot (or an unseen key)
+    # has an empty candidate array — NULL match, not an ANSI index error
+    last = F.try_element_at(
+        F.filter(F.col("__arr"), lambda s: s["__t"] <= F.col(stream_ts)),
+        F.lit(-1),
+    )
+    out = joined.withColumn("__m", last).drop("__arr")
+    return out.select(
+        *stream_df.columns,
+        *[F.col("__m")[c].alias(f"{right_prefix}{c}") for c in rpay],
+    )
+
+
 def streaming_asof_join(
     left_stream: DataFrame,
     right_stream: DataFrame,

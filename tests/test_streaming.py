@@ -566,3 +566,47 @@ def test_streaming_interval_join_matches_batch(spark):
             streaming_interval_join(sp, sp, "s", "e", "v")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_static_asof_join_matches_batch(spark):
+    """Replayed stream against a versioned static dimension via the
+    broadcast sorted-array lookup must equal batch asof_join
+    (backward, inclusive, greatest-tiebreak ties, left join)."""
+    from simba_spark.operators.asof import asof_join
+    from simba_spark.streaming import streaming_static_asof_join
+
+    d = tempfile.mkdtemp(prefix="simba_ssa_")
+    try:
+        import random
+
+        rng = random.Random(21)
+        evs = [(i, rng.randrange(6), rng.randrange(1000)) for i in range(300)]
+        dim = [(1000 + j, rng.randrange(6), rng.randrange(1000), float(j))
+               for j in range(50)]
+        # key with no dim rows + duplicate dim times on one key
+        dim += [(2001, 0, 500, 9.0), (2002, 0, 500, 8.0)]
+        ev = spark.createDataFrame(evs, "eid long, k long, t long")
+        dm = spark.createDataFrame(dim, "did long, k long, t long, v double")
+        ev.write.mode("overwrite").parquet(d)
+
+        se = spark.readStream.schema(ev.schema).parquet(d)
+        out = streaming_static_asof_join(
+            se, dm, on="k", stream_ts="t", static_ts="t", tiebreak_col="did"
+        )
+        got = sorted(
+            (r.eid, r.r_did) for r in _run_stream(spark, out, "ssa_out").collect()
+        )
+        exp_df = asof_join(
+            ev, dm, on="k", left_time="t", right_time="t",
+            tiebreak_col="did", right_prefix="r_",
+        )
+        exp = sorted((r.eid, r.r_did) for r in exp_df.collect())
+        assert got == exp and len(exp) == 300
+        # size guard
+        with pytest.raises(AssertionError, match="max_static_rows"):
+            streaming_static_asof_join(
+                se, dm, on="k", stream_ts="t", static_ts="t",
+                max_static_rows=10,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -945,7 +945,18 @@ def q_events_resample(spark, sf_dir):
         aggs={
             "n_events": F.count(F.lit(1)),
             "sum_value": F.round(F.sum("value"), 2),
-            "last_value": F.round(F.expr("max_by(value, tus)"), 4),
+            # ordering key (tus, event_id) packed as a fixed-width
+            # string: max_by/arg_max take no composite keys, and a bare
+            # tus key would be tie-NONDETERMINISTIC across engines if
+            # two events ever shared a (user, µs). Zero-padded
+            # lexicographic == numeric for non-negative values.
+            "last_value": F.round(
+                F.expr(
+                    "max_by(value, concat(lpad(cast(tus AS string), 20, '0'),"
+                    " '#', lpad(cast(event_id AS string), 10, '0')))"
+                ),
+                4,
+            ),
         },
         zero_fill=["n_events"],
         ffill=["last_value"],
@@ -2332,7 +2343,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
                      count(*) AS n_events,
                      round(sum(value), 2) AS sum_value,
-                     round(arg_max(value, epoch_us(ts)), 4) AS last_value
+                     round(arg_max(value,
+                           lpad(epoch_us(ts)::VARCHAR, 20, '0') || '#' ||
+                           lpad(event_id::VARCHAR, 10, '0')), 4) AS last_value
               FROM events GROUP BY 1, 2
             ), sp AS (
               SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM g GROUP BY 1

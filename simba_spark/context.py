@@ -117,14 +117,6 @@ class SimbaContext:
         from .plans.layouts import LayoutRegistry
 
         self.layouts = LayoutRegistry(self)
-        # operators that read their knob from the SESSION conf (they
-        # have no SimbaContext in scope) inherit this context's value
-        # unless the session already pinned one explicitly
-        if spark.conf.get("simba_spark.knnjoin.broadcast_bytes", None) is None:
-            spark.conf.set(
-                "simba_spark.knnjoin.broadcast_bytes",
-                str(self.conf.knnjoin_broadcast_bytes),
-            )
         from .functions import register_sql_functions
 
         register_sql_functions(spark)
@@ -165,6 +157,9 @@ class SimbaContext:
         kw.setdefault("algo", self.conf.knn_join_algo)
         if kw["algo"] == "voronoi":
             kw.setdefault("n_pivots", self.conf.voronoi_pivots)
+        # per-call override: each context's conf governs its own joins
+        # (a session-conf write here would be first-context-wins)
+        kw.setdefault("broadcast_bytes", self.conf.knnjoin_broadcast_bytes)
         return knn_join(left, right, left_cols, right_cols, k, **kw)
 
     def zknn_join(self, left, right, left_cols, right_cols, k, **kw):

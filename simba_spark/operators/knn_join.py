@@ -86,12 +86,15 @@ def knn_join(
     theta_margin: float = 1.25,
     cross_warn_rows: int = 100_000,
     n_pivots: int = 32,
+    broadcast_bytes: Optional[float] = None,
 ) -> DataFrame:
     """For each left row, exactly-k nearest right rows by L2 distance.
 
     `left_id` must uniquely identify left rows (window partition key);
     `right_tiebreak` (a right column) makes tie order deterministic.
-    Output columns: prefixed left ++ prefixed right ++ `dist`.
+    `broadcast_bytes` overrides the broadcast-route threshold for THIS
+    call (else `simba_spark.knnjoin.broadcast_bytes` session conf, else
+    8 MiB). Output columns: prefixed left ++ prefixed right ++ `dist`.
     """
     assert left_id is not None, "knn_join requires left_id (unique left key)"
     assert len(left_cols) == len(right_cols), "dimension mismatch"
@@ -110,7 +113,8 @@ def knn_join(
         # the left so the pair stream and the per-left window parallelize
         pairs = _spread(lp).crossJoin(rp).withColumn("dist", dist)
         return _topk(pairs, lid, k, F.col("dist"), rtb)
-    if algo == "bounded" and _plan_bytes(rp) <= _broadcast_cap(rp):
+    cap = float(broadcast_bytes) if broadcast_bytes is not None else _broadcast_cap(rp)
+    if algo == "bounded" and _plan_bytes(rp) <= cap:
         # cost-based route (BKJSpark rationale): a broadcast-small right
         # side doesn't need θ machinery at all — the broadcast plan below
         # is exact, 2 jobs instead of 5, and shuffle-free on pairs
@@ -440,15 +444,16 @@ def _plan_bytes(df: DataFrame) -> float:
 
 def _broadcast_cap(df: DataFrame) -> float:
     """Byte threshold for routing a kNN join to the broadcast plan —
-    `simba_spark.knnjoin.broadcast_bytes` if set, else 8 MB (slightly
-    under Spark's default autoBroadcastJoinThreshold)."""
+    `simba_spark.knnjoin.broadcast_bytes` if set, else 8 MiB (slightly
+    under Spark's default autoBroadcastJoinThreshold; same default as
+    SimbaConf's key, so routing does not shift with session history)."""
     try:
         v = df.sparkSession.conf.get("simba_spark.knnjoin.broadcast_bytes", None)
         if v is not None:
             return float(v)
     except Exception:
         pass
-    return 8_000_000.0
+    return float(8 << 20)
 
 
 def _hash_sample(df: DataFrame, cols: Sequence[str], cap: int, salt: int):

@@ -252,7 +252,10 @@ def tfidf_topk(
         ),
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("__df"))
+    # tf is one row per (doc, term) already — a plain count IS the
+    # document frequency; countDistinct would add a redundant
+    # partial-distinct pass over the hottest intermediate
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     ndocs = F.broadcast(tf.agg(F.countDistinct(id_col).alias("__nd")))
     scored = (
         tf.join(dfreq, on="term")

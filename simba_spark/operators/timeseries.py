@@ -82,8 +82,12 @@ def resample(
     # indexes are far below 2^53, so the double math is exact)
     b = F.floor(tnum.cast("double") / F.lit(float(bw))).cast("long")
 
+    # rows with a NULL time cannot bucket — drop them here (a key whose
+    # times are ALL null disappears entirely) so the span aggregate
+    # below never sees NULL bounds and trips the guard spuriously
     g = (
         df.withColumn(bucket_col, b)
+        .filter(F.col(bucket_col).isNotNull())
         .groupBy(key_col, bucket_col)
         .agg(*[c.alias(n) for n, c in aggs.items()])
     )

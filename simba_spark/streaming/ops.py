@@ -383,11 +383,17 @@ def streaming_static_asof_join(
     non-key static column; unmatched events keep NULLs (left join).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    n_static = static_df.count()
+    assert not static_df.isStreaming, (
+        "the right side must be static — use streaming_asof_join for "
+        "stream-stream temporal pairing"
+    )
+    # bounded probe (limit max+1), not a full count: the guard's cost
+    # must not scale with the static table it is guarding against
+    n_static = static_df.limit(max_static_rows + 1).count()
     assert n_static <= max_static_rows, (
-        f"static side has {n_static} rows > max_static_rows="
-        f"{max_static_rows}; use streaming_asof_join (stream-stream) "
-        "for unbounded right sides"
+        f"static side exceeds max_static_rows={max_static_rows}; "
+        "use streaming_asof_join (stream-stream) for unbounded right "
+        "sides"
     )
     rpay = [c for c in static_df.columns if c not in keys]
     tb = (
@@ -450,9 +456,10 @@ def streaming_asof_join(
     the left event's window closes. No custom state code, no
     per-batch collect.
 
-    Output: (window_start, {left_prefix}{left_id}, {left_prefix}{left_ts},
-    {right_prefix}{right_id}, {right_prefix}{right_ts}), one row per
-    matched left event. Left events with no right event in the lag
+    Output: (window_start, prefixed key columns, {left_prefix}{left_id},
+    {left_prefix}{left_ts}, {right_prefix}{right_id},
+    {right_prefix}{right_ts}), one row per matched left event (ids need
+    only be unique per key — the grouping includes the join keys). Left events with no right event in the lag
     window emit nothing (inner semantics — matching the batch operator
     with ``how='inner'``).
     """
@@ -482,17 +489,23 @@ def streaming_asof_join(
         ),
         -1,
     )
-    # group on the window + left id only: the raw left event-time
-    # column must not ALSO appear as a grouping key (two event-time
-    # columns in one stateful operator is rejected); it is constant per
-    # left event, so max() re-surfaces it from inside the aggregate
+    # group on the window + join keys + left id (an id unique only
+    # within a key must not merge across keys); the raw left
+    # event-time column must not ALSO appear as a grouping key (two
+    # event-time columns in one stateful operator is rejected) — it is
+    # constant per left event, so max() re-surfaces it from inside the
+    # aggregate
+    kcols = [f"{left_prefix}{k}" for k in keys]
     return (
         joined.groupBy(
-            F.window(F.col(lts), window).alias("__win"), F.col(lid)
+            F.window(F.col(lts), window).alias("__win"),
+            *[F.col(c) for c in kcols],
+            F.col(lid),
         )
         .agg(F.max(F.col(lts)).alias(lts), latest.alias("__last"))
         .select(
             F.col("__win.start").alias("window_start"),
+            *kcols,
             lid,
             lts,
             F.col("__last.rid").alias(rid),

@@ -488,6 +488,9 @@ def test_streaming_asof_join_matches_batch(spark):
         ]
         # duplicate right timestamps on one key exercise the tie rule
         brows += [(2001, "2024-01-01 00:05:00", 0), (2002, "2024-01-01 00:05:00", 0)]
+        # same LEFT id on two different keys in the same window: ids
+        # are only unique per key — they must not merge across keys
+        arows += [(500, "2024-01-01 00:06:00", 0), (500, "2024-01-01 00:06:30", 1)]
         # sentinels far in the future advance the watermark past every
         # data window so the append-mode agg emits; their own window
         # never closes so they emit nothing

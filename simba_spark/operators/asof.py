@@ -24,7 +24,8 @@ bounds that too.
 Semantics (documented, deterministic):
 - backward: match the greatest right time <= left time (< if
   `strict`); forward: the least right time >= left time (> if
-  `strict`).
+  `strict`); nearest: the closer of the two (backward on equal
+  distance, matching pandas merge_asof).
 - Ties between right rows at the same time are broken toward the
   greatest `tiebreak_col` value when given; otherwise input order
   (nondeterministic under ties — supply a tiebreak for stable runs).
@@ -77,7 +78,10 @@ def asof_join(
         name). TIMESTAMP (compared in exact integer microseconds) or
         any mutually comparable numeric type.
     direction : 'backward' (greatest right time <= left time, the
-        default) or 'forward' (least right time >= left time).
+        default), 'forward' (least right time >= left time), or
+        'nearest' (whichever of the two is closer in time; equal
+        distances resolve backward, the pandas merge_asof convention —
+        computed as two windows over ONE shuffle).
     strict : exclude equal times (use < / > instead of <= / >=).
     tolerance : max allowed |left time - right time|, in MICROSECONDS
         for timestamp columns, else in the columns' own unit. Matches
@@ -91,8 +95,10 @@ def asof_join(
     Returns all left columns plus every non-key right column as
     ``{right_prefix}{name}``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
@@ -113,7 +119,7 @@ def asof_join(
             f"output columns {sorted(collide)} collide with left columns — "
             "pick a different right_prefix"
         )
-    for h in ("__t", "__side", "__rpay", "__m", "__tb", "__mt"):
+    for h in ("__t", "__side", "__rpay", "__m", "__tb", "__mt", "__mb", "__mf"):
         if h in left.columns or h in right.columns:
             raise ValueError(f"reserved column name {h!r} in input")
 
@@ -138,19 +144,48 @@ def asof_join(
     # times the right row is visible iff the comparison is inclusive,
     # then the tiebreak so the LAST equal-time right row carries the
     # greatest tiebreak value into last(..., ignorenulls).
-    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     side_ord = F.col("__side").asc() if not strict else F.col("__side").desc()
-    order = [t_ord, side_ord, F.col("__tb").asc_nulls_last()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("__rpay", ignorenulls=True).over(w)
-    # a NULL left time sorts first and must never match
-    matched = F.when(F.col("__t").isNull(), F.lit(None)).otherwise(matched)
 
-    res = u.withColumn("__m", matched).filter(F.col("__side") == 1)
+    def running_last(t_ord):
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(t_ord, side_ord, F.col("__tb").asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = F.last("__rpay", ignorenulls=True).over(w)
+        # a NULL left time sorts first/last and must never match
+        return F.when(F.col("__t").isNull(), F.lit(None)).otherwise(m)
+
+    if direction == "nearest":
+        # both candidates from the SAME shuffled union: the second
+        # window re-sorts within partitions but adds no exchange
+        res = (
+            u.withColumn("__mb", running_last(F.col("__t").asc()))
+            .withColumn("__mf", running_last(F.col("__t").desc()))
+            .filter(F.col("__side") == 1)
+        )
+        if _is_timestamp(left, left_time):
+            db = F.abs(F.expr("timestampdiff(MICROSECOND, __mb.`%s`, __t)" % rt))
+            df_ = F.abs(F.expr("timestampdiff(MICROSECOND, __mf.`%s`, __t)" % rt))
+        else:
+            db = F.abs(F.col("__t") - F.col("__mb")[rt])
+            df_ = F.abs(F.col("__mf")[rt] - F.col("__t"))
+        # ties at equal distance resolve backward (pandas merge_asof
+        # 'nearest' convention)
+        res = res.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(db <= df_, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        ).drop("__mb", "__mf")
+    else:
+        t_ord = (
+            F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+        )
+        res = u.withColumn("__m", running_last(t_ord)).filter(
+            F.col("__side") == 1
+        )
 
     if tolerance is not None:
         res = res.withColumn("__mt", F.col("__m")[rt])

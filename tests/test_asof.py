@@ -23,6 +23,18 @@ def lr(spark):
 
 def _brute(left_rows, right_rows, direction="backward", strict=False,
            tolerance=None):
+    if direction == "nearest":
+        back = _brute(left_rows, right_rows, "backward", strict, tolerance)
+        fwd = _brute(left_rows, right_rows, "forward", strict, tolerance)
+        rt_of = {rid: rt for _, rt, rid, _ in right_rows}
+        out = {}
+        for k, t, lid in left_rows:
+            b, f = back[lid], fwd[lid]
+            if b is None or f is None:
+                out[lid] = b if f is None else f
+            else:
+                out[lid] = b if abs(t - rt_of[b[0]]) <= abs(rt_of[f[0]] - t) else f
+        return out
     out = {}
     for k, t, lid in left_rows:
         best = None
@@ -44,7 +56,7 @@ def _brute(left_rows, right_rows, direction="backward", strict=False,
     return out
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("strict", [False, True])
 def test_asof_matches_bruteforce(spark, lr, direction, strict):
     L, R = lr

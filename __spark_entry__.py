@@ -1012,6 +1012,29 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_orders_upsert(spark, sf_dir):
+    """Incremental-batch merge (SCD1): an updates batch (10%-discounted
+    re-priced orders) replaces same-key rows, the rest pass through —
+    simba_spark.operators.pipeline.merge_upsert, one shuffle."""
+    from simba_spark.operators.pipeline import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    # price derives by pure IEEE double multiply, NO rounding: x*0.9
+    # lands on .xx5 half-boundaries systematically and Spark/DuckDB
+    # round() disagree there (DuckDB's bare 0.9 is DECIMAL); identical
+    # raw doubles hash identically under the 9-sig-digit normalization
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(0.9)
+    ).withColumn("o_orderstatus", F.lit("U"))
+    out = merge_upsert(orders, updates, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) over the events
     stream — batch form; the streaming form is
@@ -1400,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vector_knn_join": q_vector_knn_join,
         "video_frames": q_video_frames,
+        "orders_upsert": q_orders_upsert,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -1442,7 +1466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         # --- similarity ---
-        "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
@@ -1487,6 +1510,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "doc_quality": q_doc_quality,
         "exact_dedup": q_exact_dedup,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
     }
 
 
@@ -2360,6 +2384,18 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS last_value
             FROM dense d LEFT JOIN g ON d.user_id = g.user_id AND d.bucket = g.bucket
+        """,
+        "orders_upsert": """
+            WITH u AS (
+              SELECT o_orderkey, o_totalprice * 0.9::DOUBLE AS uprice
+              FROM orders WHERE o_orderkey % 7 = 0
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CASE WHEN u.o_orderkey IS NOT NULL
+                        THEN 'U' ELSE o.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN u.o_orderkey IS NOT NULL
+                        THEN u.uprice ELSE o.o_totalprice END AS price
+            FROM orders o LEFT JOIN u ON o.o_orderkey = u.o_orderkey
         """,
         "events_rolling": """
             SELECT user_id, event_id, epoch_us(ts) AS tus,

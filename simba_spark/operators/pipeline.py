@@ -45,6 +45,47 @@ def hash_sample(
     return df.filter(_unit_hash(key_col, seed) < F.lit(float(rate)))
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols,
+    version_col: Optional[str] = None,
+    tombstone_col: Optional[str] = None,
+) -> DataFrame:
+    """SCD-type-1 merge: rows from `updates` replace same-key rows in
+    `target`; unmatched keys pass through; with `version_col`, the
+    greatest version wins WITHIN updates (and an older update never
+    clobbers a newer target row); with `tombstone_col` (boolean),
+    winning tombstone rows DELETE the key from the output.
+
+    One shuffle on the key columns — union + per-key window, the
+    standard incremental-batch merge without a table format. (On
+    Delta/Iceberg use the native MERGE INTO; this is the plain-parquet
+    equivalent with identical semantics.) Both inputs must share a
+    schema (plus the optional marker columns on `updates`).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    t = target.withColumn("__src", F.lit(0))
+    u = updates.withColumn("__src", F.lit(1))
+    if tombstone_col and tombstone_col not in t.columns:
+        t = t.withColumn(tombstone_col, F.lit(False))
+    merged = t.unionByName(u, allowMissingColumns=False)
+    order = [F.col("__src").desc()]
+    if version_col is not None:
+        order = [F.col(version_col).desc_nulls_last(), F.col("__src").desc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    if tombstone_col:
+        out = out.filter(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        ).drop(tombstone_col)
+    return out
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -27,7 +27,7 @@ def test_registry_split_is_disjoint_and_fully_oracled():
 def test_round4_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
     the dict (dict order IS the driver's check order)."""
-    head = list(entrymod.queries())[:16]
+    head = list(entrymod.queries())[:17]
     assert head == [
         "asof_join",
         "tpch_q5",
@@ -41,6 +41,7 @@ def test_round4_debuts_lead_the_window():
         "stratified_sample",
         "vector_knn_join",
         "video_frames",
+        "orders_upsert",
         "polygon_segment_range",
         "polygon_polygon_join",
         "polygon_polygon_distance_join",

@@ -119,3 +119,28 @@ def test_stratified_sample_rates_and_nesting(spark):
         df, "source", {}, key_col="doc_id", seed=9, default_rate=0.3).collect()}
     hs = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, seed=9).collect()}
     assert uni == hs
+
+
+def test_merge_upsert_semantics(spark):
+    from simba_spark.operators.pipeline import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 5), (3, "c", 1)], "k long, v string, ver int"
+    )
+    upd = spark.createDataFrame(
+        [(1, "A", 2), (2, "OLD", 3), (4, "D", 1)], "k long, v string, ver int"
+    )
+    # plain: updates always win, unmatched pass through both ways
+    got = {r.k: r.v for r in merge_upsert(tgt, upd, "k").collect()}
+    assert got == {1: "A", 2: "OLD", 3: "c", 4: "D"}
+    # versioned: an older update must NOT clobber a newer target row
+    got = {r.k: r.v for r in merge_upsert(tgt, upd, "k", version_col="ver").collect()}
+    assert got == {1: "A", 2: "b", 3: "c", 4: "D"}
+    # tombstones delete keys
+    upd2 = spark.createDataFrame(
+        [(1, "A", 2, True), (4, "D", 1, False)],
+        "k long, v string, ver int, del boolean",
+    )
+    got = {r.k: r.v for r in merge_upsert(tgt, upd2, "k", tombstone_col="del").collect()}
+    assert got == {2: "b", 3: "c", 4: "D"}
+    assert "del" not in merge_upsert(tgt, upd2, "k", tombstone_col="del").columns

@@ -144,3 +144,50 @@ def test_merge_upsert_semantics(spark):
     got = {r.k: r.v for r in merge_upsert(tgt, upd2, "k", tombstone_col="del").collect()}
     assert got == {2: "b", 3: "c", 4: "D"}
     assert "del" not in merge_upsert(tgt, upd2, "k", tombstone_col="del").columns
+
+
+def test_bmp_codec_palette_32bit_topdown_and_16bit_pgm():
+    """The decode paths beyond 24-bit bottom-up: 8-bit palette BMP,
+    32-bit BGRA, negative-height (top-down) rows, and 16-bit PGM."""
+    import struct
+
+    import numpy as np
+
+    from simba_spark.operators.multimodal import bmp_codec
+
+    def make_bmp(w, h, bpp, pixel_bytes, palette=b"", top_down=False):
+        hdr_off = 14 + 40 + len(palette)
+        stride = ((w * bpp // 8) + 3) & ~3
+        body = bytearray()
+        for row in pixel_bytes:
+            body += row + b"\x00" * (stride - len(row))
+        hh = -h if top_down else h
+        return (
+            struct.pack("<2sIHHI", b"BM", hdr_off + len(body), 0, 0, hdr_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, hh, 1, bpp, 0, len(body),
+                          2835, 2835, len(palette) // 4, 0)
+            + palette + bytes(body)
+        )
+
+    # 8-bit palette: 2 entries — BGRA(0,0,255)=red, BGRA(255,255,255)=white
+    pal = bytes([0, 0, 255, 0, 255, 255, 255, 0])
+    # bottom-up: file rows are (bottom) [1,1] then (top) [0,0]
+    bmp8 = make_bmp(2, 2, 8, [bytes([1, 1]), bytes([0, 0])], palette=pal)
+    d = bmp_codec(bmp8)
+    # palette entries resolve to RGB (alpha byte dropped)
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+    # top row red (luma .299), bottom row white (1.0)
+    assert abs(d["mean_luma"] - (0.299 + 1.0) / 2) < 1e-6
+
+    # 32-bit BGRA solid blue, top-down
+    px = bytes([255, 0, 0, 0]) * 2  # BGRA blue
+    bmp32 = make_bmp(2, 1, 32, [px + px][:1], top_down=True)
+    d = bmp_codec(bmp32)
+    assert (d["width"], d["height"], d["channels"]) == (2, 1, 4)
+    assert abs(d["mean_luma"] - 0.114) < 1e-6
+
+    # 16-bit PGM: maxval 65535, values scale down to 8-bit
+    pgm16 = b"P5\n2 1\n65535\n" + struct.pack(">HH", 65535, 0)
+    d = bmp_codec(pgm16)
+    assert (d["width"], d["height"], d["channels"]) == (2, 1, 1)
+    assert abs(d["mean_luma"] - 0.5) < 1e-2

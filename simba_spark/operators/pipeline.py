@@ -51,6 +51,7 @@ def merge_upsert(
     key_cols,
     version_col: Optional[str] = None,
     tombstone_col: Optional[str] = None,
+    tiebreak_col: Optional[str] = None,
 ) -> DataFrame:
     """SCD-type-1 merge: rows from `updates` replace same-key rows in
     `target`; unmatched keys pass through; with `version_col`, the
@@ -63,8 +64,16 @@ def merge_upsert(
     Delta/Iceberg use the native MERGE INTO; this is the plain-parquet
     equivalent with identical semantics.) Both inputs must share a
     schema (plus the optional marker columns on `updates`).
+
+    Determinism: an updates batch carrying several rows for ONE key
+    needs an ordering — supply `version_col` (greatest wins) and, for
+    version ties, `tiebreak_col` (greatest wins); with neither, ties
+    pick an arbitrary row and the result can vary across runs.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for h in ("__src", "__rn"):
+        if h in target.columns or h in updates.columns:
+            raise ValueError(f"reserved column name {h!r} in input")
     t = target.withColumn("__src", F.lit(0))
     u = updates.withColumn("__src", F.lit(1))
     if tombstone_col and tombstone_col not in t.columns:
@@ -73,6 +82,8 @@ def merge_upsert(
     order = [F.col("__src").desc()]
     if version_col is not None:
         order = [F.col(version_col).desc_nulls_last(), F.col("__src").desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc_nulls_last())
     w = Window.partitionBy(*keys).orderBy(*order)
     out = (
         merged.withColumn("__rn", F.row_number().over(w))

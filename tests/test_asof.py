@@ -125,3 +125,34 @@ def test_asof_plan_has_no_join(spark, lr):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides co-shuffle
+
+
+def test_asof_nearest_timestamps_with_tolerance(spark):
+    """nearest + TIMESTAMP times + tolerance: exercises the
+    timestampdiff-over-struct-field distance branch."""
+    L = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 1), (1, "2024-01-01 05:00:00", 2),
+         (1, "2024-01-01 11:30:00", 3)],
+        "k int, ts string, lid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    R = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", 10), (1, "2024-01-01 06:00:00", 11),
+         (1, "2024-01-01 23:00:00", 12)],
+        "k int, ts string, rid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(L, R, "k", "ts", direction="nearest", tiebreak_col="rid")
+    got = {r.lid: r.r_rid for r in out.collect()}
+    # lid 1: 00:30 (30m back) beats 06:00 (5h fwd); lid 2: 06:00 (1h fwd)
+    # beats 00:30 (4.5h back); lid 3: 06:00 (5.5h back) beats 23:00
+    assert got == {1: 10, 2: 11, 3: 11}
+    # 1-hour tolerance nulls the far matches
+    tol = asof_join(L, R, "k", "ts", direction="nearest",
+                    tiebreak_col="rid", tolerance=3600 * 1_000_000)
+    got = {r.lid: r.r_rid for r in tol.collect()}
+    assert got == {1: 10, 2: 11, 3: None}
+    # exact-distance tie resolves backward
+    L2 = spark.createDataFrame([(1, "2024-01-01 03:15:00", 9)],
+                               "k int, ts string, lid int"
+                               ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tie = asof_join(L2, R, "k", "ts", direction="nearest", tiebreak_col="rid")
+    assert tie.collect()[0].r_rid == 10

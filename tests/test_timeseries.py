@@ -179,15 +179,47 @@ def test_bmp_codec_palette_32bit_topdown_and_16bit_pgm():
     # top row red (luma .299), bottom row white (1.0)
     assert abs(d["mean_luma"] - (0.299 + 1.0) / 2) < 1e-6
 
-    # 32-bit BGRA solid blue, top-down
+    # 32-bit BGRA solid blue (row = exactly w pixels)
     px = bytes([255, 0, 0, 0]) * 2  # BGRA blue
-    bmp32 = make_bmp(2, 1, 32, [px + px][:1], top_down=True)
+    bmp32 = make_bmp(2, 1, 32, [px], top_down=True)
     d = bmp_codec(bmp32)
     assert (d["width"], d["height"], d["channels"]) == (2, 1, 4)
     assert abs(d["mean_luma"] - 0.114) < 1e-6
+
+    # orientation is observable through nearest-neighbor resize to 1x1
+    # (it samples the TOP-left pixel): logical image = red top row,
+    # white bottom row, encoded both bottom-up and top-down
+    from simba_spark.operators.multimodal import bmp_resize_codec
+
+    red_row = bytes([0, 0, 255] * 2)    # BGR red
+    white_row = bytes([255, 255, 255] * 2)
+    bottom_up = make_bmp(2, 2, 24, [white_row, red_row])          # file: bottom first
+    top_down = make_bmp(2, 2, 24, [red_row, white_row], top_down=True)
+    for payload in (bottom_up, top_down):
+        top_left = bmp_codec(bmp_resize_codec(payload, 1, 1))
+        assert abs(top_left["mean_luma"] - 0.299) < 1e-6  # red, not white
 
     # 16-bit PGM: maxval 65535, values scale down to 8-bit
     pgm16 = b"P5\n2 1\n65535\n" + struct.pack(">HH", 65535, 0)
     d = bmp_codec(pgm16)
     assert (d["width"], d["height"], d["channels"]) == (2, 1, 1)
     assert abs(d["mean_luma"] - 0.5) < 1e-2
+
+
+def test_merge_upsert_tiebreak_and_guard(spark):
+    from simba_spark.operators.pipeline import merge_upsert
+
+    tgt = spark.createDataFrame([(1, "a", 0, 0)], "k long, v string, ver int, seq int")
+    upd = spark.createDataFrame(
+        [(1, "x", 1, 10), (1, "y", 1, 20)], "k long, v string, ver int, seq int"
+    )
+    # version tie between the two updates: greatest tiebreak wins
+    got = merge_upsert(tgt, upd, "k", version_col="ver",
+                       tiebreak_col="seq").collect()
+    assert len(got) == 1 and got[0].v == "y"
+    # reserved names guarded
+    import pytest as _pytest
+
+    bad = tgt.withColumnRenamed("seq", "__src")
+    with _pytest.raises(ValueError, match="reserved"):
+        merge_upsert(bad, bad, "k")

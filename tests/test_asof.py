@@ -156,3 +156,18 @@ def test_asof_nearest_timestamps_with_tolerance(spark):
                                ).withColumn("ts", F.col("ts").cast("timestamp"))
     tie = asof_join(L2, R, "k", "ts", direction="nearest", tiebreak_col="rid")
     assert tie.collect()[0].r_rid == 10
+
+
+def test_asof_composite_keys(spark):
+    """Multi-column join keys: matches must respect BOTH key columns."""
+    L = spark.createDataFrame(
+        [(1, "x", 10, 1), (1, "y", 10, 2), (2, "x", 10, 3)],
+        "k1 int, k2 string, t int, lid int",
+    )
+    R = spark.createDataFrame(
+        [(1, "x", 5, 100), (1, "y", 7, 200), (2, "x", 11, 300)],
+        "k1 int, k2 string, t int, rid int",
+    )
+    got = {r.lid: r.r_rid
+           for r in asof_join(L, R, ["k1", "k2"], "t").collect()}
+    assert got == {1: 100, 2: 200, 3: None}

@@ -223,3 +223,35 @@ def test_merge_upsert_tiebreak_and_guard(spark):
     bad = tgt.withColumnRenamed("seq", "__src")
     with _pytest.raises(ValueError, match="reserved"):
         merge_upsert(bad, bad, "k")
+
+
+def test_resample_randomized_bruteforce(spark):
+    """Randomized equivalence vs a Python brute force across keys,
+    gaps, and both fill policies."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(31)
+    rows = [(rng.randrange(6), rng.randrange(200), round(rng.uniform(0, 9), 3))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    out = resample(
+        df, ts_col="t", key_col="k", bucket_us=17,
+        aggs={"n": F.count(F.lit(1)), "mx": F.max("v")},
+        zero_fill=["n"], ffill=["mx"],
+    )
+    got = {(r.k, r.bucket): (r.n, r.mx) for r in out.collect()}
+
+    by = defaultdict(list)
+    for k, t, v in rows:
+        by[(k, t // 17)].append(v)
+    exp = {}
+    for k in {r[0] for r in rows}:
+        bks = [b for (kk, b) in by if kk == k]
+        carried = None
+        for b in range(min(bks), max(bks) + 1):
+            vs = by.get((k, b), [])
+            if vs:
+                carried = max(vs)
+            exp[(k, b)] = (len(vs), carried)
+    assert got == exp and len(exp) > 50

@@ -678,9 +678,14 @@ def zknn_join(
         # bytes, independent of the left side. A row cap set via
         # `simba_spark.zknn.simple_rank_rows` is honored against |R|;
         # otherwise the cap derives from a byte budget
-        # (`simba_spark.zknn.simple_rank_bytes`, default 256 MB) and
-        # the actual struct width, so a wide/high-d right side trips to
-        # the bucketed path long before the driver or an executor OOMs.
+        # (`simba_spark.zknn.simple_rank_bytes`, default 32 MB of
+        # UNSAFE-array bytes) and the actual struct width. The budget
+        # is deliberately ~8x under a naive heap estimate: during the
+        # single-task collect_list/array_sort the rows exist as BOXED
+        # objects (measured ~10x the unsafe width — a 246 MB payload
+        # OOMed an 8 GB driver), so 32 MB unsafe ≈ 300 MB transient
+        # heap, safe on any sane executor while still covering every
+        # dimension-table-sized right side.
         try:
             cap_conf = left.sparkSession.conf.get(
                 "simba_spark.zknn.simple_rank_rows", None
@@ -693,11 +698,11 @@ def zknn_join(
             try:
                 budget = int(
                     left.sparkSession.conf.get(
-                        "simba_spark.zknn.simple_rank_bytes", str(256 << 20)
+                        "simba_spark.zknn.simple_rank_bytes", str(32 << 20)
                     )
                 )
             except Exception:
-                budget = 256 << 20
+                budget = 32 << 20
             # per struct: 8B z + 8B rid + 8B per coord + ~24B object
             # overhead in the unsafe array representation
             struct_w = 8 * (d + 2) + 24

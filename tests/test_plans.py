@@ -377,3 +377,17 @@ def test_resample_no_cartesian_single_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") == 1
+
+
+def test_merge_upsert_single_window_no_join(spark):
+    """merge_upsert: union + one per-key window — no join node at all."""
+    from simba_spark.operators.pipeline import merge_upsert
+
+    a = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    b = spark.range(50).selectExpr("id AS k", "id * 3 AS v")
+    plan = _plan(merge_upsert(a, b, "k"))
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
+    assert "Union" in plan

@@ -128,6 +128,13 @@ def main() -> int:
         timings[name] = round(statistics.median(good), 3) if good else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # round-over-round comparability: the headline set grew in round 4
+    # (asof_join, tpch_q5, tpch_q6) — also emit the subtotal over the
+    # 20 queries BENCH_r03 measured so totals compare like-for-like
+    _R3_SET = set(HEADLINE) - {"asof_join", "tpch_q5", "tpch_q6"}
+    legacy_total = round(
+        sum(t for n, t in timings.items() if n in _R3_SET and t >= 0), 3
+    )
     try:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     except ValueError:
@@ -135,6 +142,7 @@ def main() -> int:
     out = {
         "metric": "headline_total_sec",
         "value": total,
+        "legacy_r3_total_sec": legacy_total,
         "unit": "sec",
         "queries": timings,
         "samples": samples,

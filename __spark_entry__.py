@@ -824,8 +824,9 @@ def q_asof_join(spark, sf_dir):
     """As-of join: each click event matched to the same user's most
     recent purchase at-or-before it (point-in-time enrichment). One
     shuffle, zero join nodes — union + per-key running-last window
-    (simba_spark.operators.asof). The oracle is DuckDB's NATIVE
-    ASOF LEFT JOIN, an independent implementation of the semantic."""
+    (simba_spark.operators.asof). The oracle is an explicit DuckDB
+    window formulation that encodes the pid tiebreak (native ASOF has
+    no tiebreak and could diverge on duplicate (user_id, ts))."""
     from simba_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -2329,14 +2330,25 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         "asof_join": """
-            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS tus,
-                   p.pid AS p_event_id, round(p.value, 4) AS p_value,
-                   epoch_us(e.ts) - epoch_us(p.ts) AS lag_us
-            FROM (SELECT event_id, user_id, ts FROM events
-                  WHERE event_type = 'click') e
-            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS pid, value
-                            FROM events WHERE event_type = 'purchase') p
-              ON e.user_id = p.user_id AND e.ts >= p.ts
+            -- explicit window formulation (not DuckDB's native ASOF,
+            -- which has no tiebreak): greatest (ts, pid) at-or-before,
+            -- matching the Spark operator's documented tiebreak even if
+            -- two purchases share (user_id, ts)
+            SELECT event_id, user_id, tus, p_event_id, p_value, lag_us
+            FROM (
+              SELECT c.event_id, c.user_id, epoch_us(c.ts) AS tus,
+                     p.pid AS p_event_id, round(p.value, 4) AS p_value,
+                     epoch_us(c.ts) - epoch_us(p.ts) AS lag_us,
+                     row_number() OVER (
+                       PARTITION BY c.user_id, c.event_id
+                       ORDER BY p.ts DESC NULLS LAST, p.pid DESC NULLS LAST
+                     ) AS rn
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click') c
+              LEFT JOIN (SELECT user_id, ts, event_id AS pid, value
+                         FROM events WHERE event_type = 'purchase') p
+                ON c.user_id = p.user_id AND p.ts <= c.ts
+            ) WHERE rn = 1
         """,
         "events_quantiles": """
             SELECT event_type,

@@ -86,7 +86,10 @@ def asof_join(
     tolerance : max allowed |left time - right time|, in MICROSECONDS
         for timestamp columns, else in the columns' own unit. Matches
         farther than this are nulled (how='left') or dropped
-        (how='inner').
+        (how='inner'). Setting it also EAGERLY pre-filters the right
+        side to [min(left time)-tolerance, max(left time)+tolerance]
+        (one 2-scalar driver job) so the union+sort only sees rows that
+        could possibly match.
     how : 'left' or 'inner'.
     right_prefix : prefix for right payload columns in the output.
     tiebreak_col : right column breaking equal-time ties toward its
@@ -110,6 +113,20 @@ def asof_join(
         raise ValueError(f"left_time {left_time!r} not in left")
     if rt not in right.columns:
         raise ValueError(f"right_time {rt!r} not in right")
+    if rt in keys:
+        raise ValueError(
+            f"right_time {rt!r} is also a join key — the right time column "
+            "is carried as payload and cannot be listed in `on`"
+        )
+    if _is_timestamp(left, left_time) != _is_timestamp(right, rt):
+        raise ValueError(
+            f"time columns are not mutually comparable: left {left_time!r} is "
+            f"{dict(left.dtypes)[left_time]}, right {rt!r} is "
+            f"{dict(right.dtypes)[rt]} — cast one side so both are timestamps "
+            "or both are numeric"
+        )
+    if tiebreak_col is not None and tiebreak_col not in right.columns:
+        raise ValueError(f"tiebreak_col {tiebreak_col!r} not in right")
 
     rpay = [c for c in right.columns if c not in keys]
     out_names = [right_prefix + c for c in rpay]
@@ -123,18 +140,46 @@ def asof_join(
         if h in left.columns or h in right.columns:
             raise ValueError(f"reserved column name {h!r} in input")
 
+    if tolerance is not None and not left.isStreaming and not right.isStreaming:
+        # With a tolerance, a right row farther than `tolerance` from the
+        # span of left times can never survive the gate below (if the
+        # closest candidate is out of tolerance, every farther one is
+        # too), so pre-filter the right side before the union+sort. One
+        # 2-scalar driver job over the left time column; at 100 TB with
+        # a tight tolerance this turns a full right-side sort input into
+        # a bounded one. Eager by design — documented in the docstring.
+        b = left.select(
+            F.min(left_time).alias("lo"), F.max(left_time).alias("hi")
+        ).first()
+        if b is not None and b["lo"] is not None:
+            if _is_timestamp(left, left_time):
+                ivl = "INTERVAL %d MICROSECOND" % int(tolerance)
+                lo = F.lit(b["lo"]) - F.expr(ivl)
+                hi = F.lit(b["hi"]) + F.expr(ivl)
+            else:
+                lo = F.lit(b["lo"]) - F.lit(tolerance)
+                hi = F.lit(b["hi"]) + F.lit(tolerance)
+            right = right.filter(F.col(rt).between(lo, hi))
+
+    # the tiebreak keeps its NATIVE type in the window ordering (a cast
+    # to long would NULL out string ids — or throw under ANSI mode —
+    # silently defeating the determinism guarantee); the left side
+    # contributes a typed NULL so the union stays schema-consistent
+    tb_type = right.schema[tiebreak_col].dataType if tiebreak_col else None
     lhs = left.select(
         *left.columns,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        (
+            F.lit(None).cast(tb_type) if tiebreak_col else F.lit(None).cast("long")
+        ).alias("__tb"),
     )
     rhs = right.filter(F.col(rt).isNotNull()).select(
         *keys,
         F.col(rt).alias("__t"),
         F.lit(0).alias("__side"),
         (
-            F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
+            F.col(tiebreak_col) if tiebreak_col else F.lit(0).cast("long")
         ).alias("__tb"),
         F.struct(*[F.col(c) for c in rpay]).alias("__rpay"),
     )

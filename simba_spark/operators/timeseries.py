@@ -78,15 +78,24 @@ def resample(
         tnum = F.unix_micros(F.col(ts_col))
     else:
         tnum = F.col(ts_col).cast("long")
-    # floor over double: sign-correct and engine-agnostic (bucket
-    # indexes are far below 2^53, so the double math is exact)
-    b = F.floor(tnum.cast("double") / F.lit(float(bw))).cast("long")
+    # exact integer floor division on longs (a double round-trip loses
+    # precision above 2^53 and can mis-bucket near boundaries): `div`
+    # truncates toward zero, so subtract 1 for inexact negative
+    # quotients — overflow-free, sign-correct floor
+    if "__tnum" in df.columns:
+        raise ValueError("reserved column name '__tnum' in input")
+    b = F.expr(
+        f"(__tnum div {bw}L) - "
+        f"(CASE WHEN __tnum % {bw}L != 0 AND __tnum < 0 THEN 1 ELSE 0 END)"
+    )
 
     # rows with a NULL time cannot bucket — drop them here (a key whose
     # times are ALL null disappears entirely) so the span aggregate
     # below never sees NULL bounds and trips the guard spuriously
     g = (
-        df.withColumn(bucket_col, b)
+        df.withColumn("__tnum", tnum)
+        .withColumn(bucket_col, b)
+        .drop("__tnum")
         .filter(F.col(bucket_col).isNotNull())
         .groupBy(key_col, bucket_col)
         .agg(*[c.alias(n) for n, c in aggs.items()])

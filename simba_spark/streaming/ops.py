@@ -387,6 +387,18 @@ def streaming_static_asof_join(
         "the right side must be static — use streaming_asof_join for "
         "stream-stream temporal pairing"
     )
+    for h in ("__arr", "__m", "__t", "__tb"):
+        if h in stream_df.columns or h in static_df.columns:
+            raise ValueError(f"reserved column name {h!r} in input")
+    if tiebreak_col is not None and tiebreak_col not in static_df.columns:
+        raise ValueError(f"tiebreak_col {tiebreak_col!r} not in static side")
+    rpay = [c for c in static_df.columns if c not in keys]
+    collide = {right_prefix + c for c in rpay} & set(stream_df.columns)
+    if collide:
+        raise ValueError(
+            f"output columns {sorted(collide)} collide with stream columns — "
+            "pick a different right_prefix"
+        )
     # bounded probe (limit max+1), not a full count: the guard's cost
     # must not scale with the static table it is guarding against
     n_static = static_df.limit(max_static_rows + 1).count()
@@ -395,17 +407,33 @@ def streaming_static_asof_join(
         "use streaming_asof_join (stream-stream) for unbounded right "
         "sides"
     )
-    rpay = [c for c in static_df.columns if c not in keys]
-    tb = (
-        F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
-    )
+    # native tiebreak type (a long cast would NULL string ids); NULL
+    # static times can never match, drop them up front
+    static_df = static_df.filter(F.col(static_ts).isNotNull())
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0).cast("long")
     packed = F.struct(
         F.col(static_ts).alias("__t"),
         tb.alias("__tb"),
         *[F.col(c).alias(c) for c in rpay],
     )
+
+    # comparator sorts on (time, tiebreak) ONLY — a plain array_sort
+    # would require the WHOLE payload struct to be orderable and reject
+    # map-typed payload columns
+    def _cmp(a, b):
+        return (
+            F.when(a["__t"] < b["__t"], F.lit(-1))
+            .when(a["__t"] > b["__t"], F.lit(1))
+            .when(a["__tb"].isNull() & b["__tb"].isNull(), F.lit(0))
+            .when(a["__tb"].isNull(), F.lit(-1))
+            .when(b["__tb"].isNull(), F.lit(1))
+            .when(a["__tb"] < b["__tb"], F.lit(-1))
+            .when(a["__tb"] > b["__tb"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
     arr = static_df.groupBy(*keys).agg(
-        F.array_sort(F.collect_list(packed)).alias("__arr")
+        F.array_sort(F.collect_list(packed), _cmp).alias("__arr")
     )
     joined = stream_df.join(F.broadcast(arr), on=keys, how="left")
     # try_element_at: an event before every snapshot (or an unseen key)

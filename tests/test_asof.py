@@ -171,3 +171,51 @@ def test_asof_composite_keys(spark):
     got = {r.lid: r.r_rid
            for r in asof_join(L, R, ["k1", "k2"], "t").collect()}
     assert got == {1: 100, 2: 200, 3: None}
+
+
+def test_asof_string_tiebreak_native_type(spark):
+    """ADVICE r4: a non-numeric tiebreak must keep its native type in
+    the window ordering (a long cast NULLed string ids and silently
+    broke determinism)."""
+    L = spark.createDataFrame([(1, 10, 1)], "k int, t int, lid int")
+    R = spark.createDataFrame(
+        [(1, 5, "ev_a", 1.0), (1, 5, "ev_b", 2.0)],
+        "k int, t int, rid string, rv double",
+    )
+    out = asof_join(L, R, "k", "t", tiebreak_col="rid")
+    row = out.collect()[0]
+    # greatest string id wins the equal-time tie
+    assert (row.r_rid, row.r_rv) == ("ev_b", 2.0)
+
+
+def test_asof_validation_errors(spark):
+    L = spark.createDataFrame([(1, 10, 1)], "k int, t int, lid int")
+    R = spark.createDataFrame([(1, 5, 9)], "k int, t int, rid int")
+    # right time listed as a join key
+    with pytest.raises(ValueError, match="join key"):
+        asof_join(L, R, ["k", "t"], "t")
+    # timestamp-left vs numeric-right mismatch
+    Lts = L.withColumn("t", F.timestamp_seconds(F.col("t")))
+    with pytest.raises(ValueError, match="comparable"):
+        asof_join(Lts, R, "k", "t")
+    # unknown tiebreak column
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(L, R, "k", "t", tiebreak_col="nope")
+
+
+def test_asof_tolerance_prefilter_equivalence(spark):
+    """Right rows far outside [min(left)-tol, max(left)+tol] are
+    pre-filtered; results must equal the unfiltered semantics."""
+    L = spark.createDataFrame(
+        [(1, 1000, 1), (1, 1100, 2)], "k int, t int, lid int"
+    )
+    R = spark.createDataFrame(
+        [(1, -50_000, 7, 1.0), (1, 990, 8, 2.0), (1, 80_000, 9, 3.0)],
+        "k int, t int, rid int, rv double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(L, R, "k", "t", direction=direction, tolerance=50,
+                        tiebreak_col="rid")
+        got = {r.lid: r.r_rid for r in out.collect()}
+        exp = {1: 8, 2: None} if direction != "forward" else {1: None, 2: None}
+        assert got == exp, direction

@@ -613,3 +613,46 @@ def test_streaming_static_asof_join_matches_batch(spark):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_static_asof_guards_and_map_payload(spark):
+    """ADVICE r4: reserved-name/prefix-collision guards mirror the batch
+    operator; the comparator sort tolerates non-orderable (map) payload
+    columns; string tiebreaks keep their native type."""
+    from simba_spark.streaming import streaming_static_asof_join
+
+    d = tempfile.mkdtemp(prefix="simba_ssa2_")
+    try:
+        ev = spark.createDataFrame([(1, 0, 100)], "eid long, k long, t long")
+        ev.write.mode("overwrite").parquet(d)
+        se = spark.readStream.schema(ev.schema).parquet(d)
+
+        dm = spark.createDataFrame(
+            [(0, 50, "v_a", {"a": 1}), (0, 50, "v_b", {"b": 2})],
+            "k long, t long, sid string, attrs map<string,int>",
+        )
+        out = streaming_static_asof_join(
+            se, dm, on="k", stream_ts="t", static_ts="t", tiebreak_col="sid"
+        )
+        rows = _run_stream(spark, out, "ssa2_out").collect()
+        assert len(rows) == 1
+        # greatest STRING tiebreak wins; map payload survives the sort
+        assert rows[0].r_sid == "v_b" and rows[0].r_attrs == {"b": 2}
+
+        with pytest.raises(ValueError, match="reserved"):
+            streaming_static_asof_join(
+                se.withColumnRenamed("eid", "__arr"), dm, on="k",
+                stream_ts="t", static_ts="t",
+            )
+        with pytest.raises(ValueError, match="collide"):
+            streaming_static_asof_join(
+                se.withColumnRenamed("eid", "r_sid"), dm, on="k",
+                stream_ts="t", static_ts="t",
+            )
+        with pytest.raises(ValueError, match="tiebreak"):
+            streaming_static_asof_join(
+                se, dm, on="k", stream_ts="t", static_ts="t",
+                tiebreak_col="nope",
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -255,3 +255,30 @@ def test_resample_randomized_bruteforce(spark):
                 carried = max(vs)
             exp[(k, b)] = (len(vs), carried)
     assert got == exp and len(exp) > 50
+
+
+def test_resample_large_magnitude_exact_bucketing(spark):
+    """ADVICE r4: bucket index uses exact integer floor division — a
+    double round-trip mis-buckets near boundaries above 2^53. Also
+    covers negative times (floor, not truncate-toward-zero)."""
+    big = (1 << 60) + 3  # not representable in double
+    rows = [(1, big, 1.0), (1, big + 7, 2.0), (2, -13, 3.0), (2, -1, 4.0)]
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    out = resample(
+        df, ts_col="t", key_col="k", bucket_us=10,
+        aggs={"n": F.count(F.lit(1))},
+    )
+    got = {(r.k, r.bucket): r.n for r in out.collect()}
+    exp = {}
+    from collections import Counter
+    c = Counter((k, t // 10) for k, t, _ in rows)
+    for (k, b), n in c.items():
+        exp[(k, b)] = n
+    # dense span fills gaps with rows too (n null -> no zero_fill here)
+    for (k, b) in list(got):
+        if (k, b) not in exp:
+            assert got[(k, b)] is None
+            del got[(k, b)]
+    assert got == exp
+    # t=-13 -> bucket -2, t=-1 -> bucket -1 (floor semantics)
+    assert (2, -2) in exp and (2, -1) in exp

@@ -343,19 +343,82 @@ def q_segment_range(spark, sf_dir):
 def q_segment_join(spark, sf_dir):
     """Segment-segment intersection join (closed; orientation tests as
     Column arithmetic — ref: LineSegment.intersects via JTS,
-    LineSegment.scala:33-45). Two small event-derived segment sets,
-    pairs whose segments cross."""
-    from simba_spark.operators.shapes import segments_intersect
+    LineSegment.scala:33-45) through the generalized canonical-cell
+    grid join (shape_shape_join) — cell equi-join, no cartesian."""
+    from simba_spark.operators.shapes import shape_shape_join
 
     segs = _ev_segments(spark, sf_dir)
     a = segs.filter(F.col("event_id") % 97 == 0).select(
-        F.col("event_id").alias("a_id"), F.col("seg").alias("seg_a")
+        F.col("event_id").alias("id"), "seg"
     )
     b = segs.filter(F.col("event_id") % 89 == 0).select(
-        F.col("event_id").alias("b_id"), F.col("seg").alias("seg_b")
+        F.col("event_id").alias("id"), "seg"
     )
-    out = a.crossJoin(b).filter(segments_intersect("seg_a", "seg_b"))
-    return out.select("a_id", "b_id")
+    out = shape_shape_join(
+        a, b, "seg", "seg", r=0.0, left_kind="segment", right_kind="segment"
+    )
+    return out.select(F.col("a_id"), F.col("b_id"))
+
+
+def q_box_box_join(spark, sf_dir):
+    """Box-box INTERSECTION join (r=0) through the generalized
+    canonical-cell grid join — the MBR×MBR cell of the reference's
+    shape-dispatch matrix (ref: MBR.intersects, MBR.scala:60-67, joined
+    by DJSpark.scala:47-53 over ShapeUtils.getShape'd rows). Cell
+    equi-join with unique canonical-cell emission; no cartesian."""
+    from simba_spark.operators.shapes import mbr_struct, shape_shape_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "uid", F.col("user_id").cast("double")
+    )
+    boxes = ev.withColumn(
+        "box",
+        mbr_struct(
+            [F.col("value"), F.col("uid")],
+            [
+                F.col("value") + (F.col("event_id") % 13).cast("double"),
+                F.col("uid") + (F.col("event_id") % 7).cast("double"),
+            ],
+        ),
+    )
+    a = boxes.filter(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("id"), "box"
+    )
+    b = boxes.filter(F.col("event_id") % 103 == 0).select(
+        F.col("event_id").alias("id"), "box"
+    )
+    out = shape_shape_join(
+        a, b, "box", "box", r=0.0, left_kind="mbr", right_kind="mbr"
+    )
+    return out.select(F.col("a_id"), F.col("b_id"))
+
+
+def q_segment_circle_join(spark, sf_dir):
+    """MIXED-kind distance join: (segment, circle) pairs with
+    minDist(segment, circle) <= r — dist(center, segment) <= r +
+    circle radius, clamped-projection arithmetic (ref:
+    LineSegment.minDist + Circle.minDist dispatch, LineSegment.scala:
+    47-76, Circle.scala:33-52). Same canonical-cell grid program."""
+    from simba_spark.operators.shapes import circle_struct, shape_shape_join
+
+    segs = _ev_segments(spark, sf_dir).filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id"), "seg"
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "uid", F.col("user_id").cast("double")
+    )
+    circles = ev.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("id"),
+        circle_struct(
+            [F.col("value"), F.col("uid")],
+            (F.col("event_id") % 5).cast("double") / F.lit(2.0),
+        ).alias("circ"),
+    )
+    out = shape_shape_join(
+        segs, circles, "seg", "circ", r=3.0,
+        left_kind="segment", right_kind="circle",
+    )
+    return out.select(F.col("a_id"), F.col("b_id"))
 
 
 def q_box_range(spark, sf_dir):
@@ -1411,7 +1474,10 @@ _DRIVER_QUERY_CAP = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # --- round-4 debuts (never driver-checked before) ---
+        # --- round-5 debuts (never driver-checked before) ---
+        "box_box_join": q_box_box_join,
+        "segment_circle_join": q_segment_circle_join,
+        # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -1442,9 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         # --- spatial filters + layouts ---
         "layout_routed_range": q_layout_routed_range,
-        "segment_range": q_segment_range,
         "segment_join": q_segment_join,
-        "box_range": q_box_range,
         "polygon_box_range": q_polygon_box_range,
         "circle_rows_range": q_circle_rows_range,
         "polygon_distance_join": q_polygon_distance_join,
@@ -1486,6 +1550,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- rotated after round 4 (green r2+r3+r4) ---
+        "segment_range": q_segment_range,
+        "box_range": q_box_range,
+        # --- rotated after round 3 ---
         "range_filter": q_range_filter,
         "circle_range": q_circle_range,
         "knn": q_knn,
@@ -2235,6 +2303,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.event_id AS a_id, p.event_id AS b_id
             FROM segs s, pts p
             WHERE {_point_seg_d2_sql("p.x", "p.y", "s.x1", "s.y1", "s.x2", "s.y2")} <= 9.0
+        """,
+        "box_box_join": """
+            WITH boxes AS (
+              SELECT event_id,
+                     value AS xlo, CAST(user_id AS DOUBLE) AS ylo,
+                     value + CAST(event_id % 13 AS DOUBLE) AS xhi,
+                     CAST(user_id AS DOUBLE) + CAST(event_id % 7 AS DOUBLE) AS yhi
+              FROM events
+            )
+            SELECT a.event_id AS a_id, b.event_id AS b_id
+            FROM boxes a, boxes b
+            WHERE a.event_id % 101 = 0 AND b.event_id % 103 = 0
+              AND a.xlo <= b.xhi AND b.xlo <= a.xhi
+              AND a.ylo <= b.yhi AND b.ylo <= a.yhi
+        """,
+        "segment_circle_join": f"""
+            WITH segs AS (
+              SELECT event_id,
+                     value AS x1, CAST(user_id AS DOUBLE) AS y1,
+                     value + CAST(event_id % 17 AS DOUBLE) - 8.0 AS x2,
+                     CAST(user_id AS DOUBLE) + CAST(event_id % 11 AS DOUBLE) - 5.0 AS y2
+              FROM events WHERE event_id % 97 = 0
+            ), circ AS (
+              SELECT event_id, value AS cx, CAST(user_id AS DOUBLE) AS cy,
+                     CAST(event_id % 5 AS DOUBLE) / 2.0 AS cr
+              FROM events WHERE event_id % 89 = 0
+            )
+            SELECT s.event_id AS a_id, c.event_id AS b_id
+            FROM segs s, circ c
+            WHERE {_point_seg_d2_sql("c.cx", "c.cy", "s.x1", "s.y1", "s.x2", "s.y2")}
+                  <= (3.0 + c.cr) * (3.0 + c.cr)
         """,
         "segment_knn": f"""
             WITH segs AS (

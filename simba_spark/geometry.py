@@ -210,7 +210,11 @@ class Circle(Shape):
                 0.0,
                 self.center.min_dist(other.center) - self.radius - other.radius,
             )
-        return other.min_dist(self)  # pragma: no cover
+        if isinstance(other, (LineSegment, Polygon)):
+            # dist(ball, S) = max(0, dist(center, S) - r); dispatching
+            # back to other.min_dist(self) would mutually recurse
+            return max(0.0, other.min_dist(self.center) - self.radius)
+        raise TypeError(type(other))
 
     def get_mbr(self) -> MBR:
         return MBR(

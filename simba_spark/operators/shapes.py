@@ -492,3 +492,239 @@ def shape_distance_join(
         .filter(_point_shape_within(sc, px, py, r, kind))
         .drop("__cx", "__cy", "__mnx", "__mxx", "__mny", "__mxy")
     )
+
+
+# ---------------------------------------------------------------------------
+# generic shape x shape distance / intersection join (full shape matrix)
+
+
+def _box_parts(box_col):
+    """(lox, hix, loy, hiy) Columns of a 2-D box struct."""
+    s = F.col(box_col) if isinstance(box_col, str) else box_col
+    return (
+        F.element_at(s["lo"], 1), F.element_at(s["hi"], 1),
+        F.element_at(s["lo"], 2), F.element_at(s["hi"], 2),
+    )
+
+
+def _seg_box_intersect_cols(x1, y1, x2, y2, lox, loy, hix, hiy) -> Column:
+    """Closed segment-box intersection with COLUMN box bounds — the
+    separating-axis test of :func:`segment_intersects_box` generalized
+    from literal bounds to per-row bounds."""
+    bbox = (
+        (F.least(x1, x2) <= hix) & (F.greatest(x1, x2) >= lox)
+        & (F.least(y1, y2) <= hiy) & (F.greatest(y1, y2) >= loy)
+    )
+    dx, dy = x2 - x1, y2 - y1
+
+    def cross(cx, cy):
+        return dx * (cy - y1) - dy * (cx - x1)
+
+    c1, c2 = cross(lox, loy), cross(hix, loy)
+    c3, c4 = cross(lox, hiy), cross(hix, hiy)
+    all_pos = (c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)
+    all_neg = (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+    return bbox & ~all_pos & ~all_neg
+
+
+def shape_pair_within(shape_a, kind_a: str, shape_b, kind_b: str, r) -> Column:
+    """Closed ``minDist(shape_a, shape_b) <= r`` for ANY pair of 2-D
+    box / segment / circle rows — the reference's ``Shape.minDist`` /
+    ``intersects`` dispatch matrix (ref: MBR.scala:60-102,
+    LineSegment.scala:33-76, Circle.scala:33-76 via ShapeUtils.getShape)
+    as pure codegen'd Column arithmetic. ``r=0`` is the exact
+    intersection predicate (orientation tests for segments, not a
+    float distance-to-zero compare)."""
+    from .polygon import _point_seg_d2, _seg_seg_d2
+
+    r = float(r)
+    sa = F.col(shape_a) if isinstance(shape_a, str) else shape_a
+    sb = F.col(shape_b) if isinstance(shape_b, str) else shape_b
+    ka, kb = kind_a, kind_b
+    for k in (ka, kb):
+        if k not in ("mbr", "segment", "circle"):
+            raise ValueError(
+                f"unsupported shape kind {k!r} (use polygon_polygon_join / "
+                "polygon_distance_join for polygon rows)"
+            )
+    # normalize the unordered pair so each combo is implemented once
+    # (minDist is symmetric)
+    if (ka, kb) in (("segment", "mbr"), ("circle", "mbr"), ("circle", "segment")):
+        sa, sb, ka, kb = sb, sa, kb, ka
+
+    if (ka, kb) == ("mbr", "mbr"):
+        alox, ahix, aloy, ahiy = _box_parts(sa)
+        blox, bhix, bloy, bhiy = _box_parts(sb)
+        gx = F.greatest(alox - bhix, blox - ahix, F.lit(0.0))
+        gy = F.greatest(aloy - bhiy, bloy - ahiy, F.lit(0.0))
+        return gx * gx + gy * gy <= F.lit(r * r)
+    if (ka, kb) == ("mbr", "segment"):
+        lox, hix, loy, hiy = _box_parts(sa)
+        x1, y1, x2, y2 = _seg_parts(sb)
+        inter = _seg_box_intersect_cols(x1, y1, x2, y2, lox, loy, hix, hiy)
+        if r == 0.0:
+            return inter
+        # non-intersecting: the nearest box point lies on one of the 4
+        # boundary edges — min over edge-segment distances
+        edges = [
+            (lox, loy, hix, loy), (hix, loy, hix, hiy),
+            (hix, hiy, lox, hiy), (lox, hiy, lox, loy),
+        ]
+        d2 = F.least(
+            *[_seg_seg_d2(x1, y1, x2, y2, ex1, ey1, ex2, ey2)
+              for ex1, ey1, ex2, ey2 in edges]
+        )
+        return inter | (d2 <= F.lit(r * r))
+    if (ka, kb) == ("mbr", "circle"):
+        lox, hix, loy, hiy = _box_parts(sa)
+        cx = F.element_at(sb["center"], 1)
+        cy = F.element_at(sb["center"], 2)
+        gx = F.greatest(lox - cx, cx - hix, F.lit(0.0))
+        gy = F.greatest(loy - cy, cy - hiy, F.lit(0.0))
+        reach = F.lit(r) + sb["r"]
+        return gx * gx + gy * gy <= reach * reach
+    if (ka, kb) == ("segment", "segment"):
+        ax1, ay1, ax2, ay2 = _seg_parts(sa)
+        bx1, by1, bx2, by2 = _seg_parts(sb)
+        inter = seg_seg_intersect_coords(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+        if r == 0.0:
+            return inter
+        return inter | (
+            _seg_seg_d2(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) <= F.lit(r * r)
+        )
+    if (ka, kb) == ("segment", "circle"):
+        x1, y1, x2, y2 = _seg_parts(sa)
+        cx = F.element_at(sb["center"], 1)
+        cy = F.element_at(sb["center"], 2)
+        reach = F.lit(r) + sb["r"]
+        return _point_seg_d2(cx, cy, x1, y1, x2, y2) <= reach * reach
+    # circle x circle
+    axc = F.element_at(sa["center"], 1)
+    ayc = F.element_at(sa["center"], 2)
+    bxc = F.element_at(sb["center"], 1)
+    byc = F.element_at(sb["center"], 2)
+    dx, dy = axc - bxc, ayc - byc
+    reach = F.lit(r) + sa["r"] + sb["r"]
+    return dx * dx + dy * dy <= reach * reach
+
+
+def shape_shape_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_shape_col: str,
+    right_shape_col: str,
+    r: float = 0.0,
+    left_kind: str = "mbr",
+    right_kind: str = "mbr",
+    cell_size: float = None,
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    max_cells_per_row: int = 10_000,
+) -> DataFrame:
+    """All (left row, right row) pairs with
+    ``minDist(left shape, right shape) <= r`` (closed) for ANY
+    combination of 2-D box / segment / circle rows; ``r=0`` is the
+    INTERSECTION join. Completes the reference's shape-matrix dispatch
+    (ref: DJSpark.scala:47-53 joining ``Shape.minDist`` over
+    ShapeUtils.getShape'd rows of any kind) as a distributed grid join
+    — no cartesian anywhere.
+
+    Same canonical-cell program as
+    :func:`~simba_spark.operators.polygon.polygon_polygon_join`: both
+    sides explode to the grid cells covered by their (left:
+    r-expanded) bounding boxes; a pair sharing several cells is
+    emitted ONLY in the cell of the top-left corner of their exploded
+    boxes' overlap (max of the mins per axis — a cell every candidate
+    pair provably shares), so the cell equi-join needs no dedup
+    shuffle. Codegen'd MBR-overlap pre-filter kills candidates before
+    the exact :func:`shape_pair_within` refine. ``cell_size=None``
+    derives the width from the average expanded extent of both sides
+    (1-row broadcast aggregate, no driver job)."""
+    r = float(r)
+    lp = left.select([F.col(c).alias(f"{left_prefix}{c}") for c in left.columns])
+    rp = right.select([F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
+    sa = F.col(f"{left_prefix}{left_shape_col}")
+    sb = F.col(f"{right_prefix}{right_shape_col}")
+
+    amnx, amxx, amny, amxy = _shape_mbr_cols(sa, left_kind)
+    bmnx, bmxx, bmny, bmxy = _shape_mbr_cols(sb, right_kind)
+    lp = lp.select(
+        "*",
+        (amnx - F.lit(r)).alias("__amnx"), (amxx + F.lit(r)).alias("__amxx"),
+        (amny - F.lit(r)).alias("__amny"), (amxy + F.lit(r)).alias("__amxy"),
+    )
+    rp = rp.select(
+        "*",
+        bmnx.alias("__bmnx"), bmxx.alias("__bmxx"),
+        bmny.alias("__bmny"), bmxy.alias("__bmxy"),
+    )
+
+    if cell_size is None:
+        stats = F.broadcast(
+            lp.select(
+                F.greatest(
+                    F.col("__amxx") - F.col("__amnx"),
+                    F.col("__amxy") - F.col("__amny"),
+                ).alias("__ext")
+            )
+            .unionByName(
+                rp.select(
+                    F.greatest(
+                        F.col("__bmxx") - F.col("__bmnx"),
+                        F.col("__bmxy") - F.col("__bmny"),
+                    ).alias("__ext")
+                )
+            )
+            .agg(F.greatest(F.avg("__ext"), F.lit(1e-9)).alias("__cw"))
+        )
+        lp = lp.crossJoin(stats)
+        rp = rp.crossJoin(stats)
+        cw = F.col("__cw")
+    else:
+        cw = F.lit(float(cell_size))
+
+    def explode_cells(df, mnx, mxx, mny, mxy, who):
+        cxlo = F.floor(F.col(mnx) / cw).cast("long")
+        cxhi = F.floor(F.col(mxx) / cw).cast("long")
+        cylo = F.floor(F.col(mny) / cw).cast("long")
+        cyhi = F.floor(F.col(mxy) / cw).cast("long")
+        n_cells = (cxhi - cxlo + 1) * (cyhi - cylo + 1)
+        guard = F.when(n_cells <= int(max_cells_per_row), cxhi).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"shape_shape_join: a {who} bounding box covers more "
+                    f"than {max_cells_per_row} cells — pass a larger "
+                    "cell_size"
+                )
+            ).cast("long")
+        )
+        return df.withColumn(
+            "__cx", F.explode(F.sequence(cxlo, guard))
+        ).withColumn("__cy", F.explode(F.sequence(cylo, cyhi)))
+
+    lg = explode_cells(lp, "__amnx", "__amxx", "__amny", "__amxy", "left")
+    rg = explode_cells(rp, "__bmnx", "__bmxx", "__bmny", "__bmxy", "right")
+    if cell_size is None:
+        lg = lg.drop("__cw")
+    canon_cx = F.floor(F.greatest(F.col("__amnx"), F.col("__bmnx")) / cw).cast("long")
+    canon_cy = F.floor(F.greatest(F.col("__amny"), F.col("__bmny")) / cw).cast("long")
+    out = (
+        lg.join(rg, on=["__cx", "__cy"], how="inner")
+        # codegen'd sargable pre-filters: expanded boxes overlap AND
+        # this is the pair's canonical cell (unique emission)
+        .filter(
+            (F.col("__amnx") <= F.col("__bmxx"))
+            & (F.col("__bmnx") <= F.col("__amxx"))
+            & (F.col("__amny") <= F.col("__bmxy"))
+            & (F.col("__bmny") <= F.col("__amxy"))
+            & (F.col("__cx") == canon_cx)
+            & (F.col("__cy") == canon_cy)
+        )
+        .filter(shape_pair_within(sa, left_kind, sb, right_kind, r))
+    )
+    drop = ["__cx", "__cy"] + [
+        f"__{s}{c}" for s in "ab" for c in ("mnx", "mxx", "mny", "mxy")
+    ]
+    if cell_size is None:
+        drop.append("__cw")
+    return out.drop(*drop)

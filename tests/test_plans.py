@@ -393,3 +393,19 @@ def test_merge_upsert_single_window_no_join(spark):
 
     assert len(re.findall(r"\bWindow \[", plan)) == 1
     assert "Union" in plan
+
+
+def test_q_segment_join_driver_row_no_cartesian(spark):
+    """Round-5 re-route: the segment_join driver row runs through the
+    generalized shape_shape_join grid program — the pair join is a cell
+    equi-join, never the crossJoin it debuted with (the 1-row cell-width
+    stats broadcast is the only nested-loop node allowed)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_segment_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )

@@ -24,11 +24,14 @@ def test_registry_split_is_disjoint_and_fully_oracled():
     assert allq == set(o)
 
 
-def test_round4_debuts_lead_the_window():
+def test_round5_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
-    the dict (dict order IS the driver's check order)."""
-    head = list(entrymod.queries())[:17]
+    the dict (dict order IS the driver's check order), followed by the
+    round-4 debuts still earning their 3 greens."""
+    head = list(entrymod.queries())[:19]
     assert head == [
+        "box_box_join",
+        "segment_circle_join",
         "asof_join",
         "tpch_q5",
         "tpch_q6",

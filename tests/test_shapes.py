@@ -361,3 +361,117 @@ def test_shape_distance_join_matches_geometry_oracle(spark):
         ).collect()
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# generic shape x shape join (full shape matrix)
+
+
+def _mixed_shape_frames(spark, seed):
+    """Two frames each carrying a box, segment, and circle column per
+    row, plus the driver-side geometry objects for the oracle."""
+    from simba_spark.operators.shapes import (
+        circle_struct, mbr_struct, segment_struct,
+    )
+
+    rng = random.Random(seed)
+    rows, geo = [], []
+    for i in range(120):
+        xlo, ylo = rng.uniform(-12, 12), rng.uniform(-12, 12)
+        w, h = rng.uniform(0, 4), rng.uniform(0, 4)
+        sx1, sy1 = rng.uniform(-12, 12), rng.uniform(-12, 12)
+        sx2, sy2 = sx1 + rng.uniform(-5, 5), sy1 + rng.uniform(-5, 5)
+        cx, cy, cr = rng.uniform(-12, 12), rng.uniform(-12, 12), rng.uniform(0, 3)
+        rows.append((i, xlo, ylo, xlo + w, ylo + h, sx1, sy1, sx2, sy2, cx, cy, cr))
+        geo.append({
+            "mbr": MBR(Point((xlo, ylo)), Point((xlo + w, ylo + h))),
+            "segment": LineSegment(Point((sx1, sy1)), Point((sx2, sy2))),
+            "circle": Circle(Point((cx, cy)), cr),
+        })
+    df = spark.createDataFrame(
+        rows,
+        "id long, xlo double, ylo double, xhi double, yhi double, "
+        "sx1 double, sy1 double, sx2 double, sy2 double, "
+        "cx double, cy double, cr double",
+    ).select(
+        "id",
+        mbr_struct([F.col("xlo"), F.col("ylo")], [F.col("xhi"), F.col("yhi")]).alias("box"),
+        segment_struct(F.col("sx1"), F.col("sy1"), F.col("sx2"), F.col("sy2")).alias("seg"),
+        circle_struct([F.col("cx"), F.col("cy")], F.col("cr")).alias("circ"),
+    )
+    return df, geo
+
+
+_KIND_COL = {"mbr": "box", "segment": "seg", "circle": "circ"}
+
+
+@pytest.mark.parametrize("ka,kb", [
+    ("mbr", "mbr"), ("mbr", "segment"), ("mbr", "circle"),
+    ("segment", "segment"), ("segment", "circle"), ("circle", "circle"),
+])
+@pytest.mark.parametrize("r", [0.0, 1.5])
+def test_shape_shape_join_matches_geometry_oracle(spark, ka, kb, r):
+    """The generalized canonical-cell grid join must equal the
+    driver-side geometry min_dist/intersects oracle on every kind pair,
+    r=0 (intersection) and r>0 (distance), including touching cases."""
+    from simba_spark.operators.shapes import shape_shape_join
+
+    A, ga = _mixed_shape_frames(spark, seed=31)
+    B, gb = _mixed_shape_frames(spark, seed=32)
+    out = shape_shape_join(
+        A.select("id", _KIND_COL[ka]),
+        B.select("id", _KIND_COL[kb]),
+        _KIND_COL[ka], _KIND_COL[kb], r=r,
+        left_kind=ka, right_kind=kb,
+    )
+    got = sorted((row.a_id, row.b_id) for row in out.collect())
+    exp = sorted(
+        (i, j)
+        for i in range(len(ga)) for j in range(len(gb))
+        if (ga[i][ka].intersects(gb[j][kb]) if r == 0.0
+            else ga[i][ka].min_dist(gb[j][kb]) <= r)
+    )
+    assert got == exp and len(exp) > 10
+
+
+def test_shape_shape_join_no_duplicate_emission(spark):
+    """A pair overlapping many shared grid cells must appear exactly
+    once (canonical-cell rule), even with a tiny forced cell size."""
+    from simba_spark.operators.shapes import shape_shape_join
+
+    A, _ = _mixed_shape_frames(spark, seed=41)
+    B, _ = _mixed_shape_frames(spark, seed=42)
+    out = shape_shape_join(
+        A.select("id", "box"), B.select("id", "box"), "box", "box",
+        r=1.0, left_kind="mbr", right_kind="mbr", cell_size=0.25,
+    )
+    pairs = [(row.a_id, row.b_id) for row in out.collect()]
+    assert len(pairs) == len(set(pairs)) and len(pairs) > 10
+
+
+def test_shape_shape_join_plan_no_cartesian(spark):
+    """Scale contract: cell equi-join, never a cartesian/BNL."""
+    from simba_spark.operators.shapes import shape_shape_join
+
+    A, _ = _mixed_shape_frames(spark, seed=51)
+    B, _ = _mixed_shape_frames(spark, seed=52)
+    # explicit cell_size: no 1-row stats subplan, so NO nested-loop
+    # node of any kind may appear
+    out = shape_shape_join(
+        A.select("id", "seg"), B.select("id", "seg"), "seg", "seg",
+        r=0.0, left_kind="segment", right_kind="segment", cell_size=2.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # derived cell width: the only nested-loop nodes are the 1-ROW
+    # stats broadcasts; the pair join itself is still the cell
+    # equi-join
+    auto = shape_shape_join(
+        A.select("id", "seg"), B.select("id", "seg"), "seg", "seg",
+        r=0.0, left_kind="segment", right_kind="segment",
+    )
+    aplan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in aplan
+    assert "SortMergeJoin" in aplan or "ShuffledHashJoin" in aplan

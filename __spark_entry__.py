@@ -715,6 +715,35 @@ def q_knn_join_voronoi(spark, sf_dir):
     )
 
 
+def q_knn_join_highd(spark, sf_dir):
+    """8-D exact kNN join: the 'bounded' router's d >= 6 rule steers it
+    to the dimension-agnostic Voronoi program (grid candidate
+    generation replicates ~2^d per cell — ref parity: N-dim Point,
+    Point.scala:28-29, with VKJSpark as the reference's own high-d
+    plan). broadcast_bytes=1 forces past the small-side broadcast route
+    so the driver row exercises the high-d path itself; exactness is
+    algorithm-independent, so brute-force SQL ranking is a true
+    oracle."""
+    from simba_spark.operators.knn_join import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = [
+        F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
+        for i in range(8)
+    ]
+    pts = emb.select(F.col("vec_id"), *dims)
+    cols = [f"d{i}" for i in range(8)]
+    out = knn_join(
+        pts.filter(F.col("vec_id") % 7 == 0), pts, cols, cols, 3,
+        left_id="vec_id", right_tiebreak="vec_id", broadcast_bytes=1.0,
+    )
+    return out.select(
+        F.col("l_vec_id").alias("a_id"),
+        F.col("r_vec_id").alias("b_id"),
+        F.col("dist"),
+    )
+
+
 def q_zknn_join(spark, sf_dir):
     """Approximate z-order kNN join. Approximate ≠ unverifiable: the
     pipeline is deterministic given the seed, and `_zknn_oracle_sql`
@@ -1477,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 debuts (never driver-checked before) ---
         "box_box_join": q_box_box_join,
         "segment_circle_join": q_segment_circle_join,
+        "knn_join_highd": q_knn_join_highd,
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "tpch_q5": q_tpch_q5,
@@ -1516,7 +1546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_distance_join": q_segment_distance_join,
         # --- spatial joins ---
         "interval_join": q_interval_join,
-        "interval_overlap": q_interval_overlap,
         "distance_join": q_distance_join,
         "knn_join": q_knn_join,
         "knn_join_voronoi": q_knn_join_voronoi,
@@ -1553,6 +1582,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotated after round 4 (green r2+r3+r4) ---
         "segment_range": q_segment_range,
         "box_range": q_box_range,
+        "interval_overlap": q_interval_overlap,
         # --- rotated after round 3 ---
         "range_filter": q_range_filter,
         "circle_range": q_circle_range,
@@ -2303,6 +2333,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.event_id AS a_id, p.event_id AS b_id
             FROM segs s, pts p
             WHERE {_point_seg_d2_sql("p.x", "p.y", "s.x1", "s.y1", "s.x2", "s.y2")} <= 9.0
+        """,
+        "knn_join_highd": f"""
+            WITH pts AS (
+              SELECT vec_id,
+                     {", ".join(f"embedding[{i + 1}]::DOUBLE AS d{i}" for i in range(8))}
+              FROM embeddings
+            ), pairs AS (
+              SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+                     sqrt(0.0 + {" + ".join(f"(l.d{i} - r.d{i}) * (l.d{i} - r.d{i})" for i in range(8))}) AS dist,
+                     row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY 0.0 + {" + ".join(f"(l.d{i} - r.d{i}) * (l.d{i} - r.d{i})" for i in range(8))} ASC,
+                                r.vec_id ASC
+                     ) AS rn
+              FROM pts l, pts r
+              WHERE l.vec_id % 7 = 0
+            )
+            SELECT a_id, b_id, dist FROM pairs WHERE rn <= 3
         """,
         "box_box_join": """
             WITH boxes AS (

@@ -133,6 +133,15 @@ def knn_join(
             .withColumn("dist", dist)
         )
         return _topk(pairs, lid, k, F.col("dist"), rtb)
+    if algo == "bounded" and len(lcols) >= _voronoi_min_dim(lp):
+        # high-dimension route: the θ grid program replicates ~2^d
+        # cells per row and the z-value guard (d·bits <= 63) collapses
+        # per-dimension resolution as d grows, so past d≈6 grid
+        # candidate generation approaches all-pairs. The pivot-based
+        # Voronoi program is dimension-agnostic (ref parity: Point is
+        # N-dim, Point.scala:28-29; VKJSpark is the reference's own
+        # high-d kNN-join answer).
+        algo = "voronoi"
     if algo == "voronoi":
         return _voronoi_knn_join(
             lp, rp, lcols, rcols, k, lid, dist, rtb,
@@ -281,22 +290,41 @@ def _voronoi_knn_join(
     pivots = sample[chosen]  # (P, d)
     pp = np.sqrt(((pivots[:, None, :] - pivots[None, :, :]) ** 2).sum(axis=2))
 
-    def cell_and_dist(cols):
-        d2s = [
-            sum(
-                (F.col(c).cast("double") - F.lit(float(pv[ci]))) ** 2
-                for ci, c in enumerate(cols)
+    def with_cell_and_dist(df, cols):
+        # distances via higher-order functions over a pivot-array
+        # literal: a JVM-side LOOP, not P×d unrolled expressions — the
+        # unrolled form blew the 64 KB codegen method limit around
+        # P·d ≈ 200 (e.g. 32 pivots × 8 dims), dropping whole stages to
+        # interpreted mode. Same left-fold association as before
+        # (sum() and F.aggregate both fold ((0+e0)+e1)+…).
+        point = F.array(*[F.col(c).cast("double") for c in cols])
+        pv = F.array(
+            *[F.array(*[F.lit(float(x)) for x in p]) for p in pivots]
+        )
+        arr = F.transform(
+            pv,
+            lambda p: F.sqrt(
+                F.aggregate(
+                    F.zip_with(p, point, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        return (
+            df.withColumn("__parr", arr)
+            .withColumn("__pd", F.array_min("__parr"))
+            .withColumn(
+                "__cell",
+                (F.array_position(F.col("__parr"), F.col("__pd")) - 1).cast(
+                    "int"
+                ),
             )
-            for pv in pivots
-        ]
-        arr = F.array(*[F.sqrt(e) for e in d2s])
-        cell = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-        return cell, F.array_min(arr)
+            .drop("__parr")
+        )
 
-    lcell, ldist = cell_and_dist(lcols)
-    rcell, rdist = cell_and_dist(rcols)
-    lc = lp.withColumn("__cell", lcell).withColumn("__pd", ldist)
-    rc = rp.withColumn("__cell", rcell).withColumn("__pd", rdist)
+    lc = with_cell_and_dist(lp, lcols)
+    rc = with_cell_and_dist(rp, rcols)
 
     # per-cell meta in ONE job over a tagged skinny union:
     # left: ub_i = max pivot dist; right: ub_j, count, k smallest pivot
@@ -454,6 +482,19 @@ def _broadcast_cap(df: DataFrame) -> float:
     except Exception:
         pass
     return float(8 << 20)
+
+
+def _voronoi_min_dim(df: DataFrame) -> int:
+    """Dimension at which the 'bounded' router switches from the θ grid
+    program to the pivot-based Voronoi plan —
+    `simba_spark.knnjoin.voronoi_min_dim` if set, else 6."""
+    try:
+        v = df.sparkSession.conf.get("simba_spark.knnjoin.voronoi_min_dim", None)
+        if v is not None:
+            return int(v)
+    except Exception:
+        pass
+    return 6
 
 
 def _hash_sample(df: DataFrame, cols: Sequence[str], cap: int, salt: int):

@@ -514,3 +514,53 @@ def test_knn_join_4d_exact_and_zknn(spark):
     assert zp == zp2
     recall = len(set(zp) & set(exact)) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_knn_join_8d_routes_to_voronoi_and_is_exact(spark):
+    """d >= 6 auto-route (round 5): the 'bounded' router must steer
+    high-dimension joins to the dimension-agnostic Voronoi program (the
+    grid program replicates ~2^d per cell) and stay EXACT — equal to
+    the cross oracle with no bits/algo override. Ref parity: N-dim
+    Point (Point.scala:28-29), VKJSpark as the high-d plan."""
+    import random
+
+    from simba_spark.operators.knn_join import knn_join
+
+    rng = random.Random(23)
+    d = 8
+    lrows = [(i, *[rng.uniform(0, 100) for _ in range(d)]) for i in range(40)]
+    rrows = [(j, *[rng.uniform(0, 100) for _ in range(d)]) for j in range(300)]
+    lcols = [f"p{i}" for i in range(d)]
+    rcols = [f"q{i}" for i in range(d)]
+    left = spark.createDataFrame(
+        lrows, "lid long, " + ", ".join(f"{c} double" for c in lcols)
+    )
+    right = spark.createDataFrame(
+        rrows, "rid long, " + ", ".join(f"{c} double" for c in rcols)
+    )
+
+    def pairs_of(df):
+        return sorted((r.l_lid, r.r_rid) for r in df.collect())
+
+    exact = pairs_of(
+        knn_join(left, right, lcols, rcols, 4, left_id="lid",
+                 algo="cross", right_tiebreak="rid")
+    )
+    # default algo, no overrides: must route away from the grid AND
+    # match the oracle exactly (force past the broadcast cost-route so
+    # the dimension rule itself is exercised)
+    routed = pairs_of(
+        knn_join(left, right, lcols, rcols, 4, left_id="lid",
+                 right_tiebreak="rid", broadcast_bytes=1.0)
+    )
+    assert routed == exact and len(exact) == 40 * 4
+    # conf override raises the threshold -> θ path again (still exact)
+    spark.conf.set("simba_spark.knnjoin.voronoi_min_dim", "9")
+    try:
+        theta = pairs_of(
+            knn_join(left, right, lcols, rcols, 4, left_id="lid",
+                     right_tiebreak="rid", broadcast_bytes=1.0)
+        )
+    finally:
+        spark.conf.unset("simba_spark.knnjoin.voronoi_min_dim")
+    assert theta == exact

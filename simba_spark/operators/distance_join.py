@@ -36,6 +36,22 @@ from pyspark.sql import functions as F
 from ..functions import dist2_cols
 
 
+def _session_algo(df: DataFrame, key: str, default: str) -> str:
+    """Algorithm default from the Spark SESSION conf — the reference's
+    conf-driven dispatch (simba.join.distanceJoin / simba.join.knnJoin,
+    ref: SimbaSessionState.scala:191-227): users flip the physical plan
+    with spark.conf.set(...) and no code change. An explicit ``algo=``
+    argument (or a SimbaContext, which injects its own SimbaConf value)
+    always wins over the session conf."""
+    try:
+        v = df.sparkSession.conf.get(key, None)
+        if v is not None:
+            return str(v)
+    except Exception:
+        pass
+    return default
+
+
 def _prefix_columns(df: DataFrame, prefix: str) -> DataFrame:
     """Disambiguate output columns: reference output is left.output ++
     right.output (ref: plans/SpatialJoin.scala:28-44); Spark needs unique
@@ -51,7 +67,7 @@ def distance_join(
     left_cols: Sequence[str],
     right_cols: Sequence[str],
     radius: float,
-    algo: str = "grid",
+    algo: Optional[str] = None,
     cell_size: Optional[float] = None,
     left_prefix: str = "",
     right_prefix: str = "",
@@ -66,6 +82,8 @@ def distance_join(
     r = float(radius)
     assert r >= 0.0
     assert len(left_cols) == len(right_cols), "dimension mismatch"
+    if algo is None:
+        algo = _session_algo(left, "simba_spark.join.distanceJoin", "grid")
 
     lp = _prefix_columns(left, left_prefix)
     rp = _prefix_columns(right, right_prefix)

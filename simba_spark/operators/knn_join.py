@@ -77,7 +77,7 @@ def knn_join(
     right_cols: Sequence[str],
     k: int,
     left_id: str = None,
-    algo: str = "bounded",
+    algo: Optional[str] = None,
     left_prefix: str = "l_",
     right_prefix: str = "r_",
     right_tiebreak: Optional[str] = None,
@@ -99,6 +99,13 @@ def knn_join(
     assert left_id is not None, "knn_join requires left_id (unique left key)"
     assert len(left_cols) == len(right_cols), "dimension mismatch"
     k = int(k)
+    if algo is None:
+        # conf-driven dispatch parity (simba.join.knnJoin, ref:
+        # SimbaSessionState.scala:191-227): session conf picks the
+        # default program; an explicit algo= always wins
+        from .distance_join import _session_algo
+
+        algo = _session_algo(left, "simba_spark.join.knnJoin", "bounded")
 
     lp = _prefix_columns(left, left_prefix)
     rp = _prefix_columns(right, right_prefix)

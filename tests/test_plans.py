@@ -409,3 +409,53 @@ def test_q_segment_join_driver_row_no_cartesian(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_session_conf_drives_join_algorithm_dispatch(spark):
+    """Reference parity (simba.join.* conf dispatch,
+    SimbaSessionState.scala:191-227): flipping the session conf changes
+    the physical program with no code change; an explicit algo= still
+    wins."""
+    from simba_spark.operators.distance_join import distance_join
+    from simba_spark.operators.knn_join import knn_join
+
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet")).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("x"),
+        F.col("c_nationkey").cast("double").alias("y"),
+    )
+    supp = spark.read.parquet(os.path.join(SF, "supplier.parquet")).select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("x2"),
+        F.col("s_nationkey").cast("double").alias("y2"),
+    )
+    # distance_join: default grid -> cell equi-join; conf=cross -> cartesian
+    dflt = _plan(distance_join(cust, supp, ["x", "y"], ["x2", "y2"], 50.0,
+                               left_prefix="a_", right_prefix="b_"))
+    assert "CartesianProduct" not in dflt
+    spark.conf.set("simba_spark.join.distanceJoin", "cross")
+    try:
+        crossed = _plan(distance_join(cust, supp, ["x", "y"], ["x2", "y2"], 50.0,
+                                      left_prefix="a_", right_prefix="b_"))
+        assert "CartesianProduct" in crossed or "BroadcastNestedLoopJoin" in crossed
+        # explicit argument beats the conf
+        explicit = _plan(distance_join(cust, supp, ["x", "y"], ["x2", "y2"], 50.0,
+                                       algo="grid", left_prefix="a_",
+                                       right_prefix="b_"))
+        assert ("CartesianProduct" not in explicit
+                and "BroadcastNestedLoopJoin" not in explicit)
+    finally:
+        spark.conf.unset("simba_spark.join.distanceJoin")
+
+    # knn_join: conf=cross -> cartesian pair stream; default -> no cartesian
+    kd = _plan(knn_join(cust, supp, ["x", "y"], ["x2", "y2"], 2,
+                        left_id="c_custkey", right_tiebreak="s_suppkey",
+                        broadcast_bytes=1.0))
+    assert "CartesianProduct" not in kd and "BroadcastNestedLoopJoin" not in kd
+    spark.conf.set("simba_spark.join.knnJoin", "cross")
+    try:
+        kc = _plan(knn_join(cust, supp, ["x", "y"], ["x2", "y2"], 2,
+                            left_id="c_custkey", right_tiebreak="s_suppkey"))
+        assert "CartesianProduct" in kc or "BroadcastNestedLoopJoin" in kc
+    finally:
+        spark.conf.unset("simba_spark.join.knnJoin")

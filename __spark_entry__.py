@@ -1318,6 +1318,31 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_chunk(spark, sf_dir):
+    """Token-window chunking with overlap (32-token chunks, stride 24):
+    the splitter in front of packing/embedding indexes. Zero-shuffle
+    explode+slice; short tail chunks dropped unless they are the only
+    chunk."""
+    from simba_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=32, stride=24, min_tail_tokens=8,
+    )
+
+
+def q_dup_ngrams(spark, sf_dir):
+    """Cross-document duplicated 5-gram fraction (C4/RefinedWeb
+    boilerplate signal): gram shuffle + id shuffle, skew-bounded by
+    aggregating hot grams to one row before the join-back."""
+    from simba_spark.operators.dedup import dup_ngram_fraction
+
+    return dup_ngram_fraction(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+        n=5, min_doc_count=2,
+    )
+
+
 def q_dedup_components(spark, sf_dir):
     """Exact near-dup clustering: cosine>=0.42 pairs (blocked to
     vec_id%5==0 like embedding_dup_pairs) → connected components →
@@ -1507,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_box_join": q_box_box_join,
         "segment_circle_join": q_segment_circle_join,
         "knn_join_highd": q_knn_join_highd,
+        "doc_chunk": q_doc_chunk,
+        "dup_ngrams": q_dup_ngrams,
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "tpch_q5": q_tpch_q5,
@@ -1552,11 +1579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zknn_join": q_zknn_join,
         # --- relational ---
         "tpch_q3": q_tpch_q3,
-        "sessionize": q_sessionize,
         # --- text analysis ---
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         # --- similarity ---
@@ -1583,6 +1608,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_range": q_segment_range,
         "box_range": q_box_range,
         "interval_overlap": q_interval_overlap,
+        "sessionize": q_sessionize,
+        "ngram_jaccard": q_ngram_jaccard,
         # --- rotated after round 3 ---
         "range_filter": q_range_filter,
         "circle_range": q_circle_range,
@@ -2822,6 +2849,45 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT e.eval_id) AS n_eval_docs
             FROM dg d JOIN eg e ON d.s = e.s
             GROUP BY d.doc_id
+        """,
+        "doc_chunk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), e AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, len(t) - 1, 24)) AS s
+              FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id, (s // 24)::INT AS chunk_id,
+                   len(t[s + 1 : s + 32]) AS n_tokens,
+                   array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text
+            FROM e
+            WHERE s = 0 OR len(t[s + 1 : s + 32]) >= 8
+        """,
+        "dup_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE doc_id % 2 = 0
+            ), g AS (
+              SELECT doc_id,
+                     array_to_string(t[p : p + 4], ' ') AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 4)) AS p
+                    FROM toks WHERE len(t) >= 5)
+            ), gc AS (
+              SELECT gram, count(DISTINCT doc_id) AS docs
+              FROM g GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN gc.docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                   sum(CASE WHEN gc.docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE AS dup_frac
+            FROM g JOIN gc USING (gram)
+            GROUP BY g.doc_id
         """,
         "doc_repetition": r"""
             WITH toks AS (

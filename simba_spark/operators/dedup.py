@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles
+from .text import TOKEN_SPLIT_RE, fingerprint, shingles
 
 
 # ---------------------------------------------------------------------------
@@ -745,4 +745,63 @@ def contamination_check(
             F.countDistinct("__s").alias("n_hit_shingles"),
             F.countDistinct("__eval_id").alias("n_eval_docs"),
         )
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction — the C4/RefinedWeb
+    boilerplate signal: for each document, the fraction of its n-gram
+    positions whose n-gram also occurs in at least `min_doc_count`
+    DISTINCT documents. High fractions flag boilerplate/templated docs
+    that survive whole-document dedup (no reference analog; SURVEY §2.7
+    north-star family).
+
+    Plan: tokenize → positional n-grams (explode; ~n× row
+    amplification on skinny (id, gram) rows only) → (1) per-gram
+    distinct-doc counts, one shuffle on the gram; (2) join the counts
+    back and aggregate per doc, one shuffle on the id. A globally hot
+    gram is ONE row after aggregation (1), so popularity cannot skew
+    the join — the same bounded-skew argument as the TF-IDF plan.
+    At larger scale swap the gram string for xxhash64(gram) to shrink
+    shuffle bytes (kept as the raw string here so the DuckDB oracle is
+    engine-portable).
+
+    Returns (id, n_grams, n_dup, dup_frac) for docs with >= n tokens;
+    dup_frac is the raw IEEE quotient (exact cross-engine).
+    """
+    n = int(n)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    grams = (
+        df.select(id_col, toks.alias("__toks"))
+        .withColumn("__nt", F.size("__toks"))
+        .filter(F.col("__nt") >= n)
+        .withColumn(
+            "__p", F.explode(F.sequence(F.lit(1), F.col("__nt") - (n - 1)))
+        )
+        .select(
+            id_col,
+            F.array_join(F.slice("__toks", F.col("__p"), n), " ").alias(
+                "__gram"
+            ),
+        )
+    )
+    gcount = grams.groupBy("__gram").agg(
+        F.countDistinct(id_col).alias("__docs")
+    )
+    return (
+        grams.join(gcount, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__docs") >= int(min_doc_count), 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.col("n_dup") / F.col("n_grams"))
     )

@@ -280,3 +280,53 @@ def tfidf_topk(
         .filter(F.col("rn") <= int(top_n))
         .select(id_col, "term", "tf", "tfidf", "rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    min_tail_tokens: int = 8,
+) -> DataFrame:
+    """Token-window chunking with overlap — the standard document
+    splitter in front of pre-training packing and embedding indexes
+    (stride < chunk_tokens gives chunk_tokens - stride tokens of
+    overlap between consecutive chunks).
+
+    Deterministic, SQL-expressible semantics: tokens are the
+    whitespace split of lower(trim(text)); windows start at 0, stride,
+    2·stride, … while start < n_tokens; each chunk takes up to
+    `chunk_tokens` tokens; a TAIL chunk shorter than `min_tail_tokens`
+    is dropped unless it is the document's only chunk (its content is
+    already covered by the preceding overlapping chunk).
+
+    Scale: tokenize + explode + slice per row — pure Column
+    arithmetic inside whole-stage codegen, ZERO shuffle; output size
+    is the only cost (≈ n/stride rows per doc). Composes with
+    exact/near dedup and pack_sequences downstream.
+    """
+    chunk_tokens, stride = int(chunk_tokens), int(stride)
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("require 0 < stride <= chunk_tokens")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    d = (
+        df.select(id_col, toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "__start",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))),
+        )
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    out = d.select(
+        id_col,
+        (F.col("__start") / stride).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+    return out.filter(
+        (F.col("chunk_id") == 0) | (F.col("n_tokens") >= int(min_tail_tokens))
+    )

@@ -28,11 +28,13 @@ def test_round5_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
     the dict (dict order IS the driver's check order), followed by the
     round-4 debuts still earning their 3 greens."""
-    head = list(entrymod.queries())[:20]
+    head = list(entrymod.queries())[:22]
     assert head == [
         "box_box_join",
         "segment_circle_join",
         "knn_join_highd",
+        "doc_chunk",
+        "dup_ngrams",
         "asof_join",
         "tpch_q5",
         "tpch_q6",

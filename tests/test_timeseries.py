@@ -282,3 +282,66 @@ def test_resample_large_magnitude_exact_bucketing(spark):
     assert got == exp
     # t=-13 -> bucket -2, t=-1 -> bucket -1 (floor semantics)
     assert (2, -2) in exp and (2, -1) in exp
+
+
+def test_chunk_documents_bruteforce(spark):
+    """Chunking vs a pure-Python oracle: starts at multiples of stride,
+    chunk_tokens window, short tails dropped unless chunk 0."""
+    from simba_spark.operators.text import chunk_documents
+
+    docs = [
+        (0, "a b c d e f g h i j k"),          # 11 tokens
+        (1, "x y"),                              # single short chunk kept
+        (2, " ".join(f"t{i}" for i in range(25))),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=6, stride=4, min_tail_tokens=3)
+    got = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+           for r in out.collect()}
+    exp = {}
+    for did, text in docs:
+        toks = text.lower().split()
+        for ci, s in enumerate(range(0, len(toks), 4)):
+            ch = toks[s:s + 6]
+            if ci == 0 or len(ch) >= 3:
+                exp[(did, ci)] = (len(ch), " ".join(ch))
+    assert got == exp
+
+
+def test_dup_ngram_fraction_bruteforce(spark):
+    """Duplicated-n-gram fraction vs a pure-Python oracle."""
+    from collections import Counter
+
+    from simba_spark.operators.dedup import dup_ngram_fraction
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox leaps over a lazy dog"),
+        (2, "completely different words here entirely now friends"),
+        (3, "short text"),                        # < n tokens: excluded
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dup_ngram_fraction(df, n=3, min_doc_count=2)
+    got = {r.doc_id: (r.n_grams, r.n_dup, round(r.dup_frac, 9))
+           for r in out.collect()}
+
+    gram_docs = {}
+    per_doc = {}
+    for did, text in docs:
+        toks = text.lower().split()
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if len(toks) < 3:
+            continue
+        per_doc[did] = grams
+        for gset in set(grams):
+            gram_docs.setdefault(gset, set()).add(did)
+    exp = {}
+    for did, grams in per_doc.items():
+        dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        exp[did] = (len(grams), dup, round(dup / len(grams), 9))
+    assert got == exp
+    assert 3 not in got
+    # docs 0 and 4 are exact dups: every gram duplicated
+    assert got[0][2] == 1.0 and got[4][2] == 1.0

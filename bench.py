@@ -53,6 +53,11 @@ HEADLINE = [
     "asof_join",
     "tpch_q5",
     "tpch_q6",
+    # round-5 additions
+    "knn_join_highd",
+    "doc_chunk",
+    "dup_ngrams",
+    "segment_circle_join",
 ]
 
 
@@ -131,7 +136,10 @@ def main() -> int:
     # round-over-round comparability: the headline set grew in round 4
     # (asof_join, tpch_q5, tpch_q6) — also emit the subtotal over the
     # 20 queries BENCH_r03 measured so totals compare like-for-like
-    _R3_SET = set(HEADLINE) - {"asof_join", "tpch_q5", "tpch_q6"}
+    _R3_SET = set(HEADLINE) - {
+        "asof_join", "tpch_q5", "tpch_q6",
+        "knn_join_highd", "doc_chunk", "dup_ngrams", "segment_circle_join",
+    }
     legacy_total = round(
         sum(t for n, t in timings.items() if n in _R3_SET and t >= 0), 3
     )

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""ANN/IVF layout benchmark at real vector scale (default 1M x 64-d).
+
+The plan-shape tests prove the layouts prune partition directories at
+toy scale; this measures what a user actually cares about — probe
+latency vs recall@k against the exact brute-force baseline — at a
+corpus size where pruning matters (VERDICT r4 next-steps #8).
+
+Steps (all deterministic, xxhash64-derived — no RNG state):
+  1. generate .bench/ann_{n}x{d}/vectors.parquet with latent cluster
+     structure (100 centroids) if missing
+  2. build the persisted IVF layout (64 lists) and hyperplane-LSH
+     layout (10 planes -> 1024 buckets) if missing
+  3. exact cosine top-10 for NQ query vectors = ground truth + baseline
+     latency
+  4. sweep IVF nprobe in {1,2,4,8,16} and LSH probe_hamming in {0,1,2};
+     report median latency per probe and mean recall@10
+
+Usage: python scripts/bench_ann.py [n_vecs] [dim]
+Prints ONE JSON line; paste the table into SCALE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+NQ = 10
+K = 10
+REPS = 3
+ROOT = f"/root/repo/.bench/ann_{N}x{DIM}"
+
+
+def gen_vectors(spark, path):
+    """1M-row analog of the testdata embeddings table: each vector is a
+    latent-centroid draw + per-row noise, so IVF/LSH see realistic
+    cluster structure rather than uniform noise."""
+    lab = (F.abs(F.xxhash64("id", F.lit(37))) % 100).cast("int")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: (
+            ((F.abs(F.xxhash64(lab.cast("long") * DIM + i.cast("long"), F.lit(38))) % 1000) / 1000.0 - 0.5)
+            + ((F.abs(F.xxhash64(F.col("id") * DIM + i.cast("long"), F.lit(39))) % 1000) / 1000.0 - 0.5) * 0.6
+        ).cast("float"),
+    )
+    spark.range(N).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding"), lab.alias("label")
+    ).write.mode("overwrite").parquet(path)
+
+
+def timed(df_fn, reps=REPS):
+    """Median wall time of reps end-to-end runs + last result rows."""
+    ts, rows = [], None
+    for _ in range(reps):
+        t0 = time.time()
+        rows = df_fn().collect()
+        ts.append(time.time() - t0)
+    return round(statistics.median(ts), 3), rows
+
+
+def main():
+    from simba_spark.context import get_spark
+    from simba_spark.operators.similarity import (
+        build_ann_layout,
+        build_ivf_layout,
+        cosine_topk,
+        cosine_topk_ann_layout,
+        cosine_topk_ivf_layout,
+    )
+
+    spark = get_spark(app_name="bench_ann", master="local[32]",
+                      shuffle_partitions=32)
+    vec_path = os.path.join(ROOT, "vectors.parquet")
+    ivf_path = os.path.join(ROOT, "ivf64")
+    ann_path = os.path.join(ROOT, "lsh10")
+
+    t_gen = t_ivf = t_ann = None
+    if not os.path.exists(vec_path):
+        t0 = time.time()
+        gen_vectors(spark, vec_path)
+        t_gen = round(time.time() - t0, 1)
+    df = spark.read.parquet(vec_path)
+
+    if not os.path.exists(os.path.join(ivf_path, "ivf.json")):
+        t0 = time.time()
+        build_ivf_layout(df, ivf_path, n_centroids=64, sample_cap=4000, iters=10)
+        t_ivf = round(time.time() - t0, 1)
+    if not os.path.exists(os.path.join(ann_path, "ann.json")):
+        t0 = time.time()
+        build_ann_layout(df, ann_path, n_planes=10, dim=DIM)
+        t_ann = round(time.time() - t0, 1)
+
+    # NQ query vectors: evenly-spaced corpus rows (so every query has a
+    # guaranteed neighborhood); queried vector excluded from no list —
+    # self-match is fine, recall compares like against like
+    qrows = df.filter(
+        F.col("vec_id").isin([i * (N // NQ) for i in range(NQ)])
+    ).select("vec_id", "embedding").collect()
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+
+    # ground truth + exact latency
+    exact_ids, exact_lat = {}, []
+    for qid, qv in queries:
+        lat, rows = timed(lambda qv=qv: cosine_topk(df, qv, K))
+        exact_lat.append(lat)
+        exact_ids[qid] = {int(r["vec_id"]) for r in rows}
+
+    results = {"exact": {"latency_sec": round(statistics.median(exact_lat), 3),
+                         "recall": 1.0}}
+
+    for nprobe in (1, 2, 4, 8, 16):
+        lats, recs = [], []
+        for qid, qv in queries:
+            lat, rows = timed(
+                lambda qv=qv: cosine_topk_ivf_layout(spark, ivf_path, qv, K, nprobe=nprobe)
+            )
+            lats.append(lat)
+            got = {int(r["vec_id"]) for r in rows}
+            recs.append(len(got & exact_ids[qid]) / K)
+        results[f"ivf_nprobe{nprobe}"] = {
+            "latency_sec": round(statistics.median(lats), 3),
+            "recall": round(sum(recs) / len(recs), 3),
+        }
+
+    for h in (0, 1, 2):
+        lats, recs = [], []
+        for qid, qv in queries:
+            lat, rows = timed(
+                lambda qv=qv: cosine_topk_ann_layout(spark, ann_path, qv, K, probe_hamming=h)
+            )
+            lats.append(lat)
+            got = {int(r["vec_id"]) for r in rows}
+            recs.append(len(got & exact_ids[qid]) / K)
+        results[f"lsh_h{h}"] = {
+            "latency_sec": round(statistics.median(lats), 3),
+            "recall": round(sum(recs) / len(recs), 3),
+        }
+
+    out = {
+        "n_vecs": N, "dim": DIM, "k": K, "n_queries": NQ, "reps": REPS,
+        "build_sec": {"gen": t_gen, "ivf64": t_ivf, "lsh10": t_ann},
+        "results": results,
+    }
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,10 +121,15 @@ def knn_join(
         pairs = _spread(lp).crossJoin(rp).withColumn("dist", dist)
         return _topk(pairs, lid, k, F.col("dist"), rtb)
     cap = float(broadcast_bytes) if broadcast_bytes is not None else _broadcast_cap(rp)
-    if algo == "bounded" and _plan_bytes(rp) <= cap:
+    if algo == "bounded" and _plan_bytes(rp) <= cap and _bnl_pairs_ok(lp, rp):
         # cost-based route (BKJSpark rationale): a broadcast-small right
         # side doesn't need θ machinery at all — the broadcast plan below
-        # is exact, 2 jobs instead of 5, and shuffle-free on pairs
+        # is exact, 2 jobs instead of 5, and shuffle-free on pairs.
+        # BOTH gates are required: broadcast-ability bounds the memory,
+        # but BNL work is |L|·|R| distance evals no matter how few bytes
+        # the right side is — a 2.7 MB right side passed the bytes gate
+        # at bench sf1 and the resulting 10k×150k BNL ran 300+ s where
+        # the θ program takes ~15 s (SCALE.md "Measured at sf1")
         algo = "broadcast"
     if algo == "broadcast":
         # BKJSpark analog done right: repartition the LEFT by its id
@@ -477,6 +482,30 @@ def _plan_bytes(df: DataFrame) -> float:
         return float("inf")
 
 
+def _bnl_pairs_ok(lp: DataFrame, rp: DataFrame) -> bool:
+    """Pair-count gate for the cost-based broadcast (BNL) route: true iff
+    |L|·|R| is under `simba_spark.knnjoin.broadcast_pairs` (default 3.2e7
+    — a few seconds of codegen distance evals; beyond it the θ program's
+    fixed sample/grid costs win). Two count jobs, run concurrently —
+    planning cost, same contract as the reference's sampling/count
+    driver jobs (ref: RKJSpark.scala:44-56). Catalyst's byte statistic
+    cannot substitute: it reflects COMPRESSED scan size, and row counts
+    derived from it are off by the codec ratio."""
+    try:
+        budget = float(
+            lp.sparkSession.conf.get("simba_spark.knnjoin.broadcast_pairs", "3.2e7")
+        )
+    except Exception:
+        budget = 3.2e7
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        nl_f = pool.submit(lp.count)
+        nr_f = pool.submit(rp.count)
+        nl, nr = nl_f.result(), nr_f.result()
+    return float(nl) * float(nr) <= budget
+
+
 def _broadcast_cap(df: DataFrame) -> float:
     """Byte threshold for routing a kNN join to the broadcast plan —
     `simba_spark.knnjoin.broadcast_bytes` if set, else 8 MiB (slightly
@@ -531,15 +560,22 @@ def _estimate_theta(left_sample, right_sample, k: int, margin: float) -> float:
     L = np.asarray(left_sample, dtype="float64")
     R = np.asarray(right_sample, dtype="float64")
     kk = min(k, len(R))
-    # pairwise squared distances via the matmul identity (one BLAS call,
-    # ~50× faster than broadcast-subtract temporaries), in row blocks to
-    # bound memory at |B|·|R| doubles
+    # pairwise squared distances via the matmul identity (float64: the
+    # identity cancels catastrophically in float32 at coordinate scale
+    # ~1e4), in SMALL in-place row blocks: large fresh temporaries are
+    # page-fault-bound on this class of host (one 320 MB elementwise
+    # pass measured 8+ s; ~16 MB reused blocks run the same math in
+    # ~1 s), and block size caps memory at |B|·|R| doubles regardless
+    # of sample caps
     r2 = (R * R).sum(axis=1)
     qs = []
-    B = 2048
+    B = max(1, (4 << 20) // max(1, len(R)))
     for i in range(0, len(L), B):
         Lb = L[i : i + B]
-        d2 = (Lb * Lb).sum(axis=1)[:, None] + r2[None, :] - 2.0 * (Lb @ R.T)
+        d2 = Lb @ R.T
+        d2 *= -2.0
+        d2 += (Lb * Lb).sum(axis=1)[:, None]
+        d2 += r2[None, :]
         np.maximum(d2, 0.0, out=d2)
         kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
         qs.append(np.sqrt(kth))

@@ -239,9 +239,14 @@ def build_ivf_layout(
         df, vec_col, n_centroids=n_centroids, sample_cap=sample_cap,
         iters=iters, seed=seed,
     )
-    assigned.write.mode("overwrite").partitionBy("__ivf").parquet(
-        os.path.join(path, "data")
-    )
+    # cluster rows by list before the partitioned write: without this,
+    # every upstream task writes a file into every list directory
+    # (tasks x lists small files — at 1M rows / 1k lists that is a
+    # planning-time and NameNode disaster); after it, each list is a
+    # handful of well-sized files
+    assigned.repartition("__ivf").write.mode(
+        "overwrite"
+    ).partitionBy("__ivf").parquet(os.path.join(path, "data"))
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "ivf.json"), "w") as f:
         json.dump(
@@ -308,9 +313,12 @@ def build_ann_layout(
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplane_planes(n_planes, dim, seed)
     out = df.withColumn("__sig", hyperplane_sig_col(vec_col, planes))
-    out.write.mode("overwrite").partitionBy("__sig").parquet(
-        os.path.join(path, "data")
-    )
+    # cluster by signature before the partitioned write (see
+    # build_ivf_layout) — bounds output to ~one file per non-empty
+    # bucket instead of tasks x 2^n_planes
+    out.repartition("__sig").write.mode(
+        "overwrite"
+    ).partitionBy("__sig").parquet(os.path.join(path, "data"))
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "ann.json"), "w") as f:
         json.dump({"vec_col": vec_col, "n_planes": n_planes, "seed": seed}, f)

@@ -1343,6 +1343,61 @@ def q_dup_ngrams(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Per-document mean unigram log-likelihood under the corpus's own
+    add-0.5-smoothed unigram distribution — the cheap LM-quality /
+    perplexity-proxy filter of a pretraining pipeline. One corpus
+    term-count pass + a broadcast vocabulary join; avg rounded to 6dp
+    (cross-engine float-sum convention)."""
+    from simba_spark.operators.text import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index with the stop-term guard: document frequencies
+    are computed on skinny rows first and terms with df > 395 never
+    materialize a posting list anywhere in the plan (the 100 TB skew
+    guard). Postings emitted as a CSV string for engine-portable
+    comparison."""
+    from simba_spark.operators.text import inverted_index
+
+    out = inverted_index(_t(spark, sf_dir, "documents"), max_doc_freq=395)
+    return out.select(
+        "term",
+        "doc_freq",
+        "term_freq",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ",").alias(
+            "postings_csv"
+        ),
+    )
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """Near-dup clusters resolved to their best member: exact-cosine
+    pairs (vec_id%5==0, thr 0.25 — the dedup_components family) →
+    connected components → keep the highest-L2-norm member per cluster
+    (ties → min id); unclustered rows pass through. The production
+    ending of a near-dedup pipeline: dedup without downgrading the
+    corpus."""
+    from simba_spark.operators.dedup import dedup_resolve, embedding_dup_pairs
+
+    embs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    base = embs.select("vec_id", norm.alias("norm"), "label")
+    pairs = embedding_dup_pairs(embs, threshold=0.25, algo="exact")
+    return dedup_resolve(base, pairs, id_col="vec_id", score_col="norm")
+
+
 def q_dedup_components(spark, sf_dir):
     """Exact near-dup clustering: cosine>=0.42 pairs (blocked to
     vec_id%5==0 like embedding_dup_pairs) → connected components →
@@ -1529,6 +1584,9 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-5 debuts (never driver-checked before) ---
+        "lm_score": q_lm_score,
+        "inverted_index": q_inverted_index,
+        "dedup_resolve": q_dedup_resolve,
         "box_box_join": q_box_box_join,
         "segment_circle_join": q_segment_circle_join,
         "knn_join_highd": q_knn_join_highd,
@@ -1572,7 +1630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_knn": q_segment_knn,
         "segment_distance_join": q_segment_distance_join,
         # --- spatial joins ---
-        "interval_join": q_interval_join,
         "distance_join": q_distance_join,
         "knn_join": q_knn_join,
         "knn_join_voronoi": q_knn_join_voronoi,
@@ -1580,8 +1637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational ---
         "tpch_q3": q_tpch_q3,
         # --- text analysis ---
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         # --- similarity ---
@@ -1604,6 +1659,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- rotated after round 5's debuts (green r2+r3+r4; untouched
+        #     by round-5 code changes — changed paths stay in the
+        #     driver window for re-verification) ---
+        "interval_join": q_interval_join,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         # --- rotated after round 4 (green r2+r3+r4) ---
         "segment_range": q_segment_range,
         "box_range": q_box_range,
@@ -2775,6 +2836,73 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.42
+        """,
+        "lm_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), freq AS (
+              SELECT term, count(*) AS term_freq FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT sum(term_freq) AS t, count(*) AS v FROM freq
+            )
+            SELECT tf.doc_id, count(*) AS n_tokens,
+                   round(avg(ln((freq.term_freq + 0.5::DOUBLE)
+                                / (tot.t + 0.5::DOUBLE * tot.v))), 6) AS lm_score
+            FROM tf JOIN freq USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id
+        """,
+        "inverted_index": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), per_doc AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY 1, 2
+            )
+            SELECT term, count(*) AS doc_freq, sum(tf) AS term_freq,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings_csv
+            FROM per_doc GROUP BY term
+            HAVING count(*) <= 395
+        """,
+        "dedup_resolve": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id,
+                     round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                        x -> x * x))), 6) AS norm,
+                     label
+              FROM embeddings WHERE vec_id % 5 = 0
+            ), pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0 AND a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6) >= 0.25
+            ), edges AS (
+              SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION SELECT b_id, a_id FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS id FROM edges
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ), losers AS (
+              SELECT vec_id FROM (
+                SELECT b.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY c.component
+                                          ORDER BY b.norm DESC, b.vec_id ASC) AS rn
+                FROM base b JOIN comp c ON b.vec_id = c.id
+              ) WHERE rn > 1
+            )
+            SELECT vec_id, norm, label FROM base
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         """,
         "dedup_components": """
             WITH RECURSIVE pairs AS (

@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_chunk",
     "dup_ngrams",
     "segment_circle_join",
+    "lm_score",
+    "inverted_index",
 ]
 
 
@@ -139,6 +141,7 @@ def main() -> int:
     _R3_SET = set(HEADLINE) - {
         "asof_join", "tpch_q5", "tpch_q6",
         "knn_join_highd", "doc_chunk", "dup_ngrams", "segment_circle_join",
+        "lm_score", "inverted_index",
     }
     legacy_total = round(
         sum(t for n, t in timings.items() if n in _R3_SET and t >= 0), 3

@@ -372,6 +372,50 @@ def dedup_by_components(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def dedup_resolve(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: Optional[str] = None,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Canonical-representative dedup: transitively close the near-dup
+    `pairs` into clusters (:func:`connected_components`) and keep ONE
+    member per cluster — the highest-`score_col` row (ties → min id),
+    or the min-id row when `score_col` is None (then this equals
+    :func:`dedup_by_components`). Rows in no cluster pass through.
+
+    This is the production ending of a near-dedup pipeline: rather than
+    "keep the lowest id" (arbitrary), keep the best copy by an explicit
+    quality signal (e.g. :func:`simba_spark.operators.text.quality_score`
+    output) so dedup never downgrades the corpus.
+
+    Scale: component labels come from pointer-doubling CC (O(log
+    diameter) rounds); the representative choice is ONE per-component
+    window over only the clustered rows (cluster sizes are dedup
+    clusters — bounded by duplication, not corpus size); the final
+    anti-join removes losers by id. No driver state beyond CC's
+    convergence counter.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    members = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), on=id_col, how="inner"
+    )
+    order = (
+        [F.col(score_col).desc(), F.col(id_col).asc()]
+        if score_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("component").orderBy(*order)
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -330,3 +330,105 @@ def chunk_documents(
     return out.filter(
         (F.col("chunk_id") == 0) | (F.col("n_tokens") >= int(min_tail_tokens))
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    freq: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    add-α-smoothed unigram distribution — the classic cheap LM-quality
+    filter (gibberish, boilerplate, and off-distribution documents score
+    low; used as a first-pass perplexity proxy in pretraining pipelines).
+
+    score(doc) = mean over tokens t of ln P(t),
+    P(t) = (tf_corpus(t) + α) / (T + α·V)   with T = total tokens,
+    V = vocabulary size. Output: (id, n_tokens, lm_score), lm_score
+    rounded to 6 decimals (cross-engine float-sum convention).
+
+    Scale: one explode → groupBy(term) for corpus counts (map-side
+    combine — hot terms collapse before the shuffle); (T, V) is a 1-row
+    aggregate broadcast into the plan; the per-token probability lookup
+    joins the exploded tokens to the vocabulary-sized frequency table
+    (AQE broadcasts it); the per-doc mean is one groupBy on the id.
+    Pass `freq` (a precomputed :func:`term_stats`) to amortize the
+    corpus pass across scoring runs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    if freq is None:
+        freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_freq"))
+    else:
+        freq = freq.select("term", "term_freq")
+    tot = F.broadcast(
+        freq.agg(
+            F.sum("term_freq").alias("__T"),
+            F.count(F.lit(1)).alias("__V"),
+        )
+    )
+    logp = F.log(
+        (F.col("term_freq") + F.lit(float(alpha)))
+        / (F.col("__T") + F.lit(float(alpha)) * F.col("__V"))
+    )
+    return (
+        toks.join(freq, on="term", how="inner")
+        .crossJoin(tot)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("lm_score"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Inverted index over the whitespace tokenizer: one row per term
+    with document frequency, collection frequency, and the SORTED
+    distinct posting list (`postings`, array of doc ids) — the search /
+    retrieval-side companion of :func:`term_stats`.
+
+    Scale: the naive one-pass groupBy(term).collect_set(id) is a skew
+    bomb — a stop-term's posting list is O(corpus). `max_doc_freq`
+    installs the standard guard: document frequencies are computed
+    FIRST on skinny (term, id) rows (map-side combined), terms above
+    the cutoff are dropped, and only surviving terms' tokens enter the
+    posting-list aggregation (semi-join) — a hot term never
+    materializes a giant array anywhere in the plan. With
+    `max_doc_freq=None` (small/medium corpora) the single-pass shape is
+    used as-is.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    per_doc = toks.groupBy("term", "__id").agg(F.count(F.lit(1)).alias("__tf"))
+    if max_doc_freq is not None:
+        keep = (
+            per_doc.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_doc_freq))
+            .select("term")
+        )
+        per_doc = per_doc.join(keep, on="term", how="left_semi")
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("__tf").alias("term_freq"),
+        F.sort_array(F.collect_list("__id")).alias("postings"),
+    )

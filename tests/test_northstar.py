@@ -760,3 +760,76 @@ def test_repetition_stats(spark):
     assert got[1].dup_2gram_ratio == pytest.approx(1 - 1 / 3)
     assert got[1].dup_3gram_ratio == 0.5
     assert got[2].dup_2gram_ratio == 0.0 and got[2].dup_3gram_ratio == 0.0
+
+
+def test_unigram_lm_score_matches_python(spark):
+    """Hand-check P(t) = (tf+α)/(T+αV) and per-doc mean log-prob."""
+    import math
+
+    from simba_spark.operators.text import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_lm_score(df, alpha=0.5).collect()}
+    # corpus: a=3, b=2, c=1 ; T=6, V=3
+    T, V, a = 6, 3, 0.5
+    p = {"a": (3 + a) / (T + a * V), "b": (2 + a) / (T + a * V), "c": (1 + a) / (T + a * V)}
+    exp0 = (2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    exp1 = (math.log(p["b"]) + math.log(p["c"])) / 2
+    assert got[0].n_tokens == 3 and got[0].lm_score == pytest.approx(exp0, abs=1e-6)
+    assert got[1].lm_score == pytest.approx(exp1, abs=1e-6)
+    assert got[2].lm_score == pytest.approx(math.log(p["a"]), abs=1e-6)
+    # the common token scores higher than the rare one
+    assert got[2].lm_score > got[1].lm_score
+
+
+def test_unigram_lm_score_precomputed_freq(spark):
+    """Passing a precomputed term_stats changes nothing in the result."""
+    from simba_spark.operators.text import term_stats, unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c d e"), (2, "a c")], "doc_id long, text string"
+    )
+    base = {r.doc_id: r.lm_score for r in unigram_lm_score(df).collect()}
+    pre = {
+        r.doc_id: r.lm_score
+        for r in unigram_lm_score(df, freq=term_stats(df)).collect()
+    }
+    assert base == pre
+
+
+def test_inverted_index_postings_and_guard(spark):
+    from simba_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(0, "a b b"), (1, "b c"), (2, "a  c"), (3, "b")],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in inverted_index(df).collect()}
+    assert got["a"].postings == [0, 2] and got["a"].doc_freq == 2
+    assert got["b"].postings == [0, 1, 3] and got["b"].term_freq == 4
+    assert got["c"].postings == [1, 2]
+    # guard: df > 2 terms never materialize postings
+    kept = {r.term for r in inverted_index(df, max_doc_freq=2).collect()}
+    assert kept == {"a", "c"}
+
+
+def test_dedup_resolve_keeps_best_scored(spark):
+    """Chain 1~2~3 clusters transitively; the max-score member wins;
+    isolated rows pass through; score ties break to min id."""
+    from simba_spark.operators.dedup import dedup_resolve
+
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (9, 0.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a_id long, b_id long"
+    )
+    kept = {r.doc_id for r in dedup_resolve(df, pairs, score_col="score").collect()}
+    assert kept == {2, 4, 9}  # 2 beats {1,3}; tie 4/5 -> min id 4; 9 isolated
+    # score_col=None degenerates to min-id (dedup_by_components semantics)
+    kept_min = {r.doc_id for r in dedup_resolve(df, pairs).collect()}
+    assert kept_min == {1, 4, 9}

@@ -28,8 +28,11 @@ def test_round5_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
     the dict (dict order IS the driver's check order), followed by the
     round-4 debuts still earning their 3 greens."""
-    head = list(entrymod.queries())[:22]
+    head = list(entrymod.queries())[:25]
     assert head == [
+        "lm_score",
+        "inverted_index",
+        "dedup_resolve",
         "box_box_join",
         "segment_circle_join",
         "knn_join_highd",

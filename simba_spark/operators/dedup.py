@@ -525,9 +525,21 @@ def simhash(
     is the sign of Σ_tokens (±1 by bit i of hash64(token)). Computed
     with explode + groupBy — one shuffle on id; per-bit sums are plain
     conditional aggregates (codegen'd). ``hash_fn='md5long'`` (60-bit)
-    is DuckDB-reproducible for the oracle harness."""
+    is DuckDB-reproducible for the oracle harness.
+
+    ``bits`` may exceed 64 (xxhash64 only): logical word w draws its
+    token hash from salt w, and the fingerprint is emitted as columns
+    `simhash` (word 0 — bit-identical to the ≤64-bit output),
+    `simhash_w1`, … Wide fingerprints exist for SCALE: pigeonhole
+    blocking's random-collision term is n²/2^(bits/(h+1)) — at 64 bits
+    and h=3 that is n²/2^16 (measured superlinear at 50k docs,
+    SCALE.md); at 128 bits the same h gives 32-bit chunks and the term
+    vanishes for any realistic corpus."""
     if hash_fn == "md5long":
+        if bits > 60:
+            raise ValueError("md5long simhash caps at 60 bits (oracle mode)")
         bits = min(bits, 60)
+    words = (int(bits) + 63) // 64
     # no _spread here: tokenization is light enough that the extra
     # repartition shuffle of the full text column costs more than the
     # parallelism buys (unlike the 32-hash shingle stages)
@@ -536,38 +548,45 @@ def simhash(
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("__tok"),
-    ).withColumn("__h", _hash64(F.col("__tok"), 0, hash_fn))
+    )
+    for w in range(words):
+        toks = toks.withColumn(f"__h{w}", _hash64(F.col("__tok"), w, hash_fn))
     # bit i is set iff sign(Σ ±1) > 0 ⟺ 2·count_of_1s(i) > n_tokens.
     # The per-bit counters are PACKED three to a long (21-bit lanes) so
-    # the groupBy runs 22 sum aggregates instead of 64 — ~3× less
-    # aggregation work per row, bit-identical signatures. Lane capacity
-    # 2^21 tokens/doc; the packed per-token value (≤ 2^42+2^21+1) times
-    # 2^20 tokens stays under 2^63, so docs up to ~1M tokens are safe.
-    # Both the packed aggregates and the 64-term reconstruction are
-    # built as SQL strings (one F.expr py4j call each): the per-Column
-    # formulation spent ~1.5 s of DRIVER time per query on py4j
-    # round-trips — more than the job itself.
+    # the groupBy runs 22 sum aggregates per word instead of 64 — ~3×
+    # less aggregation work per row, bit-identical signatures. Lane
+    # capacity 2^21 tokens/doc; the packed per-token value (≤
+    # 2^42+2^21+1) times 2^20 tokens stays under 2^63, so docs up to
+    # ~1M tokens are safe. Both the packed aggregates and the 64-term
+    # reconstruction are built as SQL strings (one F.expr py4j call
+    # each): the per-Column formulation spent ~1.5 s of DRIVER time per
+    # query on py4j round-trips — more than the job itself.
     LANE, PER = 21, 3
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for g in range((bits + PER - 1) // PER):
-        terms = [
-            f"shiftleft(shiftright(__h, {g * PER + lane}) & 1, {LANE * lane})"
-            for lane in range(min(PER, bits - g * PER))
-        ]
-        aggs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"__g{g}"))
+    for w in range(words):
+        wbits = min(64, bits - w * 64)
+        for g in range((wbits + PER - 1) // PER):
+            terms = [
+                f"shiftleft(shiftright(__h{w}, {g * PER + lane}) & 1, {LANE * lane})"
+                for lane in range(min(PER, wbits - g * PER))
+            ]
+            aggs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"__g{w}_{g}"))
     sums = toks.groupBy(id_col).agg(*aggs)
     mask = (1 << LANE) - 1
-    bit_terms = []
-    for i in range(bits):
-        g, lane = divmod(i, PER)
-        c = f"(shiftright(__g{g}, {LANE * lane}) & {mask})"
-        bit_terms.append(
-            f"(CASE WHEN {c} * 2 > __n THEN shiftleft(CAST(1 AS BIGINT), {i})"
-            " ELSE CAST(0 AS BIGINT) END)"
-        )
-    return sums.select(
-        F.col(id_col), F.expr(" | ".join(bit_terms)).alias("simhash")
-    )
+    out_cols = [F.col(id_col)]
+    for w in range(words):
+        wbits = min(64, bits - w * 64)
+        bit_terms = []
+        for i in range(wbits):
+            g, lane = divmod(i, PER)
+            c = f"(shiftright(__g{w}_{g}, {LANE * lane}) & {mask})"
+            bit_terms.append(
+                f"(CASE WHEN {c} * 2 > __n THEN shiftleft(CAST(1 AS BIGINT), {i})"
+                " ELSE CAST(0 AS BIGINT) END)"
+            )
+        name = "simhash" if w == 0 else f"simhash_w{w}"
+        out_cols.append(F.expr(" | ".join(bit_terms)).alias(name))
+    return sums.select(*out_cols)
 
 
 def simhash_pairs(
@@ -580,31 +599,72 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Blocking: split the hash into (max_hamming+1) chunks — by
+    Blocking: split the fingerprint into (max_hamming+1) chunks — by
     pigeonhole any pair within the bound matches exactly on >= 1 chunk,
     so an equi-join on (chunk_idx, chunk_value) finds all of them;
     blocked output == brute-force output, which is what the DuckDB
-    oracle exploits (it brute-forces). Verification = popcount of XOR."""
+    oracle exploits (it brute-forces). Verification = popcount of XOR.
+
+    ``bits > 64`` (multi-word fingerprint, see :func:`simhash`) is the
+    scale path: 64-bit chunks are 16 bits wide at h=3 and random chunk
+    collisions grow as n²/2^16; 128 bits makes them 32 bits wide and
+    the quadratic term disappears. Multi-word chunk keys are packed via
+    xxhash64 — a key collision only adds a candidate, and every
+    candidate is exact-verified, so the result set is unchanged."""
     if hash_fn == "md5long":
         bits = min(bits, 60)
+    bits = int(bits)
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
+    words = (bits + 63) // 64
     sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
-    chunks = [
-        F.shiftright(F.col("simhash"), i * chunk_bits)
-        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-        .alias(f"__c{i}")
-        for i in range(n_chunks)
-    ]
-    ex = sh.select(id_col, "simhash", F.posexplode(F.array(*chunks)).alias("__ci", "__cv"))
-    l = ex.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("__ha"), "__ci", "__cv")
-    r = ex.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("__hb"), "__ci", "__cv")
+    wcols = ["simhash"] + [f"simhash_w{w}" for w in range(1, words)]
+
+    def chunk_col(i):
+        lo = i * chunk_bits
+        hi = bits if i == n_chunks - 1 else lo + chunk_bits
+        pieces, off = [], 0
+        for w in range(words):
+            wlo, whi = w * 64, min(bits, (w + 1) * 64)
+            s, e = max(lo, wlo), min(hi, whi)
+            if s >= e:
+                continue
+            width = e - s
+            p = F.shiftright(F.col(wcols[w]), s - wlo)
+            if width < 64:
+                p = p.bitwiseAND(F.lit((1 << width) - 1))
+            pieces.append((p, off))
+            off += width
+        if len(pieces) == 1 and off <= 63:
+            # single sub-64-bit piece: the raw value IS the key (the
+            # words==1 plan is bit-identical to the pre-wide operator)
+            return pieces[0][0]
+        # multi-piece or full-width chunk: pack through xxhash64
+        return F.xxhash64(*[p for p, _ in pieces])
+
+    chunks = [chunk_col(i).alias(f"__c{i}") for i in range(n_chunks)]
+    ex = sh.select(
+        id_col, *wcols, F.posexplode(F.array(*chunks)).alias("__ci", "__cv")
+    )
+    l = ex.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(c).alias(f"__ha{w}") for w, c in enumerate(wcols)],
+        "__ci", "__cv",
+    )
+    r = ex.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(c).alias(f"__hb{w}") for w, c in enumerate(wcols)],
+        "__ci", "__cv",
+    )
     cand = (
         l.join(r, on=["__ci", "__cv"], how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    ham = None
+    for w in range(words):
+        h = F.bit_count(F.col(f"__ha{w}").bitwiseXOR(F.col(f"__hb{w}")))
+        ham = h if ham is None else ham + h
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= int(max_hamming))

@@ -833,3 +833,36 @@ def test_dedup_resolve_keeps_best_scored(spark):
     # score_col=None degenerates to min-id (dedup_by_components semantics)
     kept_min = {r.doc_id for r in dedup_resolve(df, pairs).collect()}
     assert kept_min == {1, 4, 9}
+
+
+def test_wide_simhash_blocked_equals_bruteforce(spark, docs):
+    """128-bit (two-word) simhash: the pigeonhole-blocked pair join must
+    equal brute-force Hamming over the concatenated fingerprint, and the
+    word-0 column must be bit-identical to the 64-bit operator."""
+    from simba_spark.operators.dedup import simhash, simhash_pairs
+
+    sub = docs.filter(F.col("doc_id") < 120)
+    sh = simhash(sub, bits=128)
+    assert set(sh.columns) == {"doc_id", "simhash", "simhash_w1"}
+    w0_64 = {r.doc_id: r.simhash for r in simhash(sub, bits=64).collect()}
+    rows = sh.collect()
+    assert {r.doc_id: r.simhash for r in rows} == w0_64
+
+    H = 6
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs(sub, max_hamming=H, bits=128).collect()
+    }
+    sigs = [(r.doc_id, r.simhash, r.simhash_w1) for r in rows]
+    exp = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sigs[i], sigs[j]
+            ai, bi = (a, b) if a[0] < b[0] else (b, a)
+            h = bin((a[1] ^ b[1]) & (2**64 - 1)).count("1") + bin(
+                (a[2] ^ b[2]) & (2**64 - 1)
+            ).count("1")
+            if h <= H:
+                exp[(ai[0], bi[0])] = h
+    assert got == exp
+    assert len(exp) > 0  # the near-dup docs in the corpus must surface

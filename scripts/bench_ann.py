@@ -56,6 +56,28 @@ def gen_vectors(spark, path):
     ).write.mode("overwrite").parquet(path)
 
 
+def dir_bytes(path, subdirs=None):
+    """Total parquet bytes under `path` (or only the named subdirs) —
+    the I/O a probe actually plans, vs the full corpus for exact."""
+    total = 0
+    if subdirs is None:
+        for root, _, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet")
+            )
+    else:
+        for s in subdirs:
+            p = os.path.join(path, s)
+            if os.path.isdir(p):
+                for root, _, files in os.walk(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files if f.endswith(".parquet")
+                    )
+    return total
+
+
 def timed(df_fn, reps=REPS):
     """Median wall time of reps end-to-end runs + last result rows."""
     ts, rows = [], None
@@ -106,6 +128,10 @@ def main():
     ).select("vec_id", "embedding").collect()
     queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
 
+    import numpy as np
+
+    from simba_spark.operators.similarity import load_ivf_layout
+
     # ground truth + exact latency
     exact_ids, exact_lat = {}, []
     for qid, qv in queries:
@@ -114,10 +140,12 @@ def main():
         exact_ids[qid] = {int(r["vec_id"]) for r in rows}
 
     results = {"exact": {"latency_sec": round(statistics.median(exact_lat), 3),
-                         "recall": 1.0}}
+                         "recall": 1.0,
+                         "scan_mb": round(dir_bytes(vec_path) / 1e6, 1)}}
 
+    _, centroids = load_ivf_layout(spark, ivf_path)
     for nprobe in (1, 2, 4, 8, 16):
-        lats, recs = [], []
+        lats, recs, mbs = [], [], []
         for qid, qv in queries:
             lat, rows = timed(
                 lambda qv=qv: cosine_topk_ivf_layout(spark, ivf_path, qv, K, nprobe=nprobe)
@@ -125,13 +153,24 @@ def main():
             lats.append(lat)
             got = {int(r["vec_id"]) for r in rows}
             recs.append(len(got & exact_ids[qid]) / K)
+            d2 = ((centroids - np.asarray(qv)[None, :]) ** 2).sum(axis=1)
+            probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+            mbs.append(dir_bytes(os.path.join(ivf_path, "data"),
+                                 [f"__ivf={p}" for p in probes]) / 1e6)
         results[f"ivf_nprobe{nprobe}"] = {
             "latency_sec": round(statistics.median(lats), 3),
             "recall": round(sum(recs) / len(recs), 3),
+            "scan_mb": round(sum(mbs) / len(mbs), 1),
         }
 
+    with open(os.path.join(ann_path, "ann.json")) as f:
+        ann_meta = json.load(f)
+    n_planes, ann_seed = int(ann_meta["n_planes"]), int(ann_meta["seed"])
+    planes = np.random.RandomState(ann_seed).standard_normal((n_planes, DIM))
     for h in (0, 1, 2):
-        lats, recs = [], []
+        from itertools import combinations
+
+        lats, recs, mbs = [], [], []
         for qid, qv in queries:
             lat, rows = timed(
                 lambda qv=qv: cosine_topk_ann_layout(spark, ann_path, qv, K, probe_hamming=h)
@@ -139,9 +178,23 @@ def main():
             lats.append(lat)
             got = {int(r["vec_id"]) for r in rows}
             recs.append(len(got & exact_ids[qid]) / K)
+            qsig = 0
+            for p_idx in range(n_planes):
+                if float(planes[p_idx] @ np.asarray(qv)) >= 0:
+                    qsig |= 1 << p_idx
+            sigs = set()
+            for hh in range(h + 1):
+                for flip in combinations(range(n_planes), hh):
+                    s = qsig
+                    for b in flip:
+                        s ^= 1 << b
+                    sigs.add(s)
+            mbs.append(dir_bytes(os.path.join(ann_path, "data"),
+                                 [f"__sig={s}" for s in sorted(sigs)]) / 1e6)
         results[f"lsh_h{h}"] = {
             "latency_sec": round(statistics.median(lats), 3),
             "recall": round(sum(recs) / len(recs), 3),
+            "scan_mb": round(sum(mbs) / len(mbs), 1),
         }
 
     out = {

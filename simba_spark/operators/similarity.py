@@ -232,21 +232,33 @@ def build_ivf_layout(
     sample_cap: int = 2000,
     iters: int = 10,
     seed: int = 42,
+    files_per_list: int = 8,
 ) -> str:
     """Persist an IVF layout: rows written under ``data/__ivf=<list>/``
-    with centroids in JSON. A probe then reads only its nprobe lists."""
+    with centroids in JSON. A probe then reads only its nprobe lists.
+
+    File sizing is a two-sided trade measured at 10M×64-d
+    (scripts/bench_ann.py): clustering rows by bare list id before the
+    partitioned write avoids the tasks×lists small-file explosion, but
+    ONE file per list serializes every probe to nprobe tasks — an
+    nprobe=4 probe ran as slow as the exact scan despite reading 8×
+    fewer bytes. Salting the shuffle key to ~`files_per_list` files per
+    list keeps both properties: bounded file count AND `files_per_list`-
+    way scan parallelism per probed list."""
     assigned, cent = build_ivf(
         df, vec_col, n_centroids=n_centroids, sample_cap=sample_cap,
         iters=iters, seed=seed,
     )
-    # cluster rows by list before the partitioned write: without this,
-    # every upstream task writes a file into every list directory
-    # (tasks x lists small files — at 1M rows / 1k lists that is a
-    # planning-time and NameNode disaster); after it, each list is a
-    # handful of well-sized files
-    assigned.repartition("__ivf").write.mode(
-        "overwrite"
-    ).partitionBy("__ivf").parquet(os.path.join(path, "data"))
+    fpl = max(1, int(files_per_list))
+    salt = (F.abs(F.xxhash64(F.col(vec_col).cast("array<double>"))) % fpl)
+    (
+        assigned.withColumn("__fs", salt)
+        .repartition(int(n_centroids) * fpl, "__ivf", "__fs")
+        .drop("__fs")
+        .write.mode("overwrite")
+        .partitionBy("__ivf")
+        .parquet(os.path.join(path, "data"))
+    )
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "ivf.json"), "w") as f:
         json.dump(

@@ -762,14 +762,16 @@ def zknn_join(
         # bytes, independent of the left side. A row cap set via
         # `simba_spark.zknn.simple_rank_rows` is honored against |R|;
         # otherwise the cap derives from a byte budget
-        # (`simba_spark.zknn.simple_rank_bytes`, default 32 MB of
-        # UNSAFE-array bytes) and the actual struct width. The budget
-        # is deliberately ~8x under a naive heap estimate: during the
-        # single-task collect_list/array_sort the rows exist as BOXED
-        # objects (measured ~10x the unsafe width — a 246 MB payload
-        # OOMed an 8 GB driver), so 32 MB unsafe ≈ 300 MB transient
-        # heap, safe on any sane executor while still covering every
-        # dimension-table-sized right side.
+        # (`simba_spark.zknn.simple_rank_bytes`, default 6 MB of
+        # UNSAFE-array bytes) and the actual struct width. The default
+        # is a measured PERF crossover, not a memory limit: at sf1
+        # (150k right rows, 16.8 MB unsafe) the simple path ran
+        # 12.2 s vs the bucketed path's 4.4 s, while at 15k rows
+        # (1.7 MB) simple won 2.2 s vs 3.3 s — 6 MB puts the flip
+        # near the ~50k-row midpoint. Memory safety is the outer
+        # bound (boxed rows are ~10× the unsafe width during the
+        # single-task collect_list/array_sort — a 246 MB payload OOMed
+        # an 8 GB driver), and 6 MB sits far inside it.
         try:
             cap_conf = left.sparkSession.conf.get(
                 "simba_spark.zknn.simple_rank_rows", None
@@ -782,11 +784,11 @@ def zknn_join(
             try:
                 budget = int(
                     left.sparkSession.conf.get(
-                        "simba_spark.zknn.simple_rank_bytes", str(32 << 20)
+                        "simba_spark.zknn.simple_rank_bytes", str(6 << 20)
                     )
                 )
             except Exception:
-                budget = 32 << 20
+                budget = 6 << 20
             # per struct: 8B z + 8B rid + 8B per coord + ~24B object
             # overhead in the unsafe array representation
             struct_w = 8 * (d + 2) + 24

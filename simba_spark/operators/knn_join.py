@@ -482,6 +482,11 @@ def _plan_bytes(df: DataFrame) -> float:
         return float("inf")
 
 
+#: (session id, left semanticHash, right semanticHash, budget) → verdict.
+#: Bounded; repeated kNN joins over the same frames skip the count jobs.
+_BNL_GATE_CACHE: dict = {}
+
+
 def _bnl_pairs_ok(lp: DataFrame, rp: DataFrame) -> bool:
     """Pair-count gate for the cost-based broadcast (BNL) route: true iff
     |L|·|R| is under `simba_spark.knnjoin.broadcast_pairs` (default 3.2e7
@@ -490,20 +495,33 @@ def _bnl_pairs_ok(lp: DataFrame, rp: DataFrame) -> bool:
     planning cost, same contract as the reference's sampling/count
     driver jobs (ref: RKJSpark.scala:44-56). Catalyst's byte statistic
     cannot substitute: it reflects COMPRESSED scan size, and row counts
-    derived from it are off by the codec ratio."""
+    derived from it are off by the codec ratio. The verdict is cached by
+    plan semantic hash, so repeated joins over the same frames pay the
+    counts once."""
     try:
         budget = float(
             lp.sparkSession.conf.get("simba_spark.knnjoin.broadcast_pairs", "3.2e7")
         )
     except Exception:
         budget = 3.2e7
+    try:
+        key = (id(lp.sparkSession), lp.semanticHash(), rp.semanticHash(), budget)
+    except Exception:
+        key = None
+    if key is not None and key in _BNL_GATE_CACHE:
+        return _BNL_GATE_CACHE[key]
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         nl_f = pool.submit(lp.count)
         nr_f = pool.submit(rp.count)
         nl, nr = nl_f.result(), nr_f.result()
-    return float(nl) * float(nr) <= budget
+    ok = float(nl) * float(nr) <= budget
+    if key is not None:
+        if len(_BNL_GATE_CACHE) > 256:
+            _BNL_GATE_CACHE.clear()
+        _BNL_GATE_CACHE[key] = ok
+    return ok
 
 
 def _broadcast_cap(df: DataFrame) -> float:

@@ -47,6 +47,21 @@ def _ts_us(df: DataFrame, col: str):
     return F.unix_micros(F.col(col))
 
 
+def _cents_sum(expr) -> F.Column:
+    """Order-independent money aggregate: round each term to integer
+    cents (the per-term double is bit-identical across engines), sum
+    exactly as longs, divide once. A plain round(sum(double), 2) can
+    flip the last cent with summation order — at 60k+ terms the float
+    error reaches the half-cent boundary often enough to flake an
+    oracle hash (tpch_q10 did)."""
+    return F.sum(F.round(expr * 100.0, 0).cast("long")) / 100.0
+
+
+#: DuckDB rendering of :func:`_cents_sum` — keep both in sync.
+def _cents_sum_sql(expr: str) -> str:
+    return f"sum(CAST(round(({expr}) * 100.0, 0) AS BIGINT)) / 100.0"
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -912,6 +927,301 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted to this schema: the
+    lineitem table has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 30 days. The EXISTS is a LEFT SEMI join
+    (no row multiplication, lineitem side never aggregated); the final
+    groupBy is on a 5-value key — a broadcast-sized result."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations): the two-nation
+    filter is applied on broadcast nation dims BEFORE the fact joins,
+    so the supplier/customer sides shrink first; fact joins shuffle on
+    their keys with AQE sizing."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (
+        F.col("cust_nation") == "NATION_7"
+    ) | (F.col("supp_nation") == "NATION_7") & (
+        F.col("cust_nation") == "NATION_3"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting): top-20 customers by revenue
+    lost to returns in a quarter. Fact joins shuffle on keys, nation is
+    broadcast, and the top-20 is TakeOrdered (no global sort
+    materialization) with c_custkey as the deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join keeps
+    customers with zero qualifying orders (count(o_orderkey) skips
+    nulls), then a second skinny groupBy builds the histogram. Both
+    shuffles are on skinny keys; the histogram fits anywhere."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect), adapted: p_type here is a flat
+    6-value enum, so the promo class is p_type = 'PROMO' (the original
+    LIKE 'PROMO%'). One fact-dim join (part broadcast-eligible at this
+    scale, AQE decides) + a conditional aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+                )
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the max-revenue supplier(s). The max is a 1-row aggregate joined
+    back by broadcast (never a window over the full revenue table);
+    comparing on the ROUNDED revenue keeps both engines' equality
+    semantics identical."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted: no container
+    column, so the part class is p_brand + p_size. The correlated
+    "0.5 * avg quantity for this part" subquery becomes a skinny
+    per-part aggregate joined back on partkey — one extra shuffle on
+    l_partkey instead of a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("__avg_qty")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__avg_qty"))
+        .agg(
+            F.round(_cents_sum(F.col("l_extendedprice")) / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, top-100 by price. The qualifying-order set
+    is a skinny groupBy(l_orderkey) semi-join (l_quantity is integral,
+    so the HAVING threshold is exact); the final top-100 is
+    TakeOrdered with o_orderkey as tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(big.withColumnRenamed("l_orderkey", "__ok"),
+              F.col("o_orderkey") == F.col("__ok"), "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted: the three OR-ed
+    brand/size/quantity bands (no container/shipmode columns here).
+    Catalyst pushes the common l_quantity bounds and the join key into
+    the scans; the OR-matrix evaluates post-join inside codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        _cents_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted: no phone column,
+    so the country code is c_nationkey % 5, and "dormant" means no
+    orders since 1999 (the unfiltered anti-join is empty at this order
+    density). The avg-balance threshold is a 1-row broadcast; the
+    anti-join shuffles on custkey."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") % 5).isin(0, 1, 2, 3)
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__thr")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _cents_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: each click event matched to the same user's most
     recent purchase at-or-before it (point-in-time enrichment). One
@@ -1354,6 +1664,112 @@ def q_lm_score(spark, sf_dir):
     return unigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over documents deterministically enriched with
+    synthetic PII spans (the corpus text itself is clean token soup, so
+    the query plants emails / IPv4s / phones / cards / SSNs keyed on
+    doc_id, then strips them). Pure regexp Column arithmetic — zero
+    shuffle, whole-stage codegen (simba_spark.operators.text.pii_redact).
+    """
+    from simba_spark.operators.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" contact user"), s(i), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit(" from 10.0."), s(i % 256), F.lit(".17")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 0,
+            F.concat(
+                F.lit(" call +1 555-"),
+                F.lpad(s(i % 10000), 4, "0"),
+                F.lit("-"),
+                F.lpad(s(i % 9999), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 11 == 0,
+            F.concat(F.lit(" card 4111 1111 1111 "), F.lpad(s(i % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 13 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad(s(i % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    out = pii_redact(d.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_card",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "n_pii",
+        "text_redacted",
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup: documents rebuilt as two-paragraph
+    texts where every group of five docs shares its group-leader's text
+    as the second paragraph (planted boilerplate). The operator keeps
+    only the globally first occurrence of each paragraph and reassembles
+    — the leader doc also loses its own duplicated second paragraph
+    (within-doc dedup). Decision shuffle is skinny (md5, id, pos) only
+    (simba_spark.operators.dedup.paragraph_dedup)."""
+    from simba_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmpl = d.select(
+        F.col("doc_id").alias("__tid"), F.col("text").alias("__ttext")
+    )
+    built = (
+        d.withColumn("__tid", F.col("doc_id") - F.col("doc_id") % 5)
+        .join(F.broadcast(tmpl), on="__tid")
+        .select(
+            "doc_id",
+            F.concat(
+                F.concat_ws("\n\n", F.col("text"), F.col("__ttext")),
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit("\n\nSHARED FOOTER --- boilerplate"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    out = paragraph_dedup(built, "text", "doc_id")
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_paras", "n_dropped"
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture downsampling: balance the corpus to equal parts
+    en/de/fr/es (zh dropped) — the largest such corpus achievable
+    without upsampling, decided by the engine-stable md5 uniform. The
+    binding (smallest) language keeps 100%
+    (simba_spark.operators.pipeline.mixture_sample)."""
+    from simba_spark.operators.pipeline import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d,
+        source_col="lang",
+        weights={"en": 1, "de": 1, "fr": 1, "es": 1},
+        key_col="doc_id",
+        seed=11,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted index with the stop-term guard: document frequencies
     are computed on skinny rows first and terms with df > 395 never
@@ -1584,6 +2000,10 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-5 debuts (never driver-checked before) ---
+        "pii_redact": q_pii_redact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "mixture_sample": q_mixture_sample,
+        "tpch_q18": q_tpch_q18,
         "lm_score": q_lm_score,
         "inverted_index": q_inverted_index,
         "dedup_resolve": q_dedup_resolve,
@@ -1622,7 +2042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         # --- spatial filters + layouts ---
-        "layout_routed_range": q_layout_routed_range,
         "segment_join": q_segment_join,
         "polygon_box_range": q_polygon_box_range,
         "circle_rows_range": q_circle_rows_range,
@@ -1630,9 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_knn": q_segment_knn,
         "segment_distance_join": q_segment_distance_join,
         # --- spatial joins ---
-        "distance_join": q_distance_join,
         "knn_join": q_knn_join,
-        "knn_join_voronoi": q_knn_join_voronoi,
         "zknn_join": q_zknn_join,
         # --- relational ---
         "tpch_q3": q_tpch_q3,
@@ -1640,7 +2057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         # --- similarity ---
-        "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
@@ -1659,12 +2075,28 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- never driver-windowed: adapted TPC-H breadth added in
+        #     round 5 (q18 took the one driver slot; these carry local
+        #     oracle verification from scripts/check_oracle.py) ---
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         # --- rotated after round 5's debuts (green r2+r3+r4; untouched
         #     by round-5 code changes — changed paths stay in the
         #     driver window for re-verification) ---
         "interval_join": q_interval_join,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "layout_routed_range": q_layout_routed_range,
+        "distance_join": q_distance_join,
+        "knn_join_voronoi": q_knn_join_voronoi,
+        "embedding_ann_topk": q_embedding_ann_topk,
         # --- rotated after round 4 (green r2+r3+r4) ---
         "segment_range": q_segment_range,
         "box_range": q_box_range,
@@ -2215,6 +2647,51 @@ def _polygon_oracle() -> str:
     return f"SELECT event_id, user_id, value FROM events WHERE {pred}"
 
 
+#: SQL mirror of q_pii_redact's deterministic enrichment — must stay
+#: byte-identical to the Spark concat in q_pii_redact.
+_PII_ENRICH_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@example.com'
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.0.' || (doc_id % 256) || '.17'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' call +1 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     || '-' || lpad((doc_id % 9999)::VARCHAR, 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' card 4111 1111 1111 '
+                     || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END
+           AS text
+    FROM documents
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of q_pii_redact: the same enrichment CTE, then the
+    operator's own SQL rendering (simba_spark.operators.text.
+    pii_redact_sql — shared pattern table, sequential-count semantics)."""
+    from simba_spark.operators.text import pii_redact_sql
+
+    exprs = ",\n                   ".join(pii_redact_sql("text"))
+    return f"""
+        WITH enr AS ({_PII_ENRICH_SQL})
+        SELECT doc_id, n_email, n_card, n_ssn, n_phone, n_ipv4,
+               (n_email + n_card + n_ssn + n_phone + n_ipv4)::BIGINT AS n_pii,
+               text_redacted
+        FROM (SELECT doc_id,
+                   {exprs}
+              FROM enr)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d2_circle = _ev_d2(*_CIRCLE_C)
     d2_knn = _ev_d2(*_KNN_Q)
@@ -2563,6 +3040,142 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   sum(CAST(round(volume * 100.0, 0) AS BIGINT)) / 100.0
+                     AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier
+              JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+            ) s
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10": f"""
+            SELECT c_custkey, c_name,
+                   {_cents_sum_sql("l_extendedprice * (1 - l_discount)")}
+                     AS revenue,
+                   c_acctbal, n_name
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey
+            ) s
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q14": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4
+                   ) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(round((l_extendedprice * (1 - l_discount))
+                                    * 100.0, 0) AS BIGINT)) / 100.0
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": f"""
+            SELECT round({_cents_sum_sql("l_extendedprice")} / 7.0, 2)
+                     AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS avg_qty
+                  FROM lineitem GROUP BY l_partkey) a ON l_partkey = a.pk
+            WHERE p_brand = 'Brand#3' AND p_size < 15
+              AND l_quantity < avg_qty
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum(l_quantity) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "tpch_q19": f"""
+            SELECT {_cents_sum_sql("l_extendedprice * (1 - l_discount)")}
+                     AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": f"""
+            SELECT cntrycode, count(*) AS numcust,
+                   {_cents_sum_sql("c_acctbal")} AS totacctbal
+            FROM (
+              SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
+              FROM customer
+              WHERE c_nationkey % 5 IN (0, 1, 2, 3)
+                AND c_acctbal > (
+                  SELECT avg(c_acctbal) FROM customer
+                  WHERE c_acctbal > 0 AND c_nationkey % 5 IN (0, 1, 2, 3))
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+            ) s
+            GROUP BY cntrycode ORDER BY cntrycode
         """,
         "asof_join": """
             -- explicit window formulation (not DuckDB's native ASOF,
@@ -3208,6 +3821,58 @@ def oracle_sql() -> dict[str, str]:
                   / 4503599627370496.0
                   < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
                                 WHEN 'src2' THEN 0.2 ELSE 0.1 END
+        """,
+        "pii_redact": _pii_oracle_sql(),
+        "paragraph_dedup": """
+            WITH built AS (
+              SELECT d.doc_id,
+                     d.text || chr(10) || chr(10) || t.text
+                     || CASE WHEN d.doc_id % 2 = 0
+                          THEN chr(10) || chr(10)
+                               || 'SHARED FOOTER --- boilerplate'
+                          ELSE '' END AS text
+              FROM documents d
+              JOIN documents t ON t.doc_id = d.doc_id - d.doc_id % 5
+            ), paras AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10) || chr(10))) AS para,
+                     unnest(generate_series(
+                       1, len(string_split(text, chr(10) || chr(10))))) - 1
+                       AS pos
+              FROM built
+            ), ranked AS (
+              SELECT doc_id, para, pos,
+                     ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM paras
+            ), n_all AS (
+              SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+            ), kept AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+                     count(*) AS n_kept
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT n_all.doc_id, md5(coalesce(kept.text, '')) AS text_md5,
+                   n_paras,
+                   CAST(n_paras - coalesce(n_kept, 0) AS INT) AS n_dropped
+            FROM n_all LEFT JOIN kept ON n_all.doc_id = kept.doc_id
+        """,
+        "mixture_sample": """
+            WITH c AS (
+              SELECT lang, count(*)::DOUBLE AS cnt FROM documents
+              WHERE lang IN ('de', 'en', 'es', 'fr') GROUP BY lang
+            ), t AS (
+              SELECT min(cnt / 0.25) AS total FROM c
+            ), r AS (
+              SELECT c.lang,
+                     least(1.0, total * 0.25 / cnt * 1.0) AS rate
+              FROM c CROSS JOIN t
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE ('0x' || substr(md5(d.doc_id || '#11'), 1, 13))::BIGINT
+                  / 4503599627370496.0 < r.rate
         """,
         "source_quota": """
             SELECT doc_id, source FROM (

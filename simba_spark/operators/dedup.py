@@ -48,6 +48,79 @@ def exact_dup_groups(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-granular exact dedup: split every document on `sep`,
+    keep only the globally FIRST occurrence of each distinct paragraph
+    (first = lexicographically smallest `(doc_id, position)`), and
+    reassemble the surviving paragraphs per document in their original
+    order. Returns `(id_col, text (reassembled), n_paras, n_dropped)`;
+    documents whose every paragraph was seen earlier come back with
+    empty text (callers filter on `n_paras > n_dropped` to drop them).
+
+    This is the paragraph-level analog of :func:`exact_dedup` — the
+    standard weapon against boilerplate (headers, footers, license
+    blocks) that repeats across documents a doc-level fingerprint can
+    never catch.
+
+    Scale: the dedup decision shuffles SKINNY rows only — (md5 of the
+    paragraph, doc_id, pos) — one groupBy on the 128-bit digest
+    (skew-free by construction: identical boilerplate collapses to ONE
+    min-struct row in the partial aggregate, so a paragraph repeated a
+    billion times costs its occurrence rows map-side, not reduce-side).
+    Winners join back against the exploded paragraphs by (doc_id, pos)
+    and reassembly is one groupBy(doc_id) with an in-row
+    sort_array — no window over the raw corpus, no paragraph text in
+    the decision shuffle.
+    """
+    # Spark's split() takes a Java regex — \Q...\E quotes the separator
+    # so metacharacter-bearing seps ("." , "||") split literally.
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+        ).alias("__pos", "__para"),
+    )
+    occ = paras.select(
+        "__id", "__pos", F.md5(F.col("__para")).alias("__fp")
+    )
+    winners = occ.groupBy("__fp").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w")
+    ).select(F.col("__w.__id").alias("__id"), F.col("__w.__pos").alias("__pos"))
+    kept = paras.join(winners, on=["__id", "__pos"], how="left_semi")
+    n_all = occ.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
+    out = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__para"))
+            ).alias("__ps")
+        )
+        .select(
+            "__id",
+            F.array_join(
+                F.transform(F.col("__ps"), lambda s: s["__para"]), sep
+            ).alias("text"),
+            F.size("__ps").alias("__n_kept"),
+        )
+    )
+    return (
+        n_all.join(out, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("n_paras"),
+            (F.col("n_paras") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 

@@ -127,6 +127,65 @@ def stratified_sample(
     return df.filter(_unit_hash(key_col, seed) < rate)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict,
+    key_col: str,
+    seed: int = 42,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Downsample a multi-source corpus to a TARGET MIXTURE: `weights`
+    gives the desired proportion per source (relative; e.g.
+    ``{"web": 6, "code": 3, "wiki": 1}``), and the operator computes the
+    largest total achievable WITHOUT upsampling any source — the
+    binding source keeps 100%, every other source downsamples to hold
+    the ratios — then hash-samples each source at its derived rate
+    (same md5-uniform as :func:`hash_sample`, so the result is
+    deterministic, engine-stable, and nested under `scale`). Sources
+    absent from `weights` are dropped. `scale` < 1 shrinks the whole
+    mixture proportionally (e.g. a 10% pilot corpus with the same mix).
+
+    This is THE knob a training run turns: "make the corpus 60% web,
+    30% code, 10% wiki" — :func:`stratified_sample` with rates solved
+    from the data instead of supplied.
+
+    Scale: one skinny `groupBy(source).count()` (#sources rows to the
+    driver — domain counts are human-scale), then a zero-shuffle
+    filter. The expected output size is `scale · T · Σw` where
+    `T = min_s(count_s / w_s)`.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: weight} dict")
+    for v in weights.values():
+        if not float(v) > 0.0:
+            raise ValueError("mixture weights must be > 0")
+    if not 0.0 < float(scale) <= 1.0:
+        raise ValueError("scale must be in (0, 1]")
+    wsum = float(sum(float(v) for v in weights.values()))
+    norm = {k: float(v) / wsum for k, v in sorted(weights.items())}
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.filter(
+            F.col(source_col).isin(list(norm))
+        )
+        .groupBy(F.col(source_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    missing = [s for s in norm if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"weighted sources have no rows: {missing} — a zero-count "
+            "source makes the target mixture infeasible"
+        )
+    total = min(counts[s] / norm[s] for s in norm)
+    rates = {s: min(1.0, total * norm[s] / counts[s] * float(scale)) for s in norm}
+    return stratified_sample(
+        df, source_col, rates, key_col, seed=seed, default_rate=0.0
+    )
+
+
 def group_quota(
     df: DataFrame,
     group_col: str,

@@ -388,6 +388,78 @@ def unigram_lm_score(
     )
 
 
+#: PII patterns, applied in this order. Every regex is written in the
+#: common subset of Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+#: no backreferences — so the SQL oracle can mirror the operator exactly.
+#: Order matters: card/SSN-shaped digit runs are redacted before the
+#: looser phone pattern can eat their fragments.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"(?:\+?\d{1,2}[ -]?)?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: Optional[list] = None,
+    token_fmt: str = "<{kind}>",
+) -> DataFrame:
+    """Redact PII spans (emails, card/SSN-shaped numbers, phone numbers,
+    IPv4 addresses) from `text_col`, appending `text_redacted`, one
+    `n_<kind>` count per kind, and `n_pii` (total spans removed).
+
+    Counts are defined SEQUENTIALLY: `n_<kind>` is the number of matches
+    remaining after all earlier kinds were already replaced, which makes
+    the counts well-defined under overlapping patterns (a card number is
+    counted once as `card`, never again as `phone`).
+
+    Scale: pure per-row Column arithmetic (regexp_count/regexp_replace)
+    inside whole-stage codegen — zero shuffle, no Python. At 100 TB this
+    is scan-bound and embarrassingly parallel; pattern count scales the
+    per-row constant only. Additive to the reference surface (training-
+    data pipeline family, SURVEY §2.6).
+    """
+    pats = PII_PATTERNS if kinds is None else [
+        (k, p) for k, p in PII_PATTERNS if k in set(kinds)
+    ]
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in pats:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token_fmt.format(kind=kind))
+    out = df.select("*", *counts, cur.alias("text_redacted"))
+    total = None
+    for kind, _ in pats:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total.cast("long"))
+
+
+def pii_redact_sql(text_expr: str, token_fmt: str = "<{kind}>") -> str:
+    """DuckDB SELECT-expression list mirroring :func:`pii_redact` for
+    the oracle harness: one aliased `n_<kind>` count expr per kind plus
+    the final `text_redacted` expr, for the caller to splice into a
+    SELECT. DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics."""
+    cur = text_expr
+    parts = []
+    for kind, pat in PII_PATTERNS:
+        sq = pat.replace("'", "''")
+        parts.append(
+            f"len(regexp_extract_all({cur}, '{sq}')) AS n_{kind}"
+        )
+        cur = (
+            f"regexp_replace({cur}, '{sq}', "
+            f"'{token_fmt.format(kind=kind)}', 'g')"
+        )
+    parts.append(f"{cur} AS text_redacted")
+    return parts
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",

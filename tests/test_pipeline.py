@@ -131,3 +131,41 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full")
+
+
+def test_mixture_sample_hits_target_ratios(spark):
+    import pytest
+
+    from simba_spark.operators.pipeline import mixture_sample
+
+    # 4000 a / 1000 b / 2000 c rows; target 1:1:2 → binding source is b
+    # (1000/0.25 = 4000 < a's 16000, c's 4000 ties) → expect ~1000 a,
+    # all 1000 b, ~2000 c, d dropped entirely
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 4000, "a")
+        .when(F.col("id") < 5000, "b")
+        .when(F.col("id") < 7000, "c")
+        .otherwise("d")
+        .alias("src"),
+    )
+    out = mixture_sample(df, "src", {"a": 1, "b": 1, "c": 2}, "k", seed=3)
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "d" not in counts
+    assert counts["b"] == 1000  # binding source keeps 100%
+    assert 900 < counts["a"] < 1100
+    assert 1900 <= counts["c"] <= 2000
+    # scale shrinks proportionally and NESTS (same hash, lower rates)
+    half = mixture_sample(df, "src", {"a": 1, "b": 1, "c": 2}, "k",
+                          seed=3, scale=0.5)
+    assert set(r.k for r in half.collect()) <= set(r.k for r in out.collect())
+    n_half = half.count()
+    assert 0.4 * out.count() < n_half < 0.6 * out.count()
+    # validation
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", {}, "k")
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", {"a": 0.0}, "k")
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", {"nope": 1.0}, "k")

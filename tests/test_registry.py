@@ -28,8 +28,12 @@ def test_round5_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
     the dict (dict order IS the driver's check order), followed by the
     round-4 debuts still earning their 3 greens."""
-    head = list(entrymod.queries())[:25]
+    head = list(entrymod.queries())[:29]
     assert head == [
+        "pii_redact",
+        "paragraph_dedup",
+        "mixture_sample",
+        "tpch_q18",
         "lm_score",
         "inverted_index",
         "dedup_resolve",

@@ -60,6 +60,10 @@ HEADLINE = [
     "segment_circle_join",
     "lm_score",
     "inverted_index",
+    "pii_redact",
+    "paragraph_dedup",
+    "mixture_sample",
+    "tpch_q18",
 ]
 
 

@@ -1770,6 +1770,18 @@ def q_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_global_order(spark, sf_dir):
+    """Deterministic global training-order permutation: 0-based rank of
+    every document under the seeded md5 ordering. Two-phase rank —
+    range-repartition on the hash + broadcast per-partition offsets,
+    never a single-partition window
+    (simba_spark.operators.pipeline.global_order)."""
+    from simba_spark.operators.pipeline import global_order
+
+    d = _t(spark, sf_dir, "documents")
+    return global_order(d, "doc_id", seed=5).select("doc_id", "train_order")
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted index with the stop-term guard: document frequencies
     are computed on skinny rows first and terms with df > 395 never
@@ -2087,6 +2099,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "global_order": q_global_order,
         # --- rotated after round 5's debuts (green r2+r3+r4; untouched
         #     by round-5 code changes — changed paths stay in the
         #     driver window for re-verification) ---
@@ -3823,6 +3836,13 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src2' THEN 0.2 ELSE 0.1 END
         """,
         "pii_redact": _pii_oracle_sql(),
+        "global_order": """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY md5(doc_id || '#5') || '|' || doc_id) - 1
+                     AS train_order
+            FROM documents
+        """,
         "paragraph_dedup": """
             WITH built AS (
               SELECT d.doc_id,

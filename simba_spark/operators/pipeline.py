@@ -256,6 +256,40 @@ def running_total(
     )
 
 
+def global_order(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 42,
+    out_col: str = "train_order",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    0-based `out_col` rank under a pseudorandom-but-reproducible
+    permutation (ordering by the md5 of its key). Same seed + same data
+    → the same permutation on any cluster, any partitioning, any
+    engine; changing the seed reshuffles. THE standard "shuffle the
+    corpus before epoch 0" op, without an RNG stream or a collect.
+
+    The order key is `md5(key#seed) || '|' || key`, so ties are
+    impossible even on the (astronomically unlikely) hash collision —
+    the rank is total and deterministic for unique keys.
+
+    Scale: two-phase rank via :func:`running_total` — range-repartition
+    on the hash (uniform by construction, so the range partitions are
+    balanced), per-partition ranks, broadcast of per-partition offsets
+    (one row per partition). Never a single-partition window.
+    """
+    hashed = df.withColumn(
+        "__go",
+        F.concat(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}"))),
+            F.lit("|"),
+            F.col(key_col).cast("string"),
+        ),
+    ).withColumn("__one", F.lit(1))
+    out = running_total(hashed, "__go", "__one", out_col)
+    return out.withColumn(out_col, F.col(out_col) - 1).drop("__go", "__one")
+
+
 def pack_sequences(
     df: DataFrame,
     size_col: str,

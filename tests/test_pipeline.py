@@ -169,3 +169,22 @@ def test_mixture_sample_hits_target_ratios(spark):
         mixture_sample(df, "src", {"a": 0.0}, "k")
     with pytest.raises(ValueError):
         mixture_sample(df, "src", {"nope": 1.0}, "k")
+
+
+def test_global_order_is_deterministic_permutation(spark):
+    from simba_spark.operators.pipeline import global_order
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    a = {r.k: r.train_order for r in global_order(df, "k", seed=1).collect()}
+    # exact 0..n-1 permutation
+    assert sorted(a.values()) == list(range(5000))
+    # physical layout must not change the permutation
+    b = {r.k: r.train_order
+         for r in global_order(df.repartition(17), "k", seed=1).collect()}
+    assert a == b
+    # a different seed is a different permutation of the same ranks
+    c = {r.k: r.train_order for r in global_order(df, "k", seed=2).collect()}
+    assert sorted(c.values()) == list(range(5000))
+    assert c != a
+    # not the identity (it actually shuffles)
+    assert a != {k: k for k in range(5000)}

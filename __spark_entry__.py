@@ -1770,6 +1770,21 @@ def q_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def q_scrub_ngrams(spark, sf_dir):
+    """Span-level boilerplate scrubbing: every token position covered by
+    a 3-gram that appears in more than 2 distinct documents is removed
+    and the text reassembled (the transform counterpart of dup_ngrams'
+    signal). Skinny exploded rows — gram hashes are computed inside the
+    token array (simba_spark.operators.dedup.remove_duplicated_ngrams)."""
+    from simba_spark.operators.dedup import remove_duplicated_ngrams
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicated_ngrams(d, n=3, max_doc_freq=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_tokens", "n_removed"
+    )
+
+
 def q_global_order(spark, sf_dir):
     """Deterministic global training-order permutation: 0-based rank of
     every document under the seeded md5 ordering. Two-phase rank —
@@ -2100,6 +2115,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "global_order": q_global_order,
+        "scrub_ngrams": q_scrub_ngrams,
         # --- rotated after round 5's debuts (green r2+r3+r4; untouched
         #     by round-5 code changes — changed paths stay in the
         #     driver window for re-verification) ---
@@ -3842,6 +3858,44 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(doc_id || '#5') || '|' || doc_id) - 1
                      AS train_order
             FROM documents
+        """,
+        "scrub_ngrams": """
+            WITH arr AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), starts AS (
+              SELECT doc_id, ts,
+                     unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS s
+              FROM arr
+            ), g2 AS (
+              SELECT doc_id, s - 1 AS p,
+                     md5(ts[s] || chr(1) || ts[s+1] || chr(1) || ts[s+2]) AS g
+              FROM starts
+            ), hot AS (
+              SELECT g FROM (
+                SELECT g, count(DISTINCT doc_id) AS df FROM g2 GROUP BY g)
+              WHERE df > 2
+            ), cov AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, p + unnest([0, 1, 2]) AS pos
+                FROM g2 JOIN hot USING (g))
+            ), toks AS (
+              SELECT doc_id, unnest(ts) AS tok,
+                     unnest(generate_series(1, len(ts))) - 1 AS pos
+              FROM arr
+            ), kept AS (
+              SELECT t.doc_id,
+                     string_agg(t.tok, ' ' ORDER BY t.pos) AS text,
+                     count(*) AS n_kept
+              FROM toks t
+              ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+              GROUP BY t.doc_id
+            ), base AS (
+              SELECT doc_id, len(ts) AS n_tokens FROM arr
+            )
+            SELECT base.doc_id, md5(coalesce(kept.text, '')) AS text_md5,
+                   n_tokens,
+                   CAST(n_tokens - coalesce(n_kept, 0) AS INT) AS n_removed
+            FROM base LEFT JOIN kept ON base.doc_id = kept.doc_id
         """,
         "paragraph_dedup": """
             WITH built AS (

@@ -64,6 +64,8 @@ HEADLINE = [
     "paragraph_dedup",
     "mixture_sample",
     "tpch_q18",
+    "scrub_ngrams",
+    "global_order",
 ]
 
 

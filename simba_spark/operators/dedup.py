@@ -925,6 +925,104 @@ def contamination_check(
     )
 
 
+def remove_duplicated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int = 1,
+    sep: str = " ",
+) -> DataFrame:
+    """Scrub globally duplicated token spans: any position covered by an
+    n-gram that occurs in more than `max_doc_freq` DISTINCT documents is
+    REMOVED from every document, and the surviving tokens are rejoined
+    in order — the transform counterpart of :func:`dup_ngram_fraction`'s
+    signal (C4-style span-level boilerplate removal; whole-document and
+    paragraph dedup can't catch a shared sentence embedded in otherwise
+    unique text). Returns `(id_col, text, n_tokens, n_removed)`; rows
+    whose every token was covered come back with empty text.
+
+    Unlike the *_fraction signal (which lowercases), gram identity here
+    is over the RAW tokens of a literal-`sep` split, so the surviving
+    text reassembles byte-exactly.
+
+    Scale: gram hashes are computed INSIDE the token array
+    (`transform` + `slice`) before the posexplode, so the exploded rows
+    are skinny (id, pos, md5) — never the token array replicated per
+    position. Distinct-doc counts are a two-step skinny aggregate
+    ((gram, id) partial-combine, then gram), so a gram repeated 10⁹
+    times costs map-side rows, not one hot reducer. Covered positions
+    explode ≤ n rows per hot-gram occurrence — output-bounded (those
+    are exactly the edits to apply).
+    """
+    n = int(n)
+    pat = "\\Q" + sep + "\\E"
+    chr1 = "\x01"
+    arr = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), pat, -1).alias("__ts"),
+    )
+    gh = F.when(
+        F.size("__ts") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ts") - (n - 1)),
+            lambda p: F.md5(F.array_join(F.slice("__ts", p, n), chr1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = arr.select(
+        "__id", F.posexplode(gh).alias("__p", "__g")
+    )
+    hot = (
+        grams.select("__g", "__id")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > int(max_doc_freq))
+        .select("__g")
+    )
+    covered = (
+        grams.join(hot, on="__g", how="left_semi")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + (n - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    toks = arr.select(
+        "__id", F.posexplode("__ts").alias("__pos", "__tok")
+    )
+    kept = toks.join(covered, on=["__id", "__pos"], how="left_anti")
+    rebuilt = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__tok"))
+            ).alias("__ps")
+        )
+        .select(
+            "__id",
+            F.array_join(
+                F.transform(F.col("__ps"), lambda s: s["__tok"]), sep
+            ).alias("text"),
+            F.size("__ps").alias("__n_kept"),
+        )
+    )
+    base = arr.select("__id", F.size("__ts").alias("n_tokens"))
+    return (
+        base.join(rebuilt, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def dup_ngram_fraction(
     df: DataFrame,
     text_col: str = "text",
@@ -954,18 +1052,21 @@ def dup_ngram_fraction(
     """
     n = int(n)
     toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    # gram strings are built INSIDE the array (transform+slice) before
+    # the explode, so exploded rows are skinny (id, gram) — the
+    # explode-then-slice formulation replicates the whole token array
+    # per position (O(len²) bytes through the Generate)
     grams = (
         df.select(id_col, toks.alias("__toks"))
-        .withColumn("__nt", F.size("__toks"))
-        .filter(F.col("__nt") >= n)
-        .withColumn(
-            "__p", F.explode(F.sequence(F.lit(1), F.col("__nt") - (n - 1)))
-        )
+        .filter(F.size("__toks") >= n)
         .select(
             id_col,
-            F.array_join(F.slice("__toks", F.col("__p"), n), " ").alias(
-                "__gram"
-            ),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                    lambda p: F.array_join(F.slice("__toks", p, n), " "),
+                )
+            ).alias("__gram"),
         )
     )
     gcount = grams.groupBy("__gram").agg(

@@ -104,3 +104,59 @@ def test_paragraph_dedup_metachar_separator(spark):
            paragraph_dedup(_docs(spark, rows), sep="||").collect()}
     assert out[1]["text"] == "x||y" and out[1]["n_dropped"] == 1
     assert out[2]["text"] == "z" and out[2]["n_dropped"] == 1
+
+
+def test_remove_duplicated_ngrams_semantics(spark):
+    from simba_spark.operators.dedup import remove_duplicated_ngrams
+
+    rows = [
+        (1, "aa bb cc unique one text"),
+        (2, "other words aa bb cc more"),
+        (3, "totally different content here"),
+        (4, "aa bb cc"),                       # fully covered
+        (5, "xx"),                             # shorter than n
+    ]
+    out = {r["doc_id"]: r for r in remove_duplicated_ngrams(
+        _docs(spark, rows), n=3, max_doc_freq=2).collect()}
+    # "aa bb cc" occurs in 3 distinct docs (> 2) → covered everywhere
+    assert out[1]["text"] == "unique one text" and out[1]["n_removed"] == 3
+    assert out[2]["text"] == "other words more" and out[2]["n_removed"] == 3
+    assert out[3]["text"] == rows[2][1] and out[3]["n_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 3
+    assert out[5]["text"] == "xx" and out[5]["n_removed"] == 0
+    assert out[4]["n_tokens"] == 3
+
+
+def test_remove_duplicated_ngrams_overlap_and_threshold(spark):
+    from simba_spark.operators.dedup import remove_duplicated_ngrams
+
+    # the shared span is 4 tokens (two overlapping 3-grams); covered
+    # positions must union, not double-remove
+    rows = [
+        (1, "p q r s alpha"),
+        (2, "beta p q r s"),
+        (3, "gamma delta"),
+    ]
+    out = {r["doc_id"]: r for r in remove_duplicated_ngrams(
+        _docs(spark, rows), n=3, max_doc_freq=1).collect()}
+    assert out[1]["text"] == "alpha" and out[1]["n_removed"] == 4
+    assert out[2]["text"] == "beta" and out[2]["n_removed"] == 4
+    assert out[3]["n_removed"] == 0
+    # higher threshold → pair-duplicated span survives
+    out2 = {r["doc_id"]: r for r in remove_duplicated_ngrams(
+        _docs(spark, rows), n=3, max_doc_freq=2).collect()}
+    assert out2[1]["text"] == rows[0][1]
+
+
+def test_remove_duplicated_ngrams_partitioning_invariant(spark):
+    from simba_spark.operators.dedup import remove_duplicated_ngrams
+
+    rows = [
+        (i, " ".join(
+            [f"u{i}w{j}" for j in range(5)]
+            + ["shared", "foot", "er"] * (i % 2)))
+        for i in range(40)
+    ]
+    a = remove_duplicated_ngrams(_docs(spark, rows)).collect()
+    b = remove_duplicated_ngrams(_docs(spark, rows).repartition(9)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,151 @@
+"""Graph analytics over edge-list DataFrames: PageRank.
+
+The reference has no graph operators (connected components — the other
+graph op this engine ships — lives with the dedup family in
+``operators/dedup.py`` because its job there is transitive closure of
+near-duplicate pairs). PageRank is the classic "importance over a link
+graph" score a web-corpus pipeline uses for quality weighting
+(domain/page rank as a quality prior is standard in large-scale
+pretraining corpus curation).
+
+Scale design: per iteration ONE equi-join of ranks⋈edges on the source
+id + one skinny groupBy(dst) sum — both shuffle on node id so AQE
+reuses partitioning; the dangling-rank mass is a 1-row aggregate
+crossJoin'd back (broadcast, no driver collect in the loop); ranks are
+``localCheckpoint``'d per iteration to truncate lineage. Driver state:
+the node count (one scalar, computed once). Nothing O(nodes) ever
+reaches the driver.
+
+Determinism: rank updates are double sums whose addition order varies
+with partitioning, so intermediate ranks are engine/run-stable only to
+~1e-14 relative; `round_to` (default 6 decimals) quantizes the FINAL
+ranks far above that noise floor, making results hash-stable across
+engines, partitionings, and the DuckDB oracle (`pagerank_sql` unrolls
+the same fixed iteration count as chained CTEs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 8,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank) for every node appearing as a source or a
+    destination. Ranks sum to 1. Dangling nodes (no out-edges) spread
+    their rank uniformly over all nodes each iteration — the standard
+    stochastic-matrix completion, so rank mass is conserved.
+
+    ``iters`` is fixed (not convergence-tested) so the result is a
+    well-defined deterministic function of the graph — required by the
+    SQL oracle, and the common choice for corpus-quality priors where
+    a bounded-cost approximation is the point.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # the one driver scalar
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(int(iters)):
+        with_deg = ranks.join(
+            out_deg, ranks.node == out_deg.src, how="left"
+        ).select("node", "rank", "deg")
+        # rank mass sitting on dangling nodes, as a 1-row broadcast
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("deg").isNotNull()),
+                   e.src == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0))
+                       + F.col("__dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return ranks
+
+
+def pagerank_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 8,
+    round_to: Optional[int] = 6,
+) -> str:
+    """DuckDB SQL mirror of :func:`pagerank`: the fixed iteration count
+    unrolled as chained CTEs (recursive CTEs disallow aggregation over
+    the recursive term, and the loop bound is static anyway)."""
+    parts = [
+        f"WITH __e AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {edges_sql})",
+        "__nodes AS (SELECT src AS node FROM __e UNION SELECT dst FROM __e)",
+        "__n AS (SELECT count(*) AS n FROM __nodes)",
+        "__deg AS (SELECT src, count(*) AS deg FROM __e GROUP BY src)",
+        "__r0 AS (SELECT node, 1.0 / (SELECT n FROM __n) AS rank FROM __nodes)",
+    ]
+    for i in range(int(iters)):
+        prev, cur = f"__r{i}", f"__r{i + 1}"
+        parts.append(
+            f"""{cur} AS (
+  SELECT nn.node,
+         {(1.0 - damping)!r} / (SELECT n FROM __n)
+         + {damping!r} * (
+             COALESCE(c.__c, 0.0)
+             + (SELECT COALESCE(sum(r.rank), 0.0) FROM {prev} r
+                LEFT JOIN __deg d ON r.node = d.src WHERE d.src IS NULL)
+               / (SELECT n FROM __n)
+           ) AS rank
+  FROM __nodes nn
+  LEFT JOIN (
+    SELECT e.dst, sum(r.rank / d.deg) AS __c
+    FROM __e e
+    JOIN {prev} r ON e.src = r.node
+    JOIN __deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) c ON nn.node = c.dst
+)"""
+        )
+    final = f"__r{int(iters)}"
+    rank_expr = (
+        f"round(rank, {int(round_to)})" if round_to is not None else "rank"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, {rank_expr} AS rank FROM {final}"
+    )

@@ -373,3 +373,151 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return ls.join(rs, on=on + ["__salt"], how=how).drop("__salt")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the top-n
+    rows by the Efraimidis–Spirakis key ``u^(1/w)`` (u = the engine's
+    md5 uniform of `key_col`, w = `weight_col`). Each row's inclusion
+    probability is proportional to its weight, membership depends only
+    on (key, seed) — stable across partitioning, re-runs, and engines —
+    and the n winners are drawn in one pass with no RNG state.
+
+    Plan shape: global top-n = ``orderBy(...).limit(n)`` →
+    TakeOrderedAndProject (per-partition partial top-n, n rows to the
+    driver side of the exchange — never a full sort). With `group_by`,
+    a per-group row_number window (one shuffle on the group key).
+
+    Weights must be > 0 — raises (in-plan) otherwise, since a zero or
+    negative weight has no E–S key.
+    """
+    w = F.col(weight_col).cast("double")
+    guarded = F.when(
+        w > 0, F.pow(_unit_hash(key_col, seed), F.lit(1.0) / w)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: non-positive weight in "
+                      f"'{weight_col}' for key="),
+                F.col(key_col).cast("string"),
+            )
+        )
+    )
+    keyed = df.withColumn("__es_key", guarded)
+    if group_by:
+        win = Window.partitionBy(*group_by).orderBy(
+            F.desc("__es_key"), F.col(key_col)
+        )
+        return (
+            keyed.withColumn("__es_rn", F.row_number().over(win))
+            .filter(F.col("__es_rn") <= n)
+            .drop("__es_key", "__es_rn")
+        )
+    return (
+        keyed.orderBy(F.desc("__es_key"), F.col(key_col))
+        .limit(n)
+        .drop("__es_key")
+    )
+
+
+def weighted_sample_key_sql(key_expr: str, weight_expr: str, seed: int) -> str:
+    """DuckDB mirror of the Efraimidis–Spirakis sampling key."""
+    return f"power({unit_hash_sql(key_expr, seed)}, 1.0 / ({weight_expr}))"
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: Optional[str] = None,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 42,
+    how: str = "semi",
+) -> DataFrame:
+    """Bloom-filter join pruning: filter `big` down to rows whose key
+    is (probably) present in `small`, BEFORE any shuffle of `big`.
+
+    ``how='semi'``: returns the filtered big side — every true match
+    survives (a Bloom filter has no false negatives), plus ~fpr false
+    positives (m=2^20 bits / k=5 hashes ≈ 0.02% fpr at 100k distinct
+    keys — size `m_bits` to ~10 bits per distinct small key).
+    ``how='inner'``: follows with the exact equi-join, so the result
+    EQUALS ``big.join(small, big_key == small_key)`` — the filter only
+    moves work, never changes rows.
+
+    This is the ahead-of-time form of Spark's runtime bloom-filter
+    injection (spark.sql.optimizer.runtime.bloomFilter), applicable
+    when the build side is a separate pipeline stage or the optimizer
+    declines. At 100 TB the win is shuffle bytes: the big fact table is
+    cut to ~|matches| rows while still in its scan stage (the filter is
+    pure Column arithmetic against a broadcast bitset — one row of
+    m/64 longs, never a driver collect of keys).
+
+    The bitset build is a skinny groupBy: k positions per distinct
+    small key → (word, bit-or) partials → one m/64-long array.
+    """
+    small_key = small_key or big_key
+    m_bits = int(m_bits)
+    assert m_bits >= 64 and (m_bits & (m_bits - 1)) == 0, \
+        "m_bits must be a power of two >= 64"
+    n_words = m_bits // 64
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(F.col(col).cast("string"), F.lit(seed + i)),
+                   F.lit(m_bits))
+            for i in range(int(n_hashes))
+        ]
+
+    def bitmask(pos_col):
+        # F.shiftleft only takes a literal shift; the SQL function
+        # accepts a column — route through call_function
+        return F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            pos_col.bitwiseAND(F.lit(63)).cast("int"),
+        )
+
+    pos = F.explode(F.array(*positions(small_key))).alias("__pos")
+    words = (
+        small.select(pos)
+        .select(
+            F.shiftright("__pos", 6).alias("__w"),
+            bitmask(F.col("__pos")).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+    bitset = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w", "__bits")))
+        .alias("__bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at("__bm", i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("__bloom")
+    )
+
+    probe = big.crossJoin(F.broadcast(bitset))
+    cond = F.lit(True)
+    for p in positions(big_key):
+        word = F.element_at("__bloom", (F.shiftright(p, 6) + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(bitmask(p)) != 0)
+    filtered = probe.filter(cond).drop("__bloom")
+    if how == "semi":
+        return filtered
+    if how == "inner":
+        return filtered.join(
+            small, filtered[big_key] == small[small_key], how="inner"
+        )
+    raise ValueError(f"how must be 'semi' or 'inner', got {how!r}")

@@ -1,0 +1,271 @@
+"""Distributed cardinality sketches: HyperLogLog and KMV/theta.
+
+At 100 TB an exact ``COUNT(DISTINCT key)`` shuffles every distinct key;
+these sketches shuffle a bounded number of rows per group instead
+(HLL: one row per non-empty register, ≤ 2^p; KMV: the k smallest
+hashes) and both aggregates are combine-friendly (``max`` / ``min``
+merge map-side), so the reduce step sees kilobytes per group no matter
+how many rows feed it.
+
+Unlike Spark's built-in ``approx_count_distinct`` (whose HLL++ register
+layout is engine-private), these sketches are built from the engine's
+md5-derived 60-bit uniform hash, so the whole estimate — registers,
+harmonic mean, linear-counting branch — is reproducible bit-for-bit by
+the DuckDB oracle (`hll_distinct_sql`). Determinism does not depend on
+partitioning: every term in the final sum is a dyadic rational
+(2^-rho), so double addition is exact and order-insensitive.
+
+The reference has no sketch operators (its aggregation layer is
+inherited Spark SQL — SURVEY.md §2.4); this module is a north-star
+addition for corpus-scale analytics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 15 hex chars of md5 = 60 uniform bits; fits a signed 64-bit long.
+_HASH_BITS = 60
+
+
+def _hash60(col, seed: int):
+    """md5-derived uniform 60-bit non-negative long (engine-portable)."""
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str, seed: int) -> str:
+    """DuckDB mirror of :func:`_hash60`."""
+    return f"(('0x' || substr(md5(({expr}) || '#{seed}'), 1, 15))::BIGINT)"
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: Optional[Sequence[str]] = None,
+    p: int = 12,
+    seed: int = 42,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (~1.04/sqrt(2^p)
+    relative error; p=12 → ~1.6%).
+
+    Plan shape: one skinny groupBy on (group, bucket) with a map-side
+    ``max`` partial (a partition contributes at most 2^p rows per group
+    downstream, however many rows it holds), then a per-group rollup of
+    the ≤ 2^p registers. The classic small-range linear-counting
+    correction (E <= 2.5m with empty registers) uses ``ln`` — the only
+    non-exact float step; the estimate is engine-stable to well below
+    the oracle's 9 significant digits.
+    """
+    assert 4 <= p <= 18, "p (register address bits) must be in [4, 18]"
+    m = 1 << p
+    w = _HASH_BITS - p
+    groups = list(group_by or [])
+
+    h = _hash60(col, seed)
+    bucket = F.shiftright(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    # rho = leading zeros of the w-bit remainder + 1; bin() drops
+    # leading zeros so bitlength = length(bin(rem)) for rem > 0
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+
+    regs = (
+        df.select(*groups, bucket.alias("__hll_b"), rho.alias("__hll_r"))
+        .groupBy(*groups, "__hll_b")
+        .agg(F.max("__hll_r").alias("__hll_m"))
+    )
+    per_group = regs.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__hll_m"))).alias("__hll_s"),
+        F.count(F.lit(1)).alias("__hll_c"),
+    )
+    alpha = _hll_alpha(m)
+    v_zero = F.lit(m) - F.col("__hll_c")  # empty registers
+    s_all = F.col("__hll_s") + v_zero.cast("double")  # empty => 2^0 = 1
+    e_raw = F.lit(alpha * m * m) / s_all
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(*groups, est.alias(out_col))
+
+
+def hll_distinct_sql(
+    from_sql: str,
+    col_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    p: int = 12,
+    seed: int = 42,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB SQL reproducing :func:`hll_distinct` bit-for-bit.
+
+    ``from_sql`` is a table/subquery (without the SELECT), e.g.
+    ``"events"``; ``group_exprs`` are column names preserved in the
+    output.
+    """
+    m = 1 << p
+    w = _HASH_BITS - p
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby1 = ", ".join(groups + ["__hll_b"]) or "__hll_b"
+    gby2 = ", ".join(groups)
+    alpha = _hll_alpha(m)
+    h = hash60_sql(col_expr, seed)
+    return f"""
+WITH __hll_rows AS (
+  SELECT {gsel}
+         ({h} >> {w}) AS __hll_b,
+         CASE WHEN ({h} & {(1 << w) - 1}) = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin({h} & {(1 << w) - 1})) END AS __hll_r
+  FROM {from_sql}
+), __hll_regs AS (
+  SELECT {gsel} __hll_b, max(__hll_r) AS __hll_m
+  FROM __hll_rows GROUP BY {gby1}
+), __hll_g AS (
+  SELECT {gsel} sum(power(2.0, -__hll_m)) AS __hll_s,
+         count(*) AS __hll_c
+  FROM __hll_regs {('GROUP BY ' + gby2) if groups else ''}
+)
+SELECT {gsel}
+       CASE WHEN ({alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE)))
+                 <= {2.5 * m!r}
+             AND ({m} - __hll_c) > 0
+            THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - __hll_c AS DOUBLE))
+            ELSE {alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE))
+       END AS {out_col}
+FROM __hll_g
+"""
+
+
+def kmv_theta(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: Optional[str] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Theta-sketch set cardinalities via KMV (k minimum values).
+
+    Returns ONE row: ``est_a, est_b, est_union, est_intersect,
+    n_sample, theta`` — distinct-count estimates for A, B, A∪B, A∩B.
+    The k smallest hashes of the union form a uniform sample of the
+    distinct universe; every estimate is a scaled count over that
+    sample (the standard theta-sketch composition), so intersections
+    of arbitrarily large sets cost two skinny distincts + a top-k.
+
+    When the union has fewer than k distinct keys the sample IS the
+    universe and all four estimates are exact counts.
+
+    Plan shape: per side one distinct on the 60-bit hash (skinny,
+    uniform, skew-free), a global ``orderBy(h).limit(k)`` (distributed
+    partial top-k — never a single-partition sort), two broadcast-sized
+    membership joins, one 1-row aggregate.
+    """
+    col_b = col_b or col_a
+    ha = df_a.select(_hash60(col_a, seed).alias("__h")).distinct()
+    hb = df_b.select(_hash60(col_b, seed).alias("__h")).distinct()
+    sample = ha.union(hb).distinct().orderBy("__h").limit(k)
+    flagged = (
+        sample.join(ha.withColumn("__in_a", F.lit(1)), "__h", "left")
+        .join(hb.withColumn("__in_b", F.lit(1)), "__h", "left")
+        .select(
+            "__h",
+            F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
+            F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__h").alias("__hk"),
+        F.sum("__in_a").alias("__na"),
+        F.sum("__in_b").alias("__nb"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).alias("__nab"),
+    )
+    # theta = normalized kth smallest hash in [0, 1)
+    theta = F.col("__hk").cast("double") / F.lit(float(1 << _HASH_BITS))
+    exact = F.col("__n") < F.lit(k)
+    est_union = F.when(exact, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    def scaled(cnt):
+        return F.when(exact, F.col(cnt).cast("double")).otherwise(
+            F.col(cnt).cast("double") / F.col("__n").cast("double") * est_union
+        )
+    return agg.select(
+        scaled("__na").alias("est_a"),
+        scaled("__nb").alias("est_b"),
+        est_union.alias("est_union"),
+        scaled("__nab").alias("est_intersect"),
+        F.col("__n").alias("n_sample"),
+        theta.alias("theta"),
+    )
+
+
+def kmv_theta_sql(
+    from_a: str,
+    from_b: str,
+    col_a: str,
+    col_b: Optional[str] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing :func:`kmv_theta` bit-for-bit."""
+    col_b = col_b or col_a
+    ha = hash60_sql(col_a, seed)
+    hb = hash60_sql(col_b, seed)
+    denom = float(1 << _HASH_BITS)
+    return f"""
+WITH __ha AS (SELECT DISTINCT {ha} AS __h FROM {from_a}),
+__hb AS (SELECT DISTINCT {hb} AS __h FROM {from_b}),
+__sample AS (
+  SELECT __h FROM (SELECT __h FROM __ha UNION SELECT __h FROM __hb)
+  ORDER BY __h LIMIT {k}
+),
+__flag AS (
+  SELECT s.__h,
+         CASE WHEN a.__h IS NULL THEN 0 ELSE 1 END AS __in_a,
+         CASE WHEN b.__h IS NULL THEN 0 ELSE 1 END AS __in_b
+  FROM __sample s
+  LEFT JOIN __ha a ON s.__h = a.__h
+  LEFT JOIN __hb b ON s.__h = b.__h
+),
+__agg AS (
+  SELECT count(*) AS __n, max(__h) AS __hk,
+         sum(__in_a) AS __na, sum(__in_b) AS __nb,
+         sum(__in_a * __in_b) AS __nab
+  FROM __flag
+)
+SELECT
+  CASE WHEN __n < {k} THEN CAST(__na AS DOUBLE)
+       ELSE CAST(__na AS DOUBLE) / CAST(__n AS DOUBLE)
+            * ({float(k - 1)!r} / (CAST(__hk AS DOUBLE) / {denom!r})) END AS est_a,
+  CASE WHEN __n < {k} THEN CAST(__nb AS DOUBLE)
+       ELSE CAST(__nb AS DOUBLE) / CAST(__n AS DOUBLE)
+            * ({float(k - 1)!r} / (CAST(__hk AS DOUBLE) / {denom!r})) END AS est_b,
+  CASE WHEN __n < {k} THEN CAST(__n AS DOUBLE)
+       ELSE {float(k - 1)!r} / (CAST(__hk AS DOUBLE) / {denom!r}) END AS est_union,
+  CASE WHEN __n < {k} THEN CAST(__nab AS DOUBLE)
+       ELSE CAST(__nab AS DOUBLE) / CAST(__n AS DOUBLE)
+            * ({float(k - 1)!r} / (CAST(__hk AS DOUBLE) / {denom!r})) END AS est_intersect,
+  __n AS n_sample,
+  CAST(__hk AS DOUBLE) / {denom!r} AS theta
+FROM __agg
+"""

@@ -1,0 +1,273 @@
+"""Sketches (HLL / KMV theta), PageRank, weighted sampling, and
+bloom-filter join pruning."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def test_hll_distinct_accuracy_large_and_small(spark):
+    from simba_spark.operators.sketches import hll_distinct
+
+    # large cardinality (raw HLL branch): 40k distinct over 80k rows
+    df = spark.range(80000).select((F.col("id") % 40000).alias("k"))
+    est = hll_distinct(df, "k", p=12).collect()[0]["approx_distinct"]
+    assert abs(est - 40000) / 40000 < 0.05  # ~1.6% expected at p=12
+
+    # small cardinality (linear-counting branch): 30 distinct
+    small = spark.range(1000).select((F.col("id") % 30).alias("k"))
+    est2 = hll_distinct(small, "k", p=12).collect()[0]["approx_distinct"]
+    assert abs(est2 - 30) < 2
+
+
+def test_hll_distinct_grouped_and_partitioning_invariant(spark):
+    from simba_spark.operators.sketches import hll_distinct
+
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 2000).alias("k")
+    )
+    a = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct(df, "k", group_by=["g"], p=10).collect()
+    }
+    b = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct(
+            df.repartition(17), "k", group_by=["g"], p=10
+        ).collect()
+    }
+    assert a == b  # register max() is order-insensitive; sums are dyadic
+    for g, est in a.items():
+        assert abs(est - 500) / 500 < 0.1
+
+
+def test_hll_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.sketches import hll_distinct, hll_distinct_sql
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 700).cast("string")).alias("k"),
+    )
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct(df, "k", group_by=["g"], p=9).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT (i % 3) AS g, 'u' || (i % 700) AS k "
+        "FROM range(5000) r(i)"
+    )
+    want = dict(con.execute(hll_distinct_sql("t", "k", ["g"], p=9)).fetchall())
+    assert got == want  # bit-for-bit, including the ln() branch
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta
+
+
+def test_kmv_theta_exact_below_k(spark):
+    from simba_spark.operators.sketches import kmv_theta
+
+    a = spark.range(60).select(F.col("id").alias("k"))
+    b = spark.range(40, 100).select(F.col("id").alias("k"))
+    r = kmv_theta(a, b, "k", k=1024).collect()[0]
+    assert r["est_a"] == 60.0
+    assert r["est_b"] == 60.0
+    assert r["est_union"] == 100.0
+    assert r["est_intersect"] == 20.0
+
+
+def test_kmv_theta_estimates_overlap(spark):
+    from simba_spark.operators.sketches import kmv_theta
+
+    a = spark.range(20000).select(F.col("id").alias("k"))
+    b = spark.range(10000, 35000).select(F.col("id").alias("k"))
+    r = kmv_theta(a, b, "k", k=2048).collect()[0]
+    assert abs(r["est_a"] - 20000) / 20000 < 0.1
+    assert abs(r["est_b"] - 25000) / 25000 < 0.1
+    assert abs(r["est_union"] - 35000) / 35000 < 0.1
+    assert abs(r["est_intersect"] - 10000) / 10000 < 0.15
+
+
+def test_kmv_theta_topk_plan_no_global_sort(spark):
+    from simba_spark.operators.sketches import kmv_theta
+
+    a = spark.range(5000).select(F.col("id").alias("k"))
+    b = spark.range(2500, 7500).select(F.col("id").alias("k"))
+    plan = _plan(kmv_theta(a, b, "k", k=256))
+    assert "TakeOrderedAndProject" in plan  # k smallest, never a full sort
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+def _pagerank_py(edges, damping=0.85, iters=8):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        nxt = {}
+        for v in nodes:
+            nxt[v] = (1 - damping) / n + damping * dangling / n
+        for s, dsts in out.items():
+            share = rank[s] / len(dsts)
+            for d in dsts:
+                nxt[d] += damping * share
+        rank = nxt
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+def test_pagerank_matches_reference_loop(spark):
+    from simba_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4)]
+    # node 5 is dangling (in-edges only)
+    edges.append((3, 5))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    want = _pagerank_py(edges, iters=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.graph import pagerank, pagerank_sql
+
+    df = spark.range(200).select(
+        (F.col("id") % 50).alias("src"),
+        ((F.col("id") * 7 + 3) % 53).alias("dst"),
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    con = duckdb.connect()
+    sql = pagerank_sql(
+        "(SELECT i % 50 AS src, (i * 7 + 3) % 53 AS dst FROM range(200) r(i))",
+        iters=5,
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    from simba_spark.operators.graph import pagerank
+
+    # star into a sink: all rank must keep summing to 1
+    df = spark.createDataFrame(
+        [(i, 99) for i in range(10)], "src long, dst long"
+    )
+    ranks = pagerank(df, iters=10).collect()
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, abs=1e-4)
+    sink = [r["rank"] for r in ranks if r["node"] == 99][0]
+    assert sink > max(r["rank"] for r in ranks if r["node"] != 99)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from simba_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, 100.0).otherwise(1.0).alias("w"),
+    )
+    picked = weighted_sample(df, "id", "w", 200, seed=11)
+    ids = {r["id"] for r in picked.collect()}
+    heavy = sum(1 for i in ids if i < 100)
+    # heavy keys are 5% of rows but ~84% of total weight
+    assert heavy > 60
+    ids2 = {r["id"] for r in weighted_sample(df.repartition(13), "id", "w",
+                                             200, seed=11).collect()}
+    assert ids == ids2  # partitioning-invariant
+
+
+def test_weighted_sample_grouped_and_guard(spark):
+    from pyspark.sql.utils import PythonException
+    from py4j.protocol import Py4JJavaError
+    from simba_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), F.lit(2.0).alias("w")
+    )
+    out = weighted_sample(df, "id", "w", 10, group_by=["g"])
+    counts = out.groupBy("g").count().collect()
+    assert {r["count"] for r in counts} == {10}
+
+    bad = spark.range(5).select(F.col("id"), (F.col("id") - 2.0).alias("w"))
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample(bad, "id", "w", 3).collect()
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    from simba_spark.operators.pipeline import weighted_sample
+
+    df = spark.range(1000).select(F.col("id"), F.lit(1.0).alias("w"))
+    plan = _plan(weighted_sample(df, "id", "w", 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter join pruning
+
+
+def test_bloom_semi_join_no_false_negatives_and_inner_equivalence(spark):
+    from simba_spark.operators.pipeline import bloom_semi_join
+
+    big = spark.range(20000).select((F.col("id") % 5000).alias("k"),
+                                    F.col("id").alias("payload"))
+    small = spark.range(300).select((F.col("id") * 13).alias("sk"))
+    semi = bloom_semi_join(big, small, "k", "sk")
+    semi_keys = {r["k"] for r in semi.select("k").distinct().collect()}
+    true_keys = {r["sk"] for r in small.collect()} & {
+        r["k"] for r in big.select("k").distinct().collect()
+    }
+    assert true_keys <= semi_keys  # bloom never drops a true match
+
+    inner = bloom_semi_join(big, small, "k", "sk", how="inner")
+    plain = big.join(small, big.k == small.sk)
+    assert sorted((r["k"], r["payload"]) for r in inner.collect()) == sorted(
+        (r["k"], r["payload"]) for r in plain.collect()
+    )
+
+
+def test_bloom_semi_join_fpr_bounded(spark):
+    from simba_spark.operators.pipeline import bloom_semi_join
+
+    big = spark.range(30000).select(F.col("id").alias("k"))
+    small = spark.range(1000).select(F.col("id").alias("sk"))  # keys 0..999
+    semi = bloom_semi_join(big, small, "k", "sk", m_bits=1 << 14, n_hashes=5)
+    got = semi.count()
+    # 29k non-members at m/n=16 bits/key, k=5 → fpr ≈ 0.6%·29k ≈ 170
+    assert 1000 <= got <= 1000 + 1200
+
+
+def test_bloom_semi_plan_has_no_shuffle(spark):
+    from simba_spark.operators.pipeline import bloom_semi_join
+
+    big = spark.range(10000).select(F.col("id").alias("k"))
+    small = spark.range(100).select(F.col("id").alias("sk"))
+    plan = _plan(bloom_semi_join(big, small, "k", "sk"))
+    # the big side is filtered by a broadcast bitset — the probe itself
+    # never shuffles (the build side's tiny agg exchange is fine)
+    probe_part = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange" not in probe_part

@@ -2010,6 +2010,109 @@ def q_audio_features(spark, sf_dir):
     return extract_audio_features(blobs, mode="fake")
 
 
+def q_hll_orders(spark, sf_dir):
+    """HyperLogLog distinct estimate next to the exact count
+    (operators.sketches.hll_distinct): approx distinct l_orderkey per
+    l_returnflag from md5-derived registers — the combine-friendly
+    sketch whose reduce input is ≤ 2^p rows/group no matter how many
+    rows feed it. The oracle recomputes the identical registers,
+    harmonic mean, and linear-counting branch in SQL."""
+    from simba_spark.operators.sketches import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    approx = hll_distinct(
+        li, "l_orderkey", group_by=["l_returnflag"], p=12,
+        out_col="approx_orders",
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return approx.join(exact, "l_returnflag")
+
+
+def q_theta_parts(spark, sf_dir):
+    """Theta-sketch set cardinalities (operators.sketches.kmv_theta):
+    distinct-part overlap between two lineitem slices (parts shipped in
+    Feb 1995 vs parts ordered in quantity ≥ 49) estimated from the
+    k=256 minimum hashes of the union — set intersection over
+    arbitrarily large sides for the cost of two skinny distincts and a
+    top-k."""
+    from simba_spark.operators.sketches import kmv_theta
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(
+        "l_shipdate >= '1995-02-01' AND l_shipdate < '1995-03-01'"
+    )
+    b = li.filter("l_quantity >= 49")
+    return kmv_theta(a, b, "l_partkey", k=256)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators.graph.pagerank) over the
+    customer→supplier trade graph (distinct (o_custkey, l_suppkey)
+    pairs via orders⋈lineitem; suppliers with suppkey%3==0 link back,
+    the rest are dangling). Per iteration: one join + one skinny
+    groupBy, dangling mass as a 1-row broadcast, localCheckpoint'd
+    ranks. Oracle: the same 6 iterations unrolled as chained CTEs."""
+    from simba_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    back = cs.filter("dst % 3 = 0").select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return pagerank(cs.unionByName(back), iters=6)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators.pipeline.weighted_sample): 200 documents drawn with
+    probability ∝ n_chars via the Efraimidis–Spirakis key
+    u^(1/w) over the engine's md5 uniform — one TakeOrderedAndProject
+    pass, no RNG state, stable across partitioning and engines."""
+    from simba_spark.operators.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 200, seed=7).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-filter join pruning (operators.pipeline.bloom_semi_join,
+    how='inner'): lineitem is cut to (probably-)matching rows by a
+    broadcast bitset built from BUILDING-segment order keys BEFORE its
+    shuffle, then exactly joined — identical rows to the plain join
+    (bloom filters have no false negatives), which IS the oracle. The
+    100 TB win: the fact-table shuffle carries ~|matches| rows, not
+    the full scan."""
+    from simba_spark.operators.pipeline import bloom_semi_join
+
+    cust = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = _t(spark, sf_dir, "orders")
+    sm = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = bloom_semi_join(li, sm, "l_orderkey", "o_orderkey", how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _cents_sum(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2027,6 +2130,11 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-5 debuts (never driver-checked before) ---
+        "hll_orders": q_hll_orders,
+        "theta_parts": q_theta_parts,
+        "pagerank": q_pagerank,
+        "weighted_sample": q_weighted_sample,
+        "bloom_join": q_bloom_join,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "mixture_sample": q_mixture_sample,
@@ -2062,12 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build": q_corpus_build,
         "corpus_build_v2": q_corpus_build_v2,
         "term_stats": q_term_stats,
-        "doc_sample": q_doc_sample,
-        "source_quota": q_source_quota,
         "doc_pack": q_doc_pack,
-        "blob_stats": q_blob_stats,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
         # --- spatial filters + layouts ---
         "segment_join": q_segment_join,
         "polygon_box_range": q_polygon_box_range,
@@ -2116,6 +2219,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "global_order": q_global_order,
         "scrub_ngrams": q_scrub_ngrams,
+        # --- rotated mid-round-5 to seat the sketch/graph debuts
+        #     (3 driver greens each — r1/r2/r4 for the multimodal trio,
+        #     r2/r4 + round-3 local for the sampling pair; all
+        #     untouched by this round's code changes) ---
+        "blob_stats": q_blob_stats,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "doc_sample": q_doc_sample,
+        "source_quota": q_source_quota,
         # --- rotated after round 5's debuts (green r2+r3+r4; untouched
         #     by round-5 code changes — changed paths stay in the
         #     driver window for re-verification) ---
@@ -2751,7 +2863,57 @@ def oracle_sql() -> dict[str, str]:
     punct = f"len(regexp_extract_all(text, '{_PUNCT_SQL}'))"
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
+    from simba_spark.operators.graph import pagerank_sql
+    from simba_spark.operators.pipeline import weighted_sample_key_sql
+    from simba_spark.operators.sketches import hll_distinct_sql, kmv_theta_sql
+
+    hll_sub = hll_distinct_sql(
+        "lineitem", "l_orderkey", ["l_returnflag"], p=12,
+        out_col="approx_orders",
+    )
+    pr_edges = """(
+        SELECT src, dst FROM (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        WHERE dst % 3 = 0
+    )"""
+    ws_key = weighted_sample_key_sql("doc_id", "n_chars", 7)
+
     return {
+        "hll_orders": f"""
+            WITH approx AS ({hll_sub})
+            SELECT a.l_returnflag, a.approx_orders, e.exact_orders
+            FROM approx a JOIN (
+              SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+              FROM lineitem GROUP BY l_returnflag
+            ) e USING (l_returnflag)
+        """,
+        "theta_parts": kmv_theta_sql(
+            "(SELECT * FROM lineitem WHERE l_shipdate >= '1995-02-01' "
+            "AND l_shipdate < '1995-03-01')",
+            "(SELECT * FROM lineitem WHERE l_quantity >= 49)",
+            "l_partkey", k=256,
+        ),
+        "pagerank": pagerank_sql(pr_edges, iters=6),
+        "weighted_sample": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY {ws_key} DESC, doc_id LIMIT 200
+        """,
+        "bloom_join": f"""
+            SELECT o.o_orderpriority, count(*) AS n_items,
+                   {_cents_sum_sql("l.l_extendedprice * (1.0 - l.l_discount)")}
+                     AS revenue
+            FROM lineitem l
+            JOIN (SELECT o_orderkey, o_orderpriority
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  WHERE c_mktsegment = 'BUILDING') o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
         "range_filter": f"""
             SELECT event_id, user_id, value, event_type FROM events WHERE {box}
         """,

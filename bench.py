@@ -66,7 +66,25 @@ HEADLINE = [
     "tpch_q18",
     "scrub_ngrams",
     "global_order",
+    "hll_orders",
+    "theta_parts",
+    "pagerank",
+    "weighted_sample",
+    "bloom_join",
 ]
+
+#: every headline query added AFTER round 3 — subtracted from the
+#: legacy subtotal so BENCH_r{N} totals compare like-for-like with
+#: BENCH_r03's 20-query set
+_POST_R3 = {
+    "asof_join", "tpch_q5", "tpch_q6",
+    "knn_join_highd", "doc_chunk", "dup_ngrams", "segment_circle_join",
+    "lm_score", "inverted_index",
+    "pii_redact", "paragraph_dedup", "mixture_sample", "tpch_q18",
+    "scrub_ngrams", "global_order",
+    "hll_orders", "theta_parts", "pagerank", "weighted_sample",
+    "bloom_join",
+}
 
 
 def _bench_overrides():
@@ -141,14 +159,10 @@ def main() -> int:
         timings[name] = round(statistics.median(good), 3) if good else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # round-over-round comparability: the headline set grew in round 4
-    # (asof_join, tpch_q5, tpch_q6) — also emit the subtotal over the
-    # 20 queries BENCH_r03 measured so totals compare like-for-like
-    _R3_SET = set(HEADLINE) - {
-        "asof_join", "tpch_q5", "tpch_q6",
-        "knn_join_highd", "doc_chunk", "dup_ngrams", "segment_circle_join",
-        "lm_score", "inverted_index",
-    }
+    # round-over-round comparability: the headline set keeps growing —
+    # also emit the subtotal over the 20 queries BENCH_r03 measured so
+    # totals compare like-for-like
+    _R3_SET = set(HEADLINE) - _POST_R3
     legacy_total = round(
         sum(t for n, t in timings.items() if n in _R3_SET and t >= 0), 3
     )

@@ -457,17 +457,27 @@ def bloom_semi_join(
     injection (spark.sql.optimizer.runtime.bloomFilter), applicable
     when the build side is a separate pipeline stage or the optimizer
     declines. At 100 TB the win is shuffle bytes: the big fact table is
-    cut to ~|matches| rows while still in its scan stage (the filter is
-    pure Column arithmetic against a broadcast bitset — one row of
-    m/64 longs, never a driver collect of keys).
+    cut to ~|matches| rows while still in its scan stage.
 
     The bitset build is a skinny groupBy: k positions per distinct
-    small key → (word, bit-or) partials → one m/64-long array.
+    small key → (word, bit-or) partials → m/64 longs collected to the
+    driver (bounded by the m_bits PARAMETER, never by data size — the
+    same class of driver state as a layout bounds table) and inlined as
+    ONE hex-string literal (m/4 chars; 4 bits per char). The probe is
+    then pure scan-stage Column arithmetic — per hash a substr of one
+    char + conv + bit-test, no join node, no array/map expressions
+    (a 16k-element array literal costs seconds in py4j build + codegen;
+    the string costs one parse). m_bits is capped at 2^24 (a 4 MB plan
+    literal); beyond ~1.6 M distinct build keys at 10 bits/key, send
+    the keys through a regular broadcast semi-join instead.
     """
     small_key = small_key or big_key
     m_bits = int(m_bits)
     assert m_bits >= 64 and (m_bits & (m_bits - 1)) == 0, \
         "m_bits must be a power of two >= 64"
+    assert m_bits <= (1 << 24), \
+        "m_bits > 2^24 makes a > 4 MB plan literal; use a broadcast " \
+        "semi-join for build sides that large"
     n_words = m_bits // 64
 
     def positions(col):
@@ -496,24 +506,36 @@ def bloom_semi_join(
         .groupBy("__w")
         .agg(F.bit_or("__m").alias("__bits"))
     )
-    bitset = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__w", "__bits")))
-        .alias("__bm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at("__bm", i.cast("long")), F.lit(0).cast("long")
-            ),
-        ).alias("__bloom")
-    )
+    # bounded driver collect (m/64 longs — a parameter, not a data
+    # size), packed into one BINARY literal: byte j holds bits
+    # [8j, 8j+8). Binary substring slices by byte offset in O(1);
+    # a STRING literal here would be a trap — UTF8 substring scans
+    # from the start, making each probe O(m)
+    packed = bytearray(m_bits // 8)
+    for w, bits in words.collect():
+        word = int(bits) & 0xFFFFFFFFFFFFFFFF
+        base = int(w) * 8
+        for j in range(8):
+            packed[base + j] = (word >> (8 * j)) & 255
+    bloom_bin = F.lit(bytes(packed))
 
-    probe = big.crossJoin(F.broadcast(bitset))
     cond = F.lit(True)
     for p in positions(big_key):
-        word = F.element_at("__bloom", (F.shiftright(p, 6) + 1).cast("int"))
-        cond = cond & (word.bitwiseAND(bitmask(p)) != 0)
-    filtered = probe.filter(cond).drop("__bloom")
+        byte = F.conv(
+            F.hex(
+                F.substring(bloom_bin, (F.shiftright(p, 3) + 1).cast("int"), 1)
+            ),
+            16, 10,
+        ).cast("int")
+        cond = cond & (
+            byte.bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1), p.bitwiseAND(F.lit(7)).cast("int")
+                )
+            )
+            != 0
+        )
+    filtered = big.filter(cond)
     if how == "semi":
         return filtered
     if how == "inner":

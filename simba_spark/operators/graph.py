@@ -154,3 +154,91 @@ def pagerank_sql(
         ",\n".join(parts)
         + f"\nSELECT node, {rank_expr} AS rank FROM {final}"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count over an undirected graph given as a
+    (possibly directed / duplicated / self-looped) edge list. Returns
+    one row ``(triangles)``.
+
+    Algorithm: degree-ordered orientation (the MapReduce-classic
+    wedge-check): orient every undirected edge from its lower-(degree,
+    id) endpoint to the higher one, join oriented edges on their source
+    to enumerate wedges, then semi-join the closing edge. Orientation
+    bounds every node's out-degree by O(sqrt(m)) on any graph, so the
+    wedge intermediate is O(m^1.5) worst-case instead of the
+    sum-of-squares-of-hub-degrees a naive wedge join produces — the
+    difference between feasible and not on a power-law web graph.
+
+    Plan: three skinny shuffles (degree groupBy, wedge equi-join,
+    closure semi-join) over (long, long) rows; no driver state at all.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+    closed = wedges.join(
+        und.select(F.col("a").alias("w1"), F.col("b").alias("w2")),
+        on=["w1", "w2"],
+        how="inner",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def triangle_count_sql(edges_sql: str, src: str = "src", dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`triangle_count` (same orientation, so
+    the wedge set — not just the count — is identical)."""
+    return f"""
+WITH __und AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM {edges_sql} WHERE {src} <> {dst}
+),
+__deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM __und UNION ALL SELECT b FROM __und
+  ) GROUP BY v
+),
+__or AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS w
+  FROM __und u
+  JOIN __deg da ON u.a = da.v
+  JOIN __deg db ON u.b = db.v
+)
+SELECT count(*) AS triangles
+FROM __or o1
+JOIN __or o2 ON o1.u = o2.u AND o1.w < o2.w
+JOIN __und c ON c.a = o1.w AND c.b = o2.w
+"""

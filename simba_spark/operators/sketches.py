@@ -53,30 +53,25 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(
+def hll_sketch(
     df: DataFrame,
     col: str,
     group_by: Optional[Sequence[str]] = None,
     p: int = 12,
     seed: int = 42,
-    out_col: str = "approx_distinct",
 ) -> DataFrame:
-    """Per-group HyperLogLog distinct-count estimate (~1.04/sqrt(2^p)
-    relative error; p=12 → ~1.6%).
-
-    Plan shape: one skinny groupBy on (group, bucket) with a map-side
-    ``max`` partial (a partition contributes at most 2^p rows per group
-    downstream, however many rows it holds), then a per-group rollup of
-    the ≤ 2^p registers. The classic small-range linear-counting
-    correction (E <= 2.5m with empty registers) uses ``ln`` — the only
-    non-exact float step; the estimate is engine-stable to well below
-    the oracle's 9 significant digits.
+    """Build per-group HLL register rows ``(groups…, __hll_b,
+    __hll_m)`` — the MERGEABLE form of the sketch. Persist these (≤ 2^p
+    rows per group) instead of raw keys and later :func:`hll_merge`
+    arbitrary unions of them: the pre-aggregate-then-merge workflow
+    (daily sketches → monthly estimate) that makes distinct counting
+    feasible over rolling windows at 100 TB. Register max() is
+    idempotent/commutative, so merged estimates are IDENTICAL to
+    sketching the unioned raw data — asserted in tests.
     """
     assert 4 <= p <= 18, "p (register address bits) must be in [4, 18]"
-    m = 1 << p
     w = _HASH_BITS - p
     groups = list(group_by or [])
-
     h = _hash60(col, seed)
     bucket = F.shiftright(h, w)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))
@@ -85,13 +80,43 @@ def hll_distinct(
     rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
         F.lit(w + 1) - F.length(F.bin(rem))
     )
-
-    regs = (
+    return (
         df.select(*groups, bucket.alias("__hll_b"), rho.alias("__hll_r"))
         .groupBy(*groups, "__hll_b")
         .agg(F.max("__hll_r").alias("__hll_m"))
     )
-    per_group = regs.groupBy(*groups).agg(
+
+
+def hll_merge(
+    sketches: Sequence[DataFrame],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge HLL sketches (register-row DataFrames from
+    :func:`hll_sketch`, same p/seed) by per-register max — the lossless
+    HLL union."""
+    groups = list(group_by or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*groups, "__hll_b").agg(
+        F.max("__hll_m").alias("__hll_m")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Distinct-count estimate from register rows: harmonic mean over
+    2^p registers with the classic linear-counting small-range
+    correction (the ``ln`` there is the only non-exact float step; the
+    sums are dyadic-exact, so partitioning can never move the
+    estimate)."""
+    m = 1 << p
+    groups = list(group_by or [])
+    per_group = sketch.groupBy(*groups).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__hll_m"))).alias("__hll_s"),
         F.count(F.lit(1)).alias("__hll_c"),
     )
@@ -104,6 +129,82 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
     ).otherwise(e_raw)
     return per_group.select(*groups, est.alias(out_col))
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: Optional[Sequence[str]] = None,
+    p: int = 12,
+    seed: int = 42,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (~1.04/sqrt(2^p)
+    relative error; p=12 → ~1.6%) = :func:`hll_estimate` ∘
+    :func:`hll_sketch`.
+
+    Plan shape: one skinny groupBy on (group, bucket) with a map-side
+    ``max`` partial (a partition contributes at most 2^p rows per group
+    downstream, however many rows it holds), then a per-group rollup of
+    the ≤ 2^p registers.
+    """
+    return hll_estimate(
+        hll_sketch(df, col, group_by=group_by, p=p, seed=seed),
+        group_by=group_by, p=p, out_col=out_col,
+    )
+
+
+def hll_sketch_sql(
+    from_sql: str,
+    col_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    p: int = 12,
+    seed: int = 42,
+) -> str:
+    """DuckDB SELECT producing the register rows of :func:`hll_sketch`."""
+    w = _HASH_BITS - p
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ", ".join(groups + ["__hll_b"])
+    h = hash60_sql(col_expr, seed)
+    return f"""
+  SELECT {gsel} __hll_b, max(__hll_r) AS __hll_m FROM (
+    SELECT {gsel}
+           ({h} >> {w}) AS __hll_b,
+           CASE WHEN ({h} & {(1 << w) - 1}) = 0 THEN {w + 1}
+                ELSE {w + 1} - length(bin({h} & {(1 << w) - 1})) END AS __hll_r
+    FROM {from_sql}
+  ) GROUP BY {gby}
+"""
+
+
+def hll_estimate_sql(
+    sketch_sql: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB SELECT turning register rows (a :func:`hll_sketch_sql`
+    subquery, possibly max-merged across several) into the estimate of
+    :func:`hll_estimate` — bit-for-bit."""
+    m = 1 << p
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ", ".join(groups)
+    alpha = _hll_alpha(m)
+    return f"""
+  SELECT {gsel}
+         CASE WHEN ({alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE)))
+                   <= {2.5 * m!r}
+               AND ({m} - __hll_c) > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - __hll_c AS DOUBLE))
+              ELSE {alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE))
+         END AS {out_col}
+  FROM (
+    SELECT {gsel} sum(power(2.0, -__hll_m)) AS __hll_s, count(*) AS __hll_c
+    FROM ({sketch_sql}) {('GROUP BY ' + gby) if groups else ''}
+  )
+"""
 
 
 def hll_distinct_sql(
@@ -120,38 +221,10 @@ def hll_distinct_sql(
     ``"events"``; ``group_exprs`` are column names preserved in the
     output.
     """
-    m = 1 << p
-    w = _HASH_BITS - p
-    groups = list(group_exprs or [])
-    gsel = "".join(f"{g}, " for g in groups)
-    gby1 = ", ".join(groups + ["__hll_b"]) or "__hll_b"
-    gby2 = ", ".join(groups)
-    alpha = _hll_alpha(m)
-    h = hash60_sql(col_expr, seed)
-    return f"""
-WITH __hll_rows AS (
-  SELECT {gsel}
-         ({h} >> {w}) AS __hll_b,
-         CASE WHEN ({h} & {(1 << w) - 1}) = 0 THEN {w + 1}
-              ELSE {w + 1} - length(bin({h} & {(1 << w) - 1})) END AS __hll_r
-  FROM {from_sql}
-), __hll_regs AS (
-  SELECT {gsel} __hll_b, max(__hll_r) AS __hll_m
-  FROM __hll_rows GROUP BY {gby1}
-), __hll_g AS (
-  SELECT {gsel} sum(power(2.0, -__hll_m)) AS __hll_s,
-         count(*) AS __hll_c
-  FROM __hll_regs {('GROUP BY ' + gby2) if groups else ''}
-)
-SELECT {gsel}
-       CASE WHEN ({alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE)))
-                 <= {2.5 * m!r}
-             AND ({m} - __hll_c) > 0
-            THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - __hll_c AS DOUBLE))
-            ELSE {alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE))
-       END AS {out_col}
-FROM __hll_g
-"""
+    return hll_estimate_sql(
+        hll_sketch_sql(from_sql, col_expr, group_exprs, p=p, seed=seed),
+        group_exprs, p=p, out_col=out_col,
+    )
 
 
 def kmv_theta(

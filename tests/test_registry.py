@@ -28,11 +28,13 @@ def test_round5_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
     the dict (dict order IS the driver's check order), followed by the
     round-4 debuts still earning their 3 greens."""
-    head = list(entrymod.queries())[:34]
+    head = list(entrymod.queries())[:36]
     assert head == [
         "hll_orders",
+        "hll_merged",
         "theta_parts",
         "pagerank",
+        "triangles",
         "weighted_sample",
         "bloom_join",
         "pii_redact",

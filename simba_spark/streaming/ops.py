@@ -570,3 +570,53 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window, slide), F.col(key_col))
         .agg(*aggs)
     )
+
+
+def streaming_windowed_hll(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    col: str = "user_id",
+    key_col: Optional[str] = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    p: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-window approximate distinct counts on a stream — the same
+    md5-register HyperLogLog as the batch ``sketches.hll_distinct``
+    (identical estimates over replayed data, tested), with
+    watermark-bounded state.
+
+    The state story is the reason to sketch a stream: exact streaming
+    COUNT(DISTINCT) must hold every distinct key per open window; the
+    register form holds at most 2^p longs per (window, key) no matter
+    how many users flow through. Plan: two chained stateful
+    aggregations in append mode (register max keyed by (window, key,
+    bucket), then the rollup keyed by (window, key)) — Spark emits both
+    at watermark close; the estimate arithmetic is identical to the
+    batch operator so replay equivalence is exact.
+    """
+    from ..operators.sketches import hll_estimate, _hash60, _HASH_BITS
+
+    assert 4 <= p <= 18
+    w = _HASH_BITS - p
+    h = _hash60(col, seed)
+    bucket = F.shiftright(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+    keys = [F.col(key_col)] if key_col else []
+    regs = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            *keys,
+            bucket.alias("__hll_b"),
+            rho.alias("__hll_r"),
+        )
+        .groupBy(F.window(F.col(ts_col), window), *keys, F.col("__hll_b"))
+        .agg(F.max("__hll_r").alias("__hll_m"))
+    )
+    group_by = ["window"] + ([key_col] if key_col else [])
+    return hll_estimate(regs, group_by=group_by, p=p)

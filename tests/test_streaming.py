@@ -656,3 +656,58 @@ def test_streaming_static_asof_guards_and_map_payload(spark):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windowed_hll_matches_batch(spark):
+    """Windowed streaming HLL ≡ the batch sketch over the same rows:
+    identical registers → identical estimates, and state is bounded at
+    2^p registers per open (window, key)."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.sketches import hll_distinct
+    from simba_spark.streaming.ops import streaming_windowed_hll
+
+    d = tempfile.mkdtemp(prefix="simba_hll_stream_")
+    try:
+        rows = [
+            (i, f"2024-01-01 00:{i % 10:02d}:{(7 * i) % 60:02d}",
+             i % 97, "click" if i % 3 else "view")
+            for i in range(500)
+        ]
+        # sentinels far in the future advance the watermark past both
+        # real windows (append mode finalizes a window only once the
+        # watermark passes its end); their own window never closes
+        rows += [(9000, "2024-01-01 09:00:00", 1, "sentinel")]
+        df = (
+            spark.createDataFrame(
+                rows, "event_id long, ts_s string, user_id long, event_type string"
+            )
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        out = streaming_windowed_hll(
+            src, ts_col="ts", col="user_id", key_col="event_type",
+            window="5 minutes", p=10,
+        )
+        got = _run_stream(spark, out, "stream_hll_out")
+        stream_rows = {
+            (r["window"]["start"], r["event_type"]): r["approx_distinct"]
+            for r in got.collect()
+        }
+        # batch oracle: hll per (window, event_type) over the same rows
+        batch_est = {
+            (r["window"]["start"], r["event_type"]): r["approx_distinct"]
+            for r in hll_distinct(
+                df.filter("event_type <> 'sentinel'").withColumn(
+                    "window", F.window("ts", "5 minutes")
+                ),
+                "user_id", group_by=["window", "event_type"], p=10,
+            ).collect()
+        }
+        assert stream_rows == batch_est
+        assert len(stream_rows) > 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2150,6 +2150,37 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_events_histogram(spark, sf_dir):
+    """Fixed-width histogram profile (operators.stats.histogram_fixed):
+    25 bins of events.value per event_type; out-of-range rows clamp
+    into the edge bins so the histogram is total. One skinny groupBy —
+    ≤ nbins rows per group leave any partition."""
+    from simba_spark.operators.stats import histogram_fixed
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_fixed(
+        ev, "value", 0.0, 500.0, nbins=25, group_by=["event_type"]
+    )
+
+
+def q_heavy_tokens(spark, sf_dir):
+    """Exact heavy hitters (operators.stats.heavy_hitters) over the
+    corpus token stream: tokens carrying >= 0.5% of all token
+    occurrences, with exact counts and shares — the profiling pass
+    behind stopword lists. Map-side combine absorbs hot tokens before
+    the skinny per-token shuffle."""
+    from simba_spark.operators.stats import heavy_hitters
+    from simba_spark.operators.text import TOKEN_SPLIT_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", min_share=0.005)
+
+
 def q_bloom_join(spark, sf_dir):
     """Bloom-filter join pruning (operators.pipeline.bloom_semi_join,
     how='inner'): lineitem is cut to (probably-)matching rows by a
@@ -2293,8 +2324,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "term_stats": q_term_stats,
         "tpch_q3": q_tpch_q3,
-        # --- semi-structured pass-through (registered round 5) ---
+        # --- semi-structured + stats profiling (registered round 5) ---
         "events_json": q_events_json,
+        "events_histogram": q_events_histogram,
+        "heavy_tokens": q_heavy_tokens,
         # --- rotated after round 5's debuts (green r2+r3+r4; untouched
         #     by round-5 code changes — changed paths stay in the
         #     driver window for re-verification) ---
@@ -2932,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
 
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
     from simba_spark.operators.pipeline import weighted_sample_key_sql
+    from simba_spark.operators.stats import histogram_fixed_sql
     from simba_spark.operators.sketches import (
         hll_distinct_sql, hll_estimate_sql, hll_sketch_sql, kmv_theta_sql,
     )
@@ -2990,6 +3024,26 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
             FROM events GROUP BY event_type
+        """,
+        "events_histogram": histogram_fixed_sql(
+            "events", "value", 0.0, 500.0, nbins=25,
+            group_exprs=["event_type"],
+        ),
+        "heavy_tokens": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS token
+              FROM documents
+            ), counts AS (
+              SELECT token AS value, count(*) AS n FROM toks
+              WHERE token <> '' GROUP BY token
+            )
+            SELECT value, n,
+                   CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE)
+                                        FROM counts) AS share
+            FROM counts
+            WHERE CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE)
+                                       FROM counts) >= 0.005
         """,
         "theta_parts": kmv_theta_sql(
             "(SELECT * FROM lineitem WHERE l_shipdate >= '1995-02-01' "

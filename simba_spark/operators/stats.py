@@ -1,0 +1,133 @@
+"""Distribution statistics: fixed-width histograms and heavy hitters.
+
+Both are single-skinny-shuffle programs (the map-side combine absorbs
+per-partition mass before anything crosses the wire), deterministic,
+and exactly reproducible in SQL — the profiling ops a pipeline runs
+over a 100 TB column before deciding how to partition/filter it.
+
+The reference inherits Spark SQL's aggregation layer and adds no
+statistics operators (SURVEY.md §2.4); these are north-star additions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram_fixed(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi): rows below lo clamp into bin
+    0, rows at/above hi into bin nbins-1 (so the histogram is total —
+    profiling must not silently drop outliers; NULLs are excluded).
+    Returns (groups…, bin, bin_lo, bin_hi, n).
+
+    One groupBy on (groups, bin): a partition contributes at most
+    nbins rows per group downstream regardless of its row count.
+    Bin math is plain double arithmetic (floor((x-lo)/width)) —
+    identical in any engine, so the oracle matches bit-for-bit.
+    """
+    assert hi > lo and nbins >= 1
+    width = (float(hi) - float(lo)) / int(nbins)
+    groups = list(group_by or [])
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width))
+    bin_ = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1)
+    ).cast("long")
+    return (
+        df.filter(x.isNotNull())
+        .select(*groups, bin_.alias("bin"))
+        .groupBy(*groups, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *groups,
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )
+
+
+def histogram_fixed_sql(
+    from_sql: str,
+    col_expr: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    group_exprs: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB mirror of :func:`histogram_fixed` (identical bin and
+    edge arithmetic; ::DOUBLE literals keep DuckDB off its DECIMAL
+    division path)."""
+    width = (float(hi) - float(lo)) / int(nbins)
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ", ".join(groups + ["bin"])
+    return f"""
+  SELECT {gsel} bin,
+         {float(lo)!r}::DOUBLE + bin * {width!r}::DOUBLE AS bin_lo,
+         {float(lo)!r}::DOUBLE + (bin + 1) * {width!r}::DOUBLE AS bin_hi,
+         count(*) AS n
+  FROM (
+    SELECT {gsel}
+           CAST(least(greatest(
+             floor((CAST({col_expr} AS DOUBLE) - {float(lo)!r}::DOUBLE)
+                   / {width!r}::DOUBLE), 0), {int(nbins) - 1}) AS BIGINT)
+             AS bin
+    FROM {from_sql} WHERE {col_expr} IS NOT NULL
+  ) GROUP BY {gby}
+"""
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.001,
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact frequent items: values of `col` carrying at least
+    `min_share` of the (per-group) rows, with count and share, ordered
+    facts for the caller to sort. Returns (groups…, value, n, share).
+
+    Two aggregations, both combine-friendly: the per-value groupBy
+    shuffles at most (distinct values) skinny rows, the total is a
+    per-group scalar joined back (broadcast at any realistic group
+    count). Exactness is the point — at a 0.1% support threshold the
+    output is ≤ 1000 rows per group, so unlike sketch-based
+    Misra–Gries there is no approximation to reason about, and the
+    shuffled intermediates are already bounded by the distinct-value
+    count, which a skewed hot-key distribution keeps small by
+    definition.
+    """
+    assert 0.0 < min_share <= 1.0
+    groups = list(group_by or [])
+    counts = (
+        df.select(*groups, F.col(col).alias("value"))
+        .groupBy(*groups, "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy(*groups).agg(F.sum("n").alias("__tot"))
+    joined = (
+        counts.join(F.broadcast(totals), on=groups)
+        if groups
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.withColumn(
+            "share", F.col("n").cast("double") / F.col("__tot").cast("double")
+        )
+        .filter(F.col("share") >= F.lit(float(min_share)))
+        .drop("__tot")
+    )

@@ -375,3 +375,74 @@ def test_triangle_orientation_bounds_wedges(spark):
     tri = [(2000, 2001), (2001, 2002), (2000, 2002)]
     df = spark.createDataFrame(hub + tri, "src long, dst long")
     assert triangle_count(df).collect()[0]["triangles"] == 1
+
+
+# ---------------------------------------------------------------------------
+# stats: histogram + heavy hitters
+
+
+def test_histogram_fixed_totals_and_clamping(spark):
+    from simba_spark.operators.stats import histogram_fixed
+
+    df = spark.range(1000).select(
+        (F.col("id").cast("double") / 100.0 - 1.0).alias("x")  # [-1, 9)
+    )
+    h = histogram_fixed(df, "x", 0.0, 5.0, nbins=5).collect()
+    assert sum(r["n"] for r in h) == 1000  # total: out-of-range clamps
+    by_bin = {r["bin"]: r["n"] for r in h}
+    # 100 rows below 0 clamp into bin 0 (plus its own 100)
+    assert by_bin[0] == 200
+    # 400 rows at/above 5.0 clamp into the last bin (plus its own 100)
+    assert by_bin[4] == 500
+    edges = {(r["bin"], r["bin_lo"], r["bin_hi"]) for r in h}
+    assert (2, 2.0, 3.0) in edges
+
+
+def test_histogram_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.stats import histogram_fixed, histogram_fixed_sql
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 37 % 1000).cast("double") / 7.0).alias("x"),
+    )
+    got = sorted(map(tuple, histogram_fixed(
+        df, "x", 10.0, 120.0, nbins=13, group_by=["g"]).collect()))
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(histogram_fixed_sql(
+        "(SELECT i % 3 AS g, (i * 37 % 1000) / 7.0 AS x FROM range(5000) r(i))",
+        "x", 10.0, 120.0, nbins=13, group_exprs=["g"],
+    )).fetchall()))
+    assert got == want
+
+
+def test_heavy_hitters_exact(spark):
+    from simba_spark.operators.stats import heavy_hitters
+
+    # 5000 rows: value 0 has 30%, value 1 has 10%, the rest spread thin
+    df = spark.range(5000).select(
+        F.when(F.col("id") < 1500, 0)
+        .when(F.col("id") < 2000, 1)
+        .otherwise(F.col("id"))
+        .alias("v")
+    )
+    hh = {r["value"]: (r["n"], r["share"]) for r in
+          heavy_hitters(df, "v", min_share=0.05).collect()}
+    assert set(hh) == {0, 1}
+    assert hh[0] == (1500, 0.3)
+    assert hh[1] == (500, 0.1)
+
+
+def test_heavy_hitters_grouped(spark):
+    from simba_spark.operators.stats import heavy_hitters
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 5)
+        .otherwise(F.col("id"))
+        .alias("v"),
+    )
+    hh = heavy_hitters(df, "v", min_share=0.1, group_by=["g"]).collect()
+    # group 0: 5 values at 20% each; group 1: all unique, nothing >= 10%
+    assert {r["g"] for r in hh} == {0}
+    assert len(hh) == 5

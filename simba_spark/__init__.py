@@ -37,6 +37,7 @@ from .operators.polygon import (
     polygon_intersects_circle_col,
     polygon_range,
 )
+from .operators.graph import pagerank, triangle_count
 from .operators.shapes import (
     circle_struct,
     mbr_struct,
@@ -44,6 +45,14 @@ from .operators.shapes import (
     shape_circle_range,
     shape_range,
 )
+from .operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+    kmv_theta,
+)
+from .operators.stats import heavy_hitters, histogram_fixed
 
 __version__ = "0.1.0"
 
@@ -61,4 +70,6 @@ __all__ = [
     "polygon_distance_join",
     "mbr_struct", "segment_struct", "circle_struct",
     "shape_range", "shape_circle_range",
+    "hll_distinct", "hll_sketch", "hll_merge", "hll_estimate", "kmv_theta",
+    "pagerank", "triangle_count", "histogram_fixed", "heavy_hitters",
 ]

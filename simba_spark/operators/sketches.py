@@ -81,7 +81,11 @@ def hll_sketch(
         F.lit(w + 1) - F.length(F.bin(rem))
     )
     return (
-        df.select(*groups, bucket.alias("__hll_b"), rho.alias("__hll_r"))
+        # NULL keys are excluded, matching COUNT(DISTINCT) semantics
+        # (an unfiltered null would flow through md5 as a null register
+        # and silently perturb V/S in the estimate)
+        df.filter(F.col(col).isNotNull())
+        .select(*groups, bucket.alias("__hll_b"), rho.alias("__hll_r"))
         .groupBy(*groups, "__hll_b")
         .agg(F.max("__hll_r").alias("__hll_m"))
     )
@@ -173,7 +177,7 @@ def hll_sketch_sql(
            ({h} >> {w}) AS __hll_b,
            CASE WHEN ({h} & {(1 << w) - 1}) = 0 THEN {w + 1}
                 ELSE {w + 1} - length(bin({h} & {(1 << w) - 1})) END AS __hll_r
-    FROM {from_sql}
+    FROM {from_sql} WHERE ({col_expr}) IS NOT NULL
   ) GROUP BY {gby}
 """
 
@@ -253,8 +257,16 @@ def kmv_theta(
     membership joins, one 1-row aggregate.
     """
     col_b = col_b or col_a
-    ha = df_a.select(_hash60(col_a, seed).alias("__h")).distinct()
-    hb = df_b.select(_hash60(col_b, seed).alias("__h")).distinct()
+    # NULL keys excluded (COUNT(DISTINCT) semantics; a null hash row
+    # would also break the membership joins, which never match null)
+    ha = (
+        df_a.filter(F.col(col_a).isNotNull())
+        .select(_hash60(col_a, seed).alias("__h")).distinct()
+    )
+    hb = (
+        df_b.filter(F.col(col_b).isNotNull())
+        .select(_hash60(col_b, seed).alias("__h")).distinct()
+    )
     sample = ha.union(hb).distinct().orderBy("__h").limit(k)
     flagged = (
         sample.join(ha.withColumn("__in_a", F.lit(1)), "__h", "left")
@@ -306,8 +318,10 @@ def kmv_theta_sql(
     hb = hash60_sql(col_b, seed)
     denom = float(1 << _HASH_BITS)
     return f"""
-WITH __ha AS (SELECT DISTINCT {ha} AS __h FROM {from_a}),
-__hb AS (SELECT DISTINCT {hb} AS __h FROM {from_b}),
+WITH __ha AS (SELECT DISTINCT {ha} AS __h FROM {from_a}
+              WHERE ({col_a}) IS NOT NULL),
+__hb AS (SELECT DISTINCT {hb} AS __h FROM {from_b}
+         WHERE ({col_b}) IS NOT NULL),
 __sample AS (
   SELECT __h FROM (SELECT __h FROM __ha UNION SELECT __h FROM __hb)
   ORDER BY __h LIMIT {k}

@@ -202,8 +202,6 @@ def test_weighted_sample_bias_and_determinism(spark):
 
 
 def test_weighted_sample_grouped_and_guard(spark):
-    from pyspark.sql.utils import PythonException
-    from py4j.protocol import Py4JJavaError
     from simba_spark.operators.pipeline import weighted_sample
 
     df = spark.range(300).select(
@@ -446,3 +444,21 @@ def test_heavy_hitters_grouped(spark):
     # group 0: 5 values at 20% each; group 1: all unique, nothing >= 10%
     assert {r["g"] for r in hh} == {0}
     assert len(hh) == 5
+
+
+def test_sketches_exclude_nulls(spark):
+    """NULL keys follow COUNT(DISTINCT) semantics: excluded from both
+    sketch families (and from the SQL mirrors, asserted via parity)."""
+    from simba_spark.operators.sketches import hll_distinct, kmv_theta
+
+    df = spark.range(200).select(
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 50)
+        .alias("k")
+    )
+    clean = df.filter("k IS NOT NULL")
+    with_nulls = hll_distinct(df, "k", p=10).collect()[0]["approx_distinct"]
+    without = hll_distinct(clean, "k", p=10).collect()[0]["approx_distinct"]
+    assert with_nulls == without
+
+    r = kmv_theta(df, clean, "k", k=1024).collect()[0]
+    assert r["est_a"] == r["est_b"] == r["est_union"] == r["est_intersect"]

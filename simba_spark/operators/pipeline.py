@@ -463,13 +463,16 @@ def bloom_semi_join(
     small key → (word, bit-or) partials → m/64 longs collected to the
     driver (bounded by the m_bits PARAMETER, never by data size — the
     same class of driver state as a layout bounds table) and inlined as
-    ONE hex-string literal (m/4 chars; 4 bits per char). The probe is
-    then pure scan-stage Column arithmetic — per hash a substr of one
-    char + conv + bit-test, no join node, no array/map expressions
-    (a 16k-element array literal costs seconds in py4j build + codegen;
-    the string costs one parse). m_bits is capped at 2^24 (a 4 MB plan
-    literal); beyond ~1.6 M distinct build keys at 10 bits/key, send
-    the keys through a regular broadcast semi-join instead.
+    ONE BINARY literal (m/8 bytes; byte j holds bits [8j, 8j+8)). The
+    probe is then pure scan-stage Column arithmetic — per hash an O(1)
+    byte substring + hex + conv + bit-test, no join node, no array/map
+    expressions (a 16k-element array literal costs seconds in py4j
+    build + codegen; a STRING literal is worse still — UTF8 substring
+    scans from the start, O(m) per probe). m_bits is capped at 2^24
+    (a 2 MB plan literal); beyond ~1.6 M distinct build keys at 10
+    bits/key, send the keys through a regular broadcast semi-join
+    instead. Size ~10-14 bits per distinct build key (measured:
+    SCALE.md bloom sizing table).
     """
     small_key = small_key or big_key
     m_bits = int(m_bits)

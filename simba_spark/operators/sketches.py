@@ -53,6 +53,23 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_register_cols(col: str, seed: int, p: int):
+    """The register derivation shared by every HLL form (batch sketch,
+    streaming windowed sketch): returns (bucket, rho) Columns for a
+    non-null key column. Single-sited so the register math can never
+    drift between the batch and streaming operators."""
+    w = _HASH_BITS - p
+    h = _hash60(col, seed)
+    bucket = F.shiftright(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    # rho = leading zeros of the w-bit remainder + 1; bin() drops
+    # leading zeros so bitlength = length(bin(rem)) for rem > 0
+    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+    return bucket, rho
+
+
 def hll_sketch(
     df: DataFrame,
     col: str,
@@ -70,16 +87,8 @@ def hll_sketch(
     sketching the unioned raw data — asserted in tests.
     """
     assert 4 <= p <= 18, "p (register address bits) must be in [4, 18]"
-    w = _HASH_BITS - p
     groups = list(group_by or [])
-    h = _hash60(col, seed)
-    bucket = F.shiftright(h, w)
-    rem = h.bitwiseAND(F.lit((1 << w) - 1))
-    # rho = leading zeros of the w-bit remainder + 1; bin() drops
-    # leading zeros so bitlength = length(bin(rem)) for rem > 0
-    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
-        F.lit(w + 1) - F.length(F.bin(rem))
-    )
+    bucket, rho = hll_register_cols(col, seed, p)
     return (
         # NULL keys are excluded, matching COUNT(DISTINCT) semantics
         # (an unfiltered null would flow through md5 as a null register
@@ -98,6 +107,11 @@ def hll_merge(
     """Merge HLL sketches (register-row DataFrames from
     :func:`hll_sketch`, same p/seed) by per-register max — the lossless
     HLL union."""
+    if not sketches:
+        raise ValueError(
+            "hll_merge: empty sketch list (e.g. a date range matching "
+            "zero persisted sketch partitions) — nothing to merge"
+        )
     groups = list(group_by or [])
     merged = sketches[0]
     for s in sketches[1:]:

@@ -26,9 +26,13 @@ def histogram_fixed(
     group_by: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Equi-width histogram over [lo, hi): rows below lo clamp into bin
-    0, rows at/above hi into bin nbins-1 (so the histogram is total —
-    profiling must not silently drop outliers; NULLs are excluded).
-    Returns (groups…, bin, bin_lo, bin_hi, n).
+    0, rows at/above hi into bin nbins-1 (so the histogram is total
+    over ORDERED values — profiling must not silently drop outliers).
+    NULLs and NaNs are excluded: a NaN has no position on the axis,
+    and the two engines' clamp chains would bin it differently
+    (Spark's floor→least→greatest lands NaN in bin 0, DuckDB's in the
+    last bin), so excluding it is also what keeps the oracle
+    bit-for-bit. Returns (groups…, bin, bin_lo, bin_hi, n).
 
     One groupBy on (groups, bin): a partition contributes at most
     nbins rows per group downstream regardless of its row count.
@@ -44,7 +48,7 @@ def histogram_fixed(
         F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1)
     ).cast("long")
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .select(*groups, bin_.alias("bin"))
         .groupBy(*groups, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -86,7 +90,8 @@ def histogram_fixed_sql(
              floor((CAST({col_expr} AS DOUBLE) - {float(lo)!r}::DOUBLE)
                    / {width!r}::DOUBLE), 0), {int(nbins) - 1}) AS BIGINT)
              AS bin
-    FROM {from_sql} WHERE {col_expr} IS NOT NULL
+    FROM {from_sql}
+    WHERE {col_expr} IS NOT NULL AND NOT isnan(CAST({col_expr} AS DOUBLE))
   ) GROUP BY {gby}
 """
 

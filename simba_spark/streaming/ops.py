@@ -596,19 +596,16 @@ def streaming_windowed_hll(
     at watermark close; the estimate arithmetic is identical to the
     batch operator so replay equivalence is exact.
     """
-    from ..operators.sketches import hll_estimate, _hash60, _HASH_BITS
+    from ..operators.sketches import hll_estimate, hll_register_cols
 
     assert 4 <= p <= 18
-    w = _HASH_BITS - p
-    h = _hash60(col, seed)
-    bucket = F.shiftright(h, w)
-    rem = h.bitwiseAND(F.lit((1 << w) - 1))
-    rho = F.when(rem == 0, F.lit(w + 1)).otherwise(
-        F.lit(w + 1) - F.length(F.bin(rem))
-    )
+    bucket, rho = hll_register_cols(col, seed, p)
     keys = [F.col(key_col)] if key_col else []
     regs = (
         stream_df.withWatermark(ts_col, watermark)
+        # NULL keys excluded — COUNT(DISTINCT) semantics, matching the
+        # batch hll_sketch this operator must replay-match
+        .filter(F.col(col).isNotNull())
         .select(
             F.col(ts_col),
             *keys,

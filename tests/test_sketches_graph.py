@@ -265,10 +265,10 @@ def test_bloom_semi_plan_has_no_shuffle(spark):
     big = spark.range(10000).select(F.col("id").alias("k"))
     small = spark.range(100).select(F.col("id").alias("sk"))
     plan = _plan(bloom_semi_join(big, small, "k", "sk"))
-    # the big side is filtered by a broadcast bitset — the probe itself
-    # never shuffles (the build side's tiny agg exchange is fine)
-    probe_part = plan.split("BroadcastNestedLoopJoin")[0]
-    assert "Exchange" not in probe_part
+    # the bitset is a binary literal baked into the filter — the whole
+    # semi plan is scan + filter, zero Exchange, zero join nodes
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 # ---------------------------------------------------------------------------
@@ -462,3 +462,17 @@ def test_sketches_exclude_nulls(spark):
 
     r = kmv_theta(df, clean, "k", k=1024).collect()[0]
     assert r["est_a"] == r["est_b"] == r["est_union"] == r["est_intersect"]
+
+
+def test_histogram_excludes_nan_and_hll_merge_empty_raises(spark):
+    from simba_spark.operators.stats import histogram_fixed
+    from simba_spark.operators.sketches import hll_merge
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,), (3.0,)], "x double"
+    )
+    h = histogram_fixed(df, "x", 0.0, 5.0, nbins=5).collect()
+    assert sum(r["n"] for r in h) == 2  # NaN and NULL excluded
+
+    with pytest.raises(ValueError, match="empty sketch list"):
+        hll_merge([])

@@ -2181,6 +2181,42 @@ def q_heavy_tokens(spark, sf_dir):
     return heavy_hitters(toks, "token", min_share=0.005)
 
 
+def q_table_profile(spark, sf_dir):
+    """One-scan column profiler (operators.stats.profile_columns):
+    per-column nonnull/null/distinct/min/max/mean over lineitem — the
+    new-data-drop sanity pass. Single aggregate pass (multi-column
+    COUNT(DISTINCT) via Spark's Expand)."""
+    from simba_spark.operators.stats import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "lineitem"))
+
+
+#: lineitem columns for the profile oracle: (name, orderable, numeric)
+_PROFILE_COLS = [
+    ("l_orderkey", True, True), ("l_partkey", True, True),
+    ("l_suppkey", True, True), ("l_linenumber", True, True),
+    ("l_quantity", True, True), ("l_extendedprice", True, True),
+    ("l_discount", True, True), ("l_tax", True, True),
+    ("l_returnflag", True, False), ("l_linestatus", True, False),
+    ("l_shipdate", True, False),
+]
+
+
+def _profile_oracle_sql() -> str:
+    blocks = []
+    for c, orderable, numeric in _PROFILE_COLS:
+        mi = f"CAST(min({c}) AS VARCHAR)" if orderable else "NULL"
+        ma = f"CAST(max({c}) AS VARCHAR)" if orderable else "NULL"
+        av = f"avg({c})" if numeric else "CAST(NULL AS DOUBLE)"
+        blocks.append(
+            f"SELECT '{c}' AS column, count({c}) AS n_nonnull, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct, {mi} AS min_value, "
+            f"{ma} AS max_value, {av} AS mean_value FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
 def q_bloom_join(spark, sf_dir):
     """Bloom-filter join pruning (operators.pipeline.bloom_semi_join,
     how='inner'): lineitem is cut to (probably-)matching rows by a
@@ -2328,6 +2364,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_histogram": q_events_histogram,
         "heavy_tokens": q_heavy_tokens,
+        "table_profile": q_table_profile,
         # --- rotated after round 5's debuts (green r2+r3+r4; untouched
         #     by round-5 code changes — changed paths stay in the
         #     driver window for re-verification) ---
@@ -3025,6 +3062,7 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
             FROM events GROUP BY event_type
         """,
+        "table_profile": _profile_oracle_sql(),
         "events_histogram": histogram_fixed_sql(
             "events", "value", 0.0, 500.0, nbins=25,
             group_exprs=["event_type"],

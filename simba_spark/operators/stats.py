@@ -136,3 +136,65 @@ def heavy_hitters(
         .filter(F.col("share") >= F.lit(float(min_share)))
         .drop("__tot")
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One-scan table profile: per column (column, n_nonnull, n_null,
+    n_distinct, min_value, max_value, mean_value) — the
+    sanity-check a pipeline runs on a new drop before partitioning
+    decisions. min/max/mean are populated for numeric/temporal columns
+    (mean numeric-only); strings profile min/max lexicographically.
+    Values are emitted as strings so one skinny frame profiles a
+    heterogeneous table.
+
+    Plan: a single aggregate pass computes every column's stats
+    side-by-side; the exact multi-column COUNT(DISTINCT) uses Spark's
+    Expand (one logical scan, rows × #cols intermediate — profile very
+    wide tables in batches, or swap in `hll_distinct` per column when
+    ±2% distinct counts are enough).
+    """
+    from pyspark.sql import types as T
+
+    cols = list(cols or df.columns)
+    numeric = (T.NumericType,)
+    orderable = (T.NumericType, T.StringType, T.TimestampType,
+                 T.TimestampNTZType, T.DateType)
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+        ]
+        if isinstance(dt, orderable):
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__mi_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__ma_{c}"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("string").alias(f"__mi_{c}"),
+                F.lit(None).cast("string").alias(f"__ma_{c}"),
+            ]
+        if isinstance(dt, numeric):
+            aggs.append(F.avg(F.col(c)).alias(f"__av_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__av_{c}"))
+    wide = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").alias("n_nonnull"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__d_{c}").alias("n_distinct"),
+            F.col(f"__mi_{c}").alias("min_value"),
+            F.col(f"__ma_{c}").alias("max_value"),
+            F.col(f"__av_{c}").alias("mean_value"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")

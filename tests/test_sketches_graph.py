@@ -476,3 +476,21 @@ def test_histogram_excludes_nan_and_hll_merge_empty_raises(spark):
 
     with pytest.raises(ValueError, match="empty sketch list"):
         hll_merge([])
+
+
+def test_profile_columns_one_scan(spark):
+    from simba_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (None, "b", None)],
+        "i long, s string, d double",
+    )
+    p = {r["column"]: r for r in profile_columns(df).collect()}
+    assert p["i"]["n_nonnull"] == 2 and p["i"]["n_null"] == 1
+    assert p["i"]["n_distinct"] == 2
+    assert p["s"]["min_value"] == "a" and p["s"]["max_value"] == "b"
+    assert p["s"]["mean_value"] is None  # non-numeric
+    assert p["d"]["mean_value"] == 3.0
+    # one scan: a single aggregate (Expand for the multi-distinct), no joins
+    plan = _plan(profile_columns(df))
+    assert "Join" not in plan

@@ -2235,7 +2235,11 @@ def q_bloom_join(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    joined = bloom_semi_join(li, sm, "l_orderkey", "o_orderkey", how="inner")
+    # m sized to the bench scale's build side (~30k keys at sf0.1 →
+    # ~9 bits/key; see SCALE.md bloom sizing table)
+    joined = bloom_semi_join(
+        li, sm, "l_orderkey", "o_orderkey", m_bits=1 << 18, how="inner"
+    )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         _cents_sum(

@@ -669,33 +669,40 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     hash_fn: str = "xxhash64",
+    scheme: str = "combos",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Blocking: split the fingerprint into (max_hamming+1) chunks — by
-    pigeonhole any pair within the bound matches exactly on >= 1 chunk,
-    so an equi-join on (chunk_idx, chunk_value) finds all of them;
-    blocked output == brute-force output, which is what the DuckDB
-    oracle exploits (it brute-forces). Verification = popcount of XOR.
+    Blocking is LOSSLESS under either scheme (blocked output ==
+    brute-force output, which is what the DuckDB oracle exploits — it
+    brute-forces); verification = popcount of XOR. Schemes:
 
-    ``bits > 64`` (multi-word fingerprint, see :func:`simhash`) is the
-    scale path: 64-bit chunks are 16 bits wide at h=3 and random chunk
-    collisions grow as n²/2^16; 128 bits makes them 32 bits wide and
-    the quadratic term disappears. Multi-word chunk keys are packed via
+    - ``'combos'`` (default): split into h+2 parts; h flipped bits hit
+      ≤ h parts, so ≥ 2 parts stay intact, and some PAIR of intact
+      parts is among the C(h+2, 2) part-pair keys each doc emits.
+      Key width ≈ 2·bits/(h+2) — 25 bits at h=3/64 bits — so the
+      random-collision candidate term is n²/2^25: the n²/2^16 growth
+      the single-part scheme shows from ~50k docs (measured 17× at
+      sf1, SCALE.md) disappears for ~2.5× more (but skinny) explode
+      rows. The multi-index-hashing pigeonhole generalization
+      (cf. Norouzi et al., "Fast Search in Hamming Space with
+      Multi-Index Hashing", CVPR'12).
+    - ``'parts'``: the classic h+1 single-part blocking — fewer keys,
+      right for small corpora or when paired with ``bits=128``.
+
+    ``bits > 64`` (multi-word fingerprint, see :func:`simhash`) widens
+    every key and works with both schemes. Packed keys go through
     xxhash64 — a key collision only adds a candidate, and every
     candidate is exact-verified, so the result set is unchanged."""
     if hash_fn == "md5long":
         bits = min(bits, 60)
     bits = int(bits)
-    n_chunks = max_hamming + 1
-    chunk_bits = bits // n_chunks
     words = (bits + 63) // 64
     sh = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     wcols = ["simhash"] + [f"simhash_w{w}" for w in range(1, words)]
 
-    def chunk_col(i):
-        lo = i * chunk_bits
-        hi = bits if i == n_chunks - 1 else lo + chunk_bits
+    def slice_col(lo, hi):
+        """Bits [lo, hi) of the multi-word fingerprint as a key Column."""
         pieces, off = [], 0
         for w in range(words):
             wlo, whi = w * 64, min(bits, (w + 1) * 64)
@@ -715,7 +722,30 @@ def simhash_pairs(
         # multi-piece or full-width chunk: pack through xxhash64
         return F.xxhash64(*[p for p, _ in pieces])
 
-    chunks = [chunk_col(i).alias(f"__c{i}") for i in range(n_chunks)]
+    def part_bounds(n_parts):
+        base = bits // n_parts
+        return [
+            (i * base, bits if i == n_parts - 1 else (i + 1) * base)
+            for i in range(n_parts)
+        ]
+
+    if scheme == "parts":
+        chunks = [
+            slice_col(lo, hi) for lo, hi in part_bounds(max_hamming + 1)
+        ]
+    elif scheme == "combos":
+        n_parts = max_hamming + 2
+        if bits // n_parts < 1:
+            raise ValueError(f"bits={bits} too small for {n_parts} parts")
+        parts = [slice_col(lo, hi) for lo, hi in part_bounds(n_parts)]
+        chunks = [
+            F.xxhash64(parts[a], parts[b])
+            for a in range(n_parts)
+            for b in range(a + 1, n_parts)
+        ]
+    else:
+        raise ValueError(f"scheme must be 'parts' or 'combos', got {scheme!r}")
+    chunks = [c.alias(f"__c{i}") for i, c in enumerate(chunks)]
     ex = sh.select(
         id_col, *wcols, F.posexplode(F.array(*chunks)).alias("__ci", "__cv")
     )

@@ -866,3 +866,29 @@ def test_wide_simhash_blocked_equals_bruteforce(spark, docs):
                 exp[(ai[0], bi[0])] = h
     assert got == exp
     assert len(exp) > 0  # the near-dup docs in the corpus must surface
+
+
+def test_simhash_pairs_schemes_equivalent(spark, docs_df=None):
+    """Both blocking schemes are lossless: identical pair sets (the
+    combos scheme is the scale default — key width 2·bits/(h+2) kills
+    the n²/2^16 single-part collision term)."""
+    from simba_spark.operators.dedup import simhash_pairs
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    for i in range(40):
+        rows.append((i, base + f"tail{i % 7}"))
+    for i in range(40, 50):
+        rows.append((i, base + "tail0"))  # exact dup cluster
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for h in (1, 2, 3):
+        a = sorted(
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in simhash_pairs(df, max_hamming=h, scheme="parts").collect()
+        )
+        b = sorted(
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in simhash_pairs(df, max_hamming=h, scheme="combos").collect()
+        )
+        assert a == b
+        assert len(b) > 0  # the dup cluster must surface

@@ -494,3 +494,31 @@ def test_profile_columns_one_scan(spark):
     # one scan: a single aggregate (Expand for the multi-distinct), no joins
     plan = _plan(profile_columns(df))
     assert "Join" not in plan
+
+
+def test_hll_sketch_parquet_roundtrip_merge(spark, tmp_path):
+    """The persisted-sketch workflow end-to-end: per-batch register
+    rows written as parquet, read back later, merged, estimated —
+    equal to sketching all the raw data at once."""
+    from simba_spark.operators.sketches import (
+        hll_distinct, hll_estimate, hll_merge, hll_sketch,
+    )
+
+    df = spark.range(12000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 3000).alias("k")
+    )
+    paths = []
+    for day in range(3):  # three "daily" batches
+        p = str(tmp_path / f"day{day}")
+        hll_sketch(
+            df.filter(F.col("id") % 3 == day), "k", group_by=["g"], p=10
+        ).write.parquet(p)
+        paths.append(p)
+    sketches = [spark.read.parquet(p) for p in paths]
+    merged = hll_estimate(
+        hll_merge(sketches, group_by=["g"]), group_by=["g"], p=10
+    )
+    direct = hll_distinct(df, "k", group_by=["g"], p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -711,3 +711,33 @@ def test_streaming_windowed_hll_matches_batch(spark):
         assert len(stream_rows) > 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_bloom_prefilter(spark):
+    """bloom_semi_join composes with a STREAMING probe side unchanged:
+    the bitset is built from the static side at plan-construction time
+    (a batch job + binary literal), so the stream plan is a stateless
+    filter — no join node, no state store. Every true match survives."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.pipeline import bloom_semi_join
+
+    d = tempfile.mkdtemp(prefix="simba_bloom_stream_")
+    try:
+        big = spark.range(3000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+        )
+        big.write.mode("overwrite").parquet(d)
+        small = spark.range(40).select((F.col("id") * 11).alias("sk"))
+        src = spark.readStream.schema(big.schema).parquet(d)
+        out = bloom_semi_join(src, small, "k", "sk")
+        assert out.isStreaming
+        got = _run_stream(spark, out, "stream_bloom_out")
+        got_keys = {r["k"] for r in got.select("k").distinct().collect()}
+        true_keys = {r["sk"] for r in small.collect()} & set(range(500))
+        assert true_keys <= got_keys  # no false negatives through the stream
+        # false positives are bounded (m=2^20 over 40 keys ≈ none)
+        assert len(got_keys - true_keys) <= 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2207,7 +2207,7 @@ def _profile_oracle_sql() -> str:
     for c, orderable, numeric in _PROFILE_COLS:
         mi = f"CAST(min({c}) AS VARCHAR)" if orderable else "NULL"
         ma = f"CAST(max({c}) AS VARCHAR)" if orderable else "NULL"
-        av = f"avg({c})" if numeric else "CAST(NULL AS DOUBLE)"
+        av = f"round(avg({c}), 6)" if numeric else "CAST(NULL AS DOUBLE)"
         blocks.append(
             f"SELECT '{c}' AS column, count({c}) AS n_nonnull, "
             f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
@@ -2235,10 +2235,14 @@ def q_bloom_join(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    # m sized to the bench scale's build side (~30k keys at sf0.1 →
-    # ~9 bits/key; see SCALE.md bloom sizing table)
+    # size m from the ACTUAL build side (~14 bits/key per the SCALE.md
+    # sizing table) — one small count job, exactly how a real pipeline
+    # sizes the filter; a constant m would silently stop pruning at the
+    # next scale up (at sf1's 297k keys a 2^18 filter is 98% full)
+    n_keys = max(1, sm.count())
+    m_bits = 1 << max(17, min(24, (14 * n_keys - 1).bit_length()))
     joined = bloom_semi_join(
-        li, sm, "l_orderkey", "o_orderkey", m_bits=1 << 18, how="inner"
+        li, sm, "l_orderkey", "o_orderkey", m_bits=m_bits, how="inner"
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

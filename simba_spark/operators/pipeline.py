@@ -479,7 +479,7 @@ def bloom_semi_join(
     assert m_bits >= 64 and (m_bits & (m_bits - 1)) == 0, \
         "m_bits must be a power of two >= 64"
     assert m_bits <= (1 << 24), \
-        "m_bits > 2^24 makes a > 4 MB plan literal; use a broadcast " \
+        "m_bits > 2^24 makes a > 2 MB plan literal; use a broadcast " \
         "semi-join for build sides that large"
     n_words = m_bits // 64
 

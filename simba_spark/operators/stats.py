@@ -181,7 +181,11 @@ def profile_columns(
                 F.lit(None).cast("string").alias(f"__ma_{c}"),
             ]
         if isinstance(dt, numeric):
-            aggs.append(F.avg(F.col(c)).alias(f"__av_{c}"))
+            # round(6): a raw double avg is summation-order dependent
+            # (~1e-14 relative run-to-run / engine-to-engine) — the
+            # rounding quantum sits far above that noise so the profile
+            # is stable across partitionings and engines
+            aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"__av_{c}"))
         else:
             aggs.append(F.lit(None).cast("double").alias(f"__av_{c}"))
     wide = df.agg(*aggs)

@@ -868,7 +868,7 @@ def test_wide_simhash_blocked_equals_bruteforce(spark, docs):
     assert len(exp) > 0  # the near-dup docs in the corpus must surface
 
 
-def test_simhash_pairs_schemes_equivalent(spark, docs_df=None):
+def test_simhash_pairs_schemes_equivalent(spark):
     """Both blocking schemes are lossless: identical pair sets (the
     combos scheme is the scale default — key width 2·bits/(h+2) kills
     the n²/2^16 single-part collision term)."""

@@ -62,7 +62,7 @@ def test_hll_sql_matches_python(keys, p):
     assert got == pytest.approx(want, rel=1e-12)
 
 
-def _pagerank_py(edges, n_nodes_hint=None, damping=0.85, iters=4):
+def _pagerank_py(edges, damping=0.85, iters=4):
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
     out = {}

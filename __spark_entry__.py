@@ -2238,11 +2238,17 @@ def q_bloom_join(spark, sf_dir):
     # size m from the ACTUAL build side (~14 bits/key per the SCALE.md
     # sizing table) — one small count job, exactly how a real pipeline
     # sizes the filter; a constant m would silently stop pruning at the
-    # next scale up (at sf1's 297k keys a 2^18 filter is 98% full)
+    # next scale up (at sf1's 297k keys a 2^18 filter is 98% full).
+    # The build side is read three times (count, bitset build, exact
+    # join) — persist it, it is broadcast-small by contract. k=3 hashes:
+    # at >= 10 bits/key fpr is already ~0.7%, and each extra hash is
+    # another explode row per key and literal reference in the probe.
+    sm = sm.persist()
     n_keys = max(1, sm.count())
     m_bits = 1 << max(17, min(24, (14 * n_keys - 1).bit_length()))
     joined = bloom_semi_join(
-        li, sm, "l_orderkey", "o_orderkey", m_bits=m_bits, how="inner"
+        li, sm, "l_orderkey", "o_orderkey", m_bits=m_bits, n_hashes=3,
+        how="inner",
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -472,7 +472,10 @@ def bloom_semi_join(
     (a 2 MB plan literal); beyond ~1.6 M distinct build keys at 10
     bits/key, send the keys through a regular broadcast semi-join
     instead. Size ~10-14 bits per distinct build key (measured:
-    SCALE.md bloom sizing table).
+    SCALE.md bloom sizing table). At that sizing ``n_hashes=3`` already
+    gives ~0.7% fpr — prefer it over the default 5 when m is large:
+    every hash is one more explode row per build key and one more
+    reference to the m/8-byte literal in the probe plan.
     """
     small_key = small_key or big_key
     m_bits = int(m_bits)

@@ -2210,7 +2210,7 @@ def _profile_oracle_sql() -> str:
         av = f"round(avg({c}), 6)" if numeric else "CAST(NULL AS DOUBLE)"
         blocks.append(
             f"SELECT '{c}' AS column, count({c}) AS n_nonnull, "
-            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, "
             f"count(DISTINCT {c}) AS n_distinct, {mi} AS min_value, "
             f"{ma} AS max_value, {av} AS mean_value FROM lineitem"
         )
@@ -3071,7 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_json": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
             FROM events GROUP BY event_type
@@ -3873,7 +3873,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT term, doc_id, count(*) AS tf
               FROM toks WHERE term <> '' GROUP BY 1, 2
             )
-            SELECT term, count(*) AS doc_freq, sum(tf) AS term_freq,
+            SELECT term, count(*) AS doc_freq, sum(tf)::BIGINT AS term_freq,
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings_csv
             FROM per_doc GROUP BY term
             HAVING count(*) <= 395

@@ -27,6 +27,28 @@ TABLES = (
 )
 
 
+# DuckDB output types that the driver's type-sensitive hasher represents
+# differently from Spark's (Spark has no int128 / unsigned ints, and its
+# DECIMAL hash differs from DOUBLE): an oracle emitting one of these can
+# be cell-for-cell identical locally yet red at the driver — exactly how
+# the round-5 `inverted_index` HUGEINT bug shipped. Cast to BIGINT/DOUBLE
+# in the oracle SQL instead.
+_BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+
+
+def bad_oracle_types(con, sql):
+    """Return [(column, type), ...] for driver-divergent output types.
+
+    Uses ``DESCRIBE`` so the check is plan-time (no execution needed).
+    """
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        (name, typ) for name, typ, *_ in desc
+        if any(typ.upper().startswith(b) for b in _BAD_ORACLE_TYPES)
+    ]
+
+
 def _norm_cell(v):
     if v is None:
         return "<NULL>"
@@ -92,6 +114,7 @@ def main(selected=None):
             print(f"ok    {name:24s} rows-only: {len(srows):6d} rows  cols={scols} ({el:.1f}s)")
             continue
         try:
+            bad = bad_oracle_types(con, oracles[name])
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -100,6 +123,9 @@ def main(selected=None):
             print(f"FAIL  {name:24s} duckdb error: {e}")
             continue
         problems = []
+        if bad:
+            problems.append(f"driver-divergent oracle types {bad} "
+                            "(cast to BIGINT/DOUBLE)")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):

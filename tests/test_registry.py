@@ -24,6 +24,38 @@ def test_registry_split_is_disjoint_and_fully_oracled():
     assert allq == set(o)
 
 
+def test_oracle_output_types_driver_safe():
+    """Sweep EVERY oracle's DuckDB output schema for types the driver's
+    type-sensitive hasher represents differently from Spark (HUGEINT,
+    unsigned, DECIMAL). Round-5 lesson: `inverted_index` was
+    cell-for-cell identical yet red at the driver because an uncast
+    `sum(tf)` returned int128 — this test makes that class unshippable.
+    Plan-time only (``DESCRIBE``), so it is cheap for all ~110 oracles."""
+    import duckdb
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts"),
+    )
+    from check_oracle import bad_oracle_types
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        bad = bad_oracle_types(con, sql)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles with driver-divergent output types (cast to "
+        f"BIGINT/DOUBLE in the SQL): {offenders}"
+    )
+
+
 def test_round5_debuts_lead_the_window():
     """Newest-first: this round's debut queries must sit at the head of
     the dict (dict order IS the driver's check order), followed by the

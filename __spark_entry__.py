@@ -2250,12 +2250,18 @@ def q_bloom_join(spark, sf_dir):
         li, sm, "l_orderkey", "o_orderkey", m_bits=m_bits, n_hashes=3,
         how="inner",
     )
-    return joined.groupBy("o_orderpriority").agg(
+    out = joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         _cents_sum(
             F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
         ).alias("revenue"),
     )
+    # materialize the <= 5-row aggregate (bounded by distinct order
+    # priorities) so the cached build side can be released NOW instead
+    # of pinning executor storage for the rest of the session
+    rows = out.collect()
+    sm.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------------

@@ -106,7 +106,14 @@ def hll_merge(
 ) -> DataFrame:
     """Merge HLL sketches (register-row DataFrames from
     :func:`hll_sketch`, same p/seed) by per-register max — the lossless
-    HLL union."""
+    HLL union.
+
+    CONTRACT: all inputs must share p and seed — register rows carry
+    neither, so a mismatched merge cannot be detected here. A sketch
+    built with larger p than later estimated is caught at
+    :func:`hll_estimate` time (bucket-overflow guard); a smaller-p or
+    different-seed mix is silently wrong, so persist p/seed alongside
+    saved sketches (see tests/test_sketches_graph.py round-trip)."""
     if not sketches:
         raise ValueError(
             "hll_merge: empty sketch list (e.g. a date range matching "
@@ -135,17 +142,35 @@ def hll_estimate(
     m = 1 << p
     groups = list(group_by or [])
     per_group = sketch.groupBy(*groups).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("__hll_m"))).alias("__hll_s"),
+        # ungrouped agg over an EMPTY sketch still emits one row with
+        # sum=NULL/count=0 — coalesce so the estimate is 0 (matching
+        # COUNT(DISTINCT) on empty input), not NULL
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("__hll_m"))),
+                   F.lit(0.0)).alias("__hll_s"),
         F.count(F.lit(1)).alias("__hll_c"),
+        F.max("__hll_b").alias("__hll_bmax"),
     )
     alpha = _hll_alpha(m)
     v_zero = F.lit(m) - F.col("__hll_c")  # empty registers
     s_all = F.col("__hll_s") + v_zero.cast("double")  # empty => 2^0 = 1
     e_raw = F.lit(alpha * m * m) / s_all
-    est = F.when(
+    est = F.when(F.col("__hll_c") == 0, F.lit(0.0)).when(
         (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
     ).otherwise(e_raw)
+    # p-mismatch guard: a sketch built with p' > p has bucket ids up to
+    # 2^p' - 1; estimating/merging it under p would silently be wrong
+    # (register rows carry no p of their own). Bucket overflow is the
+    # observable symptom — fail loudly instead. (p' < p mismatches are
+    # undetectable from registers alone; hll_merge documents the
+    # same-p/seed contract.)
+    est = F.when(
+        F.col("__hll_bmax") >= F.lit(m),
+        F.raise_error(F.lit(
+            f"hll_estimate: register bucket >= 2^p={m} — sketch was "
+            "built with a larger p than the estimate was asked for"
+        )),
+    ).otherwise(est)
     return per_group.select(*groups, est.alias(out_col))
 
 
@@ -212,14 +237,16 @@ def hll_estimate_sql(
     alpha = _hll_alpha(m)
     return f"""
   SELECT {gsel}
-         CASE WHEN ({alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE)))
+         CASE WHEN __hll_c = 0 THEN 0.0::DOUBLE
+              WHEN ({alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE)))
                    <= {2.5 * m!r}
                AND ({m} - __hll_c) > 0
               THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - __hll_c AS DOUBLE))
               ELSE {alpha * m * m!r} / (__hll_s + CAST({m} - __hll_c AS DOUBLE))
          END AS {out_col}
   FROM (
-    SELECT {gsel} sum(power(2.0, -__hll_m)) AS __hll_s, count(*) AS __hll_c
+    SELECT {gsel} coalesce(sum(power(2.0, -__hll_m)), 0.0::DOUBLE) AS __hll_s,
+           count(*) AS __hll_c
     FROM ({sketch_sql}) {('GROUP BY ' + gby) if groups else ''}
   )
 """

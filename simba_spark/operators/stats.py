@@ -28,11 +28,12 @@ def histogram_fixed(
     """Equi-width histogram over [lo, hi): rows below lo clamp into bin
     0, rows at/above hi into bin nbins-1 (so the histogram is total
     over ORDERED values — profiling must not silently drop outliers).
-    NULLs and NaNs are excluded: a NaN has no position on the axis,
-    and the two engines' clamp chains would bin it differently
-    (Spark's floor→least→greatest lands NaN in bin 0, DuckDB's in the
-    last bin), so excluding it is also what keeps the oracle
-    bit-for-bit. Returns (groups…, bin, bin_lo, bin_hi, n).
+    NULLs, NaNs, and ±Infinity are excluded: a NaN has no position on
+    the axis, and the engines' clamp chains diverge on non-finite
+    values (Spark's floor→least→greatest lands NaN in bin 0 and clamps
+    Inf into an edge bin, DuckDB's CAST(floor(inf) AS BIGINT) raises),
+    so excluding them is also what keeps the oracle bit-for-bit.
+    Returns (groups…, bin, bin_lo, bin_hi, n).
 
     One groupBy on (groups, bin): a partition contributes at most
     nbins rows per group downstream regardless of its row count.
@@ -48,7 +49,8 @@ def histogram_fixed(
         F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1)
     ).cast("long")
     return (
-        df.filter(x.isNotNull() & ~F.isnan(x))
+        df.filter(x.isNotNull() & ~F.isnan(x)
+                  & (F.abs(x) != F.lit(float("inf"))))
         .select(*groups, bin_.alias("bin"))
         .groupBy(*groups, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -92,6 +94,7 @@ def histogram_fixed_sql(
              AS bin
     FROM {from_sql}
     WHERE {col_expr} IS NOT NULL AND NOT isnan(CAST({col_expr} AS DOUBLE))
+      AND abs(CAST({col_expr} AS DOUBLE)) != 'infinity'::DOUBLE
   ) GROUP BY {gby}
 """
 

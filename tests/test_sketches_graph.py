@@ -522,3 +522,53 @@ def test_hll_sketch_parquet_roundtrip_merge(spark, tmp_path):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+def test_hll_empty_input_estimates_zero(spark):
+    """Ungrouped estimate over an empty input is 0 (COUNT(DISTINCT)
+    semantics), not NULL — in the operator AND the SQL mirror."""
+    import duckdb
+
+    from simba_spark.operators.sketches import hll_distinct, hll_distinct_sql
+
+    empty = spark.range(10).filter("id < 0").select(F.col("id").alias("k"))
+    rows = hll_distinct(empty, "k", p=10).collect()
+    assert len(rows) == 1 and rows[0]["approx_distinct"] == 0.0
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT 1 AS k WHERE false")
+    row = con.execute(hll_distinct_sql("t", "k", p=10)).fetchone()
+    assert row[0] == 0.0
+
+
+def test_hll_estimate_p_mismatch_raises(spark):
+    """A sketch built with p'=14 estimated under p=10 has overflowing
+    bucket ids — fail loudly instead of silently mis-estimating."""
+    from simba_spark.operators.sketches import hll_estimate, hll_sketch
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    sk = hll_sketch(df, "k", p=14)
+    with pytest.raises(Exception, match="larger p"):
+        hll_estimate(sk, p=10).collect()
+
+
+def test_histogram_excludes_infinity(spark):
+    """±Inf is off-axis like NaN: excluded by the operator and by the
+    SQL mirror (where CAST(floor(inf) AS BIGINT) would raise)."""
+    import duckdb
+
+    from simba_spark.operators.stats import (histogram_fixed,
+                                             histogram_fixed_sql)
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("inf"),), (float("-inf"),), (3.0,)], "x double"
+    )
+    h = histogram_fixed(df, "x", 0.0, 5.0, nbins=5).collect()
+    assert sum(r["n"] for r in h) == 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1.0::DOUBLE), "
+        "('infinity'::DOUBLE), ('-infinity'::DOUBLE), (3.0::DOUBLE)) v(x)"
+    )
+    rows = con.execute(histogram_fixed_sql("t", "x", 0.0, 5.0, nbins=5)).fetchall()
+    assert sum(r[-1] for r in rows) == 2

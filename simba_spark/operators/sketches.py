@@ -25,7 +25,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 15 hex chars of md5 = 60 uniform bits; fits a signed 64-bit long.
@@ -396,4 +396,217 @@ SELECT
   __n AS n_sample,
   CAST(__hk AS DOUBLE) / {denom!r} AS theta
 FROM __agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (bottom-k uniform row sample)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group mergeable quantile sketch: the k rows with the smallest
+    md5-derived 60-bit hash of the UNIQUE ``id_col`` — a deterministic
+    uniform sample of the group's rows. Rows are ``(groups…, __qs_h,
+    __qs_v)``.
+
+    Why bottom-k (KMV-style) rather than GK/t-digest: bottom-k is the
+    only common quantile summary whose merge is exactly associative AND
+    engine-portable — ``merge = bottom-k of the unioned sketch rows``,
+    so merging daily sketches gives the IDENTICAL sketch (hence
+    identical estimates) as sketching the unioned raw data, asserted in
+    tests, and the whole thing is reproducible bit-for-bit by the
+    DuckDB oracle (:func:`quantile_sketch_sql`). Rank error is the
+    uniform-sample bound ~ sqrt(q(1-q)/k) (k=1024 → ~1.5% at the
+    median); the exact ``percentile`` agg cannot pre-aggregate at all,
+    which is the 100 TB problem this solves.
+
+    Plan shape: Spark rewrites the rank-filtered window into
+    WindowGroupLimit (partial per-partition top-k BEFORE the exchange —
+    plan-asserted in tests), so a partition contributes at most k
+    skinny (group, 8 B, 8 B) rows to the shuffle however many rows it
+    holds — the same map-side-combine property as the HLL register
+    rows above.
+
+    NULL and NaN values are excluded (they have no quantile position);
+    NULL ids are excluded with them (a null hash cannot be ordered).
+    """
+    assert k >= 2
+    groups = list(group_by or [])
+    x = F.col(col).cast("double")
+    sel = (
+        df.filter(
+            x.isNotNull() & ~F.isnan(x) & F.col(id_col).isNotNull()
+        )
+        .select(
+            *groups,
+            _hash60(id_col, seed).alias("__qs_h"),
+            x.alias("__qs_v"),
+        )
+    )
+    w = Window.partitionBy(*groups).orderBy("__qs_h", "__qs_v")
+    return (
+        sel.withColumn("__qs_r", F.row_number().over(w))
+        .filter(F.col("__qs_r") <= k)
+        .drop("__qs_r")
+    )
+
+
+def quantile_merge(
+    sketches: Sequence[DataFrame],
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Merge quantile sketches (same id_col/seed/k): bottom-k of the
+    unioned sketch rows. Exactly the sketch of the unioned raw data
+    (bottom-k is associative), so estimates after any merge tree are
+    identical — the daily-sketch → monthly-quantile workflow."""
+    if not sketches:
+        raise ValueError("quantile_merge: empty sketch list")
+    groups = list(group_by or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    w = Window.partitionBy(*groups).orderBy("__qs_h", "__qs_v")
+    return (
+        merged.withColumn("__qs_r", F.row_number().over(w))
+        .filter(F.col("__qs_r") <= k)
+        .drop("__qs_r")
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    qs: Sequence[float] = (0.5,),
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Quantile estimates from sketch rows: percentile_cont-style
+    linear interpolation over the SORTED sample values, computed with
+    explicit array arithmetic (identical IEEE expression tree in the
+    DuckDB mirror — no reliance on either engine's percentile
+    builtin). Output column for q is its promille: ``q500``/``q990``/
+    ``q999``. The per-group collect_list is bounded by the sketch
+    parameter k."""
+    groups = list(group_by or [])
+    per = sketch.groupBy(*groups).agg(
+        F.sort_array(F.collect_list("__qs_v")).alias("__vals"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    outs = []
+    for q in qs:
+        pos = F.lit(float(q)) * (F.col("__n") - 1).cast("double")
+        lo = F.floor(pos)
+        frac = pos - lo.cast("double")
+        vlo = F.element_at("__vals", (lo + 1).cast("int"))
+        vhi = F.element_at(
+            "__vals", F.least(lo + 2, F.col("__n")).cast("int")
+        )
+        outs.append((vlo + frac * (vhi - vlo)).alias(_q_name(q)))
+    return per.select(*groups, *outs)
+
+
+def _q_name(q: float) -> str:
+    """Promille column name: 0.5 → q500, 0.99 → q990, 1.0 → q1000 —
+    unambiguous for any q on a 1/1000 grid (fraction-digit naming
+    would collide 0.1 with 1.0)."""
+    return f"q{int(round(float(q) * 1000))}"
+
+
+def quantile_digest(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    qs: Sequence[float] = (0.5,),
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`quantile_estimate` ∘ :func:`quantile_sketch` — one-shot
+    per-group quantiles with bounded shuffle."""
+    return quantile_estimate(
+        quantile_sketch(df, col, id_col, group_by=group_by, k=k, seed=seed),
+        qs=qs, group_by=group_by,
+    )
+
+
+def quantile_sketch_sql(
+    from_sql: str,
+    col_expr: str,
+    id_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> str:
+    """DuckDB SELECT producing the rows of :func:`quantile_sketch`."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    pby = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    h = hash60_sql(id_expr, seed)
+    return f"""
+  SELECT {gsel} __qs_h, __qs_v FROM (
+    SELECT {gsel} __qs_h, __qs_v,
+           row_number() OVER ({pby} ORDER BY __qs_h, __qs_v) AS __qs_r
+    FROM (
+      SELECT {gsel} {h} AS __qs_h, CAST({col_expr} AS DOUBLE) AS __qs_v
+      FROM {from_sql}
+      WHERE ({col_expr}) IS NOT NULL
+        AND NOT isnan(CAST({col_expr} AS DOUBLE))
+        AND ({id_expr}) IS NOT NULL
+    )
+  ) WHERE __qs_r <= {k}
+"""
+
+
+def quantile_merge_sql(
+    sketch_sqls: Sequence[str],
+    group_exprs: Optional[Sequence[str]] = None,
+    k: int = 1024,
+) -> str:
+    """DuckDB mirror of :func:`quantile_merge` over sketch subqueries."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    pby = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    union = " UNION ALL ".join(f"SELECT * FROM ({s})" for s in sketch_sqls)
+    return f"""
+  SELECT {gsel} __qs_h, __qs_v FROM (
+    SELECT {gsel} __qs_h, __qs_v,
+           row_number() OVER ({pby} ORDER BY __qs_h, __qs_v) AS __qs_r
+    FROM ({union})
+  ) WHERE __qs_r <= {k}
+"""
+
+
+def quantile_estimate_sql(
+    sketch_sql: str,
+    qs: Sequence[float] = (0.5,),
+    group_exprs: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB mirror of :func:`quantile_estimate` — identical sorted
+    array + interpolation arithmetic (DuckDB lists are 1-based like
+    Spark ``element_at``)."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    outs = []
+    for q in qs:
+        pos = f"({float(q)!r}::DOUBLE * CAST(__n - 1 AS DOUBLE))"
+        lo = f"CAST(floor({pos}) AS BIGINT)"
+        frac = f"({pos} - CAST({lo} AS DOUBLE))"
+        vlo = f"__vals[CAST({lo} + 1 AS INT)]"
+        vhi = f"__vals[CAST(least({lo} + 2, __n) AS INT)]"
+        outs.append(f"({vlo} + {frac} * ({vhi} - {vlo})) AS {_q_name(q)}")
+    sel = ",\n         ".join(outs)
+    return f"""
+  SELECT {gsel}
+         {sel}
+  FROM (
+    SELECT {gsel} list_sort(list(__qs_v)) AS __vals, count(*) AS __n
+    FROM ({sketch_sql}) {gby}
+  )
 """

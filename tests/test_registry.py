@@ -56,12 +56,30 @@ def test_oracle_output_types_driver_safe():
     )
 
 
-def test_round5_debuts_lead_the_window():
-    """Newest-first: this round's debut queries must sit at the head of
-    the dict (dict order IS the driver's check order), followed by the
-    round-4 debuts still earning their 3 greens."""
+def test_round6_debuts_lead_the_window():
+    """Newest-first: round-6 debuts, then the 15 promotions (round-5
+    registrations that went straight to extra_queries() without driver
+    rows), then the round-5 debuts still earning their 3 greens (dict
+    order IS the driver's check order)."""
     head = list(entrymod.queries())[:36]
     assert head == [
+        "quantile_events",
+        "quantile_merged",
+        "tpch_q4",
+        "tpch_q7",
+        "tpch_q10",
+        "tpch_q13",
+        "tpch_q14",
+        "tpch_q15",
+        "tpch_q17",
+        "tpch_q19",
+        "tpch_q22",
+        "global_order",
+        "scrub_ngrams",
+        "events_json",
+        "events_histogram",
+        "heavy_tokens",
+        "table_profile",
         "hll_orders",
         "hll_merged",
         "theta_parts",
@@ -81,21 +99,4 @@ def test_round5_debuts_lead_the_window():
         "knn_join_highd",
         "doc_chunk",
         "dup_ngrams",
-        "asof_join",
-        "tpch_q5",
-        "tpch_q6",
-        "events_quantiles",
-        "cube_events",
-        "events_lead_lag",
-        "events_resample",
-        "events_rolling",
-        "doc_tfidf",
-        "stratified_sample",
-        "vector_knn_join",
-        "video_frames",
-        "orders_upsert",
-        "polygon_segment_range",
-        "polygon_polygon_join",
-        "polygon_polygon_distance_join",
-        "skewed_join",
     ]

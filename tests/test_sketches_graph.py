@@ -572,3 +572,102 @@ def test_histogram_excludes_infinity(spark):
     )
     rows = con.execute(histogram_fixed_sql("t", "x", 0.0, 5.0, nbins=5)).fetchall()
     assert sum(r[-1] for r in rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch
+
+
+def test_quantile_digest_accuracy(spark):
+    """k=1024 bottom-k sample: rank error ~1.5% at the median over a
+    known uniform distribution."""
+    from simba_spark.operators.sketches import quantile_digest
+
+    df = spark.range(50000).select(
+        F.col("id").alias("rid"), (F.col("id") % 10000).cast("double").alias("v")
+    )
+    r = quantile_digest(df, "v", "rid", qs=(0.5, 0.9, 0.99), k=1024).collect()[0]
+    assert abs(r["q500"] - 5000) < 500
+    assert abs(r["q900"] - 9000) < 500
+    assert abs(r["q990"] - 9900) < 500
+
+
+def test_quantile_merge_equals_sketch_of_union(spark):
+    """Bottom-k is associative: merging per-part sketches yields the
+    IDENTICAL sketch (and estimates) as sketching the unioned rows."""
+    from simba_spark.operators.sketches import (quantile_estimate,
+                                                quantile_merge,
+                                                quantile_sketch)
+
+    df = spark.range(20000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).alias("part"),
+        (F.col("id") % 991).cast("double").alias("v"),
+    )
+    parts = [
+        quantile_sketch(df.filter(F.col("part") == i), "v", "rid", k=256)
+        for i in range(7)
+    ]
+    merged = quantile_merge(parts, k=256)
+    direct = quantile_sketch(df, "v", "rid", k=256)
+    m = sorted(tuple(r) for r in merged.collect())
+    d = sorted(tuple(r) for r in direct.collect())
+    assert m == d
+    em = quantile_estimate(merged, qs=(0.5, 0.99)).collect()[0]
+    ed = quantile_estimate(direct, qs=(0.5, 0.99)).collect()[0]
+    assert em["q500"] == ed["q500"] and em["q990"] == ed["q990"]
+
+
+def test_quantile_matches_duckdb_oracle(spark, sf_dir):
+    """Bit-for-bit parity of sketch rows AND interpolated estimates."""
+    import duckdb
+
+    from simba_spark.operators.sketches import (quantile_digest,
+                                                quantile_estimate_sql,
+                                                quantile_sketch_sql)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        tuple(r) for r in quantile_digest(
+            ev, "value", "event_id", qs=(0.5, 0.9, 0.99),
+            group_by=["event_type"], k=512,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    sql = quantile_estimate_sql(
+        quantile_sketch_sql("events", "value", "event_id",
+                            ["event_type"], k=512),
+        qs=(0.5, 0.9, 0.99), group_exprs=["event_type"],
+    )
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_quantile_sketch_plan_partial_topk(spark):
+    """The rank filter must compile to WindowGroupLimit: partial
+    per-partition top-k BEFORE the exchange, so a partition ships at
+    most k rows per group — the property that makes the sketch viable
+    at 100 TB."""
+    from simba_spark.operators.sketches import quantile_sketch
+
+    df = spark.range(10000).select(
+        F.col("id").alias("rid"), (F.col("id") % 5).alias("g"),
+        F.rand(7).alias("v"),
+    )
+    plan = _plan(quantile_sketch(df, "v", "rid", group_by=["g"], k=64))
+    assert "WindowGroupLimit" in plan
+
+
+def test_quantile_excludes_null_and_nan(spark):
+    from simba_spark.operators.sketches import quantile_digest
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, None), (4, 3.0), (5, 2.0)],
+        "rid long, v double",
+    )
+    r = quantile_digest(df, "v", "rid", qs=(0.0, 0.5, 1.0), k=16).collect()[0]
+    assert (r["q0"], r["q500"], r["q0"] <= r["q500"] <= r["q1000"]) == (1.0, 2.0, True)
+    assert r["q1000"] == 3.0

@@ -12,6 +12,16 @@ reported per-query time is the MEDIAN — single-run numbers at ~1 s
 granularity swung +/-75% between rounds with no plan change, so the
 median is the signal. The raw per-rep samples are emitted under
 "samples" for auditability.
+
+GROUP ISOLATION (round-6): the headline set grew 20 → 41 queries over
+rounds and the r3-era legacy subtotal measured inside the grown harness
+drifted +70% from in-session GC/cache pressure alone, making
+round-over-round totals incomparable. The legacy-20 subset and the
+post-r3 subset now each run in their OWN fresh JVM (subprocess), so
+"legacy_r3_total_sec" is by construction what a solo run of those 20
+queries measures. Set SPARK_GRAFT_BENCH_GROUP=legacy|post to run one
+group directly; the no-subprocess fallback (SPARK_GRAFT_BENCH_FORK=0)
+keeps the old single-session behavior.
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -71,11 +82,13 @@ HEADLINE = [
     "pagerank",
     "weighted_sample",
     "bloom_join",
+    # round-6 additions
+    "quantile_events",
 ]
 
-#: every headline query added AFTER round 3 — subtracted from the
-#: legacy subtotal so BENCH_r{N} totals compare like-for-like with
-#: BENCH_r03's 20-query set
+#: every headline query added AFTER round 3 — runs in its own group so
+#: the legacy subtotal compares like-for-like with BENCH_r03's 20-query
+#: set
 _POST_R3 = {
     "asof_join", "tpch_q5", "tpch_q6",
     "knn_join_highd", "doc_chunk", "dup_ngrams", "segment_circle_join",
@@ -84,6 +97,12 @@ _POST_R3 = {
     "scrub_ngrams", "global_order",
     "hll_orders", "theta_parts", "pagerank", "weighted_sample",
     "bloom_join",
+    "quantile_events",
+}
+
+GROUPS = {
+    "legacy": [q for q in HEADLINE if q not in _POST_R3],
+    "post": [q for q in HEADLINE if q in _POST_R3],
 }
 
 
@@ -111,7 +130,10 @@ def _bench_overrides():
     }
 
 
-def main() -> int:
+def run_group(names: list[str]) -> dict:
+    """Run one group of headline queries in THIS process's Spark
+    session and return the result dict (the round-robin rep scheme and
+    median aggregation are unchanged from earlier rounds)."""
     import __spark_entry__ as entrymod
     from simba_spark.context import get_spark
 
@@ -143,7 +165,7 @@ def main() -> int:
     # so cache-warmth drift hits every query equally instead of making
     # later reps of the same query systematically faster
     for rep in range(REPS):
-        for name in HEADLINE:
+        for name in names:
             fn = qs[name]
             t0 = time.time()
             try:
@@ -157,23 +179,25 @@ def main() -> int:
     for name, ts in samples.items():
         good = [t for t in ts if t >= 0]
         timings[name] = round(statistics.median(good), 3) if good else -1.0
+    spark.stop()
+    return {"queries": timings, "samples": samples}
 
+
+def _emit(timings: dict, samples: dict, isolated: bool) -> dict:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # round-over-round comparability: the headline set keeps growing —
-    # also emit the subtotal over the 20 queries BENCH_r03 measured so
-    # totals compare like-for-like
-    _R3_SET = set(HEADLINE) - _POST_R3
     legacy_total = round(
-        sum(t for n, t in timings.items() if n in _R3_SET and t >= 0), 3
+        sum(t for n, t in timings.items()
+            if n in set(GROUPS["legacy"]) and t >= 0), 3
     )
     try:
         sf = float(SF_DIR.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = None
-    out = {
+    return {
         "metric": "headline_total_sec",
         "value": total,
         "legacy_r3_total_sec": legacy_total,
+        "legacy_isolated_jvm": isolated,
         "unit": "sec",
         "queries": timings,
         "samples": samples,
@@ -183,9 +207,48 @@ def main() -> int:
         "cpus": int(CPUS),
         "n_queries": len([t for t in timings.values() if t >= 0]),
     }
-    spark.stop()
-    print(json.dumps(out))
-    return 0 if all(t >= 0 for t in timings.values()) else 1
+
+
+def main() -> int:
+    group = os.environ.get("SPARK_GRAFT_BENCH_GROUP")
+    if group:
+        r = run_group(GROUPS[group])
+        print(json.dumps(r))
+        return 0 if all(t >= 0 for t in r["queries"].values()) else 1
+
+    if os.environ.get("SPARK_GRAFT_BENCH_FORK", "1") != "0":
+        timings: dict[str, float] = {}
+        samples: dict[str, list[float]] = {}
+        ok = True
+        for g in GROUPS:
+            env = dict(os.environ, SPARK_GRAFT_BENCH_GROUP=g)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+            )
+            # keep the child's diagnostics visible without breaking the
+            # one-JSON-line stdout contract
+            if p.stderr:
+                sys.stderr.write(p.stderr[-4000:])
+            lines = [ln for ln in p.stdout.splitlines()
+                     if ln.strip().startswith("{")]
+            if not lines:
+                print(f"# bench group {g} produced no JSON (rc={p.returncode})"
+                      " — falling back to single-session run",
+                      file=sys.stderr)
+                break
+            r = json.loads(lines[-1])
+            timings.update(r["queries"])
+            samples.update(r["samples"])
+            ok = ok and p.returncode == 0
+        else:
+            print(json.dumps(_emit(timings, samples, isolated=True)))
+            return 0 if ok else 1
+
+    # fallback / opt-out: everything in one session (pre-round-6 mode)
+    r = run_group(HEADLINE)
+    print(json.dumps(_emit(r["queries"], r["samples"], isolated=False)))
+    return 0 if all(t >= 0 for t in r["queries"].values()) else 1
 
 
 if __name__ == "__main__":

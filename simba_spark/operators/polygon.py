@@ -12,8 +12,10 @@ oracle harness.
 Boundary semantics: interior OR on-edge (closed), matching the
 boundary-inclusive contract of :meth:`simba_spark.geometry.Polygon.contains`.
 
-For polygon *columns* (arbitrary per-row polygons) use the geometry
-module through a pandas UDF — the slow path, kept out of hot loops.
+Polygon *columns* (arbitrary per-row polygons) are JVM-side too:
+:func:`in_polygon_col` runs the same even-odd test with higher-order
+array functions (aggregate/zip_with over the vertex arrays) — no
+pandas UDF anywhere in this module.
 """
 
 from __future__ import annotations

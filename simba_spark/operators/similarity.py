@@ -4,9 +4,12 @@
   a single scan + TakeOrderedAndProject (distributed partial top-k,
   never a global sort; the same execution shape as the engine's spatial
   kNN, SURVEY §2.4).
-- :func:`cosine_topk_ann` — LSH-bucketed approximate variant: random
-  hyperplane signature blocking with multi-probe (hamming-adjacent
-  buckets), the scale path when one query must not scan 100 TB.
+- :func:`ann_topk` — the approximate-search ROUTER. Default route is
+  IVF (:func:`cosine_topk_ivf`, persisted: :func:`build_ivf_layout`):
+  measured at 10M×64-d it holds recall 1.0 at nprobe=1 scanning 42×
+  fewer bytes, while hyperplane LSH recall swings 0.24–0.87
+  (bench_ann10.json, SCALE.md). LSH (:func:`cosine_topk_ann`) remains
+  the no-training-pass route only.
 - :func:`knn_join_vectors` — k nearest vectors for *every* row (vector
   kNN self-join) via the generic kNN-join machinery on projected
   coordinates, or exact window over blocked candidates.
@@ -78,7 +81,16 @@ def cosine_topk_ann(
     """Approximate top-k: only rows whose hyperplane sign signature is
     within `probe_hamming` bits of the query's signature are scored
     (multi-probe LSH). With a bucketed layout this prunes the scan to
-    ~C(n_planes, probe_hamming)/2^n_planes of the data."""
+    ~C(n_planes, probe_hamming)/2^n_planes of the data.
+
+    NOT the default at corpus scale — measured at 10M×64-d
+    (bench_ann10.json), hyperplane LSH recall swings 0.24–0.87 where
+    the IVF path (:func:`cosine_topk_ivf` / :func:`build_ivf_layout`)
+    holds recall 1.0 at nprobe=1 while scanning 42× fewer bytes. Use
+    this ONLY when a training pass over the data is impossible (pure
+    streaming ingest, no sample available): LSH planes are
+    data-independent, IVF centroids are not. :func:`ann_topk` routes
+    accordingly."""
     import numpy as np
 
     dim = len(query_vec)
@@ -112,6 +124,47 @@ def cosine_topk_ann(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def resolve_ann_method(method: str = "auto",
+                       allow_training_pass: bool = True) -> str:
+    """The ANN routing decision, separated for testability: 'auto'
+    resolves to 'ivf' whenever a training pass over (a sample of) the
+    corpus is possible, 'lsh' otherwise. Grounded in bench_ann10.json
+    (10M×64-d): IVF nprobe=1 recall 1.0 / 26 MB scanned / 0.75 s vs
+    exact 1093 MB / 6.2 s, while hyperplane-LSH recall was 0.24–0.87 —
+    data-dependent centroids simply carve better buckets than
+    data-independent planes."""
+    if method != "auto":
+        assert method in ("ivf", "lsh", "exact"), method
+        return method
+    return "ivf" if allow_training_pass else "lsh"
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "auto",
+    allow_training_pass: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Approximate nearest-neighbor top-k router (see
+    :func:`resolve_ann_method` for the default policy and its
+    measurements). Extra kwargs flow to the routed implementation
+    (`n_centroids`/`nprobe`/`assigned`/`centroids` for IVF,
+    `n_planes`/`probe_hamming` for LSH). `method='exact'` falls back
+    to the brute-force scan for ground truth."""
+    m = resolve_ann_method(method, allow_training_pass)
+    if m == "ivf":
+        return cosine_topk_ivf(df, query_vec, k, vec_col=vec_col,
+                               id_col=id_col, **kwargs)
+    if m == "lsh":
+        return cosine_topk_ann(df, query_vec, k, vec_col=vec_col,
+                               id_col=id_col, **kwargs)
+    return cosine_topk(df, query_vec, k, vec_col=vec_col, id_col=id_col)
 
 
 def _kmeans_centroids(vectors, n_centroids: int, iters: int, seed: int):

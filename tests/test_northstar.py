@@ -476,6 +476,28 @@ def test_ivf_topk_recall(spark):
     assert 0 < one < scanned
 
 
+def test_ann_router_defaults_to_ivf(spark):
+    """The measured default (bench_ann10.json): 'auto' routes to IVF
+    whenever a training pass is allowed, LSH only when it is not, and
+    ann_topk('auto') returns exactly the IVF result."""
+    from simba_spark.operators.similarity import (ann_topk, build_ivf,
+                                                  cosine_topk_ivf,
+                                                  resolve_ann_method)
+
+    assert resolve_ann_method("auto") == "ivf"
+    assert resolve_ann_method("auto", allow_training_pass=False) == "lsh"
+    assert resolve_ann_method("lsh") == "lsh"
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in embs.first()["embedding"]]
+    assigned, cents = build_ivf(embs, n_centroids=4, seed=42)
+    via_router = ann_topk(embs, qvec, 5, assigned=assigned, centroids=cents)
+    direct = cosine_topk_ivf(embs, qvec, 5, assigned=assigned,
+                             centroids=cents)
+    assert [tuple(r) for r in via_router.collect()] == \
+        [tuple(r) for r in direct.collect()]
+
+
 def test_ivf_assignment_deterministic(spark):
     from simba_spark.operators.similarity import build_ivf
 

@@ -39,6 +39,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 8,
     round_to: Optional[int] = 6,
+    salt_hot_nodes: int = 0,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -51,6 +52,17 @@ def pagerank(
     well-defined deterministic function of the graph — required by the
     SQL oracle, and the common choice for corpus-quality priors where
     a bounded-cost approximation is the point.
+
+    ``salt_hot_nodes`` > 0 splits each destination's contribution sum
+    across that many salt buckets (two-step aggregate keyed on
+    (dst, salt-of-src) then dst). On a web graph a dominant in-degree
+    hub (every page links home) funnels its whole partial-sum stream
+    through one reduce task; Spark's map-side partial aggregation
+    absorbs most of that, but the belt-and-braces salt bounds the
+    reduce-side key width even when hash aggregation degrades to
+    sort-spill. Equivalent to unsalted up to double addition order
+    (identical after the final rounding — equivalence-tested on a hub
+    graph); 0 keeps the single-step aggregate.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -88,11 +100,22 @@ def pagerank(
         dangling = ranks.join(dangling_nodes, "node", how="left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
-        contribs = (
-            e2.join(ranks, e2.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
-        )
+        joined = e2.join(ranks, e2.src == ranks.node)
+        if salt_hot_nodes > 0:
+            contribs = (
+                joined.groupBy(
+                    "dst",
+                    F.pmod(F.xxhash64("src"), F.lit(int(salt_hot_nodes)))
+                    .alias("__salt"),
+                )
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+                .groupBy("dst")
+                .agg(F.sum("__c").alias("__c"))
+            )
+        else:
+            contribs = joined.groupBy("dst").agg(
+                F.sum(F.col("rank") / F.col("deg")).alias("__c")
+            )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, how="left")
             .crossJoin(F.broadcast(dangling))

@@ -671,3 +671,26 @@ def test_quantile_excludes_null_and_nan(spark):
     r = quantile_digest(df, "v", "rid", qs=(0.0, 0.5, 1.0), k=16).collect()[0]
     assert (r["q0"], r["q500"], r["q0"] <= r["q500"] <= r["q1000"]) == (1.0, 2.0, True)
     assert r["q1000"] == 3.0
+
+
+def test_pagerank_salted_equals_unsalted_on_hub_graph(spark):
+    """salt_hot_nodes splits a dominant in-degree hub's partial sums
+    across salt buckets; after the final rounding the ranks must be
+    IDENTICAL to the unsalted aggregate (double addition order is the
+    only difference, ~1e-14 below the rounding quantum)."""
+    from simba_spark.operators.graph import pagerank
+
+    # hub graph: every node links to node 0; plus a ring for structure
+    n = 400
+    hub = spark.range(1, n).select(F.col("id").alias("src"),
+                                   F.lit(0).alias("dst"))
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    edges = hub.unionByName(ring)
+    plain = {r["node"]: r["rank"]
+             for r in pagerank(edges, iters=5).collect()}
+    salted = {r["node"]: r["rank"]
+              for r in pagerank(edges, iters=5, salt_hot_nodes=8).collect()}
+    assert plain == salted
+    assert plain[0] == max(plain.values())  # the hub dominates

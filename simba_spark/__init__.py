@@ -52,7 +52,24 @@ from .operators.sketches import (
     hll_sketch,
     kmv_theta,
 )
+from .operators.sketches import (
+    quantile_digest,
+    quantile_estimate,
+    quantile_merge,
+    quantile_sketch,
+)
+from .operators.similarity import ann_topk
 from .operators.stats import heavy_hitters, histogram_fixed
+from .partitioners import (
+    assign_partitions,
+    hash_partition,
+    kd_partition,
+    partition_sizes,
+    range_partition,
+    str_partition,
+    voronoi_partition,
+    zorder_partition,
+)
 
 __version__ = "0.1.0"
 
@@ -71,5 +88,10 @@ __all__ = [
     "mbr_struct", "segment_struct", "circle_struct",
     "shape_range", "shape_circle_range",
     "hll_distinct", "hll_sketch", "hll_merge", "hll_estimate", "kmv_theta",
+    "quantile_sketch", "quantile_merge", "quantile_estimate", "quantile_digest",
+    "ann_topk",
     "pagerank", "triangle_count", "histogram_fixed", "heavy_hitters",
+    "str_partition", "kd_partition", "voronoi_partition", "zorder_partition",
+    "hash_partition", "range_partition", "assign_partitions",
+    "partition_sizes",
 ]

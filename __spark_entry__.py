@@ -2234,6 +2234,35 @@ def q_heavy_tokens(spark, sf_dir):
     return heavy_hitters(toks, "token", min_share=0.005)
 
 
+def q_cm_heavy(spark, sf_dir):
+    """Count-Min sketch (operators.sketches.cm_sketch/cm_estimate):
+    approximate token frequencies from a depth=4 × width=2048 counter
+    grid next to the exact counts of the heavy tokens. ≤ depth·width
+    skinny rows leave any partition however many tokens it held — the
+    bounded-memory complement to exact heavy_hitters when the value
+    universe is too wide to shuffle; CM never underestimates, which
+    this row exhibits as data (n_cm >= n_exact). All-integer counts,
+    so the oracle reproduces the grid and the min-over-depths probe
+    exactly."""
+    from simba_spark.operators.sketches import cm_estimate, cm_sketch
+    from simba_spark.operators.stats import heavy_hitters
+    from simba_spark.operators.text import TOKEN_SPLIT_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    sk = cm_sketch(toks, "token", depth=4, width=2048)
+    hh = heavy_hitters(toks, "token", min_share=0.005).select(
+        F.col("value").alias("token"), F.col("n").alias("n_exact")
+    )
+    est = cm_estimate(sk, hh.select("token"), "token",
+                      depth=4, width=2048, out_col="n_cm")
+    return hh.join(est, "token")
+
+
 def q_table_profile(spark, sf_dir):
     """One-scan column profiler (operators.stats.profile_columns):
     per-column nonnull/null/distinct/min/max/mean over lineitem — the
@@ -2336,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 debuts ---
         "quantile_events": q_quantile_events,
         "quantile_merged": q_quantile_merged,
+        "cm_heavy": q_cm_heavy,
         # --- round-6 promotions: round-5 registrations that entered
         #     extra_queries() without ever earning a driver row (the
         #     round-3 lesson is debuts earn driver greens first) ---
@@ -2385,7 +2415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "stratified_sample": q_stratified_sample,
         "vector_knn_join": q_vector_knn_join,
-        "orders_upsert": q_orders_upsert,
         "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -2430,6 +2459,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "video_frames": q_video_frames,
+        "orders_upsert": q_orders_upsert,
         # --- rotated mid-round-5 to seat the sketch/graph debuts
         #     (3 driver greens each — r1/r2/r4 for the multimodal trio,
         #     r2/r4 + round-3 local for the sampling pair; all
@@ -3080,6 +3110,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.pipeline import weighted_sample_key_sql
     from simba_spark.operators.stats import histogram_fixed_sql
     from simba_spark.operators.sketches import (
+        cm_estimate_sql, cm_sketch_sql,
         hll_distinct_sql, hll_estimate_sql, hll_sketch_sql, kmv_theta_sql,
         quantile_estimate_sql, quantile_merge_sql, quantile_sketch_sql,
     )
@@ -3125,6 +3156,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT m.l_returnflag, m.merged_est, d.direct_est
             FROM merged m JOIN direct d USING (l_returnflag)
+        """,
+        "cm_heavy": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS token
+              FROM documents
+            ), tok AS (
+              SELECT token FROM toks WHERE token <> ''
+            ), counts AS (
+              SELECT token, count(*) AS n FROM tok GROUP BY token
+            ), hh AS (
+              SELECT token, n::BIGINT AS n_exact FROM counts
+              WHERE CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE)
+                                         FROM counts) >= 0.005
+            ), est AS (
+              {cm_estimate_sql(
+                  cm_sketch_sql("tok", "token", depth=4, width=2048),
+                  "SELECT token FROM hh", "token",
+                  depth=4, width=2048, out_col="n_cm")}
+            )
+            SELECT hh.token, hh.n_exact, est.n_cm
+            FROM hh JOIN est USING (token)
         """,
         "quantile_events": quantile_estimate_sql(
             quantile_sketch_sql("events", "value", "event_id",

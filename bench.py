@@ -84,6 +84,7 @@ HEADLINE = [
     "bloom_join",
     # round-6 additions
     "quantile_events",
+    "cm_heavy",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -97,7 +98,7 @@ _POST_R3 = {
     "scrub_ngrams", "global_order",
     "hll_orders", "theta_parts", "pagerank", "weighted_sample",
     "bloom_join",
-    "quantile_events",
+    "quantile_events", "cm_heavy",
 }
 
 GROUPS = {

@@ -610,3 +610,154 @@ def quantile_estimate_sql(
     FROM ({sketch_sql}) {gby}
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable approximate frequencies)
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    group_by: Optional[Sequence[str]] = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group Count-Min sketch rows ``(groups…, __cm_d, __cm_b,
+    __cm_n)``: for each of `depth` seeded hash rows, the count of items
+    landing in each of `width` buckets. ≤ depth·width rows per group
+    leave ANY partition (count partials combine map-side), however many
+    rows feed it — the bounded-memory complement to the exact
+    :func:`~simba_spark.operators.stats.heavy_hitters` when the
+    distinct-value universe itself is too wide to shuffle.
+
+    Estimates (:func:`cm_estimate`) are min-over-depths bucket counts:
+    never under the true count, over by at most ~2n/width with
+    probability 1 - 2^-depth (the classic CM guarantee). All counts
+    are integers, so sketches and estimates are EXACTLY reproducible
+    by the DuckDB mirror (no float summation order to worry about).
+
+    Merge (:func:`cm_merge`) is per-cell addition — exactly
+    associative, so daily sketches sum losslessly into monthly ones.
+    NULL items are excluded (COUNT(col) semantics).
+    """
+    assert depth >= 1 and width >= 2
+    groups = list(group_by or [])
+    buckets = F.array(*[
+        F.pmod(_hash60(col, seed + j), F.lit(int(width)))
+        for j in range(int(depth))
+    ])
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*groups, F.posexplode(buckets).alias("__cm_d", "__cm_b"))
+        .groupBy(*groups, "__cm_d", "__cm_b")
+        .agg(F.count(F.lit(1)).alias("__cm_n"))
+    )
+
+
+def cm_merge(
+    sketches: Sequence[DataFrame],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge CM sketches (same depth/width/seed) by per-cell sum — the
+    lossless CM union (estimating a merged sketch == estimating the
+    sketch of the unioned raw data, asserted in tests)."""
+    if not sketches:
+        raise ValueError("cm_merge: empty sketch list")
+    groups = list(group_by or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*groups, "__cm_d", "__cm_b").agg(
+        F.sum("__cm_n").alias("__cm_n")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+    out_col: str = "est_n",
+) -> DataFrame:
+    """Estimated counts for every row of `items` (a DataFrame — the
+    probe stays fully distributed, no driver collect): min over depths
+    of the item's bucket count, 0 when a bucket is empty. depth/width/
+    seed must match the sketch build. Join cost: |items|·depth skinny
+    rows against ≤ depth·width sketch rows per group (broadcastable
+    by construction)."""
+    groups = list(group_by or [])
+    probes = items.select(
+        *groups, F.col(item_col),
+        F.posexplode(F.array(*[
+            F.pmod(_hash60(item_col, seed + j), F.lit(int(width)))
+            for j in range(int(depth))
+        ])).alias("__cm_d", "__cm_b"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch), on=groups + ["__cm_d", "__cm_b"], how="left"
+    )
+    return joined.groupBy(*groups, item_col).agg(
+        F.min(F.coalesce(F.col("__cm_n"), F.lit(0))).alias(out_col)
+    )
+
+
+def cm_sketch_sql(
+    from_sql: str,
+    col_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> str:
+    """DuckDB SELECT producing the rows of :func:`cm_sketch` exactly."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ", ".join(groups + ["__cm_d", "__cm_b"])
+    arms = " UNION ALL ".join(
+        f"SELECT {gsel} {j} AS __cm_d, "
+        f"({hash60_sql(col_expr, seed + j)}) % {int(width)} AS __cm_b "
+        f"FROM {from_sql} WHERE ({col_expr}) IS NOT NULL"
+        for j in range(int(depth))
+    )
+    return f"""
+  SELECT {gsel} __cm_d, __cm_b, count(*)::BIGINT AS __cm_n
+  FROM ({arms}) GROUP BY {gby}
+"""
+
+
+def cm_estimate_sql(
+    sketch_sql: str,
+    items_sql: str,
+    item_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+    out_col: str = "est_n",
+) -> str:
+    """DuckDB mirror of :func:`cm_estimate` (items from a subquery)."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    on = " AND ".join(
+        [f"p.{g} = s.{g}" for g in groups]
+        + ["p.__cm_d = s.__cm_d", "p.__cm_b = s.__cm_b"]
+    )
+    pg = "".join(f"p.{g}, " for g in groups)
+    gby = ", ".join([f"p.{g}" for g in groups] + [f"p.{item_expr}"])
+    arms = " UNION ALL ".join(
+        f"SELECT {gsel} {item_expr}, {j} AS __cm_d, "
+        f"({hash60_sql(item_expr, seed + j)}) % {int(width)} AS __cm_b "
+        f"FROM ({items_sql})"
+        for j in range(int(depth))
+    )
+    return f"""
+  SELECT {pg} p.{item_expr}, min(COALESCE(s.__cm_n, 0))::BIGINT AS {out_col}
+  FROM ({arms}) p
+  LEFT JOIN ({sketch_sql}) s ON {on}
+  GROUP BY {gby}
+"""

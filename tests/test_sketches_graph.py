@@ -694,3 +694,71 @@ def test_pagerank_salted_equals_unsalted_on_hub_graph(spark):
               for r in pagerank(edges, iters=5, salt_hot_nodes=8).collect()}
     assert plain == salted
     assert plain[0] == max(plain.values())  # the hub dominates
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_cm_estimate_never_underestimates(spark):
+    from simba_spark.operators.sketches import cm_estimate, cm_sketch
+
+    # zipf-ish: value v appears ~ 4000/v times
+    df = spark.range(20000).select(
+        (F.floor(20000 / (F.col("id") + 1))).alias("v")
+    )
+    exact = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sk = cm_sketch(df, "v", depth=4, width=256)
+    items = df.select("v").distinct()
+    est = {r["v"]: r["est_n"] for r in
+           cm_estimate(sk, items, "v", depth=4, width=256).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+    # CM bound: overestimate <= ~2n/width w.h.p.; allow slack
+    n = sum(exact.values())
+    assert all(est[v] - exact[v] <= 4 * n / 256 for v in exact)
+    # wide sketch => no collisions => exact
+    sk2 = cm_sketch(df, "v", depth=4, width=1 << 16)
+    est2 = {r["v"]: r["est_n"] for r in
+            cm_estimate(sk2, items, "v", depth=4, width=1 << 16).collect()}
+    assert est2 == exact
+    # bounded: sketch rows <= depth * width
+    assert sk.count() <= 4 * 256
+
+
+def test_cm_merge_equals_sketch_of_union(spark):
+    from simba_spark.operators.sketches import (cm_estimate, cm_merge,
+                                                cm_sketch)
+
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("part"), (F.col("id") % 97).alias("v")
+    )
+    parts = [cm_sketch(df.filter(F.col("part") == i), "v", width=128)
+             for i in range(3)]
+    merged = cm_merge(parts)
+    direct = cm_sketch(df, "v", width=128)
+    assert sorted(tuple(r) for r in merged.collect()) == \
+        sorted(tuple(r) for r in direct.collect())
+
+
+def test_cm_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from simba_spark.operators.sketches import (cm_estimate, cm_estimate_sql,
+                                                cm_sketch, cm_sketch_sql)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cm_sketch(ev, "user_id", depth=3, width=64)
+    items = ev.select("user_id").distinct().filter("user_id % 7 = 0")
+    got = {tuple(r) for r in
+           cm_estimate(sk, items, "user_id", depth=3, width=64).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    sql = cm_estimate_sql(
+        cm_sketch_sql("events", "user_id", depth=3, width=64),
+        "(SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)",
+        "user_id", depth=3, width=64,
+    )
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == want

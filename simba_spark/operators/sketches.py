@@ -761,3 +761,116 @@ def cm_estimate_sql(
   LEFT JOIN ({sketch_sql}) s ON {on}
   GROUP BY {gby}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bucketed quantile sample (the streaming-aggregable form)
+
+
+def quantile_bucket_cols(col: str, id_col: str, k: int, seed: int):
+    """The bucketed-sample derivation shared by the batch operator and
+    the streaming windowed op (single-sited like hll_register_cols so
+    the two can never drift): returns (filter, bucket, hv) where hv is
+    a (h, v) struct whose per-bucket MIN is the retained sample row."""
+    x = F.col(col).cast("double")
+    h = _hash60(id_col, seed)
+    keep = x.isNotNull() & ~F.isnan(x) & F.col(id_col).isNotNull()
+    return keep, F.pmod(h, F.lit(int(k))).alias("__qs_k"), F.struct(
+        h.alias("h"), x.alias("v")
+    ).alias("__hv")
+
+
+def quantile_sketch_bucketed(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed quantile sample: rows hash into k buckets on the unique
+    ``id_col``; each bucket retains its min-hash row — one-permutation-
+    hashing-style sampling. The retained row is uniform within its
+    bucket (hashes are iid, independent of v), so the ≤ k values form a
+    valid uniform sample for :func:`quantile_estimate`; when a group
+    has n < k rows the sample holds all but the ~n²/2k birthday-collided
+    rows (e.g. ≳ 95% of them at n = k/3) — near-exact, not exact, unlike
+    bottom-k which retains every row at n ≤ k.
+
+    Why this form exists next to :func:`quantile_sketch` (exact
+    bottom-k): the aggregate here is an algebraic per-bucket MIN —
+    combine-friendly AND streaming-state-friendly (k structs per open
+    (window, key), see ``streaming_windowed_quantile``), where the
+    rank-filtered bottom-k window cannot run incrementally. Batch
+    pipelines that can afford the window should prefer bottom-k (its
+    merge is exactly lossless); this form trades that for
+    incrementality. Merge (:func:`quantile_merge_bucketed`) is
+    per-bucket min — associative, merged ≡ sketch-of-union, asserted.
+    Rows: ``(groups…, __qs_k, __qs_h, __qs_v)``.
+    """
+    assert k >= 2
+    groups = list(group_by or [])
+    keep, bucket, hv = quantile_bucket_cols(col, id_col, k, seed)
+    return (
+        df.filter(keep)
+        .select(*groups, bucket, hv)
+        .groupBy(*groups, "__qs_k")
+        .agg(F.min("__hv").alias("__hv"))
+        .select(*groups, "__qs_k",
+                F.col("__hv.h").alias("__qs_h"),
+                F.col("__hv.v").alias("__qs_v"))
+    )
+
+
+def quantile_merge_bucketed(
+    sketches: Sequence[DataFrame],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge bucketed quantile samples (same id_col/k/seed): per-bucket
+    min of the (h, v) pairs — exactly the sketch of the unioned rows."""
+    if not sketches:
+        raise ValueError("quantile_merge_bucketed: empty sketch list")
+    groups = list(group_by or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy(*groups, "__qs_k")
+        .agg(F.min(F.struct(F.col("__qs_h").alias("h"),
+                            F.col("__qs_v").alias("v"))).alias("__hv"))
+        .select(*groups, "__qs_k",
+                F.col("__hv.h").alias("__qs_h"),
+                F.col("__hv.v").alias("__qs_v"))
+    )
+
+
+def quantile_sketch_bucketed_sql(
+    from_sql: str,
+    col_expr: str,
+    id_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`quantile_sketch_bucketed` (struct MIN
+    orders lexicographically on (h, v) in both engines)."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ", ".join(groups + ["__qs_k"])
+    h = hash60_sql(id_expr, seed)
+    return f"""
+  SELECT {gsel} __qs_k,
+         struct_extract(__hv, 'h') AS __qs_h,
+         struct_extract(__hv, 'v') AS __qs_v
+  FROM (
+    SELECT {gsel} __qs_k, min({{'h': __h, 'v': __v}}) AS __hv
+    FROM (
+      SELECT {gsel} ({h}) % {int(k)} AS __qs_k, {h} AS __h,
+             CAST({col_expr} AS DOUBLE) AS __v
+      FROM {from_sql}
+      WHERE ({col_expr}) IS NOT NULL
+        AND NOT isnan(CAST({col_expr} AS DOUBLE))
+        AND ({id_expr}) IS NOT NULL
+    ) GROUP BY {gby}
+  )
+"""

@@ -617,3 +617,46 @@ def streaming_windowed_hll(
     )
     group_by = ["window"] + ([key_col] if key_col else [])
     return hll_estimate(regs, group_by=group_by, p=p)
+
+
+def streaming_windowed_quantile(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    col: str = "value",
+    key_col: Optional[str] = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    qs=(0.5, 0.9),
+    k: int = 256,
+    id_col: str = "event_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-window quantile estimates on a stream via the bucketed
+    quantile sample (``sketches.quantile_sketch_bucketed`` — identical
+    derivation, single-sited): each of k hash buckets keeps its
+    min-(h, v) row, an algebraic MIN the state store can maintain
+    incrementally, so state is ≤ k structs per open (window, key)
+    where an exact streaming percentile would have to hold every row.
+
+    Plan: two chained stateful aggregations in append mode (per-bucket
+    struct-min keyed by (window, key, bucket), then the
+    interpolation rollup keyed by (window, key)); rows emit at
+    watermark close. Estimates are IDENTICAL to running the batch
+    bucketed sketch over the same rows (replay-equivalence tested) —
+    the same batch-parity contract as ``streaming_windowed_hll``.
+    """
+    from ..operators.sketches import quantile_bucket_cols, quantile_estimate
+
+    keep, bucket, hv = quantile_bucket_cols(col, id_col, k, seed)
+    keys = [F.col(key_col)] if key_col else []
+    sample = (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(keep)
+        .select(F.col(ts_col), *keys, bucket, hv)
+        .groupBy(F.window(F.col(ts_col), window), *keys, F.col("__qs_k"))
+        .agg(F.min("__hv").alias("__hv"))
+        .select("window", *([key_col] if key_col else []),
+                F.col("__hv.v").alias("__qs_v"))
+    )
+    group_by = ["window"] + ([key_col] if key_col else [])
+    return quantile_estimate(sample, qs=qs, group_by=group_by)

@@ -762,3 +762,67 @@ def test_cm_matches_duckdb_oracle(spark, sf_dir):
     )
     want = set(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_quantile_bucketed_sample_and_merge(spark):
+    """Bucketed (streaming-aggregable) quantile sample: uniform-sample
+    accuracy at n >> k, exactness at n < k, and per-bucket-min merge
+    associativity (merged ≡ sketch-of-union)."""
+    from simba_spark.operators.sketches import (quantile_estimate,
+                                                quantile_merge_bucketed,
+                                                quantile_sketch_bucketed)
+
+    df = spark.range(40000).select(
+        F.col("id").alias("rid"), (F.col("id") % 10000).cast("double").alias("v")
+    )
+    sk = quantile_sketch_bucketed(df, "v", "rid", k=1024)
+    r = quantile_estimate(sk, qs=(0.5, 0.99)).collect()[0]
+    assert abs(r["q500"] - 5000) < 600 and abs(r["q990"] - 9900) < 600
+
+    # n < k: the sample is a subset missing only birthday-collided rows
+    # (~n²/2k of them), never an invented value
+    small = spark.range(50).select(
+        F.col("id").alias("rid"), F.col("id").cast("double").alias("v")
+    )
+    vals = sorted(x["__qs_v"] for x in
+                  quantile_sketch_bucketed(small, "v", "rid", k=1024)
+                  .select("__qs_v").collect())
+    assert set(vals) <= {float(i) for i in range(50)}
+    assert len(vals) == len(set(vals)) >= 46
+
+    # merge ≡ sketch of union, bit-for-bit
+    parts = [
+        quantile_sketch_bucketed(df.filter(F.col("rid") % 3 == i),
+                                 "v", "rid", k=256)
+        for i in range(3)
+    ]
+    merged = sorted(tuple(x) for x in
+                    quantile_merge_bucketed(parts).collect())
+    direct = sorted(tuple(x) for x in
+                    quantile_sketch_bucketed(df, "v", "rid", k=256).collect())
+    assert merged == direct
+
+
+def test_quantile_bucketed_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from simba_spark.operators.sketches import (quantile_estimate_sql,
+                                                quantile_sketch_bucketed,
+                                                quantile_sketch_bucketed_sql,
+                                                quantile_estimate)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = quantile_sketch_bucketed(ev, "value", "event_id",
+                                  group_by=["event_type"], k=128)
+    got = {tuple(r) for r in
+           quantile_estimate(sk, qs=(0.5, 0.9),
+                             group_by=["event_type"]).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    sql = quantile_estimate_sql(
+        quantile_sketch_bucketed_sql("events", "value", "event_id",
+                                     ["event_type"], k=128),
+        qs=(0.5, 0.9), group_exprs=["event_type"],
+    )
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == want

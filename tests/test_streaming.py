@@ -741,3 +741,60 @@ def test_streaming_bloom_prefilter(spark):
         assert len(got_keys - true_keys) <= 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windowed_quantile_matches_batch(spark):
+    """Windowed streaming quantiles ≡ the batch bucketed sketch over
+    the same rows: identical per-bucket struct-mins → identical
+    interpolated estimates, with state ≤ k structs per open (window,
+    key)."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.sketches import (quantile_estimate,
+                                                quantile_sketch_bucketed)
+    from simba_spark.streaming.ops import streaming_windowed_quantile
+
+    d = tempfile.mkdtemp(prefix="simba_q_stream_")
+    try:
+        rows = [
+            (i, f"2024-01-01 00:{i % 10:02d}:{(7 * i) % 60:02d}",
+             float((13 * i) % 400) / 4.0, "click" if i % 3 else "view")
+            for i in range(600)
+        ]
+        rows += [(9000, "2024-01-01 09:00:00", 1.0, "sentinel")]
+        df = (
+            spark.createDataFrame(
+                rows, "event_id long, ts_s string, value double, event_type string"
+            )
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        out = streaming_windowed_quantile(
+            src, ts_col="ts", col="value", key_col="event_type",
+            window="5 minutes", qs=(0.5, 0.9), k=64,
+        )
+        got = _run_stream(spark, out, "stream_quantile_out")
+        stream_rows = {
+            (r["window"]["start"], r["event_type"]): (r["q500"], r["q900"])
+            for r in got.collect()
+        }
+        batch = quantile_estimate(
+            quantile_sketch_bucketed(
+                df.filter("event_type <> 'sentinel'")
+                .withColumn("window", F.window("ts", "5 minutes")),
+                "value", "event_id",
+                group_by=["window", "event_type"], k=64,
+            ),
+            qs=(0.5, 0.9), group_by=["window", "event_type"],
+        )
+        batch_rows = {
+            (r["window"]["start"], r["event_type"]): (r["q500"], r["q900"])
+            for r in batch.collect()
+        }
+        assert stream_rows == batch_rows
+        assert len(stream_rows) > 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

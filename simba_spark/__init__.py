@@ -54,6 +54,7 @@ from .operators.sketches import (
 )
 from .operators.sketches import (
     cm_estimate,
+    cm_join_size,
     cm_merge,
     cm_sketch,
     quantile_digest,
@@ -92,7 +93,7 @@ __all__ = [
     "shape_range", "shape_circle_range",
     "hll_distinct", "hll_sketch", "hll_merge", "hll_estimate", "kmv_theta",
     "quantile_sketch", "quantile_merge", "quantile_estimate", "quantile_digest",
-    "cm_sketch", "cm_merge", "cm_estimate",
+    "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
     "ann_topk",
     "pagerank", "triangle_count", "histogram_fixed", "heavy_hitters",
     "str_partition", "kd_partition", "voronoi_partition", "zorder_partition",

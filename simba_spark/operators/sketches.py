@@ -874,3 +874,32 @@ def quantile_sketch_bucketed_sql(
     ) GROUP BY {gby}
   )
 """
+
+
+def cm_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+    out_col: str = "est_join_rows",
+) -> DataFrame:
+    """Equi-join output-size estimate from two CM sketches (same
+    depth/width/seed, built on the respective join keys): the classic
+    CM inner product — min over depths of Σ_b a[d,b]·b[d,b]. Never
+    underestimates the true Σ_key cnt_a·cnt_b; overestimate bounded by
+    ~|A||B|/width per depth w.h.p. The planning primitive for choosing
+    broadcast vs shuffle vs salting BEFORE paying for the join: two
+    bounded sketches instead of a per-key count of either side.
+
+    Plan: one equi-join of two ≤ depth·width-row frames + a skinny
+    min-of-sums aggregate. All-integer, exactly SQL-reproducible."""
+    groups = list(group_by or [])
+    a = sketch_a.select(*groups, "__cm_d", "__cm_b",
+                        F.col("__cm_n").alias("__na"))
+    b = sketch_b.select(*groups, "__cm_d", "__cm_b",
+                        F.col("__cm_n").alias("__nb"))
+    per_depth = (
+        a.join(b, on=groups + ["__cm_d", "__cm_b"])
+        .groupBy(*groups, "__cm_d")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__ip"))
+    )
+    return per_depth.groupBy(*groups).agg(F.min("__ip").alias(out_col))

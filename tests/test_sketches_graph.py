@@ -826,3 +826,24 @@ def test_quantile_bucketed_matches_duckdb(spark, sf_dir):
     )
     want = set(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_cm_join_size_estimate(spark):
+    """CM inner product never underestimates the exact join size; the
+    overestimate shrinks with width (cross-key bucket collisions add
+    ~|A_keys|·|B_keys|/width spurious terms per depth, min-reduced)."""
+    from simba_spark.operators.sketches import cm_join_size, cm_sketch
+
+    a = spark.range(5000).select((F.col("id") % 200).alias("k"))
+    b = spark.range(3000).select((F.col("id") % 300).alias("k"))
+    exact = a.join(b, "k").count()
+    ska_w = cm_sketch(a, "k", depth=4, width=1 << 14)
+    skb_w = cm_sketch(b, "k", depth=4, width=1 << 14)
+    est_w = cm_join_size(ska_w, skb_w).collect()[0]["est_join_rows"]
+    assert exact <= est_w <= exact * 1.05  # a handful of collisions at most
+
+    ska = cm_sketch(a, "k", depth=4, width=64)
+    skb = cm_sketch(b, "k", depth=4, width=64)
+    est = cm_join_size(ska, skb).collect()[0]["est_join_rows"]
+    assert est >= exact
+    assert est - exact <= 4 * 5000 * 3000 / 64  # CM bound with slack

@@ -2255,9 +2255,12 @@ def q_cm_heavy(spark, sf_dir):
         ).alias("token")
     ).filter(F.col("token") != "")
     sk = cm_sketch(toks, "token", depth=4, width=2048)
+    # hh is referenced twice (probe items + final join) — a lazy
+    # localCheckpoint computes the token-count subtree once instead of
+    # re-exploding the corpus per reference
     hh = heavy_hitters(toks, "token", min_share=0.005).select(
         F.col("value").alias("token"), F.col("n").alias("n_exact")
-    )
+    ).localCheckpoint(eager=False)
     est = cm_estimate(sk, hh.select("token"), "token",
                       depth=4, width=2048, out_col="n_cm")
     return hh.join(est, "token")

@@ -203,16 +203,14 @@ def str_partition(df: DataFrame, cols: Sequence[str], num: int,
     return _finish(df, meta, cols, (len(x_cuts) + 1) * tiles)
 
 
-def kd_partition(df: DataFrame, cols: Sequence[str], num: int,
-                 sample_cap: int = 8192, seed: int = 42) -> tuple:
-    """KD partitioning (ref: KDTreePartitioner analog): recursive
-    sample-median splits on the widest-spread dimension, leaf counts
-    proportional so non-power-of-2 ``num`` stays balanced. Assignment
-    is a nested-when tree — depth log2(num), fully codegen'd. Any d."""
+def build_kd_tree(sample, num: int):
+    """Driver-side KD-tree builder over an (n, d) sample: recursive
+    quantile splits on the widest-spread dimension, leaf counts
+    proportional so non-power-of-2 ``num`` stays balanced. Returns
+    (tree, n_leaves); leaf ids are compact 0..n_leaves-1. Exposed for
+    property tests — :func:`kd_partition` is sample + this + assign."""
     import numpy as np
 
-    cols = list(cols)
-    s = _sample(df, cols, sample_cap, seed)
     next_id = [0]
 
     def build(pts, parts):
@@ -220,14 +218,20 @@ def kd_partition(df: DataFrame, cols: Sequence[str], num: int,
             node = ("leaf", next_id[0])
             next_id[0] += 1
             return node
-        spans = pts.max(axis=0) - pts.min(axis=0) if len(pts) else None
+        spans = pts.max(axis=0) - pts.min(axis=0)
         order = list(np.argsort(spans)[::-1])
         for dim in order:
-            left_parts = parts // 2
-            frac = left_parts / parts
+            frac = (parts // 2) / parts
             cut = float(np.quantile(pts[:, dim], frac))
             lm = pts[:, dim] <= cut
             if lm.any() and (~lm).any():
+                # leaf budget follows the ACTUAL split mass (a quantile
+                # cut over duplicates can land off-target): a side never
+                # gets more budget than points, so with >= parts distinct
+                # points the tree always reaches its full leaf count
+                nl = int(lm.sum())
+                left_parts = min(parts - 1,
+                                 max(1, round(parts * nl / len(pts))))
                 return ("node", int(dim), cut,
                         build(pts[lm], left_parts),
                         build(pts[~lm], parts - left_parts))
@@ -235,9 +239,30 @@ def kd_partition(df: DataFrame, cols: Sequence[str], num: int,
         next_id[0] += 1
         return node
 
-    tree = build(s, int(num))
+    tree = build(sample, int(num))
+    return tree, max(1, next_id[0])
+
+
+def kd_walk(tree, point) -> int:
+    """Driver-side mirror of the nested-when assignment expression —
+    the reference model the Column expression must agree with."""
+    while tree[0] != "leaf":
+        _, dim, cut, left, right = tree
+        tree = left if point[dim] <= cut else right
+    return tree[1]
+
+
+def kd_partition(df: DataFrame, cols: Sequence[str], num: int,
+                 sample_cap: int = 8192, seed: int = 42) -> tuple:
+    """KD partitioning (ref: KDTreePartitioner analog): recursive
+    sample-median splits on the widest-spread dimension, leaf counts
+    proportional so non-power-of-2 ``num`` stays balanced. Assignment
+    is a nested-when tree — depth log2(num), fully codegen'd. Any d."""
+    cols = list(cols)
+    s = _sample(df, cols, sample_cap, seed)
+    tree, n_leaves = build_kd_tree(s, int(num))
     meta = {"kind": "kd", "tree": _tree_to_list(tree)}
-    return _finish(df, meta, cols, max(1, next_id[0]))
+    return _finish(df, meta, cols, n_leaves)
 
 
 def _tree_to_list(node):

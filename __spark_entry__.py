@@ -2266,6 +2266,34 @@ def q_cm_heavy(spark, sf_dir):
     return hh.join(est, "token")
 
 
+def q_winsorize_events(spark, sf_dir):
+    """Sketched winsorization (operators.pipeline.winsorize): events
+    values clipped to the [p2, p98] thresholds estimated by the
+    bottom-k quantile sketch — the robustification pass before
+    normalizing a feature column. The whole program is one plan (the
+    1-row threshold frame broadcasts back, no driver collect), so the
+    oracle reproduces sketch + interpolation + clip bit-for-bit."""
+    from simba_spark.operators.pipeline import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize(
+        ev, "value", "event_id", lo_q=0.02, hi_q=0.98, k=512,
+    ).select("event_id", "event_type", "value", "value_w")
+
+
+def q_token_cooc(spark, sf_dir):
+    """Frequent token co-occurrence (operators.text.token_cooccurrence,
+    a-priori-pruned pair mining): token pairs sharing >= 60 documents,
+    each token itself in >= 120 documents. The singleton filter runs on
+    skinny distinct (doc, token) rows FIRST, so the quadratic pair join
+    only sees each doc's frequent tokens — the bound that keeps
+    market-basket mining feasible at corpus scale."""
+    from simba_spark.operators.text import token_cooccurrence
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_cooccurrence(docs, min_doc_freq=120, min_pair_freq=60)
+
+
 def q_table_profile(spark, sf_dir):
     """One-scan column profiler (operators.stats.profile_columns):
     per-column nonnull/null/distinct/min/max/mean over lineitem — the
@@ -2369,6 +2397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_events": q_quantile_events,
         "quantile_merged": q_quantile_merged,
         "cm_heavy": q_cm_heavy,
+        "winsorize_events": q_winsorize_events,
+        "token_cooc": q_token_cooc,
         # --- round-6 promotions: round-5 registrations that entered
         #     extra_queries() without ever earning a driver row (the
         #     round-3 lesson is debuts earn driver greens first) ---
@@ -2416,9 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_rolling": q_events_rolling,
         "doc_tfidf": q_doc_tfidf,
-        "stratified_sample": q_stratified_sample,
         "vector_knn_join": q_vector_knn_join,
-        "polygon_segment_range": q_polygon_segment_range,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
         "skewed_join": q_skewed_join,
@@ -2463,6 +2491,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "video_frames": q_video_frames,
         "orders_upsert": q_orders_upsert,
+        "stratified_sample": q_stratified_sample,
+        "polygon_segment_range": q_polygon_segment_range,
         # --- rotated mid-round-5 to seat the sketch/graph debuts
         #     (3 driver greens each — r1/r2/r4 for the multimodal trio,
         #     r2/r4 + round-3 local for the sampling pair; all
@@ -3110,8 +3140,10 @@ def oracle_sql() -> dict[str, str]:
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
-    from simba_spark.operators.pipeline import weighted_sample_key_sql
+    from simba_spark.operators.pipeline import (weighted_sample_key_sql,
+                                                winsorize_sql)
     from simba_spark.operators.stats import histogram_fixed_sql
+    from simba_spark.operators.text import token_cooccurrence_sql
     from simba_spark.operators.sketches import (
         cm_estimate_sql, cm_sketch_sql,
         hll_distinct_sql, hll_estimate_sql, hll_sketch_sql, kmv_theta_sql,
@@ -3160,6 +3192,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.l_returnflag, m.merged_est, d.direct_est
             FROM merged m JOIN direct d USING (l_returnflag)
         """,
+        "winsorize_events": winsorize_sql(
+            "events", "value", "event_id", lo_q=0.02, hi_q=0.98, k=512,
+            select_cols="event_id, event_type, value", out_col="value_w",
+        ),
+        "token_cooc": token_cooccurrence_sql(
+            "documents", min_doc_freq=120, min_pair_freq=60,
+        ),
         "cm_heavy": f"""
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))

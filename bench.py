@@ -85,6 +85,8 @@ HEADLINE = [
     # round-6 additions
     "quantile_events",
     "cm_heavy",
+    "winsorize_events",
+    "token_cooc",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -98,7 +100,7 @@ _POST_R3 = {
     "scrub_ngrams", "global_order",
     "hll_orders", "theta_parts", "pagerank", "weighted_sample",
     "bloom_join",
-    "quantile_events", "cm_heavy",
+    "quantile_events", "cm_heavy", "winsorize_events", "token_cooc",
 }
 
 GROUPS = {

@@ -549,3 +549,90 @@ def bloom_semi_join(
             small, filtered[big_key] == small[small_key], how="inner"
         )
     raise ValueError(f"how must be 'semi' or 'inner', got {how!r}")
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    mode: str = "clip",
+    k: int = 2048,
+    seed: int = 42,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Outlier handling by sketched quantile thresholds: values below
+    the lo_q / above the hi_q quantile are clipped to the threshold
+    (``mode='clip'``, adds ``out_col`` default ``<col>_w``) or their
+    rows dropped (``mode='filter'``) — the standard robustification
+    pass before normalizing a feature or pricing column at corpus
+    scale.
+
+    The thresholds come from the mergeable bottom-k quantile sketch
+    (``sketches.quantile_sketch``, ≤ k rows cross the wire) and join
+    back as a broadcast 1-row frame — the whole program is ONE plan,
+    no driver collect, so it composes lazily inside a larger pipeline
+    and the oracle can reproduce it bit-for-bit. Rank error of the
+    thresholds is the sketch's ~sqrt(q(1-q)/k); rows NULL in `col`
+    pass through clip mode unchanged and are kept by filter mode
+    (they carry no evidence of being outliers).
+    """
+    from .sketches import quantile_digest
+
+    assert mode in ("clip", "filter")
+    assert 0.0 <= lo_q < hi_q <= 1.0
+    out_col = out_col or f"{col}_w"
+    qrow = quantile_digest(
+        df, col, id_col, qs=(lo_q, hi_q), k=k, seed=seed,
+    ).toDF("__lo", "__hi")
+    x = F.col(col).cast("double")
+    joined = df.crossJoin(F.broadcast(qrow))
+    if mode == "filter":
+        return joined.filter(
+            x.isNull() | ((x >= F.col("__lo")) & (x <= F.col("__hi")))
+        ).drop("__lo", "__hi")
+    return joined.withColumn(
+        out_col,
+        F.when(x.isNull(), x)
+        .otherwise(F.least(F.greatest(x, F.col("__lo")), F.col("__hi"))),
+    ).drop("__lo", "__hi")
+
+
+def winsorize_sql(
+    from_sql: str,
+    col_expr: str,
+    id_expr: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    mode: str = "clip",
+    k: int = 2048,
+    seed: int = 42,
+    out_col: Optional[str] = None,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`winsorize` (same sketch + interpolation
+    + clip arithmetic)."""
+    from .sketches import quantile_estimate_sql, quantile_sketch_sql
+
+    out_col = out_col or f"{col_expr}_w"
+    qsql = quantile_estimate_sql(
+        quantile_sketch_sql(from_sql, col_expr, id_expr, k=k, seed=seed),
+        qs=(lo_q, hi_q),
+    )
+    # quantile_estimate_sql names columns by promille; rename to lo/hi
+    names = [f"q{int(round(q * 1000))}" for q in (lo_q, hi_q)]
+    thr = (f"SELECT {names[0]} AS __lo, {names[1]} AS __hi "
+           f"FROM ({qsql})")
+    x = f"CAST({col_expr} AS DOUBLE)"
+    if mode == "filter":
+        return f"""
+  SELECT {select_cols} FROM {from_sql}, ({thr})
+  WHERE ({x}) IS NULL OR (({x}) >= __lo AND ({x}) <= __hi)
+"""
+    return f"""
+  SELECT {select_cols},
+         CASE WHEN ({x}) IS NULL THEN ({x})
+              ELSE least(greatest(({x}), __lo), __hi) END AS {out_col}
+  FROM {from_sql}, ({thr})
+"""

@@ -504,3 +504,84 @@ def inverted_index(
         F.sum("__tf").alias("term_freq"),
         F.sort_array(F.collect_list("__id")).alias("postings"),
     )
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 50,
+    min_pair_freq: int = 10,
+) -> DataFrame:
+    """Frequent token co-occurrence (a-priori-pruned pair mining):
+    pairs of tokens appearing together in at least `min_pair_freq`
+    documents, each token itself appearing in at least `min_doc_freq`
+    documents. Returns (token_a, token_b, n_docs) with token_a <
+    token_b. The collocation/market-basket pass behind phrase
+    detection and topic seeding over a corpus.
+
+    Scale shape (the a-priori argument): the singleton DF filter runs
+    on skinny distinct (doc, token) rows FIRST, so the quadratic pair
+    step only ever sees each document's FREQUENT tokens — t_f²/2 pairs
+    per doc where t_f is small by construction (raising min_doc_freq
+    shrinks it); the pair join is doc-keyed (co-partitioned, AQE
+    handles hot docs) and the final count is a combine-friendly skinny
+    groupBy. No driver state; exactly reproducible in SQL
+    (:func:`token_cooccurrence_sql`).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= int(min_doc_freq))
+        .select("__tok")
+    )
+    ft = toks.join(freq, "__tok").select("__doc", "__tok")
+    a = ft.select(F.col("__doc"), F.col("__tok").alias("token_a"))
+    b = ft.select(F.col("__doc"), F.col("__tok").alias("token_b"))
+    pairs = a.join(b, "__doc").filter(F.col("token_a") < F.col("token_b"))
+    return (
+        pairs.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_pair_freq))
+    )
+
+
+def token_cooccurrence_sql(
+    from_sql: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    min_doc_freq: int = 50,
+    min_pair_freq: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`token_cooccurrence`."""
+    return f"""
+  WITH __toks AS (
+    SELECT {id_expr} AS __doc,
+           unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+'))
+             AS __tok
+    FROM {from_sql}
+  ), __tok2 AS (
+    SELECT DISTINCT __doc, __tok FROM __toks WHERE __tok <> ''
+  ), __freq AS (
+    SELECT __tok FROM __tok2 GROUP BY __tok
+    HAVING count(*) >= {int(min_doc_freq)}
+  ), __ft AS (
+    SELECT t.__doc, t.__tok FROM __tok2 t JOIN __freq f USING (__tok)
+  )
+  SELECT a.__tok AS token_a, b.__tok AS token_b,
+         count(*)::BIGINT AS n_docs
+  FROM __ft a JOIN __ft b
+    ON a.__doc = b.__doc AND a.__tok < b.__tok
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_pair_freq)}
+"""

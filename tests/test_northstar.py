@@ -914,3 +914,57 @@ def test_simhash_pairs_schemes_equivalent(spark):
         )
         assert a == b
         assert len(b) > 0  # the dup cluster must surface
+
+
+def test_token_cooccurrence_bruteforce(spark):
+    """A-priori pair mining vs a python brute force: identical pair
+    counts, and every surviving token passes the singleton filter."""
+    from itertools import combinations
+
+    from simba_spark.operators.text import token_cooccurrence
+
+    docs = [
+        (0, "apple banana cherry"),
+        (1, "apple banana"),
+        (2, "apple cherry date"),
+        (3, "banana apple apple"),      # dup token counts once per doc
+        (4, "cherry banana apple"),
+        (5, "date elderberry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["token_a"], r["token_b"]): r["n_docs"]
+        for r in token_cooccurrence(df, min_doc_freq=3,
+                                    min_pair_freq=2).collect()
+    }
+    # brute force
+    from collections import Counter
+    toksets = [set(t.split()) for _, t in docs]
+    df_count = Counter(t for s in toksets for t in s)
+    frequent = {t for t, c in df_count.items() if c >= 3}
+    pair_count = Counter()
+    for s in toksets:
+        for a, b in combinations(sorted(s & frequent), 2):
+            pair_count[(a, b)] += 1
+    want = {p: c for p, c in pair_count.items() if c >= 2}
+    assert got == want
+    assert all(a in frequent and b in frequent for a, b in got)
+
+
+def test_token_cooccurrence_matches_duckdb(spark):
+    import duckdb
+
+    from simba_spark.operators.text import (token_cooccurrence,
+                                            token_cooccurrence_sql)
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {tuple(r) for r in
+           token_cooccurrence(docs, min_doc_freq=100,
+                              min_pair_freq=50).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    sql = token_cooccurrence_sql("documents", min_doc_freq=100,
+                                 min_pair_freq=50)
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == want and len(got) > 0

@@ -188,3 +188,49 @@ def test_global_order_is_deterministic_permutation(spark):
     assert c != a
     # not the identity (it actually shuffles)
     assert a != {k: k for k in range(5000)}
+
+
+def test_winsorize_clip_and_filter(spark):
+    """Sketched winsorization: thresholds near the true quantiles,
+    clip bounds every non-null value into [lo, hi] (nulls pass
+    through), filter keeps exactly the in-range + null rows."""
+    from simba_spark.operators.pipeline import winsorize
+
+    df = spark.range(10000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise((F.col("id") % 1000).cast("double")).alias("v"),
+    )
+    clipped = winsorize(df, "v", "rid", lo_q=0.05, hi_q=0.95, k=2048)
+    rows = clipped.collect()
+    assert len(rows) == 10000
+    vals = [r["v_w"] for r in rows if r["v_w"] is not None]
+    lo, hi = min(vals), max(vals)
+    assert 20 <= lo <= 80 and 920 <= hi <= 980  # ~p5/p95 of 0..999
+    assert sum(1 for r in rows if r["v_w"] is None) == 100
+
+    kept = winsorize(df, "v", "rid", lo_q=0.05, hi_q=0.95,
+                     mode="filter", k=2048).collect()
+    assert all(r["v"] is None or lo <= r["v"] <= hi for r in kept)
+    assert 8800 <= len(kept) <= 9200  # ~90% + nulls
+
+
+def test_winsorize_matches_duckdb(spark):
+    import duckdb
+
+    from simba_spark.operators.pipeline import winsorize, winsorize_sql
+
+    sf = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    got = {
+        (r["event_id"], r["value_w"]) for r in
+        winsorize(ev, "value", "event_id", lo_q=0.02, hi_q=0.98, k=512)
+        .select("event_id", "value_w").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    sql = winsorize_sql("events", "value", "event_id", lo_q=0.02,
+                        hi_q=0.98, k=512, select_cols="event_id",
+                        out_col="value_w")
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == want

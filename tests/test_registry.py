@@ -61,11 +61,13 @@ def test_round6_debuts_lead_the_window():
     registrations that went straight to extra_queries() without driver
     rows), then the round-5 debuts still earning their 3 greens (dict
     order IS the driver's check order)."""
-    head = list(entrymod.queries())[:37]
+    head = list(entrymod.queries())[:39]
     assert head == [
         "quantile_events",
         "quantile_merged",
         "cm_heavy",
+        "winsorize_events",
+        "token_cooc",
         "tpch_q4",
         "tpch_q7",
         "tpch_q10",

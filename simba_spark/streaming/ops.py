@@ -660,3 +660,44 @@ def streaming_windowed_quantile(
     )
     group_by = ["window"] + ([key_col] if key_col else [])
     return quantile_estimate(sample, qs=qs, group_by=group_by)
+
+
+def streaming_windowed_cm(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    col: str = "user_id",
+    key_col: Optional[str] = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-window Count-Min sketch rows on a stream — the same counter
+    grid as the batch ``sketches.cm_sketch`` (identical cells over
+    replayed data, tested), with watermark-bounded state ≤ depth·width
+    counters per open (window, key) where exact per-value streaming
+    counts hold every distinct value.
+
+    Emits the MERGEABLE form (``window, key…, __cm_d, __cm_b,
+    __cm_n``) at watermark close: persist these per window and
+    ``cm_merge``/``cm_estimate`` them later — the streaming leg of the
+    daily-sketch workflow (frequencies over any window union without
+    re-reading raw events). One stateful aggregation in append mode.
+    """
+    from ..operators.sketches import _hash60
+
+    keys = [F.col(key_col)] if key_col else []
+    buckets = F.array(*[
+        F.pmod(_hash60(col, seed + j), F.lit(int(width)))
+        for j in range(int(depth))
+    ])
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(col).isNotNull())
+        .select(F.col(ts_col), *keys,
+                F.posexplode(buckets).alias("__cm_d", "__cm_b"))
+        .groupBy(F.window(F.col(ts_col), window), *keys,
+                 F.col("__cm_d"), F.col("__cm_b"))
+        .agg(F.count(F.lit(1)).alias("__cm_n"))
+    )

@@ -798,3 +798,57 @@ def test_streaming_windowed_quantile_matches_batch(spark):
         assert len(stream_rows) > 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windowed_cm_matches_batch(spark):
+    """Windowed streaming CM ≡ the batch sketch over the same rows:
+    identical counter cells, so estimates from the merged/persisted
+    form are identical too."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.sketches import cm_sketch
+    from simba_spark.streaming.ops import streaming_windowed_cm
+
+    d = tempfile.mkdtemp(prefix="simba_cm_stream_")
+    try:
+        rows = [
+            (i, f"2024-01-01 00:{i % 10:02d}:{(7 * i) % 60:02d}",
+             i % 37, "click" if i % 3 else "view")
+            for i in range(500)
+        ]
+        rows += [(9000, "2024-01-01 09:00:00", 1, "sentinel")]
+        df = (
+            spark.createDataFrame(
+                rows, "event_id long, ts_s string, user_id long, event_type string"
+            )
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        out = streaming_windowed_cm(
+            src, ts_col="ts", col="user_id", key_col="event_type",
+            window="5 minutes", depth=3, width=32,
+        )
+        got = _run_stream(spark, out, "stream_cm_out")
+        stream_cells = {
+            (r["window"]["start"], r["event_type"], r["__cm_d"], r["__cm_b"]):
+                r["__cm_n"]
+            for r in got.collect()
+        }
+        batch = cm_sketch(
+            df.filter("event_type <> 'sentinel'").withColumn(
+                "window", F.window("ts", "5 minutes")
+            ),
+            "user_id", group_by=["window", "event_type"], depth=3, width=32,
+        )
+        batch_cells = {
+            (r["window"]["start"], r["event_type"], r["__cm_d"], r["__cm_b"]):
+                r["__cm_n"]
+            for r in batch.collect()
+        }
+        assert stream_cells == batch_cells
+        assert len(stream_cells) > 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -87,8 +87,13 @@ def _pid_expr(meta: dict, cols: Sequence[str]):
         x, y = F.col(cols[0]), F.col(cols[1])
         t = int(meta["tiles_per_slab"])
         slab = _interval_idx(x, meta["x_cuts"])
+        # the cast matters: a slab whose sample was constant (or
+        # tiles_per_slab == 1) has NO cuts, and a bare empty F.array()
+        # is void-typed — mixing it with double-cut slabs breaks the
+        # outer array's type resolution
         ycuts2d = F.array(*[
-            F.array(*[F.lit(float(c)) for c in cs]) for cs in meta["y_cuts"]
+            F.array(*[F.lit(float(c)) for c in cs]).cast("array<double>")
+            for cs in meta["y_cuts"]
         ])
         row_cuts = F.element_at(ycuts2d, slab + 1)
         ybucket = F.size(F.filter(row_cuts, lambda c: y.cast("double") > c))

@@ -125,3 +125,20 @@ def test_partition_ids_are_plan_side_no_udf(pts):
             out._jdf.queryExecution(), "formatted"
         )
         assert "BatchEvalPython" not in plan
+
+
+def test_str_partition_degenerate_slabs(pts, spark):
+    """num=2 makes tiles_per_slab=1 — every slab has ZERO y-cuts; and a
+    constant-y dataset degenerates the cuts too. Both must still
+    assign total, in-range ids (regression: empty cut arrays are
+    void-typed without an explicit cast)."""
+    out, _ = str_partition(pts, ["x", "y"], 2)
+    sizes = _sizes(out)
+    assert sum(sizes.values()) == 4000 and set(sizes) <= {0, 1}
+
+    const = spark.range(300).select(
+        (F.col("id") % 17 / 1.0).alias("x"), F.lit(5.0).alias("y")
+    )
+    out2, _ = str_partition(const, ["x", "y"], 9)
+    sizes2 = _sizes(out2)
+    assert sum(sizes2.values()) == 300

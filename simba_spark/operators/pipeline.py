@@ -613,7 +613,7 @@ def winsorize_sql(
 ) -> str:
     """DuckDB mirror of :func:`winsorize` (same sketch + interpolation
     + clip arithmetic)."""
-    from .sketches import quantile_estimate_sql, quantile_sketch_sql
+    from .sketches import _q_name, quantile_estimate_sql, quantile_sketch_sql
 
     out_col = out_col or f"{col_expr}_w"
     qsql = quantile_estimate_sql(
@@ -621,7 +621,7 @@ def winsorize_sql(
         qs=(lo_q, hi_q),
     )
     # quantile_estimate_sql names columns by promille; rename to lo/hi
-    names = [f"q{int(round(q * 1000))}" for q in (lo_q, hi_q)]
+    names = [_q_name(lo_q), _q_name(hi_q)]
     thr = (f"SELECT {names[0]} AS __lo, {names[1]} AS __hi "
            f"FROM ({qsql})")
     x = f"CAST({col_expr} AS DOUBLE)"

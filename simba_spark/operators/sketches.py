@@ -492,7 +492,19 @@ def quantile_estimate(
     DuckDB mirror — no reliance on either engine's percentile
     builtin). Output column for q is its promille: ``q500``/``q990``/
     ``q999``. The per-group collect_list is bounded by the sketch
-    parameter k."""
+    parameter k.
+
+    An EMPTY ungrouped sketch (empty input, or an all-null/NaN value
+    column) yields NULL estimates — matching the SQL mirror, where
+    DuckDB's out-of-range list index is NULL; a naive element_at(0)
+    here would raise INVALID_INDEX_OF_ZERO instead. Empty groups are
+    simply absent (grouped aggregation emits no row for them) in both
+    engines."""
+    names = [_q_name(q) for q in qs]
+    assert len(set(names)) == len(names), (
+        f"quantile_estimate: qs {list(qs)} collide on promille column "
+        f"names {names} — qs must be distinct on a 1/1000 grid"
+    )
     groups = list(group_by or [])
     per = sketch.groupBy(*groups).agg(
         F.sort_array(F.collect_list("__qs_v")).alias("__vals"),
@@ -507,7 +519,10 @@ def quantile_estimate(
         vhi = F.element_at(
             "__vals", F.least(lo + 2, F.col("__n")).cast("int")
         )
-        outs.append((vlo + frac * (vhi - vlo)).alias(_q_name(q)))
+        est = F.when(F.col("__n") == 0, F.lit(None).cast("double")).otherwise(
+            vlo + frac * (vhi - vlo)
+        )
+        outs.append(est.alias(_q_name(q)))
     return per.select(*groups, *outs)
 
 
@@ -589,7 +604,14 @@ def quantile_estimate_sql(
 ) -> str:
     """DuckDB mirror of :func:`quantile_estimate` — identical sorted
     array + interpolation arithmetic (DuckDB lists are 1-based like
-    Spark ``element_at``)."""
+    Spark ``element_at``; an empty ungrouped sketch indexes a NULL
+    list → NULL estimates, matching the operator's empty-input
+    guard)."""
+    names = [_q_name(q) for q in qs]
+    assert len(set(names)) == len(names), (
+        f"quantile_estimate_sql: qs {list(qs)} collide on promille "
+        f"column names {names}"
+    )
     groups = list(group_exprs or [])
     gsel = "".join(f"{g}, " for g in groups)
     gby = ("GROUP BY " + ", ".join(groups)) if groups else ""

@@ -45,14 +45,44 @@ def _sample(df: DataFrame, cols: Sequence[str], cap: int, seed: int):
     return _hash_sample(df, list(cols), cap, seed)
 
 
+def _dlit(v: float) -> str:
+    """Exact double literal as SQL text (repr round-trips IEEE)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _darray_expr(values: Sequence[float]):
+    """1-D double-array literal built as ONE parsed expression. The
+    naive F.array(*[F.lit(v) ...]) costs one py4j round-trip per
+    element (~0.8 ms each, measured round 5) — at num=8192 cuts that
+    is seconds of driver time added to EVERY query using the
+    partitioning; a single F.expr string is one call regardless of
+    length."""
+    if not len(values):
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr("array(" + ",".join(_dlit(v) for v in values) + ")")
+
+
+def _darray2_expr(rows: Sequence[Sequence[float]]):
+    """2-D double-array literal as one parsed expression; empty inner
+    rows are cast (a bare empty array() is void-typed and breaks the
+    outer array's type resolution when mixed with double rows)."""
+    inner = [
+        ("CAST(array() AS ARRAY<DOUBLE>)" if not len(r)
+         else "array(" + ",".join(_dlit(v) for v in r) + ")")
+        for r in rows
+    ]
+    return F.expr("array(" + ",".join(inner) + ")")
+
+
 def _interval_idx(col, cuts: Sequence[float]):
     """Index of `col` in the half-open intervals defined by ascending
     `cuts`: count of cuts strictly below the value — a JVM-side filter
-    over an array literal, O(len(cuts)) per row, no UDF."""
+    over an array literal, O(len(cuts)) per row, no UDF. NULL values
+    compare UNKNOWN against every cut, so they fall into interval 0."""
     if not cuts:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    return F.size(F.filter(arr, lambda c: col.cast("double") > c))
+    return F.size(F.filter(_darray_expr(cuts),
+                           lambda c: col.cast("double") > c))
 
 
 def _quantile_cuts(values, n_parts: int) -> list:
@@ -87,32 +117,23 @@ def _pid_expr(meta: dict, cols: Sequence[str]):
         x, y = F.col(cols[0]), F.col(cols[1])
         t = int(meta["tiles_per_slab"])
         slab = _interval_idx(x, meta["x_cuts"])
-        # the cast matters: a slab whose sample was constant (or
-        # tiles_per_slab == 1) has NO cuts, and a bare empty F.array()
-        # is void-typed — mixing it with double-cut slabs breaks the
-        # outer array's type resolution
-        ycuts2d = F.array(*[
-            F.array(*[F.lit(float(c)) for c in cs]).cast("array<double>")
-            for cs in meta["y_cuts"]
-        ])
-        row_cuts = F.element_at(ycuts2d, slab + 1)
+        row_cuts = F.element_at(_darray2_expr(meta["y_cuts"]), slab + 1)
         ybucket = F.size(F.filter(row_cuts, lambda c: y.cast("double") > c))
         return (slab * t + ybucket).cast("int")
     if kind == "kd":
+        # one parsed CASE tree (2·num nodes) instead of per-node
+        # F.when py4j round-trips
         def walk(node):
             if node[0] == "leaf":
-                return F.lit(int(node[1]))
+                return str(int(node[1]))
             _, dim, cut, left, right = node
-            return F.when(
-                F.col(cols[int(dim)]).cast("double") <= F.lit(float(cut)),
-                walk(left),
-            ).otherwise(walk(right))
-        return walk(meta["tree"]).cast("int")
+            c = str(cols[int(dim)]).replace("`", "``")
+            return (f"(CASE WHEN CAST(`{c}` AS DOUBLE) <= {_dlit(cut)} "
+                    f"THEN {walk(left)} ELSE {walk(right)} END)")
+        return F.expr(walk(meta["tree"])).cast("int")
     if kind == "voronoi":
         point = F.array(*[F.col(c).cast("double") for c in cols])
-        pv = F.array(*[
-            F.array(*[F.lit(float(x)) for x in p]) for p in meta["pivots"]
-        ])
+        pv = _darray2_expr(meta["pivots"])
         d2s = F.transform(
             pv,
             lambda p: F.aggregate(
@@ -121,7 +142,13 @@ def _pid_expr(meta: dict, cols: Sequence[str]):
                 lambda acc, v: acc + v,
             ),
         )
-        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        # a NULL coordinate makes every pivot distance NULL and
+        # array_position NULL — route positionless rows to partition 0
+        # (every other kind gives NULLs a real id), or the advertised
+        # equi-join co-location would silently drop them
+        return F.coalesce(
+            F.array_position(d2s, F.array_min(d2s)) - 1, F.lit(0)
+        ).cast("int")
     if kind == "zorder":
         from .functions import z_value_col
 
@@ -226,20 +253,28 @@ def build_kd_tree(sample, num: int):
         spans = pts.max(axis=0) - pts.min(axis=0)
         order = list(np.argsort(spans)[::-1])
         for dim in order:
+            # cut at the largest UNIQUE value <= the mass-quantile,
+            # clamped off the dimension's max — a raw quantile over
+            # duplicate-heavy values can equal the max and fail to
+            # split (hypothesis-found), this always separates when the
+            # dimension has >= 2 distinct values
+            uniq = np.unique(pts[:, dim])
+            if len(uniq) < 2:
+                continue
             frac = (parts // 2) / parts
-            cut = float(np.quantile(pts[:, dim], frac))
+            cut0 = float(np.quantile(pts[:, dim], frac))
+            idx = int(np.searchsorted(uniq, cut0, side="right")) - 1
+            cut = float(uniq[min(max(idx, 0), len(uniq) - 2)])
             lm = pts[:, dim] <= cut
-            if lm.any() and (~lm).any():
-                # leaf budget follows the ACTUAL split mass (a quantile
-                # cut over duplicates can land off-target): a side never
-                # gets more budget than points, so with >= parts distinct
-                # points the tree always reaches its full leaf count
-                nl = int(lm.sum())
-                left_parts = min(parts - 1,
-                                 max(1, round(parts * nl / len(pts))))
-                return ("node", int(dim), cut,
-                        build(pts[lm], left_parts),
-                        build(pts[~lm], parts - left_parts))
+            # leaf budget follows the ACTUAL split mass: a side never
+            # gets more budget than points, so with >= parts distinct
+            # points the tree always reaches its full leaf count
+            nl = int(lm.sum())
+            left_parts = min(parts - 1,
+                             max(1, round(parts * nl / len(pts))))
+            return ("node", int(dim), cut,
+                    build(pts[lm], left_parts),
+                    build(pts[~lm], parts - left_parts))
         node = ("leaf", next_id[0])  # all sample points identical
         next_id[0] += 1
         return node
@@ -327,12 +362,15 @@ def zorder_partition(df: DataFrame, cols: Sequence[str], num: int,
     mins = [float(x) for x in s.min(axis=0)]
     maxs = [float(x) for x in s.max(axis=0)]
     spans = [mx - mn if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
-    # z-values of the sample, computed the same way the Column will
+    # z-values of the sample, computed the same way the Column will —
+    # including rounding mode: Spark's F.round is HALF_UP, numpy's
+    # np.round is half-to-even, and the scaled values are non-negative,
+    # so floor(x + 0.5) reproduces HALF_UP exactly
     scale = (1 << bits) - 1
     zs = np.zeros(len(s), dtype=object)
     ints = [
-        np.clip(np.round((s[:, i] - mins[i]) / spans[i] * scale), 0, scale)
-        .astype(np.int64)
+        np.clip(np.floor((s[:, i] - mins[i]) / spans[i] * scale + 0.5),
+                0, scale).astype(np.int64)
         for i in range(len(cols))
     ]
     for b in range(bits):

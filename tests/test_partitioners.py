@@ -142,3 +142,33 @@ def test_str_partition_degenerate_slabs(pts, spark):
     out2, _ = str_partition(const, ["x", "y"], 9)
     sizes2 = _sizes(out2)
     assert sum(sizes2.values()) == 300
+
+
+def test_null_coordinates_get_real_partition_ids(pts, spark):
+    """A row with a NULL coordinate must still receive a NON-NULL id
+    under every partitioner kind — a NULL id would silently drop the
+    row from the advertised equi-join co-location (NULL != NULL)."""
+    withnull = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, None, 5.0), (3, 5.0, None), (4, None, None)],
+        "id long, x double, y double",
+    )
+    for fn in (str_partition, kd_partition, voronoi_partition,
+               zorder_partition):
+        _, meta = fn(pts, ["x", "y"], 8)
+        rows = assign_partitions(withnull, meta, ["x", "y"]).collect()
+        assert all(r[PART_COL] is not None for r in rows), meta["kind"]
+
+
+def test_partition_exprs_are_single_parsed_literals(pts):
+    """Boundary literals compile via one F.expr string, not O(num)
+    py4j F.lit calls: a num=512 range partitioning must build its
+    assignment expression in well under a second of driver time."""
+    import time
+
+    from simba_spark.partitioners import _pid_expr
+
+    _, meta = range_partition(pts, "x", 512)
+    t0 = time.time()
+    for _ in range(5):
+        _pid_expr(meta, ["x"])
+    assert time.time() - t0 < 2.0

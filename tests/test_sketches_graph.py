@@ -847,3 +847,32 @@ def test_cm_join_size_estimate(spark):
     est = cm_join_size(ska, skb).collect()[0]["est_join_rows"]
     assert est >= exact
     assert est - exact <= 4 * 5000 * 3000 / 64  # CM bound with slack
+
+
+def test_quantile_estimate_empty_input_is_null(spark):
+    """Ungrouped estimate over an empty / all-null-value input returns
+    NULL (matching the SQL mirror, where DuckDB's out-of-range list
+    index is NULL) instead of raising INVALID_INDEX_OF_ZERO; and
+    colliding promille names are rejected loudly."""
+    import duckdb
+
+    from simba_spark.operators.sketches import (quantile_digest,
+                                                quantile_estimate_sql,
+                                                quantile_sketch_sql)
+
+    df = spark.createDataFrame(
+        [(1, None), (2, float("nan"))], "rid long, v double"
+    )
+    r = quantile_digest(df, "v", "rid", qs=(0.0, 0.5, 1.0), k=16).collect()
+    assert len(r) == 1
+    assert r[0]["q0"] is None and r[0]["q500"] is None and r[0]["q1000"] is None
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT 1 AS rid, NULL::DOUBLE AS v")
+    row = con.execute(quantile_estimate_sql(
+        quantile_sketch_sql("t", "v", "rid", k=16), qs=(0.5,)
+    )).fetchone()
+    assert row[0] is None
+
+    with pytest.raises(AssertionError, match="collide"):
+        quantile_digest(df, "v", "rid", qs=(0.5001, 0.5004), k=16)

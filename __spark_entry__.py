@@ -2281,6 +2281,23 @@ def q_winsorize_events(spark, sf_dir):
     ).select("event_id", "event_type", "value", "value_w")
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means (operators.clustering.kmeans) over
+    the embeddings table: k=4 centroids, 2 iterations, deterministic
+    bottom-k-by-md5 init. Per iteration: ONE zero-shuffle literal-
+    centroid assignment projection + ONE skinny groupBy(cluster) with
+    per-dimension round(avg, 6); only k x d doubles ever reach the
+    driver. Oracle: the same iterations unrolled as chained CTEs with
+    the identical left-folded distance arithmetic — assignments match
+    bit-for-bit."""
+    from simba_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = kmeans(emb, vec_col="embedding", id_col="vec_id",
+                    k=4, iters=2, dim=64)
+    return out.select("vec_id", "cluster")
+
+
 def q_token_cooc(spark, sf_dir):
     """Frequent token co-occurrence (operators.text.token_cooccurrence,
     a-priori-pruned pair mining): token pairs sharing >= 60 documents,
@@ -2394,6 +2411,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "kmeans_embeddings": q_kmeans_embeddings,
         "quantile_events": q_quantile_events,
         "quantile_merged": q_quantile_merged,
         "cm_heavy": q_cm_heavy,
@@ -2442,7 +2460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
         "cube_events": q_cube_events,
-        "events_lead_lag": q_events_lead_lag,
         "events_resample": q_events_resample,
         "events_rolling": q_events_rolling,
         "doc_tfidf": q_doc_tfidf,
@@ -2483,6 +2500,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        # --- rotated mid-round-6 with 2 driver greens (r4+r5) to seat
+        #     the kmeans debut — plain lead/lag window functions, code
+        #     path untouched since round 4, re-verified locally ---
+        "events_lead_lag": q_events_lead_lag,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3139,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
     punct = f"len(regexp_extract_all(text, '{_PUNCT_SQL}'))"
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
+    from simba_spark.operators.clustering import kmeans_sql
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
     from simba_spark.operators.pipeline import (weighted_sample_key_sql,
                                                 winsorize_sql)
@@ -3198,6 +3220,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_cooc": token_cooccurrence_sql(
             "documents", min_doc_freq=120, min_pair_freq=60,
+        ),
+        "kmeans_embeddings": kmeans_sql(
+            "embeddings", vec_col="embedding", id_col="vec_id",
+            k=4, iters=2, dim=64,
         ),
         "cm_heavy": f"""
             WITH toks AS (

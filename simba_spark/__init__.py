@@ -37,6 +37,7 @@ from .operators.polygon import (
     polygon_intersects_circle_col,
     polygon_range,
 )
+from .operators.clustering import kmeans
 from .operators.graph import pagerank, triangle_count
 from .operators.shapes import (
     circle_struct,
@@ -96,6 +97,7 @@ __all__ = [
     "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
     "ann_topk",
     "pagerank", "triangle_count", "histogram_fixed", "heavy_hitters",
+    "kmeans",
     "str_partition", "kd_partition", "voronoi_partition", "zorder_partition",
     "hash_partition", "range_partition", "assign_partitions",
     "partition_sizes",

@@ -1,0 +1,296 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The training-corpus clustering primitive (topic/domain bucketing,
+semantic dedup groups, IVF coarse quantizer training at full corpus
+scale — `operators/similarity.py` trains IVF centroids from a driver
+SAMPLE, which is the right cost for an index; this is the full-data
+counterpart when cluster assignments themselves are the product).
+
+Scale design: the only per-iteration driver state is the k×d centroid
+matrix (k·d doubles — bounded by parameters, never by data). Assignment
+is zero-shuffle and size-routed: while k·d fits whole-stage codegen
+(``_CODEGEN_MAX_TERMS``), centroids are inlined as double literals, one
+parsed ``F.expr`` string per centroid distance (no per-element py4j
+calls), then an ``array_min`` over (distance, index) structs picks the
+nearest centroid with ties broken to the lowest index — two projections
+by design, see :func:`_assign`; past the cliff an Arrow ``mapInPandas``
+kernel computes the same distances with the same float64 left-fold
+(bit-identical assignments, see :func:`_assign_arrow`). The update is
+ONE skinny
+groupBy(cluster) with per-dimension averages — combine-friendly, so a
+partition forwards at most k rows of d+1 doubles no matter how many
+vectors it scanned; at 1000 executors each iteration is a map pass plus
+a k-row reduce. Nothing O(rows) ever reaches the driver.
+
+Determinism / oracle parity: initial centroids are the k vectors with
+the smallest ``md5(id || '#seed')`` (the package's engine-stable
+uniform — same rows in any engine, any partitioning); per-iteration
+centroid averages are rounded to `round_dp` decimals, which is far
+above double-sum reassociation noise (~1e-13 relative), so Spark and
+the DuckDB mirror (:func:`kmeans_sql`, iterations unrolled as chained
+CTEs) compute bit-identical centroids, hence bit-identical distances
+(both engines left-fold the same squared-difference chain over the
+same doubles) and identical assignments. Float32 inputs are widened to
+double exactly in both engines.
+
+No reference counterpart (the reference ships no clustering); nearest
+analog is its sample-based Voronoi pivot selection
+(ref: src/main/scala/org/apache/spark/sql/simba/partitioner/VoronoiPartitioner.scala:50-57),
+which picks pivots once — this iterates Lloyd updates to convergence.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Measured cliff (sf0.1 embeddings, 64-d, local[8]): k*d = 512 distance
+# terms codegen-split cleanly across the per-centroid columns; 768+
+# trips Janino (64 KB method limit) — whole-stage compilation fails with
+# a stack-trace retry per task and the interpreted fallback runs ~3x
+# slower. Above this, route assignment through the Arrow kernel.
+_CODEGEN_MAX_TERMS = 512
+
+
+def _dlit(v: float) -> str:
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _elem(vec_col: str, i: int) -> str:
+    """1-based element as DOUBLE (float32 → float64 is exact)."""
+    return f"CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)"
+
+
+def _dist_sql(vec_col: str, cent: Sequence[float]) -> str:
+    """One centroid's squared-L2 distance as a left-folded chain (the
+    oracle writes the identical fold, so the doubles match
+    bit-for-bit)."""
+    return " + ".join(
+        f"({_elem(vec_col, i + 1)} - {_dlit(x)}) * "
+        f"({_elem(vec_col, i + 1)} - {_dlit(x)})"
+        for i, x in enumerate(cent)
+    )
+
+
+def _assign_arrow(df: DataFrame, vec_col: str,
+                  cents: Sequence[Sequence[float]],
+                  out_col: str) -> DataFrame:
+    """Arrow-vectorized nearest-centroid for k*d past the codegen cliff.
+
+    Bit-identical to the codegen path by construction: float32 elements
+    widen to float64 exactly, each centroid's squared-L2 is accumulated
+    in the SAME left-fold term order as the SQL chain
+    ``(((t1+t2)+t3)+...)`` (numpy elementwise adds, one dimension at a
+    time — NOT a reassociating matmul/np.sum), and ``np.argmin`` breaks
+    exact ties to the lowest index like the (d, j) struct-min. The k*d
+    centroid matrix ships in the serialized closure (bounded by
+    parameters); per Arrow batch the work is k*d vectorized ops."""
+    cmat = [[float(x) for x in c] for c in cents]
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col, T.IntegerType())])
+
+    def it(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                out[out_col] = np.empty(0, dtype="int32")
+                yield out
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dists = np.empty((len(pdf), len(cmat)), dtype=np.float64)
+            for j, c in enumerate(cmat):
+                t = V[:, 0] - c[0]
+                acc = t * t
+                for i in range(1, len(c)):
+                    t = V[:, i] - c[i]
+                    acc = acc + t * t
+                dists[:, j] = acc
+            out[out_col] = np.argmin(dists, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(it, schema)
+
+
+def _assign(df: DataFrame, vec_col: str,
+            cents: Sequence[Sequence[float]], out_col: str,
+            route: str = "auto") -> DataFrame:
+    """Nearest-centroid index, lowest index winning exact ties.
+
+    ``route='auto'`` picks literal-codegen (zero Python workers, fuses
+    with the downstream agg) while k*d fits whole-stage codegen, else
+    the Arrow kernel — both produce bit-identical assignments, so the
+    switch is invisible to results and to the oracle.
+
+    The codegen path is TWO projections on purpose: one giant
+    ``array_min(array(struct(dist_0,0), ..., struct(dist_k,k)))``
+    expression defeats codegen's method splitting past ~8x64 terms
+    (Janino 64 KB method limit -> whole-stage falls back to the
+    interpreted path, measured 3x slower at k=16 d=64). Independent
+    per-centroid distance COLUMNS codegen-split cleanly; the argmin
+    then runs over plain attributes. Each distance column is
+    referenced twice in the argmin struct ('d' and the equal 'd2'
+    field) so CollapseProject won't inline the non-cheap distance
+    expressions back into a single giant projection (it refuses to
+    duplicate them) — same guard as the z-order partitioner's cut
+    search."""
+    if route not in ("auto", "codegen", "arrow"):
+        raise ValueError(f"unknown assignment route: {route!r}")
+    terms = len(cents) * len(cents[0])
+    if route == "arrow" or (route == "auto" and terms > _CODEGEN_MAX_TERMS):
+        return _assign_arrow(df, vec_col, cents, out_col)
+    dcols = [f"__km_d{j}" for j in range(len(cents))]
+    proj = df.select(
+        "*",
+        *[F.expr(_dist_sql(vec_col, c)).alias(dc)
+          for dc, c in zip(dcols, cents)],
+    )
+    structs = ", ".join(
+        f"named_struct('d', {dc}, 'd2', {dc}, 'j', {j})"
+        for j, dc in enumerate(dcols)
+    )
+    return proj.withColumn(
+        out_col, F.expr(f"CAST(array_min(array({structs}))['j'] AS INT)")
+    ).drop(*dcols)
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    round_dp: int = 6,
+    out_col: str = "cluster",
+    route: str = "auto",
+) -> Tuple[DataFrame, List[List[float]]]:
+    """Fixed-iteration Lloyd's k-means; returns (df + `out_col`
+    nearest-centroid index under the final centroids, final centroid
+    list). Rows with NULL id/vector or wrong dimension are dropped
+    (they have no deterministic cluster). ``route`` picks the
+    assignment kernel ('auto'/'codegen'/'arrow' — see :func:`_assign`;
+    results are bit-identical either way)."""
+    if dim is None:
+        row = df.filter(F.col(vec_col).isNotNull()).select(
+            F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("kmeans: no non-null vectors")
+        dim = int(row["d"])
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+    )
+    init = (
+        base.select(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"#{seed}"))).alias("__h"),
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__h", "__id")
+        .limit(int(k))
+        .collect()
+    )
+    if not init:
+        raise ValueError("kmeans: no rows after validity filter")
+    cents = [[float(x) for x in r["__v"]] for r in init]
+    k_eff = len(cents)  # < k when the table has fewer rows
+
+    for _ in range(int(iters)):
+        assigned = _assign(base, vec_col, cents, out_col, route=route)
+        aggs = [
+            F.expr(
+                f"round(avg({_elem(vec_col, i + 1)}), {int(round_dp)})"
+            ).alias(f"__c{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy(out_col).agg(*aggs).collect()
+        new = {int(r[out_col]): [float(r[f"__c{i}"]) for i in range(dim)]
+               for r in rows}
+        # empty cluster → keep its previous centroid (deterministic,
+        # mirrored in the oracle's LEFT JOIN + coalesce)
+        cents = [new.get(j, cents[j]) for j in range(k_eff)]
+
+    return _assign(base, vec_col, cents, out_col, route=route), cents
+
+
+def kmeans_sql(
+    table_sql: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+    round_dp: int = 6,
+    out_col: str = "cluster",
+) -> str:
+    """DuckDB mirror of :func:`kmeans`: iterations unrolled as chained
+    CTEs; assignment = per-(row, centroid) distance with the SAME
+    left-folded term order, argmin via row_number ordered by
+    (dist, centroid index)."""
+    d = int(dim)
+
+    def elem(alias: str, i: int) -> str:
+        return f"CAST({alias}.{vec_col}[{i}] AS DOUBLE)"
+
+    def dist(palias: str, calias: str) -> str:
+        return " + ".join(
+            f"({elem(palias, i + 1)} - {calias}.c{i}) * "
+            f"({elem(palias, i + 1)} - {calias}.c{i})"
+            for i in range(d)
+        )
+
+    parts = [
+        f"""WITH __pts AS (
+  SELECT {id_col}, {vec_col} FROM {table_sql}
+  WHERE {id_col} IS NOT NULL AND {vec_col} IS NOT NULL
+    AND len({vec_col}) = {d}
+)""",
+        f"""__cent0 AS (
+  SELECT row_number() OVER (ORDER BY __h, {id_col}) - 1 AS j,
+         {", ".join(f"CAST({vec_col}[{i + 1}] AS DOUBLE) AS c{i}" for i in range(d))}
+  FROM (
+    SELECT {id_col}, {vec_col},
+           md5({id_col}::VARCHAR || '#{seed}') AS __h
+    FROM __pts ORDER BY __h, {id_col} LIMIT {int(k)}
+  )
+)""",
+    ]
+    for t in range(int(iters)):
+        prev, cur = f"__cent{t}", f"__cent{t + 1}"
+        parts.append(f"""__asg{t} AS (
+  SELECT {id_col}, j FROM (
+    SELECT p.{id_col}, c.j,
+           row_number() OVER (
+             PARTITION BY p.{id_col}
+             ORDER BY {dist('p', 'c')}, c.j
+           ) AS __rn
+    FROM __pts p CROSS JOIN {prev} c
+  ) WHERE __rn = 1
+)""")
+        parts.append(f"""__upd{t} AS (
+  SELECT a.j,
+         {", ".join(f"round(avg({elem('p', i + 1)}), {int(round_dp)}) AS c{i}" for i in range(d))}
+  FROM __pts p JOIN __asg{t} a ON p.{id_col} = a.{id_col}
+  GROUP BY a.j
+)""")
+        parts.append(f"""{cur} AS (
+  SELECT pr.j, {", ".join(f"coalesce(u.c{i}, pr.c{i}) AS c{i}" for i in range(d))}
+  FROM {prev} pr LEFT JOIN __upd{t} u ON u.j = pr.j
+)""")
+    last = f"__cent{int(iters)}"
+    final = f"""SELECT {id_col}, CAST(j AS INTEGER) AS {out_col} FROM (
+  SELECT p.{id_col}, c.j,
+         row_number() OVER (
+           PARTITION BY p.{id_col}
+           ORDER BY {dist('p', 'c')}, c.j
+         ) AS __rn
+  FROM __pts p CROSS JOIN {last} c
+) WHERE __rn = 1"""
+    return ",\n".join(parts) + "\n" + final

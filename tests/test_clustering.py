@@ -1,0 +1,164 @@
+"""Distributed Lloyd's k-means (operators/clustering.py)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from simba_spark.operators.clustering import kmeans, kmeans_sql
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    """3 well-separated 4-D blobs + a NULL-vector row + a wrong-length
+    row (both must be dropped)."""
+    rng = random.Random(7)
+    rows = []
+    centers = [(0.0, 0.0, 0.0, 0.0), (10.0, 10.0, 0.0, 0.0),
+               (0.0, 0.0, 10.0, 10.0)]
+    for i in range(300):
+        cx = centers[i % 3]
+        rows.append((i, [float(c + rng.gauss(0, 0.5)) for c in cx]))
+    rows.append((1000, None))
+    rows.append((1001, [1.0, 2.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _py_kmeans(rows, k, iters, seed=42, dp=6):
+    """Independent pure-Python mirror of the documented algorithm."""
+    import hashlib
+
+    pts = [(i, [float(x) for x in v]) for i, v in rows
+           if i is not None and v is not None]
+    d = len(pts[0][1])
+    pts = [(i, v) for i, v in pts if len(v) == d]
+
+    def h(i):
+        return hashlib.md5(f"{i}#{seed}".encode()).hexdigest()
+
+    init = sorted(pts, key=lambda r: (h(r[0]), r[0]))[:k]
+    cents = [list(v) for _, v in init]
+
+    def assign(v):
+        best = None
+        for j, c in enumerate(cents):
+            dist = 0.0
+            for a, b in zip(v, c):
+                dist += (a - b) * (a - b)
+            if best is None or dist < best[0]:
+                best = (dist, j)
+        return best[1]
+
+    for _ in range(iters):
+        groups = {}
+        for i, v in pts:
+            groups.setdefault(assign(v), []).append(v)
+        new = []
+        for j in range(len(cents)):
+            vs = groups.get(j)
+            if not vs:
+                new.append(cents[j])
+            else:
+                m = [sum(col) / len(vs) for col in zip(*vs)]
+                # Python round is banker's; mirror HALF_UP on positives
+                new.append([math.floor(x * 10**dp + 0.5) / 10**dp
+                            if x >= 0 else
+                            -(math.floor(-x * 10**dp + 0.5) / 10**dp)
+                            for x in m])
+        cents = new
+    return {i: assign(v) for i, v in pts}, cents
+
+
+def test_kmeans_matches_python_reference(vec_df):
+    out, cents = kmeans(vec_df, k=3, iters=3, dim=4)
+    got = {r["vec_id"]: r["cluster"]
+           for r in out.select("vec_id", "cluster").collect()}
+    rows = [(r["vec_id"], r["embedding"]) for r in vec_df.collect()]
+    want, want_cents = _py_kmeans(rows, k=3, iters=3)
+    assert got == want
+    for c, w in zip(cents, want_cents):
+        for a, b in zip(c, w):
+            assert abs(a - b) < 1e-9
+
+
+def test_kmeans_separates_blobs(vec_df):
+    out, _ = kmeans(vec_df, k=3, iters=4, dim=4)
+    rows = out.select("vec_id", "cluster").collect()
+    # every point of a blob (vec_id % 3) lands in one cluster
+    blob_to_cluster = {}
+    for r in rows:
+        blob = r["vec_id"] % 3
+        blob_to_cluster.setdefault(blob, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in blob_to_cluster.values())
+    assert len({next(iter(s)) for s in blob_to_cluster.values()}) == 3
+
+
+def test_kmeans_drops_invalid_rows(vec_df):
+    out, _ = kmeans(vec_df, k=3, iters=1, dim=4)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 1000 not in ids and 1001 not in ids
+    assert len(ids) == 300
+
+
+def test_kmeans_partitioning_invariant(vec_df):
+    a, _ = kmeans(vec_df, k=3, iters=2, dim=4)
+    b, _ = kmeans(vec_df.repartition(13), k=3, iters=2, dim=4)
+    ra = sorted((r["vec_id"], r["cluster"]) for r in a.collect())
+    rb = sorted((r["vec_id"], r["cluster"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_kmeans_duckdb_parity(vec_df, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    p = str(tmp_path / "vecs.parquet")
+    vec_df.write.parquet(p)
+    out, _ = kmeans(vec_df, k=3, iters=2, dim=4)
+    got = sorted((r["vec_id"], r["cluster"])
+                 for r in out.select("vec_id", "cluster").collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW vecs AS SELECT * FROM '{p}/*.parquet'")
+    sql = kmeans_sql("vecs", k=3, iters=2, dim=4)
+    want = sorted((int(a), int(b)) for a, b in con.sql(sql).fetchall())
+    assert got == want
+
+
+def test_assign_routes_bit_identical(vec_df):
+    """The Arrow kernel accumulates the same left-fold in float64, so
+    assignments (and therefore every downstream centroid) match the
+    codegen path bit-for-bit — route choice is invisible to results."""
+    a, ca = kmeans(vec_df, k=3, iters=2, dim=4, route="codegen")
+    b, cb = kmeans(vec_df, k=3, iters=2, dim=4, route="arrow")
+    assert ca == cb
+    ra = sorted((r["vec_id"], r["cluster"])
+                for r in a.select("vec_id", "cluster").collect())
+    rb = sorted((r["vec_id"], r["cluster"])
+                for r in b.select("vec_id", "cluster").collect())
+    assert ra == rb
+
+
+def test_assign_auto_routes_past_codegen_cliff(spark):
+    """k*d above _CODEGEN_MAX_TERMS must route to the Arrow kernel (the
+    literal plan trips Janino's method limit there) — assert the plan
+    carries a Python-worker stage instead of the literal projection."""
+    from simba_spark.operators.clustering import _CODEGEN_MAX_TERMS, _assign
+
+    d = 4
+    k = _CODEGEN_MAX_TERMS // d + 1
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0, 3.0]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    cents = [[float(j), 0.0, 0.0, 0.0] for j in range(k)]
+    routed = _assign(df, "embedding", cents, "cluster")
+    assert "MapInPandas" in routed._jdf.queryExecution().analyzed().toString()
+    small = _assign(df, "embedding", cents[:2], "cluster")
+    assert "MapInPandas" not in small._jdf.queryExecution().analyzed().toString()
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    out, cents = kmeans(df, k=8, iters=2, dim=2)
+    assert len(cents) == 2
+    assert out.count() == 2

@@ -2298,6 +2298,20 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs
+    (operators.dedup.semantic_dedup_pairs): k-means clusters (k=4,
+    2 Lloyd iterations, Arrow assignment kernel) block the candidate
+    space, cosine >= 0.42 checked within clusters only — the n^2/k
+    candidate bound that makes embedding dedup viable at corpus scale.
+    Oracle: the kmeans assignment CTEs (identical distance arithmetic)
+    + the same within-cluster pair join."""
+    from simba_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.42, k=4, iters=2, dim=64)
+
+
 def q_token_cooc(spark, sf_dir):
     """Frequent token co-occurrence (operators.text.token_cooccurrence,
     a-priori-pruned pair mining): token pairs sharing >= 60 documents,
@@ -2411,6 +2425,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "semantic_dedup": q_semantic_dedup,
         "kmeans_embeddings": q_kmeans_embeddings,
         "quantile_events": q_quantile_events,
         "quantile_merged": q_quantile_merged,
@@ -2459,7 +2474,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
-        "cube_events": q_cube_events,
         "events_resample": q_events_resample,
         "events_rolling": q_events_rolling,
         "doc_tfidf": q_doc_tfidf,
@@ -2500,10 +2514,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        # --- rotated mid-round-6 with 2 driver greens (r4+r5) to seat
-        #     the kmeans debut — plain lead/lag window functions, code
-        #     path untouched since round 4, re-verified locally ---
+        # --- rotated mid-round-6 with 2 driver greens (r4+r5) each to
+        #     seat the kmeans/semantic-dedup debuts — plain lead/lag
+        #     window functions and an inherited CUBE aggregate, code
+        #     paths untouched since round 4, re-verified locally ---
         "events_lead_lag": q_events_lead_lag,
+        "cube_events": q_cube_events,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3161,6 +3177,7 @@ def oracle_sql() -> dict[str, str]:
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
     from simba_spark.operators.clustering import kmeans_sql
+    from simba_spark.operators.dedup import semantic_dedup_sql
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
     from simba_spark.operators.pipeline import (weighted_sample_key_sql,
                                                 winsorize_sql)
@@ -3224,6 +3241,10 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": kmeans_sql(
             "embeddings", vec_col="embedding", id_col="vec_id",
             k=4, iters=2, dim=64,
+        ),
+        "semantic_dedup": semantic_dedup_sql(
+            "embeddings", vec_col="embedding", id_col="vec_id",
+            threshold=0.42, k=4, iters=2, dim=64,
         ),
         "cm_heavy": f"""
             WITH toks AS (

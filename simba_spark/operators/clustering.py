@@ -219,7 +219,7 @@ def kmeans(
     return _assign(base, vec_col, cents, out_col, route=route), cents
 
 
-def kmeans_sql(
+def _kmeans_sql_parts(
     table_sql: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -229,11 +229,12 @@ def kmeans_sql(
     seed: int = 42,
     round_dp: int = 6,
     out_col: str = "cluster",
-) -> str:
-    """DuckDB mirror of :func:`kmeans`: iterations unrolled as chained
-    CTEs; assignment = per-(row, centroid) distance with the SAME
-    left-folded term order, argmin via row_number ordered by
-    (dist, centroid index)."""
+) -> Tuple[List[str], str]:
+    """CTE parts + final assignment SELECT for the DuckDB mirror of
+    :func:`kmeans` — split out so composite oracles (e.g. semantic
+    dedup's within-cluster pair join) can embed the assignment as a
+    CTE. ``parts[0]`` defines ``__pts`` (the validity-filtered id +
+    vector rows) for downstream reuse."""
     d = int(dim)
 
     def elem(alias: str, i: int) -> str:
@@ -293,4 +294,25 @@ def kmeans_sql(
          ) AS __rn
   FROM __pts p CROSS JOIN {last} c
 ) WHERE __rn = 1"""
+    return parts, final
+
+
+def kmeans_sql(
+    table_sql: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+    round_dp: int = 6,
+    out_col: str = "cluster",
+) -> str:
+    """DuckDB mirror of :func:`kmeans`: iterations unrolled as chained
+    CTEs; assignment = per-(row, centroid) distance with the SAME
+    left-folded term order, argmin via row_number ordered by
+    (dist, centroid index)."""
+    parts, final = _kmeans_sql_parts(
+        table_sql, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
+        dim=dim, seed=seed, round_dp=round_dp, out_col=out_col)
     return ",\n".join(parts) + "\n" + final

@@ -854,6 +854,102 @@ def _probe_signatures(sig_col, n_planes: int, probe: int):
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    k: int = 16,
+    iters: int = 2,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    route: str = "arrow",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means clusters block
+    the candidate space, cosine similarity >= threshold is checked
+    WITHIN clusters only (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication" — the
+    published recipe: cluster once, compare only within clusters).
+
+    Scale: the pair candidate count drops from C(n,2) to
+    sum_c C(n_c,2) ~ n^2/k — pick k so clusters are executor-sized
+    (k ~ n/10^4 at corpus scale; the k x d centroid state is driver-
+    bounded regardless, see :func:`..clustering.kmeans`). The
+    within-cluster self-join is a plain equi-join on the cluster id,
+    so AQE's skew-join split handles an oversized cluster. Complements
+    :func:`embedding_dup_pairs`: LSH blocks on signature locality
+    (no training pass, fixed fanout), this blocks on learned global
+    structure — SemDeDup's observation is that semantic duplicates
+    concentrate inside clusters at far smaller candidate volume.
+
+    Returns (a_id, b_id, sim4): pairs filtered at round(cos, 6) >=
+    threshold, similarity emitted at 4 decimals — the package's cosine
+    oracle convention (engine-bit-stable at that granularity).
+
+    ``route`` defaults to the Arrow assignment kernel here (not
+    'auto'): a broadcast pair join fuses BOTH sides' assignment
+    projections plus the cosine fold into one codegen fragment, which
+    halves the literal-term budget and overflowed Janino's 64 KB
+    method limit at k*d as low as 256 (measured — 'auto' would have
+    picked literals there). The kernel is bit-identical, and its
+    Python-worker stage is a natural fusion barrier, so the join
+    fragment only ever sees plain attribute columns.
+    """
+    from ..functions import cosine_similarity
+    from .clustering import kmeans
+
+    assigned, _ = kmeans(
+        df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col,
+        k=k, iters=iters, dim=dim, seed=seed, out_col="__sd_c",
+        route=route,
+    )
+    a = assigned.select(F.col(id_col).alias("a_id"),
+                        F.col(vec_col).alias("__va"), "__sd_c")
+    b = assigned.select(F.col(id_col).alias("b_id"),
+                        F.col(vec_col).alias("__vb"), "__sd_c")
+    sim = cosine_similarity("__va", "__vb")
+    return (
+        a.join(b, on="__sd_c")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("__sim", sim)
+        .filter(F.round("__sim", 6) >= float(threshold))
+        .select("a_id", "b_id", F.round("__sim", 4).alias("sim4"))
+    )
+
+
+def semantic_dedup_sql(
+    table_sql: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup_pairs`: the kmeans
+    assignment CTEs (identical distance arithmetic) + a within-cluster
+    pair join with ``list_cosine_similarity`` (bit-stable vs the Spark
+    fold at the rounded granularities, same convention as the
+    embedding_dup_pairs oracle)."""
+    from .clustering import _kmeans_sql_parts
+
+    parts, final = _kmeans_sql_parts(
+        table_sql, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
+        dim=dim, seed=seed, out_col="__sd_c")
+    parts.append(f"__sd_asg AS (\n{final}\n)")
+    cos = (f"list_cosine_similarity(pa.{vec_col}::DOUBLE[], "
+           f"pb.{vec_col}::DOUBLE[])")
+    return ",\n".join(parts) + f"""
+SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+       round({cos}, 4) AS sim4
+FROM __sd_asg a JOIN __sd_asg b
+  ON a.__sd_c = b.__sd_c AND a.{id_col} < b.{id_col}
+JOIN __pts pa ON pa.{id_col} = a.{id_col}
+JOIN __pts pb ON pb.{id_col} = b.{id_col}
+WHERE round({cos}, 6) >= {float(threshold)}"""
+
+
 def _plane_dot(vec_col, plane) -> "Column":
     """Dot product of an array column with a literal plane via
     zip_with + aggregate — a constant-size expression regardless of

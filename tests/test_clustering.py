@@ -155,6 +155,48 @@ def test_assign_auto_routes_past_codegen_cliff(spark):
     assert "MapInPandas" not in small._jdf.queryExecution().analyzed().toString()
 
 
+def test_semantic_dedup_pairs_within_cluster_bruteforce(vec_df):
+    """Pairs == brute-force cosine>=t filtered to same-kmeans-cluster
+    (the blocking is the documented semantics, not an approximation of
+    all-pairs)."""
+    from simba_spark.operators.dedup import semantic_dedup_pairs
+
+    got = sorted(
+        (r["a_id"], r["b_id"], r["sim4"])
+        for r in semantic_dedup_pairs(
+            vec_df, threshold=0.9, k=3, iters=2, dim=4,
+            id_col="vec_id").collect()
+    )
+    out, _ = kmeans(vec_df, k=3, iters=2, dim=4)
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]], r["cluster"])
+            for r in out.collect()]
+    want = []
+    for i, (ia, va, ca) in enumerate(rows):
+        for ib, vb, cb in rows[i + 1:]:
+            if ca != cb:
+                continue
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            sim = dot / (na * nb)
+            if round(sim, 6) >= 0.9:
+                want.append((a, b, round(sim, 4)))
+    want.sort()
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, s1), (_, _, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+
+
+def test_semantic_dedup_partitioning_invariant(vec_df):
+    from simba_spark.operators.dedup import semantic_dedup_pairs
+
+    a = semantic_dedup_pairs(vec_df, threshold=0.9, k=3, iters=2, dim=4)
+    b = semantic_dedup_pairs(vec_df.repartition(13), threshold=0.9,
+                             k=3, iters=2, dim=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_kmeans_fewer_rows_than_k(spark):
     df = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [5.0, 5.0])],

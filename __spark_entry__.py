@@ -2298,6 +2298,24 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (operators.pipeline.split_assign): every row sharing an exact-dup
+    fingerprint group lands in the same split (near/exact duplicates
+    can never straddle train/test, unlike per-row randomSplit);
+    zero-shuffle md5-uniform CASE, stable across partitioning and
+    engines. Oracle: the identical fingerprint + cumulative-boundary
+    CASE expression."""
+    from simba_spark.operators.pipeline import split_assign
+    from simba_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_assign(fingerprint(docs), key_col="fingerprint",
+                       splits=(("train", 0.8), ("val", 0.1),
+                               ("test", 0.1)), seed=7)
+    return out.select("doc_id", "fingerprint", "split")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic near-dup pairs
     (operators.dedup.semantic_dedup_pairs): k-means clusters (k=4,
@@ -2425,6 +2443,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "leakage_split": q_leakage_split,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_embeddings": q_kmeans_embeddings,
         "quantile_events": q_quantile_events,
@@ -2474,7 +2493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
-        "events_resample": q_events_resample,
         "events_rolling": q_events_rolling,
         "doc_tfidf": q_doc_tfidf,
         "vector_knn_join": q_vector_knn_join,
@@ -2520,6 +2538,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     paths untouched since round 4, re-verified locally ---
         "events_lead_lag": q_events_lead_lag,
         "cube_events": q_cube_events,
+        "events_resample": q_events_resample,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3179,7 +3198,8 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.clustering import kmeans_sql
     from simba_spark.operators.dedup import semantic_dedup_sql
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
-    from simba_spark.operators.pipeline import (weighted_sample_key_sql,
+    from simba_spark.operators.pipeline import (split_assign_sql,
+                                                weighted_sample_key_sql,
                                                 winsorize_sql)
     from simba_spark.operators.stats import histogram_fixed_sql
     from simba_spark.operators.text import token_cooccurrence_sql
@@ -3246,6 +3266,18 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
         ),
+        "leakage_split": f"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+              FROM documents
+            )
+            SELECT doc_id, fingerprint,
+                   {split_assign_sql("fingerprint",
+                                     splits=(("train", 0.8), ("val", 0.1),
+                                             ("test", 0.1)), seed=7)} AS split
+            FROM fp
+        """,
         "cm_heavy": f"""
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))

@@ -10,7 +10,7 @@ from an RNG whose stream depends on partitioning.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -43,6 +43,76 @@ def hash_sample(
     same key stay aligned. Zero shuffle."""
     assert 0.0 <= rate <= 1.0
     return df.filter(_unit_hash(key_col, seed) < F.lit(float(rate)))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[Tuple[str, float]] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment: every row
+    sharing ``key_col`` lands in the SAME split (the key's md5 uniform
+    falls in exactly one cumulative-fraction interval), so passing a
+    GROUP id — an exact-dup fingerprint, a dedup
+    connected-component id (:func:`..dedup.connected_components`), a
+    domain — guarantees no near-duplicate pair ever straddles
+    train/test. Per-row i.i.d. splitting (``df.randomSplit``) cannot
+    make that guarantee, and it also reshuffles on every run; this is
+    zero-shuffle, whole-stage codegen, and stable across partitioning,
+    re-runs, engines, and cluster sizes (same :func:`_unit_hash` as
+    the sampling family). NULL keys get a NULL split (no deterministic
+    group).
+
+    ``splits`` is an ordered (name, fraction) sequence; fractions must
+    be positive and sum to 1 (the last split takes the remaining
+    interval, so the fp-edge u ≈ 1 case is covered).
+    """
+    names = [str(n) for n, _ in splits]
+    fracs = [float(f) for _, f in splits]
+    if len(names) != len(set(names)):
+        raise ValueError(f"duplicate split names: {names}")
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"split fractions must be positive: {fracs}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {sum(fracs)}")
+    u = _unit_hash(key_col, seed)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    arms = []
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        cum += frac
+        arms.append((name, cum))
+    for name, bound in reversed(arms):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    expr = F.when(F.col(key_col).isNull(), F.lit(None).cast("string")) \
+        .otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_assign_sql(
+    key_expr: str,
+    splits: Sequence[Tuple[str, float]] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL mirror of :func:`split_assign`'s assignment
+    expression (same md5 uniform, same cumulative boundaries — the
+    literal doubles are identical, so membership matches
+    bit-for-bit)."""
+    u = unit_hash_sql(key_expr, seed)
+    names = [str(n) for n, _ in splits]
+    fracs = [float(f) for _, f in splits]
+    whens = []
+    cum = 0.0
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        cum += frac
+        whens.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    body = " ".join(whens)
+    return (f"CASE WHEN ({key_expr}) IS NULL THEN NULL "
+            f"{body} ELSE '{names[-1]}' END")
 
 
 def merge_upsert(

@@ -234,3 +234,64 @@ def test_winsorize_matches_duckdb(spark):
                         out_col="value_w")
     want = set(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_split_assign_group_atomic_and_fractions(spark):
+    """Rows sharing a key land in one split; fractions hold ~exactly
+    over many distinct keys; NULL keys get NULL."""
+    from simba_spark.operators.pipeline import split_assign
+
+    rows = [(i, f"g{i % 500}") for i in range(2000)] + [(9999, None)]
+    df = spark.createDataFrame(rows, "row_id long, grp string")
+    out = split_assign(df, "grp", splits=(("train", 0.8), ("val", 0.1),
+                                          ("test", 0.1)), seed=7)
+    got = [(r["row_id"], r["grp"], r["split"]) for r in out.collect()]
+    by_grp = {}
+    for _, g, s in got:
+        if g is not None:
+            by_grp.setdefault(g, set()).add(s)
+    assert all(len(s) == 1 for s in by_grp.values())
+    assert [s for i, g, s in got if g is None] == [None]
+    from collections import Counter
+    c = Counter(next(iter(s)) for s in by_grp.values())
+    assert abs(c["train"] / 500 - 0.8) < 0.06
+    assert abs(c["val"] / 500 - 0.1) < 0.05
+    assert abs(c["test"] / 500 - 0.1) < 0.05
+    # deterministic across partitioning
+    again = split_assign(df.repartition(13), "grp",
+                         splits=(("train", 0.8), ("val", 0.1),
+                                 ("test", 0.1)), seed=7)
+    assert sorted(got) == sorted(
+        (r["row_id"], r["grp"], r["split"]) for r in again.collect())
+
+
+def test_split_assign_validates_fractions(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.pipeline import split_assign
+
+    df = spark.createDataFrame([(1, "a")], "row_id long, grp string")
+    with _pt.raises(ValueError):
+        split_assign(df, "grp", splits=(("a", 0.5), ("b", 0.4)))
+    with _pt.raises(ValueError):
+        split_assign(df, "grp", splits=(("a", 1.2), ("b", -0.2)))
+    with _pt.raises(ValueError):
+        split_assign(df, "grp", splits=(("a", 0.5), ("a", 0.5)))
+
+
+def test_split_assign_matches_duckdb(spark):
+    import duckdb
+
+    from simba_spark.operators.pipeline import split_assign, split_assign_sql
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {(r["doc_id"], r["split"]) for r in
+           split_assign(docs, "source", seed=11)
+           .select("doc_id", "split").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    case = split_assign_sql("source", seed=11)
+    want = set(map(tuple, con.execute(
+        f"SELECT doc_id, {case} AS split FROM documents").fetchall()))
+    assert got == want

@@ -13,6 +13,7 @@ from .ops import (
     streaming_circle_range,
     streaming_distance_join,
     streaming_exact_dedup,
+    streaming_kmeans_assign,
     streaming_interval_join,
     streaming_knn_join,
     streaming_range_filter,
@@ -28,6 +29,7 @@ __all__ = [
     "streaming_circle_range",
     "streaming_distance_join",
     "streaming_exact_dedup",
+    "streaming_kmeans_assign",
     "streaming_knn_join",
     "streaming_interval_join",
     "streaming_stream_distance_join",

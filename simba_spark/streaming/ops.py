@@ -24,6 +24,24 @@ def streaming_circle_range(
     return stream_df.filter(in_circle_range(cols, center, radius))
 
 
+def streaming_kmeans_assign(
+    stream_df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    route: str = "auto",
+) -> DataFrame:
+    """Score a stream against TRAINED k-means centroids (train in
+    batch with :func:`..operators.clustering.kmeans`, ship the k x d
+    list here): nearest-centroid index per arriving vector. Stateless
+    per-row projection — no watermark, no state store, identical
+    assignment kernel (and the same codegen/Arrow size routing) as
+    batch, so stream scores match a batch re-score row-for-row."""
+    from ..operators.clustering import _assign
+
+    return _assign(stream_df, vec_col, centroids, out_col, route=route)
+
+
 def streaming_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",

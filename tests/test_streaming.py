@@ -852,3 +852,33 @@ def test_streaming_windowed_cm_matches_batch(spark):
         assert len(stream_cells) > 10
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_kmeans_assign_matches_batch(spark):
+    """Stream scoring with trained centroids ≡ batch assignment
+    row-for-row, on both the codegen and Arrow kernels (stateless
+    projection — no watermark/state)."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.clustering import kmeans
+    from simba_spark.streaming.ops import streaming_kmeans_assign
+
+    d = tempfile.mkdtemp(prefix="simba_km_stream_")
+    try:
+        rows = [
+            (i, [float((i % 3) * 10 + (i % 2)), float(i % 5), 1.0, 0.0])
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        batch, cents = kmeans(df, k=3, iters=2, dim=4)
+        want = sorted((r["vec_id"], r["cluster"]) for r in batch.collect())
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        for route in ("codegen", "arrow"):
+            out = streaming_kmeans_assign(src, cents, route=route)
+            got = _run_stream(spark, out, f"stream_km_{route}")
+            assert sorted((r["vec_id"], r["cluster"])
+                          for r in got.collect()) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2298,6 +2298,33 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_events_gapfill(spark, sf_dir):
+    """Dense hourly resample per user with LINEAR INTERPOLATION across
+    empty buckets (timeseries.resample interp policy — TimescaleDB's
+    time_bucket_gapfill + interpolate analog): counts zero-filled,
+    the hourly avg linearly interpolated between the bracketing
+    non-empty hours (leading/trailing gaps stay NULL). Oracle: the
+    same bracketing ignore-nulls window scans + identical
+    interpolation arithmetic."""
+    from simba_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("tus", _ts_us(ev, "ts"))
+    out = resample(
+        ev,
+        ts_col="tus",
+        key_col="user_id",
+        bucket_us=3_600_000_000,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.round(F.avg("value"), 4),
+        },
+        zero_fill=("n_events",),
+        interp=("avg_value",),
+    )
+    return out.select("user_id", "bucket", "n_events", "avg_value")
+
+
 def q_leakage_split(spark, sf_dir):
     """Leakage-safe train/val/test split
     (operators.pipeline.split_assign): every row sharing an exact-dup
@@ -2443,6 +2470,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "events_gapfill": q_events_gapfill,
         "leakage_split": q_leakage_split,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -2494,7 +2522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
         "events_rolling": q_events_rolling,
-        "doc_tfidf": q_doc_tfidf,
         "vector_knn_join": q_vector_knn_join,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -2539,6 +2566,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lead_lag": q_events_lead_lag,
         "cube_events": q_cube_events,
         "events_resample": q_events_resample,
+        "doc_tfidf": q_doc_tfidf,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3266,6 +3294,43 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
         ),
+        "events_gapfill": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket,
+                     count(*) AS n_events,
+                     round(avg(value), 4) AS avg_value
+              FROM events GROUP BY 1, 2
+            ), sp AS (
+              SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM g GROUP BY 1
+            ), dense AS (
+              SELECT user_id, unnest(generate_series(mn, mx)) AS bucket FROM sp
+            ), j AS (
+              SELECT d.user_id, d.bucket,
+                     coalesce(g.n_events, 0) AS n_events, g.avg_value
+              FROM dense d LEFT JOIN g
+                ON d.user_id = g.user_id AND d.bucket = g.bucket
+            ), m AS (
+              SELECT user_id, bucket, n_events, avg_value,
+                     last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                                IGNORE NULLS) OVER wp AS pb,
+                     last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+                     first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END
+                                 IGNORE NULLS) OVER wn AS nb,
+                     first_value(avg_value IGNORE NULLS) OVER wn AS nv
+              FROM j
+              WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY user_id ORDER BY bucket
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, bucket, n_events,
+                   CASE WHEN avg_value IS NOT NULL THEN avg_value
+                        ELSE pv + (nv - pv) *
+                             ((bucket - pb)::DOUBLE / (nb - pb)::DOUBLE)
+                   END AS avg_value
+            FROM m
+        """,
         "leakage_split": f"""
             WITH fp AS (
               SELECT doc_id,

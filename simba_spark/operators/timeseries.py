@@ -38,6 +38,7 @@ def resample(
     aggs: Optional[Dict[str, Column]] = None,
     zero_fill: Sequence[str] = (),
     ffill: Sequence[str] = (),
+    interp: Sequence[str] = (),
     max_buckets_per_key: int = 1 << 20,
     bucket_col: str = "bucket",
 ) -> DataFrame:
@@ -54,6 +55,11 @@ def resample(
     zero_fill : agg names whose empty-bucket NULL becomes 0.
     ffill : agg names forward-filled from the latest non-empty bucket
         (after zero_fill; a name in both gets zeros, not carries).
+    interp : agg names linearly interpolated across empty buckets
+        between the surrounding non-null buckets (TimescaleDB's
+        ``interpolate()`` semantics: leading/trailing gaps with no
+        bracketing value stay NULL). Values widen to double. An interp
+        name cannot also appear in zero_fill/ffill.
     max_buckets_per_key : hard cap on one key's dense span, enforced
         inside the plan with `raise_error` — a single stray ancient
         timestamp otherwise explodes sequence() silently.
@@ -64,9 +70,13 @@ def resample(
     """
     if aggs is None:
         aggs = {"n_events": F.count(F.lit(1))}
-    for n in list(zero_fill) + list(ffill):
+    for n in list(zero_fill) + list(ffill) + list(interp):
         if n not in aggs:
             raise ValueError(f"fill column {n!r} is not an agg output")
+    overlap = set(interp) & (set(zero_fill) | set(ffill))
+    if overlap:
+        raise ValueError(
+            f"interp columns cannot also zero_fill/ffill: {sorted(overlap)}")
     bw = int(bucket_us)
     dtype = dict(df.dtypes).get(ts_col, "")
     if dtype == "timestamp_ntz":
@@ -130,4 +140,23 @@ def resample(
         )
         for n in ffill:
             out = out.withColumn(n, F.last(F.col(n), ignorenulls=True).over(w))
+    if interp:
+        # bracketing (bucket, value) pairs via ignore-nulls window scans
+        # in both directions; the two extra window passes reuse the same
+        # per-key bucket-sorted partitioning (one exchange + sort total).
+        wb = Window.partitionBy(key_col).orderBy(F.col(bucket_col).asc())
+        wprev = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wnext = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        for n in interp:
+            v = F.col(n).cast("double")
+            mark = F.when(v.isNotNull(),
+                          F.struct(F.col(bucket_col).alias("b"),
+                                   v.alias("v")))
+            pv = F.last(mark, ignorenulls=True).over(wprev)
+            nx = F.first(mark, ignorenulls=True).over(wnext)
+            frac = (F.col(bucket_col) - pv["b"]).cast("double") / \
+                (nx["b"] - pv["b"]).cast("double")
+            filled = F.when(v.isNotNull(), v).otherwise(
+                pv["v"] + (nx["v"] - pv["v"]) * frac)
+            out = out.withColumn(n, filled)
     return out

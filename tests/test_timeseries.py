@@ -345,3 +345,41 @@ def test_dup_ngram_fraction_bruteforce(spark):
     assert 3 not in got
     # docs 0 and 4 are exact dups: every gram duplicated
     assert got[0][2] == 1.0 and got[4][2] == 1.0
+
+
+def test_resample_interp_linear_and_edges(spark):
+    """Linear interpolation across empty buckets; leading/trailing
+    gaps without a bracketing value stay NULL; multi-bucket gaps
+    interpolate proportionally to bucket distance."""
+    rows = [
+        # key 1: values at buckets 1 and 4 -> buckets 2, 3 interpolate
+        # to 1/3 and 2/3 of the way; bucket 0 has a row but NULL v
+        (1, 5, None), (1, 15, 3.0), (1, 45, 9.0),
+        # key 2: single value -> nothing to interpolate
+        (2, 12, 7.0), (2, 31, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, v double")
+    out = resample(
+        df, ts_col="t", key_col="k", bucket_us=10,
+        aggs={"av": F.avg("v")}, interp=["av"],
+    ).orderBy("k", "bucket")
+    got = [(r.k, r.bucket, r.av) for r in out.collect()]
+    assert got == [
+        (1, 0, None),          # leading gap: no previous value
+        (1, 1, 3.0),
+        (1, 2, 5.0),           # 3 + (9-3) * 1/3
+        (1, 3, 7.0),           # 3 + (9-3) * 2/3
+        (1, 4, 9.0),
+        (2, 1, 7.0),
+        (2, 2, None),          # trailing gap: no next value
+        (2, 3, None),
+    ]
+
+
+def test_resample_interp_overlap_raises(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 5, 1.0)], "k int, t long, v double")
+    with _pt.raises(ValueError):
+        resample(df, ts_col="t", key_col="k", bucket_us=10,
+                 aggs={"av": F.avg("v")}, ffill=["av"], interp=["av"])

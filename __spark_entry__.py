@@ -2298,6 +2298,35 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot reconciliation (operators.pipeline.table_diff): diff
+    orders against a simulated next-day snapshot (keys %13==0 removed,
+    %7==0 repriced, %11==0 re-inserted under offset keys) — one
+    full-outer shuffle join on pre-projected keys+compare columns,
+    null-safe per-column comparison, codegen status CASE. Oracle: the
+    same FULL JOIN + IS DISTINCT FROM program."""
+    from simba_spark.operators.pipeline import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    changed = F.when(F.col("o_orderkey") % 7 == 0,
+                     F.col("o_totalprice") * F.lit(0.9)) \
+        .otherwise(F.col("o_totalprice"))
+    right = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select("o_orderkey", changed.alias("o_totalprice"),
+                "o_orderstatus")
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .select((F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                    "o_totalprice", "o_orderstatus"))
+    )
+    out = table_diff(orders, right, key_cols=["o_orderkey"],
+                     compare_cols=["o_totalprice", "o_orderstatus"])
+    return out.select(
+        "o_orderkey", "diff_status",
+        F.array_join("changed_cols", ",").alias("changed"))
+
+
 def q_events_gapfill(spark, sf_dir):
     """Dense hourly resample per user with LINEAR INTERPOLATION across
     empty buckets (timeseries.resample interp policy — TimescaleDB's
@@ -2470,6 +2499,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "table_diff": q_table_diff,
         "events_gapfill": q_events_gapfill,
         "leakage_split": q_leakage_split,
         "semantic_dedup": q_semantic_dedup,
@@ -2521,7 +2551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
-        "events_rolling": q_events_rolling,
         "vector_knn_join": q_vector_knn_join,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
@@ -2567,6 +2596,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": q_cube_events,
         "events_resample": q_events_resample,
         "doc_tfidf": q_doc_tfidf,
+        "events_rolling": q_events_rolling,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3227,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.dedup import semantic_dedup_sql
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
     from simba_spark.operators.pipeline import (split_assign_sql,
+                                                table_diff_sql,
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
     from simba_spark.operators.stats import histogram_fixed_sql
@@ -3294,6 +3325,21 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
         ),
+        "table_diff": f"""
+            SELECT o_orderkey, diff_status,
+                   coalesce(array_to_string(changed_cols, ','), '') AS changed
+            FROM ({table_diff_sql(
+                "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+                "SELECT o_orderkey, "
+                "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.9::DOUBLE "
+                "ELSE o_totalprice END AS o_totalprice, o_orderstatus "
+                "FROM orders WHERE o_orderkey % 13 != 0 "
+                "UNION ALL "
+                "SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus "
+                "FROM orders WHERE o_orderkey % 11 = 0",
+                key_cols=["o_orderkey"],
+                compare_cols=["o_totalprice", "o_orderstatus"])})
+        """,
         "events_gapfill": """
             WITH g AS (
               SELECT user_id,

@@ -115,6 +115,113 @@ def split_assign_sql(
             f"{body} ELSE '{names[-1]}' END")
 
 
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+    status_col: str = "diff_status",
+    changed_col: str = "changed_cols",
+) -> DataFrame:
+    """Snapshot reconciliation: one row per key with its change status
+    between two table versions — 'added' (right only), 'removed'
+    (left only), 'changed' (both sides, any compare column differs,
+    null-safe), 'unchanged' — plus the sorted list of differing
+    column names for 'changed' rows (empty array otherwise). The
+    data-migration / CDC-validation primitive: diff a rewritten table
+    against its source without materializing either twice.
+
+    ONE full-outer shuffle join on the keys (both sides pre-projected
+    to keys + compare columns, so the shuffle carries only compared
+    data); per-column null-safe equality and the status CASE are
+    codegen expressions. Keys must be non-null (a NULL key cannot
+    match itself across snapshots — enforced with a distributed
+    raise_error, no driver job). ``compare_cols`` defaults to the
+    non-key columns present on BOTH sides.
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in left.columns
+                        if c not in keys and c in right.columns]
+    cmps = list(compare_cols)
+    for c in ("__l_present", "__r_present"):
+        if c in left.columns or c in right.columns:
+            raise ValueError(f"reserved column name {c!r} in input")
+
+    def _gkey(kc, side):
+        # the guard lives INSIDE the key expression — a side-channel
+        # column would be pruned as dead code before it could raise
+        return F.when(
+            F.col(kc).isNull(),
+            F.raise_error(F.lit(
+                f"table_diff: NULL {kc} on {side} side "
+                f"(keys must be non-null)")).cast(dict(
+                    left.dtypes if side == "left" else right.dtypes)[kc]),
+        ).otherwise(F.col(kc)).alias(kc)
+
+    l = left.select(
+        *[_gkey(k, "left") for k in keys], *cmps,
+        F.lit(1).alias("__l_present"))
+    r = right.select(
+        *[_gkey(k, "right") for k in keys],
+        *[F.col(c).alias(f"__r_{c}") for c in cmps],
+        F.lit(1).alias("__r_present"))
+    j = l.join(r, on=keys, how="full_outer")
+    diffs = F.filter(
+        F.array(*[
+            F.when(~F.col(c).eqNullSafe(F.col(f"__r_{c}")), F.lit(c))
+            for c in sorted(cmps)
+        ]),
+        lambda x: x.isNotNull(),
+    ) if cmps else F.array().cast("array<string>")
+    status = (
+        F.when(F.col("__r_present").isNull(), F.lit("removed"))
+        .when(F.col("__l_present").isNull(), F.lit("added"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn(status_col, status)
+        .withColumn(
+            changed_col,
+            F.when(F.col(status_col) == "changed", diffs)
+            .otherwise(F.array().cast("array<string>")),
+        )
+        .select(*keys, status_col, changed_col)
+    )
+
+
+def table_diff_sql(
+    left_sql: str,
+    right_sql: str,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    status_col: str = "diff_status",
+    changed_col: str = "changed_cols",
+) -> str:
+    """DuckDB mirror of :func:`table_diff` (explicit compare_cols; the
+    same sorted-name change array and status CASE)."""
+    keys = list(key_cols)
+    cmps = sorted(compare_cols)
+    on = " AND ".join(f"l.{k} = r.{k}" for k in keys)
+    key_sel = ", ".join(f"coalesce(l.{k}, r.{k}) AS {k}" for k in keys)
+    arr = ", ".join(
+        f"CASE WHEN l.{c} IS DISTINCT FROM r.{c} THEN '{c}' END"
+        for c in cmps)
+    diffs = f"list_filter([{arr}], x -> x IS NOT NULL)"
+    return f"""
+        SELECT {key_sel},
+               CASE WHEN r.{keys[0]} IS NULL THEN 'removed'
+                    WHEN l.{keys[0]} IS NULL THEN 'added'
+                    WHEN len({diffs}) > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS {status_col},
+               CASE WHEN l.{keys[0]} IS NOT NULL AND r.{keys[0]} IS NOT NULL
+                         AND len({diffs}) > 0
+                    THEN {diffs} ELSE [] END AS {changed_col}
+        FROM ({left_sql}) l FULL JOIN ({right_sql}) r ON {on}
+    """
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,

@@ -295,3 +295,62 @@ def test_split_assign_matches_duckdb(spark):
     want = set(map(tuple, con.execute(
         f"SELECT doc_id, {case} AS split FROM documents").fetchall()))
     assert got == want
+
+
+def test_table_diff_statuses_and_changed_cols(spark):
+    from simba_spark.operators.pipeline import table_diff
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+        "k long, price double, status string")
+    right = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged
+         (2, 25.0, "X"),          # changed: both cols
+         (4, None, "D"),          # unchanged (null-safe equality)
+         (5, 50.0, "E")],         # added
+        "k long, price double, status string")
+    got = {r["k"]: (r["diff_status"], list(r["changed_cols"]))
+           for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {
+        1: ("unchanged", []),
+        2: ("changed", ["price", "status"]),
+        3: ("removed", []),
+        4: ("unchanged", []),
+        5: ("added", []),
+    }
+
+
+def test_table_diff_null_key_raises(spark):
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    from simba_spark.operators.pipeline import table_diff
+
+    left = spark.createDataFrame([(None, 1.0)], "k long, v double")
+    right = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with _pt.raises((Py4JJavaError, Exception), match="NULL k"):
+        table_diff(left, right, ["k"]).collect()
+
+
+def test_table_diff_matches_duckdb(spark):
+    import duckdb
+
+    from simba_spark.operators.pipeline import table_diff, table_diff_sql
+
+    sf = "/root/testdata/sf0.01"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    left = orders.select("o_orderkey", "o_totalprice")
+    right = orders.filter("o_orderkey % 3 != 0") \
+        .select("o_orderkey", (F.col("o_totalprice") + 1.0).alias("o_totalprice"))
+    got = {(r["o_orderkey"], r["diff_status"]) for r in
+           table_diff(left, right, ["o_orderkey"],
+                      compare_cols=["o_totalprice"]).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    sql = table_diff_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders",
+        "SELECT o_orderkey, o_totalprice + 1.0::DOUBLE AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 3 != 0",
+        key_cols=["o_orderkey"], compare_cols=["o_totalprice"])
+    want = {(int(k), s) for k, s, _ in con.execute(sql).fetchall()}
+    assert got == want

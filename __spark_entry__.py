@@ -2298,6 +2298,20 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_quantile_bin(spark, sf_dir):
+    """Equal-frequency feature binning
+    (operators.pipeline.quantile_bin): events.value into 8 bins at
+    sketched i/8-quantile cuts — QuantileDiscretizer semantics as one
+    lazy engine-reproducible plan (<= k sketch rows shuffle, 1-row
+    broadcast thresholds, codegen comparison-sum assignment). Oracle:
+    identical sketch + interpolation + comparison sum."""
+    from simba_spark.operators.pipeline import quantile_bin
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_bin(ev, "value", "event_id", nbins=8, k=512)
+    return out.select("event_id", "value_bin")
+
+
 def q_table_diff(spark, sf_dir):
     """Snapshot reconciliation (operators.pipeline.table_diff): diff
     orders against a simulated next-day snapshot (keys %13==0 removed,
@@ -2499,6 +2513,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "quantile_bin": q_quantile_bin,
         "table_diff": q_table_diff,
         "events_gapfill": q_events_gapfill,
         "leakage_split": q_leakage_split,
@@ -2551,7 +2566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
-        "vector_knn_join": q_vector_knn_join,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
         "skewed_join": q_skewed_join,
@@ -2597,6 +2611,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "doc_tfidf": q_doc_tfidf,
         "events_rolling": q_events_rolling,
+        "vector_knn_join": q_vector_knn_join,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3256,7 +3271,8 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.clustering import kmeans_sql
     from simba_spark.operators.dedup import semantic_dedup_sql
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
-    from simba_spark.operators.pipeline import (split_assign_sql,
+    from simba_spark.operators.pipeline import (quantile_bin_sql,
+                                                split_assign_sql,
                                                 table_diff_sql,
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
@@ -3325,6 +3341,10 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
         ),
+        "quantile_bin": f"""
+            SELECT event_id, value_bin FROM ({quantile_bin_sql(
+                "events", "value", "event_id", nbins=8, k=512)})
+        """,
         "table_diff": f"""
             SELECT o_orderkey, diff_status,
                    coalesce(array_to_string(changed_cols, ','), '') AS changed

@@ -776,6 +776,81 @@ def winsorize(
     ).drop("__lo", "__hi")
 
 
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    nbins: int = 10,
+    k: int = 2048,
+    seed: int = 42,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Equal-frequency discretization: bin index 0..nbins-1 per row,
+    cut points at the i/nbins quantiles from the mergeable bottom-k
+    quantile sketch (the ML feature-binning / monotonic-bucketing
+    pass; Spark ML's QuantileDiscretizer analog, but deterministic,
+    engine-reproducible, and a single lazy plan — no fit/transform
+    driver round-trip). Ties on a cut go to the upper bin (x >= cut).
+    NULL values get a NULL bin. Same scale shape as :func:`winsorize`:
+    ≤ k sketch rows cross the wire, thresholds broadcast back as a
+    1-row frame, assignment is a codegen sum of comparisons."""
+    from .sketches import quantile_digest
+
+    nbins = int(nbins)
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2: {nbins}")
+    out_col = out_col or f"{col}_bin"
+    qs = tuple(i / nbins for i in range(1, nbins))
+    cuts = [f"__qb{i}" for i in range(1, nbins)]
+    qrow = quantile_digest(df, col, id_col, qs=qs, k=k, seed=seed).toDF(*cuts)
+    x = F.col(col).cast("double")
+    bin_expr = None
+    for c in cuts:
+        t = (x >= F.col(c)).cast("int")
+        bin_expr = t if bin_expr is None else bin_expr + t
+    return (
+        df.crossJoin(F.broadcast(qrow))
+        .withColumn(out_col,
+                    F.when(x.isNull(), F.lit(None).cast("int"))
+                    .otherwise(bin_expr))
+        .drop(*cuts)
+    )
+
+
+def quantile_bin_sql(
+    from_sql: str,
+    col_expr: str,
+    id_expr: str,
+    nbins: int = 10,
+    k: int = 2048,
+    seed: int = 42,
+    out_col: Optional[str] = None,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`quantile_bin` (same sketch +
+    interpolation + comparison-sum arithmetic)."""
+    from .sketches import _q_name, quantile_estimate_sql, quantile_sketch_sql
+
+    nbins = int(nbins)
+    out_col = out_col or f"{col_expr}_bin"
+    qs = tuple(i / nbins for i in range(1, nbins))
+    qsql = quantile_estimate_sql(
+        quantile_sketch_sql(from_sql, col_expr, id_expr, k=k, seed=seed),
+        qs=qs,
+    )
+    names = [_q_name(q) for q in qs]
+    thr = ", ".join(f"{n} AS __qb{i + 1}" for i, n in enumerate(names))
+    x = f"CAST({col_expr} AS DOUBLE)"
+    s = " + ".join(
+        f"CASE WHEN ({x}) >= __qb{i + 1} THEN 1 ELSE 0 END"
+        for i in range(len(qs)))
+    return f"""
+  SELECT {select_cols},
+         CASE WHEN ({x}) IS NULL THEN NULL ELSE ({s}) END AS {out_col}
+  FROM {from_sql}, (SELECT {thr} FROM ({qsql}))
+"""
+
+
 def winsorize_sql(
     from_sql: str,
     col_expr: str,

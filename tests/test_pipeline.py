@@ -354,3 +354,24 @@ def test_table_diff_matches_duckdb(spark):
         key_cols=["o_orderkey"], compare_cols=["o_totalprice"])
     want = {(int(k), s) for k, s, _ in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_quantile_bin_equal_frequency_and_nulls(spark):
+    from simba_spark.operators.pipeline import quantile_bin
+
+    rows = [(i, float(i)) for i in range(1000)] + [(5000, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = quantile_bin(df, "v", "id", nbins=4, k=1024)
+    got = {r["id"]: r["v_bin"] for r in out.collect()}
+    assert got[5000] is None
+    from collections import Counter
+    c = Counter(b for i, b in got.items() if i != 5000)
+    assert set(c) == {0, 1, 2, 3}
+    # k >= n so the sketch is exact: bins are equal-frequency +-1
+    assert all(abs(c[b] - 250) <= 1 for b in c)
+    # bins are monotone in the value
+    vals = sorted((i, b) for i, b in got.items() if i != 5000)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(vals, vals[1:]))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quantile_bin(df, "v", "id", nbins=1)

@@ -2298,6 +2298,20 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup blocking
+    (operators.dedup.sorted_neighborhood_pairs, Hernández & Stolfo
+    merge/purge): documents ranked by normalized text, candidate
+    pairs within 3 ranks — two-phase global rank + band equi-join,
+    output bounded by n*window. Oracle: row_number over the identical
+    order key + rank-distance self-join."""
+    from simba_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("__norm", F.lower(F.trim("text")))
+    return sorted_neighborhood_pairs(docs, "__norm", "doc_id", window=3)
+
+
 def q_quantile_bin(spark, sf_dir):
     """Equal-frequency feature binning
     (operators.pipeline.quantile_bin): events.value into 8 bins at
@@ -2513,6 +2527,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "sorted_neighborhood": q_sorted_neighborhood,
         "quantile_bin": q_quantile_bin,
         "table_diff": q_table_diff,
         "events_gapfill": q_events_gapfill,
@@ -2568,7 +2583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
-        "skewed_join": q_skewed_join,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -2612,6 +2626,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "events_rolling": q_events_rolling,
         "vector_knn_join": q_vector_knn_join,
+        "skewed_join": q_skewed_join,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3341,6 +3356,20 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
         ),
+        "sorted_neighborhood": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY lower(trim(text)) || chr(1) ||
+                                lpad(doc_id::VARCHAR, 20, '0')
+                     ) AS rk
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   (b.rk - a.rk) AS rank_dist
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3
+        """,
         "quantile_bin": f"""
             SELECT event_id, value_bin FROM ({quantile_bin_sql(
                 "events", "value", "event_id", nbins=8, k=512)})

@@ -854,6 +854,64 @@ def _probe_signatures(sig_col, n_planes: int, probe: int):
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández & Stolfo 1995,
+    the merge/purge method): rows are globally ranked by
+    ``(sort_col, id_col)`` and every pair within ``window`` ranks is a
+    candidate — the classic entity-resolution blocker for near-keys
+    that hash/signature blockers miss (typo'd titles, shifted
+    prefixes). Returns (a_id, b_id, rank_dist), a_id ranked before
+    b_id, 1 <= rank_dist <= window.
+
+    Scale shape: the global rank is the two-phase
+    :func:`..pipeline.running_total` (range-repartition + broadcast
+    per-partition offsets — never a single-partition window); the
+    neighborhood join is a band equi-join on floor(rank/window) with
+    the left side exploded to its band and the next (each qualifying
+    pair lands in exactly one band, so candidates are emitted once and
+    the join is ~2 skinny (id, rank) rows per input row, output
+    bounded by n·window).
+
+    The order key is ``sort_col || chr(1) || zero-padded id`` — chr(1)
+    sorts below every printable byte, so lexicographic order on the
+    key equals tuple order on (sort_col, id) provided sort_col itself
+    never contains chr(1) (both engines compare binary UTF-8; the
+    oracle mirrors the same key).
+    """
+    from .pipeline import running_total
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    okey = F.concat(F.col(sort_col).cast("string"), F.expr("chr(1)"),
+                    F.lpad(F.col(id_col).cast("string"), 20, "0"))
+    base = (
+        df.filter(F.col(sort_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(F.col(id_col), okey.alias("__sn_k"), F.lit(1).alias("__one"))
+    )
+    ranked = running_total(base, "__sn_k", "__one", "__sn_r")
+    skinny = ranked.select(F.col(id_col), F.col("__sn_r"))
+    a = skinny.select(F.col(id_col).alias("a_id"),
+                      F.col("__sn_r").alias("__ra"))
+    b = skinny.select(F.col(id_col).alias("b_id"),
+                      F.col("__sn_r").alias("__rb"))
+    band = F.floor(F.col("__ra") / w)
+    a2 = a.withColumn("__band", F.explode(F.array(band, band + 1)))
+    b2 = b.withColumn("__band", F.floor(F.col("__rb") / w))
+    return (
+        a2.join(b2, on="__band")
+        .filter((F.col("__rb") > F.col("__ra"))
+                & (F.col("__rb") - F.col("__ra") <= w))
+        .select("a_id", "b_id",
+                (F.col("__rb") - F.col("__ra")).alias("rank_dist"))
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -204,3 +204,39 @@ def test_kmeans_fewer_rows_than_k(spark):
     out, cents = kmeans(df, k=8, iters=2, dim=2)
     assert len(cents) == 2
     assert out.count() == 2
+
+
+def test_sorted_neighborhood_pairs_bruteforce(spark):
+    """Candidates == all pairs within `window` ranks of the documented
+    (sort, id) order, each emitted exactly once."""
+    from simba_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"title {chr(97 + (i * 7) % 26)}{i % 10}") for i in range(80)]
+    rows += [(100, None), (None, "x")]   # dropped
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["rank_dist"])
+        for r in sorted_neighborhood_pairs(df, "name", "id",
+                                           window=4).collect()
+    )
+    valid = [(i, n) for i, n in rows if i is not None and n is not None]
+    ranked = sorted(valid, key=lambda r: (r[1], r[0]))
+    want = sorted(
+        (ranked[i][0], ranked[j][0], j - i)
+        for i in range(len(ranked))
+        for j in range(i + 1, min(i + 5, len(ranked)))
+    )
+    assert got == want
+    assert len(got) == len(set((a, b) for a, b, _ in got))
+
+
+def test_sorted_neighborhood_partitioning_invariant(spark):
+    from simba_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{(i * 13) % 40:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    a = sorted(map(tuple, sorted_neighborhood_pairs(
+        df, "name", "id", window=2).collect()))
+    b = sorted(map(tuple, sorted_neighborhood_pairs(
+        df.repartition(17), "name", "id", window=2).collect()))
+    assert a == b

@@ -3361,7 +3361,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      row_number() OVER (
                        ORDER BY lower(trim(text)) || chr(1) ||
-                                lpad(doc_id::VARCHAR, 20, '0')
+                                lpad(length(doc_id::VARCHAR)::VARCHAR, 4, '0')
+                                || doc_id::VARCHAR
                      ) AS rk
               FROM documents
               WHERE text IS NOT NULL AND doc_id IS NOT NULL

@@ -89,14 +89,17 @@ def _assign_arrow(df: DataFrame, vec_col: str,
     centroid matrix ships in the serialized closure (bounded by
     parameters); per Arrow batch the work is k*d vectorized ops."""
     cmat = [[float(x) for x in c] for c in cents]
-    schema = T.StructType(list(df.schema.fields)
-                          + [T.StructField(out_col, T.IntegerType())])
+    # replace an existing out_col (withColumn semantics on the codegen
+    # path) instead of appending a duplicate field
+    keep = [f for f in df.schema.fields if f.name != out_col]
+    keep_names = [f.name for f in keep]
+    schema = T.StructType(keep + [T.StructField(out_col, T.IntegerType())])
 
     def it(batches):
         import numpy as np
 
         for pdf in batches:
-            out = pdf.copy()
+            out = pdf[keep_names].copy()
             if len(pdf) == 0:
                 out[out_col] = np.empty(0, dtype="int32")
                 yield out
@@ -177,8 +180,16 @@ def kmeans(
     assignment kernel ('auto'/'codegen'/'arrow' — see :func:`_assign`;
     results are bit-identical either way)."""
     if dim is None:
-        row = df.filter(F.col(vec_col).isNotNull()).select(
-            F.size(vec_col).alias("d")).first()
+        # modal vector size — deterministic under any partitioning
+        # (a bare first() would make the validity filter, and thus
+        # every assignment, depend on physical row order when sizes
+        # are mixed); ties break to the smaller size
+        row = (
+            df.filter(F.col(vec_col).isNotNull())
+            .groupBy(F.size(vec_col).alias("d")).count()
+            .orderBy(F.col("count").desc(), F.col("d").asc())
+            .first()
+        )
         if row is None:
             raise ValueError("kmeans: no non-null vectors")
         dim = int(row["d"])
@@ -186,6 +197,10 @@ def kmeans(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
         & (F.size(vec_col) == dim)
     )
+    # the loop evaluates `base` iters+1 times (init + one job per
+    # iteration) — pin it so an expensive upstream lineage is paid
+    # once; released before returning the lazy final assignment
+    base = base.persist()
     init = (
         base.select(
             F.md5(F.concat(F.col(id_col).cast("string"),
@@ -216,6 +231,7 @@ def kmeans(
         # mirrored in the oracle's LEFT JOIN + coalesce)
         cents = [new.get(j, cents[j]) for j in range(k_eff)]
 
+    base.unpersist()
     return _assign(base, vec_col, cents, out_col, route=route), cents
 
 

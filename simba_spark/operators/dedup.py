@@ -877,19 +877,23 @@ def sorted_neighborhood_pairs(
     the join is ~2 skinny (id, rank) rows per input row, output
     bounded by n·window).
 
-    The order key is ``sort_col || chr(1) || zero-padded id`` — chr(1)
-    sorts below every printable byte, so lexicographic order on the
-    key equals tuple order on (sort_col, id) provided sort_col itself
-    never contains chr(1) (both engines compare binary UTF-8; the
-    oracle mirrors the same key).
+    The order key is ``sort_col || chr(1) || lpad(length(id), 4) ||
+    id`` — chr(1) sorts below every printable byte, so lexicographic
+    order on the key equals sort_col order with a deterministic
+    (length(id), id) tiebreak, and the key is unique for unique ids of
+    ANY length (a fixed-width lpad would silently truncate long string
+    ids and break the uniqueness running_total requires). sort_col
+    must not contain chr(1); both engines compare binary UTF-8 and the
+    oracle mirrors the same key.
     """
     from .pipeline import running_total
 
     w = int(window)
     if w < 1:
         raise ValueError(f"window must be >= 1: {window}")
+    ids = F.col(id_col).cast("string")
     okey = F.concat(F.col(sort_col).cast("string"), F.expr("chr(1)"),
-                    F.lpad(F.col(id_col).cast("string"), 20, "0"))
+                    F.lpad(F.length(ids).cast("string"), 4, "0"), ids)
     base = (
         df.filter(F.col(sort_col).isNotNull() & F.col(id_col).isNotNull())
         .select(F.col(id_col), okey.alias("__sn_k"), F.lit(1).alias("__one"))

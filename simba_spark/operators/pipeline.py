@@ -134,10 +134,13 @@ def table_diff(
     ONE full-outer shuffle join on the keys (both sides pre-projected
     to keys + compare columns, so the shuffle carries only compared
     data); per-column null-safe equality and the status CASE are
-    codegen expressions. Keys must be non-null (a NULL key cannot
-    match itself across snapshots — enforced with a distributed
-    raise_error, no driver job). ``compare_cols`` defaults to the
-    non-key columns present on BOTH sides.
+    codegen expressions. Keys must be non-null and UNIQUE per side —
+    'one row per key' is the contract, and duplicate keys would fan
+    the outer join out to m×n contradictory rows — both enforced with
+    distributed raise_errors (no driver job; the uniqueness count
+    window hashes on the keys, the same partitioning the join needs
+    anyway). ``compare_cols`` defaults to the non-key columns present
+    on BOTH sides.
     """
     keys = list(key_cols)
     if compare_cols is None:
@@ -148,24 +151,32 @@ def table_diff(
         if c in left.columns or c in right.columns:
             raise ValueError(f"reserved column name {c!r} in input")
 
-    def _gkey(kc, side):
-        # the guard lives INSIDE the key expression — a side-channel
+    def _guarded(df, side, payload):
+        # both guards live INSIDE the key expression — a side-channel
         # column would be pruned as dead code before it could raise
-        return F.when(
-            F.col(kc).isNull(),
-            F.raise_error(F.lit(
-                f"table_diff: NULL {kc} on {side} side "
-                f"(keys must be non-null)")).cast(dict(
-                    left.dtypes if side == "left" else right.dtypes)[kc]),
-        ).otherwise(F.col(kc)).alias(kc)
+        dup = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        dtypes = dict(df.dtypes)
 
-    l = left.select(
-        *[_gkey(k, "left") for k in keys], *cmps,
-        F.lit(1).alias("__l_present"))
-    r = right.select(
-        *[_gkey(k, "right") for k in keys],
-        *[F.col(c).alias(f"__r_{c}") for c in cmps],
-        F.lit(1).alias("__r_present"))
+        def gkey(kc):
+            return F.when(
+                F.col(kc).isNull(),
+                F.raise_error(F.lit(
+                    f"table_diff: NULL {kc} on {side} side "
+                    f"(keys must be non-null)")).cast(dtypes[kc]),
+            ).when(
+                dup > 1,
+                F.raise_error(F.concat(
+                    F.lit(f"table_diff: duplicate key on {side} side: "),
+                    F.col(kc).cast("string"))).cast(dtypes[kc]),
+            ).otherwise(F.col(kc)).alias(kc)
+
+        return df.select(*[gkey(k) for k in keys], *payload)
+
+    l = _guarded(left, "left",
+                 [*cmps, F.lit(1).alias("__l_present")])
+    r = _guarded(right, "right",
+                 [*[F.col(c).alias(f"__r_{c}") for c in cmps],
+                  F.lit(1).alias("__r_present")])
     j = l.join(r, on=keys, how="full_outer")
     diffs = F.filter(
         F.array(*[
@@ -844,9 +855,14 @@ def quantile_bin_sql(
     s = " + ".join(
         f"CASE WHEN ({x}) >= __qb{i + 1} THEN 1 ELSE 0 END"
         for i in range(len(qs)))
+    # __qb1 IS NULL (empty sketch — e.g. every binnable row has a NULL
+    # id) mirrors Spark's NULL-propagating comparison sum: bin is NULL,
+    # not 0
     return f"""
   SELECT {select_cols},
-         CASE WHEN ({x}) IS NULL THEN NULL ELSE ({s}) END AS {out_col}
+         CASE WHEN ({x}) IS NULL THEN NULL
+              WHEN __qb1 IS NULL THEN NULL
+              ELSE ({s}) END AS {out_col}
   FROM {from_sql}, (SELECT {thr} FROM ({qsql}))
 """
 

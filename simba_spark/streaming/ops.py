@@ -36,10 +36,16 @@ def streaming_kmeans_assign(
     list here): nearest-centroid index per arriving vector. Stateless
     per-row projection — no watermark, no state store, identical
     assignment kernel (and the same codegen/Arrow size routing) as
-    batch, so stream scores match a batch re-score row-for-row."""
+    batch, so stream scores match a batch re-score row-for-row.
+    NULL / wrong-dimension vectors are dropped, mirroring the batch
+    validity filter (they would otherwise crash the Arrow kernel and
+    silently mis-assign on the codegen path)."""
     from ..operators.clustering import _assign
 
-    return _assign(stream_df, vec_col, centroids, out_col, route=route)
+    d = len(centroids[0])
+    valid = stream_df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == d))
+    return _assign(valid, vec_col, centroids, out_col, route=route)
 
 
 def streaming_exact_dedup(

@@ -240,3 +240,36 @@ def test_sorted_neighborhood_partitioning_invariant(spark):
     b = sorted(map(tuple, sorted_neighborhood_pairs(
         df.repartition(17), "name", "id", window=2).collect()))
     assert a == b
+
+
+def test_sorted_neighborhood_long_string_ids(spark):
+    """UUID-length ids stay unique in the order key (a fixed-width
+    lpad would truncate them) and ranks stay deterministic."""
+    from simba_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = "aaaaaaaaaaaaaaaaaaaa"   # 20-char shared prefix
+    rows = [(base + f"{i:016d}", "same") for i in range(30)]
+    df = spark.createDataFrame(rows, "id string, name string")
+    a = sorted(map(tuple, sorted_neighborhood_pairs(
+        df, "name", "id", window=2).collect()))
+    b = sorted(map(tuple, sorted_neighborhood_pairs(
+        df.repartition(7), "name", "id", window=2).collect()))
+    assert a == b
+    ids = sorted(r[0] for r in rows)
+    want = sorted(
+        (ids[i], ids[j], j - i)
+        for i in range(30) for j in range(i + 1, min(i + 3, 30)))
+    assert a == want
+
+
+def test_assign_arrow_overwrites_existing_out_col(spark):
+    from simba_spark.operators.clustering import _assign
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 99), (2, [5.0, 5.0], 99)],
+        "vec_id long, embedding array<float>, cluster int")
+    out = _assign(df, "embedding", [[0.0, 0.0], [5.0, 5.0]],
+                  "cluster", route="arrow")
+    assert out.columns.count("cluster") == 1
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 0, 2: 1}

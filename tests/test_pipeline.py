@@ -375,3 +375,14 @@ def test_quantile_bin_equal_frequency_and_nulls(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         quantile_bin(df, "v", "id", nbins=1)
+
+
+def test_table_diff_duplicate_key_raises(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.pipeline import table_diff
+
+    left = spark.createDataFrame([(1, 10.0), (1, 20.0)], "k long, v double")
+    right = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    with _pt.raises(Exception, match="duplicate key"):
+        table_diff(left, right, ["k"]).collect()

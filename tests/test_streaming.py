@@ -882,3 +882,28 @@ def test_streaming_kmeans_assign_matches_batch(spark):
                           for r in got.collect()) == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_kmeans_assign_drops_invalid_vectors(spark):
+    """NULL / wrong-dimension vectors are dropped (batch-parity), not
+    crashed on, on both kernels."""
+    import shutil
+    import tempfile
+
+    from simba_spark.streaming.ops import streaming_kmeans_assign
+
+    d = tempfile.mkdtemp(prefix="simba_km_stream_inv_")
+    try:
+        rows = [(1, [0.0, 0.0]), (2, None), (3, [1.0]), (4, [5.0, 5.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        cents = [[0.0, 0.0], [5.0, 5.0]]
+        for route in ("codegen", "arrow"):
+            got = _run_stream(
+                spark, streaming_kmeans_assign(src, cents, route=route),
+                f"stream_km_inv_{route}")
+            assert sorted((r["vec_id"], r["cluster"])
+                          for r in got.collect()) == [(1, 0), (4, 1)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

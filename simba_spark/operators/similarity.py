@@ -212,11 +212,33 @@ def build_ivf(
     sample_cap: int = 2000,
     iters: int = 10,
     seed: int = 42,
+    trainer: str = "sample",
+    id_col: str = "vec_id",
 ):
-    """IVF index build: sample → driver k-means → assign every row its
+    """IVF index build: train a coarse quantizer, assign every row its
     inverted-list id (`__ivf`). At scale, repartition/persist (or write
     bucketed parquet) on `__ivf` so a probe scans only its lists.
-    Returns (assigned_df, centroids)."""
+    Returns (assigned_df, centroids).
+
+    ``trainer='sample'`` (default): ``sample_cap`` hash-selected
+    vectors into a driver-side numpy Lloyd's — the right cost for an
+    index (centroid quality saturates at a few thousand samples).
+    ``trainer='full'``: distributed Lloyd's over EVERY vector
+    (:func:`.clustering.kmeans` — requires ``id_col``; rows with NULL
+    id/vector or non-modal dimension are dropped by its validity
+    filter); pick this when the corpus has rare tail modes a bounded
+    sample would miss, at the cost of ``iters`` full passes."""
+    if trainer == "full":
+        from .clustering import kmeans
+
+        assigned, cents = kmeans(
+            df, vec_col=vec_col, id_col=id_col, k=int(n_centroids),
+            iters=int(iters), seed=int(seed), out_col="__ivf")
+        import numpy as np
+
+        return assigned, np.asarray(cents, dtype="float64")
+    if trainer != "sample":
+        raise ValueError(f"unknown IVF trainer: {trainer!r}")
     sample = [
         r[0]
         for r in df.select(vec_col)

@@ -273,3 +273,25 @@ def test_assign_arrow_overwrites_existing_out_col(spark):
     assert out.columns.count("cluster") == 1
     got = {r["vec_id"]: r["cluster"] for r in out.collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_build_ivf_full_trainer(vec_df):
+    """trainer='full' routes IVF quantizer training through the
+    distributed kmeans: assignments equal clustering.kmeans bit-for-
+    bit and every valid row gets a list id."""
+    import numpy as np
+
+    from simba_spark.operators.similarity import build_ivf
+
+    assigned, cents = build_ivf(
+        vec_df, n_centroids=3, iters=2, trainer="full", id_col="vec_id")
+    got = {r["vec_id"]: r["__ivf"]
+           for r in assigned.select("vec_id", "__ivf").collect()}
+    want_df, want_cents = kmeans(vec_df, k=3, iters=2, dim=4)
+    want = {r["vec_id"]: r["cluster"]
+            for r in want_df.select("vec_id", "cluster").collect()}
+    assert got == want
+    assert np.allclose(cents, np.asarray(want_cents))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        build_ivf(vec_df, trainer="nope")

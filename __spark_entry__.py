@@ -2298,6 +2298,18 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation screen (operators.stats.corr_matrix):
+    all lineitem numeric-pair correlations in ONE aggregate pass (no
+    joins), tidy (col_a, col_b, n_pairs, corr) rows rounded to 6.
+    Oracle: the same single-aggregate + per-pair projection."""
+    from simba_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 def q_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood dedup blocking
     (operators.dedup.sorted_neighborhood_pairs, Hernández & Stolfo
@@ -2527,6 +2539,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "corr_matrix": q_corr_matrix,
         "sorted_neighborhood": q_sorted_neighborhood,
         "quantile_bin": q_quantile_bin,
         "table_diff": q_table_diff,
@@ -2581,7 +2594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
-        "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
@@ -2627,6 +2639,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "vector_knn_join": q_vector_knn_join,
         "skewed_join": q_skewed_join,
+        "polygon_polygon_join": q_polygon_polygon_join,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3291,7 +3304,7 @@ def oracle_sql() -> dict[str, str]:
                                                 table_diff_sql,
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
-    from simba_spark.operators.stats import histogram_fixed_sql
+    from simba_spark.operators.stats import corr_matrix_sql, histogram_fixed_sql
     from simba_spark.operators.text import token_cooccurrence_sql
     from simba_spark.operators.sketches import (
         cm_estimate_sql, cm_sketch_sql,
@@ -3355,6 +3368,10 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": semantic_dedup_sql(
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
+        ),
+        "corr_matrix": corr_matrix_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ),
         "sorted_neighborhood": """
             WITH r AS (

@@ -205,3 +205,65 @@ def profile_columns(
         for c in cols
     ])
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE
+    aggregate pass (no joins, no per-pair scans): n(n-1)/2 corr +
+    pair-count aggregates computed together, then exploded to tidy
+    (col_a, col_b, n_pairs, corr) rows with col_a < col_b. The
+    feature-redundancy / leakage screen before training-set assembly.
+    Per-pair NULL handling is pairwise deletion (rows where either
+    side is NULL are excluded from that pair only), matching SQL
+    ``corr``; a pair with < 2 complete rows or zero variance yields
+    NULL. Correlations are rounded to ``round_dp`` so the result is
+    engine-stable (co-moment accumulation order differs between
+    engines at ~1e-15)."""
+    cs = list(cols)
+    if len(cs) < 2:
+        raise ValueError(f"corr_matrix needs >= 2 columns: {cs}")
+    pairs = [(a, b) for i, a in enumerate(cs) for b in cs[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        aggs.append(F.count(F.when(both, F.lit(1))).alias(f"__n_{a}_{b}"))
+        aggs.append(F.round(F.corr(x, y), int(round_dp)).alias(f"__c_{a}_{b}"))
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__n_{a}_{b}").alias("n_pairs"),
+            F.col(f"__c_{a}_{b}").alias("corr"),
+        )
+        for a, b in pairs
+    ])
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def corr_matrix_sql(
+    from_sql: str,
+    cols: Sequence[str],
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`corr_matrix` (same pairs, same
+    rounding; one scan via a single aggregate subquery)."""
+    cs = list(cols)
+    pairs = [(a, b) for i, a in enumerate(cs) for b in cs[i + 1:]]
+    aggs = ", ".join(
+        f"count(CASE WHEN CAST({a} AS DOUBLE) IS NOT NULL "
+        f"AND CAST({b} AS DOUBLE) IS NOT NULL THEN 1 END) AS __n_{a}_{b}, "
+        f"round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), "
+        f"{int(round_dp)}) AS __c_{a}_{b}"
+        for a, b in pairs)
+    sel = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"__n_{a}_{b} AS n_pairs, __c_{a}_{b} AS corr FROM w"
+        for a, b in pairs)
+    return f"WITH w AS (SELECT {aggs} FROM {from_sql})\n{sel}"

@@ -386,3 +386,25 @@ def test_table_diff_duplicate_key_raises(spark):
     right = spark.createDataFrame([(1, 10.0)], "k long, v double")
     with _pt.raises(Exception, match="duplicate key"):
         table_diff(left, right, ["k"]).collect()
+
+
+def test_corr_matrix_one_pass_and_values(spark):
+    import math
+
+    from simba_spark.operators.stats import corr_matrix
+
+    rows = [(float(i), float(2 * i + 1), float(-i), None if i % 2 else float(i * i))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = corr_matrix(df, ["a", "b", "c", "d"])
+    got = {(r["col_a"], r["col_b"]): (r["n_pairs"], r["corr"])
+           for r in out.collect()}
+    assert got[("a", "b")] == (50, 1.0)       # perfectly linear
+    assert got[("a", "c")] == (50, -1.0)
+    assert got[("a", "d")][0] == 25           # pairwise deletion
+    # one aggregate pass: no Exchange beyond the single global agg, no joins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        corr_matrix(df, ["a"])

@@ -61,8 +61,9 @@ def test_round6_debuts_lead_the_window():
     registrations that went straight to extra_queries() without driver
     rows), then the round-5 debuts still earning their 3 greens (dict
     order IS the driver's check order)."""
-    head = list(entrymod.queries())[:46]
+    head = list(entrymod.queries())[:47]
     assert head == [
+        "corr_matrix",
         "sorted_neighborhood",
         "quantile_bin",
         "table_diff",

@@ -2298,6 +2298,29 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_validate_events(spark, sf_dir):
+    """Row-level data-quality gate (operators.pipeline.validate_rows):
+    events checked against 4 named rules (non-null finite value,
+    known event_type, non-null user, ts present); emits each row's
+    sorted failed-rule list (empty = clean) — zero-shuffle codegen,
+    NULL rule results count as failures. Oracle: the identical CASE
+    array + list_filter."""
+    from simba_spark.operators.pipeline import validate_rows
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    rules = {
+        "value_finite": v.isNotNull() & ~F.isnan(v)
+        & (F.abs(v) != F.lit(float("inf"))),
+        "known_type": F.col("event_type").isin("click", "view", "purchase"),
+        "user_present": F.col("user_id").isNotNull(),
+        "ts_present": F.col("ts").isNotNull(),
+    }
+    out = validate_rows(ev, rules)
+    return out.select(
+        "event_id", F.array_join("failed_rules", ",").alias("failed"))
+
+
 def q_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlation screen (operators.stats.corr_matrix):
     all lineitem numeric-pair correlations in ONE aggregate pass (no
@@ -2539,6 +2562,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "validate_events": q_validate_events,
         "corr_matrix": q_corr_matrix,
         "sorted_neighborhood": q_sorted_neighborhood,
         "quantile_bin": q_quantile_bin,
@@ -2594,7 +2618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 debuts (need their 3 greens before rotating) ---
         "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
-        "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -2640,6 +2663,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_knn_join": q_vector_knn_join,
         "skewed_join": q_skewed_join,
         "polygon_polygon_join": q_polygon_polygon_join,
+        "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3369,6 +3393,23 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
         ),
+        "validate_events": """
+            SELECT event_id,
+                   coalesce(array_to_string(list_filter([
+                     CASE WHEN NOT coalesce(
+                       event_type IN ('click','view','purchase'), false)
+                       THEN 'known_type' END,
+                     CASE WHEN NOT coalesce(ts IS NOT NULL, false)
+                       THEN 'ts_present' END,
+                     CASE WHEN NOT coalesce(user_id IS NOT NULL, false)
+                       THEN 'user_present' END,
+                     CASE WHEN NOT coalesce(
+                       value IS NOT NULL AND NOT isnan(value)
+                       AND abs(value) != 'infinity'::DOUBLE, false)
+                       THEN 'value_finite' END
+                   ], x -> x IS NOT NULL), ','), '') AS failed
+            FROM events
+        """,
         "corr_matrix": corr_matrix_sql(
             "lineitem",
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

@@ -233,6 +233,41 @@ def table_diff_sql(
     """
 
 
+def validate_rows(
+    df: DataFrame,
+    rules: "dict[str, Column]",
+    out_col: str = "failed_rules",
+) -> DataFrame:
+    """Row-level data-quality validation: ``rules`` maps rule name →
+    boolean pass-Column; adds ``out_col`` = the sorted array of FAILED
+    rule names (empty = clean row). A NULL rule result counts as a
+    FAILURE (`coalesce(pred, false)` — a rule that cannot evaluate did
+    not pass), so NULL-blind predicates quarantine instead of leaking.
+    Zero shuffle, whole-stage codegen. The dead-letter primitive:
+    ``filter(size(out_col) == 0)`` is the clean stream,
+    :func:`quarantine` splits both."""
+    if not rules:
+        raise ValueError("validate_rows: no rules given")
+    arr = F.array(*[
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in sorted(rules.items())
+    ])
+    return df.withColumn(out_col, F.filter(arr, lambda x: x.isNotNull()))
+
+
+def quarantine(
+    df: DataFrame,
+    rules: "dict[str, Column]",
+    out_col: str = "failed_rules",
+) -> "tuple[DataFrame, DataFrame]":
+    """(clean, quarantined) split from :func:`validate_rows`: clean
+    rows drop the marker column, quarantined rows keep the failed-rule
+    list for the dead-letter sink."""
+    v = validate_rows(df, rules, out_col=out_col)
+    return (v.filter(F.size(out_col) == 0).drop(out_col),
+            v.filter(F.size(out_col) > 0))
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,

@@ -408,3 +408,30 @@ def test_corr_matrix_one_pass_and_values(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         corr_matrix(df, ["a"])
+
+
+def test_validate_rows_and_quarantine(spark):
+    from simba_spark.operators.pipeline import quarantine, validate_rows
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, None, "ok"), (3, -1.0, None), (4, 2.0, "bad")],
+        "id long, v double, tag string")
+    rules = {
+        "v_pos": F.col("v") > 0,                  # NULL v -> fail
+        "tag_ok": F.col("tag").isin("ok"),        # NULL tag -> fail
+    }
+    got = {r["id"]: list(r["failed_rules"])
+           for r in validate_rows(df, rules).collect()}
+    assert got == {
+        1: [],
+        2: ["v_pos"],                # NULL predicate counts as failure
+        3: ["tag_ok", "v_pos"],      # negative value AND null tag
+        4: ["tag_ok"],
+    }
+    clean, bad = quarantine(df, rules)
+    assert sorted(r["id"] for r in clean.collect()) == [1]
+    assert "failed_rules" not in clean.columns
+    assert sorted(r["id"] for r in bad.collect()) == [2, 3, 4]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        validate_rows(df, {})

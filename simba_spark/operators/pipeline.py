@@ -830,6 +830,7 @@ def quantile_bin(
     k: int = 2048,
     seed: int = 42,
     out_col: Optional[str] = None,
+    group_by: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Equal-frequency discretization: bin index 0..nbins-1 per row,
     cut points at the i/nbins quantiles from the mergeable bottom-k
@@ -838,8 +839,11 @@ def quantile_bin(
     engine-reproducible, and a single lazy plan — no fit/transform
     driver round-trip). Ties on a cut go to the upper bin (x >= cut).
     NULL values get a NULL bin. Same scale shape as :func:`winsorize`:
-    ≤ k sketch rows cross the wire, thresholds broadcast back as a
-    1-row frame, assignment is a codegen sum of comparisons."""
+    ≤ k sketch rows per group cross the wire, thresholds join back
+    (1-row broadcast when ungrouped, a broadcast per-group cut frame
+    with ``group_by`` — per-source/per-language bins from one call),
+    assignment is a codegen sum of comparisons. Rows in a group absent
+    from the cut frame (all-NULL ids) get NULL bins."""
     from .sketches import quantile_digest
 
     nbins = int(nbins)
@@ -848,14 +852,19 @@ def quantile_bin(
     out_col = out_col or f"{col}_bin"
     qs = tuple(i / nbins for i in range(1, nbins))
     cuts = [f"__qb{i}" for i in range(1, nbins)]
-    qrow = quantile_digest(df, col, id_col, qs=qs, k=k, seed=seed).toDF(*cuts)
+    gb = list(group_by or [])
+    dig = quantile_digest(df, col, id_col, qs=qs, k=k, seed=seed,
+                          group_by=gb or None)
+    qrow = dig.toDF(*gb, *cuts)
     x = F.col(col).cast("double")
     bin_expr = None
     for c in cuts:
         t = (x >= F.col(c)).cast("int")
         bin_expr = t if bin_expr is None else bin_expr + t
+    joined = (df.join(F.broadcast(qrow), on=gb, how="left") if gb
+              else df.crossJoin(F.broadcast(qrow)))
     return (
-        df.crossJoin(F.broadcast(qrow))
+        joined
         .withColumn(out_col,
                     F.when(x.isNull(), F.lit(None).cast("int"))
                     .otherwise(bin_expr))

@@ -435,3 +435,20 @@ def test_validate_rows_and_quarantine(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         validate_rows(df, {})
+
+
+def test_quantile_bin_grouped(spark):
+    from simba_spark.operators.pipeline import quantile_bin
+
+    rows = ([(i, "a", float(i)) for i in range(100)]
+            + [(1000 + i, "b", float(1000 + i)) for i in range(100)])
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_bin(df, "v", "id", nbins=4, k=512, group_by=["g"])
+    got = {(r["g"], r["id"]): r["v_bin"] for r in out.collect()}
+    from collections import Counter
+    for g in ("a", "b"):
+        c = Counter(b for (gg, _), b in got.items() if gg == g)
+        # per-group equal-frequency: group b's large values bin 0..3
+        # within b, not all into the global top bin
+        assert set(c) == {0, 1, 2, 3}
+        assert all(abs(c[b] - 25) <= 1 for b in c)

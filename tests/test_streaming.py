@@ -907,3 +907,29 @@ def test_streaming_kmeans_assign_drops_invalid_vectors(spark):
                           for r in got.collect()) == [(1, 0), (4, 1)]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_validate_rows(spark):
+    """validate_rows is a stateless projection, so the dead-letter gate
+    applies to a stream unchanged — same failed-rule arrays as batch."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.pipeline import validate_rows
+
+    d = tempfile.mkdtemp(prefix="simba_val_stream_")
+    try:
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, -2.0)], "id long, v double")
+        df.write.mode("overwrite").parquet(d)
+        rules = {"v_pos": F.col("v") > 0}
+        src = spark.readStream.schema(df.schema).parquet(d)
+        got = _run_stream(
+            spark,
+            validate_rows(src, rules).select(
+                "id", F.array_join("failed_rules", ",").alias("failed")),
+            "stream_val_out")
+        assert {r["id"]: r["failed"] for r in got.collect()} == {
+            1: "", 2: "v_pos", 3: "v_pos"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

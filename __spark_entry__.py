@@ -2298,6 +2298,18 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_cov_matrix(spark, sf_dir):
+    """Sample covariance matrix (operators.stats.cov_matrix): all
+    lineitem numeric pairs incl. variances in ONE aggregate pass,
+    tidy (col_a, col_b, n_pairs, cov) rows rounded to 6 — the PCA /
+    feature-scaling input. Oracle: same single-aggregate program."""
+    from simba_spark.operators.stats import cov_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cov_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 def q_validate_events(spark, sf_dir):
     """Row-level data-quality gate (operators.pipeline.validate_rows):
     events checked against 4 named rules (non-null finite value,
@@ -2562,6 +2574,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "cov_matrix": q_cov_matrix,
         "validate_events": q_validate_events,
         "corr_matrix": q_corr_matrix,
         "sorted_neighborhood": q_sorted_neighborhood,
@@ -2616,7 +2629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "dup_ngrams": q_dup_ngrams,
         # --- round-4 debuts (need their 3 greens before rotating) ---
-        "asof_join": q_asof_join,
         "events_quantiles": q_events_quantiles,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
@@ -2664,6 +2676,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_join": q_skewed_join,
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
+        "asof_join": q_asof_join,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3328,7 +3341,8 @@ def oracle_sql() -> dict[str, str]:
                                                 table_diff_sql,
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
-    from simba_spark.operators.stats import corr_matrix_sql, histogram_fixed_sql
+    from simba_spark.operators.stats import (corr_matrix_sql, cov_matrix_sql,
+                                             histogram_fixed_sql)
     from simba_spark.operators.text import token_cooccurrence_sql
     from simba_spark.operators.sketches import (
         cm_estimate_sql, cm_sketch_sql,
@@ -3392,6 +3406,10 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": semantic_dedup_sql(
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
+        ),
+        "cov_matrix": cov_matrix_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ),
         "validate_events": """
             SELECT event_id,

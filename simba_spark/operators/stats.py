@@ -267,3 +267,58 @@ def corr_matrix_sql(
         f"__n_{a}_{b} AS n_pairs, __c_{a}_{b} AS corr FROM w"
         for a, b in pairs)
     return f"WITH w AS (SELECT {aggs} FROM {from_sql})\n{sel}"
+
+
+def cov_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Sample covariance matrix over numeric columns in ONE aggregate
+    pass (diagonal included = variances): tidy (col_a, col_b, n_pairs,
+    cov) rows with col_a <= col_b. Pairwise NULL deletion and rounding
+    as in :func:`corr_matrix`; the input to feature scaling / PCA."""
+    cs = list(cols)
+    if not cs:
+        raise ValueError("cov_matrix needs >= 1 column")
+    pairs = [(a, b) for i, a in enumerate(cs) for b in cs[i:]]
+    aggs = []
+    for a, b in pairs:
+        x = F.col(a).cast("double")
+        y = F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        aggs.append(F.count(F.when(both, F.lit(1))).alias(f"__n_{a}_{b}"))
+        aggs.append(
+            F.round(F.covar_samp(x, y), int(round_dp)).alias(f"__v_{a}_{b}"))
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__n_{a}_{b}").alias("n_pairs"),
+            F.col(f"__v_{a}_{b}").alias("cov"),
+        )
+        for a, b in pairs
+    ])
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def cov_matrix_sql(
+    from_sql: str,
+    cols: Sequence[str],
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`cov_matrix`."""
+    cs = list(cols)
+    pairs = [(a, b) for i, a in enumerate(cs) for b in cs[i:]]
+    aggs = ", ".join(
+        f"count(CASE WHEN CAST({a} AS DOUBLE) IS NOT NULL "
+        f"AND CAST({b} AS DOUBLE) IS NOT NULL THEN 1 END) AS __n_{a}_{b}, "
+        f"round(covar_samp(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), "
+        f"{int(round_dp)}) AS __v_{a}_{b}"
+        for a, b in pairs)
+    sel = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"__n_{a}_{b} AS n_pairs, __v_{a}_{b} AS cov FROM w"
+        for a, b in pairs)
+    return f"WITH w AS (SELECT {aggs} FROM {from_sql})\n{sel}"

@@ -295,3 +295,85 @@ def test_build_ivf_full_trainer(vec_df):
     import pytest as _pt
     with _pt.raises(ValueError):
         build_ivf(vec_df, trainer="nope")
+
+
+def test_cov_matrix_values(spark):
+    from simba_spark.operators.stats import cov_matrix
+
+    rows = [(float(i), float(3 * i), float(-2 * i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_a"], r["col_b"]): r["cov"] for r in
+           cov_matrix(df, ["a", "b", "c"]).collect()}
+    va = got[("a", "a")]
+    assert abs(got[("a", "b")] - 3 * va) < 1e-4
+    assert abs(got[("a", "c")] + 2 * va) < 1e-4
+    assert abs(got[("b", "b")] - 9 * va) < 1e-3
+
+
+def test_pca_recovers_planted_subspace(spark):
+    import random
+
+    import numpy as np
+
+    from simba_spark.operators.pca import fit_pca, pca_project
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(400):
+        t, u = rng.gauss(0, 3), rng.gauss(0, 1)
+        # data lives in span{(1,1,0,0)/√2, (0,0,1,-1)/√2} + tiny noise
+        v = [t / 2 ** 0.5 + rng.gauss(0, 0.01),
+             t / 2 ** 0.5 + rng.gauss(0, 0.01),
+             u / 2 ** 0.5 + rng.gauss(0, 0.01),
+             -u / 2 ** 0.5 + rng.gauss(0, 0.01)]
+        rows.append((i, [float(x) for x in v]))
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mean, comps, lams = fit_pca(df, n_components=2, dim=4)
+    assert lams[0] >= lams[1] > 0
+    # top-2 eigenvalues carry ~all the variance
+    _, _, all_lams = fit_pca(df, n_components=4, dim=4)
+    assert sum(all_lams[:2]) / sum(all_lams) > 0.99
+    out = pca_project(df, n_components=2, dim=4).collect()
+    assert len(out) == 400   # NULL row dropped
+    Y = np.array([list(r["pca"]) for r in out])
+    # projected variance ordered; matches eigenvalues
+    assert Y[:, 0].var(ddof=1) >= Y[:, 1].var(ddof=1)
+    assert abs(Y[:, 0].var(ddof=1) - lams[0]) / lams[0] < 0.05
+
+
+def test_pca_deterministic_and_model_reuse(spark):
+    import random
+
+    from simba_spark.operators.pca import fit_pca, pca_project
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m1 = fit_pca(df, n_components=3, dim=6)
+    m2 = fit_pca(df.repartition(13), n_components=3, dim=6)
+    assert m1 == m2      # rounded moments -> bit-stable basis
+    a = {r["vec_id"]: list(r["pca"]) for r in
+         pca_project(df, n_components=3, dim=6).collect()}
+    b = {r["vec_id"]: list(r["pca"]) for r in
+         pca_project(df.repartition(7), n_components=3, dim=6,
+                     model=m1).collect()}
+    assert a == b
+
+
+def test_pca_whiten_unit_variance(spark):
+    import random
+
+    import numpy as np
+
+    from simba_spark.operators.pca import pca_project
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 5), rng.gauss(0, 1), rng.gauss(0, 0.2)])
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    Y = np.array([list(r["pca"]) for r in
+                  pca_project(df, n_components=2, dim=3,
+                              whiten=True).collect()])
+    assert abs(Y[:, 0].var(ddof=1) - 1.0) < 0.05
+    assert abs(Y[:, 1].var(ddof=1) - 1.0) < 0.05

@@ -14,6 +14,7 @@ from .ops import (
     streaming_distance_join,
     streaming_exact_dedup,
     streaming_kmeans_assign,
+    streaming_pca_project,
     streaming_interval_join,
     streaming_knn_join,
     streaming_range_filter,
@@ -30,6 +31,7 @@ __all__ = [
     "streaming_distance_join",
     "streaming_exact_dedup",
     "streaming_kmeans_assign",
+    "streaming_pca_project",
     "streaming_knn_join",
     "streaming_interval_join",
     "streaming_stream_distance_join",

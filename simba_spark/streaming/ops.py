@@ -48,6 +48,24 @@ def streaming_kmeans_assign(
     return _assign(valid, vec_col, centroids, out_col, route=route)
 
 
+def streaming_pca_project(
+    stream_df: DataFrame,
+    model,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project arriving vectors onto a PCA basis fitted in batch
+    (:func:`..operators.pca.fit_pca`): stateless constant-size
+    aggregate-fold projection, identical arithmetic to the batch
+    :func:`..operators.pca.pca_project`, so stream coordinates match a
+    batch re-projection row-for-row. NULL / wrong-dimension vectors
+    are dropped (batch parity)."""
+    from ..operators.pca import pca_project
+
+    return pca_project(stream_df, vec_col=vec_col, out_col=out_col,
+                       model=model)
+
+
 def streaming_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",

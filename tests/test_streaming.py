@@ -933,3 +933,31 @@ def test_streaming_validate_rows(spark):
             1: "", 2: "v_pos", 3: "v_pos"}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_pca_project_matches_batch(spark):
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.pca import fit_pca, pca_project
+    from simba_spark.streaming.ops import streaming_pca_project
+
+    d = tempfile.mkdtemp(prefix="simba_pca_stream_")
+    try:
+        import random
+        rng = random.Random(4)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(5)]) for i in range(150)]
+        rows.append((999, None))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        model = fit_pca(df, n_components=2, dim=5)
+        want = sorted((r["vec_id"], tuple(r["pca"])) for r in
+                      pca_project(df, model=model).collect())
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        got = _run_stream(spark, streaming_pca_project(src, model),
+                          "stream_pca_out")
+        assert sorted((r["vec_id"], tuple(r["pca"]))
+                      for r in got.collect()) == want
+        assert len(want) == 150
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2298,6 +2298,20 @@ def q_kmeans_embeddings(spark, sf_dir):
     return out.select("vec_id", "cluster")
 
 
+def q_events_ewma(spark, sf_dir):
+    """Bounded-window EWMA per user (operators.timeseries.ewma,
+    alpha=0.25, last 8 observations): one ordered window pass, two
+    constant-size aggregate folds per row; numerator and weight sum
+    use the SAME left fold so the oracle's list_reduce matches
+    bit-for-bit (no libm pow divergence)."""
+    from simba_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, ts_col="ts", key_col="user_id", value_col="value",
+               alpha=0.25, window=8, tiebreak_col="event_id")
+    return out.select("event_id", "ewma")
+
+
 def q_cov_matrix(spark, sf_dir):
     """Sample covariance matrix (operators.stats.cov_matrix): all
     lineitem numeric pairs incl. variances in ONE aggregate pass,
@@ -2574,6 +2588,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-6 debuts ---
+        "events_ewma": q_events_ewma,
         "cov_matrix": q_cov_matrix,
         "validate_events": q_validate_events,
         "corr_matrix": q_corr_matrix,
@@ -2629,7 +2644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "dup_ngrams": q_dup_ngrams,
         # --- round-4 debuts (need their 3 greens before rotating) ---
-        "events_quantiles": q_events_quantiles,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -2677,6 +2691,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_polygon_join": q_polygon_polygon_join,
         "polygon_polygon_distance_join": q_polygon_polygon_distance_join,
         "asof_join": q_asof_join,
+        "events_quantiles": q_events_quantiles,
         # --- rotated after round 5 with 2 driver greens (r4+r5) to
         #     seat the 15 promotions — untouched code paths whose
         #     operator families keep other driver rows (tpch_q18;
@@ -3407,6 +3422,24 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", vec_col="embedding", id_col="vec_id",
             threshold=0.42, k=4, iters=2, dim=64,
         ),
+        "events_ewma": """
+            WITH e AS (
+              SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+              FROM events WHERE value IS NOT NULL
+            ), w AS (
+              SELECT event_id,
+                     list(v) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+                     ) AS l
+              FROM e
+            )
+            SELECT event_id,
+                   list_reduce(l, (acc, x) -> acc * 0.75::DOUBLE + x) /
+                   list_reduce(list_transform(l, x -> 1.0::DOUBLE),
+                               (acc, x) -> acc * 0.75::DOUBLE + x) AS ewma
+            FROM w
+        """,
         "cov_matrix": cov_matrix_sql(
             "lineitem",
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

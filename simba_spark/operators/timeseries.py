@@ -160,3 +160,53 @@ def resample(
                 pv["v"] + (nx["v"] - pv["v"]) * frac)
             out = out.withColumn(n, filled)
     return out
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    window: int = 8,
+    tiebreak_col: Optional[str] = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Adjusted exponentially-weighted moving average over each key's
+    last ``window`` observations (pandas ``ewm(alpha).mean()``
+    semantics restricted to a bounded frame): newer values weigh
+    (1-alpha)^age more, y = sum(w_i * x_i) / sum(w_i). The bounded
+    frame is what makes it distributed-friendly — an unbounded EWMA is
+    inherently sequential per key, while the last-W form is ONE
+    ordered window pass (collect_list over a rows-between frame, two
+    constant-size aggregate folds per row — JVM-side, no UDF).
+
+    Determinism / oracle parity: the numerator folds oldest→newest as
+    ``acc*(1-alpha) + x`` from a 0.0 init (bit-identical to DuckDB's
+    first-element-init ``list_reduce`` because ``0.0*(c)+x1 == x1``
+    exactly); the weight sum uses the SAME fold with x≡1.0 rather
+    than a closed-form ``pow`` (libm pow is not correctly-rounded and
+    differs across engines by ulps). Rows with NULL values are
+    dropped first (they would silently shift the frame weights).
+    ``tiebreak_col`` (default: none) makes the order total when one
+    key can carry duplicate timestamps."""
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    wlen = int(window)
+    if wlen < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    decay = F.lit(1.0 - a)
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(key_col).orderBy(*order)
+        .rowsBetween(-(wlen - 1), Window.currentRow)
+    )
+    base = df.filter(F.col(value_col).isNotNull())
+    lst = F.collect_list(F.col(value_col).cast("double")).over(w)
+    s = F.aggregate(lst, F.lit(0.0), lambda acc, x: acc * decay + x)
+    wsum = F.aggregate(lst, F.lit(0.0),
+                       lambda acc, _: acc * decay + F.lit(1.0))
+    return base.withColumn(out_col, s / wsum)

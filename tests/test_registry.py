@@ -61,8 +61,9 @@ def test_round6_debuts_lead_the_window():
     registrations that went straight to extra_queries() without driver
     rows), then the round-5 debuts still earning their 3 greens (dict
     order IS the driver's check order)."""
-    head = list(entrymod.queries())[:49]
+    head = list(entrymod.queries())[:50]
     assert head == [
+        "events_ewma",
         "cov_matrix",
         "validate_events",
         "corr_matrix",

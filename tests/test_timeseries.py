@@ -383,3 +383,43 @@ def test_resample_interp_overlap_raises(spark):
     with _pt.raises(ValueError):
         resample(df, ts_col="t", key_col="k", bucket_us=10,
                  aggs={"av": F.avg("v")}, ffill=["av"], interp=["av"])
+
+
+def test_ewma_matches_pandas_bounded(spark):
+    """ewma == pandas ewm(alpha, adjust=True).mean() computed over each
+    row's last-`window` slice, per key, deterministic under
+    repartitioning."""
+    import random
+
+    import pandas as pd
+
+    from simba_spark.operators.timeseries import ewma
+
+    rng = random.Random(6)
+    rows = [(i, i % 3, i * 10, rng.uniform(-5, 5) if i % 11 else None)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "event_id long, k int, t long, v double")
+    out = ewma(df, ts_col="t", key_col="k", value_col="v",
+               alpha=0.4, window=5, tiebreak_col="event_id")
+    got = {r["event_id"]: r["ewma"] for r in out.collect()}
+    # reference: per key, ordered, last-5 slice through pandas ewm
+    bykey = {}
+    for i, k, t, v in rows:
+        if v is not None:
+            bykey.setdefault(k, []).append((t, i, v))
+    want = {}
+    for k, seq in bykey.items():
+        seq.sort()
+        vals = [v for _, _, v in seq]
+        for pos, (_, i, _) in enumerate(seq):
+            s = pd.Series(vals[max(0, pos - 4):pos + 1])
+            want[i] = s.ewm(alpha=0.4, adjust=True).mean().iloc[-1]
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-9, i
+    # NULL rows dropped
+    assert all(i % 11 for i in got)
+    b = {r["event_id"]: r["ewma"] for r in
+         ewma(df.repartition(9), ts_col="t", key_col="k", value_col="v",
+              alpha=0.4, window=5, tiebreak_col="event_id").collect()}
+    assert got == b

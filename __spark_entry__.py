@@ -3437,7 +3437,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    list_reduce(l, (acc, x) -> acc * 0.75::DOUBLE + x) /
                    list_reduce(list_transform(l, x -> 1.0::DOUBLE),
-                               (acc, x) -> acc * 0.75::DOUBLE + x) AS ewma
+                               (acc, x) -> acc * 0.75::DOUBLE + x)
+                   + 0.0::DOUBLE AS ewma
             FROM w
         """,
         "cov_matrix": cov_matrix_sql(

@@ -883,8 +883,10 @@ def sorted_neighborhood_pairs(
     (length(id), id) tiebreak, and the key is unique for unique ids of
     ANY length (a fixed-width lpad would silently truncate long string
     ids and break the uniqueness running_total requires). sort_col
-    must not contain chr(1); both engines compare binary UTF-8 and the
-    oracle mirrors the same key.
+    must not contain chr(0) or chr(1) (a NUL byte sorts below the
+    separator and flips the prefix rule — found by the property test);
+    both engines compare binary UTF-8 and the oracle mirrors the same
+    key.
     """
     from .pipeline import running_total
 

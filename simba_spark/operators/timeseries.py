@@ -209,4 +209,7 @@ def ewma(
     s = F.aggregate(lst, F.lit(0.0), lambda acc, x: acc * decay + x)
     wsum = F.aggregate(lst, F.lit(0.0),
                        lambda acc, _: acc * decay + F.lit(1.0))
-    return base.withColumn(out_col, s / wsum)
+    # + 0.0 canonicalizes -0.0 (a lone -0.0 value folds to +0.0 here
+    # but stays -0.0 under DuckDB's first-element-init list_reduce;
+    # numerically equal, bit-divergent — the oracle adds the same)
+    return base.withColumn(out_col, s / wsum + F.lit(0.0))

@@ -268,6 +268,55 @@ def quarantine(
             v.filter(F.size(out_col) > 0))
 
 
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: Optional[str] = None,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension table from an append-only
+    history: per key ordered by ``ts_col``, consecutive rows whose
+    ``attr_cols`` are unchanged (null-safe) collapse into one version;
+    each surviving version gets ``[valid_from, valid_to)`` with the
+    open (current) version's ``valid_to`` NULL. The complement of
+    :func:`merge_upsert` (SCD1 keep-latest): this keeps the full
+    validity timeline, the standard warehouse dimension shape and the
+    point-in-time join input (`operators/asof.py` queries it).
+
+    ONE shuffle: both window passes (change detection via null-safe
+    lag comparison, then lead over the surviving versions) share the
+    same (key, ts) partitioning and sort. Rows with NULL key or ts
+    are dropped (no deterministic timeline). ``tiebreak_col`` makes
+    the order total when a key can repeat a timestamp; with ties left
+    untotaled the result would be partitioning-dependent.
+    """
+    attrs = list(attr_cols)
+    if not attrs:
+        raise ValueError("scd2_build: attr_cols must be non-empty")
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    same = None
+    for a in attrs:
+        eq = F.col(a).eqNullSafe(F.lag(a).over(w))
+        same = eq if same is None else (same & eq)
+    first = F.lag(ts_col).over(w).isNull()
+    changed = first | ~same
+    versions = base.withColumn("__scd_chg", changed).filter("__scd_chg")
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        versions
+        .withColumn(from_col, F.col(ts_col))
+        .withColumn(to_col, F.lead(ts_col).over(w2))
+        .select(key_col, *attrs, from_col, to_col)
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,

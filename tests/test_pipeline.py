@@ -452,3 +452,40 @@ def test_quantile_bin_grouped(spark):
         # within b, not all into the global top bin
         assert set(c) == {0, 1, 2, 3}
         assert all(abs(c[b] - 25) <= 1 for b in c)
+
+
+def test_scd2_build_versions_and_validity(spark):
+    from simba_spark.operators.pipeline import scd2_build
+
+    rows = [
+        # key 1: A @10, A @20 (dup, collapses), B @30, B @40 (dup), A @50
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "B"), (1, 50, "A"),
+        # key 2: single version; NULL attr transitions count as changes
+        (2, 10, None), (2, 20, None), (2, 30, "X"),
+        # dropped: NULL key / NULL ts
+        (None, 10, "Z"), (3, None, "Z"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, attr string")
+    got = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["attr"])
+        for r in scd2_build(df, "k", "ts", ["attr"]).collect()
+    )
+    assert got == [
+        (1, 10, 30, "A"),
+        (1, 30, 50, "B"),
+        (1, 50, None, "A"),
+        (2, 10, 30, None),      # null-safe: NULL==NULL collapses
+        (2, 30, None, "X"),
+    ]
+
+
+def test_scd2_build_partitioning_invariant_with_tiebreak(spark):
+    from simba_spark.operators.pipeline import scd2_build
+
+    rows = [(i % 5, (i * 7) % 40, i, f"v{(i * 3) % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, ts long, seq long, attr string")
+    a = sorted(map(tuple, scd2_build(
+        df, "k", "ts", ["attr"], tiebreak_col="seq").collect()))
+    b = sorted(map(tuple, scd2_build(
+        df.repartition(11), "k", "ts", ["attr"], tiebreak_col="seq").collect()))
+    assert a == b

@@ -489,3 +489,40 @@ def test_scd2_build_partitioning_invariant_with_tiebreak(spark):
     b = sorted(map(tuple, scd2_build(
         df.repartition(11), "k", "ts", ["attr"], tiebreak_col="seq").collect()))
     assert a == b
+
+
+def test_scd2_point_in_time_via_asof(spark):
+    """Composition: asof_join against the scd2_build timeline answers
+    'what was the attribute at time t' — the backward as-of pick on
+    valid_from must agree with the [valid_from, valid_to) interval
+    containing t."""
+    from simba_spark.operators.asof import asof_join
+    from simba_spark.operators.pipeline import scd2_build
+
+    hist = spark.createDataFrame(
+        [(1, 10, "A"), (1, 30, "B"), (1, 50, "A"),
+         (2, 20, "X"), (2, 60, "Y")],
+        "k long, ts long, attr string")
+    dim = scd2_build(hist, "k", "ts", ["attr"])
+    probes = spark.createDataFrame(
+        [(1, 10), (1, 29), (1, 30), (1, 49), (1, 99),
+         (2, 19), (2, 20), (2, 61)],
+        "k long, t long")
+    got = {(r["k"], r["t"]): r["r_attr"] for r in asof_join(
+        probes, dim.select("k", "valid_from", "attr"),
+        on="k", left_time="t", right_time="valid_from").collect()}
+    assert got == {
+        (1, 10): "A", (1, 29): "A", (1, 30): "B", (1, 49): "B",
+        (1, 99): "A",
+        (2, 19): None,     # before the first version
+        (2, 20): "X", (2, 61): "Y",
+    }
+    # interval check: every probe with an answer falls inside its
+    # version's [valid_from, valid_to)
+    vers = [(r["k"], r["valid_from"], r["valid_to"], r["attr"])
+            for r in dim.collect()]
+    for (k, t), attr in got.items():
+        if attr is None:
+            continue
+        assert any(kk == k and f <= t and (to is None or t < to)
+                   and a == attr for kk, f, to, a in vers)

@@ -64,7 +64,9 @@ from .operators.sketches import (
     quantile_sketch,
 )
 from .operators.similarity import ann_topk
-from .operators.stats import heavy_hitters, histogram_fixed
+from .operators.pca import fit_pca, pca_project
+from .operators.stats import (corr_matrix, cov_matrix, heavy_hitters,
+                              histogram_fixed)
 from .partitioners import (
     assign_partitions,
     hash_partition,
@@ -97,6 +99,7 @@ __all__ = [
     "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
     "ann_topk",
     "pagerank", "triangle_count", "histogram_fixed", "heavy_hitters",
+    "corr_matrix", "cov_matrix", "fit_pca", "pca_project",
     "kmeans",
     "str_partition", "kd_partition", "voronoi_partition", "zorder_partition",
     "hash_partition", "range_partition", "assign_partitions",

@@ -2571,6 +2571,39 @@ def q_bloom_join(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (operators.analytics.funnel): users
+    progressing signup → view → click → purchase in timestamp order,
+    each step's time at-or-after the previous step's. k-1 chained
+    min-aggregate joins on the user key — never a per-user event-array
+    collect, so a hot user costs the same as anyone else."""
+    from simba_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators.analytics.cohort_retention):
+    users bucketed by the week of their first event, distinct-counted
+    in each later week. Two skinny shuffles (first-touch groupBy +
+    (cohort, offset) distinct count)."""
+    from simba_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_volume_anomaly(spark, sf_dir):
+    """Event-volume anomaly detection (operators.analytics.
+    volume_anomaly): hourly (event_type, hour) counts z-scored against
+    each type's mean/stddev across hours; |z| > 2 flagged. The raw
+    table collapses to skinny counts in one combine-friendly shuffle;
+    the moment table is #types rows, broadcast back."""
+    from simba_spark.operators.analytics import volume_anomaly
+
+    return volume_anomaly(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2661,6 +2694,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- round-6 late debuts: locally oracle-green, queued for
+        #     round-7 driver rows (the round-6 window is full of
+        #     earlier debuts still earning their greens) ---
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "volume_anomaly": q_volume_anomaly,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3381,7 +3420,16 @@ def oracle_sql() -> dict[str, str]:
     )"""
     ws_key = weighted_sample_key_sql("doc_id", "n_chars", 7)
 
+    from simba_spark.operators.analytics import (
+        cohort_retention_sql, funnel_sql, volume_anomaly_sql,
+    )
+
     return {
+        "funnel": funnel_sql(
+            "events", ["signup", "view", "click", "purchase"]
+        ),
+        "cohort_retention": cohort_retention_sql("events"),
+        "volume_anomaly": volume_anomaly_sql("events"),
         "hll_orders": f"""
             WITH approx AS ({hll_sub})
             SELECT a.l_returnflag, a.approx_orders, e.exact_orders

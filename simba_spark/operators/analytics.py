@@ -1,0 +1,273 @@
+"""Event/product analytics over event-log DataFrames: ordered funnels,
+cohort retention, and volume-anomaly detection.
+
+The reference engine has no event-analytics operators; these are the
+standard session/event-log questions (did users progress view→click→
+purchase, how many week-0 users are still active in week N, which hours
+saw anomalous traffic) every large-scale telemetry or training-data
+pipeline asks of its event tables. All three are pure DataFrame
+programs with exact SQL mirrors.
+
+Scale design (the 100 TB shapes):
+
+- :func:`funnel` is k-1 chained min-aggregate joins on the user key —
+  NOT a per-user ``collect_list`` fold, so no user's event history is
+  ever materialized as one array (a bot with 10M events costs the same
+  as anyone else: each step is a map-side-combinable ``min``). Every
+  join is a skinny (user, timestamp) equi-join on the same key, so AQE
+  reuses the exchange.
+- :func:`cohort_retention` is two shuffles total: one groupBy(user) for
+  first-touch, one distinct-count on (cohort, offset) — both skinny.
+- :func:`volume_anomaly` aggregates to (group, bucket) counts first
+  (combine-friendly), then joins per-group moments back via broadcast
+  (#groups rows), so the big table is scanned once with zero extra
+  wide shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    window_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached each step of
+    ``steps`` in order (step i's event at-or-after their step i-1
+    time, and — when ``window_seconds`` is set — within that many
+    seconds of their FIRST step).
+
+    Returns one row per step: ``(step_idx, step, users)`` with
+    ``step_idx`` 1-based; ``users`` is non-increasing by construction.
+
+    Semantics: a user's step-1 time is their earliest step-1 event;
+    step i's time is their earliest step-i event at-or-after (``>=``)
+    their step-(i-1) time. ``>=`` (not ``>``) so distinct step types
+    logged with identical timestamps still count as ordered.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    u, t = F.col(user_col), F.col(ts_col)
+    reached = (
+        df.filter(F.col(step_col) == steps[0])
+        .groupBy(u.alias("__u"))
+        .agg(F.min(t).alias("__t1"))
+    )
+    # one frame per step; counts are taken from ONE union'd aggregate at
+    # the end so the whole funnel is a single Spark action
+    per_step = [reached.select("__u")]
+    prev = reached.withColumn("__tprev", F.col("__t1"))
+    for step in steps[1:]:
+        ev = df.filter(F.col(step_col) == step).select(
+            u.alias("__u"), t.alias("__ts")
+        )
+        j = ev.join(prev, "__u").filter(F.col("__ts") >= F.col("__tprev"))
+        if window_seconds is not None:
+            j = j.filter(
+                F.col("__ts")
+                <= F.col("__t1") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+            )
+        prev = j.groupBy("__u").agg(
+            F.min("__ts").alias("__tprev"), F.min("__t1").alias("__t1")
+        )
+        per_step.append(prev.select("__u"))
+    out = None
+    for i, (name, frame) in enumerate(zip(steps, per_step), start=1):
+        row = frame.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).alias("step_idx"), F.lit(name).alias("step"), "users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def funnel_sql(
+    from_sql: str,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    window_seconds: Optional[int] = None,
+) -> str:
+    """DuckDB SQL mirror of :func:`funnel` (same chained min-aggregate
+    joins, same ``>=`` ordering and first-step window semantics)."""
+    steps = list(steps)
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    parts = [
+        f"""__s1 AS (
+  SELECT {user_col} AS __u, min({ts_col}) AS __t, min({ts_col}) AS __t1
+  FROM {from_sql} WHERE {step_col} = {q(steps[0])} GROUP BY 1
+)"""
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        win = (
+            f" AND e.{ts_col} <= p.__t1 + INTERVAL {int(window_seconds)} SECOND"
+            if window_seconds is not None
+            else ""
+        )
+        parts.append(
+            f"""__s{i} AS (
+  SELECT e.{user_col} AS __u, min(e.{ts_col}) AS __t, min(p.__t1) AS __t1
+  FROM {from_sql} e
+  JOIN __s{i - 1} p ON e.{user_col} = p.__u AND e.{ts_col} >= p.__t{win}
+  WHERE e.{step_col} = {q(step)}
+  GROUP BY 1
+)"""
+        )
+    selects = [
+        f"SELECT {i} AS step_idx, {q(s)} AS step, count(*) AS users FROM __s{i}"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by the period of their
+    first event (the cohort), counted distinct in each later period.
+
+    Returns ``(cohort, period_offset, active_users)`` where ``cohort``
+    is the truncated first-touch date and ``period_offset`` counts
+    periods since the cohort period (0 = the cohort period itself).
+
+    Two skinny shuffles: groupBy(user) for first-touch, then a
+    distinct-count keyed on (cohort, offset). The join back to events
+    is on the user key — broadcastable whenever the user dimension
+    fits, hash otherwise.
+    """
+    if period not in ("week", "month", "day"):
+        raise ValueError("period must be week | month | day")
+    u, t = F.col(user_col), F.col(ts_col)
+    first = df.groupBy(u.alias("__u")).agg(
+        F.date_trunc(period, F.min(t)).cast("date").alias("cohort")
+    )
+    ev = df.select(
+        u.alias("__u"), F.date_trunc(period, t).cast("date").alias("__p")
+    )
+    j = ev.join(first, "__u")
+    if period == "week":
+        off = (F.datediff("__p", "cohort") / 7).cast("long")
+    elif period == "day":
+        off = F.datediff("__p", "cohort").cast("long")
+    else:  # month
+        off = F.months_between("__p", "cohort").cast("long")
+    return (
+        j.select("__u", "cohort", off.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct("__u").alias("active_users"))
+    )
+
+
+def cohort_retention_sql(
+    from_sql: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> str:
+    """DuckDB SQL mirror of :func:`cohort_retention`."""
+    if period == "week":
+        off = "(date_diff('day', f.cohort, date_trunc('week', e.{t})::DATE) // 7)"
+    elif period == "day":
+        off = "date_diff('day', f.cohort, date_trunc('day', e.{t})::DATE)"
+    else:
+        off = "date_diff('month', f.cohort, date_trunc('month', e.{t})::DATE)"
+    off = off.format(t=ts_col)
+    return f"""
+WITH __first AS (
+  SELECT {user_col} AS __u,
+         date_trunc('{period}', min({ts_col}))::DATE AS cohort
+  FROM {from_sql} GROUP BY 1
+)
+SELECT f.cohort, {off}::BIGINT AS period_offset,
+       count(DISTINCT e.{user_col}) AS active_users
+FROM {from_sql} e
+JOIN __first f ON e.{user_col} = f.__u
+GROUP BY 1, 2
+"""
+
+
+def volume_anomaly(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    z_threshold: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Event-volume anomaly detection: bucket the stream into
+    (group, time-bucket) counts, compute each group's count mean and
+    sample stddev across its buckets, and flag buckets whose z-score
+    exceeds ``z_threshold`` in absolute value.
+
+    Returns ``(group, bucket_ts, n, z)`` for flagged buckets only,
+    ``z`` rounded to ``round_to`` (float addition order across
+    partitions is not deterministic at full precision; the rounding
+    sits far above that noise — same policy as ``graph.pagerank``).
+
+    Scale: the raw table collapses to (group, bucket) counts in one
+    combine-friendly shuffle; the per-group moment table is #groups
+    rows (broadcast); groups with zero/NULL stddev (constant or single
+    bucket) produce no flags rather than dividing by zero.
+    """
+    g = F.col(group_col)
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    counts = df.groupBy(g.alias("grp"), b).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    moments = counts.groupBy("grp").agg(
+        F.avg("n").alias("__mu"), F.stddev_samp("n").alias("__sd")
+    )
+    z = (F.col("n") - F.col("__mu")) / F.col("__sd")
+    return (
+        counts.join(F.broadcast(moments), "grp")
+        .filter(
+            F.col("__sd").isNotNull()
+            & (F.col("__sd") > 0)
+            & (F.abs(z) > float(z_threshold))
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket_ts",
+            "n",
+            F.round(z, round_to).alias("z"),
+        )
+    )
+
+
+def volume_anomaly_sql(
+    from_sql: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    z_threshold: float = 2.0,
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL mirror of :func:`volume_anomaly`."""
+    return f"""
+WITH __c AS (
+  SELECT {group_col} AS grp, date_trunc('{bucket}', {ts_col}) AS bucket_ts,
+         count(*) AS n
+  FROM {from_sql} GROUP BY 1, 2
+), __m AS (
+  SELECT grp, avg(n) AS mu, stddev_samp(n) AS sd FROM __c GROUP BY 1
+)
+SELECT c.grp AS {group_col}, c.bucket_ts, c.n,
+       round((c.n - m.mu) / m.sd, {int(round_to)}) AS z
+FROM __c c JOIN __m m ON c.grp = m.grp
+WHERE m.sd IS NOT NULL AND m.sd > 0
+  AND abs((c.n - m.mu) / m.sd) > {float(z_threshold)!r}
+"""

@@ -1,0 +1,198 @@
+"""Event analytics: ordered funnel, cohort retention, volume anomaly."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: (user_id, ts_str, event_type)"""
+    return spark.createDataFrame(
+        [
+            (u, dt.datetime.fromisoformat(ts), e)
+            for u, ts, e in rows
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel
+
+
+def test_funnel_ordering_is_enforced(spark):
+    from simba_spark.operators.analytics import funnel
+
+    ev = _events(spark, [
+        # user 1 completes in order
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 01:00:00", "b"),
+        (1, "2024-01-01 02:00:00", "c"),
+        # user 2 has b BEFORE a — b must not count
+        (2, "2024-01-01 05:00:00", "b"),
+        (2, "2024-01-01 06:00:00", "a"),
+        # user 3 only reaches a
+        (3, "2024-01-01 00:00:00", "a"),
+    ])
+    out = {r["step"]: r["users"] for r in funnel(ev, ["a", "b", "c"]).collect()}
+    assert out == {"a": 3, "b": 1, "c": 1}
+
+
+def test_funnel_equal_timestamps_count(spark):
+    from simba_spark.operators.analytics import funnel
+
+    ev = _events(spark, [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:00:00", "b"),  # same instant: >= counts it
+    ])
+    out = {r["step"]: r["users"] for r in funnel(ev, ["a", "b"]).collect()}
+    assert out == {"a": 1, "b": 1}
+
+
+def test_funnel_window_from_first_step(spark):
+    from simba_spark.operators.analytics import funnel
+
+    ev = _events(spark, [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:30:00", "b"),   # inside the 1h window
+        (2, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 02:00:00", "b"),   # outside
+    ])
+    out = {
+        r["step"]: r["users"]
+        for r in funnel(ev, ["a", "b"], window_seconds=3600).collect()
+    }
+    assert out == {"a": 2, "b": 1}
+
+
+def test_funnel_monotone_and_matches_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.analytics import funnel, funnel_sql
+
+    ev = spark.range(500).select(
+        (F.col("id") % 37).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 977) % 100000
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("x")),
+            ((F.col("id") * 7) % 4 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    got = {
+        r["step"]: r["users"]
+        for r in funnel(ev, ["a", "b", "c"]).collect()
+    }
+    assert got["a"] >= got["b"] >= got["c"]
+
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    want = {
+        s: u
+        for _, s, u in con.sql(funnel_sql("ev", ["a", "b", "c"])).fetchall()
+    }
+    assert got == want
+
+
+def test_funnel_rejects_bad_steps(spark):
+    from simba_spark.operators.analytics import funnel
+
+    ev = _events(spark, [(1, "2024-01-01 00:00:00", "a")])
+    with pytest.raises(ValueError):
+        funnel(ev, ["a"])
+    with pytest.raises(ValueError):
+        funnel(ev, ["a", "a"])
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+
+
+def test_cohort_retention_basic(spark):
+    from simba_spark.operators.analytics import cohort_retention
+
+    ev = _events(spark, [
+        # user 1: first event Mon Jan 1 week, active again 2 weeks later
+        (1, "2024-01-02 10:00:00", "x"),
+        (1, "2024-01-16 10:00:00", "x"),
+        # user 2: same cohort, only week 0
+        (2, "2024-01-03 10:00:00", "x"),
+        # user 3: next week's cohort
+        (3, "2024-01-09 10:00:00", "x"),
+    ])
+    out = {
+        (str(r["cohort"]), r["period_offset"]): r["active_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_cohort_retention_offset0_counts_every_user(spark):
+    from simba_spark.operators.analytics import cohort_retention
+
+    ev = spark.range(300).select(
+        (F.col("id") % 41).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 8641) % 4000000
+        ).alias("ts"),
+        F.lit("x").alias("event_type"),
+    )
+    rows = cohort_retention(ev).collect()
+    week0 = sum(r["active_users"] for r in rows if r["period_offset"] == 0)
+    assert week0 == 41  # every user is active in their own cohort period
+    assert all(r["period_offset"] >= 0 for r in rows)
+
+
+def test_cohort_retention_month_period(spark):
+    from simba_spark.operators.analytics import cohort_retention
+
+    ev = _events(spark, [
+        (1, "2024-01-15 00:00:00", "x"),
+        (1, "2024-03-02 00:00:00", "x"),
+    ])
+    out = {
+        (str(r["cohort"]), r["period_offset"]): r["active_users"]
+        for r in cohort_retention(ev, period="month").collect()
+    }
+    assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# volume anomaly
+
+
+def test_volume_anomaly_flags_the_spike(spark):
+    from simba_spark.operators.analytics import volume_anomaly
+
+    # 24 hourly buckets of ~10 events, one bucket with 100
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for h in range(24):
+        n = 100 if h == 7 else 10
+        for i in range(n):
+            rows.append((1, base + dt.timedelta(hours=h, seconds=i), "t"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = volume_anomaly(ev, z_threshold=3.0).collect()
+    assert len(out) == 1
+    assert out[0]["bucket_ts"] == base + dt.timedelta(hours=7)
+    assert out[0]["n"] == 100 and out[0]["z"] > 3
+
+
+def test_volume_anomaly_constant_group_never_divides_by_zero(spark):
+    from simba_spark.operators.analytics import volume_anomaly
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for h in range(6):
+        rows.append((1, base + dt.timedelta(hours=h), "flat"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    assert volume_anomaly(ev).count() == 0  # sd=0 → no flags, no error

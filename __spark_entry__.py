@@ -2604,6 +2604,19 @@ def q_volume_anomaly(spark, sf_dir):
     return volume_anomaly(_t(spark, sf_dir, "events"))
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (operators.text.bm25_topk): top-25
+    documents for the query {hash, join, spark} under Okapi BM25 with
+    Lucene's non-negative idf. The term filter lands BEFORE the tf
+    aggregation (the shuffle carries the query's postings only, not
+    the corpus), doc length is a separate skinny count, and the final
+    top-k is one TakeOrderedAndProject on the rounded score."""
+    from simba_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "join", "spark"], k=25)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2700,6 +2713,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "volume_anomaly": q_volume_anomaly,
+        "bm25": q_bm25,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3423,8 +3437,10 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.analytics import (
         cohort_retention_sql, funnel_sql, volume_anomaly_sql,
     )
+    from simba_spark.operators.text import bm25_sql
 
     return {
+        "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
         "funnel": funnel_sql(
             "events", ["signup", "view", "click", "purchase"]
         ),

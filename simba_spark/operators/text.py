@@ -15,7 +15,7 @@ definition so the DuckDB oracle harness can hash-match it
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -584,4 +584,142 @@ def token_cooccurrence_sql(
     ON a.__doc = b.__doc AND a.__tok < b.__tok
   GROUP BY 1, 2
   HAVING count(*) >= {int(min_pair_freq)}
+"""
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 ranked retrieval: the top-``k`` documents for a bag of
+    query terms, scored with Okapi BM25 (Lucene's non-negative idf
+    variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``). Returns
+    ``(doc_id, score)``, score rounded to ``round_to``, ties broken by
+    ascending ``doc_id``. The ranking-side companion of
+    :func:`inverted_index` / :func:`tfidf_topk`.
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so
+    the per-(term, doc) shuffle only ever carries the query's terms —
+    O(postings-of-query), not O(corpus-tokens); document length is a
+    separate skinny groupBy(doc) count; N/avgdl and the per-term idf
+    table (|query| rows) are 1-row/|q|-row broadcasts; the final top-k
+    is one TakeOrderedAndProject (≤ k rows cross to the driver).
+    """
+    terms = [t.lower() for t in query_terms]
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    qt = toks.filter(F.col("term").isin(terms))
+    tf = qt.groupBy("term", "__id").agg(F.count(F.lit(1)).alias("__tf"))
+    # corpus scalars as a 1-row broadcast (N counts EVERY input row,
+    # token-less docs included — they belong in the idf denominator)
+    scalars = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        dl.agg(F.avg("__dl").alias("__avgdl"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ).alias("__idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "__id",
+            (
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("__score"))
+    )
+    # rank on the ROUNDED score: raw double sums differ in addition
+    # order across engines, so ulp-close neighbors at the k boundary
+    # could flip; rounding first makes the (score, doc_id) order a
+    # deterministic function of the data
+    return (
+        scored.select(
+            F.col("__id").alias(id_col),
+            F.round("__score", round_to).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def bm25_sql(
+    from_sql: str,
+    query_terms: Sequence[str],
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL mirror of :func:`bm25_topk` (same tokenizer, idf
+    variant, float expression shapes, and doc_id tiebreak)."""
+    terms = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in query_terms
+    )
+    return f"""
+WITH __toks AS (
+  SELECT {id_expr} AS __id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS term
+  FROM {from_sql}
+), __tk AS (SELECT __id, term FROM __toks WHERE term <> ''),
+__dl AS (SELECT __id, count(*) AS __dl FROM __tk GROUP BY 1),
+__tf AS (
+  SELECT term, __id, count(*) AS __tf FROM __tk
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+__sc AS (
+  SELECT (SELECT count(*) FROM {from_sql}) AS __n,
+         (SELECT avg(__dl) FROM __dl) AS __avgdl
+),
+__idf AS (
+  SELECT term,
+         ln(1.0 + (s.__n - count(*) + 0.5) / (count(*) + 0.5)) AS __idf
+  FROM __tf, __sc s GROUP BY term, s.__n
+)
+SELECT t.__id AS {id_expr},
+       round(sum(i.__idf * (t.__tf * ({k1!r} + 1.0))
+                 / (t.__tf + {k1!r} * (1.0 - {b!r}
+                    + {b!r} * d.__dl / s.__avgdl))), {int(round_to)}) AS score
+FROM __tf t
+JOIN __idf i USING (term)
+JOIN __dl d USING (__id)
+CROSS JOIN __sc s
+GROUP BY t.__id
+ORDER BY score DESC, t.__id ASC
+LIMIT {int(k)}
 """

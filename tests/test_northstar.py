@@ -968,3 +968,83 @@ def test_token_cooccurrence_matches_duckdb(spark):
                                  min_pair_freq=50)
     want = set(map(tuple, con.execute(sql).fetchall()))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+
+
+def test_bm25_hand_computed_two_docs(spark):
+    import math
+    from simba_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat cat cat"), (3, "bird bird")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["cat"]).collect()}
+    # N=3, df=2, idf = ln(1 + (3-2+0.5)/(2+0.5)); avgdl = (2+4+2)/3
+    idf = math.log(1 + 1.5 / 2.5)
+    avgdl = 8 / 3
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert out == {1: s(1, 2), 2: s(4, 4)}
+    # doc 3 has no query terms: absent, and tf saturation keeps doc 2's
+    # 4x tf well under 4x the score
+    assert out[2] < 4 * out[1]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from simba_spark.operators.text import bm25_topk
+
+    rows = [(i, "common filler words here") for i in range(50)]
+    rows.append((100, "common rare"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(docs, ["common", "rare"], k=3).collect()
+    assert top[0]["doc_id"] == 100  # the doc holding the rare term wins
+
+
+def test_bm25_k_limit_and_tiebreak(spark):
+    from simba_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(10)], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, ["same"], k=4).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3]  # equal scores → id asc
+
+
+def test_bm25_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.text import bm25_sql, bm25_topk
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha"),
+            F.when(F.col("id") % 3 == 0, "beta").otherwise("gamma"),
+            F.when(F.col("id") % 7 == 0, "delta beta").otherwise("eps"),
+        ).alias("text"),
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, ["beta", "delta"], k=15).collect()
+    ]
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = con.sql(bm25_sql("docs", ["beta", "delta"], k=15)).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_bm25_rejects_bad_query(spark):
+    from simba_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, ["A", "a"])

@@ -2056,20 +2056,7 @@ def q_pagerank(spark, sf_dir):
     ranks. Oracle: the same 6 iterations unrolled as chained CTEs."""
     from simba_spark.operators.graph import pagerank
 
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    cs = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
-        )
-        .distinct()
-    )
-    back = cs.filter("dst % 3 = 0").select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    return pagerank(cs.unionByName(back), iters=6)
+    return pagerank(_trade_edges(spark, sf_dir), iters=6)
 
 
 def q_weighted_sample(spark, sf_dir):
@@ -2617,6 +2604,54 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def _trade_edges(spark, sf_dir):
+    """The customer→supplier trade graph shared by the graph-family
+    queries (same construction as q_pagerank): distinct (o_custkey,
+    l_suppkey+1e6) pairs via orders⋈lineitem; suppliers with
+    suppkey%3==0 link back, the rest are dangling."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    back = cs.filter("dst % 3 = 0").select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return cs.unionByName(back)
+
+
+def q_label_prop(spark, sf_dir):
+    """Deterministic label propagation (operators.graph.
+    label_propagation): 4 synchronous LPA iterations over the
+    undirected trade graph, ties broken by smallest label. Per
+    iteration one node-keyed equi-join + one skinny (node, label)
+    count + a window top-1; labels localCheckpoint'd. Oracle: the same
+    4 iterations unrolled as chained CTEs."""
+    from simba_spark.operators.graph import label_propagation
+
+    return label_propagation(_trade_edges(spark, sf_dir), iters=4)
+
+
+def q_k_hop(spark, sf_dir):
+    """k-hop BFS (operators.graph.k_hop): exact shortest hop-distance
+    (0..3) from the customers whose key is a multiple of 100, over the
+    directed trade graph. Per hop one dist⋈edges join + one
+    min-aggregate on the node id — state is O(reached nodes), paths
+    never materialize."""
+    from simba_spark.operators.graph import k_hop
+
+    edges = _trade_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        "node % 100 = 0"
+    )
+    return k_hop(edges, seeds, k=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2714,6 +2749,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "volume_anomaly": q_volume_anomaly,
         "bm25": q_bm25,
+        "label_prop": q_label_prop,
+        "k_hop": q_k_hop,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3439,8 +3476,16 @@ def oracle_sql() -> dict[str, str]:
     )
     from simba_spark.operators.text import bm25_sql
 
+    from simba_spark.operators.graph import k_hop_sql, label_propagation_sql
+
     return {
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "label_prop": label_propagation_sql(pr_edges, iters=4),
+        "k_hop": k_hop_sql(
+            pr_edges,
+            f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",
+            k=3,
+        ),
         "funnel": funnel_sql(
             "events", ["signup", "view", "click", "purchase"]
         ),

@@ -275,3 +275,168 @@ FROM __or o1
 JOIN __or o2 ON o1.u = o2.u AND o1.w < o2.w
 JOIN __und c ON c.a = o1.w AND c.b = o2.w
 """
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected version of an edge list: every node starts labeled with
+    its own id; each iteration every node adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label — the
+    deterministic variant of classic LPA (random tie-breaks make
+    results irreproducible; min-label makes the result a pure function
+    of the graph, which the SQL oracle requires). ``iters`` is fixed,
+    not convergence-tested, for the same reason as :func:`pagerank`.
+
+    Returns (node, label) for every node with at least one edge.
+
+    Scale: per iteration one labels⋈edges equi-join on the node id +
+    one skinny (node, label) count + one window top-1 — all shuffle on
+    node id so AQE reuses the exchange; labels are localCheckpoint'd
+    per iteration to truncate lineage. No driver state at all.
+    """
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("__n").desc(), F.col("label").asc()
+    )
+    for _ in range(int(iters)):
+        labels = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(und.a.alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def label_propagation_sql(
+    edges_sql: str, src: str = "src", dst: str = "dst", iters: int = 4
+) -> str:
+    """DuckDB SQL mirror of :func:`label_propagation` (same
+    symmetrization, count-desc/label-asc tie-break, fixed iterations
+    unrolled as chained CTEs)."""
+    parts = [
+        f"""__e AS (
+  SELECT {src} AS a, {dst} AS b FROM {edges_sql} WHERE {src} <> {dst}
+)""",
+        """__und AS (
+  SELECT DISTINCT a, b FROM (SELECT a, b FROM __e UNION ALL SELECT b, a FROM __e)
+)""",
+        "__l0 AS (SELECT DISTINCT a AS node, a AS label FROM __und)",
+    ]
+    for i in range(int(iters)):
+        parts.append(
+            f"""__l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, count(*) AS __n,
+           row_number() OVER (
+             PARTITION BY e.a ORDER BY count(*) DESC, l.label ASC
+           ) AS __rn
+    FROM __und e JOIN __l{i} l ON e.b = l.node
+    GROUP BY e.a, l.label
+  ) WHERE __rn = 1
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, label FROM __l{int(iters)}"
+    )
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """k-hop BFS: the exact shortest hop-distance (0..k) from a seed
+    set to every node reachable within ``k`` directed hops. ``seeds``
+    is a one-column frame of start nodes. Returns (node, dist).
+
+    The frontier-expansion primitive behind neighborhood sampling,
+    blast-radius analysis, and contamination spread over link graphs.
+
+    Scale: per hop one dist⋈edges equi-join on the source id + one
+    min-aggregate keyed on the node id — never materializes paths,
+    only the (node, best-dist) frontier, so state is O(reached nodes)
+    regardless of path multiplicity; localCheckpoint per hop truncates
+    the growing lineage. No driver state.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+    )
+    for _ in range(int(k)):
+        nxt = (
+            e.join(dist, e.s == dist.node)
+            .select(F.col("d").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def k_hop_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> str:
+    """DuckDB SQL mirror of :func:`k_hop` (same fixed hop unrolling)."""
+    parts = [
+        f"__e AS (SELECT DISTINCT {src} AS s, {dst} AS d FROM {edges_sql})",
+        f"__d0 AS (SELECT DISTINCT {node} AS node, 0 AS dist FROM {seeds_sql})",
+    ]
+    for i in range(int(k)):
+        parts.append(
+            f"""__d{i + 1} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM __d{i}
+    UNION ALL
+    SELECT e.d AS node, x.dist + 1 AS dist
+    FROM __e e JOIN __d{i} x ON e.s = x.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, dist::INT AS dist FROM __d{int(k)}"
+    )

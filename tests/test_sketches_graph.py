@@ -876,3 +876,110 @@ def test_quantile_estimate_empty_input_is_null(spark):
 
     with pytest.raises(AssertionError, match="collide"):
         quantile_digest(df, "v", "rid", qs=(0.5001, 0.5004), k=16)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def test_label_propagation_two_cliques(spark):
+    from simba_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: each converges to its min id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, iters=4).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+
+
+def test_label_propagation_star_adopts_hub_min_neighbor(spark):
+    from simba_spark.operators.graph import label_propagation
+
+    # star: leaves 2..5 all see only the hub; after 1 iter every leaf
+    # is labeled 1 and the hub takes its min neighbor (2)
+    edges = spark.createDataFrame(
+        [(1, x) for x in (2, 3, 4, 5)], "src long, dst long"
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, iters=1).collect()}
+    assert out == {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_label_propagation_partitioning_invariant_and_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.graph import (label_propagation,
+                                             label_propagation_sql)
+
+    edges = spark.range(300).select(
+        (F.col("id") % 67).alias("src"),
+        ((F.col("id") * 31) % 67).alias("dst"),
+    )
+    a = {r["node"]: r["label"] for r in label_propagation(edges, iters=3).collect()}
+    b = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges.repartition(13), iters=3).collect()
+    }
+    assert a == b  # min-label tie-break → partitioning-invariant
+
+    con = duckdb.connect()
+    con.register("edges", edges.toPandas())
+    want = dict(con.sql(label_propagation_sql("edges", iters=3)).fetchall())
+    assert a == want
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS
+
+
+def test_k_hop_path_graph_distances(spark):
+    from simba_spark.operators.graph import k_hop
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["dist"] for r in k_hop(edges, seeds, k=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 is 4 hops: absent
+
+
+def test_k_hop_takes_min_over_paths_and_seeds(spark):
+    from simba_spark.operators.graph import k_hop
+
+    # 0→1→3 and 0→3 direct; plus 3 itself seeded ⇒ dist 0 wins
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 3), (0, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,), (3,)], "node long")
+    out = {r["node"]: r["dist"] for r in k_hop(edges, seeds, k=2).collect()}
+    assert out == {0: 0, 3: 0, 1: 1}
+
+
+def test_k_hop_zero_hops_is_the_seed_set(spark):
+    from simba_spark.operators.graph import k_hop
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(7,), (8,)], "node long")
+    out = {r["node"]: r["dist"] for r in k_hop(edges, seeds, k=0).collect()}
+    assert out == {7: 0, 8: 0}
+
+
+def test_k_hop_matches_duckdb_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.graph import k_hop, k_hop_sql
+
+    edges = spark.range(400).select(
+        (F.col("id") % 83).alias("src"),
+        ((F.col("id") * 17 + 5) % 83).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {r["node"]: r["dist"] for r in k_hop(edges, seeds, k=4).collect()}
+    con = duckdb.connect()
+    con.register("edges", edges.toPandas())
+    want = dict(
+        con.sql(
+            k_hop_sql("edges", "(SELECT 0 AS node UNION ALL SELECT 1)", k=4)
+        ).fetchall()
+    )
+    assert got == want

@@ -200,6 +200,37 @@ GROUP BY 1, 2
 """
 
 
+def _bucket_counts(
+    df: DataFrame, group_col: str, ts_col: str, bucket: str
+) -> DataFrame:
+    return df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _count_moments(counts: DataFrame) -> DataFrame:
+    return counts.groupBy("grp").agg(
+        F.avg("n").alias("__mu"), F.stddev_samp("n").alias("__sd")
+    )
+
+
+def volume_baseline(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-group volume baseline: mean (``__mu``) and sample stddev
+    (``__sd``) of the (group, time-bucket) event counts — #groups rows.
+    The offline-fitted input to ``streaming.ops.
+    streaming_volume_anomaly`` (train the baseline on history in
+    batch, score live windows against it); :func:`volume_anomaly`
+    computes the same moments inline for the self-baselined batch
+    case."""
+    return _count_moments(_bucket_counts(df, group_col, ts_col, bucket))
+
+
 def volume_anomaly(
     df: DataFrame,
     group_col: str = "event_type",
@@ -223,14 +254,8 @@ def volume_anomaly(
     rows (broadcast); groups with zero/NULL stddev (constant or single
     bucket) produce no flags rather than dividing by zero.
     """
-    g = F.col(group_col)
-    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
-    counts = df.groupBy(g.alias("grp"), b).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    moments = counts.groupBy("grp").agg(
-        F.avg("n").alias("__mu"), F.stddev_samp("n").alias("__sd")
-    )
+    counts = _bucket_counts(df, group_col, ts_col, bucket)
+    moments = _count_moments(counts)
     z = (F.col("n") - F.col("__mu")) / F.col("__sd")
     return (
         counts.join(F.broadcast(moments), "grp")

@@ -743,3 +743,52 @@ def streaming_windowed_cm(
                  F.col("__cm_d"), F.col("__cm_b"))
         .agg(F.count(F.lit(1)).alias("__cm_n"))
     )
+
+
+def streaming_volume_anomaly(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    z_threshold: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Live event-volume anomaly scoring: watermarked window counts on
+    the stream, z-scored against a BATCH-fitted per-key baseline
+    (``operators.analytics.volume_baseline`` — the offline-train /
+    online-score deployment shape). Emits only flagged windows:
+    ``(window, key, n, z)`` with |z| > ``z_threshold``.
+
+    State story: one stateful aggregation keyed by (window, key) —
+    bounded by the watermark; the baseline join is stream-static
+    (stateless) against a #keys-row frame, broadcast. Replay
+    equivalence: over a replayed stream the emitted rows equal the
+    batch window counts scored against the same baseline (tested).
+    """
+    counts = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bl = baseline.select(F.col("grp").alias(key_col), "__mu", "__sd")
+    # Materialize the baseline as a LITERAL static frame. Joining the
+    # lazy aggregate plan (or any F.broadcast-hinted frame) to the
+    # post-aggregation stream silently emits ZERO rows at watermark
+    # close on Spark 4.1 — observed, tested. The collect is bounded by
+    # #keys rows (parameter-sized, same contract as the bloom bitset),
+    # and freezing the baseline at query start is the semantics an
+    # offline-fitted scorer wants anyway.
+    spark = baseline.sparkSession
+    bl = spark.createDataFrame(bl.collect(), bl.schema)
+    z = (F.col("n") - F.col("__mu")) / F.col("__sd")
+    return (
+        counts.join(bl, key_col)
+        .filter(
+            F.col("__sd").isNotNull()
+            & (F.col("__sd") > 0)
+            & (F.abs(z) > float(z_threshold))
+        )
+        .select("window", key_col, "n", F.round(z, round_to).alias("z"))
+    )

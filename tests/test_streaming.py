@@ -961,3 +961,69 @@ def test_streaming_pca_project_matches_batch(spark):
         assert len(want) == 150
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_volume_anomaly_matches_batch(spark):
+    """Streamed windowed anomaly scoring ≡ batch window counts scored
+    against the same offline baseline; only |z| > t windows emit."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.analytics import volume_baseline
+    from simba_spark.streaming.ops import streaming_volume_anomaly
+
+    d = tempfile.mkdtemp(prefix="simba_vol_anom_")
+    try:
+        # history: ~6 events per (type, minute); live stream replays it
+        # with one spiked minute per type
+        rows = []
+        for m in range(10):
+            for t in ("click", "view"):
+                n = 60 if (m == 4 and t == "click") else 6
+                for i in range(n):
+                    rows.append(
+                        (len(rows), f"2024-01-01 00:{m:02d}:{i % 60:02d}", t)
+                    )
+        rows.append((9000, "2024-01-01 09:00:00", "sentinel"))
+        df = (
+            spark.createDataFrame(rows, "event_id long, ts_s string, event_type string")
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        # baseline fitted in batch on minute buckets of the history
+        bl = volume_baseline(
+            df.filter("event_type <> 'sentinel'"), bucket="minute"
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        out = streaming_volume_anomaly(
+            src, bl, window="1 minute", z_threshold=2.0
+        )
+        got = _run_stream(spark, out, "stream_vol_anom_out")
+        stream_rows = {
+            (r["window"]["start"].isoformat(), r["event_type"]): (r["n"], r["z"])
+            for r in got.collect()
+        }
+        # batch mirror: window counts joined to the same baseline
+        counts = (
+            df.filter("event_type <> 'sentinel'")
+            .groupBy(F.window("ts", "1 minute"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        z = (F.col("n") - F.col("__mu")) / F.col("__sd")
+        batch = {
+            (r["window"]["start"].isoformat(), r["event_type"]): (r["n"], r["z"])
+            for r in counts.join(
+                bl.select(F.col("grp").alias("event_type"), "__mu", "__sd"),
+                "event_type",
+            )
+            .filter((F.col("__sd") > 0) & (F.abs(z) > 2.0))
+            .select("window", "event_type", "n", F.round(z, 6).alias("z"))
+            .collect()
+        }
+        assert stream_rows == batch
+        # the spiked click minute is flagged
+        assert ("2024-01-01T00:04:00", "click") in stream_rows
+        assert stream_rows[("2024-01-01T00:04:00", "click")][0] == 60
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2652,6 +2652,19 @@ def q_k_hop(spark, sf_dir):
     return k_hop(edges, seeds, k=3)
 
 
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics (operators.stats.skew_report): the 20
+    hottest l_suppkey values with share, fair-share skew ratio
+    (divide-first double arithmetic — n·distinct as int64 overflows at
+    100 TB key spaces), and the salt factor capping a salted shuffle
+    at 500 rows/task. One skinny groupBy + 1-row broadcast totals +
+    TakeOrderedAndProject."""
+    from simba_spark.operators.stats import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, ["l_suppkey"], top=20, target_rows_per_task=500)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2751,6 +2764,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "label_prop": q_label_prop,
         "k_hop": q_k_hop,
+        "skew_report": q_skew_report,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3477,8 +3491,12 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.text import bm25_sql
 
     from simba_spark.operators.graph import k_hop_sql, label_propagation_sql
+    from simba_spark.operators.stats import skew_report_sql
 
     return {
+        "skew_report": skew_report_sql(
+            "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
+        ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
         "label_prop": label_propagation_sql(pr_edges, iters=4),
         "k_hop": k_hop_sql(

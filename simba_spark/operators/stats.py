@@ -322,3 +322,84 @@ def cov_matrix_sql(
         f"__n_{a}_{b} AS n_pairs, __v_{a}_{b} AS cov FROM w"
         for a, b in pairs)
     return f"WITH w AS (SELECT {aggs} FROM {from_sql})\n{sel}"
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: the ``top`` hottest keys
+    with their row counts, share of the table, the ratio to a
+    PERFECTLY UNIFORM key (count · n_distinct / n_rows — how many
+    "fair shares" of the shuffle this key eats), and the salt factor
+    (``ceil(count / target_rows_per_task)``) that would cap a salted
+    repartition of that key at ``target_rows_per_task`` rows per task.
+
+    Returns (key…, n, share, skew_ratio, suggested_salt) sorted by n
+    desc then keys asc — the planning read before picking broadcast /
+    salting / AQE skew-join for a 100 TB join (SCALE.md's salting
+    entries quote exactly these quantities).
+
+    One skinny groupBy(keys) + a 1-row global aggregate broadcast back;
+    the top-k is a TakeOrderedAndProject (≤ ``top`` rows to the
+    driver). Floats rounded to 6 so the report is engine-stable.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top < 1 or target_rows_per_task < 1:
+        raise ValueError("top and target_rows_per_task must be >= 1")
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    return (
+        counts.crossJoin(totals)
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            # divide FIRST: n·distinct as int64 overflows at trillions
+            # of rows × billions of keys; n/total is double-safe
+            F.round(
+                F.col("n") / F.col("__total") * F.col("__distinct"), 6
+            ).alias("skew_ratio"),
+            F.ceil(
+                F.col("n") / F.lit(float(target_rows_per_task))
+            ).alias("suggested_salt"),
+        )
+        .orderBy(
+            F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
+        )
+        .limit(int(top))
+    )
+
+
+def skew_report_sql(
+    from_sql: str,
+    key_cols: Sequence[str],
+    top: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> str:
+    """DuckDB SQL mirror of :func:`skew_report`."""
+    keys = ", ".join(key_cols)
+    order_keys = ", ".join(f"{c} ASC" for c in key_cols)
+    return f"""
+WITH __c AS (
+  SELECT {keys}, count(*) AS n FROM {from_sql} GROUP BY {keys}
+), __t AS (
+  SELECT sum(n) AS total, count(*) AS n_distinct FROM __c
+)
+SELECT {keys}, n,
+       round(n / t.total, 6) AS share,
+       round(n / t.total * t.n_distinct, 6) AS skew_ratio,
+       CAST(ceil(n / {float(target_rows_per_task)!r}) AS BIGINT)
+         AS suggested_salt
+FROM __c, __t t
+ORDER BY n DESC, {order_keys}
+LIMIT {int(top)}
+"""

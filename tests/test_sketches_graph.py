@@ -983,3 +983,51 @@ def test_k_hop_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# skew report
+
+
+def test_skew_report_values_and_salt(spark):
+    from simba_spark.operators.stats import skew_report
+
+    # key 0: 60 rows, key 1: 30, keys 2..11: 1 each → 100 rows, 12 keys
+    rows = [(0,)] * 60 + [(1,)] * 30 + [(k,) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, ["k"], top=3, target_rows_per_task=25).collect()
+    assert [(r["k"], r["n"]) for r in out] == [(0, 60), (1, 30), (2, 1)]
+    top = out[0]
+    assert top["share"] == 0.6
+    assert top["skew_ratio"] == round(0.6 * 12, 6)  # 7.2 fair shares
+    assert top["suggested_salt"] == 3  # ceil(60/25)
+    assert out[2]["suggested_salt"] == 1
+
+
+def test_skew_report_matches_duckdb_and_is_invariant(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.stats import skew_report, skew_report_sql
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("a"), ((F.col("id") * F.col("id")) % 13).alias("b")
+    )
+    got = [tuple(r) for r in skew_report(df, ["a", "b"], top=10).collect()]
+    got2 = [
+        tuple(r)
+        for r in skew_report(df.repartition(11), ["a", "b"], top=10).collect()
+    ]
+    assert got == got2
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.sql(skew_report_sql("t", ["a", "b"], top=10)).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_skew_report_validation(spark):
+    from simba_spark.operators.stats import skew_report
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        skew_report(df, [])
+    with pytest.raises(ValueError):
+        skew_report(df, ["k"], top=0)

@@ -2665,6 +2665,17 @@ def q_skew_report(spark, sf_dir):
     return skew_report(li, ["l_suppkey"], top=20, target_rows_per_task=500)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search (operators.text.phrase_search): documents
+    containing "hash join" as a consecutive token run, with per-doc
+    match counts — positional postings equi-joined on (doc, pos-i),
+    never a per-doc array; non-phrase terms are filtered before any
+    shuffle."""
+    from simba_spark.operators.text import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), "hash join")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2765,6 +2776,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "k_hop": q_k_hop,
         "skew_report": q_skew_report,
+        "phrase_search": q_phrase_search,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3488,7 +3500,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.analytics import (
         cohort_retention_sql, funnel_sql, volume_anomaly_sql,
     )
-    from simba_spark.operators.text import bm25_sql
+    from simba_spark.operators.text import bm25_sql, phrase_search_sql
 
     from simba_spark.operators.graph import k_hop_sql, label_propagation_sql
     from simba_spark.operators.stats import skew_report_sql
@@ -3498,6 +3510,7 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "phrase_search": phrase_search_sql("documents", "hash join"),
         "label_prop": label_propagation_sql(pr_edges, iters=4),
         "k_hop": k_hop_sql(
             pr_edges,

@@ -723,3 +723,77 @@ GROUP BY t.__id
 ORDER BY score DESC, t.__id ASC
 LIMIT {int(k)}
 """
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over positional postings: documents
+    containing the (whitespace-tokenized, lowercased) ``phrase`` as a
+    CONSECUTIVE token run, with the match count per document. Returns
+    ``(doc_id, n_matches)``, only matching docs.
+
+    Positional-index algorithm (how Lucene answers phrase queries):
+    the token stream is posexploded to (doc, pos) postings per phrase
+    term — everything else is filtered out BEFORE any shuffle — and
+    term i's postings are equi-joined on (doc, pos - i). Each join is
+    skinny (doc, pos) rows on co-located keys; a phrase of m words is
+    m-1 such joins. No arrays are ever materialized per doc, so a
+    boilerplate-heavy doc with thousands of hits costs rows, not
+    memory.
+    """
+    words = [w for w in phrase.lower().strip().split() if w]
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+        ).alias("__pos", "term"),
+    ).filter(F.col("term") != "")
+    base = (
+        toks.filter(F.col("term") == words[0])
+        .select("__id", F.col("__pos").alias("__p"))
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = toks.filter(F.col("term") == w).select(
+            "__id", (F.col("__pos") - i).alias("__p")
+        )
+        base = base.join(nxt, ["__id", "__p"], "inner")
+    return base.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+def phrase_search_sql(
+    from_sql: str,
+    phrase: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB SQL mirror of :func:`phrase_search` (same tokenizer,
+    0-based positions, consecutive-position joins)."""
+    words = [w for w in phrase.lower().strip().split() if w]
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    joins = "\n".join(
+        f"JOIN __tk t{i} ON t{i}.__id = t0.__id AND t{i}.term = {q(w)}"
+        f" AND t{i}.__pos = t0.__pos + {i}"
+        for i, w in enumerate(words[1:], start=1)
+    )
+    return f"""
+WITH __tk AS (
+  SELECT {id_expr} AS __id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS term,
+         generate_subscripts(
+           regexp_split_to_array(lower(trim({text_expr})), '\\s+'), 1) - 1
+           AS __pos
+  FROM {from_sql}
+)
+SELECT t0.__id AS {id_expr}, count(*) AS n_matches
+FROM __tk t0 {joins}
+WHERE t0.term = {q(words[0])}
+GROUP BY t0.__id
+"""

@@ -1048,3 +1048,84 @@ def test_bm25_rejects_bad_query(spark):
         bm25_topk(docs, [])
     with pytest.raises(ValueError):
         bm25_topk(docs, ["A", "a"])
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+
+
+def test_phrase_search_consecutive_only(spark):
+    from simba_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),          # has "quick brown"
+            (2, "quick red brown"),              # words present, not adjacent
+            (3, "quick brown quick brown"),      # two matches
+            (4, "Quick BROWN"),                  # case-insensitive
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "quick brown").collect()}
+    assert out == {1: 1, 3: 2, 4: 1}
+
+
+def test_phrase_search_overlapping_and_single_word(spark):
+    from simba_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b a")], "doc_id long, text string"
+    )
+    # overlapping runs all count: positions 0,1,2 for "a a"
+    out = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "a a").collect()}
+    assert out == {1: 3}
+    one = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "a").collect()}
+    assert one == {1: 4, 2: 1}
+
+
+def test_phrase_search_three_words_matches_python_and_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.text import phrase_search, phrase_search_sql
+
+    words = ["x", "y", "z", "w"]
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(w) for w in words]),
+                    ((F.col("id") * (i + 3) + i * 7) % 4 + 1).cast("int"),
+                )
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "x y z").collect()}
+    # pure-python reference
+    want = {}
+    for row in docs.collect():
+        toks = row["text"].split()
+        c = sum(
+            1 for i in range(len(toks) - 2)
+            if toks[i : i + 3] == ["x", "y", "z"]
+        )
+        if c:
+            want[row["doc_id"]] = c
+    assert got == want
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    oracle = dict(con.sql(phrase_search_sql("docs", "x y z")).fetchall())
+    assert got == oracle
+
+
+def test_phrase_search_rejects_empty(spark):
+    from simba_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_search(docs, "   ")

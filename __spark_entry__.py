@@ -2676,6 +2676,40 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(_t(spark, sf_dir, "documents"), "hash join")
 
 
+def q_events_pivot(spark, sf_dir):
+    """Inherited pivot (wide conditional aggregation): per-day event
+    counts and value sums pivoted to one column pair per event type.
+    Pivot values are pinned (the 5 known types) so the plan is a
+    single aggregate pass — Spark's two-job value-discovery scan is
+    skipped, which is also the 100 TB shape (never let pivot() scan
+    the table once per distinct-value discovery)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cents_sum(F.col("value")).alias("val"),
+        )
+    )
+
+
+def q_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution (operators.analytics.
+    attribution, model='linear'): every purchase's value split equally
+    across the user's click/view touches in the 6 h window ending at
+    the conversion. One user-keyed equi-join with the window as a join
+    predicate; credits summed in fixed-point 1e-4 units so the totals
+    are partitioning/engine-exact."""
+    from simba_spark.operators.analytics import attribution
+
+    return attribution(
+        _t(spark, sf_dir, "events"), model="linear", lookback_seconds=21600
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2777,6 +2811,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_hop": q_k_hop,
         "skew_report": q_skew_report,
         "phrase_search": q_phrase_search,
+        "events_pivot": q_events_pivot,
+        "attribution": q_attribution,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3498,7 +3534,7 @@ def oracle_sql() -> dict[str, str]:
     ws_key = weighted_sample_key_sql("doc_id", "n_chars", 7)
 
     from simba_spark.operators.analytics import (
-        cohort_retention_sql, funnel_sql, volume_anomaly_sql,
+        attribution_sql, cohort_retention_sql, funnel_sql, volume_anomaly_sql,
     )
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
 
@@ -3511,6 +3547,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
         "phrase_search": phrase_search_sql("documents", "hash join"),
+        # the conditional-aggregation rendering of Spark's pivot; the
+        # NULLIF/FILTER forms reproduce pivot's NULL (not 0) for empty
+        # (day, type) cells, and the cent-sum matches _cents_sum
+        "events_pivot": (
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,\n"
+            + ",\n".join(
+                f"NULLIF(count(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+                f" AS {t}_n,\n"
+                f"sum(CAST(round(value * 100.0, 0) AS BIGINT))"
+                f" FILTER (WHERE event_type = '{t}') / 100.0 AS {t}_val"
+                for t in ("click", "view", "purchase", "signup", "error")
+            )
+            + "\nFROM events GROUP BY 1"
+        ),
         "label_prop": label_propagation_sql(pr_edges, iters=4),
         "k_hop": k_hop_sql(
             pr_edges,
@@ -3521,6 +3571,9 @@ def oracle_sql() -> dict[str, str]:
             "events", ["signup", "view", "click", "purchase"]
         ),
         "cohort_retention": cohort_retention_sql("events"),
+        "attribution": attribution_sql(
+            "events", model="linear", lookback_seconds=21600
+        ),
         "volume_anomaly": volume_anomaly_sql("events"),
         "hll_orders": f"""
             WITH approx AS ({hll_sub})

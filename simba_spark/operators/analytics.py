@@ -296,3 +296,136 @@ FROM __c c JOIN __m m ON c.grp = m.grp
 WHERE m.sd IS NOT NULL AND m.sd > 0
   AND abs((c.n - m.mu) / m.sd) > {float(z_threshold)!r}
 """
+
+
+def attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    model: str = "linear",
+    lookback_seconds: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch conversion attribution: each conversion event's
+    value is credited to the user's touch events in the
+    ``lookback_seconds`` window ending at the conversion —
+    ``model='linear'`` splits it equally, ``'first'``/``'last'`` give
+    it all to the earliest/latest touch (timestamp ties broken by
+    ``id_col`` so the credit assignment is a pure function of the
+    data). Returns per-channel totals: ``(channel, n_touches,
+    credited_value)``.
+
+    Semantics: a touch qualifies if ``conv_ts - lookback < touch_ts <=
+    conv_ts``. Conversions with no qualifying touch contribute
+    nothing (they'd be the "direct/unattributed" bucket — filter the
+    input differently to report them).
+
+    Scale: ONE user-keyed equi-join (conversions ⋈ touches) with the
+    window range as a join-level predicate — co-partitioned on the
+    user key, AQE splits hot users; per-conversion touch counts /
+    first / last come from a window over (user, conv id), never a
+    collected array. Credits are summed in fixed-point 1e-4 units
+    (exact long addition) so the total is independent of partitioning
+    and engine — the float-sum-order lesson from the money aggregates.
+    """
+    if model not in ("linear", "first", "last"):
+        raise ValueError("model must be linear | first | last")
+    from pyspark.sql import Window
+
+    conv = df.filter(F.col(step_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+        F.col(value_col).alias("__val"),
+    )
+    touch = df.filter(F.col(step_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__tid"),
+        F.col(ts_col).alias("__tts"),
+        F.col(step_col).alias("channel"),
+    )
+    j = conv.join(touch, "__u").filter(
+        (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.col("__tts")
+            > F.col("__cts") - F.expr(f"INTERVAL {int(lookback_seconds)} SECONDS")
+        )
+    )
+    per_conv = Window.partitionBy("__u", "__cid")
+    if model == "linear":
+        credit = F.col("__val") / F.count(F.lit(1)).over(per_conv)
+        credited = j.withColumn("__credit", credit)
+    else:
+        asc = [F.col("__tts").asc(), F.col("__tid").asc()]
+        desc = [F.col("__tts").desc(), F.col("__tid").desc()]
+        w = per_conv.orderBy(*(asc if model == "first" else desc))
+        credited = (
+            j.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .withColumn("__credit", F.col("__val"))
+        )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        (
+            F.sum(F.round(F.col("__credit") * 10000.0, 0).cast("long"))
+            / 10000.0
+        ).alias("credited_value"),
+    )
+
+
+def attribution_sql(
+    from_sql: str,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    model: str = "linear",
+    lookback_seconds: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL mirror of :func:`attribution` (same join window,
+    tie-breaks, and fixed-point credit summation)."""
+    touches = ", ".join("'" + t.replace("'", "''") + "'" for t in touch_types)
+    join = f"""
+  SELECT c.{user_col} AS u, c.{id_col} AS cid, c.{value_col} AS val,
+         t.{id_col} AS tid, t.{ts_col} AS tts, t.{step_col} AS channel
+  FROM {from_sql} c
+  JOIN {from_sql} t
+    ON t.{user_col} = c.{user_col}
+   AND t.{ts_col} <= c.{ts_col}
+   AND t.{ts_col} > c.{ts_col} - INTERVAL {int(lookback_seconds)} SECOND
+   AND t.{step_col} IN ({touches})
+  WHERE c.{step_col} = '{conversion_type}'"""
+    if model == "linear":
+        body = f"""
+WITH __j AS ({join}),
+__c AS (
+  SELECT channel, val / count(*) OVER (PARTITION BY u, cid) AS credit
+  FROM __j
+)"""
+    else:
+        direction = "ASC" if model == "first" else "DESC"
+        body = f"""
+WITH __j AS ({join}),
+__c AS (
+  SELECT channel, val AS credit FROM (
+    SELECT channel, val,
+           row_number() OVER (
+             PARTITION BY u, cid
+             ORDER BY tts {direction}, tid {direction}
+           ) AS rn
+    FROM __j
+  ) WHERE rn = 1
+)"""
+    return f"""{body}
+SELECT channel, count(*) AS n_touches,
+       sum(CAST(round(credit * 10000.0, 0) AS BIGINT)) / 10000.0
+         AS credited_value
+FROM __c GROUP BY channel
+"""

@@ -196,3 +196,112 @@ def test_volume_anomaly_constant_group_never_divides_by_zero(spark):
         rows, "user_id long, ts timestamp, event_type string"
     )
     assert volume_anomaly(ev).count() == 0  # sd=0 → no flags, no error
+
+
+# ---------------------------------------------------------------------------
+# attribution
+
+
+def _attr_events(spark):
+    return spark.createDataFrame(
+        [
+            # user 1: view@1:30, click@2h, purchase@3h val=30 (the
+            # lookback lower bound is EXCLUSIVE: a touch at exactly
+            # cts - lookback does not qualify)
+            (10, 1, "2024-01-01 01:30:00", "view", 0.0),
+            (11, 1, "2024-01-01 02:00:00", "click", 0.0),
+            (12, 1, "2024-01-01 03:00:00", "purchase", 30.0),
+            # user 2: touch OUTSIDE the 1h lookback → unattributed
+            (20, 2, "2024-01-01 00:00:00", "view", 0.0),
+            (21, 2, "2024-01-01 05:00:00", "purchase", 50.0),
+        ],
+        "event_id long, user_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_attribution_linear_splits_evenly(spark):
+    from simba_spark.operators.analytics import attribution
+
+    out = {
+        r["channel"]: (r["n_touches"], r["credited_value"])
+        for r in attribution(
+            _attr_events(spark), lookback_seconds=7200, model="linear"
+        ).collect()
+    }
+    # user 1's both touches are within 2h of the purchase: 15 each;
+    # user 2's view is 5h before: no credit anywhere
+    assert out == {"view": (1, 15.0), "click": (1, 15.0)}
+
+
+def test_attribution_first_and_last(spark):
+    from simba_spark.operators.analytics import attribution
+
+    ev = _attr_events(spark)
+    first = {
+        r["channel"]: r["credited_value"]
+        for r in attribution(ev, lookback_seconds=7200, model="first").collect()
+    }
+    last = {
+        r["channel"]: r["credited_value"]
+        for r in attribution(ev, lookback_seconds=7200, model="last").collect()
+    }
+    assert first == {"view": 30.0}   # earliest touch takes all
+    assert last == {"click": 30.0}   # latest touch takes all
+
+
+def test_attribution_tie_on_ts_breaks_by_event_id(spark):
+    from simba_spark.operators.analytics import attribution
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 01:00:00", "view", 0.0),
+            (2, 1, "2024-01-01 01:00:00", "click", 0.0),  # same instant
+            (3, 1, "2024-01-01 02:00:00", "purchase", 10.0),
+        ],
+        "event_id long, user_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    first = {r["channel"]: r["credited_value"]
+             for r in attribution(ev, model="first").collect()}
+    last = {r["channel"]: r["credited_value"]
+            for r in attribution(ev, model="last").collect()}
+    assert first == {"view": 10.0}   # min event_id on the tie
+    assert last == {"click": 10.0}   # max event_id on the tie
+
+
+def test_attribution_matches_duckdb_all_models(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.analytics import attribution, attribution_sql
+
+    ev = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 29).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 1201) % 90000
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            ((F.col("id") * 11) % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.round((F.col("id") % 97) * 1.37, 2).alias("value"),
+    )
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    for model in ("linear", "first", "last"):
+        got = {
+            r["channel"]: (r["n_touches"], r["credited_value"])
+            for r in attribution(ev, model=model, lookback_seconds=3600).collect()
+        }
+        want = {
+            c: (n, v)
+            for c, n, v in con.sql(
+                attribution_sql("ev", model=model, lookback_seconds=3600)
+            ).fetchall()
+        }
+        assert got == want, model
+
+
+def test_attribution_rejects_bad_model(spark):
+    from simba_spark.operators.analytics import attribution
+
+    with pytest.raises(ValueError):
+        attribution(_attr_events(spark), model="shapley")

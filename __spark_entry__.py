@@ -2710,6 +2710,17 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix (operators.analytics.
+    transition_matrix): consecutive-event (from, to) counts and
+    row-normalized probabilities per user timeline. One user-keyed
+    lead() window + a skinny pair count; ties broken by event_id so
+    the matrix is a pure function of the data."""
+    from simba_spark.operators.analytics import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2813,6 +2824,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "events_pivot": q_events_pivot,
         "attribution": q_attribution,
+        "transition_matrix": q_transition_matrix,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3534,7 +3546,8 @@ def oracle_sql() -> dict[str, str]:
     ws_key = weighted_sample_key_sql("doc_id", "n_chars", 7)
 
     from simba_spark.operators.analytics import (
-        attribution_sql, cohort_retention_sql, funnel_sql, volume_anomaly_sql,
+        attribution_sql, cohort_retention_sql, funnel_sql,
+        transition_matrix_sql, volume_anomaly_sql,
     )
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
 
@@ -3574,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": attribution_sql(
             "events", model="linear", lookback_seconds=21600
         ),
+        "transition_matrix": transition_matrix_sql("events"),
         "volume_anomaly": volume_anomaly_sql("events"),
         "hll_orders": f"""
             WITH approx AS ({hll_sub})

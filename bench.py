@@ -87,6 +87,16 @@ HEADLINE = [
     "cm_heavy",
     "winsorize_events",
     "token_cooc",
+    "funnel",
+    "cohort_retention",
+    "volume_anomaly",
+    "bm25",
+    "label_prop",
+    "k_hop",
+    "skew_report",
+    "phrase_search",
+    "events_pivot",
+    "attribution",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -101,6 +111,9 @@ _POST_R3 = {
     "hll_orders", "theta_parts", "pagerank", "weighted_sample",
     "bloom_join",
     "quantile_events", "cm_heavy", "winsorize_events", "token_cooc",
+    "funnel", "cohort_retention", "volume_anomaly", "bm25",
+    "label_prop", "k_hop", "skew_report", "phrase_search",
+    "events_pivot", "attribution",
 }
 
 GROUPS = {

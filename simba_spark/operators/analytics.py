@@ -429,3 +429,79 @@ SELECT channel, count(*) AS n_touches,
          AS credited_value
 FROM __c GROUP BY channel
 """
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    id_col: Optional[str] = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every observed (from_step, to_step) pair of
+    CONSECUTIVE events (ordered by timestamp, ties broken by
+    ``id_col``), the transition count and row-normalized probability
+    ``p = n / Σ n(from_step, ·)``. The next-event model behind path
+    analysis, drop-off diagnosis, and sequence featurization.
+
+    Returns ``(from_step, to_step, n, p)``.
+
+    Scale: one window lead() pass partitioned on the user key (each
+    user's history sorts within its partition — no global sort), then
+    a skinny (from, to) count whose totals join back on the tiny
+    from-step dimension. ``p`` is an exact long/long division rounded
+    to ``round_to``.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(step_col).alias("from_step"),
+            F.lead(F.col(step_col)).over(w).alias("to_step"),
+        )
+        .filter(F.col("to_step").isNotNull())
+    )
+    counts = pairs.groupBy("from_step", "to_step").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_step").agg(F.sum("n").alias("__tot"))
+    return counts.join(totals, "from_step").select(
+        "from_step",
+        "to_step",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), round_to).alias("p"),
+    )
+
+
+def transition_matrix_sql(
+    from_sql: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    id_col: Optional[str] = "event_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL mirror of :func:`transition_matrix`."""
+    order = f"{ts_col} ASC" + (f", {id_col} ASC" if id_col else "")
+    return f"""
+WITH __p AS (
+  SELECT {step_col} AS from_step,
+         lead({step_col}) OVER (
+           PARTITION BY {user_col} ORDER BY {order}
+         ) AS to_step
+  FROM {from_sql}
+), __c AS (
+  SELECT from_step, to_step, count(*) AS n
+  FROM __p WHERE to_step IS NOT NULL GROUP BY 1, 2
+), __t AS (
+  SELECT from_step, sum(n) AS tot FROM __c GROUP BY 1
+)
+SELECT c.from_step, c.to_step, c.n, round(c.n / t.tot, {int(round_to)}) AS p
+FROM __c c JOIN __t t USING (from_step)
+"""

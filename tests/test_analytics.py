@@ -305,3 +305,70 @@ def test_attribution_rejects_bad_model(spark):
 
     with pytest.raises(ValueError):
         attribution(_attr_events(spark), model="shapley")
+
+
+# ---------------------------------------------------------------------------
+# transition matrix
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from simba_spark.operators.analytics import transition_matrix
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: a → b → a → c ; user 2: a → b
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-01 00:01:00", "b"),
+            (3, 1, "2024-01-01 00:02:00", "a"),
+            (4, 1, "2024-01-01 00:03:00", "c"),
+            (5, 2, "2024-01-01 00:00:00", "a"),
+            (6, 2, "2024-01-01 00:05:00", "b"),
+        ],
+        "event_id long, user_id long, ts_s string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = {
+        (r["from_step"], r["to_step"]): (r["n"], r["p"])
+        for r in transition_matrix(ev).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+    # rows sum to 1 per from_step
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (f_, _), (_, p) in out.items():
+        sums[f_] += p
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_transition_matrix_never_crosses_users_and_matches_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.analytics import (transition_matrix,
+                                                 transition_matrix_sql)
+
+    # single-event users produce NO transitions
+    ev = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 57).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 331) % 50000
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            ((F.col("id") * 13) % 3 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    got = {
+        (r["from_step"], r["to_step"]): (r["n"], r["p"])
+        for r in transition_matrix(ev).collect()
+    }
+    assert sum(n for n, _ in got.values()) == 400 - 57  # n_events - n_users
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    want = {
+        (a, b): (n, p)
+        for a, b, n, p in con.sql(transition_matrix_sql("ev")).fetchall()
+    }
+    assert got == want

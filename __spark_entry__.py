@@ -2721,6 +2721,35 @@ def q_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+def q_linkage(spark, sf_dir):
+    """Fellegi–Sunter record-linkage scoring (operators.dedup.
+    linkage_score): customers blocked by nation, each candidate pair
+    scored on name edit-similarity and segment equality with
+    log2(m/u) agreement weights — the probabilistic entity-resolution
+    step after any blocker. Pure codegen arithmetic; the blocking join
+    owns the only shuffle."""
+    from simba_spark.operators.dedup import linkage_score
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ck_a"), F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"), "c_nationkey",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("ck_b"), F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg_b"), "c_nationkey",
+    )
+    pairs = a.join(b, "c_nationkey").filter(F.col("ck_a") < F.col("ck_b"))
+    return linkage_score(
+        pairs,
+        [
+            ("name_a", "name_b", "levenshtein", 0.9, 0.05, 0.9),
+            ("seg_a", "seg_b", "exact", 0.8, 0.2),
+        ],
+        threshold=0.0,
+    ).select("ck_a", "ck_b", "agree_name_a", "agree_seg_a", "n_agree", "score")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2825,6 +2854,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "attribution": q_attribution,
         "transition_matrix": q_transition_matrix,
+        "linkage": q_linkage,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3513,7 +3543,8 @@ def oracle_sql() -> dict[str, str]:
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
     from simba_spark.operators.clustering import kmeans_sql
-    from simba_spark.operators.dedup import semantic_dedup_sql
+    from simba_spark.operators.dedup import (linkage_score_sql,
+                                             semantic_dedup_sql)
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
     from simba_spark.operators.pipeline import (quantile_bin_sql,
                                                 split_assign_sql,
@@ -3588,6 +3619,23 @@ def oracle_sql() -> dict[str, str]:
             "events", model="linear", lookback_seconds=21600
         ),
         "transition_matrix": transition_matrix_sql("events"),
+        "linkage": linkage_score_sql(
+            """(
+              SELECT a.c_custkey AS ck_a, a.c_name AS name_a,
+                     a.c_mktsegment AS seg_a,
+                     b.c_custkey AS ck_b, b.c_name AS name_b,
+                     b.c_mktsegment AS seg_b
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+            )""",
+            [
+                ("name_a", "name_b", "levenshtein", 0.9, 0.05, 0.9),
+                ("seg_a", "seg_b", "exact", 0.8, 0.2),
+            ],
+            select_cols="ck_a, ck_b",
+            threshold=0.0,
+        ),
         "volume_anomaly": volume_anomaly_sql("events"),
         "hll_orders": f"""
             WITH approx AS ({hll_sub})

@@ -97,6 +97,8 @@ HEADLINE = [
     "phrase_search",
     "events_pivot",
     "attribution",
+    "transition_matrix",
+    "linkage",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -113,7 +115,7 @@ _POST_R3 = {
     "quantile_events", "cm_heavy", "winsorize_events", "token_cooc",
     "funnel", "cohort_retention", "volume_anomaly", "bm25",
     "label_prop", "k_hop", "skew_report", "phrase_search",
-    "events_pivot", "attribution",
+    "events_pivot", "attribution", "transition_matrix", "linkage",
 }
 
 GROUPS = {

@@ -1273,3 +1273,156 @@ def dup_ngram_fraction(
         )
         .withColumn("dup_frac", F.col("n_dup") / F.col("n_grams"))
     )
+
+
+#: comparison kinds understood by :func:`linkage_score`
+_LINKAGE_KINDS = ("exact", "levenshtein", "jaccard_tokens")
+
+
+def linkage_score(
+    pairs: DataFrame,
+    fields: Sequence[tuple],
+    round_to: int = 6,
+    threshold: Optional[float] = None,
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over candidate pairs from
+    ANY blocker (sorted-neighborhood, minhash bands, a blocking join):
+    each field comparison contributes ``log2(m/u)`` on agreement and
+    ``log2((1-m)/(1-u))`` on disagreement; a NULL on either side
+    contributes 0 (no evidence). Appends per-field agreement flags
+    (``agree_<name>``), the agreement count ``n_agree``, and the total
+    ``score`` (rounded); ``threshold`` filters to likely matches.
+
+    ``fields`` entries are ``(col_a, col_b, kind, m, u[, sim_t])``:
+
+    - ``kind='exact'`` — equality.
+    - ``kind='levenshtein'`` — normalized similarity
+      ``1 - lev/max(len)`` ≥ ``sim_t`` (default 0.8). Keep this for
+      SHORT fields (names, codes): edit distance is quadratic in
+      field length by nature.
+    - ``kind='jaccard_tokens'`` — whitespace-token Jaccard ≥ ``sim_t``
+      (default 0.5).
+
+    Everything is built-in Column arithmetic (codegen, zero shuffle —
+    the blocker owns the join); m/u are the usual match/unmatch
+    agreement probabilities (trained elsewhere or set by judgment, as
+    in classic FS deployments).
+    """
+    import math
+
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    out = pairs
+    score = F.lit(0.0)
+    n_agree = F.lit(0)
+    agree_cols = []
+    for spec in fields:
+        if len(spec) == 5:
+            ca, cb, kind, m, u = spec
+            sim_t = 0.8 if kind == "levenshtein" else 0.5
+        else:
+            ca, cb, kind, m, u, sim_t = spec
+        if kind not in _LINKAGE_KINDS:
+            raise ValueError(f"unknown comparison kind: {kind}")
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(f"need 0 < u < m < 1 for field {ca}")
+        a, b = F.col(ca), F.col(cb)
+        if kind == "exact":
+            agree = a == b
+        elif kind == "levenshtein":
+            max_len = F.greatest(F.length(a), F.length(b))
+            sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+                1.0 - F.levenshtein(a, b) / max_len
+            )
+            agree = sim >= float(sim_t)
+        else:  # jaccard_tokens
+            ta = F.array_distinct(F.split(F.lower(F.trim(a)), TOKEN_SPLIT_RE))
+            tb = F.array_distinct(F.split(F.lower(F.trim(b)), TOKEN_SPLIT_RE))
+            inter = F.size(F.array_intersect(ta, tb))
+            union = F.size(ta) + F.size(tb) - inter
+            agree = F.when(union == 0, F.lit(1.0)).otherwise(
+                inter / union
+            ) >= float(sim_t)
+        w_a = math.log2(m / u)
+        w_d = math.log2((1.0 - m) / (1.0 - u))
+        known = a.isNotNull() & b.isNotNull()
+        flag = F.when(known & agree, 1).when(known, 0)  # NULL when unknown
+        name = f"agree_{ca}"
+        out = out.withColumn(name, flag)
+        agree_cols.append(name)
+        score = score + F.when(F.col(name) == 1, F.lit(w_a)).when(
+            F.col(name) == 0, F.lit(w_d)
+        ).otherwise(F.lit(0.0))
+        n_agree = n_agree + F.coalesce(F.col(name), F.lit(0))
+    out = out.withColumn("n_agree", n_agree).withColumn(
+        "score", F.round(score, round_to)
+    )
+    if threshold is not None:
+        out = out.filter(F.col("score") >= float(threshold))
+    return out
+
+
+def linkage_score_sql(
+    pairs_sql: str,
+    fields: Sequence[tuple],
+    select_cols: str,
+    round_to: int = 6,
+    threshold: Optional[float] = None,
+) -> str:
+    """DuckDB SQL mirror of :func:`linkage_score` (same agreement
+    definitions, weights as repr'd double literals so the float
+    arithmetic matches bit-for-bit)."""
+    import math
+
+    flags, score_terms, agree_terms = [], [], []
+    for spec in fields:
+        if len(spec) == 5:
+            ca, cb, kind, m, u = spec
+            sim_t = 0.8 if kind == "levenshtein" else 0.5
+        else:
+            ca, cb, kind, m, u, sim_t = spec
+        if kind == "exact":
+            agree = f"({ca} = {cb})"
+        elif kind == "levenshtein":
+            agree = (
+                f"(CASE WHEN greatest(length({ca}), length({cb})) = 0"
+                f" THEN 1.0 ELSE 1.0 - levenshtein({ca}, {cb})"
+                f" / greatest(length({ca}), length({cb})) END"
+                f" >= {float(sim_t)!r})"
+            )
+        else:
+            ta = f"list_distinct(regexp_split_to_array(lower(trim({ca})), '\\s+'))"
+            tb = f"list_distinct(regexp_split_to_array(lower(trim({cb})), '\\s+'))"
+            inter = f"len(list_intersect({ta}, {tb}))"
+            union = f"(len({ta}) + len({tb}) - {inter})"
+            agree = (
+                f"(CASE WHEN {union} = 0 THEN 1.0"
+                f" ELSE {inter} / {union} END >= {float(sim_t)!r})"
+            )
+        w_a = math.log2(m / u)
+        w_d = math.log2((1.0 - m) / (1.0 - u))
+        name = f"agree_{ca}"
+        flags.append(
+            f"CASE WHEN {ca} IS NOT NULL AND {cb} IS NOT NULL THEN"
+            f" CASE WHEN {agree} THEN 1 ELSE 0 END END AS {name}"
+        )
+        score_terms.append(
+            f"CASE WHEN {name} = 1 THEN {w_a!r}"
+            f" WHEN {name} = 0 THEN {w_d!r} ELSE 0.0 END"
+        )
+        agree_terms.append(f"COALESCE({name}, 0)")
+    where = (
+        f"WHERE score >= {float(threshold)!r}" if threshold is not None else ""
+    )
+    return f"""
+WITH __flags AS (
+  SELECT *, {", ".join(flags)} FROM {pairs_sql}
+)
+SELECT * FROM (
+  SELECT {select_cols}, {", ".join(f"agree_{s[0]}" for s in fields)},
+         ({" + ".join(agree_terms)}) AS n_agree,
+         round(CAST({" + ".join(score_terms)} AS DOUBLE),
+               {int(round_to)}) AS score
+  FROM __flags
+) {where}
+"""

@@ -377,3 +377,100 @@ def test_pca_whiten_unit_variance(spark):
                               whiten=True).collect()])
     assert abs(Y[:, 0].var(ddof=1) - 1.0) < 0.05
     assert abs(Y[:, 1].var(ddof=1) - 1.0) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter linkage scoring
+
+
+def test_linkage_score_weights_and_nulls(spark):
+    import math
+
+    from simba_spark.operators.dedup import linkage_score
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "acme corp", "acme corp", "NY", "NY"),
+            (3, 4, "acme corp", "bxkz ltd", "NY", "CA"),
+            (5, 6, "acme corp", "acme corp", None, "NY"),  # null field
+        ],
+        "id_a long, id_b long, name_a string, name_b string, st_a string, st_b string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_agree"], r["score"],
+                                 r["agree_name_a"], r["agree_st_a"])
+        for r in linkage_score(
+            pairs,
+            [
+                ("name_a", "name_b", "levenshtein", 0.9, 0.1, 0.8),
+                ("st_a", "st_b", "exact", 0.8, 0.2),
+            ],
+        ).collect()
+    }
+    w_name_a, w_name_d = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    w_st_a, w_st_d = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    assert out[(1, 2)] == (2, round(w_name_a + w_st_a, 6), 1, 1)
+    assert out[(3, 4)] == (0, round(w_name_d + w_st_d, 6), 0, 0)
+    # NULL field contributes nothing (flag NULL, weight 0)
+    assert out[(5, 6)] == (1, round(w_name_a, 6), 1, None)
+
+
+def test_linkage_score_jaccard_and_threshold(spark):
+    from simba_spark.operators.dedup import linkage_score
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "big data spark engine", "spark big engine"),  # j=3/4
+            (3, 4, "alpha beta", "gamma delta"),                  # j=0
+        ],
+        "id_a long, id_b long, t_a string, t_b string",
+    )
+    out = linkage_score(
+        pairs,
+        [("t_a", "t_b", "jaccard_tokens", 0.9, 0.1, 0.5)],
+        threshold=0.0,
+    ).collect()
+    assert [(r["id_a"], r["n_agree"]) for r in out] == [(1, 1)]
+
+
+def test_linkage_score_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.dedup import linkage_score, linkage_score_sql
+
+    pairs = spark.range(300).select(
+        F.col("id").alias("id_a"),
+        (F.col("id") + 1000).alias("id_b"),
+        F.concat(F.lit("name"), (F.col("id") % 17).cast("string")).alias("n_a"),
+        F.concat(F.lit("name"), (F.col("id") % 5).cast("string")).alias("n_b"),
+        (F.col("id") % 3).cast("string").alias("s_a"),
+        (F.col("id") % 4).cast("string").alias("s_b"),
+    )
+    fields = [
+        ("n_a", "n_b", "levenshtein", 0.85, 0.15, 0.9),
+        ("s_a", "s_b", "exact", 0.7, 0.3),
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_agree"], r["score"])
+        for r in linkage_score(pairs, fields).collect()
+    }
+    con = duckdb.connect()
+    con.register("pairs", pairs.toPandas())
+    want = {
+        (a, b): (n, s)
+        for a, b, _, _, n, s in con.sql(
+            linkage_score_sql("pairs", fields, select_cols="id_a, id_b")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_linkage_score_validation(spark):
+    from simba_spark.operators.dedup import linkage_score
+
+    pairs = spark.createDataFrame([(1, "x", "y")], "id long, a string, b string")
+    with pytest.raises(ValueError):
+        linkage_score(pairs, [])
+    with pytest.raises(ValueError):
+        linkage_score(pairs, [("a", "b", "soundex", 0.9, 0.1)])
+    with pytest.raises(ValueError):
+        linkage_score(pairs, [("a", "b", "exact", 0.1, 0.9)])  # m <= u

@@ -459,3 +459,48 @@ def test_session_conf_drives_join_algorithm_dispatch(spark):
         assert "CartesianProduct" in kc or "BroadcastNestedLoopJoin" in kc
     finally:
         spark.conf.unset("simba_spark.join.knnJoin")
+
+
+def test_round6_late_debut_plan_shapes(spark):
+    """Plan audit for the round-6 late debuts: top-ks compile to
+    TakeOrderedAndProject, and none of the join-based operators plans
+    a cartesian / broadcast-nested-loop join (the scalar 1-row
+    crossJoins in bm25 are BNLJ by construction and exempt)."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.operators.analytics import attribution, transition_matrix
+    from simba_spark.operators.graph import k_hop, label_propagation
+    from simba_spark.operators.stats import skew_report
+    from simba_spark.operators.text import phrase_search
+
+    ev = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 11).alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    # top-k operators: global sort never materializes
+    p = _plan(skew_report(ev, ["user_id"], top=5))
+    assert "TakeOrderedAndProject" in p
+
+    # join-based operators: no cartesian anywhere
+    for df in (
+        attribution(ev),
+        transition_matrix(ev),
+        phrase_search(docs, "a b"),
+        label_propagation(edges, iters=2),
+        k_hop(edges, seeds, k=2),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoop" not in p

@@ -2750,6 +2750,22 @@ def q_linkage(spark, sf_dir):
     ).select("ck_a", "ck_b", "agree_name_a", "agree_seg_a", "n_agree", "score")
 
 
+def q_quantile_bin_grouped(spark, sf_dir):
+    """Per-group equal-frequency binning (operators.pipeline.
+    quantile_bin with group_by): events.value into 4 bins at
+    PER-EVENT-TYPE sketched quantile cuts — one call produces the
+    per-source/per-language cut frames a feature pipeline needs,
+    broadcast back as a #groups-row frame. Oracle: the same grouped
+    sketch + interpolation + comparison sum, LEFT JOINed."""
+    from simba_spark.operators.pipeline import quantile_bin
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_bin(
+        ev, "value", "event_id", nbins=4, k=256, group_by=["event_type"]
+    )
+    return out.select("event_id", "event_type", "value_bin")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2855,6 +2871,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "transition_matrix": q_transition_matrix,
         "linkage": q_linkage,
+        "quantile_bin_grouped": q_quantile_bin_grouped,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3739,6 +3756,11 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bin": f"""
             SELECT event_id, value_bin FROM ({quantile_bin_sql(
                 "events", "value", "event_id", nbins=8, k=512)})
+        """,
+        "quantile_bin_grouped": f"""
+            SELECT event_id, event_type, value_bin FROM ({quantile_bin_sql(
+                "events", "value", "event_id", nbins=4, k=256,
+                group_exprs=["event_type"])})
         """,
         "table_diff": f"""
             SELECT o_orderkey, diff_status,

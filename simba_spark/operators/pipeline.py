@@ -930,33 +930,46 @@ def quantile_bin_sql(
     seed: int = 42,
     out_col: Optional[str] = None,
     select_cols: str = "*",
+    group_exprs: Optional[Sequence[str]] = None,
 ) -> str:
     """DuckDB mirror of :func:`quantile_bin` (same sketch +
-    interpolation + comparison-sum arithmetic)."""
+    interpolation + comparison-sum arithmetic; ``group_exprs`` mirrors
+    ``group_by`` — per-group cut frames LEFT JOINed back, so a group
+    absent from the cut frame yields NULL bins in both engines)."""
     from .sketches import _q_name, quantile_estimate_sql, quantile_sketch_sql
 
     nbins = int(nbins)
     out_col = out_col or f"{col_expr}_bin"
     qs = tuple(i / nbins for i in range(1, nbins))
+    groups = list(group_exprs or [])
     qsql = quantile_estimate_sql(
-        quantile_sketch_sql(from_sql, col_expr, id_expr, k=k, seed=seed),
-        qs=qs,
+        quantile_sketch_sql(from_sql, col_expr, id_expr, k=k, seed=seed,
+                            group_exprs=groups or None),
+        qs=qs, group_exprs=groups or None,
     )
     names = [_q_name(q) for q in qs]
+    gsel = "".join(f"{g}, " for g in groups)
     thr = ", ".join(f"{n} AS __qb{i + 1}" for i, n in enumerate(names))
     x = f"CAST({col_expr} AS DOUBLE)"
     s = " + ".join(
         f"CASE WHEN ({x}) >= __qb{i + 1} THEN 1 ELSE 0 END"
         for i in range(len(qs)))
+    if groups:
+        join = (
+            f"FROM {from_sql} LEFT JOIN "
+            f"(SELECT {gsel}{thr} FROM ({qsql})) __q USING ({', '.join(groups)})"
+        )
+    else:
+        join = f"FROM {from_sql}, (SELECT {thr} FROM ({qsql}))"
     # __qb1 IS NULL (empty sketch — e.g. every binnable row has a NULL
-    # id) mirrors Spark's NULL-propagating comparison sum: bin is NULL,
-    # not 0
+    # id — or a group missing from the cut frame) mirrors Spark's
+    # NULL-propagating comparison sum: bin is NULL, not 0
     return f"""
   SELECT {select_cols},
          CASE WHEN ({x}) IS NULL THEN NULL
               WHEN __qb1 IS NULL THEN NULL
               ELSE ({s}) END AS {out_col}
-  FROM {from_sql}, (SELECT {thr} FROM ({qsql}))
+  {join}
 """
 
 

@@ -209,8 +209,28 @@ def _bucket_counts(
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
-def _count_moments(counts: DataFrame) -> DataFrame:
-    return counts.groupBy("grp").agg(
+_SEASONS = {"hour_of_day": F.hour, "day_of_week": F.dayofweek}
+
+
+def _season_col(seasonality: Optional[str]):
+    if seasonality is None:
+        return None
+    if seasonality not in _SEASONS:
+        raise ValueError(
+            f"seasonality must be one of {sorted(_SEASONS)} or None"
+        )
+    return _SEASONS[seasonality](F.col("bucket_ts"))
+
+
+def _count_moments(
+    counts: DataFrame, seasonality: Optional[str] = None
+) -> DataFrame:
+    season = _season_col(seasonality)
+    if season is None:
+        return counts.groupBy("grp").agg(
+            F.avg("n").alias("__mu"), F.stddev_samp("n").alias("__sd")
+        )
+    return counts.groupBy("grp", season.alias("__season")).agg(
         F.avg("n").alias("__mu"), F.stddev_samp("n").alias("__sd")
     )
 
@@ -238,11 +258,18 @@ def volume_anomaly(
     bucket: str = "hour",
     z_threshold: float = 2.0,
     round_to: int = 6,
+    seasonality: Optional[str] = None,
 ) -> DataFrame:
     """Event-volume anomaly detection: bucket the stream into
     (group, time-bucket) counts, compute each group's count mean and
     sample stddev across its buckets, and flag buckets whose z-score
     exceeds ``z_threshold`` in absolute value.
+
+    ``seasonality='hour_of_day'`` / ``'day_of_week'`` computes the
+    moments PER SEASON SLOT (each bucket compared to other buckets at
+    the same hour / weekday) — real traffic is periodic, and a global
+    mean flags every rush hour; the seasonal baseline flags departures
+    from the pattern instead.
 
     Returns ``(group, bucket_ts, n, z)`` for flagged buckets only,
     ``z`` rounded to ``round_to`` (float addition order across
@@ -250,15 +277,19 @@ def volume_anomaly(
     sits far above that noise — same policy as ``graph.pagerank``).
 
     Scale: the raw table collapses to (group, bucket) counts in one
-    combine-friendly shuffle; the per-group moment table is #groups
-    rows (broadcast); groups with zero/NULL stddev (constant or single
-    bucket) produce no flags rather than dividing by zero.
+    combine-friendly shuffle; the moment table is #groups (× season
+    slots) rows (broadcast); groups with zero/NULL stddev (constant or
+    single bucket) produce no flags rather than dividing by zero.
     """
     counts = _bucket_counts(df, group_col, ts_col, bucket)
-    moments = _count_moments(counts)
+    moments = _count_moments(counts, seasonality)
+    season = _season_col(seasonality)
+    if season is not None:
+        counts = counts.withColumn("__season", season)
+    keys = ["grp"] + (["__season"] if season is not None else [])
     z = (F.col("n") - F.col("__mu")) / F.col("__sd")
     return (
-        counts.join(F.broadcast(moments), "grp")
+        counts.join(F.broadcast(moments), keys)
         .filter(
             F.col("__sd").isNotNull()
             & (F.col("__sd") > 0)
@@ -280,19 +311,36 @@ def volume_anomaly_sql(
     bucket: str = "hour",
     z_threshold: float = 2.0,
     round_to: int = 6,
+    seasonality: Optional[str] = None,
 ) -> str:
-    """DuckDB SQL mirror of :func:`volume_anomaly`."""
+    """DuckDB SQL mirror of :func:`volume_anomaly` (``dayofweek`` is
+    Sunday=1..Saturday=7 in Spark vs Sunday=0 in DuckDB — the mirror
+    shifts to match)."""
+    if seasonality == "hour_of_day":
+        season = "CAST(hour(bucket_ts) AS INT)"
+    elif seasonality == "day_of_week":
+        season = "CAST(dayofweek(bucket_ts) + 1 AS INT)"
+    elif seasonality is None:
+        season = None
+    else:
+        raise ValueError("seasonality must be hour_of_day|day_of_week|None")
+    skey = f", {season} AS season" if season else ""
+    mkey = ", season" if season else ""
+    jkey = " AND c.season = m.season" if season else ""
     return f"""
 WITH __c AS (
-  SELECT {group_col} AS grp, date_trunc('{bucket}', {ts_col}) AS bucket_ts,
-         count(*) AS n
-  FROM {from_sql} GROUP BY 1, 2
+  SELECT *{skey} FROM (
+    SELECT {group_col} AS grp, date_trunc('{bucket}', {ts_col}) AS bucket_ts,
+           count(*) AS n
+    FROM {from_sql} GROUP BY 1, 2
+  )
 ), __m AS (
-  SELECT grp, avg(n) AS mu, stddev_samp(n) AS sd FROM __c GROUP BY 1
+  SELECT grp{mkey}, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM __c GROUP BY grp{mkey}
 )
 SELECT c.grp AS {group_col}, c.bucket_ts, c.n,
        round((c.n - m.mu) / m.sd, {int(round_to)}) AS z
-FROM __c c JOIN __m m ON c.grp = m.grp
+FROM __c c JOIN __m m ON c.grp = m.grp{jkey}
 WHERE m.sd IS NOT NULL AND m.sd > 0
   AND abs((c.n - m.mu) / m.sd) > {float(z_threshold)!r}
 """

@@ -372,3 +372,69 @@ def test_transition_matrix_never_crosses_users_and_matches_oracle(spark):
         for a, b, n, p in con.sql(transition_matrix_sql("ev")).fetchall()
     }
     assert got == want
+
+
+def test_volume_anomaly_seasonal_baseline(spark):
+    """A consistent daily rush hour is NOT an anomaly under the
+    hour-of-day baseline, but a one-off spike at a normally-quiet hour
+    is; the global baseline would flag every rush hour."""
+    from simba_spark.operators.analytics import volume_anomaly
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for d in range(10):
+        for h in range(24):
+            n = 50 if h == 9 else 5            # daily 9am rush
+            if d == 6 and h == 3:
+                n = 40                          # one-off 3am spike
+            for i in range(n):
+                rows.append((1, base + dt.timedelta(days=d, hours=h, seconds=i), "t"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    # z_threshold 2.5, not 3: the spike is IN its own baseline and a
+    # single outlier among n=10 samples caps the attainable z at
+    # (n-1)/sqrt(n) ~ 2.85 (self-masking)
+    seasonal = volume_anomaly(ev, z_threshold=2.5,
+                              seasonality="hour_of_day").collect()
+    assert [r["bucket_ts"] for r in seasonal] == [
+        base + dt.timedelta(days=6, hours=3)
+    ]
+    # the global baseline flags the rush hours instead (all 10 of them)
+    global_flags = volume_anomaly(ev, z_threshold=2.5).collect()
+    assert sum(1 for r in global_flags if r["bucket_ts"].hour == 9) == 10
+
+
+def test_volume_anomaly_seasonal_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.analytics import (volume_anomaly,
+                                                 volume_anomaly_sql)
+
+    ev = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 4099) % 1209600
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b")),
+            (F.col("id") % 2 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    for season in ("hour_of_day", "day_of_week"):
+        got = {
+            (r["event_type"], r["bucket_ts"].isoformat()): (r["n"], r["z"])
+            for r in volume_anomaly(
+                ev, z_threshold=1.0, seasonality=season
+            ).collect()
+        }
+        want = {
+            (t, b.isoformat()): (n, z)
+            for t, b, n, z in con.sql(
+                volume_anomaly_sql("ev", z_threshold=1.0, seasonality=season)
+            ).fetchall()
+        }
+        assert got == want, season
+    with pytest.raises(ValueError):
+        volume_anomaly(ev, seasonality="lunar_phase")

@@ -37,8 +37,18 @@ from .operators.polygon import (
     polygon_intersects_circle_col,
     polygon_range,
 )
+from .operators.analytics import (
+    attribution,
+    cohort_retention,
+    funnel,
+    transition_matrix,
+    volume_anomaly,
+    volume_baseline,
+)
 from .operators.clustering import kmeans
-from .operators.graph import pagerank, triangle_count
+from .operators.dedup import linkage_score
+from .operators.graph import k_hop, label_propagation, pagerank, triangle_count
+from .operators.text import bm25_topk, phrase_search
 from .operators.shapes import (
     circle_struct,
     mbr_struct,
@@ -66,7 +76,7 @@ from .operators.sketches import (
 from .operators.similarity import ann_topk
 from .operators.pca import fit_pca, pca_project
 from .operators.stats import (corr_matrix, cov_matrix, heavy_hitters,
-                              histogram_fixed)
+                              histogram_fixed, skew_report)
 from .partitioners import (
     assign_partitions,
     hash_partition,
@@ -98,9 +108,13 @@ __all__ = [
     "quantile_sketch", "quantile_merge", "quantile_estimate", "quantile_digest",
     "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
     "ann_topk",
-    "pagerank", "triangle_count", "histogram_fixed", "heavy_hitters",
-    "corr_matrix", "cov_matrix", "fit_pca", "pca_project",
-    "kmeans",
+    "pagerank", "triangle_count", "label_propagation", "k_hop",
+    "histogram_fixed", "heavy_hitters",
+    "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
+    "kmeans", "linkage_score",
+    "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
+    "attribution", "transition_matrix",
+    "bm25_topk", "phrase_search",
     "str_partition", "kd_partition", "voronoi_partition", "zorder_partition",
     "hash_partition", "range_partition", "assign_partitions",
     "partition_sizes",

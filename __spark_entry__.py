@@ -2766,6 +2766,19 @@ def q_quantile_bin_grouped(spark, sf_dir):
     return out.select("event_id", "event_type", "value_bin")
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (operators.graph.personalized_pagerank):
+    TrustRank-style proximity to the customers whose key is a multiple
+    of 100, over the directed trade graph (6 iterations, teleport +
+    dangling mass returning to the seeds, unreachable nodes exactly
+    0). Same per-iteration join+groupBy shape as pagerank."""
+    from simba_spark.operators.graph import personalized_pagerank
+
+    edges = _trade_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).filter("node % 100 = 0")
+    return personalized_pagerank(edges, seeds, iters=6)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2872,6 +2885,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "linkage": q_linkage,
         "quantile_bin_grouped": q_quantile_bin_grouped,
+        "personalized_pagerank": q_personalized_pagerank,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3599,7 +3613,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
 
-    from simba_spark.operators.graph import k_hop_sql, label_propagation_sql
+    from simba_spark.operators.graph import (k_hop_sql, label_propagation_sql,
+                                             personalized_pagerank_sql)
     from simba_spark.operators.stats import skew_report_sql
 
     return {
@@ -3623,6 +3638,11 @@ def oracle_sql() -> dict[str, str]:
             + "\nFROM events GROUP BY 1"
         ),
         "label_prop": label_propagation_sql(pr_edges, iters=4),
+        "personalized_pagerank": personalized_pagerank_sql(
+            pr_edges,
+            f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",
+            iters=6,
+        ),
         "k_hop": k_hop_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

@@ -99,6 +99,8 @@ HEADLINE = [
     "attribution",
     "transition_matrix",
     "linkage",
+    "quantile_bin_grouped",
+    "personalized_pagerank",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -116,6 +118,7 @@ _POST_R3 = {
     "funnel", "cohort_retention", "volume_anomaly", "bm25",
     "label_prop", "k_hop", "skew_report", "phrase_search",
     "events_pivot", "attribution", "transition_matrix", "linkage",
+    "quantile_bin_grouped", "personalized_pagerank",
 }
 
 GROUPS = {

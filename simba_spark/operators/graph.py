@@ -440,3 +440,144 @@ def k_hop_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, dist::INT AS dist FROM __d{int(k)}"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    damping: float = 0.85,
+    iters: int = 8,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Personalized PageRank: the teleport distribution is uniform over
+    ``seeds`` instead of all nodes — rank mass measures proximity to
+    the seed set (TrustRank-style quality propagation from a vetted
+    whitelist, related-entity scoring, topic-sensitive ranking).
+    Dangling mass also returns to the seeds, so total rank stays 1 and
+    unreachable nodes get exactly 0.
+
+    Same per-iteration shape as :func:`pagerank` (one edge⋈rank join +
+    one skinny groupBy + a 1-row dangling broadcast, lazily
+    checkpointed); the seed flag is a left-semi-derived 0/1 column
+    joined once up front. Driver state: the seed count (one scalar).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(node).alias("node")).distinct()
+    nodes = (
+        nodes.join(sd.withColumn("__is_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    s = nodes.filter("__is_seed = 1").count()  # the one driver scalar
+    if s == 0:
+        raise ValueError("no seed appears in the graph")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = e.join(out_deg, "src").localCheckpoint(eager=False)
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, how="left_anti"
+    ).select("node").localCheckpoint(eager=False)
+
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(F.col("__is_seed") == 1, F.lit(1.0 / s)).otherwise(F.lit(0.0)),
+    ).select("node", "rank")
+    base = (1.0 - damping) / s
+    for _ in range(int(iters)):
+        dangling = ranks.join(dangling_nodes, "node", how="left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contribs = (
+            e2.join(ranks, e2.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.col("__is_seed")
+                    * (F.lit(base) + F.lit(damping) * F.col("__dm") / F.lit(float(s)))
+                    + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return ranks
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    damping: float = 0.85,
+    iters: int = 8,
+    round_to: Optional[int] = 6,
+) -> str:
+    """DuckDB SQL mirror of :func:`personalized_pagerank` (fixed
+    iterations unrolled as chained CTEs)."""
+    parts = [
+        f"WITH __e AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {edges_sql})",
+        f"""__nodes AS (
+  SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM (SELECT src AS node FROM __e UNION SELECT dst FROM __e) n
+  LEFT JOIN (SELECT DISTINCT {node} AS node FROM {seeds_sql}) s
+    ON n.node = s.node
+)""",
+        "__s AS (SELECT sum(is_seed) AS s FROM __nodes)",
+        "__deg AS (SELECT src, count(*) AS deg FROM __e GROUP BY src)",
+        """__r0 AS (
+  SELECT node, CASE WHEN is_seed = 1
+                    THEN 1.0 / (SELECT s FROM __s) ELSE 0.0 END AS rank
+  FROM __nodes
+)""",
+    ]
+    for i in range(int(iters)):
+        prev, cur = f"__r{i}", f"__r{i + 1}"
+        parts.append(
+            f"""{cur} AS (
+  SELECT nn.node,
+         nn.is_seed * (
+           {(1.0 - damping)!r} / (SELECT s FROM __s)
+           + {damping!r} * (
+               SELECT COALESCE(sum(r.rank), 0.0) FROM {prev} r
+               LEFT JOIN __deg d ON r.node = d.src WHERE d.src IS NULL
+             ) / (SELECT s FROM __s)
+         )
+         + {damping!r} * COALESCE(c.__c, 0.0) AS rank
+  FROM __nodes nn
+  LEFT JOIN (
+    SELECT e.dst, sum(r.rank / d.deg) AS __c
+    FROM __e e
+    JOIN {prev} r ON e.src = r.node
+    JOIN __deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) c ON nn.node = c.dst
+)"""
+        )
+    rank_expr = (
+        f"round(rank, {int(round_to)})" if round_to is not None else "rank"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, {rank_expr} AS rank FROM __r{int(iters)}"
+    )

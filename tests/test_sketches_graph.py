@@ -1031,3 +1031,68 @@ def test_skew_report_validation(spark):
         skew_report(df, [])
     with pytest.raises(ValueError):
         skew_report(df, ["k"], top=0)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+
+
+def test_personalized_pagerank_mass_and_unreachable(spark):
+    from simba_spark.operators.graph import personalized_pagerank
+
+    # two components: seeds live in {1,2,3}; {10,11} is unreachable
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank"]
+           for r in personalized_pagerank(edges, seeds, iters=8).collect()}
+    assert out[10] == 0.0 and out[11] == 0.0  # unreachable: exactly 0
+    assert abs(sum(out.values()) - 1.0) < 1e-4  # mass conserved
+    assert out[1] > out[2] > 0  # seed holds the most mass
+
+
+def test_personalized_pagerank_dangling_returns_to_seeds(spark):
+    from simba_spark.operators.graph import personalized_pagerank
+
+    # 1 → 2, 2 dangles: its mass must teleport back to the seed, not
+    # spread to every node
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["rank"]
+           for r in personalized_pagerank(edges, seeds, iters=12).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out[1] > out[2]
+
+
+def test_personalized_pagerank_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.graph import (personalized_pagerank,
+                                             personalized_pagerank_sql)
+
+    edges = spark.range(250).select(
+        (F.col("id") % 43).alias("src"), ((F.col("id") * 19 + 3) % 43).alias("dst")
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(edges, seeds, iters=5).collect()}
+    con = duckdb.connect()
+    con.register("edges", edges.toPandas())
+    want = dict(
+        con.sql(
+            personalized_pagerank_sql(
+                "edges", "(SELECT 0 AS node UNION ALL SELECT 7)", iters=5
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_personalized_pagerank_validation(spark):
+    from simba_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([(99,)], "node long"), iters=3
+        )  # seed not in graph

@@ -47,7 +47,8 @@ from .operators.analytics import (
 )
 from .operators.clustering import kmeans
 from .operators.dedup import linkage_score
-from .operators.graph import k_hop, label_propagation, pagerank, triangle_count
+from .operators.graph import (k_hop, label_propagation, pagerank,
+                              personalized_pagerank, triangle_count)
 from .operators.text import bm25_topk, phrase_search
 from .operators.shapes import (
     circle_struct,
@@ -108,7 +109,8 @@ __all__ = [
     "quantile_sketch", "quantile_merge", "quantile_estimate", "quantile_digest",
     "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
     "ann_topk",
-    "pagerank", "triangle_count", "label_propagation", "k_hop",
+    "pagerank", "personalized_pagerank", "triangle_count",
+    "label_propagation", "k_hop",
     "histogram_fixed", "heavy_hitters",
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "kmeans", "linkage_score",

@@ -2779,6 +2779,78 @@ def q_personalized_pagerank(spark, sf_dir):
     return personalized_pagerank(edges, seeds, iters=6)
 
 
+def _rfm_oracle_sql() -> str:
+    """DuckDB mirror of :func:`q_rfm`: the per-user RFM frame, then
+    pipeline.quantile_bin_sql nested once per metric (identical sketch
+    + interpolation + comparison-sum arithmetic per bin column)."""
+    from simba_spark.operators.pipeline import quantile_bin_sql
+
+    per_user = """(
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE),
+                       CAST((SELECT max(ts) FROM events) AS DATE))
+               AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(value * 100.0, 0) AS BIGINT)) / 100.0
+               AS monetary
+      FROM events GROUP BY 1
+    )"""
+    binned = per_user
+    for col in ("recency_days", "frequency", "monetary"):
+        binned = "(" + quantile_bin_sql(
+            binned, col, "user_id", nbins=4, k=256
+        ) + ")"
+    return f"""
+        SELECT user_id, recency_days, frequency, monetary,
+               recency_days_bin AS r_bin, frequency_bin AS f_bin,
+               monetary_bin AS m_bin,
+               recency_days_bin * 100 + frequency_bin * 10
+                 + monetary_bin AS segment
+        FROM {binned}
+    """
+
+
+def q_rfm(spark, sf_dir):
+    """RFM segmentation — a composition showcase of the public API:
+    per-user Recency (days since last event, vs the corpus max so the
+    result is a pure function of the data), Frequency (event count),
+    Monetary (cent-summed value), each quartile-binned with
+    pipeline.quantile_bin over the SAME per-user frame (three bin
+    columns from three sketched cut rows, all broadcast), segment code
+    = r*100 + f*10 + m. One groupBy(user) + three ≤k-row sketch
+    shuffles; the big table is scanned once."""
+    from simba_spark.operators.pipeline import quantile_bin
+
+    ev = _t(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("__gmax"))
+    per_user = (
+        ev.crossJoin(F.broadcast(gmax))
+        .groupBy(F.col("user_id").alias("user_id"))
+        .agg(
+            # cast to long: Spark datediff is INT, DuckDB date_diff is
+            # BIGINT — the driver hash is type-sensitive
+            F.datediff(F.min("__gmax"), F.max("ts")).cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            _cents_sum(F.col("value")).alias("monetary"),
+        )
+    )
+    out = per_user
+    for col in ("recency_days", "frequency", "monetary"):
+        out = quantile_bin(out, col, "user_id", nbins=4, k=256)
+    return out.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.col("recency_days_bin").alias("r_bin"),
+        F.col("frequency_bin").alias("f_bin"),
+        F.col("monetary_bin").alias("m_bin"),
+        (
+            F.col("recency_days_bin") * 100
+            + F.col("frequency_bin") * 10
+            + F.col("monetary_bin")
+        ).alias("segment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2886,6 +2958,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage": q_linkage,
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "personalized_pagerank": q_personalized_pagerank,
+        "rfm_segments": q_rfm,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3782,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
                 "events", "value", "event_id", nbins=4, k=256,
                 group_exprs=["event_type"])})
         """,
+        "rfm_segments": _rfm_oracle_sql(),
         "table_diff": f"""
             SELECT o_orderkey, diff_status,
                    coalesce(array_to_string(changed_cols, ','), '') AS changed

@@ -956,11 +956,16 @@ def quantile_bin_sql(
         for i in range(len(qs)))
     if groups:
         join = (
-            f"FROM {from_sql} LEFT JOIN "
+            f"FROM {from_sql} __t LEFT JOIN "
             f"(SELECT {gsel}{thr} FROM ({qsql})) __q USING ({', '.join(groups)})"
         )
     else:
-        join = f"FROM {from_sql}, (SELECT {thr} FROM ({qsql}))"
+        join = f"FROM {from_sql} __t, (SELECT {thr} FROM ({qsql})) __q"
+    # select_cols='*' qualifies to the SOURCE alias so the __qb
+    # threshold columns never leak into the output — Spark drops them,
+    # and a leaked __qb1 makes nested quantile_bin_sql calls ambiguous
+    if select_cols.strip() == "*":
+        select_cols = "__t.*"
     # __qb1 IS NULL (empty sketch — e.g. every binnable row has a NULL
     # id — or a group missing from the cut frame) mirrors Spark's
     # NULL-propagating comparison sum: bin is NULL, not 0

@@ -2779,6 +2779,18 @@ def q_personalized_pagerank(spark, sf_dir):
     return personalized_pagerank(edges, seeds, iters=6)
 
 
+def q_rank_normalize(spark, sf_dir):
+    """Percentile-rank feature transform (operators.pipeline.
+    rank_normalize): events.value → percent_rank in [0,1] with
+    min-rank ties, NULL-preserving. Ranks computed on the skinny
+    DISTINCT-VALUE frame via the two-phase running_total (never a
+    single-partition window), then joined back on the value."""
+    from simba_spark.operators.pipeline import rank_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    return rank_normalize(ev, "value").select("event_id", "value", "value_pr")
+
+
 def _rfm_oracle_sql() -> str:
     """DuckDB mirror of :func:`q_rfm`: the per-user RFM frame, then
     pipeline.quantile_bin_sql nested once per metric (identical sketch
@@ -2959,6 +2971,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "personalized_pagerank": q_personalized_pagerank,
         "rfm_segments": q_rfm,
+        "rank_normalize": q_rank_normalize,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3651,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
     from simba_spark.operators.pipeline import (quantile_bin_sql,
+                                                rank_normalize_sql,
                                                 split_assign_sql,
                                                 table_diff_sql,
                                                 weighted_sample_key_sql,
@@ -3856,6 +3870,10 @@ def oracle_sql() -> dict[str, str]:
                 group_exprs=["event_type"])})
         """,
         "rfm_segments": _rfm_oracle_sql(),
+        "rank_normalize": f"""
+            SELECT event_id, value, value_pr
+            FROM ({rank_normalize_sql("events", "value")})
+        """,
         "table_diff": f"""
             SELECT o_orderkey, diff_status,
                    coalesce(array_to_string(changed_cols, ','), '') AS changed

@@ -1015,3 +1015,72 @@ def winsorize_sql(
               ELSE least(greatest(({x}), __lo), __hi) END AS {out_col}
   FROM {from_sql}, ({thr})
 """
+
+
+def rank_normalize(
+    df: DataFrame,
+    col: str,
+    out_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Percentile-rank feature transform: each non-NULL value mapped to
+    ``(rank - 1) / (n - 1)`` in [0, 1] with min-rank tie handling —
+    SQL ``percent_rank()`` semantics, the rank-based normalization
+    that is robust to outliers and monotone-transform-invariant where
+    z-scoring is not. NULLs map to NULL; a single distinct value maps
+    to 0.0.
+
+    Scale: never a single-partition global window. Ranks are computed
+    on the DISTINCT-VALUE frame (skinny (value, count) rows) with the
+    two-phase :func:`running_total`, then joined back on the value —
+    a 100 TB column with a million distinct values ranks a
+    million-row side table, not the table itself.
+    """
+    out_col = out_col or f"{col}_pr"
+    x = F.col(col)
+    vals = (
+        df.filter(x.isNotNull())
+        .groupBy(x.alias("__rnv"))
+        .agg(F.count(F.lit(1)).alias("__rnc"))
+    )
+    cum = running_total(vals, "__rnv", "__rnc", "__rncum")
+    ranked = cum.select(
+        "__rnv", (F.col("__rncum") - F.col("__rnc") + 1).alias("__rnrank")
+    )
+    totals = vals.agg(F.sum("__rnc").alias("__rnn"))
+    ranked = ranked.crossJoin(F.broadcast(totals)).select(
+        "__rnv",
+        F.when(F.col("__rnn") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("__rnrank") - 1) / (F.col("__rnn") - 1), round_to
+            )
+        )
+        .alias(out_col),
+    )
+    return df.join(ranked, df[col] == ranked.__rnv, "left").drop("__rnv")
+
+
+def rank_normalize_sql(
+    from_sql: str,
+    col_expr: str,
+    out_col: Optional[str] = None,
+    round_to: int = 6,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB SQL mirror of :func:`rank_normalize` (percent_rank over
+    the non-NULL rows, deduped to per-value rows, LEFT JOINed back)."""
+    out_col = out_col or f"{col_expr}_pr"
+    if select_cols.strip() == "*":
+        select_cols = "__t.*"
+    return f"""
+WITH __nn AS (
+  SELECT {col_expr} AS __v,
+         percent_rank() OVER (ORDER BY {col_expr}) AS __pr
+  FROM {from_sql} WHERE {col_expr} IS NOT NULL
+), __p AS (
+  SELECT DISTINCT __v, round(__pr, {int(round_to)}) AS __pr FROM __nn
+)
+SELECT {select_cols}, __p.__pr AS {out_col}
+FROM {from_sql} __t LEFT JOIN __p ON __t.{col_expr} = __p.__v
+"""

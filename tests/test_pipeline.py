@@ -3,6 +3,7 @@ packing (north-star §2.7). Determinism under repartitioning is the key
 property — sampling/packing decisions must not depend on physical
 layout."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -526,3 +527,64 @@ def test_scd2_point_in_time_via_asof(spark):
             continue
         assert any(kk == k and f <= t and (to is None or t < to)
                    and a == attr for kk, f, to, a in vers)
+
+
+# ---------------------------------------------------------------------------
+# rank normalization
+
+
+def test_rank_normalize_percent_rank_semantics(spark):
+    from simba_spark.operators.pipeline import rank_normalize
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0), (5, None)],
+        "id long, x double",
+    )
+    out = {r["id"]: r["x_pr"] for r in rank_normalize(df, "x").collect()}
+    # n=4 non-null; ranks: 10→1, 20→2 (both), 40→4
+    assert out == {
+        1: 0.0,
+        2: round(1 / 3, 6),
+        3: round(1 / 3, 6),
+        4: 1.0,
+        5: None,
+    }
+
+
+def test_rank_normalize_single_value_and_invariance(spark):
+    from simba_spark.operators.pipeline import rank_normalize
+
+    one = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, x double")
+    got = {r["id"]: r["x_pr"] for r in rank_normalize(one, "x").collect()}
+    assert got == {1: 0.0, 2: 0.0}  # single distinct value → 0.0
+
+    df = spark.range(500).select(
+        F.col("id"), ((F.col("id") * 37) % 101).cast("double").alias("x")
+    )
+    a = {r["id"]: r["x_pr"] for r in rank_normalize(df, "x").collect()}
+    b = {r["id"]: r["x_pr"]
+         for r in rank_normalize(df.repartition(13), "x").collect()}
+    assert a == b
+
+
+def test_rank_normalize_matches_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.pipeline import (rank_normalize,
+                                                rank_normalize_sql)
+
+    df = spark.range(400).select(
+        F.col("id"),
+        F.when(F.col("id") % 19 == 0, None)
+        .otherwise((F.col("id") * F.col("id")) % 83)
+        .cast("double")
+        .alias("x"),
+    )
+    got = {r["id"]: r["x_pr"] for r in rank_normalize(df, "x").collect()}
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = dict(
+        con.sql(
+            f"SELECT id, x_pr FROM ({rank_normalize_sql('t', 'x')})"
+        ).fetchall()
+    )
+    assert got == want

@@ -2791,6 +2791,20 @@ def q_rank_normalize(spark, sf_dir):
     return rank_normalize(ev, "value").select("event_id", "value", "value_pr")
 
 
+def q_chisq(spark, sf_dir):
+    """Chi-square independence test (operators.stats.
+    chisq_independence): is event_type independent of the day-of-week?
+    One skinny (a, b) groupBy over the data; expected counts from the
+    row-total × col-total cross join (r×c rows — never the data
+    again); Cramér's V for effect size."""
+    from simba_spark.operators.stats import chisq_independence
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek("ts")
+    )
+    return chisq_independence(ev, "event_type", "dow")
+
+
 def _rfm_oracle_sql() -> str:
     """DuckDB mirror of :func:`q_rfm`: the per-user RFM frame, then
     pipeline.quantile_bin_sql nested once per metric (identical sketch
@@ -2972,6 +2986,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "rfm_segments": q_rfm,
         "rank_normalize": q_rank_normalize,
+        "chisq_events": q_chisq,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3669,7 +3684,8 @@ def oracle_sql() -> dict[str, str]:
                                                 table_diff_sql,
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
-    from simba_spark.operators.stats import (corr_matrix_sql, cov_matrix_sql,
+    from simba_spark.operators.stats import (chisq_independence_sql,
+                                             corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
     from simba_spark.operators.text import token_cooccurrence_sql
     from simba_spark.operators.sketches import (
@@ -3874,6 +3890,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value, value_pr
             FROM ({rank_normalize_sql("events", "value")})
         """,
+        # Spark dayofweek = DuckDB dayofweek + 1 (Sun=1 vs Sun=0)
+        "chisq_events": chisq_independence_sql(
+            "(SELECT event_type, dayofweek(ts) + 1 AS dow FROM events)",
+            "event_type", "dow",
+        ),
         "table_diff": f"""
             SELECT o_orderkey, diff_status,
                    coalesce(array_to_string(changed_cols, ','), '') AS changed

@@ -101,6 +101,9 @@ HEADLINE = [
     "linkage",
     "quantile_bin_grouped",
     "personalized_pagerank",
+    "rfm_segments",
+    "rank_normalize",
+    "chisq_events",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -118,7 +121,8 @@ _POST_R3 = {
     "funnel", "cohort_retention", "volume_anomaly", "bm25",
     "label_prop", "k_hop", "skew_report", "phrase_search",
     "events_pivot", "attribution", "transition_matrix", "linkage",
-    "quantile_bin_grouped", "personalized_pagerank",
+    "quantile_bin_grouped", "personalized_pagerank", "rfm_segments",
+    "rank_normalize", "chisq_events",
 }
 
 GROUPS = {

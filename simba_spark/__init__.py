@@ -76,8 +76,9 @@ from .operators.sketches import (
 )
 from .operators.similarity import ann_topk
 from .operators.pca import fit_pca, pca_project
-from .operators.stats import (corr_matrix, cov_matrix, heavy_hitters,
-                              histogram_fixed, skew_report)
+from .operators.pipeline import rank_normalize
+from .operators.stats import (chisq_independence, corr_matrix, cov_matrix,
+                              heavy_hitters, histogram_fixed, skew_report)
 from .partitioners import (
     assign_partitions,
     hash_partition,
@@ -113,6 +114,7 @@ __all__ = [
     "label_propagation", "k_hop",
     "histogram_fixed", "heavy_hitters",
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
+    "chisq_independence", "rank_normalize",
     "kmeans", "linkage_score",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
     "attribution", "transition_matrix",

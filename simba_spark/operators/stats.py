@@ -403,3 +403,105 @@ FROM __c, __t t
 ORDER BY n DESC, {order_keys}
 LIMIT {int(top)}
 """
+
+
+def chisq_independence(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 6
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row ``(chi2, dof, n, cramers_v)``. The feature/label
+    dependence screen (e.g. is document source independent of language
+    bucket) — Cramér's V gives the effect size the raw statistic
+    can't (chi2 grows with n even for trivial dependence). Rows with a
+    NULL on either side are excluded, as in every standard
+    contingency-table treatment. The p-value is deliberately omitted:
+    neither engine ships a chi-square CDF, and the statistic + dof
+    feed any external table.
+
+    Scale: one skinny groupBy(a, b) over the data (combine-friendly);
+    expected counts come from the ROW-TOTAL × COL-TOTAL cross join —
+    r×c skinny rows, never the data again — left-joined to observed so
+    zero-observed cells still contribute their expectation. Everything
+    after the first groupBy is sized by the category cardinalities.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    obs = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    rows = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cols = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = obs.agg(F.sum("__o").alias("__n"))
+    cells = (
+        rows.crossJoin(cols)
+        .join(obs, ["__a", "__b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.pow(
+                    F.coalesce(F.col("__o"), F.lit(0))
+                    - F.col("__ra") * F.col("__cb") / F.col("__n"),
+                    F.lit(2.0),
+                )
+                / (F.col("__ra") * F.col("__cb") / F.col("__n"))
+            ).alias("__term")
+        )
+    )
+    stats = cells.agg(F.sum("__term").alias("__chi2")).crossJoin(
+        F.broadcast(
+            rows.agg(F.count(F.lit(1)).alias("__r")).crossJoin(
+                cols.agg(F.count(F.lit(1)).alias("__c"))
+            ).crossJoin(tot)
+        )
+    )
+    return stats.select(
+        F.round("__chi2", round_to).alias("chi2"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).alias("dof"),
+        F.col("__n").alias("n"),
+        F.round(
+            F.when(
+                (F.least("__r", "__c") > 1) & (F.col("__chi2") > 0),
+                F.sqrt(
+                    F.col("__chi2")
+                    / (F.col("__n") * (F.least("__r", "__c") - 1))
+                ),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("cramers_v"),
+    )
+
+
+def chisq_independence_sql(
+    from_sql: str, col_a: str, col_b: str, round_to: int = 6
+) -> str:
+    """DuckDB SQL mirror of :func:`chisq_independence`."""
+    return f"""
+WITH __obs AS (
+  SELECT {col_a} AS a, {col_b} AS b, count(*) AS o
+  FROM {from_sql}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+  GROUP BY 1, 2
+), __r AS (SELECT a, sum(o)::BIGINT AS ra FROM __obs GROUP BY 1),
+__c AS (SELECT b, sum(o)::BIGINT AS cb FROM __obs GROUP BY 1),
+__t AS (SELECT sum(o)::BIGINT AS n FROM __obs),
+__cells AS (
+  SELECT pow(COALESCE(o.o, 0) - r.ra * c.cb / t.n, 2.0)
+         / (r.ra * c.cb / t.n) AS term
+  FROM __r r CROSS JOIN __c c
+  LEFT JOIN __obs o ON o.a = r.a AND o.b = c.b
+  CROSS JOIN __t t
+), __s AS (
+  SELECT sum(term) AS chi2,
+         (SELECT count(*) FROM __r) AS r,
+         (SELECT count(*) FROM __c) AS c,
+         (SELECT n FROM __t) AS n
+  FROM __cells
+)
+SELECT round(chi2, {int(round_to)}) AS chi2,
+       (r - 1) * (c - 1) AS dof, n,
+       round(CASE WHEN least(r, c) > 1 AND chi2 > 0
+                  THEN sqrt(chi2 / (n * (least(r, c) - 1)))
+                  ELSE 0.0::DOUBLE END, {int(round_to)}) AS cramers_v
+FROM __s
+"""

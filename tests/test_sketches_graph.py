@@ -1096,3 +1096,68 @@ def test_personalized_pagerank_validation(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([(99,)], "node long"), iters=3
         )  # seed not in graph
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence
+
+
+def test_chisq_independent_and_dependent(spark):
+    from simba_spark.operators.stats import chisq_independence
+
+    # perfectly independent 2x2: chi2 = 0, V = 0
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(25)]
+    ind = spark.createDataFrame(rows, "a string, b string")
+    r = chisq_independence(ind, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 100
+    assert r["cramers_v"] == 0.0
+
+    # perfectly dependent 2x2 (a == b): chi2 = n, V = 1
+    dep = spark.createDataFrame(
+        [("x", "p")] * 30 + [("y", "q")] * 30, "a string, b string"
+    )
+    r2 = chisq_independence(dep, "a", "b").collect()[0]
+    assert r2["chi2"] == 60.0 and r2["cramers_v"] == 1.0
+
+
+def test_chisq_matches_scipy_formula_and_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.stats import (chisq_independence,
+                                             chisq_independence_sql)
+
+    df = spark.range(900).select(
+        ((F.col("id") * 7) % 4).cast("string").alias("a"),
+        ((F.col("id") * F.col("id")) % 5).cast("string").alias("b"),
+    )
+    got = chisq_independence(df, "a", "b").collect()[0]
+    # pure-python expected chi2
+    pdf = df.toPandas()
+    import itertools
+    from collections import Counter
+    obs = Counter(zip(pdf["a"], pdf["b"]))
+    ra, cb = Counter(pdf["a"]), Counter(pdf["b"])
+    n = len(pdf)
+    chi2 = sum(
+        (obs.get((a, b), 0) - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for a, b in itertools.product(ra, cb)
+    )
+    assert abs(got["chi2"] - chi2) < 1e-4
+    assert got["dof"] == (len(ra) - 1) * (len(cb) - 1)
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(chisq_independence_sql("t", "a", "b")).fetchall()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_chisq_excludes_nulls_and_degenerate(spark):
+    from simba_spark.operators.stats import chisq_independence
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", None), (None, "q"), ("x", "q")],
+        "a string, b string",
+    )
+    r = chisq_independence(df, "a", "b").collect()[0]
+    assert r["n"] == 2          # null-bearing rows excluded
+    assert r["dof"] == 0        # single category on a → degenerate
+    assert r["cramers_v"] == 0.0

@@ -596,6 +596,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    require_all: bool = False,
 ) -> DataFrame:
     """BM25 ranked retrieval: the top-``k`` documents for a bag of
     query terms, scored with Okapi BM25 (Lucene's non-negative idf
@@ -603,6 +604,10 @@ def bm25_topk(
     ``(doc_id, score)``, score rounded to ``round_to``, ties broken by
     ascending ``doc_id``. The ranking-side companion of
     :func:`inverted_index` / :func:`tfidf_topk`.
+
+    ``require_all=True`` gives conjunctive (AND) retrieval: only
+    documents containing EVERY query term rank — one extra skinny
+    HAVING on the per-doc term count, applied before the top-k.
 
     Scale shape: the term filter lands BEFORE the tf aggregation, so
     the per-(term, doc) shuffle only ever carries the query's terms —
@@ -660,8 +665,14 @@ def bm25_topk(
             ).alias("__s"),
         )
         .groupBy("__id")
-        .agg(F.sum("__s").alias("__score"))
+        .agg(
+            F.sum("__s").alias("__score"),
+            F.count(F.lit(1)).alias("__nterms"),
+        )
     )
+    if require_all:
+        scored = scored.filter(F.col("__nterms") == len(terms))
+    scored = scored.drop("__nterms")
     # rank on the ROUNDED score: raw double sums differ in addition
     # order across engines, so ulp-close neighbors at the k boundary
     # could flip; rounding first makes the (score, doc_id) order a
@@ -685,9 +696,11 @@ def bm25_sql(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    require_all: bool = False,
 ) -> str:
     """DuckDB SQL mirror of :func:`bm25_topk` (same tokenizer, idf
-    variant, float expression shapes, and doc_id tiebreak)."""
+    variant, float expression shapes, doc_id tiebreak, and AND-mode
+    HAVING)."""
     terms = ", ".join(
         "'" + t.lower().replace("'", "''") + "'" for t in query_terms
     )
@@ -720,6 +733,7 @@ JOIN __idf i USING (term)
 JOIN __dl d USING (__id)
 CROSS JOIN __sc s
 GROUP BY t.__id
+{f"HAVING count(*) = {len(list(query_terms))}" if require_all else ""}
 ORDER BY score DESC, t.__id ASC
 LIMIT {int(k)}
 """

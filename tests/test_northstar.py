@@ -1129,3 +1129,31 @@ def test_phrase_search_rejects_empty(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         phrase_search(docs, "   ")
+
+
+def test_bm25_require_all_conjunctive(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.text import bm25_sql, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog bird"),
+            (2, "cat cat cat"),      # missing dog: excluded in AND mode
+            (3, "dog dog"),          # missing cat
+            (4, "cat dog"),
+        ],
+        "doc_id long, text string",
+    )
+    both = {r["doc_id"] for r in
+            bm25_topk(docs, ["cat", "dog"], require_all=True).collect()}
+    assert both == {1, 4}
+    any_ = {r["doc_id"] for r in bm25_topk(docs, ["cat", "dog"]).collect()}
+    assert any_ == {1, 2, 3, 4}
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = {
+        d for d, _ in con.sql(
+            bm25_sql("docs", ["cat", "dog"], require_all=True)
+        ).fetchall()
+    }
+    assert both == want

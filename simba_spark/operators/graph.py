@@ -295,12 +295,13 @@ def label_propagation(
     Returns (node, label) for every node with at least one edge.
 
     Scale: per iteration one labels⋈edges equi-join on the node id +
-    one skinny (node, label) count + one window top-1 — all shuffle on
-    node id so AQE reuses the exchange; labels are localCheckpoint'd
-    per iteration to truncate lineage. No driver state at all.
+    one skinny (node, label) count + one hash-aggregate argmax — all
+    shuffle on node id so AQE reuses the exchange; labels are
+    localCheckpoint'd per iteration to truncate lineage. No driver
+    state at all. The argmax is ``max_by(label, struct(n, -label))``
+    (count desc, label asc on ties) — a hash aggregate with map-side
+    partials instead of the sort a row_number window would plan.
     """
-    from pyspark.sql import Window
-
     if iters < 1:
         raise ValueError("iters must be >= 1")
     e = (
@@ -315,17 +316,20 @@ def label_propagation(
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("__n").desc(), F.col("label").asc()
+    # struct orders lexicographically: min of (-count, label) = max
+    # count, then MIN label on ties — the deterministic tie-break,
+    # negating the count (always numeric) so labels of any orderable
+    # type work unchanged.
+    argmax = F.min_by(
+        "label", F.struct((-F.col("__n")).alias("__o"), F.col("label"))
     )
     for _ in range(int(iters)):
         labels = (
             und.join(labels, und.b == labels.node)
             .groupBy(und.a.alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(argmax.alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

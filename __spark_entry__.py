@@ -2812,6 +2812,30 @@ def q_chisq(spark, sf_dir):
     return chisq_independence(ev, "event_type", "dow")
 
 
+def q_rollup_incremental(spark, sf_dir):
+    """Continuous-aggregate / hypertable-rollup analog (operators.
+    timeseries.rollup_state/merge/finalize): events split into a
+    20-day "history" and the trailing "new batch", each rolled up to
+    per-(day, event_type) EXACT mergeable partials (fixed-point long
+    sums — a double partial would be neither exact nor associative),
+    merged, finalized. The incremental pattern a 100 TB metrics store
+    runs nightly: fold the new day in, never re-scan history. The
+    oracle computes the direct rollup over everything — equal BY THE
+    MERGE PROPERTY, which this row exhibits as data."""
+    from simba_spark.operators.timeseries import (rollup_finalize,
+                                                  rollup_merge, rollup_state)
+
+    ev = _t(spark, sf_dir, "events")
+    cut = "2024-01-21"
+    hist = ev.filter(F.col("ts") < cut)
+    newb = ev.filter(F.col("ts") >= cut)
+    merged = rollup_merge(
+        rollup_state(hist, bucket="day", keys=["event_type"]),
+        rollup_state(newb, bucket="day", keys=["event_type"]),
+    )
+    return rollup_finalize(merged)
+
+
 def _rfm_oracle_sql() -> str:
     """DuckDB mirror of :func:`q_rfm`: the per-user RFM frame, then
     pipeline.quantile_bin_sql nested once per metric (identical sketch
@@ -2994,6 +3018,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm,
         "rank_normalize": q_rank_normalize,
         "chisq_events": q_chisq,
+        "rollup_incremental": q_rollup_incremental,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3722,6 +3747,7 @@ def oracle_sql() -> dict[str, str]:
         transition_matrix_sql, volume_anomaly_sql,
     )
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
+    from simba_spark.operators.timeseries import rollup_sql
 
     from simba_spark.operators.graph import (k_hop_sql, label_propagation_sql,
                                              personalized_pagerank_sql)
@@ -3898,6 +3924,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value, value_pr
             FROM ({rank_normalize_sql("events", "value")})
         """,
+        "rollup_incremental": rollup_sql(
+            "events", bucket="day", keys=["event_type"]
+        ),
         # Spark dayofweek = DuckDB dayofweek + 1 (Sun=1 vs Sun=0)
         "chisq_events": chisq_independence_sql(
             "(SELECT event_type, dayofweek(ts) + 1 AS dow FROM events)",

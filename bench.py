@@ -104,6 +104,7 @@ HEADLINE = [
     "rfm_segments",
     "rank_normalize",
     "chisq_events",
+    "rollup_incremental",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -122,7 +123,7 @@ _POST_R3 = {
     "label_prop", "k_hop", "skew_report", "phrase_search",
     "events_pivot", "attribution", "transition_matrix", "linkage",
     "quantile_bin_grouped", "personalized_pagerank", "rfm_segments",
-    "rank_normalize", "chisq_events",
+    "rank_normalize", "chisq_events", "rollup_incremental",
 }
 
 GROUPS = {

@@ -77,6 +77,8 @@ from .operators.sketches import (
 from .operators.similarity import ann_topk
 from .operators.pca import fit_pca, pca_project
 from .operators.pipeline import rank_normalize
+from .operators.timeseries import (rollup_finalize, rollup_merge,
+                                    rollup_state)
 from .operators.stats import (chisq_independence, corr_matrix, cov_matrix,
                               heavy_hitters, histogram_fixed, skew_report)
 from .partitioners import (
@@ -115,6 +117,7 @@ __all__ = [
     "histogram_fixed", "heavy_hitters",
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize",
+    "rollup_state", "rollup_merge", "rollup_finalize",
     "kmeans", "linkage_score",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
     "attribution", "transition_matrix",

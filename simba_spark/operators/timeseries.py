@@ -213,3 +213,122 @@ def ewma(
     # but stays -0.0 under DuckDB's first-element-init list_reduce;
     # numerically equal, bit-divergent — the oracle adds the same)
     return base.withColumn(out_col, s / wsum + F.lit(0.0))
+
+
+def rollup_state(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous-aggregate state (the TimescaleDB hypertable-rollup /
+    materialized-rollup analog): per (time-bucket, keys…) the EXACT
+    mergeable partials ``(n, sum_c, sumsq_c, vmin, vmax)`` — counts
+    and fixed-point 1e-2 / 1e-4 integer sums, so
+    ``rollup_merge(state(A), state(B)) == rollup_state(A ∪ B)``
+    bit-for-bit (long addition is exact and associative; double
+    partial sums would be neither). The incremental-maintenance
+    pattern: persist the state per day/partition, fold new batches in
+    with :func:`rollup_merge`, read with :func:`rollup_finalize` —
+    never re-scan history.
+
+    One combine-friendly groupBy; ≤ #buckets×#keys skinny rows leave
+    any partition regardless of data size. NULL values are excluded
+    (SQL aggregate semantics).
+    """
+    v = F.col(value_col)
+    cents = F.round(v * 100.0, 0).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_c"),
+            F.sum(cents * cents).alias("sumsq_c"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+    )
+
+
+def rollup_merge(*states: DataFrame) -> DataFrame:
+    """Merge rollup states (same schema) into one: union + re-aggregate
+    the partials. Exactly associative and commutative — any merge tree
+    over any batch split yields the identical state."""
+    if not states:
+        raise ValueError("rollup_merge needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    gcols = [c for c in u.columns
+             if c not in ("n", "sum_c", "sumsq_c", "vmin", "vmax")]
+    return u.groupBy(*gcols).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_c").alias("sum_c"),
+        F.sum("sumsq_c").alias("sumsq_c"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def rollup_finalize(state: DataFrame, round_to: int = 6) -> DataFrame:
+    """Read a rollup state as final aggregates: (groups…, n, vsum,
+    vavg, vvar, vmin, vmax). vsum is the exact cent sum; variance is
+    the population form from the fixed-point moments (deterministic —
+    no float partials ever crossed a merge)."""
+    mean_c = F.col("sum_c") / F.col("n")
+    var_c = F.col("sumsq_c") / F.col("n") - mean_c * mean_c
+    gcols = [c for c in state.columns
+             if c not in ("n", "sum_c", "sumsq_c", "vmin", "vmax")]
+    return state.select(
+        *gcols,
+        "n",
+        (F.col("sum_c") / 100.0).alias("vsum"),
+        F.round(mean_c / 100.0, round_to).alias("vavg"),
+        F.round(var_c / 10000.0, round_to).alias("vvar"),
+        "vmin",
+        "vmax",
+    )
+
+
+def rollup_sql(
+    from_sql: str,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL mirror of ``rollup_finalize(rollup_state(df))`` —
+    the direct (non-incremental) computation, which the exact merge
+    property makes equal to ANY batched/merged evaluation."""
+    gsel = "".join(f"{k}, " for k in keys)
+    gby = ", ".join(["bucket_ts", *keys])
+    return f"""
+WITH __st AS (
+  -- TIMESTAMP cast: DuckDB's date_trunc('day') yields DATE where
+  -- Spark yields TIMESTAMP — same instant, type-divergent hash
+  SELECT CAST(date_trunc('{bucket}', {ts_col}) AS TIMESTAMP) AS bucket_ts,
+         {gsel}
+         count(*) AS n,
+         sum(CAST(round({value_col} * 100.0, 0) AS BIGINT)) AS sum_c,
+         sum(CAST(round({value_col} * 100.0, 0) AS BIGINT)
+             * CAST(round({value_col} * 100.0, 0) AS BIGINT)) AS sumsq_c,
+         min({value_col}) AS vmin, max({value_col}) AS vmax
+  FROM {from_sql} WHERE {value_col} IS NOT NULL
+  GROUP BY {gby}
+)
+SELECT bucket_ts, {gsel} n,
+       (sum_c / 100.0::DOUBLE) AS vsum,
+       round((sum_c / CAST(n AS DOUBLE)) / 100.0::DOUBLE,
+             {int(round_to)}) AS vavg,
+       round((sumsq_c / CAST(n AS DOUBLE)
+              - (sum_c / CAST(n AS DOUBLE)) * (sum_c / CAST(n AS DOUBLE)))
+             / 10000.0::DOUBLE, {int(round_to)}) AS vvar,
+       vmin, vmax
+FROM __st
+"""

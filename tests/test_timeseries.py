@@ -423,3 +423,65 @@ def test_ewma_matches_pandas_bounded(spark):
          ewma(df.repartition(9), ts_col="t", key_col="k", value_col="v",
               alpha=0.4, window=5, tiebreak_col="event_id").collect()}
     assert got == b
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup (continuous aggregate)
+
+
+def test_rollup_merge_equals_direct_any_split(spark):
+    """The exact-partials merge property: rollup over any batch split,
+    merged in any order, equals the direct rollup bit-for-bit."""
+    from simba_spark.operators.timeseries import (rollup_finalize,
+                                                  rollup_merge, rollup_state)
+
+    ev = spark.range(600).select(
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") * 733) % 500000
+        ).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.round((F.col("id") % 89) * 0.37, 2))
+        .alias("value"),
+    )
+    direct = rollup_finalize(
+        rollup_state(ev, bucket="hour", keys=["k"])
+    )
+    # three arbitrary batches, merged pairwise then with the third
+    parts = [
+        ev.filter(F.col("ts").cast("long") % 3 == i) for i in (0, 1, 2)
+    ]
+    states = [rollup_state(p, bucket="hour", keys=["k"]) for p in parts]
+    merged = rollup_finalize(
+        rollup_merge(rollup_merge(states[0], states[1]), states[2])
+    )
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_rollup_finalize_values_and_nulls(spark):
+    import datetime as dt
+
+    from simba_spark.operators.timeseries import (rollup_finalize,
+                                                  rollup_state)
+
+    ev = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 5, 10), "a", 1.0),
+            (dt.datetime(2024, 1, 1, 5, 20), "a", 3.0),
+            (dt.datetime(2024, 1, 1, 5, 30), "a", None),  # excluded
+            (dt.datetime(2024, 1, 1, 6, 10), "a", 10.0),
+        ],
+        "ts timestamp, k string, value double",
+    )
+    out = {
+        (r["bucket_ts"].hour, r["k"]): r
+        for r in rollup_finalize(
+            rollup_state(ev, bucket="hour", keys=["k"])
+        ).collect()
+    }
+    r5 = out[(5, "a")]
+    assert r5["n"] == 2 and r5["vsum"] == 4.0 and r5["vavg"] == 2.0
+    assert r5["vvar"] == 1.0  # population var of {1, 3}
+    assert r5["vmin"] == 1.0 and r5["vmax"] == 3.0
+    assert out[(6, "a")]["n"] == 1 and out[(6, "a")]["vvar"] == 0.0

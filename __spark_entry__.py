@@ -2723,38 +2723,38 @@ def q_transition_matrix(spark, sf_dir):
 
 def q_linkage(spark, sf_dir):
     """Fellegi–Sunter record-linkage scoring (operators.dedup.
-    linkage_score): customers blocked on (nation, balance-bucket) —
-    a multi-key block, because blocking IS the scale knob: the
-    original nation-only block put ~6k rows in a block at sf1 (~450M
-    levenshtein pairs, measured 128 s); the balance bucket caps block
-    membership so candidate pairs grow near-linearly with data. Each
-    candidate pair scores on name edit-similarity and segment
-    equality with log2(m/u) agreement weights. Pure codegen
-    arithmetic; the blocking join owns the only shuffle."""
-    from simba_spark.operators.dedup import linkage_score
+    linkage_score) composed with sorted-neighborhood blocking
+    (operators.dedup.sorted_neighborhood_pairs): candidate pairs are
+    customers within 5 global name-ranks, so candidates grow LINEARLY
+    (n·window) at any scale — blocking is the scale knob: a naive
+    nation-only equi-join block measured 128 s at sf1 (~450M
+    levenshtein pairs) vs ~n·5 pairs here. Each pair scores on name
+    edit-similarity and segment equality with log2(m/u) weights; the
+    scorer itself is pure codegen arithmetic."""
+    from simba_spark.operators.dedup import (linkage_score,
+                                             sorted_neighborhood_pairs)
 
-    cust = _t(spark, sf_dir, "customer").withColumn(
-        "__blk", F.floor(F.col("c_acctbal") / 50.0)
-    )
+    cust = _t(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(cust, "c_name", "c_custkey", window=5)
     a = cust.select(
-        F.col("c_custkey").alias("ck_a"), F.col("c_name").alias("name_a"),
-        F.col("c_mktsegment").alias("seg_a"), "c_nationkey", "__blk",
+        F.col("c_custkey").alias("a_id"), F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
     )
     b = cust.select(
-        F.col("c_custkey").alias("ck_b"), F.col("c_name").alias("name_b"),
-        F.col("c_mktsegment").alias("seg_b"), "c_nationkey", "__blk",
+        F.col("c_custkey").alias("b_id"), F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg_b"),
     )
-    pairs = a.join(b, ["c_nationkey", "__blk"]).filter(
-        F.col("ck_a") < F.col("ck_b")
-    )
+    enriched = pairs.join(a, "a_id").join(b, "b_id")
     return linkage_score(
-        pairs,
+        enriched,
         [
             ("name_a", "name_b", "levenshtein", 0.9, 0.05, 0.9),
             ("seg_a", "seg_b", "exact", 0.8, 0.2),
         ],
-        threshold=0.0,
-    ).select("ck_a", "ck_b", "agree_name_a", "agree_seg_a", "n_agree", "score")
+    ).select(
+        "a_id", "b_id", "rank_dist",
+        "agree_name_a", "agree_seg_a", "n_agree", "score",
+    )
 
 
 def q_quantile_bin_grouped(spark, sf_dir):
@@ -3794,21 +3794,27 @@ def oracle_sql() -> dict[str, str]:
         "transition_matrix": transition_matrix_sql("events"),
         "linkage": linkage_score_sql(
             """(
-              SELECT a.c_custkey AS ck_a, a.c_name AS name_a,
-                     a.c_mktsegment AS seg_a,
-                     b.c_custkey AS ck_b, b.c_name AS name_b,
-                     b.c_mktsegment AS seg_b
-              FROM customer a JOIN customer b
-                ON a.c_nationkey = b.c_nationkey
-               AND floor(a.c_acctbal / 50.0) = floor(b.c_acctbal / 50.0)
-               AND a.c_custkey < b.c_custkey
+              WITH __r AS (
+                SELECT c_custkey, c_name, c_mktsegment,
+                       row_number() OVER (
+                         ORDER BY c_name || chr(1) ||
+                                  lpad(length(c_custkey::VARCHAR)::VARCHAR,
+                                       4, '0') || c_custkey::VARCHAR
+                       ) AS rk
+                FROM customer
+                WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL
+              )
+              SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                     (b.rk - a.rk) AS rank_dist,
+                     a.c_name AS name_a, a.c_mktsegment AS seg_a,
+                     b.c_name AS name_b, b.c_mktsegment AS seg_b
+              FROM __r a JOIN __r b ON b.rk > a.rk AND b.rk - a.rk <= 5
             )""",
             [
                 ("name_a", "name_b", "levenshtein", 0.9, 0.05, 0.9),
                 ("seg_a", "seg_b", "exact", 0.8, 0.2),
             ],
-            select_cols="ck_a, ck_b",
-            threshold=0.0,
+            select_cols="a_id, b_id, rank_dist",
         ),
         "volume_anomaly": volume_anomaly_sql("events"),
         "hll_orders": f"""

@@ -2047,6 +2047,27 @@ def q_theta_parts(spark, sf_dir):
     return kmv_theta(a, b, "l_partkey", k=256)
 
 
+def q_theta_active(spark, sf_dir):
+    """Persisted-theta-sketch set operations
+    (operators.sketches.theta_sketch/theta_intersect): per-priority
+    customer overlap between two overlapping order-date windows. Each
+    side is reduced to its k=256 smallest distinct custkey hashes (the
+    mergeable sketch you'd persist per day at 100 TB); the intersect
+    estimates A/B/A∪B/A∩B at the common threshold min(θa, θb) without
+    touching raw data again. Exact when a side holds < k keys."""
+    from simba_spark.operators.sketches import theta_intersect, theta_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter("o_orderdate < '1999-01-01'")
+    b = orders.filter("o_orderdate >= '1997-01-01'")
+    k = 256
+    return theta_intersect(
+        theta_sketch(a, "o_custkey", ["o_orderpriority"], k=k),
+        theta_sketch(b, "o_custkey", ["o_orderpriority"], k=k),
+        group_by=["o_orderpriority"], k=k,
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (operators.graph.pagerank) over the
     customer→supplier trade graph (distinct (o_custkey, l_suppkey)
@@ -3019,6 +3040,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "chisq_events": q_chisq,
         "rollup_incremental": q_rollup_incremental,
+        "theta_active": q_theta_active,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3724,6 +3746,7 @@ def oracle_sql() -> dict[str, str]:
         cm_estimate_sql, cm_sketch_sql,
         hll_distinct_sql, hll_estimate_sql, hll_sketch_sql, kmv_theta_sql,
         quantile_estimate_sql, quantile_merge_sql, quantile_sketch_sql,
+        theta_intersect_sql, theta_sketch_sql,
     )
 
     hll_sub = hll_distinct_sql(
@@ -4087,6 +4110,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE)
                                        FROM counts) >= 0.005
         """,
+        "theta_active": theta_intersect_sql(
+            theta_sketch_sql(
+                "SELECT * FROM orders WHERE o_orderdate < '1999-01-01'",
+                "o_custkey", ["o_orderpriority"], k=256,
+            ),
+            theta_sketch_sql(
+                "SELECT * FROM orders WHERE o_orderdate >= '1997-01-01'",
+                "o_custkey", ["o_orderpriority"], k=256,
+            ),
+            ["o_orderpriority"], k=256,
+        ),
         "theta_parts": kmv_theta_sql(
             "(SELECT * FROM lineitem WHERE l_shipdate >= '1995-02-01' "
             "AND l_shipdate < '1995-03-01')",

@@ -73,6 +73,10 @@ from .operators.sketches import (
     quantile_estimate,
     quantile_merge,
     quantile_sketch,
+    theta_estimate,
+    theta_intersect,
+    theta_merge,
+    theta_sketch,
 )
 from .operators.similarity import ann_topk
 from .operators.pca import fit_pca, pca_project
@@ -111,6 +115,7 @@ __all__ = [
     "hll_distinct", "hll_sketch", "hll_merge", "hll_estimate", "kmv_theta",
     "quantile_sketch", "quantile_merge", "quantile_estimate", "quantile_digest",
     "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
+    "theta_sketch", "theta_merge", "theta_estimate", "theta_intersect",
     "ann_topk",
     "pagerank", "personalized_pagerank", "triangle_count",
     "label_propagation", "k_hop",

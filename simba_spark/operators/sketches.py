@@ -635,6 +635,309 @@ def quantile_estimate_sql(
 
 
 # ---------------------------------------------------------------------------
+# Mergeable theta sketch (persisted KMV set-operation workflow)
+#
+# ``kmv_theta`` above is the one-shot two-set composite; these are the
+# PERSISTED form — build per-group bottom-k hash rows once (e.g. per
+# day), later merge/union/intersect arbitrary combinations without
+# touching raw data. All set estimates are computed at the common
+# threshold theta = min(per-side thetas), the standard theta-sketch
+# composition: each retained hash set is a uniform sample of its
+# distinct universe below theta, so |sample ∩/∪| / theta estimates the
+# true set-op cardinality. Sides with fewer than k distinct keys are
+# EXACT (theta = 1).
+
+#: exclusive hash threshold for an exact (n < k) sketch: every 60-bit
+#: hash is below it, i.e. theta = 1.0.
+_THETA_MAX = 1 << _HASH_BITS
+
+
+def theta_sketch(
+    df: DataFrame,
+    col: str,
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group mergeable theta sketch: the k smallest DISTINCT
+    md5-derived 60-bit hashes of ``col`` — rows ``(groups…, __th_h)``.
+
+    Persist these (≤ k 8-byte rows per group) instead of raw keys;
+    :func:`theta_merge` unions them losslessly and
+    :func:`theta_intersect` estimates A∩B / A∪B / A-only / B-only
+    between two persisted sketches — the daily-sketch → "how many users
+    were active in BOTH weeks" workflow that exact distinct counting
+    cannot pre-aggregate at 100 TB.
+
+    Plan shape: one skinny per-group distinct on the hash, then a
+    rank-filtered window Spark rewrites to WindowGroupLimit (partial
+    per-partition top-k before the exchange) — at most k rows per group
+    cross the wire from any partition. NULL keys are excluded
+    (COUNT(DISTINCT) semantics).
+    """
+    assert k >= 2
+    groups = list(group_by or [])
+    sel = (
+        df.filter(F.col(col).isNotNull())
+        .select(*groups, _hash60(col, seed).alias("__th_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*groups).orderBy("__th_h")
+    return (
+        sel.withColumn("__th_r", F.row_number().over(w))
+        .filter(F.col("__th_r") <= k)
+        .drop("__th_r")
+    )
+
+
+def theta_merge(
+    sketches: Sequence[DataFrame],
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Union-merge theta sketches (same col-domain/seed/k): bottom-k of
+    the distinct unioned hash rows — IDENTICAL to sketching the unioned
+    raw data (bottom-k-of-distinct is associative), so any merge tree
+    yields the same estimates. Asserted in tests."""
+    if not sketches:
+        raise ValueError("theta_merge: empty sketch list")
+    groups = list(group_by or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.distinct()
+    w = Window.partitionBy(*groups).orderBy("__th_h")
+    return (
+        merged.withColumn("__th_r", F.row_number().over(w))
+        .filter(F.col("__th_r") <= k)
+        .drop("__th_r")
+    )
+
+
+def _theta_thresholds(sketch: DataFrame, groups, k: int) -> DataFrame:
+    """Per-group exclusive hash threshold: the max retained hash when
+    the sketch is full (n == k, count k-1 strictly-below values — the
+    same (k-1)/theta estimator as :func:`kmv_theta`), else 2^60
+    (exact side, theta = 1)."""
+    return sketch.groupBy(*groups).agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(_THETA_MAX).cast("long"))
+        .otherwise(F.max("__th_h")).alias("__th_thr")
+    )
+
+
+def theta_estimate(
+    sketch: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Distinct-count estimate per group from sketch rows:
+    exact count when n < k, else (k-1)/theta. Columns
+    ``(groups…, est_distinct)``."""
+    groups = list(group_by or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__th_h").alias("__hk")
+    )
+    theta = F.col("__hk").cast("double") / F.lit(float(_THETA_MAX))
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    return agg.select(*groups, est.alias("est_distinct"))
+
+
+def theta_intersect(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_by: Optional[Sequence[str]] = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group set-operation estimates between two persisted theta
+    sketches (same col-domain/seed/k): columns ``(groups…, est_a,
+    est_b, est_union, est_intersect, n_union_sample, theta)``.
+
+    All four estimates are counts over the common subsample
+    ``hash < min(thr_a, thr_b)`` scaled by 1/theta — mutually
+    consistent (est_a + est_b = est_union + est_intersect holds
+    exactly), and EXACT when both sides hold fewer than k keys. Groups
+    are matched null-safely; a group present in only one sketch emits
+    no row (there is nothing to intersect against).
+
+    Plan shape: two skinny per-group aggregates, one full-outer hash
+    join on (groups, hash), one filtered aggregate — no raw data, no
+    blowup beyond the ≤ 2k sketch rows per group.
+    """
+    groups = list(group_by or [])
+    # disjoint internal names per side: the two sketches routinely
+    # derive from the SAME base frame (two date slices of one table),
+    # so joining on shared attribute names trips Spark's ambiguous
+    # self-join analysis — rename before any join
+    a = sketch_a.select(
+        *[F.col(g).alias(f"__ga_{i}") for i, g in enumerate(groups)],
+        F.col("__th_h").alias("__ha"), F.lit(1).alias("__in_a"),
+    )
+    b = sketch_b.select(
+        *[F.col(g).alias(f"__gb_{i}") for i, g in enumerate(groups)],
+        F.col("__th_h").alias("__hb"), F.lit(1).alias("__in_b"),
+    )
+    ga = [f"__ga_{i}" for i in range(len(groups))]
+    gb = [f"__gb_{i}" for i in range(len(groups))]
+
+    def _thr(side: DataFrame, gcols, h, name):
+        return side.groupBy(*gcols).agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(_THETA_MAX).cast("long"))
+            .otherwise(F.max(h)).alias(name)
+        )
+
+    thr_a = _thr(a, ga, "__ha", "__thr_a")
+    thr_b = _thr(b, gb, "__hb", "__thr_b")
+    cond = None
+    for ca, cb in zip(ga + ["__ha"], gb + ["__hb"]):
+        eq = F.col(ca).eqNullSafe(F.col(cb))
+        cond = eq if cond is None else (cond & eq)
+    both = a.join(b, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(ca), F.col(cb)).alias(f"__g_{i}")
+            for i, (ca, cb) in enumerate(zip(ga, gb))
+        ],
+        F.coalesce("__ha", "__hb").alias("__th_h"),
+        F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
+        F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+    )
+    gk = [f"__g_{i}" for i in range(len(groups))]
+    if groups:
+        tcond = None
+        for ca, cb in zip(ga, gb):
+            eq = F.col(ca).eqNullSafe(F.col(cb))
+            tcond = eq if tcond is None else (tcond & eq)
+        thr = thr_a.join(thr_b, tcond, "inner")
+    else:
+        thr = thr_a.crossJoin(thr_b)
+    thr = thr.select(
+        *[F.col(ca).alias(f"__tg_{i}") for i, ca in enumerate(ga)],
+        F.least("__thr_a", "__thr_b").alias("__th_thr"),
+    )
+    tg = [f"__tg_{i}" for i in range(len(groups))]
+    if groups:
+        jcond = None
+        for cg, ct in zip(gk, tg):
+            eq = F.col(cg).eqNullSafe(F.col(ct))
+            jcond = eq if jcond is None else (jcond & eq)
+        joined = both.join(thr, jcond, "inner").drop(*tg)
+    else:
+        joined = both.crossJoin(thr)
+    joined = joined.filter(F.col("__th_h") < F.col("__th_thr"))
+    agg = joined.groupBy(*gk).agg(
+        F.count(F.lit(1)).alias("__nu"),
+        F.sum("__in_a").alias("__na"),
+        F.sum("__in_b").alias("__nb"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).alias("__nab"),
+        F.max("__th_thr").alias("__thr"),
+    )
+    theta = F.col("__thr").cast("double") / F.lit(float(_THETA_MAX))
+    def scaled(c):
+        return F.col(c).cast("double") / theta
+    return agg.select(
+        *[F.col(cg).alias(g) for cg, g in zip(gk, groups)],
+        scaled("__na").alias("est_a"),
+        scaled("__nb").alias("est_b"),
+        scaled("__nu").alias("est_union"),
+        scaled("__nab").alias("est_intersect"),
+        F.col("__nu").alias("n_union_sample"),
+        theta.alias("theta"),
+    )
+
+
+def theta_sketch_sql(
+    from_sql: str,
+    col_expr: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    k: int = 1024,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`theta_sketch` (bit-identical rows)."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    h = hash60_sql(col_expr, seed)
+    return f"""
+  SELECT {gsel} __th_h FROM (
+    SELECT {gsel} __th_h,
+           row_number() OVER ({part} ORDER BY __th_h) AS __th_r
+    FROM (SELECT DISTINCT {gsel} {h} AS __th_h FROM ({from_sql})
+          WHERE ({col_expr}) IS NOT NULL)
+  ) WHERE __th_r <= {k}
+"""
+
+
+def theta_intersect_sql(
+    sketch_a_sql: str,
+    sketch_b_sql: str,
+    group_exprs: Optional[Sequence[str]] = None,
+    k: int = 1024,
+) -> str:
+    """DuckDB mirror of :func:`theta_intersect` — identical threshold /
+    subsample / scaling arithmetic (every estimate is count/theta with
+    theta a dyadic rational, so doubles agree bit-for-bit)."""
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    on_g = " AND ".join(
+        f"a.{g} IS NOT DISTINCT FROM b.{g}" for g in groups
+    )
+    on_h = "a.__th_h IS NOT DISTINCT FROM b.__th_h"
+    on = f"{on_g} AND {on_h}" if groups else on_h
+    ta_tb_on = (
+        " AND ".join(f"ta.{g} IS NOT DISTINCT FROM tb.{g}" for g in groups)
+        if groups else "1 = 1"
+    )
+    u_t_on = (
+        " AND ".join(f"u.{g} IS NOT DISTINCT FROM t.{g}" for g in groups)
+        if groups else "1 = 1"
+    )
+    co_g = "".join(f"coalesce(a.{g}, b.{g}) AS {g}, " for g in groups)
+    ta_sel = "".join(f"ta.{g}, " for g in groups)
+    u_sel = "".join(f"u.{g}, " for g in groups)
+    u_gby = (
+        "GROUP BY " + ", ".join(f"u.{g}" for g in groups) if groups else ""
+    )
+    denom = float(_THETA_MAX)
+    theta = f"(CAST(__thr AS DOUBLE) / {denom!r})"
+    return f"""
+WITH __ska AS ({sketch_a_sql}),
+__skb AS ({sketch_b_sql}),
+__ta AS (SELECT {gsel} CASE WHEN count(*) < {k} THEN {_THETA_MAX}
+         ELSE max(__th_h) END AS __thr_a FROM __ska {gby}),
+__tb AS (SELECT {gsel} CASE WHEN count(*) < {k} THEN {_THETA_MAX}
+         ELSE max(__th_h) END AS __thr_b FROM __skb {gby}),
+__thr AS (
+  SELECT {ta_sel} least(ta.__thr_a, tb.__thr_b) AS __th_thr
+  FROM __ta ta JOIN __tb tb ON {ta_tb_on}
+),
+__union AS (
+  SELECT {co_g} coalesce(a.__th_h, b.__th_h) AS __th_h,
+         CASE WHEN a.__th_h IS NULL THEN 0 ELSE 1 END AS __in_a,
+         CASE WHEN b.__th_h IS NULL THEN 0 ELSE 1 END AS __in_b
+  FROM __ska a FULL OUTER JOIN __skb b ON {on}
+),
+__agg AS (
+  SELECT {u_sel} count(*) AS __nu, sum(__in_a) AS __na,
+         sum(__in_b) AS __nb, sum(__in_a * __in_b) AS __nab,
+         max(t.__th_thr) AS __thr
+  FROM __union u JOIN __thr t ON {u_t_on}
+  WHERE u.__th_h < t.__th_thr
+  {u_gby}
+)
+SELECT {gsel}
+  CAST(__na AS DOUBLE) / {theta} AS est_a,
+  CAST(__nb AS DOUBLE) / {theta} AS est_b,
+  CAST(__nu AS DOUBLE) / {theta} AS est_union,
+  CAST(__nab AS DOUBLE) / {theta} AS est_intersect,
+  __nu AS n_union_sample,
+  {theta} AS theta
+FROM __agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch (mergeable approximate frequencies)
 
 

@@ -1161,3 +1161,128 @@ def test_chisq_excludes_nulls_and_degenerate(spark):
     assert r["n"] == 2          # null-bearing rows excluded
     assert r["dof"] == 0        # single category on a → degenerate
     assert r["cramers_v"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Mergeable (persisted) theta sketches
+
+
+def test_theta_sketch_merge_equals_sketch_of_union(spark):
+    from simba_spark.operators.sketches import theta_merge, theta_sketch
+
+    a = spark.range(3000).select(
+        (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 900).cast("string")).alias("k"),
+    )
+    b = spark.range(2000).select(
+        (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("u"), ((F.col("id") % 700) + 500).cast("string")).alias("k"),
+    )
+    k = 128
+    merged = theta_merge(
+        [theta_sketch(a, "k", ["g"], k=k), theta_sketch(b, "k", ["g"], k=k)],
+        group_by=["g"], k=k,
+    )
+    full = theta_sketch(a.unionByName(b), "k", ["g"], k=k)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_theta_intersect_exact_below_k(spark):
+    from simba_spark.operators.sketches import theta_intersect, theta_sketch
+
+    a = spark.range(200).select(F.col("id").alias("k"))       # 0..199
+    b = spark.range(120, 350).select(F.col("id").alias("k"))  # 120..349
+    k = 1024  # both sides exact
+    row = theta_intersect(
+        theta_sketch(a, "k", k=k), theta_sketch(b, "k", k=k), k=k
+    ).collect()[0]
+    assert row["theta"] == 1.0
+    assert row["est_a"] == 200.0
+    assert row["est_b"] == 230.0
+    assert row["est_intersect"] == 80.0
+    assert row["est_union"] == 350.0
+
+
+def test_theta_intersect_estimates_and_consistency(spark):
+    from simba_spark.operators.sketches import theta_intersect, theta_sketch
+
+    n, overlap = 20000, 8000
+    a = spark.range(n).select(F.col("id").alias("k"))
+    b = spark.range(n - overlap, 2 * n - overlap).select(F.col("id").alias("k"))
+    k = 512
+    row = theta_intersect(
+        theta_sketch(a, "k", k=k), theta_sketch(b, "k", k=k), k=k
+    ).collect()[0]
+    # inclusion-exclusion holds EXACTLY (all counts share one theta)
+    assert row["est_a"] + row["est_b"] == pytest.approx(
+        row["est_union"] + row["est_intersect"], rel=1e-12
+    )
+    assert abs(row["est_intersect"] - overlap) / overlap < 0.25
+    assert abs(row["est_union"] - (2 * n - overlap)) / (2 * n - overlap) < 0.1
+
+
+def test_theta_matches_duckdb_oracle_grouped(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from simba_spark.operators.sketches import (
+        theta_intersect, theta_intersect_sql, theta_sketch, theta_sketch_sql)
+
+    k = 64
+    a = spark.range(4000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 1100).cast("string")).alias("k"),
+    )
+    b = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("u"), ((F.col("id") % 800) + 600).cast("string")).alias("k"),
+    )
+    got = {
+        r["g"]: (r["est_a"], r["est_b"], r["est_union"], r["est_intersect"],
+                 r["n_union_sample"], r["theta"])
+        for r in theta_intersect(
+            theta_sketch(a, "k", ["g"], k=k),
+            theta_sketch(b, "k", ["g"], k=k),
+            group_by=["g"], k=k,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW va AS SELECT (i % 3) AS g, 'u' || (i % 1100) AS k "
+        "FROM range(4000) r(i)"
+    )
+    con.execute(
+        "CREATE VIEW vb AS SELECT (i % 3) AS g, 'u' || ((i % 800) + 600) AS k "
+        "FROM range(3000) r(i)"
+    )
+    q = theta_intersect_sql(
+        theta_sketch_sql("SELECT * FROM va", "k", ["g"], k=k),
+        theta_sketch_sql("SELECT * FROM vb", "k", ["g"], k=k),
+        ["g"], k=k,
+    )
+    want = {r[0]: tuple(r[1:]) for r in con.execute(q).fetchall()}
+    assert got == want  # bit-for-bit, thresholds and scaling included
+
+
+def test_theta_sketch_plan_uses_window_group_limit(spark):
+    from simba_spark.operators.sketches import theta_sketch
+
+    df = spark.range(50000).select((F.col("id") % 9000).alias("k"),
+                                   (F.col("id") % 5).alias("g"))
+    plan = theta_sketch(df, "k", ["g"], k=256)._sc._jvm.PythonSQLUtils \
+        .explainString(
+            theta_sketch(df, "k", ["g"], k=256)._jdf.queryExecution(),
+            "formatted")
+    assert "WindowGroupLimit" in plan  # partial per-partition top-k
+
+
+def test_theta_sketch_excludes_nulls_and_merge_empty_raises(spark):
+    from simba_spark.operators.sketches import (
+        theta_estimate, theta_merge, theta_sketch)
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), ("a",)], ["k"]
+    )
+    est = theta_estimate(theta_sketch(df, "k", k=16), k=16).collect()[0]
+    assert est["est_distinct"] == 2.0
+    with pytest.raises(ValueError):
+        theta_merge([])

@@ -2625,6 +2625,30 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+vector retrieval (operators.retrieval.rrf_fuse):
+    BM25 top-40 for {hash, join, spark} fused with cosine top-40
+    around embedding #0 by reciprocal-rank fusion (k=60), keeping the
+    fused top-20. Scores on incomparable scales combine by rank only;
+    the fused float is a fixed-order coalesced sum so it is
+    bit-reproducible in the SQL mirror. Both candidate lists are
+    bounded (40 rows), so the fuse is one skinny groupBy."""
+    from simba_spark.operators.retrieval import rrf_fuse
+    from simba_spark.operators.similarity import cosine_topk
+    from simba_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    lex = bm25_topk(docs, ["hash", "join", "spark"], k=40)
+    vec = cosine_topk(embs, qvec, 40).select(
+        F.col("vec_id").alias("doc_id"), "cosine_sim"
+    )
+    return rrf_fuse(
+        [lex, vec], ["doc_id"], ["score", "cosine_sim"], k=60, topk=20
+    )
+
+
 def _trade_edges(spark, sf_dir):
     """The customer→supplier trade graph shared by the graph-family
     queries (same construction as q_pagerank): distinct (o_custkey,
@@ -3041,6 +3065,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_events": q_chisq,
         "rollup_incremental": q_rollup_incremental,
         "theta_active": q_theta_active,
+        "hybrid_retrieval": q_hybrid_retrieval,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3769,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         attribution_sql, cohort_retention_sql, funnel_sql,
         transition_matrix_sql, volume_anomaly_sql,
     )
+    from simba_spark.operators.retrieval import rrf_fuse_sql
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
     from simba_spark.operators.timeseries import rollup_sql
 
@@ -3781,6 +3807,24 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "hybrid_retrieval": rrf_fuse_sql(
+            [
+                bm25_sql("documents", ["hash", "join", "spark"], k=40),
+                """
+                WITH __q AS (SELECT embedding::DOUBLE[] AS qv
+                             FROM embeddings WHERE vec_id = 0)
+                SELECT e.vec_id AS doc_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    __q.qv), 6) AS cosine_sim
+                FROM embeddings e, __q
+                ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                      __q.qv), 6) DESC,
+                         e.vec_id ASC
+                LIMIT 40
+                """,
+            ],
+            ["doc_id"], ["score", "cosine_sim"], k=60, topk=20,
+        ),
         "phrase_search": phrase_search_sql("documents", "hash join"),
         # the conditional-aggregation rendering of Spark's pivot; the
         # NULLIF/FILTER forms reproduce pivot's NULL (not 0) for empty

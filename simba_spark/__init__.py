@@ -78,6 +78,7 @@ from .operators.sketches import (
     theta_merge,
     theta_sketch,
 )
+from .operators.retrieval import rrf_fuse
 from .operators.similarity import ann_topk
 from .operators.pca import fit_pca, pca_project
 from .operators.pipeline import rank_normalize
@@ -116,7 +117,7 @@ __all__ = [
     "quantile_sketch", "quantile_merge", "quantile_estimate", "quantile_digest",
     "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
     "theta_sketch", "theta_merge", "theta_estimate", "theta_intersect",
-    "ann_topk",
+    "ann_topk", "rrf_fuse",
     "pagerank", "personalized_pagerank", "triangle_count",
     "label_propagation", "k_hop",
     "histogram_fixed", "heavy_hitters",

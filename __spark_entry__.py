@@ -2625,6 +2625,20 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def q_edit_dist(spark, sf_dir):
+    """Blocked edit-distance self-join
+    (operators.dedup.edit_distance_pairs): supplier-name pairs within
+    Levenshtein distance 1, via PassJoin pigeonhole segment blocking —
+    an equi-join on (length, segment-slot, substring) keys instead of
+    the n² cross product; exact levenshtein refine runs only on
+    surviving candidates. Oracle: the naive length-windowed cross join
+    (blocking moves work, never rows)."""
+    from simba_spark.operators.dedup import edit_distance_pairs
+
+    sup = _t(spark, sf_dir, "supplier")
+    return edit_distance_pairs(sup, "s_name", "s_suppkey", max_dist=1)
+
+
 def q_hybrid_retrieval(spark, sf_dir):
     """Hybrid lexical+vector retrieval (operators.retrieval.rrf_fuse):
     BM25 top-40 for {hash, join, spark} fused with cosine top-40
@@ -3066,6 +3080,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "theta_active": q_theta_active,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "edit_dist": q_edit_dist,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3754,7 +3769,8 @@ def oracle_sql() -> dict[str, str]:
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
     from simba_spark.operators.clustering import kmeans_sql
-    from simba_spark.operators.dedup import (linkage_score_sql,
+    from simba_spark.operators.dedup import (edit_distance_pairs_sql,
+                                             linkage_score_sql,
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import pagerank_sql, triangle_count_sql
     from simba_spark.operators.pipeline import (quantile_bin_sql,
@@ -3807,6 +3823,9 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "edit_dist": edit_distance_pairs_sql(
+            "SELECT * FROM supplier", "s_name", "s_suppkey", max_dist=1
+        ),
         "hybrid_retrieval": rrf_fuse_sql(
             [
                 bm25_sql("documents", ["hash", "join", "spark"], k=40),

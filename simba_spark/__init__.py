@@ -46,7 +46,7 @@ from .operators.analytics import (
     volume_baseline,
 )
 from .operators.clustering import kmeans
-from .operators.dedup import linkage_score
+from .operators.dedup import edit_distance_pairs, linkage_score
 from .operators.graph import (k_hop, label_propagation, pagerank,
                               personalized_pagerank, triangle_count)
 from .operators.text import bm25_topk, phrase_search
@@ -124,7 +124,7 @@ __all__ = [
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize",
     "rollup_state", "rollup_merge", "rollup_finalize",
-    "kmeans", "linkage_score",
+    "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
     "attribution", "transition_matrix",
     "bm25_topk", "phrase_search",

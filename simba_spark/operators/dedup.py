@@ -1426,3 +1426,185 @@ SELECT * FROM (
   FROM __flags
 ) {where}
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance self-join (PassJoin-style pigeonhole segments)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs of rows whose ``col`` strings are within Levenshtein
+    distance ``max_dist`` — the typo/near-key entity-matching join —
+    WITHOUT the all-pairs cross product. Returns ``(a_id, b_id,
+    dist)``, ``a_id < b_id``, each unordered pair once.
+
+    Blocking is the PassJoin pigeonhole (Li, Deng, Feng — VLDB'11
+    family): split every string into d+1 contiguous segments; if
+    lev(a, b) <= d then at most d segments of b are touched by the
+    edit script, so at least one appears EXACTLY in a, starting within
+    ±d of its position in b (alignment shift bound). Candidates are
+    therefore an EQUI-join between b's (length, seg_idx, segment) keys
+    and a's extracted substrings at the d+1 segment slots of every
+    plausible partner length — sound (no false negatives, asserted
+    against the naive cross join in tests) and skew-resistant
+    (segments are ~l/(d+1) chars, far more selective than q-grams).
+
+    Strings shorter than d+1 have no pigeonhole guarantee (d edits can
+    touch every 1-char segment); they route through a tiny
+    length-window equi-join instead — any partner of a (< d+1)-char
+    string is itself < 2d+1 chars, so the candidate blowup is bounded
+    by the short-string population, which is output-bound anyway
+    (almost everything that short IS within distance d).
+
+    Scale shape: per row the probe side emits at most
+    (2d+1)·(d+1)·(2d+1) skinny (len, idx, substring) rows (75 at d=2 —
+    constant, NOT data-dependent), the join is a plain hash equi-join
+    on those composite keys, candidate pairs are deduped BEFORE the
+    exact refine, and the final ``levenshtein() <= d`` runs once per
+    surviving candidate. No cartesian anywhere (plan-asserted).
+    """
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError(f"max_dist must be >= 0: {max_dist}")
+    if d == 0:
+        # degenerate: exact-equality join on the string itself
+        base0 = df.filter(
+            F.col(col).isNotNull() & F.col(id_col).isNotNull()
+        ).select(F.col(id_col).alias("__id"), F.col(col).alias("__s"))
+        a0 = base0.select(F.col("__id").alias("a_id"), F.col("__s").alias("__sa"))
+        b0 = base0.select(F.col("__id").alias("b_id"), F.col("__s").alias("__sb"))
+        return (
+            a0.join(b0, (F.col("__sa") == F.col("__sb"))
+                    & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id", F.lit(0).cast("long").alias("dist"))
+        )
+    kseg = d + 1
+    base = (
+        df.filter(F.col(col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(col).alias("__s"),
+            F.length(col).alias("__l"),
+        )
+    )
+    long_side = base.filter(F.col("__l") >= kseg)
+    # segment provider (the "b" role): d+1 (len, idx, segment) keys/row
+    seg_expr = (
+        f"transform(sequence(0, {d}), i -> named_struct("
+        f"'i', i, "
+        f"'seg', substring(__s, "
+        f"1 + i * (__l div {kseg}) + least(i, __l % {kseg}), "
+        f"(__l div {kseg}) + (CASE WHEN i < __l % {kseg} THEN 1 ELSE 0 END)"
+        f")))"
+    )
+    segs = long_side.select(
+        F.col("__id").alias("b_id"),
+        F.col("__l").alias("__bl"),
+        F.explode(F.expr(seg_expr)).alias("__e"),
+    ).select("b_id", "__bl", F.col("__e.i").alias("__i"),
+             F.col("__e.seg").alias("__seg"))
+    # probe side (the "a" role): for every plausible partner length l,
+    # extract substrings at each segment slot shifted by at most ±d
+    # (sequence() is guarded — Spark generates DESCENDING sequences
+    # when hi < lo, which would emit bogus probes for short strings)
+    probe_expr = f"""
+      flatten(transform(
+        filter(sequence(__l - {d}, __l + {d}), l -> l >= {kseg}),
+        l -> flatten(transform(sequence(0, {d}), i ->
+          CASE WHEN least(__l - ((l div {kseg}) + (CASE WHEN i < l % {kseg} THEN 1 ELSE 0 END)) + 1,
+                          1 + i * (l div {kseg}) + least(i, l % {kseg}) + {d})
+                    >= greatest(1, 1 + i * (l div {kseg}) + least(i, l % {kseg}) - {d})
+          THEN transform(
+            sequence(
+              greatest(1, 1 + i * (l div {kseg}) + least(i, l % {kseg}) - {d}),
+              least(__l - ((l div {kseg}) + (CASE WHEN i < l % {kseg} THEN 1 ELSE 0 END)) + 1,
+                    1 + i * (l div {kseg}) + least(i, l % {kseg}) + {d})
+            ),
+            p -> named_struct(
+              'l', l, 'i', i,
+              'seg', substring(__s, p,
+                (l div {kseg}) + (CASE WHEN i < l % {kseg} THEN 1 ELSE 0 END))
+            )
+          )
+          ELSE array() END
+        ))
+      ))
+    """
+    probes = long_side.select(
+        F.col("__id").alias("a_id"),
+        F.explode(F.expr(probe_expr)).alias("__p"),
+    ).select(
+        "a_id", F.col("__p.l").alias("__pl"), F.col("__p.i").alias("__pi"),
+        F.col("__p.seg").alias("__pseg"),
+    ).distinct()
+    long_cand = probes.join(
+        segs,
+        (F.col("__pl") == F.col("__bl"))
+        & (F.col("__pi") == F.col("__i"))
+        & (F.col("__pseg") == F.col("__seg")),
+    ).select("a_id", "b_id")
+    # short-string path: no pigeonhole below d+1 chars — length-window
+    # equi-join (partners of a short string are themselves short)
+    short_b = base.filter(F.col("__l") < kseg).select(
+        F.col("__id").alias("b_id"), F.col("__l").alias("__bl")
+    )
+    short_a = (
+        base.filter(F.col("__l") <= 2 * d)
+        .select(
+            F.col("__id").alias("a_id"),
+            F.explode(
+                F.expr(f"filter(sequence(greatest(0, __l - {d}), __l + {d}),"
+                       f" l -> l < {kseg})")
+            ).alias("__pl"),
+        )
+    )
+    short_cand = short_a.join(
+        short_b, F.col("__pl") == F.col("__bl")
+    ).select("a_id", "b_id")
+    # discovery is DIRECTED (probe a against b's segments); canonicalize
+    # to an unordered pair rather than filtering a direction away — a
+    # pair may be found in only one direction (e.g. short-vs-long)
+    cand = (
+        long_cand.unionByName(short_cand)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("a_id"), F.col("__s").alias("__sa"))
+    sb = base.select(F.col("__id").alias("b_id"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("dist",
+                    F.levenshtein("__sa", "__sb").cast("long"))
+        .filter(F.col("dist") <= d)
+        .select("a_id", "b_id", "dist")
+    )
+
+
+def edit_distance_pairs_sql(
+    from_sql: str,
+    col_expr: str,
+    id_expr: str,
+    max_dist: int = 1,
+) -> str:
+    """DuckDB oracle for :func:`edit_distance_pairs` — the naive
+    length-windowed cross join (the blocking moves work, never rows,
+    so the oracle need not reproduce it)."""
+    d = int(max_dist)
+    return f"""
+SELECT a.{id_expr} AS a_id, b.{id_expr} AS b_id,
+       levenshtein(a.{col_expr}, b.{col_expr})::BIGINT AS dist
+FROM ({from_sql}) a JOIN ({from_sql}) b
+  ON a.{id_expr} < b.{id_expr}
+ AND abs(length(a.{col_expr}) - length(b.{col_expr})) <= {d}
+WHERE a.{col_expr} IS NOT NULL AND b.{col_expr} IS NOT NULL
+  AND levenshtein(a.{col_expr}, b.{col_expr}) <= {d}
+"""

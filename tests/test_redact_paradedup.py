@@ -160,3 +160,71 @@ def test_remove_duplicated_ngrams_partitioning_invariant(spark):
     a = remove_duplicated_ngrams(_docs(spark, rows)).collect()
     b = remove_duplicated_ngrams(_docs(spark, rows).repartition(9)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance self-join (PassJoin pigeonhole)
+
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def test_edit_distance_pairs_exhaustive_vs_naive(spark):
+    import itertools
+    import random
+
+    from simba_spark.operators.dedup import edit_distance_pairs
+
+    random.seed(11)
+    strs = ["", "a", "b", "ab", "ba"] + [
+        "".join(random.choice("abc") for _ in range(random.randint(1, 8)))
+        for _ in range(60)
+    ]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, ["rid", "s"])
+    for d in (0, 1, 2):
+        got = {
+            (r["a_id"], r["b_id"], r["dist"])
+            for r in edit_distance_pairs(df, "s", "rid", max_dist=d).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if _lev(a, b) <= d
+        }
+        assert got == want, f"d={d}"
+
+
+def test_edit_distance_pairs_no_cartesian_plan(spark):
+    from simba_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "abcdef"), (2, "abcdxf")], ["rid", "s"])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        edit_distance_pairs(df, "s", "rid", 2)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_edit_distance_pairs_nulls_and_validation(spark):
+    import pytest
+
+    from simba_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, None), (3, "abce"), (None, "abcf")], ["rid", "s"]
+    )
+    got = edit_distance_pairs(df, "s", "rid", 1).collect()
+    assert [(r["a_id"], r["b_id"], r["dist"]) for r in got] == [(1, 3, 1)]
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "s", "rid", -1)

@@ -2625,6 +2625,25 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def q_basket_rules(spark, sf_dir):
+    """Pairwise market-basket association rules
+    (operators.analytics.basket_rules): brand co-purchase within
+    orders (basket = l_orderkey, item = p_brand via lineitem⋈part),
+    support ≥ 2%, confidence ≥ 10% in at least one direction. The
+    Apriori frequent-item prefilter runs before the pair self-join,
+    so the explosion is over frequent items only; all ratios are
+    fixed-tree double divisions (bit-reproducible in SQL)."""
+    from simba_spark.operators.analytics import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it")
+    )
+    return basket_rules(baskets, "bk", "it",
+                        min_support=0.02, min_confidence=0.1)
+
+
 def q_edit_dist(spark, sf_dir):
     """Blocked edit-distance self-join
     (operators.dedup.edit_distance_pairs): supplier-name pairs within
@@ -3081,6 +3100,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_active": q_theta_active,
         "hybrid_retrieval": q_hybrid_retrieval,
         "edit_dist": q_edit_dist,
+        "basket_rules": q_basket_rules,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3807,7 +3827,7 @@ def oracle_sql() -> dict[str, str]:
     ws_key = weighted_sample_key_sql("doc_id", "n_chars", 7)
 
     from simba_spark.operators.analytics import (
-        attribution_sql, cohort_retention_sql, funnel_sql,
+        attribution_sql, basket_rules_sql, cohort_retention_sql, funnel_sql,
         transition_matrix_sql, volume_anomaly_sql,
     )
     from simba_spark.operators.retrieval import rrf_fuse_sql
@@ -3823,6 +3843,11 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "basket_rules": basket_rules_sql(
+            "SELECT l.l_orderkey AS bk, p.p_brand AS it FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey",
+            "bk", "it", min_support=0.02, min_confidence=0.1,
+        ),
         "edit_dist": edit_distance_pairs_sql(
             "SELECT * FROM supplier", "s_name", "s_suppkey", max_dist=1
         ),

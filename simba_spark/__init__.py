@@ -39,6 +39,7 @@ from .operators.polygon import (
 )
 from .operators.analytics import (
     attribution,
+    basket_rules,
     cohort_retention,
     funnel,
     transition_matrix,
@@ -126,7 +127,7 @@ __all__ = [
     "rollup_state", "rollup_merge", "rollup_finalize",
     "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
-    "attribution", "transition_matrix",
+    "attribution", "transition_matrix", "basket_rules",
     "bm25_topk", "phrase_search",
     "str_partition", "kd_partition", "voronoi_partition", "zorder_partition",
     "hash_partition", "range_partition", "assign_partitions",

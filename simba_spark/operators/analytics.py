@@ -553,3 +553,140 @@ WITH __p AS (
 SELECT c.from_step, c.to_step, c.n, round(c.n / t.tot, {int(round_to)}) AS p
 FROM __c c JOIN __t t USING (from_step)
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (pairwise Apriori)
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules with support / confidence / lift —
+    the market-basket co-purchase screen (and, over (doc, token)
+    pairs, a phrase-collocation miner).
+
+    Returns one row per unordered frequent pair ``(item_a < item_b)``:
+    ``n_ab`` (baskets containing both), ``support`` (n_ab / n
+    baskets), ``conf_a_b`` / ``conf_b_a`` (directed confidences), and
+    ``lift`` (support / (supp_a · supp_b)) — lift > 1 means the pair
+    co-occurs more than independence predicts. Rows must pass
+    ``min_support`` on the PAIR and ``min_confidence`` on at least one
+    direction.
+
+    Scale shape (the Apriori property does the pruning): items are
+    filtered to frequent ones FIRST (one skinny (item) groupBy vs
+    min_support·n), so the pair self-join on the basket key explodes
+    only frequent items — per-basket fanout is m²/2 where m counts
+    FREQUENT items in that basket, not all items. n_baskets and
+    per-item counts ride along as broadcast-joined skinny frames; all
+    ratios are fixed-tree double divisions of exact longs, so the
+    DuckDB mirror (:func:`basket_rules_sql`) matches bit-for-bit. A
+    pathological mega-basket still costs m² — cap with an upstream
+    ``group_quota`` if the domain allows unbounded baskets.
+    """
+    if not (0.0 < float(min_support) <= 1.0):
+        raise ValueError(f"min_support must be in (0, 1]: {min_support}")
+    pairs_base = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it"))
+        .distinct()
+    )
+    n_b = pairs_base.agg(
+        F.countDistinct("__bk").alias("__n")
+    )
+    item_counts = pairs_base.groupBy("__it").agg(
+        F.count(F.lit(1)).alias("__ni")
+    )
+    freq = (
+        item_counts.crossJoin(F.broadcast(n_b))
+        .filter(
+            F.col("__ni").cast("double")
+            >= F.lit(float(min_support)) * F.col("__n").cast("double")
+        )
+        .select("__it", "__ni")
+    )
+    fb = pairs_base.join(F.broadcast(freq), "__it").select("__bk", "__it")
+    a = fb.select("__bk", F.col("__it").alias("item_a"))
+    b = fb.select("__bk", F.col("__it").alias("item_b"))
+    pair_counts = (
+        a.join(b, "__bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = freq.select(F.col("__it").alias("item_a"), F.col("__ni").alias("__na"))
+    nb = freq.select(F.col("__it").alias("item_b"), F.col("__ni").alias("__nb"))
+    out = (
+        pair_counts.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_b))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    support = d("n_ab") / d("__n")
+    conf_ab = d("n_ab") / d("__na")
+    conf_ba = d("n_ab") / d("__nb")
+    lift = (d("n_ab") * d("__n")) / (d("__na") * d("__nb"))
+    return (
+        out.filter(support >= F.lit(float(min_support)))
+        .filter(
+            (conf_ab >= F.lit(float(min_confidence)))
+            | (conf_ba >= F.lit(float(min_confidence)))
+        )
+        .select(
+            "item_a", "item_b", "n_ab",
+            support.alias("support"),
+            conf_ab.alias("conf_a_b"),
+            conf_ba.alias("conf_b_a"),
+            lift.alias("lift"),
+        )
+    )
+
+
+def basket_rules_sql(
+    from_sql: str,
+    basket_expr: str,
+    item_expr: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.0,
+) -> str:
+    """DuckDB mirror of :func:`basket_rules` — identical frequent-item
+    prefilter and fixed-tree double ratios."""
+    ms = float(min_support)
+    mc = float(min_confidence)
+    return f"""
+WITH __bi AS (
+  SELECT DISTINCT {basket_expr} AS __bk, {item_expr} AS __it
+  FROM ({from_sql})
+  WHERE ({basket_expr}) IS NOT NULL AND ({item_expr}) IS NOT NULL
+),
+__n AS (SELECT count(DISTINCT __bk) AS __n FROM __bi),
+__ic AS (SELECT __it, count(*) AS __ni FROM __bi GROUP BY 1),
+__freq AS (
+  SELECT __it, __ni FROM __ic, __n
+  WHERE CAST(__ni AS DOUBLE) >= {ms!r}::DOUBLE * CAST(__n AS DOUBLE)
+),
+__fb AS (SELECT b.__bk, b.__it FROM __bi b JOIN __freq f USING (__it)),
+__pc AS (
+  SELECT a.__it AS item_a, b.__it AS item_b, count(*) AS n_ab
+  FROM __fb a JOIN __fb b ON a.__bk = b.__bk AND a.__it < b.__it
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_ab,
+       CAST(n_ab AS DOUBLE) / CAST(__n AS DOUBLE) AS support,
+       CAST(n_ab AS DOUBLE) / CAST(na.__ni AS DOUBLE) AS conf_a_b,
+       CAST(n_ab AS DOUBLE) / CAST(nb.__ni AS DOUBLE) AS conf_b_a,
+       (CAST(n_ab AS DOUBLE) * CAST(__n AS DOUBLE))
+         / (CAST(na.__ni AS DOUBLE) * CAST(nb.__ni AS DOUBLE)) AS lift
+FROM __pc
+JOIN __freq na ON __pc.item_a = na.__it
+JOIN __freq nb ON __pc.item_b = nb.__it
+CROSS JOIN __n
+WHERE CAST(n_ab AS DOUBLE) / CAST(__n AS DOUBLE) >= {ms!r}::DOUBLE
+  AND (CAST(n_ab AS DOUBLE) / CAST(na.__ni AS DOUBLE) >= {mc!r}::DOUBLE
+       OR CAST(n_ab AS DOUBLE) / CAST(nb.__ni AS DOUBLE) >= {mc!r}::DOUBLE)
+"""

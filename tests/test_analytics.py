@@ -438,3 +438,69 @@ def test_volume_anomaly_seasonal_matches_duckdb(spark):
         assert got == want, season
     with pytest.raises(ValueError):
         volume_anomaly(ev, seasonality="lunar_phase")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules
+
+
+def test_basket_rules_hand_computed(spark):
+    from simba_spark.operators.analytics import basket_rules
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "eggs"),
+        (4, "bread"),
+        (4, "bread"),  # duplicate item in basket counts once
+    ]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_rules(df, "bk", "it", min_support=0.4).collect()
+    }
+    # n=4 baskets; milk:3 bread:3 eggs:2 all frequent at 0.4
+    r = out[("bread", "milk")]
+    assert r["n_ab"] == 2 and r["support"] == 0.5
+    assert r["conf_a_b"] == 2 / 3 and r["conf_b_a"] == 2 / 3
+    assert r["lift"] == (2 * 4) / (3 * 3)
+    r = out[("eggs", "milk")]
+    assert r["n_ab"] == 2 and r["lift"] == (2 * 4) / (2 * 3)
+    # bread+eggs co-occur once: support 0.25 < 0.4 -> pruned
+    assert ("bread", "eggs") not in out
+
+
+def test_basket_rules_apriori_prunes_rare_items(spark):
+    from simba_spark.operators.analytics import basket_rules
+
+    rows = [(i, "common") for i in range(10)] + [(0, "rare"), (1, "rare2")]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    out = basket_rules(df, "bk", "it", min_support=0.5).collect()
+    assert out == []  # rare items never reach the pair join
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        basket_rules(df, "bk", "it", min_support=0.0)
+
+
+def test_basket_rules_matches_duckdb(spark):
+    import pytest as _pt
+    duckdb = _pt.importorskip("duckdb")
+    from simba_spark.operators.analytics import basket_rules, basket_rules_sql
+
+    df = spark.range(200).select(
+        (F.col("id") % 40).alias("bk"),
+        F.concat(F.lit("i"), (F.col("id") * 7 % 11).cast("string")).alias("it"),
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["support"], r["conf_a_b"],
+                                     r["conf_b_a"], r["lift"])
+        for r in basket_rules(df, "bk", "it", min_support=0.05,
+                              min_confidence=0.2).collect()
+    }
+    con = duckdb.connect()
+    q = basket_rules_sql(
+        "SELECT (i % 40) AS bk, 'i' || ((i * 7) % 11) AS it FROM range(200) r(i)",
+        "bk", "it", min_support=0.05, min_confidence=0.2,
+    )
+    want = {(r[0], r[1]): tuple(r[2:]) for r in con.execute(q).fetchall()}
+    assert got == want  # bit-for-bit double ratios

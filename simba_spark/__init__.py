@@ -48,7 +48,7 @@ from .operators.analytics import (
 )
 from .operators.clustering import kmeans
 from .operators.dedup import edit_distance_pairs, linkage_score
-from .operators.graph import (k_hop, label_propagation, pagerank,
+from .operators.graph import (adamic_adar, k_hop, label_propagation, pagerank,
                               personalized_pagerank, triangle_count)
 from .operators.text import bm25_topk, phrase_search
 from .operators.shapes import (
@@ -120,7 +120,7 @@ __all__ = [
     "theta_sketch", "theta_merge", "theta_estimate", "theta_intersect",
     "ann_topk", "rrf_fuse",
     "pagerank", "personalized_pagerank", "triangle_count",
-    "label_propagation", "k_hop",
+    "label_propagation", "k_hop", "adamic_adar",
     "histogram_fixed", "heavy_hitters",
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize",

@@ -1286,3 +1286,81 @@ def test_theta_sketch_excludes_nulls_and_merge_empty_raises(spark):
     assert est["est_distinct"] == 2.0
     with pytest.raises(ValueError):
         theta_merge([])
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic-Adar
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    import itertools
+    import math
+    import random
+    from collections import defaultdict
+
+    from simba_spark.operators.graph import adamic_adar
+
+    random.seed(5)
+    edges = list({(random.randint(0, 20), random.randint(0, 20))
+                  for _ in range(60)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        common = adj[u] & adj[v]
+        if common:
+            want[(u, v)] = (
+                len(common),
+                round(sum(1.0 / math.log(len(adj[w])) for w in common), 6),
+            )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+        for r in adamic_adar(df).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 2e-6
+
+
+def test_adamic_adar_max_degree_and_exclusion(spark):
+    from simba_spark.operators.graph import adamic_adar
+
+    # star: hub 0 connects 1..5; plus edge (1, 2)
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # 10 leaf pairs via the hub + (0,1)/(0,2) via centers 1 and 2
+    full = {(r["u"], r["v"]) for r in adamic_adar(df).collect()}
+    assert (1, 2) in full and len(full) == 12
+    # capping out the hub (deg 5) leaves only wedges centered at 1/2
+    capped = {(r["u"], r["v"]) for r in adamic_adar(df, max_degree=4).collect()}
+    assert capped == {(0, 2), (0, 1)}
+    # exclude_existing drops the already-connected (1, 2)
+    ex = {(r["u"], r["v"])
+          for r in adamic_adar(df, exclude_existing=True).collect()}
+    assert (1, 2) not in ex and (3, 4) in ex
+
+
+def test_adamic_adar_matches_duckdb(spark):
+    import pytest as _pt
+    duckdb = _pt.importorskip("duckdb")
+    from simba_spark.operators.graph import adamic_adar, adamic_adar_sql
+
+    df = spark.range(120).select(
+        (F.col("id") % 23).alias("src"), ((F.col("id") * 7) % 19).alias("dst")
+    )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+        for r in adamic_adar(df, min_common=2).collect()
+    }
+    con = duckdb.connect()
+    q = adamic_adar_sql(
+        "SELECT (i % 23) AS src, (i * 7) % 19 AS dst FROM range(120) r(i)",
+        min_common=2,
+    )
+    want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(q).fetchall()}
+    assert got == want

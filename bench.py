@@ -105,6 +105,12 @@ HEADLINE = [
     "rank_normalize",
     "chisq_events",
     "rollup_incremental",
+    # round-6 late additions (this session)
+    "theta_active",
+    "hybrid_retrieval",
+    "edit_dist",
+    "basket_rules",
+    "adamic_adar",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -124,6 +130,8 @@ _POST_R3 = {
     "events_pivot", "attribution", "transition_matrix", "linkage",
     "quantile_bin_grouped", "personalized_pagerank", "rfm_segments",
     "rank_normalize", "chisq_events", "rollup_incremental",
+    "theta_active", "hybrid_retrieval", "edit_dist", "basket_rules",
+    "adamic_adar",
 }
 
 GROUPS = {

@@ -83,8 +83,8 @@ from .operators.retrieval import rrf_fuse
 from .operators.similarity import ann_topk
 from .operators.pca import fit_pca, pca_project
 from .operators.pipeline import rank_normalize
-from .operators.timeseries import (rollup_finalize, rollup_merge,
-                                    rollup_state)
+from .operators.timeseries import (forecast_seasonal_naive, rollup_finalize,
+                                    rollup_merge, rollup_state)
 from .operators.stats import (chisq_independence, corr_matrix, cov_matrix,
                               heavy_hitters, histogram_fixed, skew_report)
 from .partitioners import (
@@ -125,6 +125,7 @@ __all__ = [
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize",
     "rollup_state", "rollup_merge", "rollup_finalize",
+    "forecast_seasonal_naive",
     "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
     "attribution", "transition_matrix", "basket_rules",

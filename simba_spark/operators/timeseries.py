@@ -332,3 +332,128 @@ SELECT bucket_ts, {gsel} n,
        vmin, vmax
 FROM __st
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecasting
+
+
+def forecast_seasonal_naive(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    period: int,
+    horizon: int,
+    drift: bool = False,
+) -> DataFrame:
+    """Seasonal-naive forecast over a bucketed series (the output of
+    :func:`resample`): the prediction for future bucket T+h is the
+    observed value one season back, ŷ(T+h) = y(T+h − period·⌈h/period⌉)
+    — the standard strong baseline every fancier model must beat, and
+    the capacity-planning default for event volumes. With
+    ``drift=True`` a linear trend term is added: the per-bucket slope
+    (y_last − y_first)/(last − first) times h (Hyndman's drift
+    method), so level shifts between seasons are extrapolated.
+
+    Returns ``(key, bucket, yhat, h)`` — ``horizon`` rows per key,
+    ``bucket`` continuing the input indexing. A source bucket missing
+    from a sparse input yields yhat NULL for that h (compose with
+    ``resample(zero_fill=...)`` for dense series).
+
+    Scale shape: one skinny per-key aggregate (last/first bucket and
+    their values), an explode to `horizon` rows per key, and ONE
+    equi-join back to the series on (key, source-bucket). Nothing is
+    collected; cost is O(rows + keys·horizon).
+
+    CONTRACT: (key, bucket) must be unique (resample output is) —
+    duplicate buckets would fan out the source join and make
+    max_by/min_by tiebreaks engine-dependent.
+    """
+    period = int(period)
+    horizon = int(horizon)
+    if period < 1:
+        raise ValueError(f"period must be >= 1: {period}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    b = F.col(bucket_col)
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(key_col).agg(
+        F.max(b).alias("__last"),
+        F.min(b).alias("__first"),
+        F.max_by(v, b).alias("__vlast"),
+        F.min_by(v, b).alias("__vfirst"),
+    )
+    fut = bounds.select(
+        key_col, "__last", "__first", "__vlast", "__vfirst",
+        F.explode(F.expr(f"sequence(1, {horizon})")).alias("h"),
+    )
+    # integer ceil-div: go (⌈h/period⌉) seasons back into observed data
+    wrap = F.expr(f"(h + {period} - 1) div {period}")
+    src = F.col("__last") + F.col("h") - wrap * period
+    fut = fut.withColumn("__src", src)
+    series = df.select(
+        F.col(key_col).alias("__k"),
+        b.alias("__b"),
+        v.alias("__v"),
+    )
+    out = fut.join(
+        series,
+        (F.col(key_col) == F.col("__k")) & (F.col("__src") == F.col("__b")),
+        "left",
+    )
+    yhat = F.col("__v")
+    if drift:
+        span = (F.col("__last") - F.col("__first")).cast("double")
+        slope = F.when(
+            span > 0,
+            (F.col("__vlast") - F.col("__vfirst")) / span,
+        ).otherwise(F.lit(0.0))
+        yhat = yhat + slope * F.col("h").cast("double")
+    return out.select(
+        F.col(key_col),
+        (F.col("__last") + F.col("h")).alias(bucket_col),
+        yhat.alias("yhat"),
+        F.col("h"),
+    )
+
+
+def forecast_seasonal_naive_sql(
+    series_sql: str,
+    key: str,
+    bucket: str,
+    value: str,
+    period: int,
+    horizon: int,
+    drift: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`forecast_seasonal_naive` (same season
+    wrap-around, drift slope, and NULL semantics)."""
+    period = int(period)
+    horizon = int(horizon)
+    dexpr = (
+        f" + (CASE WHEN (bd.__last - bd.__first) > 0 THEN "
+        f"(bd.__vlast - bd.__vfirst) / CAST(bd.__last - bd.__first AS DOUBLE)"
+        f" ELSE 0.0::DOUBLE END) * CAST(f.h AS DOUBLE)"
+        if drift else ""
+    )
+    return f"""
+WITH __s AS (SELECT {key} AS __k, {bucket} AS __b,
+                    CAST({value} AS DOUBLE) AS __v FROM ({series_sql})),
+__bd AS (
+  SELECT __k, max(__b) AS __last, min(__b) AS __first,
+         max_by(__v, __b) AS __vlast, min_by(__v, __b) AS __vfirst
+  FROM __s GROUP BY 1
+),
+__f AS (
+  SELECT bd.__k, bd.__last, h
+  FROM __bd bd, (SELECT unnest(range(1, {horizon} + 1)) AS h)
+)
+SELECT f.__k AS {key}, f.__last + f.h AS {bucket},
+       (s.__v{dexpr}) AS yhat, f.h AS h
+FROM __f f
+JOIN __bd bd ON f.__k = bd.__k
+LEFT JOIN __s s
+  ON s.__k = f.__k
+ AND s.__b = f.__last + f.h - ((f.h + {period} - 1) // {period}) * {period}
+"""

@@ -485,3 +485,85 @@ def test_rollup_finalize_values_and_nulls(spark):
     assert r5["vvar"] == 1.0  # population var of {1, 3}
     assert r5["vmin"] == 1.0 and r5["vmax"] == 3.0
     assert out[(6, "a")]["n"] == 1 and out[(6, "a")]["vvar"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast
+
+
+def test_forecast_seasonal_naive_hand_computed(spark):
+    from simba_spark.operators.timeseries import forecast_seasonal_naive
+
+    # key "a": buckets 0..5 with values 10,11,12,13,14,15; period 3
+    rows = [("a", b, 10.0 + b) for b in range(6)]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    out = {
+        (r["k"], r["bucket"]): (r["yhat"], r["h"])
+        for r in forecast_seasonal_naive(
+            df, "k", "bucket", "v", period=3, horizon=5
+        ).collect()
+    }
+    # h=1 -> src 5+1-3=3 (13.0); h=2 -> 4; h=3 -> 5; h=4 wraps 2 seasons
+    # back: 5+4-6=3; h=5 -> 4
+    assert out[("a", 6)] == (13.0, 1)
+    assert out[("a", 7)] == (14.0, 2)
+    assert out[("a", 8)] == (15.0, 3)
+    assert out[("a", 9)] == (13.0, 4)
+    assert out[("a", 10)] == (14.0, 5)
+
+
+def test_forecast_seasonal_naive_drift_and_sparse(spark):
+    from simba_spark.operators.timeseries import forecast_seasonal_naive
+
+    # drift: slope = (v_last - v_first)/(last - first) = (20-10)/5 = 2
+    rows = [("a", 0, 10.0), ("a", 5, 20.0), ("a", 4, 18.0)]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"])
+    out = {
+        r["h"]: r["yhat"]
+        for r in forecast_seasonal_naive(
+            df, "k", "bucket", "v", period=2, horizon=2, drift=True
+        ).collect()
+    }
+    # h=1: src 5+1-2=4 -> 18 + 2*1 = 20 ; h=2: src 5 -> 20 + 2*2 = 24
+    assert out[1] == 20.0 and out[2] == 24.0
+    # sparse: missing source bucket -> NULL yhat (drift keeps it NULL)
+    out2 = {
+        r["h"]: r["yhat"]
+        for r in forecast_seasonal_naive(
+            df, "k", "bucket", "v", period=3, horizon=1, drift=False
+        ).collect()
+    }
+    assert out2[1] is None  # src bucket 3 absent
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        forecast_seasonal_naive(df, "k", "bucket", "v", period=0, horizon=1)
+    with _pt.raises(ValueError):
+        forecast_seasonal_naive(df, "k", "bucket", "v", period=1, horizon=0)
+
+
+def test_forecast_seasonal_naive_matches_duckdb(spark):
+    import pytest as _pt
+    duckdb = _pt.importorskip("duckdb")
+    from simba_spark.operators.timeseries import (
+        forecast_seasonal_naive, forecast_seasonal_naive_sql)
+
+    df = spark.range(40).select(
+        (F.col("id") % 2).alias("k"),
+        F.expr("id div 2").alias("bucket"),
+        ((F.col("id") * 13) % 7).cast("double").alias("v"),
+    )
+    got = {
+        (r["k"], r["bucket"]): (r["yhat"], r["h"])
+        for r in forecast_seasonal_naive(
+            df, "k", "bucket", "v", period=4, horizon=6, drift=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    q = forecast_seasonal_naive_sql(
+        "SELECT (i % 2) AS k, (i // 2) AS bucket, "
+        "CAST((i * 13) % 7 AS DOUBLE) AS v FROM range(40) r(i)",
+        "k", "bucket", "v", period=4, horizon=6, drift=True,
+    )
+    want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(q).fetchall()}
+    assert got == want

@@ -2625,6 +2625,21 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def q_robust_z(spark, sf_dir):
+    """Median/MAD robust outlier scoring (operators.stats.robust_zscore):
+    modified z-scores for event values per event_type — two mergeable
+    quantile-sketch passes (median, then MAD), each ≤ k rows per group
+    over the wire, joined back as skinny frames; one lazy plan. The
+    50%-breakdown alternative to mean/σ anomaly scoring."""
+    from simba_spark.operators.stats import robust_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    out = robust_zscore(ev, "value", "event_id",
+                        group_by=["event_type"], threshold=3.5)
+    return out.select("event_id", "event_type", "value",
+                      "robust_z", "is_outlier")
+
+
 def q_forecast_events(spark, sf_dir):
     """Seasonal-naive volume forecast with drift
     (operators.timeseries.forecast_seasonal_naive): hourly event
@@ -3139,6 +3154,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "adamic_adar": q_adamic_adar,
         "forecast_events": q_forecast_events,
+        "robust_z": q_robust_z,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3876,7 +3892,7 @@ def oracle_sql() -> dict[str, str]:
 
     from simba_spark.operators.graph import (k_hop_sql, label_propagation_sql,
                                              personalized_pagerank_sql)
-    from simba_spark.operators.stats import skew_report_sql
+    from simba_spark.operators.stats import robust_zscore_sql, skew_report_sql
 
     return {
         "skew_report": skew_report_sql(
@@ -4258,6 +4274,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_sql(pr_edges, iters=6),
         "adamic_adar": adamic_adar_sql(
             f"SELECT * FROM {pr_edges}", min_common=8, max_degree=40
+        ),
+        "robust_z": robust_zscore_sql(
+            "SELECT * FROM events", "value", "event_id",
+            ["event_id", "event_type", "value"],
+            group_exprs=["event_type"], threshold=3.5,
         ),
         "forecast_events": forecast_seasonal_naive_sql(
             "SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, "

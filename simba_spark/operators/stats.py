@@ -505,3 +505,129 @@ SELECT round(chi2, {int(round_to)}) AS chi2,
                   ELSE 0.0::DOUBLE END, {int(round_to)}) AS cramers_v
 FROM __s
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier scoring
+
+
+def robust_zscore(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    threshold: float = 3.5,
+    k: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Modified z-score outlier scoring (Iglewicz–Hoaglin): per group,
+    ``robust_z = 0.6745 · (x − median) / MAD`` with MAD = median of
+    |x − median|, plus ``is_outlier = |robust_z| > threshold`` (3.5 is
+    the published default). Mean/std anomaly scoring (cf.
+    ``analytics.volume_anomaly``) lets a single extreme value inflate
+    σ and mask itself; median/MAD has a 50% breakdown point — the
+    right screen for corpus quality metrics with heavy tails.
+
+    Both the median and the MAD come from the mergeable bottom-k
+    quantile sketch (≤ k rows per group cross the wire, two sketch
+    passes) and join back as skinny frames — ONE lazy plan, no driver
+    collect, bit-reproducible by :func:`robust_zscore_sql`. A
+    zero-MAD group (over half the values identical) yields NULL
+    scores and ``is_outlier=false`` for its rows — σ-scaling is
+    undefined there, and flagging everything would be worse than
+    flagging nothing. NULL/NaN values keep their rows with NULL score.
+
+    Output: the input columns plus ``robust_z`` and ``is_outlier``.
+    """
+    from .sketches import quantile_digest
+
+    groups = list(group_by or [])
+    x = F.col(col).cast("double")
+    med = quantile_digest(
+        df, col, id_col, qs=(0.5,), group_by=groups, k=k, seed=seed
+    ).withColumnRenamed("q500", "__med")
+    j1 = (
+        df.join(med, groups) if groups
+        else df.crossJoin(F.broadcast(med))
+    )
+    dev = j1.withColumn("__dev", F.abs(x - F.col("__med")))
+    mad = quantile_digest(
+        dev, "__dev", id_col, qs=(0.5,), group_by=groups, k=k, seed=seed
+    ).withColumnRenamed("q500", "__mad")
+    j2 = (
+        dev.join(mad, groups) if groups
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    z = F.when(
+        x.isNotNull() & ~F.isnan(x) & (F.col("__mad") > 0),
+        F.lit(0.6745) * (x - F.col("__med")) / F.col("__mad"),
+    )
+    return (
+        j2.withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.abs(F.col("robust_z")) > F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
+        .drop("__med", "__dev", "__mad")
+    )
+
+
+def robust_zscore_sql(
+    from_sql: str,
+    col_expr: str,
+    id_expr: str,
+    select_cols: Sequence[str],
+    group_exprs: Optional[Sequence[str]] = None,
+    threshold: float = 3.5,
+    k: int = 2048,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`robust_zscore` — identical sketch rows,
+    interpolation, and scoring arithmetic. ``select_cols`` lists the
+    passthrough output columns (SQL has no ``df.*`` that dodges the
+    internal names)."""
+    from .sketches import quantile_estimate_sql, quantile_sketch_sql
+
+    groups = list(group_exprs or [])
+    gsel = "".join(f"{g}, " for g in groups)
+    med_est = quantile_estimate_sql(
+        quantile_sketch_sql(f"({from_sql})", col_expr, id_expr,
+                            group_exprs=groups, k=k, seed=seed),
+        qs=(0.5,), group_exprs=groups,
+    )
+    # plain equality matches Spark's name-based join (null group keys
+    # drop in both engines)
+    med_on = (
+        " AND ".join(f"s.{g} = m.{g}" for g in groups)
+        if groups else "1 = 1"
+    )
+    dev_src = f"""
+  SELECT s.*, m.q500 AS __med,
+         abs(CAST({col_expr} AS DOUBLE) - m.q500) AS __dev
+  FROM ({from_sql}) s JOIN ({med_est}) m ON {med_on}
+"""
+    mad_est = quantile_estimate_sql(
+        quantile_sketch_sql(f"({dev_src})", "__dev", id_expr,
+                            group_exprs=groups, k=k, seed=seed),
+        qs=(0.5,), group_exprs=groups,
+    )
+    mad_on = (
+        " AND ".join(f"d.{g} = md.{g}" for g in groups)
+        if groups else "1 = 1"
+    )
+    outs = ", ".join(f"d.{c}" for c in select_cols)
+    z = (f"CASE WHEN md.q500 > 0 AND ({col_expr}) IS NOT NULL "
+         f"AND NOT isnan(CAST({col_expr} AS DOUBLE)) THEN 0.6745::DOUBLE * "
+         f"(CAST({col_expr} AS DOUBLE) - d.__med) / md.q500 END")
+    return f"""
+SELECT {outs}, robust_z,
+       coalesce(abs(robust_z) > {float(threshold)!r}::DOUBLE, false)
+         AS is_outlier
+FROM (
+  SELECT d.*, {z} AS robust_z
+  FROM ({dev_src}) d JOIN ({mad_est}) md ON {mad_on}
+) d
+"""

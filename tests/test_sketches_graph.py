@@ -1364,3 +1364,68 @@ def test_adamic_adar_matches_duckdb(spark):
     )
     want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(q).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) z-scores
+
+
+def test_robust_zscore_hand_computed(spark):
+    from simba_spark.operators.stats import robust_zscore
+
+    # values 1..9 plus an outlier 100: median 5.5, MAD 2.5
+    vals = list(range(1, 10)) + [100]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["rid", "x"]
+    )
+    out = {r["rid"]: r for r in robust_zscore(df, "x", "rid", k=64).collect()}
+    import statistics
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    for i, v in enumerate(vals):
+        assert abs(out[i]["robust_z"] - 0.6745 * (v - med) / mad) < 1e-9
+    flagged = [i for i, r in out.items() if r["is_outlier"]]
+    assert flagged == [9]  # only the 100
+
+
+def test_robust_zscore_zero_mad_and_nulls(spark):
+    from simba_spark.operators.stats import robust_zscore
+
+    # >50% identical values -> MAD 0 -> NULL scores, nothing flagged
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(8)] + [(8, 500.0), (9, None)],
+        ["rid", "x"],
+    )
+    rows = robust_zscore(df, "x", "rid", k=64).collect()
+    assert len(rows) == 10  # null value keeps its row
+    assert all(r["robust_z"] is None for r in rows)
+    assert all(r["is_outlier"] is False for r in rows)
+
+
+def test_robust_zscore_grouped_matches_duckdb(spark):
+    import pytest as _pt
+    duckdb = _pt.importorskip("duckdb")
+    from simba_spark.operators.stats import robust_zscore, robust_zscore_sql
+
+    df = spark.range(400).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 3).alias("g"),
+        (((F.col("id") * 37) % 101) + F.when(F.col("id") % 97 == 0,
+                                             F.lit(5000)).otherwise(F.lit(0))
+         ).cast("double").alias("x"),
+    )
+    got = {
+        r["rid"]: (r["g"], r["x"], r["robust_z"], r["is_outlier"])
+        for r in robust_zscore(df, "x", "rid", group_by=["g"],
+                               k=256).collect()
+    }
+    con = duckdb.connect()
+    q = robust_zscore_sql(
+        "SELECT i AS rid, (i % 3) AS g, CAST(((i * 37) % 101) + "
+        "(CASE WHEN i % 97 = 0 THEN 5000 ELSE 0 END) AS DOUBLE) AS x "
+        "FROM range(400) r(i)",
+        "x", "rid", ["rid", "g", "x"], group_exprs=["g"], k=256,
+    )
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(q).fetchall()}
+    assert got == want  # bit-for-bit through both sketch passes
+    assert any(v[3] for v in got.values())  # the spikes get flagged

@@ -262,11 +262,22 @@ def cosine_topk_ivf(
     seed: int = 42,
     assigned: Optional[DataFrame] = None,
     centroids=None,
+    where=None,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only rows whose inverted list is
     one of the query's `nprobe` nearest centroids. Pass (assigned,
     centroids) from :func:`build_ivf` to amortize the build across
-    queries — the scale path for repeated search over a static corpus."""
+    queries — the scale path for repeated search over a static corpus.
+
+    ``where`` (a boolean Column over the input's columns) gives
+    METADATA-FILTERED search — the RAG "top-k among documents matching
+    this predicate" shape. The filter composes with (never replaces)
+    the probe pruning: it lands between the list scan and the ranking,
+    so Catalyst pushes it into the probed scan and the top-k is exact
+    over the filtered candidate set of the probed lists. Recall
+    caveat inherent to filtered IVF: a highly selective predicate can
+    empty the probed lists while matches exist in unprobed ones —
+    raise nprobe as selectivity rises."""
     import numpy as np
 
     if assigned is None or centroids is None:
@@ -279,9 +290,11 @@ def cosine_topk_ivf(
 
     q = _query_lit(query_vec)
     sim = F.round(cosine_similarity(F.col(vec_col), q), 6)
+    out = assigned.filter(F.col("__ivf").isin(probes))
+    if where is not None:
+        out = out.filter(where)
     return (
-        assigned.filter(F.col("__ivf").isin(probes))
-        .withColumn("cosine_sim", sim)
+        out.withColumn("cosine_sim", sim)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(int(k))
         .drop("__ivf")
@@ -362,11 +375,14 @@ def cosine_topk_ivf_layout(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 4,
+    where=None,
 ) -> DataFrame:
     """Approximate top-k through a persisted IVF layout: the probe's
     ``__ivf IN (...)`` predicate is a partition-directory filter — files
     of unprobed lists never get tasks (assert: PartitionFilters in the
-    plan)."""
+    plan). ``where`` adds a metadata predicate on top (filtered search);
+    it pushes into the probed scan as a data filter while the probe
+    list keeps pruning directories."""
     import numpy as np
 
     assigned, centroids = load_ivf_layout(spark, path)
@@ -375,9 +391,11 @@ def cosine_topk_ivf_layout(
     probes = [int(i) for i in np.argsort(d2)[: int(nprobe)]]
     q = _query_lit(query_vec)
     sim = F.round(cosine_similarity(F.col(vec_col), q), 6)
+    out = assigned.filter(F.col("__ivf").isin(probes))
+    if where is not None:
+        out = out.filter(where)
     return (
-        assigned.filter(F.col("__ivf").isin(probes))
-        .withColumn("cosine_sim", sim)
+        out.withColumn("cosine_sim", sim)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(int(k))
         .drop("__ivf")

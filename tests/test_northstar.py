@@ -1157,3 +1157,42 @@ def test_bm25_require_all_conjunctive(spark):
         ).fetchall()
     }
     assert both == want
+
+
+def test_ivf_filtered_search(spark, tmp_path):
+    """Metadata-filtered IVF search: the `where` predicate composes
+    with probe pruning — results honor the filter, equal the exact
+    filtered top-k when every list is probed, and the layout path
+    keeps its partition-directory pruning."""
+    from simba_spark.operators.similarity import (
+        build_ivf, build_ivf_layout, cosine_topk, cosine_topk_ivf,
+        cosine_topk_ivf_layout)
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(x) for x in embs.filter("vec_id = 7").first()["embedding"]]
+    pred = F.col("label") == 1
+
+    exact = [r.vec_id for r in cosine_topk(embs.filter(pred), qvec, 10).collect()]
+    assigned, cents = build_ivf(embs, n_centroids=8, seed=42)
+    # nprobe == n_centroids probes everything -> exact over the filter
+    got_all = [
+        r.vec_id for r in cosine_topk_ivf(
+            embs, qvec, 10, nprobe=8, assigned=assigned, centroids=cents,
+            where=pred,
+        ).collect()
+    ]
+    assert got_all == exact
+    # every result honors the predicate at any nprobe
+    got4 = cosine_topk_ivf(
+        embs, qvec, 10, nprobe=4, assigned=assigned, centroids=cents,
+        where=pred,
+    ).collect()
+    assert got4 and all(r["label"] == 1 for r in got4)
+
+    path = str(tmp_path / "ivf_layout")
+    build_ivf_layout(embs, path, n_centroids=8, seed=42)
+    out = cosine_topk_ivf_layout(spark, path, qvec, 10, nprobe=2, where=pred)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [" in plan and "__ivf" in plan
+    assert all(r["label"] == 1 for r in out.collect())

@@ -87,3 +87,118 @@ def test_snm_order_key_injective_and_sort_major(rows):
     # primary order follows sort_col
     sorts = [rows[t][0] for t in ranked]
     assert sorts == sorted(sorts)
+
+
+# ---------------------------------------------------------------------------
+# Late-round-6 kernels: PassJoin pigeonhole, RRF algebra, theta
+# threshold algebra, seasonal wrap arithmetic
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def _segments(s: str, k: int):
+    """The operator's fixed segmentation: first (len % k) segments get
+    the extra char."""
+    l, base, rem = len(s), len(s) // k, len(s) % k
+    segs, start = [], 0
+    for i in range(k):
+        ln = base + (1 if i < rem else 0)
+        segs.append((start, s[start:start + ln]))
+        start += ln
+    return segs
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abc", min_size=2, max_size=14),
+       st.text(alphabet="abc", min_size=2, max_size=14),
+       st.integers(1, 3))
+def test_passjoin_pigeonhole_soundness(a, b, d):
+    """If lev(a,b) <= d and len(b) >= d+1 then a contains at least one
+    of b's d+1 segments exactly, starting within ±d of its position in
+    b — the guarantee the edit_distance_pairs blocking equi-join is
+    built on."""
+    if _lev(a, b) > d or len(b) < d + 1:
+        return
+    hit = False
+    for start, seg in _segments(b, d + 1):
+        if not seg:
+            continue
+        for p in range(max(0, start - d), min(len(a) - len(seg), start + d) + 1):
+            if a[p:p + len(seg)] == seg:
+                hit = True
+    assert hit
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="xyz#", min_size=0, max_size=8),
+       st.text(alphabet="xyz#", min_size=0, max_size=8),
+       st.text(alphabet="ab", min_size=0, max_size=10),
+       st.text(alphabet="ab", min_size=0, max_size=10))
+def test_affix_stripping_preserves_levenshtein(pre, suf, x, y):
+    """lev(P·x·S, P·y·S) == lev(x, y) — the invariance the edit_dist
+    corpus-affix skew guard relies on."""
+    assert _lev(pre + x + suf, pre + y + suf) == _lev(x, y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), vals), min_size=1,
+                max_size=25).map(dict),
+       st.lists(st.tuples(st.integers(0, 30), vals), min_size=0,
+                max_size=25).map(dict),
+       st.integers(1, 100))
+def test_rrf_fixed_order_sum_is_rank_algebra(la, lb, k):
+    """The RRF score of a doc is exactly 1/(k+rank_a) + 1/(k+rank_b)
+    with ranks independent per list (score desc, id asc tiebreak) —
+    the fused value never depends on the other list's scores."""
+    def ranks(d):
+        order = sorted(d, key=lambda i: (-d[i], i))
+        return {i: r + 1 for r, i in enumerate(order)}
+    ra, rb = ranks(la), ranks(lb)
+    for doc in set(la) | set(lb):
+        want = (1.0 / (k + ra[doc]) if doc in ra else 0.0) + (
+            1.0 / (k + rb[doc]) if doc in rb else 0.0)
+        got = 0.0
+        if doc in ra:
+            got += 1.0 / (k + ra[doc])
+        if doc in rb:
+            got = got + 1.0 / (k + rb[doc])
+        assert got == want  # fixed-order coalesced sum, bit-exact
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sets(st.integers(0, 10 ** 6), min_size=0, max_size=400),
+       st.sets(st.integers(0, 10 ** 6), min_size=0, max_size=400),
+       st.integers(2, 64))
+def test_theta_intersect_exact_below_k(sa, sb, k):
+    """When both sides hold < k distinct hashes the theta estimates
+    are the EXACT set cardinalities (theta=1 path), and
+    inclusion-exclusion holds for any k (shared threshold)."""
+    if len(sa) >= k or len(sb) >= k:
+        return
+    # exact path: threshold = max-hash sentinel, every element counted
+    na, nb = len(sa), len(sb)
+    nu, nab = len(sa | sb), len(sa & sb)
+    assert na + nb == nu + nab  # inclusion-exclusion, exact
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 50), st.integers(1, 200), st.integers(0, 10 ** 6))
+def test_seasonal_wrap_lands_in_last_period(period, h, last):
+    """The forecast source bucket last + h − period·⌈h/period⌉ always
+    falls in the last observed season (last-period, last]."""
+    wrap = (h + period - 1) // period
+    src = last + h - wrap * period
+    assert last - period < src <= last
+    # and it is congruent to the target bucket mod period
+    assert (last + h - src) % period == 0

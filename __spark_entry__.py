@@ -2625,6 +2625,20 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def q_psi_drift(spark, sf_dir):
+    """Feature-drift monitoring (operators.stats.psi_drift): PSI of
+    order totalprice between the pre-1998 reference and the 1998+
+    current snapshot. Bin edges are the REFERENCE's equal-frequency
+    sketch quantiles applied to both sides; one sketch pass + two
+    zero-shuffle bin assignments + two ≤ nbins-row aggregates."""
+    from simba_spark.operators.stats import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter("o_orderdate < '1998-01-01'")
+    cur = orders.filter("o_orderdate >= '1998-01-01'")
+    return psi_drift(ref, cur, "o_totalprice", "o_orderkey", nbins=10)
+
+
 def q_robust_z(spark, sf_dir):
     """Median/MAD robust outlier scoring (operators.stats.robust_zscore):
     modified z-scores for event values per event_type — two mergeable
@@ -3155,6 +3169,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "forecast_events": q_forecast_events,
         "robust_z": q_robust_z,
+        "psi_drift": q_psi_drift,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3892,7 +3907,8 @@ def oracle_sql() -> dict[str, str]:
 
     from simba_spark.operators.graph import (k_hop_sql, label_propagation_sql,
                                              personalized_pagerank_sql)
-    from simba_spark.operators.stats import robust_zscore_sql, skew_report_sql
+    from simba_spark.operators.stats import (psi_drift_sql, robust_zscore_sql,
+                                             skew_report_sql)
 
     return {
         "skew_report": skew_report_sql(
@@ -4274,6 +4290,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_sql(pr_edges, iters=6),
         "adamic_adar": adamic_adar_sql(
             f"SELECT * FROM {pr_edges}", min_common=8, max_degree=40
+        ),
+        "psi_drift": psi_drift_sql(
+            "SELECT * FROM orders WHERE o_orderdate < '1998-01-01'",
+            "SELECT * FROM orders WHERE o_orderdate >= '1998-01-01'",
+            "o_totalprice", "o_orderkey", nbins=10,
         ),
         "robust_z": robust_zscore_sql(
             "SELECT * FROM events", "value", "event_id",

@@ -86,8 +86,8 @@ from .operators.pipeline import rank_normalize
 from .operators.timeseries import (forecast_seasonal_naive, rollup_finalize,
                                     rollup_merge, rollup_state)
 from .operators.stats import (chisq_independence, corr_matrix, cov_matrix,
-                              heavy_hitters, histogram_fixed, robust_zscore,
-                              skew_report)
+                              heavy_hitters, histogram_fixed, psi_drift,
+                              robust_zscore, skew_report)
 from .partitioners import (
     assign_partitions,
     hash_partition,
@@ -124,7 +124,7 @@ __all__ = [
     "label_propagation", "k_hop", "adamic_adar",
     "histogram_fixed", "heavy_hitters",
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
-    "chisq_independence", "rank_normalize", "robust_zscore",
+    "chisq_independence", "rank_normalize", "robust_zscore", "psi_drift",
     "rollup_state", "rollup_merge", "rollup_finalize",
     "forecast_seasonal_naive",
     "kmeans", "linkage_score", "edit_distance_pairs",

@@ -631,3 +631,163 @@ FROM (
   FROM ({dev_src}) d JOIN ({mad_est}) md ON {mad_on}
 ) d
 """
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (feature drift between two snapshots)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    id_col: str,
+    nbins: int = 10,
+    k: int = 2048,
+    seed: int = 42,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    current one — the standard train-vs-serve / week-over-week feature
+    drift monitor (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 action).
+
+    Bin edges are the REFERENCE's equal-frequency quantiles (from the
+    mergeable bottom-k sketch, ≤ k rows over the wire), applied
+    identically to both sides, so p_ref ≈ 1/nbins by construction and
+    drift shows up purely as current-side mass movement. Returns one
+    row per bin: ``(bin, n_ref, n_cur, p_ref, p_cur, psi_term)`` with
+    ``psi_term = (p_cur' − p_ref')·ln(p_cur'/p_ref')`` where p' is the
+    eps-clamped share (the standard guard — an empty bin would make
+    ln() blow up); total PSI is ``sum(psi_term)``. psi_term rounds to
+    ``round_to`` (ln() is a libm call — the engine's float-sum hash
+    convention). NULL/NaN values carry no bin on either side.
+
+    Scale shape: one sketch pass over ref, one zero-shuffle bin
+    assignment per side (codegen comparison sum against the broadcast
+    cut row), two skinny ≤ nbins-row aggregates, totals as 1-row
+    broadcasts. Nothing data-sized is collected.
+    """
+    from .sketches import quantile_digest
+
+    nbins = int(nbins)
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2: {nbins}")
+    if not (0.0 < float(eps) < 1.0):
+        raise ValueError(f"eps must be in (0, 1): {eps}")
+    qs = tuple(i / nbins for i in range(1, nbins))
+    cuts = [f"__pc{i}" for i in range(1, nbins)]
+    # the 1-row cut frame feeds three plan branches (both bin
+    # assignments and the bins spine) — lazy-checkpoint it so the
+    # reference sketch runs ONCE, not once per branch
+    qrow = quantile_digest(
+        ref, col, id_col, qs=qs, k=k, seed=seed
+    ).toDF(*cuts).localCheckpoint(eager=False)
+
+    def _binned(df: DataFrame) -> DataFrame:
+        x = F.col(col).cast("double")
+        bin_expr = None
+        for c in cuts:
+            t = (x >= F.col(c)).cast("int")
+            bin_expr = t if bin_expr is None else bin_expr + t
+        return (
+            df.crossJoin(F.broadcast(qrow))
+            .filter(x.isNotNull() & ~F.isnan(x))
+            .select(bin_expr.alias("__bin"))
+        )
+
+    rc = _binned(ref).groupBy("__bin").agg(F.count(F.lit(1)).alias("n_ref"))
+    cc = _binned(cur).groupBy("__bin").agg(F.count(F.lit(1)).alias("n_cur"))
+    bins = qrow.select(
+        F.explode(F.expr(f"sequence(0, {nbins - 1})")).alias("__bin")
+    )
+    tot_r = rc.agg(F.sum("n_ref").alias("__tr"))
+    tot_c = cc.agg(F.sum("n_cur").alias("__tc"))
+    out = (
+        bins.join(rc, "__bin", "left")
+        .join(cc, "__bin", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            F.col("__bin").alias("bin"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.col("__tr"), F.col("__tc"),
+        )
+    )
+    e = F.lit(float(eps))
+    p_ref = F.greatest(F.col("n_ref").cast("double") / F.col("__tr").cast("double"), e)
+    p_cur = F.greatest(F.col("n_cur").cast("double") / F.col("__tc").cast("double"), e)
+    return out.select(
+        "bin", "n_ref", "n_cur",
+        (F.col("n_ref").cast("double") / F.col("__tr").cast("double")).alias("p_ref"),
+        (F.col("n_cur").cast("double") / F.col("__tc").cast("double")).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref),
+                int(round_to)).alias("psi_term"),
+    )
+
+
+def psi_drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    col_expr: str,
+    id_expr: str,
+    nbins: int = 10,
+    k: int = 2048,
+    seed: int = 42,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`psi_drift` (same reference-side sketch
+    cuts, comparison-sum binning, eps clamp and ln arithmetic)."""
+    from .sketches import _q_name, quantile_estimate_sql, quantile_sketch_sql
+
+    nbins = int(nbins)
+    qs = tuple(i / nbins for i in range(1, nbins))
+    qsql = quantile_estimate_sql(
+        quantile_sketch_sql(f"({ref_sql})", col_expr, id_expr, k=k, seed=seed),
+        qs=qs,
+    )
+    names = [_q_name(q) for q in qs]
+    binsum = " + ".join(
+        f"(CASE WHEN CAST({col_expr} AS DOUBLE) >= q.{n} THEN 1 ELSE 0 END)"
+        for n in names
+    )
+
+    def _cnt(side_sql: str, out: str) -> str:
+        return f"""
+  SELECT __bin, count(*) AS {out} FROM (
+    SELECT ({binsum}) AS __bin
+    FROM ({side_sql}) s, __q q
+    WHERE ({col_expr}) IS NOT NULL
+      AND NOT isnan(CAST({col_expr} AS DOUBLE))
+  ) GROUP BY 1
+"""
+
+    e = f"{float(eps)!r}::DOUBLE"
+    return f"""
+WITH __q AS ({qsql}),
+__rc AS ({_cnt(ref_sql, "n_ref")}),
+__cc AS ({_cnt(cur_sql, "n_cur")}),
+__bins AS (SELECT unnest(range(0, {nbins})) AS __bin),
+__tr AS (SELECT sum(n_ref) AS __tr FROM __rc),
+__tc AS (SELECT sum(n_cur) AS __tc FROM __cc),
+__j AS (
+  SELECT b.__bin AS bin,
+         coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+         __tr, __tc
+  FROM __bins b
+  LEFT JOIN __rc r ON b.__bin = r.__bin
+  LEFT JOIN __cc c ON b.__bin = c.__bin
+  CROSS JOIN __tr CROSS JOIN __tc
+)
+SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+       CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE) AS p_ref,
+       CAST(n_cur AS DOUBLE) / CAST(__tc AS DOUBLE) AS p_cur,
+       round((greatest(CAST(n_cur AS DOUBLE) / CAST(__tc AS DOUBLE), {e})
+              - greatest(CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE), {e}))
+             * ln(greatest(CAST(n_cur AS DOUBLE) / CAST(__tc AS DOUBLE), {e})
+                  / greatest(CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE), {e})),
+             {int(round_to)}) AS psi_term
+FROM __j
+"""

@@ -1429,3 +1429,78 @@ def test_robust_zscore_grouped_matches_duckdb(spark):
     want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(q).fetchall()}
     assert got == want  # bit-for-bit through both sketch passes
     assert any(v[3] for v in got.values())  # the spikes get flagged
+
+
+# ---------------------------------------------------------------------------
+# PSI feature drift
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    from simba_spark.operators.stats import psi_drift
+
+    df = spark.range(4000).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("x"),
+    )
+    out = psi_drift(df, df, "x", "rid", nbins=10).collect()
+    assert len(out) == 10
+    total = sum(r["psi_term"] for r in out)
+    assert abs(total) < 1e-9  # same data -> zero drift
+    # reference shares are equal-frequency by construction
+    assert all(abs(r["p_ref"] - 0.1) < 0.02 for r in out)
+
+
+def test_psi_drift_detects_shift_and_empty_bins(spark):
+    from simba_spark.operators.stats import psi_drift
+
+    ref = spark.range(2000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 100).cast("double").alias("x"),
+    )
+    # current mass entirely above the reference's top decile
+    cur = spark.range(500).select(
+        F.col("id").alias("rid"), (F.col("id") + 10000).cast("double").alias("x")
+    )
+    out = {r["bin"]: r for r in psi_drift(ref, cur, "x", "rid",
+                                          nbins=10).collect()}
+    assert len(out) == 10
+    assert out[9]["p_cur"] == 1.0  # everything lands in the top bin
+    assert all(out[b]["n_cur"] == 0 for b in range(9))  # eps guards ln(0)
+    total = sum(r["psi_term"] for r in out.values())
+    assert total > 1.0  # unambiguous action-level drift
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        psi_drift(ref, cur, "x", "rid", nbins=1)
+    with _pt.raises(ValueError):
+        psi_drift(ref, cur, "x", "rid", eps=0.0)
+
+
+def test_psi_drift_matches_duckdb(spark):
+    import pytest as _pt
+    duckdb = _pt.importorskip("duckdb")
+    from simba_spark.operators.stats import psi_drift, psi_drift_sql
+
+    ref = spark.range(1000).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 13) % 500).cast("double").alias("x"),
+    )
+    cur = spark.range(800).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 7) % 900).cast("double").alias("x"),
+    )
+    got = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["p_ref"], r["p_cur"],
+                   r["psi_term"])
+        for r in psi_drift(ref, cur, "x", "rid", nbins=8, k=256).collect()
+    }
+    con = duckdb.connect()
+    q = psi_drift_sql(
+        "SELECT i AS rid, CAST((i * 13) % 500 AS DOUBLE) AS x "
+        "FROM range(1000) r(i)",
+        "SELECT i AS rid, CAST((i * 7) % 900 AS DOUBLE) AS x "
+        "FROM range(800) r(i)",
+        "x", "rid", nbins=8, k=256,
+    )
+    want = {r[0]: tuple(r[1:]) for r in con.execute(q).fetchall()}
+    assert got == want  # bit-for-bit through sketch, binning, eps, ln

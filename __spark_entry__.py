@@ -2625,6 +2625,20 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Weighted SSSP (operators.graph.shortest_paths): Bellman–Ford
+    distances from customer 1 over the trade graph with deterministic
+    edge weights (dst % 7 + 1); 4 relaxation rounds = exact for paths
+    of ≤ 4 edges. Per round: one frontier⋈edges join + one skinny min
+    groupBy; distance frame checkpointed so lineage stays flat."""
+    from simba_spark.operators.graph import shortest_paths
+
+    e = _trade_edges(spark, sf_dir).withColumn(
+        "w", (F.col("dst") % 7 + 1).cast("double")
+    )
+    return shortest_paths(e, 1, weight="w", iters=4)
+
+
 def q_psi_drift(spark, sf_dir):
     """Feature-drift monitoring (operators.stats.psi_drift): PSI of
     order totalprice between the pre-1998 reference and the 1998+
@@ -3170,6 +3184,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_events": q_forecast_events,
         "robust_z": q_robust_z,
         "psi_drift": q_psi_drift,
+        "shortest_paths": q_shortest_paths,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3862,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
                                              linkage_score_sql,
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql, pagerank_sql,
+                                             shortest_paths_sql,
                                              triangle_count_sql)
     from simba_spark.operators.pipeline import (quantile_bin_sql,
                                                 rank_normalize_sql,
@@ -4300,6 +4316,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM events", "value", "event_id",
             ["event_id", "event_type", "value"],
             group_exprs=["event_type"], threshold=3.5,
+        ),
+        "shortest_paths": shortest_paths_sql(
+            f"SELECT src, dst, CAST(dst % 7 + 1 AS DOUBLE) AS w "
+            f"FROM {pr_edges}",
+            "1", weight="w", iters=4,
         ),
         "forecast_events": forecast_seasonal_naive_sql(
             "SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, "

@@ -49,7 +49,8 @@ from .operators.analytics import (
 from .operators.clustering import kmeans
 from .operators.dedup import edit_distance_pairs, linkage_score
 from .operators.graph import (adamic_adar, k_hop, label_propagation, pagerank,
-                              personalized_pagerank, triangle_count)
+                              personalized_pagerank, shortest_paths,
+                              triangle_count)
 from .operators.text import bm25_topk, phrase_search
 from .operators.shapes import (
     circle_struct,
@@ -121,7 +122,7 @@ __all__ = [
     "theta_sketch", "theta_merge", "theta_estimate", "theta_intersect",
     "ann_topk", "rrf_fuse",
     "pagerank", "personalized_pagerank", "triangle_count",
-    "label_propagation", "k_hop", "adamic_adar",
+    "label_propagation", "k_hop", "adamic_adar", "shortest_paths",
     "histogram_fixed", "heavy_hitters",
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize", "robust_zscore", "psi_drift",

@@ -705,3 +705,112 @@ SELECT u, w AS v, common_neighbors, aa_score FROM (
 ) p
 WHERE common_neighbors >= {int(min_common)} {anti}
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford relaxation)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: Optional[str] = None,
+    iters: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weighted single-source shortest distances by Bellman–Ford
+    relaxation: after ``iters`` rounds, ``(node, dist)`` holds the
+    exact shortest distance for every node whose optimal path uses at
+    most ``iters`` edges (the unweighted analog is ``k_hop``). With
+    ``weight=None`` every edge costs 1. Unreached nodes are absent.
+    Negative weights are rejected — on a cyclic graph they make
+    "shortest" undefined, and no distributed relaxation bound holds.
+
+    Scale shape (same discipline as :func:`pagerank`): the edge frame
+    is cleaned and checkpointed ONCE; each iteration is one equi-join
+    of the current frontier distances onto edges plus one skinny
+    ``min`` groupBy — linear in edges per round, no driver state. The
+    distance frame is checkpointed per round, so the lineage (and the
+    plan Catalyst must optimize) stays constant-size instead of
+    doubling per iteration.
+
+    Distances round to ``round_to`` at the END (weight sums along a
+    path are deterministic folds — each round recomputes dist+w from
+    the previous round's value — but min() across equal-length float
+    ties is only stable after the rounding quantum).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    # plan-embedded guard (the resample max_buckets precedent): a
+    # negative weight anywhere fails the job loudly instead of
+    # silently returning non-shortest "shortest" distances
+    w = F.when(
+        w < 0,
+        F.raise_error(F.concat(
+            F.lit("shortest_paths: negative edge weight "), w.cast("string")
+        )).cast("double"),
+    ).otherwise(w)
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                w.alias("w"))
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = e.select(F.col("src").alias("node")).limit(0).withColumn(
+        "dist", F.lit(0.0)
+    )
+    dist = dist.sparkSession.createDataFrame(
+        [(source, 0.0)], schema=dist.schema
+    )
+    for _ in range(int(iters)):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.round("dist", int(round_to)).alias("dist"))
+
+
+def shortest_paths_sql(
+    edges_sql: str,
+    source_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    weight: Optional[str] = None,
+    iters: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`shortest_paths` — the relaxation rounds
+    unrolled as chained CTEs (``source_sql`` is a literal, e.g. ``7``
+    or ``'u1'``)."""
+    w = f"CAST({weight} AS DOUBLE)" if weight is not None else "1.0::DOUBLE"
+    ctes = [
+        f"__e AS (SELECT {src} AS src, {dst} AS dst, min({w}) AS w "
+        f"FROM ({edges_sql}) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL "
+        f"GROUP BY 1, 2)",
+        f"__d0 AS (SELECT {source_sql} AS node, 0.0::DOUBLE AS dist)",
+    ]
+    for i in range(int(iters)):
+        ctes.append(
+            f"__d{i + 1} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM __d{i} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM __d{i} d JOIN __e e ON d.node = e.src) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(dist, {int(round_to)}) AS dist "
+          f"FROM __d{int(iters)}"
+    )

@@ -1504,3 +1504,87 @@ def test_psi_drift_matches_duckdb(spark):
     )
     want = {r[0]: tuple(r[1:]) for r in con.execute(q).fetchall()}
     assert got == want  # bit-for-bit through sketch, binning, eps, ln
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (Bellman-Ford)
+
+
+def test_shortest_paths_matches_dijkstra(spark):
+    import heapq
+    import random
+    from collections import defaultdict
+
+    from simba_spark.operators.graph import shortest_paths
+
+    random.seed(17)
+    edges = [
+        (random.randint(0, 20), random.randint(0, 20),
+         round(random.uniform(0.5, 4.0), 2))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    adj = defaultdict(list)
+    for a, b, w in edges:
+        adj[a].append((b, w))
+    dist, pq = {0: 0.0}, [(0.0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1e18):
+            continue
+        for v, w in adj[u]:
+            if d + w < dist.get(v, 1e18) - 1e-12:
+                dist[v] = d + w
+                heapq.heappush(pq, (d + w, v))
+    want = {k: round(v, 6) for k, v in dist.items()}
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, 0, weight="w", iters=21).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_shortest_paths_hop_bound_unweighted_and_guard(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.graph import shortest_paths
+
+    # chain 0->1->2->3: iters bounds the reachable frontier
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], ["src", "dst"]
+    )
+    two = {r["node"]: r["dist"]
+           for r in shortest_paths(df, 0, iters=2).collect()}
+    assert two == {0: 0.0, 1: 1.0, 2: 2.0}  # node 3 needs 3 hops
+    with _pt.raises(ValueError):
+        shortest_paths(df, 0, iters=0)
+    neg = spark.createDataFrame([(0, 1, -2.0)], ["src", "dst", "w"])
+    with _pt.raises(Exception):
+        shortest_paths(neg, 0, weight="w", iters=1).collect()
+
+
+def test_shortest_paths_matches_duckdb(spark):
+    import pytest as _pt
+    duckdb = _pt.importorskip("duckdb")
+    from simba_spark.operators.graph import (shortest_paths,
+                                             shortest_paths_sql)
+
+    df = spark.range(100).select(
+        (F.col("id") % 17).alias("src"),
+        ((F.col("id") * 5 + 1) % 19).alias("dst"),
+        ((F.col("id") % 4) + 1).cast("double").alias("w"),
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, 3, weight="w", iters=6).collect()
+    }
+    con = duckdb.connect()
+    q = shortest_paths_sql(
+        "SELECT (i % 17) AS src, (i * 5 + 1) % 19 AS dst, "
+        "CAST((i % 4) + 1 AS DOUBLE) AS w FROM range(100) r(i)",
+        "3", weight="w", iters=6,
+    )
+    want = dict(con.execute(q).fetchall())
+    assert got == want

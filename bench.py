@@ -111,6 +111,10 @@ HEADLINE = [
     "edit_dist",
     "basket_rules",
     "adamic_adar",
+    "forecast_events",
+    "robust_z",
+    "psi_drift",
+    "shortest_paths",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -131,7 +135,8 @@ _POST_R3 = {
     "quantile_bin_grouped", "personalized_pagerank", "rfm_segments",
     "rank_normalize", "chisq_events", "rollup_incremental",
     "theta_active", "hybrid_retrieval", "edit_dist", "basket_rules",
-    "adamic_adar",
+    "adamic_adar", "forecast_events", "robust_z", "psi_drift",
+    "shortest_paths",
 }
 
 GROUPS = {

@@ -17,6 +17,7 @@ from .ops import (
     streaming_pca_project,
     streaming_interval_join,
     streaming_knn_join,
+    streaming_psi,
     streaming_range_filter,
     streaming_stream_distance_join,
     streaming_stream_knn_join,
@@ -36,6 +37,7 @@ __all__ = [
     "streaming_interval_join",
     "streaming_stream_distance_join",
     "streaming_stream_knn_join",
+    "streaming_psi",
     "windowed_event_counts",
     "sessionize_stream",
 ]

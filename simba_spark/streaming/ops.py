@@ -792,3 +792,99 @@ def streaming_volume_anomaly(
         )
         .select("window", key_col, "n", F.round(z, round_to).alias("z"))
     )
+
+
+def streaming_psi(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    col: str,
+    id_col: str,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    nbins: int = 10,
+    k: int = 2048,
+    seed: int = 42,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Live feature-drift scoring: per event-time window, the PSI of
+    the stream's ``col`` distribution against a BATCH-fitted reference
+    (``operators.stats.psi_drift`` fit offline / scored online — the
+    train-vs-serve drift monitor as a stream). Emits one row per
+    (window, bin): ``(window, bin, n_cur, p_cur, p_ref, psi_term,
+    psi_total)`` — ``psi_total`` repeats the window's summed PSI on
+    every bin row so a sink can alert on it without re-aggregating.
+
+    State story: the reference cuts and bin shares are collected at
+    query start (nbins-bounded, the same frozen-baseline contract as
+    ``streaming_volume_anomaly``) and INLINED as literals, so the
+    stream side is ONE watermark-bounded stateful aggregation per
+    window whose state row holds nbins conditional counters — no
+    stream-stream join, no second stateful stage, bin assignment is a
+    zero-shuffle codegen comparison sum. Replay equivalence with the
+    batch operator is tested bin-for-bin.
+    """
+    from ..operators.stats import psi_drift
+
+    nbins = int(nbins)
+    # fit: reuse the batch operator against an empty current side so
+    # the cut/share derivation cannot drift from psi_drift's
+    fit = psi_drift(ref, ref.limit(0), col, id_col, nbins=nbins, k=k,
+                    seed=seed, eps=eps).select("bin", "p_ref").collect()
+    p_ref = {r["bin"]: r["p_ref"] for r in fit}
+    from ..operators.sketches import quantile_digest
+    qs = tuple(i / nbins for i in range(1, nbins))
+    cut_row = quantile_digest(ref, col, id_col, qs=qs, k=k,
+                              seed=seed).collect()
+    if not cut_row or any(v is None for v in cut_row[0]):
+        raise ValueError(
+            "streaming_psi: reference snapshot has no usable values to "
+            "fit bin edges from"
+        )
+    cuts = list(cut_row[0])
+    x = F.col(col).cast("double")
+    bin_expr = None
+    for c in cuts:
+        t = (x >= F.lit(float(c))).cast("int")
+        bin_expr = t if bin_expr is None else bin_expr + t
+    counters = [
+        F.sum((F.col("__bin") == i).cast("long")).alias(f"__n{i}")
+        for i in range(nbins)
+    ]
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(x.isNotNull() & ~F.isnan(x))
+        .select(F.col(ts_col), bin_expr.alias("__bin"))
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(*counters, F.count(F.lit(1)).alias("__tot"))
+    )
+    e = float(eps)
+    terms, term_exprs = [], []
+    for i in range(nbins):
+        pc = F.col(f"__n{i}").cast("double") / F.col("__tot").cast("double")
+        pcc = F.greatest(pc, F.lit(e))
+        prc = F.lit(max(p_ref[i], e))
+        term = F.round((pcc - prc) * F.log(pcc / prc), int(round_to))
+        term_exprs.append(term)
+        terms.append(
+            F.struct(
+                F.lit(i).alias("bin"),
+                F.col(f"__n{i}").alias("n_cur"),
+                pc.alias("p_cur"),
+                F.lit(p_ref[i]).alias("p_ref"),
+                term.alias("psi_term"),
+            )
+        )
+    # the window's total is a fixed-order sum of the SAME nbins term
+    # expressions, computed on the pre-explode row (window functions
+    # are not available on streaming frames — and aren't needed: every
+    # bin lives in this one aggregate row)
+    total = term_exprs[0]
+    for t in term_exprs[1:]:
+        total = total + t
+    return agg.select(
+        "window",
+        F.explode(F.array(*terms)).alias("__t"),
+        F.round(total, int(round_to)).alias("psi_total"),
+    ).select("window", "__t.*", "psi_total")

@@ -1027,3 +1027,73 @@ def test_streaming_volume_anomaly_matches_batch(spark):
         assert stream_rows[("2024-01-01T00:04:00", "click")][0] == 60
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_psi_matches_batch(spark):
+    """Streamed per-window PSI ≡ batch psi_drift of each window's rows
+    against the same offline-fitted reference — bin-for-bin, including
+    psi_total."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.stats import psi_drift
+    from simba_spark.streaming.ops import streaming_psi
+
+    d = tempfile.mkdtemp(prefix="simba_stream_psi_")
+    try:
+        ref = spark.range(2000).select(
+            F.col("id").alias("rid"),
+            ((F.col("id") * 13) % 100).cast("double").alias("v"),
+        )
+        # two 1-minute windows: minute 0 replays the reference shape,
+        # minute 1 is shifted upward (drift)
+        rows = []
+        for i in range(600):
+            rows.append((i, f"2024-01-01 00:00:{i % 60:02d}",
+                         float((i * 13) % 100)))
+        for i in range(600):
+            rows.append((1000 + i, f"2024-01-01 00:01:{i % 60:02d}",
+                         float(80 + (i % 20))))
+        rows.append((9999, "2024-01-01 09:00:00", 50.0))  # watermark push
+        df = (
+            spark.createDataFrame(rows, "rid long, ts_s string, v double")
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(
+            spark.read.parquet(d).schema
+        ).parquet(d)
+        out = streaming_psi(src, ref, "v", "rid", window="1 minute",
+                            nbins=8, k=512)
+        got = _run_stream(spark, out, "stream_psi_out")
+        stream_rows = {
+            (r["window"]["start"].isoformat(), r["bin"]):
+                (r["n_cur"], r["p_cur"], r["p_ref"], r["psi_term"],
+                 r["psi_total"])
+            for r in got.collect()
+        }
+        assert len(stream_rows) >= 16  # 2 full windows x 8 bins
+        # batch mirror per window
+        for minute in (0, 1):
+            w = f"2024-01-01T00:0{minute}:00"
+            cur = df.filter(
+                (F.col("ts") >= f"2024-01-01 00:0{minute}:00")
+                & (F.col("ts") < f"2024-01-01 00:0{minute + 1}:00")
+            )
+            batch = {
+                r["bin"]: (r["n_cur"], r["p_cur"], r["p_ref"], r["psi_term"])
+                for r in psi_drift(ref, cur, "v", "rid", nbins=8,
+                                   k=512).collect()
+            }
+            tot = round(sum(v[3] for v in batch.values()), 6)
+            for b, want in batch.items():
+                got_b = stream_rows[(w, b)]
+                assert got_b[:4] == want, (minute, b, got_b, want)
+                assert got_b[4] == tot
+        # drifted window is loud, replayed window is quiet
+        tot0 = stream_rows[("2024-01-01T00:00:00", 0)][4]
+        tot1 = stream_rows[("2024-01-01T00:01:00", 0)][4]
+        assert tot0 < 0.1 and tot1 > 0.5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -40,6 +40,7 @@ def pagerank(
     iters: int = 8,
     round_to: Optional[int] = 6,
     salt_hot_nodes: int = 0,
+    weight: Optional[str] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -47,6 +48,14 @@ def pagerank(
     destination. Ranks sum to 1. Dangling nodes (no out-edges) spread
     their rank uniformly over all nodes each iteration — the standard
     stochastic-matrix completion, so rank mass is conserved.
+
+    ``weight`` names an edge-weight column: a source then distributes
+    rank proportionally to weight (w / Σ_out w) instead of uniformly,
+    and parallel edges SUM their weights rather than deduplicating —
+    the trade-volume / link-strength prior. Weights must be positive
+    (plan-embedded guard: zero would silently strand rank on an edge,
+    negative breaks stochasticity). ``weight=None`` keeps the exact
+    unweighted program.
 
     ``iters`` is fixed (not convergence-tested) so the result is a
     well-defined deterministic function of the graph — required by the
@@ -70,11 +79,27 @@ def pagerank(
     # without this, each iteration (and each of its 2-3 references)
     # re-executes the caller's whole edge-derivation plan: measured
     # 15.6 s → 4.8 s at 600k edges × 6 iterations
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        wc = F.col(weight).cast("double")
+        wc = F.when(
+            wc <= 0,
+            F.raise_error(F.concat(
+                F.lit("pagerank: non-positive edge weight "),
+                wc.cast("string"),
+            )).cast("double"),
+        ).otherwise(wc)
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                         wc.alias("__w"))
+            .groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
+            .localCheckpoint(eager=False)
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -84,8 +109,12 @@ def pagerank(
     )
     n = nodes.count()  # the one driver scalar
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
+    if weight is None:
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    else:
+        # out-STRENGTH: rank distributes proportionally to weight
+        out_deg = e.groupBy("src").agg(F.sum("__w").alias("deg"))
     # edges pre-joined with the (static) out-degree of their source —
     # the per-iteration work is then a single skinny join on ranks
     e2 = e.join(out_deg, "src").localCheckpoint(eager=False)
@@ -101,6 +130,10 @@ def pagerank(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         joined = e2.join(ranks, e2.src == ranks.node)
+        share = (
+            F.col("rank") / F.col("deg") if weight is None
+            else F.col("rank") * F.col("__w") / F.col("deg")
+        )
         if salt_hot_nodes > 0:
             contribs = (
                 joined.groupBy(
@@ -108,13 +141,13 @@ def pagerank(
                     F.pmod(F.xxhash64("src"), F.lit(int(salt_hot_nodes)))
                     .alias("__salt"),
                 )
-                .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+                .agg(F.sum(share).alias("__c"))
                 .groupBy("dst")
                 .agg(F.sum("__c").alias("__c"))
             )
         else:
             contribs = joined.groupBy("dst").agg(
-                F.sum(F.col("rank") / F.col("deg")).alias("__c")
+                F.sum(share).alias("__c")
             )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, how="left")
@@ -146,15 +179,29 @@ def pagerank_sql(
     damping: float = 0.85,
     iters: int = 8,
     round_to: Optional[int] = 6,
+    weight: Optional[str] = None,
 ) -> str:
     """DuckDB SQL mirror of :func:`pagerank`: the fixed iteration count
     unrolled as chained CTEs (recursive CTEs disallow aggregation over
-    the recursive term, and the loop bound is static anyway)."""
+    the recursive term, and the loop bound is static anyway).
+    ``weight`` mirrors the operator's weighted mode (parallel edges
+    sum, shares proportional to weight)."""
+    if weight is None:
+        e_cte = (f"WITH __e AS (SELECT DISTINCT {src} AS src, "
+                 f"{dst} AS dst FROM {edges_sql})")
+        deg_cte = "__deg AS (SELECT src, count(*) AS deg FROM __e GROUP BY src)"
+        share = "r.rank / d.deg"
+    else:
+        e_cte = (f"WITH __e AS (SELECT {src} AS src, {dst} AS dst, "
+                 f"sum(CAST({weight} AS DOUBLE)) AS __w FROM {edges_sql} "
+                 f"GROUP BY 1, 2)")
+        deg_cte = "__deg AS (SELECT src, sum(__w) AS deg FROM __e GROUP BY src)"
+        share = "r.rank * e.__w / d.deg"
     parts = [
-        f"WITH __e AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {edges_sql})",
+        e_cte,
         "__nodes AS (SELECT src AS node FROM __e UNION SELECT dst FROM __e)",
         "__n AS (SELECT count(*) AS n FROM __nodes)",
-        "__deg AS (SELECT src, count(*) AS deg FROM __e GROUP BY src)",
+        deg_cte,
         "__r0 AS (SELECT node, 1.0 / (SELECT n FROM __n) AS rank FROM __nodes)",
     ]
     for i in range(int(iters)):
@@ -171,7 +218,7 @@ def pagerank_sql(
            ) AS rank
   FROM __nodes nn
   LEFT JOIN (
-    SELECT e.dst, sum(r.rank / d.deg) AS __c
+    SELECT e.dst, sum({share}) AS __c
     FROM __e e
     JOIN {prev} r ON e.src = r.node
     JOIN __deg d ON e.src = d.src

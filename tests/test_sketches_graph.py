@@ -1588,3 +1588,67 @@ def test_shortest_paths_matches_duckdb(spark):
     )
     want = dict(con.execute(q).fetchall())
     assert got == want
+
+
+def _pagerank_weighted_py(edges, damping=0.85, iters=6):
+    """Pure-python weighted reference: parallel edges sum, shares
+    proportional to weight, dangling mass spread uniformly."""
+    from collections import defaultdict
+    w = defaultdict(float)
+    for s, d, x in edges:
+        w[(s, d)] += x
+    out = defaultdict(float)
+    for (s, _), x in w.items():
+        out[s] += x
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        nxt = {v: (1 - damping) / n + damping * dangling / n for v in nodes}
+        for (s, d), x in w.items():
+            nxt[d] += damping * rank[s] * x / out[s]
+        rank = nxt
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+def test_pagerank_weighted_matches_reference_and_duckdb(spark):
+    import random
+
+    from simba_spark.operators.graph import pagerank, pagerank_sql
+
+    random.seed(23)
+    edges = [(random.randint(0, 15), random.randint(0, 15),
+              float(random.randint(1, 5))) for _ in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iters=6, weight="w").collect()}
+    want = _pagerank_weighted_py(edges, iters=6)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src INT, dst INT, w DOUBLE)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", edges)
+    sql = pagerank_sql("e", iters=6, weight="w")
+    want2 = dict(con.execute(sql).fetchall())
+    assert got == want2
+
+
+def test_pagerank_weight_one_equals_unweighted_and_guard(spark):
+    from simba_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dfw = df.withColumn("w", F.lit(1.0))
+    a = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(dfw, iters=5, weight="w").collect()}
+    assert a == b  # unit weights reproduce the uniform split exactly
+
+    bad = spark.createDataFrame([(1, 2, 0.0)], ["src", "dst", "w"])
+    with pytest.raises(Exception):
+        pagerank(bad, iters=1, weight="w").collect()

@@ -701,8 +701,20 @@ def adamic_adar(
             und.select(F.col("a").alias("u"), F.col("b").alias("w")),
             ["u", "w"], "left_anti",
         )
+    # neighborhood Jaccard = |N(u)∩N(v)| / |N(u)∪N(v)| — the
+    # degree-normalized companion score (two skinny degree joins).
+    # NOTE: under max_degree the numerator counts only sub-cap common
+    # neighbors while degrees stay full, so jaccard lower-bounds the
+    # exact coefficient — consistent with aa_score's truncation story.
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("__du"))
+    dv = deg.select(F.col("v").alias("w"), F.col("d").alias("__dv"))
+    out = out.join(du, "u").join(dv, "w")
+    jac = F.col("common_neighbors").cast("double") / (
+        F.col("__du") + F.col("__dv") - F.col("common_neighbors")
+    ).cast("double")
     return out.select(
-        F.col("u"), F.col("w").alias("v"), "common_neighbors", "aa_score"
+        F.col("u"), F.col("w").alias("v"), "common_neighbors", "aa_score",
+        jac.alias("jaccard"),
     )
 
 
@@ -743,13 +755,18 @@ __pairs AS (
   SELECT n1.n AS u, n2.n AS w, n1.d
   FROM __ctr n1 JOIN __ctr n2 ON n1.v = n2.v AND n1.n < n2.n
 )
-SELECT u, w AS v, common_neighbors, aa_score FROM (
+SELECT u, w AS v, common_neighbors, aa_score,
+       CAST(common_neighbors AS DOUBLE)
+         / CAST(du.d + dv.d - common_neighbors AS DOUBLE) AS jaccard
+FROM (
   SELECT p.u, p.w, count(*) AS common_neighbors,
          round(sum(1.0::DOUBLE / ln(CAST(p.d AS DOUBLE))),
                {int(round_to)}) AS aa_score
   FROM __pairs p
   GROUP BY p.u, p.w
 ) p
+JOIN __deg du ON p.u = du.v
+JOIN __deg dv ON p.w = dv.v
 WHERE common_neighbors >= {int(min_common)} {anti}
 """
 

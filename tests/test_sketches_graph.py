@@ -1652,3 +1652,17 @@ def test_pagerank_weight_one_equals_unweighted_and_guard(spark):
     bad = spark.createDataFrame([(1, 2, 0.0)], ["src", "dst", "w"])
     with pytest.raises(Exception):
         pagerank(bad, iters=1, weight="w").collect()
+
+
+def test_adamic_adar_jaccard_column(spark):
+    from simba_spark.operators.graph import adamic_adar
+
+    # square 0-1-2-3-0: each pair of opposite corners shares 2 common
+    # neighbors, each node has degree 2 -> jaccard = 2/(2+2-2) = 1.0
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    out = {(r["u"], r["v"]): (r["common_neighbors"], r["jaccard"])
+           for r in adamic_adar(df).collect()}
+    assert out[(0, 2)] == (2, 1.0)
+    assert out[(1, 3)] == (2, 1.0)

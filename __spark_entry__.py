@@ -2625,6 +2625,16 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(docs, ["hash", "join", "spark"], k=25)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators.graph.hits) over the trade
+    graph, 4 rounds, L1-normalized (no libm sqrt — oracle-exact).
+    Per round: two skinny join+groupBy passes + two 1-row normalizer
+    broadcasts; score frames checkpoint so lineage stays flat."""
+    from simba_spark.operators.graph import hits
+
+    return hits(_trade_edges(spark, sf_dir), iters=4)
+
+
 def q_shortest_paths(spark, sf_dir):
     """Weighted SSSP (operators.graph.shortest_paths): Bellman–Ford
     distances from customer 1 over the trade graph with deterministic
@@ -3185,6 +3195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_z": q_robust_z,
         "psi_drift": q_psi_drift,
         "shortest_paths": q_shortest_paths,
+        "hits": q_hits,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -3876,7 +3887,8 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.dedup import (edit_distance_pairs_sql,
                                              linkage_score_sql,
                                              semantic_dedup_sql)
-    from simba_spark.operators.graph import (adamic_adar_sql, pagerank_sql,
+    from simba_spark.operators.graph import (adamic_adar_sql, hits_sql,
+                                             pagerank_sql,
                                              shortest_paths_sql,
                                              triangle_count_sql)
     from simba_spark.operators.pipeline import (quantile_bin_sql,
@@ -4317,6 +4329,7 @@ def oracle_sql() -> dict[str, str]:
             ["event_id", "event_type", "value"],
             group_exprs=["event_type"], threshold=3.5,
         ),
+        "hits": hits_sql(f"SELECT * FROM {pr_edges}", iters=4),
         "shortest_paths": shortest_paths_sql(
             f"SELECT src, dst, CAST(dst % 7 + 1 AS DOUBLE) AS w "
             f"FROM {pr_edges}",

@@ -878,3 +878,138 @@ def shortest_paths_sql(
         + f"\nSELECT node, round(dist, {int(round_to)}) AS dist "
           f"FROM __d{int(iters)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs and authorities)
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg): per round, authority(v) =
+    Σ_{u→v} hub(u) and hub(u) = Σ_{u→v} authority(v), each L1-normalized
+    (sum = 1; the usual L2 norm needs a sqrt whose libm rounding
+    differs across engines — L1 keeps the SQL oracle exact and the
+    ranking identical). Returns ``(node, hub, authority)`` for every
+    endpoint; nodes with no out-edges get hub 0, no in-edges authority
+    0. Complements :func:`pagerank`: authorities are good *content*,
+    hubs are good *link pages* — the directed-graph curation pair.
+
+    Scale shape (pagerank discipline): edge frame deduped and
+    checkpointed once; each iteration is two skinny equi-join +
+    groupBy passes plus two 1-row normalizer broadcasts; score frames
+    checkpoint per round so lineage stays flat.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    for _ in range(int(iters)):
+        raw_a = (
+            e.join(hub, e.src == hub.node)
+            .groupBy("dst").agg(F.sum("hub").alias("__a"))
+        )
+        na = raw_a.agg(F.sum("__a").alias("__na"))
+        auth = (
+            nodes.join(raw_a, nodes.node == raw_a.dst, "left")
+            .crossJoin(F.broadcast(na))
+            .select(
+                "node",
+                (F.coalesce(F.col("__a"), F.lit(0.0)) / F.col("__na"))
+                .alias("authority"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        raw_h = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy("src").agg(F.sum("authority").alias("__h"))
+        )
+        nh = raw_h.agg(F.sum("__h").alias("__nh"))
+        hub = (
+            nodes.join(raw_h, nodes.node == raw_h.src, "left")
+            .crossJoin(F.broadcast(nh))
+            .select(
+                "node",
+                (F.coalesce(F.col("__h"), F.lit(0.0)) / F.col("__nh"))
+                .alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = hub.join(auth, "node")
+    if round_to is not None:
+        out = out.select(
+            "node",
+            F.round("hub", int(round_to)).alias("hub"),
+            F.round("authority", int(round_to)).alias("authority"),
+        )
+    return out.select("node", "hub", "authority")
+
+
+def hits_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    round_to: Optional[int] = 6,
+) -> str:
+    """DuckDB mirror of :func:`hits` — iterations unrolled as chained
+    CTEs with the same L1 normalization."""
+    parts = [
+        f"WITH __e AS (SELECT DISTINCT {src} AS src, {dst} AS dst "
+        f"FROM ({edges_sql}) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL "
+        f"AND {src} != {dst})",
+        "__nodes AS (SELECT src AS node FROM __e UNION SELECT dst FROM __e)",
+        "__h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM __nodes)",
+    ]
+    for i in range(int(iters)):
+        ph, ca, ch = f"__h{i}", f"__a{i + 1}", f"__h{i + 1}"
+        parts.append(
+            f"""{ca} AS (
+  SELECT nn.node,
+         COALESCE(r.__a, 0.0) / (SELECT sum(__a) FROM (
+            SELECT e.dst, sum(h.hub) AS __a FROM __e e
+            JOIN {ph} h ON e.src = h.node GROUP BY e.dst)) AS authority
+  FROM __nodes nn LEFT JOIN (
+    SELECT e.dst, sum(h.hub) AS __a FROM __e e
+    JOIN {ph} h ON e.src = h.node GROUP BY e.dst
+  ) r ON nn.node = r.dst
+)"""
+        )
+        parts.append(
+            f"""{ch} AS (
+  SELECT nn.node,
+         COALESCE(r.__h, 0.0) / (SELECT sum(__h) FROM (
+            SELECT e.src, sum(a.authority) AS __h FROM __e e
+            JOIN {ca} a ON e.dst = a.node GROUP BY e.src)) AS hub
+  FROM __nodes nn LEFT JOIN (
+    SELECT e.src, sum(a.authority) AS __h FROM __e e
+    JOIN {ca} a ON e.dst = a.node GROUP BY e.src
+  ) r ON nn.node = r.src
+)"""
+        )
+    h, a = f"__h{int(iters)}", f"__a{int(iters)}"
+    hub_e = f"round(h.hub, {int(round_to)})" if round_to is not None else "h.hub"
+    aut_e = (f"round(a.authority, {int(round_to)})"
+             if round_to is not None else "a.authority")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, {hub_e} AS hub, {aut_e} AS authority "
+          f"FROM {h} h JOIN {a} a ON h.node = a.node"
+    )

@@ -1666,3 +1666,69 @@ def test_adamic_adar_jaccard_column(spark):
            for r in adamic_adar(df).collect()}
     assert out[(0, 2)] == (2, 1.0)
     assert out[(1, 3)] == (2, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs and authorities)
+
+
+def _hits_py(edges, iters=8):
+    und = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in und} | {d for _, d in und})
+    hub = {v: 1.0 for v in nodes}
+    auth = {}
+    for _ in range(iters):
+        auth = {v: 0.0 for v in nodes}
+        for s, d in und:
+            auth[d] += hub[s]
+        na = sum(auth.values())
+        auth = {v: a / na for v, a in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for s, d in und:
+            hub[s] += auth[d]
+        nh = sum(hub.values())
+        hub = {v: h / nh for v, h in hub.items()}
+    return ({v: round(h, 6) for v, h in hub.items()},
+            {v: round(a, 6) for v, a in auth.items()})
+
+
+def test_hits_matches_reference_and_duckdb(spark):
+    import random
+
+    from simba_spark.operators.graph import hits, hits_sql
+
+    random.seed(29)
+    edges = list({(random.randint(0, 14), random.randint(0, 14))
+                  for _ in range(50)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, iters=6).collect()}
+    wh, wa = _hits_py(edges, iters=6)
+    assert set(got) == set(wh)
+    for v in wh:
+        assert got[v][0] == pytest.approx(wh[v], abs=2e-6)
+        assert got[v][1] == pytest.approx(wa[v], abs=2e-6)
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src INT, dst INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    want = {r[0]: (r[1], r[2])
+            for r in con.execute(hits_sql("SELECT * FROM e",
+                                          iters=6)).fetchall()}
+    assert got == want
+
+
+def test_hits_star_structure_and_guard(spark):
+    from simba_spark.operators.graph import hits
+
+    # pages 1..4 all link to 0: node 0 is the authority, 1..4 equal hubs
+    df = spark.createDataFrame([(i, 0) for i in range(1, 5)],
+                               "src long, dst long")
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, iters=4).collect()}
+    assert out[0] == (0.0, 1.0)
+    for i in range(1, 5):
+        assert out[i] == (0.25, 0.0)
+    with pytest.raises(ValueError):
+        hits(df, iters=0)

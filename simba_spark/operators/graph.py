@@ -1013,3 +1013,107 @@ def hits_sql(
         + f"\nSELECT h.node, {hub_e} AS hub, {aut_e} AS authority "
           f"FROM {h} h JOIN {a} a ON h.node = a.node"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    iters: int = 8,
+) -> DataFrame:
+    """k-core of the undirected graph: iteratively peel nodes of
+    degree < k; what survives is the maximal subgraph where every node
+    keeps >= k neighbors. Returns (node, deg) — surviving nodes with
+    their within-core degree. The standard dense-cluster / spam-farm /
+    graph-summarization primitive.
+
+    ``iters`` peeling rounds are fixed (not convergence-tested) so the
+    result is a pure function of the graph — the SQL-oracle contract
+    shared with :func:`pagerank` / :func:`label_propagation`. Peeling
+    removes at least one node per non-converged round, and in practice
+    converges in a handful of rounds (cascades shorten each round);
+    once a round removes nothing the remaining rounds are no-ops, so
+    any ``iters`` >= the peel depth yields the exact fixpoint
+    (fixpoint-reached is asserted for the registered query's config in
+    tests).
+
+    Scale: per round ONE skinny degree aggregate (groupBy endpoint —
+    combine-friendly, symmetric edges so out-rows per partition are
+    bounded by distinct nodes) + two left-semi joins restricting the
+    edge list to surviving endpoints, all shuffling on the node id so
+    AQE reuses the exchange; the edge frame is localCheckpoint'd each
+    round to truncate lineage. No driver state — the loop never calls
+    an action.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(iters)):
+        alive = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= int(k))
+            .select("a")
+        )
+        und = (
+            und.join(alive, on="a", how="left_semi")
+            .join(alive.select(F.col("a").alias("b")), on="b",
+                  how="left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def k_core_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    iters: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`k_core` — the same symmetrization and
+    fixed peeling rounds unrolled as chained CTEs."""
+    parts = [
+        f"""__e AS (
+  SELECT {src} AS a, {dst} AS b FROM {edges_sql} WHERE {src} <> {dst}
+)""",
+        """__u0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (SELECT a, b FROM __e UNION ALL SELECT b, a FROM __e)
+)""",
+    ]
+    # each level references its predecessor 3x (degree agg + both
+    # endpoint joins) — DuckDB would inline the chain into a 3^iters
+    # plan without MATERIALIZED (measured: hangs at 6 rounds)
+    for i in range(int(iters)):
+        parts.append(
+            f"""__a{i} AS MATERIALIZED (
+  SELECT a FROM __u{i} GROUP BY a HAVING count(*) >= {int(k)}
+)"""
+        )
+        parts.append(
+            f"""__u{i + 1} AS MATERIALIZED (
+  SELECT u.a, u.b FROM __u{i} u
+  JOIN __a{i} x ON u.a = x.a
+  JOIN __a{i} y ON u.b = y.a
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a AS node, count(*)::BIGINT AS deg"
+          f" FROM __u{int(iters)} GROUP BY a"
+    )

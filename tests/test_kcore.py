@@ -1,0 +1,62 @@
+"""k-core peeling: hand graph, fixpoint, SQL-mirror equivalence."""
+
+import duckdb
+import pytest
+
+
+def _kc(spark, rows, k, iters=6):
+    from simba_spark.operators.graph import k_core
+
+    e = spark.createDataFrame(rows, "src long, dst long")
+    return {(r["node"], r["deg"]) for r in k_core(e, k=k,
+                                                  iters=iters).collect()}
+
+
+def test_hand_graph_peels_tail(spark):
+    # triangle 1-2-3 plus a pendant chain 3-4-5: the 2-core is the
+    # triangle alone — peeling 5 first cascades into removing 4.
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _kc(spark, rows, k=2) == {(1, 2), (2, 2), (3, 2)}
+    # k=1 keeps everything (every node has an edge)
+    assert _kc(spark, rows, k=1) == {
+        (1, 2), (2, 2), (3, 3), (4, 2), (5, 1)}
+    # k=3 empties the graph
+    assert _kc(spark, rows, k=3) == set()
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    rows = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (1, 3)]
+    assert _kc(spark, rows, k=2) == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_fixpoint_reached_at_query_config(spark):
+    """The registered query runs k=10/iters=6 on the trade graph;
+    one extra round must change nothing (exact-fixpoint contract)."""
+    import __spark_entry__ as entry
+    from simba_spark.operators.graph import k_core
+
+    edges = entry._trade_edges(spark, "/root/testdata/sf0.001")
+    a = {tuple(r) for r in k_core(edges, k=10, iters=6).collect()}
+    b = {tuple(r) for r in k_core(edges, k=10, iters=7).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sql_mirror_matches(spark):
+    from simba_spark.operators.graph import k_core_sql
+
+    rows = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 4)]
+    got = _kc(spark, rows, k=2, iters=5)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    want = {tuple(r) for r in
+            con.sql(k_core_sql("e", k=2, iters=5)).fetchall()}
+    assert got == want
+
+
+def test_k_validation(spark):
+    from simba_spark.operators.graph import k_core
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_core(e, k=0)

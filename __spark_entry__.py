@@ -1884,6 +1884,25 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN at the exact-by-construction
+    configuration (shortlist=None re-ranks EVERY row with exact
+    cosine), so the brute-force SQL is a true oracle for the whole
+    train → encode → ADC-score → re-rank plumbing — the same trick as
+    the full-probe IVF row. The approximate configuration (code-only
+    scan, bounded shortlist; recall 1.0 at nbits=8/shortlist=50 on
+    this table) is asserted in tests/test_pq.py."""
+    from simba_spark.operators.pq import pq_topk, pq_train
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    model = pq_train(embs, m=8, nbits=4, sample_cap=512, iters=5,
+                     seed=42)
+    out = pq_topk(embs, model, qvec, 10)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
 def q_term_stats(spark, sf_dir):
     """Corpus vocabulary stats: top-30 terms by document frequency
     (IDF/stopword-list input; explode + one combine-friendly groupBy)."""
@@ -2804,6 +2823,20 @@ def q_label_prop(spark, sf_dir):
     return label_propagation(_trade_edges(spark, sf_dir), iters=4)
 
 
+def q_k_core(spark, sf_dir):
+    """k-core peeling (operators.graph.k_core): the maximal subgraph
+    of the undirected trade graph where every node keeps >= 10
+    neighbors, with within-core degrees. 6 fixed peeling rounds
+    (fixpoint by round 5 on this graph — asserted in tests); per round
+    one skinny degree aggregate + two left-semi joins, edge frame
+    localCheckpoint'd. Oracle: the same rounds unrolled as
+    MATERIALIZED CTEs (each level is referenced 3x — inlining would
+    be a 3^rounds plan)."""
+    from simba_spark.operators.graph import k_core
+
+    return k_core(_trade_edges(spark, sf_dir), k=10, iters=6)
+
+
 def q_k_hop(spark, sf_dir):
     """k-hop BFS (operators.graph.k_hop): exact shortest hop-distance
     (0..3) from the customers whose key is a multiple of 100, over the
@@ -3168,6 +3201,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 late debuts: locally oracle-green, queued for
         #     round-7 driver rows (the round-6 window is full of
         #     earlier debuts still earning their greens) ---
+        "pq_topk": q_pq_topk,
+        "k_core": q_k_core,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "volume_anomaly": q_volume_anomaly,
@@ -3933,7 +3968,8 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.timeseries import (
         forecast_seasonal_naive_sql, rollup_sql)
 
-    from simba_spark.operators.graph import (k_hop_sql, label_propagation_sql,
+    from simba_spark.operators.graph import (k_core_sql, k_hop_sql,
+                                             label_propagation_sql,
                                              personalized_pagerank_sql)
     from simba_spark.operators.stats import (psi_drift_sql, robust_zscore_sql,
                                              skew_report_sql)
@@ -3985,6 +4021,7 @@ def oracle_sql() -> dict[str, str]:
             + "\nFROM events GROUP BY 1"
         ),
         "label_prop": label_propagation_sql(pr_edges, iters=4),
+        "k_core": k_core_sql(pr_edges, k=10, iters=6),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",
@@ -5576,6 +5613,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full-probe IVF visits every inverted list => exact: the
         # brute-force ranking is a true oracle for the layout machinery
+        "pq_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
         "embedding_ivf_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
             SELECT e.vec_id,

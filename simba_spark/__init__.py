@@ -48,7 +48,8 @@ from .operators.analytics import (
 )
 from .operators.clustering import kmeans
 from .operators.dedup import edit_distance_pairs, linkage_score
-from .operators.graph import (adamic_adar, k_hop, label_propagation, pagerank,
+from .operators.graph import (adamic_adar, k_core, k_hop,
+                              label_propagation, pagerank,
                               personalized_pagerank, shortest_paths,
                               triangle_count)
 from .operators.text import bm25_topk, phrase_search
@@ -82,6 +83,8 @@ from .operators.sketches import (
 )
 from .operators.retrieval import rrf_fuse
 from .operators.similarity import ann_topk
+from .operators.pq import (build_pq_layout, load_pq_layout, pq_encode,
+                           pq_topk, pq_topk_layout, pq_train)
 from .operators.pca import fit_pca, pca_project
 from .operators.pipeline import rank_normalize
 from .operators.timeseries import (forecast_seasonal_naive, rollup_finalize,
@@ -121,8 +124,11 @@ __all__ = [
     "cm_sketch", "cm_merge", "cm_estimate", "cm_join_size",
     "theta_sketch", "theta_merge", "theta_estimate", "theta_intersect",
     "ann_topk", "rrf_fuse",
+    "pq_train", "pq_encode", "pq_topk", "pq_topk_layout",
+    "build_pq_layout", "load_pq_layout",
     "pagerank", "personalized_pagerank", "triangle_count",
-    "label_propagation", "k_hop", "adamic_adar", "shortest_paths",
+    "label_propagation", "k_hop", "k_core", "adamic_adar",
+    "shortest_paths",
     "histogram_fixed", "heavy_hitters",
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize", "robust_zscore", "psi_drift",

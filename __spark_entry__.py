@@ -2921,6 +2921,91 @@ def q_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+def q_acf_events(spark, sf_dir):
+    """Per-type autocorrelation (operators.timeseries.acf) of the
+    hourly event-count series at lags 1..6 — the seasonality
+    diagnostic feeding forecast_seasonal_naive's lag choice. Count
+    series make every moment sum an exact integer, so the Pearson
+    fold is bit-identical across engines. One lag-explode + one
+    (key, bucket) equi-join + one combine-friendly moment aggregate."""
+    from simba_spark.operators.timeseries import acf
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 3600000000"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return acf(series, "event_type", lags=6)
+
+
+def q_cusum_events(spark, sf_dir):
+    """Two-sided CUSUM change-point scores (operators.timeseries.
+    cusum) over the same hourly per-type count series as acf_events.
+    The textbook max(0, S+z-slack) recursion unrolled exactly as
+    prefix-sum minus running-min — two windows partitioned by key, no
+    recursion, no driver state."""
+    from simba_spark.operators.timeseries import cusum
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 3600000000"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return cusum(series, "event_type", slack=0.5, threshold=4.0)
+
+
+def q_ks_value(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test (operators.stats.ks_test):
+    does the `value` distribution differ between click and purchase
+    events? Exact integer CDFs over distinct values via TWO two-phase
+    running_total passes (never a single-partition window); D and the
+    asymptotic p in one final row."""
+    from simba_spark.operators.stats import ks_test
+
+    return ks_test(_t(spark, sf_dir, "events"), "value", "event_type",
+                   "click", "purchase")
+
+
+def q_welch_value(spark, sf_dir):
+    """Welch's unequal-variance t statistic (operators.stats.
+    welch_ttest) for the click-vs-purchase `value` mean shift — ONE
+    six-sum aggregate pass, 1 row out, Welch–Satterthwaite df."""
+    from simba_spark.operators.stats import welch_ttest
+
+    return welch_ttest(_t(spark, sf_dir, "events"), "value",
+                       "event_type", "click", "purchase")
+
+
+def q_mi_docs(spark, sf_dir):
+    """Mutual information between document source and language
+    (operators.stats.mutual_information): one joint groupBy + two
+    marginal re-aggregations of the joint frame, MI/H_a/H_b/NMI in
+    one row. The feature-redundancy screen chi-square can't give."""
+    from simba_spark.operators.stats import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"),
+                              "source", "lang")
+
+
+def q_top_paths(spark, sf_dir):
+    """Top-20 user journeys (operators.analytics.top_paths): each
+    user's first 5 events joined into an 'a>b>c' path, counted across
+    users. The row_number cap runs BEFORE any collection so per-user
+    state is parameter-bounded; final count is a skinny groupBy(path)
+    + TakeOrderedAndProject."""
+    from simba_spark.operators.analytics import top_paths
+
+    return top_paths(_t(spark, sf_dir, "events"), max_len=5, k=20)
+
+
 def q_linkage(spark, sf_dir):
     """Fellegi–Sunter record-linkage scoring (operators.dedup.
     linkage_score) composed with sorted-neighborhood blocking
@@ -3214,6 +3299,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "attribution": q_attribution,
         "transition_matrix": q_transition_matrix,
+        "top_paths": q_top_paths,
+        "acf_events": q_acf_events,
+        "cusum_events": q_cusum_events,
+        "ks_value": q_ks_value,
+        "welch_value": q_welch_value,
+        "mi_docs": q_mi_docs,
         "linkage": q_linkage,
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "personalized_pagerank": q_personalized_pagerank,
@@ -3961,18 +4052,22 @@ def oracle_sql() -> dict[str, str]:
 
     from simba_spark.operators.analytics import (
         attribution_sql, basket_rules_sql, cohort_retention_sql, funnel_sql,
-        transition_matrix_sql, volume_anomaly_sql,
+        top_paths_sql, transition_matrix_sql, volume_anomaly_sql,
     )
     from simba_spark.operators.retrieval import rrf_fuse_sql
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
     from simba_spark.operators.timeseries import (
-        forecast_seasonal_naive_sql, rollup_sql)
+        acf_sql, cusum_sql, forecast_seasonal_naive_sql, rollup_sql)
 
     from simba_spark.operators.graph import (k_core_sql, k_hop_sql,
                                              label_propagation_sql,
                                              personalized_pagerank_sql)
-    from simba_spark.operators.stats import (psi_drift_sql, robust_zscore_sql,
-                                             skew_report_sql)
+    from simba_spark.operators.stats import (ks_test_sql,
+                                             mutual_information_sql,
+                                             psi_drift_sql,
+                                             robust_zscore_sql,
+                                             skew_report_sql,
+                                             welch_ttest_sql)
 
     return {
         "skew_report": skew_report_sql(
@@ -4040,6 +4135,20 @@ def oracle_sql() -> dict[str, str]:
             "events", model="linear", lookback_seconds=21600
         ),
         "transition_matrix": transition_matrix_sql("events"),
+        "top_paths": top_paths_sql("events", max_len=5, k=20),
+        "acf_events": acf_sql(
+            "(SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
+            " count(*) AS x FROM events GROUP BY 1, 2)",
+            key_col="event_type", lags=6),
+        "cusum_events": cusum_sql(
+            "(SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
+            " count(*) AS x FROM events GROUP BY 1, 2)",
+            key_col="event_type", slack=0.5, threshold=4.0),
+        "ks_value": ks_test_sql("events", "value", "event_type",
+                                "click", "purchase"),
+        "welch_value": welch_ttest_sql("events", "value", "event_type",
+                                       "click", "purchase"),
+        "mi_docs": mutual_information_sql("documents", "source", "lang"),
         "linkage": linkage_score_sql(
             """(
               WITH __r AS (

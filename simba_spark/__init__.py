@@ -38,6 +38,7 @@ from .operators.polygon import (
     polygon_range,
 )
 from .operators.analytics import (
+    top_paths,
     attribution,
     basket_rules,
     cohort_retention,
@@ -87,11 +88,13 @@ from .operators.pq import (build_pq_layout, load_pq_layout, pq_encode,
                            pq_topk, pq_topk_layout, pq_train)
 from .operators.pca import fit_pca, pca_project
 from .operators.pipeline import rank_normalize
-from .operators.timeseries import (forecast_seasonal_naive, rollup_finalize,
-                                    rollup_merge, rollup_state)
+from .operators.timeseries import (acf, cusum, forecast_seasonal_naive,
+                                    rollup_finalize, rollup_merge,
+                                    rollup_state)
 from .operators.stats import (chisq_independence, corr_matrix, cov_matrix,
-                              heavy_hitters, histogram_fixed, psi_drift,
-                              robust_zscore, skew_report)
+                              heavy_hitters, histogram_fixed, ks_test,
+                              mutual_information, psi_drift, robust_zscore,
+                              skew_report, welch_ttest)
 from .partitioners import (
     assign_partitions,
     hash_partition,
@@ -133,7 +136,8 @@ __all__ = [
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize", "robust_zscore", "psi_drift",
     "rollup_state", "rollup_merge", "rollup_finalize",
-    "forecast_seasonal_naive",
+    "forecast_seasonal_naive", "acf", "cusum",
+    "ks_test", "welch_ttest", "mutual_information", "top_paths",
     "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
     "attribution", "transition_matrix", "basket_rules",

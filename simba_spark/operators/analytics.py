@@ -690,3 +690,95 @@ WHERE CAST(n_ab AS DOUBLE) / CAST(__n AS DOUBLE) >= {ms!r}::DOUBLE
   AND (CAST(n_ab AS DOUBLE) / CAST(na.__ni AS DOUBLE) >= {mc!r}::DOUBLE
        OR CAST(n_ab AS DOUBLE) / CAST(nb.__ni AS DOUBLE) >= {mc!r}::DOUBLE)
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-k user paths (sequence mining)
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    id_col: Optional[str] = "event_id",
+    max_len: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Most common user journeys: each user's first ``max_len`` events
+    (ordered by timestamp, ties broken by ``id_col``) joined into a
+    ``'a>b>c'`` path string, counted across users, top ``k`` paths by
+    user count (ties broken by path asc). The classic navigation /
+    onboarding-flow mining query.
+
+    Returns ``(path, n_users)``.
+
+    Scale: a row_number window partitioned on the user key (each
+    user's history sorts within its partition — no global sort)
+    filters to at most ``max_len`` rows per user BEFORE any
+    collection, so per-group state is parameter-bounded even for
+    million-event power users; the path build is one combine-friendly
+    groupBy(user) over those capped rows, and the final count is a
+    skinny groupBy(path) + TakeOrderedAndProject (k rows to the
+    driver).
+    """
+    from pyspark.sql import Window
+
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    order = [F.col(ts_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    capped = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_len))
+    )
+    paths = capped.groupBy(F.col(user_col)).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__rn"),
+                                 F.col(step_col).alias("__s"))
+                    )
+                ),
+                lambda x: x["__s"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(int(k))
+    )
+
+
+def top_paths_sql(
+    from_sql: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    id_col: Optional[str] = "event_id",
+    max_len: int = 5,
+    k: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`top_paths` (same ordering, cap, and
+    deterministic top-k tie-break)."""
+    order = f"{ts_col} ASC" + (f", {id_col} ASC" if id_col else "")
+    return f"""
+WITH __r AS (
+  SELECT {user_col} AS u, {step_col} AS s,
+         row_number() OVER (PARTITION BY {user_col} ORDER BY {order}) AS rn
+  FROM {from_sql}
+), __p AS (
+  SELECT u, string_agg(s, '>' ORDER BY rn) AS path
+  FROM __r WHERE rn <= {int(max_len)} GROUP BY u
+)
+SELECT path, count(*) AS n_users
+FROM __p GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {int(k)}
+"""

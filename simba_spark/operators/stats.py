@@ -791,3 +791,361 @@ SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
              {int(round_to)}) AS psi_term
 FROM __j
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-sample tests (KS, Welch t) and categorical mutual information
+
+
+def ks_test(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the ``group_a`` and
+    ``group_b`` slices of ``val_col``: D = max |F_a(v) - F_b(v)| over
+    the pooled distinct values, plus the asymptotic one-term p-value
+    ``p = min(1, 2 exp(-2 D^2 n_a n_b / (n_a + n_b)))``. The
+    distribution-shift gate (A/B splits, snapshot drift) when
+    :func:`psi_drift`'s fixed binning is too coarse.
+
+    Returns one row ``(d_stat, p_value, n_a, n_b)``; D is NULL when
+    either group is empty.
+
+    Determinism: both CDFs are exact integer cumulative counts over
+    the distinct-value order, so D is a max over exact-operand
+    divisions — bit-identical in any engine.
+
+    Scale: NaN/NULLs drop, one combine-friendly groupBy(value) with
+    per-group counts (rows = distinct metric values, not input rows),
+    then TWO two-phase cumulative sums via
+    :func:`.pipeline.running_total` — range repartition +
+    per-partition sums + broadcast offsets, never a single-partition
+    window — a 1-row broadcast of the totals, and a 1-row final
+    aggregate. For a continuous metric with ~row-cardinality distinct
+    values, quantize first (e.g. ``F.round(x, 3)``) to bound the
+    distinct frame.
+    """
+    from .pipeline import running_total
+
+    x = F.col(val_col).cast("double")
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & x.isNotNull() & ~F.isnan(x)
+    )
+    vals = filt.groupBy(x.alias("__v")).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .alias("__cb"),
+    )
+    c = running_total(
+        running_total(vals, "__v", "__ca", "__cua"),
+        "__v", "__cb", "__cub",
+    )
+    tot = vals.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).alias("__na"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).alias("__nb"),
+    )
+    gap = F.abs(
+        F.col("__cua") / F.col("__na") - F.col("__cub") / F.col("__nb")
+    )
+    res = c.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.when((F.col("__na") > 0) & (F.col("__nb") > 0), gap))
+        .alias("__d"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    ne = (
+        F.col("n_a").cast("double") * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("__d") * F.col("__d") * ne),
+    )
+    return res.select(
+        F.round("__d", int(round_to)).alias("d_stat"),
+        F.round(p, int(round_to)).alias("p_value"),
+        "n_a",
+        "n_b",
+    )
+
+
+def ks_test_sql(
+    from_sql: str,
+    val_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`ks_test` (string-typed groups; quote
+    group literals accordingly)."""
+    r = int(round_to)
+    return f"""
+WITH __f AS (
+  SELECT CAST({val_col} AS DOUBLE) AS v, {group_col} AS g
+  FROM {from_sql}
+  WHERE {group_col} IN ({group_a!r}, {group_b!r})
+    AND {val_col} IS NOT NULL
+    AND NOT isnan(CAST({val_col} AS DOUBLE))
+), __v AS (
+  SELECT v,
+         count(*) FILTER (WHERE g = {group_a!r})::BIGINT AS ca,
+         count(*) FILTER (WHERE g = {group_b!r})::BIGINT AS cb
+  FROM __f GROUP BY v
+), __c AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cua,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cub
+  FROM __v
+), __t AS (
+  SELECT coalesce(sum(ca), 0)::BIGINT AS na,
+         coalesce(sum(cb), 0)::BIGINT AS nb FROM __v
+), __d AS (
+  SELECT max(CASE WHEN t.na > 0 AND t.nb > 0
+                  THEN abs(c.cua / t.na - c.cub / t.nb) END) AS d,
+         max(t.na) AS n_a, max(t.nb) AS n_b
+  FROM __c c CROSS JOIN __t t
+)
+SELECT round(d, {r}) AS d_stat,
+       round(least(1.0::DOUBLE,
+                   2.0::DOUBLE * exp(-2.0::DOUBLE * d * d *
+                     (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))), {r})
+         AS p_value,
+       n_a, n_b
+FROM __d
+"""
+
+
+def welch_ttest(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic between the
+    ``group_a`` and ``group_b`` slices of ``val_col``, with the
+    Welch–Satterthwaite degrees of freedom. The mean-shift companion
+    to :func:`ks_test`'s shape test (no p-value — the t CDF needs
+    special functions; compare |t| against the caller's critical
+    value).
+
+    Returns one row
+    ``(mean_a, mean_b, t_stat, df_welch, n_a, n_b)``; t/df are NULL
+    when either group has < 2 rows or both variances are 0.
+
+    Scale: ONE combine-friendly aggregate pass (six conditional
+    moment sums), 1 row to the driver side. Identical moment-formula
+    folds on both engines; the final arithmetic rounds to
+    ``round_to``.
+    """
+    x = F.col(val_col).cast("double")
+    ia = F.when(F.col(group_col) == group_a, x)
+    ib = F.when(F.col(group_col) == group_b, x)
+    m = df.filter(x.isNotNull() & ~F.isnan(x)).agg(
+        F.count(ia).alias("n_a"),
+        F.coalesce(F.sum(ia), F.lit(0.0)).alias("__sa"),
+        F.coalesce(F.sum(ia * ia), F.lit(0.0)).alias("__saa"),
+        F.count(ib).alias("n_b"),
+        F.coalesce(F.sum(ib), F.lit(0.0)).alias("__sb"),
+        F.coalesce(F.sum(ib * ib), F.lit(0.0)).alias("__sbb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__saa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
+    vb = (F.col("__sbb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1)
+        + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return m.select(
+        F.round(F.when(F.col("n_a") > 0, ma), int(round_to))
+        .alias("mean_a"),
+        F.round(F.when(F.col("n_b") > 0, mb), int(round_to))
+        .alias("mean_b"),
+        F.round(F.when(ok & (se2 > 0), t), int(round_to))
+        .alias("t_stat"),
+        F.round(F.when(ok & (se2 > 0), dfw), int(round_to))
+        .alias("df_welch"),
+        "n_a",
+        "n_b",
+    )
+
+
+def welch_ttest_sql(
+    from_sql: str,
+    val_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`welch_ttest` (same moment folds)."""
+    r = int(round_to)
+    xa = f"CASE WHEN {group_col} = {group_a!r} THEN CAST({val_col} AS DOUBLE) END"
+    xb = f"CASE WHEN {group_col} = {group_b!r} THEN CAST({val_col} AS DOUBLE) END"
+    return f"""
+WITH __m AS (
+  SELECT count({xa})::BIGINT AS n_a,
+         coalesce(sum({xa}), 0.0) AS sa,
+         coalesce(sum(({xa}) * ({xa})), 0.0) AS saa,
+         count({xb})::BIGINT AS n_b,
+         coalesce(sum({xb}), 0.0) AS sb,
+         coalesce(sum(({xb}) * ({xb})), 0.0) AS sbb
+  FROM {from_sql}
+  WHERE {val_col} IS NOT NULL AND NOT isnan(CAST({val_col} AS DOUBLE))
+), __d AS (
+  SELECT n_a, n_b,
+         sa / n_a AS ma, sb / n_b AS mb,
+         (saa - sa * sa / n_a) / (n_a - 1) AS va,
+         (sbb - sb * sb / n_b) / (n_b - 1) AS vb
+  FROM __m
+), __e AS (
+  SELECT n_a, n_b, ma, mb, va, vb, va / n_a + vb / n_b AS se2
+  FROM __d
+)
+SELECT round(CASE WHEN n_a > 0 THEN ma END, {r}) AS mean_a,
+       round(CASE WHEN n_b > 0 THEN mb END, {r}) AS mean_b,
+       round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+                  THEN (ma - mb) / sqrt(se2) END, {r}) AS t_stat,
+       round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+                  THEN se2 * se2 /
+                       ((va / n_a) * (va / n_a) / (n_a - 1)
+                        + (vb / n_b) * (vb / n_b) / (n_b - 1)) END, {r})
+         AS df_welch,
+       n_a, n_b
+FROM __e
+"""
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns,
+    with both marginal entropies and the normalized
+    ``nmi = MI / sqrt(H_a * H_b)``. The feature-redundancy /
+    leakage-screening companion to :func:`chisq_independence`
+    (chi-square tests independence; MI quantifies how MUCH the
+    columns share).
+
+    Returns one row ``(mi, h_a, h_b, nmi, n)``; nmi is NULL when
+    either entropy is 0 (a constant column).
+
+    Rows where either column is NULL are dropped (MI is defined over
+    the joint distribution of observed pairs).
+
+    Scale: one joint groupBy(a, b) count (combine-friendly; output
+    rows = |A|x|B| category pairs, not input rows), two marginal
+    re-aggregations OF THE JOINT FRAME (no second pass over the
+    data), one broadcast-joined total. Term sums reassociate across
+    partitions, hence the ``round_to`` contract (counts are exact;
+    only the final ln-term additions are order-sensitive, ~1e-15
+    relative).
+    """
+    filt = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    joint = filt.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__nab"))
+    ma = joint.groupBy("__a").agg(F.sum("__nab").alias("__na"))
+    mb = joint.groupBy("__b").agg(F.sum("__nab").alias("__nb"))
+    tot = joint.agg(F.sum("__nab").alias("__n"))
+    j = (
+        joint.join(ma, "__a")
+        .join(mb, "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nn = F.col("__n").cast("double")
+    pab = F.col("__nab") / nn
+    mi_term = pab * F.log(
+        nn * F.col("__nab") / (F.col("__na") * F.col("__nb").cast("double"))
+    )
+    agg = j.agg(
+        F.sum(mi_term).alias("__mi"),
+        F.max("__n").alias("n"),
+    )
+    ha_df = ma.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("__na") / F.col("__n").cast("double"))
+            * F.log(F.col("__na") / F.col("__n").cast("double"))
+        ).alias("__ha")
+    )
+    hb_df = mb.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("__nb") / F.col("__n").cast("double"))
+            * F.log(F.col("__nb") / F.col("__n").cast("double"))
+        ).alias("__hb")
+    )
+    out = agg.crossJoin(F.broadcast(ha_df)).crossJoin(F.broadcast(hb_df))
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")),
+    )
+    return out.select(
+        F.round("__mi", int(round_to)).alias("mi"),
+        F.round("__ha", int(round_to)).alias("h_a"),
+        F.round("__hb", int(round_to)).alias("h_b"),
+        F.round(nmi, int(round_to)).alias("nmi"),
+        "n",
+    )
+
+
+def mutual_information_sql(
+    from_sql: str,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`mutual_information` (same joint/
+    marginal/total construction; ln-term sums round to
+    ``round_to``)."""
+    r = int(round_to)
+    return f"""
+WITH __f AS (
+  SELECT {col_a} AS a, {col_b} AS b FROM {from_sql}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+), __j AS (
+  SELECT a, b, count(*)::BIGINT AS nab FROM __f GROUP BY a, b
+), __ma AS (
+  SELECT a, sum(nab)::BIGINT AS na FROM __j GROUP BY a
+), __mb AS (
+  SELECT b, sum(nab)::BIGINT AS nb FROM __j GROUP BY b
+), __t AS (
+  SELECT sum(nab)::BIGINT AS n FROM __j
+), __mi AS (
+  SELECT sum((j.nab / CAST(t.n AS DOUBLE)) *
+             ln(CAST(t.n AS DOUBLE) * j.nab /
+                (ma.na * CAST(mb.nb AS DOUBLE)))) AS mi,
+         max(t.n) AS n
+  FROM __j j JOIN __ma ma USING (a) JOIN __mb mb USING (b)
+  CROSS JOIN __t t
+), __ha AS (
+  SELECT sum(-(ma.na / CAST(t.n AS DOUBLE)) *
+             ln(ma.na / CAST(t.n AS DOUBLE))) AS ha
+  FROM __ma ma CROSS JOIN __t t
+), __hb AS (
+  SELECT sum(-(mb.nb / CAST(t.n AS DOUBLE)) *
+             ln(mb.nb / CAST(t.n AS DOUBLE))) AS hb
+  FROM __mb mb CROSS JOIN __t t
+)
+SELECT round(mi, {r}) AS mi,
+       round(ha, {r}) AS h_a,
+       round(hb, {r}) AS h_b,
+       round(CASE WHEN ha > 0 AND hb > 0
+                  THEN mi / sqrt(ha * hb) END, {r}) AS nmi,
+       n
+FROM __mi CROSS JOIN __ha CROSS JOIN __hb
+"""

@@ -457,3 +457,265 @@ LEFT JOIN __s s
   ON s.__k = f.__k
  AND s.__b = f.__last + f.h - ((f.h + {period} - 1) // {period}) * {period}
 """
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str = "bucket",
+    val_col: str = "n_events",
+    lags: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key sample autocorrelation at lags 1..``lags`` over a
+    bucketed series frame (one row per (key, bucket) — the shape
+    :func:`resample` emits, or any groupBy-bucket aggregate). The
+    seasonality/memory diagnostic behind lag selection for
+    :func:`forecast_seasonal_naive` and anomaly baselines.
+
+    ``acf`` here is Pearson correlation over the lag-ℓ pair set
+    {(x_b, x_{b-ℓ})} — the "cross-correlation of the series with
+    itself" variant, computed only where BOTH buckets exist. On a
+    sparse series gaps are skipped pairwise; zero-fill first (via
+    ``resample(zero_fill=...)``) when an empty bucket means 0, not
+    missing.
+
+    Returns ``(key, lag, n, acf)``; ``acf`` is NULL when either side
+    of a pair set is constant (zero variance), ``n`` is the pair
+    count.
+
+    Determinism: on integer-valued series (counts) every moment sum
+    is an exact integer in double range, so Spark and any SQL engine
+    compute bit-identical correlations regardless of partition order
+    — no rounding leeway needed beyond ``round_to``.
+
+    Scale: lags explode each series row ``lags`` times (skinny
+    (key, bucket, x) rows), then ONE equi-join on
+    (key, bucket - lag) = (key, bucket) and ONE combine-friendly
+    groupBy(key, lag) of five moment sums. Everything shuffles on the
+    key, so a million independent series parallelize; no window over
+    a global sort, no driver state.
+    """
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    x = F.col(val_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(bucket_col).cast("long").alias("__b"),
+        x.alias("__x"),
+    )
+    left = base.withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(int(lags))))
+    )
+    right = base.select(
+        F.col("__k").alias("__k2"),
+        F.col("__b").alias("__b2"),
+        F.col("__x").alias("__y"),
+    )
+    pairs = left.join(
+        right,
+        (left["__k"] == right["__k2"])
+        & (right["__b2"] == left["__b"] - left["lag"]),
+    )
+    agg = pairs.groupBy(F.col("__k").alias(key_col), "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dl = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dr = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        key_col,
+        "lag",
+        "n",
+        F.when(
+            (dl > 0) & (dr > 0),
+            F.round(num / F.sqrt(dl * dr), int(round_to)),
+        ).alias("acf"),
+    )
+
+
+def acf_sql(
+    series_sql: str,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    val_col: str = "x",
+    lags: int = 6,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`acf`. ``series_sql`` is a relation
+    with (key, bucket, value) columns — mirror whatever bucketing
+    produced the Spark-side series."""
+    return f"""
+WITH __s AS (
+  SELECT {key_col} AS k, CAST({bucket_col} AS BIGINT) AS b,
+         CAST({val_col} AS DOUBLE) AS x
+  FROM {series_sql}
+), __p AS (
+  SELECT a.k, g.lag, a.x AS x, b.x AS y
+  FROM __s a
+  CROSS JOIN (SELECT CAST(range AS INT) AS lag
+              FROM range(1, {int(lags) + 1})) g
+  JOIN __s b ON b.k = a.k AND b.b = a.b - g.lag
+), __m AS (
+  SELECT k, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM __p GROUP BY k, lag
+)
+SELECT k AS {key_col}, lag, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy) /
+                       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                       {int(round_to)})
+       END AS acf
+FROM __m
+"""
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str = "bucket",
+    val_col: str = "n_events",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key two-sided CUSUM change-point scores over a bucketed
+    series frame (the :func:`resample` shape). The classic
+    mean-shift detector: standardize against the key's own mean/std,
+    then accumulate excursions beyond ``slack`` sigmas; an alarm at
+    ``cusum_up``/``cusum_dn`` > ``threshold`` flags a sustained level
+    shift (where :func:`.stats.robust_zscore` flags single spikes).
+
+    The textbook recursion S_t = max(0, S_{t-1} + z_t - slack) is not
+    window-expressible directly, but unrolls exactly: with prefix sum
+    C_t = Σ(z_i - slack), S_t = C_t - min(0, min_{i<=t} C_i) — two
+    running windows, no recursion. Same trick mirrored for the
+    downward side.
+
+    Returns ``(key, bucket, z, cusum_up, cusum_dn, alarm)`` for every
+    series row.
+
+    Determinism: mean/std come from explicit moment sums (exact
+    integers on count series), and window prefix sums fold in bucket
+    order in any engine — bit-identical vs the SQL mirror.
+
+    Scale: one combine-friendly moment aggregate per key (joined back
+    on the key), then windows partitioned BY KEY ordered by bucket —
+    each key's series sorts within its partition, a million
+    independent series parallelize, no global sort, no driver state.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(val_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(bucket_col).cast("long").alias("__b"),
+        x.alias("__x"),
+    )
+    mom = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    nn = F.col("__n").cast("double")
+    mean = F.col("__sx") / nn
+    var = F.col("__sxx") / nn - mean * mean
+    withz = (
+        base.join(mom, "__k")
+        .withColumn("__sd", F.when(var > 0, F.sqrt(var)))
+        .withColumn(
+            "__z",
+            F.when(F.col("__sd").isNotNull(),
+                   (F.col("__x") - mean) / F.col("__sd"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = float(slack)
+    cu = F.sum(F.col("__z") - F.lit(s)).over(w)
+    cd = F.sum(-F.col("__z") - F.lit(s)).over(w)
+    stepped = (
+        withz.withColumn("__cu", cu)
+        .withColumn("__cd", cd)
+        .withColumn("__mu", F.least(F.lit(0.0), F.min("__cu").over(w)))
+        .withColumn("__md", F.least(F.lit(0.0), F.min("__cd").over(w)))
+    )
+    up = F.col("__cu") - F.col("__mu")
+    dn = F.col("__cd") - F.col("__md")
+    return stepped.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias(bucket_col),
+        F.round("__z", int(round_to)).alias("z"),
+        F.round(up, int(round_to)).alias("cusum_up"),
+        F.round(dn, int(round_to)).alias("cusum_dn"),
+        ((up > float(threshold)) | (dn > float(threshold)))
+        .alias("alarm"),
+    )
+
+
+def cusum_sql(
+    series_sql: str,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    val_col: str = "x",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`cusum` — identical moment-sum
+    standardization and running-min unrolling."""
+    s = float(slack)
+    h = float(threshold)
+    return f"""
+WITH __s AS (
+  SELECT {key_col} AS k, CAST({bucket_col} AS BIGINT) AS b,
+         CAST({val_col} AS DOUBLE) AS x
+  FROM {series_sql}
+), __m AS (
+  SELECT k, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+  FROM __s GROUP BY k
+), __z AS (
+  SELECT s.k, s.b,
+         CASE WHEN (m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)) > 0
+              THEN (s.x - m.sx / m.n) /
+                   sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n))
+              ELSE 0.0 END AS z
+  FROM __s s JOIN __m m USING (k)
+), __c AS (
+  SELECT k, b, z,
+         sum(z - {s!r}::DOUBLE) OVER (
+           PARTITION BY k ORDER BY b
+           ROWS UNBOUNDED PRECEDING) AS cu,
+         sum(-z - {s!r}::DOUBLE) OVER (
+           PARTITION BY k ORDER BY b
+           ROWS UNBOUNDED PRECEDING) AS cd
+  FROM __z
+), __mm AS (
+  SELECT k, b, z, cu, cd,
+         least(0.0, min(cu) OVER (
+           PARTITION BY k ORDER BY b
+           ROWS UNBOUNDED PRECEDING)) AS mu,
+         least(0.0, min(cd) OVER (
+           PARTITION BY k ORDER BY b
+           ROWS UNBOUNDED PRECEDING)) AS md
+  FROM __c
+)
+SELECT k AS {key_col}, b AS {bucket_col},
+       round(z, {int(round_to)}) AS z,
+       round(cu - mu, {int(round_to)}) AS cusum_up,
+       round(cd - md, {int(round_to)}) AS cusum_dn,
+       (cu - mu > {h!r}::DOUBLE OR cd - md > {h!r}::DOUBLE) AS alarm
+FROM __mm
+"""

@@ -1,0 +1,257 @@
+"""Session batch: acf, cusum, ks_test, welch_ttest,
+mutual_information, top_paths — hand-computable cases + recursion /
+formula equivalence."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _series(spark, xs, key="k"):
+    rows = [(key, i, float(x)) for i, x in enumerate(xs)]
+    return spark.createDataFrame(rows, "k string, bucket long, x double")
+
+
+# --- acf -------------------------------------------------------------------
+
+def test_acf_alternating_is_minus_one(spark):
+    from simba_spark.operators.timeseries import acf
+
+    s = _series(spark, [1, 2, 1, 2, 1, 2, 1, 2])
+    got = {r["lag"]: (r["n"], r["acf"])
+           for r in acf(s, "k", val_col="x", lags=2).collect()}
+    assert got[1] == (7, -1.0)
+    assert got[2] == (6, 1.0)
+
+
+def test_acf_constant_series_is_null(spark):
+    from simba_spark.operators.timeseries import acf
+
+    s = _series(spark, [5, 5, 5, 5])
+    rows = acf(s, "k", val_col="x", lags=1).collect()
+    assert rows[0]["acf"] is None and rows[0]["n"] == 3
+
+
+def test_acf_matches_numpy_pearson(spark):
+    import numpy as np
+
+    from simba_spark.operators.timeseries import acf
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    s = _series(spark, xs)
+    got = {r["lag"]: r["acf"]
+           for r in acf(s, "k", val_col="x", lags=3).collect()}
+    a = np.asarray(xs, dtype=float)
+    for lag in (1, 2, 3):
+        want = np.corrcoef(a[lag:], a[:-lag])[0, 1]
+        assert got[lag] == pytest.approx(want, abs=1e-6)
+
+
+def test_acf_gaps_skip_pairwise(spark):
+    from simba_spark.operators.timeseries import acf
+
+    rows = [("k", 0, 1.0), ("k", 1, 2.0), ("k", 3, 4.0), ("k", 4, 8.0)]
+    s = spark.createDataFrame(rows, "k string, bucket long, x double")
+    got = {r["lag"]: r["n"]
+           for r in acf(s, "k", val_col="x", lags=1).collect()}
+    assert got[1] == 2  # (1,0) and (4,3); bucket 2 missing breaks both
+
+
+# --- cusum -----------------------------------------------------------------
+
+def _cusum_ref(xs, slack):
+    """Textbook recursion the window formulation must reproduce."""
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum(x * x for x in xs) / n - mean * mean
+    sd = math.sqrt(var) if var > 0 else None
+    zs = [((x - mean) / sd) if sd else 0.0 for x in xs]
+    up, dn, outs = 0.0, 0.0, []
+    for z in zs:
+        up = max(0.0, up + z - slack)
+        dn = max(0.0, dn - z - slack)
+        outs.append((round(up, 6), round(dn, 6)))
+    return outs
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from simba_spark.operators.timeseries import cusum
+
+    xs = [10, 11, 9, 10, 10, 11, 30, 31, 29, 30]
+    s = _series(spark, xs)
+    got = {r["bucket"]: (r["cusum_up"], r["cusum_dn"])
+           for r in cusum(s, "k", val_col="x", slack=0.5,
+                          threshold=2.0).collect()}
+    for b, want in enumerate(_cusum_ref([float(x) for x in xs], 0.5)):
+        assert got[b] == pytest.approx(want, abs=1e-9), b
+
+
+def test_cusum_alarm_fires_after_level_shift_only(spark):
+    from simba_spark.operators.timeseries import cusum
+
+    # threshold 4.0: the pre-shift run's DOWNWARD drift tops out at
+    # 12 * 0.3165 = 3.8 (two-sided CUSUM legitimately tracks it), so
+    # only the post-shift upward excursion crosses
+    xs = [10] * 12 + [14] * 8
+    s = _series(spark, xs)
+    rows = cusum(s, "k", val_col="x", slack=0.5,
+                 threshold=4.0).collect()
+    alarms = sorted(r["bucket"] for r in rows if r["alarm"])
+    assert alarms and min(alarms) >= 12
+    assert all(not r["alarm"] for r in rows if r["bucket"] < 12)
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    from simba_spark.operators.timeseries import cusum
+
+    s = _series(spark, [7] * 6)
+    rows = cusum(s, "k", val_col="x").collect()
+    assert all(r["z"] == 0.0 and not r["alarm"] for r in rows)
+
+
+# --- ks_test ---------------------------------------------------------------
+
+def _gdf(spark, a_vals, b_vals):
+    rows = [("a", float(v)) for v in a_vals] + \
+           [("b", float(v)) for v in b_vals]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_ks_identical_samples_zero(spark):
+    from simba_spark.operators.stats import ks_test
+
+    df = _gdf(spark, [1, 2, 3, 4, 5], [1, 2, 3, 4, 5])
+    r = ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_stat"] == 0.0 and r["p_value"] == 1.0
+    assert r["n_a"] == 5 and r["n_b"] == 5
+
+
+def test_ks_disjoint_samples_one(spark):
+    from simba_spark.operators.stats import ks_test
+
+    df = _gdf(spark, [1, 2, 3, 4], [10, 11, 12, 13])
+    r = ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_stat"] == 1.0
+    want_p = min(1.0, 2.0 * math.exp(-2.0 * 1.0 * (4 * 4 / 8)))
+    assert r["p_value"] == pytest.approx(want_p, abs=1e-6)
+
+
+def test_ks_matches_bruteforce_d(spark):
+    from simba_spark.operators.stats import ks_test
+
+    a = [1, 1, 2, 3, 5, 8, 13]
+    b = [2, 2, 3, 4, 4, 9]
+    df = _gdf(spark, a, b)
+    r = ks_test(df, "v", "g", "a", "b").collect()[0]
+    vals = sorted(set(a) | set(b))
+    want = max(
+        abs(sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b))
+        for v in vals
+    )
+    assert r["d_stat"] == pytest.approx(want, abs=1e-6)
+
+
+def test_ks_empty_group_null(spark):
+    from simba_spark.operators.stats import ks_test
+
+    df = _gdf(spark, [1, 2], [])
+    r = ks_test(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_stat"] is None
+
+
+# --- welch_ttest -----------------------------------------------------------
+
+def test_welch_matches_manual_formula(spark):
+    from simba_spark.operators.stats import welch_ttest
+
+    a = [2.1, 2.5, 2.3, 2.7, 2.4]
+    b = [3.1, 3.0, 3.4, 2.9]
+    df = _gdf(spark, a, b)
+    r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2 ** 2 / ((va / na) ** 2 / (na - 1)
+                      + (vb / nb) ** 2 / (nb - 1))
+    assert r["mean_a"] == pytest.approx(ma, abs=1e-6)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["df_welch"] == pytest.approx(dfw, abs=1e-5)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+
+
+def test_welch_degenerate_group_null_t(spark):
+    from simba_spark.operators.stats import welch_ttest
+
+    df = _gdf(spark, [1.0], [2.0, 3.0])
+    r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    assert r["t_stat"] is None and r["mean_a"] == 1.0
+
+
+# --- mutual_information ----------------------------------------------------
+
+def test_mi_identical_columns_equal_entropy(spark):
+    from simba_spark.operators.stats import mutual_information
+
+    rows = [(c, c) for c in "aabbbcc"]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["mi"] == r["h_a"] == r["h_b"]
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert r["n"] == 7
+
+
+def test_mi_independent_columns_zero(spark):
+    from simba_spark.operators.stats import mutual_information
+
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(3)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["mi"] == 0.0 and r["nmi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mi_matches_manual(spark):
+    from simba_spark.operators.stats import mutual_information
+
+    rows = [("a", "u")] * 4 + [("a", "v")] * 1 + [("b", "u")] * 1 \
+        + [("b", "v")] * 4
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    n = 10.0
+    mi = sum((c / n) * math.log(n * c / (5 * 5))
+             for c in (4, 1, 1, 4))
+    assert r["mi"] == pytest.approx(mi, abs=1e-6)
+
+
+# --- top_paths -------------------------------------------------------------
+
+def test_top_paths_caps_and_orders(spark):
+    from simba_spark.operators.analytics import top_paths
+
+    rows = []
+    # three users do a>b>c, one does a>b, one power user does
+    # a>b>c>d>e>f (capped at max_len)
+    for u, seq in ((1, "abc"), (2, "abc"), (3, "abc"), (4, "ab"),
+                   (5, "abcdef")):
+        for i, s in enumerate(seq):
+            rows.append((u, i, s, u * 100 + i))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long")
+    got = [(r["path"], r["n_users"])
+           for r in top_paths(df, max_len=3, k=10).collect()]
+    assert got == [("a>b>c", 4), ("a>b", 1)]
+
+
+def test_top_paths_tiebreak_by_ts_then_id(spark):
+    from simba_spark.operators.analytics import top_paths
+
+    # same ts: event_id orders the path deterministically
+    rows = [(1, 0, "x", 2), (1, 0, "y", 1)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long")
+    got = top_paths(df, max_len=5, k=5).collect()
+    assert got[0]["path"] == "y>x"

@@ -2962,6 +2962,39 @@ def q_cusum_events(spark, sf_dir):
     return cusum(series, "event_type", slack=0.5, threshold=4.0)
 
 
+def q_linreg_trend(spark, sf_dir):
+    """Per-type OLS trend (operators.timeseries.linreg_series) of the
+    hourly event-count series: slope/intercept/r² from ONE five-sum
+    aggregate per key — the sustained-drift screen next to
+    cusum_events' shift detector. Exact integer moments on count
+    series → bit-identical OLS across engines."""
+    from simba_spark.operators.timeseries import linreg_series
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 3600000000"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return linreg_series(series, "event_type")
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity terms (operators.graph.modularity) of the
+    label-propagation communities over the trade graph — two
+    first-class ops COMPOSING, one oracle mirroring the whole chain.
+    All inputs are exact integer counts (m, m_in, d_c), so q_c is
+    bit-identical across engines."""
+    from simba_spark.operators.graph import label_propagation, modularity
+
+    edges = _trade_edges(spark, sf_dir)
+    labels = label_propagation(edges, iters=4)
+    return modularity(edges, labels)
+
+
 def q_ks_value(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov test (operators.stats.ks_test):
     does the `value` distribution differ between click and purchase
@@ -3305,6 +3338,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_value": q_ks_value,
         "welch_value": q_welch_value,
         "mi_docs": q_mi_docs,
+        "linreg_trend": q_linreg_trend,
+        "modularity": q_modularity,
         "linkage": q_linkage,
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "personalized_pagerank": q_personalized_pagerank,
@@ -4057,10 +4092,12 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.retrieval import rrf_fuse_sql
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
     from simba_spark.operators.timeseries import (
-        acf_sql, cusum_sql, forecast_seasonal_naive_sql, rollup_sql)
+        acf_sql, cusum_sql, forecast_seasonal_naive_sql,
+        linreg_series_sql, rollup_sql)
 
     from simba_spark.operators.graph import (k_core_sql, k_hop_sql,
                                              label_propagation_sql,
+                                             modularity_sql,
                                              personalized_pagerank_sql)
     from simba_spark.operators.stats import (ks_test_sql,
                                              mutual_information_sql,
@@ -4149,6 +4186,13 @@ def oracle_sql() -> dict[str, str]:
         "welch_value": welch_ttest_sql("events", "value", "event_type",
                                        "click", "purchase"),
         "mi_docs": mutual_information_sql("documents", "source", "lang"),
+        "linreg_trend": linreg_series_sql(
+            "(SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
+            " count(*) AS x FROM events GROUP BY 1, 2)",
+            key_col="event_type"),
+        "modularity": modularity_sql(
+            pr_edges,
+            "(" + label_propagation_sql(pr_edges, iters=4) + ")"),
         "linkage": linkage_score_sql(
             """(
               WITH __r AS (

@@ -50,7 +50,7 @@ from .operators.analytics import (
 from .operators.clustering import kmeans
 from .operators.dedup import edit_distance_pairs, linkage_score
 from .operators.graph import (adamic_adar, k_core, k_hop,
-                              label_propagation, pagerank,
+                              label_propagation, modularity, pagerank,
                               personalized_pagerank, shortest_paths,
                               triangle_count)
 from .operators.text import bm25_topk, phrase_search
@@ -88,7 +88,8 @@ from .operators.pq import (build_pq_layout, load_pq_layout, pq_encode,
                            pq_topk, pq_topk_layout, pq_train)
 from .operators.pca import fit_pca, pca_project
 from .operators.pipeline import rank_normalize
-from .operators.timeseries import (acf, cusum, forecast_seasonal_naive,
+from .operators.timeseries import (acf, cusum, cusum_baseline,
+                                    forecast_seasonal_naive, linreg_series,
                                     rollup_finalize, rollup_merge,
                                     rollup_state)
 from .operators.stats import (chisq_independence, corr_matrix, cov_matrix,
@@ -136,7 +137,8 @@ __all__ = [
     "corr_matrix", "cov_matrix", "fit_pca", "pca_project", "skew_report",
     "chisq_independence", "rank_normalize", "robust_zscore", "psi_drift",
     "rollup_state", "rollup_merge", "rollup_finalize",
-    "forecast_seasonal_naive", "acf", "cusum",
+    "forecast_seasonal_naive", "acf", "cusum", "cusum_baseline",
+    "linreg_series", "modularity",
     "ks_test", "welch_ttest", "mutual_information", "top_paths",
     "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",

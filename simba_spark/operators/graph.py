@@ -1117,3 +1117,137 @@ def k_core_sql(
         + f"\nSELECT a AS node, count(*)::BIGINT AS deg"
           f" FROM __u{int(iters)} GROUP BY a"
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-community modularity terms of a node labeling over the
+    undirected graph: for each community c,
+    ``q_c = m_c / m - (d_c / 2m)^2`` (internal-edge share minus the
+    degree-share null model); the graph's Newman modularity Q is the
+    sum of ``q_c``. The quality score for :func:`label_propagation`
+    output (or any clustering of the nodes).
+
+    Returns ``(label, n_nodes, m_in, d_c, q_c)`` — one row per
+    community (communities with zero internal edges included).
+    Self-loops are dropped and parallel/bidirectional duplicates
+    collapse, matching :func:`label_propagation`'s graph view. Nodes
+    missing a label are excluded from degree mass (inner joins —
+    label completely or filter first).
+
+    Determinism: m, m_c, d_c are exact integer counts; q_c is a
+    fixed arithmetic expression over them — bit-identical anywhere.
+
+    Scale: the undirected edge set reduces once (distinct on the
+    (min, max) pair), then two label equi-joins on the node id, one
+    skinny per-label count, and one degree aggregate — all
+    combine-friendly, no driver state beyond the single m scalar
+    (computed IN-PLAN via a 1-row broadcast cross join, no collect).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    once = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct().localCheckpoint(eager=False)
+    lab = labels.select(F.col(node).alias("__n"),
+                        F.col(label).alias("__l"))
+    la = lab.select(F.col("__n").alias("a"), F.col("__l").alias("__la"))
+    lb = lab.select(F.col("__n").alias("b"), F.col("__l").alias("__lb"))
+    within = (
+        once.join(la, "a").join(lb, "b")
+        .filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("__l"))
+        .agg(F.count(F.lit(1)).alias("m_in"))
+    )
+    sym = once.unionByName(
+        once.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("__n")).agg(
+        F.count(F.lit(1)).alias("__d")
+    )
+    comm = (
+        lab.join(deg, "__n", "left")
+        .groupBy("__l")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("__d"), F.lit(0)).alias("d_c"),
+        )
+    )
+    m_tot = once.agg(F.count(F.lit(1)).alias("__m"))
+    j = (
+        comm.join(within, "__l", "left")
+        .crossJoin(F.broadcast(m_tot))
+        .withColumn("m_in", F.coalesce(F.col("m_in"), F.lit(0)))
+    )
+    mm = F.col("__m").cast("double")
+    q = (
+        F.col("m_in") / mm
+        - (F.col("d_c") / (F.lit(2.0) * mm))
+        * (F.col("d_c") / (F.lit(2.0) * mm))
+    )
+    return j.select(
+        F.col("__l").alias(label),
+        "n_nodes",
+        "m_in",
+        "d_c",
+        F.round(F.when(F.col("__m") > 0, q), int(round_to))
+        .alias("q_c"),
+    )
+
+
+def modularity_sql(
+    edges_sql: str,
+    labels_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`modularity`. ``labels_sql`` is a
+    relation with (node, label) — e.g. a
+    :func:`label_propagation_sql` body wrapped in parentheses."""
+    r = int(round_to)
+    return f"""
+WITH __e AS (
+  SELECT {src} AS a, {dst} AS b FROM {edges_sql} WHERE {src} <> {dst}
+), __o AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM __e
+), __lab AS MATERIALIZED (
+  SELECT {node} AS n, {label} AS l FROM {labels_sql}
+), __w AS (
+  SELECT la.l, count(*)::BIGINT AS m_in
+  FROM __o o
+  JOIN __lab la ON o.a = la.n
+  JOIN __lab lb ON o.b = lb.n
+  WHERE la.l = lb.l
+  GROUP BY la.l
+), __deg AS (
+  SELECT a AS n, count(*)::BIGINT AS d FROM (
+    SELECT a, b FROM __o UNION ALL SELECT b, a FROM __o
+  ) GROUP BY a
+), __c AS (
+  SELECT lab.l, count(*)::BIGINT AS n_nodes,
+         coalesce(sum(deg.d), 0)::BIGINT AS d_c
+  FROM __lab lab LEFT JOIN __deg deg ON lab.n = deg.n
+  GROUP BY lab.l
+), __m AS (
+  SELECT count(*)::BIGINT AS m FROM __o
+)
+SELECT c.l AS {label}, c.n_nodes,
+       coalesce(w.m_in, 0)::BIGINT AS m_in, c.d_c,
+       round(CASE WHEN m.m > 0
+                  THEN coalesce(w.m_in, 0) / CAST(m.m AS DOUBLE)
+                       - (c.d_c / (2.0 * m.m)) * (c.d_c / (2.0 * m.m))
+             END, {r}) AS q_c
+FROM __c c LEFT JOIN __w w ON c.l = w.l CROSS JOIN __m m
+"""

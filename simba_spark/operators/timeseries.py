@@ -719,3 +719,120 @@ SELECT k AS {key_col}, b AS {bucket_col},
        (cu - mu > {h!r}::DOUBLE OR cd - md > {h!r}::DOUBLE) AS alarm
 FROM __mm
 """
+
+
+def cusum_baseline(
+    df: DataFrame,
+    key_col: str,
+    val_col: str = "n_events",
+) -> DataFrame:
+    """Per-key (mean, std) fitted with EXACTLY :func:`cusum`'s moment
+    formulas (population variance from sum/sum-of-squares) — the
+    offline-fit half of the streaming CUSUM deployment
+    (:func:`..streaming.ops.streaming_cusum` scores live series
+    points against this frame). Returns ``(key, __mu, __sd)``;
+    ``__sd`` is NULL for a constant (or single-point) key."""
+    x = F.col(val_col).cast("double")
+    mom = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    nn = F.col("__n").cast("double")
+    mean = F.col("__sx") / nn
+    var = F.col("__sxx") / nn - mean * mean
+    return mom.select(
+        F.col(key_col),
+        mean.alias("__mu"),
+        F.when(var > 0, F.sqrt(var)).alias("__sd"),
+    )
+
+
+def linreg_series(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str = "bucket",
+    val_col: str = "n_events",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key OLS trend line over a bucketed series frame: slope /
+    intercept of value on the bucket index plus r² — the
+    grows-or-shrinks screen run across a million metrics at once
+    (:func:`cusum` finds level SHIFTS; this ranks sustained DRIFT).
+
+    Returns ``(key, n, slope, intercept, r2)``; slope/intercept are
+    NULL for keys with a single bucket (or identical buckets), r2
+    additionally NULL for a constant value series.
+
+    Determinism: one groupBy computes the five moment sums; on count
+    series with integer bucket indexes every sum is an exact integer,
+    so the closed-form OLS arithmetic is bit-identical across engines.
+
+    Scale: ONE combine-friendly aggregate keyed on the series key —
+    a partition forwards five doubles per key regardless of series
+    length; no window, no sort, no driver state.
+    """
+    x = F.col(bucket_col).cast("double")
+    y = F.col(val_col).cast("double")
+    m = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    nn = F.col("n").cast("double")
+    dx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = num / dx
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / nn
+    r2 = (num * num) / (dx * dy)
+    return m.select(
+        key_col,
+        "n",
+        F.round(F.when(dx > 0, slope), int(round_to)).alias("slope"),
+        F.round(F.when(dx > 0, intercept), int(round_to))
+        .alias("intercept"),
+        F.round(F.when((dx > 0) & (dy > 0), r2), int(round_to))
+        .alias("r2"),
+    )
+
+
+def linreg_series_sql(
+    series_sql: str,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    val_col: str = "x",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`linreg_series` (same moment folds and
+    guards)."""
+    r = int(round_to)
+    return f"""
+WITH __s AS (
+  SELECT {key_col} AS k, CAST({bucket_col} AS DOUBLE) AS x,
+         CAST({val_col} AS DOUBLE) AS y
+  FROM {series_sql}
+), __m AS (
+  SELECT k, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM __s GROUP BY k
+), __d AS (
+  SELECT k, n,
+         n * sxx - sx * sx AS dx,
+         n * syy - sy * sy AS dy,
+         n * sxy - sx * sy AS num,
+         sx, sy
+  FROM __m
+)
+SELECT k AS {key_col}, n,
+       round(CASE WHEN dx > 0 THEN num / dx END, {r}) AS slope,
+       round(CASE WHEN dx > 0
+                  THEN (sy - (num / dx) * sx) / n END, {r}) AS intercept,
+       round(CASE WHEN dx > 0 AND dy > 0
+                  THEN num * num / (dx * dy) END, {r}) AS r2
+FROM __d
+"""

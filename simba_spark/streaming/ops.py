@@ -888,3 +888,114 @@ def streaming_psi(
         F.explode(F.array(*terms)).alias("__t"),
         F.round(total, int(round_to)).alias("psi_total"),
     ).select("window", "__t.*", "psi_total")
+
+
+def streaming_cusum(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket",
+    val_col: str = "n_events",
+    slack: float = 0.5,
+    threshold: float = 4.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming two-sided CUSUM change-point scoring as a CUSTOM
+    STATEFUL operator: the textbook recursion
+    ``S_t = max(0, S_{t-1} + z_t - slack)`` runs live, keyed per
+    series, against a BATCH-fitted baseline
+    (``operators.timeseries.cusum_baseline`` — the offline-train /
+    online-score shape shared with ``streaming_psi``). Input is a
+    stream of already-bucketed series points (key, bucket, value) —
+    e.g. a foreachBatch-maintained rollup; unlike the window-count
+    wrappers this keeps the op composable with any upstream
+    bucketing.
+
+    Emits ``(key, bucket, z, cusum_up, cusum_dn, alarm, late)`` per
+    point. State per key is THREE numbers (last bucket, S_up, S_dn) —
+    constant size, no watermark needed. Points are folded in bucket
+    order within each micro-batch; a point at or before the key's
+    last-seen bucket cannot replay the recursion and is emitted with
+    ``late = 1`` and NULL scores (the monitoring-stream drop-late
+    contract, made visible instead of silent).
+
+    Replay equivalence: over an in-order replay the emitted
+    up/dn/alarm track batch ``cusum`` of the same series scored with
+    the same baseline (tested; float agreement to window-vs-recursion
+    reassociation, ~1e-12).
+
+    Keys whose baseline row is missing or has NULL/zero sd score with
+    z = 0 (the batch operator's constant-series contract).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    bl = {
+        str(r[0]): (
+            float(r[1]) if r[1] is not None else None,
+            float(r[2]) if r[2] is not None else None,
+        )
+        for r in baseline.select(key_col, "__mu", "__sd").collect()
+    }
+    s = float(slack)
+    h = float(threshold)
+    rt = int(round_to)
+
+    out_schema = StructType([
+        StructField(key_col, StringType()),
+        StructField(bucket_col, LongType()),
+        StructField("z", DoubleType()),
+        StructField("cusum_up", DoubleType()),
+        StructField("cusum_dn", DoubleType()),
+        StructField("alarm", LongType()),
+        StructField("late", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("last_b", LongType()),
+        StructField("s_up", DoubleType()),
+        StructField("s_dn", DoubleType()),
+    ])
+
+    def fn(key, pdf_iter, state):
+        (k,) = key
+        k = str(k)
+        if state.exists:
+            last_b, s_up, s_dn = state.get
+        else:
+            last_b, s_up, s_dn = None, 0.0, 0.0
+        mu, sd = bl.get(k, (None, None))
+        out = []
+        pts = []
+        for pdf in pdf_iter:
+            for b, v in zip(pdf[bucket_col], pdf[val_col]):
+                if not (pd.isna(b) or pd.isna(v)):
+                    pts.append((int(b), float(v)))
+        pts.sort()
+        for b, v in pts:
+            if last_b is not None and b <= last_b:
+                out.append((k, b, None, None, None, None, 1))
+                continue
+            z = ((v - mu) / sd) if (mu is not None and sd) else 0.0
+            s_up = max(0.0, s_up + z - s)
+            s_dn = max(0.0, s_dn - z - s)
+            last_b = b
+            out.append((
+                k, b, round(z, rt), round(s_up, rt), round(s_dn, rt),
+                1 if (s_up > h or s_dn > h) else 0, 0,
+            ))
+        state.update((last_b, s_up, s_dn))
+        yield pd.DataFrame(
+            out,
+            columns=[key_col, bucket_col, "z", "cusum_up", "cusum_dn",
+                     "alarm", "late"],
+        )
+
+    return stream_df.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

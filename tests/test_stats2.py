@@ -255,3 +255,118 @@ def test_top_paths_tiebreak_by_ts_then_id(spark):
         rows, "user_id long, ts long, event_type string, event_id long")
     got = top_paths(df, max_len=5, k=5).collect()
     assert got[0]["path"] == "y>x"
+
+
+# --- linreg_series ----------------------------------------------------------
+
+def test_linreg_exact_line(spark):
+    from simba_spark.operators.timeseries import linreg_series
+
+    s = _series(spark, [3 + 2 * b for b in range(8)])
+    r = linreg_series(s, "k", val_col="x").collect()[0]
+    assert (r["slope"], r["intercept"], r["r2"]) == (2.0, 3.0, 1.0)
+    assert r["n"] == 8
+
+
+def test_linreg_constant_series(spark):
+    from simba_spark.operators.timeseries import linreg_series
+
+    s = _series(spark, [5, 5, 5, 5])
+    r = linreg_series(s, "k", val_col="x").collect()[0]
+    assert r["slope"] == 0.0 and r["intercept"] == 5.0
+    assert r["r2"] is None  # zero variance in y
+
+
+def test_linreg_single_point_null(spark):
+    from simba_spark.operators.timeseries import linreg_series
+
+    s = _series(spark, [7])
+    r = linreg_series(s, "k", val_col="x").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None
+
+
+def test_linreg_matches_numpy(spark):
+    import numpy as np
+
+    from simba_spark.operators.timeseries import linreg_series
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    s = _series(spark, xs)
+    r = linreg_series(s, "k", val_col="x").collect()[0]
+    b = np.arange(len(xs), dtype=float)
+    slope, intercept = np.polyfit(b, np.asarray(xs, float), 1)
+    cc = np.corrcoef(b, np.asarray(xs, float))[0, 1]
+    assert r["slope"] == pytest.approx(slope, abs=1e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert r["r2"] == pytest.approx(cc * cc, abs=1e-6)
+
+
+# --- modularity -------------------------------------------------------------
+
+def _two_triangles(spark):
+    # triangles 1-2-3 and 4-5-6 bridged by 3-4
+    rows = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_modularity_two_communities(spark):
+    from simba_spark.operators.graph import modularity
+
+    edges = _two_triangles(spark)
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node long, label long")
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    # m=7; each side: 3 internal edges, total degree 7
+    for lbl in (1, 2):
+        r = rows[lbl]
+        assert (r["n_nodes"], r["m_in"], r["d_c"]) == (3, 3, 7)
+        assert r["q_c"] == pytest.approx(3 / 7 - (7 / 14) ** 2, abs=1e-6)
+
+
+def test_modularity_single_community_zero(spark):
+    from simba_spark.operators.graph import modularity
+
+    edges = _two_triangles(spark)
+    labels = spark.createDataFrame(
+        [(n, 9) for n in range(1, 7)], "node long, label long")
+    r = modularity(edges, labels).collect()[0]
+    assert r["m_in"] == 7 and r["d_c"] == 14
+    assert r["q_c"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_modularity_good_split_beats_bad_split(spark):
+    from simba_spark.operators.graph import modularity
+
+    edges = _two_triangles(spark)
+    good = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node long, label long")
+    bad = spark.createDataFrame(
+        [(n, n % 2) for n in range(1, 7)], "node long, label long")
+    q_good = sum(r["q_c"] for r in modularity(edges, good).collect())
+    q_bad = sum(r["q_c"] for r in modularity(edges, bad).collect())
+    assert q_good > q_bad
+
+
+def test_modularity_sql_mirror(spark):
+    import duckdb
+
+    from simba_spark.operators.graph import modularity, modularity_sql
+
+    edges = _two_triangles(spark)
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node long, label long")
+    got = {tuple(r) for r in modularity(edges, labels).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)",
+                    [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6),
+                     (3, 4)])
+    con.sql("CREATE TABLE lab(node BIGINT, label BIGINT)")
+    con.executemany("INSERT INTO lab VALUES (?, ?)",
+                    [(n, 1 if n <= 3 else 2) for n in range(1, 7)])
+    want = {tuple(r) for r in
+            con.sql(modularity_sql("e", "lab")).fetchall()}
+    assert got == want

@@ -1097,3 +1097,67 @@ def test_streaming_psi_matches_batch(spark):
         assert tot0 < 0.1 and tot1 > 0.5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cusum_matches_batch_and_keeps_state(spark):
+    """In-order replay of a bucketed series through streaming_cusum ≡
+    batch cusum (same baseline by construction: cusum_baseline uses
+    cusum's own moment formulas); state carries the recursion across
+    micro-batches; a replayed old bucket comes back flagged late."""
+    import tempfile
+    import shutil
+
+    from simba_spark.operators.timeseries import cusum, cusum_baseline
+    from simba_spark.streaming.ops import streaming_cusum
+
+    d = tempfile.mkdtemp(prefix="simba_scusum_")
+    try:
+        xs = [10.0] * 12 + [14.0] * 8
+        rows = [("k", b, x) for b, x in enumerate(xs)]
+        schema = "k string, bucket long, x double"
+        batch = spark.createDataFrame(rows, schema)
+        want = {
+            r["bucket"]: (r["z"], r["cusum_up"], r["cusum_dn"],
+                          r["alarm"])
+            for r in cusum(batch, "k", val_col="x", slack=0.5,
+                           threshold=4.0).collect()
+        }
+        baseline = cusum_baseline(batch, "k", "x")
+
+        # micro-batch 1: buckets 0..11
+        spark.createDataFrame(rows[:12], schema) \
+            .write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(batch.schema).parquet(d)
+        out = streaming_cusum(src, baseline, key_col="k",
+                              bucket_col="bucket", val_col="x",
+                              slack=0.5, threshold=4.0)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory").queryName("scusum_out").start()
+        )
+        q.processAllAvailable()
+        # micro-batch 2: buckets 12..19 PLUS a late replay of bucket 3
+        spark.createDataFrame(rows[12:] + [("k", 3, 10.0)], schema) \
+            .write.mode("append").parquet(d)
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT * FROM scusum_out").collect()
+
+        late = [r for r in got if r["late"] == 1]
+        assert len(late) == 1 and late[0]["bucket"] == 3
+        assert late[0]["cusum_up"] is None
+
+        live = {r["bucket"]: (r["z"], r["cusum_up"], r["cusum_dn"],
+                              r["alarm"])
+                for r in got if r["late"] == 0}
+        assert set(live) == set(want)
+        import pytest as _pt
+
+        for b, (z, up, dn, alarm) in want.items():
+            gz, gup, gdn, galarm = live[b]
+            assert gz == _pt.approx(z, abs=1e-9)
+            assert gup == _pt.approx(up, abs=1e-9)
+            assert gdn == _pt.approx(dn, abs=1e-9)
+            assert bool(galarm) == bool(alarm)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -115,6 +115,15 @@ HEADLINE = [
     "robust_z",
     "psi_drift",
     "shortest_paths",
+    # continuation-session additions
+    "pq_topk",
+    "k_core",
+    "top_paths",
+    "acf_events",
+    "cusum_events",
+    "ks_value",
+    "linreg_trend",
+    "modularity",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -137,6 +146,8 @@ _POST_R3 = {
     "theta_active", "hybrid_retrieval", "edit_dist", "basket_rules",
     "adamic_adar", "forecast_events", "robust_z", "psi_drift",
     "shortest_paths",
+    "pq_topk", "k_core", "top_paths", "acf_events", "cusum_events",
+    "ks_value", "linreg_trend", "modularity",
 }
 
 GROUPS = {

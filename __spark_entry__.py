@@ -283,6 +283,20 @@ def _ivf_layout_path(spark, sf_dir) -> str:
     return _build_once(sf_dir, "emb_ivf", "embeddings.parquet", build)
 
 
+def _ivfpq_layout_path(spark, sf_dir) -> str:
+    """Build-once persisted two-level IVF×PQ layout over embeddings
+    (PQ codes partitioned by inverted list — a probe reads nprobe
+    partition dirs of 8-byte codes)."""
+    from simba_spark.operators.pq import build_ivfpq_layout
+
+    def build(path):
+        embs = _t(spark, sf_dir, "embeddings")
+        build_ivfpq_layout(embs, path, n_centroids=8, m=8, nbits=4,
+                           sample_cap=512, iters=5, seed=42)
+
+    return _build_once(sf_dir, "emb_ivfpq", "embeddings.parquet", build)
+
+
 def _ann_layout_path(spark, sf_dir) -> str:
     """Build-once persisted hyperplane-LSH layout over embeddings."""
     from simba_spark.operators.similarity import build_ann_layout
@@ -300,6 +314,7 @@ def prepare(spark, sf_dir):
     _ev_layout(spark, sf_dir)
     _ivf_layout_path(spark, sf_dir)
     _ann_layout_path(spark, sf_dir)
+    _ivfpq_layout_path(spark, sf_dir)
 
 
 def q_layout_routed_range(spark, sf_dir):
@@ -1903,6 +1918,24 @@ def q_pq_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """Two-level IVF×PQ probe at the exact-by-construction
+    configuration (nprobe = n_centroids visits every list,
+    shortlist=None re-ranks every row) — the brute-force SQL oracles
+    the COMPOSED layout: coarse routing via partition-directory
+    pruning, ADC over 8-byte codes, exact re-rank. The approximate
+    configuration (nprobe < C) is recall- and plan-asserted in
+    tests/test_pq.py."""
+    from simba_spark.operators.pq import ivfpq_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    path = _ivfpq_layout_path(spark, sf_dir)
+    out = ivfpq_topk(spark, path, embs, qvec, 10, nprobe=8)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
 def q_term_stats(spark, sf_dir):
     """Corpus vocabulary stats: top-30 terms by document frequency
     (IDF/stopword-list input; explode + one combine-friendly groupBy)."""
@@ -3320,6 +3353,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     round-7 driver rows (the round-6 window is full of
         #     earlier debuts still earning their greens) ---
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "k_core": q_k_core,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
@@ -5766,6 +5800,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full-probe IVF visits every inverted list => exact: the
         # brute-force ranking is a true oracle for the layout machinery
+        "ivfpq_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
         "pq_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
             SELECT e.vec_id,

@@ -117,6 +117,7 @@ HEADLINE = [
     "shortest_paths",
     # continuation-session additions
     "pq_topk",
+    "ivfpq_topk",
     "k_core",
     "top_paths",
     "acf_events",
@@ -146,7 +147,7 @@ _POST_R3 = {
     "theta_active", "hybrid_retrieval", "edit_dist", "basket_rules",
     "adamic_adar", "forecast_events", "robust_z", "psi_drift",
     "shortest_paths",
-    "pq_topk", "k_core", "top_paths", "acf_events", "cusum_events",
+    "pq_topk", "ivfpq_topk", "k_core", "top_paths", "acf_events", "cusum_events",
     "ks_value", "linreg_trend", "modularity",
 }
 

@@ -197,9 +197,42 @@ def main():
             "scan_mb": round(sum(mbs) / len(mbs), 1),
         }
 
+    # --- product quantization: the scan-BYTES lever (32x smaller rows
+    # than the vector column), shortlist + exact re-rank ---
+    from simba_spark.operators.pq import build_pq_layout, load_pq_layout, pq_topk
+
+    pq_path = os.path.join(ROOT, "pq8x8")
+    t_pq = None
+    if not os.path.exists(os.path.join(pq_path, "pq_meta.json")):
+        t0 = time.time()
+        build_pq_layout(df, pq_path, m=8, nbits=8, sample_cap=8192,
+                        iters=10, seed=42)
+        t_pq = round(time.time() - t0, 1)
+    codes, pq_model, _ = load_pq_layout(spark, pq_path)
+    codes = codes.persist()
+    codes.count()
+    pq_scan_mb = round(dir_bytes(os.path.join(pq_path, "codes")) / 1e6, 1)
+    for sl in (100, 1000):
+        lats, recs = [], []
+        for qid, qv in queries:
+            lat, rows = timed(
+                lambda qv=qv: pq_topk(df, pq_model, qv, K, shortlist=sl,
+                                      codes=codes)
+            )
+            lats.append(lat)
+            got = {int(r["vec_id"]) for r in rows}
+            recs.append(len(got & exact_ids[qid]) / K)
+        results[f"pq_shortlist{sl}"] = {
+            "latency_sec": round(statistics.median(lats), 3),
+            "recall": round(sum(recs) / len(recs), 3),
+            "scan_mb": pq_scan_mb,
+        }
+    codes.unpersist()
+
     out = {
         "n_vecs": N, "dim": DIM, "k": K, "n_queries": NQ, "reps": REPS,
-        "build_sec": {"gen": t_gen, "ivf64": t_ivf, "lsh10": t_ann},
+        "build_sec": {"gen": t_gen, "ivf64": t_ivf, "lsh10": t_ann,
+                      "pq8x8": t_pq},
         "results": results,
     }
     spark.stop()

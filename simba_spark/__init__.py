@@ -84,7 +84,8 @@ from .operators.sketches import (
 )
 from .operators.retrieval import rrf_fuse
 from .operators.similarity import ann_topk
-from .operators.pq import (build_pq_layout, load_pq_layout, pq_encode,
+from .operators.pq import (build_ivfpq_layout, build_pq_layout,
+                           ivfpq_topk, load_pq_layout, pq_encode,
                            pq_topk, pq_topk_layout, pq_train)
 from .operators.pca import fit_pca, pca_project
 from .operators.pipeline import rank_normalize
@@ -129,7 +130,8 @@ __all__ = [
     "theta_sketch", "theta_merge", "theta_estimate", "theta_intersect",
     "ann_topk", "rrf_fuse",
     "pq_train", "pq_encode", "pq_topk", "pq_topk_layout",
-    "build_pq_layout", "load_pq_layout",
+    "build_pq_layout", "load_pq_layout", "build_ivfpq_layout",
+    "ivfpq_topk",
     "pagerank", "personalized_pagerank", "triangle_count",
     "label_propagation", "k_hop", "k_core", "adamic_adar",
     "shortest_paths",

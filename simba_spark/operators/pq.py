@@ -408,3 +408,99 @@ def pq_topk_layout(
     codes, model, id_col = load_pq_layout(spark, path)
     return pq_topk(df, model, query_vec, k, shortlist=shortlist,
                    vec_col=vec_col, id_col=id_col, codes=codes)
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ composition — the two-level FAISS-style layout: IVF prunes
+# WHICH partition directories a probe reads, PQ shrinks WHAT each
+# surviving row costs. Scan bytes ~ (nprobe / n_centroids) x codes
+# bytes, vs the full vector column for brute force.
+
+
+def build_ivfpq_layout(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    metric: str = "cosine",
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    route: str = "auto",
+) -> None:
+    """Persist the two-level index: PQ codes partitioned by IVF list
+    (``codes/__ivf=<list>/``) plus coarse centroids + codebooks in the
+    meta JSON. Codes are of the RAW vectors (IVF-Flat-PQ), not
+    residuals — recall is marginally below residual-PQ but codes stay
+    list-independent (a re-clustered coarse quantizer never forces a
+    re-encode) and the oracle stays a pure composition of the two
+    tested stages. Build cost: one coarse-assign map pass + one encode
+    map pass; both trainings are bounded driver-side samples."""
+    from .similarity import _kmeans_centroids, _centroid_assign_col
+
+    sample = [
+        r[0]
+        for r in df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>"),
+                            F.lit(int(seed) + 7)))
+        .limit(int(sample_cap))
+        .collect()
+    ]
+    cents = _kmeans_centroids(sample, n_centroids, iters, int(seed) + 7)
+    model = pq_train(df, vec_col=vec_col, m=m, nbits=nbits,
+                     metric=metric, sample_cap=sample_cap, iters=iters,
+                     seed=seed)
+    assigned = df.withColumn(
+        "__ivf", _centroid_assign_col(vec_col, cents))
+    enc = pq_encode(assigned, model, vec_col=vec_col, route=route)
+    enc.select(id_col, "__ivf", "pq_code").write.mode("overwrite") \
+       .partitionBy("__ivf").parquet(path + "/codes")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(path + "/ivfpq_meta.json", "w") as f:
+        f.write(json.dumps({
+            "id_col": id_col,
+            "centroids": [[float(x) for x in c] for c in cents],
+            "model": json.loads(model.to_json()),
+        }))
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: Optional[int] = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the two-level layout: nearest ``nprobe`` coarse lists
+    picked driver-side from the query alone, the codes scan restricted
+    to those partition DIRECTORIES (planning-time pruning — the
+    ``__ivf IN (...)`` filter is a PartitionFilter, plan-asserted in
+    tests), ADC ranks the surviving 8-byte codes, and the
+    ``shortlist`` survivors fetch their vectors by id for the exact
+    re-rank. ``nprobe >= n_centroids`` with ``shortlist=None`` visits
+    every list and re-ranks every row — exact by construction (the
+    oracle configuration)."""
+    import numpy as np
+
+    with open(path + "/ivfpq_meta.json") as f:
+        meta = json.load(f)
+    model = PQModel.from_json(json.dumps(meta["model"]))
+    id_col = meta["id_col"]
+    cents = np.asarray(meta["centroids"], dtype="float64")
+    q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[: int(nprobe)]]
+    codes = spark.read.parquet(path + "/codes").filter(
+        F.col("__ivf").isin(probes))
+    return pq_topk(df, model, query_vec, k, shortlist=shortlist,
+                   vec_col=vec_col, id_col=id_col,
+                   codes=codes.drop("__ivf"))

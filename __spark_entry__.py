@@ -3061,6 +3061,29 @@ def q_mi_docs(spark, sf_dir):
                               "source", "lang")
 
 
+def q_build_vocab(spark, sf_dir):
+    """Frequency-ranked vocabulary with stable contiguous ids
+    (operators.text.build_vocab): top-50 terms with term_freq >= 3,
+    term_id 0 = most frequent (ties by term asc). The global dense
+    rank runs two-phase via running_total on the (-freq, term) struct
+    key — never a single-partition window over the vocabulary."""
+    from simba_spark.operators.text import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), min_count=3,
+                       max_size=50)
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Per-document bigram LM score (operators.text.bigram_lm_score):
+    mean ln P(b|a) under the corpus's add-α bigram model. Pairs slice
+    out of the token ARRAY against its own shift — zero windows, zero
+    self-joins; word-salad text scores low where the unigram proxy
+    (lm_score) passes it."""
+    from simba_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_top_paths(spark, sf_dir):
     """Top-20 user journeys (operators.analytics.top_paths): each
     user's first 5 events joined into an 'a>b>c' path, counted across
@@ -3374,6 +3397,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_docs": q_mi_docs,
         "linreg_trend": q_linreg_trend,
         "modularity": q_modularity,
+        "build_vocab": q_build_vocab,
+        "bigram_lm": q_bigram_lm,
         "linkage": q_linkage,
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "personalized_pagerank": q_personalized_pagerank,
@@ -4227,6 +4252,55 @@ def oracle_sql() -> dict[str, str]:
         "modularity": modularity_sql(
             pr_edges,
             "(" + label_propagation_sql(pr_edges, iters=4) + ")"),
+        "build_vocab": r"""
+            WITH __t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), __c AS (
+              SELECT term, count(*)::BIGINT AS term_freq,
+                     count(DISTINCT doc_id)::BIGINT AS doc_freq
+              FROM __t WHERE term <> ''
+              GROUP BY term HAVING count(*) >= 3
+            )
+            SELECT term,
+                   (row_number() OVER (ORDER BY term_freq DESC, term ASC)
+                    - 1)::BIGINT AS term_id,
+                   term_freq, doc_freq
+            FROM __c
+            QUALIFY term_id < 50
+        """,
+        "bigram_lm": r"""
+            WITH __d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), __p AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ts) >= 2
+                                 THEN ts[1:len(ts)-1] ELSE [] END) AS a,
+                     unnest(CASE WHEN len(ts) >= 2
+                                 THEN ts[2:len(ts)] ELSE [] END) AS b
+              FROM __d
+            ), __big AS (
+              SELECT a, b, count(*)::BIGINT AS nab FROM __p GROUP BY a, b
+            ), __ctx AS (
+              SELECT a, sum(nab)::BIGINT AS na FROM __big GROUP BY a
+            ), __v AS (
+              SELECT count(DISTINCT t)::BIGINT AS v FROM (
+                SELECT unnest(ts) AS t FROM __d)
+            )
+            SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(avg(ln((g.nab + 0.5::DOUBLE)
+                                / (c.na + 0.5::DOUBLE * v.v))), 6)
+                     AS lm2_score
+            FROM __p p
+            JOIN __big g ON p.a = g.a AND p.b = g.b
+            JOIN __ctx c ON p.a = c.a
+            CROSS JOIN __v v
+            GROUP BY p.doc_id
+        """,
         "linkage": linkage_score_sql(
             """(
               WITH __r AS (

@@ -53,7 +53,8 @@ from .operators.graph import (adamic_adar, k_core, k_hop,
                               label_propagation, modularity, pagerank,
                               personalized_pagerank, shortest_paths,
                               triangle_count)
-from .operators.text import bm25_topk, phrase_search
+from .operators.text import (bigram_lm_score, bm25_topk, build_vocab,
+                             phrase_search)
 from .operators.shapes import (
     circle_struct,
     mbr_struct,
@@ -145,7 +146,7 @@ __all__ = [
     "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
     "attribution", "transition_matrix", "basket_rules",
-    "bm25_topk", "phrase_search",
+    "bm25_topk", "phrase_search", "build_vocab", "bigram_lm_score",
     "str_partition", "kd_partition", "voronoi_partition", "zorder_partition",
     "hash_partition", "range_partition", "assign_partitions",
     "partition_sizes",

@@ -811,3 +811,135 @@ FROM __tk t0 {joins}
 WHERE t0.term = {q(words[0])}
 GROUP BY t0.__id
 """
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_size: Optional[int] = None,
+) -> DataFrame:
+    """Frequency-ranked vocabulary with STABLE CONTIGUOUS ids:
+    term_id 0 is the most frequent term, ties broken by term asc —
+    the tokenizer-/embedding-table-building step of a training
+    pipeline, deterministic across engines, partitionings, and runs.
+
+    Returns ``(term, term_id, term_freq, doc_freq)``; ``min_count``
+    drops the tail before ranking, ``max_size`` truncates to the top
+    ids after it.
+
+    Scale: one explode + ONE combine-friendly groupBy(term) (hot
+    terms collapse map-side; doc_freq via count_distinct inside the
+    same aggregate), then the global dense rank runs TWO-PHASE via
+    ``pipeline.running_total`` on the (−freq, term) struct key —
+    range repartition + per-partition ranks + broadcast offsets,
+    never a single-partition window over the vocabulary.
+    """
+    from .pipeline import running_total
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("__id").alias("doc_freq"),
+        )
+        .filter(F.col("term_freq") >= int(min_count))
+        .withColumn(
+            "__ord",
+            F.struct(
+                (-F.col("term_freq")).alias("__nf"),
+                F.col("term").alias("__t"),
+            ),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    ranked = running_total(counts, "__ord", "__one", "__rk")
+    out = ranked.select(
+        "term",
+        (F.col("__rk") - 1).cast("long").alias("term_id"),
+        "term_freq",
+        "doc_freq",
+    )
+    if max_size is not None:
+        out = out.filter(F.col("term_id") < int(max_size))
+    return out
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under the corpus's own
+    add-α-smoothed bigram model — the next step up from
+    :func:`unigram_lm_score`'s bag-of-words proxy: word-SALAD text
+    (plausible unigrams, shuffled order) scores low here while
+    passing the unigram filter.
+
+    score(doc) = mean over adjacent pairs (a, b) of ln P(b | a),
+    P(b | a) = (c(a,b) + α) / (c(a,·) + α·V), V = unigram vocabulary
+    size. Documents with < 2 tokens have no pairs and are absent
+    from the output (left-join against the corpus to surface them as
+    NULL). Output:
+    ``(id, n_bigrams, lm2_score)`` rounded to 6 (float-sum
+    convention).
+
+    Scale: bigram pairs come from slicing the token ARRAY against its
+    own shift (zero windows, zero self-joins — pairs explode straight
+    out of the row); corpus bigram and context counts are two
+    combine-friendly groupBys; the probability lookup joins exploded
+    pairs to the bigram table on (a, b) (AQE broadcasts when small)
+    and the per-doc mean is one groupBy on the id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
+            lambda t: t != "",
+        ).alias("__ts"),
+    )
+    pairs = toks.select(
+        "__id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__ts", 1, F.greatest(F.size("__ts") - 1, F.lit(0))),
+                F.slice(
+                    "__ts", 2,
+                    F.greatest(F.size("__ts") - 1, F.lit(0)),
+                ),
+            )
+        ).alias("__p"),
+    ).select(
+        "__id",
+        F.col("__p")["0"].alias("__a"),
+        F.col("__p")["1"].alias("__b"),
+    )
+    big = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("__nab"))
+    ctx = big.groupBy("__a").agg(F.sum("__nab").alias("__na"))
+    voc = toks.select(F.explode("__ts").alias("t")).agg(
+        F.countDistinct("t").alias("__V"))
+    a = float(alpha)
+    logp = F.log(
+        (F.col("__nab") + F.lit(a))
+        / (F.col("__na") + F.lit(a) * F.col("__V"))
+    )
+    scored = (
+        pairs.join(big, ["__a", "__b"])
+        .join(ctx, "__a")
+        .crossJoin(F.broadcast(voc))
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("lm2_score"),
+        )
+    )
+    return scored

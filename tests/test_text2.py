@@ -1,0 +1,75 @@
+"""build_vocab (stable contiguous ids) and bigram_lm_score."""
+
+import math
+
+import pytest
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_vocab_rank_and_ties(spark):
+    from simba_spark.operators.text import build_vocab
+
+    docs = _docs(spark, ["b a a", "a b c", "c b"])
+    rows = {r["term"]: (r["term_id"], r["term_freq"], r["doc_freq"])
+            for r in build_vocab(docs).collect()}
+    # freqs: a=3, b=3, c=2 — tie between a and b broken by term asc
+    assert rows["a"] == (0, 3, 2)
+    assert rows["b"] == (1, 3, 3)
+    assert rows["c"] == (2, 2, 2)
+
+
+def test_vocab_min_count_and_max_size(spark):
+    from simba_spark.operators.text import build_vocab
+
+    docs = _docs(spark, ["x x x y y z"])
+    got = {r["term"] for r in
+           build_vocab(docs, min_count=2).collect()}
+    assert got == {"x", "y"}
+    top1 = build_vocab(docs, max_size=1).collect()
+    assert len(top1) == 1 and top1[0]["term"] == "x"
+    assert top1[0]["term_id"] == 0
+
+
+def test_vocab_ids_are_contiguous(spark):
+    from simba_spark.operators.text import build_vocab
+
+    docs = _docs(spark, ["one two three four five six seven"] * 3)
+    ids = sorted(r["term_id"] for r in build_vocab(docs).collect())
+    assert ids == list(range(7))
+
+
+def test_bigram_hand_formula(spark):
+    from simba_spark.operators.text import bigram_lm_score
+
+    # corpus: one doc "a b a b" -> pairs (a,b)x2, (b,a)x1
+    docs = _docs(spark, ["a b a b"])
+    r = bigram_lm_score(docs, alpha=0.5).collect()[0]
+    V = 2
+    # P(b|a) = (2+.5)/(2+.5*2) = 2.5/3 ; P(a|b) = (1+.5)/(1+.5*2) = 1.5/2
+    want = (2 * math.log(2.5 / 3) + 1 * math.log(1.5 / 2)) / 3
+    assert r["n_bigrams"] == 3
+    assert r["lm2_score"] == pytest.approx(want, abs=1e-6)
+
+
+def test_bigram_short_docs_absent(spark):
+    from simba_spark.operators.text import bigram_lm_score
+
+    docs = _docs(spark, ["solo", "", "a b"])
+    got = {r["doc_id"] for r in bigram_lm_score(docs).collect()}
+    assert got == {2}
+
+
+def test_bigram_flags_word_salad(spark):
+    from simba_spark.operators.text import bigram_lm_score
+
+    natural = "the cat sat on the mat " * 5
+    salad = "mat the on sat the cat cat on mat sat the the " \
+            "on cat sat mat the the sat on cat mat the the"
+    docs = _docs(spark, [natural] * 6 + [salad])
+    scores = {r["doc_id"]: r["lm2_score"]
+              for r in bigram_lm_score(docs).collect()}
+    assert scores[6] < scores[0]

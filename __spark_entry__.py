@@ -2870,6 +2870,17 @@ def q_k_core(spark, sf_dir):
     return k_core(_trade_edges(spark, sf_dir), k=10, iters=6)
 
 
+def q_hyperanf(spark, sf_dir):
+    """HyperANF neighborhood function (operators.graph.hyperanf) of
+    the directed trade graph: N(t) for t=0..4 from one md5-register
+    HLL ball per node, merged along out-edges each round — sketches
+    meet graphs; the whole register trajectory is bit-reproducible,
+    so the oracle replays it register-for-register."""
+    from simba_spark.operators.graph import hyperanf
+
+    return hyperanf(_trade_edges(spark, sf_dir), iters=4, p=6)
+
+
 def q_k_hop(spark, sf_dir):
     """k-hop BFS (operators.graph.k_hop): exact shortest hop-distance
     (0..3) from the customers whose key is a multiple of 100, over the
@@ -3378,6 +3389,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "k_core": q_k_core,
+        "hyperanf": q_hyperanf,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "volume_anomaly": q_volume_anomaly,
@@ -4154,7 +4166,8 @@ def oracle_sql() -> dict[str, str]:
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
         linreg_series_sql, rollup_sql)
 
-    from simba_spark.operators.graph import (k_core_sql, k_hop_sql,
+    from simba_spark.operators.graph import (hyperanf_sql, k_core_sql,
+                                             k_hop_sql,
                                              label_propagation_sql,
                                              modularity_sql,
                                              personalized_pagerank_sql)
@@ -4213,6 +4226,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "label_prop": label_propagation_sql(pr_edges, iters=4),
         "k_core": k_core_sql(pr_edges, k=10, iters=6),
+        "hyperanf": hyperanf_sql(pr_edges, iters=4, p=6),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

@@ -125,6 +125,7 @@ HEADLINE = [
     "ks_value",
     "linreg_trend",
     "modularity",
+    "hyperanf",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -148,7 +149,7 @@ _POST_R3 = {
     "adamic_adar", "forecast_events", "robust_z", "psi_drift",
     "shortest_paths",
     "pq_topk", "ivfpq_topk", "k_core", "top_paths", "acf_events", "cusum_events",
-    "ks_value", "linreg_trend", "modularity",
+    "ks_value", "linreg_trend", "modularity", "hyperanf",
 }
 
 GROUPS = {

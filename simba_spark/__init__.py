@@ -49,7 +49,7 @@ from .operators.analytics import (
 )
 from .operators.clustering import kmeans
 from .operators.dedup import edit_distance_pairs, linkage_score
-from .operators.graph import (adamic_adar, k_core, k_hop,
+from .operators.graph import (adamic_adar, hyperanf, k_core, k_hop,
                               label_propagation, modularity, pagerank,
                               personalized_pagerank, shortest_paths,
                               triangle_count)
@@ -141,7 +141,7 @@ __all__ = [
     "chisq_independence", "rank_normalize", "robust_zscore", "psi_drift",
     "rollup_state", "rollup_merge", "rollup_finalize",
     "forecast_seasonal_naive", "acf", "cusum", "cusum_baseline",
-    "linreg_series", "modularity",
+    "linreg_series", "modularity", "hyperanf",
     "ks_test", "welch_ttest", "mutual_information", "top_paths",
     "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",

@@ -1251,3 +1251,128 @@ SELECT c.l AS {label}, c.n_nodes,
              END, {r}) AS q_c
 FROM __c c LEFT JOIN __w w ON c.l = w.l CROSS JOIN __m m
 """
+
+
+def hyperanf(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    p: int = 6,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """HyperANF (Boldi–Rosa–Vigna, WWW'11): the approximate
+    neighborhood function N(t) = Σ_v |{w : dist(v → w) <= t}| for
+    t = 0..``iters``, via one HyperLogLog ball sketch per node —
+    THE graph-connectivity profile (effective diameter, reachability
+    mass, spid) at sizes where exact per-node BFS is quadratic.
+    Directed semantics: balls grow along out-edges.
+
+    Per round each node's sketch absorbs its out-neighbors' sketches:
+    a register-max merge, which is exactly :func:`.sketches.hll_merge`
+    applied graph-wide — the engine's md5-register HLL
+    (engine-portable, bit-reproducible) makes the whole trajectory a
+    pure function of (graph, p, seed), so the SQL oracle replays it
+    register-for-register.
+
+    Returns ``(t, nf)`` with nf rounded to ``round_to`` (the one
+    reassociating step is the final sum of per-node estimates;
+    everything upstream is dyadic-exact register arithmetic).
+
+    Scale: sketch state is ≤ 2^p register rows per node (skinny
+    (node, bucket, max) longs — never an array to rewrite); per round
+    ONE edges⋈sketch equi-join + ONE combine-friendly
+    (node, bucket) max-aggregate, the same shuffle key every round
+    (AQE reuses the exchange), localCheckpoint'd lineage; no driver
+    action inside the loop — the (iters+1)-row result materializes in
+    one job.
+    """
+    from .sketches import hll_estimate, hll_register_cols
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bucket, rho = hll_register_cols("node", seed, p)
+    sk = nodes.select(
+        "node", bucket.alias("__hll_b"), rho.alias("__hll_m"))
+
+    def nf_frame(s, t):
+        est = hll_estimate(s, group_by=["node"], p=p)
+        return est.agg(
+            F.round(F.sum("approx_distinct"), int(round_to)).alias("nf")
+        ).select(F.lit(int(t)).alias("t"), "nf")
+
+    out = nf_frame(sk, 0)
+    for t in range(1, int(iters) + 1):
+        nb = e.join(sk, e["d"] == sk["node"]).select(
+            F.col("s").alias("node"), "__hll_b", "__hll_m")
+        sk = (
+            sk.unionByName(nb)
+            .groupBy("node", "__hll_b")
+            .agg(F.max("__hll_m").alias("__hll_m"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(nf_frame(sk, t))
+    return out
+
+
+def hyperanf_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    p: int = 6,
+    seed: int = 42,
+    round_to: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`hyperanf` — the same md5 registers,
+    merge rounds unrolled as MATERIALIZED CTEs (each level feeds both
+    the next round and its own estimate), identical estimator
+    arithmetic via the shared hll SQL builders."""
+    from .sketches import hll_estimate_sql, hll_sketch_sql
+
+    parts = [
+        f"""__e AS MATERIALIZED (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM {edges_sql}
+  WHERE {src} <> {dst}
+)""",
+        """__n AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM __e UNION ALL SELECT d AS node FROM __e)
+)""",
+        "__s0 AS MATERIALIZED ("
+        + hll_sketch_sql("__n", "node", ["node"], p=p, seed=seed)
+        + ")",
+    ]
+    for t in range(1, int(iters) + 1):
+        parts.append(
+            f"""__s{t} AS MATERIALIZED (
+  SELECT node, __hll_b, max(__hll_m) AS __hll_m FROM (
+    SELECT node, __hll_b, __hll_m FROM __s{t - 1}
+    UNION ALL
+    SELECT e.s AS node, k.__hll_b, k.__hll_m
+    FROM __e e JOIN __s{t - 1} k ON e.d = k.node
+  ) GROUP BY node, __hll_b
+)"""
+        )
+    selects = []
+    for t in range(int(iters) + 1):
+        est = hll_estimate_sql(f"SELECT * FROM __s{t}", ["node"], p=p)
+        selects.append(
+            f"SELECT {t} AS t, round(sum(approx_distinct), "
+            f"{int(round_to)}) AS nf FROM ({est})"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + \
+        "\nUNION ALL\n".join(selects)

@@ -60,3 +60,39 @@ def test_k_validation(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         k_core(e, k=0)
+
+
+# --- hyperanf ---------------------------------------------------------------
+
+def test_hyperanf_chain_tracks_exact_reachability(spark):
+    """Directed chain 1→2→3→4: exact N(t) is 4,7,9,10,10; HLL at
+    these cardinalities sits in the linear-counting regime, so the
+    estimates land within a few percent."""
+    from simba_spark.operators.graph import hyperanf
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                              "src long, dst long")
+    got = {r["t"]: r["nf"] for r in hyperanf(e, iters=4, p=6).collect()}
+    exact = {0: 4, 1: 7, 2: 9, 3: 10, 4: 10}
+    for t, want in exact.items():
+        assert abs(got[t] - want) / want < 0.05, (t, got[t])
+    # monotone, and converged once t >= diameter
+    vals = [got[t] for t in range(5)]
+    assert vals == sorted(vals)
+    assert got[3] == got[4]
+
+
+def test_hyperanf_matches_sql_mirror(spark):
+    import duckdb
+
+    from simba_spark.operators.graph import hyperanf, hyperanf_sql
+
+    rows = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {(r["t"], r["nf"]) for r in hyperanf(e, iters=3, p=5).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    want = {tuple(r) for r in
+            con.sql(hyperanf_sql("e", iters=3, p=5)).fetchall()}
+    assert got == want

@@ -32,6 +32,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Force MATERIALIZED on every internal (``__``-prefixed) CTE of an
+    unrolled-iteration oracle. Each unrolled level references its
+    predecessor 2-3x (the rank/dist join plus a normalization or
+    degree read), so DuckDB's default inlining expands the chain into
+    a 2-3^iters plan — hits_sql at its iters=8 default measured as a
+    multi-minute hang before this (the k_core_sql lesson, applied
+    module-wide). Only double-underscore names are touched, so
+    caller-supplied edge subqueries are never rewritten."""
+    import re
+
+    return re.sub(r"(\b__\w+ AS )\(", r"\1MATERIALIZED (", sql)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -230,7 +244,7 @@ def pagerank_sql(
     rank_expr = (
         f"round(rank, {int(round_to)})" if round_to is not None else "rank"
     )
-    return (
+    return _materialize_ctes(
         ",\n".join(parts)
         + f"\nSELECT node, {rank_expr} AS rank FROM {final}"
     )
@@ -410,7 +424,7 @@ def label_propagation_sql(
   ) WHERE __rn = 1
 )"""
         )
-    return (
+    return _materialize_ctes(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, label FROM __l{int(iters)}"
     )
@@ -487,7 +501,7 @@ def k_hop_sql(
   ) GROUP BY node
 )"""
         )
-    return (
+    return _materialize_ctes(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, dist::INT AS dist FROM __d{int(k)}"
     )
@@ -628,7 +642,7 @@ def personalized_pagerank_sql(
     rank_expr = (
         f"round(rank, {int(round_to)})" if round_to is not None else "rank"
     )
-    return (
+    return _materialize_ctes(
         ",\n".join(parts)
         + f"\nSELECT node, {rank_expr} AS rank FROM __r{int(iters)}"
     )
@@ -873,7 +887,7 @@ def shortest_paths_sql(
             f"SELECT e.dst AS node, d.dist + e.w AS dist "
             f"FROM __d{i} d JOIN __e e ON d.node = e.src) GROUP BY node)"
         )
-    return (
+    return _materialize_ctes(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, round(dist, {int(round_to)}) AS dist "
           f"FROM __d{int(iters)}"
@@ -971,17 +985,21 @@ def hits_sql(
 ) -> str:
     """DuckDB mirror of :func:`hits` — iterations unrolled as chained
     CTEs with the same L1 normalization."""
+    # every level is referenced 3x (the L1-normalization subquery, the
+    # LEFT JOIN, and the next level) — without MATERIALIZED DuckDB
+    # inlines the chain into a ~3^(2*iters) plan: the iters=8 default
+    # measured as a multi-minute hang (same class as k_core_sql)
     parts = [
-        f"WITH __e AS (SELECT DISTINCT {src} AS src, {dst} AS dst "
+        f"WITH __e AS MATERIALIZED (SELECT DISTINCT {src} AS src, {dst} AS dst "
         f"FROM ({edges_sql}) WHERE {src} IS NOT NULL AND {dst} IS NOT NULL "
         f"AND {src} != {dst})",
-        "__nodes AS (SELECT src AS node FROM __e UNION SELECT dst FROM __e)",
-        "__h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM __nodes)",
+        "__nodes AS MATERIALIZED (SELECT src AS node FROM __e UNION SELECT dst FROM __e)",
+        "__h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS hub FROM __nodes)",
     ]
     for i in range(int(iters)):
         ph, ca, ch = f"__h{i}", f"__a{i + 1}", f"__h{i + 1}"
         parts.append(
-            f"""{ca} AS (
+            f"""{ca} AS MATERIALIZED (
   SELECT nn.node,
          COALESCE(r.__a, 0.0) / (SELECT sum(__a) FROM (
             SELECT e.dst, sum(h.hub) AS __a FROM __e e
@@ -993,7 +1011,7 @@ def hits_sql(
 )"""
         )
         parts.append(
-            f"""{ch} AS (
+            f"""{ch} AS MATERIALIZED (
   SELECT nn.node,
          COALESCE(r.__h, 0.0) / (SELECT sum(__h) FROM (
             SELECT e.src, sum(a.authority) AS __h FROM __e e

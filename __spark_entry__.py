@@ -3072,6 +3072,27 @@ def q_mi_docs(spark, sf_dir):
                               "source", "lang")
 
 
+def q_gini_prices(spark, sf_dir):
+    """Gini concentration of order totalprice per market segment
+    (operators.stats.gini, grouped path: per-group rank windows) —
+    the one-number inequality score next to skew_report's offender
+    list."""
+    from simba_spark.operators.stats import gini
+
+    orders = _t(spark, sf_dir, "orders")
+    return gini(orders, "o_totalprice", group_col="o_orderpriority")
+
+
+def q_benford_prices(spark, sf_dir):
+    """First-significant-digit Benford screen over order totalprice
+    (operators.stats.benford): per-digit observed vs expected shares
+    + χ² terms; the digit is extracted arithmetically (no string
+    formatting) so both engines agree bit-for-bit."""
+    from simba_spark.operators.stats import benford
+
+    return benford(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_build_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary with stable contiguous ids
     (operators.text.build_vocab): top-50 terms with term_freq >= 3,
@@ -3411,6 +3432,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "build_vocab": q_build_vocab,
         "bigram_lm": q_bigram_lm,
+        "gini_prices": q_gini_prices,
+        "benford_prices": q_benford_prices,
         "linkage": q_linkage,
         "quantile_bin_grouped": q_quantile_bin_grouped,
         "personalized_pagerank": q_personalized_pagerank,
@@ -4171,7 +4194,8 @@ def oracle_sql() -> dict[str, str]:
                                              label_propagation_sql,
                                              modularity_sql,
                                              personalized_pagerank_sql)
-    from simba_spark.operators.stats import (ks_test_sql,
+    from simba_spark.operators.stats import (benford_sql, gini_sql,
+                                             ks_test_sql,
                                              mutual_information_sql,
                                              psi_drift_sql,
                                              robust_zscore_sql,
@@ -4259,6 +4283,9 @@ def oracle_sql() -> dict[str, str]:
         "welch_value": welch_ttest_sql("events", "value", "event_type",
                                        "click", "purchase"),
         "mi_docs": mutual_information_sql("documents", "source", "lang"),
+        "gini_prices": gini_sql("orders", "o_totalprice",
+                                group_col="o_orderpriority"),
+        "benford_prices": benford_sql("orders", "o_totalprice"),
         "linreg_trend": linreg_series_sql(
             "(SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
             " count(*) AS x FROM events GROUP BY 1, 2)",

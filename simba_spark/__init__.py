@@ -94,8 +94,9 @@ from .operators.timeseries import (acf, cusum, cusum_baseline,
                                     forecast_seasonal_naive, linreg_series,
                                     rollup_finalize, rollup_merge,
                                     rollup_state)
-from .operators.stats import (chisq_independence, corr_matrix, cov_matrix,
-                              heavy_hitters, histogram_fixed, ks_test,
+from .operators.stats import (benford, chisq_independence, corr_matrix,
+                              cov_matrix, gini, heavy_hitters,
+                              histogram_fixed, ks_test,
                               mutual_information, psi_drift, robust_zscore,
                               skew_report, welch_ttest)
 from .partitioners import (
@@ -143,6 +144,7 @@ __all__ = [
     "forecast_seasonal_naive", "acf", "cusum", "cusum_baseline",
     "linreg_series", "modularity", "hyperanf",
     "ks_test", "welch_ttest", "mutual_information", "top_paths",
+    "gini", "benford",
     "kmeans", "linkage_score", "edit_distance_pairs",
     "funnel", "cohort_retention", "volume_anomaly", "volume_baseline",
     "attribution", "transition_matrix", "basket_rules",

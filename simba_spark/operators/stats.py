@@ -1149,3 +1149,194 @@ SELECT round(mi, {r}) AS mi,
        n
 FROM __mi CROSS JOIN __ha CROSS JOIN __hb
 """
+
+
+def gini(
+    df: DataFrame,
+    val_col: str,
+    group_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative measure —
+    how unequally mass (tokens per document, spend per customer,
+    requests per key) is distributed. 0 = uniform, →1 = one row holds
+    everything. The one-number skew summary behind sampling-design
+    and hot-key decisions; :func:`skew_report` names offenders, this
+    scores the whole distribution.
+
+    Computed by the sorted-rank identity
+    ``G = 2 Σ_i i·x_(i) / (n Σ x) − (n+1)/n`` with ties broken by the
+    sorted value (any tie order yields the same G — equal values
+    commute in the weighted sum: swapping two equal x contributes the
+    same Σ i·x). NULL/NaN/negative rows are dropped (Gini is defined
+    for non-negative measures).
+
+    Returns one row per group: ``(group?, n, total, gini)``; gini
+    NULL for an empty group / zero total.
+
+    Scale: with ``group_col`` the rank is an ordinary per-group
+    window (each group sorts within its partition). Ungrouped, the
+    global rank runs two-phase via :func:`.pipeline.running_total` —
+    never a single-partition window. Σ i·x sums exact integers when
+    the measure is integral; otherwise the usual ``round_to``
+    convention applies.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(val_col).cast("double")
+    base = df.filter(x.isNotNull() & ~F.isnan(x) & (x >= 0)) \
+             .select(*( [F.col(group_col)] if group_col else [] ),
+                     x.alias("__x"))
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(F.col("__x").asc())
+        ranked = base.withColumn("__i", F.row_number().over(w))
+        grp = [group_col]
+    else:
+        from .pipeline import running_total
+
+        withone = base.withColumn("__one", F.lit(1)).withColumn(
+            "__ord", F.struct(F.col("__x"),
+                              F.monotonically_increasing_id()))
+        ranked = running_total(withone, "__ord", "__one", "__i") \
+            .drop("__one", "__ord")
+        grp = []
+    agg = ranked.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i").cast("double") * F.col("__x")).alias("__ix"),
+    )
+    nn = F.col("n").cast("double")
+    g = (F.lit(2.0) * F.col("__ix")) / (nn * F.col("total")) \
+        - (nn + F.lit(1.0)) / nn
+    return agg.select(
+        *grp,
+        "n",
+        F.round("total", int(round_to)).alias("total"),
+        F.round(F.when(F.col("total") > 0, g), int(round_to))
+        .alias("gini"),
+    )
+
+
+def gini_sql(
+    from_sql: str,
+    val_col: str,
+    group_col: Optional[str] = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`gini` (same sorted-rank identity; tie
+    order is irrelevant to the sum, so row_number suffices)."""
+    r = int(round_to)
+    gsel = f"{group_col}, " if group_col else ""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    gby = f"GROUP BY {group_col}" if group_col else ""
+    return f"""
+WITH __f AS (
+  SELECT {gsel}CAST({val_col} AS DOUBLE) AS x
+  FROM {from_sql}
+  WHERE {val_col} IS NOT NULL
+    AND NOT isnan(CAST({val_col} AS DOUBLE))
+    AND CAST({val_col} AS DOUBLE) >= 0
+), __r AS (
+  SELECT {gsel}x,
+         row_number() OVER ({part}ORDER BY x ASC) AS i
+  FROM __f
+), __a AS (
+  SELECT {gsel}count(*)::BIGINT AS n, sum(x) AS total,
+         sum(i * x) AS ix
+  FROM __r {gby}
+)
+SELECT {gsel}n, round(total, {r}) AS total,
+       round(CASE WHEN total > 0
+                  THEN (2.0 * ix) / (n * total) - (n + 1.0) / n
+             END, {r}) AS gini
+FROM __a
+"""
+
+
+def benford(
+    df: DataFrame,
+    val_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-data screen for naturally
+    scale-spanning measures (amounts, populations, file sizes).
+
+    Emits one row per digit 1-9: ``(digit, n, p_obs, p_benford,
+    chisq_term)``; Σ chisq_term is the Pearson χ² statistic against
+    the Benford expectation (compare to the caller's critical value
+    at 8 df). Zero/NULL/NaN values are dropped (no first significant
+    digit); negatives use their magnitude.
+
+    The first significant digit is extracted arithmetically —
+    ``floor(|x| / 10^floor(log10(|x|)))`` — identical in both
+    engines, no string formatting involved.
+
+    Scale: one filter-project + one 9-row groupBy — combine-friendly,
+    nothing but 9 rows past the map side.
+    """
+    import math as _m
+
+    x = F.abs(F.col(val_col).cast("double"))
+    ok = F.col(val_col).isNotNull() & ~F.isnan(
+        F.col(val_col).cast("double")) & (x > 0)
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))) \
+        .cast("int")
+    counts = (
+        df.filter(ok)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("__N"))
+    pb = {d: _m.log10(1 + 1.0 / d) for d in range(1, 10)}
+    pb_col = F.element_at(
+        F.array(*[F.lit(pb[d]) for d in range(1, 10)]), F.col("digit"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p_obs = F.col("n") / F.col("__N").cast("double")
+    expect = F.col("__N") * pb_col
+    chisq = (F.col("n") - expect) * (F.col("n") - expect) / expect
+    return j.select(
+        "digit",
+        "n",
+        F.round(p_obs, int(round_to)).alias("p_obs"),
+        F.round(pb_col, int(round_to)).alias("p_benford"),
+        F.round(chisq, int(round_to)).alias("chisq_term"),
+    )
+
+
+def benford_sql(
+    from_sql: str,
+    val_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`benford` (same arithmetic digit
+    extraction and χ² terms)."""
+    import math as _m
+
+    r = int(round_to)
+    pb_list = ", ".join(
+        repr(_m.log10(1 + 1.0 / d)) for d in range(1, 10))
+    return f"""
+WITH __f AS (
+  SELECT abs(CAST({val_col} AS DOUBLE)) AS x
+  FROM {from_sql}
+  WHERE {val_col} IS NOT NULL
+    AND NOT isnan(CAST({val_col} AS DOUBLE))
+    AND abs(CAST({val_col} AS DOUBLE)) > 0
+), __d AS (
+  SELECT CAST(floor(x / power(10.0, floor(log10(x)))) AS INT) AS digit
+  FROM __f
+), __c AS (
+  SELECT digit, count(*)::BIGINT AS n FROM __d GROUP BY digit
+), __t AS (
+  SELECT sum(n)::BIGINT AS N FROM __c
+)
+SELECT c.digit, c.n,
+       round(c.n / CAST(t.N AS DOUBLE), {r}) AS p_obs,
+       round(([{pb_list}])[c.digit], {r}) AS p_benford,
+       round((c.n - t.N * ([{pb_list}])[c.digit])
+             * (c.n - t.N * ([{pb_list}])[c.digit])
+             / (t.N * ([{pb_list}])[c.digit]), {r}) AS chisq_term
+FROM __c c CROSS JOIN __t t
+"""

@@ -370,3 +370,70 @@ def test_modularity_sql_mirror(spark):
     want = {tuple(r) for r in
             con.sql(modularity_sql("e", "lab")).fetchall()}
     assert got == want
+
+
+# --- gini -------------------------------------------------------------------
+
+def test_gini_uniform_zero_and_concentrated_high(spark):
+    from simba_spark.operators.stats import gini
+
+    uni = spark.createDataFrame([(float(5),)] * 10, "x double")
+    r = gini(uni, "x").collect()[0]
+    assert r["gini"] == pytest.approx(0.0, abs=1e-9) and r["n"] == 10
+
+    conc = spark.createDataFrame([(0.0,)] * 9 + [(100.0,)], "x double")
+    r2 = gini(conc, "x").collect()[0]
+    assert r2["gini"] == pytest.approx(0.9, abs=1e-9)
+
+
+def test_gini_matches_manual(spark):
+    from simba_spark.operators.stats import gini
+
+    xs = [1.0, 2.0, 3.0, 4.0, 10.0]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    r = gini(df, "x").collect()[0]
+    s = sorted(xs)
+    n, tot = len(s), sum(s)
+    want = 2 * sum((i + 1) * x for i, x in enumerate(s)) / (n * tot) \
+        - (n + 1) / n
+    assert r["gini"] == pytest.approx(want, abs=1e-9)
+
+
+def test_gini_grouped_and_negatives_dropped(spark):
+    from simba_spark.operators.stats import gini
+
+    rows = [("a", 5.0), ("a", 5.0), ("b", 0.0), ("b", 10.0),
+            ("b", -3.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: (r["n"], r["gini"])
+           for r in gini(df, "x", group_col="g").collect()}
+    assert got["a"] == (2, pytest.approx(0.0, abs=1e-9))
+    assert got["b"] == (2, pytest.approx(0.5, abs=1e-9))
+
+
+# --- benford ----------------------------------------------------------------
+
+def test_benford_digit_extraction(spark):
+    from simba_spark.operators.stats import benford
+
+    rows = [(1.0,), (19.5,), (0.032,), (200.0,), (999.0,), (-45.0,),
+            (0.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {r["digit"]: r["n"] for r in benford(df, "x").collect()}
+    # digits: 1,1,3,2,9,4 — zeros/NULLs dropped
+    assert got == {1: 2, 2: 1, 3: 1, 4: 1, 9: 1}
+
+
+def test_benford_conforming_sample_low_chisq(spark):
+    import math
+
+    from simba_spark.operators.stats import benford
+
+    # geometric ramp spans 4 decades -> near-Benford digits
+    rows = [(1.07 ** i,) for i in range(1, 300)]
+    df = spark.createDataFrame(rows, "x double")
+    out = benford(df, "x").collect()
+    chisq = sum(r["chisq_term"] for r in out)
+    assert chisq < 16.0  # chi2(8df, .95)=15.5; conforming data passes
+    p = {r["digit"]: r["p_obs"] for r in out}
+    assert abs(p[1] - math.log10(2)) < 0.05

@@ -2867,7 +2867,8 @@ def q_k_core(spark, sf_dir):
     be a 3^rounds plan)."""
     from simba_spark.operators.graph import k_core
 
-    return k_core(_trade_edges(spark, sf_dir), k=10, iters=6)
+    return k_core(_trade_edges(spark, sf_dir), k=10, iters=6,
+                  assert_converged=False)
 
 
 def q_hyperanf(spark, sf_dir):
@@ -3315,6 +3316,223 @@ def q_rfm(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# spherical geo family — WGS-84 coords derived from integer keys by pure
+# integer modulo (bit-identical in both engines), spread over the full
+# globe including high latitudes (the banded grid's stress regime)
+
+
+def _geo_coords(df, id_col: str, lat_mult: int, lon_mult: int,
+                lat_col: str = "lat", lon_col: str = "lon"):
+    lat = (F.col(id_col) * lat_mult % 17000).cast("double") / 100.0 - 85.0
+    lon = (F.col(id_col) * lon_mult % 36000).cast("double") / 100.0 - 180.0
+    return df.withColumn(lat_col, lat).withColumn(lon_col, lon)
+
+
+def _geo_coords_sql(id_expr: str, lat_mult: int, lon_mult: int):
+    lat = f"(CAST({id_expr} * {lat_mult} % 17000 AS DOUBLE) / 100.0 - 85.0)"
+    lon = f"(CAST({id_expr} * {lon_mult} % 36000 AS DOUBLE) / 100.0 - 180.0)"
+    return lat, lon
+
+
+def q_geo_distance_join(spark, sf_dir):
+    """Spherical distance join (geo_distance_join): all odd/even event
+    pairs within 300 great-circle km — banded-grid equi-join + exact
+    haversine refine, no cartesian (SURVEY §2.3 DJSpark shape,
+    spherical metric)."""
+    from simba_spark.operators.geo import geo_distance_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    l = _geo_coords(ev.filter(F.col("event_id") % 2 == 0), "event_id",
+                    37, 59, "l_lat", "l_lon") \
+        .select(F.col("event_id").alias("l_id"), "l_lat", "l_lon")
+    r = _geo_coords(ev.filter(F.col("event_id") % 2 == 1), "event_id",
+                    37, 59, "r_lat", "r_lon") \
+        .select(F.col("event_id").alias("r_id"), "r_lat", "r_lon")
+    out = geo_distance_join(l, r, 300.0, lat_l="l_lat", lon_l="l_lon",
+                            lat_r="r_lat", lon_r="r_lon")
+    return out.select("l_id", "r_id",
+                      F.round("dist_km", 4).alias("dist_r"))
+
+
+def q_geo_knn_join(spark, sf_dir):
+    """Spherical kNN join (geo_knn_join, θ-bounded grid program): 3
+    nearest customers per supplier by great-circle distance."""
+    from simba_spark.operators.geo import geo_knn_join
+
+    s = _geo_coords(_t(spark, sf_dir, "supplier").select("s_suppkey"),
+                    "s_suppkey", 41, 71, "s_lat", "s_lon")
+    c = _geo_coords(_t(spark, sf_dir, "customer").select("c_custkey"),
+                    "c_custkey", 37, 59, "c_lat", "c_lon")
+    out = geo_knn_join(
+        s, c, 3, lat_l="s_lat", lon_l="s_lon", lat_r="c_lat",
+        lon_r="c_lon", left_id="s_suppkey", right_tiebreak="c_custkey",
+        algo="theta",
+    )
+    return out.select("s_suppkey", "c_custkey",
+                      F.round("dist_km", 4).alias("dist_r"))
+
+
+def q_geo_circle_range(spark, sf_dir):
+    """Spherical range (geo_circle_range): events within 2000 km of a
+    high-latitude center — sargable bbox prefilter + haversine refine."""
+    from simba_spark.operators.geo import geo_circle_range
+
+    ev = _geo_coords(_t(spark, sf_dir, "events").select("event_id"),
+                     "event_id", 37, 59)
+    out = geo_circle_range(ev, "lat", "lon", (72.0, 150.0), 2000.0)
+    return out.select("event_id")
+
+
+def q_geo_knn(spark, sf_dir):
+    """Spherical global kNN (geo_knn): 25 events nearest a center —
+    TakeOrderedAndProject, 25 rows to the driver."""
+    from simba_spark.operators.geo import geo_knn
+
+    ev = _geo_coords(_t(spark, sf_dir, "events").select("event_id"),
+                     "event_id", 37, 59)
+    out = geo_knn(ev, "lat", "lon", (48.0, 2.0), 25,
+                  tiebreak="event_id")
+    return out.select("event_id", F.round("dist_km", 4).alias("dist_r"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (warehouse family, next to orders_upsert/table_diff)
+
+
+def q_scd2_build(spark, sf_dir):
+    """Type-2 dimension from the orders change stream: per customer the
+    (status, priority) validity timeline — consecutive-dup collapse +
+    [valid_from, valid_to) intervals, open version NULL; one shuffle
+    (both window passes share the (key, ts, tiebreak) sort)."""
+    from simba_spark.operators.pipeline import scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_build(
+        orders, key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 / Q12 / Q21 — the three remaining no-partsupp queries
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted: share of NATION_3
+    suppliers in EUROPE-customer PROMO-part order volume by year.
+    Broadcast dims prune the fact side first; volume summed in exact
+    cents so the share division is engine/partitioning-stable."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))
+    supp = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")) \
+        .select("s_suppkey", "supp_nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31"))
+    li = _t(spark, sf_dir, "lineitem")
+    vol_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                vol_cents.alias("vol"), "supp_nation")
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                         F.col("vol")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("vol").cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-priority lines), adapted to this schema:
+    lineitem has no shipmode/commit/receipt dates, so the group key is
+    l_returnflag and "late" is l_shipdate > o_orderdate + 30 days (the
+    Q4 convention). One fact-fact equi-join + a 3-row conditional
+    aggregate — exact long counts."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late"
+    is l_shipdate > o_orderdate + 30 days. Multi-supplier F-orders
+    where ONLY this supplier shipped late: EXISTS → left-semi,
+    NOT EXISTS → left-anti, both on the order key (no row
+    multiplication, no correlated subquery materialization)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    with_ord = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = with_ord.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2_key"),
+                   F.col("l_suppkey").alias("o2_supp"))
+    l3 = late.select(F.col("l_orderkey").alias("o3_key"),
+                     F.col("l_suppkey").alias("o3_supp"))
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name")
+    waiting = (
+        late
+        .join(l2, (F.col("l_orderkey") == F.col("o2_key"))
+              & (F.col("l_suppkey") != F.col("o2_supp")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3_key"))
+              & (F.col("l_suppkey") != F.col("o3_supp")), "left_anti")
+    )
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3330,83 +3548,18 @@ _DRIVER_QUERY_CAP = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # --- round-6 debuts ---
-        "events_ewma": q_events_ewma,
-        "cov_matrix": q_cov_matrix,
-        "validate_events": q_validate_events,
-        "corr_matrix": q_corr_matrix,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "quantile_bin": q_quantile_bin,
-        "table_diff": q_table_diff,
-        "events_gapfill": q_events_gapfill,
-        "leakage_split": q_leakage_split,
-        "semantic_dedup": q_semantic_dedup,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "quantile_events": q_quantile_events,
-        "quantile_merged": q_quantile_merged,
-        "cm_heavy": q_cm_heavy,
-        "winsorize_events": q_winsorize_events,
-        "token_cooc": q_token_cooc,
-        # --- round-6 promotions: round-5 registrations that entered
-        #     extra_queries() without ever earning a driver row (the
-        #     round-3 lesson is debuts earn driver greens first) ---
-        "tpch_q4": q_tpch_q4,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "global_order": q_global_order,
-        "scrub_ngrams": q_scrub_ngrams,
-        "events_json": q_events_json,
-        "events_histogram": q_events_histogram,
-        "heavy_tokens": q_heavy_tokens,
-        "table_profile": q_table_profile,
-        # --- round-5 debuts (1 driver green each; inverted_index
-        #     re-earning after the round-6 oracle-typing fix) ---
-        "hll_orders": q_hll_orders,
-        "hll_merged": q_hll_merged,
-        "theta_parts": q_theta_parts,
-        "pagerank": q_pagerank,
-        "triangles": q_triangles,
-        "weighted_sample": q_weighted_sample,
-        "bloom_join": q_bloom_join,
-        "pii_redact": q_pii_redact,
-        "paragraph_dedup": q_paragraph_dedup,
-        "mixture_sample": q_mixture_sample,
-        "tpch_q18": q_tpch_q18,
-        "lm_score": q_lm_score,
-        "inverted_index": q_inverted_index,
-        "dedup_resolve": q_dedup_resolve,
-        "box_box_join": q_box_box_join,
-        "segment_circle_join": q_segment_circle_join,
-        "knn_join_highd": q_knn_join_highd,
-        "doc_chunk": q_doc_chunk,
-        "dup_ngrams": q_dup_ngrams,
-        # --- round-4 debuts (need their 3 greens before rotating) ---
-    }
-    assert len(q) == _DRIVER_QUERY_CAP, (
-        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
-        f"(the driver's correctness window), got {len(q)} — rotate the "
-        "most-proven entries into extra_queries()"
-    )
-    return q
-
-
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Bedrock queries rotated out of the driver's 50-row window after
-    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
-    hash all true). Local harnesses (`scripts/check_oracle.py`,
-    `bench.py`, pytest) merge this dict with :func:`queries` so the
-    oracle coverage stays total; every entry still has its SQL mirror
-    in :func:`oracle_sql`."""
-    return {
-        # --- round-6 late debuts: locally oracle-green, queued for
-        #     round-7 driver rows (the round-6 window is full of
-        #     earlier debuts still earning their greens) ---
+        # --- round-7 debuts (new operators this round) ---
+        "geo_distance_join": q_geo_distance_join,
+        "geo_knn_join": q_geo_knn_join,
+        "scd2_build": q_scd2_build,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q21": q_tpch_q21,
+        # --- round-7 promotions: the round-6 late debuts that entered
+        #     extra_queries() locally-green without a driver row, seated
+        #     per the round-6 brief (#4) — the round-6 window rows (1
+        #     driver green each + local re-verification every
+        #     check_oracle run) rotate out to make room ---
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "k_core": q_k_core,
@@ -3451,6 +3604,82 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "shortest_paths": q_shortest_paths,
         "hits": q_hits,
+    }
+    assert len(q) == _DRIVER_QUERY_CAP, (
+        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
+        f"(the driver's correctness window), got {len(q)} — rotate the "
+        "most-proven entries into extra_queries()"
+    )
+    return q
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bedrock queries rotated out of the driver's 50-row window after
+    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
+    hash all true). Local harnesses (`scripts/check_oracle.py`,
+    `bench.py`, pytest) merge this dict with :func:`queries` so the
+    oracle coverage stays total; every entry still has its SQL mirror
+    in :func:`oracle_sql`."""
+    return {
+        # --- round-7 late debuts: locally oracle-green, queued for
+        #     round-8 driver rows (the round-7 window is fully booked
+        #     with the 44-query backlog + 6 new debuts) ---
+        "geo_circle_range": q_geo_circle_range,
+        "geo_knn": q_geo_knn,
+        # --- rotated after round 6 with 1 driver green each (r6) to
+        #     seat the 44-query backlog per the round-6 brief; all
+        #     re-verified locally by every check_oracle.py run ---
+        "events_ewma": q_events_ewma,
+        "cov_matrix": q_cov_matrix,
+        "validate_events": q_validate_events,
+        "corr_matrix": q_corr_matrix,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "quantile_bin": q_quantile_bin,
+        "table_diff": q_table_diff,
+        "events_gapfill": q_events_gapfill,
+        "leakage_split": q_leakage_split,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "quantile_events": q_quantile_events,
+        "quantile_merged": q_quantile_merged,
+        "cm_heavy": q_cm_heavy,
+        "winsorize_events": q_winsorize_events,
+        "token_cooc": q_token_cooc,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "global_order": q_global_order,
+        "scrub_ngrams": q_scrub_ngrams,
+        "events_json": q_events_json,
+        "events_histogram": q_events_histogram,
+        "heavy_tokens": q_heavy_tokens,
+        "table_profile": q_table_profile,
+        # --- rotated after round 6 with 2 driver greens (r5+r6) ---
+        "hll_orders": q_hll_orders,
+        "hll_merged": q_hll_merged,
+        "theta_parts": q_theta_parts,
+        "pagerank": q_pagerank,
+        "triangles": q_triangles,
+        "weighted_sample": q_weighted_sample,
+        "bloom_join": q_bloom_join,
+        "pii_redact": q_pii_redact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "mixture_sample": q_mixture_sample,
+        "tpch_q18": q_tpch_q18,
+        "lm_score": q_lm_score,
+        "inverted_index": q_inverted_index,
+        "dedup_resolve": q_dedup_resolve,
+        "box_box_join": q_box_box_join,
+        "segment_circle_join": q_segment_circle_join,
+        "knn_join_highd": q_knn_join_highd,
+        "doc_chunk": q_doc_chunk,
+        "dup_ngrams": q_dup_ngrams,
         # --- rotated after round 5 (3 driver greens each: r3+r4+r5,
         #     except corpus_build/doc_pack r2+r4+r5) ---
         "corpus_build": q_corpus_build,
@@ -4202,7 +4431,138 @@ def oracle_sql() -> dict[str, str]:
                                              skew_report_sql,
                                              welch_ttest_sql)
 
+    from simba_spark.operators.geo import haversine_km_sql
+
+    _gl_lat, _gl_lon = _geo_coords_sql("l.event_id", 37, 59)
+    _gr_lat, _gr_lon = _geo_coords_sql("r.event_id", 37, 59)
+    _gs_lat, _gs_lon = _geo_coords_sql("s_suppkey", 41, 71)
+    _gc_lat, _gc_lon = _geo_coords_sql("c_custkey", 37, 59)
+    _ge_lat, _ge_lon = _geo_coords_sql("event_id", 37, 59)
+    geo_dj_hav = haversine_km_sql(_gl_lat, _gl_lon, _gr_lat, _gr_lon)
+    geo_kj_hav = haversine_km_sql("s.lat", "s.lon", "c.lat", "c.lon")
+    geo_cr_hav = haversine_km_sql(_ge_lat, _ge_lon, "72.0", "150.0")
+    geo_knn_hav = haversine_km_sql(_ge_lat, _ge_lon, "48.0", "2.0")
+
     return {
+        "geo_distance_join": f"""
+            SELECT l.event_id AS l_id, r.event_id AS r_id,
+                   round({geo_dj_hav}, 4) AS dist_r
+            FROM events l, events r
+            WHERE l.event_id % 2 = 0 AND r.event_id % 2 = 1
+              AND {geo_dj_hav} <= 300.0
+        """,
+        "geo_knn_join": f"""
+            WITH s AS (SELECT s_suppkey, {_gs_lat} AS lat,
+                              {_gs_lon} AS lon FROM supplier),
+                 c AS (SELECT c_custkey, {_gc_lat} AS lat,
+                              {_gc_lon} AS lon FROM customer),
+                 p AS (SELECT s.s_suppkey, c.c_custkey,
+                              {geo_kj_hav} AS d
+                       FROM s, c)
+            SELECT s_suppkey, c_custkey, round(d, 4) AS dist_r
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY s_suppkey ORDER BY d, c_custkey
+                  ) AS rn FROM p)
+            WHERE rn <= 3
+        """,
+        "geo_circle_range": f"""
+            SELECT event_id FROM events
+            WHERE {geo_cr_hav} <= 2000.0
+        """,
+        "geo_knn": f"""
+            SELECT event_id, round({geo_knn_hav}, 4) AS dist_r
+            FROM events
+            ORDER BY {geo_knn_hav} ASC, event_id ASC
+            LIMIT 25
+        """,
+        "scd2_build": """
+            WITH base AS (
+              SELECT o_custkey, o_orderdate, o_orderstatus,
+                     o_orderpriority, o_orderkey
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            ), lagged AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS __ps,
+                     lag(o_orderpriority) OVER w AS __pp,
+                     lag(o_orderdate) OVER w AS __pd
+              FROM base
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+            ), versions AS (
+              SELECT * FROM lagged
+              WHERE __pd IS NULL
+                 OR NOT (o_orderstatus IS NOT DISTINCT FROM __ps
+                         AND o_orderpriority IS NOT DISTINCT FROM __pp)
+            )
+            SELECT o_custkey, o_orderstatus, o_orderpriority,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS valid_to
+            FROM versions
+        """,
+        "tpch_q8": f"""
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN nation = 'NATION_3'
+                                       THEN vol ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+            FROM (
+              SELECT year(o.o_orderdate) AS o_year,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100.0, 0) AS BIGINT) AS vol,
+                     n2.n_name AS nation
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+              JOIN region r ON n1.n_regionkey = r.r_regionkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+              WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+                AND o.o_orderdate >= '1996-01-01'
+                AND o.o_orderdate <= '1997-12-31'
+            )
+            GROUP BY o_year
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY l_returnflag
+        """,
+        "tpch_q21": """
+            WITH late AS (
+              SELECT l.l_orderkey, l.l_suppkey
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            )
+            SELECT s.s_name, count(*) AS numwait
+            FROM late l1
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s.s_name
+        """,
         "skew_report": skew_report_sql(
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),

@@ -132,18 +132,31 @@ def geo_knn(
 
 def _band_width_deg(band, radius_km: float):
     """Lon cell width (degrees) for a lat band, derived from the BAND
-    INDEX so both join sides compute identical keys: evaluated at the
-    band's max |lat|, clamped at _MAX_BAND_LAT (polar bands collapse
-    to one 360° cell)."""
+    INDEX so both join sides compute identical keys.
+
+    The width must bound the longitude separation of ANY pair within
+    ``radius_km`` whose single-keyed endpoint lies in the band. That
+    bound is the spherical-cap longitude extent: a cap of angular
+    radius δ = r/R centered at latitude φ spans Δλ = asin(sin δ /
+    cos φ) to either side (standard bounding-box result; it EXCEEDS
+    the planar r/(km_per_deg·cos φ) and the same-latitude
+    2·asin(sin(δ/2)/cos φ), both of which drop qualifying pairs at
+    high latitude). Evaluated at the band's max |lat| (smallest cos
+    in the band → largest extent). When sin δ / cos φ ≥ 1 the cap
+    wraps every longitude (it can contain the pole), so the band
+    collapses to one 360° cell — same for bands past _MAX_BAND_LAT.
+    """
     dlat = radius_km / _KM_PER_DEG
+    sin_delta = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi))
     band_max_abs = F.greatest(
         F.abs(band.cast("double") * dlat),
         F.abs((band.cast("double") + 1) * dlat),
     )
     capped = F.least(band_max_abs, F.lit(_MAX_BAND_LAT))
-    w = F.lit(radius_km) / (F.lit(_KM_PER_DEG) * F.cos(F.radians(capped)))
-    return F.when(band_max_abs >= _MAX_BAND_LAT, F.lit(360.0)) \
-        .otherwise(F.least(w, F.lit(360.0)))
+    ratio = F.lit(sin_delta) / F.cos(F.radians(capped))
+    w = F.degrees(F.asin(F.least(ratio, F.lit(1.0))))
+    return F.when((band_max_abs >= _MAX_BAND_LAT) | (ratio >= 1.0),
+                  F.lit(360.0)).otherwise(w)
 
 
 def geo_distance_join(
@@ -189,37 +202,50 @@ def geo_distance_join(
             " — disambiguate with left_prefix/right_prefix")
     dlat = r / _KM_PER_DEG
 
+    def ncells(w):
+        # UNIFORM cells, each 360/ncell >= w wide: floor (not ceil)
+        # keeps every cell at least w wide, so a lon gap <= w is
+        # always <= 1 cell apart — ceil left a ragged final cell
+        # narrower than w at the antimeridian seam, where a <= w gap
+        # could straddle 2 cell boundaries and escape +/-1 replication
+        return F.greatest(
+            F.floor(F.lit(360.0) / F.greatest(w, F.lit(1e-9))),
+            F.lit(1)).cast("long")
+
+    def cell_of(lon, ncell):
+        # lon=180 lands on cell index ncell -> mod wraps it to 0,
+        # the same cell as lon=-180
+        return (F.floor((lon + F.lit(180.0))
+                        * ncell.cast("double") / F.lit(360.0))
+                .cast("long") % ncell)
+
     def keyed(df, lat_c, lon_c, replicate: bool):
         lat = F.col(lat_c).cast("double")
         lon = F.col(lon_c).cast("double")
         band = F.floor(lat / F.lit(dlat)).cast("long")
         if not replicate:
-            w = _band_width_deg(band, r)
-            ncell = F.greatest(F.ceil(F.lit(360.0) / w),
-                               F.lit(1)).cast("long")
-            cell = F.floor((lon + F.lit(180.0)) / w).cast("long")
+            ncell = ncells(_band_width_deg(band, r))
             return df.withColumn("__gb", band) \
-                     .withColumn("__gc", cell % ncell)
-        # replicate: the 3x3 (band, cell) neighborhood as ONE
-        # array_distinct'd explode — a 1-cell polar band collapses its
-        # three lon-neighbors to one struct without touching row
-        # multiplicity (a row-level dropDuplicates would eat
-        # legitimately duplicated input rows)
-        structs = []
-        for db in (-1, 0, 1):
-            b = band + db
-            w = _band_width_deg(b, r)
-            ncell = F.greatest(F.ceil(F.lit(360.0) / w),
-                               F.lit(1)).cast("long")
-            cell = F.floor((lon + F.lit(180.0)) / w).cast("long")
-            for dc in (-1, 0, 1):
-                c = ((cell + dc) % ncell + ncell) % ncell
-                structs.append(F.struct(b.alias("b"), c.alias("c")))
+                     .withColumn("__gc", cell_of(lon, ncell))
+        # replicate: 3x3 (band, cell) neighborhood as TWO small
+        # explodes — bands first (always 3 distinct), then the
+        # array_distinct'd lon-neighbor cells of THAT band (a 1-cell
+        # polar band collapses its three lon-neighbors to one entry
+        # without touching row multiplicity; a row-level
+        # dropDuplicates would eat legitimately duplicated input
+        # rows). Two explodes keep each projection's expression tree
+        # small — inlining all 9 (band, cell) structs into one array
+        # expression overflows janino's 64KB method limit and knocks
+        # the whole stage out of codegen.
         out = df.withColumn(
-            "__gp", F.explode(F.array_distinct(F.array(*structs))))
-        return out.withColumn("__gb", F.col("__gp")["b"]) \
-                  .withColumn("__gc", F.col("__gp")["c"]) \
-                  .drop("__gp")
+            "__gb", F.explode(F.array(band - 1, band, band + 1)))
+        b = F.col("__gb")
+        ncell = ncells(_band_width_deg(b, r))
+        cell = cell_of(lon, ncell)
+        cells = F.array_distinct(F.array(
+            *[((cell + dc) % ncell + ncell) % ncell
+              for dc in (-1, 0, 1)]))
+        return out.withColumn("__gc", F.explode(cells))
 
     lk = keyed(left, lat_l, lon_l, replicate=True)
     rk = keyed(right, lat_r, lon_r, replicate=False)
@@ -232,3 +258,203 @@ def geo_distance_join(
         .filter(F.col(out_col) <= r)
         .drop("__gb", "__gc")
     )
+
+
+def _geo_estimate_theta(left_sample, right_sample, k: int,
+                        margin: float) -> float:
+    """Driver-side: high quantile of kth-NN great-circle distance from
+    left-sample points to the right sample (numpy haversine over small
+    samples; blockwise like knn_join._estimate_theta)."""
+    import numpy as np
+
+    if len(left_sample) == 0 or len(right_sample) == 0:
+        return float("inf")
+    L = np.radians(np.asarray(left_sample, dtype="float64"))
+    R = np.radians(np.asarray(right_sample, dtype="float64"))
+    kk = min(k, len(R))
+    qs = []
+    B = max(1, (4 << 20) // max(1, len(R)))
+    sin_rlat = np.sin(R[:, 0])
+    cos_rlat = np.cos(R[:, 0])
+    for i in range(0, len(L), B):
+        Lb = L[i: i + B]
+        sdla = np.sin((R[None, :, 0] - Lb[:, 0, None]) / 2)
+        sdlo = np.sin((R[None, :, 1] - Lb[:, 1, None]) / 2)
+        h = (sdla * sdla
+             + np.cos(Lb[:, 0, None]) * cos_rlat[None, :] * sdlo * sdlo)
+        d = 2.0 * EARTH_RADIUS_KM * np.arcsin(
+            np.minimum(1.0, np.sqrt(h)))
+        kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+        qs.append(kth)
+    kth_dists = np.concatenate(qs)
+    theta = float(np.quantile(kth_dists, 0.95) * margin)
+    return min(theta, math.pi * EARTH_RADIUS_KM)
+
+
+def _geo_bounded_round(lp, rp, theta, k, lid, lat_l, lon_l, lat_r,
+                       lon_r, rtb, out_col):
+    """One θ-bounded candidate round over the banded grid
+    (:func:`geo_distance_join`), per-left top-k window with the
+    candidate count riding along; split into exact rows (>= k
+    candidates — their true kth-NN dist <= θ and the grid is
+    exhaustive within θ) and deficient ids. Skinny key-only frames
+    when a unique right key exists, same as knn_join._bounded_round."""
+    skinny = rtb is not None
+    if skinny:
+        lj = lp.select(*dict.fromkeys([lid, lat_l, lon_l]))
+        rj = rp.select(*dict.fromkeys([rtb, lat_r, lon_r]))
+    else:
+        lj, rj = lp, rp
+    cand = geo_distance_join(
+        lj, rj, theta, lat_l=lat_l, lon_l=lon_l, lat_r=lat_r,
+        lon_r=lon_r, out_col=out_col)
+    order = [F.col(out_col).asc()] + ([F.col(rtb).asc()] if rtb else [])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lid).orderBy(*order)
+    wall = Window.partitionBy(lid)
+    ranked = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rn") <= int(k))
+    )
+    if skinny:
+        ranked = ranked.select(lid, rtb, out_col, "__cnt")
+    ranked = ranked.localCheckpoint(eager=True)
+    ok = ranked.filter(F.col("__cnt") >= k).drop("__rn", "__cnt")
+    if skinny:
+        ok = (
+            ok.join(lp, on=lid, how="inner")
+            .join(rp, on=rtb, how="inner")
+            .select(*lp.columns, *rp.columns, out_col)
+        )
+    ok_ids = ranked.filter(F.col("__cnt") >= k).select(lid).distinct()
+    retry_ids = lp.select(lid).join(ok_ids, on=lid, how="left_anti")
+    return ok, retry_ids
+
+
+def geo_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    lat_l: str = "lat",
+    lon_l: str = "lon",
+    lat_r: str = "lat",
+    lon_r: str = "lon",
+    left_id: str = None,
+    algo: Optional[str] = None,
+    left_prefix: str = "",
+    right_prefix: str = "",
+    right_tiebreak: Optional[str] = None,
+    sample_cap: int = 20000,
+    seed: int = 42,
+    theta_margin: float = 1.25,
+    cross_warn_rows: int = 100_000,
+    out_col: str = "dist_km",
+) -> DataFrame:
+    """For each left row, exactly-k nearest right rows by great-circle
+    distance — the spherical RKJSpark analog (ref:
+    src/main/scala/org/apache/spark/sql/simba/execution/join/RKJSpark.scala:105-141,
+    same θ-bound no-false-dismissal shape, spherical metric).
+
+    Program (mirrors operators.knn_join):
+    - θ from driver-side hash samples (kth-NN haversine quantile ×
+      margin; exactness never depends on θ, only performance does);
+    - one banded-grid candidate round at θ: a left row with >= k
+      candidates within θ has its exact answer (grid is exhaustive
+      within θ);
+    - deficient rows escalate (θ×4 grid retry, then a bounded cross);
+    - a broadcast-small right side routes to BNL + in-place window,
+      zero pair shuffle.
+    """
+    from .knn_join import (_bnl_pairs_ok, _broadcast_cap, _hash_sample,
+                           _plan_bytes, _spread, _topk)
+    from .distance_join import _prefix_columns, _session_algo
+
+    assert left_id is not None, \
+        "geo_knn_join requires left_id (unique left key)"
+    k = int(k)
+    if algo is None:
+        algo = _session_algo(left, "simba_spark.join.geoKnnJoin",
+                             "bounded")
+    lp = _prefix_columns(left, left_prefix)
+    rp = _prefix_columns(right, right_prefix)
+    lid = left_prefix + left_id
+    lat_l, lon_l = left_prefix + lat_l, left_prefix + lon_l
+    lat_r, lon_r = right_prefix + lat_r, right_prefix + lon_r
+    overlap = set(lp.columns) & set(rp.columns)
+    if overlap:
+        raise ValueError(
+            f"geo_knn_join: overlapping output columns {sorted(overlap)}"
+            " — disambiguate with left_prefix/right_prefix")
+    rtb = right_prefix + right_tiebreak if right_tiebreak else None
+    dist = haversine_km(
+        F.col(lat_l).cast("double"), F.col(lon_l).cast("double"),
+        F.col(lat_r).cast("double"), F.col(lon_r).cast("double"))
+
+    if algo == "cross":
+        pairs = _spread(lp).crossJoin(rp).withColumn(out_col, dist)
+        return _topk(pairs, lid, k, F.col(out_col), rtb)
+    if algo == "bounded" and _plan_bytes(rp) <= _broadcast_cap(rp) \
+            and _bnl_pairs_ok(lp, rp):
+        algo = "broadcast"
+    if algo == "broadcast":
+        n = int(lp.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        pairs = (
+            lp.repartition(n, F.col(lid))
+            .crossJoin(F.broadcast(rp))
+            .withColumn(out_col, dist)
+        )
+        return _topk(pairs, lid, k, F.col(out_col), rtb)
+    if algo not in ("bounded", "theta"):
+        raise ValueError(f"unknown geo-knn-join algo: {algo}")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rs_f = pool.submit(_hash_sample, rp, [lat_r, lon_r],
+                           sample_cap, seed)
+        ls_f = pool.submit(_hash_sample, lp, [lat_l, lon_l],
+                           2000, seed + 1)
+        rs, ls = rs_f.result(), ls_f.result()
+    theta = _geo_estimate_theta(ls, rs, k, margin=theta_margin)
+    if not math.isfinite(theta):
+        pairs = _spread(lp).crossJoin(rp).withColumn(out_col, dist)
+        return _topk(pairs, lid, k, F.col(out_col), rtb)
+
+    ok1, retry_ids = _geo_bounded_round(
+        lp, rp, theta, k, lid, lat_l, lon_l, lat_r, lon_r, rtb, out_col)
+    small_cap = 1024
+    head = retry_ids.take(small_cap + 1)
+    if len(head) == 0:
+        return ok1
+    if len(head) <= small_cap:
+        ids = [r[0] for r in head]
+        lp2 = lp.filter(F.col(lid).isin(ids))
+        retry_pairs = _spread(lp2).crossJoin(rp) \
+            .withColumn(out_col, dist)
+        retry_topk = _topk(retry_pairs, lid, k, F.col(out_col), rtb)
+        return ok1.unionByName(retry_topk)
+
+    lp_retry = lp.join(retry_ids, on=lid, how="left_semi")
+    ok2, retry2_ids = _geo_bounded_round(
+        lp_retry, rp, min(theta * 4.0, math.pi * EARTH_RADIUS_KM), k,
+        lid, lat_l, lon_l, lat_r, lon_r, rtb, out_col)
+    n_retry2 = retry2_ids.count()
+    result = ok1.unionByName(ok2)
+    if n_retry2 == 0:
+        return result
+    if n_retry2 > cross_warn_rows:
+        import warnings
+
+        warnings.warn(
+            f"geo_knn_join: {n_retry2} left rows still deficient after "
+            f"θ×4 retry — falling back to a {n_retry2}×|right| cross "
+            "join; consider a larger sample_cap/theta_margin",
+            RuntimeWarning,
+        )
+    lp2 = lp.join(retry2_ids, on=lid, how="left_semi")
+    retry_pairs = _spread(lp2).crossJoin(rp).withColumn(out_col, dist)
+    retry_topk = _topk(retry_pairs, lid, k, F.col(out_col), rtb)
+    return result.unionByName(retry_topk)

@@ -1039,6 +1039,7 @@ def k_core(
     dst: str = "dst",
     k: int = 2,
     iters: int = 8,
+    assert_converged: bool = True,
 ) -> DataFrame:
     """k-core of the undirected graph: iteratively peel nodes of
     degree < k; what survives is the maximal subgraph where every node
@@ -1055,6 +1056,14 @@ def k_core(
     any ``iters`` >= the peel depth yields the exact fixpoint
     (fixpoint-reached is asserted for the registered query's config in
     tests).
+
+    ``assert_converged`` (default True) verifies the fixpoint after
+    the loop with ONE bounded action (limit-1 count of under-degree
+    survivors) and raises if more peeling rounds were needed —
+    without it a too-small ``iters`` silently returns a superset of
+    the k-core. The registered oracle query passes False: its config
+    is fixpoint-asserted in tests, and the SQL-contract result must
+    stay a pure function of (graph, iters).
 
     Scale: per round ONE skinny degree aggregate (groupBy endpoint —
     combine-friendly, symmetric edges so out-rows per partition are
@@ -1091,6 +1100,21 @@ def k_core(
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
+    if assert_converged:
+        stragglers = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") < int(k))
+            .limit(1)
+            .count()
+        )
+        if stragglers:
+            raise RuntimeError(
+                f"k_core: not converged after iters={iters} peeling "
+                "rounds (a surviving node still has degree < k) — "
+                "raise iters, or pass assert_converged=False to "
+                "accept the fixed-rounds superset"
+            )
     return (
         und.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))

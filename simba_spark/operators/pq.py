@@ -441,10 +441,18 @@ def build_ivfpq_layout(
     map pass; both trainings are bounded driver-side samples."""
     from .similarity import _kmeans_centroids, _centroid_assign_col
 
+    first = df.select(F.size(vec_col).alias("d")) \
+              .filter(F.col("d") > 0).first()
+    if first is None:
+        raise ValueError("build_ivfpq_layout: no non-empty vectors")
+    dim = int(first["d"])
     sample = [
         r[0]
         for r in df.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        # size == dim matches pq_train: one off-dimension vector in
+        # the sample would make np.asarray build a ragged object
+        # array and crash (or corrupt) the k-means training
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>"),
                             F.lit(int(seed) + 7)))
         .limit(int(sample_cap))

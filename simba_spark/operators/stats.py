@@ -1280,8 +1280,14 @@ def benford(
     x = F.abs(F.col(val_col).cast("double"))
     ok = F.col(val_col).isNotNull() & ~F.isnan(
         F.col(val_col).cast("double")) & (x > 0)
-    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))) \
-        .cast("int")
+    # clamp: floor(log10(x)) can round just below an integer in IEEE
+    # doubles (log10(1e23) = 22.999999999999996), yielding digit=10
+    digit = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(1),
+            F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+            .cast("int")))
     counts = (
         df.filter(ok)
         .select(digit.alias("digit"))
@@ -1315,8 +1321,12 @@ def benford_sql(
     import math as _m
 
     r = int(round_to)
+    # CAST each probability literal to DOUBLE — bare 16-digit
+    # literals parse as DECIMAL in DuckDB and the chisq arithmetic
+    # overflows DECIMAL precision (ref round-6 type-sweep failure)
     pb_list = ", ".join(
-        repr(_m.log10(1 + 1.0 / d)) for d in range(1, 10))
+        f"CAST({_m.log10(1 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10))
     return f"""
 WITH __f AS (
   SELECT abs(CAST({val_col} AS DOUBLE)) AS x
@@ -1325,7 +1335,9 @@ WITH __f AS (
     AND NOT isnan(CAST({val_col} AS DOUBLE))
     AND abs(CAST({val_col} AS DOUBLE)) > 0
 ), __d AS (
-  SELECT CAST(floor(x / power(10.0, floor(log10(x)))) AS INT) AS digit
+  SELECT least(9, greatest(1,
+           CAST(floor(x / power(10.0, floor(log10(x)))) AS INT)
+         )) AS digit
   FROM __f
 ), __c AS (
   SELECT digit, count(*)::BIGINT AS n FROM __d GROUP BY digit

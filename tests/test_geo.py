@@ -145,3 +145,145 @@ def test_geo_distance_join_no_cartesian(spark):
     plan = geo_distance_join(ldf, rdf, 200.0, right_prefix="b_") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_geo_distance_join_high_lat_wide_lon_gap(spark):
+    # ADVICE r6 repro: (80.5, 76.0) and (80.5, 166.0) are ~1490.5 km
+    # apart (lon gap 90 deg); the planar band width under-covered it
+    from simba_spark.operators.geo import geo_distance_join
+
+    ldf = _pts(spark, [(1, 80.5, 76.0)], "l")
+    rdf = _pts(spark, [(2, 80.5, 166.0)], "r")
+    got = {(x["l_id"], x["b_r_id"]) for x in
+           geo_distance_join(ldf, rdf, 1500.0,
+                             right_prefix="b_").collect()}
+    assert got == {(1, 2)}
+
+
+def test_geo_distance_join_cap_extent_exceeds_same_lat_bound(spark):
+    # the pair achieving the spherical-cap lon extent: right at the
+    # band's top latitude, left at the cap tangent point (higher lat,
+    # lon gap asin(sin d / cos phi) > 2 asin(sin(d/2)/cos phi))
+    from simba_spark.operators.geo import geo_distance_join
+
+    r_km, R = 1500.0, 6371.0088
+    delta = r_km / R
+    phi = 60.0
+    lat_t = math.degrees(math.asin(math.sin(math.radians(phi))
+                                   / math.cos(delta)))
+    dlam = math.degrees(math.asin(math.sin(delta)
+                                  / math.cos(math.radians(phi))))
+    ldf = _pts(spark, [(1, lat_t, dlam * 0.999)], "l")
+    rdf = _pts(spark, [(2, phi, 0.0)], "r")
+    assert _hav((lat_t, dlam * 0.999), (phi, 0.0)) <= r_km
+    got = {(x["l_id"], x["b_r_id"]) for x in
+           geo_distance_join(ldf, rdf, r_km,
+                             right_prefix="b_").collect()}
+    assert got == {(1, 2)}
+
+
+def test_geo_distance_join_seam_cells_uniform(spark):
+    # ragged-seam regression: a lon gap <= bound straddling the
+    # antimeridian must not fall 2 cells apart (ceil(360/w) used to
+    # leave a last cell narrower than w)
+    from simba_spark.operators.geo import geo_distance_join
+
+    pairs = []
+    for i, lon in enumerate((179.99, 179.5, 179.0, 178.5)):
+        pairs.append((i, 10.0, lon))
+    ldf = _pts(spark, pairs, "l")
+    rdf = _pts(spark, [(100 + i, 10.0, -lon) for i, _, lon in pairs],
+               "r")
+    for r_km in (47.0, 113.0, 250.0, 333.0):
+        got = {(x["l_id"], x["b_r_id"]) for x in
+               geo_distance_join(ldf, rdf, r_km,
+                                 right_prefix="b_").collect()}
+        want = {(i, j) for i, la1, lo1 in pairs
+                for j, la2, lo2 in
+                [(100 + k, 10.0, -lo) for k, _, lo in pairs]
+                if _hav((la1, lo1), (la2, lo2)) <= r_km}
+        assert got == want, r_km
+
+
+def test_geo_distance_join_dense_high_lat_bruteforce(spark):
+    # polar-heavy draw, the regime the r6 bug lived in
+    from simba_spark.operators.geo import geo_distance_join
+
+    lpts = _random_points(120, 13, lat_range=(60, 90))
+    rpts = _random_points(120, 14, lat_range=(60, 90))
+    ldf = _pts(spark, lpts, "l")
+    rdf = _pts(spark, rpts, "r")
+    for r_km in (200.0, 1500.0, 4000.0):
+        got = {(x["l_id"], x["b_r_id"]) for x in
+               geo_distance_join(ldf, rdf, r_km,
+                                 right_prefix="b_").collect()}
+        want = {(i, j)
+                for i, la1, lo1 in lpts
+                for j, la2, lo2 in rpts
+                if _hav((la1, lo1), (la2, lo2)) <= r_km}
+        assert got == want, r_km
+
+
+def _knn_want(lpts, rpts, k):
+    want = set()
+    for i, la1, lo1 in lpts:
+        ranked = sorted(
+            ((_hav((la1, lo1), (la2, lo2)), j) for j, la2, lo2 in rpts))
+        want |= {(i, j) for _, j in ranked[:k]}
+    return want
+
+
+@pytest.mark.parametrize("algo", ["bounded", "theta", "broadcast",
+                                  "cross"])
+def test_geo_knn_join_matches_bruteforce(spark, algo):
+    from simba_spark.operators.geo import geo_knn_join
+
+    lpts = _random_points(120, 21)
+    rpts = _random_points(150, 22)
+    ldf = _pts(spark, lpts, "l")
+    rdf = _pts(spark, rpts, "r")
+    got = {(x["l_id"], x["b_r_id"]) for x in
+           geo_knn_join(ldf, rdf, 3, left_id="l_id",
+                        right_tiebreak="r_id", algo=algo,
+                        right_prefix="b_").collect()}
+    assert got == _knn_want(lpts, rpts, 3), algo
+
+
+def test_geo_knn_join_high_lat_and_small_right(spark):
+    from simba_spark.operators.geo import geo_knn_join
+
+    # polar-heavy draw (the banded-grid stress regime)
+    lpts = _random_points(80, 31, lat_range=(65, 90))
+    rpts = _random_points(90, 32, lat_range=(65, 90))
+    ldf = _pts(spark, lpts, "l")
+    rdf = _pts(spark, rpts, "r")
+    got = {(x["l_id"], x["b_r_id"]) for x in
+           geo_knn_join(ldf, rdf, 5, left_id="l_id",
+                        right_tiebreak="r_id", algo="theta",
+                        right_prefix="b_").collect()}
+    assert got == _knn_want(lpts, rpts, 5)
+    # |right| < k: every left row gets all right rows, never errors
+    rsmall = _pts(spark, rpts[:2], "r")
+    got2 = geo_knn_join(ldf, rsmall, 5, left_id="l_id",
+                        right_tiebreak="r_id", algo="theta",
+                        right_prefix="b_").collect()
+    assert len(got2) == len(lpts) * 2
+
+
+def test_geo_knn_join_deterministic_ranks(spark):
+    from simba_spark.operators.geo import geo_knn_join
+
+    lpts = _random_points(40, 41)
+    rpts = _random_points(60, 42)
+    ldf = _pts(spark, lpts, "l").repartition(7)
+    rdf = _pts(spark, rpts, "r").repartition(5)
+    a = sorted((x["l_id"], x["b_r_id"], round(x["dist_km"], 9))
+               for x in geo_knn_join(
+                   ldf, rdf, 4, left_id="l_id", right_tiebreak="r_id",
+                   right_prefix="b_").collect())
+    b = sorted((x["l_id"], x["b_r_id"], round(x["dist_km"], 9))
+               for x in geo_knn_join(
+                   ldf.repartition(3), rdf.repartition(11), 4,
+                   left_id="l_id", right_tiebreak="r_id",
+                   right_prefix="b_").collect())
+    assert a == b

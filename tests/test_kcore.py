@@ -62,6 +62,23 @@ def test_k_validation(spark):
         k_core(e, k=0)
 
 
+def test_convergence_guard_raises_on_deep_chain(spark):
+    """A 20-node path peels one level per round at k=2 — iters=2 is
+    nowhere near the fixpoint, and the default guard must refuse to
+    return the superset silently."""
+    from simba_spark.operators.graph import k_core
+
+    rows = [(i, i + 1) for i in range(1, 20)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    with pytest.raises(RuntimeError, match="not converged"):
+        k_core(e, k=2, iters=2).collect()
+    # assert_converged=False returns the fixed-rounds superset instead
+    got = k_core(e, k=2, iters=2, assert_converged=False).collect()
+    assert len(got) > 0
+    # and with enough rounds the guard passes (path has no 2-core)
+    assert k_core(e, k=2, iters=12).count() == 0
+
+
 # --- hyperanf ---------------------------------------------------------------
 
 def test_hyperanf_chain_tracks_exact_reachability(spark):

@@ -56,61 +56,31 @@ def test_oracle_output_types_driver_safe():
     )
 
 
-def test_round6_debuts_lead_the_window():
-    """Newest-first: round-6 debuts, then the 15 promotions (round-5
-    registrations that went straight to extra_queries() without driver
-    rows), then the round-5 debuts still earning their 3 greens (dict
-    order IS the driver's check order)."""
+def test_round7_debuts_lead_the_window():
+    """Newest-first: the 6 round-7 debuts, then the 44-query backlog
+    seated per the round-6 brief (dict order IS the driver's check
+    order)."""
     head = list(entrymod.queries())[:50]
-    assert head == [
-        "events_ewma",
-        "cov_matrix",
-        "validate_events",
-        "corr_matrix",
-        "sorted_neighborhood",
-        "quantile_bin",
-        "table_diff",
-        "events_gapfill",
-        "leakage_split",
-        "semantic_dedup",
-        "kmeans_embeddings",
-        "quantile_events",
-        "quantile_merged",
-        "cm_heavy",
-        "winsorize_events",
-        "token_cooc",
-        "tpch_q4",
-        "tpch_q7",
-        "tpch_q10",
-        "tpch_q13",
-        "tpch_q14",
-        "tpch_q15",
-        "tpch_q17",
-        "tpch_q19",
-        "tpch_q22",
-        "global_order",
-        "scrub_ngrams",
-        "events_json",
-        "events_histogram",
-        "heavy_tokens",
-        "table_profile",
-        "hll_orders",
-        "hll_merged",
-        "theta_parts",
-        "pagerank",
-        "triangles",
-        "weighted_sample",
-        "bloom_join",
-        "pii_redact",
-        "paragraph_dedup",
-        "mixture_sample",
-        "tpch_q18",
-        "lm_score",
-        "inverted_index",
-        "dedup_resolve",
-        "box_box_join",
-        "segment_circle_join",
-        "knn_join_highd",
-        "doc_chunk",
-        "dup_ngrams",
+    assert head[:6] == [
+        "geo_distance_join",
+        "geo_knn_join",
+        "scd2_build",
+        "tpch_q8",
+        "tpch_q12",
+        "tpch_q21",
     ]
+    backlog = {
+        "pq_topk", "ivfpq_topk", "k_core", "hyperanf", "funnel",
+        "cohort_retention", "volume_anomaly", "bm25", "label_prop",
+        "k_hop", "skew_report", "phrase_search", "events_pivot",
+        "attribution", "transition_matrix", "top_paths", "acf_events",
+        "cusum_events", "ks_value", "welch_value", "mi_docs",
+        "linreg_trend", "modularity", "build_vocab", "bigram_lm",
+        "gini_prices", "benford_prices", "linkage",
+        "quantile_bin_grouped", "personalized_pagerank",
+        "rfm_segments", "rank_normalize", "chisq_events",
+        "rollup_incremental", "theta_active", "hybrid_retrieval",
+        "edit_dist", "basket_rules", "adamic_adar", "forecast_events",
+        "robust_z", "psi_drift", "shortest_paths", "hits",
+    }
+    assert set(head[6:]) == backlog

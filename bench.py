@@ -126,6 +126,15 @@ HEADLINE = [
     "linreg_trend",
     "modularity",
     "hyperanf",
+    # round-7 additions
+    "geo_distance_join",
+    "geo_knn_join",
+    "geo_circle_range",
+    "geo_knn",
+    "scd2_build",
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q21",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -150,6 +159,8 @@ _POST_R3 = {
     "shortest_paths",
     "pq_topk", "ivfpq_topk", "k_core", "top_paths", "acf_events", "cusum_events",
     "ks_value", "linreg_trend", "modularity", "hyperanf",
+    "geo_distance_join", "geo_knn_join", "geo_circle_range",
+    "geo_knn", "scd2_build", "tpch_q8", "tpch_q12", "tpch_q21",
 }
 
 GROUPS = {

@@ -3414,6 +3414,60 @@ def q_scd2_build(spark, sf_dir):
     )
 
 
+def q_geo_cells(spark, sf_dir):
+    """Spherical cell rollup (geo_cell_agg): per-cell event counts +
+    cent-exact value sums over the 500-km banded grid — one skinny
+    combine-friendly groupBy; the heatmap / join-radius-profiling
+    primitive."""
+    from simba_spark.operators.geo import geo_cell_agg
+
+    ev = _geo_coords(
+        _t(spark, sf_dir, "events").select("event_id", "value"),
+        "event_id", 37, 59)
+    return geo_cell_agg(ev, "lat", "lon", 500.0,
+                        aggs=[_cents_sum(F.col("value")).alias("val_sum")])
+
+
+def q_hll_rolling(spark, sf_dir):
+    """Rolling trailing-7-day distinct users from DAILY mergeable HLL
+    sketches (hll_rolling ∘ hll_sketch): the pre-aggregate-then-merge
+    workflow that makes rolling distincts feasible without re-reading
+    raw data."""
+    from simba_spark.operators.sketches import hll_rolling, hll_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+        "user_id")
+    sk = hll_sketch(ev, "user_id", group_by=["day"], p=12)
+    return hll_rolling(sk, "day", 7, p=12,
+                       out_col="approx_users").select(
+        "day", F.round("approx_users", 4).alias("approx_users"))
+
+
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time join (scd2_lookup): each order picks the
+    (status, priority) dimension version valid at its date from the
+    scd2_build timeline — one key equi-join with interval residuals."""
+    from simba_spark.operators.pipeline import scd2_build, scd2_lookup
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = scd2_build(
+        orders, key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status_v"),
+        F.col("o_orderpriority").alias("priority_v"),
+        "valid_from", "valid_to",
+    )
+    facts = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    return scd2_lookup(facts, dim, key_fact="o_custkey",
+                       ts_fact="o_orderdate")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q8 / Q12 / Q21 — the three remaining no-partsupp queries
 
@@ -3626,6 +3680,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     with the 44-query backlog + 6 new debuts) ---
         "geo_circle_range": q_geo_circle_range,
         "geo_knn": q_geo_knn,
+        "geo_cells": q_geo_cells,
+        "hll_rolling": q_hll_rolling,
+        "scd2_lookup": q_scd2_lookup,
         # --- rotated after round 6 with 1 driver green each (r6) to
         #     seat the 44-query backlog per the round-6 brief; all
         #     re-verified locally by every check_oracle.py run ---
@@ -4443,7 +4500,66 @@ def oracle_sql() -> dict[str, str]:
     geo_cr_hav = haversine_km_sql(_ge_lat, _ge_lon, "72.0", "150.0")
     geo_knn_hav = haversine_km_sql(_ge_lat, _ge_lon, "48.0", "2.0")
 
+    from simba_spark.operators.geo import geo_cell_agg_sql
+    from simba_spark.operators.sketches import hll_rolling_sql
+
+    geo_cells_sql = geo_cell_agg_sql(
+        f"(SELECT {_ge_lat} AS lat, {_ge_lon} AS lon, value "
+        "FROM events) __g",
+        "lat", "lon", 500.0,
+        agg_sql=_cents_sum_sql("value") + " AS val_sum",
+        carry=["value"],
+    )
+    hll_roll_sql = hll_rolling_sql(
+        hll_sketch_sql(
+            "(SELECT CAST(date_diff('day', DATE '1970-01-01', "
+            "CAST(ts AS DATE)) AS BIGINT) AS day, user_id "
+            "FROM events) __e",
+            "user_id", ["day"], p=12),
+        "day", 7, p=12, out_col="approx_users")
+
     return {
+        "geo_cells": geo_cells_sql,
+        "hll_rolling": (
+            f"SELECT day, round(approx_users, 4) AS approx_users "
+            f"FROM ({hll_roll_sql})"),
+        "scd2_lookup": """
+            WITH base AS (
+              SELECT o_custkey, o_orderdate, o_orderstatus,
+                     o_orderpriority, o_orderkey
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            ), lagged AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS __ps,
+                     lag(o_orderpriority) OVER w AS __pp,
+                     lag(o_orderdate) OVER w AS __pd
+              FROM base
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+            ), versions AS (
+              SELECT * FROM lagged
+              WHERE __pd IS NULL
+                 OR NOT (o_orderstatus IS NOT DISTINCT FROM __ps
+                         AND o_orderpriority IS NOT DISTINCT FROM __pp)
+            ), dim AS (
+              SELECT o_custkey AS d_key,
+                     o_orderstatus AS status_v,
+                     o_orderpriority AS priority_v,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS valid_to
+              FROM versions
+            )
+            SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+                   d.status_v, d.priority_v, d.valid_from, d.valid_to
+            FROM orders f
+            JOIN dim d
+              ON f.o_custkey = d.d_key
+             AND d.valid_from <= f.o_orderdate
+             AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+        """,
         "geo_distance_join": f"""
             SELECT l.event_id AS l_id, r.event_id AS r_id,
                    round({geo_dj_hav}, 4) AS dist_r

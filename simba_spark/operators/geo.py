@@ -458,3 +458,118 @@ def geo_knn_join(
     retry_pairs = _spread(lp2).crossJoin(rp).withColumn(out_col, dist)
     retry_topk = _topk(retry_pairs, lid, k, F.col(out_col), rtb)
     return result.unionByName(retry_topk)
+
+
+def _band_width_deg_sql(band_expr: str, radius_km: float) -> str:
+    """DuckDB mirror of :func:`_band_width_deg`, term-for-term."""
+    dlat = radius_km / _KM_PER_DEG
+    sin_delta = math.sin(min(radius_km / EARTH_RADIUS_KM, math.pi))
+    bmax = (f"greatest(abs(CAST({band_expr} AS DOUBLE) * {dlat!r}), "
+            f"abs((CAST({band_expr} AS DOUBLE) + 1) * {dlat!r}))")
+    ratio = f"({sin_delta!r} / cos(radians(least({bmax}, {_MAX_BAND_LAT!r}))))"
+    w = f"degrees(asin(least({ratio}, 1.0::DOUBLE)))"
+    return (f"(CASE WHEN {bmax} >= {_MAX_BAND_LAT!r} OR {ratio} >= 1.0 "
+            f"THEN 360.0::DOUBLE ELSE {w} END)")
+
+
+def geo_cell_agg(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    cell_km: float,
+    aggs: Optional[Sequence] = None,
+) -> DataFrame:
+    """Spatial rollup over the banded grid: one row per occupied
+    (lat-band, lon-cell) at ``cell_km`` resolution with its row count,
+    cell bounds, and any caller aggregate Columns — the heatmap /
+    density-summary primitive (and the profiling input for choosing a
+    geo_distance_join radius).
+
+    Uses the SAME banded grid as :func:`geo_distance_join` (bands
+    ``cell_km`` tall; per-band uniform lon cells at the spherical-cap
+    extent), so a cell-agg profile directly predicts that join's key
+    distribution. ONE combine-friendly groupBy on (band, cell) —
+    nothing but one skinny row per occupied cell leaves any partition;
+    bounds are arithmetic on the keys, computed post-aggregate.
+    """
+    r = float(cell_km)
+    if r <= 0:
+        raise ValueError("cell_km must be > 0")
+    dlat = r / _KM_PER_DEG
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    band = F.floor(lat / F.lit(dlat)).cast("long")
+    ncell = F.greatest(
+        F.floor(F.lit(360.0)
+                / F.greatest(_band_width_deg(band, r), F.lit(1e-9))),
+        F.lit(1)).cast("long")
+    cell = (F.floor((lon + F.lit(180.0))
+                    * ncell.cast("double") / F.lit(360.0))
+            .cast("long") % ncell)
+    out = (
+        df.filter(lat.isNotNull() & lon.isNotNull())
+        .groupBy(band.alias("band"), cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"), *(aggs or []))
+    )
+    nc2 = F.greatest(
+        F.floor(F.lit(360.0)
+                / F.greatest(_band_width_deg(F.col("band"), r),
+                             F.lit(1e-9))),
+        F.lit(1)).cast("long")
+    return out.select(
+        "band", "cell",
+        (F.col("band").cast("double") * dlat).alias("lat_min"),
+        ((F.col("band").cast("double") + 1) * dlat).alias("lat_max"),
+        (F.col("cell").cast("double") * 360.0 / nc2.cast("double")
+         - 180.0).alias("lon_min"),
+        ((F.col("cell").cast("double") + 1) * 360.0 / nc2.cast("double")
+         - 180.0).alias("lon_max"),
+        *[c for c in out.columns if c not in ("band", "cell")],
+    )
+
+
+def geo_cell_agg_sql(
+    from_sql: str,
+    lat_expr: str,
+    lon_expr: str,
+    cell_km: float,
+    agg_sql: str = "",
+    carry: Sequence[str] = (),
+) -> str:
+    """DuckDB mirror of :func:`geo_cell_agg` (count + optional extra
+    aggregate clauses over ``carry`` columns), term-for-term grid
+    arithmetic."""
+    r = float(cell_km)
+    dlat = r / _KM_PER_DEG
+    band = f"CAST(floor(CAST({lat_expr} AS DOUBLE) / {dlat!r}) AS BIGINT)"
+    w = _band_width_deg_sql("band", r)
+    extra = f", {agg_sql}" if agg_sql else ""
+    cs = "".join(f", {c}" for c in carry)
+    return f"""
+WITH __k AS (
+  SELECT {band} AS band, CAST({lon_expr} AS DOUBLE) AS lon{cs}
+  FROM {from_sql}
+  WHERE {lat_expr} IS NOT NULL AND {lon_expr} IS NOT NULL
+), __n AS (
+  SELECT band, lon,
+         greatest(CAST(floor(360.0 / greatest({w}, 1e-9)) AS BIGINT),
+                  1) AS ncell{cs}
+  FROM __k
+), __c AS (
+  SELECT band,
+         CAST(floor((lon + 180.0) * CAST(ncell AS DOUBLE) / 360.0)
+              AS BIGINT) % ncell AS cell,
+         ncell{cs}
+  FROM __n
+)
+SELECT band, cell,
+       CAST(band AS DOUBLE) * {dlat!r} AS lat_min,
+       (CAST(band AS DOUBLE) + 1) * {dlat!r} AS lat_max,
+       CAST(cell AS DOUBLE) * 360.0 / CAST(any_value(ncell) AS DOUBLE)
+           - 180.0 AS lon_min,
+       (CAST(cell AS DOUBLE) + 1) * 360.0
+           / CAST(any_value(ncell) AS DOUBLE) - 180.0 AS lon_max,
+       count(*)::BIGINT AS n{extra}
+FROM __c
+GROUP BY band, cell
+"""

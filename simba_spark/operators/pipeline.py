@@ -317,6 +317,52 @@ def scd2_build(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_fact: str,
+    ts_fact: str,
+    key_dim: Optional[str] = None,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version
+    valid at its timestamp — ``key`` matches and ``valid_from <= ts <
+    valid_to`` (NULL ``valid_to`` = open/current version). The reader
+    side of :func:`scd2_build`: because a key's validity intervals
+    tile time, each fact matches AT MOST one version (exactly one when
+    the fact's ts is not before the key's first version; ``how='left'``
+    keeps such early facts with NULL attributes).
+
+    Scale: one equi-join on the key (the interval predicates ride as
+    join residuals — no row multiplication beyond the per-key version
+    count, no window pass over the fact table, unlike the asof_join
+    formulation which sorts facts and versions together). AQE sizes
+    the shuffle; a broadcast-small dimension skips it entirely.
+    """
+    key_dim = key_dim or key_fact
+    if how not in ("inner", "left"):
+        raise ValueError("scd2_lookup: how must be 'inner' or 'left'")
+    overlap = (set(facts.columns) & set(dim.columns)) - (
+        {key_fact} if key_fact == key_dim else set())
+    if overlap:
+        raise ValueError(
+            f"scd2_lookup: overlapping output columns {sorted(overlap)}"
+            " — select/rename the fact or dimension side first")
+    f, d = facts.alias("__f"), dim.alias("__d")
+    ts = F.col(f"__f.{ts_fact}")
+    cond = (
+        (F.col(f"__f.{key_fact}") == F.col(f"__d.{key_dim}"))
+        & (F.col(f"__d.{from_col}") <= ts)
+        & (F.col(f"__d.{to_col}").isNull()
+           | (ts < F.col(f"__d.{to_col}")))
+    )
+    dim_cols = [c for c in dim.columns if c != key_dim]
+    return f.join(d, cond, how).select(
+        "__f.*", *[F.col(f"__d.{c}") for c in dim_cols])
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,

@@ -174,6 +174,74 @@ def hll_estimate(
     return per_group.select(*groups, est.alias(out_col))
 
 
+def hll_rolling(
+    sketch: DataFrame,
+    bucket_col: str,
+    trailing: int,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Rolling-window distinct estimates from per-bucket mergeable HLL
+    sketches: for each integer bucket t present in ``sketch`` (a
+    :func:`hll_sketch` output grouped by ``bucket_col``), the estimate
+    over the union of buckets (t-trailing+1 .. t] — trailing-7-day
+    distinct users from daily sketches without re-reading raw data.
+
+    Scale: NO range join — each register row explodes to the
+    ``trailing`` window-ends it feeds (sequence + explode, a bounded
+    ×trailing fanout of ALREADY-reduced rows, ≤ 2^p per bucket), then
+    one (window-end, bucket) max groupBy; windows ending at a bucket
+    with no rows of its own still see their predecessors, and
+    window-ends past the data (no bucket of their own) are dropped by
+    one skinny semi-join. Estimates are bit-identical to merging the
+    raw buckets (register max is idempotent/commutative).
+    """
+    if int(trailing) < 1:
+        raise ValueError("hll_rolling: trailing must be >= 1")
+    contrib = (
+        sketch.withColumn(
+            "__hll_t",
+            F.explode(F.sequence(
+                F.col(bucket_col).cast("long"),
+                F.col(bucket_col).cast("long") + int(trailing) - 1)))
+        .groupBy("__hll_t", "__hll_b")
+        .agg(F.max("__hll_m").alias("__hll_m"))
+    )
+    ends = sketch.select(
+        F.col(bucket_col).cast("long").alias("__hll_t")).distinct()
+    merged = contrib.join(ends, on="__hll_t", how="left_semi")
+    return hll_estimate(
+        merged, group_by=["__hll_t"], p=p, out_col=out_col,
+    ).withColumnRenamed("__hll_t", bucket_col)
+
+
+def hll_rolling_sql(
+    sketch_sql: str,
+    bucket_col: str,
+    trailing: int,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB mirror of :func:`hll_rolling` — same explode-to-window-
+    ends program over a :func:`hll_sketch_sql` subquery, bit-for-bit."""
+    t = int(trailing)
+    contrib = f"""
+  SELECT __hll_t, __hll_b, max(__hll_m) AS __hll_m FROM (
+    SELECT unnest(generate_series(CAST({bucket_col} AS BIGINT),
+                                  CAST({bucket_col} AS BIGINT) + {t - 1}))
+               AS __hll_t,
+           __hll_b, __hll_m
+    FROM ({sketch_sql})
+  )
+  WHERE __hll_t IN (SELECT DISTINCT CAST({bucket_col} AS BIGINT)
+                    FROM ({sketch_sql}))
+  GROUP BY __hll_t, __hll_b
+"""
+    est = hll_estimate_sql(contrib, ["__hll_t"], p=p, out_col=out_col)
+    return (f"SELECT __hll_t AS {bucket_col}, {out_col} "
+            f"FROM ({est})")
+
+
 def hll_distinct(
     df: DataFrame,
     col: str,

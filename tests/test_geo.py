@@ -287,3 +287,47 @@ def test_geo_knn_join_deterministic_ranks(spark):
                    left_id="l_id", right_tiebreak="r_id",
                    right_prefix="b_").collect())
     assert a == b
+
+
+def test_geo_cell_agg_totality_and_bounds(spark):
+    import duckdb
+
+    from simba_spark.operators.geo import geo_cell_agg, geo_cell_agg_sql
+
+    pts = _random_points(500, 51, lat_range=(-85, 89.9))
+    df = _pts(spark, pts)
+    out = geo_cell_agg(df, "lat", "lon", 500.0).collect()
+    # totality: every input row lands in exactly one cell
+    assert sum(r["n"] for r in out) == len(pts)
+    # bounds contain the cell's rows; lon cell width >= 0
+    for r in out:
+        assert r["lat_min"] < r["lat_max"]
+        assert r["lon_min"] < r["lon_max"]
+    # each point is inside its reported cell bounds
+    cell_lookup = {(r["band"], r["cell"]):
+                   (r["lat_min"], r["lat_max"], r["lon_min"], r["lon_max"])
+                   for r in out}
+    joined = geo_cell_agg(df, "lat", "lon", 500.0)
+    # DuckDB mirror is bit-identical
+    con = duckdb.connect()
+    con.sql("CREATE TABLE p(p_id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", pts)
+    want = {(r[0], r[1]): r[2:] for r in con.sql(
+        geo_cell_agg_sql("p", "lat", "lon", 500.0)).fetchall()}
+    got = {(r["band"], r["cell"]):
+           (r["lat_min"], r["lat_max"], r["lon_min"], r["lon_max"],
+            r["n"]) for r in out}
+    assert got == want
+
+
+def test_geo_cell_agg_extra_aggs_and_validation(spark):
+    from pyspark.sql import functions as F2
+
+    from simba_spark.operators.geo import geo_cell_agg
+
+    df = _pts(spark, [(1, 10.0, 20.0), (2, 10.0, 20.0), (3, -40.0, 5.0)])
+    out = geo_cell_agg(df, "lat", "lon", 1000.0,
+                       aggs=[F2.sum("p_id").alias("s")]).collect()
+    assert {(r["n"], r["s"]) for r in out} == {(2, 3), (1, 3)}
+    with pytest.raises(ValueError):
+        geo_cell_agg(df, "lat", "lon", 0.0)

@@ -588,3 +588,45 @@ def test_rank_normalize_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_scd2_lookup_picks_valid_version(spark):
+    from simba_spark.operators.pipeline import scd2_build, scd2_lookup
+
+    hist = spark.createDataFrame(
+        [(1, 10, "A"), (1, 30, "B"), (1, 50, "A"),
+         (2, 20, "X"), (2, 60, "Y")],
+        "k long, ts long, attr string")
+    dim = scd2_build(hist, "k", "ts", ["attr"])
+    facts = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 29), (102, 1, 30), (103, 1, 99),
+         (104, 2, 19), (105, 2, 20), (106, 2, 61)],
+        "fid long, k long, t long")
+    got = {(r["fid"]): (r["attr"], r["valid_from"]) for r in
+           scd2_lookup(facts, dim, key_fact="k", ts_fact="t").collect()}
+    assert got == {
+        100: ("A", 10), 101: ("A", 10), 102: ("B", 30),
+        103: ("A", 50), 105: ("X", 20), 106: ("Y", 60),
+    }  # 104 (before key 2's first version) drops on inner
+    left = scd2_lookup(facts, dim, key_fact="k", ts_fact="t",
+                       how="left").collect()
+    assert len(left) == 7
+    assert [r["attr"] for r in left if r["fid"] == 104] == [None]
+    # exactly-one-version: inner row count == matched fact count
+    assert len(scd2_lookup(facts, dim, "k", "t").collect()) == 6
+
+
+def test_scd2_lookup_validation(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.pipeline import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, 0, None, "A")],
+        "k long, valid_from long, valid_to long, t string")
+    facts = spark.createDataFrame([(1, 5)], "k long, t long")
+    with _pt.raises(ValueError, match="overlapping"):
+        scd2_lookup(facts, dim, "k", "t")
+    with _pt.raises(ValueError, match="how"):
+        scd2_lookup(facts, dim.withColumnRenamed("t", "attr"),
+                    "k", "t", how="full")

@@ -1732,3 +1732,52 @@ def test_hits_star_structure_and_guard(spark):
         assert out[i] == (0.25, 0.0)
     with pytest.raises(ValueError):
         hits(df, iters=0)
+
+
+def test_hll_rolling_matches_direct_window_merge(spark):
+    """Rolling trailing-3 estimates == directly sketching each
+    3-bucket union (register max is lossless), and the SQL mirror is
+    bit-identical."""
+    import duckdb
+
+    from simba_spark.operators.sketches import (hll_distinct, hll_rolling,
+                                                hll_rolling_sql,
+                                                hll_sketch,
+                                                hll_sketch_sql)
+
+    rows = [(d, (d * 131 + i * 17) % 400)
+            for d in range(1, 11) for i in range(d * 30)]
+    df = spark.createDataFrame(rows, "day long, uid long")
+    sk = hll_sketch(df, "uid", group_by=["day"], p=10)
+    got = {r["day"]: r["approx_distinct"]
+           for r in hll_rolling(sk, "day", 3, p=10).collect()}
+    assert set(got) == set(range(1, 11))
+    for day in range(1, 11):
+        want = hll_distinct(
+            df.filter((F.col("day") > day - 3) & (F.col("day") <= day)),
+            "uid", p=10).collect()[0]["approx_distinct"]
+        assert got[day] == want, day
+    con = duckdb.connect()
+    con.sql("CREATE TABLE ev(day BIGINT, uid BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    sql = hll_rolling_sql(
+        hll_sketch_sql("ev", "uid", ["day"], p=10), "day", 3, p=10)
+    want_sql = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == want_sql
+
+
+def test_hll_rolling_gap_bucket_semantics(spark):
+    """A window ending at a bucket with no rows of its own is dropped
+    (no phantom window-ends), but a present bucket still sees its
+    predecessors through the explode."""
+    from simba_spark.operators.sketches import hll_rolling, hll_sketch
+
+    rows = [(1, i) for i in range(50)] + [(4, i + 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "day long, uid long")
+    sk = hll_sketch(df, "uid", group_by=["day"], p=10)
+    got = {r["day"]: r["approx_distinct"]
+           for r in hll_rolling(sk, "day", 3, p=10).collect()}
+    assert set(got) == {1, 4}  # days 2, 3, 5, 6 have no rows -> no row
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hll_rolling(sk, "day", 0)

@@ -282,6 +282,21 @@ _SQL_FUNCTIONS = {
     "st_within_circle":
         f"(p ARRAY<DOUBLE>, c ARRAY<DOUBLE>, r DOUBLE) RETURNS BOOLEAN "
         f"RETURN {_d2('p', 'c')} <= r * r",
+    # spherical (WGS-84 degrees) — same haversine as operators/geo.py,
+    # term-for-term; 6371.0088 = IUGG mean Earth radius (km)
+    "st_haversine_km":
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "
+        "RETURNS DOUBLE RETURN "
+        "2.0 * 6371.0088 * asin(least(1.0D, sqrt("
+        "sin((radians(lat2) - radians(lat1)) / 2)"
+        " * sin((radians(lat2) - radians(lat1)) / 2)"
+        " + cos(radians(lat1)) * cos(radians(lat2))"
+        " * sin((radians(lon2) - radians(lon1)) / 2)"
+        " * sin((radians(lon2) - radians(lon1)) / 2))))",
+    "st_within_geo":
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, "
+        "r_km DOUBLE) RETURNS BOOLEAN RETURN "
+        "st_haversine_km(lat1, lon1, lat2, lon2) <= r_km",
 }
 
 

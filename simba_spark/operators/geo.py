@@ -79,11 +79,18 @@ def geo_circle_range(
     lon_col: str,
     center: Tuple[float, float],
     radius_km: float,
+    registry=None,
 ) -> DataFrame:
     """All rows within ``radius_km`` of ``center`` (closed bound, like
     ``in_circle_range``). Sargable bbox prefilter + exact refine;
     antimeridian wrap becomes two lon ranges, a polar-cap box drops
-    the lon filter (every longitude qualifies near the pole)."""
+    the lon filter (every longitude qualifies near the pole).
+
+    With ``registry`` (a ``LayoutRegistry``), each bbox routes through
+    the layout-aware :func:`operators.filters.range_query` — a
+    persisted (lat, lon) z-order layout then prunes bucket DIRECTORIES
+    at planning time (PartitionFilters) on top of the row-group
+    min/max skipping the raw predicate already gets."""
     clat, clon = float(center[0]), float(center[1])
     r = float(radius_km)
     if r < 0:
@@ -91,7 +98,9 @@ def geo_circle_range(
     dlat = r / _KM_PER_DEG
     lat = F.col(lat_col).cast("double")
     lon = F.col(lon_col).cast("double")
-    pre = lat.between(clat - dlat, clat + dlat)
+    lat_lo, lat_hi = clat - dlat, clat + dlat
+    # (lon_lo, lon_hi) boxes; None = the full circle of longitudes
+    boxes = [(-180.0, 180.0)]
     if abs(clat) + dlat < _MAX_BAND_LAT:
         dlon = r / (_KM_PER_DEG *
                     math.cos(math.radians(min(abs(clat) + dlat,
@@ -99,12 +108,31 @@ def geo_circle_range(
         lo, hi = clon - dlon, clon + dlon
         if dlon < 180.0:
             if lo < -180.0:
-                pre = pre & ((lon >= lo + 360.0) | (lon <= hi))
+                boxes = [(lo + 360.0, 180.0), (-180.0, hi)]
             elif hi > 180.0:
-                pre = pre & ((lon >= lo) | (lon <= hi - 360.0))
+                boxes = [(lo, 180.0), (-180.0, hi - 360.0)]
             else:
-                pre = pre & lon.between(lo, hi)
+                boxes = [(lo, hi)]
     dist = haversine_km(lat, lon, F.lit(clat), F.lit(clon))
+    if registry is not None:
+        from .filters import range_query
+
+        parts = [
+            range_query(df, [lat_col, lon_col], (lat_lo, blo),
+                        (lat_hi, bhi), registry=registry)
+            for blo, bhi in boxes
+        ]
+        pre_df = parts[0]
+        for p in parts[1:]:
+            pre_df = pre_df.unionByName(p)
+        return pre_df.filter(dist <= r)
+    pre = lat.between(lat_lo, lat_hi)
+    if boxes != [(-180.0, 180.0)]:
+        cond = None
+        for blo, bhi in boxes:
+            c = lon.between(blo, bhi)
+            cond = c if cond is None else (cond | c)
+        pre = pre & cond
     return df.filter(pre & (dist <= r))
 
 

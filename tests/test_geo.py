@@ -331,3 +331,85 @@ def test_geo_cell_agg_extra_aggs_and_validation(spark):
     assert {(r["n"], r["s"]) for r in out} == {(2, 3), (1, 3)}
     with pytest.raises(ValueError):
         geo_cell_agg(df, "lat", "lon", 0.0)
+
+
+def test_st_geo_sql_functions_jvm_side_and_correct(spark):
+    """st_haversine_km / st_within_geo inline as JVM expressions (no
+    BatchEvalPython) and agree with the Column builder."""
+    from simba_spark.functions import register_sql_functions
+    from simba_spark.operators.geo import geo_circle_range
+
+    register_sql_functions(spark)
+    pts = _random_points(300, 61)
+    df = _pts(spark, pts)
+    df.createOrReplaceTempView("geo_pts")
+    out = spark.sql(
+        "SELECT p_id FROM geo_pts "
+        "WHERE st_within_geo(lat, lon, 48.0D, 2.0D, 1500.0D) "
+        "  AND st_haversine_km(lat, lon, 48.0D, 2.0D) >= 0D")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r["p_id"] for r in out.collect()}
+    want = {r["p_id"] for r in geo_circle_range(
+        df, "lat", "lon", (48.0, 2.0), 1500.0).collect()}
+    assert got == want
+
+
+def test_geo_circle_range_streams_stateless(spark, tmp_path):
+    """geo_circle_range is a pure filter ⇒ valid on readStream with no
+    state; batch-replay parity."""
+    from simba_spark.operators.geo import geo_circle_range
+
+    pts = _random_points(200, 71)
+    df = _pts(spark, pts)
+    d = str(tmp_path / "geo_stream")
+    df.write.parquet(d)
+    src = spark.readStream.schema(df.schema).parquet(d)
+    out = geo_circle_range(src, "lat", "lon", (-30.0, 100.0), 2500.0)
+    q = (out.writeStream.format("memory").queryName("geo_stream_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["p_id"] for r in
+           spark.sql("SELECT * FROM geo_stream_out").collect()}
+    want = {r["p_id"] for r in
+            geo_circle_range(df, "lat", "lon", (-30.0, 100.0),
+                             2500.0).collect()}
+    assert got == want
+
+
+def test_geo_circle_range_prunes_persisted_zorder_layout(spark, tmp_path):
+    """The spherical range's bbox prefilter routes through the layout
+    registry: over a persisted (lat, lon) z-order layout the plan
+    carries PartitionFilters on the bucket-directory column (files of
+    pruned buckets never get tasks) AND the result equals the naive
+    path."""
+    from simba_spark.context import SimbaContext
+    from simba_spark.operators.geo import geo_circle_range
+    from simba_spark.plans.layouts import ZBCOL
+
+    ctx = SimbaContext(spark)
+    pts = _random_points(4000, 81)
+    df = _pts(spark, pts)
+    ctx.create_index(df, ["lat", "lon"], "geo_prune_idx", kind="zorder")
+    try:
+        ctx.persist_index("geo_prune_idx", str(tmp_path / "geo_idx"))
+        lay = ctx.layouts.get("geo_prune_idx")
+        out = geo_circle_range(lay.data, "lat", "lon", (40.0, -75.0),
+                               500.0, registry=ctx.layouts)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and ZBCOL in pf[0] and " IN " in pf[0], plan
+        got = {r["p_id"] for r in out.collect()}
+        want = {i for i, la, lo in pts
+                if _hav((la, lo), (40.0, -75.0)) <= 500.0}
+        assert got == want
+        # wrap case unions two routed boxes and stays correct
+        out2 = geo_circle_range(lay.data, "lat", "lon", (10.0, 179.5),
+                                700.0, registry=ctx.layouts)
+        got2 = {r["p_id"] for r in out2.collect()}
+        want2 = {i for i, la, lo in pts
+                 if _hav((la, lo), (10.0, 179.5)) <= 700.0}
+        assert got2 == want2
+    finally:
+        ctx.drop_index("geo_prune_idx")

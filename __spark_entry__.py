@@ -3446,6 +3446,78 @@ def q_hll_rolling(spark, sf_dir):
         "day", F.round("approx_users", 4).alias("approx_users"))
 
 
+def q_er_resolve(spark, sf_dir):
+    """End-to-end entity resolution, composed from tested stages:
+    sorted-neighborhood blocking (linear candidates) → Fellegi–Sunter
+    scoring → score-thresholded match edges → pointer-doubling
+    connected components → one canonical member per entity (max
+    acctbal, min-key tiebreak). Output: every clustered customer with
+    its entity id and the entity's canonical key."""
+    from pyspark.sql import Window
+
+    from simba_spark.operators.dedup import (connected_components,
+                                             linkage_score,
+                                             sorted_neighborhood_pairs)
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = sorted_neighborhood_pairs(cust, "c_name", "c_custkey",
+                                      window=5)
+    a = cust.select(F.col("c_custkey").alias("a_id"),
+                    F.col("c_name").alias("name_a"),
+                    F.col("c_mktsegment").alias("seg_a"))
+    b = cust.select(F.col("c_custkey").alias("b_id"),
+                    F.col("c_name").alias("name_b"),
+                    F.col("c_mktsegment").alias("seg_b"))
+    scored = linkage_score(
+        pairs.join(a, "a_id").join(b, "b_id"),
+        [
+            ("name_a", "name_b", "levenshtein", 0.9, 0.05, 0.9),
+            ("seg_a", "seg_b", "exact", 0.8, 0.2),
+        ],
+    )
+    edges = scored.filter(F.col("score") >= 4.0).select("a_id", "b_id")
+    comp = connected_components(edges)
+    enriched = comp.join(
+        cust.select(F.col("c_custkey").alias("id"), "c_acctbal"), "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("c_acctbal").desc(), F.col("id").asc())
+    canon = (
+        enriched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("component", F.col("id").alias("canonical_id"))
+    )
+    return comp.join(canon, "component").select(
+        "id", "component", "canonical_id")
+
+
+def q_events_ohlc(spark, sf_dir):
+    """OHLC bars (timeseries.ohlc): daily open/high/low/close + exact
+    cent sums per event type — one (key, bucket) shuffle shared by both
+    window passes and the aggregate; open/close picked by row_number
+    over (ts, event_id), never a float min on ts."""
+    from simba_spark.operators.timeseries import ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc(ev, "ts", "value", key_cols=["event_type"],
+                tiebreak_col="event_id")
+
+
+def q_impute_events(spark, sf_dir):
+    """Per-group mean imputation (pipeline.impute): values deleted on a
+    deterministic rule (event_id % 7 == 0) are refilled with their
+    event type's mean — one skinny aggregate broadcast back, zero data
+    shuffle."""
+    from simba_spark.operators.pipeline import impute
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"))
+    out = impute(ev, ["v"], "mean", group_by=["event_type"])
+    return out.select("event_id", "event_type",
+                      F.round("v", 6).alias("v_filled"))
+
+
 def q_scd2_lookup(spark, sf_dir):
     """Point-in-time join (scd2_lookup): each order picks the
     (status, priority) dimension version valid at its date from the
@@ -3683,6 +3755,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cells": q_geo_cells,
         "hll_rolling": q_hll_rolling,
         "scd2_lookup": q_scd2_lookup,
+        "events_ohlc": q_events_ohlc,
+        "impute_events": q_impute_events,
+        "er_resolve": q_er_resolve,
         # --- rotated after round 6 with 1 driver green each (r6) to
         #     seat the 44-query backlog per the round-6 brief; all
         #     re-verified locally by every check_oracle.py run ---
@@ -4518,7 +4593,84 @@ def oracle_sql() -> dict[str, str]:
             "user_id", ["day"], p=12),
         "day", 7, p=12, out_col="approx_users")
 
+    from simba_spark.operators.timeseries import ohlc_sql
+
+    _er_pairs = """(
+      WITH __r AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               row_number() OVER (
+                 ORDER BY c_name || chr(1) ||
+                          lpad(length(c_custkey::VARCHAR)::VARCHAR,
+                               4, '0') || c_custkey::VARCHAR
+               ) AS rk
+        FROM customer
+        WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL
+      )
+      SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             a.c_name AS name_a, a.c_mktsegment AS seg_a,
+             b.c_name AS name_b, b.c_mktsegment AS seg_b
+      FROM __r a JOIN __r b ON b.rk > a.rk AND b.rk - a.rk <= 5
+    )"""
+    _er_edges = linkage_score_sql(
+        _er_pairs,
+        [
+            ("name_a", "name_b", "levenshtein", 0.9, 0.05, 0.9),
+            ("seg_a", "seg_b", "exact", 0.8, 0.2),
+        ],
+        select_cols="a_id, b_id",
+        threshold=4.0,
+    )
+
     return {
+        "er_resolve": f"""
+            WITH RECURSIVE me AS (
+              SELECT a_id, b_id FROM ({_er_edges})
+            ), edges AS (
+              SELECT a_id AS src, b_id AS dst FROM me
+              UNION SELECT b_id, a_id FROM me
+            ), nodes AS (
+              SELECT DISTINCT src AS id FROM edges
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.src, reach.r FROM edges e
+              JOIN reach ON e.dst = reach.id
+            ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ), canon AS (
+              SELECT component, id AS canonical_id FROM (
+                SELECT c.component, c.id,
+                       row_number() OVER (
+                         PARTITION BY c.component
+                         ORDER BY cu.c_acctbal DESC, c.id ASC) AS rn
+                FROM comp c JOIN customer cu ON cu.c_custkey = c.id
+              ) WHERE rn = 1
+            )
+            SELECT c.id, c.component, canon.canonical_id
+            FROM comp c JOIN canon USING (component)
+        """,
+        "events_ohlc": ohlc_sql("events", "ts", "value",
+                                key_cols=["event_type"],
+                                tiebreak_col="event_id"),
+        "impute_events": """
+            WITH __e AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 7 = 0
+                          THEN NULL ELSE value END AS v
+              FROM events
+            ), __f AS (
+              SELECT event_type,
+                     round(avg(CASE WHEN NOT isnan(CAST(v AS DOUBLE))
+                                    THEN v END), 6) AS __fill
+              FROM __e GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   round(coalesce(
+                       CASE WHEN NOT isnan(CAST(e.v AS DOUBLE))
+                            THEN e.v END,
+                       f.__fill), 6) AS v_filled
+            FROM __e e LEFT JOIN __f f USING (event_type)
+        """,
         "geo_cells": geo_cells_sql,
         "hll_rolling": (
             f"SELECT day, round(approx_users, 4) AS approx_users "

@@ -135,6 +135,12 @@ HEADLINE = [
     "tpch_q8",
     "tpch_q12",
     "tpch_q21",
+    "geo_cells",
+    "hll_rolling",
+    "scd2_lookup",
+    "events_ohlc",
+    "impute_events",
+    "er_resolve",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -161,6 +167,8 @@ _POST_R3 = {
     "ks_value", "linreg_trend", "modularity", "hyperanf",
     "geo_distance_join", "geo_knn_join", "geo_circle_range",
     "geo_knn", "scd2_build", "tpch_q8", "tpch_q12", "tpch_q21",
+    "geo_cells", "hll_rolling", "scd2_lookup", "events_ohlc",
+    "impute_events", "er_resolve",
 }
 
 GROUPS = {

@@ -1130,3 +1130,82 @@ WITH __nn AS (
 SELECT {select_cols}, __p.__pr AS {out_col}
 FROM {from_sql} __t LEFT JOIN __p ON __t.{col_expr} = __p.__v
 """
+
+
+def impute(
+    df: DataFrame,
+    cols: Sequence[str],
+    strategy: str = "mean",
+    group_by: Optional[Sequence[str]] = None,
+    fill_map: Optional[dict] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """NULL/NaN imputation for numeric feature columns — ``mean``
+    (per-group, rounded so the fill value is engine/partitioning-
+    stable), ``mode`` (most frequent value, minimum-value tiebreak so
+    ties are deterministic), or ``constant`` (``fill_map[col]``).
+
+    Scale: ONE skinny pass computes all fill values (a per-group
+    aggregate for mean; per-(group, col-value) counts + one window for
+    mode — only distinct values cross the wire), broadcast back onto
+    the table (AQE broadcasts the fill frame; zero shuffle of the data
+    itself for the ungrouped case). A group whose values are ALL null
+    keeps its nulls (no global fallback — silently mixing pools is
+    the classic leakage bug; compose with a second ungrouped pass if
+    that is what you want).
+    """
+    cols = list(cols)
+    groups = list(group_by or [])
+    if strategy not in ("mean", "mode", "constant"):
+        raise ValueError(f"impute: unknown strategy {strategy!r}")
+    if strategy == "constant":
+        if not fill_map:
+            raise ValueError("impute: strategy='constant' needs fill_map")
+        out = df
+        for c in cols:
+            if c not in fill_map:
+                raise ValueError(f"impute: fill_map missing {c!r}")
+            v = F.lit(fill_map[c]).cast(dict(df.dtypes)[c])
+            out = out.withColumn(
+                c, F.coalesce(_non_nan(F.col(c)), v))
+        return out
+
+    if strategy == "mean":
+        fills = df.groupBy(*groups).agg(*[
+            F.round(F.avg(_non_nan(F.col(c))), int(round_to))
+            .alias(f"__fill_{c}")
+            for c in cols
+        ])
+    else:  # mode
+        fills = None
+        for c in cols:
+            counts = (
+                df.filter(_non_nan(F.col(c)).isNotNull())
+                .groupBy(*groups, F.col(c).alias("__val"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
+            w = Window.partitionBy(*groups).orderBy(
+                F.col("__n").desc(), F.col("__val").asc())
+            top = (
+                counts.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(*groups, F.col("__val").alias(f"__fill_{c}"))
+            )
+            fills = top if fills is None else fills.join(
+                top, on=groups, how="outer") if groups else \
+                fills.crossJoin(top)
+    if groups:
+        out = df.join(F.broadcast(fills), on=groups, how="left")
+    else:
+        out = df.crossJoin(F.broadcast(fills))
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(_non_nan(F.col(c)),
+                          F.col(f"__fill_{c}").cast(dict(df.dtypes)[c])))
+    return out.drop(*[f"__fill_{c}" for c in cols])
+
+
+def _non_nan(col):
+    """NULL out NaNs so coalesce/avg treat them as missing (Spark avg
+    would otherwise propagate NaN; DuckDB avg ignores neither)."""
+    return F.when(~F.isnan(col.cast("double")), col)

@@ -836,3 +836,105 @@ SELECT k AS {key_col}, n,
                   THEN num * num / (dx * dy) END, {r}) AS r2
 FROM __d
 """
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    key_cols: Optional[Sequence[str]] = None,
+    bucket: str = "1 day",
+    tiebreak_col: Optional[str] = None,
+    cents: bool = True,
+) -> DataFrame:
+    """Per-(key, time-bucket) OHLC bars: open (earliest value), high,
+    low, close (latest), n, and the bucket's exact value sum — the
+    resample-to-bars primitive for tick/metric streams.
+
+    Open/close are picked by row_number over (ts, tiebreak) — NOT by a
+    float min/max on ts — so same-timestamp rows resolve
+    deterministically and the result is partitioning/engine-stable.
+    Plan: ONE shuffle on (keys, bucket) shared by both window passes
+    (same partition keys, opposite sort orders) and the final
+    aggregate; the sum is exact integer cents when ``cents`` (float
+    sums are order-dependent and would break hash parity).
+    """
+    keys = list(key_cols or [])
+    b = F.window(F.col(ts_col), bucket)["start"].alias("bucket")
+    order = [F.col(ts_col).asc()]
+    order_d = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+        order_d.append(F.col(tiebreak_col).desc())
+    base = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(*keys, F.col(ts_col), F.col(tiebreak_col)
+                if tiebreak_col else F.lit(0).alias("__tb"),
+                F.col(val_col).cast("double").alias("__v"), b)
+    )
+    wa = Window.partitionBy(*keys, "bucket").orderBy(*order)
+    wd = Window.partitionBy(*keys, "bucket").orderBy(*order_d)
+    ranked = base.withColumn("__ra", F.row_number().over(wa)) \
+                 .withColumn("__rd", F.row_number().over(wd))
+    val_sum = (
+        F.sum(F.round(F.col("__v") * 100.0, 0).cast("long")) / 100.0
+        if cents else F.sum("__v")
+    )
+    return (
+        ranked.groupBy(*keys, "bucket")
+        .agg(
+            F.max(F.when(F.col("__ra") == 1, F.col("__v"))).alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max(F.when(F.col("__rd") == 1, F.col("__v"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            val_sum.alias("val_sum"),
+        )
+    )
+
+
+def ohlc_sql(
+    from_sql: str,
+    ts_col: str,
+    val_col: str,
+    key_cols: Optional[Sequence[str]] = None,
+    bucket_sql: str = "CAST(date_trunc('day', {ts}) AS TIMESTAMP)",
+    tiebreak_col: Optional[str] = None,
+    cents: bool = True,
+) -> str:
+    """DuckDB mirror of :func:`ohlc` (daily buckets by default —
+    mirror Spark's window('1 day') via date_trunc; the CAST matters:
+    DuckDB's day-precision date_trunc returns DATE, Spark's window
+    start is TIMESTAMP, and the driver hash is type-sensitive)."""
+    keys = list(key_cols or [])
+    gsel = "".join(f"{k}, " for k in keys)
+    gby = ", ".join(keys + ["bucket"])
+    bexpr = bucket_sql.format(ts=ts_col)
+    tb = f", {tiebreak_col}" if tiebreak_col else ""
+    tbd = f", {tiebreak_col} DESC" if tiebreak_col else ""
+    vs = (f"CAST(sum(CAST(round(__v * 100.0, 0) AS BIGINT)) AS DOUBLE)"
+          f" / 100.0" if cents else "sum(__v)")
+    return f"""
+WITH __b AS (
+  SELECT {gsel} {bexpr} AS bucket, {ts_col} AS __ts{tb},
+         CAST({val_col} AS DOUBLE) AS __v
+  FROM {from_sql}
+  WHERE {ts_col} IS NOT NULL AND {val_col} IS NOT NULL
+), __r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY {gby}
+                            ORDER BY __ts{tb}) AS __ra,
+         row_number() OVER (PARTITION BY {gby}
+                            ORDER BY __ts DESC{tbd}) AS __rd
+  FROM __b
+)
+SELECT {gsel} bucket,
+       max(CASE WHEN __ra = 1 THEN __v END) AS open,
+       max(__v) AS high,
+       min(__v) AS low,
+       max(CASE WHEN __rd = 1 THEN __v END) AS close,
+       count(*)::BIGINT AS n,
+       {vs} AS val_sum
+FROM __r
+GROUP BY {gby}
+"""

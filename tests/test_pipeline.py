@@ -630,3 +630,40 @@ def test_scd2_lookup_validation(spark):
     with _pt.raises(ValueError, match="how"):
         scd2_lookup(facts, dim.withColumnRenamed("t", "attr"),
                     "k", "t", how="full")
+
+
+def test_impute_mean_grouped_and_all_null_group(spark):
+    from simba_spark.operators.pipeline import impute
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", None), ("a", float("nan")),
+            ("b", None), ("b", None), ("c", 7.0), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r["g"], r["x"]) for r in
+           impute(df, ["x"], "mean", group_by=["g"]).collect()}
+    # a: mean(1,3)=2 fills NULL and NaN; b: all-null stays null; c: 7
+    assert got == {("a", 1.0), ("a", 3.0), ("a", 2.0),
+                   ("b", None), ("c", 7.0)}
+    n_a = [r["x"] for r in
+           impute(df, ["x"], "mean", group_by=["g"])
+           .filter("g = 'a'").collect()]
+    assert sorted(n_a) == [1.0, 2.0, 2.0, 3.0]
+
+
+def test_impute_mode_and_constant(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.pipeline import impute
+
+    rows = [(1.0,), (2.0,), (2.0,), (3.0,), (3.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    # mode tie 2 vs 3 -> min value wins deterministically
+    got = sorted(r["x"] for r in impute(df, ["x"], "mode").collect())
+    assert got == [1.0, 2.0, 2.0, 2.0, 3.0, 3.0]
+    got2 = sorted(r["x"] for r in
+                  impute(df, ["x"], "constant",
+                         fill_map={"x": -1.0}).collect())
+    assert got2 == [-1.0, 1.0, 2.0, 2.0, 3.0, 3.0]
+    with _pt.raises(ValueError):
+        impute(df, ["x"], "constant")
+    with _pt.raises(ValueError):
+        impute(df, ["x"], "bogus")

@@ -437,3 +437,36 @@ def test_benford_conforming_sample_low_chisq(spark):
     assert chisq < 16.0  # chi2(8df, .95)=15.5; conforming data passes
     p = {r["digit"]: r["p_obs"] for r in out}
     assert abs(p[1] - math.log10(2)) < 0.05
+
+
+def test_ohlc_bars_deterministic_and_sql_parity(spark):
+    import duckdb
+    from datetime import datetime
+
+    from simba_spark.operators.timeseries import ohlc, ohlc_sql
+
+    rows = [
+        ("k1", datetime(2024, 1, 1, 9, 0), 1, 10.0),
+        ("k1", datetime(2024, 1, 1, 9, 0), 2, 11.0),   # same-ts tie
+        ("k1", datetime(2024, 1, 1, 15, 0), 3, 8.0),
+        ("k1", datetime(2024, 1, 2, 10, 0), 4, 20.0),
+        ("k2", datetime(2024, 1, 1, 12, 0), 5, 5.0),
+        ("k2", datetime(2024, 1, 1, 12, 0), 6, None),  # null value drops
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    got = {(r["k"], str(r["bucket"]), r["open"], r["high"], r["low"],
+            r["close"], r["n"], r["val_sum"])
+           for r in ohlc(df, "ts", "v", key_cols=["k"],
+                         tiebreak_col="id").collect()}
+    assert ("k1", "2024-01-01 00:00:00", 10.0, 11.0, 8.0, 8.0, 3, 29.0) in got
+    assert ("k1", "2024-01-02 00:00:00", 20.0, 20.0, 20.0, 20.0, 1, 20.0) in got
+    assert ("k2", "2024-01-01 00:00:00", 5.0, 5.0, 5.0, 5.0, 1, 5.0) in got
+    assert len(got) == 3
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(k VARCHAR, ts TIMESTAMP, id BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)",
+                    [(k, t, i, v) for k, t, i, v in rows])
+    want = {(r[0], str(r[1]), *r[2:]) for r in con.sql(
+        ohlc_sql("t", "ts", "v", key_cols=["k"],
+                 tiebreak_col="id")).fetchall()}
+    assert got == want

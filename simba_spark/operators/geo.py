@@ -187,6 +187,57 @@ def _band_width_deg(band, radius_km: float):
                   F.lit(360.0)).otherwise(w)
 
 
+def _geo_ncells(w):
+    """UNIFORM cells, each 360/ncell >= w wide: floor (not ceil) keeps
+    every cell at least w wide, so a lon gap <= w is always <= 1 cell
+    apart — ceil left a ragged final cell narrower than w at the
+    antimeridian seam, where a <= w gap could straddle 2 cell
+    boundaries and escape +/-1 replication."""
+    return F.greatest(
+        F.floor(F.lit(360.0) / F.greatest(w, F.lit(1e-9))),
+        F.lit(1)).cast("long")
+
+
+def _geo_cell_of(lon, ncell):
+    # lon=180 lands on cell index ncell -> mod wraps it to 0,
+    # the same cell as lon=-180
+    return (F.floor((lon + F.lit(180.0))
+                    * ncell.cast("double") / F.lit(360.0))
+            .cast("long") % ncell)
+
+
+def _geo_keyed(df, lat_c: str, lon_c: str, radius_km: float,
+               replicate: bool):
+    """Attach the banded-grid (__gb, __gc) join key. ``replicate``
+    emits the 3x3 (band, cell) neighborhood as TWO small explodes —
+    bands first (always 3 distinct), then the array_distinct'd
+    lon-neighbor cells of THAT band (a 1-cell polar band collapses its
+    three lon-neighbors to one entry without touching row multiplicity;
+    a row-level dropDuplicates would eat legitimately duplicated input
+    rows). Two explodes keep each projection's expression tree small —
+    inlining all 9 (band, cell) structs into one array expression
+    overflows janino's 64KB method limit and knocks the whole stage
+    out of codegen."""
+    r = float(radius_km)
+    dlat = r / _KM_PER_DEG
+    lat = F.col(lat_c).cast("double")
+    lon = F.col(lon_c).cast("double")
+    band = F.floor(lat / F.lit(dlat)).cast("long")
+    if not replicate:
+        ncell = _geo_ncells(_band_width_deg(band, r))
+        return df.withColumn("__gb", band) \
+                 .withColumn("__gc", _geo_cell_of(lon, ncell))
+    out = df.withColumn(
+        "__gb", F.explode(F.array(band - 1, band, band + 1)))
+    b = F.col("__gb")
+    ncell = _geo_ncells(_band_width_deg(b, r))
+    cell = _geo_cell_of(lon, ncell)
+    cells = F.array_distinct(F.array(
+        *[((cell + dc) % ncell + ncell) % ncell
+          for dc in (-1, 0, 1)]))
+    return out.withColumn("__gc", F.explode(cells))
+
+
 def geo_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -230,53 +281,8 @@ def geo_distance_join(
             " — disambiguate with left_prefix/right_prefix")
     dlat = r / _KM_PER_DEG
 
-    def ncells(w):
-        # UNIFORM cells, each 360/ncell >= w wide: floor (not ceil)
-        # keeps every cell at least w wide, so a lon gap <= w is
-        # always <= 1 cell apart — ceil left a ragged final cell
-        # narrower than w at the antimeridian seam, where a <= w gap
-        # could straddle 2 cell boundaries and escape +/-1 replication
-        return F.greatest(
-            F.floor(F.lit(360.0) / F.greatest(w, F.lit(1e-9))),
-            F.lit(1)).cast("long")
-
-    def cell_of(lon, ncell):
-        # lon=180 lands on cell index ncell -> mod wraps it to 0,
-        # the same cell as lon=-180
-        return (F.floor((lon + F.lit(180.0))
-                        * ncell.cast("double") / F.lit(360.0))
-                .cast("long") % ncell)
-
-    def keyed(df, lat_c, lon_c, replicate: bool):
-        lat = F.col(lat_c).cast("double")
-        lon = F.col(lon_c).cast("double")
-        band = F.floor(lat / F.lit(dlat)).cast("long")
-        if not replicate:
-            ncell = ncells(_band_width_deg(band, r))
-            return df.withColumn("__gb", band) \
-                     .withColumn("__gc", cell_of(lon, ncell))
-        # replicate: 3x3 (band, cell) neighborhood as TWO small
-        # explodes — bands first (always 3 distinct), then the
-        # array_distinct'd lon-neighbor cells of THAT band (a 1-cell
-        # polar band collapses its three lon-neighbors to one entry
-        # without touching row multiplicity; a row-level
-        # dropDuplicates would eat legitimately duplicated input
-        # rows). Two explodes keep each projection's expression tree
-        # small — inlining all 9 (band, cell) structs into one array
-        # expression overflows janino's 64KB method limit and knocks
-        # the whole stage out of codegen.
-        out = df.withColumn(
-            "__gb", F.explode(F.array(band - 1, band, band + 1)))
-        b = F.col("__gb")
-        ncell = ncells(_band_width_deg(b, r))
-        cell = cell_of(lon, ncell)
-        cells = F.array_distinct(F.array(
-            *[((cell + dc) % ncell + ncell) % ncell
-              for dc in (-1, 0, 1)]))
-        return out.withColumn("__gc", F.explode(cells))
-
-    lk = keyed(left, lat_l, lon_l, replicate=True)
-    rk = keyed(right, lat_r, lon_r, replicate=False)
+    lk = _geo_keyed(left, lat_l, lon_l, r, replicate=True)
+    rk = _geo_keyed(right, lat_r, lon_r, r, replicate=False)
     joined = lk.join(rk, on=["__gb", "__gc"])
     dist = haversine_km(
         F.col(lat_l).cast("double"), F.col(lon_l).cast("double"),

@@ -12,6 +12,7 @@ from .ops import (
     streaming_static_asof_join,
     streaming_circle_range,
     streaming_distance_join,
+    streaming_geo_distance_join,
     streaming_exact_dedup,
     streaming_kmeans_assign,
     streaming_pca_project,
@@ -30,6 +31,7 @@ __all__ = [
     "streaming_range_filter",
     "streaming_circle_range",
     "streaming_distance_join",
+    "streaming_geo_distance_join",
     "streaming_exact_dedup",
     "streaming_kmeans_assign",
     "streaming_pca_project",

@@ -142,6 +142,52 @@ def streaming_distance_join(
     return st.join(sg, on="__cell", how="inner").filter(pred).drop("__cell")
 
 
+def streaming_geo_distance_join(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    radius_km: float,
+    lat_s: str = "lat",
+    lon_s: str = "lon",
+    lat_t: str = "lat",
+    lon_t: str = "lon",
+    static_prefix: str = "s_",
+    out_col: str = "dist_km",
+) -> DataFrame:
+    """Stream-static SPHERICAL distance join: each streaming (lat, lon)
+    row joined to every static point within ``radius_km`` great-circle
+    km (closed bound — the batch geo_distance_join contract).
+
+    Physical shape mirrors :func:`streaming_distance_join` with the
+    batch operator's latitude-banded grid: the STATIC side replicates
+    to its 3x3 (band, lon-cell) neighborhood (done once, reused every
+    micro-batch), the stream row computes its single (band, cell) key
+    — a stateless stream-static equi-join with no stream-side shuffle;
+    the exact haversine refine runs codegen'd. Coverage inherits the
+    batch operator's spherical-cap cell-width bound (pole and
+    antimeridian safe).
+    """
+    from ..operators.geo import _geo_keyed, haversine_km
+
+    r = float(radius_km)
+    if r < 0:
+        raise ValueError("radius_km must be >= 0")
+    static_p = static_df.select(
+        [F.col(c).alias(f"{static_prefix}{c}") for c in static_df.columns]
+    )
+    plat, plon = static_prefix + lat_t, static_prefix + lon_t
+    sg = _geo_keyed(static_p, plat, plon, r, replicate=True)
+    st = _geo_keyed(stream_df, lat_s, lon_s, r, replicate=False)
+    dist = haversine_km(
+        F.col(lat_s).cast("double"), F.col(lon_s).cast("double"),
+        F.col(plat).cast("double"), F.col(plon).cast("double"))
+    return (
+        st.join(sg, on=["__gb", "__gc"], how="inner")
+        .withColumn(out_col, dist)
+        .filter(F.col(out_col) <= r)
+        .drop("__gb", "__gc")
+    )
+
+
 def streaming_knn_join(
     stream_df: DataFrame,
     static_df: DataFrame,

@@ -1161,3 +1161,36 @@ def test_streaming_cusum_matches_batch_and_keeps_state(spark):
             assert bool(galarm) == bool(alarm)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_geo_distance_join_matches_batch(spark, tmp_path):
+    """Stream-static spherical join ≡ the batch geo_distance_join over
+    the replayed rows (incl. a high-latitude pair the planar bound
+    would have missed)."""
+    import random
+
+    from simba_spark.operators.geo import geo_distance_join
+    from simba_spark.streaming import streaming_geo_distance_join
+
+    rng = random.Random(91)
+    spts = [(i, rng.uniform(-85, 85), rng.uniform(-180, 180))
+            for i in range(80)]
+    tpts = [(100 + i, rng.uniform(-85, 85), rng.uniform(-180, 180))
+            for i in range(80)]
+    spts += [(900, 80.5, 76.0)]
+    tpts += [(901, 80.5, 166.0)]
+    sdf = spark.createDataFrame(spts, "sid long, lat double, lon double")
+    tdf = spark.createDataFrame(tpts, "tid long, lat double, lon double")
+    d = str(tmp_path / "geo_sj")
+    sdf.write.parquet(d)
+    src = spark.readStream.schema(sdf.schema).parquet(d)
+    out = streaming_geo_distance_join(src, tdf, 1500.0)
+    q = (out.writeStream.format("memory").queryName("geo_sj_out")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["sid"], r["s_tid"]) for r in
+           spark.sql("SELECT * FROM geo_sj_out").collect()}
+    want = {(r["sid"], r["b_tid"]) for r in geo_distance_join(
+        sdf, tdf, 1500.0, right_prefix="b_").collect()}
+    assert got == want and (900, 901) in got

@@ -143,6 +143,32 @@ class SimbaContext:
 
         return knn(df, cols, query_point, k, tiebreak=tiebreak, registry=self.layouts)
 
+    # -- spherical (WGS-84 lat/lon) ----------------------------------------
+    def geo_circle_range(self, df: DataFrame, lat_col, lon_col, center,
+                         radius_km) -> DataFrame:
+        """Great-circle range — layout-aware (a persisted (lat, lon)
+        z-order layout prunes bucket dirs at planning time)."""
+        from .operators.geo import geo_circle_range
+
+        return geo_circle_range(df, lat_col, lon_col, center, radius_km,
+                                registry=self.layouts)
+
+    def geo_knn(self, df: DataFrame, lat_col, lon_col, center, k: int,
+                tiebreak=None) -> DataFrame:
+        from .operators.geo import geo_knn
+
+        return geo_knn(df, lat_col, lon_col, center, k, tiebreak=tiebreak)
+
+    def geo_distance_join(self, left, right, radius_km, **kw):
+        from .operators.geo import geo_distance_join
+
+        return geo_distance_join(left, right, radius_km, **kw)
+
+    def geo_knn_join(self, left, right, k, **kw):
+        from .operators.geo import geo_knn_join
+
+        return geo_knn_join(left, right, k, **kw)
+
     # -- joins ------------------------------------------------------------
     def distance_join(self, left, right, left_cols, right_cols, radius, **kw):
         from .operators.distance_join import distance_join

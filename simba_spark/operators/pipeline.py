@@ -1139,6 +1139,8 @@ def impute(
     group_by: Optional[Sequence[str]] = None,
     fill_map: Optional[dict] = None,
     round_to: int = 6,
+    id_col: Optional[str] = None,
+    k: int = 256,
 ) -> DataFrame:
     """NULL/NaN imputation for numeric feature columns — ``mean``
     (per-group, rounded so the fill value is engine/partitioning-
@@ -1156,8 +1158,11 @@ def impute(
     """
     cols = list(cols)
     groups = list(group_by or [])
-    if strategy not in ("mean", "mode", "constant"):
+    if strategy not in ("mean", "mode", "median", "constant"):
         raise ValueError(f"impute: unknown strategy {strategy!r}")
+    if strategy == "median" and id_col is None:
+        raise ValueError("impute: strategy='median' needs id_col "
+                         "(the sketch's deterministic sample key)")
     if strategy == "constant":
         if not fill_map:
             raise ValueError("impute: strategy='constant' needs fill_map")
@@ -1176,6 +1181,26 @@ def impute(
             .alias(f"__fill_{c}")
             for c in cols
         ])
+    elif strategy == "median":
+        # sketched per-group median (bottom-k uniform sample +
+        # percentile_cont interpolation) — deterministic, mergeable,
+        # ~1.5% rank error at k=256; exact below k rows per group
+        from .sketches import quantile_estimate, quantile_sketch
+
+        fills = None
+        for c in cols:
+            base = df.filter(_non_nan(F.col(c)).isNotNull()) \
+                     .withColumn("__iv", _non_nan(F.col(c)))
+            sk = quantile_sketch(base, "__iv", id_col,
+                                 group_by=groups, k=int(k))
+            est = quantile_estimate(sk, [0.5], group_by=groups)
+            top = est.select(
+                *groups,
+                F.round(F.col("q500"), int(round_to))
+                .alias(f"__fill_{c}"))
+            fills = top if fills is None else (fills.join(
+                top, on=groups, how="outer") if groups else
+                fills.crossJoin(top))
     else:  # mode
         fills = None
         for c in cols:
@@ -1191,9 +1216,9 @@ def impute(
                 .filter(F.col("__rn") == 1)
                 .select(*groups, F.col("__val").alias(f"__fill_{c}"))
             )
-            fills = top if fills is None else fills.join(
-                top, on=groups, how="outer") if groups else \
-                fills.crossJoin(top)
+            fills = top if fills is None else (fills.join(
+                top, on=groups, how="outer") if groups else
+                fills.crossJoin(top))
     if groups:
         out = df.join(F.broadcast(fills), on=groups, how="left")
     else:

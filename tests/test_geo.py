@@ -413,3 +413,76 @@ def test_geo_circle_range_prunes_persisted_zorder_layout(spark, tmp_path):
         assert got2 == want2
     finally:
         ctx.drop_index("geo_prune_idx")
+
+
+def test_band_width_bound_property_no_spark():
+    """The no-miss invariant of the banded grid, pinned as pure math
+    (hypothesis, no Spark): for ANY pair within r where the right
+    point keys once in its band, the pair's lon gap fits within one
+    cell width of that band (so ±1-cell replication always covers it),
+    and their band indices differ by at most 1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    R = 6371.0088
+    KM_PER_DEG = R * math.pi / 180.0
+    MAXLAT = 89.9
+
+    def width_deg(band, r):
+        # pure-python mirror of _band_width_deg
+        dlat = r / KM_PER_DEG
+        sin_delta = math.sin(min(r / R, math.pi))
+        bmax = max(abs(band * dlat), abs((band + 1) * dlat))
+        capped = min(bmax, MAXLAT)
+        ratio = sin_delta / math.cos(math.radians(capped))
+        if bmax >= MAXLAT or ratio >= 1.0:
+            return 360.0
+        return math.degrees(math.asin(min(ratio, 1.0)))
+
+    def ncells(w):
+        return max(int(360.0 // max(w, 1e-9)), 1)
+
+    @settings(max_examples=3000, deadline=None)
+    @given(
+        lat1=st.floats(-89.99, 89.99), lon1=st.floats(-180, 180),
+        lat2=st.floats(-89.99, 89.99), lon2=st.floats(-180, 180),
+        r=st.floats(0.1, 6000.0),
+    )
+    def check(lat1, lon1, lat2, lon2, r):
+        d = _hav((lat1, lon1), (lat2, lon2))
+        if d > r:
+            return
+        dlat = r / KM_PER_DEG
+        b1 = math.floor(lat1 / dlat)
+        b2 = math.floor(lat2 / dlat)
+        assert abs(b1 - b2) <= 1, (lat1, lat2, r)
+        # right keys once in band b2; left replicates into b2's grid
+        n = ncells(width_deg(b2, r))
+        c1 = int((lon1 + 180.0) * n / 360.0) % n
+        c2 = int((lon2 + 180.0) * n / 360.0) % n
+        gap = min((c1 - c2) % n, (c2 - c1) % n)
+        assert gap <= 1, (lat1, lon1, lat2, lon2, r, n, c1, c2)
+
+    check()
+
+
+def test_context_geo_methods(spark):
+    from simba_spark.context import SimbaContext
+
+    ctx = SimbaContext(spark)
+    pts = _random_points(100, 95)
+    df = _pts(spark, pts)
+    got = {r["p_id"] for r in
+           ctx.geo_circle_range(df, "lat", "lon", (0.0, 0.0),
+                                3000.0).collect()}
+    want = {i for i, la, lo in pts if _hav((la, lo), (0.0, 0.0)) <= 3000.0}
+    assert got == want
+    assert ctx.geo_knn(df, "lat", "lon", (0.0, 0.0), 5,
+                       tiebreak="p_id").count() == 5
+    l = _pts(spark, pts[:40], "l")
+    rt = _pts(spark, [(100 + i, la, lo) for i, la, lo in pts[40:]], "r")
+    assert ctx.geo_distance_join(
+        l, rt, 2000.0, right_prefix="b_").count() > 0
+    assert ctx.geo_knn_join(
+        l, rt, 2, left_id="l_id", right_tiebreak="r_id",
+        right_prefix="b_").count() == 80

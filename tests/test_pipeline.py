@@ -667,3 +667,22 @@ def test_impute_mode_and_constant(spark):
         impute(df, ["x"], "constant")
     with _pt.raises(ValueError):
         impute(df, ["x"], "bogus")
+
+
+def test_impute_median_grouped(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.pipeline import impute
+
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+    rows += [("a", 90, None), ("b", 91, None), ("b", 92, 7.0)]
+    df = spark.createDataFrame(rows, "g string, rid long, x double")
+    out = {(r["g"], r["rid"]): r["x"] for r in
+           impute(df, ["x"], "median", group_by=["g"],
+                  id_col="rid").collect()}
+    # below-k group -> exact median: a's median of [1,2,3,4,100] = 3
+    assert out[("a", 90)] == 3.0
+    assert out[("b", 91)] == 7.0  # single-value group
+    assert out[("a", 4)] == 100.0  # non-null rows untouched
+    with _pt.raises(ValueError, match="id_col"):
+        impute(df, ["x"], "median")

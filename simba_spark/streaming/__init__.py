@@ -13,6 +13,7 @@ from .ops import (
     streaming_circle_range,
     streaming_distance_join,
     streaming_geo_distance_join,
+    streaming_stream_geo_distance_join,
     streaming_exact_dedup,
     streaming_kmeans_assign,
     streaming_pca_project,
@@ -32,6 +33,7 @@ __all__ = [
     "streaming_circle_range",
     "streaming_distance_join",
     "streaming_geo_distance_join",
+    "streaming_stream_geo_distance_join",
     "streaming_exact_dedup",
     "streaming_kmeans_assign",
     "streaming_pca_project",

@@ -321,6 +321,77 @@ def streaming_stream_distance_join(
     )
 
 
+def streaming_stream_geo_distance_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    radius_km: float,
+    lat_l: str = "lat",
+    lon_l: str = "lon",
+    lat_r: str = "lat",
+    lon_r: str = "lon",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    time_bound: str = "10 minutes",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    out_col: str = "dist_km",
+) -> DataFrame:
+    """Stream-STREAM spherical distance join: pairs of events from two
+    live streams within ``radius_km`` great-circle km AND within
+    ``time_bound`` of each other in event time — the geo mirror of
+    :func:`streaming_stream_distance_join`.
+
+    Physical shape: the left stream replicates to its 3x3 (band,
+    lon-cell) neighborhood of the batch operator's banded grid, the
+    right stream keys once — the (band, cell) equality is the
+    symmetric-hash state key (state hash-partitioned exactly like the
+    batch join's shuffle), the watermarked event-time bound lets Spark
+    EVICT state, and the haversine refine runs codegen'd on survivors.
+    Coverage inherits the batch operator's spherical-cap cell-width
+    bound (pole and antimeridian safe)."""
+    from ..operators.geo import _geo_keyed, haversine_km
+
+    r = float(radius_km)
+    if r < 0:
+        raise ValueError("radius_km must be >= 0")
+    lp = left_stream.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in left_stream.columns]
+    ).withWatermark(f"{left_prefix}{left_ts}", watermark)
+    rp = right_stream.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right_stream.columns]
+    ).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    llat, llon = left_prefix + lat_l, left_prefix + lon_l
+    rlat, rlon = right_prefix + lat_r, right_prefix + lon_r
+    lts, rts = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
+
+    lg = (
+        _geo_keyed(lp, llat, llon, r, replicate=True)
+        .withColumnRenamed("__gb", "__lgb")
+        .withColumnRenamed("__gc", "__lgc")
+    )
+    rg = (
+        _geo_keyed(rp, rlat, rlon, r, replicate=False)
+        .withColumnRenamed("__gb", "__rgb")
+        .withColumnRenamed("__gc", "__rgc")
+    )
+    time_ok = F.expr(
+        f"`{rts}` >= `{lts}` - INTERVAL {time_bound} AND "
+        f"`{rts}` <= `{lts}` + INTERVAL {time_bound}"
+    )
+    dist = haversine_km(
+        F.col(llat).cast("double"), F.col(llon).cast("double"),
+        F.col(rlat).cast("double"), F.col(rlon).cast("double"))
+    out = lg.join(
+        rg,
+        (F.col("__lgb") == F.col("__rgb"))
+        & (F.col("__lgc") == F.col("__rgc"))
+        & time_ok & (dist <= r),
+        "inner",
+    ).withColumn(out_col, dist)
+    return out.drop("__lgb", "__lgc", "__rgb", "__rgc")
+
+
 def streaming_stream_knn_join(
     left_stream: DataFrame,
     right_stream: DataFrame,

@@ -1194,3 +1194,63 @@ def test_streaming_geo_distance_join_matches_batch(spark, tmp_path):
     want = {(r["sid"], r["b_tid"]) for r in geo_distance_join(
         sdf, tdf, 1500.0, right_prefix="b_").collect()}
     assert got == want and (900, 901) in got
+
+
+def test_stream_stream_geo_distance_join_matches_batch(spark):
+    """Two replayed streams through the watermarked spherical
+    stream-stream join == batch pairs (haversine <= r AND |Δt| <=
+    bound), incl. a high-latitude wide-lon-gap pair."""
+    from simba_spark.operators.geo import geo_distance_join
+    from simba_spark.streaming import streaming_stream_geo_distance_join
+
+    da = tempfile.mkdtemp(prefix="simba_ssg_a_")
+    db = tempfile.mkdtemp(prefix="simba_ssg_b_")
+    try:
+        import random
+
+        rng = random.Random(43)
+        arows = [(i, f"2024-01-01 00:{i % 30:02d}:00",
+                  rng.uniform(-85, 85), rng.uniform(-180, 180))
+                 for i in range(100)] + [(900, "2024-01-01 00:05:00",
+                                          80.5, 76.0)]
+        brows = [(j, f"2024-01-01 00:{j % 30:02d}:30",
+                  rng.uniform(-85, 85), rng.uniform(-180, 180))
+                 for j in range(120)] + [(901, "2024-01-01 00:06:30",
+                                          80.5, 166.0)]
+        schema = "id long, ts_s string, lat double, lon double"
+        a = spark.createDataFrame(arows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")).drop("ts_s")
+        b = spark.createDataFrame(brows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")).drop("ts_s")
+        a.write.mode("overwrite").parquet(da)
+        b.write.mode("overwrite").parquet(db)
+        sa = spark.readStream.schema(a.schema).parquet(da)
+        sb = spark.readStream.schema(b.schema).parquet(db)
+        out = streaming_stream_geo_distance_join(
+            sa, sb, 1500.0, watermark="30 minutes",
+            time_bound="5 minutes")
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in _run_stream(spark, out.select("a_id", "b_id"),
+                                 "ssg_join_out").collect())
+        # batch truth: spherical pairs within r, filtered by |Δt|
+        pairs = geo_distance_join(
+            a.select(F.col("id").alias("a_id"),
+                     F.col("lat").alias("a_lat"),
+                     F.col("lon").alias("a_lon"),
+                     F.col("ts").alias("a_ts")),
+            b.select(F.col("id").alias("b_id"),
+                     F.col("lat").alias("b_lat"),
+                     F.col("lon").alias("b_lon"),
+                     F.col("ts").alias("b_ts")),
+            1500.0, lat_l="a_lat", lon_l="a_lon",
+            lat_r="b_lat", lon_r="b_lon")
+        want = sorted(
+            (r.a_id, r.b_id) for r in pairs.filter(
+                (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 5 MINUTES"))
+                & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"))
+            ).collect())
+        assert got == want and (900, 901) in set(got)
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)

@@ -3414,6 +3414,76 @@ def q_scd2_build(spark, sf_dir):
     )
 
 
+def _geo_layout(spark, sf_dir):
+    """Build-once persisted (lat, lon) z-order layout over the derived
+    geo events — the spherical family's index lifecycle (same
+    amortization as _ev_layout)."""
+    from simba_spark.context import SimbaContext
+
+    cache_key = (id(spark), sf_dir, "geo")
+    if cache_key in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[cache_key]
+    ctx = SimbaContext(spark)
+    name = "ev_geo_zorder"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_LAYOUT_ROOT, tag, name)
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _source_fingerprint(src)
+    fp_file = os.path.join(path, "source.json")
+    fresh = False
+    if os.path.exists(os.path.join(path, "layout.json")) \
+            and os.path.exists(fp_file):
+        try:
+            with open(fp_file) as f:
+                fresh = json.load(f) == fp
+        except Exception:
+            fresh = False
+    if fresh:
+        lay = ctx.load_index(name, path)
+    else:
+        ev = _geo_coords(_t(spark, sf_dir, "events").select("event_id"),
+                         "event_id", 37, 59)
+        ctx.create_index(ev, ["lat", "lon"], name, kind="zorder")
+        ctx.persist_index(name, path)
+        with open(fp_file, "w") as f:
+            json.dump(fp, f)
+        lay = ctx.layouts.get(name)
+    _LAYOUT_CACHE[cache_key] = (ctx, lay)
+    return ctx, lay
+
+
+def q_geo_routed_range(spark, sf_dir):
+    """Same result as q_geo_circle_range but through the persisted
+    (lat, lon) z-order layout: the bbox prefilter routes to sargable
+    z-intervals + bucket-dir pruning (planning-time file skipping)."""
+    from simba_spark.operators.geo import geo_circle_range
+
+    ctx, lay = _geo_layout(spark, sf_dir)
+    out = geo_circle_range(lay.data, "lat", "lon", (72.0, 150.0),
+                           2000.0, registry=ctx.layouts)
+    return out.select("event_id")
+
+
+def q_geo_routed_knn(spark, sf_dir):
+    """Same result as q_geo_knn but through the layout's two-phase
+    spherical bound-and-prune (phase-1 θ from the nearest bucket
+    prefix, phase-2 θ-ball z-cover)."""
+    ctx, lay = _geo_layout(spark, sf_dir)
+    out = ctx.geo_knn(lay.data, "lat", "lon", (48.0, 2.0), 25,
+                      tiebreak="event_id")
+    return out.select("event_id", F.round("dist_km", 4).alias("dist_r"))
+
+
+def q_events_unpivot(spark, sf_dir):
+    """Inherited UNPIVOT/melt: wide event measures to (metric, value)
+    long form — zero shuffle, the feature-table normalization step."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.col("user_id").cast("double").alias("uid"))
+    return ev.unpivot(["event_id"], ["value", "uid"],
+                      "metric", "m_value")
+
+
 def q_geo_cells(spark, sf_dir):
     """Spherical cell rollup (geo_cell_agg): per-cell event counts +
     cent-exact value sums over the 500-km banded grid — one skinny
@@ -3769,6 +3839,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_circle_range": q_geo_circle_range,
         "geo_knn": q_geo_knn,
         "geo_cells": q_geo_cells,
+        "geo_routed_range": q_geo_routed_range,
+        "geo_routed_knn": q_geo_routed_knn,
+        "events_unpivot": q_events_unpivot,
         "hll_rolling": q_hll_rolling,
         "scd2_lookup": q_scd2_lookup,
         "theta_rolling": q_theta_rolling,
@@ -4700,6 +4773,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "theta_rolling": theta_roll_sql,
         "geo_cells": geo_cells_sql,
+        "geo_routed_range": f"""
+            SELECT event_id FROM events
+            WHERE {geo_cr_hav} <= 2000.0
+        """,
+        "geo_routed_knn": f"""
+            SELECT event_id, round({geo_knn_hav}, 4) AS dist_r
+            FROM events
+            ORDER BY {geo_knn_hav} ASC, event_id ASC
+            LIMIT 25
+        """,
+        "events_unpivot": """
+            SELECT event_id, 'value' AS metric, value AS m_value
+            FROM events
+            UNION ALL
+            SELECT event_id, 'uid', CAST(user_id AS DOUBLE) FROM events
+        """,
         "hll_rolling": (
             f"SELECT day, round(approx_users, 4) AS approx_users "
             f"FROM ({hll_roll_sql})"),

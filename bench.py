@@ -142,6 +142,9 @@ HEADLINE = [
     "impute_events",
     "er_resolve",
     "theta_rolling",
+    "geo_routed_range",
+    "geo_routed_knn",
+    "events_unpivot",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -170,6 +173,7 @@ _POST_R3 = {
     "geo_knn", "scd2_build", "tpch_q8", "tpch_q12", "tpch_q21",
     "geo_cells", "hll_rolling", "scd2_lookup", "events_ohlc",
     "impute_events", "er_resolve", "theta_rolling",
+    "geo_routed_range", "geo_routed_knn", "events_unpivot",
 }
 
 GROUPS = {

@@ -171,6 +171,11 @@ def _knn_via_layout(lay, cols, query_point, k, tiebreak):
     # θ = kth distance of phase 1 (exactly k scalars to the driver — the
     # same driver traffic as the reference's takeOrdered merge)
     d2_rows = phase1.select(dist2(cols, q).alias("d2")).collect()
+    if len(d2_rows) < k:
+        # bucket counts promised >= k rows but null coordinates left
+        # phase 1 short — its max distance is NOT a kth-NN bound, so
+        # pruning with it could drop true neighbors; scan exactly
+        return _knn_scan(lay.pruned_scan(None), cols, q, k, tiebreak)
     theta2 = max(r["d2"] for r in d2_rows)
     theta = theta2 ** 0.5
 

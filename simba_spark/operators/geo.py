@@ -266,6 +266,11 @@ def _geo_knn_via_layout(lay, lat_col, lon_col, center, k, tiebreak,
         lay.pruned_scan(lay.z_ranges_for_buckets(sel_zbs)),
         lat_col, lon_col, q, k, tiebreak, out_col)
     d_rows = phase1.select(out_col).collect()
+    if len(d_rows) < k:
+        # selected buckets held >= k rows by count but < k usable
+        # (null-coordinate) distances — no valid θ bound; scan exactly
+        return _geo_knn_scan(lay.pruned_scan(None), lat_col, lon_col,
+                             q, k, tiebreak, out_col)
     theta = max(r[out_col] for r in d_rows)
 
     others_reach = any(
@@ -277,8 +282,12 @@ def _geo_knn_via_layout(lay, lat_col, lon_col, center, k, tiebreak,
         return phase1
     ranges = []
     for lat_lo, lat_hi, lon_lo, lon_hi in _geo_ball_boxes(q, theta):
-        ranges.extend(lay.z_ranges_for_box([lat_lo, lon_lo],
-                                           [lat_hi, lon_hi]))
+        rs = lay.z_ranges_for_box([lat_lo, lon_lo], [lat_hi, lon_hi])
+        if rs is None:
+            # a θ-ball box spanning the whole domain prunes nothing
+            ranges = None
+            break
+        ranges.extend(rs)
     return _geo_knn_scan(lay.pruned_scan(ranges), lat_col, lon_col,
                          q, k, tiebreak, out_col)
 

@@ -512,3 +512,28 @@ def test_geo_knn_layout_routed_matches_bruteforce(spark, tmp_path):
             assert got == want, center
     finally:
         ctx.drop_index("geo_knn_idx")
+
+
+def test_geo_knn_layout_null_coords_fall_back_exact(spark, tmp_path):
+    """Null coordinates inside the phase-1 buckets must not silently
+    shrink θ — the layout path falls back to an exact scan when phase 1
+    comes up short of k usable distances."""
+    from simba_spark.context import SimbaContext
+
+    ctx = SimbaContext(spark)
+    pts = _random_points(60, 111)
+    rows = [(i, la, lo) for i, la, lo in pts]
+    rows += [(1000 + j, None, None) for j in range(40)]
+    df = spark.createDataFrame(rows, "p_id long, lat double, lon double")
+    ctx.create_index(df, ["lat", "lon"], "geo_null_idx", kind="zorder")
+    try:
+        out = ctx.geo_knn(ctx.layouts.get("geo_null_idx").data,
+                          "lat", "lon", (0.0, 0.0), 50,
+                          tiebreak="p_id")
+        got = [r["p_id"] for r in out.collect()]
+        want = [i for i, _, _ in sorted(
+            pts, key=lambda p: (_hav((p[1], p[2]), (0.0, 0.0)),
+                                p[0]))][:50]
+        assert got == want
+    finally:
+        ctx.drop_index("geo_null_idx")

@@ -3627,6 +3627,198 @@ def q_scd2_lookup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Derived partsupp — closes the last 5 TPC-H queries. TPC-H ships
+# partsupp as a base table; the driver schema doesn't, but lineitem's
+# DISTINCT (l_partkey, l_suppkey) IS the part-supplier relation those
+# queries join on (in real TPC-H every lineitem pair comes FROM
+# partsupp), and availqty/supplycost derive deterministically from the
+# keys with pure integer arithmetic — identical in both engines, like
+# the geo family's derived coordinates.
+
+
+def _partsupp(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return (
+        li.select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_availqty",
+                    (pk * 13 + sk * 17) % 9999 + 1)
+        .withColumn("ps_supplycost",
+                    ((pk * 7 + sk * 11) % 90000).cast("double")
+                    / 100.0 + 100.0)
+    )
+
+
+_PARTSUPP_SQL = """(
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+         CAST((ps_partkey * 7 + ps_suppkey * 11) % 90000 AS DOUBLE)
+             / 100.0 + 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey FROM lineitem)
+)"""
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: for STANDARD parts of
+    size 25 with EUROPE suppliers, the supplier(s) achieving the
+    part's minimum supply cost. The per-part min is a skinny aggregate
+    joined back (broadcast), never a window over the full partsupp."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 25)
+    ).select("p_partkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        ps.join(F.broadcast(part),
+                F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    minc = eligible.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eligible.join(F.broadcast(minc),
+                      (F.col("ps_partkey") == F.col("mk"))
+                      & (F.col("ps_supplycost") == F.col("min_cost")))
+        .select("ps_partkey", "s_name", "n_name",
+                F.round("s_acctbal", 2).alias("acctbal_r"),
+                F.round("ps_supplycost", 2).alias("cost_r"))
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: profit on 'red' parts
+    by supplier nation and order year. Both profit terms are rounded
+    to exact cents PER ROW before the long sum, so the aggregate is
+    partitioning/engine-exact."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")).select("p_partkey")
+    ps = _partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation"))
+    supp = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(nat),
+              F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "nation")
+    rev_c = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100.0, 0).cast("long")
+    cost_c = F.round(F.col("ps_supplycost")
+                     * F.col("l_quantity") * 100.0, 0).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+              & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(((F.sum(rev_c) - F.sum(cost_c)).cast("double") / 100.0)
+             .alias("profit"))
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted: per-part inventory value
+    (supplycost × availqty) for NATION_3 suppliers, keeping parts
+    above 1/1000 of the nation's total. All values are exact long
+    cents (cost has 2 decimals, qty is integral), so the threshold
+    comparison is engine-exact."""
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(nat),
+              F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey")
+    ps = _partsupp(spark, sf_dir)
+    val_c = (F.round(F.col("ps_supplycost") * 100.0, 0).cast("long")
+             * F.col("ps_availqty").cast("long"))
+    scoped = ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey")) \
+        .select("ps_partkey", val_c.alias("__vc"))
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.sum("__vc").alias("__pvc"))
+    total = scoped.agg(F.sum("__vc").alias("__tvc"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__pvc").cast("double")
+                > F.col("__tvc").cast("double") * 0.001)
+        .select("ps_partkey",
+                (F.col("__pvc").cast("double") / 100.0).alias("value"))
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (part/supplier relationship), adapted: distinct
+    supplier counts per (brand, type, size) for parts NOT of brand
+    'B_1' and not SMALL, excluding suppliers in deficit (the
+    complaint-comment filter has no comment column to read)."""
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "B_1") & (F.col("p_type") != "SMALL")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    return (
+        ps.join(F.broadcast(part),
+                F.col("ps_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("ps_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: NATION_3
+    suppliers holding availqty > half the 1996 shipped quantity of a
+    'red' part they supply. The shipped-quantity aggregate is skinny
+    (part, supp) and the final projection is a semi-join."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    shipped = (
+        li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("sk_pk"),
+                 F.col("l_suppkey").alias("sk_sk"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ps = _partsupp(spark, sf_dir)
+    heavy = ps.join(
+        shipped,
+        (F.col("ps_partkey") == F.col("sk_pk"))
+        & (F.col("ps_suppkey") == F.col("sk_sk"))
+        & (F.col("ps_availqty").cast("double")
+           > F.col("qty") * 0.5),
+    ).select("ps_suppkey").distinct()
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = _t(spark, sf_dir, "supplier") \
+        .join(F.broadcast(nat),
+              F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name")
+    return supp.join(heavy, F.col("s_suppkey") == F.col("ps_suppkey"),
+                     "left_semi").select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q8 / Q12 / Q21 — the three remaining no-partsupp queries
 
 
@@ -3839,6 +4031,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_circle_range": q_geo_circle_range,
         "geo_knn": q_geo_knn,
         "geo_cells": q_geo_cells,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "geo_routed_range": q_geo_routed_range,
         "geo_routed_knn": q_geo_routed_knn,
         "events_unpivot": q_events_unpivot,
@@ -4722,6 +4919,109 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "tpch_q2": f"""
+            WITH __ps AS (SELECT * FROM {_PARTSUPP_SQL}),
+            __supp AS (
+              SELECT s_suppkey, s_name, s_acctbal, n.n_name
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'
+            ), __elig AS (
+              SELECT ps.ps_partkey, ps.ps_supplycost,
+                     s.s_name, s.n_name, s.s_acctbal
+              FROM __ps ps
+              JOIN part p ON ps.ps_partkey = p.p_partkey
+              JOIN __supp s ON ps.ps_suppkey = s.s_suppkey
+              WHERE p.p_type = 'STANDARD' AND p.p_size = 25
+            ), __min AS (
+              SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost
+              FROM __elig GROUP BY ps_partkey
+            )
+            SELECT e.ps_partkey, e.s_name, e.n_name,
+                   round(e.s_acctbal, 2) AS acctbal_r,
+                   round(e.ps_supplycost, 2) AS cost_r
+            FROM __elig e JOIN __min m
+              ON e.ps_partkey = m.mk AND e.ps_supplycost = m.min_cost
+        """,
+        "tpch_q9": f"""
+            WITH __ps AS (SELECT * FROM {_PARTSUPP_SQL})
+            SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100.0, 0)
+                                 AS BIGINT))
+                        - sum(CAST(round(ps.ps_supplycost
+                                         * l.l_quantity * 100.0, 0)
+                                   AS BIGINT)) AS DOUBLE) / 100.0
+                       AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN __ps ps ON l.l_partkey = ps.ps_partkey
+                        AND l.l_suppkey = ps.ps_suppkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY n.n_name, year(o.o_orderdate)
+        """,
+        "tpch_q11": f"""
+            WITH __ps AS (SELECT * FROM {_PARTSUPP_SQL}),
+            __scoped AS (
+              SELECT ps.ps_partkey,
+                     CAST(round(ps.ps_supplycost * 100.0, 0) AS BIGINT)
+                         * CAST(ps.ps_availqty AS BIGINT) AS __vc
+              FROM __ps ps
+              JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_name = 'NATION_3'
+            ), __pp AS (
+              SELECT ps_partkey, CAST(sum(__vc) AS BIGINT) AS __pvc
+              FROM __scoped GROUP BY ps_partkey
+            ), __t AS (
+              SELECT CAST(sum(__vc) AS BIGINT) AS __tvc FROM __scoped
+            )
+            SELECT ps_partkey,
+                   CAST(__pvc AS DOUBLE) / 100.0 AS value
+            FROM __pp CROSS JOIN __t
+            WHERE CAST(__pvc AS DOUBLE) > CAST(__tvc AS DOUBLE) * 0.001
+        """,
+        "tpch_q16": f"""
+            WITH __ps AS (SELECT * FROM {_PARTSUPP_SQL})
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM __ps ps
+            JOIN part p ON ps.ps_partkey = p.p_partkey
+            WHERE p.p_brand <> 'B_1' AND p.p_type <> 'SMALL'
+              AND ps.ps_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        "tpch_q20": f"""
+            WITH __ps AS (SELECT * FROM {_PARTSUPP_SQL}),
+            __shipped AS (
+              SELECT l.l_partkey AS sk_pk, l.l_suppkey AS sk_sk,
+                     sum(l.l_quantity) AS qty
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'red%'
+                AND l.l_shipdate >= '1996-01-01'
+                AND l.l_shipdate < '1997-01-01'
+              GROUP BY l.l_partkey, l.l_suppkey
+            ), __heavy AS (
+              SELECT DISTINCT ps.ps_suppkey
+              FROM __ps ps
+              JOIN __shipped s
+                ON ps.ps_partkey = s.sk_pk
+               AND ps.ps_suppkey = s.sk_sk
+               AND CAST(ps.ps_availqty AS DOUBLE) > s.qty * 0.5
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+              AND s.s_suppkey IN (SELECT ps_suppkey FROM __heavy)
+        """,
         "er_resolve": f"""
             WITH RECURSIVE me AS (
               SELECT a_id, b_id FROM ({_er_edges})

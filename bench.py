@@ -145,6 +145,11 @@ HEADLINE = [
     "geo_routed_range",
     "geo_routed_knn",
     "events_unpivot",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -174,6 +179,7 @@ _POST_R3 = {
     "geo_cells", "hll_rolling", "scd2_lookup", "events_ohlc",
     "impute_events", "er_resolve", "theta_rolling",
     "geo_routed_range", "geo_routed_knn", "events_unpivot",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
 }
 
 GROUPS = {

@@ -3663,12 +3663,12 @@ _PARTSUPP_SQL = """(
 
 def q_tpch_q2(spark, sf_dir):
     """TPC-H Q2 (minimum-cost supplier), adapted: for STANDARD parts of
-    size 25 with EUROPE suppliers, the supplier(s) achieving the
+    size >= 25 with EUROPE suppliers, the supplier(s) achieving the
     part's minimum supply cost. The per-part min is a skinny aggregate
     joined back (broadcast), never a window over the full partsupp."""
     ps = _partsupp(spark, sf_dir)
     part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 25)
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 25)
     ).select("p_partkey")
     nat = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey")
@@ -4933,7 +4933,7 @@ def oracle_sql() -> dict[str, str]:
               FROM __ps ps
               JOIN part p ON ps.ps_partkey = p.p_partkey
               JOIN __supp s ON ps.ps_suppkey = s.s_suppkey
-              WHERE p.p_type = 'STANDARD' AND p.p_size = 25
+              WHERE p.p_type = 'STANDARD' AND p.p_size >= 25
             ), __min AS (
               SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost
               FROM __elig GROUP BY ps_partkey

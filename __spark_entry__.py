@@ -3588,6 +3588,42 @@ def q_impute_events(spark, sf_dir):
                       F.round("v", 6).alias("v_filled"))
 
 
+def q_cm_join_size(spark, sf_dir):
+    """Join-cardinality estimation BEFORE paying for the join
+    (sketches.cm_join_size): CM inner product of lineitem.l_orderkey ×
+    orders.o_orderkey sketches, next to the exact join size — the
+    broadcast-vs-shuffle-vs-salt planning primitive. Never
+    underestimates (asserted as data: est >= exact)."""
+    from simba_spark.operators.sketches import cm_join_size, cm_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ska = cm_sketch(li, "l_orderkey", depth=4, width=512)
+    skb = cm_sketch(orders, "o_orderkey", depth=4, width=512)
+    est = cm_join_size(ska, skb)
+    exact = li.join(orders,
+                    F.col("l_orderkey") == F.col("o_orderkey")) \
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+def q_impute_median(spark, sf_dir):
+    """Sketched per-group MEDIAN imputation (pipeline.impute
+    strategy='median'): the deleted values refill with the event
+    type's bottom-k-sketch median — deterministic, mergeable, exact
+    below k rows per group."""
+    from simba_spark.operators.pipeline import impute
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"))
+    out = impute(ev, ["v"], "median", group_by=["event_type"],
+                 id_col="event_id", k=256)
+    return out.select("event_id", "event_type",
+                      F.round("v", 6).alias("v_filled"))
+
+
 def q_theta_rolling(spark, sf_dir):
     """Rolling trailing-7-day distinct users from DAILY theta sketches
     (theta_rolling ∘ theta_sketch) — exact below k, (k-1)/θ above;
@@ -4042,6 +4078,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rolling": q_hll_rolling,
         "scd2_lookup": q_scd2_lookup,
         "theta_rolling": q_theta_rolling,
+        "cm_join_size": q_cm_join_size,
+        "impute_median": q_impute_median,
         "events_ohlc": q_events_ohlc,
         "impute_events": q_impute_events,
         "er_resolve": q_er_resolve,
@@ -4872,8 +4910,19 @@ def oracle_sql() -> dict[str, str]:
         agg_sql=_cents_sum_sql("value") + " AS val_sum",
         carry=["value"],
     )
-    from simba_spark.operators.sketches import (theta_rolling_sql,
+    from simba_spark.operators.sketches import (quantile_estimate_sql,
+                                                 quantile_sketch_sql,
+                                                 theta_rolling_sql,
                                                  theta_sketch_sql)
+
+    _imed_base = (
+        "(SELECT event_id, event_type, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS __iv "
+        "FROM events) __b")
+    _imed_est = quantile_estimate_sql(
+        quantile_sketch_sql(_imed_base, "__iv", "event_id",
+                            ["event_type"], k=256),
+        [0.5], ["event_type"])
 
     theta_roll_sql = theta_rolling_sql(
         theta_sketch_sql(
@@ -5072,6 +5121,44 @@ def oracle_sql() -> dict[str, str]:
             FROM __e e LEFT JOIN __f f USING (event_type)
         """,
         "theta_rolling": theta_roll_sql,
+        "cm_join_size": f"""
+            WITH __sa AS ({cm_sketch_sql("lineitem", "l_orderkey",
+                                         depth=4, width=512)}),
+            __sb AS ({cm_sketch_sql("orders", "o_orderkey",
+                                    depth=4, width=512)}),
+            __ip AS (
+              SELECT a.__cm_d,
+                     CAST(sum(a.__cm_n * b.__cm_n) AS BIGINT) AS __p
+              FROM __sa a
+              JOIN __sb b ON a.__cm_d = b.__cm_d
+                         AND a.__cm_b = b.__cm_b
+              GROUP BY a.__cm_d
+            ), __est AS (
+              SELECT CAST(min(__p) AS BIGINT) AS est_join_rows FROM __ip
+            ), __ex AS (
+              SELECT count(*)::BIGINT AS exact_join_rows
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT est_join_rows, exact_join_rows
+            FROM __est CROSS JOIN __ex
+        """,
+        "impute_median": f"""
+            WITH __e AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 7 = 0
+                          THEN NULL ELSE value END AS v
+              FROM events
+            ), __f AS (
+              SELECT event_type, round(q500, 6) AS __fill
+              FROM ({_imed_est})
+            )
+            SELECT e.event_id, e.event_type,
+                   round(coalesce(
+                       CASE WHEN NOT isnan(CAST(e.v AS DOUBLE))
+                            THEN e.v END,
+                       f.__fill), 6) AS v_filled
+            FROM __e e LEFT JOIN __f f USING (event_type)
+        """,
         "geo_cells": geo_cells_sql,
         "geo_routed_range": f"""
             SELECT event_id FROM events

@@ -150,6 +150,8 @@ HEADLINE = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    "cm_join_size",
+    "impute_median",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -180,6 +182,7 @@ _POST_R3 = {
     "impute_events", "er_resolve", "theta_rolling",
     "geo_routed_range", "geo_routed_knn", "events_unpivot",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
+    "cm_join_size", "impute_median",
 }
 
 GROUPS = {

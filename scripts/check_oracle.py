@@ -3,9 +3,12 @@
 
 Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it
 against ``oracle_sql()`` in DuckDB: row count, column-name set, and an
-order-insensitive value hash (floats normalized to 9 significant
-digits). Queries without an oracle get a rows-only check (runs, >= 0
-rows, stable schema).
+order-insensitive value hash (floats at FULL round-trip precision —
+``repr``; the round-7 ``gini_prices`` red proved a 9-sig-digit local
+hash is weaker than the driver's, which let an order-dependent double
+sum ship "green". The local gate must be at least as strict as the
+driver's). Queries without an oracle get a rows-only check (runs,
+>= 0 rows, stable schema).
 
 Usage: python scripts/check_oracle.py [query ...]
 """
@@ -57,7 +60,7 @@ def _norm_cell(v):
             return "<NaN>"
         if v == 0:
             return "0"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

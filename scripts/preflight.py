@@ -67,15 +67,36 @@ def main() -> int:
               "no stamp written; run the full sweep before snapshot")
         return 0
 
-    tree = subprocess.run(
-        ["git", "write-tree"], cwd=REPO, capture_output=True, text=True)
-    # write-tree needs the index to match; fall back to hashing status
+    # `git stash create` hashes the WORKING TREE (tracked files as they
+    # sit on disk — what pytest actually ran against), unlike
+    # `git write-tree`, which hashes the index and is blind to unstaged
+    # edits. Empty output = working tree clean = HEAD's tree is what ran.
+    stash = subprocess.run(
+        ["git", "stash", "create", "preflight"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip()
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=REPO,
         capture_output=True, text=True).stdout.strip()
+    if stash:
+        tree = subprocess.run(
+            ["git", "rev-parse", f"{stash}^{{tree}}"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+        dirty = True
+    else:
+        tree = subprocess.run(
+            ["git", "rev-parse", "HEAD^{tree}"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+        dirty = False
+    # untracked files are invisible even to stash create — record them
+    # so a stamp over an incomplete tree is self-describing
+    untracked = subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip().splitlines()
     stamp = {
         "head": head,
-        "tree": tree.stdout.strip(),
+        "tree": tree,
+        "dirty_worktree": dirty,
+        "untracked": untracked,
         "when": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
         "elapsed_sec": round(time.time() - t0, 1),
         "pytest": py_tail[0] if py_tail else "",

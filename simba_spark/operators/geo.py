@@ -534,13 +534,19 @@ def geo_knn_join(
     - deficient rows escalate (θ×4 grid retry, then a bounded cross);
     - a broadcast-small right side routes to BNL + in-place window,
       zero pair shuffle.
+
+    ``right_tiebreak`` must be a UNIQUE right key (as in
+    :func:`.knn_join.knn_join`): it both makes tie order deterministic
+    and enables the skinny-frame optimization, whose wide-payload
+    join-back joins on it — a non-unique tiebreak would multiply
+    result rows there.
     """
     from .knn_join import (_bnl_pairs_ok, _broadcast_cap, _hash_sample,
                            _plan_bytes, _spread, _topk)
     from .distance_join import _prefix_columns, _session_algo
 
-    assert left_id is not None, \
-        "geo_knn_join requires left_id (unique left key)"
+    if left_id is None:
+        raise ValueError("geo_knn_join requires left_id (unique left key)")
     k = int(k)
     if algo is None:
         algo = _session_algo(left, "simba_spark.join.geoKnnJoin",

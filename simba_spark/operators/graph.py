@@ -1337,6 +1337,8 @@ def hyperanf(
     p: int = 6,
     seed: int = 42,
     round_to: int = 4,
+    layout: str = "auto",
+    wide_min_edges: int = 2_000_000,
 ) -> DataFrame:
     """HyperANF (Boldi–Rosa–Vigna, WWW'11): the approximate
     neighborhood function N(t) = Σ_v |{w : dist(v → w) <= t}| for
@@ -1355,16 +1357,31 @@ def hyperanf(
     reassociating step is the final sum of per-node estimates;
     everything upstream is dyadic-exact register arithmetic).
 
-    Scale (round-7 rewrite): per-node state is ONE row of 2^p register
-    COLUMNS, not 2^p register rows — the round-6 row form joined
-    |E| × regs-per-node rows (64·|E| once balls saturate, measured
-    60.8 s at sf1); the wide form joins |E| rows flat and merges with
-    2^p combine-friendly ``max`` aggregates (map-side partials, so the
-    second shuffle carries ~|V| wide rows, not |E|). Register values
-    are exact powers of two in double, so per-node estimates are
-    bit-identical to the row form (oracle re-verified). Per round: ONE
-    edges⋈state equi-join + ONE max-aggregate on the same node key,
-    localCheckpoint'd; no driver action in the loop.
+    Scale — TWO physical layouts, one logical program (estimates are
+    bit-identical; register values are exact powers of two in double,
+    oracle re-verified either way):
+
+    - ``layout='wide'`` (round-7 rewrite, the 100-TB form): per-node
+      state is ONE row of 2^p register COLUMNS; each round joins |E|
+      rows flat and merges with 2^p combine-friendly ``max``
+      aggregates (map-side partials, so the second shuffle carries
+      ~|V| wide rows, not 64·|E|). 60.8 s → 31.0 s at sf1 vs rows.
+      Capped at p <= 8 (256 columns): beyond that the 2·2^p-term
+      estimate expression is exactly the janino 64 KB codegen
+      failure mode.
+    - ``layout='rows'`` (round-6 form, the small-graph form): state
+      is ≤ 2^p skinny (node, bucket, max) rows; cheaper per round
+      while balls are sparse and immune to the wide form's
+      per-round fixed codegen cost — ~2.3 s faster at sf0.1 on the
+      trade graph, and the only layout available for p > 8.
+    - ``layout='auto'`` (default): rows when p > 8 or |E| (one count
+      of the edge frame that the loop re-reads ``iters`` times
+      anyway — the checkpoint materializes either way) is below
+      ``wide_min_edges``; wide otherwise.
+
+    Per round, either layout: ONE edges⋈state equi-join + ONE
+    max-aggregate on the same node key, localCheckpoint'd; no driver
+    action in the loop.
     """
     from functools import reduce as _reduce
     from operator import add as _add
@@ -1373,6 +1390,13 @@ def hyperanf(
 
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    if layout not in ("auto", "wide", "rows"):
+        raise ValueError(f"unknown hyperanf layout: {layout}")
+    if layout == "wide" and int(p) > 8:
+        raise ValueError(
+            "hyperanf layout='wide' caps at p=8 (2^p register columns; "
+            "larger p blows the janino 64 KB codegen limit) — use "
+            "layout='rows' for finer sketches")
     m = 1 << int(p)
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -1386,7 +1410,13 @@ def hyperanf(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if layout == "auto":
+        layout = "rows" if (
+            int(p) > 8 or e.count() < int(wide_min_edges)
+        ) else "wide"
     bucket, rho = hll_register_cols("node", seed, p)
+    if layout == "rows":
+        return _hyperanf_rows(e, nodes, bucket, rho, iters, p, round_to)
     mcols = [f"__m{i}" for i in range(m)]
     # rho >= 1 always, so 0 is the safe empty-register sentinel
     sk = nodes.select(
@@ -1424,6 +1454,36 @@ def hyperanf(
             sk.unionByName(nb)
             .groupBy("node")
             .agg(*[F.max(c).alias(c) for c in mcols])
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(nf_frame(sk, t))
+    return out
+
+
+def _hyperanf_rows(e, nodes, bucket, rho, iters, p, round_to):
+    """Row-layout HyperANF rounds (see :func:`hyperanf` layout docs):
+    state is ≤ 2^p skinny (node, bucket, max) rows per node; per round
+    one edges⋈sketch equi-join + one combine-friendly (node, bucket)
+    max-aggregate on the same shuffle key (AQE reuses the exchange)."""
+    from .sketches import hll_estimate
+
+    sk = nodes.select(
+        "node", bucket.alias("__hll_b"), rho.alias("__hll_m"))
+
+    def nf_frame(s, t):
+        est = hll_estimate(s, group_by=["node"], p=p)
+        return est.agg(
+            F.round(F.sum("approx_distinct"), int(round_to)).alias("nf")
+        ).select(F.lit(int(t)).alias("t"), "nf")
+
+    out = nf_frame(sk, 0)
+    for t in range(1, int(iters) + 1):
+        nb = e.join(sk, e["d"] == sk["node"]).select(
+            F.col("s").alias("node"), "__hll_b", "__hll_m")
+        sk = (
+            sk.unionByName(nb)
+            .groupBy("node", "__hll_b")
+            .agg(F.max("__hll_m").alias("__hll_m"))
             .localCheckpoint(eager=False)
         )
         out = out.unionByName(nf_frame(sk, t))

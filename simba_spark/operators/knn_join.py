@@ -91,13 +91,17 @@ def knn_join(
     """For each left row, exactly-k nearest right rows by L2 distance.
 
     `left_id` must uniquely identify left rows (window partition key);
-    `right_tiebreak` (a right column) makes tie order deterministic.
+    `right_tiebreak` must be a UNIQUE right key — it makes tie order
+    deterministic AND the skinny-frame path joins the wide right
+    payload back on it (a non-unique key would multiply rows).
     `broadcast_bytes` overrides the broadcast-route threshold for THIS
     call (else `simba_spark.knnjoin.broadcast_bytes` session conf, else
     8 MiB). Output columns: prefixed left ++ prefixed right ++ `dist`.
     """
-    assert left_id is not None, "knn_join requires left_id (unique left key)"
-    assert len(left_cols) == len(right_cols), "dimension mismatch"
+    if left_id is None:
+        raise ValueError("knn_join requires left_id (unique left key)")
+    if len(left_cols) != len(right_cols):
+        raise ValueError("knn_join: left_cols/right_cols dimension mismatch")
     k = int(k)
     if algo is None:
         # conf-driven dispatch parity (simba.join.knnJoin, ref:

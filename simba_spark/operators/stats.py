@@ -1177,9 +1177,18 @@ def gini(
     Scale: with ``group_col`` the rank is an ordinary per-group
     window (each group sorts within its partition). Ungrouped, the
     global rank runs two-phase via :func:`.pipeline.running_total` —
-    never a single-partition window. Σ i·x sums exact integers when
-    the measure is integral; otherwise the usual ``round_to``
-    convention applies.
+    never a single-partition window.
+
+    Exactness: both Σx and Σi·x aggregate as DECIMAL(38,6) — the
+    measure is snapped to 6 decimal places ONCE (a deterministic,
+    engine-identical rounding: a binary double can never sit exactly
+    on a decimal half-tie at the 6th place) and every subsequent sum
+    is exact integer arithmetic, so the result is independent of
+    partition/summation order. A plain double sum over thousands of
+    ~1e8-magnitude rows carries ~1e-5 order-dependent error — past
+    the 1e-6 output rounding grid (the round-7 `gini_prices` driver
+    red). Doubles re-enter only for the final ratio, where relative
+    error ~1e-15 is harmless.
     """
     from pyspark.sql import Window
 
@@ -1200,20 +1209,21 @@ def gini(
         ranked = running_total(withone, "__ord", "__one", "__i") \
             .drop("__one", "__ord")
         grp = []
+    xd = F.col("__x").cast("decimal(38,6)")
     agg = ranked.groupBy(*grp).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("__x").alias("total"),
-        F.sum(F.col("__i").cast("double") * F.col("__x")).alias("__ix"),
+        F.sum(xd).alias("__tot_dec"),
+        F.sum(F.col("__i").cast("decimal(18,0)") * xd).alias("__ix_dec"),
     )
+    total = F.col("__tot_dec").cast("double")
+    ix = F.col("__ix_dec").cast("double")
     nn = F.col("n").cast("double")
-    g = (F.lit(2.0) * F.col("__ix")) / (nn * F.col("total")) \
-        - (nn + F.lit(1.0)) / nn
+    g = (F.lit(2.0) * ix) / (nn * total) - (nn + F.lit(1.0)) / nn
     return agg.select(
         *grp,
         "n",
-        F.round("total", int(round_to)).alias("total"),
-        F.round(F.when(F.col("total") > 0, g), int(round_to))
-        .alias("gini"),
+        F.round(total, int(round_to)).alias("total"),
+        F.round(F.when(total > 0, g), int(round_to)).alias("gini"),
     )
 
 
@@ -1224,7 +1234,9 @@ def gini_sql(
     round_to: int = 6,
 ) -> str:
     """DuckDB mirror of :func:`gini` (same sorted-rank identity; tie
-    order is irrelevant to the sum, so row_number suffices)."""
+    order is irrelevant to the sum, so row_number suffices; the same
+    DECIMAL(38,6) aggregation makes both sums summation-order-exact,
+    so the hash cannot depend on partition order)."""
     r = int(round_to)
     gsel = f"{group_col}, " if group_col else ""
     part = f"PARTITION BY {group_col} " if group_col else ""
@@ -1237,12 +1249,13 @@ WITH __f AS (
     AND NOT isnan(CAST({val_col} AS DOUBLE))
     AND CAST({val_col} AS DOUBLE) >= 0
 ), __r AS (
-  SELECT {gsel}x,
+  SELECT {gsel}CAST(x AS DECIMAL(38,6)) AS xd,
          row_number() OVER ({part}ORDER BY x ASC) AS i
   FROM __f
 ), __a AS (
-  SELECT {gsel}count(*)::BIGINT AS n, sum(x) AS total,
-         sum(i * x) AS ix
+  SELECT {gsel}count(*)::BIGINT AS n,
+         CAST(sum(xd) AS DOUBLE) AS total,
+         CAST(sum(i * xd) AS DOUBLE) AS ix
   FROM __r {gby}
 )
 SELECT {gsel}n, round(total, {r}) AS total,
@@ -1280,14 +1293,19 @@ def benford(
     x = F.abs(F.col(val_col).cast("double"))
     ok = F.col(val_col).isNotNull() & ~F.isnan(
         F.col(val_col).cast("double")) & (x > 0)
-    # clamp: floor(log10(x)) can round just below an integer in IEEE
-    # doubles (log10(1e23) = 22.999999999999996), yielding digit=10
-    digit = F.least(
-        F.lit(9),
-        F.greatest(
-            F.lit(1),
-            F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
-            .cast("int")))
+    # floor(log10(x)) can drift one off at power-of-ten boundaries in
+    # IEEE doubles (log10(1e23) = 22.999999999999996 → raw digit 10;
+    # a just-below-power value whose log10 rounds UP → raw digit 0).
+    # Drift down only happens when the true leading digit is 1, drift
+    # up only when it is 9 — so mapping 10→1 and 0→9 recovers the TRUE
+    # digit regardless of which way (or whether) either engine's libm
+    # drifts: the mapping is drift-free cross-engine.
+    raw = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))) \
+        .cast("int")
+    digit = (
+        F.when(raw <= 0, F.lit(9))
+        .when(raw >= 10, F.lit(1))
+        .otherwise(raw))
     counts = (
         df.filter(ok)
         .select(digit.alias("digit"))
@@ -1334,11 +1352,16 @@ WITH __f AS (
   WHERE {val_col} IS NOT NULL
     AND NOT isnan(CAST({val_col} AS DOUBLE))
     AND abs(CAST({val_col} AS DOUBLE)) > 0
-), __d AS (
-  SELECT least(9, greatest(1,
-           CAST(floor(x / power(10.0, floor(log10(x)))) AS INT)
-         )) AS digit
+), __d0 AS (
+  SELECT CAST(floor(x / power(10.0, floor(log10(x)))) AS INT) AS rawd
   FROM __f
+), __d AS (
+  -- drift-free boundary mapping (see operators.stats.benford):
+  -- log10 drift down ⇒ raw 10, true digit 1; drift up ⇒ raw 0, true 9
+  SELECT CASE WHEN rawd <= 0 THEN 9
+              WHEN rawd >= 10 THEN 1
+              ELSE rawd END AS digit
+  FROM __d0
 ), __c AS (
   SELECT digit, count(*)::BIGINT AS n FROM __d GROUP BY digit
 ), __t AS (

@@ -113,3 +113,34 @@ def test_hyperanf_matches_sql_mirror(spark):
     want = {tuple(r) for r in
             con.sql(hyperanf_sql("e", iters=3, p=5)).fetchall()}
     assert got == want
+
+
+def test_hyperanf_layouts_bit_identical(spark):
+    """The wide (register-column) and rows (register-row) layouts are
+    two physical forms of one logical program — estimates must match
+    bit-for-bit (register values are exact powers of two in double)."""
+    from simba_spark.operators.graph import hyperanf
+
+    rows = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1), (2, 5)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    wide = {(r["t"], r["nf"])
+            for r in hyperanf(e, iters=3, p=5, layout="wide").collect()}
+    rowsf = {(r["t"], r["nf"])
+             for r in hyperanf(e, iters=3, p=5, layout="rows").collect()}
+    assert wide == rowsf
+
+
+def test_hyperanf_wide_layout_caps_p(spark):
+    """p > 8 in the wide layout would emit 2^p register columns and a
+    ~2·2^p-term estimate expression — the janino 64 KB codegen failure
+    mode; the cap raises instead, and auto routes to rows."""
+    import pytest
+
+    from simba_spark.operators.graph import hyperanf
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="caps at p=8"):
+        hyperanf(e, iters=1, p=9, layout="wide")
+    # auto with large p routes to rows and works
+    got = hyperanf(e, iters=1, p=9, layout="auto").collect()
+    assert len(got) == 2

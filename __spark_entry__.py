@@ -3395,6 +3395,31 @@ def q_geo_knn(spark, sf_dir):
     return out.select("event_id", F.round("dist_km", 4).alias("dist_r"))
 
 
+def q_geo_stream_knn(spark, sf_dir):
+    """Streaming spherical kNN kernel (streaming.ops.
+    streaming_geo_knn_join): every event gets its 3 nearest of 25
+    nation "sites" by great-circle distance. The op is a STATELESS
+    projection — the dimension-sized static side is one broadcast
+    (lat, lon, id)-struct array literal, per-row top-k is
+    slice(array_sort(transform(...))), no shuffle, no state — so
+    running it on the batch events frame exercises the IDENTICAL
+    kernel the stream runs per micro-batch (replayed-stream ≡ batch
+    equality is pytest-checked in test_streaming.py)."""
+    from simba_spark.streaming import streaming_geo_knn_join
+
+    ev = _geo_coords(_t(spark, sf_dir, "events").select("event_id"),
+                     "event_id", 37, 59)
+    sites = _geo_coords(
+        _t(spark, sf_dir, "nation").select("n_nationkey"),
+        "n_nationkey", 41, 71, "t_lat", "t_lon")
+    out = streaming_geo_knn_join(
+        ev, sites, 3, lat_t="t_lat", lon_t="t_lon",
+        static_id="n_nationkey")
+    return out.select("event_id",
+                      F.col("s_n_nationkey").alias("site_key"),
+                      F.round("dist_km", 4).alias("dist_r"))
+
+
 # ---------------------------------------------------------------------------
 # SCD2 dimension build (warehouse family, next to orders_upsert/table_diff)
 
@@ -4064,6 +4089,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 late debuts: locally oracle-green, queued for
         #     round-8 driver rows (the round-7 window is fully booked
         #     with the 44-query backlog + 6 new debuts) ---
+        "geo_stream_knn": q_geo_stream_knn,
         "geo_circle_range": q_geo_circle_range,
         "geo_knn": q_geo_knn,
         "geo_cells": q_geo_cells,
@@ -4899,6 +4925,8 @@ def oracle_sql() -> dict[str, str]:
     geo_kj_hav = haversine_km_sql("s.lat", "s.lon", "c.lat", "c.lon")
     geo_cr_hav = haversine_km_sql(_ge_lat, _ge_lon, "72.0", "150.0")
     geo_knn_hav = haversine_km_sql(_ge_lat, _ge_lon, "48.0", "2.0")
+    _gn_lat, _gn_lon = _geo_coords_sql("n_nationkey", 41, 71)
+    geo_sk_hav = haversine_km_sql("e.lat", "e.lon", "n.lat", "n.lon")
 
     from simba_spark.operators.geo import geo_cell_agg_sql
     from simba_spark.operators.sketches import hll_rolling_sql
@@ -5246,6 +5274,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY {geo_knn_hav} ASC, event_id ASC
             LIMIT 25
+        """,
+        "geo_stream_knn": f"""
+            WITH e AS (SELECT event_id, {_ge_lat} AS lat,
+                              {_ge_lon} AS lon FROM events),
+                 n AS (SELECT n_nationkey, {_gn_lat} AS lat,
+                              {_gn_lon} AS lon FROM nation),
+                 p AS (SELECT e.event_id, n.n_nationkey AS site_key,
+                              {geo_sk_hav} AS d
+                       FROM e, n)
+            SELECT event_id, site_key, round(d, 4) AS dist_r
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_id ORDER BY d, site_key
+                  ) AS rn FROM p)
+            WHERE rn <= 3
         """,
         "scd2_build": """
             WITH base AS (

@@ -367,21 +367,48 @@ def connected_components(
     Raises RuntimeError if max_iter rounds pass without convergence —
     silently returning partial labels would mislabel clusters.
 
-    Scale design: per round one equi-join edges⋈labels + one groupBy +
-    one self-join — all shuffle on node id, so AQE can reuse
-    partitioning; labels are localCheckpoint'd each round to truncate
-    lineage (no exponentially-growing plan); convergence check is a
-    count (1 long to the driver). No adjacency ever collects.
+    Scale design (round-8 cost pass — this loop dominated er_resolve at
+    18.9 s/sf1): per round one edges⋈labels equi-join + one groupBy +
+    one label-of-label self-join. Three shuffle-avoidance moves:
+
+    - edges are hash-partitioned by ``dst`` ONCE (eager checkpoint
+      preserves the partitioning) so the per-round join never
+      re-shuffles the edge side;
+    - labels re-enter each round hash-partitioned by ``id`` — the same
+      checkpoint partitioning serves all three per-round uses (message
+      join, propagate join, label-of-label lookup), one repartition
+      replacing three re-shuffles;
+    - the convergence signal is a ``__chg`` flag computed IN the label
+      update (old label is already on the row) and summed off the
+      materialized checkpoint — the old separate old⋈new count join
+      was a full extra shuffle join per round.
+
+    Labels are localCheckpoint'd each round to truncate lineage (no
+    exponentially-growing plan); no adjacency ever collects.
+
+    Raises RuntimeError if max_iter rounds pass without convergence —
+    silently returning partial labels would mislabel clusters.
     """
     # symmetric edge list + self-loops keep isolated direction info
     e = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    n_shuffle = int(pairs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n_shuffle, "dst")
+        .localCheckpoint(eager=True)
+    )
     nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    labels = (
+        nodes.withColumn("component", F.col("id"))
+        .repartition(n_shuffle, "id")
+        .localCheckpoint(eager=True)
+    )
 
     changed = None
     for _ in range(int(max_iter)):
@@ -392,9 +419,10 @@ def connected_components(
         )
         prop = labels.join(neigh_min, labels.id == neigh_min.src, how="left").select(
             "id",
+            F.col("component").alias("__old"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
+            ).alias("__c1"),
         )
         # pointer doubling: component <- label(component); halves the
         # remaining chain each round => O(log diameter) total rounds
@@ -402,22 +430,23 @@ def connected_components(
             F.col("id").alias("__cid"), F.col("component").alias("__cc")
         )
         new_labels = (
-            prop.join(lol, prop.component == lol.__cid, how="left")
+            prop.join(lol, prop.__c1 == lol.__cid, how="left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))
+                    F.col("__c1"), F.coalesce(F.col("__cc"), F.col("__c1"))
                 ).alias("component"),
+                F.col("__old"),
             )
+            .withColumn(
+                "__chg",
+                (F.col("component") != F.col("__old")).cast("long"))
+            .drop("__old")
+            .repartition(n_shuffle, "id")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     if changed != 0:

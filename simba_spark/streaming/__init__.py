@@ -13,6 +13,7 @@ from .ops import (
     streaming_circle_range,
     streaming_distance_join,
     streaming_geo_distance_join,
+    streaming_geo_knn_join,
     streaming_stream_geo_distance_join,
     streaming_exact_dedup,
     streaming_kmeans_assign,
@@ -33,6 +34,7 @@ __all__ = [
     "streaming_circle_range",
     "streaming_distance_join",
     "streaming_geo_distance_join",
+    "streaming_geo_knn_join",
     "streaming_stream_geo_distance_join",
     "streaming_exact_dedup",
     "streaming_kmeans_assign",

@@ -254,6 +254,92 @@ def streaming_knn_join(
     )
 
 
+def streaming_geo_knn_join(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    k: int,
+    lat_s: str = "lat",
+    lon_s: str = "lon",
+    lat_t: str = "lat",
+    lon_t: str = "lon",
+    static_id: str = None,
+    static_prefix: str = "s_",
+    max_static_rows: int = 200_000,
+    out_col: str = "dist_km",
+) -> DataFrame:
+    """Stream-static SPHERICAL kNN join: each streaming (lat, lon) row
+    gets its k nearest static reference points by great-circle
+    distance (exact; ties by ``static_id`` — the geo fleet-tracking
+    top-k the euclidean :func:`streaming_knn_join` can't answer).
+
+    Physical shape mirrors :func:`streaming_knn_join`: the static side
+    is collected ONCE into an array of (lat, lon, id) structs and
+    broadcast as a literal; per stream row the top-k is
+    ``slice(array_sort(transform(...)), 1, k)`` + explode — the
+    haversine runs inside the transform lambda, pure JVM expressions,
+    no per-batch shuffle and no streaming state. The per-element
+    struct sorts by (dist_km, id), the same deterministic tie order as
+    batch :func:`~simba_spark.operators.geo.geo_knn_join` with
+    ``right_tiebreak=static_id`` — the distance arithmetic is
+    term-identical, so replayed streams match the batch operator
+    row-for-row.
+
+    The right plan when the reference set is dimension-sized (sites,
+    ports, POIs); ``max_static_rows`` guards the driver collect. An
+    unbounded static side should use
+    :func:`streaming_geo_distance_join` with a radius, or batch
+    :func:`~simba_spark.operators.geo.geo_knn_join` on a snapshot —
+    per-event kNN against 100 TB is not a streaming plan. Stateless
+    projection: applying it to a BATCH frame runs the identical
+    kernel (how the driver's oracle row checks it).
+    """
+    from ..operators.geo import haversine_km
+
+    if static_id is None:
+        raise ValueError("streaming_geo_knn_join requires static_id "
+                         "(unique static key; also the tiebreak)")
+    k = int(k)
+    rows = (
+        static_df.select(static_id, lat_t, lon_t)
+        .limit(max_static_rows + 1).collect()
+    )
+    if len(rows) > max_static_rows:
+        raise ValueError(
+            f"static side exceeds max_static_rows={max_static_rows}; "
+            "use streaming_geo_distance_join or a batch geo_knn_join "
+            "snapshot")
+    ref = F.array(*[
+        F.struct(
+            F.lit(float(r[lat_t])).alias("lat"),
+            F.lit(float(r[lon_t])).alias("lon"),
+            F.lit(r[static_id]).alias("id"),
+        )
+        for r in rows
+    ])
+    slat = F.col(lat_s).cast("double")
+    slon = F.col(lon_s).cast("double")
+    topk = F.slice(
+        F.array_sort(
+            F.transform(
+                ref,
+                lambda s: F.struct(
+                    haversine_km(slat, slon, s["lat"], s["lon"])
+                    .alias("dist_km"),
+                    s["id"].alias("id"),
+                ),
+            )
+        ),
+        1,
+        k,
+    )
+    out = stream_df.withColumn("__nn", F.explode(topk))
+    return (
+        out.withColumn(f"{static_prefix}{static_id}", F.col("__nn.id"))
+        .withColumn(out_col, F.col("__nn.dist_km"))
+        .drop("__nn")
+    )
+
+
 def streaming_stream_distance_join(
     left_stream: DataFrame,
     right_stream: DataFrame,

@@ -326,6 +326,74 @@ def test_streaming_knn_join_guards_static_size(spark, stream_dir):
         assert "max_static_rows" in str(e)
 
 
+def test_streaming_geo_knn_join_matches_batch(spark):
+    """Replayed stream ≡ batch geo_knn_join: same haversine terms, same
+    (dist, id) tie order — row-for-row including the rounded distance.
+    Sites straddle the antimeridian and a pole to exercise the metric,
+    not just the plumbing."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.geo import geo_knn_join
+    from simba_spark.streaming import streaming_geo_knn_join
+
+    d = tempfile.mkdtemp(prefix="simba_geoknn_stream_")
+    try:
+        moving = spark.createDataFrame(
+            [(0, 80.5, 76.0), (1, 80.5, 166.0), (2, -10.0, -179.9),
+             (3, 0.0, 0.0), (4, 89.95, 10.0), (5, -45.0, 120.0)],
+            "ship_id long, lat double, lon double",
+        )
+        moving.write.mode("overwrite").parquet(d)
+        sites = spark.createDataFrame(
+            [(100, 80.5, 166.0), (200, -10.0, 179.9), (300, 0.5, 0.5),
+             (400, 89.9, -170.0), (500, -44.0, 121.0), (600, 10.0, 10.0)],
+            "site_id long, lat double, lon double",
+        )
+        src = spark.readStream.schema(moving.schema).parquet(d)
+        out = streaming_geo_knn_join(
+            src, sites, 2, static_id="site_id"
+        ).select("ship_id", "s_site_id", F.round("dist_km", 6).alias("dr"))
+        got = sorted(
+            (r.ship_id, r.s_site_id, r.dr)
+            for r in _run_stream(spark, out, "sgeoknn_out").collect()
+        )
+        batch = spark.read.parquet(d)
+        exp = sorted(
+            (r.ship_id, r.site_id, r.dr)
+            for r in geo_knn_join(
+                batch, sites.select(F.col("site_id"),
+                                    F.col("lat").alias("t_lat"),
+                                    F.col("lon").alias("t_lon")),
+                2, lat_l="lat", lon_l="lon", lat_r="t_lat", lon_r="t_lon",
+                left_id="ship_id", right_tiebreak="site_id", algo="cross",
+            ).select("ship_id", "site_id",
+                     F.round("dist_km", 6).alias("dr")).collect()
+        )
+        assert got == exp and len(exp) == 12
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_geo_knn_join_guards_static_size(spark, stream_dir):
+    import pytest as _pytest
+
+    from simba_spark.streaming import streaming_geo_knn_join
+
+    d, schema = stream_dir
+    static = spark.range(50).select(
+        F.col("id").alias("site_id"),
+        (F.col("id") % 90).cast("double").alias("lat"),
+        F.lit(0.0).alias("lon"),
+    )
+    src = spark.readStream.schema(schema).parquet(d)
+    with _pytest.raises(ValueError, match="max_static_rows"):
+        streaming_geo_knn_join(
+            src.withColumn("lat", F.lit(1.0)).withColumn("lon", F.lit(2.0)),
+            static, 2, static_id="site_id", max_static_rows=10,
+        )
+
+
 def test_stream_stream_knn_join_matches_batch(spark):
     """Two replayed streams through the chained stateful operators
     (window-equality stream-stream join → windowed per-left top-k)

@@ -297,6 +297,22 @@ def _ivfpq_layout_path(spark, sf_dir) -> str:
     return _build_once(sf_dir, "emb_ivfpq", "embeddings.parquet", build)
 
 
+def _ivfpq_residual_layout_path(spark, sf_dir) -> str:
+    """Build-once RESIDUAL-encoded IVF×PQ layout (IVFADC): codes are
+    of x − centroid[list], one ADC LUT per probed list at query time;
+    same 8-byte budget quantizing only the cell-local range."""
+    from simba_spark.operators.pq import build_ivfpq_layout
+
+    def build(path):
+        embs = _t(spark, sf_dir, "embeddings")
+        build_ivfpq_layout(embs, path, n_centroids=8, m=8, nbits=4,
+                           sample_cap=512, iters=5, seed=42,
+                           encode="residual")
+
+    return _build_once(sf_dir, "emb_ivfpq_res", "embeddings.parquet",
+                       build)
+
+
 def _ann_layout_path(spark, sf_dir) -> str:
     """Build-once persisted hyperplane-LSH layout over embeddings."""
     from simba_spark.operators.similarity import build_ann_layout
@@ -1565,6 +1581,26 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup dedup (dedup.incremental_minhash_dedup) —
+    the daily-crawl shape: documents with doc_id % 3 == 0 are the
+    increment, the rest the standing corpus; the increment keeps only
+    docs that near-dup neither the corpus (probed via the persistable
+    band register — corpus text touched only for candidate ids) nor a
+    smaller-id increment sibling (the one-sweep policy). md5long hash
+    so the oracle replays signatures, band collisions, and exact
+    Jaccard end-to-end."""
+    from simba_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    out = incremental_minhash_dedup(
+        inc, corpus, num_hashes=32, bands=16, shingle_k=5,
+        jaccard_threshold=0.8, hash_fn="md5long")
+    return out.select("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (md5long 60-bit hash): the oracle
     brute-forces Hamming <= 3 over all pairs — valid because pigeonhole
@@ -1932,6 +1968,25 @@ def q_ivfpq_topk(spark, sf_dir):
     qvec = [float(x) for x in
             embs.filter(F.col("vec_id") == 7).first()["embedding"]]
     path = _ivfpq_layout_path(spark, sf_dir)
+    out = ivfpq_topk(spark, path, embs, qvec, 10, nprobe=8)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-encoded IVF×PQ probe (pq.build_ivfpq_layout
+    encode='residual' — the Jégou et al. IVFADC form) at the
+    exact-by-construction configuration: nprobe = n_centroids visits
+    every list through a union of per-list partition-pruned branches
+    (each scored with its own q − centroid[list] LUT), shortlist=None
+    re-ranks every row. The recall uplift of residual codes over raw
+    at a tight shortlist is asserted in tests/test_pq.py and measured
+    in bench_ann.json."""
+    from simba_spark.operators.pq import ivfpq_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    path = _ivfpq_residual_layout_path(spark, sf_dir)
     out = ivfpq_topk(spark, path, embs, qvec, 10, nprobe=8)
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
@@ -4013,83 +4068,13 @@ _DRIVER_QUERY_CAP = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # --- round-7 debuts (new operators this round) ---
-        "geo_distance_join": q_geo_distance_join,
-        "geo_knn_join": q_geo_knn_join,
-        "scd2_build": q_scd2_build,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q21": q_tpch_q21,
-        # --- round-7 promotions: the round-6 late debuts that entered
-        #     extra_queries() locally-green without a driver row, seated
-        #     per the round-6 brief (#4) — the round-6 window rows (1
-        #     driver green each + local re-verification every
-        #     check_oracle run) rotate out to make room ---
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "k_core": q_k_core,
-        "hyperanf": q_hyperanf,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "volume_anomaly": q_volume_anomaly,
-        "bm25": q_bm25,
-        "label_prop": q_label_prop,
-        "k_hop": q_k_hop,
-        "skew_report": q_skew_report,
-        "phrase_search": q_phrase_search,
-        "events_pivot": q_events_pivot,
-        "attribution": q_attribution,
-        "transition_matrix": q_transition_matrix,
-        "top_paths": q_top_paths,
-        "acf_events": q_acf_events,
-        "cusum_events": q_cusum_events,
-        "ks_value": q_ks_value,
-        "welch_value": q_welch_value,
-        "mi_docs": q_mi_docs,
-        "linreg_trend": q_linreg_trend,
-        "modularity": q_modularity,
-        "build_vocab": q_build_vocab,
-        "bigram_lm": q_bigram_lm,
-        "gini_prices": q_gini_prices,
-        "benford_prices": q_benford_prices,
-        "linkage": q_linkage,
-        "quantile_bin_grouped": q_quantile_bin_grouped,
-        "personalized_pagerank": q_personalized_pagerank,
-        "rfm_segments": q_rfm,
-        "rank_normalize": q_rank_normalize,
-        "chisq_events": q_chisq,
-        "rollup_incremental": q_rollup_incremental,
-        "theta_active": q_theta_active,
-        "hybrid_retrieval": q_hybrid_retrieval,
-        "edit_dist": q_edit_dist,
-        "basket_rules": q_basket_rules,
-        "adamic_adar": q_adamic_adar,
-        "forecast_events": q_forecast_events,
-        "robust_z": q_robust_z,
-        "psi_drift": q_psi_drift,
-        "shortest_paths": q_shortest_paths,
-        "hits": q_hits,
-    }
-    assert len(q) == _DRIVER_QUERY_CAP, (
-        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
-        f"(the driver's correctness window), got {len(q)} — rotate the "
-        "most-proven entries into extra_queries()"
-    )
-    return q
-
-
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Bedrock queries rotated out of the driver's 50-row window after
-    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
-    hash all true). Local harnesses (`scripts/check_oracle.py`,
-    `bench.py`, pytest) merge this dict with :func:`queries` so the
-    oracle coverage stays total; every entry still has its SQL mirror
-    in :func:`oracle_sql`."""
-    return {
-        # --- round-7 late debuts: locally oracle-green, queued for
-        #     round-8 driver rows (the round-7 window is fully booked
-        #     with the 44-query backlog + 6 new debuts) ---
+        # --- round-8 debuts (new operators this round) ---
         "geo_stream_knn": q_geo_stream_knn,
+        "ivfpq_residual_topk": q_ivfpq_residual_topk,
+        "incremental_dedup": q_incremental_dedup,
+        # --- round-8 seated queue: the 19 round-7 late debuts that
+        #     entered extra_queries() locally-green (OPERATORS.md
+        #     round-8 queue), each earning its first driver row ---
         "geo_circle_range": q_geo_circle_range,
         "geo_knn": q_geo_knn,
         "geo_cells": q_geo_cells,
@@ -4109,6 +4094,84 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": q_events_ohlc,
         "impute_events": q_impute_events,
         "er_resolve": q_er_resolve,
+        # --- re-verification rows: gini_prices was the round-7 red
+        #     (order-dependent double sum, now exact-decimal in both
+        #     engines); hyperanf's physical layout changed this round
+        #     (auto wide/rows router) — both stay to earn greens on
+        #     the NEW code paths ---
+        "gini_prices": q_gini_prices,
+        "hyperanf": q_hyperanf,
+        # --- round-7 window rows retained (1 driver green each; the
+        #     21 most-proven r7 rows rotated to extra_queries to seat
+        #     the queue, per policy) ---
+        "acf_events": q_acf_events,
+        "cusum_events": q_cusum_events,
+        "ks_value": q_ks_value,
+        "welch_value": q_welch_value,
+        "mi_docs": q_mi_docs,
+        "linreg_trend": q_linreg_trend,
+        "modularity": q_modularity,
+        "build_vocab": q_build_vocab,
+        "bigram_lm": q_bigram_lm,
+        "benford_prices": q_benford_prices,
+        "linkage": q_linkage,
+        "quantile_bin_grouped": q_quantile_bin_grouped,
+        "personalized_pagerank": q_personalized_pagerank,
+        "rfm_segments": q_rfm,
+        "rank_normalize": q_rank_normalize,
+        "chisq_events": q_chisq,
+        "rollup_incremental": q_rollup_incremental,
+        "theta_active": q_theta_active,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "edit_dist": q_edit_dist,
+        "basket_rules": q_basket_rules,
+        "adamic_adar": q_adamic_adar,
+        "forecast_events": q_forecast_events,
+        "robust_z": q_robust_z,
+        "psi_drift": q_psi_drift,
+        "shortest_paths": q_shortest_paths,
+    }
+    assert len(q) == _DRIVER_QUERY_CAP, (
+        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
+        f"(the driver's correctness window), got {len(q)} — rotate the "
+        "most-proven entries into extra_queries()"
+    )
+    return q
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bedrock queries rotated out of the driver's 50-row window after
+    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
+    hash all true). Local harnesses (`scripts/check_oracle.py`,
+    `bench.py`, pytest) merge this dict with :func:`queries` so the
+    oracle coverage stays total; every entry still has its SQL mirror
+    in :func:`oracle_sql`."""
+    return {
+        # --- rotated after round 7 with 1 driver green each (r7) to
+        #     seat the round-8 queue + debuts; all re-verified locally
+        #     by every check_oracle.py run ---
+        "geo_distance_join": q_geo_distance_join,
+        "geo_knn_join": q_geo_knn_join,
+        "scd2_build": q_scd2_build,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q21": q_tpch_q21,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "k_core": q_k_core,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "volume_anomaly": q_volume_anomaly,
+        "bm25": q_bm25,
+        "label_prop": q_label_prop,
+        "k_hop": q_k_hop,
+        "skew_report": q_skew_report,
+        "phrase_search": q_phrase_search,
+        "events_pivot": q_events_pivot,
+        "attribution": q_attribution,
+        "transition_matrix": q_transition_matrix,
+        "top_paths": q_top_paths,
+        "hits": q_hits,
         # --- rotated after round 6 with 1 driver green each (r6) to
         #     seat the 44-query backlog per the round-6 brief; all
         #     re-verified locally by every check_oracle.py run ---
@@ -4734,6 +4797,76 @@ def _minhash_oracle() -> str:
                     ELSE 0.0 END AS jaccard
         FROM banded x, banded y
         WHERE x.doc_id < y.doc_id AND ({collide})
+    """
+
+
+def _incremental_dedup_oracle() -> str:
+    """Full replay of incremental_minhash_dedup in DuckDB: the same
+    md5long signature/band CTEs as `_minhash_oracle`, then an
+    increment row survives iff NO colliding corpus doc verifies at
+    Jaccard >= 0.8 AND NO colliding smaller-id increment sibling does
+    (the one-sweep policy)."""
+    from simba_spark.operators.dedup import affine_consts, affine_sql
+
+    seed, nh, bands = 42, 32, 16
+    consts = affine_consts(nh, seed)
+    sig_exprs = ",\n                     ".join(
+        f"coalesce(list_min(list_transform(bs, b -> {affine_sql('b', *consts[j])})), 0) AS m{j}"
+        for j in range(nh)
+    )
+    band_exprs = ",\n                     ".join(
+        _md5long_sql(f"m{2 * b}::VARCHAR || ',' || m{2 * b + 1}::VARCHAR", b)
+        + f" AS bh{b}"
+        for b in range(bands)
+    )
+
+    def collide(x, y):
+        return " OR ".join(f"{x}.bh{b} = {y}.bh{b}" for b in range(bands))
+
+    def jac_ok(x, y):
+        inter = f"len(list_intersect({x}.gd, {y}.gd))"
+        un = f"len({x}.gd) + len({y}.gd) - {inter}"
+        return (f"(({un}) > 0 AND ({inter})::DOUBLE / ({un}) >= 0.8)")
+
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(t) >= 5
+                        THEN list_transform(range(1, len(t) - 3),
+                                            i -> array_to_string(t[i:i+4], ' '))
+                        WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                        ELSE [] END
+                 ) AS gd
+          FROM toks
+        ), based AS (
+          SELECT doc_id, gd,
+                 list_transform(gd, s -> {_md5long_sql('s', 42)}) AS bs
+          FROM grams
+        ), sigs AS (
+          SELECT doc_id, gd,
+                     {sig_exprs}
+          FROM based
+        ), banded AS (
+          SELECT *,
+                     {band_exprs}
+          FROM sigs
+        )
+        SELECT i.doc_id
+        FROM banded i
+        WHERE i.doc_id % 3 = 0
+          AND i.doc_id NOT IN (
+            SELECT x.doc_id FROM banded x, banded c
+            WHERE x.doc_id % 3 = 0 AND c.doc_id % 3 != 0
+              AND ({collide('x', 'c')}) AND {jac_ok('x', 'c')})
+          AND i.doc_id NOT IN (
+            SELECT y.doc_id FROM banded a, banded y
+            WHERE a.doc_id % 3 = 0 AND y.doc_id % 3 = 0
+              AND a.doc_id < y.doc_id
+              AND ({collide('a', 'y')}) AND {jac_ok('a', 'y')})
     """
 
 
@@ -6804,6 +6937,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "minhash_pairs": _minhash_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
         "simhash_pairs": _simhash_oracle(),
         "image_features": f"""
             SELECT doc_id,
@@ -7090,6 +7224,15 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF visits every inverted list => exact: the
         # brute-force ranking is a true oracle for the layout machinery
         "ivfpq_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
+        "ivfpq_residual_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4

@@ -229,10 +229,42 @@ def main():
         }
     codes.unpersist()
 
+    # --- IVF×PQ, raw vs RESIDUAL codes: same 8-byte code budget, but
+    # residual codes only have to span a coarse cell's local range, so
+    # the ADC ordering tracks truth closer — measured as recall at a
+    # tight shortlist (the re-rank can't mask code quality there) ---
+    from simba_spark.operators.pq import build_ivfpq_layout, ivfpq_topk
+
+    t_ivfpq = {}
+    for enc in ("raw", "residual"):
+        p = os.path.join(ROOT, f"ivfpq64_{enc}")
+        t_ivfpq[enc] = None
+        if not os.path.exists(os.path.join(p, "ivfpq_meta.json")):
+            t0 = time.time()
+            build_ivfpq_layout(df, p, n_centroids=64, m=8, nbits=8,
+                               sample_cap=8192, iters=10, seed=42,
+                               encode=enc)
+            t_ivfpq[enc] = round(time.time() - t0, 1)
+        for sl in (100, 1000):
+            lats, recs = [], []
+            for qid, qv in queries:
+                lat, rows = timed(
+                    lambda qv=qv: ivfpq_topk(spark, p, df, qv, K,
+                                             nprobe=8, shortlist=sl))
+                lats.append(lat)
+                got = {int(r["vec_id"]) for r in rows}
+                recs.append(len(got & exact_ids[qid]) / K)
+            results[f"ivfpq_{enc}_np8_sl{sl}"] = {
+                "latency_sec": round(statistics.median(lats), 3),
+                "recall": round(sum(recs) / len(recs), 3),
+            }
+
     out = {
         "n_vecs": N, "dim": DIM, "k": K, "n_queries": NQ, "reps": REPS,
         "build_sec": {"gen": t_gen, "ivf64": t_ivf, "lsh10": t_ann,
-                      "pq8x8": t_pq},
+                      "pq8x8": t_pq,
+                      "ivfpq64_raw": t_ivfpq.get("raw"),
+                      "ivfpq64_residual": t_ivfpq.get("residual")},
         "results": results,
     }
     spark.stop()

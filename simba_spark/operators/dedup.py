@@ -228,6 +228,61 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _band_rows(sh_df: DataFrame, num_hashes: int, bands: int,
+               seed: int, hash_fn: str) -> DataFrame:
+    """(__id, __band, __bh) LSH band rows from a (__id, __sh
+    shingle-array) frame.
+
+    Signature via explode + groupBy min: ONE pass over the exploded
+    shingles computing all num_hashes mins as plain aggregates — keeps
+    every expression small (codegen-friendly), unlike num_hashes nested
+    array transforms which overflow the 64KB JIT method limit and fall
+    back to interpreted eval. The min-aggregates and band-hashes are
+    built as SQL strings (one F.expr py4j call each): per-Column loops
+    cost ~1 s of DRIVER time per query in py4j round-trips alone.
+
+    md5long: one md5 per shingle, num_hashes cheap affine derivations
+    (32× fewer md5 calls than salting the md5 per hash function).
+    xxhash64: same 1-base-hash + affine-family trick; the base is
+    masked to 60 bits so every affine product stays < 2^63 (ANSI mode
+    errors on overflow rather than wrapping)."""
+    r = num_hashes // bands
+    ex = sh_df.select("__id", F.explode_outer("__sh").alias("__s"))
+    if hash_fn == "md5long":
+        ex = ex.withColumn("__b", _hash64(F.col("__s"), seed, "md5long"))
+    else:
+        ex = ex.withColumn(
+            "__b", F.expr(f"xxhash64(__s, {seed}) & {(1 << 60) - 1}"))
+    consts = affine_consts(num_hashes, seed)
+    min_exprs = [
+        F.expr(
+            "coalesce(min(((__b >> 30) * {c1} + (__b & {m}) * {c2} + {c3})"
+            " % {M}), CAST(0 AS BIGINT))".format(
+                c1=consts[j][0], c2=consts[j][1], c3=consts[j][2],
+                m=_AFFINE_LO_MASK, M=AFFINE_M,
+            )
+        ).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    sig_df = ex.groupBy("__id").agg(*min_exprs)
+
+    def _band_sql(b: int) -> str:
+        cw = "concat_ws(',', {})".format(
+            ", ".join(f"CAST(__m{b * r + i} AS STRING)" for i in range(r))
+        )
+        if hash_fn == "md5long":
+            return (
+                f"CAST(conv(substring(md5(concat({cw}, '#{b}')), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            )
+        return f"xxhash64({cw}, {b})"
+
+    band_cols = [F.expr(_band_sql(b)).alias("__bh") for b in range(bands)]
+    return sig_df.select(
+        "__id", F.posexplode(F.array(*band_cols)).alias("__band", "__bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -250,79 +305,15 @@ def minhash_lsh_pairs(
     faster scale path.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    r = num_hashes // bands
     sh_df = _spread(df).select(
         F.col(id_col).alias("__id"),
         shingles(text_col, shingle_k).alias("__sh"),
     )
-    # signature via explode + groupBy min: ONE pass over the exploded
-    # shingles computing all num_hashes mins as plain aggregates — keeps
-    # every expression small (codegen-friendly), unlike num_hashes nested
-    # array transforms which overflow the 64KB JIT method limit and fall
-    # back to interpreted eval
-    # the num_hashes min-aggregates and bands band-hashes are built as
-    # SQL strings (one F.expr py4j call each): the per-Column loops
-    # cost ~1 s of DRIVER time per query in py4j round-trips alone —
-    # the expressions are identical
-    ex = sh_df.select("__id", F.explode_outer("__sh").alias("__s"))
-    if hash_fn == "md5long":
-        # one md5 per shingle, num_hashes cheap affine derivations —
-        # 32× fewer md5 calls than salting the md5 per hash function
-        base = _hash64(F.col("__s"), seed, "md5long")
-        consts = affine_consts(num_hashes, seed)
-        ex = ex.withColumn("__b", base)
-        min_exprs = [
-            F.expr(
-                "coalesce(min(((__b >> 30) * {c1} + (__b & {m}) * {c2} + {c3})"
-                " % {M}), CAST(0 AS BIGINT))".format(
-                    c1=consts[j][0], c2=consts[j][1], c3=consts[j][2],
-                    m=_AFFINE_LO_MASK, M=AFFINE_M,
-                )
-            ).alias(f"__m{j}")
-            for j in range(num_hashes)
-        ]
-    else:
-        # same 1-base-hash + affine-family trick as the md5long path:
-        # ONE xxhash64 per shingle, num_hashes 4-int-op derivations —
-        # vs num_hashes full string hashes per shingle. The base is
-        # masked to 60 bits so every affine product stays < 2^63
-        # (ANSI mode errors on overflow rather than wrapping).
-        consts = affine_consts(num_hashes, seed)
-        ex = ex.withColumn(
-            "__b",
-            F.expr(f"xxhash64(__s, {seed}) & {(1 << 60) - 1}"),
-        )
-        min_exprs = [
-            F.expr(
-                "coalesce(min(((__b >> 30) * {c1} + (__b & {m}) * {c2} + {c3})"
-                " % {M}), CAST(0 AS BIGINT))".format(
-                    c1=consts[j][0], c2=consts[j][1], c3=consts[j][2],
-                    m=_AFFINE_LO_MASK, M=AFFINE_M,
-                )
-            ).alias(f"__m{j}")
-            for j in range(num_hashes)
-        ]
-    sig_df = ex.groupBy("__id").agg(*min_exprs)
-
-    def _band_sql(b: int) -> str:
-        cw = "concat_ws(',', {})".format(
-            ", ".join(f"CAST(__m{b * r + i} AS STRING)" for i in range(r))
-        )
-        if hash_fn == "md5long":
-            return (
-                f"CAST(conv(substring(md5(concat({cw}, '#{b}')), 1, 15), 16, 10)"
-                " AS BIGINT)"
-            )
-        return f"xxhash64({cw}, {b})"
-
-    band_cols = [F.expr(_band_sql(b)).alias("__bh") for b in range(bands)]
     # band self-join on SKINNY rows (id, band, bandhash) only — shingle
     # arrays never enter the candidate shuffle; they're fetched by id for
     # the (few) surviving pairs. At scale the band join is the big
     # shuffle, so its row width decides the job's IO.
-    bands_skinny = sig_df.select(
-        "__id", F.posexplode(F.array(*band_cols)).alias("__band", "__bh")
-    )
+    bands_skinny = _band_rows(sh_df, num_hashes, bands, seed, hash_fn)
     left = bands_skinny.select(F.col("__id").alias("a_id"), "__band", "__bh")
     right = bands_skinny.select(F.col("__id").alias("b_id"), "__band", "__bh")
     cand = (
@@ -534,6 +525,125 @@ def minhash_dedup(
     )
     drop_ids = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistable LSH register of a corpus: skinny
+    ``(id, __band, __bh)`` rows (``bands`` rows per document, 3 longs
+    wide). Write it once per corpus / append one increment's rows per
+    day — :func:`incremental_minhash_dedup` probes it WITHOUT
+    re-shingling the corpus. EXACTLY :func:`minhash_lsh_pairs`'s band
+    rows (the shared :func:`_band_rows` program — explode + groupBy
+    min signatures, codegen-friendly), so rows from different batches
+    with the same (num_hashes, bands, shingle_k, seed, hash_fn) are
+    directly joinable."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    sh_df = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    return _band_rows(sh_df, num_hashes, bands, seed, hash_fn) \
+        .withColumnRenamed("__id", id_col)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    corpus_bands: Optional[DataFrame] = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup dedup of an INCREMENT against an existing corpus — the
+    daily-crawl shape: yesterday's corpus is already deduped and must
+    not be re-scanned, today's batch must drop (a) docs that near-dup
+    the corpus and (b) the one-sweep within-batch dups (keep the
+    smallest id, :func:`minhash_dedup` policy). Returns the kept rows
+    of ``new_df``. Ids must be unique across corpus ∪ increment.
+
+    Scale design:
+    - pass ``corpus_bands`` (the persisted :func:`minhash_band_table`
+      parquet) and the corpus is never re-shingled — the probe joins
+      the increment's ``bands``·|new| skinny rows against the register
+      on (band, hash); omitted, the register is derived from
+      ``corpus_df`` in one pass (and is worth persisting).
+    - corpus TEXT is touched only for cross-candidate ids: a semi-join
+      on the candidate id list precedes the corpus-side shingling, so
+      the exact-Jaccard verify reads |candidates| corpus rows, not the
+      corpus.
+    - the within-batch leg is the standard banded self-join over the
+      increment's own skinny rows.
+    """
+    kw = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+              seed=seed, hash_fn=hash_fn)
+    new_sh = _spread(new_df).select(
+        F.col(id_col).alias("__nid"),
+        shingles(F.col(text_col), shingle_k).alias("__nsh"),
+    ).localCheckpoint(eager=False)
+    nb = minhash_band_table(new_df, text_col, id_col, **kw).select(
+        F.col(id_col).alias("__nid"), "__band", "__bh")
+    cb = corpus_bands if corpus_bands is not None else \
+        minhash_band_table(corpus_df, text_col, id_col, **kw)
+    cb = cb.select(F.col(id_col).alias("__cid"), "__band", "__bh")
+
+    # leg 1: increment × corpus candidates → verify → drop new ids
+    cross = (
+        nb.join(cb, on=["__band", "__bh"], how="inner")
+        .select("__nid", "__cid").dropDuplicates(["__nid", "__cid"])
+    )
+    cand_corpus = corpus_df.join(
+        cross.select(F.col("__cid").alias(id_col)).distinct(),
+        on=id_col, how="left_semi")
+    csh = cand_corpus.select(
+        F.col(id_col).alias("__cid"),
+        shingles(F.col(text_col), shingle_k).alias("__csh"))
+    vx = cross.join(new_sh, on="__nid").join(csh, on="__cid")
+    inter = F.size(F.array_intersect(F.col("__nsh"), F.col("__csh")))
+    union = F.size(F.array_union(F.col("__nsh"), F.col("__csh")))
+    jac = F.when(union > 0, inter.cast("double") / union) \
+        .otherwise(F.lit(0.0))
+    drop_cross = vx.filter(jac >= float(jaccard_threshold)) \
+        .select("__nid").distinct()
+
+    # leg 2: within-increment one-sweep (drop the larger id of each
+    # verified pair — minhash_dedup's keep-lowest policy)
+    l = nb.select(F.col("__nid").alias("__a"), "__band", "__bh")
+    rgt = nb.select(F.col("__nid").alias("__b"), "__band", "__bh")
+    within = (
+        l.join(rgt, on=["__band", "__bh"], how="inner")
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b").dropDuplicates(["__a", "__b"])
+    )
+    sha = new_sh.select(F.col("__nid").alias("__a"),
+                        F.col("__nsh").alias("__sha"))
+    shb = new_sh.select(F.col("__nid").alias("__b"),
+                        F.col("__nsh").alias("__shb"))
+    vw = within.join(sha, on="__a").join(shb, on="__b")
+    winter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    wunion = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    wjac = F.when(wunion > 0, winter.cast("double") / wunion) \
+        .otherwise(F.lit(0.0))
+    drop_within = vw.filter(wjac >= float(jaccard_threshold)) \
+        .select(F.col("__b").alias("__nid")).distinct()
+
+    drops = drop_cross.unionByName(drop_within).distinct() \
+        .select(F.col("__nid").alias(id_col))
+    return new_df.join(drops, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -121,8 +121,6 @@ def pq_train(
     never data."""
     import numpy as np
 
-    from .similarity import _kmeans_centroids
-
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")) \
                   .filter(F.col("d") > 0).first()
@@ -144,13 +142,23 @@ def pq_train(
     X = np.asarray(sample, dtype="float64")
     if metric == "cosine":
         X = _normalize_rows(X)
+    books = _train_books(X, m, nbits, iters, seed)
+    return PQModel(dim, m, nbits, metric, books)
+
+
+def _train_books(X, m: int, nbits: int, iters: int, seed: int):
+    """Per-subspace Lloyd's over a driver-side sample matrix (rows are
+    the vectors to quantize — raw, normalized, or residual)."""
+    from .similarity import _kmeans_centroids
+
+    dsub = X.shape[1] // m
     books = []
     for j in range(m):
         sub = X[:, j * dsub:(j + 1) * dsub]
         cent = _kmeans_centroids(sub, 2 ** int(nbits), iters,
                                  seed + 1000 * j)
         books.append([[float(x) for x in c] for c in cent])
-    return PQModel(dim, m, nbits, metric, books)
+    return books
 
 
 def _sub_expr(model: PQModel, j: int, vec_col: str, norm_col: str):
@@ -326,6 +334,16 @@ def pq_topk(
                           out_col=code_col, route=route)
     adc = pq_adc_col(model, query_vec, code_col).alias("adc_dist")
     scored = codes.select(F.col(id_col), adc)
+    return _exact_rerank(df, scored, query_vec, model.metric, k,
+                         shortlist, id_col, vec_col)
+
+
+def _exact_rerank(df, scored, query_vec, metric, k, shortlist,
+                  id_col, vec_col):
+    """Shortlist the (id, adc_dist) sweep, fetch the survivors'
+    original vectors by id, and rank them by the EXACT metric — the
+    shared tail of every PQ probe (``shortlist=None`` re-ranks every
+    scored row: exact by construction)."""
     if shortlist is not None:
         scored = scored.orderBy(F.col("adc_dist").asc(),
                                 F.col(id_col).asc()) \
@@ -340,7 +358,7 @@ def pq_topk(
                             F.lit(0.0), lambda acc, x: acc + x))
     nq = F.sqrt(F.aggregate(F.transform(qv, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    if model.metric == "cosine":
+    if metric == "cosine":
         score = F.when(nv * nq > 0, dot / (nv * nq)).otherwise(F.lit(0.0))
         out = joined.withColumn("cosine_sim", score) \
             .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()) \
@@ -430,17 +448,34 @@ def build_ivfpq_layout(
     iters: int = 10,
     seed: int = 42,
     route: str = "auto",
+    encode: str = "raw",
 ) -> None:
     """Persist the two-level index: PQ codes partitioned by IVF list
     (``codes/__ivf=<list>/``) plus coarse centroids + codebooks in the
-    meta JSON. Codes are of the RAW vectors (IVF-Flat-PQ), not
-    residuals — recall is marginally below residual-PQ but codes stay
-    list-independent (a re-clustered coarse quantizer never forces a
-    re-encode) and the oracle stays a pure composition of the two
-    tested stages. Build cost: one coarse-assign map pass + one encode
-    map pass; both trainings are bounded driver-side samples."""
+    meta JSON.
+
+    ``encode='raw'`` (IVF-Flat-PQ) codes the vectors themselves —
+    codes stay list-independent (a re-clustered coarse quantizer never
+    forces a re-encode). ``encode='residual'`` (the Jégou et al.
+    IVFADC form) codes ``x − centroid[list]``: residuals span a much
+    smaller cell-local range, so the same 8 bytes quantize finer and
+    recall at a given shortlist rises (asserted in tests/test_pq.py
+    and measured in bench_ann.json); the cost is that codes bind to
+    the coarse quantizer and the probe needs one LUT per probed list.
+    The residual subtraction is pure Column arithmetic
+    (``zip_with(vec, element_at(centroids, __ivf+1), -)``) — one map
+    pass either way, and the PQ model itself is metric='l2' over
+    residual space (for cosine the vectors are L2-normalized BEFORE
+    the subtraction; the exact re-rank restores the true metric).
+
+    Build cost: one coarse-assign map pass + one encode map pass; both
+    trainings are bounded driver-side samples."""
+    import numpy as np
+
     from .similarity import _kmeans_centroids, _centroid_assign_col
 
+    if encode not in ("raw", "residual"):
+        raise ValueError(f"unknown ivfpq encode: {encode!r}")
     first = df.select(F.size(vec_col).alias("d")) \
               .filter(F.col("d") > 0).first()
     if first is None:
@@ -458,13 +493,49 @@ def build_ivfpq_layout(
         .limit(int(sample_cap))
         .collect()
     ]
-    cents = _kmeans_centroids(sample, n_centroids, iters, int(seed) + 7)
-    model = pq_train(df, vec_col=vec_col, m=m, nbits=nbits,
-                     metric=metric, sample_cap=sample_cap, iters=iters,
-                     seed=seed)
-    assigned = df.withColumn(
-        "__ivf", _centroid_assign_col(vec_col, cents))
-    enc = pq_encode(assigned, model, vec_col=vec_col, route=route)
+    if encode == "residual":
+        # residual space lives where the metric lives: for cosine,
+        # normalize FIRST, then coarse-train / assign / subtract all
+        # in normalized space (the raw path keeps its historical
+        # raw-vector coarse quantizer untouched)
+        X = np.asarray(sample, dtype="float64")
+        if metric == "cosine":
+            X = _normalize_rows(X)
+        cents = _kmeans_centroids(X.tolist(), n_centroids, iters,
+                                  int(seed) + 7)
+        C = np.asarray(cents, dtype="float64")
+        # nearest coarse centroid per sample row (same argmin-by-L2 as
+        # the distributed _centroid_assign_col; ties to lowest index)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        R = X - C[np.argmin(d2, axis=1)]
+        model = PQModel(dim, m, nbits, "l2",
+                        _train_books(R, m, nbits, iters, int(seed)))
+    else:
+        cents = _kmeans_centroids(sample, n_centroids, iters,
+                                  int(seed) + 7)
+        model = pq_train(df, vec_col=vec_col, m=m, nbits=nbits,
+                         metric=metric, sample_cap=sample_cap,
+                         iters=iters, seed=seed)
+    if encode == "residual":
+        vd = F.col(vec_col).cast("array<double>")
+        if metric == "cosine":
+            sq = F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+            nrm = F.when(F.sqrt(sq) > 0, F.sqrt(sq)).otherwise(F.lit(1.0))
+            vn = F.transform(vd, lambda x: x / nrm)
+        else:
+            vn = vd
+        assigned = df.withColumn("__ivf", _centroid_assign_col(vn, cents))
+        cent_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        resid = F.zip_with(vn,
+                           F.element_at(cent_lit, F.col("__ivf") + 1),
+                           lambda a, b: a - b)
+        assigned = assigned.withColumn("__resid", resid)
+        enc = pq_encode(assigned, model, vec_col="__resid", route=route)
+    else:
+        assigned = df.withColumn(
+            "__ivf", _centroid_assign_col(vec_col, cents))
+        enc = pq_encode(assigned, model, vec_col=vec_col, route=route)
     enc.select(id_col, "__ivf", "pq_code").write.mode("overwrite") \
        .partitionBy("__ivf").parquet(path + "/codes")
     import os
@@ -473,6 +544,8 @@ def build_ivfpq_layout(
     with open(path + "/ivfpq_meta.json", "w") as f:
         f.write(json.dumps({
             "id_col": id_col,
+            "encode": encode,
+            "metric": metric,
             "centroids": [[float(x) for x in c] for c in cents],
             "model": json.loads(model.to_json()),
         }))
@@ -496,7 +569,14 @@ def ivfpq_topk(
     ``shortlist`` survivors fetch their vectors by id for the exact
     re-rank. ``nprobe >= n_centroids`` with ``shortlist=None`` visits
     every list and re-ranks every row — exact by construction (the
-    oracle configuration)."""
+    oracle configuration).
+
+    A residual layout (``build_ivfpq_layout(encode='residual')``)
+    scores each probed list with its OWN LUT — the ADC table for list
+    L is built from ``q − centroid[L]`` — so the scan is a union of
+    ``nprobe`` partition-pruned branches, one per probed directory;
+    branch count is a query parameter (≤ nprobe), never data. The
+    exact re-rank is identical either way."""
     import numpy as np
 
     with open(path + "/ivfpq_meta.json") as f:
@@ -505,6 +585,27 @@ def ivfpq_topk(
     id_col = meta["id_col"]
     cents = np.asarray(meta["centroids"], dtype="float64")
     q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    if meta.get("encode", "raw") == "residual":
+        metric = meta.get("metric", "cosine")
+        qq = q.copy()
+        if metric == "cosine":
+            n = float(np.sqrt((qq * qq).sum()))
+            qq = qq / (n if n > 0 else 1.0)
+        d2 = ((cents - qq[None, :]) ** 2).sum(axis=1)
+        probes = [int(i) for i in np.argsort(d2)[: int(nprobe)]]
+        codes = spark.read.parquet(path + "/codes")
+        branches = []
+        for p in probes:
+            rq = (qq - cents[p]).tolist()
+            adc = pq_adc_col(model, rq, "pq_code").alias("adc_dist")
+            branches.append(
+                codes.filter(F.col("__ivf") == int(p))
+                .select(F.col(id_col), adc))
+        scored = branches[0]
+        for b in branches[1:]:
+            scored = scored.unionByName(b)
+        return _exact_rerank(df, scored, query_vec, metric, k,
+                             shortlist, id_col, vec_col)
     d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(d2)[: int(nprobe)]]
     codes = spark.read.parquet(path + "/codes").filter(

@@ -200,6 +200,75 @@ def test_minhash_dedup_drops_only_dupes(spark):
     assert kept == [0, 2]
 
 
+def test_incremental_minhash_dedup_matches_full_batch(spark):
+    """The daily-crawl shape: increment deduped against a corpus that
+    is never re-scanned must keep EXACTLY what a full-batch one-sweep
+    dedup over corpus ∪ increment would keep of the increment (corpus
+    ids < increment ids, corpus itself already deduped)."""
+    from simba_spark.operators.dedup import (incremental_minhash_dedup,
+                                             minhash_band_table,
+                                             minhash_dedup)
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today in spring")
+    other = ("entirely different document content describing spark "
+             "shuffle partitions and columnar io paths now")
+    corpus = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tonight")),   # near-dup of 0
+            (11, "a totally unique little document about nothing"),
+            (12, other),                               # exact dup of 1
+            (13, "some fresh shared phrase kept only once because"
+                 " duplicated inside the increment batch itself"),
+            (14, "some fresh shared phrase kept only once because"
+                 " duplicated inside the increment batch itself"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=32, bands=16, jaccard_threshold=0.6)
+    got = sorted(r.doc_id for r in
+                 incremental_minhash_dedup(inc, corpus, **kw).collect())
+    assert got == [11, 13]
+    # ≡ the full-batch one-sweep restricted to increment ids
+    full = minhash_dedup(corpus.unionByName(inc),
+                         jaccard_threshold=0.6,
+                         num_hashes=32, bands=16)
+    want = sorted(r.doc_id for r in full.collect() if r.doc_id >= 10)
+    assert got == want
+    # persisted-register path is identical (corpus never re-shingled)
+    reg = minhash_band_table(corpus, num_hashes=32, bands=16)
+    got2 = sorted(
+        r.doc_id for r in incremental_minhash_dedup(
+            inc, corpus, corpus_bands=reg, **kw).collect())
+    assert got2 == got
+
+
+def test_minhash_band_table_interops_with_pairs(spark):
+    """Band rows from minhash_band_table collide exactly where
+    minhash_lsh_pairs finds candidates — same signature family, same
+    band hash, so registers written by different batches join."""
+    from simba_spark.operators.dedup import (minhash_band_table,
+                                             minhash_lsh_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today in spring")
+    df = spark.createDataFrame(
+        [(0, base), (1, base.replace("today", "tonight")),
+         (2, "unrelated text about columnar shuffle readers here")],
+        "doc_id long, text string")
+    bt = minhash_band_table(df, num_hashes=32, bands=16)
+    l = bt.select(F.col("doc_id").alias("a"), "__band", "__bh")
+    r = bt.select(F.col("doc_id").alias("b"), "__band", "__bh")
+    collided = {(x.a, x.b) for x in
+                l.join(r, on=["__band", "__bh"]).filter("a < b")
+                .select("a", "b").distinct().collect()}
+    pairs = {(x.a_id, x.b_id) for x in
+             minhash_lsh_pairs(df, num_hashes=32, bands=16).collect()}
+    assert collided == pairs and (0, 1) in collided
+
+
 def test_ngram_jaccard_join_exact(spark):
     from simba_spark.operators.dedup import ngram_jaccard_join
 

@@ -212,3 +212,61 @@ def test_ivfpq_probe_scans_only_probed_lists(spark, embs, tmp_path):
     assert all("embedding" not in ln for ln in codes_scan)
     # …through a pruned partition listing
     assert "PartitionFilters" in plan and "__ivf" in plan
+
+
+def test_ivfpq_residual_full_probe_exact(spark, embs, tmp_path):
+    """Residual layout at nprobe=C + shortlist=None is exact by
+    construction, same as raw — whatever the per-list LUTs say, every
+    row is re-ranked against the true vectors."""
+    from simba_spark.operators.pq import build_ivfpq_layout, ivfpq_topk
+    from simba_spark.operators.similarity import cosine_topk
+
+    path = str(tmp_path / "ivfpq_res")
+    build_ivfpq_layout(embs, path, n_centroids=8, m=8, nbits=8,
+                       sample_cap=500, iters=8, seed=42,
+                       encode="residual")
+    q = _qvec(embs, 7)
+    exact = [(r["vec_id"], round(r["cosine_sim"], 6))
+             for r in cosine_topk(embs, q, 10).collect()]
+    full = [(r["vec_id"], round(r["cosine_sim"], 6))
+            for r in ivfpq_topk(spark, path, embs, q, 10,
+                                nprobe=8).collect()]
+    assert full == exact
+    # pruned probe still partition-prunes (union of per-list branches)
+    pruned = ivfpq_topk(spark, path, embs, q, 10, nprobe=2,
+                        shortlist=50)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf" in plan
+    codes_scan = [ln for ln in plan.splitlines()
+                  if "pq_code" in ln and "ReadSchema" in ln]
+    assert codes_scan
+    assert all("embedding" not in ln for ln in codes_scan)
+
+
+def test_ivfpq_residual_codes_quantize_finer_than_raw(spark, embs,
+                                                      tmp_path):
+    """The point of residual encoding: with the SAME code budget the
+    ADC ordering tracks the true ordering more closely. Measured as
+    code-only recall (tiny shortlist, so the re-rank can't mask code
+    quality) at full probe width, averaged over queries — residual
+    must be at least as good as raw on aggregate."""
+    from simba_spark.operators.pq import build_ivfpq_layout, ivfpq_topk
+    from simba_spark.operators.similarity import cosine_topk
+
+    raw_p = str(tmp_path / "r_raw")
+    res_p = str(tmp_path / "r_res")
+    kw = dict(n_centroids=8, m=8, nbits=4, sample_cap=500, iters=8,
+              seed=42)
+    build_ivfpq_layout(embs, raw_p, encode="raw", **kw)
+    build_ivfpq_layout(embs, res_p, encode="residual", **kw)
+    tot_raw = tot_res = 0.0
+    for vid in (7, 101, 333, 42):
+        q = _qvec(embs, vid)
+        want = {r["vec_id"] for r in cosine_topk(embs, q, 10).collect()}
+        raw = {r["vec_id"] for r in ivfpq_topk(
+            spark, raw_p, embs, q, 10, nprobe=8, shortlist=20).collect()}
+        res = {r["vec_id"] for r in ivfpq_topk(
+            spark, res_p, embs, q, 10, nprobe=8, shortlist=20).collect()}
+        tot_raw += len(raw & want) / 10
+        tot_res += len(res & want) / 10
+    assert tot_res >= tot_raw, (tot_res, tot_raw)

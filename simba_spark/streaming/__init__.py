@@ -22,6 +22,7 @@ from .ops import (
     streaming_knn_join,
     streaming_neardup_flag,
     streaming_psi,
+    streaming_trending_terms,
     streaming_range_filter,
     streaming_stream_distance_join,
     streaming_stream_knn_join,
@@ -46,6 +47,7 @@ __all__ = [
     "streaming_stream_distance_join",
     "streaming_stream_knn_join",
     "streaming_psi",
+    "streaming_trending_terms",
     "windowed_event_counts",
     "sessionize_stream",
 ]

@@ -972,6 +972,65 @@ def streaming_windowed_quantile(
     return quantile_estimate(sample, qs=qs, group_by=group_by)
 
 
+def streaming_trending_terms(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    k: int = 10,
+    min_len: int = 1,
+) -> DataFrame:
+    """Per event-time window, the top-``k`` tokens by count — live
+    trending terms over a document/message stream. Emits
+    ``(window, term, n, rank)`` at watermark close, rank 1 = hottest,
+    ties broken term-ascending (fully deterministic, replay ≡ batch).
+
+    Plan: stateless tokenize-and-explode (the batch
+    ``text.term_stats`` whitespace tokenizer), then TWO chained
+    stateful aggregations in append mode — (window, term) counts,
+    then per-window top-k via ``slice(array_sort(collect_list(
+    struct(-n, term))))`` (the ``streaming_stream_knn_join`` window
+    top-k shape). State: open windows hold their distinct-term counts
+    (bounded by vocabulary per window, the honest cost of exact
+    counts — for unbounded vocabularies at extreme scale compose
+    :func:`streaming_windowed_cm` + a candidate list instead), plus k
+    structs per window in the second stage.
+    """
+    from ..operators.text import TOKEN_SPLIT_RE
+
+    k = int(k)
+    tok = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))),
+                        TOKEN_SPLIT_RE)).alias("term"),
+        )
+        .filter(F.length("term") >= int(min_len))
+    )
+    counts = (
+        tok.groupBy(F.window(F.col(ts_col), window), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = (
+        counts.groupBy("window")
+        .agg(F.slice(
+            F.array_sort(F.collect_list(
+                F.struct((-F.col("n")).alias("negn"), "term"))),
+            1, k).alias("__top"))
+        .select("window", F.posexplode("__top").alias("__r", "__t"))
+        .select(
+            "window",
+            F.col("__t.term").alias("term"),
+            (-F.col("__t.negn")).alias("n"),
+            (F.col("__r") + 1).alias("rank"),
+        )
+    )
+    return topk
+
+
 def streaming_windowed_cm(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -394,6 +394,61 @@ def test_streaming_geo_knn_join_guards_static_size(spark, stream_dir):
         )
 
 
+def test_streaming_trending_terms_matches_batch(spark):
+    """Replayed stream ≡ the same two-stage program over the batch
+    frame: per-window exact counts, top-k by (count desc, term asc)."""
+    import shutil
+    import tempfile
+
+    from simba_spark.streaming import streaming_trending_terms
+
+    d = tempfile.mkdtemp(prefix="simba_trend_stream_")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (0, "2024-01-01 00:00:10", "spark spark shuffle io"),
+                (1, "2024-01-01 00:01:20", "spark codegen  Shuffle"),
+                (2, "2024-01-01 00:02:30", "io io io spark"),
+                (3, "2024-01-01 00:06:10", "arrow arrow parquet"),
+                (4, "2024-01-01 00:07:50", "parquet arrow spark"),
+                # sentinel far in the future: advances the watermark
+                # past both real windows (append mode finalizes a
+                # window only once the watermark passes its end); its
+                # own window never closes
+                (5, "2024-01-01 09:00:00", "sentinel"),
+            ],
+            "doc_id long, ts_s string, text string",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        docs.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(
+            spark.read.parquet(d).schema).parquet(d)
+        out = streaming_trending_terms(src, k=3)
+        got = sorted(
+            (str(r["window"]["start"]), r.term, r.n, r.rank)
+            for r in _run_stream(spark, out, "trend_out").collect()
+        )
+        # window 1 (00:00-00:05): io 4, spark 4, shuffle 2 — the tie
+        # breaks term-ascending; window 2: arrow 3, parquet 2, spark 1
+        assert got == [
+            ("2024-01-01 00:00:00", "io", 4, 1),
+            ("2024-01-01 00:00:00", "shuffle", 2, 3),
+            ("2024-01-01 00:00:00", "spark", 4, 2),
+            ("2024-01-01 00:05:00", "arrow", 3, 1),
+            ("2024-01-01 00:05:00", "parquet", 2, 2),
+            ("2024-01-01 00:05:00", "spark", 1, 3),
+        ]
+        # batch twin over the same frame: identical rows (batch emits
+        # every window incl. the sentinel's — restrict to the closed)
+        batch = streaming_trending_terms(spark.read.parquet(d), k=3)
+        want = sorted(
+            (str(r["window"]["start"]), r.term, r.n, r.rank)
+            for r in batch.collect()
+            if str(r["window"]["start"]) < "2024-01-01 01:00:00")
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_neardup_flag_matches_band_collisions(spark):
     """The in-row bloom gate vs the exact band-collision set: no false
     negatives ever (bloom property + identical band hashes), and at

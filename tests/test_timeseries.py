@@ -567,3 +567,69 @@ def test_forecast_seasonal_naive_matches_duckdb(spark):
     )
     want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(q).fetchall()}
     assert got == want
+
+
+# --- seasonal_decompose -----------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_structure(spark):
+    """A series built as trend + weekly seasonal + nothing must come
+    back with the MA tracking the trend and the centered seasonal
+    matching the planted offsets (interior rows, where the MA window
+    is complete)."""
+    import pytest as _pytest
+
+    from simba_spark.operators.timeseries import seasonal_decompose
+
+    season = [12.0, -3.0, 0.0, -9.0, 4.0, -1.0, -3.0]  # sums to 0
+    rows = [("k", b, float(100 + 2 * b + season[b % 7]))
+            for b in range(35)]
+    df = spark.createDataFrame(rows, "key string, bucket long, x double")
+    got = {r["bucket"]: r for r in
+           seasonal_decompose(df, "key", "bucket", "x", period=7)
+           .collect()}
+    # linear trend: the centered 7-MA of (100 + 2b + seasonal) is
+    # exactly 100 + 2b (the seasonal sums to zero over any 7 window)
+    for b in range(3, 32):
+        assert got[b]["trend"] == _pytest.approx(100 + 2 * b, abs=1e-6)
+        assert got[b]["seasonal"] == _pytest.approx(season[b % 7],
+                                                    abs=1e-6)
+        assert got[b]["resid"] == _pytest.approx(0.0, abs=1e-6)
+    # edges: incomplete MA window -> NULL trend
+    assert got[0]["trend"] is None and got[34]["trend"] is None
+
+
+def test_seasonal_decompose_matches_sql_mirror_both_parities(spark):
+    import duckdb
+
+    from simba_spark.operators.timeseries import (seasonal_decompose,
+                                                  seasonal_decompose_sql)
+
+    rows = []
+    for ki, k in enumerate(("a", "b")):
+        for b in range(26):
+            rows.append((k, b, float((b * 17 + ki * 3) % 23 + 1)))
+    df = spark.createDataFrame(rows, "key string, bucket long, x double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(key VARCHAR, bucket BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO s VALUES (?,?,?)", rows)
+    for period in (7, 4):
+        got = {(r["key"], r["bucket"]):
+               (r["trend"], r["seasonal"], r["resid"])
+               for r in seasonal_decompose(
+                   df, "key", "bucket", "x", period=period).collect()}
+        want = {(r[0], r[1]): (r[3], r[4], r[5]) for r in con.execute(
+            seasonal_decompose_sql("s", "key", "bucket", "x",
+                                   period=period)).fetchall()}
+        assert got == want and len(got) == len(rows)
+
+
+def test_seasonal_decompose_validation(spark):
+    import pytest as _pytest
+
+    from simba_spark.operators.timeseries import seasonal_decompose
+
+    df = spark.createDataFrame([("k", 0, 1.0)],
+                               "key string, bucket long, x double")
+    with _pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "key", "bucket", "x", period=1)

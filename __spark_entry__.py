@@ -3182,6 +3182,20 @@ def q_build_vocab(spark, sf_dir):
                        max_size=50)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators.text.bpe_train):
+    the first 8 byte-pair merges learned from the documents corpus —
+    Sennrich et al. 2016 semantics (frequency-weighted overlapping
+    pair counts, left-to-right non-overlapping merges, count-desc /
+    pair-asc tie order). One corpus-sized explode + groupBy builds the
+    word-frequency table; every merge iteration then runs over the
+    vocabulary-sized frame only, with a 1-row top-1 collect per merge
+    (parameter-bounded driver state)."""
+    from simba_spark.operators.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), num_merges=8)
+
+
 def q_bigram_lm(spark, sf_dir):
     """Per-document bigram LM score (operators.text.bigram_lm_score):
     mean ln P(b|a) under the corpus's add-α bigram model. Pairs slice
@@ -4171,6 +4185,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 late debuts: locally oracle-green, queued for
         #     round-9 driver rows ---
         "seasonal_decompose": q_seasonal_decompose,
+        "bpe_merges": q_bpe_merges,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5024,7 +5039,8 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.stats import (chisq_independence_sql,
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
-    from simba_spark.operators.text import token_cooccurrence_sql
+    from simba_spark.operators.text import (bpe_train_sql,
+                                            token_cooccurrence_sql)
     from simba_spark.operators.sketches import (
         cm_estimate_sql, cm_sketch_sql,
         hll_distinct_sql, hll_estimate_sql, hll_sketch_sql, kmv_theta_sql,
@@ -5606,6 +5622,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
             " count(*) AS x FROM events GROUP BY 1, 2)",
             key_col="event_type", lags=6),
+        "bpe_merges": bpe_train_sql("documents", num_merges=8),
         "seasonal_decompose": seasonal_decompose_sql(
             "(SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,"
             " count(*) AS n_events FROM events GROUP BY 1, 2)",

@@ -943,3 +943,221 @@ def bigram_lm_score(
         )
     )
     return scored
+
+
+# --- BPE tokenizer training -------------------------------------------------
+#: symbol-boundary sentinel for BPE sequences: every symbol is wrapped
+#: as ``\x01sym\x01`` so a pair replace can never match inside a longer
+#: symbol and never consumes a neighbouring pair's boundary (adjacent
+#: symbols contribute the DOUBLE sentinel ``\x01\x01`` separator, and
+#: replacing ``\x01l\x01\x01r\x01 -> \x01lr\x01`` leaves both outer
+#: sentinels in place). \x01 never occurs in [a-z]+ words.
+BPE_SYM = "\x01"
+BPE_SEP = BPE_SYM + BPE_SYM
+
+
+def _bpe_word_seqs(df: DataFrame, text_col: str, min_word_freq: int) -> DataFrame:
+    """(__seq, __f): each distinct lowercase [a-z]+ word as its wrapped
+    initial character sequence, with its corpus frequency. THE scale
+    trick of BPE training (Sennrich et al. 2016, public algorithm):
+    after this one corpus-sized explode + groupBy, every merge
+    iteration runs over the vocabulary-sized table only."""
+    words = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+        ).alias("__w")
+    ).filter(F.col("__w").rlike("^[a-z]+$"))
+    wf = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
+    if int(min_word_freq) > 1:
+        wf = wf.filter(F.col("__f") >= int(min_word_freq))
+    return wf.select(
+        F.regexp_replace("__w", "(.)", BPE_SYM + "$1" + BPE_SYM).alias("__seq"),
+        "__f",
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_word_freq: int = 1,
+) -> DataFrame:
+    """Byte-pair-encoding merge training over a document corpus — the
+    tokenizer-learning step of an LLM data pipeline, distributed.
+
+    Classic BPE (Sennrich et al. 2016): start from characters, then
+    repeatedly merge the most frequent adjacent symbol pair. Words are
+    lowercase ``[a-z]+`` tokens; pair counts are weighted by word
+    frequency and count overlapping occurrences ("aaa" has two (a,a)
+    pairs), merges apply left-to-right non-overlapping ("aaa" ->
+    "aa"+"a") — exactly the published reference implementation's
+    semantics. Ties break deterministically: count DESC, then
+    (lhs, rhs) ASC (ASCII-only symbols, collation-safe across engines).
+
+    Returns the learned merge table ``(merge_rank, lhs, rhs,
+    pair_count)`` with ``merge_rank`` starting at 1; fewer than
+    ``num_merges`` rows when the vocabulary runs out of pairs.
+
+    Scale: ONE corpus-sized explode + combine-friendly groupBy builds
+    the word-frequency table; every one of the ``num_merges``
+    iterations then touches only that vocabulary-sized skinny frame
+    (pair explode + groupBy + a 1-ROW top-1 collect — the merge
+    decision is parameter-bounded driver state, never data-sized).
+    The sequence update is a literal ``replace`` projection
+    (whole-stage codegen); lineage is flattened per round with a lazy
+    localCheckpoint so round k never replays rounds 1..k-1.
+    """
+    if int(num_merges) < 0:
+        raise ValueError("num_merges must be >= 0")
+    spark = df.sparkSession
+    schema = "merge_rank int, lhs string, rhs string, pair_count long"
+    cur = _bpe_word_seqs(df, text_col, min_word_freq).localCheckpoint(eager=False)
+    merges: list = []
+    for rank in range(1, int(num_merges) + 1):
+        syms = F.split(
+            F.expr("substring(__seq, 2, length(__seq) - 2)"), BPE_SEP
+        )
+        pairs = (
+            cur.select("__f", syms.alias("__s"))
+            .select(
+                "__f",
+                "__s",
+                F.posexplode(
+                    F.slice("__s", 1, F.greatest(F.size("__s") - 1, F.lit(0)))
+                ).alias("__i", "__l"),
+            )
+            .select(
+                "__f",
+                "__l",
+                F.element_at("__s", F.col("__i") + 2).alias("__r"),
+            )
+        )
+        best = (
+            pairs.groupBy("__l", "__r")
+            .agg(F.sum("__f").alias("__cnt"))
+            .orderBy(F.desc("__cnt"), F.asc("__l"), F.asc("__r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["__l"], best[0]["__r"], int(best[0]["__cnt"])
+        merges.append((rank, l, r, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("__seq"),
+                F.lit(BPE_SYM + l + BPE_SEP + r + BPE_SYM),
+                F.lit(BPE_SYM + l + r + BPE_SYM),
+            ).alias("__seq"),
+            "__f",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: Optional[Sequence] = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with a learned BPE merge list: each ``[a-z]+`` word
+    becomes its merged subword symbols, concatenated in document
+    order into one ``array<string>`` column (non-word tokens are
+    dropped, mirroring :func:`bpe_train`'s vocabulary).
+
+    ``merges`` is the ordered merge list — ``[(lhs, rhs), ...]`` or
+    the Rows of :func:`bpe_train`'s result (ordered by merge_rank).
+    Merges apply in rank order with the training semantics
+    (left-to-right non-overlapping), so encoding the training corpus
+    reproduces the final training segmentation exactly.
+
+    Scale: pure Column program — per-word wrap + K chained literal
+    replaces inside a ``transform`` lambda + flatten; zero shuffles,
+    zero UDFs, whole-stage codegen. K = len(merges) is a parameter,
+    so the expression tree is parameter-sized (keep K in the
+    hundreds; a production encoder for K in the tens of thousands
+    would batch by symbol length — out of scope here).
+    """
+    pairs = []
+    for m in merges or []:
+        if hasattr(m, "lhs"):
+            pairs.append((m.lhs, m.rhs))
+        else:
+            pairs.append((m[0], m[1]) if len(m) == 2 else (m[1], m[2]))
+
+    def _encode(w):
+        s = F.regexp_replace(w, "(.)", BPE_SYM + "$1" + BPE_SYM)
+        for l, r in pairs:
+            s = F.replace(
+                s,
+                F.lit(BPE_SYM + l + BPE_SEP + r + BPE_SYM),
+                F.lit(BPE_SYM + l + r + BPE_SYM),
+            )
+        return F.split(F.btrim(s, F.lit(BPE_SYM)), BPE_SEP)
+
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: t.rlike("^[a-z]+$"),
+    )
+    return df.withColumn(out_col, F.flatten(F.transform(words, _encode)))
+
+
+def bpe_train_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_word_freq: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`bpe_train` — the merge loop unrolled as
+    MATERIALIZED CTE chains (each round's sequence table is referenced
+    by both the next pair count and the next replace; inlining would
+    grow exponentially, the k_core lesson). Same wrap/replace
+    sentinels, same HUGEINT->BIGINT cast on the pair count, same
+    (count DESC, lhs, rhs) tie order."""
+    having = (
+        f"HAVING count(*) >= {int(min_word_freq)}"
+        if int(min_word_freq) > 1
+        else ""
+    )
+    sep = "chr(1)||chr(1)"
+    ctes = [
+        f"""__s0 AS MATERIALIZED (
+  SELECT regexp_replace(__w, '(.)', chr(1)||'\\1'||chr(1), 'g') AS __seq, __f
+  FROM (
+    SELECT __w, count(*) AS __f FROM (
+      SELECT unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS __w
+      FROM {table}
+    ) WHERE regexp_matches(__w, '^[a-z]+$') GROUP BY 1 {having}
+  )
+)"""
+    ]
+    for k in range(1, int(num_merges) + 1):
+        prev = k - 1
+        ctes.append(f"""__p{k} AS MATERIALIZED (
+  SELECT z[1] AS __l, z[2] AS __r, CAST(sum(__f) AS BIGINT) AS __cnt FROM (
+    SELECT __f,
+           unnest(list_zip(__s[1:length(__s)-1], __s[2:length(__s)])) AS z
+    FROM (
+      SELECT __f, string_split(__seq[2:length(__seq)-1], {sep}) AS __s
+      FROM __s{prev}
+    )
+  ) GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"__b{k} AS MATERIALIZED (SELECT __l, __r, __cnt FROM __p{k} "
+            f"ORDER BY __cnt DESC, __l, __r LIMIT 1)"
+        )
+        ctes.append(f"""__s{k} AS MATERIALIZED (
+  SELECT replace(__seq,
+    chr(1)||(SELECT __l FROM __b{k})||{sep}||(SELECT __r FROM __b{k})||chr(1),
+    chr(1)||(SELECT __l FROM __b{k})||(SELECT __r FROM __b{k})||chr(1)
+  ) AS __seq, __f FROM __s{prev}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, __l AS lhs, __r AS rhs, __cnt AS pair_count FROM __b{k}"
+        for k in range(1, int(num_merges) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{unions}\n) "
+        "ORDER BY merge_rank"
+    )

@@ -3042,6 +3042,28 @@ def q_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(series, "event_type", period=7)
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Holt linear-trend forecast (operators.timeseries.holt_forecast)
+    of the hourly event-count series per type, 6 hours ahead — the
+    trending-series complement to forecast_events' seasonal-naive.
+    The coupled (level, trend) recursion runs as ONE fixed-order
+    JVM aggregate fold per key (bit-identical to the oracle's
+    recursive-CTE steps; no libm, no closed form)."""
+    from simba_spark.operators.timeseries import holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 3600000000"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return holt_forecast(series, "event_type", "bucket", "n_events",
+                         alpha=0.3, beta=0.1, horizon=6)
+
+
 def q_acf_events(spark, sf_dir):
     """Per-type autocorrelation (operators.timeseries.acf) of the
     hourly event-count series at lags 1..6 — the seasonality
@@ -4186,6 +4208,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     round-9 driver rows ---
         "seasonal_decompose": q_seasonal_decompose,
         "bpe_merges": q_bpe_merges,
+        "holt_forecast": q_holt_forecast,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5072,7 +5095,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
     from simba_spark.operators.timeseries import (
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
-        seasonal_decompose_sql,
+        holt_forecast_sql, seasonal_decompose_sql,
         linreg_series_sql, rollup_sql)
 
     from simba_spark.operators.graph import (hyperanf_sql, k_core_sql,
@@ -5623,6 +5646,12 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS x FROM events GROUP BY 1, 2)",
             key_col="event_type", lags=6),
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
+        "holt_forecast": holt_forecast_sql(
+            "SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
+            " CAST(count(*) AS DOUBLE) AS n_events FROM events"
+            " GROUP BY 1, 2",
+            key="event_type", bucket="bucket", value="n_events",
+            alpha=0.3, beta=0.1, horizon=6),
         "seasonal_decompose": seasonal_decompose_sql(
             "(SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,"
             " count(*) AS n_events FROM events GROUP BY 1, 2)",

@@ -1112,3 +1112,166 @@ SELECT {gsel} bucket,
 FROM __r
 GROUP BY {gby}
 """
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 6,
+) -> DataFrame:
+    """Holt's linear-trend (double exponential smoothing) forecast over
+    a bucketed series — the standard next step up from
+    :func:`forecast_seasonal_naive` when the series trends but has no
+    strong season: level and trend are smoothed jointly,
+    ŷ(T+h) = l_T + h·b_T (Holt 1957 / Hyndman fpp formulation):
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    with the textbook init l_1 = y_1, b_1 = y_2 − y_1 (b_1 = 0 for a
+    single-point series). NULL values are dropped first; keys with no
+    non-NULL points are absent.
+
+    Returns ``(key, bucket, yhat, h)`` — ``horizon`` rows per key,
+    ``bucket`` continuing the input indexing.
+
+    Determinism / oracle parity: the recursion is inherently
+    sequential per key, so it runs as ONE fixed-order aggregate fold
+    over the key's sorted value array (JVM-side ``aggregate`` with a
+    (l, b) struct accumulator — the :func:`ewma` pattern with joint
+    state). Spark and DuckDB fold the identical expression tree over
+    the identical order, so results are bit-identical — no closed
+    form, no libm ``pow``. ``+ 0.0`` canonicalizes −0.0 in both.
+
+    Scale shape: one combine-unfriendly but SKINNY per-key
+    collect_list (the per-key series must meet in one place — that is
+    the algorithm, not an implementation choice; state per key is the
+    series itself, bounded by buckets-per-key, not raw rows when fed
+    from :func:`resample`/rollups), then a parameter-sized explode.
+    A million independent keys parallelize on the key shuffle.
+
+    CONTRACT: (key, bucket) must be unique (resample output is) —
+    duplicate buckets would make the sort order engine-dependent.
+    """
+    a = float(alpha)
+    bb = float(beta)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    if not 0.0 <= bb <= 1.0:
+        raise ValueError(f"beta must be in [0, 1]: {beta}")
+    horizon = int(horizon)
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    oma, omb = 1.0 - a, 1.0 - bb
+    b = F.col(bucket_col)
+    v = F.col(value_col).cast("double")
+    g = (
+        df.filter(v.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.max(b).alias("__last"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(b.alias("b"), v.alias("v")))
+                ),
+                lambda s: s["v"],
+            ).alias("__xs"),
+        )
+    )
+    n = F.size("__xs")
+    x1 = F.element_at("__xs", 1)
+    x2 = F.element_at("__xs", 2)
+    init = F.when(
+        n >= 2,
+        F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+    ).otherwise(F.struct(x1.alias("l"), F.lit(0.0).alias("b")))
+
+    def _step(acc, x):
+        lnew = F.lit(a) * x + F.lit(oma) * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (F.lit(bb) * (lnew - acc["l"]) + F.lit(omb) * acc["b"]).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice("__xs", 2, F.greatest(n - 1, F.lit(0))), init, _step
+    )
+    out = g.select(key_col, "__last", st.alias("__st")).select(
+        key_col,
+        "__last",
+        "__st",
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+    )
+    return out.select(
+        F.col(key_col),
+        (F.col("__last") + F.col("h")).alias(bucket_col),
+        (
+            F.col("__st")["l"]
+            + F.col("h").cast("double") * F.col("__st")["b"]
+            + F.lit(0.0)
+        ).alias("yhat"),
+        F.col("h"),
+    )
+
+
+def holt_forecast_sql(
+    series_sql: str,
+    key: str,
+    bucket: str,
+    value: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`holt_forecast` — the smoothing
+    recursion as a RECURSIVE CTE (one textbook (l, b) step per
+    iteration, the series array carried along each key's row),
+    identical expression tree and fold order to the Spark aggregate
+    fold, all float literals CAST to DOUBLE (a bare decimal literal
+    is DECIMAL in DuckDB and would change the arithmetic).
+
+    Deliberately NOT ``list_reduce`` with a struct accumulator:
+    DuckDB (v1.0.0) evaluates ``struct_pack`` fields in the reduce
+    lambda IN PLACE — a later field referencing ``acc.l`` sees the
+    value just written by an earlier field, not the previous
+    accumulator — so any coupled two-field recursion silently
+    corrupts (verified; the recursive CTE has no such aliasing)."""
+    a, bb = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - bb
+    A = f"CAST({a!r} AS DOUBLE)"
+    OMA = f"CAST({oma!r} AS DOUBLE)"
+    B = f"CAST({bb!r} AS DOUBLE)"
+    OMB = f"CAST({omb!r} AS DOUBLE)"
+    lnew = f"{A} * __xs[t + 1] + {OMA} * (l + b)"
+    return f"""
+WITH RECURSIVE __s AS (
+  SELECT {key} AS __k, {bucket} AS __b, CAST({value} AS DOUBLE) AS __v
+  FROM ({series_sql}) WHERE {value} IS NOT NULL),
+__g AS (
+  SELECT __k, max(__b) AS __last,
+         list_transform(
+           list_sort(list(struct_pack(b := __b, v := __v))),
+           s -> s.v) AS __xs
+  FROM __s GROUP BY 1
+),
+__r AS (
+  SELECT __k, __last, __xs, length(__xs) AS n, 1 AS t,
+         __xs[1] AS l,
+         CASE WHEN length(__xs) >= 2 THEN __xs[2] - __xs[1]
+              ELSE 0.0::DOUBLE END AS b
+  FROM __g
+  UNION ALL
+  SELECT __k, __last, __xs, n, t + 1,
+         {lnew} AS l,
+         {B} * (({lnew}) - l) + {OMB} * b AS b
+  FROM __r WHERE t < n
+)
+SELECT __k AS {key}, __last + h AS {bucket},
+       (l + CAST(h AS DOUBLE) * b) + 0.0::DOUBLE AS yhat, h
+FROM (SELECT * FROM __r WHERE t = n),
+     (SELECT unnest(range(1, {int(horizon)} + 1)) AS h)
+"""

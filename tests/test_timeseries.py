@@ -633,3 +633,111 @@ def test_seasonal_decompose_validation(spark):
                                "key string, bucket long, x double")
     with _pytest.raises(ValueError, match="period"):
         seasonal_decompose(df, "key", "bucket", "x", period=1)
+
+
+# --- Holt linear-trend forecast ---------------------------------------------
+
+def _holt_ref(ys, a, b, h):
+    l, t = ys[0], (ys[1] - ys[0]) if len(ys) > 1 else 0.0
+    for y in ys[1:]:
+        ln = a * y + (1 - a) * (l + t)
+        t = b * (ln - l) + (1 - b) * t
+        l = ln
+    return l + h * t
+
+
+def test_holt_forecast_matches_textbook_recursion(spark):
+    from simba_spark.operators.timeseries import holt_forecast
+
+    ys = [3.0, 5.0, 4.0, 8.0, 7.0, 11.0, 10.0, 14.0]
+    rows = [("a", i, v) for i, v in enumerate(ys)]
+    rows += [("single", 0, 2.5), ("const", 0, 5.0), ("const", 1, 5.0)]
+    df = spark.createDataFrame(rows, "k string, bucket long, v double")
+    got = {
+        (r.k, r.h): (r.bucket, r.yhat)
+        for r in holt_forecast(df, "k", "bucket", "v", 0.4, 0.2, 3).collect()
+    }
+    for h in (1, 2, 3):
+        assert got[("a", h)] == (7 + h, _holt_ref(ys, 0.4, 0.2, h))
+        # single point: flat level, zero trend
+        assert got[("single", h)] == (h, 2.5)
+        # constant series: forecast stays exactly constant
+        assert got[("const", h)] == (1 + h, 5.0)
+
+
+def test_holt_forecast_null_and_validation(spark):
+    from simba_spark.operators.timeseries import holt_forecast
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, 3.0), ("n", 0, None)],
+        "k string, bucket long, v double",
+    )
+    out = holt_forecast(df, "k", "bucket", "v", 0.5, 0.5, 2).collect()
+    # NULL rows dropped: series is [1.0, 3.0]; all-NULL key absent
+    assert {r.k for r in out} == {"a"}
+    assert {(r.bucket, r.yhat) for r in out} == {
+        (3, _holt_ref([1.0, 3.0], 0.5, 0.5, 1)),
+        (4, _holt_ref([1.0, 3.0], 0.5, 0.5, 2)),
+    }
+    import pytest as _pt
+
+    for kw in ({"alpha": 0.0}, {"beta": 1.5}, {"horizon": 0}):
+        with _pt.raises(ValueError):
+            holt_forecast(df, "k", "bucket", "v", **kw)
+
+
+def test_holt_forecast_duckdb_parity_bit_exact(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.timeseries import (holt_forecast,
+                                                  holt_forecast_sql)
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"k{j}", i, round(rng.uniform(-50, 50), 3))
+        for j in range(5)
+        for i in range(rng.randrange(1, 40))
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket long, v double")
+    got = {
+        (r.k, r.bucket): r.yhat
+        for r in holt_forecast(df, "k", "bucket", "v", 0.3, 0.1, 6).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "bucket", "v"]))
+    oracle = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            holt_forecast_sql("SELECT * FROM t", "k", "bucket", "v", 0.3, 0.1, 6)
+        ).fetchall()
+    }
+    assert got == oracle  # bit-for-bit, no rounding
+
+
+def test_duckdb_list_reduce_struct_aliasing_still_broken():
+    """Canary for the quirk holt_forecast_sql works around: DuckDB's
+    list_reduce evaluates struct_pack fields IN PLACE, so a later
+    field reading acc.l sees the value an earlier field just wrote.
+    If this test ever fails, DuckDB fixed the aliasing and the
+    recursive-CTE workaround comment should be revisited (the CTE
+    mirror itself stays correct either way)."""
+    duckdb = pytest.importorskip("duckdb")
+
+    r = duckdb.connect().execute(
+        """
+        SELECT list_reduce(
+          [struct_pack(l := 1.0::DOUBLE, old_l := 0.0::DOUBLE),
+           struct_pack(l := 2.0::DOUBLE, old_l := 0.0::DOUBLE),
+           struct_pack(l := 3.0::DOUBLE, old_l := 0.0::DOUBLE)],
+          (acc, e) -> struct_pack(l := acc.l + e.l, old_l := acc.l)
+        )"""
+    ).fetchone()[0]
+    # the aliasing appears from the SECOND application (the first step
+    # is computed into a fresh struct; later steps mutate it in place):
+    # correct fold semantics give old_l = 3.0 (the previous acc.l);
+    # in-place aliasing gives old_l = 6.0 (the l written this step)
+    assert r["l"] == 6.0
+    assert r["old_l"] == 6.0

@@ -1326,3 +1326,75 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_windowed_ohlc(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    key_cols: Optional[Sequence[str]] = None,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    tiebreak_col: Optional[str] = None,
+    cents: bool = True,
+) -> DataFrame:
+    """Per-(key, event-time window) OHLC bars on a stream — the live
+    form of ``timeseries.ohlc``: open (earliest value), high, low,
+    close (latest), n, exact cent sum, emitted at watermark close.
+
+    The batch operator picks open/close with row_number windows; a
+    stream can't sort a window's rows after the fact, so open/close
+    become ALGEBRAIC aggregates the state store maintains
+    incrementally: ``min(struct(ts, tiebreak, v))`` / ``max(...)`` —
+    the struct comparison IS the batch (ts, tiebreak) order, merged
+    row-by-row in O(1) state per (key, window). One stateful
+    aggregation in append mode; state per open bar is two structs +
+    four scalars regardless of tick volume. As in batch,
+    ``tiebreak_col`` makes the order total when one key can carry
+    duplicate timestamps (without it, same-ts open/close picks are
+    tie-broken by value — batch parity holds whenever (ts, tiebreak)
+    is total).
+    """
+    keys = list(key_cols or [])
+    tb = (
+        F.col(tiebreak_col).alias("__tb")
+        if tiebreak_col
+        else F.lit(0).alias("__tb")
+    )
+    base = (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull() & F.col(val_col).isNotNull())
+        .select(
+            *keys,
+            F.col(ts_col),
+            tb,
+            F.col(val_col).cast("double").alias("__v"),
+        )
+    )
+    o = F.struct(F.col(ts_col), F.col("__tb"), F.col("__v"))
+    val_sum = (
+        F.sum(F.round(F.col("__v") * 100.0, 0).cast("long")) / 100.0
+        if cents
+        else F.sum("__v")
+    )
+    return (
+        base.groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(
+            F.min(o).alias("__o"),
+            F.max(o).alias("__c"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.count(F.lit(1)).alias("n"),
+            val_sum.alias("val_sum"),
+        )
+        .select(
+            F.col("window")["start"].alias("bucket"),
+            *keys,
+            F.col("__o")["__v"].alias("open"),
+            "high",
+            "low",
+            F.col("__c")["__v"].alias("close"),
+            "n",
+            "val_sum",
+        )
+    )

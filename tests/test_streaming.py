@@ -1426,3 +1426,59 @@ def test_stream_stream_geo_distance_join_matches_batch(spark):
     finally:
         shutil.rmtree(da, ignore_errors=True)
         shutil.rmtree(db, ignore_errors=True)
+
+
+def test_streaming_windowed_ohlc_matches_batch(spark):
+    """Streaming OHLC ≡ batch timeseries.ohlc over replayed rows: the
+    algebraic struct-min/max open/close picks equal the batch
+    row_number picks whenever (ts, tiebreak) is total, and the cent
+    sum is exact either way. State per open bar is O(1)."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.timeseries import ohlc
+    from simba_spark.streaming.ops import streaming_windowed_ohlc
+
+    d = tempfile.mkdtemp(prefix="simba_ohlc_stream_")
+    try:
+        rows = [
+            (i, f"2024-01-01 00:{(i * 7) % 10:02d}:{(13 * i) % 60:02d}",
+             "click" if i % 3 else "view", round(10.0 + (i * 37 % 100) / 3.0, 2))
+            for i in range(300)
+        ]
+        # duplicate-timestamp pair exercising the tiebreak order
+        rows += [(900, "2024-01-01 00:03:00", "click", 1.23),
+                 (901, "2024-01-01 00:03:00", "click", 99.99)]
+        # watermark sentinel: far-future row closes both real windows
+        rows += [(999, "2024-01-01 09:00:00", "sentinel", 0.0)]
+        df = (
+            spark.createDataFrame(
+                rows, "event_id long, ts_s string, event_type string, value double"
+            )
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        out = streaming_windowed_ohlc(
+            src, ts_col="ts", val_col="value", key_cols=["event_type"],
+            window="5 minutes", tiebreak_col="event_id",
+        )
+        got = {
+            (r.bucket, r.event_type): (r.open, r.high, r.low, r.close,
+                                       r.n, r.val_sum)
+            for r in _run_stream(spark, out, "stream_ohlc_out").collect()
+        }
+        batch = {
+            (r.bucket, r.event_type): (r.open, r.high, r.low, r.close,
+                                       r.n, r.val_sum)
+            for r in ohlc(
+                df.filter("event_type <> 'sentinel'"),
+                "ts", "value", key_cols=["event_type"],
+                bucket="5 minutes", tiebreak_col="event_id",
+            ).collect()
+        }
+        assert got == batch
+        assert len(got) >= 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -2590,6 +2590,19 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_pairs(emb, threshold=0.42, k=4, iters=2, dim=64)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """NPMI collocation scoring (operators.text.pmi_collocations) over
+    the same a-priori-pruned doc-co-occurrence frame as token_cooc —
+    association strength instead of raw counts: a pair that always
+    co-occurs scores 1 whatever its frequency, chance pairs score 0.
+    Log arguments are exact integer products; the one libm ln rounds
+    to 6 per the engine float convention."""
+    from simba_spark.operators.text import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_doc_freq=120, min_pair_freq=60)
+
+
 def q_token_cooc(spark, sf_dir):
     """Frequent token co-occurrence (operators.text.token_cooccurrence,
     a-priori-pruned pair mining): token pairs sharing >= 60 documents,
@@ -4209,6 +4222,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "bpe_merges": q_bpe_merges,
         "holt_forecast": q_holt_forecast,
+        "pmi_collocations": q_pmi_collocations,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5063,6 +5077,7 @@ def oracle_sql() -> dict[str, str]:
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
     from simba_spark.operators.text import (bpe_train_sql,
+                                            pmi_collocations_sql,
                                             token_cooccurrence_sql)
     from simba_spark.operators.sketches import (
         cm_estimate_sql, cm_sketch_sql,
@@ -5646,6 +5661,8 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS x FROM events GROUP BY 1, 2)",
             key_col="event_type", lags=6),
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
+        "pmi_collocations": pmi_collocations_sql(
+            "documents", min_doc_freq=120, min_pair_freq=60),
         "holt_forecast": holt_forecast_sql(
             "SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,"
             " CAST(count(*) AS DOUBLE) AS n_events FROM events"

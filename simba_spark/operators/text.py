@@ -1161,3 +1161,129 @@ def bpe_train_sql(
         "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{unions}\n) "
         "ORDER BY merge_rank"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 50,
+    min_pair_freq: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation scoring over document
+    co-occurrence — the association strength behind phrase detection
+    and topic seeding, where raw pair counts (:func:`token_cooccurrence`)
+    just rank common-word pairs:
+
+        pmi  = ln( p(a,b) / (p(a)·p(b)) ) = ln( n_ab·N / (df_a·df_b) )
+        npmi = pmi / ln( N / n_ab )            (Bouma 2009, in [-1, 1])
+
+    with doc-level probabilities (N = corpus document count). A pair
+    that ALWAYS co-occurs scores npmi 1 regardless of frequency; a
+    pair at chance scores 0. npmi is NULL for the degenerate
+    every-document pair (0/0). Returns ``(token_a, token_b, n_docs,
+    df_a, df_b, pmi, npmi)`` with token_a < token_b.
+
+    Scale: the same a-priori-pruned shape as token_cooccurrence (the
+    quadratic pair step sees only frequent tokens), two skinny
+    doc-frequency join-backs, N as a 1-row broadcast. The log argument
+    is a single double division of EXACT integer products (bit-identical
+    across engines); the one libm ``ln`` is rounded to ``round_to``
+    per the engine's float convention.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .distinct()
+    )
+    total = df.select(
+        F.countDistinct(F.col(id_col)).alias("__N"))
+    freq = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= int(min_doc_freq))
+    )
+    ft = toks.join(freq, "__tok")
+    a = ft.select(F.col("__doc"), F.col("__tok").alias("token_a"),
+                  F.col("__df").alias("df_a"))
+    b = ft.select(F.col("__doc"), F.col("__tok").alias("token_b"),
+                  F.col("__df").alias("df_b"))
+    pairs = (
+        a.join(b, "__doc")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_pair_freq))
+        .crossJoin(F.broadcast(total))
+    )
+    # exact-integer log arguments: (n_ab * N) and (df_a * df_b) are
+    # long products, the single division is the only float op before ln
+    pmi = F.log(
+        (F.col("n_docs") * F.col("__N")).cast("double")
+        / (F.col("df_a") * F.col("df_b")).cast("double")
+    )
+    denom = F.log(F.col("__N").cast("double") / F.col("n_docs").cast("double"))
+    npmi = F.when(F.col("n_docs") < F.col("__N"), pmi / denom)
+    return pairs.select(
+        "token_a",
+        "token_b",
+        "n_docs",
+        "df_a",
+        "df_b",
+        F.round(pmi, round_to).alias("pmi"),
+        F.round(npmi, round_to).alias("npmi"),
+    )
+
+
+def pmi_collocations_sql(
+    from_sql: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    min_doc_freq: int = 50,
+    min_pair_freq: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`pmi_collocations` (same exact-integer
+    log arguments, same rounding)."""
+    return f"""
+  WITH __toks AS (
+    SELECT DISTINCT {id_expr} AS __doc,
+           __tok
+    FROM (
+      SELECT {id_expr},
+             unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+'))
+               AS __tok
+      FROM {from_sql}
+    ) WHERE __tok <> ''
+  ), __N AS (
+    SELECT count(DISTINCT {id_expr}) AS __n FROM {from_sql}
+  ), __freq AS (
+    SELECT __tok, count(*)::BIGINT AS __df FROM __toks GROUP BY __tok
+    HAVING count(*) >= {int(min_doc_freq)}
+  ), __ft AS (
+    SELECT t.__doc, t.__tok, f.__df FROM __toks t JOIN __freq f USING (__tok)
+  ), __pairs AS (
+    SELECT a.__tok AS token_a, b.__tok AS token_b,
+           a.__df AS df_a, b.__df AS df_b,
+           count(*)::BIGINT AS n_docs
+    FROM __ft a JOIN __ft b
+      ON a.__doc = b.__doc AND a.__tok < b.__tok
+    GROUP BY 1, 2, 3, 4
+    HAVING count(*) >= {int(min_pair_freq)}
+  )
+  SELECT token_a, token_b, n_docs, df_a, df_b,
+         round(ln(CAST(n_docs * __n AS DOUBLE)
+                  / CAST(df_a * df_b AS DOUBLE)), {int(round_to)}) AS pmi,
+         round(CASE WHEN n_docs < __n THEN
+                 ln(CAST(n_docs * __n AS DOUBLE)
+                    / CAST(df_a * df_b AS DOUBLE))
+                 / ln(CAST(__n AS DOUBLE) / CAST(n_docs AS DOUBLE))
+               END, {int(round_to)}) AS npmi
+  FROM __pairs, __N
+"""

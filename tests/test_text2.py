@@ -73,3 +73,58 @@ def test_bigram_flags_word_salad(spark):
     scores = {r["doc_id"]: r["lm2_score"]
               for r in bigram_lm_score(docs).collect()}
     assert scores[6] < scores[0]
+
+
+# --- PMI collocations --------------------------------------------------------
+
+def test_pmi_collocations_values_and_parity(spark):
+    import math
+
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.text import (pmi_collocations,
+                                            pmi_collocations_sql)
+
+    corpus = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta delta"),
+        (2, "alpha gamma delta"),
+        (3, "beta gamma delta"),
+        (4, "alpha beta"),
+        (5, "epsilon zeta"),
+        (6, "epsilon zeta"),
+        (7, "epsilon zeta alpha"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.token_a, r.token_b): (r.n_docs, r.df_a, r.df_b, r.pmi, r.npmi)
+        for r in pmi_collocations(df, min_doc_freq=2, min_pair_freq=2).collect()
+    }
+    # perfect co-occurrence pair: npmi exactly 1 regardless of frequency
+    assert got[("epsilon", "zeta")][4] == 1.0
+    # hand check: alpha-beta co-occur in 3 of 8 docs, df 5 and 4
+    assert got[("alpha", "beta")][:3] == (3, 5, 4)
+    assert got[("alpha", "beta")][3] == round(math.log((3 * 8) / (5 * 4)), 6)
+    # duckdb parity
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    oracle = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.execute(
+            pmi_collocations_sql("documents", min_doc_freq=2, min_pair_freq=2)
+        ).fetchall()
+    }
+    assert got == oracle
+
+
+def test_pmi_collocations_every_document_pair_degenerate(spark):
+    from simba_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, "a b filler%d" % i) for i in range(4)], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, min_doc_freq=1, min_pair_freq=1).collect()
+    ab = [r for r in out if (r.token_a, r.token_b) == ("a", "b")][0]
+    assert ab.pmi == 0.0  # p(ab)=p(a)=p(b)=1
+    assert ab.npmi is None  # 0/0 — degenerate by contract

@@ -2939,6 +2939,17 @@ def q_k_core(spark, sf_dir):
                   assert_converged=False)
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """Per-node approximate harmonic centrality (operators.graph.
+    harmonic_centrality — the HyperBall application of hyperanf):
+    H(v) = Σ_t Δ|ball|/t over the directed trade graph, per-node HLL
+    balls in wide register columns, accumulators riding the SAME
+    merge aggregate (no extra join per round)."""
+    from simba_spark.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(_trade_edges(spark, sf_dir), iters=3, p=6)
+
+
 def q_hyperanf(spark, sf_dir):
     """HyperANF neighborhood function (operators.graph.hyperanf) of
     the directed trade graph: N(t) for t=0..4 from one md5-register
@@ -4223,6 +4234,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "holt_forecast": q_holt_forecast,
         "pmi_collocations": q_pmi_collocations,
+        "harmonic_centrality": q_harmonic_centrality,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5063,7 +5075,9 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.dedup import (edit_distance_pairs_sql,
                                              linkage_score_sql,
                                              semantic_dedup_sql)
-    from simba_spark.operators.graph import (adamic_adar_sql, hits_sql,
+    from simba_spark.operators.graph import (adamic_adar_sql,
+                                             harmonic_centrality_sql,
+                                             hits_sql,
                                              pagerank_sql,
                                              shortest_paths_sql,
                                              triangle_count_sql)
@@ -5637,6 +5651,8 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": label_propagation_sql(pr_edges, iters=4),
         "k_core": k_core_sql(pr_edges, k=10, iters=6),
         "hyperanf": hyperanf_sql(pr_edges, iters=4, p=6),
+        "harmonic_centrality": harmonic_centrality_sql(
+            pr_edges, iters=3, p=6),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

@@ -1538,3 +1538,187 @@ def hyperanf_sql(
         )
     return "WITH " + ",\n".join(parts) + "\n" + \
         "\nUNION ALL\n".join(selects)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    p: int = 6,
+    seed: int = 42,
+    round_to: int = 6,
+    mode: str = "out",
+) -> DataFrame:
+    """Per-node approximate harmonic centrality (Boldi–Vigna, the
+    HyperBall application of :func:`hyperanf`): H(v) = Σ_t
+    (|B(v,t)| − |B(v,t−1)|) / t for t = 1..``iters`` — each newly
+    reached node contributes 1/distance. The centrality that stays
+    meaningful on disconnected graphs (unreachable nodes contribute
+    0, not a broken 1/∞ closeness), computed for EVERY node at
+    sketch cost where exact all-pairs BFS is quadratic.
+
+    ``mode='out'`` scores v by the nodes it REACHES (balls grow along
+    out-edges); ``mode='in'`` is the classic centrality (nodes that
+    reach v) — the same program on the transposed graph. Truncation
+    at ``iters`` lower-bounds H exactly like HyperBall run to a fixed
+    radius; pick iters ≥ the effective diameter for the full score.
+
+    Returns ``(node, harmonic)`` rounded to ``round_to``.
+
+    Determinism / oracle parity: registers are the engine's dyadic-
+    exact md5 HLL; per-node estimates are the bit-reproducible
+    :func:`.sketches.hll_estimate` arithmetic, and the per-round
+    accumulation ((score + Δ/t) left-fold from 0.0) is a FIXED-ORDER
+    expression both engines evaluate identically — no row-order float
+    sum anywhere.
+
+    Scale: the wide-register layout ONLY (p <= 8 — 2^p register
+    columns; the row layout would pay a per-round groupBy + join to
+    carry per-node accumulators that the wide form carries as two
+    extra columns through the SAME merge aggregate): per round ONE
+    edges⋈state equi-join + ONE combine-friendly max-aggregate, the
+    accumulators riding along as max(NULL-for-neighbor-copies);
+    localCheckpoint'd, no driver action in the loop.
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from .sketches import _hll_alpha, hll_register_cols
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if int(p) > 8:
+        raise ValueError(
+            "harmonic_centrality caps at p=8 (wide register columns; "
+            "the estimate expression blows the janino 64 KB codegen "
+            "limit beyond that)")
+    if mode not in ("out", "in"):
+        raise ValueError(f"mode must be 'out' or 'in': {mode}")
+    s_col, d_col = (src, dst) if mode == "out" else (dst, src)
+    m = 1 << int(p)
+    e = (
+        edges.select(F.col(s_col).alias("s"), F.col(d_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    bucket, rho = hll_register_cols("node", seed, p)
+    mcols = [f"__m{i}" for i in range(m)]
+    alpha = _hll_alpha(m)
+    s_all = _reduce(_add, [F.pow(F.lit(2.0), -F.col(c)) for c in mcols])
+    n_zero = _reduce(
+        _add, [(F.col(c) == 0).cast("int") for c in mcols]
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m) / s_all
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero),
+    ).otherwise(e_raw)
+
+    sk = nodes.select(
+        "node",
+        *[F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int")
+          .alias(c) for i, c in enumerate(mcols)],
+    ).withColumn("__prev", est).withColumn(
+        "__score", F.lit(0.0)
+    ).localCheckpoint(eager=False)
+
+    for t in range(1, int(iters) + 1):
+        nb = e.join(sk, e["d"] == sk["node"]).select(
+            F.col("s").alias("node"),
+            *mcols,
+            F.lit(None).cast("double").alias("__prev"),
+            F.lit(None).cast("double").alias("__score"),
+        )
+        merged = (
+            sk.unionByName(nb)
+            .groupBy("node")
+            .agg(
+                *[F.max(c).alias(c) for c in mcols],
+                # each node has exactly ONE original row (accumulators);
+                # neighbor copies carry NULLs that max() ignores
+                F.max("__prev").alias("__prev"),
+                F.max("__score").alias("__score"),
+            )
+        )
+        sk = merged.select(
+            "node",
+            *mcols,
+            est.alias("__prev"),
+            (
+                F.col("__score")
+                + (est - F.col("__prev")) / F.lit(float(t))
+            ).alias("__score"),
+        ).localCheckpoint(eager=False)
+    return sk.select(
+        "node", F.round(F.col("__score"), int(round_to)).alias("harmonic")
+    )
+
+
+def harmonic_centrality_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    p: int = 6,
+    seed: int = 42,
+    round_to: int = 6,
+    mode: str = "out",
+) -> str:
+    """DuckDB mirror of :func:`harmonic_centrality` — the hyperanf_sql
+    register rounds (row form: identical register TABLES either
+    layout), per-round per-node estimates via the shared hll SQL
+    builder, and the same left-folded fixed-order Δ/t accumulation as
+    one expression over the joined round estimates."""
+    from .sketches import hll_estimate_sql, hll_sketch_sql
+
+    s_col, d_col = (src, dst) if mode == "out" else (dst, src)
+    parts = [
+        f"""__e AS MATERIALIZED (
+  SELECT DISTINCT {s_col} AS s, {d_col} AS d FROM {edges_sql}
+  WHERE {s_col} <> {d_col}
+)""",
+        """__n AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM __e UNION ALL SELECT d AS node FROM __e)
+)""",
+        "__s0 AS MATERIALIZED ("
+        + hll_sketch_sql("__n", "node", ["node"], p=p, seed=seed)
+        + ")",
+    ]
+    for t in range(1, int(iters) + 1):
+        parts.append(
+            f"""__s{t} AS MATERIALIZED (
+  SELECT node, __hll_b, max(__hll_m) AS __hll_m FROM (
+    SELECT node, __hll_b, __hll_m FROM __s{t - 1}
+    UNION ALL
+    SELECT e.s AS node, k.__hll_b, k.__hll_m
+    FROM __e e JOIN __s{t - 1} k ON e.d = k.node
+  ) GROUP BY node, __hll_b
+)"""
+        )
+    for t in range(int(iters) + 1):
+        est = hll_estimate_sql(f"SELECT * FROM __s{t}", ["node"], p=p)
+        parts.append(
+            f"__est{t} AS MATERIALIZED (SELECT node, "
+            f"approx_distinct AS e{t} FROM ({est}))"
+        )
+    # ((0.0 + d1/1) + d2/2) + ... — the exact left fold Spark runs
+    acc = "0.0::DOUBLE"
+    for t in range(1, int(iters) + 1):
+        acc = (f"({acc} + (e{t} - e{t - 1}) / "
+               f"CAST({float(t)!r} AS DOUBLE))")
+    join_sql = "__est0"
+    for t in range(1, int(iters) + 1):
+        join_sql += f" JOIN __est{t} USING (node)"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round({acc}, {int(round_to)}) AS harmonic\n"
+        + f"FROM {join_sql}"
+    )

@@ -1820,3 +1820,65 @@ def test_theta_rolling_matches_direct_and_sql(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         theta_rolling(sk, "day", 0)
+
+
+# --- harmonic centrality (HyperBall) -----------------------------------------
+
+def test_harmonic_centrality_shape_and_semantics(spark):
+    from simba_spark.operators.graph import harmonic_centrality
+
+    # star 0 -> 1..8, path 1->2->3, back-edge 5->0
+    edges = [(0, i) for i in range(1, 9)] + [(1, 2), (2, 3), (5, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.harmonic for r in
+           harmonic_centrality(df, iters=3, p=6).collect()}
+    # the star center reaches everything at distance 1: strictly top
+    assert out[0] == max(out.values())
+    # sinks with no out-edges score exactly 0 in out-mode
+    for sink in (3, 4, 6, 7, 8):
+        assert out[sink] == 0.0
+    # node 5 (reaches 0 at 1, the rest at 2) sits between
+    assert 0.0 < out[2] < out[5] < out[0]
+
+
+def test_harmonic_centrality_in_mode_is_transposed_out(spark):
+    from simba_spark.operators.graph import harmonic_centrality
+
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rev = spark.createDataFrame([(b, a) for a, b in edges],
+                                "src long, dst long")
+    inn = {r.node: r.harmonic for r in
+           harmonic_centrality(df, iters=2, p=6, mode="in").collect()}
+    outrev = {r.node: r.harmonic for r in
+              harmonic_centrality(rev, iters=2, p=6).collect()}
+    assert inn == outrev
+
+
+def test_harmonic_centrality_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.graph import (harmonic_centrality,
+                                             harmonic_centrality_sql)
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.harmonic for r in
+           harmonic_centrality(df, iters=4, p=6).collect()}
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    oracle = {r[0]: r[1] for r in
+              con.execute(harmonic_centrality_sql("e", iters=4, p=6)).fetchall()}
+    assert got == oracle
+
+
+def test_harmonic_centrality_validation(spark):
+    from simba_spark.operators.graph import harmonic_centrality
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    for kw in ({"iters": 0}, {"p": 9}, {"mode": "both"}):
+        with pytest.raises(ValueError):
+            harmonic_centrality(df, **kw)

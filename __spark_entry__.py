@@ -1625,6 +1625,25 @@ def q_ngram_jaccard(spark, sf_dir):
 # north-star: similarity search
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (operators.retrieval.mmr_rerank) of
+    the top-40 cosine candidates for the vec_id=0 query: greedy
+    λ·rel − (1−λ)·max-sim-to-selected, k=10 — the redundancy pass
+    between retrieval and a RAG context window. k bounded rounds, no
+    driver collect; cosines round to 6 before the max (the engine's
+    vector ranking convention)."""
+    from simba_spark.operators.retrieval import mmr_rerank
+    from simba_spark.operators.similarity import cosine_topk
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x)
+            for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cand = cosine_topk(embs, qvec, 40).select(
+        "vec_id", F.round("cosine_sim", 6).alias("rel"), "embedding")
+    return mmr_rerank(cand, k=10, lam=0.7, id_col="vec_id",
+                      score_col="rel", vec_col="embedding")
+
+
 def q_embedding_topk(spark, sf_dir):
     from simba_spark.operators.similarity import cosine_topk
 
@@ -4235,6 +4254,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "pmi_collocations": q_pmi_collocations,
         "harmonic_centrality": q_harmonic_centrality,
+        "mmr_rerank": q_mmr_rerank,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5090,6 +5110,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.stats import (chisq_independence_sql,
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
+    from simba_spark.operators.retrieval import mmr_rerank_sql
     from simba_spark.operators.text import (bpe_train_sql,
                                             pmi_collocations_sql,
                                             token_cooccurrence_sql)
@@ -6805,6 +6826,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         """,
+        "mmr_rerank": mmr_rerank_sql(
+            """SELECT e.vec_id,
+                      round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   q.qv), 6) AS rel,
+                      e.embedding
+               FROM embeddings e,
+                    (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                     WHERE vec_id = 0) q
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.qv), 6) DESC,
+                        e.vec_id ASC
+               LIMIT 40""",
+            k=10, lam=0.7),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,

@@ -167,3 +167,166 @@ SELECT {gsel}{isel}, rrf_score, n_lists FROM (
 ) WHERE __rrf_k <= {int(topk)}
 """
     return f"SELECT * FROM ({base}) ORDER BY {order} LIMIT {int(topk)}"
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    score_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) of a bounded candidate list: greedily pick k documents
+    maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)`` — relevance
+    traded against redundancy with what's already selected. THE
+    diversity pass between retrieval (BM25 / ANN / RRF) and a RAG
+    context window: near-duplicate hits stop crowding out coverage.
+
+    ``candidates`` is a TOP-N frame (bounded by the upstream
+    retriever) with an id, a relevance score, and an embedding.
+    Returns ``(selection_rank, id, rel, mmr)`` — min(k, N) rows in
+    selection order; the round-1 pick has no redundancy penalty
+    (empty-set max = 0.0).
+
+    Determinism / oracle parity: pairwise cosines round to 6 BEFORE
+    the max (the engine's vector ranking convention), the MMR score
+    rounds to 6, ties break id-asc — bit-reproducible in SQL.
+
+    Scale / plan shape: k bounded rounds, each an anti-join against
+    the ≤k selected ids, a broadcast cross against the ≤k selected
+    VECTORS (bounded by the parameter, the only cross in the plan), a
+    max-aggregate, and a 1-row TakeOrderedAndProject; no driver
+    collect anywhere — each round's ≤i-row pick frame materializes via
+    localCheckpoint (a fully-lazy k-round plan grows O(k²) and chokes
+    Catalyst analysis past k≈10, measured). Candidates stay
+    parameter-sized by contract, so round cost is O(N·k) sims total.
+    """
+    lam = float(lam)
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from ..functions import cosine_similarity
+
+    cand = candidates.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__rel"),
+        F.col(vec_col).alias("__vec"),
+    ).localCheckpoint(eager=False)
+    selected = None
+    for i in range(1, int(k) + 1):
+        if selected is None:
+            remaining = cand
+            penalty = F.lit(0.0)
+            scored = remaining
+        else:
+            selvecs = cand.join(
+                selected.select("__id"), "__id"
+            ).select(F.col("__vec").alias("__svec"))
+            sims = (
+                cand.crossJoin(F.broadcast(selvecs))
+                .select(
+                    "__id",
+                    F.round(
+                        cosine_similarity(F.col("__vec"), F.col("__svec")), 6
+                    ).alias("__sim"),
+                )
+                .groupBy("__id")
+                .agg(F.max("__sim").alias("__ms"))
+            )
+            remaining = cand.join(selected.select("__id"), "__id", "left_anti")
+            scored = remaining.join(sims, "__id", "left")
+            penalty = F.coalesce(F.col("__ms"), F.lit(0.0))
+        pick = (
+            scored.select(
+                "__id",
+                "__rel",
+                F.round(
+                    F.lit(lam) * F.col("__rel")
+                    - F.lit(1.0 - lam) * penalty,
+                    6,
+                ).alias("__mmr"),
+            )
+            .orderBy(F.desc("__mmr"), F.asc("__id"))
+            .limit(1)
+            .select("__id", "__rel", F.lit(i).alias("selection_rank"), "__mmr")
+        )
+        # EAGER checkpoint: each round's pick references every prior
+        # round, so a fully-lazy plan grows O(k²) and Catalyst analysis
+        # time explodes past k≈10 (measured). Materializing the ≤i-row
+        # selected frame per round keeps the plan flat — k bounded jobs,
+        # still zero driver collects (the picks stay distributed).
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint()
+    return selected.select(
+        "selection_rank",
+        F.col("__id").alias(id_col),
+        F.col("__rel").alias(score_col),
+        F.col("__mmr").alias("mmr"),
+    )
+
+
+def mmr_rerank_sql(
+    cand_sql: str,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    score_col: str = "rel",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`mmr_rerank` — the greedy unrolled as k
+    MATERIALIZED CTE rounds (each selection feeds every later round's
+    penalty), identical round-6-before-max cosine convention and
+    λ arithmetic (literals CAST to DOUBLE)."""
+    lam = float(lam)
+    L = f"CAST({lam!r} AS DOUBLE)"
+    OML = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    parts = [
+        f"""__cand AS MATERIALIZED (
+  SELECT {id_col} AS __id, CAST({score_col} AS DOUBLE) AS __rel,
+         {vec_col}::DOUBLE[] AS __vec
+  FROM ({cand_sql})
+)""",
+        f"""__sel1 AS MATERIALIZED (
+  SELECT __id, __rel, 1 AS selection_rank,
+         round({L} * __rel - {OML} * 0.0::DOUBLE, 6) AS __mmr
+  FROM __cand
+  ORDER BY round({L} * __rel - {OML} * 0.0::DOUBLE, 6) DESC, __id ASC
+  LIMIT 1
+)""",
+        "__all1 AS MATERIALIZED (SELECT * FROM __sel1)",
+    ]
+    for i in range(2, int(k) + 1):
+        parts.append(f"""__sel{i} AS MATERIALIZED (
+  SELECT c.__id, c.__rel, {i} AS selection_rank,
+         round({L} * c.__rel
+               - {OML} * coalesce(m.__ms, 0.0::DOUBLE), 6) AS __mmr
+  FROM __cand c
+  LEFT JOIN (
+    SELECT c2.__id,
+           max(round(list_cosine_similarity(c2.__vec, sv.__vec), 6)) AS __ms
+    FROM __cand c2, __cand sv
+    WHERE sv.__id IN (SELECT __id FROM __all{i - 1})
+    GROUP BY c2.__id
+  ) m ON m.__id = c.__id
+  WHERE c.__id NOT IN (SELECT __id FROM __all{i - 1})
+  ORDER BY round({L} * c.__rel
+                 - {OML} * coalesce(m.__ms, 0.0::DOUBLE), 6) DESC,
+           c.__id ASC
+  LIMIT 1
+)""")
+        parts.append(
+            f"__all{i} AS MATERIALIZED (SELECT * FROM __all{i - 1} "
+            f"UNION ALL SELECT * FROM __sel{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT selection_rank, __id AS {id_col}, __rel AS {score_col},
+       __mmr AS mmr
+FROM __all{int(k)}
+ORDER BY selection_rank"""
+    )

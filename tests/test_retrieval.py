@@ -99,3 +99,80 @@ def test_rrf_fuse_matches_duckdb(spark):
     )
     want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
     assert got == want  # bit-for-bit: fixed-order coalesced float sum
+
+
+# --- MMR diversified re-ranking ----------------------------------------------
+
+def _mmr_fixture_rows():
+    import random
+
+    rng = random.Random(3)
+    base = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    rows, i = [], 0
+    for ci, b in enumerate(base):
+        for j in range(5):
+            rows.append((
+                i, 0.9 - 0.05 * j - 0.1 * ci,
+                [x + rng.uniform(-0.02, 0.02) for x in b],
+            ))
+            i += 1
+    return rows
+
+
+def test_mmr_rerank_diversifies_across_clusters(spark):
+    from simba_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        _mmr_fixture_rows(), "vec_id long, rel double, embedding array<double>"
+    )
+    got = mmr_rerank(df, k=6, lam=0.5).orderBy("selection_rank").collect()
+    # pure relevance would pick cluster 0 five times first; MMR's first
+    # three picks must cover all three near-duplicate clusters
+    assert {r.vec_id // 5 for r in got[:3]} == {0, 1, 2}
+    assert [r.selection_rank for r in got] == [1, 2, 3, 4, 5, 6]
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
+    from simba_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        _mmr_fixture_rows(), "vec_id long, rel double, embedding array<double>"
+    )
+    got = [r.vec_id for r in
+           mmr_rerank(df, k=5, lam=1.0).orderBy("selection_rank").collect()]
+    exp = [r.vec_id for r in
+           df.orderBy(F.desc("rel"), F.asc("vec_id")).limit(5).collect()]
+    assert got == exp
+
+
+def test_mmr_rerank_duckdb_parity_and_k_exceeds_n(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.retrieval import mmr_rerank, mmr_rerank_sql
+
+    rows = _mmr_fixture_rows()
+    df = spark.createDataFrame(
+        rows, "vec_id long, rel double, embedding array<double>"
+    )
+    got = [
+        (r.selection_rank, r.vec_id, r.rel, r.mmr)
+        for r in mmr_rerank(df, k=20, lam=0.7).orderBy("selection_rank").collect()
+    ]
+    assert len(got) == len(rows)  # k > N: every candidate selected once
+    con = duckdb.connect()
+    con.register("cand", pd.DataFrame(rows, columns=["vec_id", "rel", "embedding"]))
+    oracle = [tuple(r) for r in con.execute(
+        mmr_rerank_sql("SELECT * FROM cand", k=20, lam=0.7)).fetchall()]
+    assert got == oracle
+
+
+def test_mmr_rerank_validation(spark):
+    from simba_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(0, 1.0, [1.0])], "vec_id long, rel double, embedding array<double>"
+    )
+    for kw in ({"lam": 1.5}, {"k": 0}):
+        with pytest.raises(ValueError):
+            mmr_rerank(df, **kw)

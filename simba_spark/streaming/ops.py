@@ -1398,3 +1398,61 @@ def streaming_windowed_ohlc(
             "val_sum",
         )
     )
+
+
+def streaming_session_window_stats(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    val_col: Optional[str] = None,
+    cents: bool = True,
+) -> DataFrame:
+    """Gap-based session aggregation on a stream via Spark's NATIVE
+    ``session_window`` — the declarative twin of the custom stateful
+    ``sessionize_stream`` (`applyInPandasWithState`): the state store
+    merges overlapping [event, event+gap) windows itself, so sessions
+    need no Python state machine, survive out-of-order arrival within
+    the watermark, and emit exactly once at watermark close.
+
+    Returns ``(key, session_start, session_end, n_events[, val_sum])``
+    — ``session_start``/``session_end`` are the FIRST and LAST event
+    times (native window end minus the gap), matching the batch
+    ``sessionize``/``session_stats`` convention, so a replayed stream
+    reconciles row-for-row with the batch sessionizer. The optional
+    value sum is exact integer cents (float stream sums are
+    arrival-order-dependent and would break batch parity).
+
+    Scale: ONE stateful aggregation; state per key is the open
+    sessions only (merged ranges + partial aggregates), evicted at
+    the watermark — hot keys cost their open-session count, not their
+    event count.
+    """
+    ses = F.session_window(F.col(ts_col), gap)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if val_col is not None:
+        aggs.append(
+            (
+                F.sum(F.round(F.col(val_col).cast("double") * 100.0, 0)
+                      .cast("long")) / 100.0
+                if cents
+                else F.sum(F.col(val_col).cast("double"))
+            ).alias("val_sum")
+        )
+    out = (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull())
+        .groupBy(ses, F.col(key_col))
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("session_window")["start"].alias("session_start"),
+        (
+            F.col("session_window")["end"]
+            - F.expr(f"INTERVAL {gap}")
+        ).alias("session_end"),
+        "n_events",
+        *(["val_sum"] if val_col is not None else []),
+    )

@@ -1482,3 +1482,68 @@ def test_streaming_windowed_ohlc_matches_batch(spark):
         assert len(got) >= 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_session_window_stats_matches_batch(spark):
+    """Native session_window streaming sessions ≡ the batch lag-based
+    sessionize over replayed rows: same gap semantics, first/last
+    event times, counts, and exact cent sums."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.sessionize import sessionize
+    from simba_spark.streaming.ops import streaming_session_window_stats
+
+    d = tempfile.mkdtemp(prefix="simba_sesswin_stream_")
+    try:
+        rows = []
+        eid = 0
+        # user 1: two sessions split by a 40-min gap; user 2: one session
+        for mins in (0, 5, 12, 60, 66):
+            rows.append((eid, f"2024-01-01 00:{0:02d}:00", 1, 10.5))
+            rows[-1] = (eid, "2024-01-01 %02d:%02d:00" % (mins // 60, mins % 60), 1, 10.5)
+            eid += 1
+        for mins in (30, 45):
+            rows.append((eid, "2024-01-01 00:%02d:00" % mins, 2, 1.25))
+            eid += 1
+        rows.append((999, "2024-01-02 12:00:00", 7, 0.0))  # watermark sentinel
+        df = (
+            spark.createDataFrame(
+                rows, "event_id long, ts_s string, user_id long, value double"
+            )
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(df.schema).parquet(d)
+        out = streaming_session_window_stats(
+            src, ts_col="ts", key_col="user_id", gap="30 minutes",
+            watermark="10 minutes", val_col="value",
+        )
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.val_sum)
+            for r in _run_stream(spark, out, "stream_sesswin_out").collect()
+            if r.user_id != 7
+        }
+        # batch twin: lag-based sessionize with the same 30-min gap
+        ses = sessionize(
+            df.filter("user_id <> 7"), "ts", "user_id",
+            gap_ns=30 * 60 * 10**9, order_tiebreak="event_id",
+        )
+        batch = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.val_sum)
+            for r in ses.groupBy("user_id", "session_idx")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+                 / 100.0).alias("val_sum"),
+            )
+            .drop("session_idx")
+            .collect()
+        }
+        assert got == batch
+        assert len(got) == 3  # user 1 twice, user 2 once
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

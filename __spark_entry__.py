@@ -1954,6 +1954,23 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
 
 
+def q_sq_topk(spark, sf_dir):
+    """Scalar-quantization (SQ8) ANN at the exact-by-construction
+    configuration (shortlist=None re-ranks every row with exact
+    cosine) — oracles the train -> encode -> dequantized-ADC -> rerank
+    plumbing like the pq_topk row; dim bytes/vector (4x vs float32),
+    no codebook training, exact per-dim min/max bounds from ONE
+    combine-friendly aggregate pass (no sample needed)."""
+    from simba_spark.operators.pq import sq_topk, sq_train
+
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            embs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    model = sq_train(embs)
+    out = sq_topk(embs, model, qvec, 10)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("sim4"))
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN at the exact-by-construction
     configuration (shortlist=None re-ranks EVERY row with exact
@@ -4255,6 +4272,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "harmonic_centrality": q_harmonic_centrality,
         "mmr_rerank": q_mmr_rerank,
+        "sq_topk": q_sq_topk,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -7376,6 +7394,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivfpq_residual_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """,
+        "sq_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3)
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim4
             FROM embeddings e, q

@@ -667,3 +667,176 @@ def ivfpq_topk(
     return pq_topk(df, model, query_vec, k, shortlist=shortlist,
                    vec_col=vec_col, id_col=id_col,
                    codes=codes.drop("__ivf"))
+
+
+# --- scalar quantization (SQ8) ----------------------------------------------
+
+
+class SQModel:
+    """Per-dimension 8-bit scalar quantizer: code_i = affine(x_i) in
+    0..255 between the corpus's exact per-dim [lo_i, hi_i]. The
+    simplest vector-compression tier (4x vs float32, 8x vs float64 —
+    next to PQ's 32x) with near-lossless recall at high shortlists:
+    reconstruction error is bounded by (hi_i - lo_i)/510 per dim."""
+
+    def __init__(self, dim: int, metric: str, lo, hi):
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"unknown metric: {metric}")
+        if len(lo) != dim or len(hi) != dim:
+            raise ValueError("lo/hi length != dim")
+        self.dim = int(dim)
+        self.metric = metric
+        self.lo = [float(x) for x in lo]
+        self.hi = [float(x) for x in hi]
+
+    @property
+    def scale(self):
+        """Encode slopes: 255/(hi-lo), 0 for constant dims."""
+        return [
+            (255.0 / (h - l)) if h > l else 0.0
+            for l, h in zip(self.lo, self.hi)
+        ]
+
+    @property
+    def inv_scale(self):
+        """Decode slopes: (hi-lo)/255, 0 for constant dims."""
+        return [
+            ((h - l) / 255.0) if h > l else 0.0
+            for l, h in zip(self.lo, self.hi)
+        ]
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({"dim": self.dim, "metric": self.metric,
+                           "lo": self.lo, "hi": self.hi})
+
+    @classmethod
+    def from_json(cls, s: str) -> "SQModel":
+        import json
+
+        d = json.loads(s)
+        return cls(d["dim"], d["metric"], d["lo"], d["hi"])
+
+
+def _sq_norm_expr(vec_col: str) -> str:
+    """SQL text: the L2-normalized double vector (zero vectors pass
+    through — their codes are all-lo, harmless)."""
+    n = (f"sqrt(aggregate(transform({vec_col}, "
+         f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+         f"0.0D, (acc, x) -> acc + x))")
+    return (f"CASE WHEN {n} > 0.0D THEN "
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE) / {n}) "
+            f"ELSE transform({vec_col}, x -> CAST(x AS DOUBLE)) END")
+
+
+def sq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    dim: Optional[int] = None,
+) -> SQModel:
+    """Fit the per-dim [lo, hi] bounds over the FULL corpus (exact
+    min/max are order-insensitive, so no sample is needed — unlike
+    Lloyd's): one aggregate pass of 2·dim mins/maxes (combine-friendly,
+    2 array rows to the driver — parameter-sized state). Vectors are
+    L2-normalized first under the cosine metric, so bounds live in
+    the same space the query is scored in."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")) \
+                  .filter(F.col("d") > 0).first()
+        if first is None:
+            raise ValueError("sq_train: no non-empty vectors")
+        dim = int(first["d"])
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    nv = (_sq_norm_expr(vec_col) if metric == "cosine"
+          else f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    lo_a = ",".join(
+        f"min(element_at(__nv, {i + 1}))" for i in range(dim))
+    hi_a = ",".join(
+        f"max(element_at(__nv, {i + 1}))" for i in range(dim))
+    row = (
+        valid.select(F.expr(nv).alias("__nv"))
+        .agg(F.expr(f"array({lo_a})").alias("lo"),
+             F.expr(f"array({hi_a})").alias("hi"))
+        .first()
+    )
+    return SQModel(dim, metric, row["lo"], row["hi"])
+
+
+def sq_encode(
+    df: DataFrame,
+    model: SQModel,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Attach the dim-byte SQ code (array<int>, 0..255 per dim,
+    clamped — out-of-range values from corpus drift saturate instead
+    of wrapping). One map pass, zero shuffle, whole-stage codegen;
+    assembled as ONE SQL expression (the pq_adc_col driver-time
+    lesson). NULL / off-dimension vectors are dropped."""
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == model.dim))
+    nv = (_sq_norm_expr(vec_col) if model.metric == "cosine"
+          else f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    lo = ",".join(repr(v) + "D" for v in model.lo)
+    sc = ",".join(repr(v) + "D" for v in model.scale)
+    expr = (
+        f"transform({nv}, (x, i) -> "
+        f"least(255, greatest(0, CAST(round("
+        f"(x - element_at(array({lo}), i + 1)) * "
+        f"element_at(array({sc}), i + 1), 0) AS INT))))"
+    )
+    return valid.withColumn(out_col, F.expr(expr))
+
+
+def sq_adc_col(model: SQModel, query_vec: Sequence[float],
+               code_col: str = "sq_code"):
+    """Column: approximate squared distance from the query to the
+    DEQUANTIZED code, sum_i (q_i - lo_i - c_i·inv_i)² — pure codegen
+    over the code column only (the scan never touches vectors), one
+    aggregate fold, literals inlined as ONE SQL string."""
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query_vec], dtype="float64")
+    if len(q) != model.dim:
+        raise ValueError(f"query dim {len(q)} != model dim {model.dim}")
+    if model.metric == "cosine":
+        n = float(np.sqrt((q * q).sum()))
+        q = q / (n if n > 0 else 1.0)
+    a = [float(qi - lo) for qi, lo in zip(q, model.lo)]
+    A = ",".join(repr(v) + "D" for v in a)
+    I = ",".join(repr(v) + "D" for v in model.inv_scale)
+    term = (f"(element_at(array({A}), i + 1) - "
+            f"c * element_at(array({I}), i + 1))")
+    return F.expr(
+        f"aggregate(transform({code_col}, (c, i) -> {term} * {term}), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sq_topk(
+    df: DataFrame,
+    model: SQModel,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: Optional[int] = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: Optional[DataFrame] = None,
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """SQ8 ANN top-k with exact re-rank — the same probe shape as
+    :func:`pq_topk` (ADC sweep over codes, shortlist, exact-metric
+    re-rank fetching vectors by id), one tier up the
+    accuracy/compression ladder: dim bytes per vector instead of m,
+    no codebook training, near-lossless at modest shortlists.
+    ``shortlist=None`` re-ranks every row — exact by construction
+    (the oracle configuration)."""
+    if codes is None:
+        codes = sq_encode(df, model, vec_col=vec_col, out_col=code_col)
+    adc = sq_adc_col(model, query_vec, code_col).alias("adc_dist")
+    scored = codes.select(F.col(id_col), adc)
+    return _exact_rerank(df, scored, query_vec, model.metric, k,
+                         shortlist, id_col, vec_col)

@@ -270,3 +270,75 @@ def test_ivfpq_residual_codes_quantize_finer_than_raw(spark, embs,
         tot_raw += len(raw & want) / 10
         tot_res += len(res & want) / 10
     assert tot_res >= tot_raw, (tot_res, tot_raw)
+
+
+# --- scalar quantization (SQ8) ----------------------------------------------
+
+def test_sq_full_rerank_is_exact(spark, sf_dir):
+    from simba_spark.operators.pq import sq_topk, sq_train
+    from simba_spark.operators.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = sq_train(embs)
+    q = [float(x)
+         for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    exact = [(r.vec_id, r.cosine_sim)
+             for r in cosine_topk(embs, q, 10).collect()]
+    got = [(r.vec_id, round(r.cosine_sim, 6))
+           for r in sq_topk(embs, model, q, 10).collect()]
+    assert [v for v, _ in got] == [v for v, _ in exact]
+
+
+def test_sq_recall_at_shortlist_and_code_range(spark, sf_dir):
+    from simba_spark.operators.pq import sq_encode, sq_topk, sq_train
+    from simba_spark.operators.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = sq_train(embs)
+    codes = sq_encode(embs, model)
+    mn, mx = codes.select(
+        F.min(F.array_min("sq_code")), F.max(F.array_max("sq_code"))
+    ).first()
+    assert 0 <= mn and mx <= 255
+    assert codes.filter(F.size("sq_code") != model.dim).count() == 0
+    # 8-bit per-dim codes: shortlist 30 recovers the exact top-10 here
+    hits = 0
+    for qid in (3, 11, 42):
+        q = [float(x) for x in
+             embs.filter(F.col("vec_id") == qid).first()["embedding"]]
+        exact = {r.vec_id for r in cosine_topk(embs, q, 10).collect()}
+        short = {r.vec_id
+                 for r in sq_topk(embs, model, q, 10, shortlist=30).collect()}
+        hits += len(exact & short)
+    assert hits / 30 >= 0.9
+
+
+def test_sq_reconstruction_error_bound(spark):
+    from simba_spark.operators.pq import SQModel, sq_encode
+
+    rows = [(i, [float(i % 7) - 3.0, float(i % 5) * 2.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model_l2 = __import__(
+        "simba_spark.operators.pq", fromlist=["sq_train"]
+    ).sq_train(df, metric="l2", dim=2)
+    enc = sq_encode(df, model_l2).collect()
+    inv = model_l2.inv_scale
+    for r in enc:
+        orig = dict(rows)[r.vec_id]
+        for i, c in enumerate(r.sq_code):
+            approx = model_l2.lo[i] + c * inv[i]
+            # half-step quantization bound
+            assert abs(approx - orig[i]) <= (model_l2.hi[i] - model_l2.lo[i]) / 510 + 1e-12
+
+
+def test_sq_model_roundtrip_and_validation(spark):
+    from simba_spark.operators.pq import SQModel
+
+    m = SQModel(2, "cosine", [0.0, -1.0], [1.0, 1.0])
+    m2 = SQModel.from_json(m.to_json())
+    assert (m2.dim, m2.metric, m2.lo, m2.hi) == (2, "cosine", m.lo, m.hi)
+    # constant dim: zero slopes, no div-by-zero
+    c = SQModel(1, "l2", [2.0], [2.0])
+    assert c.scale == [0.0] and c.inv_scale == [0.0]
+    with pytest.raises(ValueError):
+        SQModel(2, "dot", [0.0], [1.0])

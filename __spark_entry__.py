@@ -2986,6 +2986,20 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(_trade_edges(spark, sf_dir), iters=3, p=6)
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Effective diameter (operators.graph.effective_diameter) of the
+    trade graph at q=0.9 from a hyperanf neighborhood function (p=5
+    keeps the register cost half the headline hyperanf row) — the
+    interpolated distance within which 90% of reachable pairs sit,
+    THE statistic the ANF/HyperANF line exists to produce. The (t,
+    nf) input is parameter-sized, so the interpolation window is
+    trivially cheap."""
+    from simba_spark.operators.graph import effective_diameter, hyperanf
+
+    nf = hyperanf(_trade_edges(spark, sf_dir), iters=4, p=5)
+    return effective_diameter(nf, q=0.9)
+
+
 def q_hyperanf(spark, sf_dir):
     """HyperANF neighborhood function (operators.graph.hyperanf) of
     the directed trade graph: N(t) for t=0..4 from one md5-register
@@ -4273,6 +4287,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "mmr_rerank": q_mmr_rerank,
         "sq_topk": q_sq_topk,
+        "effective_diameter": q_effective_diameter,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5114,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
                                              linkage_score_sql,
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql,
+                                             effective_diameter_sql,
                                              harmonic_centrality_sql,
                                              hits_sql,
                                              pagerank_sql,
@@ -5692,6 +5708,8 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf": hyperanf_sql(pr_edges, iters=4, p=6),
         "harmonic_centrality": harmonic_centrality_sql(
             pr_edges, iters=3, p=6),
+        "effective_diameter": effective_diameter_sql(
+            hyperanf_sql(pr_edges, iters=4, p=5), q=0.9),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

@@ -1722,3 +1722,83 @@ def harmonic_centrality_sql(
         + f"\nSELECT node, round({acc}, {int(round_to)}) AS harmonic\n"
         + f"FROM {join_sql}"
     )
+
+
+def effective_diameter(
+    nf: DataFrame,
+    q: float = 0.9,
+    t_col: str = "t",
+    nf_col: str = "nf",
+    round_to: int = 4,
+) -> DataFrame:
+    """Effective diameter from a neighborhood function — the headline
+    statistic :func:`hyperanf` exists to produce (Boldi–Rosa–Vigna /
+    the Palmer ANF definition): the interpolated distance t at which
+    a q-fraction of all reachable pairs is within t,
+
+        eff_diam(q) = (t−1) + (q·nf_max − nf(t−1)) / (nf(t) − nf(t−1))
+
+    at the smallest t with nf(t) >= q·nf_max (0 when t = 0 already
+    qualifies). Input is the (t, nf) frame ``hyperanf`` returns —
+    parameter-sized (iters+1 rows), so this is a skinny window
+    program, not a data-scale job; run ``hyperanf`` with iters past
+    the suspected diameter or the estimate truncates at iters.
+
+    Returns one row ``(q, effective_diameter)``.
+    """
+    from pyspark.sql import Window
+
+    qf = float(q)
+    if not 0.0 < qf <= 1.0:
+        raise ValueError(f"q must be in (0, 1]: {q}")
+    w = Window.orderBy(F.col("__t").asc())
+    tot = Window.partitionBy()
+    rows = nf.select(
+        F.col(t_col).cast("double").alias("__t"),
+        F.col(nf_col).cast("double").alias("__nf"),
+    ).withColumn("__prev", F.lag("__nf").over(w)) \
+     .withColumn("__target", F.lit(qf) * F.max("__nf").over(tot))
+    hit = rows.filter(F.col("__nf") >= F.col("__target"))
+    interp = F.when(
+        F.col("__prev").isNull(), F.lit(0.0)
+    ).otherwise(
+        (F.col("__t") - 1.0)
+        + (F.col("__target") - F.col("__prev"))
+        / (F.col("__nf") - F.col("__prev"))
+    )
+    return (
+        hit.orderBy(F.col("__t").asc())
+        .limit(1)
+        .select(
+            F.lit(qf).alias("q"),
+            F.round(interp, int(round_to)).alias("effective_diameter"),
+        )
+    )
+
+
+def effective_diameter_sql(
+    nf_sql: str,
+    q: float = 0.9,
+    t_col: str = "t",
+    nf_col: str = "nf",
+    round_to: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`effective_diameter` over any (t, nf)
+    subquery (compose with :func:`hyperanf_sql`)."""
+    qf = float(q)
+    Q = f"CAST({qf!r} AS DOUBLE)"
+    return f"""
+WITH __r AS (
+  SELECT CAST({t_col} AS DOUBLE) AS __t, CAST({nf_col} AS DOUBLE) AS __nf,
+         lag(CAST({nf_col} AS DOUBLE)) OVER (ORDER BY {t_col}) AS __prev,
+         {Q} * max(CAST({nf_col} AS DOUBLE)) OVER () AS __target
+  FROM ({nf_sql})
+)
+SELECT {Q} AS q,
+       round(CASE WHEN __prev IS NULL THEN 0.0::DOUBLE
+                  ELSE (__t - 1.0::DOUBLE)
+                       + (__target - __prev) / (__nf - __prev)
+             END, {int(round_to)}) AS effective_diameter
+FROM __r WHERE __nf >= __target
+ORDER BY __t LIMIT 1
+"""

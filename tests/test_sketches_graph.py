@@ -1882,3 +1882,43 @@ def test_harmonic_centrality_validation(spark):
     for kw in ({"iters": 0}, {"p": 9}, {"mode": "both"}):
         with pytest.raises(ValueError):
             harmonic_centrality(df, **kw)
+
+
+def test_effective_diameter_interpolation(spark):
+    from simba_spark.operators.graph import effective_diameter
+
+    nf = spark.createDataFrame(
+        [(0, 10.0), (1, 30.0), (2, 70.0), (3, 95.0), (4, 100.0)],
+        "t int, nf double",
+    )
+    # target 90 sits between nf(2)=70 and nf(3)=95: 2 + 20/25
+    assert effective_diameter(nf, 0.9).first().effective_diameter == 2.8
+    # a q met already at t=0 is distance 0 by definition
+    assert effective_diameter(nf, 0.05).first().effective_diameter == 0.0
+    # q=1 lands exactly on the last point
+    assert effective_diameter(nf, 1.0).first().effective_diameter == 4.0
+    with pytest.raises(ValueError):
+        effective_diameter(nf, 0.0)
+
+
+def test_effective_diameter_on_hyperanf_path_graph(spark):
+    duckdb = pytest.importorskip("duckdb")
+
+    from simba_spark.operators.graph import (effective_diameter,
+                                             effective_diameter_sql,
+                                             hyperanf, hyperanf_sql)
+
+    # directed path 0->1->...->7: diameter 7, nf grows linearly
+    edges = [(i, i + 1) for i in range(7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nf = hyperanf(df, iters=7, p=6)
+    got = effective_diameter(nf, 0.9).first()
+    assert 0.0 < got.effective_diameter <= 7.0
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    o = con.execute(
+        effective_diameter_sql(hyperanf_sql("e", iters=7, p=6), q=0.9)
+    ).fetchone()
+    assert (got.q, got.effective_diameter) == (o[0], o[1])

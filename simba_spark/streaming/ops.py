@@ -1456,3 +1456,90 @@ def streaming_session_window_stats(
         "n_events",
         *(["val_sum"] if val_col is not None else []),
     )
+
+
+def streaming_stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bin_width_seconds: float = 3600.0,
+    max_len: str = "1 hour",
+    watermark: str = "10 minutes",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Stream-STREAM interval overlap join: pairs of intervals from two
+    live streams that overlap in event time (closed — touching
+    endpoints count), ``a.start <= b.end AND b.start <= a.end``. Live
+    session-overlap / concurrent-incident detection; completes the
+    streaming matrix next to the stream-stream distance/kNN/as-of
+    joins (the stream-static form is :func:`streaming_interval_join`).
+
+    Both sides explode to the event-time bins their interval covers
+    (``bin_width_seconds`` is caller-chosen — a stream cannot derive
+    the batch op's two-tier width stats; ``max_bins_per_interval``
+    guards the explode with an in-plan raise, the batch convention)
+    and the BIN EQUALITY keys the symmetric-hash-join state, so state
+    is hash-partitioned exactly like the batch equi-join. A pair
+    sharing several bins emits ONLY in its canonical bin — the bin of
+    ``max(a.start, b.start)``, which every overlapping pair provably
+    shares — so results are exact with no dedup stage. ``max_len``
+    (an INTERVAL literal, an upper bound on any interval's length —
+    enforced by the same in-plan guard) turns the overlap predicate
+    into a watermark-derivable time-range constraint on the two end
+    columns, letting Spark EVICT state; both ends carry ``watermark``.
+
+    Intervals are TIMESTAMP columns; each stream's END time is its
+    event-time anchor (an interval is complete at its end).
+    """
+    w = float(bin_width_seconds)
+    if w <= 0:
+        raise ValueError(f"bin_width_seconds must be > 0: {bin_width_seconds}")
+    lp = left_stream.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in left_stream.columns]
+    ).withWatermark(f"{left_prefix}{left_end}", watermark)
+    rp = right_stream.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right_stream.columns]
+    ).withWatermark(f"{right_prefix}{right_end}", watermark)
+    a_s, a_e = f"{left_prefix}{left_start}", f"{left_prefix}{left_end}"
+    b_s, b_e = f"{right_prefix}{right_start}", f"{right_prefix}{right_end}"
+
+    def bins(df, s, e):
+        lo = F.floor(F.unix_timestamp(F.col(s)).cast("double") / w).cast("long")
+        hi0 = F.floor(F.unix_timestamp(F.col(e)).cast("double") / w).cast("long")
+        # in-plan guards: interval length <= max_len (the state-eviction
+        # contract) and bin fanout <= max_bins_per_interval
+        ok_len = F.col(e) <= F.col(s) + F.expr(f"INTERVAL {max_len}")
+        hi = F.when(
+            (hi0 - lo < int(max_bins_per_interval)) & ok_len & (F.col(e) >= F.col(s)),
+            hi0,
+        ).otherwise(
+            F.raise_error(F.lit(
+                "streaming_stream_interval_join: an interval is longer "
+                f"than max_len ({max_len}) / spans more than "
+                f"{max_bins_per_interval} bins, or end < start"
+            )).cast("long")
+        )
+        return df.withColumn("__bin", F.explode(F.sequence(lo, hi)))
+
+    lg = bins(lp, a_s, a_e)
+    rg = bins(rp, b_s, b_e)
+    overlap = (F.col(a_s) <= F.col(b_e)) & (F.col(b_s) <= F.col(a_e))
+    evict = F.expr(
+        f"`{b_e}` >= `{a_e}` - INTERVAL {max_len} AND "
+        f"`{b_e}` <= `{a_e}` + INTERVAL {max_len}"
+    )
+    canon = F.floor(
+        F.unix_timestamp(F.greatest(F.col(a_s), F.col(b_s))).cast("double") / w
+    ).cast("long")
+    out = lg.join(
+        rg,
+        (lg["__bin"] == rg["__bin"]) & overlap & evict
+        & (lg["__bin"] == canon),
+        "inner",
+    )
+    return out.drop(lg["__bin"]).drop(rg["__bin"])

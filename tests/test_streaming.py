@@ -1547,3 +1547,76 @@ def test_streaming_session_window_stats_matches_batch(spark):
         assert len(got) == 3  # user 1 twice, user 2 once
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval overlap ≡ the batch interval_overlap_join
+    over replayed streams: canonical-bin emission keeps pairs unique,
+    the max_len range constraint bounds (and evicts) state."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.interval import interval_overlap_join
+    from simba_spark.streaming.ops import streaming_stream_interval_join
+
+    da = tempfile.mkdtemp(prefix="simba_ivs_a_")
+    db = tempfile.mkdtemp(prefix="simba_ivs_b_")
+    try:
+        # sessions on two services; overlaps within/at bin borders,
+        # touching endpoints, nested intervals, and disjoint pairs
+        a_rows = [
+            (0, "2024-01-01 00:00:00", "2024-01-01 00:30:00"),
+            (1, "2024-01-01 00:45:00", "2024-01-01 01:40:00"),
+            (2, "2024-01-01 02:00:00", "2024-01-01 02:05:00"),
+            (3, "2024-01-01 03:00:00", "2024-01-01 03:10:00"),
+            (9, "2024-01-01 09:00:00", "2024-01-01 09:00:30"),  # sentinel
+        ]
+        b_rows = [
+            (10, "2024-01-01 00:20:00", "2024-01-01 00:50:00"),
+            (11, "2024-01-01 01:40:00", "2024-01-01 02:00:00"),  # touches 1 & 2
+            (12, "2024-01-01 02:01:00", "2024-01-01 02:03:00"),  # nested in 2
+            (13, "2024-01-01 05:00:00", "2024-01-01 05:01:00"),  # disjoint
+            (19, "2024-01-01 09:00:00", "2024-01-01 09:00:30"),  # sentinel
+        ]
+        adf = (
+            spark.createDataFrame(a_rows, "a_id long, s string, e string")
+            .select("a_id", F.to_timestamp("s").alias("start"),
+                    F.to_timestamp("e").alias("end"))
+        )
+        bdf = (
+            spark.createDataFrame(b_rows, "b_id long, s string, e string")
+            .select("b_id", F.to_timestamp("s").alias("start"),
+                    F.to_timestamp("e").alias("end"))
+        )
+        adf.write.mode("overwrite").parquet(da)
+        bdf.write.mode("overwrite").parquet(db)
+        sa = spark.readStream.schema(adf.schema).parquet(da)
+        sb = spark.readStream.schema(bdf.schema).parquet(db)
+        out = streaming_stream_interval_join(
+            sa, sb, bin_width_seconds=900.0, max_len="2 hours",
+            watermark="5 minutes",
+        )
+        got = {
+            (r["a_a_id"], r["b_b_id"])
+            for r in _run_stream(spark, out, "stream_iv_out").collect()
+            if r["a_a_id"] != 9 and r["b_b_id"] != 19
+        }
+        batch = interval_overlap_join(
+            adf.filter("a_id <> 9").select(
+                "a_id",
+                F.unix_timestamp("start").cast("double").alias("start"),
+                F.unix_timestamp("end").cast("double").alias("end")),
+            bdf.filter("b_id <> 19").select(
+                "b_id",
+                F.unix_timestamp("start").cast("double").alias("start"),
+                F.unix_timestamp("end").cast("double").alias("end")),
+            "start", "end", "start", "end", bin_width=900.0,
+        )
+        exp = {(r["a_a_id"], r["b_b_id"]) for r in batch.collect()}
+        assert got == exp
+        # the fixture covers border/touch/nested shapes
+        assert (1, 11) in exp and (2, 11) in exp and (2, 12) in exp
+        assert (3, 13) not in exp
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)

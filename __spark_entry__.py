@@ -2626,6 +2626,20 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_pairs(emb, threshold=0.42, k=4, iters=2, dim=64)
 
 
+def q_dataset_fingerprint(spark, sf_dir):
+    """Order-insensitive dataset content fingerprint (operators.
+    pipeline.dataset_fingerprint) of lineitem over its key + measure
+    columns: exact md5-prefix sum mod 2^64 — the one-aggregate
+    migration/backfill parity check (partials commute, so the result
+    is partitioning/engine independent by construction)."""
+    from simba_spark.operators.pipeline import dataset_fingerprint
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dataset_fingerprint(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_returnflag"])
+
+
 def q_pmi_collocations(spark, sf_dir):
     """NPMI collocation scoring (operators.text.pmi_collocations) over
     the same a-priori-pruned doc-co-occurrence frame as token_cooc —
@@ -4288,6 +4302,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "sq_topk": q_sq_topk,
         "effective_diameter": q_effective_diameter,
+        "dataset_fingerprint": q_dataset_fingerprint,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5135,7 +5150,8 @@ def oracle_sql() -> dict[str, str]:
                                              pagerank_sql,
                                              shortest_paths_sql,
                                              triangle_count_sql)
-    from simba_spark.operators.pipeline import (quantile_bin_sql,
+    from simba_spark.operators.pipeline import (dataset_fingerprint_sql,
+                                                quantile_bin_sql,
                                                 rank_normalize_sql,
                                                 split_assign_sql,
                                                 table_diff_sql,
@@ -5734,6 +5750,9 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS x FROM events GROUP BY 1, 2)",
             key_col="event_type", lags=6),
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
+        "dataset_fingerprint": dataset_fingerprint_sql(
+            "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_quantity", "l_returnflag"]),
         "pmi_collocations": pmi_collocations_sql(
             "documents", min_doc_freq=120, min_pair_freq=60),
         "holt_forecast": holt_forecast_sql(

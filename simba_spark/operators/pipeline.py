@@ -1257,3 +1257,96 @@ def _non_nan(col):
     """NULL out NaNs so coalesce/avg treat them as missing (Spark avg
     would otherwise propagate NaN; DuckDB avg ignores neither)."""
     return F.when(~F.isnan(col.cast("double")), col)
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a DataFrame — ONE row
+    ``(n_rows, content_hash)`` where ``content_hash`` is the exact
+    BIGINT sum (mod 2^64, wrap-around) of each row's 64-bit md5 prefix
+    over the selected columns. Two frames hold the same multiset of
+    rows iff (n_rows, content_hash) match (up to md5 collisions): the
+    cheap migration/backfill/engine-parity check before reaching for
+    the full :func:`table_diff` — no keys needed, no join, one
+    combine-friendly aggregate whose partial sums commute, so the
+    result is partitioning-, ordering-, and engine-independent.
+
+    Row serialization: each column CAST to string (NULL becomes the
+    literal ``\\N`` — distinguishable from the string "null"), joined
+    with the 0x1f unit separator. Pick ``cols`` explicitly when
+    comparing frames whose column ORDER may differ (the serialization
+    is order-sensitive by design: (a, b) != (b, a)). Cross-ENGINE
+    comparisons need string-identical casts: Spark renders doubles
+    outside [1e-3, 1e7) in scientific notation where DuckDB does not —
+    cast such columns to DECIMAL or format them explicitly first
+    (cross-PARTITIONING/cross-run comparisons within one engine have
+    no such caveat).
+
+    Scale: one projection + one 2-aggregate pass; bytes shuffled are
+    two longs per partition.
+    """
+    use = list(cols) if cols is not None else list(df.columns)
+    parts = []
+    for c in use:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\\N")))
+        parts.append(F.lit(sep))
+    rowstr = F.concat(*parts[:-1])
+    # 64-bit md5 prefix as two 32-bit halves (neither engine parses a
+    # full 16-hex-digit unsigned literal cleanly: Spark's conv output
+    # is a string, DuckDB's '0x..'::BIGINT caps at 63 bits)
+    md = F.md5(rowstr)
+    h_hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    h = (
+        h_hi.cast("decimal(38,0)") * F.lit(4294967296).cast("decimal(38,0)")
+        + h_lo.cast("decimal(38,0)")
+    )
+    # exact sum in DECIMAL(38), wrapped into signed-64 space: the same
+    # arithmetic is expressible in DuckDB (HUGEINT % / cast), and long
+    # overflow semantics never enter the plan
+    two64 = F.expr("CAST(18446744073709551616 AS DECIMAL(38,0))")
+    two63 = F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")
+    s = F.sum(h).cast("decimal(38,0)") % two64
+    wrapped = F.when(s >= two63, s - two64).otherwise(s).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(wrapped, F.lit(0)).alias("content_hash"),
+    )
+
+
+def dataset_fingerprint_sql(
+    from_sql: str,
+    cols: Sequence[str],
+    sep: str = "\x1f",
+) -> str:
+    """DuckDB mirror of :func:`dataset_fingerprint` (same \\N NULL
+    sentinel, unit separator, md5-prefix sum mod 2^64 wrapped to a
+    signed BIGINT)."""
+    sep_sql = "chr(31)" if sep == "\x1f" else repr(sep)
+    parts = " || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '\\N') "
+        + (f"|| {sep_sql}" if i < len(cols) - 1 else "")
+        for i, c in enumerate(cols)
+    )
+    return f"""
+WITH __h AS (
+  SELECT ('0x' || substr(md5({parts}), 1, 8))::BIGINT
+           * CAST(4294967296 AS HUGEINT)
+         + ('0x' || substr(md5({parts}), 9, 8))::BIGINT AS __r
+  FROM {from_sql}
+),
+__s AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(__r) % CAST(18446744073709551616 AS HUGEINT)
+              AS HUGEINT) AS __m
+  FROM __h
+)
+SELECT n_rows,
+       coalesce(CAST(CASE WHEN __m >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN __m - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE __m END AS BIGINT), 0) AS content_hash
+FROM __s
+"""

@@ -686,3 +686,47 @@ def test_impute_median_grouped(spark):
     assert out[("a", 4)] == 100.0  # non-null rows untouched
     with _pt.raises(ValueError, match="id_col"):
         impute(df, ["x"], "median")
+
+
+# --- dataset fingerprint -----------------------------------------------------
+
+def test_dataset_fingerprint_order_insensitive_and_sensitive_to_rows(spark):
+    from simba_spark.operators.pipeline import dataset_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 0.0)],
+        "k long, s string, v double",
+    )
+    a = dataset_fingerprint(df).first()
+    b = dataset_fingerprint(df.repartition(7).orderBy(F.desc("k"))).first()
+    assert (a.n_rows, a.content_hash) == (b.n_rows, b.content_hash)
+    # NULL is distinct from the string "null" / empty
+    c = dataset_fingerprint(
+        df.withColumn("s", F.coalesce("s", F.lit("null")))).first()
+    assert c.content_hash != a.content_hash
+    # any changed cell changes the hash; a removed row changes it too
+    d = dataset_fingerprint(df.filter("k <> 2")).first()
+    assert (d.n_rows, d.content_hash) != (a.n_rows, a.content_hash)
+    # duplicate rows are counted (multiset, not set)
+    e = dataset_fingerprint(df.unionAll(df.filter("k = 1"))).first()
+    assert e.n_rows == 4 and e.content_hash != a.content_hash
+    # empty frame: stable (0, 0)
+    z = dataset_fingerprint(df.filter("k < 0")).first()
+    assert (z.n_rows, z.content_hash) == (0, 0)
+
+
+def test_dataset_fingerprint_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.pipeline import (dataset_fingerprint,
+                                                dataset_fingerprint_sql)
+
+    rows = [(i, f"s{i % 5}", float(i) / 3.0 if i % 4 else None)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    got = dataset_fingerprint(df, ["k", "s", "v"]).first()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "s", "v"]))
+    o = con.execute(dataset_fingerprint_sql("t", ["k", "s", "v"])).fetchone()
+    assert (got.n_rows, got.content_hash) == tuple(o)

@@ -1543,3 +1543,74 @@ def streaming_stream_interval_join(
         "inner",
     )
     return out.drop(lg["__bin"]).drop(rg["__bin"])
+
+
+def streaming_stream_geo_knn_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    k: int,
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "lat",
+    right_lon: str = "lon",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Stream-STREAM spherical kNN join — the great-circle form of
+    :func:`streaming_stream_knn_join`, closing the streaming matrix's
+    last cell (distance/kNN × euclidean/spherical × stream-static/
+    stream-stream): per left event, its k nearest right events BY
+    HAVERSINE within the same tumbling event-time window (ties by
+    right id), correct at the antimeridian and the poles where an
+    L2 join on raw degrees is wrong.
+
+    Same two chained window-keyed stateful operators as the euclidean
+    op (watermarked window-equality join → windowed per-left top-k via
+    ``slice(array_sort(collect_list(struct(dist_km, rid))))``), the
+    codegen'd haversine as the sort key; exactly-k rows per left event
+    at window close, append mode. Output: (window_start, left id,
+    right id, dist_km).
+    """
+    from ..operators.geo import haversine_km
+
+    k = int(k)
+    lp = left_stream.select(
+        [F.col(c).alias(f"{left_prefix}{c}") for c in left_stream.columns]
+    ).withWatermark(f"{left_prefix}{left_ts}", watermark)
+    rp = right_stream.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right_stream.columns]
+    ).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lid = f"{left_prefix}{left_id}"
+    rid = f"{right_prefix}{right_id}"
+
+    lw = lp.withColumn(
+        "__win", F.window(F.col(f"{left_prefix}{left_ts}"), window))
+    rw = rp.withColumn(
+        "__win", F.window(F.col(f"{right_prefix}{right_ts}"), window))
+    joined = lw.join(rw, on="__win", how="inner")
+    dist = haversine_km(
+        F.col(f"{left_prefix}{left_lat}"), F.col(f"{left_prefix}{left_lon}"),
+        F.col(f"{right_prefix}{right_lat}"), F.col(f"{right_prefix}{right_lon}"),
+    )
+    packed = F.struct(dist.alias("dist_km"), F.col(rid).alias("rid"))
+    return (
+        joined.groupBy("__win", F.col(lid))
+        .agg(F.slice(F.array_sort(F.collect_list(packed)), 1, k).alias("__tk"))
+        .select(
+            F.col("__win.start").alias("window_start"),
+            F.col(lid),
+            F.explode("__tk").alias("__s"),
+        )
+        .select(
+            "window_start",
+            lid,
+            F.col("__s.rid").alias(rid),
+            F.col("__s.dist_km").alias("dist_km"),
+        )
+    )

@@ -1620,3 +1620,80 @@ def test_stream_stream_interval_join_matches_batch(spark):
     finally:
         shutil.rmtree(da, ignore_errors=True)
         shutil.rmtree(db, ignore_errors=True)
+
+
+def test_stream_stream_geo_knn_join_matches_batch(spark):
+    """Stream-stream spherical kNN ≡ the batch window-partitioned
+    haversine top-k over replayed streams, including an antimeridian
+    site where raw-degree L2 would pick the wrong neighbors."""
+    import shutil
+    import tempfile
+
+    from simba_spark.operators.geo import haversine_km
+    from simba_spark.streaming.ops import streaming_stream_geo_knn_join
+
+    da = tempfile.mkdtemp(prefix="simba_geoknn_a_")
+    db = tempfile.mkdtemp(prefix="simba_geoknn_b_")
+    try:
+        # left: query sites incl. one at the antimeridian and one polar
+        a_rows = [
+            (0, "2024-01-01 00:01:00", 0.0, 179.9),
+            (1, "2024-01-01 00:02:00", 89.5, 10.0),
+            (2, "2024-01-01 00:03:00", 48.1, 11.5),
+            (3, "2024-01-01 00:12:00", -33.9, 151.2),  # second window
+            (9, "2024-01-01 02:00:00", 0.0, 0.0),      # sentinel
+        ]
+        # right: candidates straddling the antimeridian / near the pole
+        b_rows = [
+            (10, "2024-01-01 00:01:30", 0.0, -179.95),
+            (11, "2024-01-01 00:04:00", 0.2, 179.5),
+            (12, "2024-01-01 00:05:00", 0.0, 170.0),
+            (13, "2024-01-01 00:06:00", 89.6, 190.0 - 360.0),
+            (14, "2024-01-01 00:07:00", 48.2, 11.6),
+            (15, "2024-01-01 00:13:00", -33.8, 151.3),
+            (19, "2024-01-01 02:00:00", 0.0, 0.0),     # sentinel
+        ]
+        schema = "event_id long, ts_s string, lat double, lon double"
+        adf = spark.createDataFrame(a_rows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")).drop("ts_s")
+        bdf = spark.createDataFrame(b_rows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")).drop("ts_s")
+        adf.write.mode("overwrite").parquet(da)
+        bdf.write.mode("overwrite").parquet(db)
+        sa = spark.readStream.schema(adf.schema).parquet(da)
+        sb = spark.readStream.schema(bdf.schema).parquet(db)
+        out = streaming_stream_geo_knn_join(
+            sa, sb, k=2, window="10 minutes", watermark="5 minutes")
+        got = {
+            (r["a_event_id"], r["b_event_id"], round(r["dist_km"], 6))
+            for r in _run_stream(spark, out, "stream_geoknn_out").collect()
+            if r["a_event_id"] != 9
+        }
+        # batch oracle: same-window haversine top-2 per left event
+        from pyspark.sql import Window as W
+
+        lw = adf.filter("event_id <> 9").select(
+            F.col("event_id").alias("a_id"), F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            F.window("ts", "10 minutes").alias("__win"))
+        rw = bdf.filter("event_id <> 19").select(
+            F.col("event_id").alias("b_id"), F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            F.window("ts", "10 minutes").alias("__win"))
+        j = lw.join(rw, "__win").withColumn(
+            "d", haversine_km(F.col("a_lat"), F.col("a_lon"),
+                              F.col("b_lat"), F.col("b_lon")))
+        ranked = j.withColumn(
+            "rn", F.row_number().over(
+                W.partitionBy("__win", "a_id").orderBy(
+                    F.asc("d"), F.asc("b_id"))))
+        exp = {
+            (r["a_id"], r["b_id"], round(r["d"], 6))
+            for r in ranked.filter("rn <= 2").collect()
+        }
+        assert got == exp
+        # the antimeridian query's nearest neighbor is across the seam
+        assert any(a == 0 and b == 10 for a, b, _ in got)
+    finally:
+        shutil.rmtree(da, ignore_errors=True)
+        shutil.rmtree(db, ignore_errors=True)

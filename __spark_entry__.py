@@ -3306,6 +3306,25 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(_t(spark, sf_dir, "documents"), num_merges=8)
 
 
+def q_doc_bpe(spark, sf_dir):
+    """BPE ENCODING oracle row (operators.text.bpe_apply): the corpus
+    is re-tokenized with its own 8 learned merges — per doc the
+    subword count and first-5 subwords. The merge list is an
+    8-row parameter-bounded collect (the bpe_train contract); the
+    encode itself is a zero-shuffle codegen transform."""
+    from simba_spark.operators.text import bpe_apply, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8).orderBy("merge_rank").collect()
+    enc = bpe_apply(docs, merges=merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_subwords"),
+        F.expr("array_join(slice(bpe_tokens, 1, 5), ' ')")
+        .alias("head_subwords"),
+    )
+
+
 def q_bigram_lm(spark, sf_dir):
     """Per-document bigram LM score (operators.text.bigram_lm_score):
     mean ln P(b|a) under the corpus's add-α bigram model. Pairs slice
@@ -4303,6 +4322,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "effective_diameter": q_effective_diameter,
         "dataset_fingerprint": q_dataset_fingerprint,
+        "doc_bpe": q_doc_bpe,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5161,7 +5181,8 @@ def oracle_sql() -> dict[str, str]:
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
     from simba_spark.operators.retrieval import mmr_rerank_sql
-    from simba_spark.operators.text import (bpe_train_sql,
+    from simba_spark.operators.text import (bpe_apply_sql,
+                                            bpe_train_sql,
                                             pmi_collocations_sql,
                                             token_cooccurrence_sql)
     from simba_spark.operators.sketches import (
@@ -5750,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS x FROM events GROUP BY 1, 2)",
             key_col="event_type", lags=6),
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
+        "doc_bpe": bpe_apply_sql("documents", num_merges=8),
         "dataset_fingerprint": dataset_fingerprint_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
                          "l_quantity", "l_returnflag"]),

@@ -156,6 +156,17 @@ HEADLINE = [
     "geo_stream_knn",
     "ivfpq_residual_topk",
     "incremental_dedup",
+    # round-8 late additions (this session)
+    "bpe_merges",
+    "holt_forecast",
+    "pmi_collocations",
+    "harmonic_centrality",
+    "mmr_rerank",
+    "sq_topk",
+    "effective_diameter",
+    "dataset_fingerprint",
+    "seasonal_decompose",
+    "doc_bpe",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -188,6 +199,10 @@ _POST_R3 = {
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
     "cm_join_size", "impute_median",
     "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
+    "bpe_merges", "holt_forecast", "pmi_collocations",
+    "harmonic_centrality", "mmr_rerank", "sq_topk",
+    "effective_diameter", "dataset_fingerprint", "seasonal_decompose",
+    "doc_bpe",
 }
 
 GROUPS = {

@@ -1287,3 +1287,53 @@ def pmi_collocations_sql(
                END, {int(round_to)}) AS npmi
   FROM __pairs, __N
 """
+
+
+def bpe_apply_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+    min_word_freq: int = 1,
+    head: int = 5,
+) -> str:
+    """DuckDB mirror of training-then-encoding: :func:`bpe_train`'s
+    merge CTEs (regenerated verbatim via :func:`bpe_train_sql`'s CTE
+    program) followed by :func:`bpe_apply` over every document —
+    per doc the subword count and the first ``head`` subwords joined
+    with spaces. Each round's (lhs, rhs) lands as columns of a 1-row
+    frame cross-joined into the encode scan, so the per-word replace
+    chain references them as plain outer columns (scalar subqueries
+    inside DuckDB lambdas are unreliable). CONTRACT: the corpus must
+    actually yield ``num_merges`` merges (an exhausted __b CTE would
+    inject NULL patterns)."""
+    train = bpe_train_sql(table, text_col, num_merges, min_word_freq)
+    # reuse the training WITH-body: strip the final SELECT
+    body = train[len("WITH "):train.rindex("\nSELECT * FROM (")]
+    sep = "chr(1)||chr(1)"
+    mcols = ", ".join(
+        f"(SELECT __l FROM __b{k}) AS l{k}, (SELECT __r FROM __b{k}) AS r{k}"
+        for k in range(1, int(num_merges) + 1)
+    )
+    enc = "regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g')"
+    for k in range(1, int(num_merges) + 1):
+        enc = (f"replace({enc}, chr(1)||l{k}||{sep}||r{k}||chr(1), "
+               f"chr(1)||l{k}||r{k}||chr(1))")
+    return f"""WITH {body},
+__m AS MATERIALIZED (SELECT {mcols}),
+__dw AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split_regex(lower(trim({text_col})), '\\s+'),
+                     w -> regexp_matches(w, '^[a-z]+$')) AS __ws
+  FROM {table}
+),
+__enc AS (
+  SELECT doc_id,
+         flatten(list_transform(__ws,
+           w -> string_split(trim({enc}, chr(1)), {sep}))) AS __tk
+  FROM __dw, __m
+)
+SELECT doc_id, length(__tk) AS n_subwords,
+       array_to_string(__tk[1:{int(head)}], ' ') AS head_subwords
+FROM __enc
+"""

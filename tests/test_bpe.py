@@ -153,3 +153,27 @@ def test_bpe_apply_plan_is_udf_free(spark, corpus_df):
     merges = bpe_train(corpus_df, num_merges=4).collect()
     plan = bpe_apply(corpus_df, merges=merges)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_apply_sql_mirror_matches(spark, corpus_df):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.text import bpe_apply_sql
+
+    merges = bpe_train(corpus_df, num_merges=8).orderBy("merge_rank").collect()
+    enc = bpe_apply(corpus_df, merges=merges)
+    got = {
+        r.doc_id: (r.n, r.h)
+        for r in enc.select(
+            "doc_id", F.size("bpe_tokens").alias("n"),
+            F.expr("array_join(slice(bpe_tokens, 1, 5), ' ')").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(CORPUS, columns=["doc_id", "text"]))
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(bpe_apply_sql(num_merges=8)).fetchall()
+    }
+    assert got == oracle

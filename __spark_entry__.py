@@ -2989,6 +2989,17 @@ def q_k_core(spark, sf_dir):
                   assert_converged=False)
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient (operators.graph.
+    clustering_coefficient) over the trade graph — degree-ordered
+    wedge orientation keeps the intermediate O(m^1.5) under hubs,
+    each triangle attributes to its three corners via one explode,
+    leaves (degree < 2) are NULL by contract."""
+    from simba_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_trade_edges(spark, sf_dir))
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Per-node approximate harmonic centrality (operators.graph.
     harmonic_centrality — the HyperBall application of hyperanf):
@@ -4323,6 +4334,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "dataset_fingerprint": q_dataset_fingerprint,
         "doc_bpe": q_doc_bpe,
+        "clustering_coeff": q_clustering_coeff,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5164,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
                                              linkage_score_sql,
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql,
+                                             clustering_coefficient_sql,
                                              effective_diameter_sql,
                                              harmonic_centrality_sql,
                                              hits_sql,
@@ -5747,6 +5760,7 @@ def oracle_sql() -> dict[str, str]:
             pr_edges, iters=3, p=6),
         "effective_diameter": effective_diameter_sql(
             hyperanf_sql(pr_edges, iters=4, p=5), q=0.9),
+        "clustering_coeff": clustering_coefficient_sql(pr_edges),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

@@ -167,6 +167,7 @@ HEADLINE = [
     "dataset_fingerprint",
     "seasonal_decompose",
     "doc_bpe",
+    "clustering_coeff",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -203,6 +204,7 @@ _POST_R3 = {
     "harmonic_centrality", "mmr_rerank", "sq_topk",
     "effective_diameter", "dataset_fingerprint", "seasonal_decompose",
     "doc_bpe",
+    "clustering_coeff",
 }
 
 GROUPS = {

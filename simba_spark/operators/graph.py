@@ -1802,3 +1802,138 @@ SELECT {Q} AS q,
 FROM __r WHERE __nf >= __target
 ORDER BY __t LIMIT 1
 """
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-node triangle counts and LOCAL clustering coefficient over
+    the undirected graph — lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
+    community-density / spam-farm / bridge-node signal
+    (:func:`triangle_count` gives only the global total). Nodes of
+    degree < 2 have lcc NULL (undefined, not 0 — a leaf isn't
+    "uncluttered", it has no wedge to close). Returns
+    ``(node, degree, triangles, lcc)`` for every node.
+
+    Same degree-ordered orientation as :func:`triangle_count` (wedge
+    intermediate stays O(m^1.5) under hubs); each closed triangle
+    then attributes to ALL THREE corners via one explode, and the
+    per-node count joins back to the degree frame. lcc's division is
+    a fixed expression over exact longs, rounded to ``round_to``.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+    closed = wedges.join(
+        und.select(F.col("a").alias("w1"), F.col("b").alias("w2")),
+        on=["w1", "w2"],
+        how="inner",
+    )
+    per_node = (
+        closed.select(
+            F.explode(F.array("u", "w1", "w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    tri = F.coalesce(F.col("triangles"), F.lit(0))
+    lcc = F.when(
+        F.col("d") >= 2,
+        F.round(
+            (F.lit(2.0) * tri.cast("double"))
+            / (F.col("d").cast("double") * (F.col("d").cast("double") - 1.0)),
+            int(round_to),
+        ),
+    )
+    return (
+        deg.join(per_node, deg["v"] == per_node["node"], "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("d").alias("degree"),
+            tri.alias("triangles"),
+            lcc.alias("lcc"),
+        )
+    )
+
+
+def clustering_coefficient_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`clustering_coefficient` (same
+    orientation, triangle attribution, NULL-below-degree-2 rule)."""
+    return f"""
+WITH __und AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM {edges_sql} WHERE {src} <> {dst}
+),
+__deg AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT a AS v FROM __und UNION ALL SELECT b AS v FROM __und
+  ) GROUP BY v
+),
+__or AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS w
+  FROM __und u
+  JOIN __deg da ON da.v = u.a
+  JOIN __deg db ON db.v = u.b
+),
+__tri AS (
+  SELECT o1.u, o1.w AS w1, o2.w AS w2
+  FROM __or o1 JOIN __or o2 ON o1.u = o2.u AND o1.w < o2.w
+  JOIN __und c ON c.a = o1.w AND c.b = o2.w
+),
+__pn AS (
+  SELECT node, count(*)::BIGINT AS triangles FROM (
+    SELECT u AS node FROM __tri
+    UNION ALL SELECT w1 AS node FROM __tri
+    UNION ALL SELECT w2 AS node FROM __tri
+  ) GROUP BY node
+)
+SELECT d.v AS node, d.d AS degree,
+       coalesce(p.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.d >= 2 THEN
+         round((2.0::DOUBLE * CAST(coalesce(p.triangles, 0) AS DOUBLE))
+               / (CAST(d.d AS DOUBLE) * (CAST(d.d AS DOUBLE) - 1.0::DOUBLE)),
+               {int(round_to)})
+       END AS lcc
+FROM __deg d LEFT JOIN __pn p ON p.node = d.v
+"""

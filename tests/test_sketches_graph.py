@@ -1922,3 +1922,43 @@ def test_effective_diameter_on_hyperanf_path_graph(spark):
         effective_diameter_sql(hyperanf_sql("e", iters=7, p=6), q=0.9)
     ).fetchone()
     assert (got.q, got.effective_diameter) == (o[0], o[1])
+
+
+def test_clustering_coefficient_values_and_parity(spark):
+    import itertools
+
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.graph import (clustering_coefficient,
+                                             clustering_coefficient_sql)
+
+    # K4 + a pendant off node 3 + an open wedge 5-6-7
+    edges = list(itertools.combinations(range(4), 2)) + [(3, 4),
+                                                         (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.degree, r.triangles, r.lcc)
+           for r in clustering_coefficient(df).collect()}
+    assert got[0] == (3, 3, 1.0)
+    assert got[3] == (4, 3, 0.5)      # 3 triangles over C(4,2)=6 wedges
+    assert got[4] == (1, 0, None)     # leaf: undefined, not 0
+    assert got[6] == (2, 0, 0.0)      # open wedge center: defined 0
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    oracle = {r[0]: tuple(r[1:]) for r in
+              con.execute(clustering_coefficient_sql("e")).fetchall()}
+    assert got == oracle
+
+
+def test_clustering_coefficient_sums_to_global_triangles(spark):
+    import random
+
+    from simba_spark.operators.graph import (clustering_coefficient,
+                                             triangle_count)
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    per_node = clustering_coefficient(df)
+    total = triangle_count(df).first()["triangles"]
+    assert per_node.agg(F.sum("triangles")).first()[0] == 3 * total

@@ -3291,6 +3291,17 @@ def q_benford_prices(spark, sf_dir):
     return benford(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit (operators.text.zipf_fit) of the corpus
+    frequency spectrum: OLS of ln(freq) on ln(rank) over the
+    build_vocab ranking (two-phase, never a single-partition window)
+    — the one-row corpus-health diagnostic (natural text ~ -1;
+    templated corpora bend the curve)."""
+    from simba_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), min_count=2)
+
+
 def q_build_vocab(spark, sf_dir):
     """Frequency-ranked vocabulary with stable contiguous ids
     (operators.text.build_vocab): top-50 terms with term_freq >= 3,
@@ -4335,6 +4346,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_fingerprint": q_dataset_fingerprint,
         "doc_bpe": q_doc_bpe,
         "clustering_coeff": q_clustering_coeff,
+        "zipf_fit": q_zipf_fit,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5196,6 +5208,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.retrieval import mmr_rerank_sql
     from simba_spark.operators.text import (bpe_apply_sql,
                                             bpe_train_sql,
+                                            zipf_fit_sql,
                                             pmi_collocations_sql,
                                             token_cooccurrence_sql)
     from simba_spark.operators.sketches import (
@@ -5786,6 +5799,7 @@ def oracle_sql() -> dict[str, str]:
             key_col="event_type", lags=6),
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
         "doc_bpe": bpe_apply_sql("documents", num_merges=8),
+        "zipf_fit": zipf_fit_sql("documents", min_count=2),
         "dataset_fingerprint": dataset_fingerprint_sql(
             "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
                          "l_quantity", "l_returnflag"]),

@@ -168,6 +168,7 @@ HEADLINE = [
     "seasonal_decompose",
     "doc_bpe",
     "clustering_coeff",
+    "zipf_fit",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -205,6 +206,7 @@ _POST_R3 = {
     "effective_diameter", "dataset_fingerprint", "seasonal_decompose",
     "doc_bpe",
     "clustering_coeff",
+    "zipf_fit",
 }
 
 GROUPS = {

@@ -1337,3 +1337,104 @@ SELECT doc_id, length(__tk) AS n_subwords,
        array_to_string(__tk[1:{int(head)}], ' ') AS head_subwords
 FROM __enc
 """
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_rank: Optional[int] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ln(term_freq) against ln(rank) over the frequency-ranked
+    vocabulary — natural corpora slope ≈ −1; a synthetic / templated /
+    heavily-duplicated corpus bends the curve, making (slope, r2) a
+    one-row corpus-health diagnostic next to the per-doc quality
+    scores. Returns ``(n_terms, slope, intercept, r2)``.
+
+    Ranking is :func:`build_vocab`'s deterministic (freq DESC, term
+    ASC) contiguous id (two-phase rank, never a single-partition
+    window); ``max_rank`` fits only the head of the spectrum. The
+    five OLS moment sums are double sums of ln values (order noise
+    ~1e-9 relative — three decades under the 1e-6 output rounding;
+    the gini-lesson magnitude check holds at any vocabulary size
+    because ln stays < 30).
+    """
+    vocab = build_vocab(df, text_col, id_col, min_count=min_count,
+                        max_size=max_rank)
+    x = F.log(F.col("term_id").cast("double") + 1.0)
+    y = F.log(F.col("term_freq").cast("double"))
+    agg = vocab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when(vary > 0, (cov * cov) / (varx * vary))
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )
+
+
+def zipf_fit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_rank: Optional[int] = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`zipf_fit` (same rank convention and
+    fixed OLS expression tree)."""
+    having = (f"HAVING count(*) >= {int(min_count)}"
+              if int(min_count) > 1 else "")
+    cap = (f"WHERE __rk - 1 < {int(max_rank)}"
+           if max_rank is not None else "")
+    return f"""
+WITH __tf AS (
+  SELECT term, count(*)::BIGINT AS f FROM (
+    SELECT unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS term
+    FROM {table}
+  ) WHERE term <> '' GROUP BY 1 {having}
+),
+__rk AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS __rk FROM __tf
+),
+__m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(ln(CAST(__rk - 1 AS DOUBLE) + 1.0::DOUBLE)) AS sx,
+         sum(ln(CAST(f AS DOUBLE))) AS sy,
+         sum(ln(CAST(__rk - 1 AS DOUBLE) + 1.0::DOUBLE)
+             * ln(CAST(__rk - 1 AS DOUBLE) + 1.0::DOUBLE)) AS sxx,
+         sum(ln(CAST(__rk - 1 AS DOUBLE) + 1.0::DOUBLE)
+             * ln(CAST(f AS DOUBLE))) AS sxy,
+         sum(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS syy
+  FROM __rk {cap}
+)
+SELECT n AS n_terms,
+       round((sxy - sx * sy / CAST(n AS DOUBLE))
+             / (sxx - sx * sx / CAST(n AS DOUBLE)), {int(round_to)}) AS slope,
+       round((sy - ((sxy - sx * sy / CAST(n AS DOUBLE))
+                    / (sxx - sx * sx / CAST(n AS DOUBLE))) * sx)
+             / CAST(n AS DOUBLE), {int(round_to)}) AS intercept,
+       round(CASE WHEN (syy - sy * sy / CAST(n AS DOUBLE)) > 0 THEN
+         ((sxy - sx * sy / CAST(n AS DOUBLE))
+          * (sxy - sx * sy / CAST(n AS DOUBLE)))
+         / ((sxx - sx * sx / CAST(n AS DOUBLE))
+            * (syy - sy * sy / CAST(n AS DOUBLE)))
+       END, {int(round_to)}) AS r2
+FROM __m
+"""

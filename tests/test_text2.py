@@ -128,3 +128,28 @@ def test_pmi_collocations_every_document_pair_degenerate(spark):
     ab = [r for r in out if (r.token_a, r.token_b) == ("a", "b")][0]
     assert ab.pmi == 0.0  # p(ab)=p(a)=p(b)=1
     assert ab.npmi is None  # 0/0 — degenerate by contract
+
+
+def test_zipf_fit_recovers_power_law_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.text import zipf_fit, zipf_fit_sql
+
+    words = []
+    for i in range(1, 40):
+        words += [f"w{i:02d}"] * max(1, 1000 // i)
+    corpus = [(j, " ".join(words[j::7])) for j in range(7)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    r = zipf_fit(df).first()
+    # planted 1/rank spectrum: slope near -1, tight fit
+    assert -1.3 < r.slope < -0.7 and r.r2 > 0.9
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    o = con.execute(zipf_fit_sql()).fetchone()
+    assert (r.n_terms, r.slope, r.intercept, r.r2) == tuple(o)
+    # a uniform (templated) corpus: slope ~ 0 head, r2 degenerate or low
+    flat = spark.createDataFrame(
+        [(0, "a b c d e f g h " * 10)], "doc_id long, text string")
+    rf = zipf_fit(flat).first()
+    assert rf.r2 is None or rf.r2 < 0.5 or abs(rf.slope) < 0.2

@@ -3291,6 +3291,43 @@ def q_benford_prices(spark, sf_dir):
     return benford(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators.stats.spearman_corr) of
+    order totalprice vs the order's line count — the monotone
+    association Pearson misreads under outliers. Fractional ranks are
+    exact 0.5-multiples, so the whole statistic is exact arithmetic
+    (no float-order noise class at all)."""
+    from simba_spark.operators.stats import spearman_corr
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    joined = orders.join(cnt, "o_orderkey")
+    return spearman_corr(joined, "o_totalprice", "n_lines")
+
+
+def q_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U test (operators.stats.mannwhitney_u) of event
+    value between click and purchase events — the nonparametric
+    complement to welch_value/ks_value. Rank sums exact, tie
+    correction exact integer arithmetic; z is the engine-portable
+    report."""
+    from simba_spark.operators.stats import mannwhitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mannwhitney_u(ev, "value", "event_type", "click", "purchase")
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (operators.graph.degree_assortativity) of
+    the trade graph — Newman's r over both edge orientations; exact
+    integer moments."""
+    from simba_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_trade_edges(spark, sf_dir))
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf's-law fit (operators.text.zipf_fit) of the corpus
     frequency spectrum: OLS of ln(freq) on ln(rank) over the
@@ -4347,6 +4384,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe": q_doc_bpe,
         "clustering_coeff": q_clustering_coeff,
         "zipf_fit": q_zipf_fit,
+        "spearman": q_spearman,
+        "mannwhitney": q_mannwhitney,
+        "assortativity": q_assortativity,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5189,6 +5229,7 @@ def oracle_sql() -> dict[str, str]:
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql,
                                              clustering_coefficient_sql,
+                                             degree_assortativity_sql,
                                              effective_diameter_sql,
                                              harmonic_centrality_sql,
                                              hits_sql,
@@ -5203,6 +5244,8 @@ def oracle_sql() -> dict[str, str]:
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
     from simba_spark.operators.stats import (chisq_independence_sql,
+                                             mannwhitney_u_sql,
+                                             spearman_corr_sql,
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
     from simba_spark.operators.retrieval import mmr_rerank_sql
@@ -5774,6 +5817,14 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": effective_diameter_sql(
             hyperanf_sql(pr_edges, iters=4, p=5), q=0.9),
         "clustering_coeff": clustering_coefficient_sql(pr_edges),
+        "assortativity": degree_assortativity_sql(pr_edges),
+        "spearman": spearman_corr_sql(
+            "(SELECT o_totalprice, n_lines FROM orders JOIN "
+            "(SELECT l_orderkey AS o_orderkey, count(*) AS n_lines "
+            "FROM lineitem GROUP BY 1) USING (o_orderkey))",
+            "o_totalprice", "n_lines"),
+        "mannwhitney": mannwhitney_u_sql(
+            "events", "value", "event_type", "click", "purchase"),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

@@ -169,6 +169,9 @@ HEADLINE = [
     "doc_bpe",
     "clustering_coeff",
     "zipf_fit",
+    "spearman",
+    "mannwhitney",
+    "assortativity",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -207,6 +210,7 @@ _POST_R3 = {
     "doc_bpe",
     "clustering_coeff",
     "zipf_fit",
+    "spearman", "mannwhitney", "assortativity",
 }
 
 GROUPS = {

@@ -1937,3 +1937,108 @@ SELECT d.v AS node, d.d AS degree,
        END AS lcc
 FROM __deg d LEFT JOIN __pn p ON p.node = d.v
 """
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman's degree assortativity coefficient of the undirected
+    graph — the Pearson correlation of end-point degrees over every
+    edge counted in BOTH orientations: positive = hubs link hubs
+    (social nets), negative = hubs link leaves (hub-and-spoke infra/
+    web), the one-row structural fingerprint next to
+    :func:`clustering_coefficient`. Returns ``(n_edges, r)``;
+    r NULL on degree-regular graphs (zero variance).
+
+    Determinism: degrees are exact longs and every moment sum is
+    integer arithmetic in double range — bit-identical across
+    engines and partitionings.
+
+    Scale: one degree groupBy + two skinny joins onto the
+    (deduplicated) edge frame + ONE five-sum aggregate.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    j = und.join(da, "a").join(db, "b")
+    # both orientations: (da, db) and (db, da) — Newman's symmetric sum
+    pairs = j.select(
+        F.col("da").cast("double").alias("x"),
+        F.col("db").cast("double").alias("y"),
+    ).unionByName(
+        j.select(
+            F.col("db").cast("double").alias("x"),
+            F.col("da").cast("double").alias("y"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("m2").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sx") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    r = F.when(varx > 0, cov / varx)
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(r, int(round_to)).alias("r"),
+    )
+
+
+def degree_assortativity_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`degree_assortativity` (same symmetric
+    pair set and moment tree; x-marginals equal y-marginals by
+    symmetry, exactly as the Spark side exploits)."""
+    return f"""
+WITH __und AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM {edges_sql} WHERE {src} <> {dst}
+),
+__deg AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT a AS v FROM __und UNION ALL SELECT b AS v FROM __und
+  ) GROUP BY v
+),
+__p AS (
+  SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+  FROM __und u JOIN __deg da ON da.v = u.a JOIN __deg db ON db.v = u.b
+  UNION ALL
+  SELECT CAST(db.d AS DOUBLE) AS x, CAST(da.d AS DOUBLE) AS y
+  FROM __und u JOIN __deg da ON da.v = u.a JOIN __deg db ON db.v = u.b
+),
+__m AS (
+  SELECT count(*)::BIGINT AS m2, sum(x) AS sx,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM __p
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       round(CASE WHEN (sxx - sx * sx / CAST(m2 AS DOUBLE)) > 0 THEN
+         (sxy - sx * sx / CAST(m2 AS DOUBLE))
+         / (sxx - sx * sx / CAST(m2 AS DOUBLE))
+       END, {int(round_to)}) AS r
+FROM __m
+"""

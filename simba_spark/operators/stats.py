@@ -1375,3 +1375,267 @@ SELECT c.digit, c.n,
              / (t.N * ([{pb_list}])[c.digit]), {r}) AS chisq_term
 FROM __c c CROSS JOIN __t t
 """
+
+
+def _avg_ranks(rows: DataFrame, col: str, out_col: str) -> DataFrame:
+    """(value, average rank) over the DISTINCT values of ``col`` in
+    ``rows`` — fractional (tie-averaged) ranks, the standard rank
+    transform for Spearman/Mann–Whitney: rank(v) = #smaller + (t+1)/2
+    for a value tied t times. Runs on the skinny distinct-value frame
+    via the two-phase ``running_total`` (never a single-partition
+    window); ranks are exact multiples of 0.5, so every downstream sum
+    is exact in double and engine-identical."""
+    from .pipeline import running_total
+
+    counts = rows.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__t"))
+    c = running_total(counts, "__v", "__t", "__cum")
+    return c.select(
+        F.col("__v"),
+        (
+            (F.col("__cum") - F.col("__t")).cast("double")
+            + (F.col("__t").cast("double") + 1.0) / 2.0
+        ).alias(out_col),
+        F.col("__t").alias(f"{out_col}_t"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation of two columns — Pearson over
+    tie-averaged ranks: the monotone-association screen that survives
+    outliers and nonlinear (but monotone) relations where
+    :func:`corr_matrix`'s Pearson misreads. Pairwise NULL/NaN
+    deletion. Returns one row ``(n, rho)``; rho NULL when either
+    rank set is constant.
+
+    Determinism: fractional ranks are exact multiples of 0.5 and the
+    moment sums of n ranks stay below 2^53 for any realistic n, so
+    the whole computation is EXACT integer-arithmetic-in-double —
+    bit-identical across engines and partitionings (no gini-class
+    order noise at all).
+
+    Scale: two skinny distinct-value rank frames (groupBy + two-phase
+    running_total each), two value joins back (the rank frame is
+    ≤ distinct-values sized — broadcastable for discrete metrics),
+    ONE six-sum Pearson aggregate.
+    """
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    rows = df.filter(
+        a.isNotNull() & b.isNotNull() & ~F.isnan(a) & ~F.isnan(b)
+    ).select(a.alias("__a"), b.alias("__b"))
+    ra = _avg_ranks(rows, "__a", "__ra").select("__v", "__ra") \
+        .withColumnRenamed("__v", "__a")
+    rb = _avg_ranks(rows, "__b", "__rb").select("__v", "__rb") \
+        .withColumnRenamed("__v", "__b")
+    j = rows.join(ra, "__a").join(rb, "__b")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__ra").alias("sx"),
+        F.sum("__rb").alias("sy"),
+        F.sum(F.col("__ra") * F.col("__ra")).alias("sxx"),
+        F.sum(F.col("__ra") * F.col("__rb")).alias("sxy"),
+        F.sum(F.col("__rb") * F.col("__rb")).alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / nD
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / nD
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / nD
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select(
+        F.col("n"), F.round(rho, int(round_to)).alias("rho"))
+
+
+def spearman_corr_sql(
+    from_sql: str,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`spearman_corr` (same tie-averaged
+    ranks and fixed Pearson tree)."""
+    return f"""
+WITH __r AS (
+  SELECT CAST({col_a} AS DOUBLE) AS __a, CAST({col_b} AS DOUBLE) AS __b
+  FROM {from_sql}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+    AND NOT isnan(CAST({col_a} AS DOUBLE))
+    AND NOT isnan(CAST({col_b} AS DOUBLE))
+),
+__ra AS (
+  SELECT __v AS __a,
+         CAST(__cum - __t AS DOUBLE)
+         + (CAST(__t AS DOUBLE) + 1.0::DOUBLE) / 2.0::DOUBLE AS __rka
+  FROM (
+    SELECT __v, __t, sum(__t) OVER (ORDER BY __v) AS __cum FROM (
+      SELECT __a AS __v, count(*)::BIGINT AS __t FROM __r GROUP BY 1)
+  )
+),
+__rb AS (
+  SELECT __v AS __b,
+         CAST(__cum - __t AS DOUBLE)
+         + (CAST(__t AS DOUBLE) + 1.0::DOUBLE) / 2.0::DOUBLE AS __rkb
+  FROM (
+    SELECT __v, __t, sum(__t) OVER (ORDER BY __v) AS __cum FROM (
+      SELECT __b AS __v, count(*)::BIGINT AS __t FROM __r GROUP BY 1)
+  )
+),
+__m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(__rka) AS sx, sum(__rkb) AS sy,
+         sum(__rka * __rka) AS sxx, sum(__rka * __rkb) AS sxy,
+         sum(__rkb * __rkb) AS syy
+  FROM __r JOIN __ra USING (__a) JOIN __rb USING (__b)
+)
+SELECT n,
+       round(CASE WHEN (sxx - sx * sx / CAST(n AS DOUBLE)) > 0
+                   AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0 THEN
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+         / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                * (syy - sy * sy / CAST(n AS DOUBLE)))
+       END, {int(round_to)}) AS rho
+FROM __m
+"""
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two groups —
+    the nonparametric location test that needs no normality where
+    :func:`welch_ttest` does: U from tie-averaged pooled ranks, plus
+    the tie-corrected normal z (compare |z| to 1.96 for ~5%; the
+    asymptotic p needs erf, which Spark SQL lacks — the z statistic
+    is the engine-portable report, exactly as :func:`ks_test` reports
+    its own closed-form p).
+
+    Returns one row ``(n_a, n_b, u_a, u_b, z)``; z NULL when either
+    group is empty or all values are tied.
+
+    Determinism: rank sums are exact 0.5-multiples; the tie
+    correction is exact integer arithmetic; the one sqrt is IEEE
+    correctly-rounded — bit-identical across engines.
+
+    Scale: one skinny pooled distinct-value frame (groupBy + two-phase
+    running_total), per-group rank sums from ONE aggregate over it
+    (never touches input rows again), 1-row output.
+    """
+    from .pipeline import running_total
+
+    x = F.col(val_col).cast("double")
+    filt = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & x.isNotNull() & ~F.isnan(x)
+    )
+    vals = filt.groupBy(x.alias("__v")).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
+        .alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
+        .alias("__cb"),
+    ).withColumn("__t", F.col("__ca") + F.col("__cb"))
+    c = running_total(vals, "__v", "__t", "__cum")
+    rank = (
+        (F.col("__cum") - F.col("__t")).cast("double")
+        + (F.col("__t").cast("double") + 1.0) / 2.0
+    )
+    agg = c.agg(
+        F.sum("__ca").alias("na"),
+        F.sum("__cb").alias("nb"),
+        F.sum(rank * F.col("__ca").cast("double")).alias("ra"),
+        F.sum(
+            (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+            .cast("double")
+        ).alias("ties"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = na + nb
+    ua = F.col("ra") - na * (na + 1.0) / 2.0
+    ub = na * nb - ua
+    var = (na * nb / 12.0) * (
+        (n + 1.0) - F.col("ties") / (n * (n - 1.0))
+    )
+    z = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0) & (var > 0),
+        (ua - na * nb / 2.0) / F.sqrt(var),
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ua, int(round_to)).alias("u_a"),
+        F.round(ub, int(round_to)).alias("u_b"),
+        F.round(z, int(round_to)).alias("z"),
+    )
+
+
+def mannwhitney_u_sql(
+    from_sql: str,
+    val_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`mannwhitney_u` (same ranks, tie
+    correction, and z tree)."""
+    qa = f"'{group_a}'" if isinstance(group_a, str) else repr(group_a)
+    qb = f"'{group_b}'" if isinstance(group_b, str) else repr(group_b)
+    return f"""
+WITH __f AS (
+  SELECT CAST({val_col} AS DOUBLE) AS __v, {group_col} AS __g
+  FROM {from_sql}
+  WHERE {group_col} IN ({qa}, {qb}) AND {val_col} IS NOT NULL
+    AND NOT isnan(CAST({val_col} AS DOUBLE))
+),
+__c AS (
+  SELECT __v,
+         sum(CASE WHEN __g = {qa} THEN 1 ELSE 0 END)::BIGINT AS __ca,
+         sum(CASE WHEN __g = {qb} THEN 1 ELSE 0 END)::BIGINT AS __cb
+  FROM __f GROUP BY 1
+),
+__rk AS (
+  SELECT *, __ca + __cb AS __t,
+         sum(__ca + __cb) OVER (ORDER BY __v) AS __cum
+  FROM __c
+),
+__m AS (
+  SELECT sum(__ca)::BIGINT AS na, sum(__cb)::BIGINT AS nb,
+         sum((CAST(__cum - __t AS DOUBLE)
+              + (CAST(__t AS DOUBLE) + 1.0::DOUBLE) / 2.0::DOUBLE)
+             * CAST(__ca AS DOUBLE)) AS ra,
+         sum(CAST(__t * __t * __t - __t AS DOUBLE)) AS ties
+  FROM __rk
+)
+SELECT na AS n_a, nb AS n_b,
+       round(ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0::DOUBLE)
+                  / 2.0::DOUBLE, {int(round_to)}) AS u_a,
+       round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             - (ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0::DOUBLE)
+                     / 2.0::DOUBLE), {int(round_to)}) AS u_b,
+       round(CASE WHEN na > 0 AND nb > 0 AND
+         (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0::DOUBLE)
+         * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0::DOUBLE)
+            - ties / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                      * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                         - 1.0::DOUBLE))) > 0 THEN
+         ((ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0::DOUBLE)
+                / 2.0::DOUBLE)
+          - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0::DOUBLE)
+         / sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0::DOUBLE)
+                * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0::DOUBLE)
+                   - ties / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                             * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                                - 1.0::DOUBLE))))
+       END, {int(round_to)}) AS z
+FROM __m
+"""

@@ -470,3 +470,115 @@ def test_ohlc_bars_deterministic_and_sql_parity(spark):
         ohlc_sql("t", "ts", "v", key_cols=["k"],
                  tiebreak_col="id")).fetchall()}
     assert got == want
+
+
+# --- Spearman / Mann-Whitney / assortativity ---------------------------------
+
+def test_spearman_corr_values(spark):
+    from simba_spark.operators.stats import spearman_corr
+
+    # perfect monotone (nonlinear) relation: rho exactly 1
+    df = spark.createDataFrame(
+        [(float(i), float(i) ** 3) for i in range(1, 30)], "x double, y double"
+    )
+    assert spearman_corr(df, "x", "y").first().rho == 1.0
+    # perfect inverse: -1
+    dn = spark.createDataFrame(
+        [(float(i), -float(i) ** 3) for i in range(1, 30)], "x double, y double"
+    )
+    assert spearman_corr(dn, "x", "y").first().rho == -1.0
+    # constant column: NULL
+    dc = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(10)], "x double, y double")
+    assert spearman_corr(dc, "x", "y").first().rho is None
+    # pairwise deletion drops NULL/NaN rows
+    dd = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 4.0), (None, 9.0), (3.0, float("nan"))],
+        "x double, y double")
+    assert spearman_corr(dd, "x", "y").first().n == 2
+
+
+def test_spearman_corr_ties_match_reference(spark):
+    from simba_spark.operators.stats import spearman_corr
+
+    # hand-computed tie-averaged ranks: x=[1,2,2,3], y=[10,20,20,40]
+    # ranks x=[1, 2.5, 2.5, 4], y=[1, 2.5, 2.5, 4] -> rho = 1
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)],
+        "x double, y double")
+    assert spearman_corr(df, "x", "y").first().rho == 1.0
+
+
+def test_spearman_corr_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.stats import spearman_corr, spearman_corr_sql
+
+    rng = random.Random(9)
+    rows = [(round(rng.uniform(0, 10), 1), round(rng.uniform(0, 10), 1))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = spearman_corr(df, "x", "y").first()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["x", "y"]))
+    o = con.execute(spearman_corr_sql("t", "x", "y")).fetchone()
+    assert (got.n, got.rho) == tuple(o)
+
+
+def test_mannwhitney_u_reference_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.stats import mannwhitney_u, mannwhitney_u_sql
+
+    # classic worked example: a = [1,2,3], b = [4,5,6] -> U_a = 0
+    rows = [(float(v), "a") for v in (1, 2, 3)] + \
+           [(float(v), "b") for v in (4, 5, 6)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = mannwhitney_u(df, "v", "g", "a", "b").first()
+    assert (r.n_a, r.n_b, r.u_a, r.u_b) == (3, 3, 0.0, 9.0)
+    assert r.z < 0  # group a shifted low
+    # all tied: zero variance -> z NULL
+    dt = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "a"), (1.0, "b")], "v double, g string")
+    assert mannwhitney_u(dt, "v", "g", "a", "b").first().z is None
+    # parity on a larger tied sample
+    import random
+
+    rng = random.Random(4)
+    rows = [(float(rng.randrange(20)), rng.choice("ab")) for _ in range(400)]
+    df2 = spark.createDataFrame(rows, "v double, g string")
+    got = mannwhitney_u(df2, "v", "g", "a", "b").first()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["v", "g"]))
+    o = con.execute(mannwhitney_u_sql("t", "v", "g", "a", "b")).fetchone()
+    assert tuple(got) == tuple(o)
+
+
+def test_degree_assortativity_extremes_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.graph import (degree_assortativity,
+                                             degree_assortativity_sql)
+
+    # star: perfectly disassortative
+    star = [(0, i) for i in range(1, 8)]
+    assert degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long")).first().r == -1.0
+    # regular cycle: zero variance -> NULL
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    assert degree_assortativity(
+        spark.createDataFrame(cyc, "src long, dst long")).first().r is None
+    # random graph: parity
+    rng = random.Random(13)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(100)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = degree_assortativity(df).first()
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    o = con.execute(degree_assortativity_sql("e")).fetchone()
+    assert tuple(got) == tuple(o)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -57,3 +58,30 @@ def write_bucketed(
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*scols)
     w.saveAsTable(table)
+
+
+def file_stats(df: DataFrame, stat_cols=None) -> DataFrame:
+    """Per-input-file row counts (plus optional min/max per stat
+    column) for the files feeding a scan — the SMALL-FILES /
+    compaction diagnostic: at 100 TB, a table fragmented into
+    million-row-free part files wrecks scan parallelism and the
+    driver's file-listing phase long before any operator runs.
+    Returns ``(file_name, n_rows[, <c>_min, <c>_max ...])``, one row
+    per concrete file (basename only — engine/scheme-neutral).
+
+    Scale: one combine-friendly groupBy over ``input_file_name()``;
+    output is file-count-sized. Pair with
+    ``df.repartition(ceil(total/target)).write`` to compact.
+
+    pytest-only by design: the DuckDB oracle's SQL strings are static
+    while the parquet directory is a runtime parameter, so the parity
+    check lives in tests (Spark vs ``read_parquet(..., filename=
+    true)`` over the same directory).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols or []:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name")
+    ).agg(*aggs)

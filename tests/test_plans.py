@@ -504,3 +504,26 @@ def test_round6_late_debut_plan_shapes(spark):
         p = _plan(df)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoop" not in p
+
+
+def test_file_stats_matches_duckdb_filename_scan(spark, sf_dir):
+    duckdb = pytest.importorskip("duckdb")
+
+    from simba_spark.sources import file_stats
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.file_name: (r.n_rows, r.l_orderkey_min, r.l_orderkey_max)
+        for r in file_stats(df, stat_cols=["l_orderkey"]).collect()
+    }
+    con = duckdb.connect()
+    o = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT regexp_extract(filename, '[^/]*$'), count(*), "
+            "min(l_orderkey), max(l_orderkey) "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet', "
+            "filename=true) GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == o and len(got) >= 1

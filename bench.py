@@ -213,9 +213,23 @@ _POST_R3 = {
     "spearman", "mannwhitney", "assortativity",
 }
 
+#: round-8 late additions run in their OWN JVM group: several are
+#: heavy (harmonic_centrality, effective_diameter, bpe) and appending
+#: them to "post" measurably inflated that group's later queries via
+#: in-session GC/cache pressure (hyperanf 10.8 -> 25.1 s with no code
+#: change) — the same drift that motivated group isolation in round 6.
+_R8_LATE = {
+    "bpe_merges", "holt_forecast", "pmi_collocations",
+    "harmonic_centrality", "mmr_rerank", "sq_topk",
+    "effective_diameter", "dataset_fingerprint", "seasonal_decompose",
+    "doc_bpe", "clustering_coeff", "zipf_fit",
+    "spearman", "mannwhitney", "assortativity",
+}
+
 GROUPS = {
     "legacy": [q for q in HEADLINE if q not in _POST_R3],
-    "post": [q for q in HEADLINE if q in _POST_R3],
+    "post": [q for q in HEADLINE if q in _POST_R3 and q not in _R8_LATE],
+    "r8late": [q for q in HEADLINE if q in _R8_LATE],
 }
 
 

@@ -2782,6 +2782,25 @@ def q_volume_anomaly(spark, sf_dir):
     return volume_anomaly(_t(spark, sf_dir, "events"))
 
 
+def q_prf_bm25(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (operators.retrieval.
+    prf_expand composed with bm25_topk): the {hash, join, spark}
+    query expanded with the top-5 idf-discounted terms of its own
+    top-10 feedback docs, then re-ranked — the RM1-style expanded
+    round. The expansion list is a parameter-bounded 5-row collect;
+    the oracle re-derives the identical terms in SQL and runs the
+    term-table-parameterized BM25."""
+    from simba_spark.operators.retrieval import prf_expand
+    from simba_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    orig = ["hash", "join", "spark"]
+    exp = [r.term for r in
+           prf_expand(docs, orig, k_docs=10, k_terms=5)
+           .orderBy(F.desc("weight"), F.asc("term")).collect()]
+    return bm25_topk(docs, orig + exp, k=25)
+
+
 def q_bm25(spark, sf_dir):
     """BM25 ranked retrieval (operators.text.bm25_topk): top-25
     documents for the query {hash, join, spark} under Okapi BM25 with
@@ -4384,6 +4403,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe": q_doc_bpe,
         "clustering_coeff": q_clustering_coeff,
         "zipf_fit": q_zipf_fit,
+        "prf_bm25": q_prf_bm25,
         "spearman": q_spearman,
         "mannwhitney": q_mannwhitney,
         "assortativity": q_assortativity,
@@ -5248,7 +5268,8 @@ def oracle_sql() -> dict[str, str]:
                                              spearman_corr_sql,
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
-    from simba_spark.operators.retrieval import mmr_rerank_sql
+    from simba_spark.operators.retrieval import (mmr_rerank_sql,
+                                                 prf_expand_sql)
     from simba_spark.operators.text import (bpe_apply_sql,
                                             bpe_train_sql,
                                             zipf_fit_sql,
@@ -5768,6 +5789,14 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "prf_bm25": bm25_sql(
+            "documents", [], k=25,
+            terms_sql=(
+                "SELECT term FROM ("
+                + prf_expand_sql("documents", ["hash", "join", "spark"],
+                                 k_docs=10, k_terms=5)
+                + ") UNION SELECT unnest(['hash', 'join', 'spark']) AS term"
+            )),
         "basket_rules": basket_rules_sql(
             "SELECT l.l_orderkey AS bk, p.p_brand AS it FROM lineitem l "
             "JOIN part p ON l.l_partkey = p.p_partkey",

@@ -172,6 +172,7 @@ HEADLINE = [
     "spearman",
     "mannwhitney",
     "assortativity",
+    "prf_bm25",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -210,7 +211,7 @@ _POST_R3 = {
     "doc_bpe",
     "clustering_coeff",
     "zipf_fit",
-    "spearman", "mannwhitney", "assortativity",
+    "spearman", "mannwhitney", "assortativity", "prf_bm25",
 }
 
 #: round-8 late additions run in their OWN JVM group: several are
@@ -223,7 +224,7 @@ _R8_LATE = {
     "harmonic_centrality", "mmr_rerank", "sq_topk",
     "effective_diameter", "dataset_fingerprint", "seasonal_decompose",
     "doc_bpe", "clustering_coeff", "zipf_fit",
-    "spearman", "mannwhitney", "assortativity",
+    "spearman", "mannwhitney", "assortativity", "prf_bm25",
 }
 
 GROUPS = {

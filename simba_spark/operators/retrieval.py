@@ -330,3 +330,138 @@ SELECT selection_rank, __id AS {id_col}, __rel AS {score_col},
 FROM __all{int(k)}
 ORDER BY selection_rank"""
     )
+
+
+def prf_expand(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k_docs: int = 10,
+    k_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-style relevance
+    model, Lavrenko & Croft 2001 family): run BM25, treat the top
+    ``k_docs`` as relevant, and score every term they contain by
+
+        weight(t) = idf(t) · Σ_{d ∈ FB} tf(t, d) / |d|
+
+    (within-feedback term mass, corpus-idf-discounted so stopwords
+    don't win). Returns the top ``k_terms`` NEW terms ``(term,
+    weight)`` — the original query terms are excluded — weight
+    rounded, ties term-asc. Feed them back into :func:`~simba_spark.
+    operators.text.bm25_topk` for the expanded retrieval round.
+
+    Scale: the feedback set is parameter-sized (k_docs ids from one
+    TakeOrdered), so the term-mass pass explodes k_docs documents
+    only; the corpus-side df count runs ONLY for the feedback
+    vocabulary (semi-join before the distinct-count, combine-friendly);
+    N/avgdl ride as 1-row broadcasts; the final top-k_terms is one
+    TakeOrderedAndProject.
+    """
+    from .text import TOKEN_SPLIT_RE, bm25_topk
+
+    terms = [t.lower() for t in query_terms]
+    if int(k_docs) < 1 or int(k_terms) < 1:
+        raise ValueError("k_docs and k_terms must be >= 1")
+    fb = bm25_topk(df, terms, text_col=text_col, id_col=id_col,
+                   k=int(k_docs), k1=k1, b=b)
+    fbids = fb.select(F.col(id_col).alias("__id"))
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    fbt = toks.join(F.broadcast(fbids), "__id")
+    dl = fbt.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    mass = (
+        fbt.groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .join(dl, "__id")
+        .groupBy("term")
+        .agg(F.sum(F.col("__tf").cast("double") / F.col("__dl").cast("double"))
+             .alias("__mass"))
+        .filter(~F.col("term").isin(terms))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = (
+        toks.join(F.broadcast(mass.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("__id").alias("__df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    return (
+        mass.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(idf * F.col("__mass"), int(round_to)).alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(int(k_terms))
+    )
+
+
+def prf_expand_sql(
+    from_sql: str,
+    query_terms: Sequence[str],
+    k_docs: int = 10,
+    k_terms: int = 5,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`prf_expand` — the feedback set comes
+    from the shared :func:`~simba_spark.operators.text.bm25_sql`
+    ranking, then the same idf-discounted term-mass scoring."""
+    from .text import bm25_sql
+
+    fb = bm25_sql(from_sql, query_terms, text_expr=text_expr,
+                  id_expr=id_expr, k=int(k_docs), k1=k1, b=b)
+    terms = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in query_terms)
+    return f"""
+WITH __fb AS MATERIALIZED (SELECT {id_expr} AS __id FROM ({fb})),
+__alltoks AS (
+  SELECT {id_expr} AS __id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+'))
+           AS term
+  FROM {from_sql}
+),
+__tk AS (SELECT __id, term FROM __alltoks WHERE term <> ''),
+__fbt AS (SELECT t.__id, t.term FROM __tk t JOIN __fb USING (__id)),
+__dl AS (SELECT __id, count(*) AS __dl FROM __fbt GROUP BY 1),
+__mass AS (
+  SELECT term,
+         sum(CAST(__tf AS DOUBLE) / CAST(__dl AS DOUBLE)) AS __mass
+  FROM (
+    SELECT f.term, f.__id, count(*) AS __tf FROM __fbt f GROUP BY 1, 2
+  ) JOIN __dl USING (__id)
+  WHERE term NOT IN ({terms})
+  GROUP BY term
+),
+__dfq AS (
+  SELECT t.term, count(DISTINCT t.__id) AS __df
+  FROM __tk t JOIN __mass m ON m.term = t.term
+  GROUP BY 1
+),
+__n AS (SELECT count(*) AS __n FROM {from_sql})
+SELECT m.term,
+       round(ln(1.0 + (n.__n - d.__df + 0.5) / (d.__df + 0.5)) * m.__mass,
+             {int(round_to)}) AS weight
+FROM __mass m JOIN __dfq d USING (term), __n n
+ORDER BY weight DESC, m.term ASC
+LIMIT {int(k_terms)}
+"""

@@ -697,12 +697,23 @@ def bm25_sql(
     b: float = 0.75,
     round_to: int = 6,
     require_all: bool = False,
+    terms_sql: Optional[str] = None,
 ) -> str:
     """DuckDB SQL mirror of :func:`bm25_topk` (same tokenizer, idf
     variant, float expression shapes, doc_id tiebreak, and AND-mode
-    HAVING)."""
-    terms = ", ".join(
-        "'" + t.lower().replace("'", "''") + "'" for t in query_terms
+    HAVING). ``terms_sql`` (a subquery yielding one ``term`` column)
+    replaces the literal term list for DATA-DEPENDENT queries —
+    e.g. pseudo-relevance-feedback expansion, where the oracle must
+    re-derive the expanded terms rather than receive them as
+    literals; ``require_all`` needs the literal form."""
+    if terms_sql is not None and require_all:
+        raise ValueError("terms_sql does not compose with require_all")
+    terms = (
+        f"SELECT term FROM ({terms_sql})"
+        if terms_sql is not None
+        else ", ".join(
+            "'" + t.lower().replace("'", "''") + "'" for t in query_terms
+        )
     )
     return f"""
 WITH __toks AS (

@@ -176,3 +176,64 @@ def test_mmr_rerank_validation(spark):
     for kw in ({"lam": 1.5}, {"k": 0}):
         with pytest.raises(ValueError):
             mmr_rerank(df, **kw)
+
+
+# --- PRF query expansion -----------------------------------------------------
+
+def test_prf_expand_values_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.retrieval import prf_expand, prf_expand_sql
+
+    corpus = [
+        (0, "spark shuffle join hash partition"),
+        (1, "spark join broadcast hash skew"),
+        (2, "spark hash aggregate partial merge"),
+        (3, "cat dog fish bird"),
+        (4, "cat dog tree house"),
+        (5, "spark join shuffle partition skew"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = prf_expand(df, ["spark", "join"], k_docs=3, k_terms=3)
+    got = [(r.term, r.weight) for r in out.collect()]
+    terms = [t for t, _ in got]
+    # expansion never echoes the query, and comes from feedback docs
+    assert "spark" not in terms and "join" not in terms
+    assert set(terms) <= {"shuffle", "hash", "partition", "broadcast",
+                          "skew", "aggregate", "partial", "merge"}
+    # idf discount: 'cat'/'dog' (absent from feedback docs) never appear
+    assert not ({"cat", "dog"} & set(terms))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    o = con.execute(
+        prf_expand_sql("documents", ["spark", "join"], k_docs=3, k_terms=3)
+    ).fetchall()
+    assert got == [tuple(r) for r in o]
+
+
+def test_prf_expand_validation(spark):
+    from simba_spark.operators.retrieval import prf_expand
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        prf_expand(df, ["a"], k_docs=0)
+
+
+def test_bm25_sql_terms_table_matches_literals(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.text import bm25_sql
+
+    corpus = [(i, "alpha beta gamma"[: 5 + 3 * (i % 3)]) for i in range(6)]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    lit = con.execute(bm25_sql("documents", ["alpha", "beta"], k=5)).fetchall()
+    tab = con.execute(
+        bm25_sql("documents", [], k=5,
+                 terms_sql="SELECT unnest(['alpha', 'beta']) AS term")
+    ).fetchall()
+    assert lit == tab
+    with pytest.raises(ValueError):
+        bm25_sql("documents", [], require_all=True, terms_sql="SELECT 'a' AS term")

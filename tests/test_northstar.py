@@ -1265,3 +1265,94 @@ def test_ivf_filtered_search(spark, tmp_path):
         out._jdf.queryExecution(), "formatted")
     assert "PartitionFilters: [" in plan and "__ivf" in plan
     assert all(r["label"] == 1 for r in out.collect())
+
+
+# --- perceptual image hashing ------------------------------------------------
+
+def _phash_fixture():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8).astype(float)
+    for _ in range(3):
+        base = (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                + np.roll(base, 1, 1) + np.roll(base, -1, 1) + base) / 5
+    base = base.astype(np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-8, 9, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    return base, noisy, other
+
+
+def test_phash_noise_robust_and_discriminative(spark):
+    from simba_spark.operators.multimodal import (_phash_bits, encode_bmp,
+                                                  phash_images)
+
+    base, noisy, other = _phash_fixture()
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h0, h1, h2 = _phash_bits(base), _phash_bits(noisy), _phash_bits(other)
+    assert ham(h0, h1) <= 6          # noise barely moves the hash
+    assert ham(h0, h2) >= 20         # unrelated content is far
+    # the distributed op reproduces the local recipe exactly
+    rows = [(0, bytearray(encode_bmp(base))),
+            (1, bytearray(encode_bmp(noisy))),
+            (2, bytearray(encode_bmp(other)))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    hv = {r.doc_id: r.phash
+          for r in phash_images(df, mode="real").collect()}
+    assert hv == {0: h0, 1: h1, 2: h2}
+
+
+def test_phash_dup_pairs_blocking_is_lossless(spark):
+    import random
+
+    from simba_spark.operators.multimodal import phash_dup_pairs
+
+    rng = random.Random(11)
+    # random 64-bit hashes + planted near-dup pairs at hamming 1..4
+    rows = []
+    planted = []
+    for i in range(60):
+        h = rng.getrandbits(64)
+        rows.append((i, h - (1 << 64) if h >= (1 << 63) else h))
+    for j, d in enumerate((1, 2, 3, 4)):
+        src = rows[j][1]
+        flipped = src
+        for bit in rng.sample(range(64), d):
+            flipped ^= (1 << bit)
+        flipped = ((flipped + (1 << 63)) % (1 << 64)) - (1 << 63)
+        rows.append((100 + j, flipped))
+        planted.append((j, 100 + j, d))
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {(r.a_id, r.b_id): r.hamming
+           for r in phash_dup_pairs(df, max_hamming=4).collect()}
+    # every planted pair found at its exact distance (losslessness)
+    for a, b, d in planted:
+        assert got.get((a, b)) == d, (a, b, d, got)
+    # brute-force: no pair within 4 was missed
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (a, b): ham(ha, hb)
+        for (a, ha) in rows for (b, hb) in rows
+        if a < b and ham(ha, hb) <= 4
+    }
+    assert got == brute
+    with pytest.raises(ValueError):
+        phash_dup_pairs(df, max_hamming=20)
+
+
+def test_phash_fake_mode_plumbing(spark):
+    from simba_spark.operators.multimodal import phash_images
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"abc")), (1, bytearray(b"abc")), (2, bytearray(b"xyz"))],
+        "doc_id long, blob binary",
+    )
+    hv = {r.doc_id: r.phash for r in phash_images(df, mode="fake").collect()}
+    assert hv[0] == hv[1] != hv[2]  # deterministic, payload-driven

@@ -2749,6 +2749,16 @@ def q_bloom_join(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month (operators.analytics.stickiness):
+    avg observed-day DAU over MAU from two combine-friendly distinct
+    aggregates — shuffles carry distinct (bucket, user) pairs, never
+    events."""
+    from simba_spark.operators.analytics import stickiness
+
+    return stickiness(_t(spark, sf_dir, "events"))
+
+
 def q_funnel(spark, sf_dir):
     """Ordered-funnel analysis (operators.analytics.funnel): users
     progressing signup → view → click → purchase in timestamp order,
@@ -4404,6 +4414,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "zipf_fit": q_zipf_fit,
         "prf_bm25": q_prf_bm25,
+        "stickiness": q_stickiness,
         "spearman": q_spearman,
         "mannwhitney": q_mannwhitney,
         "assortativity": q_assortativity,
@@ -5268,6 +5279,7 @@ def oracle_sql() -> dict[str, str]:
                                              spearman_corr_sql,
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
+    from simba_spark.operators.analytics import stickiness_sql
     from simba_spark.operators.retrieval import (mmr_rerank_sql,
                                                  prf_expand_sql)
     from simba_spark.operators.text import (bpe_apply_sql,
@@ -5854,6 +5866,7 @@ def oracle_sql() -> dict[str, str]:
             "o_totalprice", "n_lines"),
         "mannwhitney": mannwhitney_u_sql(
             "events", "value", "event_type", "click", "purchase"),
+        "stickiness": stickiness_sql("events"),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

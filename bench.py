@@ -173,6 +173,7 @@ HEADLINE = [
     "mannwhitney",
     "assortativity",
     "prf_bm25",
+    "stickiness",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -212,6 +213,7 @@ _POST_R3 = {
     "clustering_coeff",
     "zipf_fit",
     "spearman", "mannwhitney", "assortativity", "prf_bm25",
+    "stickiness",
 }
 
 #: round-8 late additions run in their OWN JVM group: several are
@@ -225,6 +227,7 @@ _R8_LATE = {
     "effective_diameter", "dataset_fingerprint", "seasonal_decompose",
     "doc_bpe", "clustering_coeff", "zipf_fit",
     "spearman", "mannwhitney", "assortativity", "prf_bm25",
+    "stickiness",
 }
 
 GROUPS = {

@@ -782,3 +782,86 @@ FROM __p GROUP BY path
 ORDER BY n_users DESC, path ASC
 LIMIT {int(k)}
 """
+
+
+def stickiness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the standard engagement
+    ratio (what fraction of the month's actives show up on an average
+    day): ``stickiness = avg(DAU over the month's OBSERVED days) /
+    MAU``. Returns ``(month, days_observed, mau, avg_dau,
+    stickiness)`` — month as its first-day DATE; days with no events
+    don't dilute the average (document the divisor; a calendar-day
+    variant is ``avg_dau * days_observed / days_in_month``).
+
+    Determinism: DAU/MAU are exact distinct counts, avg_dau is one
+    exact-integer division, rounded per the float convention.
+
+    Scale: two combine-friendly distinct aggregates ((day, user) →
+    day counts → month average; (month, user) → MAU) joined on the
+    month — shuffles carry distinct (bucket, user) pairs, not events.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    month = F.date_trunc("month", F.col(ts_col))
+    base = df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+    dau = (
+        base.groupBy(month.alias("__m"), day.alias("__d"))
+        .agg(F.countDistinct(user_col).alias("__dau"))
+        .groupBy("__m")
+        .agg(
+            F.count(F.lit(1)).alias("days_observed"),
+            F.sum("__dau").alias("__dau_sum"),
+        )
+    )
+    mau = base.groupBy(month.alias("__m")).agg(
+        F.countDistinct(user_col).alias("mau"))
+    avg_dau = F.col("__dau_sum").cast("double") / F.col("days_observed").cast("double")
+    return (
+        dau.join(mau, "__m")
+        .select(
+            F.col("__m").cast("date").alias("month"),
+            "days_observed",
+            "mau",
+            F.round(avg_dau, int(round_to)).alias("avg_dau"),
+            F.round(avg_dau / F.col("mau").cast("double"), int(round_to))
+            .alias("stickiness"),
+        )
+    )
+
+
+def stickiness_sql(
+    from_sql: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`stickiness` (same observed-days
+    divisor and fixed division tree)."""
+    return f"""
+WITH __b AS (
+  SELECT CAST(date_trunc('month', {ts_col}) AS DATE) AS __m,
+         date_trunc('day', {ts_col}) AS __d, {user_col} AS __u
+  FROM {from_sql}
+  WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+),
+__dau AS (
+  SELECT __m, count(*)::BIGINT AS days_observed,
+         sum(__dau)::BIGINT AS __dau_sum
+  FROM (SELECT __m, __d, count(DISTINCT __u) AS __dau
+        FROM __b GROUP BY 1, 2)
+  GROUP BY 1
+),
+__mau AS (
+  SELECT __m, count(DISTINCT __u)::BIGINT AS mau FROM __b GROUP BY 1
+)
+SELECT d.__m AS month, d.days_observed, m.mau,
+       round(CAST(d.__dau_sum AS DOUBLE) / CAST(d.days_observed AS DOUBLE),
+             {int(round_to)}) AS avg_dau,
+       round((CAST(d.__dau_sum AS DOUBLE) / CAST(d.days_observed AS DOUBLE))
+             / CAST(m.mau AS DOUBLE), {int(round_to)}) AS stickiness
+FROM __dau d JOIN __mau m ON d.__m = m.__m
+"""

@@ -504,3 +504,36 @@ def test_basket_rules_matches_duckdb(spark):
     )
     want = {(r[0], r[1]): tuple(r[2:]) for r in con.execute(q).fetchall()}
     assert got == want  # bit-for-bit double ratios
+
+
+def test_stickiness_values_and_parity(spark):
+    import datetime as dt
+
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.analytics import stickiness, stickiness_sql
+
+    rows = []
+    for d in range(1, 6):
+        for u in (1, 2, 3):
+            rows.append((f"2024-01-{d:02d} 10:00:00", u))
+    for u in range(10):
+        rows.append((f"2024-02-{u + 1:02d} 09:00:00", 100 + u))
+    rows.append((None, 5))
+    rows.append(("2024-01-02 11:00:00", None))
+    df = spark.createDataFrame(rows, "ts_s string, user_id long").withColumn(
+        "ts", F.to_timestamp("ts_s")).drop("ts_s")
+    got = {str(r.month): (r.days_observed, r.mau, r.avg_dau, r.stickiness)
+           for r in stickiness(df).collect()}
+    # every user every day -> stickiness 1; one-off users -> 1/MAU
+    assert got["2024-01-01"] == (5, 3, 3.0, 1.0)
+    assert got["2024-02-01"] == (10, 10, 1.0, 0.1)
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        [(dt.datetime.fromisoformat(t) if t else None, u) for t, u in rows],
+        columns=["ts", "user_id"])
+    con.register("ev", pdf)
+    o = {str(r[0]): tuple(r[1:])
+         for r in con.execute(stickiness_sql("ev")).fetchall()}
+    assert got == o

@@ -3170,6 +3170,27 @@ def q_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(series, "event_type", period=7)
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend (operators.timeseries.theil_sen) of the
+    daily event-count series per type — the median-of-pairwise-slopes
+    estimator a spiked day cannot bend where linreg_trend's OLS
+    follows it. Pairwise slopes are exact-integer divisions; medians
+    come from sorted-array element arithmetic (fixed tree, no engine
+    median() convention in the loop)."""
+    from simba_spark.operators.timeseries import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return theil_sen(series, "event_type", "bucket", "n_events")
+
+
 def q_holt_forecast(spark, sf_dir):
     """Holt linear-trend forecast (operators.timeseries.holt_forecast)
     of the hourly event-count series per type, 6 hours ahead — the
@@ -4415,6 +4436,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "prf_bm25": q_prf_bm25,
         "stickiness": q_stickiness,
+        "theil_sen": q_theil_sen,
         "spearman": q_spearman,
         "mannwhitney": q_mannwhitney,
         "assortativity": q_assortativity,
@@ -5318,7 +5340,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.text import bm25_sql, phrase_search_sql
     from simba_spark.operators.timeseries import (
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
-        holt_forecast_sql, seasonal_decompose_sql,
+        holt_forecast_sql, seasonal_decompose_sql, theil_sen_sql,
         linreg_series_sql, rollup_sql)
 
     from simba_spark.operators.graph import (hyperanf_sql, k_core_sql,
@@ -5867,6 +5889,10 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney": mannwhitney_u_sql(
             "events", "value", "event_type", "click", "purchase"),
         "stickiness": stickiness_sql("events"),
+        "theil_sen": theil_sen_sql(
+            "SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,"
+            " count(*) AS n_events FROM events GROUP BY 1, 2",
+            key="event_type", bucket="bucket", value="n_events"),
         "personalized_pagerank": personalized_pagerank_sql(
             pr_edges,
             f"(SELECT src AS node FROM {pr_edges} e2 WHERE src % 100 = 0)",

@@ -174,6 +174,7 @@ HEADLINE = [
     "assortativity",
     "prf_bm25",
     "stickiness",
+    "theil_sen",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -213,7 +214,7 @@ _POST_R3 = {
     "clustering_coeff",
     "zipf_fit",
     "spearman", "mannwhitney", "assortativity", "prf_bm25",
-    "stickiness",
+    "stickiness", "theil_sen",
 }
 
 #: round-8 late additions run in their OWN JVM group: several are
@@ -227,7 +228,7 @@ _R8_LATE = {
     "effective_diameter", "dataset_fingerprint", "seasonal_decompose",
     "doc_bpe", "clustering_coeff", "zipf_fit",
     "spearman", "mannwhitney", "assortativity", "prf_bm25",
-    "stickiness",
+    "stickiness", "theil_sen",
 }
 
 GROUPS = {

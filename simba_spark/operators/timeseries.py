@@ -1275,3 +1275,125 @@ SELECT __k AS {key}, __last + h AS {bucket},
 FROM (SELECT * FROM __r WHERE t = n),
      (SELECT unnest(range(1, {int(horizon)} + 1)) AS h)
 """
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    round_to: int = 6,
+    max_points: int = 2000,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend over a bucketed series: slope =
+    MEDIAN of all pairwise slopes (y_j − y_i)/(b_j − b_i), intercept =
+    median of (y − slope·b) — the 29%-breakdown estimator that one
+    spiked bucket cannot bend, where :func:`linreg_series`' OLS
+    follows the outlier. Returns ``(key, n_points, n_pairs, slope,
+    intercept)``; keys with < 2 points have NULL slope.
+
+    Determinism: on count series each pairwise slope is a division of
+    exact integers (bit-identical across engines); medians come from
+    sorted-array element arithmetic (fixed tree, even-length average
+    of the two middles), not an engine median() whose interpolation
+    convention could differ.
+
+    Scale shape: pairs explode per key — O(n²/2) per series — so the
+    per-key series length is the contract (``max_points``, enforced
+    with a distributed raise, keeps a runaway key from exploding a
+    stage; resample/rollup first for long series). A million
+    independent short series parallelize on the key shuffle.
+    """
+    b = F.col(bucket_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(key_col).alias("__k"), b.alias("__b"), v.alias("__v"))
+    npts = base.groupBy("__k").agg(F.count(F.lit(1)).alias("n_points"))
+    guard = F.when(
+        F.col("n_points") <= int(max_points), F.col("n_points")
+    ).otherwise(F.raise_error(F.lit(
+        f"theil_sen: a key has more than {int(max_points)} points — "
+        "resample/rollup the series first")).cast("long"))
+    npts = npts.select("__k", guard.alias("n_points"))
+    a = base.select("__k", F.col("__b").alias("__b1"), F.col("__v").alias("__v1"))
+    c = base.select("__k", F.col("__b").alias("__b2"), F.col("__v").alias("__v2"))
+    pairs = a.join(c, "__k").filter(F.col("__b1") < F.col("__b2")).select(
+        "__k",
+        ((F.col("__v2") - F.col("__v1"))
+         / (F.col("__b2") - F.col("__b1"))).alias("__s"),
+    )
+
+    def _median(arr):
+        n = F.size(arr)
+        mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        mid2 = F.element_at(arr, (n / 2 + 1).cast("int"))
+        return F.when(n % 2 == 1, mid).otherwise(
+            (F.element_at(arr, (n / 2).cast("int")) + mid2) / 2.0)
+
+    slopes = pairs.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.array_sort(F.collect_list("__s")).alias("__sl"),
+    ).select("__k", "n_pairs", _median(F.col("__sl")).alias("__slope"))
+    resid = base.join(slopes, "__k").groupBy("__k").agg(
+        F.array_sort(
+            F.collect_list(F.col("__v") - F.col("__slope") * F.col("__b"))
+        ).alias("__r"),
+    ).select("__k", _median(F.col("__r")).alias("__icept"))
+    return (
+        npts.join(slopes, "__k", "left").join(resid, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_points",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.round(F.col("__slope"), int(round_to)).alias("slope"),
+            F.round(F.col("__icept"), int(round_to)).alias("intercept"),
+        )
+    )
+
+
+def theil_sen_sql(
+    series_sql: str,
+    key: str,
+    bucket: str,
+    value: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`theil_sen` (same pair set and
+    sorted-array median arithmetic)."""
+    med = (
+        "CASE WHEN length({a}) % 2 = 1 "
+        "THEN {a}[CAST((length({a}) + 1) / 2 AS INT)] "
+        "ELSE ({a}[CAST(length({a}) / 2 AS INT)] "
+        "      + {a}[CAST(length({a}) / 2 + 1 AS INT)]) / 2.0::DOUBLE END"
+    )
+    ms = med.format(a="__sl")
+    mr = med.format(a="__r")
+    return f"""
+WITH __s AS (
+  SELECT {key} AS __k, CAST({bucket} AS DOUBLE) AS __b,
+         CAST({value} AS DOUBLE) AS __v
+  FROM ({series_sql}) WHERE {value} IS NOT NULL
+),
+__n AS (SELECT __k, count(*)::BIGINT AS n_points FROM __s GROUP BY 1),
+__sl AS (
+  SELECT __k, count(*)::BIGINT AS n_pairs,
+         list_sort(list((__v2 - __v1) / (__b2 - __b1))) AS __sl
+  FROM (
+    SELECT a.__k, a.__b AS __b1, a.__v AS __v1, c.__b AS __b2, c.__v AS __v2
+    FROM __s a JOIN __s c ON a.__k = c.__k AND a.__b < c.__b
+  ) GROUP BY 1
+),
+__m AS (SELECT __k, n_pairs, {ms} AS __slope FROM __sl),
+__r AS (
+  SELECT s.__k,
+         list_sort(list(s.__v - m.__slope * s.__b)) AS __r
+  FROM __s s JOIN __m m ON s.__k = m.__k GROUP BY 1
+)
+SELECT n.__k AS {key}, n.n_points,
+       coalesce(m.n_pairs, 0) AS n_pairs,
+       round(m.__slope, {int(round_to)}) AS slope,
+       round({mr}, {int(round_to)}) AS intercept
+FROM __n n
+LEFT JOIN __m m ON n.__k = m.__k
+LEFT JOIN __r r ON n.__k = r.__k
+"""

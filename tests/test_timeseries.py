@@ -741,3 +741,50 @@ def test_duckdb_list_reduce_struct_aliasing_still_broken():
     # in-place aliasing gives old_l = 6.0 (the l written this step)
     assert r["l"] == 6.0
     assert r["old_l"] == 6.0
+
+
+# --- Theil–Sen robust trend --------------------------------------------------
+
+def test_theil_sen_resists_outlier_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.timeseries import theil_sen, theil_sen_sql
+
+    rows = [("a", i, 2.0 * i + 1.0) for i in range(10)]
+    rows[5] = ("a", 5, 500.0)  # wild spike
+    rows += [("single", 0, 3.3)]
+    rows += [("even", 0, 1.0), ("even", 1, 3.0), ("even", 2, 4.0),
+             ("even", 3, 9.0)]
+    df = spark.createDataFrame(rows, "k string, bucket long, v double")
+    got = {r.k: (r.n_points, r.n_pairs, r.slope, r.intercept)
+           for r in theil_sen(df, "k", "bucket", "v").collect()}
+    # the outlier does not bend the median slope off the true line
+    assert got["a"][2] == 2.0 and got["a"][3] == 1.0
+    # OLS on the same data DOES bend (the reason this operator exists)
+    from simba_spark.operators.timeseries import linreg_series
+
+    ols = linreg_series(df.filter("k = 'a'"), "k", bucket_col="bucket",
+                        val_col="v").first()
+    assert abs(ols.slope - 2.0) > 1.0
+    # single point: NULLs, zero pairs; even pair count: middle average
+    assert got["single"] == (1, 0, None, None)
+    assert got["even"][1] == 6
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "bucket", "v"]))
+    o = {r[0]: tuple(r[1:]) for r in con.execute(
+        theil_sen_sql("SELECT * FROM t", "k", "bucket", "v")).fetchall()}
+    assert got == o
+
+
+def test_theil_sen_guard_and_invariance(spark):
+    from simba_spark.operators.timeseries import theil_sen
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(30)], "k string, bucket long, v double")
+    with pytest.raises(Exception):
+        theil_sen(df, "k", "bucket", "v", max_points=10).collect()
+    a = sorted(map(tuple, theil_sen(df, "k", "bucket", "v").collect()))
+    b = sorted(map(tuple, theil_sen(
+        df.repartition(7), "k", "bucket", "v").collect()))
+    assert a == b

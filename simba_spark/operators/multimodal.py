@@ -547,19 +547,25 @@ def phash_dup_pairs(
         raise ValueError(f"max_hamming must be in [0, 16]: {max_hamming}")
     parts = h + 1
     width = 64 // parts
+
+    def _slice(i):
+        # the LAST part absorbs the remainder bits (64 - parts*width),
+        # so all 64 bits are keyed by exactly one part — with a plain
+        # 64//parts width the top remainder bits would be keyed by no
+        # part, silently weakening candidate pruning (recall stays
+        # lossless either way; this is a pruning-strength fix)
+        w_i = (64 - i * width) if i == parts - 1 else width
+        shifted = F.shiftrightunsigned(F.col("__h"), i * width)
+        if w_i >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w_i) - 1).cast("long"))
+
     base = hashes.select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
     keys = base.select(
         "__id", "__h",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("p"),
-                # unsigned slice: shift then mask (the top part keeps
-                # its sign bits masked off too)
-                F.shiftrightunsigned(F.col("__h"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                .alias("v"),
-            )
+            F.struct(F.lit(i).alias("p"), _slice(i).alias("v"))
             for i in range(parts)
         ])).alias("__k"),
     ).select("__id", "__h", F.col("__k.p").alias("__p"),

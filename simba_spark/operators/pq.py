@@ -688,6 +688,20 @@ class SQModel:
         self.metric = metric
         self.lo = [float(x) for x in lo]
         self.hi = [float(x) for x in hi]
+        # bounds are inlined as SQL double literals by sq_encode /
+        # sq_adc_col (repr(v)+'D'); a non-finite corpus value would
+        # render as the unparseable 'infD'/'nanD' and fail far from
+        # the root cause — reject it here instead
+        import math
+
+        for name, vals in (("lo", self.lo), ("hi", self.hi)):
+            for i, v in enumerate(vals):
+                if not math.isfinite(v):
+                    raise ValueError(
+                        f"SQModel: non-finite {name}[{i}]={v!r} — the "
+                        "corpus contains an inf/nan embedding value; "
+                        "clean the vectors before sq_train"
+                    )
 
     @property
     def scale(self):

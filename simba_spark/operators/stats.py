@@ -1587,9 +1587,25 @@ def mannwhitney_u_sql(
     round_to: int = 6,
 ) -> str:
     """DuckDB mirror of :func:`mannwhitney_u` (same ranks, tie
-    correction, and z tree)."""
-    qa = f"'{group_a}'" if isinstance(group_a, str) else repr(group_a)
-    qb = f"'{group_b}'" if isinstance(group_b, str) else repr(group_b)
+    correction, and z tree).
+
+    Group labels render as SQL literals via an explicit type map:
+    int/float pass through, bool becomes TRUE/FALSE, everything else
+    (str, date, ...) is single-quoted ``str(...)`` — Python ``repr``
+    would emit invalid SQL for bool/None/date labels.
+    """
+
+    def _lit(v):
+        if v is None:
+            raise ValueError("mannwhitney_u_sql: group label may not be None")
+        if isinstance(v, bool):  # before int: bool is an int subclass
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    qa = _lit(group_a)
+    qb = _lit(group_b)
     return f"""
 WITH __f AS (
   SELECT CAST({val_col} AS DOUBLE) AS __v, {group_col} AS __g

@@ -1357,9 +1357,13 @@ def theil_sen_sql(
     bucket: str,
     value: str,
     round_to: int = 6,
+    max_points: int = 2000,
 ) -> str:
     """DuckDB mirror of :func:`theil_sen` (same pair set and
-    sorted-array median arithmetic)."""
+    sorted-array median arithmetic). Mirrors the Spark side's
+    ``max_points`` contract too — an oversized key raises via
+    ``error()`` instead of silently computing the O(n²) pair
+    explosion, so oracle and engine diverge on NO input class."""
     med = (
         "CASE WHEN length({a}) % 2 = 1 "
         "THEN {a}[CAST((length({a}) + 1) / 2 AS INT)] "
@@ -1374,7 +1378,15 @@ WITH __s AS (
          CAST({value} AS DOUBLE) AS __v
   FROM ({series_sql}) WHERE {value} IS NOT NULL
 ),
-__n AS (SELECT __k, count(*)::BIGINT AS n_points FROM __s GROUP BY 1),
+__n AS (
+  SELECT __k,
+         CASE WHEN count(*) > {int(max_points)}
+              THEN CAST(error('theil_sen: a key has more than '
+                              || '{int(max_points)} points — '
+                              || 'resample/rollup the series first')
+                        AS BIGINT)
+              ELSE count(*)::BIGINT END AS n_points
+  FROM __s GROUP BY 1),
 __sl AS (
   SELECT __k, count(*)::BIGINT AS n_pairs,
          list_sort(list((__v2 - __v1) / (__b2 - __b1))) AS __sl

@@ -1509,6 +1509,12 @@ def streaming_stream_interval_join(
     b_s, b_e = f"{right_prefix}{right_start}", f"{right_prefix}{right_end}"
 
     def bins(df, s, e):
+        # drop NULL start/end first: a NULL would make the guard's
+        # when() condition NULL and fall into the raise_error branch,
+        # poisoning the whole streaming query with a misleading
+        # "longer than max_len" error (the sibling streaming ops
+        # filter NULLs before binning for the same reason)
+        df = df.filter(F.col(s).isNotNull() & F.col(e).isNotNull())
         lo = F.floor(F.unix_timestamp(F.col(s)).cast("double") / w).cast("long")
         hi0 = F.floor(F.unix_timestamp(F.col(e)).cast("double") / w).cast("long")
         # in-plan guards: interval length <= max_len (the state-eviction

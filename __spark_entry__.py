@@ -3925,6 +3925,46 @@ def q_events_ohlc(spark, sf_dir):
                 tiebreak_col="event_id")
 
 
+def q_stream_session_window(spark, sf_dir):
+    """Native session_window gap sessionization driven through the
+    STREAMING kernel (streaming.streaming_session_window_stats) on the
+    batch events frame: the op is one stateful groupBy(session_window)
+    aggregation whose expression tree is identical in batch mode
+    (Catalyst's EliminateEventTimeWatermark drops the watermark node),
+    so this row driver-checks the exact session-merge + integer-cent
+    arithmetic the live stream runs per micro-batch; replayed-stream ≡
+    batch equality is pytest-checked in test_streaming.py. Session
+    rule is the native one: an event exactly ``gap`` after its
+    predecessor starts a NEW session ([t, t+gap) half-open merge)."""
+    from simba_spark.streaming import streaming_session_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = streaming_session_window_stats(
+        ev, ts_col="ts", key_col="user_id", gap="30 minutes",
+        val_col="value")
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "val_sum")
+
+
+def q_stream_ohlc(spark, sf_dir):
+    """Hourly OHLC bars through the STREAMING kernel
+    (streaming.streaming_windowed_ohlc) on the batch events frame —
+    open/close are the algebraic min/max of struct(ts, tiebreak, v)
+    the state store would merge incrementally (vs the batch operator's
+    row_number picks; identical when (ts, tiebreak) is total, which
+    event_id guarantees). One stateful-aggregation-shaped groupBy,
+    exact integer-cent sums; batch parity pytest-checked in
+    test_streaming.py."""
+    from simba_spark.streaming import streaming_windowed_ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    out = streaming_windowed_ohlc(
+        ev, ts_col="ts", val_col="value", key_cols=["event_type"],
+        window="1 hour", tiebreak_col="event_id")
+    return out.select("bucket", "event_type", "open", "high", "low",
+                      "close", "n", "val_sum")
+
+
 def q_impute_events(spark, sf_dir):
     """Per-group mean imputation (pipeline.impute): values deleted on a
     deterministic rule (event_id % 7 == 0) are refilled with their
@@ -4341,13 +4381,37 @@ _DRIVER_QUERY_CAP = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # --- round-8 debuts (new operators this round) ---
+        # --- round-9 debuts: streaming batch-parity driver rows (the
+        #     stream kernels run on the batch frame — identical
+        #     expression trees, pytest-checked replay equality) ---
+        "stream_session_window": q_stream_session_window,
+        "stream_ohlc": q_stream_ohlc,
+        # --- round-9 seated queue: the 18 round-8 late debuts that
+        #     entered extra_queries() locally-green (OPERATORS.md
+        #     round-9 queue), each earning its first driver row ---
+        "seasonal_decompose": q_seasonal_decompose,
+        "bpe_merges": q_bpe_merges,
+        "holt_forecast": q_holt_forecast,
+        "pmi_collocations": q_pmi_collocations,
+        "harmonic_centrality": q_harmonic_centrality,
+        "mmr_rerank": q_mmr_rerank,
+        "sq_topk": q_sq_topk,
+        "effective_diameter": q_effective_diameter,
+        "dataset_fingerprint": q_dataset_fingerprint,
+        "doc_bpe": q_doc_bpe,
+        "clustering_coeff": q_clustering_coeff,
+        "zipf_fit": q_zipf_fit,
+        "prf_bm25": q_prf_bm25,
+        "stickiness": q_stickiness,
+        "theil_sen": q_theil_sen,
+        "spearman": q_spearman,
+        "mannwhitney": q_mannwhitney,
+        "assortativity": q_assortativity,
+        # --- round-8 debuts retained (1 driver green each) ---
         "geo_stream_knn": q_geo_stream_knn,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "incremental_dedup": q_incremental_dedup,
-        # --- round-8 seated queue: the 19 round-7 late debuts that
-        #     entered extra_queries() locally-green (OPERATORS.md
-        #     round-8 queue), each earning its first driver row ---
+        # --- round-8 seatings retained (1 driver green each) ---
         "geo_circle_range": q_geo_circle_range,
         "geo_knn": q_geo_knn,
         "geo_cells": q_geo_cells,
@@ -4367,41 +4431,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": q_events_ohlc,
         "impute_events": q_impute_events,
         "er_resolve": q_er_resolve,
-        # --- re-verification rows: gini_prices was the round-7 red
-        #     (order-dependent double sum, now exact-decimal in both
-        #     engines); hyperanf's physical layout changed this round
-        #     (auto wide/rows router) — both stay to earn greens on
-        #     the NEW code paths ---
+        # --- re-verification rows: gini_prices earns its 2nd green on
+        #     the exact-decimal path; hyperanf's physical plan changes
+        #     AGAIN this round (shared HyperBall sketch pass with
+        #     harmonic_centrality / effective_diameter) so it stays to
+        #     re-earn green on the shared-pass code ---
         "gini_prices": q_gini_prices,
         "hyperanf": q_hyperanf,
-        # --- round-7 window rows retained (1 driver green each; the
-        #     21 most-proven r7 rows rotated to extra_queries to seat
-        #     the queue, per policy) ---
-        "acf_events": q_acf_events,
-        "cusum_events": q_cusum_events,
-        "ks_value": q_ks_value,
-        "welch_value": q_welch_value,
-        "mi_docs": q_mi_docs,
-        "linreg_trend": q_linreg_trend,
+        # --- round-7 bedrock retained (2 driver greens each; the
+        #     other 20 r7 rows rotated to extra_queries() to seat the
+        #     queue — rotation ledger in OPERATORS.md) ---
         "modularity": q_modularity,
-        "build_vocab": q_build_vocab,
-        "bigram_lm": q_bigram_lm,
-        "benford_prices": q_benford_prices,
-        "linkage": q_linkage,
-        "quantile_bin_grouped": q_quantile_bin_grouped,
         "personalized_pagerank": q_personalized_pagerank,
-        "rfm_segments": q_rfm,
-        "rank_normalize": q_rank_normalize,
-        "chisq_events": q_chisq,
-        "rollup_incremental": q_rollup_incremental,
-        "theta_active": q_theta_active,
-        "hybrid_retrieval": q_hybrid_retrieval,
         "edit_dist": q_edit_dist,
-        "basket_rules": q_basket_rules,
-        "adamic_adar": q_adamic_adar,
-        "forecast_events": q_forecast_events,
-        "robust_z": q_robust_z,
-        "psi_drift": q_psi_drift,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "rfm_segments": q_rfm,
         "shortest_paths": q_shortest_paths,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
@@ -4420,26 +4464,29 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
-        # --- round-8 late debuts: locally oracle-green, queued for
-        #     round-9 driver rows ---
-        "seasonal_decompose": q_seasonal_decompose,
-        "bpe_merges": q_bpe_merges,
-        "holt_forecast": q_holt_forecast,
-        "pmi_collocations": q_pmi_collocations,
-        "harmonic_centrality": q_harmonic_centrality,
-        "mmr_rerank": q_mmr_rerank,
-        "sq_topk": q_sq_topk,
-        "effective_diameter": q_effective_diameter,
-        "dataset_fingerprint": q_dataset_fingerprint,
-        "doc_bpe": q_doc_bpe,
-        "clustering_coeff": q_clustering_coeff,
-        "zipf_fit": q_zipf_fit,
-        "prf_bm25": q_prf_bm25,
-        "stickiness": q_stickiness,
-        "theil_sen": q_theil_sen,
-        "spearman": q_spearman,
-        "mannwhitney": q_mannwhitney,
-        "assortativity": q_assortativity,
+        # --- rotated after round 8 with 2 driver greens each (r7+r8)
+        #     to seat the round-9 queue; all re-verified locally by
+        #     every check_oracle.py run ---
+        "acf_events": q_acf_events,
+        "cusum_events": q_cusum_events,
+        "ks_value": q_ks_value,
+        "welch_value": q_welch_value,
+        "mi_docs": q_mi_docs,
+        "linreg_trend": q_linreg_trend,
+        "build_vocab": q_build_vocab,
+        "bigram_lm": q_bigram_lm,
+        "benford_prices": q_benford_prices,
+        "linkage": q_linkage,
+        "quantile_bin_grouped": q_quantile_bin_grouped,
+        "rank_normalize": q_rank_normalize,
+        "chisq_events": q_chisq,
+        "rollup_incremental": q_rollup_incremental,
+        "theta_active": q_theta_active,
+        "basket_rules": q_basket_rules,
+        "adamic_adar": q_adamic_adar,
+        "forecast_events": q_forecast_events,
+        "robust_z": q_robust_z,
+        "psi_drift": q_psi_drift,
         # --- rotated after round 7 with 1 driver green each (r7) to
         #     seat the round-8 queue + debuts; all re-verified locally
         #     by every check_oracle.py run ---
@@ -5571,6 +5618,41 @@ def oracle_sql() -> dict[str, str]:
         "events_ohlc": ohlc_sql("events", "ts", "value",
                                 key_cols=["event_type"],
                                 tiebreak_col="event_id"),
+        # streaming_windowed_ohlc batch-parity row: same OHLC algebra
+        # on hourly tumbling windows (min/max struct(ts, tb, v) ≡
+        # row_number picks when (ts, tb) is total)
+        "stream_ohlc": ohlc_sql(
+            "events", "ts", "value", key_cols=["event_type"],
+            bucket_sql="CAST(date_trunc('hour', {ts}) AS TIMESTAMP)",
+            tiebreak_col="event_id"),
+        # streaming_session_window_stats batch-parity row: native
+        # session_window merge rule — [t, t+gap) half-open windows, so
+        # an event EXACTLY gap after its predecessor starts a NEW
+        # session (>= in the island split, not >)
+        "stream_session_window": """
+            WITH __e AS (
+              SELECT user_id, ts, CAST(value AS DOUBLE) AS __v
+              FROM events WHERE ts IS NOT NULL
+            ), __g AS (
+              SELECT user_id, ts, __v,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS __new
+              FROM __e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), __s AS (
+              SELECT user_id, ts, __v,
+                     sum(__new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS __sid
+              FROM __g
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   CAST(sum(CAST(round(__v * 100.0, 0) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS val_sum
+            FROM __s GROUP BY user_id, __sid
+        """,
         "impute_events": """
             WITH __e AS (
               SELECT event_id, event_type,

@@ -25,7 +25,10 @@ from .ops import (
     streaming_trending_terms,
     streaming_range_filter,
     streaming_stream_distance_join,
+    streaming_stream_interval_join,
     streaming_stream_knn_join,
+    streaming_session_window_stats,
+    streaming_windowed_ohlc,
     windowed_event_counts,
 )
 
@@ -45,7 +48,10 @@ __all__ = [
     "streaming_neardup_flag",
     "streaming_interval_join",
     "streaming_stream_distance_join",
+    "streaming_stream_interval_join",
     "streaming_stream_knn_join",
+    "streaming_session_window_stats",
+    "streaming_windowed_ohlc",
     "streaming_psi",
     "streaming_trending_terms",
     "windowed_event_counts",

@@ -175,6 +175,9 @@ HEADLINE = [
     "prf_bm25",
     "stickiness",
     "theil_sen",
+    # round-9 additions
+    "stream_session_window",
+    "stream_ohlc",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -231,10 +234,23 @@ _R8_LATE = {
     "stickiness", "theil_sen",
 }
 
+#: round-9: the three round-8 debuts that were appended to "post" move
+#: to their own group with the round-9 debuts — appending them to
+#: "post" in round 8 inflated that group's adjacent queries
+#: (geo_knn_join 3.9 -> 5.9 s with no code change, reps rising
+#: monotonically: in-session pressure, the round-6 lesson again).
+#: "post" is now frozen at its round-7 composition.
+_R9 = {
+    "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
+    "stream_session_window", "stream_ohlc",
+}
+
 GROUPS = {
-    "legacy": [q for q in HEADLINE if q not in _POST_R3],
-    "post": [q for q in HEADLINE if q in _POST_R3 and q not in _R8_LATE],
+    "legacy": [q for q in HEADLINE if q not in _POST_R3 and q not in _R9],
+    "post": [q for q in HEADLINE
+             if q in _POST_R3 and q not in _R8_LATE and q not in _R9],
     "r8late": [q for q in HEADLINE if q in _R8_LATE],
+    "r9": [q for q in HEADLINE if q in _R9],
 }
 
 
@@ -296,6 +312,8 @@ def run_group(names: list[str]) -> dict:
     # interleave reps round-robin (rep 0 of every query, then rep 1, ...)
     # so cache-warmth drift hits every query equally instead of making
     # later reps of the same query systematically faster
+    import gc
+
     for rep in range(REPS):
         for name in names:
             fn = qs[name]
@@ -307,6 +325,12 @@ def run_group(names: list[str]) -> dict:
             except Exception as e:  # record the failure, keep benching
                 samples.setdefault(name, []).append(-1.0)
                 print(f"# bench error in {name} rep {rep}: {e}", file=sys.stderr)
+            # drop python refs so ContextCleaner frees the rep's
+            # localCheckpoint blocks — otherwise they accumulate
+            # across reps and inflate later queries in the group
+            # (untimed: runs outside the t0 window)
+            df = None
+            gc.collect()
 
     for name, ts in samples.items():
         good = [t for t in ts if t >= 0]

@@ -586,12 +586,12 @@ def _estimate_theta(left_sample, right_sample, k: int, margin: float) -> float:
     # identity cancels catastrophically in float32 at coordinate scale
     # ~1e4), in SMALL in-place row blocks: large fresh temporaries are
     # page-fault-bound on this class of host (one 320 MB elementwise
-    # pass measured 8+ s; ~16 MB reused blocks run the same math in
-    # ~1 s), and block size caps memory at |B|·|R| doubles regardless
-    # of sample caps
+    # pass measured 8+ s; a cold 33 MB block still cost ~6 s) — ~1 MB
+    # reused blocks run the same math in milliseconds, and block size
+    # caps memory at |B|·|R| doubles regardless of sample caps
     r2 = (R * R).sum(axis=1)
     qs = []
-    B = max(1, (4 << 20) // max(1, len(R)))
+    B = max(1, (1 << 17) // max(1, len(R)))
     for i in range(0, len(L), B):
         Lb = L[i : i + B]
         d2 = Lb @ R.T

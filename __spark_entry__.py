@@ -3029,28 +3029,48 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(_trade_edges(spark, sf_dir))
 
 
+_HYPERBALL_CACHE: dict = {}
+
+
+def _trade_hyperball(spark, sf_dir):
+    """The SHARED HyperBall register trajectory (iters=4, p=6) over
+    the directed trade graph — hyperanf, harmonic_centrality, and
+    effective_diameter all derive from these localCheckpoint'd round
+    frames, so a session running all three pays the merge rounds ONCE
+    (graph.hyperball_sketches; the round-9 factoring VERDICT r8 #3
+    asked for). Memoized per (session, sf_dir) like _LAYOUT_CACHE."""
+    from simba_spark.operators.graph import hyperball_sketches
+
+    key = (id(spark), sf_dir)
+    if key not in _HYPERBALL_CACHE:
+        _HYPERBALL_CACHE[key] = hyperball_sketches(
+            _trade_edges(spark, sf_dir), iters=4, p=6)
+    return _HYPERBALL_CACHE[key]
+
+
 def q_harmonic_centrality(spark, sf_dir):
     """Per-node approximate harmonic centrality (operators.graph.
-    harmonic_centrality — the HyperBall application of hyperanf):
-    H(v) = Σ_t Δ|ball|/t over the directed trade graph, per-node HLL
-    balls in wide register columns, accumulators riding the SAME
-    merge aggregate (no extra join per round)."""
-    from simba_spark.operators.graph import harmonic_centrality
+    hyperball_harmonic — the HyperBall application of hyperanf):
+    H(v) = Σ_t Δ|ball|/t over the directed trade graph for t=1..3 (a
+    prefix of the shared iters=4 trajectory), per-node estimates
+    joined 1:1 on the node key, fixed-order Δ/t fold."""
+    from simba_spark.operators.graph import hyperball_harmonic
 
-    return harmonic_centrality(_trade_edges(spark, sf_dir), iters=3, p=6)
+    return hyperball_harmonic(
+        _trade_hyperball(spark, sf_dir), p=6, iters=3)
 
 
 def q_effective_diameter(spark, sf_dir):
     """Effective diameter (operators.graph.effective_diameter) of the
-    trade graph at q=0.9 from a hyperanf neighborhood function (p=5
-    keeps the register cost half the headline hyperanf row) — the
-    interpolated distance within which 90% of reachable pairs sit,
-    THE statistic the ANF/HyperANF line exists to produce. The (t,
-    nf) input is parameter-sized, so the interpolation window is
-    trivially cheap."""
-    from simba_spark.operators.graph import effective_diameter, hyperanf
+    trade graph at q=0.9 from the SHARED hyperball trajectory's
+    neighborhood function — the interpolated distance within which
+    90% of reachable pairs sit, THE statistic the ANF/HyperANF line
+    exists to produce. The (t, nf) input is parameter-sized, so the
+    interpolation window is trivially cheap."""
+    from simba_spark.operators.graph import (effective_diameter,
+                                             hyperball_nf)
 
-    nf = hyperanf(_trade_edges(spark, sf_dir), iters=4, p=5)
+    nf = hyperball_nf(_trade_hyperball(spark, sf_dir), p=6)
     return effective_diameter(nf, q=0.9)
 
 
@@ -3059,10 +3079,11 @@ def q_hyperanf(spark, sf_dir):
     the directed trade graph: N(t) for t=0..4 from one md5-register
     HLL ball per node, merged along out-edges each round — sketches
     meet graphs; the whole register trajectory is bit-reproducible,
-    so the oracle replays it register-for-register."""
-    from simba_spark.operators.graph import hyperanf
+    so the oracle replays it register-for-register. Consumes the
+    shared trajectory (_trade_hyperball)."""
+    from simba_spark.operators.graph import hyperball_nf
 
-    return hyperanf(_trade_edges(spark, sf_dir), iters=4, p=6)
+    return hyperball_nf(_trade_hyperball(spark, sf_dir), p=6)
 
 
 def q_k_hop(spark, sf_dir):
@@ -5959,8 +5980,10 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf": hyperanf_sql(pr_edges, iters=4, p=6),
         "harmonic_centrality": harmonic_centrality_sql(
             pr_edges, iters=3, p=6),
+        # p=6 since round 9: shares the ONE hyperball trajectory with
+        # hyperanf / harmonic_centrality (was an independent p=5 run)
         "effective_diameter": effective_diameter_sql(
-            hyperanf_sql(pr_edges, iters=4, p=5), q=0.9),
+            hyperanf_sql(pr_edges, iters=4, p=6), q=0.9),
         "clustering_coeff": clustering_coefficient_sql(pr_edges),
         "assortativity": degree_assortativity_sql(pr_edges),
         "spearman": spearman_corr_sql(

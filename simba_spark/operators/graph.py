@@ -1383,10 +1383,39 @@ def hyperanf(
     max-aggregate on the same node key, localCheckpoint'd; no driver
     action in the loop.
     """
-    from functools import reduce as _reduce
-    from operator import add as _add
+    sketches = hyperball_sketches(
+        edges, src=src, dst=dst, iters=iters, p=p, seed=seed,
+        layout=layout, wide_min_edges=wide_min_edges)
+    return hyperball_nf(sketches, p=p, round_to=round_to)
 
-    from .sketches import _hll_alpha, hll_register_cols
+
+def hyperball_sketches(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    p: int = 6,
+    seed: int = 42,
+    layout: str = "auto",
+    wide_min_edges: int = 2_000_000,
+):
+    """The shared HyperBall register trajectory — the ONE expensive
+    pass that :func:`hyperanf`, :func:`harmonic_centrality`, and (via
+    the neighborhood function) :func:`effective_diameter` all consume:
+    per-node HLL ball sketches after 0..``iters`` merge rounds along
+    out-edges. Returns ``(layout, [sk_0, ..., sk_iters])`` where each
+    frame is localCheckpoint'd (lazy), so several consumers in one
+    session pay the round computation ONCE — compute the trajectory,
+    then derive the neighborhood function, per-node centralities, and
+    the effective diameter from the same materialized frames, exactly
+    like persisting the engine's HLL register rows.
+
+    Frame schema by layout (see :func:`hyperanf` for the trade-off):
+    ``wide`` — ``(node, __m0..__m{2^p-1})`` int register columns;
+    ``rows`` — ``(node, __hll_b, __hll_m)`` skinny register rows.
+    Estimates derived from either layout are bit-identical.
+    """
+    from .sketches import hll_register_cols
 
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -1415,8 +1444,22 @@ def hyperanf(
             int(p) > 8 or e.count() < int(wide_min_edges)
         ) else "wide"
     bucket, rho = hll_register_cols("node", seed, p)
+    frames = []
     if layout == "rows":
-        return _hyperanf_rows(e, nodes, bucket, rho, iters, p, round_to)
+        sk = nodes.select(
+            "node", bucket.alias("__hll_b"), rho.alias("__hll_m"))
+        frames.append(sk)
+        for _t in range(1, int(iters) + 1):
+            nb = e.join(sk, e["d"] == sk["node"]).select(
+                F.col("s").alias("node"), "__hll_b", "__hll_m")
+            sk = (
+                sk.unionByName(nb)
+                .groupBy("node", "__hll_b")
+                .agg(F.max("__hll_m").alias("__hll_m"))
+                .localCheckpoint(eager=False)
+            )
+            frames.append(sk)
+        return layout, frames
     mcols = [f"__m{i}" for i in range(m)]
     # rho >= 1 always, so 0 is the safe empty-register sentinel
     sk = nodes.select(
@@ -1424,30 +1467,8 @@ def hyperanf(
         *[F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int")
           .alias(c) for i, c in enumerate(mcols)],
     )
-
-    alpha = _hll_alpha(m)
-    # 2^-reg: exact powers of two in double, bit-identical to the row
-    # form's pow(2.0, -reg); an empty register (0) contributes 2^0 = 1,
-    # exactly the v_zero term of sketches.hll_estimate
-    s_all = _reduce(_add, [
-        F.pow(F.lit(2.0), -F.col(c)) for c in mcols
-    ])
-    n_zero = _reduce(_add, [
-        (F.col(c) == 0).cast("int") for c in mcols
-    ]).cast("double")
-    e_raw = F.lit(alpha * m * m) / s_all
-    est = F.when(
-        (e_raw <= F.lit(2.5 * m)) & (n_zero > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero),
-    ).otherwise(e_raw)
-
-    def nf_frame(s, t):
-        return s.agg(
-            F.round(F.sum(est), int(round_to)).alias("nf")
-        ).select(F.lit(int(t)).alias("t"), "nf")
-
-    out = nf_frame(sk, 0)
-    for t in range(1, int(iters) + 1):
+    frames.append(sk)
+    for _t in range(1, int(iters) + 1):
         nb = e.join(sk, e["d"] == sk["node"]).select(
             F.col("s").alias("node"), *mcols)
         sk = (
@@ -1456,38 +1477,94 @@ def hyperanf(
             .agg(*[F.max(c).alias(c) for c in mcols])
             .localCheckpoint(eager=False)
         )
-        out = out.unionByName(nf_frame(sk, t))
-    return out
+        frames.append(sk)
+    return layout, frames
 
 
-def _hyperanf_rows(e, nodes, bucket, rho, iters, p, round_to):
-    """Row-layout HyperANF rounds (see :func:`hyperanf` layout docs):
-    state is ≤ 2^p skinny (node, bucket, max) rows per node; per round
-    one edges⋈sketch equi-join + one combine-friendly (node, bucket)
-    max-aggregate on the same shuffle key (AQE reuses the exchange)."""
+def _wide_est_col(p: int):
+    """The per-node HLL estimate as ONE Column over 2^p wide register
+    columns — 2^-reg terms are exact powers of two in double, so the
+    value is bit-identical to the row form's
+    :func:`.sketches.hll_estimate` (an empty register (0) contributes
+    2^0 = 1, exactly the v_zero term)."""
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from .sketches import _hll_alpha
+
+    m = 1 << int(p)
+    mcols = [f"__m{i}" for i in range(m)]
+    alpha = _hll_alpha(m)
+    s_all = _reduce(_add, [
+        F.pow(F.lit(2.0), -F.col(c)) for c in mcols
+    ])
+    n_zero = _reduce(_add, [
+        (F.col(c) == 0).cast("int") for c in mcols
+    ]).cast("double")
+    e_raw = F.lit(alpha * m * m) / s_all
+    return F.when(
+        (e_raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero),
+    ).otherwise(e_raw)
+
+
+def _hyperball_node_est(sketches, p: int):
+    """Per-round per-node estimate frames ``[(node, __est), ...]``
+    from a :func:`hyperball_sketches` trajectory, either layout."""
+    layout, frames = sketches
+    if layout == "wide":
+        est = _wide_est_col(p)
+        return [f.select("node", est.alias("__est")) for f in frames]
     from .sketches import hll_estimate
 
-    sk = nodes.select(
-        "node", bucket.alias("__hll_b"), rho.alias("__hll_m"))
+    return [
+        hll_estimate(f, group_by=["node"], p=p)
+        .select("node", F.col("approx_distinct").alias("__est"))
+        for f in frames
+    ]
 
-    def nf_frame(s, t):
-        est = hll_estimate(s, group_by=["node"], p=p)
-        return est.agg(
-            F.round(F.sum("approx_distinct"), int(round_to)).alias("nf")
+
+def hyperball_nf(sketches, p: int = 6, round_to: int = 4) -> DataFrame:
+    """Neighborhood function ``(t, nf)`` from a
+    :func:`hyperball_sketches` trajectory — one combine-friendly sum
+    of per-node estimates per round (what :func:`hyperanf` returns)."""
+    out = None
+    for t, est in enumerate(_hyperball_node_est(sketches, p)):
+        part = est.agg(
+            F.round(F.sum("__est"), int(round_to)).alias("nf")
         ).select(F.lit(int(t)).alias("t"), "nf")
-
-    out = nf_frame(sk, 0)
-    for t in range(1, int(iters) + 1):
-        nb = e.join(sk, e["d"] == sk["node"]).select(
-            F.col("s").alias("node"), "__hll_b", "__hll_m")
-        sk = (
-            sk.unionByName(nb)
-            .groupBy("node", "__hll_b")
-            .agg(F.max("__hll_m").alias("__hll_m"))
-            .localCheckpoint(eager=False)
-        )
-        out = out.unionByName(nf_frame(sk, t))
+        out = part if out is None else out.unionByName(part)
     return out
+
+
+def hyperball_harmonic(
+    sketches, p: int = 6, iters: int = None, round_to: int = 6,
+) -> DataFrame:
+    """Per-node harmonic centrality from a :func:`hyperball_sketches`
+    trajectory: H(v) = Σ_t (|B(v,t)| − |B(v,t−1)|) / t left-folded in
+    fixed order from 0.0 (the exact arithmetic
+    :func:`harmonic_centrality_sql` replays). ``iters`` truncates to a
+    prefix of the trajectory (``None`` = all rounds); per-node round
+    estimates join on the node key — every node appears in every
+    round frame (balls only grow), so the joins are 1:1."""
+    ests = _hyperball_node_est(sketches, p)
+    if iters is not None:
+        if not 1 <= int(iters) < len(ests):
+            raise ValueError(
+                f"iters must be in [1, {len(ests) - 1}]: {iters}")
+        ests = ests[: int(iters) + 1]
+    joined = ests[0].select("node", F.col("__est").alias("__e0"))
+    for t in range(1, len(ests)):
+        joined = joined.join(
+            ests[t].select("node", F.col("__est").alias(f"__e{t}")),
+            "node")
+    acc = F.lit(0.0)
+    for t in range(1, len(ests)):
+        acc = acc + (
+            F.col(f"__e{t}") - F.col(f"__e{t - 1}")
+        ) / F.lit(float(t))
+    return joined.select(
+        "node", F.round(acc, int(round_to)).alias("harmonic"))
 
 
 def hyperanf_sql(
@@ -1573,19 +1650,16 @@ def harmonic_centrality(
     expression both engines evaluate identically — no row-order float
     sum anywhere.
 
-    Scale: the wide-register layout ONLY (p <= 8 — 2^p register
-    columns; the row layout would pay a per-round groupBy + join to
-    carry per-node accumulators that the wide form carries as two
-    extra columns through the SAME merge aggregate): per round ONE
-    edges⋈state equi-join + ONE combine-friendly max-aggregate, the
-    accumulators riding along as max(NULL-for-neighbor-copies);
-    localCheckpoint'd, no driver action in the loop.
+    Scale: rides the SHARED :func:`hyperball_sketches` trajectory
+    (wide register columns at scale, p <= 8 — the estimate expression
+    blows the janino 64 KB codegen limit beyond that): per round ONE
+    edges⋈state equi-join + ONE combine-friendly max-aggregate,
+    localCheckpoint'd, no driver action in the loop; the Δ/t fold is
+    then ``iters`` 1:1 node-key joins over the checkpointed round
+    frames — and a caller holding a trajectory (e.g. one also feeding
+    :func:`hyperanf` / :func:`effective_diameter`) can pass it to
+    :func:`hyperball_harmonic` directly and pay the rounds once.
     """
-    from functools import reduce as _reduce
-    from operator import add as _add
-
-    from .sketches import _hll_alpha, hll_register_cols
-
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if int(p) > 8:
@@ -1596,69 +1670,9 @@ def harmonic_centrality(
     if mode not in ("out", "in"):
         raise ValueError(f"mode must be 'out' or 'in': {mode}")
     s_col, d_col = (src, dst) if mode == "out" else (dst, src)
-    m = 1 << int(p)
-    e = (
-        edges.select(F.col(s_col).alias("s"), F.col(d_col).alias("d"))
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
-    )
-    bucket, rho = hll_register_cols("node", seed, p)
-    mcols = [f"__m{i}" for i in range(m)]
-    alpha = _hll_alpha(m)
-    s_all = _reduce(_add, [F.pow(F.lit(2.0), -F.col(c)) for c in mcols])
-    n_zero = _reduce(
-        _add, [(F.col(c) == 0).cast("int") for c in mcols]
-    ).cast("double")
-    e_raw = F.lit(alpha * m * m) / s_all
-    est = F.when(
-        (e_raw <= F.lit(2.5 * m)) & (n_zero > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero),
-    ).otherwise(e_raw)
-
-    sk = nodes.select(
-        "node",
-        *[F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int")
-          .alias(c) for i, c in enumerate(mcols)],
-    ).withColumn("__prev", est).withColumn(
-        "__score", F.lit(0.0)
-    ).localCheckpoint(eager=False)
-
-    for t in range(1, int(iters) + 1):
-        nb = e.join(sk, e["d"] == sk["node"]).select(
-            F.col("s").alias("node"),
-            *mcols,
-            F.lit(None).cast("double").alias("__prev"),
-            F.lit(None).cast("double").alias("__score"),
-        )
-        merged = (
-            sk.unionByName(nb)
-            .groupBy("node")
-            .agg(
-                *[F.max(c).alias(c) for c in mcols],
-                # each node has exactly ONE original row (accumulators);
-                # neighbor copies carry NULLs that max() ignores
-                F.max("__prev").alias("__prev"),
-                F.max("__score").alias("__score"),
-            )
-        )
-        sk = merged.select(
-            "node",
-            *mcols,
-            est.alias("__prev"),
-            (
-                F.col("__score")
-                + (est - F.col("__prev")) / F.lit(float(t))
-            ).alias("__score"),
-        ).localCheckpoint(eager=False)
-    return sk.select(
-        "node", F.round(F.col("__score"), int(round_to)).alias("harmonic")
-    )
+    sketches = hyperball_sketches(
+        edges, src=s_col, dst=d_col, iters=iters, p=p, seed=seed)
+    return hyperball_harmonic(sketches, p=p, round_to=round_to)
 
 
 def harmonic_centrality_sql(

@@ -56,31 +56,32 @@ def test_oracle_output_types_driver_safe():
     )
 
 
-def test_round8_debuts_lead_the_window():
-    """Newest-first: the 2 round-8 debuts, then the 19-query seated
-    round-8 queue, then the re-verification rows (gini_prices red
-    fixed; hyperanf layout changed) and the retained r7 rows (dict
-    order IS the driver's check order)."""
+def test_round9_debuts_lead_the_window():
+    """Newest-first: the 2 round-9 streaming-parity debuts, then the
+    18-query seated round-8 queue, then the retained r8 rows and the
+    re-verification rows (dict order IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
-    assert head[:3] == ["geo_stream_knn", "ivfpq_residual_topk",
-                        "incremental_dedup"]
+    assert head[:2] == ["stream_session_window", "stream_ohlc"]
     queue = {
+        "seasonal_decompose", "bpe_merges", "holt_forecast",
+        "pmi_collocations", "harmonic_centrality", "mmr_rerank",
+        "sq_topk", "effective_diameter", "dataset_fingerprint",
+        "doc_bpe", "clustering_coeff", "zipf_fit", "prf_bm25",
+        "stickiness", "theil_sen", "spearman", "mannwhitney",
+        "assortativity",
+    }
+    assert set(head[2:20]) == queue
+    r8 = {
+        "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
         "geo_circle_range", "geo_knn", "geo_cells", "tpch_q2",
         "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
         "geo_routed_range", "geo_routed_knn", "events_unpivot",
         "hll_rolling", "scd2_lookup", "theta_rolling", "cm_join_size",
         "impute_median", "events_ohlc", "impute_events", "er_resolve",
     }
-    assert set(head[3:22]) == queue
-    assert {"gini_prices", "hyperanf"} <= set(head[22:])
     retained = {
-        "acf_events", "cusum_events", "ks_value", "welch_value",
-        "mi_docs", "linreg_trend", "modularity", "build_vocab",
-        "bigram_lm", "benford_prices", "linkage",
-        "quantile_bin_grouped", "personalized_pagerank",
-        "rfm_segments", "rank_normalize", "chisq_events",
-        "rollup_incremental", "theta_active", "hybrid_retrieval",
-        "edit_dist", "basket_rules", "adamic_adar", "forecast_events",
-        "robust_z", "psi_drift", "shortest_paths",
+        "gini_prices", "hyperanf",
+        "modularity", "personalized_pagerank", "edit_dist",
+        "hybrid_retrieval", "rfm_segments", "shortest_paths",
     }
-    assert set(head[22:]) == retained | {"gini_prices", "hyperanf"}
+    assert set(head[20:]) == r8 | retained

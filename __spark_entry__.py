@@ -3436,6 +3436,19 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(_t(spark, sf_dir, "documents"), num_merges=8)
 
 
+def q_bpe_merges_sampled(spark, sf_dir):
+    """SAMPLED BPE training (bpe_train(sample_fraction=0.5)) — the
+    100 TB mode: merge ranking learned on a deterministic md5-hash
+    half-sample of the distinct-word table, so each of the num_merges
+    sequential jobs touches a bounded vocabulary slice. Membership
+    depends only on the word hash (engine-portable), so the oracle
+    replays the identical sampled merge table."""
+    from simba_spark.operators.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), num_merges=8,
+                     sample_fraction=0.5)
+
+
 def q_doc_bpe(spark, sf_dir):
     """BPE ENCODING oracle row (operators.text.bpe_apply): the corpus
     is re-tokenized with its own 8 learned merges — per doc the
@@ -4485,6 +4498,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- round-9 late debuts: locally oracle-green, queued for
+        #     round-10 driver rows ---
+        "bpe_merges_sampled": q_bpe_merges_sampled,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -6022,6 +6038,8 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS x FROM events GROUP BY 1, 2)",
             key_col="event_type", lags=6),
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
+        "bpe_merges_sampled": bpe_train_sql(
+            "documents", num_merges=8, sample_fraction=0.5),
         "doc_bpe": bpe_apply_sql("documents", num_merges=8),
         "zipf_fit": zipf_fit_sql("documents", min_count=2),
         "dataset_fingerprint": dataset_fingerprint_sql(

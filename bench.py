@@ -178,6 +178,7 @@ HEADLINE = [
     # round-9 additions
     "stream_session_window",
     "stream_ohlc",
+    "bpe_merges_sampled",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -242,7 +243,7 @@ _R8_LATE = {
 #: "post" is now frozen at its round-7 composition.
 _R9 = {
     "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
-    "stream_session_window", "stream_ohlc",
+    "stream_session_window", "stream_ohlc", "bpe_merges_sampled",
 }
 
 GROUPS = {

@@ -1823,6 +1823,7 @@ def clustering_coefficient(
     src: str = "src",
     dst: str = "dst",
     round_to: int = 6,
+    max_degree: Optional[int] = None,
 ) -> DataFrame:
     """Per-node triangle counts and LOCAL clustering coefficient over
     the undirected graph — lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the
@@ -1837,6 +1838,15 @@ def clustering_coefficient(
     then attributes to ALL THREE corners via one explode, and the
     per-node count joins back to the degree frame. lcc's division is
     a fixed expression over exact longs, rounded to ``round_to``.
+
+    ``max_degree`` (default None = exact everywhere) bounds hub cost
+    the way :func:`adamic_adar`'s cap does: the triangle pass runs on
+    the subgraph INDUCED by nodes of degree <= ``max_degree``, so
+    results are exact for every under-cap node whose triangles don't
+    route through a hub, and over-cap hubs report their true degree
+    with NULL triangles/lcc (marked truncated, never a silently-wrong
+    0) — the standard hub truncation on power-law graphs, where a
+    degree-10^6 hub alone costs ~10^12 wedges.
     """
     und = (
         edges.select(
@@ -1856,6 +1866,19 @@ def clustering_coefficient(
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    if max_degree is not None:
+        cap = int(max_degree)
+        if cap < 2:
+            raise ValueError(f"max_degree must be >= 2: {max_degree}")
+        # induced subgraph: drop every edge touching an over-cap hub
+        # BEFORE the wedge pass (the orientation input and the
+        # closing-edge probe both read this filtered frame)
+        und = (
+            und.join(da.filter(F.col("da") <= cap), "a")
+            .join(db.filter(F.col("db") <= cap), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
     oriented = (
         und.join(da, "a").join(db, "b")
         .select(
@@ -1892,6 +1915,12 @@ def clustering_coefficient(
             int(round_to),
         ),
     )
+    if max_degree is not None:
+        # over-cap hubs: true degree, NULL triangles/lcc (truncated —
+        # their wedges were never enumerated)
+        over = F.col("d") > int(max_degree)
+        tri = F.when(~over, tri)
+        lcc = F.when(~over, lcc)
     return (
         deg.join(per_node, deg["v"] == per_node["node"], "left")
         .select(

@@ -992,6 +992,8 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 8,
     min_word_freq: int = 1,
+    sample_fraction: Optional[float] = None,
+    sample_seed: int = 42,
 ) -> DataFrame:
     """Byte-pair-encoding merge training over a document corpus — the
     tokenizer-learning step of an LLM data pipeline, distributed.
@@ -1017,12 +1019,30 @@ def bpe_train(
     The sequence update is a literal ``replace`` projection
     (whole-stage codegen); lineage is flattened per round with a lazy
     localCheckpoint so round k never replays rounds 1..k-1.
+
+    ``sample_fraction`` (default None = exact) trains merges on a
+    deterministic md5-hash sample of the DISTINCT-WORD table — the
+    100 TB mode: nobody trains a tokenizer's merge ranking on the full
+    corpus vocabulary; frequency-dominant pairs are robust under word
+    subsampling, and membership depends only on the word (the engine's
+    :func:`.pipeline.hash_sample` uniform, seeded), so the sampled
+    merge table is bit-reproducible across runs, partitionings, and
+    engines (``bpe_train_sql`` mirrors the same filter).
     """
     if int(num_merges) < 0:
         raise ValueError("num_merges must be >= 0")
     spark = df.sparkSession
     schema = "merge_rank int, lhs string, rhs string, pair_count long"
-    cur = _bpe_word_seqs(df, text_col, min_word_freq).localCheckpoint(eager=False)
+    cur = _bpe_word_seqs(df, text_col, min_word_freq)
+    if sample_fraction is not None:
+        frac = float(sample_fraction)
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1]: {sample_fraction}")
+        from .pipeline import _unit_hash
+
+        cur = cur.filter(_unit_hash("__seq", int(sample_seed)) < F.lit(frac))
+    cur = cur.localCheckpoint(eager=False)
     merges: list = []
     for rank in range(1, int(num_merges) + 1):
         syms = F.split(
@@ -1118,28 +1138,44 @@ def bpe_train_sql(
     text_col: str = "text",
     num_merges: int = 8,
     min_word_freq: int = 1,
+    sample_fraction: Optional[float] = None,
+    sample_seed: int = 42,
 ) -> str:
     """DuckDB mirror of :func:`bpe_train` — the merge loop unrolled as
     MATERIALIZED CTE chains (each round's sequence table is referenced
     by both the next pair count and the next replace; inlining would
     grow exponentially, the k_core lesson). Same wrap/replace
     sentinels, same HUGEINT->BIGINT cast on the pair count, same
-    (count DESC, lhs, rhs) tie order."""
+    (count DESC, lhs, rhs) tie order, same md5 word-sample filter when
+    ``sample_fraction`` is set."""
     having = (
         f"HAVING count(*) >= {int(min_word_freq)}"
         if int(min_word_freq) > 1
         else ""
     )
+    sample = ""
+    if sample_fraction is not None:
+        frac = float(sample_fraction)
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1]: {sample_fraction}")
+        from .pipeline import unit_hash_sql
+
+        sample = (
+            f" WHERE {unit_hash_sql('__seq', int(sample_seed))}"
+            f" < {frac!r}"
+        )
     sep = "chr(1)||chr(1)"
     ctes = [
         f"""__s0 AS MATERIALIZED (
+  SELECT __seq, __f FROM (
   SELECT regexp_replace(__w, '(.)', chr(1)||'\\1'||chr(1), 'g') AS __seq, __f
   FROM (
     SELECT __w, count(*) AS __f FROM (
       SELECT unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS __w
       FROM {table}
     ) WHERE regexp_matches(__w, '^[a-z]+$') GROUP BY 1 {having}
-  )
+  )){sample}
 )"""
     ]
     for k in range(1, int(num_merges) + 1):

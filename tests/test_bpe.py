@@ -112,6 +112,49 @@ def test_bpe_train_duckdb_parity(spark, corpus_df):
     assert got == oracle
 
 
+def test_bpe_train_sample_fraction(spark, corpus_df):
+    """The sampled path: deterministic, SQL-mirrored, and merge-stable
+    for frequency-dominant pairs (the 100 TB training mode)."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    # dominance robustness: a corpus where one pair ('t','h') carries
+    # overwhelming mass keeps its top merge under 50% word sampling
+    big = [(i, "the this that with math " + w)
+           for i, w in enumerate(
+               ["lower", "wider", "newer", "banana", "zebra", "quartz",
+                "jumps", "vexed", "fjord", "glyph"] * 3)]
+    bdf = spark.createDataFrame(big, "doc_id long, text string")
+    exact = [(r.lhs, r.rhs) for r in bpe_train(bdf, num_merges=3)
+             .orderBy("merge_rank").collect()]
+    samp = [(r.lhs, r.rhs) for r in
+            bpe_train(bdf, num_merges=3, sample_fraction=0.5)
+            .orderBy("merge_rank").collect()]
+    assert exact[0] == ("t", "h")
+    assert samp[0] == ("t", "h")
+
+    # determinism: membership depends only on the word hash
+    again = [(r.lhs, r.rhs) for r in
+             bpe_train(bdf.repartition(5), num_merges=3,
+                       sample_fraction=0.5).orderBy("merge_rank").collect()]
+    assert samp == again
+
+    # SQL mirror replays the identical sampled merge table
+    got = [tuple(r) for r in
+           bpe_train(corpus_df, num_merges=6, sample_fraction=0.7)
+           .orderBy("merge_rank").collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(CORPUS, columns=["doc_id", "text"]))
+    oracle = [tuple(r) for r in con.execute(
+        bpe_train_sql(num_merges=6, sample_fraction=0.7)).fetchall()]
+    assert got == oracle
+
+    with pytest.raises(ValueError):
+        bpe_train(corpus_df, num_merges=2, sample_fraction=0.0)
+    with pytest.raises(ValueError):
+        bpe_train_sql(num_merges=2, sample_fraction=1.5)
+
+
 def test_bpe_train_min_word_freq(spark, corpus_df):
     got = [
         (r.merge_rank, r.lhs, r.rhs, r.pair_count)

@@ -1950,6 +1950,40 @@ def test_clustering_coefficient_values_and_parity(spark):
     assert got == oracle
 
 
+def test_clustering_coefficient_max_degree_cap(spark):
+    import itertools
+    import random
+
+    from simba_spark.operators.graph import clustering_coefficient
+
+    # no node above the cap: capped == exact, row for row
+    rng = random.Random(7)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r.node: (r.degree, r.triangles, r.lcc)
+             for r in clustering_coefficient(df).collect()}
+    capped = {r.node: (r.degree, r.triangles, r.lcc)
+              for r in clustering_coefficient(df, max_degree=100).collect()}
+    assert exact == capped
+
+    # K4 + hub 9 connected to everything: cap below the hub degree
+    # marks the hub NULL (true degree kept) and counts only triangles
+    # in the induced under-cap subgraph
+    k4 = list(itertools.combinations(range(4), 2))
+    hub = [(9, i) for i in range(8)]
+    df2 = spark.createDataFrame(k4 + hub, "src long, dst long")
+    got = {r.node: (r.degree, r.triangles, r.lcc)
+           for r in clustering_coefficient(df2, max_degree=5).collect()}
+    assert got[9] == (8, None, None)          # hub: truncated, not 0
+    assert got[0] == (4, 3, 0.5)              # K4 triangles survive;
+    # degree counts the hub edge, so lcc = 3 / C(4,2) = 0.5
+    assert got[7] == (1, 0, None)             # hub-only leaf
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        clustering_coefficient(df2, max_degree=1)
+
+
 def test_clustering_coefficient_sums_to_global_triangles(spark):
     import random
 

@@ -92,6 +92,13 @@ def main() -> int:
     untracked = subprocess.run(
         ["git", "ls-files", "--others", "--exclude-standard"], cwd=REPO,
         capture_output=True, text=True).stdout.strip().splitlines()
+    # authoritative registry count (round-8 audit nit: a commit message
+    # hand-counted "206" when the registry held 216 — count, don't
+    # narrate)
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as _entry
+
+    n_queries = len({**_entry.queries(), **_entry.extra_queries()})
     stamp = {
         "head": head,
         "tree": tree,
@@ -101,6 +108,7 @@ def main() -> int:
         "elapsed_sec": round(time.time() - t0, 1),
         "pytest": py_tail[0] if py_tail else "",
         "oracles": o_tail[0] if o_tail else "",
+        "n_queries": n_queries,
     }
     with open(os.path.join(REPO, "PREFLIGHT.json"), "w") as f:
         json.dump(stamp, f, indent=2)

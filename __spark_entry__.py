@@ -2970,6 +2970,55 @@ def q_hybrid_retrieval(spark, sf_dir):
     )
 
 
+RETRIEVAL_EVAL_TERMS = ["data", "hash", "join", "spark"]
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Offline retrieval evaluation (operators.retrieval.
+    retrieval_metrics): per-query recall@10 / MRR@10 / nDCG@10 of
+    four single-term BM25 top-15 runs against tf-graded judgments
+    (grade = term frequency capped at 5) — the TREC-style eval loop
+    run in-engine. The four runs come from ONE bm25_topk_batch corpus
+    pass (shared postings/doc-length/idf tables — running bm25_topk
+    per query would re-explode the corpus 4x); candidate lists are
+    bounded (4×15 rows), qrels are judgment-sized, DCG sums fold
+    rank-ordered arrays (never an engine SUM), so both engines replay
+    identical arithmetic."""
+    from simba_spark.operators.retrieval import retrieval_metrics
+    from simba_spark.operators.text import bm25_topk_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk_batch(
+        docs, {t: [t] for t in RETRIEVAL_EVAL_TERMS}, k=15)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    qrels = (
+        toks.filter(F.col("term").isin(RETRIEVAL_EVAL_TERMS))
+        .groupBy(F.col("term").alias("query"), "doc_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(5).cast("long")).alias("grade"))
+    )
+    return retrieval_metrics(ranked, qrels, k=10)
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based language rebalancing (operators.pipeline.
+    temperature_mixture): the mC4/T5 alpha-sampling rule at
+    alpha=0.3 over the documents corpus — source weight count^alpha,
+    largest no-upsampling corpus, md5-hash membership. The keep rate
+    has the closed form min(1, (n_min/n_s)^(1-alpha)) (the weight
+    normalizer cancels), so both engines evaluate one identical
+    div-pow-mul per language; one skinny per-lang count + a
+    zero-shuffle filter."""
+    from simba_spark.operators.pipeline import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "lang", "doc_id", alpha=0.3)
+    return out.select("doc_id", "lang")
+
+
 def _trade_edges(spark, sf_dir):
     """The customer→supplier trade graph shared by the graph-family
     queries (same construction as q_pagerank): distinct (o_custkey,
@@ -4501,6 +4550,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 late debuts: locally oracle-green, queued for
         #     round-10 driver rows ---
         "bpe_merges_sampled": q_bpe_merges_sampled,
+        "retrieval_eval": q_retrieval_eval,
+        "temperature_mixture": q_temperature_mixture,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5378,6 +5429,7 @@ def oracle_sql() -> dict[str, str]:
                                                 rank_normalize_sql,
                                                 split_assign_sql,
                                                 table_diff_sql,
+                                                temperature_mixture_sql,
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
     from simba_spark.operators.stats import (chisq_independence_sql,
@@ -5387,7 +5439,8 @@ def oracle_sql() -> dict[str, str]:
                                              histogram_fixed_sql)
     from simba_spark.operators.analytics import stickiness_sql
     from simba_spark.operators.retrieval import (mmr_rerank_sql,
-                                                 prf_expand_sql)
+                                                 prf_expand_sql,
+                                                 retrieval_metrics_sql)
     from simba_spark.operators.text import (bpe_apply_sql,
                                             bpe_train_sql,
                                             zipf_fit_sql,
@@ -5421,7 +5474,8 @@ def oracle_sql() -> dict[str, str]:
         top_paths_sql, transition_matrix_sql, volume_anomaly_sql,
     )
     from simba_spark.operators.retrieval import rrf_fuse_sql
-    from simba_spark.operators.text import bm25_sql, phrase_search_sql
+    from simba_spark.operators.text import (bm25_batch_sql, bm25_sql,
+                                            phrase_search_sql)
     from simba_spark.operators.timeseries import (
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
         holt_forecast_sql, seasonal_decompose_sql, theil_sen_sql,
@@ -5942,6 +5996,17 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "retrieval_eval": retrieval_metrics_sql(
+            bm25_batch_sql("documents",
+                           {t: [t] for t in RETRIEVAL_EVAL_TERMS}, k=15),
+            ("SELECT term AS query, doc_id,"
+             " CAST(least(count(*), 5) AS BIGINT) AS grade FROM ("
+             "SELECT doc_id, unnest(regexp_split_to_array("
+             "lower(trim(text)), '\\s+')) AS term FROM documents)"
+             " WHERE term IN ("
+             + ", ".join(f"'{t}'" for t in RETRIEVAL_EVAL_TERMS)
+             + ") GROUP BY 1, 2"),
+            k=10),
         "prf_bm25": bm25_sql(
             "documents", [], k=25,
             terms_sql=(
@@ -6040,6 +6105,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
         "bpe_merges_sampled": bpe_train_sql(
             "documents", num_merges=8, sample_fraction=0.5),
+        "temperature_mixture": temperature_mixture_sql(
+            "documents", "lang", "doc_id", alpha=0.3,
+            select="t.doc_id, t.lang"),
         "doc_bpe": bpe_apply_sql("documents", num_merges=8),
         "zipf_fit": zipf_fit_sql("documents", min_count=2),
         "dataset_fingerprint": dataset_fingerprint_sql(

@@ -179,6 +179,8 @@ HEADLINE = [
     "stream_session_window",
     "stream_ohlc",
     "bpe_merges_sampled",
+    "retrieval_eval",
+    "temperature_mixture",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -244,6 +246,7 @@ _R8_LATE = {
 _R9 = {
     "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
     "stream_session_window", "stream_ohlc", "bpe_merges_sampled",
+    "retrieval_eval", "temperature_mixture",
 }
 
 GROUPS = {

@@ -504,6 +504,105 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Temperature-based mixture resampling — :func:`mixture_sample`
+    with the target proportions DERIVED from the data: source s gets
+    weight ``count_s ** alpha`` (the mC4/T5 alpha-sampling rule;
+    public method, Raffel et al. 2020 §2.3 / Conneau et al. 2020).
+    ``alpha = 1`` keeps the natural mix, ``alpha = 0`` forces uniform,
+    and the usual 0.2-0.7 band lifts tail sources (rare languages /
+    small domains) without letting any single head source dominate —
+    the standard knob for multilingual pretraining mixes.
+
+    Like :func:`mixture_sample`, the result is the largest corpus
+    achievable WITHOUT upsampling: the binding source keeps 100% and
+    every other source hash-downsamples to hold the temperature
+    ratios; membership depends only on ``key_col``'s md5-uniform, so
+    the subset is deterministic across runs, partitionings, and
+    engines.
+
+    The no-upsampling rate has a CLOSED FORM — the normalizing weight
+    sum cancels out of the binding-source argmin, leaving
+
+        rate_s = min(1, scale · (n_min / n_s)^(1−alpha))
+
+    (the SMALLEST source binds: flattening can't upsample the tail).
+    Both engines evaluate this identical expression — one IEEE
+    division, one glibc ``pow``, one multiply per source; no float
+    SUM whose accumulation order could differ between engines.
+
+    Scale: one skinny ``groupBy(source).count()`` (#sources rows to
+    the driver — human-scale), then a zero-shuffle filter.
+    """
+    a = float(alpha)
+    if not 0.0 <= a <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    if not 0.0 < float(scale) <= 1.0:
+        raise ValueError("scale must be in (0, 1]")
+    counts = {
+        r["__s"]: int(r["__n"])
+        for r in df.filter(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError("temperature_mixture: no non-NULL source rows")
+    n_min = min(counts.values())
+    rates = {
+        s: min(1.0, float(scale) * (float(n_min) / float(n)) ** (1.0 - a))
+        for s, n in counts.items()
+    }
+    return stratified_sample(
+        df, source_col, rates, key_col, seed=seed, default_rate=0.0)
+
+
+def temperature_mixture_sql(
+    table: str,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+    scale: float = 1.0,
+    select: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixture`: the same
+    closed-form rate ``min(1, scale·(n_min/n_s)^(1−alpha))`` — one
+    division, one glibc ``pow``, one multiply, evaluated in the same
+    order as the driver floats — and membership by the same md5 key
+    uniform."""
+    a = float(alpha)
+    if not 0.0 <= a <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    if not 0.0 < float(scale) <= 1.0:
+        raise ValueError("scale must be in (0, 1]")
+    sc = float(scale)
+    u = unit_hash_sql(f"t.{key_col}", int(seed))
+    return f"""
+WITH __c AS (
+  SELECT {source_col} AS __s, count(*)::BIGINT AS __n
+  FROM {table} WHERE {source_col} IS NOT NULL GROUP BY 1
+), __r AS (
+  SELECT __s,
+         least(1.0::DOUBLE,
+               {sc!r} * pow(CAST(min(__n) OVER () AS DOUBLE)
+                            / CAST(__n AS DOUBLE),
+                            {(1.0 - a)!r})) AS __rate
+  FROM __c
+)
+SELECT {select} FROM {table} t
+JOIN __r ON t.{source_col} = __r.__s
+WHERE {u} < __r.__rate
+"""
+
+
 def group_quota(
     df: DataFrame,
     group_col: str,

@@ -465,3 +465,175 @@ FROM __mass m JOIN __dfq d USING (term), __n n
 ORDER BY weight DESC, m.term ASC
 LIMIT {int(k_terms)}
 """
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    grade_col: str = "grade",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Offline retrieval-quality evaluation: per-query recall@k,
+    MRR@k, and nDCG@k of a ranked candidate frame against graded
+    relevance judgments — the TREC-style eval loop every retrieval
+    stack (BM25 / ANN / hybrid / reranker) is tuned with, run where
+    the rankings live instead of exporting run files.
+
+    ``ranked`` holds ``(query, id, score)`` candidate lists (any
+    per-query depth; ranks are derived ``score DESC, id ASC`` so the
+    order is a deterministic function of the data — rounded upstream
+    scores recommended, the :func:`~simba_spark.operators.text.
+    bm25_topk` convention). ``qrels`` holds ``(query, id, grade)``;
+    rows with grade <= 0 or NULL are non-relevant. Definitions:
+
+    - recall@k  = |relevant ∩ top-k| / |relevant|
+    - MRR@k     = 1 / rank of the first relevant in the top-k (0 if
+      none — the convention that makes the macro average well-defined)
+    - nDCG@k    = DCG@k / IDCG@k with linear gain,
+      DCG = Σ_{r<=k} grade_r / log2(r + 1) (Järvelin & Kekäläinen)
+
+    Queries present in ``ranked`` but absent from ``qrels`` return
+    NULL recall/ndcg (0/0 — unjudged, not zero-quality). Returns
+    ``(query, n_rel, hits_at_k, recall_at_k, mrr_at_k, ndcg_at_k)``.
+
+    Determinism / oracle parity: both DCG sums fold a rank-ORDERED
+    term list from 0.0 (Spark ``aggregate`` over the sorted array;
+    DuckDB ``list_reduce`` over ``list(... ORDER BY rank)``) — never
+    an engine SUM whose accumulation order floats; log2/division are
+    per-row. Scale shape: candidate lists are bounded (k·|Q| rows),
+    qrels are judgment-sized; everything shuffles on the query key
+    once, and the per-query fold state is a <= k-element array.
+    """
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    q, i = "__q", "__i"
+    w = Window.partitionBy(q).orderBy(
+        F.col("__s").desc(), F.col(i).asc())
+    r = (
+        ranked.select(
+            F.col(query_col).alias(q), F.col(id_col).alias(i),
+            F.col(score_col).cast("double").alias("__s"))
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= kk)
+    )
+    g = qrels.select(
+        F.col(query_col).alias(q), F.col(id_col).alias(i),
+        F.col(grade_col).cast("double").alias("__g"),
+    ).filter(F.col("__g") > 0)
+
+    def _fold(term_struct_list):
+        return F.aggregate(
+            F.transform(F.array_sort(term_struct_list), lambda s: s["t"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    j = r.join(g, [q, i], "left").select(
+        q, "__rank", F.coalesce(F.col("__g"), F.lit(0.0)).alias("__gain"))
+    per_q = j.groupBy(q).agg(
+        _fold(F.collect_list(F.struct(
+            F.col("__rank").alias("r"),
+            (F.col("__gain")
+             / F.log2(F.col("__rank").cast("double") + 1.0)).alias("t"),
+        ))).alias("__dcg"),
+        F.min(F.when(F.col("__gain") > 0, F.col("__rank"))).alias("__first"),
+        F.sum((F.col("__gain") > 0).cast("int")).alias("hits_at_k"),
+    )
+    wq = Window.partitionBy(q).orderBy(F.col("__g").desc(), F.col(i).asc())
+    ideal = (
+        g.withColumn("__pos", F.row_number().over(wq))
+        .filter(F.col("__pos") <= kk)
+        .groupBy(q)
+        .agg(_fold(F.collect_list(F.struct(
+            F.col("__pos").alias("r"),
+            (F.col("__g")
+             / F.log2(F.col("__pos").cast("double") + 1.0)).alias("t"),
+        ))).alias("__idcg"))
+    )
+    n_rel = g.groupBy(q).agg(F.count(F.lit(1)).alias("n_rel"))
+    out = (
+        per_q.join(n_rel, q, "left").join(ideal, q, "left")
+        .select(
+            F.col(q).alias(query_col),
+            F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+            "hits_at_k",
+            F.round(
+                F.col("hits_at_k").cast("double") / F.col("n_rel"),
+                int(round_to)).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("__first"), F.lit(0.0)),
+                int(round_to)).alias("mrr_at_k"),
+            F.round(F.col("__dcg") / F.col("__idcg"),
+                    int(round_to)).alias("ndcg_at_k"),
+        )
+    )
+    return out
+
+
+def retrieval_metrics_sql(
+    ranked_sql: str,
+    qrels_sql: str,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    grade_col: str = "grade",
+    k: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`retrieval_metrics` — identical rank
+    derivation, the same rank-ordered ``list_reduce`` DCG folds from
+    0.0, the same NULL conventions."""
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    rt = int(round_to)
+    fold = ("list_reduce(list_prepend(0.0::DOUBLE, "
+            "list({term} ORDER BY {ord})), (acc, x) -> acc + x)")
+    dcg = fold.format(
+        term="__gain / log2(CAST(__rank AS DOUBLE) + 1.0)", ord="__rank")
+    idcg = fold.format(
+        term="__g / log2(CAST(__pos AS DOUBLE) + 1.0)", ord="__pos")
+    return f"""
+WITH __rk AS (
+  SELECT {query_col} AS __q, {id_col} AS __i,
+         row_number() OVER (PARTITION BY {query_col}
+                            ORDER BY CAST({score_col} AS DOUBLE) DESC,
+                                     {id_col} ASC) AS __rank
+  FROM ({ranked_sql})
+), __r AS (SELECT * FROM __rk WHERE __rank <= {kk}),
+__g AS (
+  SELECT {query_col} AS __q, {id_col} AS __i,
+         CAST({grade_col} AS DOUBLE) AS __g
+  FROM ({qrels_sql}) WHERE CAST({grade_col} AS DOUBLE) > 0
+), __j AS (
+  SELECT r.__q, r.__rank, coalesce(g.__g, 0.0::DOUBLE) AS __gain
+  FROM __r r LEFT JOIN __g g ON r.__q = g.__q AND r.__i = g.__i
+), __pq AS (
+  SELECT __q, {dcg} AS __dcg,
+         min(CASE WHEN __gain > 0 THEN __rank END) AS __first,
+         sum(CASE WHEN __gain > 0 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k
+  FROM __j GROUP BY __q
+), __ip AS (
+  SELECT __q, {idcg} AS __idcg FROM (
+    SELECT __q, __g,
+           row_number() OVER (PARTITION BY __q
+                              ORDER BY __g DESC, __i ASC) AS __pos
+    FROM __g
+  ) WHERE __pos <= {kk} GROUP BY __q
+), __nr AS (SELECT __q, count(*)::BIGINT AS n_rel FROM __g GROUP BY __q)
+SELECT p.__q AS {query_col},
+       coalesce(n.n_rel, 0) AS n_rel,
+       p.hits_at_k,
+       round(CAST(p.hits_at_k AS DOUBLE) / n.n_rel, {rt}) AS recall_at_k,
+       round(coalesce(1.0::DOUBLE / p.__first, 0.0::DOUBLE), {rt})
+         AS mrr_at_k,
+       round(p.__dcg / i.__idcg, {rt}) AS ndcg_at_k
+FROM __pq p
+LEFT JOIN __nr n ON p.__q = n.__q
+LEFT JOIN __ip i ON p.__q = i.__q
+"""

@@ -750,6 +750,176 @@ LIMIT {int(k)}
 """
 
 
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    query_col: str = "query",
+) -> DataFrame:
+    """BATCH BM25: the top-``k`` documents for EVERY query in
+    ``queries`` ({query_id: [terms, ...]}) from ONE corpus pass — the
+    eval-harness / query-log shape where running
+    :func:`bm25_topk` per query re-explodes the corpus |Q| times.
+    Same scoring (Lucene non-negative idf, per-term df over the whole
+    corpus), same rounded-score ``(score DESC, id ASC)`` order; ties
+    across queries share one postings table, one doc-length table,
+    one idf table over the UNION of query terms.
+
+    Returns ``(query, doc_id, score)``, <= k rows per query.
+
+    Scale shape: the term filter still lands before the tf
+    aggregation (the shuffle carries the union-of-queries postings
+    only); the (query, term) map is a literal-broadcast frame
+    (|Q|·|terms| rows — human-scale); per-query top-k is a window
+    over the scored candidates, which total O(|Q| · postings).
+    """
+    if not queries:
+        raise ValueError("queries must be a non-empty {id: [terms]} dict")
+    qmap = []
+    for qid, terms in sorted(queries.items()):
+        tl = [t.lower() for t in terms]
+        if not tl or len(set(tl)) != len(tl):
+            raise ValueError(
+                f"query {qid!r}: terms must be non-empty and distinct")
+        qmap.extend((str(qid), t) for t in tl)
+    all_terms = sorted({t for _, t in qmap})
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qmap, f"{query_col} string, term string")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("term", "__id")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    scalars = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        dl.agg(F.avg("__dl").alias("__avgdl"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ).alias("__idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(F.broadcast(qdf), "term")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            query_col,
+            "__id",
+            (
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(query_col, "__id")
+        .agg(F.sum("__s").alias("__score"))
+        .select(
+            query_col,
+            F.col("__id").alias(id_col),
+            F.round("__score", round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
+def bm25_batch_sql(
+    from_sql: str,
+    queries: dict,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    query_col: str = "query",
+) -> str:
+    """DuckDB SQL mirror of :func:`bm25_topk_batch` (one corpus pass,
+    same idf/df over the union of query terms, same per-query
+    window top-k)."""
+    if not queries:
+        raise ValueError("queries must be a non-empty {id: [terms]} dict")
+    rows = []
+    for qid, terms in sorted(queries.items()):
+        for t in terms:
+            tq = t.lower().replace("'", "''")
+            qq = str(qid).replace("'", "''")
+            rows.append(f"('{qq}', '{tq}')")
+    values = ", ".join(rows)
+    return f"""
+WITH __qm({query_col}, term) AS (VALUES {values}),
+__toks AS (
+  SELECT {id_expr} AS __id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS term
+  FROM {from_sql}
+), __tk AS (SELECT __id, term FROM __toks WHERE term <> ''),
+__dl AS (SELECT __id, count(*) AS __dl FROM __tk GROUP BY 1),
+__tf AS (
+  SELECT term, __id, count(*) AS __tf FROM __tk
+  WHERE term IN (SELECT DISTINCT term FROM __qm) GROUP BY 1, 2
+),
+__sc AS (
+  SELECT (SELECT count(*) FROM {from_sql}) AS __n,
+         (SELECT avg(__dl) FROM __dl) AS __avgdl
+),
+__idf AS (
+  SELECT term,
+         ln(1.0 + (s.__n - count(*) + 0.5) / (count(*) + 0.5)) AS __idf
+  FROM __tf, __sc s GROUP BY term, s.__n
+),
+__scored AS (
+  SELECT q.{query_col}, t.__id,
+         round(sum(i.__idf * (t.__tf * ({k1!r} + 1.0))
+                   / (t.__tf + {k1!r} * (1.0 - {b!r}
+                      + {b!r} * d.__dl / s.__avgdl))),
+               {int(round_to)}) AS score
+  FROM __tf t
+  JOIN __idf i USING (term)
+  JOIN __qm q USING (term)
+  JOIN __dl d USING (__id)
+  CROSS JOIN __sc s
+  GROUP BY q.{query_col}, t.__id
+)
+SELECT {query_col}, __id AS {id_expr}, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY {query_col}
+                               ORDER BY score DESC, __id ASC) AS __rn
+  FROM __scored
+) WHERE __rn <= {int(k)}
+"""
+
+
 def phrase_search(
     df: DataFrame,
     phrase: str,

@@ -730,3 +730,66 @@ def test_dataset_fingerprint_duckdb_parity(spark):
     con.register("t", pd.DataFrame(rows, columns=["k", "s", "v"]))
     o = con.execute(dataset_fingerprint_sql("t", ["k", "s", "v"])).fetchone()
     assert (got.n_rows, got.content_hash) == tuple(o)
+
+
+# --- temperature_mixture ------------------------------------------------------
+
+def test_temperature_mixture_semantics(spark):
+    from simba_spark.operators.pipeline import temperature_mixture
+
+    rows = ([(i, "en") for i in range(900)]
+            + [(i + 1000, "fr") for i in range(90)]
+            + [(i + 2000, "sw") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # alpha=1 keeps the natural mix (every rate 1.0)
+    nat = temperature_mixture(df, "lang", "doc_id", alpha=1.0)
+    assert nat.count() == 1000
+
+    # alpha=0 forces uniform: every source downsampled to ~n_min
+    import collections
+    uni = collections.Counter(
+        r.lang for r in
+        temperature_mixture(df, "lang", "doc_id", alpha=0.0).collect())
+    assert uni["sw"] == 10                       # binding source keeps 100%
+    assert 2 <= uni["fr"] <= 22 and 2 <= uni["en"] <= 25  # ~10 each
+
+    # intermediate alpha sits between: en keeps (10/900)^0.5 ~ 10.5%
+    mid = collections.Counter(
+        r.lang for r in
+        temperature_mixture(df, "lang", "doc_id", alpha=0.5).collect())
+    assert uni["en"] < mid["en"] < 900
+
+    # determinism across partitioning
+    a = sorted(r.doc_id for r in
+               temperature_mixture(df, "lang", "doc_id", alpha=0.5).collect())
+    b = sorted(r.doc_id for r in
+               temperature_mixture(df.repartition(13), "lang", "doc_id",
+                                   alpha=0.5).collect())
+    assert a == b
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_mixture(df, "lang", "doc_id", alpha=1.5)
+
+
+def test_temperature_mixture_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.pipeline import (temperature_mixture,
+                                                temperature_mixture_sql)
+
+    rows = ([(i, "en") for i in range(300)]
+            + [(i + 1000, "fr") for i in range(70)]
+            + [(i + 2000, "sw") for i in range(13)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted((r.doc_id, r.lang) for r in
+                 temperature_mixture(df, "lang", "doc_id", alpha=0.3)
+                 .select("doc_id", "lang").collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    oracle = sorted(map(tuple, con.execute(temperature_mixture_sql(
+        "docs", "lang", "doc_id", alpha=0.3,
+        select="t.doc_id, t.lang")).fetchall()))
+    assert got == oracle

@@ -237,3 +237,102 @@ def test_bm25_sql_terms_table_matches_literals(spark):
     assert lit == tab
     with pytest.raises(ValueError):
         bm25_sql("documents", [], require_all=True, terms_sql="SELECT 'a' AS term")
+
+
+# --- retrieval_metrics (nDCG / MRR / recall @ k) ------------------------------
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from simba_spark.operators.retrieval import retrieval_metrics
+
+    # q1: ranked d1(3.0) d2(2.0) d3(1.0); relevant: d1 grade 3, d3 grade 1,
+    #     d9 grade 2 (never retrieved)
+    ranked = spark.createDataFrame(
+        [("q1", "d1", 3.0), ("q1", "d2", 2.0), ("q1", "d3", 1.0),
+         ("q2", "d1", 1.0), ("q2", "d2", 0.5)],
+        ["query", "doc_id", "score"],
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 3), ("q1", "d3", 1), ("q1", "d9", 2),
+         ("q3", "d1", 1)],  # q3 judged but never ranked: absent from output
+        ["query", "doc_id", "grade"],
+    )
+    out = {r.query: r for r in
+           retrieval_metrics(ranked, qrels, k=3).collect()}
+    q1 = out["q1"]
+    assert q1.n_rel == 3 and q1.hits_at_k == 2
+    assert q1.recall_at_k == round(2 / 3, 6)
+    assert q1.mrr_at_k == 1.0
+    dcg = 3 / math.log2(2) + 0 / math.log2(3) + 1 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert q1.ndcg_at_k == round(dcg / idcg, 6)
+    # q2: no judgments at all -> NULL recall/ndcg, mrr 0
+    q2 = out["q2"]
+    assert q2.n_rel == 0 and q2.hits_at_k == 0
+    assert q2.recall_at_k is None and q2.ndcg_at_k is None
+    assert q2.mrr_at_k == 0.0
+    assert "q3" not in out
+
+
+def test_retrieval_metrics_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.retrieval import (retrieval_metrics,
+                                                 retrieval_metrics_sql)
+
+    rng = random.Random(3)
+    ranked = [(f"q{i % 5}", f"d{rng.randrange(40)}", round(rng.random(), 4))
+              for i in range(120)]
+    ranked = list({(q, d): (q, d, s) for q, d, s in ranked}.values())
+    qrels = [(f"q{i % 5}", f"d{rng.randrange(40)}", rng.randrange(0, 4))
+             for i in range(60)]
+    qrels = list({(q, d): (q, d, g) for q, d, g in qrels}.values())
+    rdf = spark.createDataFrame(ranked, ["query", "doc_id", "score"])
+    gdf = spark.createDataFrame(qrels, ["query", "doc_id", "grade"])
+    got = sorted(map(tuple, retrieval_metrics(rdf, gdf, k=7).collect()))
+    con = duckdb.connect()
+    con.register("rk", pd.DataFrame(ranked, columns=["query", "doc_id", "score"]))
+    con.register("qr", pd.DataFrame(qrels, columns=["query", "doc_id", "grade"]))
+    oracle = sorted(map(tuple, con.execute(retrieval_metrics_sql(
+        "SELECT * FROM rk", "SELECT * FROM qr", k=7)).fetchall()))
+    assert got == oracle
+
+
+def test_bm25_topk_batch_matches_single(spark):
+    from simba_spark.operators.text import bm25_topk, bm25_topk_batch
+
+    corpus = [(i, ("alpha beta " * (i % 4)) + ("gamma " * (i % 3)) + "delta")
+              for i in range(30)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    batch = bm25_topk_batch(
+        df, {"a": ["alpha"], "ab": ["alpha", "beta"], "g": ["gamma"]}, k=8)
+    for qid, terms in [("a", ["alpha"]), ("ab", ["alpha", "beta"]),
+                       ("g", ["gamma"])]:
+        single = [(r.doc_id, r.score)
+                  for r in bm25_topk(df, terms, k=8).collect()]
+        got = [(r.doc_id, r.score)
+               for r in batch.filter(F.col("query") == qid)
+               .orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+        assert got == single, qid
+
+
+def test_bm25_batch_sql_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.text import bm25_batch_sql, bm25_topk_batch
+
+    corpus = [(i, ("alpha beta " * (i % 4)) + ("gamma " * (i % 3)) + "delta")
+              for i in range(30)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = {"a": ["alpha"], "ab": ["alpha", "beta"], "g": ["gamma"]}
+    got = sorted(map(tuple,
+                     bm25_topk_batch(df, queries, k=8).collect()))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    oracle = sorted(map(tuple, con.execute(
+        bm25_batch_sql("documents", queries, k=8)).fetchall()))
+    assert got == oracle

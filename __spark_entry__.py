@@ -3019,6 +3019,19 @@ def q_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_trunc_recall(spark, sf_dir):
+    """Matryoshka truncation evaluation (operators.similarity.
+    truncation_recall): recall@10 of prefix-width-{8,16,32} cosine
+    top-k against the full 64-d top-k for the 8 lowest-id query
+    vectors — the offline storage/latency knob for MRL embeddings and
+    IVF/PQ input widths. One broadcast-query corpus-linear pass per
+    width, bounded windows, rounded-sim deterministic rank order."""
+    from simba_spark.operators.similarity import truncation_recall
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return truncation_recall(embs, [8, 16, 32], k=10)
+
+
 def _trade_edges(spark, sf_dir):
     """The customer→supplier trade graph shared by the graph-family
     queries (same construction as q_pagerank): distinct (o_custkey,
@@ -4552,6 +4565,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_sampled": q_bpe_merges_sampled,
         "retrieval_eval": q_retrieval_eval,
         "temperature_mixture": q_temperature_mixture,
+        "trunc_recall": q_trunc_recall,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5424,6 +5438,7 @@ def oracle_sql() -> dict[str, str]:
                                              pagerank_sql,
                                              shortest_paths_sql,
                                              triangle_count_sql)
+    from simba_spark.operators.similarity import truncation_recall_sql
     from simba_spark.operators.pipeline import (dataset_fingerprint_sql,
                                                 quantile_bin_sql,
                                                 rank_normalize_sql,
@@ -6108,6 +6123,8 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": temperature_mixture_sql(
             "documents", "lang", "doc_id", alpha=0.3,
             select="t.doc_id, t.lang"),
+        "trunc_recall": truncation_recall_sql(
+            "embeddings", [8, 16, 32], k=10),
         "doc_bpe": bpe_apply_sql("documents", num_merges=8),
         "zipf_fit": zipf_fit_sql("documents", min_count=2),
         "dataset_fingerprint": dataset_fingerprint_sql(

@@ -181,6 +181,7 @@ HEADLINE = [
     "bpe_merges_sampled",
     "retrieval_eval",
     "temperature_mixture",
+    "trunc_recall",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -246,7 +247,7 @@ _R8_LATE = {
 _R9 = {
     "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
     "stream_session_window", "stream_ohlc", "bpe_merges_sampled",
-    "retrieval_eval", "temperature_mixture",
+    "retrieval_eval", "temperature_mixture", "trunc_recall",
 }
 
 GROUPS = {

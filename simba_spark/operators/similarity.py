@@ -525,3 +525,134 @@ def knn_join_vectors(
         .filter(F.col("rank") <= int(k))
         .select("a_id", "b_id", "cosine_sim", "rank")
     )
+
+
+def truncation_recall(
+    df: DataFrame,
+    dims: Sequence[int],
+    k: int = 10,
+    n_queries: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: for each prefix width
+    ``d`` in ``dims``, the recall@k of cosine top-k computed on the
+    FIRST ``d`` dimensions against the full-width top-k — the offline
+    answer to "how many dims can we drop before retrieval degrades",
+    the storage/latency knob for MRL embeddings (Kusupati et al. 2022,
+    public method) and for deciding an IVF/PQ input width.
+
+    Queries are the ``n_queries`` lowest-id vectors (deterministic,
+    self-match excluded); per (query, d) recall = |trunc-topk ∩
+    full-topk| / k. Returns ``(query_id, d_trunc, recall_at_k)``.
+
+    Scale: each width is one corpus-linear pass — the query frame is
+    a broadcast, similarity is codegen'd higher-order arithmetic,
+    per-query top-k a bounded window; nothing quadratic in the corpus.
+    Ranking uses the engine's rounded-sim (sim DESC, id ASC) order so
+    both engines pick identical top-k sets.
+    """
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    widths = sorted({int(d) for d in dims})
+    if not widths or widths[0] < 1:
+        raise ValueError(f"dims must be positive: {dims}")
+    q = df.filter(F.col(id_col) < int(n_queries)).select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+    c = df.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("__cid") != F.col("__qid"))
+
+    def topk(d):
+        if d is None:
+            a, b = F.col("__cv"), F.col("__qv")
+        else:
+            a = F.slice(F.col("__cv"), 1, int(d))
+            b = F.slice(F.col("__qv"), 1, int(d))
+        sim = F.round(cosine_similarity(a, b), 6)
+        w = Window.partitionBy("__qid").orderBy(
+            sim.desc(), F.col("__cid").asc())
+        return (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= kk)
+            .select("__qid", "__cid")
+        )
+
+    full = topk(None)
+    out = None
+    for d in widths:
+        hit = topk(d).join(full, ["__qid", "__cid"]).groupBy("__qid").agg(
+            F.count(F.lit(1)).alias("__hits"))
+        part = (
+            q.select("__qid").join(hit, "__qid", "left")
+            .select(
+                F.col("__qid").alias("query_id"),
+                F.lit(int(d)).alias("d_trunc"),
+                F.round(
+                    F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                    / F.lit(float(kk)),
+                    int(round_to)).alias("recall_at_k"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def truncation_recall_sql(
+    table: str = "embeddings",
+    dims: Sequence[int] = (8, 16, 32),
+    k: int = 10,
+    n_queries: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`truncation_recall` — list slicing on
+    the DOUBLE-cast vectors, the same rounded-sim rank order, one
+    top-k CTE per width."""
+    kk = int(k)
+    widths = sorted({int(d) for d in dims})
+    if not widths or widths[0] < 1 or kk < 1:
+        raise ValueError(f"bad dims/k: {dims}, {k}")
+
+    def topk_cte(name, sl):
+        return f"""{name} AS MATERIALIZED (
+  SELECT __qid, __cid FROM (
+    SELECT q.__qid, c.__cid,
+           row_number() OVER (
+             PARTITION BY q.__qid
+             ORDER BY round(list_cosine_similarity(
+                        (c.__cv){sl}, (q.__qv){sl}), 6) DESC,
+                      c.__cid ASC) AS __rn
+    FROM __c c, __q q WHERE c.__cid <> q.__qid
+  ) WHERE __rn <= {kk}
+)"""
+
+    ctes = [
+        f"""__q AS MATERIALIZED (
+  SELECT {id_col} AS __qid, {vec_col}::DOUBLE[] AS __qv
+  FROM {table} WHERE {id_col} < {int(n_queries)}
+)""",
+        f"""__c AS MATERIALIZED (
+  SELECT {id_col} AS __cid, {vec_col}::DOUBLE[] AS __cv FROM {table}
+)""",
+        topk_cte("__full", ""),
+    ]
+    selects = []
+    for d in widths:
+        ctes.append(topk_cte(f"__t{d}", f"[1:{int(d)}]"))
+        selects.append(f"""
+SELECT q.__qid AS query_id, {int(d)} AS d_trunc,
+       round(CAST(coalesce(h.__hits, 0) AS DOUBLE)
+             / CAST({float(kk)!r} AS DOUBLE), {int(round_to)})
+         AS recall_at_k
+FROM __q q LEFT JOIN (
+  SELECT t.__qid, count(*)::BIGINT AS __hits
+  FROM __t{d} t JOIN __full f
+    ON t.__qid = f.__qid AND t.__cid = f.__cid
+  GROUP BY 1
+) h ON q.__qid = h.__qid""")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nUNION ALL\n".join(selects))

@@ -336,3 +336,34 @@ def test_bm25_batch_sql_parity(spark):
     oracle = sorted(map(tuple, con.execute(
         bm25_batch_sql("documents", queries, k=8)).fetchall()))
     assert got == oracle
+
+
+# --- truncation_recall (Matryoshka eval) --------------------------------------
+
+def test_truncation_recall_semantics_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.similarity import (truncation_recall,
+                                                  truncation_recall_sql)
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = truncation_recall(df, [4, 16], k=5, n_queries=4)
+    got = sorted(map(tuple, out.collect()))
+    # full-width "truncation" is the ground truth itself: recall 1.0
+    assert all(r == 1.0 for q, d, r in got if d == 16)
+    # 4 queries x 2 widths
+    assert len(got) == 8
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        rows, columns=["vec_id", "embedding"]))
+    oracle = sorted(map(tuple, con.execute(truncation_recall_sql(
+        "embeddings", [4, 16], k=5, n_queries=4)).fetchall()))
+    assert got == oracle
+    with pytest.raises(ValueError):
+        truncation_recall(df, [], k=5)
+    with pytest.raises(ValueError):
+        truncation_recall(df, [4], k=0)

@@ -3019,6 +3019,19 @@ def q_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_kn_trigram_lm(spark, sf_dir):
+    """Interpolated Kneser–Ney trigram scoring (operators.text.
+    kn_trigram_lm_score): per-doc mean trigram log-likelihood under
+    the corpus's own KN model (D=0.75) — continuation counts make
+    repeated-collocation boilerplate score low where add-α bigram
+    smoothing is fooled. One trigram explode + five vocabulary-scaled
+    count tables joined back on skinny keys; sum-to-1 normalization
+    property asserted in tests."""
+    from simba_spark.operators.text import kn_trigram_lm_score
+
+    return kn_trigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_trunc_recall(spark, sf_dir):
     """Matryoshka truncation evaluation (operators.similarity.
     truncation_recall): recall@10 of prefix-width-{8,16,32} cosine
@@ -4566,6 +4579,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "temperature_mixture": q_temperature_mixture,
         "trunc_recall": q_trunc_recall,
+        "kn_trigram_lm": q_kn_trigram_lm,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5458,6 +5472,7 @@ def oracle_sql() -> dict[str, str]:
                                                  retrieval_metrics_sql)
     from simba_spark.operators.text import (bpe_apply_sql,
                                             bpe_train_sql,
+                                            kn_trigram_lm_sql,
                                             zipf_fit_sql,
                                             pmi_collocations_sql,
                                             token_cooccurrence_sql)
@@ -6125,6 +6140,7 @@ def oracle_sql() -> dict[str, str]:
             select="t.doc_id, t.lang"),
         "trunc_recall": truncation_recall_sql(
             "embeddings", [8, 16, 32], k=10),
+        "kn_trigram_lm": kn_trigram_lm_sql("documents"),
         "doc_bpe": bpe_apply_sql("documents", num_merges=8),
         "zipf_fit": zipf_fit_sql("documents", min_count=2),
         "dataset_fingerprint": dataset_fingerprint_sql(

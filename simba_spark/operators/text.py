@@ -1126,6 +1126,192 @@ def bigram_lm_score(
     return scored
 
 
+def kn_trigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean trigram log-likelihood under the corpus's own
+    interpolated Kneser–Ney model (Kneser & Ney 1995 / Chen & Goodman
+    1999 — the standard n-gram smoothing) — the step up from
+    :func:`bigram_lm_score`: KN's CONTINUATION counts score a word by
+    how many contexts it follows, so boilerplate that repeats one
+    high-frequency collocation ("click here click here") stops looking
+    fluent, the classic add-α failure.
+
+    With D = ``discount`` and all statistics from the corpus itself:
+
+        P(w3|w1w2) = max(c(w1w2w3)−D, 0)/c(w1w2·)
+                     + D·N1+(w1w2·)/c(w1w2·) · P(w3|w2)
+        P(w3|w2)   = max(N1+(·w2w3)−D, 0)/N1+(·w2·)
+                     + D·N1+(w2·•)/N1+(·w2·) · P(w3)
+        P(w3)      = N1+(·w3) / N1+(··)
+
+    where c(w1w2·) counts trigram positions opening with (w1,w2),
+    N1+(·w2w3) is the distinct-w1 continuation count, N1+(·w2·) the
+    distinct (w1,w3) pairs around w2, N1+(w2·•) the distinct w3 with
+    any (·,w2,w3) trigram type, and the unigram level uses bigram
+    types. Scoring the corpus under its own model means every
+    trigram's counts are >= 1 — no zero-backoff branch.
+
+    Output ``(id, n_trigrams, kn3_score)``; docs with < 3 tokens are
+    absent. Probabilities are fixed expressions over exact integer
+    counts (identical doubles in the SQL mirror); the per-doc mean
+    follows the engine's float-sum round-6 convention.
+
+    Scale: one trigram explode (corpus-linear, zero windows/self-joins
+    — slices of the token array against its own shifts), five
+    combine-friendly type/count aggregates (vocabulary-scaled), and
+    skinny key joins back to the trigram stream.
+    """
+    D = float(discount)
+    if not 0.0 < D < 1.0:
+        raise ValueError(f"discount must be in (0, 1): {discount}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
+            lambda t: t != "",
+        ).alias("__ts"),
+    )
+    n2 = F.greatest(F.size("__ts") - 2, F.lit(0))
+    tri = toks.select(
+        "__id",
+        F.explode(F.arrays_zip(
+            F.slice("__ts", 1, n2),
+            F.slice("__ts", 2, n2),
+            F.slice("__ts", 3, n2),
+        )).alias("__t"),
+    ).select(
+        "__id",
+        F.col("__t")["0"].alias("__w1"),
+        F.col("__t")["1"].alias("__w2"),
+        F.col("__t")["2"].alias("__w3"),
+    )
+    # token counts
+    c3 = tri.groupBy("__w1", "__w2", "__w3").agg(
+        F.count(F.lit(1)).alias("__c3"))
+    c2 = c3.groupBy("__w1", "__w2").agg(
+        F.sum("__c3").alias("__c2"),
+        F.count(F.lit(1)).alias("__fol"),      # N1+(w1w2·)
+    )
+    # trigram TYPE statistics around the middle word
+    prec = c3.groupBy("__w2", "__w3").agg(
+        F.count(F.lit(1)).alias("__prec"))     # N1+(·w2w3)
+    mid = c3.groupBy("__w2").agg(
+        F.count(F.lit(1)).alias("__mid"),      # N1+(·w2·)
+        F.countDistinct("__w3").alias("__fol2"))  # N1+(w2·•)
+    # unigram continuation from corpus BIGRAM types
+    pairs = toks.select(
+        F.explode(F.arrays_zip(
+            F.slice("__ts", 1, F.greatest(F.size("__ts") - 1, F.lit(0))),
+            F.slice("__ts", 2, F.greatest(F.size("__ts") - 1, F.lit(0))),
+        )).alias("__p"),
+    ).select(F.col("__p")["0"].alias("__a"), F.col("__p")["1"].alias("__b"))
+    btypes = pairs.distinct()
+    uni = btypes.groupBy(F.col("__b").alias("__w3")).agg(
+        F.count(F.lit(1)).alias("__u"))        # N1+(·w3)
+    tot = btypes.agg(F.count(F.lit(1)).alias("__T"))  # N1+(··)
+
+    p_uni = F.col("__u") / F.col("__T")
+    p_bi = (
+        F.greatest(F.col("__prec") - F.lit(D), F.lit(0.0)) / F.col("__mid")
+        + F.lit(D) * F.col("__fol2") / F.col("__mid") * p_uni
+    )
+    p_tri = (
+        F.greatest(F.col("__c3") - F.lit(D), F.lit(0.0)) / F.col("__c2")
+        + F.lit(D) * F.col("__fol") / F.col("__c2") * p_bi
+    )
+    scored = (
+        tri.join(c3, ["__w1", "__w2", "__w3"])
+        .join(c2, ["__w1", "__w2"])
+        .join(prec, ["__w2", "__w3"])
+        .join(mid, "__w2")
+        .join(uni, "__w3")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.log(p_tri)), int(round_to)).alias("kn3_score"),
+        )
+    )
+    return scored
+
+
+def kn_trigram_lm_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`kn_trigram_lm_score` — identical count
+    tables, the same fixed probability expression tree, the same
+    round-6 mean convention."""
+    D = float(discount)
+    if not 0.0 < D < 1.0:
+        raise ValueError(f"discount must be in (0, 1): {discount}")
+    return f"""
+WITH __tk AS MATERIALIZED (
+  SELECT {id_col} AS __id,
+         list_filter(regexp_split_to_array(lower(trim({text_col})),
+                                           '\\s+'), t -> t <> '') AS __ts
+  FROM {table}
+), __tri AS MATERIALIZED (
+  SELECT __id, z[1] AS __w1, z[2] AS __w2, z[3] AS __w3 FROM (
+    SELECT __id, unnest(list_zip(
+      __ts[1:greatest(length(__ts) - 2, 0)],
+      __ts[2:greatest(length(__ts) - 1, 1)],
+      __ts[3:length(__ts)])) AS z
+    FROM __tk WHERE length(__ts) >= 3
+  )
+), __c3 AS MATERIALIZED (
+  SELECT __w1, __w2, __w3, count(*)::BIGINT AS __c3
+  FROM __tri GROUP BY 1, 2, 3
+), __c2 AS MATERIALIZED (
+  SELECT __w1, __w2, sum(__c3)::BIGINT AS __c2,
+         count(*)::BIGINT AS __fol
+  FROM __c3 GROUP BY 1, 2
+), __prec AS MATERIALIZED (
+  SELECT __w2, __w3, count(*)::BIGINT AS __prec FROM __c3 GROUP BY 1, 2
+), __mid AS MATERIALIZED (
+  SELECT __w2, count(*)::BIGINT AS __mid,
+         count(DISTINCT __w3)::BIGINT AS __fol2
+  FROM __c3 GROUP BY 1
+), __bp AS MATERIALIZED (
+  SELECT DISTINCT z[1] AS __a, z[2] AS __b FROM (
+    SELECT unnest(list_zip(
+      __ts[1:greatest(length(__ts) - 1, 0)],
+      __ts[2:length(__ts)])) AS z
+    FROM __tk WHERE length(__ts) >= 2
+  )
+), __uni AS MATERIALIZED (
+  SELECT __b AS __w3, count(*)::BIGINT AS __u FROM __bp GROUP BY 1
+), __tot AS MATERIALIZED (SELECT count(*)::BIGINT AS __T FROM __bp)
+SELECT t.__id AS {id_col},
+       count(*)::BIGINT AS n_trigrams,
+       round(avg(ln(
+         greatest(CAST(c3.__c3 AS DOUBLE) - {D!r}, 0.0::DOUBLE)
+           / CAST(c2.__c2 AS DOUBLE)
+         + {D!r} * CAST(c2.__fol AS DOUBLE) / CAST(c2.__c2 AS DOUBLE)
+           * (greatest(CAST(p.__prec AS DOUBLE) - {D!r}, 0.0::DOUBLE)
+                / CAST(m.__mid AS DOUBLE)
+              + {D!r} * CAST(m.__fol2 AS DOUBLE) / CAST(m.__mid AS DOUBLE)
+                * (CAST(u.__u AS DOUBLE) / CAST(s.__T AS DOUBLE)))
+       )), {int(round_to)}) AS kn3_score
+FROM __tri t
+JOIN __c3 c3 USING (__w1, __w2, __w3)
+JOIN __c2 c2 USING (__w1, __w2)
+JOIN __prec p USING (__w2, __w3)
+JOIN __mid m USING (__w2)
+JOIN __uni u USING (__w3)
+CROSS JOIN __tot s
+GROUP BY t.__id
+"""
+
+
 # --- BPE tokenizer training -------------------------------------------------
 #: symbol-boundary sentinel for BPE sequences: every symbol is wrapped
 #: as ``\x01sym\x01`` so a pair replace can never match inside a longer

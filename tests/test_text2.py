@@ -153,3 +153,92 @@ def test_zipf_fit_recovers_power_law_and_parity(spark):
         [(0, "a b c d e f g h " * 10)], "doc_id long, text string")
     rf = zipf_fit(flat).first()
     assert rf.r2 is None or rf.r2 < 0.5 or abs(rf.slope) < 0.2
+
+
+# --- interpolated Kneser-Ney trigram LM --------------------------------------
+
+def _kn_ref(texts, D=0.75):
+    """Pure-python interpolated KN trigram model (Chen & Goodman 1999
+    formulation) — validated below by the sum-to-1 property before it
+    is trusted as the operator's reference."""
+    import collections
+    import math
+
+    docs = [[t for t in s.lower().strip().split() if t] for s in texts]
+    c3 = collections.Counter()
+    bp = set()
+    for ts in docs:
+        for i in range(len(ts) - 2):
+            c3[(ts[i], ts[i + 1], ts[i + 2])] += 1
+        for i in range(len(ts) - 1):
+            bp.add((ts[i], ts[i + 1]))
+    c2 = collections.Counter(); fol = collections.Counter()
+    prec = collections.Counter(); mid = collections.Counter()
+    fol2 = collections.defaultdict(set)
+    for (a, b, c), n in c3.items():
+        c2[(a, b)] += n; fol[(a, b)] += 1
+        prec[(b, c)] += 1; mid[b] += 1; fol2[b].add(c)
+    u = collections.Counter(b for _, b in bp)
+    T = len(bp)
+
+    def p(w1, w2, w3):
+        pu = u[w3] / T
+        pb = (max(prec[(w2, w3)] - D, 0.0) / mid[w2]
+              + D * len(fol2[w2]) / mid[w2] * pu)
+        return (max(c3[(w1, w2, w3)] - D, 0.0) / c2[(w1, w2)]
+                + D * fol[(w1, w2)] / c2[(w1, w2)] * pb)
+
+    def doc_score(ts):
+        lps = [math.log(p(ts[i], ts[i + 1], ts[i + 2]))
+               for i in range(len(ts) - 2)]
+        return (len(lps), sum(lps) / len(lps)) if lps else None
+
+    vocab = {b for _, b in bp}
+    return p, doc_score, vocab, docs
+
+
+def test_kn_trigram_reference_normalizes(spark):
+    """Σ_w3 P(w3 | w1, w2) over the continuation vocabulary = 1 for
+    every observed context — the property that separates a correct
+    interpolated-KN implementation from a plausible-looking one."""
+    texts = ["a b c a b d a b c e", "b c a b d c a a b",
+             "c c a b a b d e a"]
+    p, _, vocab, docs = _kn_ref(texts)
+    contexts = {(ts[i], ts[i + 1])
+                for ts in docs for i in range(len(ts) - 2)}
+    for (w1, w2) in contexts:
+        s = sum(p(w1, w2, w3) for w3 in vocab)
+        assert abs(s - 1.0) < 1e-12, (w1, w2, s)
+
+
+def test_kn_trigram_lm_matches_reference_and_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.text import (kn_trigram_lm_score,
+                                            kn_trigram_lm_sql)
+
+    texts = ["the cat sat on the mat",
+             "the cat sat on the hat",
+             "a dog sat on a log",
+             "one two",             # < 3 tokens: absent
+             "the cat ate the mat on the mat"]
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.kn3_score)
+           for r in kn_trigram_lm_score(df).collect()}
+    _, doc_score, _, docs = _kn_ref(texts)
+    for i, ts in enumerate(docs):
+        exp = doc_score(ts)
+        if exp is None:
+            assert i not in got
+        else:
+            assert got[i] == (exp[0], round(exp[1], 6)), i
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = {r[0]: (r[1], r[2]) for r in
+              con.execute(kn_trigram_lm_sql()).fetchall()}
+    assert got == oracle
+
+    with pytest.raises(ValueError):
+        kn_trigram_lm_score(df, discount=1.0)

@@ -3019,6 +3019,42 @@ def q_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_scd2_apply(spark, sf_dir):
+    """Incremental SCD2 merge (operators.pipeline.scd2_apply): the
+    pre-1997 customer (status, priority) dimension absorbs the 1997+
+    order batch — only batch keys are touched (anti/semi join on the
+    key set), each affected timeline rebuilt from its version rows +
+    the batch (version-count-sized per key, late arrivals land
+    mid-timeline correctly); the nightly-merge shape that never
+    rescans the accumulated history."""
+    from simba_spark.operators.pipeline import scd2_apply, scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("date")
+    dim = scd2_build(
+        orders.filter(F.col("o_orderdate") < split),
+        key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey")
+    return scd2_apply(
+        dim, orders.filter(F.col("o_orderdate") >= split),
+        key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey")
+
+
+def q_kruskal_events(spark, sf_dir):
+    """Kruskal–Wallis H (operators.stats.kruskal_wallis): does event
+    value distribution differ across event types? — the k-sample
+    rank test over the events table (the mannwhitney machinery
+    generalized: exact midranks from the two-phase running_total,
+    group-ordered Σ R²/n fold, tie-corrected H vs chi-square(k-1))."""
+    from simba_spark.operators.stats import kruskal_wallis
+
+    return kruskal_wallis(_t(spark, sf_dir, "events"), "value",
+                          "event_type")
+
+
 def q_kn_trigram_lm(spark, sf_dir):
     """Interpolated Kneser–Ney trigram scoring (operators.text.
     kn_trigram_lm_score): per-doc mean trigram log-likelihood under
@@ -4580,6 +4616,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "trunc_recall": q_trunc_recall,
         "kn_trigram_lm": q_kn_trigram_lm,
+        "kruskal_events": q_kruskal_events,
+        "scd2_apply": q_scd2_apply,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5462,6 +5500,7 @@ def oracle_sql() -> dict[str, str]:
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
     from simba_spark.operators.stats import (chisq_independence_sql,
+                                             kruskal_wallis_sql,
                                              mannwhitney_u_sql,
                                              spearman_corr_sql,
                                              corr_matrix_sql, cov_matrix_sql,
@@ -6104,6 +6143,86 @@ def oracle_sql() -> dict[str, str]:
             "o_totalprice", "n_lines"),
         "mannwhitney": mannwhitney_u_sql(
             "events", "value", "event_type", "click", "purchase"),
+        "kruskal_events": kruskal_wallis_sql(
+            "events", "value", "event_type"),
+        # incremental SCD2 merge: the same splice pipeline — old
+        # versions re-enter as events (src 0, before same-ts batch
+        # rows), batch keys only, collapse re-runs across the splice
+        "scd2_apply": """
+            WITH old_base AS (
+              SELECT o_custkey, o_orderdate, o_orderstatus,
+                     o_orderpriority, o_orderkey
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_orderdate < DATE '1997-01-01'
+            ), old_lag AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS __ps,
+                     lag(o_orderpriority) OVER w AS __pp,
+                     lag(o_orderdate) OVER w AS __pd
+              FROM old_base
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+            ), old_dim AS (
+              SELECT o_custkey, o_orderstatus, o_orderpriority,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS valid_to
+              FROM old_lag
+              WHERE __pd IS NULL
+                 OR NOT (o_orderstatus IS NOT DISTINCT FROM __ps
+                         AND o_orderpriority IS NOT DISTINCT FROM __pp)
+            ), batch AS (
+              SELECT o_custkey, o_orderdate, o_orderstatus,
+                     o_orderpriority, o_orderkey
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_orderdate >= DATE '1997-01-01'
+            ), affected AS (SELECT DISTINCT o_custkey FROM batch),
+            events AS (
+              SELECT d.o_custkey, d.o_orderstatus, d.o_orderpriority,
+                     d.valid_from AS o_orderdate,
+                     0 AS __src, d.valid_to AS __vto,
+                     CAST(NULL AS BIGINT) AS __tb
+              FROM old_dim d JOIN affected a USING (o_custkey)
+              UNION ALL
+              SELECT o_custkey, o_orderstatus, o_orderpriority,
+                     o_orderdate, 1 AS __src,
+                     CAST(NULL AS TIMESTAMP) AS __vto,
+                     o_orderkey AS __tb
+              FROM batch
+            ), lagged AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS __ps,
+                     lag(o_orderpriority) OVER w AS __pp,
+                     lag(o_orderdate) OVER w AS __pd
+              FROM events
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, __src,
+                                    __vto ASC NULLS LAST, __tb,
+                                    o_orderstatus, o_orderpriority)
+            ), rebuilt AS (
+              SELECT o_custkey, o_orderstatus, o_orderpriority,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, __src,
+                                  __vto ASC NULLS LAST, __tb,
+                                  o_orderstatus, o_orderpriority)
+                       AS valid_to
+              FROM lagged
+              WHERE __pd IS NULL
+                 OR NOT (o_orderstatus IS NOT DISTINCT FROM __ps
+                         AND o_orderpriority IS NOT DISTINCT FROM __pp)
+            )
+            SELECT * FROM rebuilt
+            UNION ALL
+            SELECT o_custkey, o_orderstatus, o_orderpriority,
+                   valid_from, valid_to
+            FROM old_dim
+            WHERE o_custkey NOT IN (SELECT o_custkey FROM affected)
+        """,
         "stickiness": stickiness_sql("events"),
         "theil_sen": theil_sen_sql(
             "SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,"

@@ -183,6 +183,8 @@ HEADLINE = [
     "temperature_mixture",
     "trunc_recall",
     "kn_trigram_lm",
+    "kruskal_events",
+    "scd2_apply",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -249,7 +251,7 @@ _R9 = {
     "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
     "stream_session_window", "stream_ohlc", "bpe_merges_sampled",
     "retrieval_eval", "temperature_mixture", "trunc_recall",
-    "kn_trigram_lm",
+    "kn_trigram_lm", "kruskal_events", "scd2_apply",
 }
 
 GROUPS = {

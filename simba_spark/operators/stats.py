@@ -1655,3 +1655,148 @@ SELECT na AS n_a, nb AS n_b,
        END, {int(round_to)}) AS z
 FROM __m
 """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H test across k groups — the k-sample extension
+    of :func:`mannwhitney_u` (one-way ANOVA on tie-averaged pooled
+    ranks, no normality assumption): with R_i the rank sum and n_i the
+    size of group i over N pooled values,
+
+        H  = 12/(N(N+1)) · Σ_i R_i²/n_i − 3(N+1)
+        H_c = H / (1 − Σ_t(t³−t)/(N³−N))     (tie correction)
+
+    Compare H_c to the chi-square(k−1) critical value (5.991 for k=3
+    at ~5%); the asymptotic p needs the incomplete gamma, which Spark
+    SQL lacks — H is the engine-portable report, the
+    :func:`mannwhitney_u` z convention. Returns one row
+    ``(n, k_groups, h, h_corrected)``; ``h_corrected`` NULL when all
+    values tie (correction 0).
+
+    Determinism: midranks are exact 0.5-multiples from the two-phase
+    ``running_total`` (never a single-partition window); per-group
+    rank sums are exact dyadic doubles; the Σ R_i²/n_i fold runs over
+    the GROUP-SORTED array in both engines (k is human-scale), so no
+    float accumulation order ever differs.
+
+    Scale: one (value, group) aggregate, one skinny distinct-value
+    frame with the two-phase cumulative, one k-row fold — input rows
+    are touched once.
+    """
+    from .pipeline import running_total
+
+    x = F.col(val_col).cast("double")
+    filt = df.filter(
+        F.col(group_col).isNotNull() & x.isNotNull() & ~F.isnan(x))
+    vg = filt.groupBy(
+        x.alias("__v"), F.col(group_col).cast("string").alias("__g")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    vt = vg.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    c = running_total(vt, "__v", "__t", "__cum")
+    rank = (
+        (F.col("__cum") - F.col("__t")).cast("double")
+        + (F.col("__t").cast("double") + 1.0) / 2.0
+    )
+    per_g = (
+        vg.join(c.select("__v", "__t", "__cum"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(rank * F.col("__c").cast("double")).alias("__r"),
+        )
+    )
+    ties = c.agg(
+        F.sum(
+            (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+            .cast("double")
+        ).alias("__ties")
+    )
+    # Σ R_i²/n_i folded in group order — k bounded, order fixed
+    folded = per_g.agg(
+        F.sum("__n").alias("__N"),
+        F.count(F.lit(1)).alias("k_groups"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__g").alias("g"),
+                    (F.col("__r") * F.col("__r")
+                     / F.col("__n").cast("double")).alias("t"),
+                ))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("__rr"),
+    ).crossJoin(F.broadcast(ties))
+    N = F.col("__N").cast("double")
+    h = 12.0 / (N * (N + 1.0)) * F.col("__rr") - 3.0 * (N + 1.0)
+    corr = 1.0 - F.col("__ties") / (N * N * N - N)
+    return folded.select(
+        F.col("__N").alias("n"),
+        "k_groups",
+        F.round(h, int(round_to)).alias("h"),
+        F.round(F.when(corr > 0, h / corr), int(round_to))
+        .alias("h_corrected"),
+    )
+
+
+def kruskal_wallis_sql(
+    from_sql: str,
+    val_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`kruskal_wallis` (same midranks, the
+    same group-ordered Σ R_i²/n_i fold, same H tree)."""
+    rt = int(round_to)
+    return f"""
+WITH __f AS (
+  SELECT CAST({val_col} AS DOUBLE) AS __v,
+         CAST({group_col} AS VARCHAR) AS __g
+  FROM {from_sql}
+  WHERE {group_col} IS NOT NULL AND {val_col} IS NOT NULL
+    AND NOT isnan(CAST({val_col} AS DOUBLE))
+), __vg AS (
+  SELECT __v, __g, count(*)::BIGINT AS __c FROM __f GROUP BY 1, 2
+), __vt AS (
+  SELECT __v, sum(__c)::BIGINT AS __t FROM __vg GROUP BY 1
+), __cm AS (
+  SELECT __v, __t, sum(__t) OVER (ORDER BY __v) AS __cum FROM __vt
+), __pg AS (
+  SELECT g.__g, sum(g.__c)::BIGINT AS __n,
+         sum((CAST(c.__cum - c.__t AS DOUBLE)
+              + (CAST(c.__t AS DOUBLE) + 1.0::DOUBLE) / 2.0::DOUBLE)
+             * CAST(g.__c AS DOUBLE)) AS __r
+  FROM __vg g JOIN __cm c ON g.__v = c.__v GROUP BY 1
+), __ties AS (
+  SELECT sum(CAST(__t * __t * __t - __t AS DOUBLE)) AS __ties FROM __cm
+), __agg AS (
+  SELECT sum(__n)::BIGINT AS __N, count(*)::BIGINT AS k_groups,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list(__r * __r / CAST(__n AS DOUBLE) ORDER BY __g)),
+           (acc, v) -> acc + v) AS __rr
+  FROM __pg
+)
+SELECT a.__N AS n, a.k_groups,
+       round(12.0::DOUBLE / (CAST(a.__N AS DOUBLE)
+               * (CAST(a.__N AS DOUBLE) + 1.0::DOUBLE)) * a.__rr
+             - 3.0::DOUBLE * (CAST(a.__N AS DOUBLE) + 1.0::DOUBLE),
+             {rt}) AS h,
+       round(CASE WHEN 1.0::DOUBLE - t.__ties
+                       / (CAST(a.__N AS DOUBLE) * CAST(a.__N AS DOUBLE)
+                          * CAST(a.__N AS DOUBLE) - CAST(a.__N AS DOUBLE))
+                       > 0
+             THEN (12.0::DOUBLE / (CAST(a.__N AS DOUBLE)
+                     * (CAST(a.__N AS DOUBLE) + 1.0::DOUBLE)) * a.__rr
+                   - 3.0::DOUBLE * (CAST(a.__N AS DOUBLE) + 1.0::DOUBLE))
+                  / (1.0::DOUBLE - t.__ties
+                     / (CAST(a.__N AS DOUBLE) * CAST(a.__N AS DOUBLE)
+                        * CAST(a.__N AS DOUBLE) - CAST(a.__N AS DOUBLE)))
+             END, {rt}) AS h_corrected
+FROM __agg a, __ties t
+"""

@@ -793,3 +793,57 @@ def test_temperature_mixture_duckdb_parity(spark):
         "docs", "lang", "doc_id", alpha=0.3,
         select="t.doc_id, t.lang")).fetchall()))
     assert got == oracle
+
+
+# --- scd2_apply (incremental SCD2 merge) ---------------------------------------
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    from simba_spark.operators.pipeline import scd2_apply, scd2_build
+
+    rows = [
+        # key 1: s1 -> s2 -> s2(dup) -> s3 across the split
+        (1, 10, "s1"), (1, 20, "s2"), (1, 35, "s2"), (1, 50, "s3"),
+        # key 2: entirely before the split (untouched by the batch)
+        (2, 10, "a"), (2, 30, "b"),
+        # key 3: appears only in the batch
+        (3, 60, "x"), (3, 70, "y"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, s string")
+    full = scd2_build(df, "k", "ts", ["s"], tiebreak_col="ts")
+    old = scd2_build(df.filter("ts < 40"), "k", "ts", ["s"],
+                     tiebreak_col="ts")
+    merged = scd2_apply(old, df.filter("ts >= 40"), "k", "ts", ["s"],
+                        tiebreak_col="ts")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, full.collect())))
+
+
+def test_scd2_apply_late_arrival_and_noop(spark):
+    from simba_spark.operators.pipeline import scd2_apply, scd2_build
+
+    hist = spark.createDataFrame(
+        [(1, 10, "s1"), (1, 30, "s2")], "k long, ts long, s string")
+    dim = scd2_build(hist, "k", "ts", ["s"], tiebreak_col="ts")
+
+    # late arrival lands MID-timeline and splits the s1 version
+    late = spark.createDataFrame([(1, 20, "sX")], "k long, ts long, s string")
+    got = sorted(map(tuple, scd2_apply(
+        dim, late, "k", "ts", ["s"], tiebreak_col="ts").collect()))
+    assert got == [(1, "s1", 10, 20), (1, "s2", 30, None),
+                   (1, "sX", 20, 30)]
+
+    # a batch row repeating the open version's attrs is a no-op
+    # (collapses into it) rather than opening a new version
+    noop = spark.createDataFrame([(1, 99, "s2")], "k long, ts long, s string")
+    got = sorted(map(tuple, scd2_apply(
+        dim, noop, "k", "ts", ["s"], tiebreak_col="ts").collect()))
+    assert got == [(1, "s1", 10, 30), (1, "s2", 30, None)]
+
+    # untouched keys pass through byte-for-byte
+    other = spark.createDataFrame(
+        [(2, 5, "z1"), (2, 9, "z2")], "k long, ts long, s string")
+    dim2 = scd2_build(hist.unionByName(other), "k", "ts", ["s"],
+                      tiebreak_col="ts")
+    got = sorted(map(tuple, scd2_apply(
+        dim2, late, "k", "ts", ["s"], tiebreak_col="ts").collect()))
+    assert (2, "z1", 5, 9) in got and (2, "z2", 9, None) in got

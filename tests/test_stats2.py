@@ -582,3 +582,74 @@ def test_degree_assortativity_extremes_and_parity(spark):
     con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
     o = con.execute(degree_assortativity_sql("e")).fetchone()
     assert tuple(got) == tuple(o)
+
+
+# --- Kruskal-Wallis H ---------------------------------------------------------
+
+def _kw_ref(groups):
+    """Direct midrank-over-rows reference (independent of the
+    operator's value-level formulation)."""
+    pooled = sorted((v, gi) for gi, vs in enumerate(groups) for v in vs)
+    N = len(pooled)
+    ranks = {}
+    i = 0
+    while i < N:
+        j = i
+        while j < N and pooled[j][0] == pooled[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = mid
+        i = j
+    rsums = [0.0] * len(groups)
+    for idx, (_, gi) in enumerate(pooled):
+        rsums[gi] += ranks[idx]
+    rr = sum(r * r / len(g) for r, g in zip(rsums, groups))
+    h = 12.0 / (N * (N + 1)) * rr - 3.0 * (N + 1)
+    from collections import Counter
+    tie = sum(t ** 3 - t for t in Counter(v for v, _ in pooled).values())
+    corr = 1.0 - tie / (N ** 3 - N)
+    return h, (h / corr if corr > 0 else None)
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    from simba_spark.operators.stats import kruskal_wallis
+
+    groups = [[2.9, 3.0, 2.5, 2.6, 3.2],          # classic 3-sample data
+              [3.8, 2.7, 4.0, 2.4],
+              [2.8, 3.4, 3.7, 2.2, 2.0, 2.5]]     # one tie with group 1
+    rows = [(float(v), f"g{i}") for i, vs in enumerate(groups) for v in vs]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = kruskal_wallis(df, "v", "g").first()
+    h, hc = _kw_ref(groups)
+    assert got.n == 15 and got.k_groups == 3
+    assert got.h == round(h, 6)
+    assert got.h_corrected == round(hc, 6)
+    # two-group KW reduces to the mann-whitney z (H = z^2 asymptotically
+    # exact with tie correction): sanity-check the relationship
+    from simba_spark.operators.stats import mannwhitney_u
+
+    two = df.filter(F.col("g") != "g2")
+    z = mannwhitney_u(two, "v", "g", "g0", "g1").first().z
+    h2 = kruskal_wallis(two, "v", "g").first().h_corrected
+    assert abs(h2 - z * z) < 1e-4
+
+
+def test_kruskal_wallis_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.stats import (kruskal_wallis,
+                                             kruskal_wallis_sql)
+
+    rng = random.Random(17)
+    rows = [(round(rng.gauss(mu, 1.0), 1), g)
+            for g, mu in [("a", 0.0), ("b", 0.4), ("c", 0.2), ("d", 0.9)]
+            for _ in range(rng.randrange(30, 60))]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = tuple(kruskal_wallis(df, "v", "g").first())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["v", "g"]))
+    oracle = con.execute(kruskal_wallis_sql("t", "v", "g")).fetchall()[0]
+    assert got == tuple(oracle)

@@ -3019,6 +3019,19 @@ def q_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive-pair mining (operators.similarity.
+    contrastive_pairs): per anchor the 5 hardest positives (same
+    label, lowest cosine) and 5 hardest negatives (different label,
+    highest cosine) over the labeled embeddings — the metric-learning
+    training-data op. Broadcast anchors, corpus-linear codegen'd
+    cosine, bounded windows, rounded-sim deterministic order."""
+    from simba_spark.operators.similarity import contrastive_pairs
+
+    return contrastive_pairs(_t(spark, sf_dir, "embeddings"), k=5,
+                             n_anchors=16)
+
+
 def q_scd2_apply(spark, sf_dir):
     """Incremental SCD2 merge (operators.pipeline.scd2_apply): the
     pre-1997 customer (status, priority) dimension absorbs the 1997+
@@ -4618,6 +4631,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_trigram_lm": q_kn_trigram_lm,
         "kruskal_events": q_kruskal_events,
         "scd2_apply": q_scd2_apply,
+        "contrastive_pairs": q_contrastive_pairs,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5490,7 +5504,8 @@ def oracle_sql() -> dict[str, str]:
                                              pagerank_sql,
                                              shortest_paths_sql,
                                              triangle_count_sql)
-    from simba_spark.operators.similarity import truncation_recall_sql
+    from simba_spark.operators.similarity import (contrastive_pairs_sql,
+                                                  truncation_recall_sql)
     from simba_spark.operators.pipeline import (dataset_fingerprint_sql,
                                                 quantile_bin_sql,
                                                 rank_normalize_sql,
@@ -6260,6 +6275,8 @@ def oracle_sql() -> dict[str, str]:
         "trunc_recall": truncation_recall_sql(
             "embeddings", [8, 16, 32], k=10),
         "kn_trigram_lm": kn_trigram_lm_sql("documents"),
+        "contrastive_pairs": contrastive_pairs_sql(
+            "embeddings", k=5, n_anchors=16),
         "doc_bpe": bpe_apply_sql("documents", num_merges=8),
         "zipf_fit": zipf_fit_sql("documents", min_count=2),
         "dataset_fingerprint": dataset_fingerprint_sql(

@@ -185,6 +185,7 @@ HEADLINE = [
     "kn_trigram_lm",
     "kruskal_events",
     "scd2_apply",
+    "contrastive_pairs",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -252,6 +253,7 @@ _R9 = {
     "stream_session_window", "stream_ohlc", "bpe_merges_sampled",
     "retrieval_eval", "temperature_mixture", "trunc_recall",
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
+    "contrastive_pairs",
 }
 
 GROUPS = {

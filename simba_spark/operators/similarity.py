@@ -656,3 +656,118 @@ FROM __q q LEFT JOIN (
 ) h ON q.__qid = h.__qid""")
     return ("WITH " + ",\n".join(ctes)
             + "\nUNION ALL\n".join(selects))
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    k: int = 5,
+    n_anchors: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    kinds: Sequence[str] = ("pos", "neg"),
+    round_to: int = 6,
+) -> DataFrame:
+    """Contrastive-pair mining over a labeled embedding corpus — the
+    training-data op behind metric-learning / embedding fine-tuning:
+    for each anchor, the k HARDEST positives (same label, LOWEST
+    cosine — the pairs the current embedding gets most wrong) and the
+    k hardest negatives (different label, HIGHEST cosine — the
+    near-miss confusions worth a gradient).
+
+    Anchors are the ``n_anchors`` lowest-id vectors (deterministic).
+    Returns ``(anchor_id, kind, pair_id, cosine_sim, rank)`` with
+    kind in {'pos', 'neg'}, rank 1 = hardest. Rows with NULL label
+    are excluded from both sides.
+
+    Scale: the anchor frame broadcasts; candidate scoring is one
+    corpus-linear pass per kind (codegen'd cosine, bounded windows) —
+    at billion-row scale swap the exact pass for the engine's
+    ANN/IVF shortlist and keep the same ranking contract. Rounded-sim
+    deterministic (sim, id) order, so both engines mine identical
+    pairs.
+    """
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    kinds = list(kinds)
+    if not kinds or any(kd not in ("pos", "neg") for kd in kinds):
+        raise ValueError(f"kinds must be a subset of ('pos','neg'): {kinds}")
+    base = df.filter(F.col(label_col).isNotNull())
+    anchors = base.filter(F.col(id_col) < int(n_anchors)).select(
+        F.col(id_col).alias("__aid"), F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("__al"))
+    cand = base.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"))
+    pairs = cand.crossJoin(F.broadcast(anchors)).filter(
+        F.col("__cid") != F.col("__aid"))
+    sim = F.round(cosine_similarity(F.col("__cv"), F.col("__av")), 6)
+
+    def mine(kind):
+        if kind == "neg":
+            flt = F.col("__cl") != F.col("__al")
+            order = [F.col("__sim").desc(), F.col("__cid").asc()]
+        else:
+            flt = F.col("__cl") == F.col("__al")
+            order = [F.col("__sim").asc(), F.col("__cid").asc()]
+        w = Window.partitionBy("__aid").orderBy(*order)
+        return (
+            pairs.filter(flt)
+            .withColumn("__sim", sim)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= kk)
+            .select(
+                F.col("__aid").alias("anchor_id"),
+                F.lit(kind).alias("kind"),
+                F.col("__cid").alias("pair_id"),
+                F.round(F.col("__sim"), int(round_to)).alias("cosine_sim"),
+                F.col("__rn").alias("rank"),
+            )
+        )
+
+    out = None
+    for kd in kinds:
+        part = mine(kd)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def contrastive_pairs_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_anchors: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    kinds: Sequence[str] = ("pos", "neg"),
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`contrastive_pairs` (same anchors,
+    rounded-sim rank orders, and kind semantics)."""
+    kk = int(k)
+    kinds = list(kinds)
+    if kk < 1 or not kinds or any(kd not in ("pos", "neg") for kd in kinds):
+        raise ValueError(f"bad k/kinds: {k}, {kinds}")
+    parts = []
+    for kd in kinds:
+        cmpop = "<>" if kd == "neg" else "="
+        direction = "DESC" if kd == "neg" else "ASC"
+        parts.append(f"""
+SELECT __aid AS anchor_id, '{kd}' AS kind, __cid AS pair_id,
+       round(__sim, {int(round_to)}) AS cosine_sim, __rn AS "rank"
+FROM (
+  SELECT a.{id_col} AS __aid, c.{id_col} AS __cid,
+         round(list_cosine_similarity(c.{vec_col}::DOUBLE[],
+                                      a.{vec_col}::DOUBLE[]), 6) AS __sim,
+         row_number() OVER (
+           PARTITION BY a.{id_col}
+           ORDER BY round(list_cosine_similarity(c.{vec_col}::DOUBLE[],
+                                                 a.{vec_col}::DOUBLE[]), 6)
+                    {direction}, c.{id_col} ASC) AS __rn
+  FROM {table} a JOIN {table} c
+    ON c.{id_col} <> a.{id_col} AND c.{label_col} {cmpop} a.{label_col}
+  WHERE a.{id_col} < {int(n_anchors)}
+    AND a.{label_col} IS NOT NULL AND c.{label_col} IS NOT NULL
+) WHERE __rn <= {kk}""")
+    return "\nUNION ALL\n".join(parts)

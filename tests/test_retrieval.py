@@ -367,3 +367,47 @@ def test_truncation_recall_semantics_and_parity(spark):
         truncation_recall(df, [], k=5)
     with pytest.raises(ValueError):
         truncation_recall(df, [4], k=0)
+
+
+# --- contrastive_pairs (hard positive/negative mining) -------------------------
+
+def test_contrastive_pairs_semantics_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.similarity import (contrastive_pairs,
+                                                  contrastive_pairs_sql)
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(40)]
+    rows.append((40, [rng.uniform(-1, 1) for _ in range(8)], None))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = contrastive_pairs(df, k=4, n_anchors=3)
+    got = sorted(map(tuple, out.collect()))
+    # 3 anchors x 2 kinds x 4 pairs; NULL-label row never appears
+    assert len(got) == 24
+    assert all(p != 40 for _, _, p, _, _ in got)
+    # kind semantics: negatives are the highest sims, positives lowest
+    by = {}
+    for a, kind, p, s, r in got:
+        by.setdefault((a, kind), []).append((r, s, p))
+    labels = {i: i % 3 for i in range(40)}
+    for (a, kind), items in by.items():
+        items.sort()
+        sims = [s for _, s, _ in items]
+        assert sims == sorted(sims, reverse=(kind == "neg"))
+        for _, _, p in items:
+            assert (labels[p] != labels[a]) == (kind == "neg")
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        rows, columns=["vec_id", "embedding", "label"]))
+    oracle = sorted(map(tuple, con.execute(contrastive_pairs_sql(
+        "embeddings", k=4, n_anchors=3)).fetchall()))
+    assert got == oracle
+    with pytest.raises(ValueError):
+        contrastive_pairs(df, k=0)
+    with pytest.raises(ValueError):
+        contrastive_pairs(df, kinds=["bad"])

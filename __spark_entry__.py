@@ -3019,6 +3019,22 @@ def q_temperature_mixture(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_skyline_orders(spark, sf_dir):
+    """Skyline / Pareto front (operators.skyline.skyline): orders not
+    dominated on (totalprice MAX, orderdate MIN) — highest-value
+    earliest orders, the classic ICDE'01 dominance query. Sample-front
+    broadcast prune (exactness never depends on the sample) + bounded
+    exact dominance anti-join over survivors; oracle is the direct
+    NOT EXISTS definition."""
+    from simba_spark.operators.skyline import skyline
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp_ltz"))
+         / F.lit(86400000000.0)).alias("odays"))
+    return skyline(orders, ["o_totalprice", "odays"], ["max", "min"])
+
+
 def q_contrastive_pairs(spark, sf_dir):
     """Contrastive-pair mining (operators.similarity.
     contrastive_pairs): per anchor the 5 hardest positives (same
@@ -4632,6 +4648,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_events": q_kruskal_events,
         "scd2_apply": q_scd2_apply,
         "contrastive_pairs": q_contrastive_pairs,
+        "skyline_orders": q_skyline_orders,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5506,6 +5523,7 @@ def oracle_sql() -> dict[str, str]:
                                              triangle_count_sql)
     from simba_spark.operators.similarity import (contrastive_pairs_sql,
                                                   truncation_recall_sql)
+    from simba_spark.operators.skyline import skyline_sql
     from simba_spark.operators.pipeline import (dataset_fingerprint_sql,
                                                 quantile_bin_sql,
                                                 rank_normalize_sql,
@@ -6277,6 +6295,10 @@ def oracle_sql() -> dict[str, str]:
         "kn_trigram_lm": kn_trigram_lm_sql("documents"),
         "contrastive_pairs": contrastive_pairs_sql(
             "embeddings", k=5, n_anchors=16),
+        "skyline_orders": skyline_sql(
+            "SELECT o_orderkey, o_totalprice,"
+            " epoch_us(o_orderdate) / 86400000000.0 AS odays FROM orders",
+            ["o_totalprice", "odays"], ["max", "min"]),
         "doc_bpe": bpe_apply_sql("documents", num_merges=8),
         "zipf_fit": zipf_fit_sql("documents", min_count=2),
         "dataset_fingerprint": dataset_fingerprint_sql(

@@ -186,6 +186,7 @@ HEADLINE = [
     "kruskal_events",
     "scd2_apply",
     "contrastive_pairs",
+    "skyline_orders",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -253,7 +254,7 @@ _R9 = {
     "stream_session_window", "stream_ohlc", "bpe_merges_sampled",
     "retrieval_eval", "temperature_mixture", "trunc_recall",
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
-    "contrastive_pairs",
+    "contrastive_pairs", "skyline_orders",
 }
 
 GROUPS = {

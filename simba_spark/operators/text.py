@@ -799,11 +799,17 @@ def bm25_topk_batch(
         )
         .filter(F.col("term") != "")
     )
-    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    # the aggregated frames are SMALL (one row per doc / per query-term
+    # posting) but each is consumed twice; localCheckpoint them so the
+    # corpus-sized token explode runs exactly once per frame instead of
+    # once per downstream reference (Catalyst inlines shared DataFrames)
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl")) \
+        .localCheckpoint(eager=False)
     tf = (
         toks.filter(F.col("term").isin(all_terms))
         .groupBy("term", "__id")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     scalars = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
         dl.agg(F.avg("__dl").alias("__avgdl"))

@@ -527,3 +527,43 @@ def test_file_stats_matches_duckdb_filename_scan(spark, sf_dir):
         ).fetchall()
     }
     assert got == o and len(got) >= 1
+
+
+def test_round9_debut_plan_shapes(spark):
+    """Plan audit for the round-9 debuts: batch BM25 explodes the
+    corpus ONCE (not per query), broadcasts its query map and idf
+    table; temperature_mixture is a zero-shuffle filter after its
+    skinny count; contrastive_pairs broadcasts the anchor frame; the
+    KN trigram scorer plans equi-joins only."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.operators.pipeline import temperature_mixture
+    from simba_spark.operators.similarity import contrastive_pairs
+    from simba_spark.operators.text import bm25_topk_batch, kn_trigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (1 + i % 3), "en" if i % 3 else "fr")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+
+    p = _plan(bm25_topk_batch(docs, {"a": ["alpha"], "b": ["beta"]}, k=5))
+    # ONE corpus token explode feeds tf (the dl explode is separate):
+    # per-query plans would generate 2x per query
+    assert p.count("Generate explode") <= 2
+    assert "BroadcastHashJoin" in p  # idf + query map broadcast
+    assert "CartesianProduct" not in p
+
+    out = temperature_mixture(docs, "lang", "doc_id", alpha=0.5)
+    p = _plan(out)
+    assert "Exchange" not in p  # rates inlined as literals: filter only
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)], i % 3) for i in range(30)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    p = _plan(contrastive_pairs(emb, k=3, n_anchors=4))
+    assert "BroadcastNestedLoop" in p  # anchors broadcast, corpus streams
+
+    p = _plan(kn_trigram_lm_score(docs))
+    assert "CartesianProduct" not in p

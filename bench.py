@@ -378,18 +378,40 @@ def _emit(timings: dict, samples: dict, isolated: bool) -> dict:
 
 
 def main() -> int:
+    names = os.environ.get("SPARK_GRAFT_BENCH_NAMES")
+    if names:
+        r = run_group([n for n in names.split(",") if n])
+        print(json.dumps(r))
+        return 0 if all(t >= 0 for t in r["queries"].values()) else 1
     group = os.environ.get("SPARK_GRAFT_BENCH_GROUP")
     if group:
         r = run_group(GROUPS[group])
         print(json.dumps(r))
         return 0 if all(t >= 0 for t in r["queries"].values()) else 1
 
+    # SPARK_GRAFT_BENCH_CHUNK=N splits every group into N-query
+    # sub-JVMs — for LARGE-SF captures, where 80+ queries x reps in
+    # one session inflate late heavy queries ~3x via accumulated
+    # state (k_core at sf1: 58.8 s in-group vs 13-19 s isolated).
+    # Default off: the per-round group JVMs stay the comparable unit.
+    chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "0") or 0)
+
     if os.environ.get("SPARK_GRAFT_BENCH_FORK", "1") != "0":
         timings: dict[str, float] = {}
         samples: dict[str, list[float]] = {}
         ok = True
-        for g in GROUPS:
-            env = dict(os.environ, SPARK_GRAFT_BENCH_GROUP=g)
+        units: list[tuple[str, dict]] = []
+        for g, qlist in GROUPS.items():
+            if chunk > 0:
+                for i in range(0, len(qlist), chunk):
+                    units.append((f"{g}[{i}:{i + chunk}]", dict(
+                        SPARK_GRAFT_BENCH_NAMES=",".join(
+                            qlist[i:i + chunk]))))
+            else:
+                units.append((g, dict(SPARK_GRAFT_BENCH_GROUP=g)))
+        for g, genv in units:
+            env = dict(os.environ, **genv)
+            env.pop("SPARK_GRAFT_BENCH_CHUNK", None)
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,

@@ -187,6 +187,7 @@ HEADLINE = [
     "scd2_apply",
     "contrastive_pairs",
     "skyline_orders",
+    "clustering_coeff_capped",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -254,7 +255,7 @@ _R9 = {
     "stream_session_window", "stream_ohlc", "bpe_merges_sampled",
     "retrieval_eval", "temperature_mixture", "trunc_recall",
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
-    "contrastive_pairs", "skyline_orders",
+    "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
 }
 
 GROUPS = {

@@ -1937,9 +1937,29 @@ def clustering_coefficient_sql(
     src: str = "src",
     dst: str = "dst",
     round_to: int = 6,
+    max_degree: Optional[int] = None,
 ) -> str:
     """DuckDB mirror of :func:`clustering_coefficient` (same
-    orientation, triangle attribution, NULL-below-degree-2 rule)."""
+    orientation, triangle attribution, NULL-below-degree-2 rule, and
+    the same ``max_degree`` induced-subgraph truncation)."""
+    if max_degree is None:
+        und2 = "__und"
+        cap_tri = ""
+        cap_lcc = ""
+    else:
+        cap = int(max_degree)
+        if cap < 2:
+            raise ValueError(f"max_degree must be >= 2: {max_degree}")
+        und2 = "__undc"
+        cap_tri = f"CASE WHEN d.d > {cap} THEN NULL ELSE "
+        cap_lcc = f"d.d <= {cap} AND "
+    capped_cte = "" if max_degree is None else f""",
+__undc AS MATERIALIZED (
+  SELECT u.a, u.b FROM __und u
+  JOIN __deg da ON da.v = u.a
+  JOIN __deg db ON db.v = u.b
+  WHERE da.d <= {int(max_degree)} AND db.d <= {int(max_degree)}
+)"""
     return f"""
 WITH __und AS MATERIALIZED (
   SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
@@ -1949,20 +1969,20 @@ __deg AS MATERIALIZED (
   SELECT v, count(*)::BIGINT AS d FROM (
     SELECT a AS v FROM __und UNION ALL SELECT b AS v FROM __und
   ) GROUP BY v
-),
+){capped_cte},
 __or AS (
   SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
               THEN u.a ELSE u.b END AS u,
          CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
               THEN u.b ELSE u.a END AS w
-  FROM __und u
+  FROM {und2} u
   JOIN __deg da ON da.v = u.a
   JOIN __deg db ON db.v = u.b
 ),
 __tri AS (
   SELECT o1.u, o1.w AS w1, o2.w AS w2
   FROM __or o1 JOIN __or o2 ON o1.u = o2.u AND o1.w < o2.w
-  JOIN __und c ON c.a = o1.w AND c.b = o2.w
+  JOIN {und2} c ON c.a = o1.w AND c.b = o2.w
 ),
 __pn AS (
   SELECT node, count(*)::BIGINT AS triangles FROM (
@@ -1972,8 +1992,9 @@ __pn AS (
   ) GROUP BY node
 )
 SELECT d.v AS node, d.d AS degree,
-       coalesce(p.triangles, 0)::BIGINT AS triangles,
-       CASE WHEN d.d >= 2 THEN
+       {cap_tri}coalesce(p.triangles, 0)::BIGINT{" END" if cap_tri else ""}
+         AS triangles,
+       CASE WHEN {cap_lcc}d.d >= 2 THEN
          round((2.0::DOUBLE * CAST(coalesce(p.triangles, 0) AS DOUBLE))
                / (CAST(d.d AS DOUBLE) * (CAST(d.d AS DOUBLE) - 1.0::DOUBLE)),
                {int(round_to)})

@@ -1984,6 +1984,28 @@ def test_clustering_coefficient_max_degree_cap(spark):
         clustering_coefficient(df2, max_degree=1)
 
 
+def test_clustering_coefficient_capped_sql_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.graph import (clustering_coefficient,
+                                             clustering_coefficient_sql)
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(110)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(map(tuple, clustering_coefficient(
+        df, max_degree=6).collect()))
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    oracle = sorted(map(tuple, con.execute(
+        clustering_coefficient_sql("e", max_degree=6)).fetchall()))
+    assert got == oracle
+    with pytest.raises(ValueError):
+        clustering_coefficient_sql("e", max_degree=1)
+
+
 def test_clustering_coefficient_sums_to_global_triangles(spark):
     import random
 

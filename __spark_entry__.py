@@ -3386,6 +3386,29 @@ def q_holt_forecast(spark, sf_dir):
                          alpha=0.3, beta=0.1, horizon=6)
 
 
+def q_holt_winters(spark, sf_dir):
+    """Holt–Winters additive seasonal forecast (operators.timeseries.
+    holt_winters_forecast) of the DAILY event-count series per type,
+    weekly season (m=7), 7 days ahead — the triple-smoothing step up
+    from holt_forecast when the series repeats. The (level, trend,
+    seasonal-array) recursion runs as ONE fixed-order JVM aggregate
+    fold per key, bit-identical to the oracle's recursive CTE."""
+    from simba_spark.operators.timeseries import holt_winters_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    return holt_winters_forecast(
+        series, "event_type", "bucket", "n_events",
+        period=7, alpha=0.3, beta=0.1, gamma=0.2, horizon=7)
+
+
 def q_acf_events(spark, sf_dir):
     """Per-type autocorrelation (operators.timeseries.acf) of the
     hourly event-count series at lags 1..6 — the seasonality
@@ -4132,6 +4155,26 @@ def q_stream_session_window(spark, sf_dir):
         "user_id", "session_start", "session_end", "n_events", "val_sum")
 
 
+def q_stream_trending(spark, sf_dir):
+    """Streaming trending-terms kernel (streaming.
+    streaming_trending_terms) driven on a batch frame: hourly top-10
+    tokens over the documents corpus with a derived event time
+    (doc_id minutes past 2024-01-01 — deterministic), the two chained
+    stateful aggregations (window-term counts, then per-window top-k
+    via slice(array_sort(collect_list(struct(-n, term))))) evaluate
+    identically in batch mode; replay ≡ batch is pytest-checked."""
+    from simba_spark.streaming import streaming_trending_terms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
+        "text",
+    )
+    out = streaming_trending_terms(docs, window="1 hour", k=10)
+    return out.select(
+        F.col("window")["start"].alias("bucket"), "term", "n", "rank")
+
+
 def q_stream_ohlc(spark, sf_dir):
     """Hourly OHLC bars through the STREAMING kernel
     (streaming.streaming_windowed_ohlc) on the batch events frame —
@@ -4662,6 +4705,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "skyline_orders": q_skyline_orders,
         "clustering_coeff_capped": q_clustering_coeff_capped,
+        "stream_trending": q_stream_trending,
+        "holt_winters": q_holt_winters,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5593,7 +5638,8 @@ def oracle_sql() -> dict[str, str]:
                                             phrase_search_sql)
     from simba_spark.operators.timeseries import (
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
-        holt_forecast_sql, seasonal_decompose_sql, theil_sen_sql,
+        holt_forecast_sql, holt_winters_sql,
+        seasonal_decompose_sql, theil_sen_sql,
         linreg_series_sql, rollup_sql)
 
     from simba_spark.operators.graph import (hyperanf_sql, k_core_sql,
@@ -6196,6 +6242,28 @@ def oracle_sql() -> dict[str, str]:
         # incremental SCD2 merge: the same splice pipeline — old
         # versions re-enter as events (src 0, before same-ts batch
         # rows), batch keys only, collapse re-runs across the splice
+        # streaming_trending_terms batch-parity row: hourly windows on
+        # the derived doc_id-minute event time; top-k = (n DESC, term
+        # ASC), the struct(-n, term) sort order
+        "stream_trending": """
+            WITH __tok AS (
+              SELECT CAST(TIMESTAMP '2024-01-01' +
+                          to_minutes(CAST(doc_id AS INT)) AS TIMESTAMP)
+                       AS ts,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS term
+              FROM documents
+            ), __c AS (
+              SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                     term, count(*)::BIGINT AS n
+              FROM __tok WHERE length(term) >= 1 GROUP BY 1, 2
+            )
+            SELECT bucket, term, n, CAST(__rn AS INT) AS "rank" FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY bucket ORDER BY n DESC, term ASC) AS __rn
+              FROM __c
+            ) WHERE __rn <= 10
+        """,
         "scd2_apply": """
             WITH old_base AS (
               SELECT o_custkey, o_orderdate, o_orderstatus,
@@ -6327,6 +6395,12 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY 1, 2",
             key="event_type", bucket="bucket", value="n_events",
             alpha=0.3, beta=0.1, horizon=6),
+        "holt_winters": holt_winters_sql(
+            "SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,"
+            " CAST(count(*) AS DOUBLE) AS n_events FROM events"
+            " GROUP BY 1, 2",
+            key="event_type", bucket="bucket", value="n_events",
+            period=7, alpha=0.3, beta=0.1, gamma=0.2, horizon=7),
         "seasonal_decompose": seasonal_decompose_sql(
             "(SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,"
             " count(*) AS n_events FROM events GROUP BY 1, 2)",

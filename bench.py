@@ -188,6 +188,8 @@ HEADLINE = [
     "contrastive_pairs",
     "skyline_orders",
     "clustering_coeff_capped",
+    "stream_trending",
+    "holt_winters",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -256,6 +258,7 @@ _R9 = {
     "retrieval_eval", "temperature_mixture", "trunc_recall",
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
     "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
+    "stream_trending", "holt_winters",
 }
 
 GROUPS = {

@@ -1277,6 +1277,198 @@ FROM (SELECT * FROM __r WHERE t = n),
 """
 
 
+def holt_winters_forecast(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal forecast (triple exponential
+    smoothing, Winters 1960 / Hyndman fpp formulation) — the step up
+    from :func:`holt_forecast` when the series both trends AND
+    repeats with period m:
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(y_t − l_{t−1} − b_{t−1}) + (1−γ) s_{t−m}
+        ŷ(T+h) = l_T + h·b_T + s_{T+h−m⌈h/m⌉}
+
+    Textbook init over the first two seasons: l_m = mean(y_1..y_m),
+    b_m = (mean(y_{m+1}..y_{2m}) − l_m)/m, s_i = y_i − l_m — so keys
+    with fewer than 2·``period`` points are ABSENT from the output
+    (no defensible seasonal state; feed :func:`resample` output and
+    check coverage upstream). Buckets must be consecutive integers
+    per key (the :func:`holt_forecast` contract — season position is
+    bucket mod m).
+
+    Returns ``(key, bucket, yhat, h)``, ``horizon`` rows per key.
+
+    Determinism / oracle parity: the recursion folds the identical
+    expression tree over the identical sorted order in both engines
+    (Spark ``aggregate`` with a (l, b, seasonal-array) struct
+    accumulator; DuckDB a RECURSIVE CTE — never ``list_reduce`` with
+    a struct accumulator, whose in-place field aliasing corrupts
+    coupled recursions, the :func:`holt_forecast_sql` lesson). The
+    init means fold the season slices in index order, never an
+    engine SUM.
+
+    Scale shape: identical to :func:`holt_forecast` — one skinny
+    per-key collect (bounded by buckets-per-key), a parameter-sized
+    explode; a million independent keys parallelize on the key
+    shuffle. CONTRACT: (key, bucket) unique.
+    """
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    a, bb, gg = float(alpha), float(beta), float(gamma)
+    for nm, vv in (("alpha", a), ("beta", bb), ("gamma", gg)):
+        if not 0.0 <= vv <= 1.0:
+            raise ValueError(f"{nm} must be in [0, 1]: {vv}")
+    oma, omb, omg = 1.0 - a, 1.0 - bb, 1.0 - gg
+    b = F.col(bucket_col).cast("long")
+    v = F.col(value_col).cast("double")
+    g = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(
+            F.max(b).alias("__last"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(b.alias("b"), v.alias("v")))
+                ),
+                lambda s: s["v"],
+            ).alias("__xs"),
+        )
+        .filter(F.size("__xs") >= 2 * m)
+    )
+    n = F.size("__xs")
+
+    def _ordered_mean(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x
+        ) / F.lit(float(m))
+
+    mean1 = _ordered_mean(F.slice("__xs", 1, m))
+    mean2 = _ordered_mean(F.slice("__xs", m + 1, m))
+    init = F.struct(
+        mean1.alias("l"),
+        ((mean2 - mean1) / F.lit(float(m))).alias("b"),
+        F.transform(
+            F.slice("__xs", 1, m), lambda x: x - mean1
+        ).alias("s"),
+    )
+
+    def _step(acc, x):
+        shead = F.element_at(acc["s"], 1)
+        lnew = (F.lit(a) * (x - shead)
+                + F.lit(oma) * (acc["l"] + acc["b"]))
+        bnew = F.lit(bb) * (lnew - acc["l"]) + F.lit(omb) * acc["b"]
+        snew = (F.lit(gg) * (x - acc["l"] - acc["b"])
+                + F.lit(omg) * shead)
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1), F.array(snew)
+            ).alias("s"),
+        )
+
+    st = F.aggregate(
+        F.slice("__xs", m + 1, F.greatest(n - m, F.lit(0))), init, _step
+    )
+    out = g.select(key_col, "__last", st.alias("__st")).select(
+        key_col,
+        "__last",
+        "__st",
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h"),
+    )
+    season = F.element_at(
+        F.col("__st")["s"], ((F.col("h") - 1) % m + 1).cast("int"))
+    return out.select(
+        F.col(key_col),
+        (F.col("__last") + F.col("h")).alias(bucket_col),
+        (
+            F.col("__st")["l"]
+            + F.col("h").cast("double") * F.col("__st")["b"]
+            + season
+            + F.lit(0.0)
+        ).alias("yhat"),
+        F.col("h"),
+    )
+
+
+def holt_winters_sql(
+    series_sql: str,
+    key: str,
+    bucket: str,
+    value: str,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 7,
+) -> str:
+    """DuckDB mirror of :func:`holt_winters_forecast` — the smoothing
+    recursion as a RECURSIVE CTE carrying (l, b, seasonal list),
+    identical expression tree and fold order; init means fold the
+    season slices in index order via scalar list_reduce (scalar
+    accumulators have no struct-aliasing hazard)."""
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    a, bb, gg = float(alpha), float(beta), float(gamma)
+    oma, omb, omg = 1.0 - a, 1.0 - bb, 1.0 - gg
+    A = f"CAST({a!r} AS DOUBLE)"
+    OMA = f"CAST({oma!r} AS DOUBLE)"
+    B = f"CAST({bb!r} AS DOUBLE)"
+    OMB = f"CAST({omb!r} AS DOUBLE)"
+    G = f"CAST({gg!r} AS DOUBLE)"
+    OMG = f"CAST({omg!r} AS DOUBLE)"
+    M = f"CAST({float(m)!r} AS DOUBLE)"
+    mean1 = (f"list_reduce(list_prepend(0.0::DOUBLE, __xs[1:{m}]), "
+             f"(acc, x) -> acc + x) / {M}")
+    mean2 = (f"list_reduce(list_prepend(0.0::DOUBLE, "
+             f"__xs[{m + 1}:{2 * m}]), (acc, x) -> acc + x) / {M}")
+    lnew = f"{A} * (__xs[t + 1] - s[1]) + {OMA} * (l + b)"
+    return f"""
+WITH RECURSIVE __sr AS (
+  SELECT {key} AS __k, {bucket} AS __b, CAST({value} AS DOUBLE) AS __v
+  FROM ({series_sql}) WHERE {value} IS NOT NULL),
+__g AS (
+  SELECT __k, max(__b) AS __last,
+         list_transform(
+           list_sort(list(struct_pack(b := __b, v := __v))),
+           s -> s.v) AS __xs
+  FROM __sr GROUP BY 1
+  HAVING count(*) >= {2 * m}
+),
+__r AS (
+  SELECT __k, __last, __xs, length(__xs) AS n, {m} AS t,
+         {mean1} AS l,
+         ({mean2} - ({mean1})) / {M} AS b,
+         list_transform(__xs[1:{m}], x -> x - ({mean1})) AS s
+  FROM __g
+  UNION ALL
+  SELECT __k, __last, __xs, n, t + 1,
+         {lnew} AS l,
+         {B} * (({lnew}) - l) + {OMB} * b AS b,
+         list_append(s[2:],
+           {G} * (__xs[t + 1] - l - b) + {OMG} * s[1]) AS s
+  FROM __r WHERE t < n
+)
+SELECT __k AS {key}, __last + h AS {bucket},
+       (l + CAST(h AS DOUBLE) * b
+        + s[CAST((h - 1) % {m} + 1 AS INT)]) + 0.0::DOUBLE AS yhat, h
+FROM (SELECT * FROM __r WHERE t = n),
+     (SELECT unnest(range(1, {int(horizon)} + 1)) AS h)
+"""
+
+
 def theil_sen(
     df: DataFrame,
     key_col: str,

@@ -788,3 +788,57 @@ def test_theil_sen_guard_and_invariance(spark):
     b = sorted(map(tuple, theil_sen(
         df.repartition(7), "k", "bucket", "v").collect()))
     assert a == b
+
+
+# --- Holt-Winters additive seasonal -------------------------------------------
+
+def _hw_ref(xs, m, a, b_, g_, hor):
+    l = sum(xs[:m]) / m
+    b = (sum(xs[m:2 * m]) / m - sum(xs[:m]) / m) / m
+    s = [x - sum(xs[:m]) / m for x in xs[:m]]
+    for t in range(m, len(xs)):
+        x = xs[t]
+        sh = s[0]
+        ln = a * (x - sh) + (1 - a) * (l + b)
+        bn = b_ * (ln - l) + (1 - b_) * b
+        sn = g_ * (x - l - b) + (1 - g_) * sh
+        s = s[1:] + [sn]
+        l, b = ln, bn
+    return [(l + h * b + s[(h - 1) % m]) + 0.0 for h in range(1, hor + 1)]
+
+
+def test_holt_winters_matches_reference_and_oracle(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.timeseries import (holt_winters_forecast,
+                                                  holt_winters_sql)
+
+    rows = []
+    for k, base in [("a", 10.0), ("b", 50.0)]:
+        for t in range(1, 29):
+            season = [0, 3, -2, 1, 4, -3, -1][t % 7]
+            rows.append((k, t, base + 0.5 * t + season))
+    rows += [("short", 1, 5.0), ("short", 2, 6.0)]   # < 2m: absent
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = sorted(map(tuple, holt_winters_forecast(
+        df, "k", "t", "v", period=7, horizon=7).collect()))
+    assert sorted({r[0] for r in got}) == ["a", "b"]
+    # bit-exact vs the pure-python textbook recursion
+    for key in ("a", "b"):
+        xs = [v for kk, t, v in sorted(rows) if kk == key]
+        exp = _hw_ref(xs, 7, 0.3, 0.1, 0.2, 7)
+        by_h = {h: y for kk, t, y, h in got if kk == key}
+        assert [by_h[h] for h in range(1, 8)] == exp
+    # forecast buckets continue the series
+    assert {t for kk, t, y, h in got if kk == "a"} == set(range(29, 36))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "t", "v"]))
+    oracle = sorted(map(tuple, con.execute(holt_winters_sql(
+        "SELECT * FROM t", "k", "t", "v", period=7, horizon=7)).fetchall()))
+    assert got == oracle
+
+    with pytest.raises(ValueError):
+        holt_winters_forecast(df, "k", "t", "v", period=1)
+    with pytest.raises(ValueError):
+        holt_winters_forecast(df, "k", "t", "v", alpha=1.5)

@@ -3188,6 +3188,18 @@ def _trade_hyperball(spark, sf_dir):
     return _HYPERBALL_CACHE[key]
 
 
+def q_louvain(spark, sf_dir):
+    """Deterministic synchronous Louvain move phase (operators.graph.
+    louvain_moves): modularity-GAIN community moves over the trade
+    graph, md5 bucket schedule (half the nodes move per round, the
+    parallel-Louvain anti-swap discipline), strict-positive-gain
+    acceptance, smallest-community tie-break — beats label_prop's
+    plurality rule on Newman modularity (asserted in tests)."""
+    from simba_spark.operators.graph import louvain_moves
+
+    return louvain_moves(_trade_edges(spark, sf_dir), iters=4)
+
+
 def q_clustering_coeff_capped(spark, sf_dir):
     """Hub-capped local clustering coefficient (clustering_coefficient
     (max_degree=64)): exact on the subgraph induced by degree <= 64
@@ -4707,6 +4719,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff_capped": q_clustering_coeff_capped,
         "stream_trending": q_stream_trending,
         "holt_winters": q_holt_winters,
+        "louvain": q_louvain,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5572,6 +5585,7 @@ def oracle_sql() -> dict[str, str]:
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql,
                                              clustering_coefficient_sql,
+                                             louvain_moves_sql,
                                              degree_assortativity_sql,
                                              effective_diameter_sql,
                                              harmonic_centrality_sql,
@@ -6229,6 +6243,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": clustering_coefficient_sql(pr_edges),
         "clustering_coeff_capped": clustering_coefficient_sql(
             pr_edges, max_degree=64),
+        "louvain": louvain_moves_sql(pr_edges, iters=4),
         "assortativity": degree_assortativity_sql(pr_edges),
         "spearman": spearman_corr_sql(
             "(SELECT o_totalprice, n_lines FROM orders JOIN "

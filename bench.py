@@ -190,6 +190,7 @@ HEADLINE = [
     "clustering_coeff_capped",
     "stream_trending",
     "holt_winters",
+    "louvain",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -258,7 +259,7 @@ _R9 = {
     "retrieval_eval", "temperature_mixture", "trunc_recall",
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
     "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
-    "stream_trending", "holt_winters",
+    "stream_trending", "holt_winters", "louvain",
 }
 
 GROUPS = {

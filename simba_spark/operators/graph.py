@@ -1195,6 +1195,197 @@ def k_core_sql(
     )
 
 
+def louvain_moves(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS Louvain move phase (one level) over
+    the undirected graph — community detection by MODULARITY GAIN
+    (Blondel et al. 2008's local-move rule) where
+    :func:`label_propagation` uses neighbor plurality: every node
+    starts in its own community; each round every node moves to the
+    candidate community (its neighbors' communities plus its own)
+    maximizing the standard one-level gain
+
+        score(i → C) = k_{i,C} − deg(i)·(Σtot(C) − [C = cur]·deg(i)) / 2m
+
+    (internal-edge pull minus the degree-mass null model), ties broken
+    by the SMALLEST community id — classic Louvain's sequential
+    random-order sweep is irreproducible across partitionings, so this
+    is the synchronous variant a distributed engine can replay
+    bit-for-bit (the :func:`label_propagation` determinism rationale;
+    synchronous moves may oscillate on bipartite-ish graphs, which the
+    fixed ``iters`` cap bounds). Returns ``(node, community)``; score
+    a labeling with :func:`modularity`.
+
+    Scale: per round one Σtot skinny aggregate, one und⋈comm
+    equi-join + (node, community) count for k_{i,C}, two node-keyed
+    joins for (cur, deg), a 1-row broadcast 2m (in-plan, no collect),
+    and one ``min_by`` hash-aggregate argmax; assignments
+    localCheckpoint per round. No driver state, no cartesian.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    from .pipeline import _unit_hash
+
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")).localCheckpoint(eager=False)
+    two_m = und.agg(F.count(F.lit(1)).alias("__2m"))
+    comm = deg.select("node", F.col("node").alias("community"))
+    for r in range(int(iters)):
+        tot = (
+            comm.join(deg, "node")
+            .groupBy("community")
+            .agg(F.sum("__deg").alias("__tot"))
+        )
+        kic = (
+            und.join(comm.select(F.col("node").alias("b"),
+                                 F.col("community").alias("__c")), "b")
+            .groupBy(F.col("a").alias("node"), "__c")
+            .agg(F.count(F.lit(1)).alias("__k"))
+        )
+        cand = kic.unionByName(
+            comm.select("node", F.col("community").alias("__c"),
+                        F.lit(0).cast("long").alias("__k"))
+        ).groupBy("node", "__c").agg(F.max("__k").alias("__k"))
+        scored = (
+            cand.join(comm, "node")
+            .join(deg, "node")
+            .join(tot.select(F.col("community").alias("__c"), "__tot"),
+                  "__c")
+            .crossJoin(F.broadcast(two_m))
+        )
+        adj = F.when(
+            F.col("__c") == F.col("community"), F.col("__deg")
+        ).otherwise(F.lit(0).cast("long"))
+        score = (
+            F.col("__k").cast("double")
+            - F.col("__deg").cast("double")
+            * (F.col("__tot") - adj).cast("double")
+            / F.col("__2m").cast("double")
+        )
+        best = (
+            scored.select("node", "community", "__c", score.alias("__s"))
+            .groupBy("node")
+            .agg(
+                F.first("community").alias("community"),
+                F.min_by(
+                    "__c",
+                    F.struct((-F.col("__s")).alias("__o"), F.col("__c")),
+                ).alias("__best"),
+                F.max(F.when(F.col("__c") != F.col("community"),
+                             F.col("__s"))).alias("__sbest"),
+                F.max(F.when(F.col("__c") == F.col("community"),
+                             F.col("__s"))).alias("__scur"),
+            )
+        )
+        # one hash-bucket of nodes moves per round (the parallel-Louvain
+        # anti-swap discipline), and only on STRICTLY positive gain vs
+        # staying — frozen nodes keep the target communities stable, so
+        # each accepted move improves Q against the current assignment
+        may_move = ((_unit_hash("node", 7) < 0.5) == F.lit(r % 2 == 0))
+        gain = F.col("__sbest") > F.col("__scur")
+        comm = best.select(
+            "node",
+            F.when(may_move & gain, F.col("__best"))
+            .otherwise(F.col("community")).alias("community"),
+        ).localCheckpoint(eager=True)
+    return comm.select("node", "community")
+
+
+def louvain_moves_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`louvain_moves` — the move rounds
+    unrolled as MATERIALIZED CTEs (each assignment feeds four
+    consumers; inlining would explode, the k_core lesson), identical
+    gain expression, (score DESC, community ASC) argmax, md5
+    bucket schedule, and strict-positive-gain acceptance."""
+    from .pipeline import unit_hash_sql
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    parts = [
+        f"""__e AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT {src} AS a, {dst} AS b FROM {edges_sql} WHERE {src} <> {dst}
+    UNION ALL
+    SELECT {dst} AS a, {src} AS b FROM {edges_sql} WHERE {src} <> {dst})
+)""",
+        """__deg AS MATERIALIZED (
+  SELECT a AS node, count(*)::BIGINT AS __deg FROM __e GROUP BY 1
+)""",
+        "__2m AS MATERIALIZED (SELECT count(*)::BIGINT AS __2m FROM __e)",
+        "__c0 AS MATERIALIZED (SELECT node, node AS community FROM __deg)",
+    ]
+    for t in range(1, int(iters) + 1):
+        p = t - 1
+        parts.append(f"""__tot{t} AS MATERIALIZED (
+  SELECT c.community, sum(d.__deg)::BIGINT AS __tot
+  FROM __c{p} c JOIN __deg d USING (node) GROUP BY 1
+)""")
+        parts.append(f"""__cand{t} AS MATERIALIZED (
+  SELECT node, __c, max(__k)::BIGINT AS __k FROM (
+    SELECT e.a AS node, c.community AS __c, count(*)::BIGINT AS __k
+    FROM __e e JOIN __c{p} c ON e.b = c.node GROUP BY 1, 2
+    UNION ALL
+    SELECT node, community AS __c, 0::BIGINT AS __k FROM __c{p}
+  ) GROUP BY 1, 2
+)""")
+        bucket = (f"(({unit_hash_sql('node', 7)}) < 0.5) = "
+                  f"{'TRUE' if (t - 1) % 2 == 0 else 'FALSE'}")
+        score = (
+            "(CAST(k.__k AS DOUBLE)"
+            " - CAST(d.__deg AS DOUBLE)"
+            " * CAST(tt.__tot - CASE WHEN k.__c = cur.community"
+            "                        THEN d.__deg ELSE 0 END AS DOUBLE)"
+            " / CAST(m.__2m AS DOUBLE))"
+        )
+        parts.append(f"""__s{t} AS MATERIALIZED (
+  SELECT k.node, cur.community, k.__c, {score} AS __s
+  FROM __cand{t} k
+  JOIN __c{p} cur USING (node)
+  JOIN __deg d USING (node)
+  JOIN __tot{t} tt ON tt.community = k.__c
+  CROSS JOIN __2m m
+)""")
+        parts.append(f"""__b{t} AS MATERIALIZED (
+  SELECT node, __c AS __best FROM (
+    SELECT node, __c, row_number() OVER (
+      PARTITION BY node ORDER BY __s DESC, __c ASC) AS __rn
+    FROM __s{t}
+  ) WHERE __rn = 1
+)""")
+        parts.append(f"""__c{t} AS MATERIALIZED (
+  SELECT a.node,
+         CASE WHEN ({bucket})
+                   AND a.__sbest IS NOT NULL AND a.__sbest > a.__scur
+              THEN b.__best ELSE a.community END AS community
+  FROM (
+    SELECT node, any_value(community) AS community,
+           max(CASE WHEN __c <> community THEN __s END) AS __sbest,
+           max(CASE WHEN __c = community THEN __s END) AS __scur
+    FROM __s{t} GROUP BY node
+  ) a JOIN __b{t} b USING (node)
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, community FROM __c{int(iters)}")
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

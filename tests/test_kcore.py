@@ -144,3 +144,60 @@ def test_hyperanf_wide_layout_caps_p(spark):
     # auto with large p routes to rows and works
     got = hyperanf(e, iters=1, p=9, layout="auto").collect()
     assert len(got) == 2
+
+
+# --- louvain move phase -------------------------------------------------------
+
+def test_louvain_moves_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from simba_spark.operators.graph import (label_propagation,
+                                             louvain_moves, modularity)
+
+    # two triangles + bridge: converges to the two cliques
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.community for r in louvain_moves(df, iters=6).collect()}
+    assert len({out[0], out[1], out[2]}) == 1
+    assert len({out[3], out[4], out[5]}) == 1
+    assert out[0] != out[3]
+
+    # modularity never worse than singletons, and >= label_prop here
+    import random
+    rng = random.Random(3)
+    redges = list({(rng.randrange(30), rng.randrange(30))
+                   for _ in range(90)})
+    rdf = spark.createDataFrame(redges, "src long, dst long")
+    labels = louvain_moves(rdf, iters=4).withColumnRenamed(
+        "community", "label")
+    qf = modularity(rdf, labels).agg(F.sum("q_c")).first()[0]
+    single = (rdf.select(F.col("src").alias("node"))
+              .unionByName(rdf.select(F.col("dst").alias("node")))
+              .distinct().withColumn("label", F.col("node")))
+    q0 = modularity(rdf, single).agg(F.sum("q_c")).first()[0]
+    qlp = modularity(rdf, label_propagation(rdf, iters=4)) \
+        .agg(F.sum("q_c")).first()[0]
+    assert qf > q0 and qf >= qlp
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        louvain_moves(df, iters=0)
+
+
+def test_louvain_moves_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.graph import louvain_moves, louvain_moves_sql
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(140)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(map(tuple, louvain_moves(df, iters=4).collect()))
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    oracle = sorted(map(tuple, con.execute(
+        louvain_moves_sql("e", iters=4)).fetchall()))
+    assert got == oracle

@@ -171,4 +171,8 @@ def test_partition_exprs_are_single_parsed_literals(pts):
     t0 = time.time()
     for _ in range(5):
         _pid_expr(meta, ["x"])
-    assert time.time() - t0 < 2.0
+    # generous wall-clock bound: the O(num)-py4j-calls regression this
+    # guards against costs 10s+; the single-expr path is ~0.5 s, but
+    # this host's scheduler noise has pushed it past a 2.0 s bound
+    # under a full parallel suite (round-9 preflight flake at 2.09 s)
+    assert time.time() - t0 < 5.0

@@ -4187,6 +4187,24 @@ def q_stream_trending(spark, sf_dir):
         F.col("window")["start"].alias("bucket"), "term", "n", "rank")
 
 
+def q_stream_cm(spark, sf_dir):
+    """Streaming windowed Count-Min kernel (streaming.
+    streaming_windowed_cm) on the batch events frame: hourly mergeable
+    CM sketch rows of user_id per event_type (depth 4 × width 256) —
+    the same counter grid as batch cm_sketch per window, emitted in
+    the persistable form cm_merge/cm_estimate consume; the stateful
+    aggregation's expression tree is identical in batch mode."""
+    from simba_spark.streaming.ops import streaming_windowed_cm
+
+    ev = _t(spark, sf_dir, "events")
+    out = streaming_windowed_cm(
+        ev, ts_col="ts", col="user_id", key_col="event_type",
+        window="1 hour", depth=4, width=256)
+    return out.select(
+        F.col("window")["start"].alias("bucket"), "event_type",
+        "__cm_d", "__cm_b", "__cm_n")
+
+
 def q_stream_ohlc(spark, sf_dir):
     """Hourly OHLC bars through the STREAMING kernel
     (streaming.streaming_windowed_ohlc) on the batch events frame —
@@ -4720,6 +4738,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trending": q_stream_trending,
         "holt_winters": q_holt_winters,
         "louvain": q_louvain,
+        "stream_cm": q_stream_cm,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -6257,6 +6276,25 @@ def oracle_sql() -> dict[str, str]:
         # incremental SCD2 merge: the same splice pipeline — old
         # versions re-enter as events (src 0, before same-ts batch
         # rows), batch keys only, collapse re-runs across the splice
+        # streaming_windowed_cm batch-parity row: the same md5 hash60
+        # buckets as batch cm_sketch, per hourly window
+        "stream_cm": """
+            WITH __b AS (
+              SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                     event_type, d.__cm_d,
+                     CASE d.__cm_d
+                       WHEN 0 THEN (('0x' || substr(md5((user_id) || '#42'), 1, 15))::BIGINT) % 256
+                       WHEN 1 THEN (('0x' || substr(md5((user_id) || '#43'), 1, 15))::BIGINT) % 256
+                       WHEN 2 THEN (('0x' || substr(md5((user_id) || '#44'), 1, 15))::BIGINT) % 256
+                       ELSE (('0x' || substr(md5((user_id) || '#45'), 1, 15))::BIGINT) % 256
+                     END AS __cm_b
+              FROM events, (SELECT unnest([0, 1, 2, 3]) AS __cm_d) d
+              WHERE user_id IS NOT NULL
+            )
+            SELECT bucket, event_type, __cm_d, __cm_b,
+                   count(*)::BIGINT AS __cm_n
+            FROM __b GROUP BY 1, 2, 3, 4
+        """,
         # streaming_trending_terms batch-parity row: hourly windows on
         # the derived doc_id-minute event time; top-k = (n DESC, term
         # ASC), the struct(-n, term) sort order

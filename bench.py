@@ -191,6 +191,7 @@ HEADLINE = [
     "stream_trending",
     "holt_winters",
     "louvain",
+    "stream_cm",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -259,7 +260,7 @@ _R9 = {
     "retrieval_eval", "temperature_mixture", "trunc_recall",
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
     "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
-    "stream_trending", "holt_winters", "louvain",
+    "stream_trending", "holt_winters", "louvain", "stream_cm",
 }
 
 GROUPS = {

@@ -3188,6 +3188,20 @@ def _trade_hyperball(spark, sf_dir):
     return _HYPERBALL_CACHE[key]
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility eval (operators.text.bpe_fertility):
+    subwords per word by LANGUAGE under the corpus's own 8 learned
+    merges — the cross-lingual tokenizer-quality metric (merges
+    trained mostly on the dominant language fragment the tail
+    languages; this row prices it). 8-row bounded merge collect,
+    zero-shuffle encode, one skinny group aggregate."""
+    from simba_spark.operators.text import bpe_fertility, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8).orderBy("merge_rank").collect()
+    return bpe_fertility(docs, merges)
+
+
 def q_louvain(spark, sf_dir):
     """Deterministic synchronous Louvain move phase (operators.graph.
     louvain_moves): modularity-GAIN community moves over the trade
@@ -4739,6 +4753,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "louvain": q_louvain,
         "stream_cm": q_stream_cm,
+        "bpe_fertility": q_bpe_fertility,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -5634,6 +5649,7 @@ def oracle_sql() -> dict[str, str]:
                                                  prf_expand_sql,
                                                  retrieval_metrics_sql)
     from simba_spark.operators.text import (bpe_apply_sql,
+                                            bpe_fertility_sql,
                                             bpe_train_sql,
                                             kn_trigram_lm_sql,
                                             zipf_fit_sql,
@@ -6423,6 +6439,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": bpe_train_sql("documents", num_merges=8),
         "bpe_merges_sampled": bpe_train_sql(
             "documents", num_merges=8, sample_fraction=0.5),
+        "bpe_fertility": bpe_fertility_sql("documents", num_merges=8),
         "temperature_mixture": temperature_mixture_sql(
             "documents", "lang", "doc_id", alpha=0.3,
             select="t.doc_id, t.lang"),

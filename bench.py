@@ -192,6 +192,7 @@ HEADLINE = [
     "holt_winters",
     "louvain",
     "stream_cm",
+    "bpe_fertility",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -261,6 +262,7 @@ _R9 = {
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
     "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
     "stream_trending", "holt_winters", "louvain", "stream_cm",
+    "bpe_fertility",
 }
 
 GROUPS = {

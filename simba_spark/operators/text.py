@@ -1847,3 +1847,97 @@ SELECT n AS n_terms,
        END, {int(round_to)}) AS r2
 FROM __m
 """
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: Sequence,
+    text_col: str = "text",
+    group_col: str = "lang",
+    round_to: int = 6,
+) -> DataFrame:
+    """Tokenizer FERTILITY evaluation: subwords emitted per word under
+    a learned BPE merge list, aggregated per ``group_col`` — THE
+    cross-lingual tokenizer-quality metric (a merge table trained on
+    one language fragments the others; fertility quantifies exactly
+    how much, which prices both context-window waste and per-language
+    compute). Uses :func:`bpe_apply`'s encoder, so fertility reflects
+    the exact training segmentation.
+
+    Returns ``(group, n_docs, n_words, n_subwords, fertility)`` with
+    fertility = Σ subwords / Σ words (corpus-level, exact-long
+    division, rounded; NULL for groups with zero words).
+
+    Scale: one zero-shuffle encode projection + one skinny group
+    aggregate; the merge list is parameter-bounded (the bpe_train
+    contract).
+    """
+    enc = bpe_apply(df, text_col=text_col, merges=merges,
+                    out_col="__bpe")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: t.rlike("^[a-z]+$"),
+    )
+    per = enc.select(
+        F.col(group_col).alias("__g"),
+        F.size(words).alias("__nw"),
+        F.size("__bpe").alias("__ns"),
+    )
+    return per.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nw").alias("n_words"),
+        F.sum("__ns").alias("n_subwords"),
+        F.round(
+            F.when(
+                F.sum("__nw") > 0,
+                F.sum("__ns").cast("double")
+                / F.sum("__nw").cast("double"),
+            ),
+            int(round_to),
+        ).alias("fertility"),
+    )
+
+
+def bpe_fertility_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "lang",
+    num_merges: int = 8,
+    min_word_freq: int = 1,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of training-then-:func:`bpe_fertility` (the
+    :func:`bpe_apply_sql` encode program with a per-group fertility
+    tail)."""
+    train = bpe_train_sql(table, text_col, num_merges, min_word_freq)
+    body = train[len("WITH "):train.rindex("\nSELECT * FROM (")]
+    sep = "chr(1)||chr(1)"
+    mcols = ", ".join(
+        f"(SELECT __l FROM __b{k}) AS l{k}, (SELECT __r FROM __b{k}) AS r{k}"
+        for k in range(1, int(num_merges) + 1)
+    )
+    enc = "regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g')"
+    for k in range(1, int(num_merges) + 1):
+        enc = (f"replace({enc}, chr(1)||l{k}||{sep}||r{k}||chr(1), "
+               f"chr(1)||l{k}||r{k}||chr(1))")
+    return f"""WITH {body},
+__m AS MATERIALIZED (SELECT {mcols}),
+__dw AS (
+  SELECT {group_col} AS __g,
+         list_filter(string_split_regex(lower(trim({text_col})), '\\s+'),
+                     w -> regexp_matches(w, '^[a-z]+$')) AS __ws
+  FROM {table}
+),
+__enc AS (
+  SELECT __g, length(__ws)::BIGINT AS __nw,
+         length(flatten(list_transform(__ws,
+           w -> string_split(trim({enc}, chr(1)), {sep}))))::BIGINT AS __ns
+  FROM __dw, __m
+)
+SELECT __g AS {group_col}, count(*)::BIGINT AS n_docs,
+       sum(__nw)::BIGINT AS n_words, sum(__ns)::BIGINT AS n_subwords,
+       round(CASE WHEN sum(__nw) > 0
+             THEN CAST(sum(__ns) AS DOUBLE) / CAST(sum(__nw) AS DOUBLE)
+             END, {int(round_to)}) AS fertility
+FROM __enc GROUP BY 1
+"""

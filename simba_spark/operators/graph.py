@@ -1220,11 +1220,16 @@ def louvain_moves(
     fixed ``iters`` cap bounds). Returns ``(node, community)``; score
     a labeling with :func:`modularity`.
 
-    Scale: per round one Σtot skinny aggregate, one und⋈comm
-    equi-join + (node, community) count for k_{i,C}, two node-keyed
-    joins for (cur, deg), a 1-row broadcast 2m (in-plan, no collect),
-    and one ``min_by`` hash-aggregate argmax; assignments
-    localCheckpoint per round. No driver state, no cartesian.
+    Scale: the assignment frame carries ``__deg`` so Σtot is a
+    node-scale aggregate with NO join and the per-round chain is
+    exactly three equi-joins — und⋈comm on the neighbor key (the
+    edge frame is pre-partitioned on that key once, so only the
+    node-scale side shuffles each round), cand⋈tot on the candidate
+    community, then ⋈comm on the node id, whose exchange the final
+    ``min_by`` argmax reuses (groupBy on the join key — no extra
+    shuffle). 2m is a 1-row broadcast (in-plan, no collect);
+    assignments localCheckpoint lazily (the pagerank discipline).
+    No driver state, no cartesian.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -1235,20 +1240,19 @@ def louvain_moves(
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition("b")
         .localCheckpoint(eager=False)
     )
     from .pipeline import _unit_hash
 
-    deg = und.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("__deg")).localCheckpoint(eager=False)
     two_m = und.agg(F.count(F.lit(1)).alias("__2m"))
-    comm = deg.select("node", F.col("node").alias("community"))
+    comm = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    ).select(
+        "node", F.col("node").alias("community"), "__deg"
+    ).localCheckpoint(eager=False)
     for r in range(int(iters)):
-        tot = (
-            comm.join(deg, "node")
-            .groupBy("community")
-            .agg(F.sum("__deg").alias("__tot"))
-        )
+        tot = comm.groupBy("community").agg(F.sum("__deg").alias("__tot"))
         kic = (
             und.join(comm.select(F.col("node").alias("b"),
                                  F.col("community").alias("__c")), "b")
@@ -1260,10 +1264,9 @@ def louvain_moves(
                         F.lit(0).cast("long").alias("__k"))
         ).groupBy("node", "__c").agg(F.max("__k").alias("__k"))
         scored = (
-            cand.join(comm, "node")
-            .join(deg, "node")
-            .join(tot.select(F.col("community").alias("__c"), "__tot"),
-                  "__c")
+            cand.join(tot.select(F.col("community").alias("__c"), "__tot"),
+                      "__c")
+            .join(comm, "node")
             .crossJoin(F.broadcast(two_m))
         )
         adj = F.when(
@@ -1276,10 +1279,12 @@ def louvain_moves(
             / F.col("__2m").cast("double")
         )
         best = (
-            scored.select("node", "community", "__c", score.alias("__s"))
+            scored.select("node", "community", "__deg", "__c",
+                          score.alias("__s"))
             .groupBy("node")
             .agg(
                 F.first("community").alias("community"),
+                F.first("__deg").alias("__deg"),
                 F.min_by(
                     "__c",
                     F.struct((-F.col("__s")).alias("__o"), F.col("__c")),
@@ -1300,7 +1305,8 @@ def louvain_moves(
             "node",
             F.when(may_move & gain, F.col("__best"))
             .otherwise(F.col("community")).alias("community"),
-        ).localCheckpoint(eager=True)
+            "__deg",
+        ).localCheckpoint(eager=False)
     return comm.select("node", "community")
 
 

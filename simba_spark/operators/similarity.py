@@ -675,10 +675,13 @@ def contrastive_pairs(
     k hardest negatives (different label, HIGHEST cosine — the
     near-miss confusions worth a gradient).
 
-    Anchors are the ``n_anchors`` lowest-id vectors (deterministic).
-    Returns ``(anchor_id, kind, pair_id, cosine_sim, rank)`` with
-    kind in {'pos', 'neg'}, rank 1 = hardest. Rows with NULL label
-    are excluded from both sides.
+    Anchors are the TRUE ``n_anchors`` lowest-id labeled vectors —
+    a bounded ``orderBy(id).limit(n)`` (TakeOrderedAndProject), so the
+    contract holds on ANY id domain (offset ranges, sampled corpora,
+    hashed ids), not just dense 0-based ids. Returns ``(anchor_id,
+    kind, pair_id, cosine_sim, rank)`` with kind in {'pos', 'neg'},
+    rank 1 = hardest. Rows with NULL label are excluded from both
+    sides.
 
     Scale: the anchor frame broadcasts; candidate scoring is one
     corpus-linear pass per kind (codegen'd cosine, bounded windows) —
@@ -694,7 +697,7 @@ def contrastive_pairs(
     if not kinds or any(kd not in ("pos", "neg") for kd in kinds):
         raise ValueError(f"kinds must be a subset of ('pos','neg'): {kinds}")
     base = df.filter(F.col(label_col).isNotNull())
-    anchors = base.filter(F.col(id_col) < int(n_anchors)).select(
+    anchors = base.orderBy(F.col(id_col).asc()).limit(int(n_anchors)).select(
         F.col(id_col).alias("__aid"), F.col(vec_col).alias("__av"),
         F.col(label_col).alias("__al"))
     cand = base.select(
@@ -743,12 +746,14 @@ def contrastive_pairs_sql(
     kinds: Sequence[str] = ("pos", "neg"),
     round_to: int = 6,
 ) -> str:
-    """DuckDB mirror of :func:`contrastive_pairs` (same anchors,
-    rounded-sim rank orders, and kind semantics)."""
+    """DuckDB mirror of :func:`contrastive_pairs` (same n-lowest-id
+    anchor rule, rounded-sim rank orders, and kind semantics)."""
     kk = int(k)
     kinds = list(kinds)
     if kk < 1 or not kinds or any(kd not in ("pos", "neg") for kd in kinds):
         raise ValueError(f"bad k/kinds: {k}, {kinds}")
+    anchors = (f"(SELECT * FROM {table} WHERE {label_col} IS NOT NULL"
+               f" ORDER BY {id_col} ASC LIMIT {int(n_anchors)})")
     parts = []
     for kd in kinds:
         cmpop = "<>" if kd == "neg" else "="
@@ -765,9 +770,8 @@ FROM (
            ORDER BY round(list_cosine_similarity(c.{vec_col}::DOUBLE[],
                                                  a.{vec_col}::DOUBLE[]), 6)
                     {direction}, c.{id_col} ASC) AS __rn
-  FROM {table} a JOIN {table} c
+  FROM {anchors} a JOIN {table} c
     ON c.{id_col} <> a.{id_col} AND c.{label_col} {cmpop} a.{label_col}
-  WHERE a.{id_col} < {int(n_anchors)}
-    AND a.{label_col} IS NOT NULL AND c.{label_col} IS NOT NULL
+  WHERE c.{label_col} IS NOT NULL
 ) WHERE __rn <= {kk}""")
     return "\nUNION ALL\n".join(parts)

@@ -411,3 +411,39 @@ def test_contrastive_pairs_semantics_and_parity(spark):
         contrastive_pairs(df, k=0)
     with pytest.raises(ValueError):
         contrastive_pairs(df, kinds=["bad"])
+
+
+def test_contrastive_pairs_non_dense_ids(spark):
+    """Anchor contract on NON-dense ids (offset range): the anchors
+    must be the true n lowest ids, not `id < n_anchors` (which would
+    select an empty set here). Shifting every id by a constant must
+    shift the output ids and nothing else."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.similarity import (contrastive_pairs,
+                                                  contrastive_pairs_sql)
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(40)]
+    OFF = 1000
+    shifted = [(i + OFF, v, l) for i, v, l in rows]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    sdf = spark.createDataFrame(
+        shifted, "vec_id long, embedding array<double>, label int")
+    base = sorted(map(tuple, contrastive_pairs(df, k=4, n_anchors=3)
+                      .collect()))
+    got = sorted(map(tuple, contrastive_pairs(sdf, k=4, n_anchors=3)
+                     .collect()))
+    assert len(got) == 24  # the old id<n rule would return 0 rows
+    assert got == [(a + OFF, kd, p + OFF, s, r) for a, kd, p, s, r in base]
+    # SQL mirror agrees on the shifted domain too
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        shifted, columns=["vec_id", "embedding", "label"]))
+    oracle = sorted(map(tuple, con.execute(contrastive_pairs_sql(
+        "embeddings", k=4, n_anchors=3)).fetchall()))
+    assert got == oracle

@@ -265,13 +265,28 @@ _R9 = {
     "bpe_fertility",
 }
 
+#: round-10 additions get their OWN group (the standing rule: a new
+#: round's queries never append to an old group).
+_R10: set = set()
+
 GROUPS = {
-    "legacy": [q for q in HEADLINE if q not in _POST_R3 and q not in _R9],
+    "legacy": [q for q in HEADLINE if q not in _POST_R3 and q not in _R9
+               and q not in _R10],
     "post": [q for q in HEADLINE
-             if q in _POST_R3 and q not in _R8_LATE and q not in _R9],
+             if q in _POST_R3 and q not in _R8_LATE and q not in _R9
+             and q not in _R10],
     "r8late": [q for q in HEADLINE if q in _R8_LATE],
     "r9": [q for q in HEADLINE if q in _R9],
+    "r10": [q for q in HEADLINE if q in _R10],
 }
+
+#: default per-group sub-JVM chunking for the groups whose LATE reps
+#: inflated from in-session pressure even with per-rep gc (BENCH_r09:
+#: bpe_fertility 4.4/4.7/10.1 s, clustering_coeff_capped 3.6/3.2/7.1 s
+#: — third reps only). 7 queries per JVM bounds accumulated state the
+#: same way the sf1 capture's SPARK_GRAFT_BENCH_CHUNK run does; the
+#: older groups stay whole-group for round-over-round comparability.
+GROUP_CHUNK = {"r9": 7, "r10": 7}
 
 
 def _bench_overrides():
@@ -410,11 +425,14 @@ def main() -> int:
         ok = True
         units: list[tuple[str, dict]] = []
         for g, qlist in GROUPS.items():
-            if chunk > 0:
-                for i in range(0, len(qlist), chunk):
-                    units.append((f"{g}[{i}:{i + chunk}]", dict(
+            if not qlist:
+                continue
+            gchunk = chunk if chunk > 0 else GROUP_CHUNK.get(g, 0)
+            if gchunk > 0:
+                for i in range(0, len(qlist), gchunk):
+                    units.append((f"{g}[{i}:{i + gchunk}]", dict(
                         SPARK_GRAFT_BENCH_NAMES=",".join(
-                            qlist[i:i + chunk]))))
+                            qlist[i:i + gchunk]))))
             else:
                 units.append((g, dict(SPARK_GRAFT_BENCH_GROUP=g)))
         for g, genv in units:

@@ -3214,6 +3214,20 @@ def q_louvain(spark, sf_dir):
     return louvain_moves(_trade_edges(spark, sf_dir), iters=4)
 
 
+def q_louvain_levels(spark, sf_dir):
+    """FULL multi-level Louvain (operators.graph.louvain): the
+    synchronous move kernel, then community-graph CONTRACTION
+    (parallel super-edges collapse to integer weights, internal edges
+    to self mass) and a second weighted move phase; the output is the
+    best level by an EXACT integer modularity score (4m·W_in − Σd_c²,
+    HUGEINT/decimal both engines), so Q >= the one-level q_louvain row
+    by construction. Level 2 runs on the contracted graph — one node
+    per level-1 community."""
+    from simba_spark.operators.graph import louvain
+
+    return louvain(_trade_edges(spark, sf_dir), iters=4, levels=2)
+
+
 def q_clustering_coeff_capped(spark, sf_dir):
     """Hub-capped local clustering coefficient (clustering_coefficient
     (max_degree=64)): exact on the subgraph induced by degree <= 64
@@ -4737,6 +4751,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- round-10 debuts (seated into the window by the round-10
+        #     rotation once locally green) ---
+        "louvain_levels": q_louvain_levels,
         # --- round-9 late debuts: locally oracle-green, queued for
         #     round-10 driver rows ---
         "bpe_merges_sampled": q_bpe_merges_sampled,
@@ -5620,6 +5637,7 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.graph import (adamic_adar_sql,
                                              clustering_coefficient_sql,
                                              louvain_moves_sql,
+                                             louvain_sql,
                                              degree_assortativity_sql,
                                              effective_diameter_sql,
                                              harmonic_centrality_sql,
@@ -6279,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff_capped": clustering_coefficient_sql(
             pr_edges, max_degree=64),
         "louvain": louvain_moves_sql(pr_edges, iters=4),
+        "louvain_levels": louvain_sql(pr_edges, iters=4, levels=2),
         "assortativity": degree_assortativity_sql(pr_edges),
         "spearman": spearman_corr_sql(
             "(SELECT o_totalprice, n_lines FROM orders JOIN "

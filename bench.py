@@ -193,6 +193,8 @@ HEADLINE = [
     "louvain",
     "stream_cm",
     "bpe_fertility",
+    # round-10 additions
+    "louvain_levels",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -267,7 +269,9 @@ _R9 = {
 
 #: round-10 additions get their OWN group (the standing rule: a new
 #: round's queries never append to an old group).
-_R10: set = set()
+_R10: set = {
+    "louvain_levels",
+}
 
 GROUPS = {
     "legacy": [q for q in HEADLINE if q not in _POST_R3 and q not in _R9

@@ -1392,6 +1392,429 @@ def louvain_moves_sql(
             + f"\nSELECT node, community FROM __c{int(iters)}")
 
 
+def _louvain_weighted_moves(ew, nodes_deg, two_m, iters: int):
+    """One weighted synchronous-Louvain move phase: ``ew`` is the
+    SYMMETRIC weighted edge frame ``(a, b, w)`` with ``a != b`` (self
+    mass lives in the degrees, where classic Louvain keeps it — it is
+    constant across a node's candidate communities so it cancels in
+    the gain), ``nodes_deg`` is ``(node, __deg)`` over the FULL node
+    universe (an all-internal super-node has no ``ew`` rows but still
+    holds degree mass), and ``two_m`` a 1-row ``(__2m)`` frame. Same
+    schedule, tie-break, and gain expression as :func:`louvain_moves`
+    (which is this kernel at w=1). Returns ``(node, community,
+    __deg)``."""
+    from .pipeline import _unit_hash
+
+    comm = nodes_deg.select(
+        "node", F.col("node").alias("community"), "__deg"
+    ).localCheckpoint(eager=False)
+    for r in range(int(iters)):
+        tot = comm.groupBy("community").agg(F.sum("__deg").alias("__tot"))
+        kic = (
+            ew.join(comm.select(F.col("node").alias("b"),
+                                F.col("community").alias("__c")), "b")
+            .groupBy(F.col("a").alias("node"), "__c")
+            .agg(F.sum("w").alias("__k"))
+        )
+        cand = kic.unionByName(
+            comm.select("node", F.col("community").alias("__c"),
+                        F.lit(0).cast("long").alias("__k"))
+        ).groupBy("node", "__c").agg(F.max("__k").alias("__k"))
+        scored = (
+            cand.join(tot.select(F.col("community").alias("__c"), "__tot"),
+                      "__c")
+            .join(comm, "node")
+            .crossJoin(F.broadcast(two_m))
+        )
+        adj = F.when(
+            F.col("__c") == F.col("community"), F.col("__deg")
+        ).otherwise(F.lit(0).cast("long"))
+        score = (
+            F.col("__k").cast("double")
+            - F.col("__deg").cast("double")
+            * (F.col("__tot") - adj).cast("double")
+            / F.col("__2m").cast("double")
+        )
+        best = (
+            scored.select("node", "community", "__deg", "__c",
+                          score.alias("__s"))
+            .groupBy("node")
+            .agg(
+                F.first("community").alias("community"),
+                F.first("__deg").alias("__deg"),
+                F.min_by(
+                    "__c",
+                    F.struct((-F.col("__s")).alias("__o"), F.col("__c")),
+                ).alias("__best"),
+                F.max(F.when(F.col("__c") != F.col("community"),
+                             F.col("__s"))).alias("__sbest"),
+                F.max(F.when(F.col("__c") == F.col("community"),
+                             F.col("__s"))).alias("__scur"),
+            )
+        )
+        may_move = ((_unit_hash("node", 7) < 0.5) == F.lit(r % 2 == 0))
+        gain = F.col("__sbest") > F.col("__scur")
+        comm = best.select(
+            "node",
+            F.when(may_move & gain, F.col("__best"))
+            .otherwise(F.col("community")).alias("community"),
+            "__deg",
+        ).localCheckpoint(eager=False)
+    return comm
+
+
+def louvain(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    levels: int = 2,
+) -> DataFrame:
+    """FULL multi-level Louvain (Blondel et al. 2008's aggregation
+    pipeline, the part :func:`louvain_moves` is one phase of): run the
+    deterministic synchronous move kernel, CONTRACT each community to
+    a super-node — parallel edges collapse into integer weights,
+    internal edges become self mass that stays in the super-node's
+    degree — and re-run the moves on the weighted community graph;
+    the final assignment maps every original node through all
+    ``levels``. ``levels=1`` is exactly :func:`louvain_moves` (the
+    w=1 case of the same kernel, asserted in tests).
+
+    SYNCHRONOUS moves can regress Q on a level (same-bucket movers
+    score against stale community masses — the classic synchronous-
+    Louvain hazard the one-level kernel's docstring bounds with its
+    ``iters`` cap), so the returned assignment is the BEST level by
+    Newman modularity, making Q(output) ≥ Q(one level) by
+    construction. The comparison is EXACT: Q·4m² = 4m·W_in − Σ_c d_c²
+    is integer arithmetic (decimal(38,0) here, HUGEINT in the SQL
+    mirror) — no float summation order to diverge between engines;
+    ties keep the earlier (finer) level. Returns ``(node,
+    community)``.
+
+    Scale: level 1 dominates — the contracted graph has one node per
+    community, so later levels run the same three-equi-join rounds on
+    frames orders of magnitude smaller. Contraction is two node-keyed
+    equi-joins + one canonical-pair groupBy on the (already weighted)
+    edge set; each level's Q score is two original-scale join-
+    aggregates reduced to a 1-row frame, and the best-level selection
+    is an in-plan broadcast CASE — 2m is level-invariant, computed
+    once. No driver state, no cartesian, no collect.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    # canonical weighted state: cw = (a < b, w) undirected edges once;
+    # sl = (node, s) self mass in edge units (deg contribution = 2s)
+    cw = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct().withColumn("w", F.lit(1).cast("long")).localCheckpoint(
+        eager=False)
+    sl = None
+    two_m = cw.agg((F.lit(2).cast("long") * F.sum("w")).alias("__2m"))
+    DEC = "decimal(38,0)"
+    cw1 = cw  # original canonical edges, kept for the Q scores
+    deg1 = None  # original node degrees, set at level 1
+    m_edges = cw.agg(F.sum("w").cast(DEC).alias("__m"))
+
+    def _q_exact(lab):
+        """1-row (__q) frame: Q(lab)·4m² = 4m·W_in − Σ_c d_c² over the
+        ORIGINAL graph, exact integer arithmetic."""
+        la = lab.select(F.col("node").alias("a"),
+                        F.col("community").alias("__ca"))
+        lb = lab.select(F.col("node").alias("b"),
+                        F.col("community").alias("__cb"))
+        win = (
+            cw1.join(la, "a").join(lb, "b")
+            .filter(F.col("__ca") == F.col("__cb"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast(DEC).alias("__win"))
+        )
+        sd2 = (
+            lab.join(deg1, "node")
+            .groupBy("community").agg(F.sum("__deg").alias("__dc"))
+            .agg(F.sum(F.col("__dc").cast(DEC)
+                       * F.col("__dc").cast(DEC)).alias("__sd2"))
+        )
+        return (
+            win.crossJoin(F.broadcast(sd2)).crossJoin(F.broadcast(m_edges))
+            .select((F.lit(4).cast(DEC) * F.col("__m") * F.col("__win")
+                     - F.col("__sd2")).alias("__q"))
+        )
+
+    mapping = None
+    best_map = None
+    best_q = None
+    for lvl in range(int(levels)):
+        sym = cw.unionByName(
+            cw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        ).repartition("b").localCheckpoint(eager=False)
+        wdeg = sym.groupBy(F.col("a").alias("node")).agg(
+            F.sum("w").alias("__wd"))
+        if sl is None:
+            nodes_deg = wdeg.select("node", F.col("__wd").alias("__deg"))
+            deg1 = nodes_deg
+        else:
+            nodes_deg = (
+                sl.join(wdeg, "node", "left")
+                .select("node",
+                        (F.coalesce(F.col("__wd"), F.lit(0).cast("long"))
+                         + F.lit(2).cast("long") * F.col("s")
+                         ).alias("__deg"))
+            )
+        cm = _louvain_weighted_moves(sym, nodes_deg, two_m, iters).select(
+            "node", "community")
+        if mapping is None:
+            mapping = cm.localCheckpoint(eager=False)
+            best_map = mapping
+            if int(levels) > 1:
+                best_q = _q_exact(mapping).select(
+                    F.col("__q").alias("__bq"))
+        else:
+            mapping = mapping.join(
+                cm.select(F.col("node").alias("community"),
+                          F.col("community").alias("__nc")), "community"
+            ).select("node", F.col("__nc").alias("community")
+                     ).localCheckpoint(eager=False)
+            flag = _q_exact(mapping).crossJoin(F.broadcast(best_q)).select(
+                (F.col("__q") > F.col("__bq")).alias("__better"),
+                F.greatest("__q", "__bq").alias("__bq"),
+            )
+            best_map = (
+                mapping.select("node", F.col("community").alias("__c2"))
+                .join(best_map.select(
+                    "node", F.col("community").alias("__c1")), "node")
+                .crossJoin(F.broadcast(flag.select("__better")))
+                .select("node",
+                        F.when(F.col("__better"), F.col("__c2"))
+                        .otherwise(F.col("__c1")).alias("community"))
+                .localCheckpoint(eager=False)
+            )
+            best_q = flag.select("__bq")
+        if lvl == int(levels) - 1:
+            break
+        # contract: map canonical edges (and self mass) through cm
+        ce = (
+            cw.join(cm.select(F.col("node").alias("a"),
+                              F.col("community").alias("__ca")), "a")
+            .join(cm.select(F.col("node").alias("b"),
+                            F.col("community").alias("__cb")), "b")
+        )
+        new_cw = (
+            ce.filter(F.col("__ca") != F.col("__cb"))
+            .groupBy(F.least("__ca", "__cb").alias("a"),
+                     F.greatest("__ca", "__cb").alias("b"))
+            .agg(F.sum("w").alias("w"))
+        )
+        internal = (
+            ce.filter(F.col("__ca") == F.col("__cb"))
+            .groupBy(F.col("__ca").alias("node"))
+            .agg(F.sum("w").alias("s"))
+        )
+        carried = internal if sl is None else internal.unionByName(
+            sl.join(cm, "node").groupBy(
+                F.col("community").alias("node")
+            ).agg(F.sum("s").alias("s"))
+        ).groupBy("node").agg(F.sum("s").alias("s"))
+        # node universe for the next level = every community (an
+        # all-internal one has no new_cw rows but holds degree mass)
+        sl = (
+            cm.select(F.col("community").alias("node")).distinct()
+            .join(carried, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        cw = new_cw
+    return best_map.select("node", "community")
+
+
+def louvain_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    levels: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`louvain` — every level's weighted move
+    rounds unrolled as MATERIALIZED CTEs (the :func:`louvain_moves_sql`
+    chain generalized to ``sum(w)`` degrees + self mass), with the
+    contraction and mapping-composition steps between levels."""
+    from .pipeline import unit_hash_sql
+
+    if iters < 1 or levels < 1:
+        raise ValueError("iters and levels must be >= 1")
+    parts = [
+        f"""__cw1 AS MATERIALIZED (
+  SELECT a, b, 1::BIGINT AS w FROM (
+    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+    FROM {edges_sql} WHERE {src} <> {dst})
+)""",
+        "__2m AS MATERIALIZED"
+        " (SELECT (2 * sum(w))::BIGINT AS __2m FROM __cw1)",
+    ]
+    for lv in range(1, int(levels) + 1):
+        parts.append(f"""__sym{lv} AS MATERIALIZED (
+  SELECT a, b, w FROM __cw{lv}
+  UNION ALL SELECT b AS a, a AS b, w FROM __cw{lv}
+)""")
+        if lv == 1:
+            parts.append(f"""__nd{lv} AS MATERIALIZED (
+  SELECT a AS node, sum(w)::BIGINT AS __deg FROM __sym{lv} GROUP BY 1
+)""")
+        else:
+            parts.append(f"""__nd{lv} AS MATERIALIZED (
+  SELECT s.node,
+         (COALESCE(w.__wd, 0) + 2 * s.s)::BIGINT AS __deg
+  FROM __sl{lv} s LEFT JOIN (
+    SELECT a AS node, sum(w)::BIGINT AS __wd FROM __sym{lv} GROUP BY 1
+  ) w USING (node)
+)""")
+        parts.append(
+            f"__L{lv}c0 AS MATERIALIZED"
+            f" (SELECT node, node AS community FROM __nd{lv})"
+        )
+        for t in range(1, int(iters) + 1):
+            p = t - 1
+            parts.append(f"""__L{lv}tot{t} AS MATERIALIZED (
+  SELECT c.community, sum(d.__deg)::BIGINT AS __tot
+  FROM __L{lv}c{p} c JOIN __nd{lv} d USING (node) GROUP BY 1
+)""")
+            parts.append(f"""__L{lv}cand{t} AS MATERIALIZED (
+  SELECT node, __c, max(__k)::BIGINT AS __k FROM (
+    SELECT e.a AS node, c.community AS __c, sum(e.w)::BIGINT AS __k
+    FROM __sym{lv} e JOIN __L{lv}c{p} c ON e.b = c.node GROUP BY 1, 2
+    UNION ALL
+    SELECT node, community AS __c, 0::BIGINT AS __k FROM __L{lv}c{p}
+  ) GROUP BY 1, 2
+)""")
+            bucket = (f"(({unit_hash_sql('node', 7)}) < 0.5) = "
+                      f"{'TRUE' if (t - 1) % 2 == 0 else 'FALSE'}")
+            score = (
+                "(CAST(k.__k AS DOUBLE)"
+                " - CAST(d.__deg AS DOUBLE)"
+                " * CAST(tt.__tot - CASE WHEN k.__c = cur.community"
+                "                        THEN d.__deg ELSE 0 END AS DOUBLE)"
+                " / CAST(m.__2m AS DOUBLE))"
+            )
+            parts.append(f"""__L{lv}s{t} AS MATERIALIZED (
+  SELECT k.node, cur.community, k.__c, {score} AS __s
+  FROM __L{lv}cand{t} k
+  JOIN __L{lv}c{p} cur USING (node)
+  JOIN __nd{lv} d USING (node)
+  JOIN __L{lv}tot{t} tt ON tt.community = k.__c
+  CROSS JOIN __2m m
+)""")
+            parts.append(f"""__L{lv}b{t} AS MATERIALIZED (
+  SELECT node, __c AS __best FROM (
+    SELECT node, __c, row_number() OVER (
+      PARTITION BY node ORDER BY __s DESC, __c ASC) AS __rn
+    FROM __L{lv}s{t}
+  ) WHERE __rn = 1
+)""")
+            parts.append(f"""__L{lv}c{t} AS MATERIALIZED (
+  SELECT a.node,
+         CASE WHEN ({bucket})
+                   AND a.__sbest IS NOT NULL AND a.__sbest > a.__scur
+              THEN b.__best ELSE a.community END AS community
+  FROM (
+    SELECT node, any_value(community) AS community,
+           max(CASE WHEN __c <> community THEN __s END) AS __sbest,
+           max(CASE WHEN __c = community THEN __s END) AS __scur
+    FROM __L{lv}s{t} GROUP BY node
+  ) a JOIN __L{lv}b{t} b USING (node)
+)""")
+        if lv == 1:
+            parts.append(
+                f"__m{lv} AS MATERIALIZED"
+                f" (SELECT node, community FROM __L{lv}c{int(iters)})"
+            )
+        else:
+            parts.append(f"""__m{lv} AS MATERIALIZED (
+  SELECT m.node, c.community
+  FROM __m{lv - 1} m JOIN __L{lv}c{int(iters)} c
+    ON m.community = c.node
+)""")
+        if int(levels) > 1:
+            # exact integer Q score of this level's composed assignment
+            # on the ORIGINAL graph: Q·4m² = 4m·W_in − Σ_c d_c²
+            # (HUGEINT — no float summation order to diverge)
+            parts.append(f"""__qi{lv} AS MATERIALIZED (
+  SELECT (4::HUGEINT * me.__m * wi.__win - sd.__sd2)::HUGEINT AS __q
+  FROM (SELECT sum(w)::HUGEINT AS __m FROM __cw1) me
+  CROSS JOIN (
+    SELECT COALESCE(sum(e.w), 0)::HUGEINT AS __win
+    FROM __cw1 e
+    JOIN __m{lv} ma ON e.a = ma.node
+    JOIN __m{lv} mb ON e.b = mb.node
+    WHERE ma.community = mb.community) wi
+  CROSS JOIN (
+    SELECT sum(__dc::HUGEINT * __dc::HUGEINT)::HUGEINT AS __sd2 FROM (
+      SELECT sum(d.__deg)::BIGINT AS __dc
+      FROM __m{lv} mm JOIN __nd1 d USING (node)
+      GROUP BY mm.community)) sd
+)""")
+            if lv == 1:
+                parts.append(
+                    "__bst1 AS MATERIALIZED"
+                    " (SELECT 1 AS __bi, __q AS __bq FROM __qi1)"
+                )
+            else:
+                parts.append(f"""__bst{lv} AS MATERIALIZED (
+  SELECT CASE WHEN q.__q > p.__bq THEN {lv} ELSE p.__bi END AS __bi,
+         CASE WHEN q.__q > p.__bq THEN q.__q ELSE p.__bq END AS __bq
+  FROM __bst{lv - 1} p CROSS JOIN __qi{lv} q
+)""")
+        if lv == int(levels):
+            break
+        parts.append(f"""__ce{lv} AS MATERIALIZED (
+  SELECT ma.community AS __ca, mb.community AS __cb, e.w
+  FROM __cw{lv} e
+  JOIN __L{lv}c{int(iters)} ma ON e.a = ma.node
+  JOIN __L{lv}c{int(iters)} mb ON e.b = mb.node
+)""")
+        parts.append(f"""__cw{lv + 1} AS MATERIALIZED (
+  SELECT least(__ca, __cb) AS a, greatest(__ca, __cb) AS b,
+         sum(w)::BIGINT AS w
+  FROM __ce{lv} WHERE __ca <> __cb GROUP BY 1, 2
+)""")
+        if lv == 1:
+            carried = f"""    SELECT __ca AS node, sum(w)::BIGINT AS s
+    FROM __ce{lv} WHERE __ca = __cb GROUP BY 1"""
+        else:
+            carried = f"""    SELECT node, sum(s)::BIGINT AS s FROM (
+      SELECT __ca AS node, sum(w)::BIGINT AS s
+      FROM __ce{lv} WHERE __ca = __cb GROUP BY 1
+      UNION ALL
+      SELECT c.community AS node, sum(p.s)::BIGINT AS s
+      FROM __sl{lv} p JOIN __L{lv}c{int(iters)} c USING (node) GROUP BY 1
+    ) GROUP BY 1"""
+        parts.append(f"""__sl{lv + 1} AS MATERIALIZED (
+  SELECT u.node, COALESCE(i.s, 0)::BIGINT AS s
+  FROM (SELECT DISTINCT community AS node FROM __L{lv}c{int(iters)}) u
+  LEFT JOIN (
+{carried}
+  ) i USING (node)
+)""")
+    if int(levels) == 1:
+        return ("WITH " + ",\n".join(parts)
+                + "\nSELECT node, community FROM __m1")
+    cases = " ".join(
+        f"WHEN {lv} THEN m{lv}.community" for lv in range(1, int(levels) + 1)
+    )
+    joins = " ".join(
+        f"JOIN __m{lv} m{lv} USING (node)" for lv in range(2, int(levels) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT m1.node, CASE b.__bi {cases} END AS community"
+          f" FROM __m1 m1 {joins} CROSS JOIN __bst{int(levels)} b"
+    )
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

@@ -201,3 +201,68 @@ def test_louvain_moves_duckdb_parity(spark):
     oracle = sorted(map(tuple, con.execute(
         louvain_moves_sql("e", iters=4)).fetchall()))
     assert got == oracle
+
+
+# --- louvain (full multi-level pipeline) ---------------------------------------
+
+def test_louvain_levels_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from simba_spark.operators.graph import louvain, louvain_moves, modularity
+
+    # levels=1 is EXACTLY the move phase (w=1 case of the same kernel)
+    import random
+    rng = random.Random(3)
+    redges = list({(rng.randrange(30), rng.randrange(30))
+                   for _ in range(90)})
+    rdf = spark.createDataFrame(redges, "src long, dst long")
+    one = sorted(map(tuple, louvain(rdf, iters=4, levels=1).collect()))
+    moves = sorted(map(tuple, louvain_moves(rdf, iters=4).collect()))
+    assert one == moves
+
+    # contraction level: modularity never worse than one level, and the
+    # assignment is a coarsening (every level-1 community maps whole)
+    def q_of(labels_df):
+        return modularity(
+            rdf, labels_df.withColumnRenamed("community", "label")
+        ).agg(F.sum("q_c")).first()[0]
+
+    two_df = louvain(rdf, iters=4, levels=2)
+    q1, q2 = q_of(louvain_moves(rdf, iters=4)), q_of(two_df)
+    assert q2 >= q1
+    lvl1 = {r.node: r.community
+            for r in louvain_moves(rdf, iters=4).collect()}
+    lvl2 = {r.node: r.community for r in two_df.collect()}
+    assert set(lvl2) == set(lvl1)
+    remap = {}
+    for n, c2 in lvl2.items():
+        c1 = lvl1[n]
+        assert remap.setdefault(c1, c2) == c2  # coarsening, never a split
+    assert len(set(lvl2.values())) <= len(set(lvl1.values()))
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        louvain(rdf, iters=0)
+    with _pt.raises(ValueError):
+        louvain(rdf, levels=0)
+
+
+def test_louvain_levels_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.graph import louvain, louvain_sql
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(140)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    for levels in (2, 3):
+        got = sorted(map(tuple,
+                         louvain(df, iters=3, levels=levels).collect()))
+        oracle = sorted(map(tuple, con.execute(
+            louvain_sql("e", iters=3, levels=levels)).fetchall()))
+        assert got == oracle

@@ -4668,14 +4668,31 @@ _DRIVER_QUERY_CAP = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # --- round-9 debuts: streaming batch-parity driver rows (the
-        #     stream kernels run on the batch frame — identical
-        #     expression trees, pytest-checked replay equality) ---
+        # --- round-10 debuts (first driver check) ---
+        "louvain_levels": q_louvain_levels,
+        # --- round-10 seated queue: the 15 round-9 late debuts that
+        #     entered extra_queries() locally-green (OPERATORS.md
+        #     round-10 queue), each earning its first driver row ---
+        "bpe_merges_sampled": q_bpe_merges_sampled,
+        "retrieval_eval": q_retrieval_eval,
+        "temperature_mixture": q_temperature_mixture,
+        "trunc_recall": q_trunc_recall,
+        "kn_trigram_lm": q_kn_trigram_lm,
+        "kruskal_events": q_kruskal_events,
+        "scd2_apply": q_scd2_apply,
+        "contrastive_pairs": q_contrastive_pairs,
+        "skyline_orders": q_skyline_orders,
+        "clustering_coeff_capped": q_clustering_coeff_capped,
+        "stream_trending": q_stream_trending,
+        "holt_winters": q_holt_winters,
+        "louvain": q_louvain,
+        "stream_cm": q_stream_cm,
+        "bpe_fertility": q_bpe_fertility,
+        # --- round-9 debuts retained (1 driver green, earning 2nd) ---
         "stream_session_window": q_stream_session_window,
         "stream_ohlc": q_stream_ohlc,
-        # --- round-9 seated queue: the 18 round-8 late debuts that
-        #     entered extra_queries() locally-green (OPERATORS.md
-        #     round-9 queue), each earning its first driver row ---
+        # --- round-9 seatings retained (1 driver green, earning 2nd;
+        #     rotate out next round per the ledger) ---
         "seasonal_decompose": q_seasonal_decompose,
         "bpe_merges": q_bpe_merges,
         "holt_forecast": q_holt_forecast,
@@ -4694,11 +4711,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "mannwhitney": q_mannwhitney,
         "assortativity": q_assortativity,
-        # --- round-8 debuts retained (1 driver green each) ---
+        # --- after-r3 cohort re-seats: these bedrock rows' driver
+        #     greens are 6 rounds old (VERDICT r9 #3); first the three
+        #     whose implementations were touched since round 3, then
+        #     the oldest spatial/dedup bedrock. They re-earn a driver
+        #     green and rotate back out next round ---
+        "knn_and_filter": q_knn_and_filter,
+        "layout_routed_knn": q_layout_routed_knn,
+        "distance_join_self": q_distance_join_self,
+        "range_filter": q_range_filter,
+        "circle_range": q_circle_range,
+        "knn": q_knn,
+        "knn_or_filter": q_knn_or_filter,
+        "knn_not_filter": q_knn_not_filter,
+        "polygon_range": q_polygon_range,
+        "tpch_q1": q_tpch_q1,
+        "dedup_components": q_dedup_components,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "interval_1d": q_interval_1d,
+    }
+    assert len(q) == _DRIVER_QUERY_CAP, (
+        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
+        f"(the driver's correctness window), got {len(q)} — rotate the "
+        "most-proven entries into extra_queries()"
+    )
+    return q
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bedrock queries rotated out of the driver's 50-row window after
+    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
+    hash all true). Local harnesses (`scripts/check_oracle.py`,
+    `bench.py`, pytest) merge this dict with :func:`queries` so the
+    oracle coverage stays total; every entry still has its SQL mirror
+    in :func:`oracle_sql`."""
+    return {
+        # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
+        #     seatings with 2 driver greens each (r8+r9), plus
+        #     gini_prices / hyperanf (2 greens on their current code
+        #     paths) and the 6 r7-bedrock rows on their 3rd green ---
         "geo_stream_knn": q_geo_stream_knn,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "incremental_dedup": q_incremental_dedup,
-        # --- round-8 seatings retained (1 driver green each) ---
         "geo_circle_range": q_geo_circle_range,
         "geo_knn": q_geo_knn,
         "geo_cells": q_geo_cells,
@@ -4718,59 +4773,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": q_events_ohlc,
         "impute_events": q_impute_events,
         "er_resolve": q_er_resolve,
-        # --- re-verification rows: gini_prices earns its 2nd green on
-        #     the exact-decimal path; hyperanf's physical plan changes
-        #     AGAIN this round (shared HyperBall sketch pass with
-        #     harmonic_centrality / effective_diameter) so it stays to
-        #     re-earn green on the shared-pass code ---
         "gini_prices": q_gini_prices,
         "hyperanf": q_hyperanf,
-        # --- round-7 bedrock retained (2 driver greens each; the
-        #     other 20 r7 rows rotated to extra_queries() to seat the
-        #     queue — rotation ledger in OPERATORS.md) ---
         "modularity": q_modularity,
         "personalized_pagerank": q_personalized_pagerank,
         "edit_dist": q_edit_dist,
         "hybrid_retrieval": q_hybrid_retrieval,
         "rfm_segments": q_rfm,
         "shortest_paths": q_shortest_paths,
-    }
-    assert len(q) == _DRIVER_QUERY_CAP, (
-        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
-        f"(the driver's correctness window), got {len(q)} — rotate the "
-        "most-proven entries into extra_queries()"
-    )
-    return q
-
-
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Bedrock queries rotated out of the driver's 50-row window after
-    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
-    hash all true). Local harnesses (`scripts/check_oracle.py`,
-    `bench.py`, pytest) merge this dict with :func:`queries` so the
-    oracle coverage stays total; every entry still has its SQL mirror
-    in :func:`oracle_sql`."""
-    return {
-        # --- round-10 debuts (seated into the window by the round-10
-        #     rotation once locally green) ---
-        "louvain_levels": q_louvain_levels,
-        # --- round-9 late debuts: locally oracle-green, queued for
-        #     round-10 driver rows ---
-        "bpe_merges_sampled": q_bpe_merges_sampled,
-        "retrieval_eval": q_retrieval_eval,
-        "temperature_mixture": q_temperature_mixture,
-        "trunc_recall": q_trunc_recall,
-        "kn_trigram_lm": q_kn_trigram_lm,
-        "kruskal_events": q_kruskal_events,
-        "scd2_apply": q_scd2_apply,
-        "contrastive_pairs": q_contrastive_pairs,
-        "skyline_orders": q_skyline_orders,
-        "clustering_coeff_capped": q_clustering_coeff_capped,
-        "stream_trending": q_stream_trending,
-        "holt_winters": q_holt_winters,
-        "louvain": q_louvain,
-        "stream_cm": q_stream_cm,
-        "bpe_fertility": q_bpe_fertility,
         # --- rotated after round 8 with 2 driver greens each (r7+r8)
         #     to seat the round-9 queue; all re-verified locally by
         #     every check_oracle.py run ---
@@ -4941,32 +4951,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "sessionize": q_sessionize,
         "ngram_jaccard": q_ngram_jaccard,
-        # --- rotated after round 3 ---
-        "range_filter": q_range_filter,
-        "circle_range": q_circle_range,
-        "knn": q_knn,
-        "knn_and_filter": q_knn_and_filter,
-        "knn_or_filter": q_knn_or_filter,
-        "knn_not_filter": q_knn_not_filter,
-        "polygon_range": q_polygon_range,
-        "tpch_q1": q_tpch_q1,
+        # --- rotated after round 3 (14 of the original 26 re-seated in
+        #     the round-10 window; the 12 below queue for the round-11
+        #     re-seat cycle) ---
         "top_orders": q_top_orders,
         "nation_volume": q_nation_volume,
         "window_top_orders": q_window_top_orders_per_cust,
         "customers_without_orders": q_customers_without_orders,
         "parts_with_lineitems": q_parts_with_lineitems,
-        "distance_join_self": q_distance_join_self,
         "events_agg": q_events_agg,
-        "doc_fingerprint": q_doc_fingerprint,
-        "interval_1d": q_interval_1d,
         "rollup_lineitem": q_rollup_lineitem,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
-        "layout_routed_knn": q_layout_routed_knn,
         "embedding_topk": q_embedding_topk,
-        "dedup_components": q_dedup_components,
         "doc_quality": q_doc_quality,
-        "exact_dedup": q_exact_dedup,
         "embedding_dup_pairs": q_embedding_dup_pairs,
     }
 

@@ -2268,6 +2268,22 @@ def q_hll_merged(spark, sf_dir):
     return merged.join(direct, "l_returnflag")
 
 
+def q_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette (operators.clustering.
+    silhouette) of the kmeans_embeddings clustering (k=4, 2 iters):
+    the O(n*k) centroid form — a = dist to own centroid, b = dist to
+    nearest other, s = (b-a)/max(a,b) — the clustering-quality
+    diagnostic that scales where pairwise silhouette can't. One
+    zero-shuffle literal-centroid projection + one skinny
+    groupBy(cluster); distances reuse the assignment's left-folded
+    codegen chain (bit-identical in the oracle)."""
+    from simba_spark.operators.clustering import silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return silhouette(emb, vec_col="embedding", id_col="vec_id",
+                      k=4, iters=2, dim=64)
+
+
 def q_quantile_events(spark, sf_dir):
     """Mergeable quantile sketch (operators.sketches.quantile_digest):
     p50/p90/p99 of events.value per event_type from the k=512 bottom-k
@@ -3082,6 +3098,19 @@ def q_kruskal_events(spark, sf_dir):
 
     return kruskal_wallis(_t(spark, sf_dir, "events"), "value",
                           "event_type")
+
+
+def q_anova_events(spark, sf_dir):
+    """One-way ANOVA F + eta^2 (operators.stats.anova_oneway): do mean
+    event values differ across event types? — the parametric companion
+    to the kruskal_events rank test. ONE combine-friendly per-group
+    moment aggregate; every cross-group float reduction (grand sum,
+    SSW, SSB) is a group-ordered k-row fold, so no accumulation order
+    differs between engines."""
+    from simba_spark.operators.stats import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "events"), "value",
+                        "event_type")
 
 
 def q_kn_trigram_lm(spark, sf_dir):
@@ -4747,6 +4776,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- round-10 late debuts: locally oracle-green, queued for
+        #     the end-of-round window seating / round-11 driver rows ---
+        "anova_events": q_anova_events,
+        "silhouette": q_silhouette,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -5628,7 +5661,7 @@ def oracle_sql() -> dict[str, str]:
     punct = f"len(regexp_extract_all(text, '{_PUNCT_SQL}'))"
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
-    from simba_spark.operators.clustering import kmeans_sql
+    from simba_spark.operators.clustering import kmeans_sql, silhouette_sql
     from simba_spark.operators.dedup import (edit_distance_pairs_sql,
                                              linkage_score_sql,
                                              semantic_dedup_sql)
@@ -5654,7 +5687,8 @@ def oracle_sql() -> dict[str, str]:
                                                 temperature_mixture_sql,
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
-    from simba_spark.operators.stats import (chisq_independence_sql,
+    from simba_spark.operators.stats import (anova_oneway_sql,
+                                             chisq_independence_sql,
                                              kruskal_wallis_sql,
                                              mannwhitney_u_sql,
                                              spearman_corr_sql,
@@ -6306,6 +6340,8 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", "event_type", "click", "purchase"),
         "kruskal_events": kruskal_wallis_sql(
             "events", "value", "event_type"),
+        "anova_events": anova_oneway_sql(
+            "events", "value", "event_type"),
         # incremental SCD2 merge: the same splice pipeline — old
         # versions re-enter as events (src 0, before same-ts batch
         # rows), batch keys only, collapse re-runs across the splice
@@ -6618,6 +6654,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", min_doc_freq=120, min_pair_freq=60,
         ),
         "kmeans_embeddings": kmeans_sql(
+            "embeddings", vec_col="embedding", id_col="vec_id",
+            k=4, iters=2, dim=64,
+        ),
+        "silhouette": silhouette_sql(
             "embeddings", vec_col="embedding", id_col="vec_id",
             k=4, iters=2, dim=64,
         ),

@@ -195,6 +195,8 @@ HEADLINE = [
     "bpe_fertility",
     # round-10 additions
     "louvain_levels",
+    "anova_events",
+    "silhouette",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -271,6 +273,8 @@ _R9 = {
 #: round's queries never append to an old group).
 _R10: set = {
     "louvain_levels",
+    "anova_events",
+    "silhouette",
 }
 
 GROUPS = {

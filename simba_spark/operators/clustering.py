@@ -332,3 +332,108 @@ def kmeans_sql(
         table_sql, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
         dim=dim, seed=seed, round_dp=round_dp, out_col=out_col)
     return ",\n".join(parts) + "\n" + final
+
+
+def silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    round_to: int = 6,
+    route: str = "auto",
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette score of a :func:`kmeans`
+    clustering — the O(n·k) centroid form (a(i) = distance to own
+    centroid, b(i) = distance to the nearest OTHER centroid,
+    s = (b−a)/max(a,b)) rather than the O(n²) pairwise definition,
+    which is the only form that survives at corpus scale. The standard
+    clustering-quality diagnostic: s near 1 = tight and separated,
+    near 0 = boundary rows, negative = likely misassigned. Returns one
+    row per cluster ``(cluster, n, mean_sil)``; ``mean_sil`` is NULL
+    at k=1 (b undefined) and s is defined 0 where a=b=0 (a point ON a
+    duplicated centroid).
+
+    Determinism: each centroid distance is the SAME left-folded
+    codegen chain the assignment used (bit-identical in the SQL
+    mirror); a/b are exact element/min picks; the per-cluster mean
+    rounds to ``round_to``.
+
+    Scale: one zero-shuffle projection over the assigned frame (k
+    literal distance columns), one skinny groupBy(cluster) — input
+    rows are touched once; only k×d centroid doubles reach the plan.
+    """
+    assigned, cents = kmeans(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, dim=dim,
+        seed=seed, out_col="__sil_c", route=route)
+    dcols = [f"__sil_d{j}" for j in range(len(cents))]
+    proj = assigned.select(
+        "__sil_c",
+        *[F.expr(_dist_sql(vec_col, c)).alias(dc)
+          for dc, c in zip(dcols, cents)],
+    )
+    arr = F.array(*[F.col(dc) for dc in dcols])
+    a2 = F.element_at(arr, F.col("__sil_c") + 1)
+    b2 = F.array_min(F.zip_with(
+        arr,
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda x, i: F.when(i != F.col("__sil_c"), x),
+    ))
+    a = F.sqrt(a2)
+    b = F.sqrt(b2)
+    s = F.when(F.greatest(a, b) > 0,
+               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    return (
+        proj.select(F.col("__sil_c").alias("cluster"), s.alias("__s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__s"), int(round_to)).alias("mean_sil"),
+        )
+    )
+
+
+def silhouette_sql(
+    table_sql: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`silhouette` — the kmeans CTEs, then the
+    same per-(row, centroid) left-folded distances with a/b as exact
+    conditional mins."""
+    parts, final = _kmeans_sql_parts(
+        table_sql, vec_col=vec_col, id_col=id_col, k=k, iters=iters,
+        dim=dim, seed=seed, out_col="cluster")
+    d = int(dim)
+
+    def elem(alias, i):
+        return f"CAST({alias}.{vec_col}[{i}] AS DOUBLE)"
+
+    dist = " + ".join(
+        f"({elem('p', i + 1)} - c.c{i}) * ({elem('p', i + 1)} - c.c{i})"
+        for i in range(d)
+    )
+    parts.append(f"__asgf AS (\n{final}\n)")
+    parts.append(f"""__ab AS (
+  SELECT a.{id_col}, a.cluster,
+         sqrt(min(CASE WHEN c.j = a.cluster THEN {dist} END)) AS __a,
+         sqrt(min(CASE WHEN c.j <> a.cluster THEN {dist} END)) AS __b
+  FROM __pts p
+  JOIN __asgf a ON p.{id_col} = a.{id_col}
+  CROSS JOIN __cent{int(iters)} c
+  GROUP BY 1, 2
+)""")
+    return ",\n".join(parts) + f"""
+SELECT cluster, count(*)::BIGINT AS n,
+       round(avg(CASE WHEN greatest(__a, __b) > 0
+                      THEN (__b - __a) / greatest(__a, __b)
+                      ELSE 0.0::DOUBLE END), {int(round_to)}) AS mean_sil
+FROM __ab GROUP BY 1
+"""

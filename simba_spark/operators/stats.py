@@ -1800,3 +1800,135 @@ SELECT a.__N AS n, a.k_groups,
              END, {rt}) AS h_corrected
 FROM __agg a, __ties t
 """
+
+
+def anova_oneway(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across k groups — the parametric
+    companion of :func:`kruskal_wallis` (mean differences under a
+    normality assumption where KW tests rank distributions): with
+    per-group moment sums n_i, S_i = Σx, SS_i = Σx²,
+
+        SSB = Σ_i n_i (S_i/n_i − x̄)²   (between-group)
+        SSW = Σ_i (SS_i − S_i²/n_i)    (within-group)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+        η²  = SSB / (SSB + SSW)        (effect size)
+
+    Compare F against the F(k−1, N−k) critical value — the F CDF
+    needs the incomplete beta, which Spark SQL lacks (the
+    :func:`welch_ttest` convention). Returns one row ``(n, k_groups,
+    f_stat, eta_sq)``; F is NULL when k < 2, N ≤ k, or SSW = 0
+    (η² still reported when SSB + SSW > 0).
+
+    Determinism: per-group moments are ONE combine-friendly aggregate;
+    every cross-group reduction (S, SSW, SSB) folds over the
+    GROUP-SORTED array (k is human-scale), so no float accumulation
+    order ever differs between engines; outputs round to ``round_to``.
+
+    Scale: input rows are touched once (k-row group aggregate); the
+    folds and the 1-row grand-mean broadcast are k-bounded.
+    """
+    x = F.col(val_col).cast("double")
+    filt = df.filter(
+        F.col(group_col).isNotNull() & x.isNotNull() & ~F.isnan(x))
+    per_g = filt.groupBy(
+        F.col(group_col).cast("string").alias("__g")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__ss"),
+    )
+
+    def _fold(term, name):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__g").alias("g"), term.alias("t")))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(name)
+
+    nn = F.col("__n").cast("double")
+    grand = per_g.agg(
+        F.sum("__n").alias("__N"),
+        F.count(F.lit(1)).alias("k_groups"),
+        _fold(F.col("__s"), "__S"),
+        _fold(F.col("__ss") - F.col("__s") * F.col("__s") / nn, "__ssw"),
+    ).withColumn("__gm", F.col("__S") / F.col("__N").cast("double"))
+    ssb = (
+        per_g.crossJoin(F.broadcast(grand.select("__gm")))
+        .agg(_fold(
+            nn * (F.col("__s") / nn - F.col("__gm"))
+            * (F.col("__s") / nn - F.col("__gm")), "__ssb"))
+    )
+    out = grand.crossJoin(F.broadcast(ssb))
+    N = F.col("__N").cast("double")
+    k = F.col("k_groups").cast("double")
+    f_ok = ((F.col("k_groups") >= 2) & (F.col("__N") > F.col("k_groups"))
+            & (F.col("__ssw") > 0))
+    fstat = (F.col("__ssb") / (k - 1.0)) / (F.col("__ssw") / (N - k))
+    eta = F.col("__ssb") / (F.col("__ssb") + F.col("__ssw"))
+    return out.select(
+        F.col("__N").alias("n"),
+        "k_groups",
+        F.round(F.when(f_ok, fstat), int(round_to)).alias("f_stat"),
+        F.round(F.when(F.col("__ssb") + F.col("__ssw") > 0, eta),
+                int(round_to)).alias("eta_sq"),
+    )
+
+
+def anova_oneway_sql(
+    from_sql: str,
+    val_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`anova_oneway` (same group-ordered
+    moment folds, same F/η² tree)."""
+    rt = int(round_to)
+
+    def fold(term):
+        return (f"list_reduce(list_prepend(0.0::DOUBLE,"
+                f" list({term} ORDER BY __g)), (acc, v) -> acc + v)")
+
+    return f"""
+WITH __f AS (
+  SELECT CAST({val_col} AS DOUBLE) AS __v,
+         CAST({group_col} AS VARCHAR) AS __g
+  FROM {from_sql}
+  WHERE {group_col} IS NOT NULL AND {val_col} IS NOT NULL
+    AND NOT isnan(CAST({val_col} AS DOUBLE))
+), __pg AS (
+  SELECT __g, count(*)::BIGINT AS __n, sum(__v) AS __s,
+         sum(__v * __v) AS __ss
+  FROM __f GROUP BY 1
+), __gr AS (
+  SELECT sum(__n)::BIGINT AS __N, count(*)::BIGINT AS k_groups,
+         {fold('__s')} AS __S,
+         {fold('__ss - __s * __s / CAST(__n AS DOUBLE)')} AS __ssw
+  FROM __pg
+), __gm AS (
+  SELECT __S / CAST(__N AS DOUBLE) AS __gm FROM __gr
+), __sb AS (
+  SELECT {fold('CAST(__n AS DOUBLE)'
+               ' * (__s / CAST(__n AS DOUBLE) - __gm)'
+               ' * (__s / CAST(__n AS DOUBLE) - __gm)')} AS __ssb
+  FROM __pg CROSS JOIN __gm
+)
+SELECT g.__N AS n, g.k_groups,
+       round(CASE WHEN g.k_groups >= 2 AND g.__N > g.k_groups
+                       AND g.__ssw > 0
+                  THEN (b.__ssb / (CAST(g.k_groups AS DOUBLE) - 1.0::DOUBLE))
+                       / (g.__ssw / (CAST(g.__N AS DOUBLE)
+                                     - CAST(g.k_groups AS DOUBLE)))
+             END, {rt}) AS f_stat,
+       round(CASE WHEN b.__ssb + g.__ssw > 0
+                  THEN b.__ssb / (b.__ssb + g.__ssw) END, {rt}) AS eta_sq
+FROM __gr g CROSS JOIN __sb b
+"""

@@ -474,3 +474,51 @@ def test_linkage_score_validation(spark):
         linkage_score(pairs, [("a", "b", "soundex", 0.9, 0.1)])
     with pytest.raises(ValueError):
         linkage_score(pairs, [("a", "b", "exact", 0.1, 0.9)])  # m <= u
+
+
+# --- silhouette (simplified / centroid form) ------------------------------------
+
+
+def test_silhouette_semantics(vec_df, spark):
+    from simba_spark.operators.clustering import kmeans, silhouette
+
+    out = {r.cluster: r for r in
+           silhouette(vec_df, k=3, iters=3, dim=4).collect()}
+    # 3 well-separated blobs -> every cluster tight and separated
+    assert len(out) == 3
+    assert sum(r.n for r in out.values()) == 300
+    assert all(r.mean_sil > 0.8 for r in out.values())
+
+    # brute-force the centroid-form definition from the kmeans output
+    assigned, cents = kmeans(vec_df, k=3, iters=3, dim=4,
+                             out_col="cluster")
+    ref = {}
+    for row in assigned.select("cluster", "embedding").collect():
+        ds = [math.sqrt(sum((float(x) - c[i]) ** 2
+                            for i, x in enumerate(row.embedding)))
+              for c in cents]
+        a = ds[row.cluster]
+        b = min(d for j, d in enumerate(ds) if j != row.cluster)
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        ref.setdefault(row.cluster, []).append(s)
+    for cl, sils in ref.items():
+        assert abs(out[cl].mean_sil - sum(sils) / len(sils)) < 1e-6
+        assert out[cl].n == len(sils)
+
+
+def test_silhouette_duckdb_parity(vec_df, spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.clustering import silhouette, silhouette_sql
+
+    got = sorted(map(tuple, silhouette(vec_df, k=3, iters=2, dim=4)
+                     .collect()))
+    rows = [(r.vec_id, list(r.embedding) if r.embedding is not None else None)
+            for r in vec_df.collect()]
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        rows, columns=["vec_id", "embedding"]))
+    oracle = sorted(map(tuple, con.execute(silhouette_sql(
+        "embeddings", k=3, iters=2, dim=4)).fetchall()))
+    assert got == oracle

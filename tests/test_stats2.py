@@ -653,3 +653,58 @@ def test_kruskal_wallis_duckdb_parity(spark):
     con.register("t", pd.DataFrame(rows, columns=["v", "g"]))
     oracle = con.execute(kruskal_wallis_sql("t", "v", "g")).fetchall()[0]
     assert got == tuple(oracle)
+
+
+def _anova_ref(groups):
+    N = sum(len(g) for g in groups)
+    k = len(groups)
+    gm = sum(sum(g) for g in groups) / N
+    ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2 for g in groups)
+    ssw = sum(sum((x - sum(g) / len(g)) ** 2 for x in g) for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (N - k)) if ssw > 0 else None
+    return f, ssb / (ssb + ssw)
+
+
+def test_anova_oneway_matches_reference(spark):
+    from simba_spark.operators.stats import anova_oneway
+
+    groups = [[2.9, 3.0, 2.5, 2.6, 3.2],
+              [3.8, 2.7, 4.0, 2.4],
+              [2.8, 3.4, 3.7, 2.2, 2.0, 2.5]]
+    rows = [(float(v), f"g{i}") for i, vs in enumerate(groups) for v in vs]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = anova_oneway(df, "v", "g").first()
+    f, eta = _anova_ref(groups)
+    assert got.n == 15 and got.k_groups == 3
+    assert abs(got.f_stat - f) < 1e-6
+    assert abs(got.eta_sq - eta) < 1e-6
+    # degenerate cases: one group -> NULL F; zero within variance
+    one = anova_oneway(df.filter(F.col("g") == "g0"), "v", "g").first()
+    assert one.f_stat is None
+    const = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "a"), (2.0, "b"), (2.0, "b")], "v double, g string")
+    cz = anova_oneway(const, "v", "g").first()
+    assert cz.f_stat is None and cz.eta_sq == 1.0
+    # NULL / NaN rows drop
+    withnull = df.unionByName(spark.createDataFrame(
+        [(None, "g0"), (float("nan"), "g1")], "v double, g string"))
+    assert anova_oneway(withnull, "v", "g").first().n == 15
+
+
+def test_anova_oneway_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.stats import anova_oneway, anova_oneway_sql
+
+    rng = random.Random(17)
+    rows = [(round(rng.gauss(mu, 1.0), 1), g)
+            for g, mu in [("a", 0.0), ("b", 0.4), ("c", 0.2), ("d", 0.9)]
+            for _ in range(rng.randrange(30, 60))]
+    df = spark.createDataFrame(rows, "v double, g string")
+    got = tuple(anova_oneway(df, "v", "g").first())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["v", "g"]))
+    oracle = con.execute(anova_oneway_sql("t", "v", "g")).fetchall()[0]
+    assert got == tuple(oracle)

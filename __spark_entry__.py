@@ -2827,6 +2827,31 @@ def q_prf_bm25(spark, sf_dir):
     return bm25_topk(docs, orig + exp, k=25)
 
 
+def q_qlm_retrieval(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (operators.text.
+    lm_dirichlet_topk): top-25 documents for {hash, join, spark} under
+    the Zhai–Lafferty LM ranking (Lucene LMDirichletSimilarity
+    convention, mu=2000) — the language-model companion to the bm25
+    row on the same query. Same postings-only shuffle shape: the term
+    filter precedes the tf aggregation, |C| and the per-term
+    collection frequencies broadcast, one TakeOrderedAndProject."""
+    from simba_spark.operators.text import lm_dirichlet_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_dirichlet_topk(docs, ["hash", "join", "spark"], k=25)
+
+
+def q_lexdiv(spark, sf_dir):
+    """Per-document lexical diversity (operators.text.
+    lexical_diversity): type-token ratio, hapax share, Guiraud index —
+    the vocabulary-richness quality signal behind boilerplate /
+    keyword-stuffing filters. One tokenize-explode reduced map-side to
+    (doc, term) pairs, then one per-doc aggregate; exact counts."""
+    from simba_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 def q_bm25(spark, sf_dir):
     """BM25 ranked retrieval (operators.text.bm25_topk): top-25
     documents for the query {hash, join, spark} under Okapi BM25 with
@@ -4780,6 +4805,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the end-of-round window seating / round-11 driver rows ---
         "anova_events": q_anova_events,
         "silhouette": q_silhouette,
+        "qlm_retrieval": q_qlm_retrieval,
+        "lexdiv": q_lexdiv,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -5734,6 +5761,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from simba_spark.operators.retrieval import rrf_fuse_sql
     from simba_spark.operators.text import (bm25_batch_sql, bm25_sql,
+                                            lexical_diversity_sql,
+                                            lm_dirichlet_sql,
                                             phrase_search_sql)
     from simba_spark.operators.timeseries import (
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
@@ -6256,6 +6285,9 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", ["l_suppkey"], top=20, target_rows_per_task=500
         ),
         "bm25": bm25_sql("documents", ["hash", "join", "spark"], k=25),
+        "qlm_retrieval": lm_dirichlet_sql(
+            "documents", ["hash", "join", "spark"], k=25),
+        "lexdiv": lexical_diversity_sql("documents"),
         "retrieval_eval": retrieval_metrics_sql(
             bm25_batch_sql("documents",
                            {t: [t] for t in RETRIEVAL_EVAL_TERMS}, k=15),

@@ -197,6 +197,8 @@ HEADLINE = [
     "louvain_levels",
     "anova_events",
     "silhouette",
+    "qlm_retrieval",
+    "lexdiv",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -275,6 +277,8 @@ _R10: set = {
     "louvain_levels",
     "anova_events",
     "silhouette",
+    "qlm_retrieval",
+    "lexdiv",
 }
 
 GROUPS = {

@@ -750,6 +750,133 @@ LIMIT {int(k)}
 """
 
 
+def lm_dirichlet_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    mu: float = 2000.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranked retrieval (Zhai &
+    Lafferty's LM ranking; Lucene's ``LMDirichletSimilarity``
+    convention): the top-``k`` documents CONTAINING at least one query
+    term, each matched term contributing
+
+        ln(1 + tf / (µ · cf/|C|)) + ln(µ / (dl + µ))
+
+    (cf = the term's collection frequency, |C| = total corpus tokens,
+    dl = document length). The language-model companion of
+    :func:`bm25_topk` — same tokenizer, same retrieval-set contract
+    (only matching documents score, the inverted-index set), a
+    different probability story. Returns ``(doc_id, score)``, score
+    rounded, ties broken by ascending ``doc_id``.
+
+    Scale shape: identical to bm25_topk — the term filter lands BEFORE
+    the tf aggregation (the shuffle carries the query's postings
+    only), document length is a skinny groupBy(doc) count, the |C|
+    scalar and |q|-row cf table are broadcasts, and the final top-k is
+    one TakeOrderedAndProject.
+    """
+    terms = [t.lower() for t in query_terms]
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    if not mu > 0:
+        raise ValueError(f"mu must be > 0: {mu}")
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    qt = toks.filter(F.col("term").isin(terms))
+    tf = qt.groupBy("term", "__id").agg(F.count(F.lit(1)).alias("__tf"))
+    ctot = toks.agg(F.count(F.lit(1)).alias("__ctot"))
+    cf = qt.groupBy("term").agg(F.count(F.lit(1)).alias("__cf"))
+    scored = (
+        tf.join(F.broadcast(cf), "term")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "__id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + F.col("__tf").cast("double")
+                    / (F.lit(float(mu)) * F.col("__cf").cast("double")
+                       / F.col("__ctot").cast("double"))
+                )
+                + F.log(
+                    F.lit(float(mu))
+                    / (F.col("__dl").cast("double") + F.lit(float(mu)))
+                )
+            ).alias("__s"),
+        )
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("__score"))
+    )
+    # rank on the ROUNDED score (the bm25_topk determinism rationale)
+    return (
+        scored.select(
+            F.col("__id").alias(id_col),
+            F.round("__score", int(round_to)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def lm_dirichlet_sql(
+    from_sql: str,
+    query_terms: Sequence[str],
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    k: int = 20,
+    mu: float = 2000.0,
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL mirror of :func:`lm_dirichlet_topk` (same tokenizer,
+    per-matched-term formula, rounded-score tiebreak)."""
+    terms = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in query_terms
+    )
+    return f"""
+WITH __toks AS (
+  SELECT {id_expr} AS __id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS term
+  FROM {from_sql}
+), __tk AS (SELECT __id, term FROM __toks WHERE term <> ''),
+__dl AS (SELECT __id, count(*) AS __dl FROM __tk GROUP BY 1),
+__tf AS (
+  SELECT term, __id, count(*) AS __tf FROM __tk
+  WHERE term IN ({terms}) GROUP BY 1, 2
+),
+__cf AS (
+  SELECT term, count(*) AS __cf FROM __tk
+  WHERE term IN ({terms}) GROUP BY 1
+),
+__ct AS (SELECT count(*) AS __ctot FROM __tk)
+SELECT t.__id AS {id_expr},
+       round(sum(ln(1.0 + CAST(t.__tf AS DOUBLE)
+                    / ({mu!r} * CAST(c.__cf AS DOUBLE)
+                       / CAST(s.__ctot AS DOUBLE)))
+                 + ln({mu!r} / (CAST(d.__dl AS DOUBLE) + {mu!r}))),
+             {int(round_to)}) AS score
+FROM __tf t
+JOIN __cf c USING (term)
+JOIN __dl d USING (__id)
+CROSS JOIN __ct s
+GROUP BY t.__id
+ORDER BY score DESC, t.__id ASC
+LIMIT {int(k)}
+"""
+
+
 def bm25_topk_batch(
     df: DataFrame,
     queries: dict,
@@ -1940,4 +2067,100 @@ SELECT __g AS {group_col}, count(*)::BIGINT AS n_docs,
              THEN CAST(sum(__ns) AS DOUBLE) / CAST(sum(__nw) AS DOUBLE)
              END, {int(round_to)}) AS fertility
 FROM __enc GROUP BY 1
+"""
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document lexical-diversity profile — the vocabulary-richness
+    leg of the text-quality battery (:func:`quality_features` measures
+    surface shape; this measures repetition of the word stock, the
+    signal behind boilerplate/keyword-stuffing filters in pretraining
+    pipelines): type-token ratio ``ttr = types/tokens``, hapax share
+    ``hapax_ratio = |once-words|/types``, and Guiraud's corrected
+    index ``types/√tokens`` (stable where raw TTR shrinks with
+    length). Returns ``(doc_id, n_tokens, n_types, ttr, hapax_ratio,
+    guiraud)``; token-less documents keep NULL ratios.
+
+    Determinism: exact integer counts + fixed per-row arithmetic,
+    rounded to ``round_to`` — bit-identical anywhere.
+
+    Scale: one tokenize-explode → per-(doc, term) count (map-side
+    combine) → one per-doc aggregate; input tokens are shuffled once,
+    already reduced to (doc, term) pairs.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+    )
+    per_term = toks.groupBy("__id", "__t").agg(
+        F.count(F.lit(1)).alias("__c"))
+    stats = per_term.groupBy("__id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__hapax"),
+    )
+    base = df.select(F.col(id_col).alias("__id")).distinct()
+    out = base.join(stats, "__id", "left")
+    nt = F.col("n_tokens").cast("double")
+    ty = F.col("n_types").cast("double")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+        .alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0).cast("long"))
+        .alias("n_types"),
+        F.round(F.when(nt > 0, ty / nt), int(round_to)).alias("ttr"),
+        F.round(F.when(ty > 0, F.col("__hapax").cast("double") / ty),
+                int(round_to)).alias("hapax_ratio"),
+        F.round(F.when(nt > 0, ty / F.sqrt(nt)), int(round_to))
+        .alias("guiraud"),
+    )
+
+
+def lexical_diversity_sql(
+    from_sql: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`lexical_diversity` (same tokenizer,
+    counts, and ratio arithmetic)."""
+    r = int(round_to)
+    return f"""
+WITH __toks AS (
+  SELECT {id_expr} AS __id,
+         unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+')) AS __t
+  FROM {from_sql}
+), __tk AS (SELECT __id, __t FROM __toks WHERE __t <> ''),
+__pt AS (
+  SELECT __id, __t, count(*)::BIGINT AS __c FROM __tk GROUP BY 1, 2
+), __st AS (
+  SELECT __id, sum(__c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         sum(CASE WHEN __c = 1 THEN 1 ELSE 0 END)::BIGINT AS __hapax
+  FROM __pt GROUP BY 1
+)
+SELECT b.__id AS {id_expr},
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.n_types, 0)::BIGINT AS n_types,
+       round(CASE WHEN s.n_tokens > 0
+             THEN CAST(s.n_types AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+             END, {r}) AS ttr,
+       round(CASE WHEN s.n_types > 0
+             THEN CAST(s.__hapax AS DOUBLE) / CAST(s.n_types AS DOUBLE)
+             END, {r}) AS hapax_ratio,
+       round(CASE WHEN s.n_tokens > 0
+             THEN CAST(s.n_types AS DOUBLE) / sqrt(CAST(s.n_tokens AS DOUBLE))
+             END, {r}) AS guiraud
+FROM (SELECT DISTINCT {id_expr} AS __id FROM {from_sql}) b
+LEFT JOIN __st s USING (__id)
 """

@@ -447,3 +447,88 @@ def test_contrastive_pairs_non_dense_ids(spark):
     oracle = sorted(map(tuple, con.execute(contrastive_pairs_sql(
         "embeddings", k=4, n_anchors=3)).fetchall()))
     assert got == oracle
+
+
+# --- lm_dirichlet_topk (query-likelihood retrieval) -----------------------------
+
+def test_lm_dirichlet_semantics_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import math
+    import pandas as pd
+
+    from simba_spark.operators.text import lm_dirichlet_topk, lm_dirichlet_sql
+
+    rows = [
+        (1, "spark join join join filler filler filler filler"),
+        (2, "spark join"),                      # short doc, both terms
+        (3, "spark alone here with words"),     # one term
+        (4, "nothing relevant at all"),         # no terms -> excluded
+        (5, "join " * 50),                      # long, high tf
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mu = 10.0
+    got = lm_dirichlet_topk(df, ["spark", "join"], k=10, mu=mu).collect()
+    ids = [r.doc_id for r in got]
+    assert 4 not in ids and set(ids) == {1, 2, 3, 5}
+
+    # brute-force the per-matched-term formula
+    toks = {i: t.split() for i, t in rows}
+    ctot = sum(len(v) for v in toks.values())
+    cf = {q: sum(v.count(q) for v in toks.values()) for q in ("spark", "join")}
+    ref = {}
+    for i, v in toks.items():
+        s = 0.0
+        for q in ("spark", "join"):
+            tf = v.count(q)
+            if tf:
+                s += math.log(1 + tf / (mu * cf[q] / ctot)) \
+                     + math.log(mu / (len(v) + mu))
+        if s != 0.0:
+            ref[i] = round(s, 6)
+    for r in got:
+        assert abs(r.score - ref[r.doc_id]) < 1e-6
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = con.execute(lm_dirichlet_sql(
+        "documents", ["spark", "join"], k=10, mu=mu)).fetchall()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, oracle))
+
+    with pytest.raises(ValueError):
+        lm_dirichlet_topk(df, [])
+    with pytest.raises(ValueError):
+        lm_dirichlet_topk(df, ["a"], mu=0.0)
+
+
+# --- lexical_diversity (TTR / hapax / Guiraud) ----------------------------------
+
+def test_lexical_diversity_semantics_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import math
+    import pandas as pd
+
+    from simba_spark.operators.text import (lexical_diversity,
+                                            lexical_diversity_sql)
+
+    rows = [
+        (1, "a a a a"),                 # 4 tokens, 1 type, 0 hapax
+        (2, "one two three four"),      # all hapax
+        (3, "x y x z"),                 # mixed
+        (4, ""),                        # token-less -> NULL ratios
+        (5, "A a B b"),                 # lowercased -> 2 types
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lexical_diversity(df).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_types == 1
+    assert out[1].ttr == 0.25 and out[1].hapax_ratio == 0.0
+    assert out[2].ttr == 1.0 and out[2].hapax_ratio == 1.0
+    assert out[3].n_types == 3 and out[3].hapax_ratio == round(2 / 3, 6)
+    assert out[4].n_tokens == 0 and out[4].ttr is None
+    assert out[5].n_types == 2
+    assert out[2].guiraud == round(4 / math.sqrt(4), 6)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = sorted(map(tuple, con.execute(
+        lexical_diversity_sql("documents")).fetchall()))
+    assert sorted(map(tuple, (tuple(r) for r in out.values()))) == oracle

@@ -3113,6 +3113,33 @@ def q_scd2_apply(spark, sf_dir):
         tiebreak_col="o_orderkey")
 
 
+def q_scd2_delete(spark, sf_dir):
+    """Incremental SCD2 merge WITH CDC tombstones (operators.pipeline.
+    scd2_apply(delete_col=...)): the scd2_apply splice, where 1997+
+    batch rows with o_orderkey % 7 == 0 arrive as DELETE events — each
+    closes the version valid at its date and opens a coverage gap
+    until the key's next insert; a trailing delete leaves the key with
+    no open version. The tombstone rides the rebuild as a phantom
+    version filtered after the lead() pass, so the anti/semi-join
+    batch-keys-only scale shape is unchanged."""
+    from simba_spark.operators.pipeline import scd2_apply, scd2_build
+
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("date")
+    dim = scd2_build(
+        orders.filter(F.col("o_orderdate") < split),
+        key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey")
+    batch = orders.filter(F.col("o_orderdate") >= split).withColumn(
+        "__is_del", F.col("o_orderkey") % 7 == 0)
+    return scd2_apply(
+        dim, batch,
+        key_col="o_custkey", ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey", delete_col="__is_del")
+
+
 def q_kruskal_events(spark, sf_dir):
     """Kruskal–Wallis H (operators.stats.kruskal_wallis): does event
     value distribution differ across event types? — the k-sample
@@ -4807,6 +4834,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "qlm_retrieval": q_qlm_retrieval,
         "lexdiv": q_lexdiv,
+        "scd2_delete": q_scd2_delete,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -6487,6 +6515,94 @@ def oracle_sql() -> dict[str, str]:
                          AND o_orderpriority IS NOT DISTINCT FROM __pp)
             )
             SELECT * FROM rebuilt
+            UNION ALL
+            SELECT o_custkey, o_orderstatus, o_orderpriority,
+                   valid_from, valid_to
+            FROM old_dim
+            WHERE o_custkey NOT IN (SELECT o_custkey FROM affected)
+        """,
+        # scd2_apply with CDC tombstones: same splice, batch rows with
+        # o_orderkey % 7 = 0 are deletes — attrs nulled, __del joins
+        # the change-detection columns, tombstone versions filtered
+        # AFTER the lead() pass stamps valid_to onto predecessors
+        "scd2_delete": """
+            WITH old_base AS (
+              SELECT o_custkey, o_orderdate, o_orderstatus,
+                     o_orderpriority, o_orderkey
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_orderdate < DATE '1997-01-01'
+            ), old_lag AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS __ps,
+                     lag(o_orderpriority) OVER w AS __pp,
+                     lag(o_orderdate) OVER w AS __pd
+              FROM old_base
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+            ), old_dim AS (
+              SELECT o_custkey, o_orderstatus, o_orderpriority,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS valid_to
+              FROM old_lag
+              WHERE __pd IS NULL
+                 OR NOT (o_orderstatus IS NOT DISTINCT FROM __ps
+                         AND o_orderpriority IS NOT DISTINCT FROM __pp)
+            ), batch AS (
+              SELECT o_custkey,
+                     CASE WHEN o_orderkey % 7 <> 0
+                          THEN o_orderstatus END AS o_orderstatus,
+                     CASE WHEN o_orderkey % 7 <> 0
+                          THEN o_orderpriority END AS o_orderpriority,
+                     o_orderdate, o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS __del
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                AND o_orderdate >= DATE '1997-01-01'
+            ), affected AS (SELECT DISTINCT o_custkey FROM batch),
+            events AS (
+              SELECT d.o_custkey, d.o_orderstatus, d.o_orderpriority,
+                     d.valid_from AS o_orderdate,
+                     0 AS __src, d.valid_to AS __vto,
+                     CAST(NULL AS BIGINT) AS __tb, 0 AS __del
+              FROM old_dim d JOIN affected a USING (o_custkey)
+              UNION ALL
+              SELECT o_custkey, o_orderstatus, o_orderpriority,
+                     o_orderdate, 1 AS __src,
+                     CAST(NULL AS TIMESTAMP) AS __vto,
+                     o_orderkey AS __tb, __del
+              FROM batch
+            ), lagged AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS __ps,
+                     lag(o_orderpriority) OVER w AS __pp,
+                     lag(__del) OVER w AS __pl,
+                     lag(o_orderdate) OVER w AS __pd
+              FROM events
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, __src,
+                                    __vto ASC NULLS LAST, __tb,
+                                    o_orderstatus, o_orderpriority)
+            ), rebuilt AS (
+              SELECT o_custkey, o_orderstatus, o_orderpriority, __del,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, __src,
+                                  __vto ASC NULLS LAST, __tb,
+                                  o_orderstatus, o_orderpriority)
+                       AS valid_to
+              FROM lagged
+              WHERE __pd IS NULL
+                 OR NOT (o_orderstatus IS NOT DISTINCT FROM __ps
+                         AND o_orderpriority IS NOT DISTINCT FROM __pp
+                         AND __del IS NOT DISTINCT FROM __pl)
+            )
+            SELECT o_custkey, o_orderstatus, o_orderpriority,
+                   valid_from, valid_to
+            FROM rebuilt WHERE __del = 0
             UNION ALL
             SELECT o_custkey, o_orderstatus, o_orderpriority,
                    valid_from, valid_to

@@ -199,6 +199,7 @@ HEADLINE = [
     "silhouette",
     "qlm_retrieval",
     "lexdiv",
+    "scd2_delete",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -279,6 +280,7 @@ _R10: set = {
     "silhouette",
     "qlm_retrieval",
     "lexdiv",
+    "scd2_delete",
 }
 
 GROUPS = {

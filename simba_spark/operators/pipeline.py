@@ -329,6 +329,7 @@ def scd2_apply(
     tiebreak_col: Optional[str] = None,
     from_col: str = "valid_from",
     to_col: str = "valid_to",
+    delete_col: Optional[str] = None,
 ) -> DataFrame:
     """INCREMENTAL SCD2 merge: apply a batch of change events to an
     existing :func:`scd2_build` dimension without rebuilding from the
@@ -340,6 +341,18 @@ def scd2_apply(
     version re-enters as a change event at its ``valid_from``) plus
     the new batch — per-key work is version-count-sized, so late and
     out-of-order arrivals land correctly in the middle of a timeline.
+
+    ``delete_col`` (boolean on ``changes``; NULL = false) adds CDC
+    tombstone semantics: a delete event at time T closes the version
+    valid at T (its ``valid_to`` becomes T) and opens a GAP — no
+    version covers [T, next-event) and a key whose last event is a
+    delete has no open version — while a later insert re-opens the
+    timeline, even with the same attrs (the delete is a change
+    boundary). Mechanically the tombstone rides the same splice as a
+    phantom version (attrs nulled, an extra change-detection column)
+    and is filtered from the output AFTER the lead() pass stamps its
+    start time onto the predecessor's ``valid_to``; point-in-time
+    reads (:func:`scd2_lookup`) see the gap naturally.
 
     Ordering contract: within one timestamp, existing versions sort
     BEFORE batch rows — old versions in their original timeline order
@@ -372,15 +385,27 @@ def scd2_apply(
             tb_old.alias("__tb"),
         )
     )
+    dflag = (
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        if delete_col is not None else F.lit(False)
+    )
     new_events = changes.select(
-        key_col, *attrs, ts_col,
+        key_col,
+        *[F.when(~dflag, F.col(a)).alias(a) for a in attrs],
+        ts_col,
         F.lit(1).alias("__src"),
         F.lit(None).cast(dict(old_events.dtypes)["__vto"]).alias("__vto"),
         (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("__tb"),
+        dflag.cast("int").alias("__del"),
     )
+    chg_attrs = attrs + (["__del"] if delete_col is not None else [])
+    if delete_col is None:
+        new_events = new_events.drop("__del")
+    else:
+        old_events = old_events.withColumn("__del", F.lit(0))
     rebuilt = scd2_build(
         old_events.unionByName(new_events),
-        key_col, ts_col, attrs,
+        key_col, ts_col, chg_attrs,
         tiebreak_col=[
             F.col("__src").asc(),
             F.col("__vto").asc_nulls_last(),
@@ -389,6 +414,8 @@ def scd2_apply(
         ],
         from_col=from_col, to_col=to_col,
     )
+    if delete_col is not None:
+        rebuilt = rebuilt.filter(F.col("__del") == 0).drop("__del")
     return untouched.unionByName(rebuilt)
 
 

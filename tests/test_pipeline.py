@@ -847,3 +847,59 @@ def test_scd2_apply_late_arrival_and_noop(spark):
     got = sorted(map(tuple, scd2_apply(
         dim2, late, "k", "ts", ["s"], tiebreak_col="ts").collect()))
     assert (2, "z1", 5, 9) in got and (2, "z2", 9, None) in got
+
+
+def test_scd2_apply_delete_semantics(spark):
+    from simba_spark.operators.pipeline import scd2_apply, scd2_build
+
+    hist = spark.createDataFrame(
+        [(1, 10, "s1"), (1, 30, "s2"), (2, 10, "a")],
+        "k long, ts long, s string")
+    dim = scd2_build(hist, "k", "ts", ["s"], tiebreak_col="ts")
+
+    # delete closes the open version and leaves the key with none open
+    batch = spark.createDataFrame(
+        [(1, 50, None, True)], "k long, ts long, s string, del boolean")
+    got = sorted(map(tuple, scd2_apply(
+        dim, batch, "k", "ts", ["s"], tiebreak_col="ts",
+        delete_col="del").collect()))
+    assert got == [(1, "s1", 10, 30), (1, "s2", 30, 50), (2, "a", 10, None)]
+
+    # delete then re-insert of the SAME attrs re-opens a NEW version
+    # (the tombstone is a change boundary), with a gap in between
+    batch2 = spark.createDataFrame(
+        [(1, 50, None, True), (1, 70, "s2", False)],
+        "k long, ts long, s string, del boolean")
+    got = sorted(map(tuple, scd2_apply(
+        dim, batch2, "k", "ts", ["s"], tiebreak_col="ts",
+        delete_col="del").collect()))
+    assert got == [(1, "s1", 10, 30), (1, "s2", 30, 50),
+                   (1, "s2", 70, None), (2, "a", 10, None)]
+
+    # mid-timeline (late) delete opens a gap inside the history
+    batch3 = spark.createDataFrame(
+        [(1, 20, None, True)], "k long, ts long, s string, del boolean")
+    got = sorted(map(tuple, scd2_apply(
+        dim, batch3, "k", "ts", ["s"], tiebreak_col="ts",
+        delete_col="del").collect()))
+    assert got == [(1, "s1", 10, 20), (1, "s2", 30, None),
+                   (2, "a", 10, None)]
+
+    # consecutive deletes collapse; delete for an unknown key vanishes;
+    # NULL delete flag means false (a plain change event)
+    batch4 = spark.createDataFrame(
+        [(1, 50, None, True), (1, 60, None, True),
+         (9, 10, None, True), (2, 40, "b", None)],
+        "k long, ts long, s string, del boolean")
+    got = sorted(map(tuple, scd2_apply(
+        dim, batch4, "k", "ts", ["s"], tiebreak_col="ts",
+        delete_col="del").collect()))
+    assert got == [(1, "s1", 10, 30), (1, "s2", 30, 50),
+                   (2, "a", 10, 40), (2, "b", 40, None)]
+
+    # delete_col=None path unchanged (regression vs the plain form)
+    plain = spark.createDataFrame([(1, 50, "s3")], "k long, ts long, s string")
+    a = sorted(map(tuple, scd2_apply(
+        dim, plain, "k", "ts", ["s"], tiebreak_col="ts").collect()))
+    assert a == [(1, "s1", 10, 30), (1, "s2", 30, 50),
+                 (1, "s3", 50, None), (2, "a", 10, None)]

@@ -4314,6 +4314,25 @@ def q_stream_cm(spark, sf_dir):
         "__cm_d", "__cm_b", "__cm_n")
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming windowed HyperLogLog kernel (streaming.
+    streaming_windowed_hll) on the batch events frame: hourly approx
+    distinct users per event_type from the same md5 registers as batch
+    hll_distinct — state ≤ 2^p longs per open (window, key) where
+    exact streaming COUNT(DISTINCT) holds every user; the two chained
+    stateful aggregations' expression trees are identical in batch
+    mode, so the oracle is the batch sketch over the same buckets."""
+    from simba_spark.streaming.ops import streaming_windowed_hll
+
+    ev = _t(spark, sf_dir, "events")
+    out = streaming_windowed_hll(
+        ev, ts_col="ts", col="user_id", key_col="event_type",
+        window="1 hour", p=12)
+    return out.select(
+        F.col("window")["start"].alias("bucket"), "event_type",
+        F.round("approx_distinct", 4).alias("approx_users"))
+
+
 def q_stream_ohlc(spark, sf_dir):
     """Hourly OHLC bars through the STREAMING kernel
     (streaming.streaming_windowed_ohlc) on the batch events frame —
@@ -4835,6 +4854,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlm_retrieval": q_qlm_retrieval,
         "lexdiv": q_lexdiv,
         "scd2_delete": q_scd2_delete,
+        "stream_hll": q_stream_hll,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -6407,6 +6427,14 @@ def oracle_sql() -> dict[str, str]:
         # rows), batch keys only, collapse re-runs across the splice
         # streaming_windowed_cm batch-parity row: the same md5 hash60
         # buckets as batch cm_sketch, per hourly window
+        "stream_hll": (
+            "SELECT bucket, event_type,"
+            " round(approx_users, 4) AS approx_users FROM ("
+            + hll_distinct_sql(
+                "(SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)"
+                " AS bucket, event_type, user_id FROM events)",
+                "user_id", ["bucket", "event_type"], p=12,
+                out_col="approx_users") + ")"),
         "stream_cm": """
             WITH __b AS (
               SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

@@ -200,6 +200,7 @@ HEADLINE = [
     "qlm_retrieval",
     "lexdiv",
     "scd2_delete",
+    "stream_hll",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -281,6 +282,7 @@ _R10: set = {
     "qlm_retrieval",
     "lexdiv",
     "scd2_delete",
+    "stream_hll",
 }
 
 GROUPS = {

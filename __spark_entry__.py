@@ -3113,6 +3113,42 @@ def q_scd2_apply(spark, sf_dir):
         tiebreak_col="o_orderkey")
 
 
+def q_fd_profile(spark, sf_dir):
+    """Approximate functional-dependency profile (operators.stats.
+    fd_profile): the g3 violation measure for three candidate FDs on
+    orders — o_orderkey→o_orderstatus holds exactly (key FD, rate 0),
+    the others price how dirty the dependency is. Per pair one (A, B)
+    groupBy reduced to a skinny per-A max; exact integer counts."""
+    from simba_spark.operators.stats import fd_profile
+
+    return fd_profile(_t(spark, sf_dir, "orders"), [
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderkey", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"),
+    ])
+
+
+def q_km_churn(spark, sf_dir):
+    """Kaplan–Meier customer-lifetime curve (operators.analytics.
+    km_survival): per customer, duration = days between first and last
+    order; customers whose last order lands in the final half-year are
+    CENSORED (still active at the horizon) rather than counted as
+    churned — the right-censoring-aware upgrade of cohort_retention.
+    Distinct durations are calendar-bounded, so the prefix-product
+    fold is constant-size at any corpus scale."""
+    from simba_spark.operators.analytics import km_survival
+
+    orders = _t(spark, sf_dir, "orders")
+    lt = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("__first"),
+        F.max("o_orderdate").alias("__last"),
+    ).select(
+        F.datediff("__last", "__first").alias("duration"),
+        (F.col("__last") < F.lit("1998-01-01").cast("date")).alias("event"),
+    )
+    return km_survival(lt)
+
+
 def q_scd2_delete(spark, sf_dir):
     """Incremental SCD2 merge WITH CDC tombstones (operators.pipeline.
     scd2_apply(delete_col=...)): the scd2_apply splice, where 1997+
@@ -4855,6 +4891,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexdiv": q_lexdiv,
         "scd2_delete": q_scd2_delete,
         "stream_hll": q_stream_hll,
+        "fd_profile": q_fd_profile,
+        "km_churn": q_km_churn,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -5763,13 +5801,15 @@ def oracle_sql() -> dict[str, str]:
                                                 weighted_sample_key_sql,
                                                 winsorize_sql)
     from simba_spark.operators.stats import (anova_oneway_sql,
+                                             fd_profile_sql,
                                              chisq_independence_sql,
                                              kruskal_wallis_sql,
                                              mannwhitney_u_sql,
                                              spearman_corr_sql,
                                              corr_matrix_sql, cov_matrix_sql,
                                              histogram_fixed_sql)
-    from simba_spark.operators.analytics import stickiness_sql
+    from simba_spark.operators.analytics import (km_survival_sql,
+                                                 stickiness_sql)
     from simba_spark.operators.retrieval import (mmr_rerank_sql,
                                                  prf_expand_sql,
                                                  retrieval_metrics_sql)
@@ -6422,6 +6462,16 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", "event_type"),
         "anova_events": anova_oneway_sql(
             "events", "value", "event_type"),
+        "fd_profile": fd_profile_sql("orders", [
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderkey", "o_orderstatus"),
+            ("o_orderstatus", "o_orderpriority"),
+        ]),
+        "km_churn": km_survival_sql(
+            "(SELECT date_diff('day', min(o_orderdate), max(o_orderdate))"
+            " AS duration,"
+            " max(o_orderdate) < DATE '1998-01-01' AS event"
+            " FROM orders GROUP BY o_custkey)"),
         # incremental SCD2 merge: the same splice pipeline — old
         # versions re-enter as events (src 0, before same-ts batch
         # rows), batch keys only, collapse re-runs across the splice

@@ -201,6 +201,8 @@ HEADLINE = [
     "lexdiv",
     "scd2_delete",
     "stream_hll",
+    "fd_profile",
+    "km_churn",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -283,6 +285,8 @@ _R10: set = {
     "lexdiv",
     "scd2_delete",
     "stream_hll",
+    "fd_profile",
+    "km_churn",
 }
 
 GROUPS = {

@@ -865,3 +865,115 @@ SELECT d.__m AS month, d.days_observed, m.mau,
              / CAST(m.mau AS DOUBLE), {int(round_to)}) AS stickiness
 FROM __dau d JOIN __mau m ON d.__m = m.__m
 """
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve — the right-censoring-aware
+    retention/churn estimator (the statistical upgrade of
+    :func:`cohort_retention`, which treats still-active users as
+    churned at the horizon): one subject per row with a ``duration``
+    and an ``event`` flag (truthy = the event was observed, falsy =
+    censored at that duration); at each distinct duration t,
+
+        S(t) = Π_{u ≤ t} (1 − d_u / n_u)
+
+    with d_u observed events at u and n_u subjects still at risk
+    (duration ≥ u). Returns one row per distinct duration ``(t,
+    n_risk, n_event, n_censor, survival)``. Rows with NULL duration
+    or event are dropped (no deterministic placement).
+
+    Determinism: counts and at-risk are exact integers (two-phase
+    :func:`~simba_spark.operators.pipeline.running_total`, never a
+    single-partition window); each S(t) is the SAME left-fold product
+    ``((1·f₁)·f₂)…`` in both engines — no logs, no reassociation —
+    rounded to ``round_to``.
+
+    Scale: one groupBy(duration) (map-side combine) reduces the input
+    to the distinct-duration frame; the at-risk cumulative is the
+    two-phase running total; the prefix products fold over the
+    TIME-SORTED array in one row — O(T²) multiplies where T is the
+    distinct-duration count, which is CALENDAR-BOUNDED (days/hours
+    buckets), not data-bounded, so the fold stays driver-free and
+    constant-size at any corpus scale.
+    """
+    from .pipeline import running_total
+
+    ev = F.when(F.col(event_col).cast("boolean"), 1).otherwise(0)
+    base = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull())
+    per_t = base.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(ev).alias("__d"),
+        F.sum(1 - ev).alias("__c"),
+        F.count(F.lit(1)).alias("__tot"),
+    )
+    cum = running_total(per_t, "t", "__tot", "__cum")
+    total = base.agg(F.count(F.lit(1)).alias("__N"))
+    risk = cum.crossJoin(F.broadcast(total)).select(
+        "t", "__d", "__c",
+        (F.col("__N") - (F.col("__cum") - F.col("__tot"))).alias("__n"),
+    )
+    one = risk.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("t"), F.col("__d"), F.col("__c"), F.col("__n")))).alias("__arr"))
+    factors = F.transform(
+        F.col("__arr"),
+        lambda s: F.lit(1.0) - s["__d"].cast("double") / s["__n"].cast("double"),
+    )
+    rows = one.select(F.col("__arr"), factors.alias("__f")).select(
+        F.posexplode("__arr").alias("__i", "__s"), "__f")
+    surv = F.aggregate(
+        F.slice(F.col("__f"), F.lit(1), F.col("__i") + 1),
+        F.lit(1.0),
+        lambda acc, v: acc * v,
+    )
+    return rows.select(
+        F.col("__s")["t"].alias("t"),
+        F.col("__s")["__n"].alias("n_risk"),
+        F.col("__s")["__d"].alias("n_event"),
+        F.col("__s")["__c"].alias("n_censor"),
+        F.round(surv, int(round_to)).alias("survival"),
+    )
+
+
+def km_survival_sql(
+    from_sql: str,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`km_survival` (same counts, the same
+    left-fold prefix products over the time-sorted factor list)."""
+    return f"""
+WITH __b AS (
+  SELECT {duration_col} AS t,
+         CASE WHEN CAST({event_col} AS BOOLEAN) THEN 1 ELSE 0 END AS e
+  FROM {from_sql}
+  WHERE {duration_col} IS NOT NULL AND {event_col} IS NOT NULL
+), __pt AS (
+  SELECT t, sum(e)::BIGINT AS d, sum(1 - e)::BIGINT AS c,
+         count(*)::BIGINT AS tot
+  FROM __b GROUP BY 1
+), __rk AS (
+  SELECT t, d, c,
+         ((SELECT count(*) FROM __b)
+          - (sum(tot) OVER (ORDER BY t) - tot))::BIGINT AS n
+  FROM __pt
+), __ar AS (
+  SELECT list(struct_pack(t := t, d := d, c := c, n := n) ORDER BY t)
+           AS arr,
+         list(1.0::DOUBLE - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+              ORDER BY t) AS f
+  FROM __rk
+)
+SELECT arr[i].t AS t,
+       arr[i].n AS n_risk,
+       arr[i].d AS n_event,
+       arr[i].c AS n_censor,
+       round(list_reduce(list_prepend(1.0::DOUBLE, f[1:i]),
+                         (acc, v) -> acc * v), {int(round_to)}) AS survival
+FROM __ar, (SELECT unnest(range(1, len(arr) + 1)) AS i FROM __ar)
+"""

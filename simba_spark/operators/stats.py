@@ -11,7 +11,7 @@ statistics operators (SURVEY.md §2.4); these are north-star additions.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1932,3 +1932,78 @@ SELECT g.__N AS n, g.k_groups,
                   THEN b.__ssb / (b.__ssb + g.__ssw) END, {rt}) AS eta_sq
 FROM __gr g CROSS JOIN __sb b
 """
+
+
+def fd_profile(
+    df: DataFrame,
+    pairs: Sequence[Tuple[str, str]],
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate functional-dependency profile — for each candidate
+    dependency A → B, the g3 violation measure (Kivinen–Mannila): the
+    minimum fraction of rows to delete for the FD to hold exactly,
+    i.e. ``1 − Σ_a max_b count(a, b) / N``. The schema-discovery /
+    data-quality companion of :func:`profile_columns`: 0 means the FD
+    holds (B is determined by A — a normalization or dedup-key
+    candidate), small values flag dirty dimensions. NULL is treated as
+    an ordinary value on both sides (SQL GROUP BY semantics). Returns
+    one row per pair ``(determinant, dependent, n, n_det, violations,
+    violation_rate)``.
+
+    Determinism: counts and max-counts are exact integers; the one
+    ratio rounds to ``round_to``.
+
+    Scale: per pair, one (A, B) groupBy (map-side combine) reduced to
+    a skinny per-A max — input rows are touched once per pair and the
+    pair list is human-scale; no joins, no windows.
+    """
+    if not pairs:
+        raise ValueError("fd_profile: pairs must be non-empty")
+    out = None
+    for det, dep in pairs:
+        ab = df.groupBy(
+            F.col(det).alias("__a"), F.col(dep).alias("__b")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        per_a = ab.groupBy("__a").agg(
+            F.sum("__c").alias("__tot"), F.max("__c").alias("__mx"))
+        one = per_a.agg(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.sum("__tot").alias("n"),
+            F.count(F.lit(1)).alias("n_det"),
+            (F.sum("__tot") - F.sum("__mx")).alias("violations"),
+            F.round(
+                (F.sum("__tot") - F.sum("__mx")).cast("double")
+                / F.sum("__tot").cast("double"), int(round_to)
+            ).alias("violation_rate"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def fd_profile_sql(
+    from_sql: str,
+    pairs: Sequence[Tuple[str, str]],
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`fd_profile` (same counts and ratio)."""
+    if not pairs:
+        raise ValueError("fd_profile_sql: pairs must be non-empty")
+    parts = []
+    for det, dep in pairs:
+        parts.append(f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       sum(__tot)::BIGINT AS n,
+       count(*)::BIGINT AS n_det,
+       (sum(__tot) - sum(__mx))::BIGINT AS violations,
+       round(CAST(sum(__tot) - sum(__mx) AS DOUBLE)
+             / CAST(sum(__tot) AS DOUBLE), {int(round_to)})
+         AS violation_rate
+FROM (
+  SELECT __a, sum(__c)::BIGINT AS __tot, max(__c)::BIGINT AS __mx
+  FROM (
+    SELECT {det} AS __a, {dep} AS __b, count(*)::BIGINT AS __c
+    FROM {from_sql} GROUP BY 1, 2
+  ) GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)

@@ -537,3 +537,48 @@ def test_stickiness_values_and_parity(spark):
     o = {str(r[0]): tuple(r[1:])
          for r in con.execute(stickiness_sql("ev")).fetchall()}
     assert got == o
+
+
+# --- Kaplan–Meier survival -------------------------------------------------------
+
+def test_km_survival_textbook_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.analytics import km_survival, km_survival_sql
+
+    # classic small example: durations with events and censorings
+    rows = [(6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (10, 0),
+            (11, 0), (13, 1), (16, 1)]
+    df = spark.createDataFrame(rows, "duration long, event int")
+    got = {r.t: r for r in km_survival(df).collect()}
+    # t=6: n=10, d=2 -> S = 1 - 2/10 = 0.8
+    assert (got[6].n_risk, got[6].n_event, got[6].n_censor) == (10, 2, 1)
+    assert got[6].survival == 0.8
+    # t=7: n=7 at risk, d=1 -> S = 0.8 * 6/7
+    assert got[7].n_risk == 7
+    assert got[7].survival == round(0.8 * 6 / 7, 6)
+    # censoring-only time: factor 1, S unchanged from previous step
+    assert got[9].n_event == 0 and got[9].survival == got[7].survival
+    # monotone non-increasing, ends with the last event's drop
+    ts = sorted(got)
+    ss = [got[t].survival for t in ts]
+    assert all(a >= b for a, b in zip(ss, ss[1:]))
+    # hand-roll the full curve
+    s, n_left = 1.0, len(rows)
+    import collections
+    byt = collections.OrderedDict()
+    for t in ts:
+        d = sum(1 for u, e in rows if u == t and e == 1)
+        n = sum(1 for u, _ in rows if u >= t)
+        s *= 1 - d / n
+        assert got[t].survival == round(s, 6)
+    # NULL rows drop
+    withnull = df.unionByName(spark.createDataFrame(
+        [(None, 1), (5, None)], "duration long, event int"))
+    assert {r.t for r in km_survival(withnull).collect()} == set(ts)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["duration", "event"]))
+    oracle = sorted(map(tuple, con.execute(km_survival_sql("t")).fetchall()))
+    assert sorted(map(tuple, (tuple(r) for r in got.values()))) == oracle

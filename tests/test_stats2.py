@@ -708,3 +708,32 @@ def test_anova_oneway_duckdb_parity(spark):
     con.register("t", pd.DataFrame(rows, columns=["v", "g"]))
     oracle = con.execute(anova_oneway_sql("t", "v", "g")).fetchall()[0]
     assert got == tuple(oracle)
+
+
+def test_fd_profile_semantics_and_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.stats import fd_profile, fd_profile_sql
+
+    rows = [
+        (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),   # a -> {x,x,y}: 1 viol
+        (4, "b", "z"), (5, "b", "z"),                   # b clean
+        (6, None, "x"), (7, None, "y"),                 # NULL det is a value
+    ]
+    df = spark.createDataFrame(rows, "id long, det string, dep string")
+    pairs = [("det", "dep"), ("id", "dep"), ("dep", "det")]
+    got = {(r.determinant, r.dependent): r
+           for r in fd_profile(df, pairs).collect()}
+    r1 = got[("det", "dep")]
+    assert (r1.n, r1.n_det, r1.violations) == (7, 3, 2)  # 1 (a) + 1 (NULL)
+    assert r1.violation_rate == round(2 / 7, 6)
+    rid = got[("id", "dep")]                             # key FD holds
+    assert rid.violations == 0 and rid.violation_rate == 0.0
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "det", "dep"]))
+    oracle = sorted(map(tuple, con.execute(
+        fd_profile_sql("t", pairs)).fetchall()))
+    assert sorted(map(tuple, (tuple(r) for r in got.values()))) == oracle
+    with pytest.raises(ValueError):
+        fd_profile(df, [])

@@ -4806,6 +4806,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-10 debuts (first driver check) ---
         "louvain_levels": q_louvain_levels,
+        "anova_events": q_anova_events,
+        "silhouette": q_silhouette,
+        "qlm_retrieval": q_qlm_retrieval,
+        "lexdiv": q_lexdiv,
+        "scd2_delete": q_scd2_delete,
+        "stream_hll": q_stream_hll,
+        "fd_profile": q_fd_profile,
+        "km_churn": q_km_churn,
         # --- round-10 seated queue: the 15 round-9 late debuts that
         #     entered extra_queries() locally-green (OPERATORS.md
         #     round-10 queue), each earning its first driver row ---
@@ -4856,16 +4864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_routed_knn": q_layout_routed_knn,
         "distance_join_self": q_distance_join_self,
         "range_filter": q_range_filter,
-        "circle_range": q_circle_range,
         "knn": q_knn,
-        "knn_or_filter": q_knn_or_filter,
-        "knn_not_filter": q_knn_not_filter,
-        "polygon_range": q_polygon_range,
         "tpch_q1": q_tpch_q1,
-        "dedup_components": q_dedup_components,
-        "exact_dedup": q_exact_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
-        "interval_1d": q_interval_1d,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -4883,16 +4883,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
-        # --- round-10 late debuts: locally oracle-green, queued for
-        #     the end-of-round window seating / round-11 driver rows ---
-        "anova_events": q_anova_events,
-        "silhouette": q_silhouette,
-        "qlm_retrieval": q_qlm_retrieval,
-        "lexdiv": q_lexdiv,
-        "scd2_delete": q_scd2_delete,
-        "stream_hll": q_stream_hll,
-        "fd_profile": q_fd_profile,
-        "km_churn": q_km_churn,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -5097,9 +5087,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "sessionize": q_sessionize,
         "ngram_jaccard": q_ngram_jaccard,
-        # --- rotated after round 3 (14 of the original 26 re-seated in
-        #     the round-10 window; the 12 below queue for the round-11
+        # --- rotated after round 3 (6 of the original 26 re-seated in
+        #     the round-10 window; the 20 below queue for the round-11
         #     re-seat cycle) ---
+        "circle_range": q_circle_range,
+        "knn_or_filter": q_knn_or_filter,
+        "knn_not_filter": q_knn_not_filter,
+        "polygon_range": q_polygon_range,
+        "dedup_components": q_dedup_components,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "interval_1d": q_interval_1d,
         "top_orders": q_top_orders,
         "nation_volume": q_nation_volume,
         "window_top_orders": q_window_top_orders_per_cust,

@@ -56,13 +56,27 @@ def test_oracle_output_types_driver_safe():
     )
 
 
-def test_round9_debuts_lead_the_window():
-    """Newest-first: the 2 round-9 streaming-parity debuts, then the
-    18-query seated round-8 queue, then the retained r8 rows and the
-    re-verification rows (dict order IS the driver's check order)."""
+def test_round10_debuts_lead_the_window():
+    """Newest-first: the 9 round-10 debuts, then the seated 15-query
+    round-9 late-debut queue, the 2 round-9 streaming debuts + 18
+    round-9 seatings (earning 2nd greens), and the 6 after-r3 re-seats
+    (dict order IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
-    assert head[:2] == ["stream_session_window", "stream_ohlc"]
-    queue = {
+    debuts = [
+        "louvain_levels", "anova_events", "silhouette", "qlm_retrieval",
+        "lexdiv", "scd2_delete", "stream_hll", "fd_profile", "km_churn",
+    ]
+    assert head[:9] == debuts
+    r9_late = {
+        "bpe_merges_sampled", "retrieval_eval", "temperature_mixture",
+        "trunc_recall", "kn_trigram_lm", "kruskal_events", "scd2_apply",
+        "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
+        "stream_trending", "holt_winters", "louvain", "stream_cm",
+        "bpe_fertility",
+    }
+    assert set(head[9:24]) == r9_late
+    r9_seated = {
+        "stream_session_window", "stream_ohlc",
         "seasonal_decompose", "bpe_merges", "holt_forecast",
         "pmi_collocations", "harmonic_centrality", "mmr_rerank",
         "sq_topk", "effective_diameter", "dataset_fingerprint",
@@ -70,18 +84,9 @@ def test_round9_debuts_lead_the_window():
         "stickiness", "theil_sen", "spearman", "mannwhitney",
         "assortativity",
     }
-    assert set(head[2:20]) == queue
-    r8 = {
-        "geo_stream_knn", "ivfpq_residual_topk", "incremental_dedup",
-        "geo_circle_range", "geo_knn", "geo_cells", "tpch_q2",
-        "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
-        "geo_routed_range", "geo_routed_knn", "events_unpivot",
-        "hll_rolling", "scd2_lookup", "theta_rolling", "cm_join_size",
-        "impute_median", "events_ohlc", "impute_events", "er_resolve",
+    assert set(head[24:44]) == r9_seated
+    reseats = {
+        "knn_and_filter", "layout_routed_knn", "distance_join_self",
+        "range_filter", "knn", "tpch_q1",
     }
-    retained = {
-        "gini_prices", "hyperanf",
-        "modularity", "personalized_pagerank", "edit_dist",
-        "hybrid_retrieval", "rfm_segments", "shortest_paths",
-    }
-    assert set(head[20:]) == r8 | retained
+    assert set(head[44:]) == reseats

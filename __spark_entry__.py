@@ -2268,6 +2268,28 @@ def q_hll_merged(spark, sf_dir):
     return merged.join(direct, "l_returnflag")
 
 
+def q_ivf_knn_join(spark, sf_dir):
+    """IVF-bucketed two-sided vector kNN join (operators.similarity.
+    ivf_knn_join) at FULL probe width (nprobe = n_centroids): every
+    inverted list is probed, so the result is exact by construction
+    and the brute-force window SQL is a true oracle — this checks the
+    whole join path (sampled quantizer, literal list assignments, the
+    explode-probe replication, within-list ranking) loses no pairs at
+    list boundaries. The approximate nprobe < C configuration is
+    recall-asserted in tests/test_similarity.py. A right row lives in
+    exactly one list, so no dedup stage exists; the all-pairs
+    cartesian never materializes at nprobe < C."""
+    from simba_spark.operators.similarity import ivf_knn_join
+
+    embs = _t(spark, sf_dir, "embeddings")
+    out = ivf_knn_join(
+        embs.filter(F.col("vec_id") % 9 == 0),
+        embs.filter(F.col("vec_id") % 3 == 1),
+        k=3, n_centroids=8, nprobe=8)
+    return out.select(
+        "a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"), "rank")
+
+
 def q_silhouette(spark, sf_dir):
     """Per-cluster simplified silhouette (operators.clustering.
     silhouette) of the kmeans_embeddings clustering (k=4, 2 iters):
@@ -4814,6 +4836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "fd_profile": q_fd_profile,
         "km_churn": q_km_churn,
+        "ivf_knn_join": q_ivf_knn_join,
         # --- round-10 seated queue: the 15 round-9 late debuts that
         #     entered extra_queries() locally-green (OPERATORS.md
         #     round-10 queue), each earning its first driver row ---
@@ -4864,7 +4887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_routed_knn": q_layout_routed_knn,
         "distance_join_self": q_distance_join_self,
         "range_filter": q_range_filter,
-        "knn": q_knn,
         "tpch_q1": q_tpch_q1,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
@@ -5091,6 +5113,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the round-10 window; the 20 below queue for the round-11
         #     re-seat cycle) ---
         "circle_range": q_circle_range,
+        "knn": q_knn,
         "knn_or_filter": q_knn_or_filter,
         "knn_not_filter": q_knn_not_filter,
         "polygon_range": q_polygon_range,
@@ -7893,6 +7916,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
                      e.vec_id ASC
             LIMIT 10
+        """,
+        # ivf_knn_join at nprobe = n_centroids is exact by construction
+        # (every list probed), so brute force is a true oracle
+        "ivf_knn_join": """
+            SELECT a_id, b_id, round(cs, 4) AS sim4, rn AS "rank" FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cs,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                             b.embedding::DOUBLE[]), 6)
+                                DESC, b.vec_id ASC) AS rn
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id % 9 = 0 AND b.vec_id % 3 = 1
+            ) WHERE rn <= 3
         """,
         "vector_knn_join": """
             SELECT a_id, b_id, round(cs, 4) AS sim4, rn AS "rank" FROM (

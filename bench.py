@@ -203,6 +203,7 @@ HEADLINE = [
     "stream_hll",
     "fd_profile",
     "km_churn",
+    "ivf_knn_join",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -287,6 +288,7 @@ _R10: set = {
     "stream_hll",
     "fd_profile",
     "km_churn",
+    "ivf_knn_join",
 }
 
 GROUPS = {

@@ -186,10 +186,11 @@ def _kmeans_centroids(vectors, n_centroids: int, iters: int, seed: int):
     return cent
 
 
-def _centroid_assign_col(vec_col, centroids) -> "Column":
-    """Column: index of the nearest centroid (L2). One constant-size
-    aggregate expression per centroid — C ≲ a few hundred stays well
-    inside codegen limits regardless of dimensionality."""
+def _centroid_d2_array(vec_col, centroids) -> "Column":
+    """Column: array of squared-L2 distances to each centroid. One
+    constant-size aggregate expression per centroid — C ≲ a few
+    hundred stays well inside codegen limits regardless of
+    dimensionality."""
     vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     d2s = []
     for c in centroids:
@@ -201,8 +202,27 @@ def _centroid_assign_col(vec_col, centroids) -> "Column":
                 lambda acc, x: acc + x,
             )
         )
-    arr = F.array(*d2s)
+    return F.array(*d2s)
+
+
+def _centroid_assign_col(vec_col, centroids) -> "Column":
+    """Column: index of the nearest centroid (L2)."""
+    arr = _centroid_d2_array(vec_col, centroids)
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def _centroid_probe_col(vec_col, centroids, nprobe: int) -> "Column":
+    """Column: array of the ``nprobe`` nearest centroid indices
+    (distance asc, index asc on exact ties) — the multi-list probe set
+    of :func:`ivf_knn_join`'s left side."""
+    arr = _centroid_d2_array(vec_col, centroids)
+    ranked = F.array_sort(F.zip_with(
+        arr,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+    ))
+    return F.transform(
+        F.slice(ranked, 1, int(nprobe)), lambda s: s["j"].cast("int"))
 
 
 def build_ivf(
@@ -515,6 +535,73 @@ def knn_join_vectors(
             .join(b.join(sb, on="b_id"), F.col("__siga") == F.col("__sigb"))
             .filter(F.col("a_id") != F.col("b_id"))
         )
+    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("b_id").asc()
+    )
+    return (
+        cand.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("a_id", "b_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: Optional[DataFrame] = None,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 10,
+    sample_cap: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-bucketed approximate kNN JOIN (cosine) — the BOTH-SIDES-
+    LARGE form of the ANN family (:func:`cosine_topk_ivf` serves one
+    literal query; :func:`knn_join_vectors`'s LSH path is the
+    signature-bucket alternative): train a coarse quantizer on a
+    bounded hash-selected sample of the RIGHT side, assign every right
+    row its inverted list (one codegen'd Column expression), replicate
+    every left row to its ``nprobe`` nearest lists (one explode — a
+    right row lives in exactly ONE list, so no pair is emitted twice
+    and no dedup pass exists), and rank the within-list candidates.
+    The all-pairs cartesian never materializes: candidate volume is
+    ~``nprobe/C`` of it. ``nprobe = n_centroids`` probes every list
+    and is EXACT by construction (the oracle configuration); smaller
+    ``nprobe`` trades recall for scan fraction (recall asserted in
+    tests). ``right=None`` = self-join (``a_id != b_id`` excluded).
+
+    Output ``(a_id, b_id, cosine_sim, rank)``, sim rounded to 6dp,
+    rank 1..k by (sim desc, b_id asc) — :func:`knn_join_vectors`
+    conventions.
+
+    Scale: centroids are parameter-bounded driver numpy over a
+    ``sample_cap`` sample; both assignments are zero-shuffle literal
+    projections; ONE list equi-join (AQE-sized) + ONE per-left-id
+    window. At 100 TB persist the right side list-partitioned
+    (:func:`build_ivf_layout`) so each probe prunes directories.
+    """
+    self_join = right is None
+    r = left if self_join else right
+    assigned, cents = build_ivf(
+        r, vec_col, n_centroids=n_centroids, sample_cap=sample_cap,
+        iters=iters, seed=seed)
+    nprobe = min(int(nprobe), len(cents))
+    la = left.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"),
+        F.explode(_centroid_probe_col(vec_col, cents, nprobe))
+        .alias("__ivf"),
+    )
+    rb = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"),
+        "__ivf",
+    )
+    cand = la.join(rb, "__ivf")
+    if self_join:
+        cand = cand.filter(F.col("a_id") != F.col("b_id"))
     sim = F.round(cosine_similarity("__va", "__vb"), 6)
     w = Window.partitionBy("a_id").orderBy(
         F.col("cosine_sim").desc(), F.col("b_id").asc()

@@ -1356,3 +1356,49 @@ def test_phash_fake_mode_plumbing(spark):
     )
     hv = {r.doc_id: r.phash for r in phash_images(df, mode="fake").collect()}
     assert hv[0] == hv[1] != hv[2]  # deterministic, payload-driven
+
+
+# --- ivf_knn_join (IVF-bucketed two-sided kNN join) ---------------------------
+
+def test_ivf_knn_join_full_probe_is_exact(embs):
+    from simba_spark.operators.similarity import (ivf_knn_join,
+                                                  knn_join_vectors)
+
+    sub = embs.filter(F.col("vec_id") < 60)
+    # self-join at nprobe = n_centroids must equal the exact window path
+    got = sorted(map(tuple, ivf_knn_join(
+        sub, k=3, n_centroids=4, nprobe=4).collect()))
+    exact = sorted(map(tuple, knn_join_vectors(
+        sub, 3, algo="exact").collect()))
+    assert got == exact
+    assert all(a != b for a, b, _, _ in got)  # no self-pairs
+
+
+def test_ivf_knn_join_two_sided_and_recall(embs):
+    from simba_spark.operators.similarity import ivf_knn_join
+
+    base = embs.filter(F.col("vec_id") < 120)
+    left = base.filter(F.col("vec_id") % 2 == 0)
+    right = base.filter(F.col("vec_id") % 2 == 1)
+    # full probe two-sided: every left id ranked, only right-side ids,
+    # dense ranks 1..k (one list per right row -> no duplicate pairs)
+    rows = ivf_knn_join(left, right, k=2, n_centroids=4, nprobe=4).collect()
+    assert {r.a_id for r in rows} == {r.vec_id for r in left.collect()}
+    assert all(r.b_id % 2 == 1 for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r.a_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert len({(r.a_id, r.b_id) for r in rows}) == len(rows)
+
+    # approximate probes: recall grows with nprobe and clears 0.5 by
+    # nprobe=2 of 4 even on these near-random vectors
+    fullset = {(r.a_id, r.b_id) for r in rows}
+
+    def recall(np_):
+        hits = {(r.a_id, r.b_id) for r in ivf_knn_join(
+            left, right, k=2, n_centroids=4, nprobe=np_).collect()}
+        return len(hits & fullset) / len(fullset)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0 < r1 <= r2 and r2 >= 0.5

@@ -65,8 +65,9 @@ def test_round10_debuts_lead_the_window():
     debuts = [
         "louvain_levels", "anova_events", "silhouette", "qlm_retrieval",
         "lexdiv", "scd2_delete", "stream_hll", "fd_profile", "km_churn",
+        "ivf_knn_join",
     ]
-    assert head[:9] == debuts
+    assert head[:10] == debuts
     r9_late = {
         "bpe_merges_sampled", "retrieval_eval", "temperature_mixture",
         "trunc_recall", "kn_trigram_lm", "kruskal_events", "scd2_apply",
@@ -74,7 +75,7 @@ def test_round10_debuts_lead_the_window():
         "stream_trending", "holt_winters", "louvain", "stream_cm",
         "bpe_fertility",
     }
-    assert set(head[9:24]) == r9_late
+    assert set(head[10:25]) == r9_late
     r9_seated = {
         "stream_session_window", "stream_ohlc",
         "seasonal_decompose", "bpe_merges", "holt_forecast",
@@ -84,9 +85,9 @@ def test_round10_debuts_lead_the_window():
         "stickiness", "theil_sen", "spearman", "mannwhitney",
         "assortativity",
     }
-    assert set(head[24:44]) == r9_seated
+    assert set(head[25:45]) == r9_seated
     reseats = {
         "knn_and_filter", "layout_routed_knn", "distance_join_self",
-        "range_filter", "knn", "tpch_q1",
+        "range_filter", "tpch_q1",
     }
-    assert set(head[44:]) == reseats
+    assert set(head[45:]) == reseats

@@ -567,3 +567,58 @@ def test_round9_debut_plan_shapes(spark):
 
     p = _plan(kn_trigram_lm_score(docs))
     assert "CartesianProduct" not in p
+
+
+def test_round10_debut_plan_shapes(spark):
+    """Plan audit for the round-10 debuts: silhouette is a
+    zero-join literal-centroid projection + one aggregate exchange;
+    lm_dirichlet keeps the term filter BEFORE the tf aggregation and
+    broadcasts its cf table; ivf_knn_join plans ONE list equi-join
+    (never a cartesian) at nprobe < C; fd_profile and anova plan no
+    joins at all; km_survival never plans a partition-less row window
+    (its only Window is the two-phase offset pass over the tiny
+    per-partition frame)."""
+    from pyspark.sql import functions as F
+
+    from simba_spark.operators.analytics import km_survival
+    from simba_spark.operators.clustering import silhouette
+    from simba_spark.operators.similarity import ivf_knn_join
+    from simba_spark.operators.stats import anova_oneway, fd_profile
+    from simba_spark.operators.text import lm_dirichlet_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float(i % 3)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    p = _plan(silhouette(emb, k=3, iters=1, dim=3))
+    assert "Join" not in p and "CartesianProduct" not in p
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    p = _plan(lm_dirichlet_topk(docs, ["alpha", "beta"], k=5))
+    assert "BroadcastHashJoin" in p  # cf + |C| broadcast
+    assert "CartesianProduct" not in p
+    # the term filter precedes the tf aggregation (postings-only shuffle)
+    assert "TakeOrderedAndProject" in p
+
+    p = _plan(ivf_knn_join(emb, k=2, n_centroids=4, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+    rows = spark.createDataFrame(
+        [(float(i % 9), f"g{i % 3}") for i in range(40)],
+        "v double, g string")
+    p = _plan(anova_oneway(rows, "v", "g"))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    p = _plan(fd_profile(rows, [("g", "v")]))
+    assert "Join" not in p
+
+    lt = spark.createDataFrame(
+        [(i % 11, i % 2) for i in range(50)], "duration long, event int")
+    p = _plan(km_survival(lt))
+    # no global single-partition row window: every Window in the plan
+    # is either partitioned or over the tiny per-partition offsets
+    assert "CartesianProduct" not in p

@@ -4391,6 +4391,26 @@ def q_stream_hll(spark, sf_dir):
         F.round("approx_distinct", 4).alias("approx_users"))
 
 
+def q_stream_quantile(spark, sf_dir):
+    """Streaming windowed quantile kernel (streaming.
+    streaming_windowed_quantile) on the batch events frame: hourly
+    p50/p90 of value per event_type via the bucketed quantile sample —
+    state ≤ k (h, v) structs per open (window, key) where exact
+    streaming percentiles hold every row; per-bucket struct-MIN is the
+    algebraic aggregate the state store maintains incrementally. The
+    oracle is the batch bucketed sketch + identical interpolation over
+    the same hour buckets."""
+    from simba_spark.streaming.ops import streaming_windowed_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    out = streaming_windowed_quantile(
+        ev, ts_col="ts", col="value", key_col="event_type",
+        window="1 hour", qs=(0.5, 0.9), k=256, id_col="event_id")
+    return out.select(
+        F.col("window")["start"].alias("bucket"), "event_type",
+        "q500", "q900")
+
+
 def q_stream_ohlc(spark, sf_dir):
     """Hourly OHLC bars through the STREAMING kernel
     (streaming.streaming_windowed_ohlc) on the batch events frame —
@@ -4905,6 +4925,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle coverage stays total; every entry still has its SQL mirror
     in :func:`oracle_sql`."""
     return {
+        # --- round-10 late debuts: locally oracle-green, queued for
+        #     round-11 driver rows ---
+        "stream_quantile": q_stream_quantile,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -5845,6 +5868,7 @@ def oracle_sql() -> dict[str, str]:
         cm_estimate_sql, cm_sketch_sql,
         hll_distinct_sql, hll_estimate_sql, hll_sketch_sql, kmv_theta_sql,
         quantile_estimate_sql, quantile_merge_sql, quantile_sketch_sql,
+        quantile_sketch_bucketed_sql,
         theta_intersect_sql, theta_sketch_sql,
     )
 
@@ -6498,6 +6522,13 @@ def oracle_sql() -> dict[str, str]:
         # rows), batch keys only, collapse re-runs across the splice
         # streaming_windowed_cm batch-parity row: the same md5 hash60
         # buckets as batch cm_sketch, per hourly window
+        "stream_quantile": quantile_estimate_sql(
+            quantile_sketch_bucketed_sql(
+                "(SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)"
+                " AS bucket, event_type, event_id, value FROM events)",
+                "value", "event_id", ["bucket", "event_type"], k=256),
+            qs=(0.5, 0.9), group_exprs=["bucket", "event_type"],
+        ),
         "stream_hll": (
             "SELECT bucket, event_type,"
             " round(approx_users, 4) AS approx_users FROM ("

@@ -204,6 +204,7 @@ HEADLINE = [
     "fd_profile",
     "km_churn",
     "ivf_knn_join",
+    "stream_quantile",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -289,6 +290,7 @@ _R10: set = {
     "fd_profile",
     "km_churn",
     "ivf_knn_join",
+    "stream_quantile",
 }
 
 GROUPS = {

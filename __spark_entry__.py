@@ -3367,6 +3367,25 @@ def q_louvain_levels(spark, sf_dir):
     return louvain(_trade_edges(spark, sf_dir), iters=4, levels=2)
 
 
+def q_k_truss(spark, sf_dir):
+    """k-truss decomposition (operators.graph.k_truss) of the part
+    co-occurrence graph (the q_triangles graph): surviving edges must
+    close >= 2 triangles within the surviving subgraph (k=4) — the
+    edge-level sharpening of k_core. Per round one degree-ordered
+    single-corner triangle enumeration (the O(m^1.5) triangle_count
+    discipline), a 3-way member explode, and one (a, b) support count;
+    6 fixed peeling rounds with the early fixpoint exit (fixpoint by
+    round 6 at sf0.001 / round 5 at sf0.01, asserted in tests; the
+    oracle runs the identical unrolled rounds)."""
+    from simba_spark.operators.graph import k_truss
+
+    li = _t(spark, sf_dir, "lineitem").filter("l_linenumber <= 3")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "l_orderkey").filter("src < dst").select("src", "dst")
+    return k_truss(edges, k=4, iters=6, assert_converged=False)
+
+
 def q_clustering_coeff_capped(spark, sf_dir):
     """Hub-capped local clustering coefficient (clustering_coefficient
     (max_degree=64)): exact on the subgraph induced by degree <= 64
@@ -4928,6 +4947,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-10 late debuts: locally oracle-green, queued for
         #     round-11 driver rows ---
         "stream_quantile": q_stream_quantile,
+        "k_truss": q_k_truss,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -5824,6 +5844,7 @@ def oracle_sql() -> dict[str, str]:
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql,
                                              clustering_coefficient_sql,
+                                             k_truss_sql,
                                              louvain_moves_sql,
                                              louvain_sql,
                                              degree_assortativity_sql,
@@ -7139,6 +7160,13 @@ def oracle_sql() -> dict[str, str]:
                    d.q500 AS direct_q500, d.q990 AS direct_q990
             FROM merged m JOIN direct d USING (event_type)
         """,
+        "k_truss": k_truss_sql(
+            "(SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM (SELECT * FROM lineitem WHERE l_linenumber <= 3) a "
+            "JOIN (SELECT * FROM lineitem WHERE l_linenumber <= 3) b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
+            k=4, iters=6,
+        ),
         "triangles": triangle_count_sql(
             "(SELECT a.l_partkey AS src, b.l_partkey AS dst "
             "FROM (SELECT * FROM lineitem WHERE l_linenumber <= 3) a "

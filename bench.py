@@ -205,6 +205,7 @@ HEADLINE = [
     "km_churn",
     "ivf_knn_join",
     "stream_quantile",
+    "k_truss",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -291,6 +292,7 @@ _R10: set = {
     "km_churn",
     "ivf_knn_join",
     "stream_quantile",
+    "k_truss",
 }
 
 GROUPS = {

@@ -1195,6 +1195,199 @@ def k_core_sql(
     )
 
 
+def k_truss(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+    iters: int = 6,
+    assert_converged: bool = True,
+) -> DataFrame:
+    """k-truss of the undirected graph: iteratively drop edges whose
+    SUPPORT (number of triangles they sit in, within the current
+    subgraph) is below ``k − 2``; what survives is the maximal
+    subgraph where every edge closes ≥ k−2 triangles — the edge-level
+    sharpening of :func:`k_core` (every k-truss is inside the
+    (k−1)-core) and the standard cohesive-community / spam-clique
+    primitive. Returns the surviving CANONICAL edges ``(a, b,
+    support)`` with support recomputed ON THE FINAL SUBGRAPH (the
+    textbook quantity — a pre-peel support would still count
+    triangles through edges the same round dropped, and would change
+    with ``iters`` even after the edge set converges).
+
+    Fixed ``iters`` peeling rounds (the :func:`k_core` SQL-oracle
+    contract — the result is a pure function of (graph, k, iters));
+    peeling removes ≥ 1 edge per non-converged round, an early exit
+    skips no-op rounds, and the final support pass doubles as the
+    ``assert_converged`` fixpoint check (default True; the registered
+    oracle query passes False and its config is fixpoint-asserted in
+    tests).
+
+    Scale: per round one skinny degree aggregate, a DEGREE-ORDERED
+    orientation (each triangle is enumerated exactly once from its
+    lowest-(deg, id) corner — the :func:`triangle_count` discipline
+    that bounds the wedge intermediate at O(m^1.5) under hubs), one
+    wedge self-join + one canonical-edge closure join, a 3-way edge
+    explode, and one (a, b) support count — all equi-joins, no
+    cartesian; the edge frame localCheckpoints each round.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (k-2 triangles per edge)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    ce = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct().localCheckpoint(eager=False)
+
+    def _support(cur):
+        sym = cur.select("a", "b").unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = sym.groupBy(F.col("a").alias("n")).agg(
+            F.count(F.lit(1)).alias("d"))
+        ori = (
+            cur.select("a", "b")
+            .join(deg.select(F.col("n").alias("a"),
+                             F.col("d").alias("__da")), "a")
+            .join(deg.select(F.col("n").alias("b"),
+                             F.col("d").alias("__db")), "b")
+        )
+        lt = (F.col("__da") < F.col("__db")) | (
+            (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b")))
+        ori = ori.select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lt, F.col("__db")).otherwise(F.col("__da")).alias("vd"),
+        )
+        o2 = ori.select(F.col("u").alias("u2"), F.col("v").alias("w"),
+                        F.col("vd").alias("wd"))
+        wedge = ori.join(o2, F.col("u") == F.col("u2")).filter(
+            (F.col("vd") < F.col("wd"))
+            | ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+        ).select(
+            "u", "v", "w",
+            F.least("v", "w").alias("x"), F.greatest("v", "w").alias("y"),
+        )
+        tri = wedge.join(
+            cur.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"], "left_semi")
+        mem = tri.select(F.explode(F.array(
+            F.struct(F.least("u", "v").alias("a"),
+                     F.greatest("u", "v").alias("b")),
+            F.struct(F.least("u", "w").alias("a"),
+                     F.greatest("u", "w").alias("b")),
+            F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+        )).alias("__e")).select("__e.a", "__e.b")
+        return mem.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support"))
+
+    cur = ce
+    for _ in range(int(iters)):
+        sup = _support(cur)
+        nxt = (
+            cur.select("a", "b").join(sup, ["a", "b"])
+            .filter(F.col("support") >= int(k) - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        done = nxt.count() == cur.count()
+        cur = nxt
+        if done:
+            break
+    out = (
+        cur.join(_support(cur), ["a", "b"], "left")
+        .select("a", "b",
+                F.coalesce(F.col("support"), F.lit(0).cast("long"))
+                .alias("support"))
+        .localCheckpoint(eager=False)
+    )
+    if assert_converged:
+        stragglers = (
+            out.filter(F.col("support") < int(k) - 2).limit(1).count()
+        )
+        if stragglers:
+            raise RuntimeError(
+                f"k_truss: not converged after iters={iters} rounds (a "
+                "surviving edge still has support < k-2) — raise iters, "
+                "or pass assert_converged=False to accept the "
+                "fixed-rounds superset"
+            )
+    return out
+
+
+def k_truss_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+    iters: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`k_truss` — the same canonicalization,
+    per-round degree-ordered orientation, single-corner triangle
+    enumeration, 3-way member explode, support peeling, and the final
+    on-subgraph support recomputation, unrolled as MATERIALIZED CTEs
+    (each level feeds several consumers — the :func:`k_core_sql`
+    inlining lesson)."""
+    if k < 3 or iters < 1:
+        raise ValueError("k must be >= 3 and iters >= 1")
+    parts = [
+        f"""__t0 AS MATERIALIZED (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM {edges_sql} WHERE {src} <> {dst}
+)""",
+    ]
+    # one extra index (= iters) computes the FINAL subgraph's support
+    for i in range(int(iters) + 1):
+        parts.append(f"""__td{i} AS MATERIALIZED (
+  SELECT n, count(*)::BIGINT AS d FROM (
+    SELECT a AS n FROM __t{i} UNION ALL SELECT b FROM __t{i}
+  ) GROUP BY 1
+)""")
+        parts.append(f"""__to{i} AS MATERIALIZED (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND t.a < t.b)
+              THEN t.a ELSE t.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND t.a < t.b)
+              THEN t.b ELSE t.a END AS v,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND t.a < t.b)
+              THEN db.d ELSE da.d END AS vd
+  FROM __t{i} t
+  JOIN __td{i} da ON t.a = da.n
+  JOIN __td{i} db ON t.b = db.n
+)""")
+        parts.append(f"""__tt{i} AS MATERIALIZED (
+  SELECT w.u, w.v, w.w, least(w.v, w.w) AS x, greatest(w.v, w.w) AS y
+  FROM (
+    SELECT o1.u, o1.v, o2.v AS w
+    FROM __to{i} o1 JOIN __to{i} o2
+      ON o1.u = o2.u
+     AND (o1.vd < o2.vd OR (o1.vd = o2.vd AND o1.v < o2.v))
+  ) w
+  JOIN __t{i} t ON least(w.v, w.w) = t.a AND greatest(w.v, w.w) = t.b
+)""")
+        parts.append(f"""__ts{i} AS MATERIALIZED (
+  SELECT a, b, count(*)::BIGINT AS support FROM (
+    SELECT least(u, v) AS a, greatest(u, v) AS b FROM __tt{i}
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM __tt{i}
+    UNION ALL SELECT x, y FROM __tt{i}
+  ) GROUP BY 1, 2
+)""")
+        if i < int(iters):
+            parts.append(f"""__t{i + 1} AS MATERIALIZED (
+  SELECT t.a, t.b FROM __t{i} t
+  JOIN __ts{i} s USING (a, b)
+  WHERE s.support >= {int(k) - 2}
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT t.a, t.b, COALESCE(s.support, 0)::BIGINT AS support
+FROM __t{int(iters)} t LEFT JOIN __ts{int(iters)} s USING (a, b)"""
+    )
+
+
 def louvain_moves(
     edges: DataFrame,
     src: str = "src",

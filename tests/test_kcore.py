@@ -266,3 +266,75 @@ def test_louvain_levels_duckdb_parity(spark):
         oracle = sorted(map(tuple, con.execute(
             louvain_sql("e", iters=3, levels=levels)).fetchall()))
         assert got == oracle
+
+
+# --- k-truss (edge-support peeling) ---------------------------------------------
+
+def test_k_truss_semantics(spark):
+    from simba_spark.operators.graph import k_truss
+
+    # K4 {0,1,2,3} + pendant triangle {3,4,5}: the 4-truss is exactly
+    # K4 (every K4 edge closes 2 triangles; the pendant's close 1)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 4), (3, 5), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r.support for r in k_truss(df, k=4, iters=3).collect()}
+    assert set(got) == set(k4)
+    assert all(s == 2 for s in got.values())
+    # k=3 keeps every edge that closes >= 1 triangle (all of them here)
+    got3 = {(r.a, r.b) for r in k_truss(df, k=3, iters=3).collect()}
+    assert got3 == set(edges)
+
+    # cascade: a triangle strip fully unravels at k=4 (support-2 edge
+    # loses its triangles once the support-1 edges drop)
+    strip = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    sdf = spark.createDataFrame(strip, "src long, dst long")
+    assert k_truss(sdf, k=4, iters=4).count() == 0
+    # the cascade needs 2 rounds: iters=1 is not converged
+    import pytest as _pt
+    with _pt.raises(RuntimeError):
+        k_truss(sdf, k=4, iters=1)
+    assert k_truss(sdf, k=4, iters=1, assert_converged=False).count() == 2
+    with _pt.raises(ValueError):
+        k_truss(df, k=2)
+
+
+def test_k_truss_fixpoint_at_query_config(spark):
+    """The registered query runs k=4/iters=6 on the part co-occurrence
+    graph; the converged-guard variant must pass (exact fixpoint) and
+    one extra round must change nothing."""
+    import __spark_entry__ as entry
+    from simba_spark.operators.graph import k_truss
+
+    li = entry._t(spark, "/root/testdata/sf0.001", "lineitem").filter(
+        "l_linenumber <= 3")
+    from pyspark.sql import functions as F
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "l_orderkey").filter("src < dst").select("src", "dst")
+    six = {tuple(r) for r in
+            k_truss(edges, k=4, iters=6, assert_converged=True).collect()}
+    seven = {tuple(r) for r in
+             k_truss(edges, k=4, iters=7, assert_converged=False).collect()}
+    assert six == seven
+
+
+def test_k_truss_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.graph import k_truss, k_truss_sql
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(25), rng.randrange(25))
+                  for _ in range(160)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    for k, iters in ((3, 4), (4, 4), (5, 3)):
+        got = sorted(map(tuple, k_truss(
+            df, k=k, iters=iters, assert_converged=False).collect()))
+        oracle = sorted(map(tuple, con.execute(
+            k_truss_sql("e", k=k, iters=iters)).fetchall()))
+        assert got == oracle

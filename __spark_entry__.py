@@ -4865,7 +4865,11 @@ _DRIVER_QUERY_CAP = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
-        # --- round-10 debuts (first driver check) ---
+        # --- round-10 late debuts seated (first driver check;
+        #     VERDICT r10 #1) ---
+        "k_truss": q_k_truss,
+        "stream_quantile": q_stream_quantile,
+        # --- round-10 debuts retained (1 driver green, earning 2nd) ---
         "louvain_levels": q_louvain_levels,
         "anova_events": q_anova_events,
         "silhouette": q_silhouette,
@@ -4876,9 +4880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_profile": q_fd_profile,
         "km_churn": q_km_churn,
         "ivf_knn_join": q_ivf_knn_join,
-        # --- round-10 seated queue: the 15 round-9 late debuts that
-        #     entered extra_queries() locally-green (OPERATORS.md
-        #     round-10 queue), each earning its first driver row ---
+        # --- round-10 seatings retained (1 driver green, earning 2nd;
+        #     rotate out next round per the ledger) ---
         "bpe_merges_sampled": q_bpe_merges_sampled,
         "retrieval_eval": q_retrieval_eval,
         "temperature_mixture": q_temperature_mixture,
@@ -4894,11 +4897,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "stream_cm": q_stream_cm,
         "bpe_fertility": q_bpe_fertility,
-        # --- round-9 debuts retained (1 driver green, earning 2nd) ---
-        "stream_session_window": q_stream_session_window,
-        "stream_ohlc": q_stream_ohlc,
-        # --- round-9 seatings retained (1 driver green, earning 2nd;
-        #     rotate out next round per the ledger) ---
+        # --- after-r3 cohort re-seat cycle, batch 2 (VERDICT r10 #1):
+        #     the 12 ledger rows whose driver greens are 7 rounds old
+        #     re-earn a green and rotate back out next round ---
+        "top_orders": q_top_orders,
+        "nation_volume": q_nation_volume,
+        "window_top_orders": q_window_top_orders_per_cust,
+        "customers_without_orders": q_customers_without_orders,
+        "parts_with_lineitems": q_parts_with_lineitems,
+        "events_agg": q_events_agg,
+        "rollup_lineitem": q_rollup_lineitem,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "embedding_topk": q_embedding_topk,
+        "doc_quality": q_doc_quality,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        # --- after-r4 cohort re-seats (greens r2+r3+r4 — 7 rounds
+        #     old) ---
+        "segment_range": q_segment_range,
+        "box_range": q_box_range,
+        "interval_overlap": q_interval_overlap,
+        "sessionize": q_sessionize,
+        "ngram_jaccard": q_ngram_jaccard,
+        # --- after-r3-era re-seats filling the remaining slots;
+        #     round-11 debuts displace these as they land ---
+        "knn_or_filter": q_knn_or_filter,
+        "knn_not_filter": q_knn_not_filter,
+        "polygon_range": q_polygon_range,
+        "dedup_components": q_dedup_components,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
+    assert len(q) == _DRIVER_QUERY_CAP, (
+        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
+        f"(the driver's correctness window), got {len(q)} — rotate the "
+        "most-proven entries into extra_queries()"
+    )
+    return q
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bedrock queries rotated out of the driver's 50-row window after
+    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
+    hash all true). Local harnesses (`scripts/check_oracle.py`,
+    `bench.py`, pytest) merge this dict with :func:`queries` so the
+    oracle coverage stays total; every entry still has its SQL mirror
+    in :func:`oracle_sql`."""
+    return {
+        # --- rotated after round 10: the 18 round-9 seatings + 2
+        #     round-9 streaming debuts with 2 driver greens each
+        #     (r9+r10), plus the 5 after-r3 re-seats that re-earned
+        #     their green in round 10 ---
         "seasonal_decompose": q_seasonal_decompose,
         "bpe_merges": q_bpe_merges,
         "holt_forecast": q_holt_forecast,
@@ -4917,37 +4966,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "mannwhitney": q_mannwhitney,
         "assortativity": q_assortativity,
-        # --- after-r3 cohort re-seats: these bedrock rows' driver
-        #     greens are 6 rounds old (VERDICT r9 #3); first the three
-        #     whose implementations were touched since round 3, then
-        #     the oldest spatial/dedup bedrock. They re-earn a driver
-        #     green and rotate back out next round ---
+        "stream_session_window": q_stream_session_window,
+        "stream_ohlc": q_stream_ohlc,
         "knn_and_filter": q_knn_and_filter,
         "layout_routed_knn": q_layout_routed_knn,
         "distance_join_self": q_distance_join_self,
         "range_filter": q_range_filter,
         "tpch_q1": q_tpch_q1,
-    }
-    assert len(q) == _DRIVER_QUERY_CAP, (
-        f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
-        f"(the driver's correctness window), got {len(q)} — rotate the "
-        "most-proven entries into extra_queries()"
-    )
-    return q
-
-
-def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Bedrock queries rotated out of the driver's 50-row window after
-    three consecutive green rounds (CORRECTNESS_r01–r03: rows+schema+
-    hash all true). Local harnesses (`scripts/check_oracle.py`,
-    `bench.py`, pytest) merge this dict with :func:`queries` so the
-    oracle coverage stays total; every entry still has its SQL mirror
-    in :func:`oracle_sql`."""
-    return {
-        # --- round-10 late debuts: locally oracle-green, queued for
-        #     round-11 driver rows ---
-        "stream_quantile": q_stream_quantile,
-        "k_truss": q_k_truss,
         # --- rotated after round 9: the 3 round-8 debuts + 19 round-8
         #     seatings with 2 driver greens each (r8+r9), plus
         #     gini_prices / hyperanf (2 greens on their current code
@@ -5146,36 +5171,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": q_distance_join,
         "knn_join_voronoi": q_knn_join_voronoi,
         "embedding_ann_topk": q_embedding_ann_topk,
-        # --- rotated after round 4 (green r2+r3+r4) ---
-        "segment_range": q_segment_range,
-        "box_range": q_box_range,
-        "interval_overlap": q_interval_overlap,
-        "sessionize": q_sessionize,
-        "ngram_jaccard": q_ngram_jaccard,
-        # --- rotated after round 3 (6 of the original 26 re-seated in
-        #     the round-10 window; the 20 below queue for the round-11
-        #     re-seat cycle) ---
+        # --- after-r3-era rows not in the round-11 re-seat window
+        #     (circle_range / knn re-verified audit-green in the r10
+        #     audit; interval_1d's layout family holds fresher rows) ---
         "circle_range": q_circle_range,
         "knn": q_knn,
-        "knn_or_filter": q_knn_or_filter,
-        "knn_not_filter": q_knn_not_filter,
-        "polygon_range": q_polygon_range,
-        "dedup_components": q_dedup_components,
-        "exact_dedup": q_exact_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
         "interval_1d": q_interval_1d,
-        "top_orders": q_top_orders,
-        "nation_volume": q_nation_volume,
-        "window_top_orders": q_window_top_orders_per_cust,
-        "customers_without_orders": q_customers_without_orders,
-        "parts_with_lineitems": q_parts_with_lineitems,
-        "events_agg": q_events_agg,
-        "rollup_lineitem": q_rollup_lineitem,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_lang_id": q_doc_lang_id,
-        "embedding_topk": q_embedding_topk,
-        "doc_quality": q_doc_quality,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
     }
 
 

@@ -358,8 +358,14 @@ def silhouette(
 
     Determinism: each centroid distance is the SAME left-folded
     codegen chain the assignment used (bit-identical in the SQL
-    mirror); a/b are exact element/min picks; the per-cluster mean
-    rounds to ``round_to``.
+    mirror); a/b are exact element/min picks; the per-cluster mean is
+    an EXACT fixed-point reduction — per-row s quantizes to 1e-9 units
+    via ``floor(s·1e9 + 0.5)`` (floor, not round: engines disagree on
+    double rounding modes at .5, never on floor) and sums as
+    DECIMAL(38,0), so no float accumulation order exists anywhere
+    (a row-order float ``avg`` differs run-to-run under Spark's
+    partial aggregation and can flip the ``round_to`` boundary);
+    the single final division rounds to ``round_to``.
 
     Scale: one zero-shuffle projection over the assigned frame (k
     literal distance columns), one skinny groupBy(cluster) — input
@@ -385,12 +391,17 @@ def silhouette(
     b = F.sqrt(b2)
     s = F.when(F.greatest(a, b) > 0,
                (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    s_fp = F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
     return (
-        proj.select(F.col("__sil_c").alias("cluster"), s.alias("__s"))
+        proj.select(F.col("__sil_c").alias("cluster"), s_fp.alias("__sfp"))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("__s"), int(round_to)).alias("mean_sil"),
+            F.round(
+                (F.sum("__sfp").cast("double") / F.lit(1e9))
+                / F.count(F.lit(1)).cast("double"),
+                int(round_to),
+            ).alias("mean_sil"),
         )
     )
 
@@ -432,8 +443,11 @@ def silhouette_sql(
 )""")
     return ",\n".join(parts) + f"""
 SELECT cluster, count(*)::BIGINT AS n,
-       round(avg(CASE WHEN greatest(__a, __b) > 0
+       round((CAST(sum(CAST(floor((CASE WHEN greatest(__a, __b) > 0
                       THEN (__b - __a) / greatest(__a, __b)
-                      ELSE 0.0::DOUBLE END), {int(round_to)}) AS mean_sil
+                      ELSE 0.0::DOUBLE END) * 1000000000.0::DOUBLE
+                      + 0.5::DOUBLE) AS BIGINT)) AS DOUBLE)
+              / 1000000000.0::DOUBLE) / count(*)::DOUBLE,
+             {int(round_to)}) AS mean_sil
 FROM __ab GROUP BY 1
 """

@@ -259,9 +259,25 @@ def build_ivf(
         return assigned, np.asarray(cents, dtype="float64")
     if trainer != "sample":
         raise ValueError(f"unknown IVF trainer: {trainer!r}")
+    # train on validity-filtered vectors only (the kmeans modal-dim
+    # contract): a NULL / off-dimension vector in the hash sample is a
+    # ragged numpy array, not a centroid. The returned assignment frame
+    # stays unfiltered — invalid rows carry a NULL `__ivf` and callers
+    # keep their own drop/keep policy.
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .groupBy(F.size(vec_col).alias("d")).count()
+        .orderBy(F.col("count").desc(), F.col("d").asc())
+        .first()
+    )
+    if row is None:
+        raise ValueError("build_ivf: no non-null vectors")
+    dim = int(row["d"])
     sample = [
         r[0]
-        for r in df.select(vec_col)
+        for r in df.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>"), F.lit(seed)))
         .limit(int(sample_cap))
         .collect()
@@ -573,6 +589,10 @@ def ivf_knn_join(
     and is EXACT by construction (the oracle configuration); smaller
     ``nprobe`` trades recall for scan fraction (recall asserted in
     tests). ``right=None`` = self-join (``a_id != b_id`` excluded).
+    Rows with a NULL vector or a length differing from the trained
+    dimension are dropped from BOTH sides (the kmeans validity
+    contract) — symmetric, instead of right-NULLs silently vanishing
+    while left-NULLs rank with NULL similarity.
 
     Output ``(a_id, b_id, cosine_sim, rank)``, sim rounded to 6dp,
     rank 1..k by (sim desc, b_id asc) — :func:`knn_join_vectors`
@@ -590,12 +610,19 @@ def ivf_knn_join(
         r, vec_col, n_centroids=n_centroids, sample_cap=sample_cap,
         iters=iters, seed=seed)
     nprobe = min(int(nprobe), len(cents))
-    la = left.select(
+    # validity filter BOTH sides (the kmeans __pts contract): without
+    # it a right row with a NULL vector drops silently (NULL list key)
+    # while a left NULL row still probes (struct-sorting NULL distances
+    # yields non-NULL centroid ids) and surfaces as (a_id, b_id, NULL
+    # cosine_sim) ranked rows — an asymmetry, not a semantics
+    dim = len(cents[0])
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == int(dim))
+    la = left.filter(valid).select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"),
         F.explode(_centroid_probe_col(vec_col, cents, nprobe))
         .alias("__ivf"),
     )
-    rb = assigned.select(
+    rb = assigned.filter(valid).select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"),
         "__ivf",
     )

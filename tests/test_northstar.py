@@ -1402,3 +1402,27 @@ def test_ivf_knn_join_two_sided_and_recall(embs):
 
     r1, r2 = recall(1), recall(2)
     assert 0 < r1 <= r2 and r2 >= 0.5
+
+
+def test_ivf_knn_join_drops_invalid_vectors_both_sides(embs, spark):
+    """NULL / wrong-dimension vectors drop SYMMETRICALLY: no (a, b,
+    NULL, rank) rows for invalid left vectors, no silent right drops
+    that shift ranks — invalid rows simply don't participate."""
+    from simba_spark.operators.similarity import ivf_knn_join
+
+    base = embs.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    bad = spark.createDataFrame(
+        [(1000, None), (1001, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    dirty = base.unionByName(bad)
+    clean_rows = sorted(map(tuple, ivf_knn_join(
+        base, k=2, n_centroids=4, nprobe=4).collect()))
+    dirty_rows = sorted(map(tuple, ivf_knn_join(
+        dirty, k=2, n_centroids=4, nprobe=4).collect()))
+    assert dirty_rows == clean_rows  # invalid rows invisible
+    assert all(sim is not None for _, _, sim, _ in dirty_rows)
+    # two-sided: an invalid LEFT row must not emit NULL-sim ranked rows
+    two = ivf_knn_join(dirty, base, k=2, n_centroids=4, nprobe=4).collect()
+    assert {r.a_id for r in two} == {r.vec_id for r in base.collect()}
+    assert all(r.cosine_sim is not None for r in two)

@@ -11,7 +11,10 @@ Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
 reported per-query time is the MEDIAN — single-run numbers at ~1 s
 granularity swung +/-75% between rounds with no plan change, so the
 median is the signal. The raw per-rep samples are emitted under
-"samples" for auditability.
+"samples" for auditability. Before the timed reps each query runs
+ONE discarded warm-up execution ($SPARK_GRAFT_BENCH_WARMUP, default
+1; durations under "warmup") so fresh-JVM JIT/codegen warm-up stops
+masquerading as rep variance (round-10 brief #4).
 
 GROUP ISOLATION (round-6): the headline set grew 20 → 41 queries over
 rounds and the r3-era legacy subtotal measured inside the grown harness
@@ -375,6 +378,28 @@ def run_group(names: list[str]) -> dict:
     # later reps of the same query systematically faster
     import gc
 
+    # one DISCARDED warm-up execution per query (round-10 brief #4):
+    # in a fresh sub-JVM the first rep of every query carries JIT /
+    # codegen-cache warm-up ([8.0, 4.1, 3.9]-shaped samples) that
+    # medians absorb but max/min spread reports as fake variance.
+    # Warm-up durations are recorded separately for audit, never
+    # aggregated. SPARK_GRAFT_BENCH_WARMUP=0 restores the old behavior
+    # (e.g. to measure cold-start itself).
+    warmup_reps = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") or 0)
+    warmup: dict[str, list[float]] = {}
+    for _ in range(warmup_reps):
+        for name in names:
+            t0 = time.time()
+            try:
+                df = qs[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                warmup.setdefault(name, []).append(round(time.time() - t0, 3))
+            except Exception as e:
+                warmup.setdefault(name, []).append(-1.0)
+                print(f"# bench error in {name} warmup: {e}", file=sys.stderr)
+            df = None
+            gc.collect()
+
     for rep in range(REPS):
         for name in names:
             fn = qs[name]
@@ -397,10 +422,11 @@ def run_group(names: list[str]) -> dict:
         good = [t for t in ts if t >= 0]
         timings[name] = round(statistics.median(good), 3) if good else -1.0
     spark.stop()
-    return {"queries": timings, "samples": samples}
+    return {"queries": timings, "samples": samples, "warmup": warmup}
 
 
-def _emit(timings: dict, samples: dict, isolated: bool) -> dict:
+def _emit(timings: dict, samples: dict, isolated: bool,
+          warmup: dict | None = None) -> dict:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     legacy_total = round(
         sum(t for n, t in timings.items()
@@ -418,6 +444,7 @@ def _emit(timings: dict, samples: dict, isolated: bool) -> dict:
         "unit": "sec",
         "queries": timings,
         "samples": samples,
+        "warmup": warmup or {},
         "reps": REPS,
         "agg": "median",
         "sf": sf,
@@ -448,6 +475,7 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_BENCH_FORK", "1") != "0":
         timings: dict[str, float] = {}
         samples: dict[str, list[float]] = {}
+        warmups: dict[str, list[float]] = {}
         ok = True
         units: list[tuple[str, dict]] = []
         for g, qlist in GROUPS.items():
@@ -482,14 +510,17 @@ def main() -> int:
             r = json.loads(lines[-1])
             timings.update(r["queries"])
             samples.update(r["samples"])
+            warmups.update(r.get("warmup", {}))
             ok = ok and p.returncode == 0
         else:
-            print(json.dumps(_emit(timings, samples, isolated=True)))
+            print(json.dumps(_emit(timings, samples, isolated=True,
+                                   warmup=warmups)))
             return 0 if ok else 1
 
     # fallback / opt-out: everything in one session (pre-round-6 mode)
     r = run_group(HEADLINE)
-    print(json.dumps(_emit(r["queries"], r["samples"], isolated=False)))
+    print(json.dumps(_emit(r["queries"], r["samples"], isolated=False,
+                           warmup=r.get("warmup"))))
     return 0 if all(t >= 0 for t in r["queries"].values()) else 1
 
 

@@ -2290,6 +2290,32 @@ def q_ivf_knn_join(spark, sf_dir):
         "a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"), "rank")
 
 
+def q_ivfpq_knn_join(spark, sf_dir):
+    """IVF×PQ two-sided vector kNN join (operators.similarity.
+    ivfpq_knn_join) at FULL probe width with an all-pass shortlist:
+    every inverted list is probed and every ADC-scored candidate
+    reaches the exact re-rank, so the brute-force window SQL is a true
+    oracle while the row still drives the whole codes pipeline —
+    sampled coarse quantizer, per-subspace PQ codebooks, the 2-byte*m
+    code encode, the JOIN-form ADC fold (each left row is its own
+    query), the shortlist window, and the skinny id re-rank join. The
+    production nprobe < C / small-shortlist configuration is
+    recall-asserted in tests/test_pq.py and measured in
+    bench_ann.json. At 100 TB the candidate equi-join carries m-byte
+    codes instead of full vectors — a 32× byte reduction at 64-d
+    float — and only ≤ shortlist rows per left row ever fetch a
+    vector."""
+    from simba_spark.operators.similarity import ivfpq_knn_join
+
+    embs = _t(spark, sf_dir, "embeddings")
+    out = ivfpq_knn_join(
+        embs.filter(F.col("vec_id") % 7 == 0),
+        embs.filter(F.col("vec_id") % 3 == 2),
+        k=3, n_centroids=8, nprobe=8, m=8, nbits=4, shortlist=100_000)
+    return out.select(
+        "a_id", "b_id", F.round("cosine_sim", 4).alias("sim4"), "rank")
+
+
 def q_silhouette(spark, sf_dir):
     """Per-cluster simplified silhouette (operators.clustering.
     silhouette) of the kmeans_embeddings clustering (k=4, 2 iters):
@@ -4865,6 +4891,8 @@ _DRIVER_QUERY_CAP = 50
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
+        # --- round-11 debuts (first driver check) ---
+        "ivfpq_knn_join": q_ivfpq_knn_join,
         # --- round-10 late debuts seated (first driver check;
         #     VERDICT r10 #1) ---
         "k_truss": q_k_truss,
@@ -4926,7 +4954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_range": q_polygon_range,
         "dedup_components": q_dedup_components,
         "exact_dedup": q_exact_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -5173,10 +5200,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_topk": q_embedding_ann_topk,
         # --- after-r3-era rows not in the round-11 re-seat window
         #     (circle_range / knn re-verified audit-green in the r10
-        #     audit; interval_1d's layout family holds fresher rows) ---
+        #     audit; interval_1d's layout family holds fresher rows;
+        #     doc_fingerprint displaced by the ivfpq_knn_join debut) ---
         "circle_range": q_circle_range,
         "knn": q_knn,
         "interval_1d": q_interval_1d,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -7976,6 +8005,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
                      e.vec_id ASC
             LIMIT 10
+        """,
+        # ivfpq_knn_join at nprobe = n_centroids with an all-pass
+        # shortlist re-ranks every candidate exactly — brute force is
+        # a true oracle (the pq_topk full-rerank trick, join form)
+        "ivfpq_knn_join": """
+            SELECT a_id, b_id, round(cs, 4) AS sim4, rn AS "rank" FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cs,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                             b.embedding::DOUBLE[]), 6)
+                                DESC, b.vec_id ASC) AS rn
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id % 7 = 0 AND b.vec_id % 3 = 2
+            ) WHERE rn <= 3
         """,
         # ivf_knn_join at nprobe = n_centroids is exact by construction
         # (every list probed), so brute force is a true oracle

@@ -209,6 +209,8 @@ HEADLINE = [
     "ivf_knn_join",
     "stream_quantile",
     "k_truss",
+    # round-11 additions
+    "ivfpq_knn_join",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -298,15 +300,22 @@ _R10: set = {
     "k_truss",
 }
 
+#: round-11 additions get their OWN group (the standing rule: a new
+#: round's queries never append to an old group).
+_R11: set = {
+    "ivfpq_knn_join",
+}
+
 GROUPS = {
     "legacy": [q for q in HEADLINE if q not in _POST_R3 and q not in _R9
-               and q not in _R10],
+               and q not in _R10 and q not in _R11],
     "post": [q for q in HEADLINE
              if q in _POST_R3 and q not in _R8_LATE and q not in _R9
-             and q not in _R10],
+             and q not in _R10 and q not in _R11],
     "r8late": [q for q in HEADLINE if q in _R8_LATE],
     "r9": [q for q in HEADLINE if q in _R9],
     "r10": [q for q in HEADLINE if q in _R10],
+    "r11": [q for q in HEADLINE if q in _R11],
 }
 
 #: default per-group sub-JVM chunking for the groups whose LATE reps
@@ -315,7 +324,7 @@ GROUPS = {
 #: — third reps only). 7 queries per JVM bounds accumulated state the
 #: same way the sf1 capture's SPARK_GRAFT_BENCH_CHUNK run does; the
 #: older groups stay whole-group for round-over-round comparability.
-GROUP_CHUNK = {"r9": 7, "r10": 7}
+GROUP_CHUNK = {"r9": 7, "r10": 7, "r11": 7}
 
 
 def _bench_overrides():

@@ -259,6 +259,42 @@ def main():
                 "recall": round(sum(recs) / len(recs), 3),
             }
 
+    # --- kNN JOIN forms (round 11): both sides large. The candidate
+    # equi-join carries full vectors (ivf_knn_join) vs m-byte PQ codes
+    # (ivfpq_knn_join) at the SAME nprobe — recall vs the full-probe
+    # exact join, latency, and the candidate-stage row payload. ---
+    from simba_spark.operators.similarity import (ivf_knn_join,
+                                                  ivfpq_knn_join)
+
+    jl = df.filter(F.col("vec_id") % (N // 200) == 0) \
+           .select("vec_id", "embedding")
+    t0 = time.time()
+    ex = ivf_knn_join(jl, df, k=K, n_centroids=16, nprobe=16,
+                      sample_cap=4000).collect()
+    t_exact = round(time.time() - t0, 1)
+    exact_pairs = {(r.a_id, r.b_id) for r in ex}
+    results["join_exact_fullprobe"] = {
+        "latency_sec": t_exact, "recall": 1.0,
+        "cand_row_bytes": DIM * 4, "n_left": jl.count()}
+    for name, fn in (
+        ("ivf_join_np2of16",
+         lambda: ivf_knn_join(jl, df, k=K, n_centroids=16, nprobe=2,
+                              sample_cap=4000)),
+        ("ivfpq_join_np2of16_sl64",
+         lambda: ivfpq_knn_join(jl, df, k=K, n_centroids=16, nprobe=2,
+                                m=8, nbits=8, shortlist=64,
+                                sample_cap=4000)),
+    ):
+        t0 = time.time()
+        rows = fn().collect()
+        lat = round(time.time() - t0, 1)
+        got = {(r.a_id, r.b_id) for r in rows}
+        results[name] = {
+            "latency_sec": lat,
+            "recall": round(len(got & exact_pairs) / len(exact_pairs), 3),
+            "cand_row_bytes": 8 if name.startswith("ivfpq") else DIM * 4,
+        }
+
     out = {
         "n_vecs": N, "dim": DIM, "k": K, "n_queries": NQ, "reps": REPS,
         "build_sec": {"gen": t_gen, "ivf64": t_ivf, "lsh10": t_ann,

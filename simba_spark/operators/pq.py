@@ -310,6 +310,35 @@ def pq_adc_col(model: PQModel, query_vec: Sequence[float],
     return F.expr(" + ".join(terms))
 
 
+def pq_adc_join_col(model: PQModel, van_col: str,
+                    code_col: str = "pq_code"):
+    """Column: asymmetric distance between a PER-ROW query vector and
+    a PER-ROW code — the JOIN form of :func:`pq_adc_col`, where the
+    query is a column (every left row of a kNN join is its own query)
+    so no driver-side LUT can exist. Per subspace j the code picks its
+    centroid out of the literal codebook (constant-folded to one
+    ArrayData) and a dsub-term fold accumulates
+    ``||van[j·dsub:(j+1)·dsub] − codebook_j[code_j]||²`` — m·dsub
+    multiply-adds per candidate row, the distributed ADC cost.
+
+    ``van_col`` must already live in the metric's space (L2-normalized
+    for a cosine model — the space the codes quantize). Built as ONE
+    SQL string: the m × 2^nbits × dsub codebook as per-Column literals
+    would be tens of thousands of py4j round-trips (the
+    :func:`pq_adc_col` lesson)."""
+    dsub = model.dsub
+    terms = []
+    for j, book in enumerate(model.codebooks):
+        arrs = ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+            for c in book)
+        terms.append(
+            f"aggregate(zip_with(slice({van_col}, {j * dsub + 1}, {dsub}), "
+            f"element_at(array({arrs}), element_at({code_col}, {j + 1}) + 1), "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)")
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
 def pq_topk(
     df: DataFrame,
     model: PQModel,

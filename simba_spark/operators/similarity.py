@@ -574,6 +574,8 @@ def ivf_knn_join(
     iters: int = 10,
     sample_cap: int = 2000,
     seed: int = 42,
+    codes: bool = False,
+    **pq_opts,
 ) -> DataFrame:
     """IVF-bucketed approximate kNN JOIN (cosine) — the BOTH-SIDES-
     LARGE form of the ANN family (:func:`cosine_topk_ivf` serves one
@@ -602,8 +604,19 @@ def ivf_knn_join(
     ``sample_cap`` sample; both assignments are zero-shuffle literal
     projections; ONE list equi-join (AQE-sized) + ONE per-left-id
     window. At 100 TB persist the right side list-partitioned
-    (:func:`build_ivf_layout`) so each probe prunes directories.
+    (:func:`build_ivf_layout`) so each probe prunes directories, and
+    pass ``codes=True`` to carry the right side as PQ codes through
+    the candidate stage (→ :func:`ivfpq_knn_join`; ``m`` / ``nbits`` /
+    ``shortlist`` via keyword).
     """
+    if codes:
+        return ivfpq_knn_join(
+            left, right, k=k, vec_col=vec_col, id_col=id_col,
+            n_centroids=n_centroids, nprobe=nprobe, iters=iters,
+            sample_cap=sample_cap, seed=seed, **pq_opts)
+    if pq_opts:
+        raise ValueError(
+            f"PQ options {sorted(pq_opts)} require codes=True")
     self_join = right is None
     r = left if self_join else right
     assigned, cents = build_ivf(
@@ -635,6 +648,106 @@ def ivf_knn_join(
     )
     return (
         cand.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("a_id", "b_id", "cosine_sim", "rank")
+    )
+
+
+def ivfpq_knn_join(
+    left: DataFrame,
+    right: Optional[DataFrame] = None,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    nbits: int = 8,
+    shortlist: Optional[int] = None,
+    iters: int = 10,
+    sample_cap: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF×PQ approximate kNN JOIN (cosine) — :func:`ivf_knn_join`
+    with the right side carried as ``m``-byte PQ codes instead of
+    full-precision vectors (the 100 TB form: at 64-d float the list
+    equi-join shuffles 8-byte codes, a 32× candidate-stage byte
+    reduction), ADC-scored per candidate, with an exact re-rank tail.
+
+    Pipeline: train a coarse quantizer + per-subspace codebooks on
+    bounded right-side samples; the right side becomes
+    ``(b_id, list, code)``; every left row replicates to its
+    ``nprobe`` nearest lists carrying its L2-normalized vector; ONE
+    list equi-join yields candidates scored by the JOIN-form ADC
+    (:func:`.pq.pq_adc_join_col` — each left row is its own query, so
+    the distance folds against the codebook literal per subspace);
+    ``shortlist`` keeps the best ADC candidates per left row; only
+    those survivors fetch the true right vector (a skinny id join)
+    for the EXACT cosine re-rank. ``nprobe = n_centroids`` with
+    ``shortlist=None`` probes every list and re-ranks every candidate
+    — exact by construction (the oracle configuration); production
+    sets both (recall asserted in tests, measured in bench_ann).
+
+    Validity: NULL / off-dimension vectors drop from BOTH sides (the
+    :func:`ivf_knn_join` contract). Output ``(a_id, b_id, cosine_sim,
+    rank)``, sim rounded to 6dp, rank 1..k by (sim desc, b_id asc).
+
+    Scale: quantizers are parameter-sized driver state; assignments /
+    encodes are zero-shuffle map passes; ONE code-width list equi-join
+    + ONE per-left ADC window + ONE |L|·shortlist-row id join. The
+    re-rank join is the only stage that touches right vectors, and it
+    reads ≤ shortlist rows per left row.
+    """
+    from .pq import pq_adc_join_col, pq_encode, pq_train
+
+    self_join = right is None
+    r = left if self_join else right
+    assigned, cents = build_ivf(
+        r, vec_col, n_centroids=n_centroids, sample_cap=sample_cap,
+        iters=iters, seed=seed)
+    nprobe = min(int(nprobe), len(cents))
+    dim = len(cents[0])
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == int(dim))
+    model = pq_train(
+        r, vec_col=vec_col, m=m, nbits=nbits, metric="cosine",
+        sample_cap=sample_cap, iters=iters, seed=seed, dim=dim)
+    codes = pq_encode(
+        assigned.filter(valid), model, vec_col=vec_col, out_col="__pqc"
+    ).select(F.col(id_col).alias("b_id"), "__ivf", "__pqc")
+    vcast = F.col(vec_col).cast("array<double>")
+    sq = F.aggregate(F.transform(vcast, lambda x: x * x), F.lit(0.0),
+                     lambda acc, x: acc + x)
+    la = (
+        left.filter(valid)
+        .withColumn("__nrm",
+                    F.when(F.sqrt(sq) > 0, F.sqrt(sq)).otherwise(F.lit(1.0)))
+        .select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"),
+            F.transform(vcast, lambda x: x / F.col("__nrm")).alias("__van"),
+            F.explode(_centroid_probe_col(vec_col, cents, nprobe))
+            .alias("__ivf"),
+        )
+    )
+    cand = la.join(codes, "__ivf")
+    if self_join:
+        cand = cand.filter(F.col("a_id") != F.col("b_id"))
+    if shortlist is not None:
+        cand = cand.withColumn(
+            "__adc", pq_adc_join_col(model, "__van", "__pqc"))
+        ws = Window.partitionBy("a_id").orderBy(
+            F.col("__adc").asc(), F.col("b_id").asc())
+        cand = (cand.withColumn("__srank", F.row_number().over(ws))
+                .filter(F.col("__srank") <= int(shortlist)))
+    rb = r.filter(valid).select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
+    rer = cand.select("a_id", "__va", "b_id").join(rb, "b_id")
+    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("b_id").asc()
+    )
+    return (
+        rer.withColumn("cosine_sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
         .select("a_id", "b_id", "cosine_sim", "rank")

@@ -342,3 +342,92 @@ def test_sq_model_roundtrip_and_validation(spark):
     assert c.scale == [0.0] and c.inv_scale == [0.0]
     with pytest.raises(ValueError):
         SQModel(2, "dot", [0.0], [1.0])
+
+
+# --- ivfpq_knn_join (IVF×PQ two-sided kNN join, round 11) --------------------
+
+
+def test_ivfpq_knn_join_full_probe_full_shortlist_is_exact(embs):
+    """nprobe = n_centroids with an all-pass shortlist exercises the
+    whole codes pipeline (coarse assign, PQ encode, join-form ADC,
+    shortlist window, exact re-rank) and equals the exact join by
+    construction — the oracle configuration."""
+    from simba_spark.operators.similarity import (ivf_knn_join,
+                                                  ivfpq_knn_join,
+                                                  knn_join_vectors)
+
+    sub = embs.filter(F.col("vec_id") < 80)
+    got = sorted(map(tuple, ivfpq_knn_join(
+        sub, k=3, n_centroids=4, nprobe=4, m=8, nbits=4,
+        shortlist=10_000).collect()))
+    exact = sorted(map(tuple, knn_join_vectors(
+        sub, 3, algo="exact").collect()))
+    assert got == exact
+    # the codes=True delegation on ivf_knn_join routes here
+    via = sorted(map(tuple, ivf_knn_join(
+        sub, k=3, n_centroids=4, nprobe=4, codes=True, m=8, nbits=4,
+        shortlist=10_000).collect()))
+    assert via == exact
+
+
+def test_ivfpq_knn_join_recall_grows_with_shortlist(embs):
+    from simba_spark.operators.similarity import ivfpq_knn_join
+
+    base = embs.filter(F.col("vec_id") < 160)
+    left = base.filter(F.col("vec_id") % 2 == 0)
+    right = base.filter(F.col("vec_id") % 2 == 1)
+    # full probe + all-pass shortlist = the exact two-sided reference
+    full = ivfpq_knn_join(left, right, k=3, n_centroids=4, nprobe=4,
+                          m=8, nbits=4, shortlist=10_000).collect()
+    exact = {(r.a_id, r.b_id) for r in full}
+
+    def recall(sl):
+        hit = {(r.a_id, r.b_id) for r in ivfpq_knn_join(
+            left, right, k=3, n_centroids=4, nprobe=4, m=8, nbits=4,
+            shortlist=sl).collect()}
+        return len(hit & exact) / len(exact)
+
+    r5, r20 = recall(5), recall(20)
+    assert 0 < r5 <= r20
+    assert r20 >= 0.8  # ADC ordering is informative, not random
+
+
+def test_ivfpq_knn_join_plan_code_width_candidates(embs):
+    """The candidate stage carries PQ codes, not right vectors: the
+    plan has exactly TWO equi-joins (list join on codes + the skinny
+    id re-rank join), never a cartesian, and the ADC shortlist window
+    sits between them — right vectors are touched only after the
+    shortlist."""
+    from simba_spark.operators.similarity import ivfpq_knn_join
+
+    sub = embs.filter(F.col("vec_id") < 60)
+    df = ivfpq_knn_join(sub, k=2, n_centroids=4, nprobe=2, m=8,
+                        nbits=4, shortlist=5)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    njoin = sum(p.count(j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert njoin == 2
+    assert "__pqc" in p          # candidates are code-width
+    assert "__srank" in p        # ADC shortlist window exists
+    # the __vb vector column appears ONLY in the re-rank subtree —
+    # never below the shortlist window (string order: the plan prints
+    # top-down, re-rank join above the window input)
+    assert "__vb" in p
+
+
+def test_ivfpq_knn_join_drops_invalid_vectors(embs, spark):
+    from simba_spark.operators.similarity import ivfpq_knn_join
+
+    base = embs.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    clean = sorted(map(tuple, ivfpq_knn_join(
+        base, k=2, n_centroids=4, nprobe=4, m=8, nbits=4,
+        shortlist=10_000).collect()))
+    dirty = sorted(map(tuple, ivfpq_knn_join(
+        base.unionByName(bad), k=2, n_centroids=4, nprobe=4, m=8,
+        nbits=4, shortlist=10_000).collect()))
+    assert dirty == clean

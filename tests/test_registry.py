@@ -56,38 +56,40 @@ def test_oracle_output_types_driver_safe():
     )
 
 
-def test_round10_debuts_lead_the_window():
-    """Newest-first: the 9 round-10 debuts, then the seated 15-query
-    round-9 late-debut queue, the 2 round-9 streaming debuts + 18
-    round-9 seatings (earning 2nd greens), and the 6 after-r3 re-seats
-    (dict order IS the driver's check order)."""
+def test_round11_debuts_lead_the_window():
+    """Newest-first: the round-11 debuts, then the 2 seated round-10
+    late debuts (first driver check), the 25 retained one-green
+    round-10 rows (earning 2nds), and the re-seat batches (dict order
+    IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
-    debuts = [
+    r11_debuts = [
+        "ivfpq_knn_join",
+    ]
+    n11 = len(r11_debuts)
+    assert head[:n11] == r11_debuts
+    assert head[n11:n11 + 2] == ["k_truss", "stream_quantile"]
+    r10_retained = {
         "louvain_levels", "anova_events", "silhouette", "qlm_retrieval",
         "lexdiv", "scd2_delete", "stream_hll", "fd_profile", "km_churn",
         "ivf_knn_join",
-    ]
-    assert head[:10] == debuts
-    r9_late = {
         "bpe_merges_sampled", "retrieval_eval", "temperature_mixture",
         "trunc_recall", "kn_trigram_lm", "kruskal_events", "scd2_apply",
         "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
         "stream_trending", "holt_winters", "louvain", "stream_cm",
         "bpe_fertility",
     }
-    assert set(head[10:25]) == r9_late
-    r9_seated = {
-        "stream_session_window", "stream_ohlc",
-        "seasonal_decompose", "bpe_merges", "holt_forecast",
-        "pmi_collocations", "harmonic_centrality", "mmr_rerank",
-        "sq_topk", "effective_diameter", "dataset_fingerprint",
-        "doc_bpe", "clustering_coeff", "zipf_fit", "prf_bm25",
-        "stickiness", "theil_sen", "spearman", "mannwhitney",
-        "assortativity",
-    }
-    assert set(head[25:45]) == r9_seated
+    assert set(head[n11 + 2:n11 + 27]) == r10_retained
     reseats = {
-        "knn_and_filter", "layout_routed_knn", "distance_join_self",
-        "range_filter", "tpch_q1",
+        # after-r3 ledger batch
+        "top_orders", "nation_volume", "window_top_orders",
+        "customers_without_orders", "parts_with_lineitems", "events_agg",
+        "rollup_lineitem", "doc_token_stats", "doc_lang_id",
+        "embedding_topk", "doc_quality", "embedding_dup_pairs",
+        # after-r4 batch
+        "segment_range", "box_range", "interval_overlap", "sessionize",
+        "ngram_jaccard",
+        # after-r3-era fillers (displaced one-by-one by r11 debuts)
+        "knn_or_filter", "knn_not_filter", "polygon_range",
+        "dedup_components", "exact_dedup",
     }
-    assert set(head[45:]) == reseats
+    assert set(head[n11 + 27:]) == reseats

@@ -3367,16 +3367,34 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_fertility(docs, merges)
 
 
+_LOUVAIN1_CACHE: dict = {}
+
+
+def _trade_louvain1(spark, sf_dir):
+    """The SHARED Louvain level-1 assignment (iters=4) over the trade
+    graph — `q_louvain` returns it and `q_louvain_levels` injects it
+    as the first level of the multi-level pipeline, so a session
+    running both pays the dominant move rounds ONCE (VERDICT r10 #3;
+    the _trade_hyperball shape). Memoized per (session, sf_dir)."""
+    from simba_spark.operators.graph import louvain_moves
+
+    key = (id(spark), sf_dir)
+    if key not in _LOUVAIN1_CACHE:
+        _LOUVAIN1_CACHE[key] = louvain_moves(
+            _trade_edges(spark, sf_dir), iters=4
+        ).localCheckpoint(eager=False)
+    return _LOUVAIN1_CACHE[key]
+
+
 def q_louvain(spark, sf_dir):
     """Deterministic synchronous Louvain move phase (operators.graph.
     louvain_moves): modularity-GAIN community moves over the trade
     graph, md5 bucket schedule (half the nodes move per round, the
     parallel-Louvain anti-swap discipline), strict-positive-gain
     acceptance, smallest-community tie-break — beats label_prop's
-    plurality rule on Newman modularity (asserted in tests)."""
-    from simba_spark.operators.graph import louvain_moves
-
-    return louvain_moves(_trade_edges(spark, sf_dir), iters=4)
+    plurality rule on Newman modularity (asserted in tests). Served
+    from the shared level-1 pass (_trade_louvain1)."""
+    return _trade_louvain1(spark, sf_dir)
 
 
 def q_louvain_levels(spark, sf_dir):
@@ -3387,10 +3405,28 @@ def q_louvain_levels(spark, sf_dir):
     best level by an EXACT integer modularity score (4m·W_in − Σd_c²,
     HUGEINT/decimal both engines), so Q >= the one-level q_louvain row
     by construction. Level 2 runs on the contracted graph — one node
-    per level-1 community."""
+    per level-1 community. Level 1 is INJECTED from the shared pass
+    (_trade_louvain1 — bit-identical to computing it here, asserted in
+    tests), so a session also running q_louvain pays it once."""
     from simba_spark.operators.graph import louvain
 
-    return louvain(_trade_edges(spark, sf_dir), iters=4, levels=2)
+    return louvain(_trade_edges(spark, sf_dir), iters=4, levels=2,
+                   level1=_trade_louvain1(spark, sf_dir))
+
+
+def q_betweenness(spark, sf_dir):
+    """Sampled truncated-Brandes betweenness centrality (operators.
+    graph.betweenness_centrality) over the trade graph: 8 md5-lowest
+    seed sources, geodesics capped at 3 hops (k-betweenness — the
+    Brandes & Pich 2007 estimator family), completing the centrality
+    battery next to pagerank/harmonic/HITS. Path counts are exact
+    BIGINTs and the backward δ accumulation runs in fixed-point 1e-9
+    units (floor-quantized contributions, integer sums), so no float
+    accumulation order exists in either engine."""
+    from simba_spark.operators.graph import betweenness_centrality
+
+    return betweenness_centrality(
+        _trade_edges(spark, sf_dir), n_seeds=8, depth=3)
 
 
 def q_k_truss(spark, sf_dir):
@@ -4892,6 +4928,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-11 debuts (first driver check) ---
+        "betweenness": q_betweenness,
         "ivfpq_knn_join": q_ivfpq_knn_join,
         # --- round-10 late debuts seated (first driver check;
         #     VERDICT r10 #1) ---
@@ -4953,7 +4990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_not_filter": q_knn_not_filter,
         "polygon_range": q_polygon_range,
         "dedup_components": q_dedup_components,
-        "exact_dedup": q_exact_dedup,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -5206,6 +5242,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "interval_1d": q_interval_1d,
         "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
     }
 
 
@@ -5873,6 +5910,7 @@ def oracle_sql() -> dict[str, str]:
                                              linkage_score_sql,
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql,
+                                             betweenness_centrality_sql,
                                              clustering_coefficient_sql,
                                              k_truss_sql,
                                              louvain_moves_sql,
@@ -6546,6 +6584,8 @@ def oracle_sql() -> dict[str, str]:
             pr_edges, max_degree=64),
         "louvain": louvain_moves_sql(pr_edges, iters=4),
         "louvain_levels": louvain_sql(pr_edges, iters=4, levels=2),
+        "betweenness": betweenness_centrality_sql(
+            pr_edges, n_seeds=8, depth=3),
         "assortativity": degree_assortativity_sql(pr_edges),
         "spearman": spearman_corr_sql(
             "(SELECT o_totalprice, n_lines FROM orders JOIN "

@@ -193,7 +193,11 @@ HEADLINE = [
     "clustering_coeff_capped",
     "stream_trending",
     "holt_winters",
-    "louvain",
+    # "louvain" retired from the bench (round 11, VERDICT r10 #3): its
+    # kernel IS level 1 of "louvain_levels" (asserted bit-exact in
+    # tests), so benching both priced the same 26.5 s sf1 move phase
+    # twice in separate sub-JVMs; the kernel's scale evidence continues
+    # via louvain_levels. The correctness row stays registered.
     "stream_cm",
     "bpe_fertility",
     # round-10 additions
@@ -211,6 +215,7 @@ HEADLINE = [
     "k_truss",
     # round-11 additions
     "ivfpq_knn_join",
+    "betweenness",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -279,7 +284,7 @@ _R9 = {
     "retrieval_eval", "temperature_mixture", "trunc_recall",
     "kn_trigram_lm", "kruskal_events", "scd2_apply",
     "contrastive_pairs", "skyline_orders", "clustering_coeff_capped",
-    "stream_trending", "holt_winters", "louvain", "stream_cm",
+    "stream_trending", "holt_winters", "stream_cm",
     "bpe_fertility",
 }
 
@@ -304,6 +309,7 @@ _R10: set = {
 #: round's queries never append to an old group).
 _R11: set = {
     "ivfpq_knn_join",
+    "betweenness",
 }
 
 GROUPS = {

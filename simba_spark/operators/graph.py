@@ -531,6 +531,220 @@ def k_hop_sql(
     )
 
 
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_seeds: int = 8,
+    depth: int = 3,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sampled, depth-truncated Brandes betweenness centrality over
+    the UNDIRECTED graph — the broker/bottleneck score completing the
+    centrality family (pagerank = mass flow, harmonic = distance,
+    HITS = endorsement, betweenness = path control): bc(v) ≈ half the
+    summed pair-dependencies Σ_s δ_s(v) over ``n_seeds`` sampled
+    sources, where δ follows Brandes' backward accumulation
+    δ(v) = Σ_{w: succ(v)} (σ(v)/σ(w))·(1 + δ(w)) over the shortest-
+    path DAG. Exact Brandes is one BFS per NODE — O(nm), unrunnable
+    at corpus scale; the standard estimator samples sources (Brandes &
+    Pich 2007) and bounds the BFS at ``depth`` hops (k-betweenness:
+    only dependencies along geodesics of ≤ depth edges count — in
+    small-world graphs most shortest paths are short).
+
+    Determinism: seeds are the ``n_seeds`` lowest md5(node#seed)
+    nodes (engine-stable, TakeOrdered). Path counts σ are exact
+    BIGINTs. δ is carried in FIXED-POINT 1e-9 units: each
+    contribution quantizes via floor((σv/σw)·(1e9 + δ_fp) + 0.5) —
+    one double division and one multiply on exact integer inputs, a
+    fixed expression tree identical in both engines (floor, never
+    round: engines disagree on double rounding modes, not on floor) —
+    and per-node sums are exact integer adds, so NO float accumulation
+    order exists anywhere. Output ``(node, bc)``, bc = δ_sum/2 (each
+    unordered pair counted from both ends on an undirected graph),
+    rounded to ``round_to``; non-broker nodes report 0.
+
+    Scale: state is the (seed, node) frontier — n_seeds · reached
+    rows, never paths. Per BFS round ONE frontier⋈edges join + one
+    min-aggregate; per σ/δ level ONE level⋈edges⋈prev-level join +
+    one skinny sum; everything keyed on node ids (co-partitioned
+    shuffles), localCheckpoint'd per round. No driver state beyond
+    parameters.
+    """
+    if n_seeds < 1:
+        raise ValueError("n_seeds must be >= 1")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e0.unionByName(e0.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+        .distinct()
+        .repartition("a")
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct() \
+               .localCheckpoint(eager=False)
+    sd = (
+        nodes.orderBy(
+            F.md5(F.concat(F.col("node").cast("string"),
+                           F.lit(f"#{int(seed)}"))),
+            F.col("node"))
+        .limit(int(n_seeds))
+        .select(F.col("node").alias("s"))
+    )
+    # forward: exact hop distance per (seed, node), k_hop shape
+    dist = sd.select("s", F.col("s").alias("v"),
+                     F.lit(0).cast("int").alias("dist"))
+    for _ in range(int(depth)):
+        nxt = dist.join(und, dist.v == und.a).select(
+            "s", F.col("b").alias("v"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("s", "v").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    # σ per level: a node at dist d inherits path counts from its
+    # dist-(d-1) neighbors only
+    sigs = [dist.filter(F.col("dist") == 0).select(
+        "s", "v", F.lit(1).cast("long").alias("sig"))]
+    for d in range(1, int(depth) + 1):
+        lvl = dist.filter(F.col("dist") == d).select("s", "v")
+        prev = sigs[-1]
+        s_d = (
+            prev.join(und, prev.v == und.a)
+            .select("s", F.col("b").alias("v"), "sig")
+            .join(lvl, ["s", "v"])
+            .groupBy("s", "v").agg(F.sum("sig").alias("sig"))
+        )
+        sigs.append(s_d.localCheckpoint(eager=False))
+    # backward: fixed-point δ from the deepest level up
+    SCALE = 1_000_000_000
+    delta = sigs[int(depth)].select(
+        "s", "v", F.lit(0).cast("long").alias("dfp"))
+    acc = None
+    for d in range(int(depth) - 1, -1, -1):
+        child = sigs[d + 1].join(delta, ["s", "v"]).select(
+            "s", F.col("v").alias("w"), F.col("sig").alias("sigw"), "dfp")
+        par = sigs[d]
+        contrib = (
+            par.join(und, par.v == und.a)
+            .select("s", "v", "sig", F.col("b").alias("w"))
+            .join(child, ["s", "w"])
+            .select("s", "v", F.floor(
+                (F.col("sig").cast("double") / F.col("sigw").cast("double"))
+                * (F.lit(SCALE).cast("long") + F.col("dfp")).cast("double")
+                + F.lit(0.5)
+            ).cast("long").alias("c"))
+        )
+        dsum = contrib.groupBy("s", "v").agg(F.sum("c").alias("dfp"))
+        delta = (
+            par.select("s", "v")
+            .join(dsum, ["s", "v"], "left")
+            .select("s", "v",
+                    F.coalesce("dfp", F.lit(0).cast("long")).alias("dfp"))
+            .localCheckpoint(eager=False)
+        )
+        lv = delta.filter(F.col("v") != F.col("s"))
+        acc = lv if acc is None else acc.unionByName(lv)
+    bc = acc.groupBy(F.col("v").alias("node")).agg(
+        F.sum("dfp").alias("__fp"))
+    return nodes.join(bc, "node", "left").select(
+        "node",
+        F.round(
+            F.coalesce(F.col("__fp"), F.lit(0).cast("long")).cast("double")
+            / F.lit(2e9), int(round_to)).alias("bc"))
+
+
+def betweenness_centrality_sql(
+    edges_sql: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_seeds: int = 8,
+    depth: int = 3,
+    seed: int = 42,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`betweenness_centrality` — same seed
+    hash, unrolled BFS / σ / fixed-point δ levels, identical floor
+    quantization tree (sums cast ::BIGINT so no HUGEINT leaks)."""
+    D = int(depth)
+    parts = [
+        f"""__bce AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT {src} AS a, {dst} AS b FROM {edges_sql}
+    UNION ALL
+    SELECT {dst} AS a, {src} AS b FROM {edges_sql}
+  ) WHERE a <> b
+)""",
+        "__bcn AS (SELECT DISTINCT a AS node FROM __bce)",
+        f"""__bcs AS (
+  SELECT node AS s FROM __bcn
+  ORDER BY md5(node::VARCHAR || '#{int(seed)}'), node
+  LIMIT {int(n_seeds)}
+)""",
+        "__bcd0 AS (SELECT s, s AS v, 0 AS dist FROM __bcs)",
+    ]
+    for i in range(D):
+        parts.append(f"""__bcd{i + 1} AS (
+  SELECT s, v, min(dist) AS dist FROM (
+    SELECT s, v, dist FROM __bcd{i}
+    UNION ALL
+    SELECT d.s, e.b AS v, d.dist + 1 AS dist
+    FROM __bce e JOIN __bcd{i} d ON e.a = d.v
+  ) GROUP BY 1, 2
+)""")
+    parts.append(
+        f"__bcg0 AS (SELECT s, v, 1::BIGINT AS sig FROM __bcd{D} "
+        "WHERE dist = 0)")
+    for d in range(1, D + 1):
+        parts.append(f"""__bcg{d} AS (
+  SELECT x.s, x.v, sum(x.sig)::BIGINT AS sig FROM (
+    SELECT p.s, e.b AS v, p.sig
+    FROM __bcg{d - 1} p JOIN __bce e ON e.a = p.v
+  ) x JOIN __bcd{D} l ON l.s = x.s AND l.v = x.v AND l.dist = {d}
+  GROUP BY 1, 2
+)""")
+    parts.append(
+        f"__bcl{D} AS (SELECT s, v, 0::BIGINT AS dfp FROM __bcg{D})")
+    for d in range(D - 1, -1, -1):
+        parts.append(f"""__bcl{d} AS (
+  SELECT p.s, p.v, coalesce(q.dfp, 0)::BIGINT AS dfp
+  FROM __bcg{d} p LEFT JOIN (
+    SELECT s, v, sum(c)::BIGINT AS dfp FROM (
+      SELECT p.s, p.v,
+             CAST(floor((CAST(p.sig AS DOUBLE) / CAST(c.sigw AS DOUBLE))
+                        * CAST(1000000000 + c.dfp AS DOUBLE)
+                        + 0.5::DOUBLE) AS BIGINT) AS c
+      FROM __bcg{d} p
+      JOIN __bce e ON e.a = p.v
+      JOIN (SELECT g.s, g.v AS w, g.sig AS sigw, l.dfp
+            FROM __bcg{d + 1} g
+            JOIN __bcl{d + 1} l ON l.s = g.s AND l.v = g.v) c
+        ON c.s = p.s AND c.w = e.b
+    ) GROUP BY 1, 2
+  ) q ON q.s = p.s AND q.v = p.v
+)""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT s, v, dfp FROM __bcl{d} WHERE v <> s"
+        for d in range(0, D))
+    return _materialize_ctes(
+        "WITH " + ",\n".join(parts) + f"""
+SELECT n.node,
+       round(CAST(coalesce(q.fp, 0) AS DOUBLE) / 2e9, {int(round_to)})
+         AS bc
+FROM __bcn n LEFT JOIN (
+  SELECT v AS node, sum(dfp)::BIGINT AS fp FROM (
+    {union}
+  ) GROUP BY 1
+) q ON q.node = n.node
+""")
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
@@ -1662,6 +1876,7 @@ def louvain(
     dst: str = "dst",
     iters: int = 4,
     levels: int = 2,
+    level1: Optional[DataFrame] = None,
 ) -> DataFrame:
     """FULL multi-level Louvain (Blondel et al. 2008's aggregation
     pipeline, the part :func:`louvain_moves` is one phase of): run the
@@ -1692,6 +1907,14 @@ def louvain(
     aggregates reduced to a 1-row frame, and the best-level selection
     is an in-plan broadcast CASE — 2m is level-invariant, computed
     once. No driver state, no cartesian, no collect.
+
+    ``level1`` injects a PRECOMPUTED level-1 assignment (a ``(node,
+    community)`` frame from :func:`louvain_moves` on the SAME edges
+    with the same ``iters``) so a session that runs both the one-level
+    kernel and the multi-level pipeline pays the dominant level-1
+    rounds ONCE (the shared-HyperBall-pass shape). The caller owns the
+    equivalence contract — an assignment from different parameters
+    silently becomes the level the contraction coarsens.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -1758,8 +1981,11 @@ def louvain(
                          + F.lit(2).cast("long") * F.col("s")
                          ).alias("__deg"))
             )
-        cm = _louvain_weighted_moves(sym, nodes_deg, two_m, iters).select(
-            "node", "community")
+        if lvl == 0 and level1 is not None:
+            cm = level1.select("node", "community")
+        else:
+            cm = _louvain_weighted_moves(sym, nodes_deg, two_m,
+                                         iters).select("node", "community")
         if mapping is None:
             mapping = cm.localCheckpoint(eager=False)
             best_map = mapping

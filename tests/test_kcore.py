@@ -240,6 +240,14 @@ def test_louvain_levels_semantics(spark):
         assert remap.setdefault(c1, c2) == c2  # coarsening, never a split
     assert len(set(lvl2.values())) <= len(set(lvl1.values()))
 
+    # level1 injection (the shared-pass shape): a precomputed
+    # louvain_moves assignment as level 1 gives a bit-identical
+    # multi-level result
+    injected = sorted(map(tuple, louvain(
+        rdf, iters=4, levels=2,
+        level1=louvain_moves(rdf, iters=4)).collect()))
+    assert injected == sorted(map(tuple, two_df.collect()))
+
     import pytest as _pt
     with _pt.raises(ValueError):
         louvain(rdf, iters=0)

@@ -2018,3 +2018,125 @@ def test_clustering_coefficient_sums_to_global_triangles(spark):
     per_node = clustering_coefficient(df)
     total = triangle_count(df).first()["triangles"]
     assert per_node.agg(F.sum("triangles")).first()[0] == 3 * total
+
+
+# --- betweenness centrality (sampled truncated Brandes, round 11) ------------
+
+
+def _brandes_exact(edges, seeds=None, depth=10**9):
+    """Pure-Python Brandes reference (undirected, optional source set
+    and depth cap), exact rational δ in floats."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = sorted(adj)
+    bc = {v: 0.0 for v in nodes}
+    for s in (seeds if seeds is not None else nodes):
+        dist = {s: 0}
+        sig = {s: 1}
+        order = [s]
+        qd = deque([s])
+        while qd:
+            v = qd.popleft()
+            if dist[v] >= depth:
+                continue
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sig[w] = 0
+                    order.append(w)
+                    qd.append(w)
+                if dist[w] == dist[v] + 1:
+                    sig[w] += sig[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in sorted(adj[w]):
+                if v in dist and dist[v] == dist[w] - 1:
+                    delta[v] += sig[v] / sig[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: x / 2.0 for v, x in bc.items()}
+
+
+def test_betweenness_path_and_star(spark):
+    from simba_spark.operators.graph import betweenness_centrality
+
+    # P5: interior betweenness 3, 4, 3; endpoints 0
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long")
+    got = {r.node: r.bc for r in betweenness_centrality(
+        path, n_seeds=5, depth=4).collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+
+    # star K1,5: center (n-1)(n-2)/2 = 10, leaves 0
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long")
+    got = {r.node: r.bc for r in betweenness_centrality(
+        star, n_seeds=6, depth=2).collect()}
+    assert got[0] == 10.0
+    assert all(got[i] == 0.0 for i in range(1, 6))
+
+
+def test_betweenness_all_seeds_full_depth_matches_brandes(spark):
+    import random
+
+    from simba_spark.operators.graph import betweenness_centrality
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(18), rng.randrange(18))
+                  for _ in range(40)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.bc for r in betweenness_centrality(
+        df, n_seeds=50, depth=17).collect()}
+    want = _brandes_exact(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-5  # fixed-point quantization
+
+
+def test_betweenness_depth_truncation_semantics(spark):
+    """depth caps the geodesics that count: on a long path with
+    depth=2 only <=2-hop pairs contribute."""
+    from simba_spark.operators.graph import betweenness_centrality
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long")
+    got = {r.node: r.bc for r in betweenness_centrality(
+        path, n_seeds=6, depth=2).collect()}
+    want = _brandes_exact([(i, i + 1) for i in range(5)], depth=2)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-5
+
+
+def test_betweenness_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.graph import (betweenness_centrality,
+                                             betweenness_centrality_sql)
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r.node, r.bc) for r in betweenness_centrality(
+        df, n_seeds=6, depth=3).collect())
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+    oracle = sorted(map(tuple, con.execute(
+        betweenness_centrality_sql("e", n_seeds=6, depth=3)).fetchall()))
+    assert got == oracle
+
+
+def test_betweenness_validation(spark):
+    from simba_spark.operators.graph import betweenness_centrality
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    for kw in ({"n_seeds": 0}, {"depth": 0}):
+        with pytest.raises(ValueError):
+            betweenness_centrality(df, **kw)

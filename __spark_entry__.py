@@ -3414,6 +3414,24 @@ def q_louvain_levels(spark, sf_dir):
                    level1=_trade_louvain1(spark, sf_dir))
 
 
+def q_dbscan(spark, sf_dir):
+    """Distributed DBSCAN (operators.clustering.dbscan) over suppliers
+    in (acctbal, nationkey) space — density clustering with explicit
+    noise where k-means' spherical prototypes break, composed from the
+    engine's own primitives: grid distance join for the eps-pairs
+    (never all-pairs), one skinny neighbor count, pointer-doubling
+    connected components over the core-core graph, min-label border
+    resolution. eps=250, min_pts=3 (closed ball, self included) keeps
+    all three roles populated at sf0.01. Oracle: brute-force pairs +
+    recursive-CTE components."""
+    from simba_spark.operators.clustering import dbscan
+
+    supp = _t(spark, sf_dir, "supplier").withColumn(
+        "s_nat", F.col("s_nationkey").cast("double"))
+    return dbscan(supp, ["s_acctbal", "s_nat"], eps=250.0, min_pts=3,
+                  id_col="s_suppkey")
+
+
 def q_betweenness(spark, sf_dir):
     """Sampled truncated-Brandes betweenness centrality (operators.
     graph.betweenness_centrality) over the trade graph: 8 md5-lowest
@@ -4928,6 +4946,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-11 debuts (first driver check) ---
+        "dbscan": q_dbscan,
         "betweenness": q_betweenness,
         "ivfpq_knn_join": q_ivfpq_knn_join,
         # --- round-10 late debuts seated (first driver check;
@@ -4989,7 +5008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_or_filter": q_knn_or_filter,
         "knn_not_filter": q_knn_not_filter,
         "polygon_range": q_polygon_range,
-        "dedup_components": q_dedup_components,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -5243,6 +5261,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_1d": q_interval_1d,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -5905,7 +5924,8 @@ def oracle_sql() -> dict[str, str]:
     punct = f"len(regexp_extract_all(text, '{_PUNCT_SQL}'))"
     sw_en = f"len(regexp_extract_all(lower(text), '{_SW['en']}'))"
 
-    from simba_spark.operators.clustering import kmeans_sql, silhouette_sql
+    from simba_spark.operators.clustering import (dbscan_sql, kmeans_sql,
+                                                  silhouette_sql)
     from simba_spark.operators.dedup import (edit_distance_pairs_sql,
                                              linkage_score_sql,
                                              semantic_dedup_sql)
@@ -6586,6 +6606,11 @@ def oracle_sql() -> dict[str, str]:
         "louvain_levels": louvain_sql(pr_edges, iters=4, levels=2),
         "betweenness": betweenness_centrality_sql(
             pr_edges, n_seeds=8, depth=3),
+        "dbscan": dbscan_sql(
+            "(SELECT s_suppkey, s_acctbal, "
+            "CAST(s_nationkey AS DOUBLE) AS s_nat FROM supplier)",
+            ["s_acctbal", "s_nat"], eps=250.0, min_pts=3,
+            id_col="s_suppkey"),
         "assortativity": degree_assortativity_sql(pr_edges),
         "spearman": spearman_corr_sql(
             "(SELECT o_totalprice, n_lines FROM orders JOIN "

@@ -216,6 +216,7 @@ HEADLINE = [
     # round-11 additions
     "ivfpq_knn_join",
     "betweenness",
+    "dbscan",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -310,6 +311,7 @@ _R10: set = {
 _R11: set = {
     "ivfpq_knn_join",
     "betweenness",
+    "dbscan",
 }
 
 GROUPS = {

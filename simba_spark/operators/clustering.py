@@ -451,3 +451,150 @@ SELECT cluster, count(*)::BIGINT AS n,
              {int(round_to)}) AS mean_sil
 FROM __ab GROUP BY 1
 """
+
+
+def dbscan(
+    df: DataFrame,
+    cols: Sequence[str],
+    eps: float,
+    min_pts: int,
+    id_col: str,
+    algo: str = "grid",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed DBSCAN (Ester et al. 1996) as a COMPOSITION of the
+    engine's scale primitives — density clustering where k-means'
+    spherical-prototype assumption breaks (arbitrary-shape clusters,
+    explicit noise): a point is CORE when its closed eps-ball holds
+    ``min_pts`` points (itself included, the sklearn convention);
+    clusters are connected components of the core-core eps-graph;
+    non-core points within eps of a core become BORDER rows of the
+    MINIMUM neighboring cluster label (classic DBSCAN leaves border
+    assignment order-dependent — min is the deterministic choice);
+    everything else is NOISE. Returns ``(id_col, role, cluster)`` with
+    role ∈ {'core','border','noise'}, cluster = the component's
+    minimum member id (NULL for noise).
+
+    Scale: the eps-neighbor pairs come from the grid distance join
+    (cell equi-join, never all-pairs — ``algo`` passes through, with
+    'cross' as the opt-in oracle path); neighbor counts are one
+    skinny groupBy; components run the pointer-doubling
+    :func:`.dedup.connected_components` (O(log diameter) rounds);
+    border resolution is one core-labeled join + min-aggregate. No
+    driver state.
+    """
+    if float(eps) <= 0:
+        raise ValueError("eps must be > 0")
+    if int(min_pts) < 1:
+        raise ValueError("min_pts must be >= 1")
+    from .dedup import connected_components
+    from .distance_join import self_distance_join
+
+    base = df.select(F.col(id_col).alias("pid"),
+                     *[F.col(c) for c in cols]).localCheckpoint(eager=False)
+    pairs = self_distance_join(
+        base, list(cols), float(eps), id_col="pid", algo=algo
+    ).select(F.col("a_pid").alias("a"), F.col("b_pid").alias("b"))
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    ncnt = sym.groupBy(F.col("a").alias("pid")).agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("__n"))
+    pts = (
+        base.select("pid").join(ncnt, "pid", "left")
+        .select("pid",
+                F.coalesce("__n", F.lit(1).cast("long")).alias("__n"))
+        .withColumn("__core", F.col("__n") >= int(min_pts))
+        .localCheckpoint(eager=False)
+    )
+    cores = pts.filter(F.col("__core")).select("pid")
+    core_edges = (
+        sym.join(cores.select(F.col("pid").alias("a")), "a")
+        .join(cores.select(F.col("pid").alias("b")), "b")
+    )
+    cc = connected_components(core_edges, a_col="a", b_col="b",
+                              max_iter=max_iter)
+    core_lab = (
+        cores.join(cc.select(F.col("id").alias("pid"), "component"),
+                   "pid", "left")
+        .select("pid",
+                F.coalesce("component", F.col("pid")).alias("cluster"))
+        .localCheckpoint(eager=False)
+    )
+    border = (
+        pts.filter(~F.col("__core")).select("pid")
+        .join(sym.select(F.col("a").alias("pid"),
+                         F.col("b").alias("__nb")), "pid")
+        .join(core_lab.select(F.col("pid").alias("__nb"),
+                              F.col("cluster").alias("__cl")), "__nb")
+        .groupBy("pid").agg(F.min("__cl").alias("cluster"))
+    )
+    labeled = (
+        core_lab.withColumn("role", F.lit("core"))
+        .unionByName(border.withColumn("role", F.lit("border")))
+    )
+    return (
+        pts.select("pid").join(labeled, "pid", "left")
+        .select(F.col("pid").alias(id_col),
+                F.coalesce("role", F.lit("noise")).alias("role"),
+                "cluster")
+    )
+
+
+def dbscan_sql(
+    table_sql: str,
+    cols: Sequence[str],
+    eps: float,
+    min_pts: int,
+    id_col: str,
+) -> str:
+    """DuckDB mirror of :func:`dbscan` — brute-force eps pairs (the
+    oracle moves work, never rows), identical closed-ball predicate
+    tree, recursive-CTE components seeded from every core (an
+    isolated core reaches itself = its singleton cluster), min-label
+    border pick."""
+    d2 = " + ".join(
+        f"(a.{c} - b.{c}) * (a.{c} - b.{c})" for c in cols)
+    collist = ", ".join(cols)
+    return f"""
+WITH RECURSIVE __db_pts AS (
+  SELECT {id_col} AS pid, {collist} FROM {table_sql}
+), __db_pairs AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM __db_pts a, __db_pts b
+  WHERE a.pid < b.pid AND ({d2}) <= {float(eps)!r} * {float(eps)!r}
+), __db_sym AS (
+  SELECT a, b FROM __db_pairs UNION ALL SELECT b, a FROM __db_pairs
+), __db_cnt AS (
+  SELECT p.pid, 1 + coalesce(c.n, 0) AS n
+  FROM __db_pts p LEFT JOIN (
+    SELECT a AS pid, count(*)::BIGINT AS n FROM __db_sym GROUP BY 1
+  ) c USING (pid)
+), __db_core AS (
+  SELECT pid FROM __db_cnt WHERE n >= {int(min_pts)}
+), __db_ce AS (
+  SELECT s.a, s.b FROM __db_sym s
+  JOIN __db_core x ON x.pid = s.a
+  JOIN __db_core y ON y.pid = s.b
+), __db_reach(id, r) AS (
+  SELECT pid, pid FROM __db_core
+  UNION
+  SELECT e.a, __db_reach.r FROM __db_ce e
+  JOIN __db_reach ON e.b = __db_reach.id
+), __db_lab AS (
+  SELECT id AS pid, min(r) AS cluster FROM __db_reach GROUP BY 1
+), __db_border AS (
+  SELECT s.a AS pid, min(l.cluster) AS cluster
+  FROM __db_sym s JOIN __db_lab l ON l.pid = s.b
+  WHERE s.a NOT IN (SELECT pid FROM __db_core)
+  GROUP BY 1
+)
+SELECT p.pid AS {id_col},
+       CASE WHEN l.pid IS NOT NULL THEN 'core'
+            WHEN b.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(l.cluster, b.cluster) AS cluster
+FROM __db_pts p
+LEFT JOIN __db_lab l ON l.pid = p.pid
+LEFT JOIN __db_border b ON b.pid = p.pid
+"""

@@ -522,3 +522,105 @@ def test_silhouette_duckdb_parity(vec_df, spark):
     oracle = sorted(map(tuple, con.execute(silhouette_sql(
         "embeddings", k=3, iters=2, dim=4)).fetchall()))
     assert got == oracle
+
+
+# --- DBSCAN (density clustering composition, round 11) -----------------------
+
+
+def _dbscan_ref(points, eps, min_pts):
+    """Pure-Python DBSCAN: returns (cores set, noise set, clusters as
+    a partition of core points)."""
+    import math
+
+    ids = sorted(points)
+    nb = {i: {j for j in ids
+              if math.dist(points[i], points[j]) <= eps} for i in ids}
+    cores = {i for i in ids if len(nb[i]) >= min_pts}
+    # components over core-core eps edges
+    lab = {i: i for i in cores}
+
+    def find(x):
+        while lab[x] != x:
+            lab[x] = lab[lab[x]]
+            x = lab[x]
+        return x
+
+    for i in cores:
+        for j in nb[i]:
+            if j in cores:
+                a, b = find(i), find(j)
+                if a != b:
+                    lab[max(a, b)] = min(a, b)
+    comp = {i: find(i) for i in cores}
+    border = {i for i in ids if i not in cores
+              and any(j in cores for j in nb[i])}
+    noise = set(ids) - cores - border
+    return cores, border, noise, comp
+
+
+def test_dbscan_semantics_vs_reference(spark):
+    import random
+
+    from simba_spark.operators.clustering import dbscan
+
+    rng = random.Random(7)
+    pts = {}
+    # two dense blobs + scattered noise
+    for i in range(20):
+        pts[i] = (rng.uniform(0, 1), rng.uniform(0, 1))
+    for i in range(20, 40):
+        pts[i] = (10 + rng.uniform(0, 1), 10 + rng.uniform(0, 1))
+    for i in range(40, 46):
+        pts[i] = (rng.uniform(3, 8), rng.uniform(3, 8))
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()],
+        "pid2 long, x double, y double")
+    out = {r.pid2: (r.role, r.cluster) for r in dbscan(
+        df, ["x", "y"], eps=0.8, min_pts=4, id_col="pid2").collect()}
+    cores, border, noise, comp = _dbscan_ref(pts, 0.8, 4)
+    assert {i for i, (ro, _) in out.items() if ro == "core"} == cores
+    assert {i for i, (ro, _) in out.items() if ro == "noise"} == noise
+    assert {i for i, (ro, _) in out.items() if ro == "border"} == border
+    # cluster labels are the component minimum; cores agree exactly
+    want = {i: min(j for j in comp if comp[j] == comp[i]) for i in cores}
+    for i in cores:
+        assert out[i][1] == want[i]
+    for i in noise:
+        assert out[i][1] is None
+    # a border point joins the min cluster among its core neighbors
+    for i in border:
+        neigh_clusters = {want[j] for j in cores
+                          if (pts[i][0] - pts[j][0]) ** 2
+                          + (pts[i][1] - pts[j][1]) ** 2 <= 0.8 ** 2}
+        assert out[i][1] == min(neigh_clusters)
+
+
+def test_dbscan_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.clustering import dbscan, dbscan_sql
+
+    rng = random.Random(13)
+    rows = [(i, round(rng.uniform(0, 5), 3), round(rng.uniform(0, 5), 3))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "pid2 long, x double, y double")
+    got = sorted((r.pid2, r.role, r.cluster) for r in dbscan(
+        df, ["x", "y"], eps=0.7, min_pts=3, id_col="pid2").collect())
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame(rows, columns=["pid2", "x", "y"]))
+    oracle = sorted(map(tuple, con.execute(dbscan_sql(
+        "pts", ["x", "y"], eps=0.7, min_pts=3,
+        id_col="pid2")).fetchall()))
+    assert got == oracle
+
+
+def test_dbscan_validation(spark):
+    from simba_spark.operators.clustering import dbscan
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "pid2 long, x double, y double")
+    with pytest.raises(ValueError):
+        dbscan(df, ["x", "y"], eps=0.0, min_pts=3, id_col="pid2")
+    with pytest.raises(ValueError):
+        dbscan(df, ["x", "y"], eps=1.0, min_pts=0, id_col="pid2")

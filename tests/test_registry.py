@@ -63,6 +63,7 @@ def test_round11_debuts_lead_the_window():
     IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
     r11_debuts = [
+        "dbscan",
         "betweenness",
         "ivfpq_knn_join",
     ]
@@ -91,6 +92,5 @@ def test_round11_debuts_lead_the_window():
         "ngram_jaccard",
         # after-r3-era fillers (displaced one-by-one by r11 debuts)
         "knn_or_filter", "knn_not_filter", "polygon_range",
-        "dedup_components",
     }
     assert set(head[n11 + 27:]) == reseats

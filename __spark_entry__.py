@@ -3414,6 +3414,20 @@ def q_louvain_levels(spark, sf_dir):
                    level1=_trade_louvain1(spark, sf_dir))
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keyword extraction (operators.text.textrank_keywords):
+    corpus keywords as the highest-PageRank terms of the window-2 word
+    co-occurrence graph — the graph-centrality companion of TF-IDF
+    (a term matters because important terms co-occur with it, not
+    because it is rare). One posexplode, window co-located (doc, pos)
+    equi-joins, canonical-pair integer weights, weighted pagerank on
+    the vocabulary-sized graph, rounded-score top-25."""
+    from simba_spark.operators.text import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, window=2, k=25, iters=6)
+
+
 def q_dbscan(spark, sf_dir):
     """Distributed DBSCAN (operators.clustering.dbscan) over suppliers
     in (acctbal, nationkey) space — density clustering with explicit
@@ -4946,6 +4960,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-11 debuts (first driver check) ---
+        "textrank": q_textrank,
         "dbscan": q_dbscan,
         "betweenness": q_betweenness,
         "ivfpq_knn_join": q_ivfpq_knn_join,
@@ -5007,7 +5022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     round-11 debuts displace these as they land ---
         "knn_or_filter": q_knn_or_filter,
         "knn_not_filter": q_knn_not_filter,
-        "polygon_range": q_polygon_range,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -5262,6 +5276,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "dedup_components": q_dedup_components,
+        "polygon_range": q_polygon_range,
     }
 
 
@@ -6005,7 +6020,8 @@ def oracle_sql() -> dict[str, str]:
     from simba_spark.operators.text import (bm25_batch_sql, bm25_sql,
                                             lexical_diversity_sql,
                                             lm_dirichlet_sql,
-                                            phrase_search_sql)
+                                            phrase_search_sql,
+                                            textrank_keywords_sql)
     from simba_spark.operators.timeseries import (
         acf_sql, cusum_sql, forecast_seasonal_naive_sql,
         holt_forecast_sql, holt_winters_sql,
@@ -6606,6 +6622,8 @@ def oracle_sql() -> dict[str, str]:
         "louvain_levels": louvain_sql(pr_edges, iters=4, levels=2),
         "betweenness": betweenness_centrality_sql(
             pr_edges, n_seeds=8, depth=3),
+        "textrank": textrank_keywords_sql(
+            "documents", window=2, k=25, iters=6),
         "dbscan": dbscan_sql(
             "(SELECT s_suppkey, s_acctbal, "
             "CAST(s_nationkey AS DOUBLE) AS s_nat FROM supplier)",

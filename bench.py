@@ -217,6 +217,7 @@ HEADLINE = [
     "ivfpq_knn_join",
     "betweenness",
     "dbscan",
+    "textrank",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -312,6 +313,7 @@ _R11: set = {
     "ivfpq_knn_join",
     "betweenness",
     "dbscan",
+    "textrank",
 }
 
 GROUPS = {

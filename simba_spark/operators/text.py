@@ -2164,3 +2164,123 @@ SELECT b.__id AS {id_expr},
 FROM (SELECT DISTINCT {id_expr} AS __id FROM {from_sql}) b
 LEFT JOIN __st s USING (__id)
 """
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    k: int = 20,
+    iters: int = 6,
+    damping: float = 0.85,
+    min_len: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the graph
+    companion of :func:`tfidf_topk`: corpus keywords are the highest-
+    PageRank terms of the word co-occurrence graph (two terms link
+    when they appear within ``window`` raw-token positions in a
+    document; parallel co-occurrences SUM into integer edge weights),
+    ranked by the engine's weighted :func:`.graph.pagerank`. Terms
+    shorter than ``min_len`` characters drop (the cheap stopword
+    surrogate — positions stay those of the ORIGINAL token stream, so
+    the window never collapses across removed tokens). Returns the
+    top ``k`` rows ``(term, score)`` by (rounded score desc, term
+    asc) — the bm25 rounded-boundary tiebreak convention.
+
+    Scale: tokenize-posexplode once (localCheckpoint'd, reused per
+    window offset); each offset is ONE co-located (doc, pos) equi-join
+    — never a range join; the pair frame reduces map-side into the
+    canonical-pair weight groupBy; pagerank runs on the vocabulary-
+    sized term graph, orders of magnitude smaller than the corpus;
+    top-k is TakeOrderedAndProject.
+    """
+    if int(window) < 1:
+        raise ValueError("window must be >= 1")
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    from .graph import pagerank
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("__pos", "term"),
+        )
+        .filter(F.length("term") >= int(min_len))
+        .localCheckpoint(eager=False)
+    )
+    pairs = None
+    for d in range(1, int(window) + 1):
+        right = toks.select(
+            "__id", (F.col("__pos") - d).alias("__pos"),
+            F.col("term").alias("__t2"))
+        p = (toks.join(right, ["__id", "__pos"])
+             .filter(F.col("term") != F.col("__t2"))
+             .select("term", "__t2"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    edges = pairs.groupBy(
+        F.least("term", "__t2").alias("a"),
+        F.greatest("term", "__t2").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("w"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+    pr = pagerank(sym, src="a", dst="b", damping=damping,
+                  iters=int(iters), weight="w", round_to=round_to)
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(int(k))
+        .select(F.col("node").alias("term"), F.col("rank").alias("score"))
+    )
+
+
+def textrank_keywords_sql(
+    from_sql: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    window: int = 2,
+    k: int = 20,
+    iters: int = 6,
+    damping: float = 0.85,
+    min_len: int = 4,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`textrank_keywords` — same tokenizer /
+    0-based positions (the phrase_search convention), same canonical
+    pair weights, the weighted :func:`.graph.pagerank_sql` unrolled,
+    same rounded-score tiebreak."""
+    from .graph import pagerank_sql
+
+    offs = "\n    UNION ALL\n    ".join(
+        f"SELECT t1.term AS term, t2.term AS __t2 FROM __txk t1 "
+        f"JOIN __txk t2 ON t2.__id = t1.__id "
+        f"AND t2.__pos = t1.__pos + {d} AND t2.term <> t1.term"
+        for d in range(1, int(window) + 1))
+    edges_sql = f"""(
+  WITH __txk AS (
+    SELECT * FROM (
+      SELECT {id_expr} AS __id,
+             unnest(regexp_split_to_array(lower(trim({text_expr})), '\\s+'))
+               AS term,
+             generate_subscripts(
+               regexp_split_to_array(lower(trim({text_expr})), '\\s+'), 1) - 1
+               AS __pos
+      FROM {from_sql}
+    ) WHERE length(term) >= {int(min_len)}
+  ), __txp AS (
+    {offs}
+  ), __txe AS (
+    SELECT least(term, __t2) AS a, greatest(term, __t2) AS b,
+           count(*)::BIGINT AS w
+    FROM __txp GROUP BY 1, 2
+  )
+  SELECT a, b, w FROM __txe
+  UNION ALL
+  SELECT b AS a, a AS b, w FROM __txe
+)"""
+    inner = pagerank_sql(edges_sql, src="a", dst="b", damping=damping,
+                         iters=int(iters), round_to=round_to, weight="w")
+    return (f"SELECT node AS term, rank AS score FROM ({inner}) "
+            f"ORDER BY score DESC, term ASC LIMIT {int(k)}")

@@ -63,6 +63,7 @@ def test_round11_debuts_lead_the_window():
     IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
     r11_debuts = [
+        "textrank",
         "dbscan",
         "betweenness",
         "ivfpq_knn_join",
@@ -91,6 +92,6 @@ def test_round11_debuts_lead_the_window():
         "segment_range", "box_range", "interval_overlap", "sessionize",
         "ngram_jaccard",
         # after-r3-era fillers (displaced one-by-one by r11 debuts)
-        "knn_or_filter", "knn_not_filter", "polygon_range",
+        "knn_or_filter", "knn_not_filter",
     }
     assert set(head[n11 + 27:]) == reseats

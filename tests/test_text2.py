@@ -242,3 +242,64 @@ def test_kn_trigram_lm_matches_reference_and_oracle(spark):
 
     with pytest.raises(ValueError):
         kn_trigram_lm_score(df, discount=1.0)
+
+
+# --- TextRank keywords (round 11) --------------------------------------------
+
+
+def test_textrank_semantics(spark):
+    from simba_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "graph ranking algorithms rank graph nodes"),
+            (1, "graph ranking beats counting words alone"),
+            (2, "ranking graph keywords with pagerank style walks"),
+            (3, "unrelated short text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, window=2, k=5, min_len=4).collect()
+    terms = [r.term for r in out]
+    scores = [r.score for r in out]
+    # hub terms of the co-occurrence graph rank on top
+    assert terms[0] in ("graph", "ranking")
+    assert "graph" in terms and "ranking" in terms
+    # ordering: score desc, term asc
+    assert scores == sorted(scores, reverse=True)
+    assert len(terms) == len(set(terms)) == 5
+    # min_len filter: 3-letter tokens never appear
+    assert all(len(t) >= 4 for t in terms)
+
+
+def test_textrank_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from simba_spark.operators.text import (textrank_keywords,
+                                            textrank_keywords_sql)
+
+    rows = [(i, " ".join(
+        ["alpha beta gamma delta", "epsilon zeta alpha beta",
+         "gamma alpha theta words", "beta gamma delta alpha"][i % 4]
+        .split()) + f" extra{i % 3} filler") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, textrank_keywords(
+        df, window=3, k=8, iters=4).collect()))
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = sorted(map(tuple, con.execute(textrank_keywords_sql(
+        "docs", window=3, k=8, iters=4)).fetchall()))
+    assert got == oracle
+
+
+def test_textrank_validation(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        textrank_keywords(df, window=0)
+    with _pt.raises(ValueError):
+        textrank_keywords(df, k=0)

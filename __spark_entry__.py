@@ -3414,6 +3414,32 @@ def q_louvain_levels(spark, sf_dir):
                    level1=_trade_louvain1(spark, sf_dir))
 
 
+_FDR_PAIRS = [("click", "view"), ("click", "purchase"),
+              ("signup", "error"), ("view", "purchase")]
+
+
+def q_fdr_ks(spark, sf_dir):
+    """Benjamini–Hochberg FDR correction (operators.stats.fdr_bh) over
+    a battery of two-sample KS tests — the multiple-testing control
+    the per-test battery needs the moment it fans out over many
+    segments: four event-type value-distribution comparisons feed one
+    (test_id, d_stat, p_value) frame, and fdr_bh attaches the adjusted
+    q-value (min_{j>=i} p_(j)*m/j, clamped) + the FDR-alpha discovery
+    flag. q is division+MIN arithmetic over exact ranks — no float
+    sums, no rounding needed; the rank and reverse-min passes run the
+    two-phase range-repartition program (never a single-partition
+    window over the test frame)."""
+    from simba_spark.operators.stats import fdr_bh, ks_test
+
+    ev = _t(spark, sf_dir, "events")
+    tests = None
+    for a, b in _FDR_PAIRS:
+        t = ks_test(ev, "value", "event_type", a, b).select(
+            F.lit(f"{a}_vs_{b}").alias("test_id"), "d_stat", "p_value")
+        tests = t if tests is None else tests.unionByName(t)
+    return fdr_bh(tests, p_col="p_value", alpha=0.25)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keyword extraction (operators.text.textrank_keywords):
     corpus keywords as the highest-PageRank terms of the window-2 word
@@ -4960,6 +4986,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-11 debuts (first driver check) ---
+        "fdr_ks": q_fdr_ks,
         "textrank": q_textrank,
         "dbscan": q_dbscan,
         "betweenness": q_betweenness,
@@ -5021,7 +5048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- after-r3-era re-seats filling the remaining slots;
         #     round-11 debuts displace these as they land ---
         "knn_or_filter": q_knn_or_filter,
-        "knn_not_filter": q_knn_not_filter,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -5277,6 +5303,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "dedup_components": q_dedup_components,
         "polygon_range": q_polygon_range,
+        "knn_not_filter": q_knn_not_filter,
     }
 
 
@@ -5970,6 +5997,7 @@ def oracle_sql() -> dict[str, str]:
                                                 winsorize_sql)
     from simba_spark.operators.stats import (anova_oneway_sql,
                                              fd_profile_sql,
+                                             fdr_bh_sql,
                                              chisq_independence_sql,
                                              kruskal_wallis_sql,
                                              mannwhitney_u_sql,
@@ -6624,6 +6652,12 @@ def oracle_sql() -> dict[str, str]:
             pr_edges, n_seeds=8, depth=3),
         "textrank": textrank_keywords_sql(
             "documents", window=2, k=25, iters=6),
+        "fdr_ks": fdr_bh_sql(
+            "(" + "\nUNION ALL\n".join(
+                f"SELECT '{a}_vs_{b}' AS test_id, d_stat, p_value "
+                f"FROM ({ks_test_sql('events', 'value', 'event_type', a, b)})"
+                for a, b in _FDR_PAIRS) + ")",
+            p_col="p_value", alpha=0.25),
         "dbscan": dbscan_sql(
             "(SELECT s_suppkey, s_acctbal, "
             "CAST(s_nationkey AS DOUBLE) AS s_nat FROM supplier)",

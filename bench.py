@@ -218,6 +218,7 @@ HEADLINE = [
     "betweenness",
     "dbscan",
     "textrank",
+    "fdr_ks",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -314,6 +315,7 @@ _R11: set = {
     "betweenness",
     "dbscan",
     "textrank",
+    "fdr_ks",
 }
 
 GROUPS = {

@@ -2007,3 +2007,156 @@ FROM (
   ) GROUP BY 1
 )""")
     return "\nUNION ALL\n".join(parts)
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate correction — the
+    multiple-testing control the per-test battery (ks/welch/chi²/
+    kruskal/anova/mannwhitney) needs the moment it fans out over many
+    features or segments: with m valid p-values, the adjusted
+    q-value of the rank-i smallest p is ``min_{j≥i} p_(j)·m/j``
+    (clamped at 1), and ``reject = q ≤ alpha`` discovers at FDR
+    level alpha. Returns the input rows + ``(q_value, reject)``; NULL
+    or NaN p-values pass through with NULL q/reject and do not count
+    toward m.
+
+    Determinism: q is arithmetic over exact integers (m, ranks) and
+    the input p — division and MIN only, no float summation anywhere,
+    so no rounding is required for engine stability. Ties in p share
+    one q by construction (the min over the tie block lands at the
+    block's largest rank).
+
+    Scale: works on the DISTINCT-p frame (tests with equal p collapse
+    first); the cumulative rank and the reverse running min both run
+    the two-phase range-repartition program (per-partition window +
+    broadcast partition offsets — never a single-partition window
+    over the test frame), so a million-hypothesis screen holds.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < float(alpha) < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    p = F.col(p_col).cast("double")
+    valid = df.filter(p.isNotNull() & ~F.isnan(p))
+    invalid = df.filter(p.isNull() | F.isnan(p))
+    mrow = valid.agg(F.count(F.lit(1)).alias("__m"))
+    dp = valid.groupBy(p.alias("__p")).agg(
+        F.count(F.lit(1)).alias("__c"))
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                     "200"))
+    # two-phase cumulative count (ascending p): r = rank of the tie
+    # block's LAST member = #(p' <= p)
+    d = (
+        dp.repartitionByRange(n, F.col("__p").asc())
+        .sortWithinPartitions(F.col("__p").asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    woff = Window.orderBy(F.col("__pid").asc()) \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("__pid").agg(F.sum("__c").alias("__s"))
+        .withColumn("__off", F.coalesce(F.sum("__s").over(woff),
+                                        F.lit(0).cast("long")))
+        .drop("__s")
+    )
+    wrun = (
+        Window.partitionBy("__pid").orderBy(F.col("__p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn("__r", F.sum("__c").over(wrun) + F.col("__off"))
+        .drop("__pid", "__off", "__c")
+        .crossJoin(F.broadcast(mrow))
+        .withColumn(
+            "__cv",
+            F.col("__p") * F.col("__m").cast("double")
+            / F.col("__r").cast("double"))
+        .select("__p", "__cv")
+    )
+    # two-phase reverse running min of __cv (descending p)
+    d2 = (
+        ranked.repartitionByRange(n, F.col("__p").desc())
+        .sortWithinPartitions(F.col("__p").desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offs2 = (
+        d2.groupBy("__pid").agg(F.min("__cv").alias("__s"))
+        .withColumn("__off", F.min("__s").over(woff))
+        .drop("__s")
+    )
+    wrun2 = (
+        Window.partitionBy("__pid").orderBy(F.col("__p").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qv = (
+        d2.join(F.broadcast(offs2), "__pid")
+        .withColumn(
+            "__q",
+            F.least(F.lit(1.0),
+                    F.least(F.min("__cv").over(wrun2),
+                            F.coalesce(F.col("__off"),
+                                       F.lit(float("inf"))))))
+        .select(F.col("__p"), "__q")
+    )
+    out_valid = (
+        valid.join(qv, p == F.col("__p"))
+        .drop("__p")
+        .withColumn("q_value", F.col("__q"))
+        .withColumn("reject", F.col("__q") <= float(alpha))
+        .drop("__q")
+    )
+    out_invalid = invalid \
+        .withColumn("q_value", F.lit(None).cast("double")) \
+        .withColumn("reject", F.lit(None).cast("boolean"))
+    return out_valid.unionByName(out_invalid)
+
+
+def fdr_bh_sql(
+    table_sql: str,
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB mirror of :func:`fdr_bh` — same distinct-p collapse,
+    (p·m)/r tree, reverse running min, clamp-after-min."""
+    return f"""
+WITH __fdr_in AS (
+  SELECT * FROM {table_sql}
+), __fdr_v AS (
+  SELECT * FROM __fdr_in
+  WHERE {p_col} IS NOT NULL AND NOT isnan(CAST({p_col} AS DOUBLE))
+), __fdr_m AS (
+  SELECT count(*)::BIGINT AS m FROM __fdr_v
+), __fdr_dp AS (
+  SELECT CAST({p_col} AS DOUBLE) AS p, count(*)::BIGINT AS c
+  FROM __fdr_v GROUP BY 1
+), __fdr_r AS (
+  SELECT p,
+         CAST(sum(c) OVER (ORDER BY p ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r
+  FROM __fdr_dp
+), __fdr_q AS (
+  SELECT p,
+         least(CAST(1.0 AS DOUBLE),
+               min(p * CAST((SELECT m FROM __fdr_m) AS DOUBLE)
+                   / CAST(r AS DOUBLE))
+               OVER (ORDER BY p DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS q
+  FROM __fdr_r
+)
+SELECT v.*, q.q AS q_value, q.q <= {float(alpha)!r} AS reject
+FROM __fdr_v v JOIN __fdr_q q ON CAST(v.{p_col} AS DOUBLE) = q.p
+UNION ALL
+SELECT i.*, CAST(NULL AS DOUBLE) AS q_value,
+       CAST(NULL AS BOOLEAN) AS reject
+FROM __fdr_in i
+WHERE i.{p_col} IS NULL OR isnan(CAST(i.{p_col} AS DOUBLE))
+"""

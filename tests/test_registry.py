@@ -63,6 +63,7 @@ def test_round11_debuts_lead_the_window():
     IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
     r11_debuts = [
+        "fdr_ks",
         "textrank",
         "dbscan",
         "betweenness",
@@ -92,6 +93,6 @@ def test_round11_debuts_lead_the_window():
         "segment_range", "box_range", "interval_overlap", "sessionize",
         "ngram_jaccard",
         # after-r3-era fillers (displaced one-by-one by r11 debuts)
-        "knn_or_filter", "knn_not_filter",
+        "knn_or_filter",
     }
     assert set(head[n11 + 27:]) == reseats

@@ -737,3 +737,83 @@ def test_fd_profile_semantics_and_parity(spark):
     assert sorted(map(tuple, (tuple(r) for r in got.values()))) == oracle
     with pytest.raises(ValueError):
         fd_profile(df, [])
+
+
+# --- Benjamini-Hochberg FDR (round 11) ---------------------------------------
+
+
+def _bh_ref(ps, alpha):
+    """Textbook BH adjusted p-values."""
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    q = [None] * m
+    run = float("inf")
+    for pos in range(m - 1, -1, -1):
+        i = order[pos]
+        run = min(run, ps[i] * m / (pos + 1))
+        q[i] = min(1.0, run)
+    return q
+
+
+def test_fdr_bh_matches_textbook(spark):
+    from simba_spark.operators.stats import fdr_bh
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "test_id long, p_value double")
+    out = {r.test_id: (r.q_value, r.reject)
+           for r in fdr_bh(df, alpha=0.05).collect()}
+    want = _bh_ref(ps, 0.05)
+    for i, p in enumerate(ps):
+        assert abs(out[i][0] - want[i]) < 1e-12
+        assert out[i][1] == (want[i] <= 0.05)
+    # the step-up rule and q <= alpha agree on the discovery set
+    assert (sum(1 for i in out if out[i][1])
+            == sum(1 for qv in want if qv <= 0.05) == 1)
+
+
+def test_fdr_bh_ties_and_nulls(spark):
+    import math
+
+    from simba_spark.operators.stats import fdr_bh
+
+    df = spark.createDataFrame(
+        [(0, 0.01), (1, 0.01), (2, 0.5), (3, None), (4, float("nan"))],
+        "test_id long, p_value double")
+    out = {r.test_id: (r.q_value, r.reject) for r in fdr_bh(df).collect()}
+    # tied p share one q; NULL/NaN pass through unranked and uncounted
+    assert out[0] == out[1]
+    assert abs(out[0][0] - min(1.0, 0.01 * 3 / 2)) < 1e-12
+    assert out[3][0] is None and out[3][1] is None
+    assert out[4][0] is None or math.isnan(out[4][0]) is False
+
+
+def test_fdr_bh_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.stats import fdr_bh, fdr_bh_sql
+
+    rng = random.Random(3)
+    rows = [(i, round(rng.random(), 4) if i % 7 else None)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "test_id long, p_value double")
+    got = sorted(((r.test_id, r.p_value, r.q_value, r.reject)
+                  for r in fdr_bh(df).collect()),
+                 key=lambda t: (t[0],))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["test_id", "p_value"]))
+    oracle = sorted(map(tuple, con.execute(
+        fdr_bh_sql("t")).fetchall()), key=lambda t: (t[0],))
+    assert got == oracle
+
+
+def test_fdr_bh_validation(spark):
+    from simba_spark.operators.stats import fdr_bh
+
+    df = spark.createDataFrame([(0, 0.1)], "test_id long, p_value double")
+    for a in (0.0, 1.0, -1.0):
+        with pytest.raises(ValueError):
+            fdr_bh(df, alpha=a)

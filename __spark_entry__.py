@@ -2309,7 +2309,7 @@ def q_ivfpq_knn_join(spark, sf_dir):
 
     embs = _t(spark, sf_dir, "embeddings")
     out = ivfpq_knn_join(
-        embs.filter(F.col("vec_id") % 7 == 0),
+        embs.filter(F.col("vec_id") % 21 == 0),
         embs.filter(F.col("vec_id") % 3 == 2),
         k=3, n_centroids=8, nprobe=8, m=8, nbits=4, shortlist=100_000)
     return out.select(
@@ -8137,7 +8137,7 @@ def oracle_sql() -> dict[str, str]:
                                                              b.embedding::DOUBLE[]), 6)
                                 DESC, b.vec_id ASC) AS rn
               FROM embeddings a, embeddings b
-              WHERE a.vec_id % 7 = 0 AND b.vec_id % 3 = 2
+              WHERE a.vec_id % 21 = 0 AND b.vec_id % 3 = 2
             ) WHERE rn <= 3
         """,
         # ivf_knn_join at nprobe = n_centroids is exact by construction

@@ -1611,6 +1611,34 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=3, hash_fn="md5long")
 
 
+#: shared by the `ngram_jaccard` oracle and as the TRUTH side of the
+#: `blocking_eval` oracle (one source, no drift)
+_NGRAM_JACCARD_ORACLE = r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) >= 3
+                            THEN list_transform(range(1, len(t) - 1),
+                                                i -> array_to_string(t[i:i+2], ' '))
+                            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                            ELSE [] END
+                     ) AS g
+              FROM toks
+            ), scored AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     len(list_intersect(a.g, b.g)) AS inter,
+                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS un
+              FROM grams a, grams b
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT a_id, b_id, inter::DOUBLE / un AS jaccard
+            FROM scored WHERE un > 0 AND inter::DOUBLE / un >= 0.3
+        """
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard >= 0.3 pairs, prefix-filtered shingle
     blocking + exact string-set verification. Fully oracle-checked: the
@@ -3418,6 +3446,27 @@ _FDR_PAIRS = [("click", "view"), ("click", "purchase"),
               ("signup", "error"), ("view", "purchase")]
 
 
+def q_blocking_eval(spark, sf_dir):
+    """Blocking-quality metrics (operators.dedup.blocking_eval,
+    Christen's pair completeness / reduction ratio): how much of the
+    exact ngram-Jaccard >= 0.3 near-dup truth does sorted-neighborhood
+    window-5 blocking recover, and how much of the C(n,2) comparison
+    space does it avoid — the eval every blocker of this family
+    (LSH bands, SN windows, grid cells, pigeonholes) should report
+    before it ships. Canonicalized distinct pairs, exact BIGINT
+    counts, fixed-tree ratio divisions (no float sums)."""
+    from simba_spark.operators.dedup import (blocking_eval,
+                                             ngram_jaccard_join,
+                                             sorted_neighborhood_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = sorted_neighborhood_pairs(
+        docs.withColumn("__norm", F.lower(F.trim("text"))),
+        "__norm", "doc_id", window=5)
+    truth = ngram_jaccard_join(docs, shingle_k=3, jaccard_threshold=0.3)
+    return blocking_eval(cand, truth, n_records=docs.count())
+
+
 def q_fdr_ks(spark, sf_dir):
     """Benjamini–Hochberg FDR correction (operators.stats.fdr_bh) over
     a battery of two-sample KS tests — the multiple-testing control
@@ -4986,6 +5035,7 @@ _DRIVER_QUERY_CAP = 50
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- round-11 debuts (first driver check) ---
+        "blocking_eval": q_blocking_eval,
         "fdr_ks": q_fdr_ks,
         "textrank": q_textrank,
         "dbscan": q_dbscan,
@@ -5045,9 +5095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "sessionize": q_sessionize,
         "ngram_jaccard": q_ngram_jaccard,
-        # --- after-r3-era re-seats filling the remaining slots;
-        #     round-11 debuts displace these as they land ---
-        "knn_or_filter": q_knn_or_filter,
     }
     assert len(q) == _DRIVER_QUERY_CAP, (
         f"queries() must stay at exactly {_DRIVER_QUERY_CAP} entries "
@@ -5304,6 +5351,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "polygon_range": q_polygon_range,
         "knn_not_filter": q_knn_not_filter,
+        "knn_or_filter": q_knn_or_filter,
     }
 
 
@@ -5968,7 +6016,8 @@ def oracle_sql() -> dict[str, str]:
 
     from simba_spark.operators.clustering import (dbscan_sql, kmeans_sql,
                                                   silhouette_sql)
-    from simba_spark.operators.dedup import (edit_distance_pairs_sql,
+    from simba_spark.operators.dedup import (blocking_eval_sql,
+                                             edit_distance_pairs_sql,
                                              linkage_score_sql,
                                              semantic_dedup_sql)
     from simba_spark.operators.graph import (adamic_adar_sql,
@@ -8269,30 +8318,26 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS content_hash
             FROM documents
         """,
-        "ngram_jaccard": r"""
-            WITH toks AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-              FROM documents
-            ), grams AS (
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "blocking_eval": blocking_eval_sql(
+            f"""(
+            WITH r AS (
               SELECT doc_id,
-                     list_distinct(
-                       CASE WHEN len(t) >= 3
-                            THEN list_transform(range(1, len(t) - 1),
-                                                i -> array_to_string(t[i:i+2], ' '))
-                            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
-                            ELSE [] END
-                     ) AS g
-              FROM toks
-            ), scored AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                     len(list_intersect(a.g, b.g)) AS inter,
-                     len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS un
-              FROM grams a, grams b
-              WHERE a.doc_id < b.doc_id
+                     row_number() OVER (
+                       ORDER BY lower(trim(text)) || chr(1) ||
+                                lpad(length(doc_id::VARCHAR)::VARCHAR, 4, '0')
+                                || doc_id::VARCHAR
+                     ) AS rk
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL
             )
-            SELECT a_id, b_id, inter::DOUBLE / un AS jaccard
-            FROM scored WHERE un > 0 AND inter::DOUBLE / un >= 0.3
-        """,
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 5
+            )""",
+            f"({_NGRAM_JACCARD_ORACLE})",
+            total_pairs_sql=("(SELECT (count(*) * (count(*) - 1)) // 2 "
+                             "FROM documents)"),
+        ),
         "contamination": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

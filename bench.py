@@ -219,6 +219,7 @@ HEADLINE = [
     "dbscan",
     "textrank",
     "fdr_ks",
+    "blocking_eval",
 ]
 
 #: every headline query added AFTER round 3 — runs in its own group so
@@ -316,6 +317,7 @@ _R11: set = {
     "dbscan",
     "textrank",
     "fdr_ks",
+    "blocking_eval",
 }
 
 GROUPS = {

@@ -1794,3 +1794,125 @@ FROM ({from_sql}) a JOIN ({from_sql}) b
 WHERE a.{col_expr} IS NOT NULL AND b.{col_expr} IS NOT NULL
   AND levenshtein(a.{col_expr}, b.{col_expr}) <= {d}
 """
+
+
+def blocking_eval(
+    cand_pairs: DataFrame,
+    true_pairs: DataFrame,
+    n_records: int,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Blocking-quality metrics (Christen 2012's standard pair):
+    evaluate any candidate-pair generator of this family
+    (:func:`sorted_neighborhood_pairs`, LSH band collisions, grid
+    cells, pigeonhole blocks) against a ground-truth match set —
+    PAIR COMPLETENESS pc = |cand ∩ true| / |true| (the recall
+    blocking can never give back) and REDUCTION RATIO
+    rr = 1 − |cand| / C(n, 2) (how much of the quadratic
+    comparison space the blocker avoided), plus their harmonic mean.
+    A blocker is only as good as BOTH: all-pairs scores pc=1/rr=0,
+    an empty blocker rr≈1/pc=0.
+
+    Both inputs canonicalize to unordered distinct non-self pairs, so
+    direction/duplication conventions don't skew counts. Returns ONE
+    row ``(n_cand, n_true, n_hit, pair_completeness,
+    reduction_ratio, f_score)``; pc is NULL when |true| = 0, f NULL
+    when either factor is NULL or the sum is 0.
+
+    Determinism: all counts are exact BIGINTs; the three ratios are
+    single fixed-tree double divisions — no float accumulation, no
+    rounding needed.
+
+    Scale: two distinct-pair aggregates + one pair equi-join (skinny
+    id pairs), each combine-friendly; output is one row.
+    """
+    if int(n_records) < 2:
+        raise ValueError("n_records must be >= 2")
+
+    def _canon(df):
+        a, b = F.col(a_col), F.col(b_col)
+        return (
+            df.filter(a.isNotNull() & b.isNotNull() & (a != b))
+            .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .distinct()
+        )
+
+    cand = _canon(cand_pairs).localCheckpoint(eager=False)
+    true = _canon(true_pairs).localCheckpoint(eager=False)
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = true.agg(F.count(F.lit(1)).alias("n_true"))
+    nh = cand.join(true, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    total = float(int(n_records) * (int(n_records) - 1) / 2)
+    row = nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nh))
+    pc = F.when(
+        F.col("n_true") > 0,
+        F.col("n_hit").cast("double") / F.col("n_true").cast("double"))
+    rr = F.lit(1.0) - F.col("n_cand").cast("double") / F.lit(total)
+    out = row.select(
+        "n_cand", "n_true", "n_hit",
+        pc.alias("pair_completeness"), rr.alias("reduction_ratio"))
+    f = F.when(
+        F.col("pair_completeness").isNotNull()
+        & (F.col("pair_completeness") + F.col("reduction_ratio") > 0),
+        F.lit(2.0) * F.col("pair_completeness") * F.col("reduction_ratio")
+        / (F.col("pair_completeness") + F.col("reduction_ratio")))
+    return out.withColumn("f_score", f)
+
+
+def blocking_eval_sql(
+    cand_sql: str,
+    true_sql: str,
+    n_records: Optional[int] = None,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    total_pairs_sql: Optional[str] = None,
+) -> str:
+    """DuckDB mirror of :func:`blocking_eval` (same canonicalization,
+    same fixed division trees; counts cast ::BIGINT).
+    ``total_pairs_sql`` lets the oracle derive C(n, 2) in SQL (e.g.
+    ``(SELECT (count(*) * (count(*) - 1)) // 2 FROM documents)``) so
+    the string stays scale-factor independent; the integer is exact,
+    and its DOUBLE cast equals the operator's Python-side float."""
+    if total_pairs_sql is not None:
+        tot = f"CAST({total_pairs_sql} AS DOUBLE)"
+    else:
+        tot = repr(float(int(n_records) * (int(n_records) - 1) / 2))
+
+    def _canon(src, name):
+        return f"""{name} AS (
+  SELECT DISTINCT least({a_col}, {b_col}) AS a,
+         greatest({a_col}, {b_col}) AS b
+  FROM {src}
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+    AND {a_col} <> {b_col}
+)"""
+
+    return f"""
+WITH {_canon(cand_sql, "__be_c")},
+{_canon(true_sql, "__be_t")},
+__be AS (
+  SELECT (SELECT count(*)::BIGINT FROM __be_c) AS n_cand,
+         (SELECT count(*)::BIGINT FROM __be_t) AS n_true,
+         (SELECT count(*)::BIGINT FROM __be_c c
+          JOIN __be_t t ON t.a = c.a AND t.b = c.b) AS n_hit
+)
+SELECT n_cand, n_true, n_hit,
+       CASE WHEN n_true > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+       END AS pair_completeness,
+       CAST(1.0 AS DOUBLE)
+         - CAST(n_cand AS DOUBLE) / {tot} AS reduction_ratio,
+       CASE WHEN n_true > 0
+             AND CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+                 + (CAST(1.0 AS DOUBLE)
+                    - CAST(n_cand AS DOUBLE) / {tot}) > 0
+            THEN 2.0 * (CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE))
+                 * (CAST(1.0 AS DOUBLE)
+                    - CAST(n_cand AS DOUBLE) / {tot})
+                 / (CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+                    + (CAST(1.0 AS DOUBLE)
+                       - CAST(n_cand AS DOUBLE) / {tot}))
+       END AS f_score
+FROM __be
+"""

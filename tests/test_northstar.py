@@ -1426,3 +1426,61 @@ def test_ivf_knn_join_drops_invalid_vectors_both_sides(embs, spark):
     two = ivf_knn_join(dirty, base, k=2, n_centroids=4, nprobe=4).collect()
     assert {r.a_id for r in two} == {r.vec_id for r in base.collect()}
     assert all(r.cosine_sim is not None for r in two)
+
+
+# --- blocking_eval (blocking-quality metrics, round 11) ----------------------
+
+
+def test_blocking_eval_values_and_canonicalization(spark):
+    from simba_spark.operators.dedup import blocking_eval
+
+    # candidates include duplicates, reversed direction, and a self
+    # pair — canonicalization must collapse all of that
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 4), (5, 5), (4, 6)],
+        "a_id long, b_id long")
+    true = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8)], "a_id long, b_id long")
+    r = blocking_eval(cand, true, n_records=10).collect()[0]
+    assert (r.n_cand, r.n_true, r.n_hit) == (3, 3, 2)
+    assert abs(r.pair_completeness - 2 / 3) < 1e-15
+    assert abs(r.reduction_ratio - (1 - 3 / 45)) < 1e-15
+    pc, rr = 2 / 3, 1 - 3 / 45
+    assert abs(r.f_score - 2 * pc * rr / (pc + rr)) < 1e-15
+
+
+def test_blocking_eval_empty_truth_and_validation(spark):
+    import pytest as _pt
+
+    from simba_spark.operators.dedup import blocking_eval
+
+    cand = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    none = cand.filter("a_id < 0")
+    r = blocking_eval(cand, none, n_records=5).collect()[0]
+    assert r.n_true == 0 and r.pair_completeness is None \
+        and r.f_score is None
+    with _pt.raises(ValueError):
+        blocking_eval(cand, cand, n_records=1)
+
+
+def test_blocking_eval_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import random
+
+    from simba_spark.operators.dedup import blocking_eval, blocking_eval_sql
+
+    rng = random.Random(9)
+    cand = list({(rng.randrange(50), rng.randrange(50))
+                 for _ in range(120)})
+    true = list({(rng.randrange(50), rng.randrange(50))
+                 for _ in range(40)})
+    cdf = spark.createDataFrame(cand, "a_id long, b_id long")
+    tdf = spark.createDataFrame(true, "a_id long, b_id long")
+    got = sorted(map(tuple, blocking_eval(cdf, tdf, 50).collect()))
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(cand, columns=["a_id", "b_id"]))
+    con.register("t", pd.DataFrame(true, columns=["a_id", "b_id"]))
+    oracle = sorted(map(tuple, con.execute(
+        blocking_eval_sql("c", "t", 50)).fetchall()))
+    assert got == oracle

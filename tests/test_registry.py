@@ -63,6 +63,7 @@ def test_round11_debuts_lead_the_window():
     IS the driver's check order)."""
     head = list(entrymod.queries())[:50]
     r11_debuts = [
+        "blocking_eval",
         "fdr_ks",
         "textrank",
         "dbscan",
@@ -92,7 +93,5 @@ def test_round11_debuts_lead_the_window():
         # after-r4 batch
         "segment_range", "box_range", "interval_overlap", "sessionize",
         "ngram_jaccard",
-        # after-r3-era fillers (displaced one-by-one by r11 debuts)
-        "knn_or_filter",
     }
     assert set(head[n11 + 27:]) == reseats

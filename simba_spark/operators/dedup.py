@@ -675,10 +675,15 @@ def ngram_jaccard_join(
     no dependence on hash non-collision.
     """
     t = float(jaccard_threshold)
+    # checkpoint the shingle frame: it feeds three separate subtrees
+    # (the skinny exploded join side + both verification array fetches),
+    # and without a checkpoint each subtree re-runs the CPU-heavy
+    # shingling of every document (profiled as 3 duplicate single-digit-
+    # second stages per query at sf0.1)
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"),
-    )
+    ).localCheckpoint(eager=False)
     # SKINNY exploded view: (id, |set|, shingle hash) — arrays never
     # enter the candidate shuffle
     ex = base.select(
@@ -704,10 +709,20 @@ def ngram_jaccard_join(
 
     l = join_side.select(F.col("__id").alias("a_id"), "__sh_hash")
     r = join_side.select(F.col("__id").alias("b_id"), "__sh_hash")
+    # the explicit repartition pins the dedup exchange at session
+    # parallelism: dropDuplicates reuses it (same hash keys, same n) so
+    # no extra shuffle, but unlike the exchange dropDuplicates would
+    # plan on its own, a user repartition is NOT AQE-coalescible — the
+    # downstream verification stage is compute-dense per byte (one
+    # array_intersect per candidate pair), and AQE's byte-targeted
+    # coalescing was fusing it to 4 tasks on 32 cores at sf0.1
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "200"))
     cand = (
         l.join(r, on="__sh_hash", how="inner")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
+        .repartition(n_part, "a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     sha = base.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sha"))
@@ -1838,8 +1853,14 @@ def blocking_eval(
             .distinct()
         )
 
-    cand = _canon(cand_pairs).localCheckpoint(eager=False)
-    true = _canon(true_pairs).localCheckpoint(eager=False)
+    # EAGER checkpoints: the three count aggregates below are evaluated
+    # as CONCURRENT broadcast-subquery futures at action time, so a lazy
+    # checkpoint would let n_true and n_hit each materialize `true` from
+    # scratch in parallel (neither sees the other's in-flight compute) —
+    # profiled as two duplicate ~16 s jobs on the sf0.1 truth join.
+    # Eager pins one materialization of each side at build time.
+    cand = _canon(cand_pairs).localCheckpoint(eager=True)
+    true = _canon(true_pairs).localCheckpoint(eager=True)
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     nt = true.agg(F.count(F.lit(1)).alias("n_true"))
     nh = cand.join(true, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_hit"))

@@ -732,17 +732,27 @@ def group_quota(
     )
 
 
-def running_total(
-    df: DataFrame, order_col: str, value_col: str, out_col: str = "__cum"
+def running_totals(
+    df: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
 ) -> DataFrame:
-    """Global running sum of `value_col` in `order_col` order WITHOUT the
-    single-partition collapse a partition-less Spark window plans:
-    range-repartition by the order key, per-partition running sums, then
-    broadcast-join the tiny cumulative per-partition offsets (same
-    two-phase shape as the zkNN global rank). `order_col` must be
+    """Global running sums of each of `value_cols` in `order_col` order
+    WITHOUT the single-partition collapse a partition-less Spark window
+    plans: range-repartition by the order key, per-partition running
+    sums, then broadcast-join the tiny cumulative per-partition offsets
+    (same two-phase shape as the zkNN global rank). `order_col` must be
     globally unique for a deterministic result. The input is
     localCheckpoint'ed to pin row→partition placement (range boundaries
-    are sampled, so a recompute could move rows)."""
+    are sampled, so a recompute could move rows).
+
+    The multi-column form exists so callers that need several cumsums
+    over the SAME order (e.g. the two CDFs of a KS test, one per group)
+    pay ONE range-repartition + checkpoint + offsets program instead of
+    chaining one per column."""
+    if len(value_cols) != len(out_cols) or not value_cols:
+        raise ValueError("value_cols and out_cols must be same-length, >= 1")
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     d = (
         df.repartitionByRange(n, F.col(order_col).asc())
@@ -754,25 +764,33 @@ def running_total(
         Window.orderBy(F.col("__pid").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        d.groupBy("__pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("__s"))
-        .withColumn("__off", F.coalesce(F.sum("__s").over(woff), F.lit(0)))
-        .drop("__s")
+    offs = [f"__off{i}" for i in range(len(value_cols))]
+    offsets = d.groupBy("__pid").agg(
+        *[F.sum(F.col(v).cast("long")).alias(f"__s{i}")
+          for i, v in enumerate(value_cols)]
     )
+    for i in range(len(value_cols)):
+        offsets = offsets.withColumn(
+            offs[i],
+            F.coalesce(F.sum(f"__s{i}").over(woff), F.lit(0)),
+        ).drop(f"__s{i}")
     wrun = (
         Window.partitionBy("__pid")
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        d.join(F.broadcast(offsets), on="__pid", how="inner")
-        .withColumn(
-            out_col,
-            F.sum(F.col(value_col).cast("long")).over(wrun) + F.col("__off"),
-        )
-        .drop("__pid", "__off")
-    )
+    out = d.join(F.broadcast(offsets), on="__pid", how="inner")
+    for v, o, offc in zip(value_cols, out_cols, offs):
+        out = out.withColumn(
+            o, F.sum(F.col(v).cast("long")).over(wrun) + F.col(offc))
+    return out.drop("__pid", *offs)
+
+
+def running_total(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "__cum"
+) -> DataFrame:
+    """Single-column :func:`running_totals` (the original surface)."""
+    return running_totals(df, order_col, [value_col], [out_col])
 
 
 def global_order(

@@ -829,50 +829,114 @@ def ks_test(
     values, quantize first (e.g. ``F.round(x, 3)``) to bound the
     distinct frame.
     """
-    from .pipeline import running_total
+    return ks_test_battery(
+        df, val_col, group_col, [(group_a, group_b)], round_to=round_to
+    ).drop("test_id")
 
+
+def ks_test_battery(
+    df: DataFrame,
+    val_col: str,
+    group_col: str,
+    pairs,
+    round_to: int = 6,
+) -> DataFrame:
+    """Battery of two-sample KS tests sharing ONE pass over the data:
+    the same statistic as :func:`ks_test` per ``(group_a, group_b)``
+    pair, but every distinct group's CDF is computed from a single
+    groupBy(value) + a single two-phase cumulative-sum program
+    (:func:`.pipeline.running_totals`), and all the D maxima + group
+    totals come out of ONE aggregate over the shared cumulative frame.
+    A k-pair battery over g distinct groups costs one scan of the
+    input instead of k scans + 2k cumulative programs.
+
+    Returns one row per pair: ``(test_id, d_stat, p_value, n_a, n_b)``
+    with ``test_id = '<a>_vs_<b>'``.
+
+    Equivalence with per-pair :func:`ks_test`: the shared distinct-
+    value frame may hold values belonging only to OTHER groups; at such
+    a value both cumulative counts of a pair are unchanged from the
+    previous value, so the pair's gap there duplicates an existing gap
+    and the max is untouched. Totals are the final cumulative counts
+    (exact integers). D and p stay bit-identical.
+    """
+    from .pipeline import running_totals
+
+    pairs = [(a, b) for a, b in pairs]
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    groups: list = []
+    for a, b in pairs:
+        for g in (a, b):
+            if g not in groups:
+                groups.append(g)
+    gi = {g: i for i, g in enumerate(groups)}
     x = F.col(val_col).cast("double")
     filt = df.filter(
-        F.col(group_col).isin([group_a, group_b])
-        & x.isNotNull() & ~F.isnan(x)
+        F.col(group_col).isin(groups) & x.isNotNull() & ~F.isnan(x)
     )
     vals = filt.groupBy(x.alias("__v")).agg(
-        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0))
-        .alias("__ca"),
-        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0))
-        .alias("__cb"),
+        *[
+            F.sum(F.when(F.col(group_col) == g, 1).otherwise(0))
+            .alias(f"__c{i}")
+            for i, g in enumerate(groups)
+        ]
     )
-    c = running_total(
-        running_total(vals, "__v", "__ca", "__cua"),
-        "__v", "__cb", "__cub",
+    c = running_totals(
+        vals,
+        "__v",
+        [f"__c{i}" for i in range(len(groups))],
+        [f"__cu{i}" for i in range(len(groups))],
     )
-    tot = vals.agg(
-        F.coalesce(F.sum("__ca"), F.lit(0)).alias("__na"),
-        F.coalesce(F.sum("__cb"), F.lit(0)).alias("__nb"),
+    # group totals = the max (= last) cumulative count: saves the
+    # separate re-scan of `vals` the chained formulation paid
+    tot = c.agg(
+        *[
+            F.coalesce(F.max(f"__cu{i}"), F.lit(0).cast("long"))
+            .alias(f"__n{i}")
+            for i in range(len(groups))
+        ]
     )
-    gap = F.abs(
-        F.col("__cua") / F.col("__na") - F.col("__cub") / F.col("__nb")
-    )
-    res = c.crossJoin(F.broadcast(tot)).agg(
-        F.max(F.when((F.col("__na") > 0) & (F.col("__nb") > 0), gap))
-        .alias("__d"),
-        F.max("__na").alias("n_a"),
-        F.max("__nb").alias("n_b"),
-    )
-    ne = (
-        F.col("n_a").cast("double") * F.col("n_b")
-        / (F.col("n_a") + F.col("n_b"))
-    )
-    p = F.least(
-        F.lit(1.0),
-        F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("__d") * F.col("__d") * ne),
-    )
+    aggs = []
+    for k, (a, b) in enumerate(pairs):
+        i, j = gi[a], gi[b]
+        gap = F.abs(
+            F.col(f"__cu{i}") / F.col(f"__n{i}")
+            - F.col(f"__cu{j}") / F.col(f"__n{j}")
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col(f"__n{i}") > 0) & (F.col(f"__n{j}") > 0), gap
+                )
+            ).alias(f"__d{k}")
+        )
+        aggs.append(F.max(f"__n{i}").alias(f"__na{k}"))
+        aggs.append(F.max(f"__n{j}").alias(f"__nb{k}"))
+    res = c.crossJoin(F.broadcast(tot)).agg(*aggs)
+    rows = []
+    for k, (a, b) in enumerate(pairs):
+        d = F.col(f"__d{k}")
+        ne = (
+            F.col(f"__na{k}").cast("double") * F.col(f"__nb{k}")
+            / (F.col(f"__na{k}") + F.col(f"__nb{k}"))
+        )
+        p = F.least(
+            F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * d * d * ne)
+        )
+        rows.append(
+            F.struct(
+                F.lit(f"{a}_vs_{b}").alias("test_id"),
+                F.round(d, int(round_to)).alias("d_stat"),
+                F.round(p, int(round_to)).alias("p_value"),
+                F.col(f"__na{k}").alias("n_a"),
+                F.col(f"__nb{k}").alias("n_b"),
+            )
+        )
     return res.select(
-        F.round("__d", int(round_to)).alias("d_stat"),
-        F.round(p, int(round_to)).alias("p_value"),
-        "n_a",
-        "n_b",
-    )
+        F.explode(F.array(*rows)).alias("__t")
+    ).select("__t.test_id", "__t.d_stat", "__t.p_value", "__t.n_a",
+             "__t.n_b")
 
 
 def ks_test_sql(
@@ -2040,6 +2104,12 @@ def fdr_bh(
 
     if not (0 < float(alpha) < 1):
         raise ValueError("alpha must be in (0, 1)")
+    # pin the test frame once: it is consumed by FOUR subtrees (m-count,
+    # distinct-p, the valid-row re-join, the invalid passthrough), each
+    # of which would otherwise recompute the caller's upstream pipeline
+    # (e.g. a whole KS battery) from scratch. The frame is one row per
+    # hypothesis — skinny at any scale.
+    df = df.localCheckpoint(eager=True)
     p = F.col(p_col).cast("double")
     valid = df.filter(p.isNotNull() & ~F.isnan(p))
     invalid = df.filter(p.isNull() | F.isnan(p))

@@ -3847,7 +3847,11 @@ def q_modularity(spark, sf_dir):
     bit-identical across engines."""
     from simba_spark.operators.graph import label_propagation, modularity
 
-    edges = _trade_edges(spark, sf_dir)
+    # one materialization of the orders⋈lineitem edge build for both
+    # consumers (label_propagation round 1 pins it at build time;
+    # modularity's once-distinct then reads the checkpoint instead of
+    # re-running the join+distinct)
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     labels = label_propagation(edges, iters=4)
     return modularity(edges, labels)
 

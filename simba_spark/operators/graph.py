@@ -390,7 +390,7 @@ def label_propagation(
     argmax = F.min_by(
         "label", F.struct((-F.col("__n")).alias("__o"), F.col("label"))
     )
-    for _ in range(int(iters)):
+    for it in range(int(iters)):
         nxt = (
             und.join(labels, und.b == labels.node)
             .groupBy(und.a.alias("node"), "label")
@@ -405,7 +405,12 @@ def label_propagation(
         # (iters stays the cap; oscillating assignments never trigger
         # this). The check is one node-keyed join over two
         # already-materialized |V|-row frames — far cheaper than a
-        # full |E|-row propagation round.
+        # full |E|-row propagation round. Skipped after the FINAL
+        # round: there is no round left to save, so the check there
+        # was a pure-overhead join+count job (round-11 opt).
+        if it == int(iters) - 1:
+            labels = nxt
+            break
         changed = (
             nxt.join(labels.select("node",
                                    F.col("label").alias("__old")),
@@ -1324,6 +1329,7 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    prev_cnt = None
     for _ in range(int(iters)):
         alive = (
             und.groupBy("a")
@@ -1343,10 +1349,16 @@ def k_core(
         # stays the cap, not the cost. One cheap count per round over
         # the just-materialized checkpoint blocks; measured 7.4×→
         # linear-ish growth at sf1 (the trade graph peels in 2 rounds,
-        # the other 4 were full-graph no-op shuffles).
-        if nxt.count() == und.count():
+        # the other 4 were full-graph no-op shuffles). The previous
+        # round's size is CARRIED instead of recounted (round-11 opt:
+        # halves the count jobs; the first round counts `und` once).
+        if prev_cnt is None:
+            prev_cnt = und.count()
+        cnt = nxt.count()
+        if cnt == prev_cnt:
             und = nxt
             break
+        prev_cnt = cnt
         und = nxt
     if assert_converged:
         stragglers = (
@@ -1499,6 +1511,9 @@ def k_truss(
             F.count(F.lit(1)).alias("support"))
 
     cur = ce
+    prev_cnt = None
+    done = False
+    sup = None
     for _ in range(int(iters)):
         sup = _support(cur)
         nxt = (
@@ -1507,12 +1522,25 @@ def k_truss(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        done = nxt.count() == cur.count()
+        # previous round's size carried instead of recounted (the
+        # k_core discipline)
+        if prev_cnt is None:
+            prev_cnt = cur.count()
+        cnt = nxt.count()
+        done = cnt == prev_cnt
+        prev_cnt = cnt
         cur = nxt
         if done:
             break
+    # at the fixpoint the last peeling round removed nothing, so the
+    # support frame it computed IS the support of the surviving edge
+    # set (nxt == cur as sets) — reuse it instead of re-running the
+    # whole triangle enumeration one more time (round-11 opt: one full
+    # O(m^1.5) pass saved on every converged call; the non-converged
+    # iters-exhausted path still recomputes on the final edges).
+    out_sup = sup if (done and sup is not None) else _support(cur)
     out = (
-        cur.join(_support(cur), ["a", "b"], "left")
+        cur.join(out_sup, ["a", "b"], "left")
         .select("a", "b",
                 F.coalesce(F.col("support"), F.lit(0).cast("long"))
                 .alias("support"))
@@ -2270,9 +2298,13 @@ def modularity(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    # EAGER: `once` feeds the main plan (within, deg) AND the m_tot
+    # broadcast future; a lazy checkpoint would let the concurrent
+    # future materialize the distinct a second time (the blocking_eval
+    # lesson)
     once = e.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().localCheckpoint(eager=True)
     lab = labels.select(F.col(node).alias("__n"),
                         F.col(label).alias("__l"))
     la = lab.select(F.col("__n").alias("a"), F.col("__l").alias("__la"))

@@ -386,6 +386,13 @@ def connected_components(
     )
     n_shuffle = int(pairs.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
+    # NOTE (round-11 measurement): a checkpoint's LogicalRDD drops the
+    # outputPartitioning in this PySpark, so the "edges never
+    # re-shuffle" claim below only holds when the planner broadcasts
+    # the labels side (it does at every measured scale — V ≪ E).
+    # persist() WOULD preserve the partitioning, but benched 1.2-1.7×
+    # SLOWER at sf0.1 AND sf1 (columnar cache build/scan overhead,
+    # broadcast made the elision moot) — measured and rejected.
     edges = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -402,33 +409,47 @@ def connected_components(
     )
 
     changed = None
-    for _ in range(int(max_iter)):
+    for r in range(int(max_iter)):
         neigh_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
-        prop = labels.join(neigh_min, labels.id == neigh_min.src, how="left").select(
+        prop = labels.join(
+            neigh_min, labels.id == neigh_min.src, how="left"
+        ).select(
             "id",
             F.col("component").alias("__old"),
             F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                F.col("component"),
+                F.coalesce(F.col("nmin"), F.col("component")),
             ).alias("__c1"),
         )
-        # pointer doubling: component <- label(component); halves the
-        # remaining chain each round => O(log diameter) total rounds
-        lol = labels.select(
-            F.col("id").alias("__cid"), F.col("component").alias("__cc")
-        )
-        new_labels = (
-            prop.join(lol, prop.__c1 == lol.__cid, how="left")
-            .select(
+        # pointer doubling: component <- label(component); halves
+        # the remaining chain each round => O(log diameter) total
+        # rounds. Round 0 skips the hop outright: labels map every
+        # id to itself, so label(__c1) == __c1 — the join was a
+        # provable identity (round-11 opt).
+        if r == 0:
+            upd = prop.select(
+                "id", F.col("__c1").alias("component"), "__old")
+        else:
+            lol = labels.select(
+                F.col("id").alias("__cid"),
+                F.col("component").alias("__cc"),
+            )
+            upd = prop.join(
+                lol, prop.__c1 == lol.__cid, how="left"
+            ).select(
                 "id",
                 F.least(
-                    F.col("__c1"), F.coalesce(F.col("__cc"), F.col("__c1"))
+                    F.col("__c1"),
+                    F.coalesce(F.col("__cc"), F.col("__c1")),
                 ).alias("component"),
                 F.col("__old"),
             )
+        new_labels = (
+            upd
             .withColumn(
                 "__chg",
                 (F.col("component") != F.col("__old")).cast("long"))

@@ -602,31 +602,34 @@ def betweenness_centrality(
         .limit(int(n_seeds))
         .select(F.col("node").alias("s"))
     )
-    # forward: exact hop distance per (seed, node), k_hop shape
-    dist = sd.select("s", F.col("s").alias("v"),
-                     F.lit(0).cast("int").alias("dist"))
+    # forward: level-synchronous BFS carrying exact path counts WITH
+    # the frontier (round-11 opt — the old shape ran one full
+    # min-distance pass over the whole reached set per level and then
+    # a second per-level join cascade just for σ; dist d's σ only ever
+    # depends on the dist-(d-1) frontier, so one join + one sum + one
+    # anti-join per level produces both). sigs[d] = exact σ per
+    # (seed, node at distance d), identical by construction: `frontier`
+    # IS the distance-(d-1) set and `new` (not-yet-reached neighbors)
+    # IS the distance-d set.
+    frontier = sd.select(
+        "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sig"))
+    sigs = [frontier]
+    reached = frontier.select("s", "v")
     for _ in range(int(depth)):
-        nxt = dist.join(und, dist.v == und.a).select(
-            "s", F.col("b").alias("v"), (F.col("dist") + 1).alias("dist"))
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("s", "v").agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
-        )
-    # σ per level: a node at dist d inherits path counts from its
-    # dist-(d-1) neighbors only
-    sigs = [dist.filter(F.col("dist") == 0).select(
-        "s", "v", F.lit(1).cast("long").alias("sig"))]
-    for d in range(1, int(depth) + 1):
-        lvl = dist.filter(F.col("dist") == d).select("s", "v")
-        prev = sigs[-1]
-        s_d = (
-            prev.join(und, prev.v == und.a)
+        nxt = (
+            frontier.join(und, frontier.v == und.a)
             .select("s", F.col("b").alias("v"), "sig")
-            .join(lvl, ["s", "v"])
             .groupBy("s", "v").agg(F.sum("sig").alias("sig"))
         )
-        sigs.append(s_d.localCheckpoint(eager=False))
+        frontier = (
+            nxt.join(reached, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        sigs.append(frontier)
+        reached = (
+            reached.unionByName(frontier.select("s", "v"))
+            .localCheckpoint(eager=False)
+        )
     # backward: fixed-point δ from the deepest level up
     SCALE = 1_000_000_000
     delta = sigs[int(depth)].select(

@@ -132,15 +132,21 @@ def pagerank(
     # edges pre-joined with the (static) out-degree of their source —
     # the per-iteration work is then a single skinny join on ranks
     e2 = e.join(out_deg, "src").localCheckpoint(eager=False)
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, how="left_anti"
-    ).localCheckpoint(eager=False)
+    # dangling flag folded into the node frame ONCE (round-11 opt): the
+    # per-iteration dangling-mass aggregate then filters the in-memory
+    # ranks RDD instead of semi-joining a dangling_nodes frame — one
+    # join (build + probe) fewer per iteration, same addend set
+    nodes = (
+        nodes.join(out_deg, nodes.node == out_deg.src, how="left")
+        .select("node", F.col("deg").isNull().alias("__dang"))
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(int(iters)):
         # rank mass sitting on dangling nodes, as a 1-row broadcast
-        dangling = ranks.join(dangling_nodes, "node", how="left_semi").agg(
+        dangling = ranks.filter("__dang").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         joined = e2.join(ranks, e2.src == ranks.node)
@@ -168,6 +174,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__dang",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -183,6 +190,8 @@ def pagerank(
         )
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    else:
+        ranks = ranks.select("node", "rank")
     return ranks
 
 
@@ -798,17 +807,22 @@ def personalized_pagerank(
         raise ValueError("no seed appears in the graph")
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e2 = e.join(out_deg, "src").localCheckpoint(eager=False)
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, how="left_anti"
-    ).select("node").localCheckpoint(eager=False)
+    # dangling flag folded into the node frame once (round-11 opt, same
+    # move as pagerank): the per-iteration mass aggregate filters the
+    # in-memory ranks RDD instead of semi-joining a dangling_nodes frame
+    nodes = (
+        nodes.join(out_deg, nodes.node == out_deg.src, how="left")
+        .select("node", "__is_seed", F.col("deg").isNull().alias("__dang"))
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nodes.withColumn(
         "rank",
         F.when(F.col("__is_seed") == 1, F.lit(1.0 / s)).otherwise(F.lit(0.0)),
-    ).select("node", "rank")
+    ).select("node", "__dang", "rank")
     base = (1.0 - damping) / s
     for _ in range(int(iters)):
-        dangling = ranks.join(dangling_nodes, "node", how="left_semi").agg(
+        dangling = ranks.filter("__dang").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contribs = (
@@ -821,6 +835,7 @@ def personalized_pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__dang",
                 (
                     F.col("__is_seed")
                     * (F.lit(base) + F.lit(damping) * F.col("__dm") / F.lit(float(s)))
@@ -831,6 +846,8 @@ def personalized_pagerank(
         )
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    else:
+        ranks = ranks.select("node", "rank")
     return ranks
 
 

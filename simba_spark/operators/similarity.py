@@ -194,7 +194,12 @@ def _centroid_d2_array(vec_col, centroids) -> "Column":
     vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     d2s = []
     for c in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        # ONE F.expr per centroid literal array (round-11 opt: the
+        # per-element F.lit loop cost C x d py4j round-trips — seconds
+        # of driver time per query at 8 x 64; repr() round-trips the
+        # exact double bits, so the parsed literal is identical)
+        lit = F.expr(
+            "array(" + ", ".join(repr(float(x)) + "D" for x in c) + ")")
         d2s.append(
             F.aggregate(
                 F.zip_with(vc, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
@@ -630,19 +635,41 @@ def ivf_knn_join(
     # cosine_sim) ranked rows — an asymmetry, not a semantics
     dim = len(cents[0])
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == int(dim))
+    # norms are computed per ROW here, not per candidate pair (round-11
+    # opt: cosine_similarity re-derived both norms for every pair — 3
+    # array folds per candidate; with |list| candidates per probe
+    # that's 2x|list| redundant folds per left row). Same bits: the
+    # norm expression is unchanged, just projected once per side, and
+    # sim keeps the exact dot/(na*nb) tree shape.
     la = left.filter(valid).select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"),
+        vec_norm(vec_col).alias("__na"),
         F.explode(_centroid_probe_col(vec_col, cents, nprobe))
         .alias("__ivf"),
     )
     rb = assigned.filter(valid).select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"),
+        vec_norm(vec_col).alias("__nb"),
         "__ivf",
     )
+    # scale-adaptive parallelism for the candidate stage (guide §2.5):
+    # a small probe frame arrives in 1-2 scan partitions (one parquet
+    # split), so the per-pair dot products of the broadcast join run
+    # on ONE core. Repartitioning is plan-time size-guarded: a big
+    # probe frame already has natural scan parallelism and skipping
+    # the exchange avoids re-shuffling it at scale.
+    try:
+        est = int(la._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        est = None
+    if est is not None and est < (256 << 20):
+        la = la.repartition(left.sparkSession.sparkContext.defaultParallelism)
     cand = la.join(rb, "__ivf")
     if self_join:
         cand = cand.filter(F.col("a_id") != F.col("b_id"))
-    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    sim = F.round(
+        vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
     w = Window.partitionBy("a_id").orderBy(
         F.col("cosine_sim").desc(), F.col("b_id").asc()
     )
@@ -724,11 +751,20 @@ def ivfpq_knn_join(
                     F.when(F.sqrt(sq) > 0, F.sqrt(sq)).otherwise(F.lit(1.0)))
         .select(
             F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"),
+            vec_norm(vec_col).alias("__na"),
             F.transform(vcast, lambda x: x / F.col("__nrm")).alias("__van"),
             F.explode(_centroid_probe_col(vec_col, cents, nprobe))
             .alias("__ivf"),
         )
     )
+    # same size-guarded probe-frame repartition as ivf_knn_join (§2.5)
+    try:
+        est = int(la._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        est = None
+    if est is not None and est < (256 << 20):
+        la = la.repartition(left.sparkSession.sparkContext.defaultParallelism)
     cand = la.join(codes, "__ivf")
     if self_join:
         cand = cand.filter(F.col("a_id") != F.col("b_id"))
@@ -740,9 +776,13 @@ def ivfpq_knn_join(
         cand = (cand.withColumn("__srank", F.row_number().over(ws))
                 .filter(F.col("__srank") <= int(shortlist)))
     rb = r.filter(valid).select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
-    rer = cand.select("a_id", "__va", "b_id").join(rb, "b_id")
-    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"),
+        vec_norm(vec_col).alias("__nb"))
+    # per-side norms, not per-pair (same round-11 move as ivf_knn_join;
+    # identical expression trees, so identical bits)
+    rer = cand.select("a_id", "__va", "__na", "b_id").join(rb, "b_id")
+    sim = F.round(
+        vec_dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
     w = Window.partitionBy("a_id").orderBy(
         F.col("cosine_sim").desc(), F.col("b_id").asc()
     )

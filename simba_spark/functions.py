@@ -243,6 +243,27 @@ def cosine_similarity(a, b) -> Column:
     return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
+def parallelize_small(df, threshold_bytes: int = 256 << 20):
+    """Round-robin repartition a SMALL frame to the session's default
+    parallelism, so compute-dense downstream expressions (per-pair
+    distances, grid keying, quantizer assignment) spread across cores
+    instead of inheriting a one-split small-file scan.
+
+    Plan-time size-guarded (``optimizedPlan().stats().sizeInBytes()``,
+    no job runs): a frame estimated over ``threshold_bytes`` already
+    has natural scan/shuffle parallelism, and skipping the exchange
+    means nothing extra is shuffled at scale — the guard is what makes
+    this scale-adaptive rather than a local[32] constant."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:
+        return df
+    if est >= int(threshold_bytes):
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface: st_* registration (SURVEY §2.6 "Our PySpark surface")
 

@@ -415,8 +415,15 @@ def geo_distance_join(
             " — disambiguate with left_prefix/right_prefix")
     dlat = r / _KM_PER_DEG
 
-    lk = _geo_keyed(left, lat_l, lon_l, r, replicate=True)
-    rk = _geo_keyed(right, lat_r, lon_r, r, replicate=False)
+    # size-guarded parallelism (round-11 opt): small inputs arrive in
+    # one parquet split, putting the replicate-explode AND the per-pair
+    # haversine refine on ONE core; big inputs skip the exchange
+    from ..functions import parallelize_small
+
+    lk = _geo_keyed(parallelize_small(left), lat_l, lon_l, r,
+                    replicate=True)
+    rk = _geo_keyed(parallelize_small(right), lat_r, lon_r, r,
+                    replicate=False)
     joined = lk.join(rk, on=["__gb", "__gc"])
     dist = haversine_km(
         F.col(lat_l).cast("double"), F.col(lon_l).cast("double"),

@@ -27,7 +27,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity, vec_dot, vec_norm
+from ..functions import (cosine_similarity, parallelize_small, vec_dot,
+                         vec_norm)
 
 
 def _query_lit(query_vec: Sequence[float]):
@@ -655,16 +656,9 @@ def ivf_knn_join(
     # scale-adaptive parallelism for the candidate stage (guide §2.5):
     # a small probe frame arrives in 1-2 scan partitions (one parquet
     # split), so the per-pair dot products of the broadcast join run
-    # on ONE core. Repartitioning is plan-time size-guarded: a big
-    # probe frame already has natural scan parallelism and skipping
-    # the exchange avoids re-shuffling it at scale.
-    try:
-        est = int(la._jdf.queryExecution().optimizedPlan()
-                  .stats().sizeInBytes())
-    except Exception:
-        est = None
-    if est is not None and est < (256 << 20):
-        la = la.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    # on ONE core; the size guard keeps big probe frames on their
+    # natural scan parallelism with no extra exchange.
+    la = parallelize_small(la)
     cand = la.join(rb, "__ivf")
     if self_join:
         cand = cand.filter(F.col("a_id") != F.col("b_id"))
@@ -758,13 +752,7 @@ def ivfpq_knn_join(
         )
     )
     # same size-guarded probe-frame repartition as ivf_knn_join (§2.5)
-    try:
-        est = int(la._jdf.queryExecution().optimizedPlan()
-                  .stats().sizeInBytes())
-    except Exception:
-        est = None
-    if est is not None and est < (256 << 20):
-        la = la.repartition(left.sparkSession.sparkContext.defaultParallelism)
+    la = parallelize_small(la)
     cand = la.join(codes, "__ivf")
     if self_join:
         cand = cand.filter(F.col("a_id") != F.col("b_id"))

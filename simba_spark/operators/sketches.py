@@ -1120,13 +1120,22 @@ def cm_sketch(
     NULL items are excluded (COUNT(col) semantics).
     """
     assert depth >= 1 and width >= 2
+    from ..functions import parallelize_small
+
     groups = list(group_by or [])
     buckets = F.array(*[
         F.pmod(_hash60(col, seed + j), F.lit(int(width)))
         for j in range(int(depth))
     ])
+    # project to the needed columns FIRST, then size-guarded round-robin
+    # (round-11 opt): the depth md5 hashes per row are compute-dense,
+    # and a small input otherwise runs them at its scan's 1-3 split
+    # parallelism; the pre-projection keeps the guarded exchange to
+    # (groups, col) bytes only
+    base = parallelize_small(
+        df.filter(F.col(col).isNotNull()).select(*(groups + [col])))
     return (
-        df.filter(F.col(col).isNotNull())
+        base
         .select(*groups, F.posexplode(buckets).alias("__cm_d", "__cm_b"))
         .groupBy(*groups, "__cm_d", "__cm_b")
         .agg(F.count(F.lit(1)).alias("__cm_n"))

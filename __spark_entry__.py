@@ -3362,23 +3362,20 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficient(_trade_edges(spark, sf_dir))
 
 
-_HYPERBALL_CACHE: dict = {}
-
-
 def _trade_hyperball(spark, sf_dir):
-    """The SHARED HyperBall register trajectory (iters=4, p=6) over
-    the directed trade graph — hyperanf, harmonic_centrality, and
-    effective_diameter all derive from these localCheckpoint'd round
-    frames, so a session running all three pays the merge rounds ONCE
-    (graph.hyperball_sketches; the round-9 factoring VERDICT r8 #3
-    asked for). Memoized per (session, sf_dir) like _LAYOUT_CACHE."""
+    """The HyperBall register trajectory (iters=4, p=6) over the
+    directed trade graph — hyperanf, harmonic_centrality, and
+    effective_diameter each derive from these localCheckpoint'd round
+    frames (graph.hyperball_sketches). Computed FRESH per call: the
+    round-9 (session, sf_dir) memo made bench reps 2+ of the three
+    consumer queries reuse a materialized trajectory instead of
+    computing from parquet, which the optimization round's
+    no-cross-run-caching rule forbids — sharing now happens only
+    WITHIN one query invocation (the checkpointed round frames feed
+    that query's several consumers once)."""
     from simba_spark.operators.graph import hyperball_sketches
 
-    key = (id(spark), sf_dir)
-    if key not in _HYPERBALL_CACHE:
-        _HYPERBALL_CACHE[key] = hyperball_sketches(
-            _trade_edges(spark, sf_dir), iters=4, p=6)
-    return _HYPERBALL_CACHE[key]
+    return hyperball_sketches(_trade_edges(spark, sf_dir), iters=4, p=6)
 
 
 def q_bpe_fertility(spark, sf_dir):
@@ -3395,23 +3392,21 @@ def q_bpe_fertility(spark, sf_dir):
     return bpe_fertility(docs, merges)
 
 
-_LOUVAIN1_CACHE: dict = {}
-
-
 def _trade_louvain1(spark, sf_dir):
-    """The SHARED Louvain level-1 assignment (iters=4) over the trade
-    graph — `q_louvain` returns it and `q_louvain_levels` injects it
-    as the first level of the multi-level pipeline, so a session
-    running both pays the dominant move rounds ONCE (VERDICT r10 #3;
-    the _trade_hyperball shape). Memoized per (session, sf_dir)."""
+    """The Louvain level-1 assignment (iters=4) over the trade graph —
+    `q_louvain` returns it and `q_louvain_levels` injects it as the
+    first level of the multi-level pipeline (graph.louvain's
+    ``level1=`` seam). Computed FRESH per call: the round-11 build
+    session's (session, sf_dir) memo let bench reps of BOTH queries
+    reuse one materialized assignment instead of computing from
+    parquet, which the optimization round's no-cross-run-caching rule
+    forbids. The ``level1=`` parameter stays a library feature for
+    callers that legitimately hold a precomputed assignment."""
     from simba_spark.operators.graph import louvain_moves
 
-    key = (id(spark), sf_dir)
-    if key not in _LOUVAIN1_CACHE:
-        _LOUVAIN1_CACHE[key] = louvain_moves(
-            _trade_edges(spark, sf_dir), iters=4
-        ).localCheckpoint(eager=False)
-    return _LOUVAIN1_CACHE[key]
+    return louvain_moves(
+        _trade_edges(spark, sf_dir), iters=4
+    ).localCheckpoint(eager=False)
 
 
 def q_louvain(spark, sf_dir):
@@ -3420,8 +3415,7 @@ def q_louvain(spark, sf_dir):
     graph, md5 bucket schedule (half the nodes move per round, the
     parallel-Louvain anti-swap discipline), strict-positive-gain
     acceptance, smallest-community tie-break — beats label_prop's
-    plurality rule on Newman modularity (asserted in tests). Served
-    from the shared level-1 pass (_trade_louvain1)."""
+    plurality rule on Newman modularity (asserted in tests)."""
     return _trade_louvain1(spark, sf_dir)
 
 
@@ -3433,9 +3427,9 @@ def q_louvain_levels(spark, sf_dir):
     best level by an EXACT integer modularity score (4m·W_in − Σd_c²,
     HUGEINT/decimal both engines), so Q >= the one-level q_louvain row
     by construction. Level 2 runs on the contracted graph — one node
-    per level-1 community. Level 1 is INJECTED from the shared pass
-    (_trade_louvain1 — bit-identical to computing it here, asserted in
-    tests), so a session also running q_louvain pays it once."""
+    per level-1 community. Level 1 is INJECTED via the operator's
+    ``level1=`` seam (_trade_louvain1 — bit-identical to computing it
+    inside ``louvain``, asserted in tests)."""
     from simba_spark.operators.graph import louvain
 
     return louvain(_trade_edges(spark, sf_dir), iters=4, levels=2,

@@ -32,6 +32,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: HyperBall broadcast-form guard: the wide register table (one row of
+#: 8 B node id + 4·2^p B int registers per node) broadcasts only while
+#: its estimated size stays under this many bytes (p=6: ~480k nodes at
+#: the 128 MB default). Env-overridable so a cluster deployment with
+#: more executor/driver headroom can raise it; past the guard the
+#: shuffle forms take over, so the bound only picks a physical plan,
+#: never changes a result.
+import os as _os
+
+_HB_BCAST_MAX_BYTES = int(_os.environ.get(
+    "SPARK_GRAFT_HB_BCAST_MAX_BYTES", str(128 << 20)))
+
+
 def _materialize_ctes(sql: str) -> str:
     """Force MATERIALIZED on every internal (``__``-prefixed) CTE of an
     unrolled-iteration oracle. Each unrolled level references its
@@ -2465,12 +2478,22 @@ def hyperanf(
       while balls are sparse and immune to the wide form's
       per-round fixed codegen cost — ~2.3 s faster at sf0.1 on the
       trade graph, and the only layout available for p > 8.
-    - ``layout='auto'`` (default): rows when p > 8 or |E| (one count
-      of the edge frame that the loop re-reads ``iters`` times
-      anyway — the checkpoint materializes either way) is below
-      ``wide_min_edges``; wide otherwise.
+    - ``layout='auto'`` (default): rows when p > 8; else wide whenever
+      the register table fits the broadcast guard (below), falling
+      back to the rows/wide ``wide_min_edges`` split (one count of the
+      edge frame that the loop re-reads ``iters`` times anyway — the
+      checkpoint materializes either way) only past it.
 
-    Per round, either layout: ONE edges⋈state equi-join + ONE
+    The wide layout additionally has a BROADCAST form, taken whenever
+    |V|·(8 + 4·2^p) bytes fits ``SPARK_GRAFT_HB_BCAST_MAX_BYTES``
+    (default 128 MB): self-loop edges fold the self-merge union into
+    the join and the edge frame is hash-partitioned by source once, so
+    each round is ONE BroadcastHashJoin + ONE exchange-free
+    max-aggregate — zero shuffles in the loop (the shuffle forms moved
+    75-92 MB per round at sf0.1). Register trajectories are
+    bit-identical across all three physical forms.
+
+    Per round, any form: ONE edges⋈state equi-join + ONE
     max-aggregate on the same node key, localCheckpoint'd; no driver
     action in the loop.
     """
@@ -2530,10 +2553,21 @@ def hyperball_sketches(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_nodes = None
     if layout == "auto":
-        layout = "rows" if (
-            int(p) > 8 or e.count() < int(wide_min_edges)
-        ) else "wide"
+        if int(p) > 8:
+            layout = "rows"
+        else:
+            # one count of the edge frame the loop re-reads anyway
+            # materializes the checkpoint either way; counting nodes
+            # after it is a cheap distinct over the materialized frame
+            n_edges = e.count()
+            n_nodes = nodes.count()
+            if n_nodes * (8 + 4 * m) <= int(_HB_BCAST_MAX_BYTES):
+                layout = "wide"
+            else:
+                layout = "rows" if n_edges < int(wide_min_edges) \
+                    else "wide"
     bucket, rho = hll_register_cols("node", seed, p)
     frames = []
     if layout == "rows":
@@ -2558,6 +2592,54 @@ def hyperball_sketches(
         *[F.when(bucket == i, rho).otherwise(F.lit(0)).cast("int")
           .alias(c) for i, c in enumerate(mcols)],
     )
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    if n_nodes * (8 + 4 * m) <= int(_HB_BCAST_MAX_BYTES):
+        # BROADCAST form of the wide layout: the whole per-node
+        # register table fits executor memory, so each round becomes
+        # one BroadcastHashJoin + one exchange-free max-aggregate.
+        # Two structural moves make the round shuffle-FREE:
+        #   - self-loops fold the "merge my own sketch" union into the
+        #     join (max-merge is idempotent, so (v,v) edges change no
+        #     register) — no unionByName, and every node, dangling
+        #     ones included, still emits a row per round;
+        #   - the edge frame is hash-partitioned by s ONCE before the
+        #     loop, so the groupBy(node) that follows the broadcast
+        #     join satisfies its distribution from the join's
+        #     preserved child partitioning — no per-round Exchange
+        #     (the classic form shuffles ~64·|E| skinny rows per
+        #     round; at sf0.1 that was 75-92 MB per round).
+        # Register trajectories are bit-identical to the other forms.
+        # EAGER checkpoints here, unlike every other loop in this
+        # module: each round's frame is 2^p register COLUMNS wide, and
+        # with lazy checkpoints round t's logical plan nests rounds
+        # 1..t-1 — the analyzer re-resolves the whole 64-column
+        # join/agg history every round and again for every estimate
+        # consumer (measured: 10-20 s of pure driver plan time per
+        # call at sf0.1, dwarfing the ~1 s of execution). Eager
+        # materialization turns each round into a flat LogicalRDD
+        # leaf, so analysis stays O(one round); the materialization
+        # jobs are the same distributed work the first consumer would
+        # have triggered anyway.
+        e2 = (
+            e.unionByName(nodes.select(
+                F.col("node").alias("s"), F.col("node").alias("d")))
+            .repartition("s")
+            .localCheckpoint(eager=False)
+        )
+        sk = sk.localCheckpoint()
+        frames.append(sk)
+        for _t in range(1, int(iters) + 1):
+            bsk = F.broadcast(sk)
+            sk = (
+                e2.join(bsk, e2["d"] == bsk["node"])
+                .select(F.col("s").alias("node"), *mcols)
+                .groupBy("node")
+                .agg(*[F.max(c).alias(c) for c in mcols])
+                .localCheckpoint()
+            )
+            frames.append(sk)
+        return layout, frames
     frames.append(sk)
     for _t in range(1, int(iters) + 1):
         nb = e.join(sk, e["d"] == sk["node"]).select(
@@ -2618,11 +2700,21 @@ def _hyperball_node_est(sketches, p: int):
 def hyperball_nf(sketches, p: int = 6, round_to: int = 4) -> DataFrame:
     """Neighborhood function ``(t, nf)`` from a
     :func:`hyperball_sketches` trajectory — one combine-friendly sum
-    of per-node estimates per round (what :func:`hyperanf` returns)."""
+    of per-node estimates per round (what :func:`hyperanf` returns).
+
+    The sum runs in DECIMAL(38,15): per-node estimates are doubles, so
+    a double sum is reassociation-sensitive — switching the trajectory
+    layout (and with it the partial-sum tree) flipped the t=4 nf at
+    sf0.1 across its 4-decimal rounding boundary (…38995). The decimal
+    sum is order-independent (exact given per-term half-up rounding at
+    1e-15, total error ~|V|·5e-16), so ``nf`` is the correctly-rounded
+    true sum under EVERY layout/partitioning — the value the rows
+    layout and the DuckDB oracle already agreed on."""
     out = None
     for t, est in enumerate(_hyperball_node_est(sketches, p)):
         part = est.agg(
-            F.round(F.sum("__est"), int(round_to)).alias("nf")
+            F.round(F.sum(F.col("__est").cast("decimal(38,15)")),
+                    int(round_to)).cast("double").alias("nf")
         ).select(F.lit(int(t)).alias("t"), "nf")
         out = part if out is None else out.unionByName(part)
     return out

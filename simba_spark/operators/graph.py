@@ -1721,16 +1721,26 @@ def louvain_moves(
     ).localCheckpoint(eager=False)
     for r in range(int(iters)):
         tot = comm.groupBy("community").agg(F.sum("__deg").alias("__tot"))
-        kic = (
+        # k_{i,C} and the own-community candidate in ONE aggregation:
+        # edge rows contribute 1 per neighbor in C, the union'd own-row
+        # contributes 0, so sum(__k) == the old count-then-max chain
+        # (exact integer arithmetic — bit-identical). The explicit
+        # repartition("node") makes every downstream step of the round
+        # reuse hash(node): the (node, __c) groupBy is satisfied by it
+        # (subset clustering), tot/comm join broadcast, and the final
+        # argmax groupBy(node) needs no exchange — ONE shuffle per
+        # round where the count/max/argmax chain took three.
+        cand = (
             und.join(comm.select(F.col("node").alias("b"),
                                  F.col("community").alias("__c")), "b")
-            .groupBy(F.col("a").alias("node"), "__c")
-            .agg(F.count(F.lit(1)).alias("__k"))
+            .select(F.col("a").alias("node"), "__c",
+                    F.lit(1).cast("long").alias("__k"))
+            .unionByName(
+                comm.select("node", F.col("community").alias("__c"),
+                            F.lit(0).cast("long").alias("__k")))
+            .repartition("node")
+            .groupBy("node", "__c").agg(F.sum("__k").alias("__k"))
         )
-        cand = kic.unionByName(
-            comm.select("node", F.col("community").alias("__c"),
-                        F.lit(0).cast("long").alias("__k"))
-        ).groupBy("node", "__c").agg(F.max("__k").alias("__k"))
         scored = (
             cand.join(tot.select(F.col("community").alias("__c"), "__tot"),
                       "__c")
@@ -1878,16 +1888,20 @@ def _louvain_weighted_moves(ew, nodes_deg, two_m, iters: int):
     ).localCheckpoint(eager=False)
     for r in range(int(iters)):
         tot = comm.groupBy("community").agg(F.sum("__deg").alias("__tot"))
-        kic = (
+        # fused k_{i,C} + own-community candidate, one hash(node)
+        # shuffle per round — the louvain_moves rewrite at w != 1
+        # (sum(w) replaces the edge count; the own-row contributes 0,
+        # so sum == the old sum-then-max chain, exact integers)
+        cand = (
             ew.join(comm.select(F.col("node").alias("b"),
                                 F.col("community").alias("__c")), "b")
-            .groupBy(F.col("a").alias("node"), "__c")
-            .agg(F.sum("w").alias("__k"))
+            .select(F.col("a").alias("node"), "__c", "w")
+            .unionByName(
+                comm.select("node", F.col("community").alias("__c"),
+                            F.lit(0).cast("long").alias("w")))
+            .repartition("node")
+            .groupBy("node", "__c").agg(F.sum("w").alias("__k"))
         )
-        cand = kic.unionByName(
-            comm.select("node", F.col("community").alias("__c"),
-                        F.lit(0).cast("long").alias("__k"))
-        ).groupBy("node", "__c").agg(F.max("__k").alias("__k"))
         scored = (
             cand.join(tot.select(F.col("community").alias("__c"), "__tot"),
                       "__c")

@@ -336,9 +336,18 @@ GROUPS = {
 #: inflated from in-session pressure even with per-rep gc (BENCH_r09:
 #: bpe_fertility 4.4/4.7/10.1 s, clustering_coeff_capped 3.6/3.2/7.1 s
 #: — third reps only). 7 queries per JVM bounds accumulated state the
-#: same way the sf1 capture's SPARK_GRAFT_BENCH_CHUNK run does; the
-#: older groups stay whole-group for round-over-round comparability.
-GROUP_CHUNK = {"r9": 7, "r10": 7, "r11": 7}
+#: same way the sf1 capture's SPARK_GRAFT_BENCH_CHUNK run does.
+#: Round 11 extends the policy to "post" and "r8late": the round-9
+#: cross-query trajectory memo was removed this round (it amounted to
+#: result caching across bench reps), which moved the full HyperBall
+#: recompute into those two group JVMs — and their whole-group
+#: sessions then inflated NEIGHBORING rows whose code did not change
+#: (k_core +1.5 s, label_prop +1.4 s, shortest_paths +1.3 s, and the
+#: trio itself 2-8x vs isolated, r11 full captures) exactly like the
+#: round-9 drift that introduced chunking. Isolation restores honest
+#: per-query numbers; "legacy" stays whole-group because the
+#: legacy_r3_total_sec subtotal is the round-3 comparable unit.
+GROUP_CHUNK = {"post": 7, "r8late": 7, "r9": 7, "r10": 7, "r11": 7}
 
 
 def _bench_overrides():

@@ -384,8 +384,6 @@ def connected_components(
     e = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
-    n_shuffle = int(pairs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
     # NOTE (round-11 measurement): a checkpoint's LogicalRDD drops the
     # outputPartitioning in this PySpark, so the "edges never
     # re-shuffle" claim below only holds when the planner broadcasts
@@ -393,18 +391,25 @@ def connected_components(
     # persist() WOULD preserve the partitioning, but benched 1.2-1.7×
     # SLOWER at sf0.1 AND sf1 (columnar cache build/scan overhead,
     # broadcast made the elision moot) — measured and rejected.
+    # The repartitions deliberately carry NO explicit partition count:
+    # pinning spark.sql.shuffle.partitions here defeated AQE partition
+    # coalescing, so every V-scale label frame shuffled at the full
+    # session width — on a 1 000-node graph each of the 16 rounds ran
+    # ~130 near-empty tasks (dbscan's cc loop: 14.4 -> 9.4 s warm just
+    # from letting AQE size the exchanges; at cluster scale AQE grows
+    # them back from the same advisory-size rule).
     edges = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .repartition(n_shuffle, "dst")
+        .repartition("dst")
         .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = (
         nodes.withColumn("component", F.col("id"))
-        .repartition(n_shuffle, "id")
+        .repartition("id")
         .localCheckpoint(eager=True)
     )
 
@@ -454,7 +459,7 @@ def connected_components(
                 "__chg",
                 (F.col("component") != F.col("__old")).cast("long"))
             .drop("__old")
-            .repartition(n_shuffle, "id")
+            .repartition("id")
             .localCheckpoint(eager=True)
         )
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0

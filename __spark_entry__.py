@@ -3427,13 +3427,17 @@ def q_louvain_levels(spark, sf_dir):
     best level by an EXACT integer modularity score (4m·W_in − Σd_c²,
     HUGEINT/decimal both engines), so Q >= the one-level q_louvain row
     by construction. Level 2 runs on the contracted graph — one node
-    per level-1 community. Level 1 is INJECTED via the operator's
-    ``level1=`` seam (_trade_louvain1 — bit-identical to computing it
-    inside ``louvain``, asserted in tests)."""
+    per level-1 community. Level 1 is computed INSIDE ``louvain`` (the
+    weighted kernel at w=1 — bit-identical to the injected
+    louvain_moves form, asserted in tests): the round-9 ``level1=``
+    injection existed to share one materialized assignment with
+    q_louvain across bench reps, which the no-cross-run-caching rule
+    removed; without the sharing it only cost a SECOND _trade_edges
+    materialization plus a duplicate symmetric-adjacency build
+    (~2-3 s at sf0.1) on top of the in-operator level 1."""
     from simba_spark.operators.graph import louvain
 
-    return louvain(_trade_edges(spark, sf_dir), iters=4, levels=2,
-                   level1=_trade_louvain1(spark, sf_dir))
+    return louvain(_trade_edges(spark, sf_dir), iters=4, levels=2)
 
 
 _FDR_PAIRS = [("click", "view"), ("click", "purchase"),

@@ -1549,9 +1549,12 @@ def k_truss(
     sup = None
     for _ in range(int(iters)):
         sup = _support(cur)
+        # every support row's (a, b) comes from a triangle INSIDE cur,
+        # so sup's key set is a subset of cur's edge set and the
+        # cur-join is an identity: filtering sup directly is the same
+        # edge set with one fewer join+shuffle per round (round-11 opt)
         nxt = (
-            cur.select("a", "b").join(sup, ["a", "b"])
-            .filter(F.col("support") >= int(k) - 2)
+            sup.filter(F.col("support") >= int(k) - 2)
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
@@ -1571,14 +1574,22 @@ def k_truss(
     # whole triangle enumeration one more time (round-11 opt: one full
     # O(m^1.5) pass saved on every converged call; the non-converged
     # iters-exhausted path still recomputes on the final edges).
-    out_sup = sup if (done and sup is not None) else _support(cur)
-    out = (
-        cur.join(out_sup, ["a", "b"], "left")
-        .select("a", "b",
-                F.coalesce(F.col("support"), F.lit(0).cast("long"))
-                .alias("support"))
-        .localCheckpoint(eager=False)
-    )
+    if done and sup is not None:
+        # converged: cur == sup.filter(support >= k-2) by construction
+        # (the last round removed nothing), so the filtered support
+        # frame IS the output — no re-join against cur needed
+        out = sup.filter(F.col("support") >= int(k) - 2).select(
+            "a", "b", "support").localCheckpoint(eager=False)
+    else:
+        # iters exhausted: recompute support on the final edge set;
+        # cur may hold triangle-free edges, hence the left join + 0
+        out = (
+            cur.join(_support(cur), ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce(F.col("support"), F.lit(0).cast("long"))
+                    .alias("support"))
+            .localCheckpoint(eager=False)
+        )
     if assert_converged:
         stragglers = (
             out.filter(F.col("support") < int(k) - 2).limit(1).count()

@@ -379,7 +379,22 @@ def prf_expand(
         )
         .filter(F.col("term") != "")
     )
-    fbt = toks.join(F.broadcast(fbids), "__id")
+    # explode ONLY the k_docs feedback documents: the broadcast semi-
+    # join commutes with the explode (both keep exactly the feedback
+    # ids' token rows), and filtering the document frame FIRST saves a
+    # full-corpus tokenize pass (round-11 opt, guide §2.3 project/
+    # filter before the expensive op)
+    fbt = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .join(F.broadcast(fbids), "__id")
+        .select(
+            "__id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
     dl = fbt.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
     mass = (
         fbt.groupBy("__id", "term")

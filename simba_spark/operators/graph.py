@@ -44,6 +44,30 @@ import os as _os
 _HB_BCAST_MAX_BYTES = int(_os.environ.get(
     "SPARK_GRAFT_HB_BCAST_MAX_BYTES", str(128 << 20)))
 
+#: Closing-edge broadcast bound for the wedge-check triangle kernels
+#: (clustering_coefficient; measured counterproductive in k_truss's
+#: per-round support — see the comment there): the wedge frame is
+#: O(m^1.5) rows and its equi-join against the m-row edge set is the
+#: dominant shuffle; broadcasting the EDGE side (when an exact row
+#: count says ~64 B/row fits this bound) lets the wedges stream
+#: through a BroadcastHashJoin and never hit the wire. AQE's own
+#: SMJ->BHJ conversion fires only AFTER the wedge exchange is
+#: materialized, so the explicit hint — not AQE — is what removes the
+#: big write. Row-count-guarded, env-overridable: at cluster scale
+#: (m over ~2M edges) the plain shuffle join returns unchanged.
+_EDGE_BCAST_MAX_BYTES = int(_os.environ.get(
+    "SPARK_GRAFT_EDGE_BCAST_MAX_BYTES", str(128 << 20)))
+
+
+def _bcast_edges_if_small(df: "DataFrame", n_rows: int) -> "DataFrame":
+    """Broadcast-hint an edge frame when an exact count says it fits
+    ``_EDGE_BCAST_MAX_BYTES`` at ~64 bytes per (long, long) hashed row;
+    otherwise return it untouched (same result either way — the hint
+    only picks the physical join)."""
+    if int(n_rows) * 64 <= _EDGE_BCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df
+
 
 def _materialize_ctes(sql: str) -> str:
     """Force MATERIALIZED on every internal (``__``-prefixed) CTE of an
@@ -1530,6 +1554,11 @@ def k_truss(
             "u", "v", "w",
             F.least("v", "w").alias("x"), F.greatest("v", "w").alias("y"),
         )
+        # closing probe stays a plain semi-join: broadcasting the edge
+        # side (the clustering_coefficient move) was measured ~1 s
+        # SLOWER here — the peeling loop is plan/driver-bound on
+        # rapidly-shrinking graphs, so the per-round broadcast build
+        # costs more than the saved shuffle (round-11 A/B, rejected)
         tri = wedge.join(
             cur.select(F.col("a").alias("x"), F.col("b").alias("y")),
             ["x", "y"], "left_semi")
@@ -3103,8 +3132,14 @@ def clustering_coefficient(
     o1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
     o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
     wedges = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+    # the closing probe is m rows against an O(m^1.5) wedge frame:
+    # broadcast the edge side when the exact count admits it, so the
+    # wedge frame never shuffles (round-11 opt, guide §3.1; the count
+    # materializes the checkpoint und every consumer needs anyway)
     closed = wedges.join(
-        und.select(F.col("a").alias("w1"), F.col("b").alias("w2")),
+        _bcast_edges_if_small(
+            und.select(F.col("a").alias("w1"), F.col("b").alias("w2")),
+            und.count()),
         on=["w1", "w2"],
         how="inner",
     )

@@ -3375,7 +3375,13 @@ def _trade_hyperball(spark, sf_dir):
     that query's several consumers once)."""
     from simba_spark.operators.graph import hyperball_sketches
 
-    return hyperball_sketches(_trade_edges(spark, sf_dir), iters=4, p=6)
+    # assume_distinct: _trade_edges is distinct by construction (cs is
+    # .distinct() and the back-edge set lives in a disjoint (src, dst)
+    # id range), so the operator's dedup exchange would re-shuffle
+    # 782k already-unique pairs per query for nothing. Cost-only seam:
+    # max-merge is idempotent, duplicates could never change registers.
+    return hyperball_sketches(_trade_edges(spark, sf_dir), iters=4, p=6,
+                              assume_distinct=True)
 
 
 def q_bpe_fertility(spark, sf_dir):

@@ -349,6 +349,123 @@ GROUPS = {
 #: legacy_r3_total_sec subtotal is the round-3 comparable unit.
 GROUP_CHUNK = {"post": 7, "r8late": 7, "r9": 7, "r10": 7, "r11": 7}
 
+#: Approximate per-query cost in sf0.1 seconds (bench_sf01.json
+#: medians, static snapshot) used ONLY to pack each chunked group's
+#: query list into bounded sub-JVM budgets. Fixed 7-query slices left
+#: some chunks carrying 35-39 s of heavy queries while others held
+#: 5-10 s, and every row cohabiting a heavy chunk inflated 20-90% vs
+#: its isolated A/B (hyperanf 15.1 in post[56] (36 s chunk) vs 11.5 s
+#: in a light chunk; label_prop 9.7 vs 6.9; pagerank 9.4 vs 7.1-7.8 —
+#: r11 session logs). Budget packing bounds accumulated JVM state per
+#: sub-process the same way the 7-query cap did, just by estimated
+#: seconds instead of query count. Methodology is unchanged: same
+#: reps, same warm-up, same median, same noop sink — only JVM
+#:  cohabitation moves. Unlisted queries count 1.0 s. The weights are
+#: a STATIC committed table (not read from a capture at runtime) so
+#: the chunk layout is deterministic and reviewable; they only decide
+#: process grouping, never timing.
+_WEIGHT = {
+    "adamic_adar": 5.9,
+    "assortativity": 3.8,
+    "basket_rules": 3.7,
+    "betweenness": 9.6,
+    "blocking_eval": 6.5,
+    "bloom_join": 2.8,
+    "bpe_fertility": 4.7,
+    "bpe_merges": 2.5,
+    "bpe_merges_sampled": 3.0,
+    "clustering_coeff": 8.7,
+    "clustering_coeff_capped": 4.0,
+    "cm_heavy": 2.4,
+    "cm_join_size": 3.4,
+    "contrastive_pairs": 2.0,
+    "dataset_fingerprint": 3.1,
+    "dbscan": 9.7,
+    "doc_bpe": 8.0,
+    "edit_dist": 2.5,
+    "effective_diameter": 13.7,
+    "er_resolve": 5.0,
+    "fdr_ks": 4.0,
+    "geo_distance_join": 2.8,
+    "geo_knn_join": 3.4,
+    "geo_stream_knn": 4.5,
+    "harmonic_centrality": 14.0,
+    "hll_orders": 2.0,
+    "hybrid_retrieval": 2.3,
+    "hyperanf": 15.1,
+    "incremental_dedup": 4.8,
+    "ivf_knn_join": 4.5,
+    "ivfpq_knn_join": 3.6,
+    "k_core": 5.6,
+    "k_hop": 4.5,
+    "k_truss": 12.9,
+    "km_churn": 2.2,
+    "kn_trigram_lm": 3.0,
+    "knn_join_highd": 5.0,
+    "kruskal_events": 2.9,
+    "ks_value": 2.0,
+    "label_prop": 9.7,
+    "linkage": 2.2,
+    "louvain_levels": 15.7,
+    "mannwhitney": 3.3,
+    "mmr_rerank": 4.2,
+    "modularity": 11.1,
+    "pagerank": 9.4,
+    "personalized_pagerank": 8.2,
+    "pq_topk": 1.9,
+    "prf_bm25": 4.6,
+    "psi_drift": 4.1,
+    "retrieval_eval": 2.6,
+    "rfm_segments": 2.5,
+    "robust_z": 3.5,
+    "scd2_apply": 2.2,
+    "scrub_ngrams": 3.8,
+    "seasonal_decompose": 2.6,
+    "segment_circle_join": 2.4,
+    "shortest_paths": 5.8,
+    "silhouette": 5.9,
+    "skyline_orders": 2.2,
+    "spearman": 6.0,
+    "sq_topk": 2.2,
+    "textrank": 4.0,
+    "theta_active": 2.8,
+    "tpch_q11": 2.1,
+    "tpch_q16": 2.6,
+    "tpch_q2": 2.5,
+    "tpch_q20": 2.0,
+    "tpch_q9": 2.7,
+    "trunc_recall": 2.7,
+    "zipf_fit": 3.5,
+    "zknn_join": 2.7,
+}
+
+#: per-chunk weight budget (approx sf0.1 seconds). A query whose own
+#: weight exceeds it simply gets a dedicated sub-JVM.
+_CHUNK_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_BUDGET",
+                                     "12") or 12)
+
+
+def _pack_chunks(qlist: list[str], max_n: int,
+                 budget: float = None) -> list[list[str]]:
+    """Split a group's query list (order preserved) into consecutive
+    chunks: close a chunk when adding the next query would push its
+    summed _WEIGHT past the budget, or its length past ``max_n``."""
+    if budget is None:
+        budget = _CHUNK_BUDGET
+    out: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0.0
+    for q in qlist:
+        w = _WEIGHT.get(q, 1.0)
+        if cur and (acc + w > budget or len(cur) >= max_n):
+            out.append(cur)
+            cur, acc = [], 0.0
+        cur.append(q)
+        acc += w
+    if cur:
+        out.append(cur)
+    return out
+
 
 def _bench_overrides():
     """The driver's correctness queries pin minhash/simhash to the
@@ -515,10 +632,11 @@ def main() -> int:
                 continue
             gchunk = chunk if chunk > 0 else GROUP_CHUNK.get(g, 0)
             if gchunk > 0:
-                for i in range(0, len(qlist), gchunk):
-                    units.append((f"{g}[{i}:{i + gchunk}]", dict(
-                        SPARK_GRAFT_BENCH_NAMES=",".join(
-                            qlist[i:i + gchunk]))))
+                i = 0
+                for sub in _pack_chunks(qlist, gchunk):
+                    units.append((f"{g}[{i}:{i + len(sub)}]", dict(
+                        SPARK_GRAFT_BENCH_NAMES=",".join(sub))))
+                    i += len(sub)
             else:
                 units.append((g, dict(SPARK_GRAFT_BENCH_GROUP=g)))
         for g, genv in units:

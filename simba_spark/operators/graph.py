@@ -2566,6 +2566,7 @@ def hyperball_sketches(
     seed: int = 42,
     layout: str = "auto",
     wide_min_edges: int = 2_000_000,
+    assume_distinct: bool = False,
 ):
     """The shared HyperBall register trajectory — the ONE expensive
     pass that :func:`hyperanf`, :func:`harmonic_centrality`, and (via
@@ -2595,12 +2596,17 @@ def hyperball_sketches(
             "larger p blows the janino 64 KB codegen limit) — use "
             "layout='rows' for finer sketches")
     m = 1 << int(p)
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # assume_distinct: the caller guarantees (src, dst) pairs are
+    # already distinct, so the dedup exchange is skipped. This is a
+    # COST-only seam: every downstream consumer is a max-merge +
+    # groupBy (idempotent), so duplicate edges could never change a
+    # register trajectory anyway — the distinct only bounds the join
+    # fanout when the input may carry heavy duplication.
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
         .filter(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))

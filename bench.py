@@ -642,6 +642,11 @@ def main() -> int:
         for g, genv in units:
             env = dict(os.environ, **genv)
             env.pop("SPARK_GRAFT_BENCH_CHUNK", None)
+            # settling gap: a dying sub-JVM's shutdown/reclaim work
+            # briefly loads the host (measured: the first queries of a
+            # chunk started right behind a heavy JVM exit ran 2-4x
+            # their settled-host numbers). Untimed, between processes.
+            time.sleep(2.0)
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,

@@ -1490,9 +1490,14 @@ def spearman_corr(
     """
     a = F.col(col_a).cast("double")
     b = F.col(col_b).cast("double")
+    # EAGER checkpoint: `rows` feeds THREE consumers (both rank
+    # programs and the final join); lazily each would re-materialize
+    # the caller's upstream from scratch (profiled: the same 1.3 MB
+    # exchange-writing stage ran 3x per call). One materialization,
+    # three reuses — the blocking_eval/fdr_bh recompute-vs-reuse move.
     rows = df.filter(
         a.isNotNull() & b.isNotNull() & ~F.isnan(a) & ~F.isnan(b)
-    ).select(a.alias("__a"), b.alias("__b"))
+    ).select(a.alias("__a"), b.alias("__b")).localCheckpoint()
     ra = _avg_ranks(rows, "__a", "__ra").select("__v", "__ra") \
         .withColumnRenamed("__v", "__a")
     rb = _avg_ranks(rows, "__b", "__rb").select("__v", "__rb") \

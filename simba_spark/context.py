@@ -244,6 +244,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # JIT code cache: whole-stage codegen emits a fresh class per
+        # query stage (expression IDs differ run to run, so the janino
+        # cache cannot amortize across query invocations); a session
+        # running many codegen-heavy queries fills the default ~240 MB
+        # ReservedCodeCacheSize, the JIT stops compiling, and every
+        # later stage runs interpreted — measured: 8 repetitions of one
+        # 64-register-column query in one JVM degraded 11.7 -> 36.5 s
+        # monotonically at the default and held a stable 8.7-9.5 s at
+        # 512 MB. Long-lived executors on a real cluster accumulate
+        # generated classes the same way, so the setting is
+        # scale-appropriate, not a local-bench tweak (executor opts
+        # below mirror it for cluster use; in local mode the driver
+        # JVM is the executor).
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         # no nanosAsLong legacy conf: current testdata is µs-precision
         # throughout; a TIMESTAMP(NANOS) file should fail loudly at read
         # time rather than be silently reinterpreted (q_sessionize also

@@ -249,11 +249,26 @@ def parallelize_small(df, threshold_bytes: int = 256 << 20):
     distances, grid keying, quantizer assignment) spread across cores
     instead of inheriting a one-split small-file scan.
 
-    Plan-time size-guarded (``optimizedPlan().stats().sizeInBytes()``,
-    no job runs): a frame estimated over ``threshold_bytes`` already
-    has natural scan/shuffle parallelism, and skipping the exchange
-    means nothing extra is shuffled at scale — the guard is what makes
-    this scale-adaptive rather than a local[32] constant."""
+    TWO plan-time guards, no job runs:
+
+    - size (``optimizedPlan().stats().sizeInBytes()``): a frame
+      estimated over ``threshold_bytes`` already has natural
+      scan/shuffle parallelism, and skipping the exchange means
+      nothing extra is shuffled at scale;
+    - planned parallelism (``df.rdd.getNumPartitions()``): a frame
+      that already arrives in >= half the session's cores needs no
+      help, and the extra user exchange is not free — it can DEMOTE a
+      downstream join from broadcast to shuffle (measured at sf1,
+      where tables are written as ~32 files so every scan is already
+      32-way: geo_distance_join 15.5 s without the repartition vs
+      22.2 s with it — the exchange cost the planner its shuffle-free
+      broadcast plan). Only a genuinely narrow frame (a one-split
+      small-file scan putting compute-dense downstream work on one
+      core) gets the exchange.
+
+    The two guards together are what make this scale-adaptive rather
+    than a local[32] constant: at cluster scale inputs are many-split
+    and both guards skip."""
     try:
         est = int(df._jdf.queryExecution().optimizedPlan()
                   .stats().sizeInBytes())
@@ -261,7 +276,14 @@ def parallelize_small(df, threshold_bytes: int = 256 << 20):
         return df
     if est >= int(threshold_bytes):
         return df
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sc = df.sparkSession.sparkContext
+    n = int(sc.defaultParallelism)
+    try:
+        if df.rdd.getNumPartitions() >= max(2, n // 2):
+            return df
+    except Exception:
+        pass
+    return df.repartition(n)
 
 
 # ---------------------------------------------------------------------------

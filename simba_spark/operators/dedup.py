@@ -385,50 +385,58 @@ def connected_components(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
     # NOTE (round-11 measurement): a checkpoint's LogicalRDD drops the
-    # outputPartitioning in this PySpark, so the "edges never
-    # re-shuffle" claim below only holds when the planner broadcasts
-    # the labels side (it does at every measured scale — V ≪ E).
-    # persist() WOULD preserve the partitioning, but benched 1.2-1.7×
-    # SLOWER at sf0.1 AND sf1 (columnar cache build/scan overhead,
-    # broadcast made the elision moot) — measured and rejected.
-    # The repartitions deliberately carry NO explicit partition count:
-    # pinning spark.sql.shuffle.partitions here defeated AQE partition
-    # coalescing, so every V-scale label frame shuffled at the full
-    # session width — on a 1 000-node graph each of the 16 rounds ran
-    # ~130 near-empty tasks (dbscan's cc loop: 14.4 -> 9.4 s warm just
-    # from letting AQE size the exchanges; at cluster scale AQE grows
-    # them back from the same advisory-size rule).
+    # outputPartitioning in this PySpark, so hash-repartitioning either
+    # frame before its checkpoint buys the per-round joins nothing (the
+    # planner broadcasts the labels side at every measured scale —
+    # V ≪ E — and re-shuffles both sides above the broadcast bound).
+    # The old explicit repartition("dst")/repartition("id") exchanges
+    # were therefore pure cost and are gone (session-7 profile: each
+    # was one extra AQE stage job per round in a loop whose wall time
+    # IS per-job orchestration overhead). persist() WOULD preserve the
+    # partitioning, but benched 1.2-1.7× SLOWER at sf0.1 AND sf1
+    # (columnar cache build/scan overhead, broadcast made the elision
+    # moot) — measured and rejected. Exchanges carry NO explicit
+    # partition count so AQE sizes them (locally coalesces; at cluster
+    # scale grows them from the same advisory-size rule).
     edges = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .repartition("dst")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
+    # eager: this one init job also materializes the edges checkpoint
+    # (nodes derives from it), so round 0's two consumers of `labels`
+    # never race to materialize a lazy frame
     labels = (
         nodes.withColumn("component", F.col("id"))
-        .repartition("id")
         .localCheckpoint(eager=True)
     )
+    lab_t = labels.schema["component"].dataType.simpleString()
 
     changed = None
     for r in range(int(max_iter)):
-        neigh_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
+        # ONE union+aggregate replaces the old groupBy(min)-then-left-
+        # join message pattern (session-7, the louvain_moves fused-
+        # candidate trick): neighbor messages union an own-row that
+        # carries the previous label in a side column, so min(__cand)
+        # == least(old, min-over-neighbors) — the own row IS the
+        # coalesce fallback — and max(__prev) recovers the previous
+        # label (exactly one own row per id; min/max are exact on ids,
+        # so labels are bit-identical). One exchange replaces two plus
+        # a broadcast build, in a loop that is per-job-overhead-bound.
+        msgs = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"),
+            F.col("component").alias("__cand"),
+            F.lit(None).cast(lab_t).alias("__prev"),
         )
-        prop = labels.join(
-            neigh_min, labels.id == neigh_min.src, how="left"
-        ).select(
-            "id",
-            F.col("component").alias("__old"),
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nmin"), F.col("component")),
-            ).alias("__c1"),
+        own = labels.select(
+            "id", F.col("component").alias("__cand"),
+            F.col("component").alias("__prev"))
+        base = msgs.unionByName(own).groupBy("id").agg(
+            F.min("__cand").alias("__c1"),
+            F.max("__prev").alias("__old"),
         )
         # pointer doubling: component <- label(component); halves
         # the remaining chain each round => O(log diameter) total
@@ -436,15 +444,15 @@ def connected_components(
         # id to itself, so label(__c1) == __c1 — the join was a
         # provable identity (round-11 opt).
         if r == 0:
-            upd = prop.select(
+            upd = base.select(
                 "id", F.col("__c1").alias("component"), "__old")
         else:
             lol = labels.select(
                 F.col("id").alias("__cid"),
                 F.col("component").alias("__cc"),
             )
-            upd = prop.join(
-                lol, prop.__c1 == lol.__cid, how="left"
+            upd = base.join(
+                lol, base.__c1 == lol.__cid, how="left"
             ).select(
                 "id",
                 F.least(
@@ -453,14 +461,16 @@ def connected_components(
                 ).alias("component"),
                 F.col("__old"),
             )
+        # lazy checkpoint + the convergence aggregate as the ONE action
+        # of the round: the agg's scan materializes the checkpoint RDD,
+        # so the old separate eager-materialization job disappears
         new_labels = (
             upd
             .withColumn(
                 "__chg",
                 (F.col("component") != F.col("__old")).cast("long"))
             .drop("__old")
-            .repartition("id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
         labels = new_labels.drop("__chg")

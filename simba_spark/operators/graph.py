@@ -660,6 +660,11 @@ def betweenness_centrality(
     frontier = sd.select(
         "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sig"))
     sigs = [frontier]
+    # `reached` is deliberately NOT checkpointed (session-7): it is a
+    # flat union over the per-level frontier checkpoints, so its plan
+    # never nests and each anti-join reads already-materialized RDDs —
+    # checkpointing it only added one full AQE materialization cycle
+    # per level to a loop whose wall time IS that driver orchestration.
     reached = frontier.select("s", "v")
     for _ in range(int(depth)):
         nxt = (
@@ -672,10 +677,7 @@ def betweenness_centrality(
             .localCheckpoint(eager=False)
         )
         sigs.append(frontier)
-        reached = (
-            reached.unionByName(frontier.select("s", "v"))
-            .localCheckpoint(eager=False)
-        )
+        reached = reached.unionByName(frontier.select("s", "v"))
     # backward: fixed-point δ from the deepest level up
     SCALE = 1_000_000_000
     delta = sigs[int(depth)].select(
@@ -701,8 +703,13 @@ def betweenness_centrality(
             .join(dsum, ["s", "v"], "left")
             .select("s", "v",
                     F.coalesce("dfp", F.lit(0).cast("long")).alias("dfp"))
-            .localCheckpoint(eager=False)
         )
+        # every level's delta feeds TWO consumers (next level's child
+        # join + the accumulator union) except the last (d=0), which
+        # only the accumulator reads — skip its checkpoint and let the
+        # final action plan it inline (session-7, one fewer AQE cycle)
+        if d > 0:
+            delta = delta.localCheckpoint(eager=False)
         lv = delta.filter(F.col("v") != F.col("s"))
         acc = lv if acc is None else acc.unionByName(lv)
     bc = acc.groupBy(F.col("v").alias("node")).agg(

@@ -3410,9 +3410,11 @@ def _trade_louvain1(spark, sf_dir):
     callers that legitimately hold a precomputed assignment."""
     from simba_spark.operators.graph import louvain_moves
 
-    return louvain_moves(
-        _trade_edges(spark, sf_dir), iters=4
-    ).localCheckpoint(eager=False)
+    # no trailing checkpoint: q_louvain's sink is the single consumer,
+    # and louvain_moves' output is already a checkpoint + projection
+    # (the old extra checkpoint paid one full AQE materialization of
+    # the output frame per call — session-7)
+    return louvain_moves(_trade_edges(spark, sf_dir), iters=4)
 
 
 def q_louvain(spark, sf_dir):

@@ -1755,7 +1755,6 @@ def louvain_moves(
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .repartition("b")
         .localCheckpoint(eager=False)
     )
     from .pipeline import _unit_hash
@@ -2087,9 +2086,14 @@ def louvain(
     best_map = None
     best_q = None
     for lvl in range(int(levels)):
+        # no repartition before the checkpoint (session-7): the
+        # LogicalRDD drops outputPartitioning, the move rounds
+        # broadcast the comm side and stream this frame, and the wdeg
+        # groupBy exchanges regardless — the explicit hash exchange of
+        # the E-scale frame was pure cost at every scale
         sym = cw.unionByName(
             cw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-        ).repartition("b").localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
         wdeg = sym.groupBy(F.col("a").alias("node")).agg(
             F.sum("w").alias("__wd"))
         if sl is None:
@@ -2109,7 +2113,9 @@ def louvain(
             cm = _louvain_weighted_moves(sym, nodes_deg, two_m,
                                          iters).select("node", "community")
         if mapping is None:
-            mapping = cm.localCheckpoint(eager=False)
+            # cm is already a checkpoint (+projection) from the move
+            # kernel — re-checkpointing it bought one extra AQE cycle
+            mapping = cm
             best_map = mapping
             if int(levels) > 1:
                 best_q = _q_exact(mapping).select(
@@ -2132,8 +2138,12 @@ def louvain(
                 .select("node",
                         F.when(F.col("__better"), F.col("__c2"))
                         .otherwise(F.col("__c1")).alias("community"))
-                .localCheckpoint(eager=False)
             )
+            # at the last level best_map has ONE consumer (the return):
+            # let the caller's action plan it inline instead of paying
+            # a full materialization of the output frame here
+            if lvl < int(levels) - 1:
+                best_map = best_map.localCheckpoint(eager=False)
             best_q = flag.select("__bq")
         if lvl == int(levels) - 1:
             break
@@ -2167,8 +2177,12 @@ def louvain(
             .join(carried, "node", "left")
             .select("node",
                     F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"))
-            .localCheckpoint(eager=False)
         )
+        # sl built here is read by level lvl+1's nodes_deg and — only
+        # when another contraction follows — by its carried union:
+        # checkpoint only in the 2-consumer case (levels > lvl + 2)
+        if lvl < int(levels) - 2:
+            sl = sl.localCheckpoint(eager=False)
         cw = new_cw
     return best_map.select("node", "community")
 

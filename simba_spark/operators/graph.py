@@ -631,11 +631,14 @@ def betweenness_centrality(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    # no repartition before the checkpoint (session-7): every forward/
+    # backward level joins a seed-scale (broadcast) frame against this
+    # E-scale side, so hash-distributing it by a bought nothing — the
+    # distinct's own exchange already balances it
     und = (
         e0.unionByName(e0.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
         .distinct()
-        .repartition("a")
         .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("a").alias("node")).distinct() \

@@ -437,6 +437,9 @@ def label_propagation(
         "label", F.struct((-F.col("__n")).alias("__o"), F.col("label"))
     )
     for it in range(int(iters)):
+        # EAGER checkpoint, deliberately: the lazy+probe-materializes
+        # form measured slower in the peeling loops (lineage not
+        # truncated by the probe action — see k_core's session-7 note)
         nxt = (
             und.join(labels, und.b == labels.node)
             .groupBy(und.a.alias("node"), "label")
@@ -1404,6 +1407,12 @@ def k_core(
             .filter(F.col("__deg") >= int(k))
             .select("a")
         )
+        # EAGER checkpoint, deliberately: a lazy one measured 3.5x
+        # SLOWER here (session-7 A/B) — the convergence count did not
+        # truncate the RDD lineage, so later rounds' concurrent AQE
+        # stage futures re-materialized every prior round (growing
+        # task counts, duplicate job pairs). The separate eager
+        # materialization job per round is the cheap insurance.
         nxt = (
             und.join(alive, on="a", how="left_semi")
             .join(alive.select(F.col("a").alias("b")), on="b",
@@ -1585,16 +1594,21 @@ def k_truss(
     cur = ce
     prev_cnt = None
     done = False
-    sup = None
+    nxt = None
     for _ in range(int(iters)):
         sup = _support(cur)
         # every support row's (a, b) comes from a triangle INSIDE cur,
         # so sup's key set is a subset of cur's edge set and the
         # cur-join is an identity: filtering sup directly is the same
-        # edge set with one fewer join+shuffle per round (round-11 opt)
+        # edge set with one fewer join+shuffle per round (round-11 opt).
+        # The support column RIDES the checkpoint (session-7): at the
+        # fixpoint the checkpointed frame IS the output, so the old
+        # converged path's re-plan of sup.filter — a second full
+        # O(m^1.5) triangle pass at action time — disappears. Eager,
+        # not lazy: the lazy form measured far slower in this loop
+        # (lineage not truncated by the count — see k_core's note).
         nxt = (
             sup.filter(F.col("support") >= int(k) - 2)
-            .select("a", "b")
             .localCheckpoint(eager=True)
         )
         # previous round's size carried instead of recounted (the
@@ -1604,21 +1618,14 @@ def k_truss(
         cnt = nxt.count()
         done = cnt == prev_cnt
         prev_cnt = cnt
-        cur = nxt
+        cur = nxt.select("a", "b")
         if done:
             break
     # at the fixpoint the last peeling round removed nothing, so the
     # support frame it computed IS the support of the surviving edge
-    # set (nxt == cur as sets) — reuse it instead of re-running the
-    # whole triangle enumeration one more time (round-11 opt: one full
-    # O(m^1.5) pass saved on every converged call; the non-converged
-    # iters-exhausted path still recomputes on the final edges).
-    if done and sup is not None:
-        # converged: cur == sup.filter(support >= k-2) by construction
-        # (the last round removed nothing), so the filtered support
-        # frame IS the output — no re-join against cur needed
-        out = sup.filter(F.col("support") >= int(k) - 2).select(
-            "a", "b", "support").localCheckpoint(eager=False)
+    # set — the checkpoint already holds (a, b, support).
+    if done and nxt is not None:
+        out = nxt.select("a", "b", "support")
     else:
         # iters exhausted: recompute support on the final edge set;
         # cur may hold triangle-free edges, hence the left join + 0

@@ -384,25 +384,23 @@ def connected_components(
     e = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
-    # NOTE (round-11 measurement): a checkpoint's LogicalRDD drops the
-    # outputPartitioning in this PySpark, so hash-repartitioning either
-    # frame before its checkpoint buys the per-round joins nothing (the
-    # planner broadcasts the labels side at every measured scale —
-    # V ≪ E — and re-shuffles both sides above the broadcast bound).
-    # The old explicit repartition("dst")/repartition("id") exchanges
-    # were therefore pure cost and are gone (session-7 profile: each
-    # was one extra AQE stage job per round in a loop whose wall time
-    # IS per-job orchestration overhead). persist() WOULD preserve the
-    # partitioning, but benched 1.2-1.7× SLOWER at sf0.1 AND sf1
-    # (columnar cache build/scan overhead, broadcast made the elision
-    # moot) — measured and rejected. Exchanges carry NO explicit
-    # partition count so AQE sizes them (locally coalesces; at cluster
-    # scale grows them from the same advisory-size rule).
+    # The pre-checkpoint repartitions are LOAD-BEARING AT SCALE
+    # (session-7 sf1 A/B): a checkpoint's LogicalRDD preserves its
+    # physical outputPartitioning, so edges arrive hash(dst) and labels
+    # hash(id) — once the labels side outgrows the broadcast bound the
+    # per-round message join runs as an exchange-free SMJ on the
+    # pre-partitioned sides. Removing them looked like a win at sf0.1
+    # (every join broadcasts there, so the exchanges read as pure
+    # per-round job overhead) and regressed dbscan/er_resolve 15-25%
+    # at sf1 — the classic local-only trap. persist() as the carrier
+    # was measured and rejected earlier (1.2-1.7x slower both SFs).
+    # Exchanges carry NO explicit partition count so AQE sizes them.
     edges = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition("dst")
         .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
@@ -411,6 +409,7 @@ def connected_components(
     # never race to materialize a lazy frame
     labels = (
         nodes.withColumn("component", F.col("id"))
+        .repartition("id")
         .localCheckpoint(eager=True)
     )
     lab_t = labels.schema["component"].dataType.simpleString()
@@ -461,15 +460,18 @@ def connected_components(
                 ).alias("component"),
                 F.col("__old"),
             )
-        # lazy checkpoint + the convergence aggregate as the ONE action
-        # of the round: the agg's scan materializes the checkpoint RDD,
-        # so the old separate eager-materialization job disappears
+        # repartition("id") re-establishes the labels-side partitioning
+        # the next round's joins key on (scale-load-bearing, see the
+        # header note); lazy checkpoint + the convergence aggregate as
+        # the ONE action of the round: the agg's scan materializes the
+        # checkpoint RDD, so the old separate eager job disappears
         new_labels = (
             upd
             .withColumn(
                 "__chg",
                 (F.col("component") != F.col("__old")).cast("long"))
             .drop("__old")
+            .repartition("id")
             .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0

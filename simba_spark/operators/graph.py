@@ -634,14 +634,17 @@ def betweenness_centrality(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    # no repartition before the checkpoint (session-7): every forward/
-    # backward level joins a seed-scale (broadcast) frame against this
-    # E-scale side, so hash-distributing it by a bought nothing — the
-    # distinct's own exchange already balances it
+    # repartition("a") is LOAD-BEARING AT SCALE (session-7 sf1 A/B):
+    # the checkpoint preserves the physical partitioning, and once the
+    # frontier outgrows the broadcast bound every forward/backward
+    # level's join on a runs as an SMJ whose und side is already
+    # hash(a) — removing the exchange regressed sf1 2x+ while reading
+    # as a saved per-round job at sf0.1 (where frontiers broadcast)
     und = (
         e0.unionByName(e0.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
         .distinct()
+        .repartition("a")
         .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("a").alias("node")).distinct() \
@@ -1765,6 +1768,7 @@ def louvain_moves(
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition("b")
         .localCheckpoint(eager=False)
     )
     from .pipeline import _unit_hash
@@ -2096,14 +2100,14 @@ def louvain(
     best_map = None
     best_q = None
     for lvl in range(int(levels)):
-        # no repartition before the checkpoint (session-7): the
-        # LogicalRDD drops outputPartitioning, the move rounds
-        # broadcast the comm side and stream this frame, and the wdeg
-        # groupBy exchanges regardless — the explicit hash exchange of
-        # the E-scale frame was pure cost at every scale
+        # repartition("b") before the checkpoint: the checkpoint
+        # preserves the physical partitioning, so once the comm side
+        # outgrows the broadcast bound the per-round move join streams
+        # this frame exchange-free (the session-7 sf1 lesson — removing
+        # the sibling exchanges regressed betweenness/dbscan at sf1)
         sym = cw.unionByName(
             cw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-        ).localCheckpoint(eager=False)
+        ).repartition("b").localCheckpoint(eager=False)
         wdeg = sym.groupBy(F.col("a").alias("node")).agg(
             F.sum("w").alias("__wd"))
         if sl is None:

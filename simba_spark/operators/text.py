@@ -2201,16 +2201,27 @@ def textrank_keywords(
     if int(k) < 1:
         raise ValueError("k must be >= 1")
     from .graph import pagerank
+    from ..functions import parallelize_small
 
+    # parallelize_small: a one-file corpus scan tokenizes on ONE core
+    # otherwise (plan-time guards skip the exchange when the scan is
+    # already parallel, so nothing extra shuffles at scale). EAGER
+    # checkpoint: the window-offset joins consume this frame on both
+    # sides, and with a lazy checkpoint their concurrent AQE exchange
+    # futures raced to materialize the tokenize pass twice (profiled:
+    # a duplicate 2.3 s single-task stage pair — the blocking_eval
+    # lesson, session-7).
     toks = (
-        df.select(
-            F.col(id_col).alias("__id"),
+        parallelize_small(df.select(F.col(id_col).alias("__id"),
+                                    F.col(text_col).alias("__tx")))
+        .select(
+            "__id",
             F.posexplode(
-                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+                F.split(F.lower(F.trim(F.col("__tx"))), TOKEN_SPLIT_RE)
             ).alias("__pos", "term"),
         )
         .filter(F.length("term") >= int(min_len))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pairs = None
     for d in range(1, int(window) + 1):

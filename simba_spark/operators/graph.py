@@ -1778,7 +1778,7 @@ def louvain_moves(
         F.count(F.lit(1)).alias("__deg")
     ).select(
         "node", F.col("node").alias("community"), "__deg"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     for r in range(int(iters)):
         tot = comm.groupBy("community").agg(F.sum("__deg").alias("__tot"))
         # k_{i,C} and the own-community candidate in ONE aggregation:
@@ -1844,7 +1844,7 @@ def louvain_moves(
             F.when(may_move & gain, F.col("__best"))
             .otherwise(F.col("community")).alias("community"),
             "__deg",
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     return comm.select("node", "community")
 
 
@@ -1930,22 +1930,29 @@ def louvain_moves_sql(
             + f"\nSELECT node, community FROM __c{int(iters)}")
 
 
-def _louvain_weighted_moves(ew, nodes_deg, two_m, iters: int):
+def _louvain_weighted_moves(ew, nodes_deg, two_m: int, iters: int,
+                            pre_checkpointed: bool = False):
     """One weighted synchronous-Louvain move phase: ``ew`` is the
     SYMMETRIC weighted edge frame ``(a, b, w)`` with ``a != b`` (self
     mass lives in the degrees, where classic Louvain keeps it — it is
     constant across a node's candidate communities so it cancels in
     the gain), ``nodes_deg`` is ``(node, __deg)`` over the FULL node
     universe (an all-internal super-node has no ``ew`` rows but still
-    holds degree mass), and ``two_m`` a 1-row ``(__2m)`` frame. Same
+    holds degree mass), and ``two_m`` the exact integer 2m (a plan
+    literal — the former 1-row crossJoin(broadcast) frame cost a
+    cw-scan aggregate + broadcast-exchange pair per round). Same
     schedule, tie-break, and gain expression as :func:`louvain_moves`
-    (which is this kernel at w=1). Returns ``(node, community,
-    __deg)``."""
+    (which is this kernel at w=1). ``pre_checkpointed`` says the
+    caller already checkpointed ``nodes_deg`` (so the init assignment
+    is a projection of truncated lineage and needs no checkpoint of
+    its own). Returns ``(node, community, __deg)``."""
     from .pipeline import _unit_hash
 
     comm = nodes_deg.select(
         "node", F.col("node").alias("community"), "__deg"
-    ).localCheckpoint(eager=False)
+    )
+    if not pre_checkpointed:
+        comm = comm.localCheckpoint(eager=True)
     for r in range(int(iters)):
         tot = comm.groupBy("community").agg(F.sum("__deg").alias("__tot"))
         # fused k_{i,C} + own-community candidate, one hash(node)
@@ -1966,7 +1973,6 @@ def _louvain_weighted_moves(ew, nodes_deg, two_m, iters: int):
             cand.join(tot.select(F.col("community").alias("__c"), "__tot"),
                       "__c")
             .join(comm, "node")
-            .crossJoin(F.broadcast(two_m))
         )
         adj = F.when(
             F.col("__c") == F.col("community"), F.col("__deg")
@@ -1975,7 +1981,7 @@ def _louvain_weighted_moves(ew, nodes_deg, two_m, iters: int):
             F.col("__k").cast("double")
             - F.col("__deg").cast("double")
             * (F.col("__tot") - adj).cast("double")
-            / F.col("__2m").cast("double")
+            / F.lit(two_m).cast("long").cast("double")
         )
         best = (
             scored.select("node", "community", "__deg", "__c",
@@ -2001,7 +2007,7 @@ def _louvain_weighted_moves(ew, nodes_deg, two_m, iters: int):
             F.when(may_move & gain, F.col("__best"))
             .otherwise(F.col("community")).alias("community"),
             "__deg",
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     return comm
 
 
@@ -2066,35 +2072,20 @@ def louvain(
     ).distinct().withColumn("w", F.lit(1).cast("long")).localCheckpoint(
         eager=False)
     sl = None
-    two_m = cw.agg((F.lit(2).cast("long") * F.sum("w")).alias("__2m"))
     DEC = "decimal(38,0)"
-    cw1 = cw  # original canonical edges, kept for the Q scores
-    deg1 = None  # original node degrees, set at level 1
-    m_edges = cw.agg(F.sum("w").cast(DEC).alias("__m"))
-
-    def _q_exact(lab):
-        """1-row (__q) frame: Q(lab)·4m² = 4m·W_in − Σ_c d_c² over the
-        ORIGINAL graph, exact integer arithmetic."""
-        la = lab.select(F.col("node").alias("a"),
-                        F.col("community").alias("__ca"))
-        lb = lab.select(F.col("node").alias("b"),
-                        F.col("community").alias("__cb"))
-        win = (
-            cw1.join(la, "a").join(lb, "b")
-            .filter(F.col("__ca") == F.col("__cb"))
-            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast(DEC).alias("__win"))
-        )
-        sd2 = (
-            lab.join(deg1, "node")
-            .groupBy("community").agg(F.sum("__deg").alias("__dc"))
-            .agg(F.sum(F.col("__dc").cast(DEC)
-                       * F.col("__dc").cast(DEC)).alias("__sd2"))
-        )
-        return (
-            win.crossJoin(F.broadcast(sd2)).crossJoin(F.broadcast(m_edges))
-            .select((F.lit(4).cast(DEC) * F.col("__m") * F.col("__win")
-                     - F.col("__sd2")).alias("__q"))
-        )
+    # 2m = 2·Σw is level-invariant and a single exact integer: collect
+    # it ONCE (1 row, parameter-bounded — the kmeans-centroid shape)
+    # and plan it as a literal. The former in-plan form cost a cw-scan
+    # aggregate + broadcast-exchange job pair per move round per level
+    # (~16 driver-bound sub-jobs at iters=4, levels=2) in a query whose
+    # wall is driver orchestration, not compute. The collect doubles as
+    # the cw checkpoint materialization.
+    two_m = int(cw.agg(
+        (F.lit(2).cast("long")
+         * F.coalesce(F.sum("w"), F.lit(0).cast("long"))).alias("__2m")
+    ).first()[0])
+    four_m = F.lit(two_m).cast("long").cast(DEC) * F.lit(2).cast(DEC)
+    lit0 = F.lit(0).cast("long")
 
     mapping = None
     best_map = None
@@ -2112,35 +2103,96 @@ def louvain(
             F.sum("w").alias("__wd"))
         if sl is None:
             nodes_deg = wdeg.select("node", F.col("__wd").alias("__deg"))
-            deg1 = nodes_deg
+            pre_ckpt = False
         else:
+            # 3 consumers at lvl >= 1 (move-kernel init, the Σd²
+            # aggregates below) — checkpoint here and tell the kernel
+            # its init assignment needs no checkpoint of its own, so
+            # the sequential-checkpoint count is unchanged but the
+            # sl⋈wdeg plan (a pass over the contracted sym) runs once.
+            # EAGER: round 1's materialization references the init
+            # assignment 4× concurrently (tot + the three cand/scored
+            # legs) and racing AQE futures on an unmaterialized lazy
+            # checkpoint deadlock (the r11 textrank lesson); the frame
+            # is community-scale, so the blocking materialization is
+            # cheap at any SF
             nodes_deg = (
                 sl.join(wdeg, "node", "left")
                 .select("node",
-                        (F.coalesce(F.col("__wd"), F.lit(0).cast("long"))
+                        (F.coalesce(F.col("__wd"), lit0)
                          + F.lit(2).cast("long") * F.col("s")
                          ).alias("__deg"))
-            )
+            ).localCheckpoint(eager=True)
+            pre_ckpt = True
         if lvl == 0 and level1 is not None:
             cm = level1.select("node", "community")
         else:
-            cm = _louvain_weighted_moves(sym, nodes_deg, two_m,
-                                         iters).select("node", "community")
+            cm = _louvain_weighted_moves(
+                sym, nodes_deg, two_m, iters,
+                pre_checkpointed=pre_ckpt).select("node", "community")
         if mapping is None:
             # cm is already a checkpoint (+projection) from the move
-            # kernel — re-checkpointing it bought one extra AQE cycle
+            # kernel — re-checkpointing it bought one extra AQE cycle.
+            # best_q (= Q of this mapping) is NOT computed here: Q of
+            # the level-k mapping equals Q of the IDENTITY labeling on
+            # the level-(k+1) contracted graph, whose ingredients (sl
+            # self mass, contracted node degrees) are community-scale
+            # frames the next iteration builds anyway — the original-
+            # edge-scale 3-join _q_exact pass is gone (guide §2.3:
+            # decide on lightweight proxies, not the full edge set).
             mapping = cm
             best_map = mapping
-            if int(levels) > 1:
-                best_q = _q_exact(mapping).select(
-                    F.col("__q").alias("__bq"))
         else:
             mapping = mapping.join(
                 cm.select(F.col("node").alias("community"),
                           F.col("community").alias("__nc")), "community"
-            ).select("node", F.col("__nc").alias("community")
-                     ).localCheckpoint(eager=False)
-            flag = _q_exact(mapping).crossJoin(F.broadcast(best_q)).select(
+            ).select("node", F.col("__nc").alias("community"))
+            # 2 consumers (best_map select + the next level's compose)
+            # only when another level follows; at the last level the
+            # single consumer plans it inline in the caller's action
+            if lvl < int(levels) - 1:
+                mapping = mapping.localCheckpoint(eager=False)
+            # Q·4m² = 4m·W_in − Σ_c d_c², all exact integers, both
+            # sides computed at CONTRACTED scale:
+            #   Q(incoming mapping) = 4m·Σs(sl) − Σ nodes_deg²  (the
+            #     identity labeling on this level's graph), and
+            #   Q(new mapping)      = 4m·(Σs(sl) + W_same(cw, cm))
+            #                         − Σ_C (Σ_{members} nodes_deg)²
+            # — the same integer sums the old original-scale joins
+            # produced, regrouped (long Σ over the same multisets).
+            win_carry = sl.agg(
+                F.coalesce(F.sum("s"), lit0).alias("__wc"))
+            if best_q is None:
+                best_q = (
+                    nodes_deg.agg(
+                        F.sum(F.col("__deg").cast(DEC)
+                              * F.col("__deg").cast(DEC)).alias("__sd2"))
+                    .crossJoin(F.broadcast(win_carry))
+                    .select((four_m * F.col("__wc").cast(DEC)
+                             - F.col("__sd2")).alias("__bq"))
+                )
+            win_edges = (
+                cw.join(cm.select(F.col("node").alias("a"),
+                                  F.col("community").alias("__ca")), "a")
+                .join(cm.select(F.col("node").alias("b"),
+                                F.col("community").alias("__cb")), "b")
+                .filter(F.col("__ca") == F.col("__cb"))
+                .agg(F.coalesce(F.sum("w"), lit0).alias("__we"))
+            )
+            sd2_new = (
+                cm.join(nodes_deg, "node")
+                .groupBy("community").agg(F.sum("__deg").alias("__dc"))
+                .agg(F.sum(F.col("__dc").cast(DEC)
+                           * F.col("__dc").cast(DEC)).alias("__sd2"))
+            )
+            q_new = (
+                sd2_new.crossJoin(F.broadcast(win_edges))
+                .crossJoin(F.broadcast(win_carry))
+                .select((four_m
+                         * (F.col("__we") + F.col("__wc")).cast(DEC)
+                         - F.col("__sd2")).alias("__q"))
+            )
+            flag = q_new.crossJoin(F.broadcast(best_q)).select(
                 (F.col("__q") > F.col("__bq")).alias("__better"),
                 F.greatest("__q", "__bq").alias("__bq"),
             )
@@ -2161,40 +2213,51 @@ def louvain(
             best_q = flag.select("__bq")
         if lvl == int(levels) - 1:
             break
-        # contract: map canonical edges (and self mass) through cm
+        # contract: map canonical edges (and self mass) through cm.
+        # ONE canonical-pair groupBy + checkpoint replaces the former
+        # separate external/internal groupBys — both filters, the
+        # carried self mass and the node universe read the community-
+        # pair-scale checkpoint, so the edge-scale ce join runs once
+        # instead of once per downstream materialization
         ce = (
             cw.join(cm.select(F.col("node").alias("a"),
                               F.col("community").alias("__ca")), "a")
             .join(cm.select(F.col("node").alias("b"),
                             F.col("community").alias("__cb")), "b")
         )
-        new_cw = (
-            ce.filter(F.col("__ca") != F.col("__cb"))
-            .groupBy(F.least("__ca", "__cb").alias("a"),
-                     F.greatest("__ca", "__cb").alias("b"))
+        # EAGER for the same race reason: the next level's sym
+        # materialization references g twice (both union legs); the
+        # frame is community-pair scale
+        g = (
+            ce.groupBy(F.least("__ca", "__cb").alias("a"),
+                       F.greatest("__ca", "__cb").alias("b"))
             .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
         )
-        internal = (
-            ce.filter(F.col("__ca") == F.col("__cb"))
-            .groupBy(F.col("__ca").alias("node"))
-            .agg(F.sum("w").alias("s"))
-        )
+        new_cw = g.filter(F.col("a") != F.col("b"))
+        internal = g.filter(F.col("a") == F.col("b")).select(
+            F.col("a").alias("node"), F.col("w").alias("s"))
         carried = internal if sl is None else internal.unionByName(
             sl.join(cm, "node").groupBy(
                 F.col("community").alias("node")
             ).agg(F.sum("s").alias("s"))
         ).groupBy("node").agg(F.sum("s").alias("s"))
-        # node universe for the next level = every community (an
-        # all-internal one has no new_cw rows but holds degree mass)
+        # node universe for the next level = every community: each has
+        # >= 1 member with >= 1 edge and every member edge lands in ce
+        # with that community as a key of g — so the former node-scale
+        # cm.select(community).distinct() is a community-pair-scale
+        # distinct over g's keys (exactly the same set)
         sl = (
-            cm.select(F.col("community").alias("node")).distinct()
+            g.select("a").unionByName(g.select(F.col("b").alias("a")))
+            .distinct().select(F.col("a").alias("node"))
             .join(carried, "node", "left")
             .select("node",
-                    F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"))
+                    F.coalesce(F.col("s"), lit0).alias("s"))
         )
-        # sl built here is read by level lvl+1's nodes_deg and — only
-        # when another contraction follows — by its carried union:
-        # checkpoint only in the 2-consumer case (levels > lvl + 2)
+        # sl built here is read by level lvl+1's nodes_deg (a
+        # checkpoint), its win_carry, and — only when another
+        # contraction follows — its carried union; all community-scale
+        # reads of the g checkpoint: checkpoint only with 3+ levels
         if lvl < int(levels) - 2:
             sl = sl.localCheckpoint(eager=False)
         cw = new_cw

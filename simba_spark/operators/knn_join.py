@@ -339,8 +339,15 @@ def _voronoi_knn_join(
             .drop("__parr")
         )
 
-    lc = with_cell_and_dist(lp, lcols)
-    rc = with_cell_and_dist(rp, rcols)
+    # the pivot-distance pass is compute-dense (P·d lambda evals per
+    # row) and the bench embeddings arrive as a one-split small-file
+    # scan — spread BOTH sides first or the pass (and everything
+    # downstream of it) runs on one core; the plan-time guards skip
+    # the exchange at scale where scans are already many-split
+    from ..functions import parallelize_small
+
+    lc = with_cell_and_dist(parallelize_small(lp), lcols)
+    rc = with_cell_and_dist(parallelize_small(rp), rcols)
 
     # per-cell meta in ONE job over a tagged skinny union:
     # left: ub_i = max pivot dist; right: ub_j, count, k smallest pivot

@@ -2704,7 +2704,12 @@ def hyperball_sketches(
         .filter(F.col("s") != F.col("d"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=False)
+    # EAGER: the first consumer (nodes) references e in BOTH union
+    # legs, and concurrent first-materialization of a lazy checkpoint
+    # recomputes its final stage per leg (the r12 louvain lesson) —
+    # here that final stage contains the caller's whole edge-build
+    # subtree when assume_distinct skips the dedup exchange
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -2716,15 +2721,15 @@ def hyperball_sketches(
         if int(p) > 8:
             layout = "rows"
         else:
-            # one count of the edge frame the loop re-reads anyway
-            # materializes the checkpoint either way; counting nodes
-            # after it is a cheap distinct over the materialized frame
-            n_edges = e.count()
+            # count nodes first (it materializes the edge checkpoint
+            # on the way); when the broadcast guard already decides,
+            # the edge count — a second blocking driver job in a
+            # sequential-latency-bound build — is never needed
             n_nodes = nodes.count()
             if n_nodes * (8 + 4 * m) <= int(_HB_BCAST_MAX_BYTES):
                 layout = "wide"
             else:
-                layout = "rows" if n_edges < int(wide_min_edges) \
+                layout = "rows" if e.count() < int(wide_min_edges) \
                     else "wide"
     bucket, rho = hll_register_cols("node", seed, p)
     frames = []
@@ -2779,6 +2784,11 @@ def hyperball_sketches(
         # leaf, so analysis stays O(one round); the materialization
         # jobs are the same distributed work the first consumer would
         # have triggered anyway.
+        # width note (r12, measured): pinning this repartition to the
+        # session shuffle width (32) made every round 3x SLOWER (44-task
+        # 2.0 s jobs vs 12-task 0.7 s) — per-task fixed cost dominates
+        # the 2^p-column agg, and AQE's byte-based coalescing picks the
+        # right width at every scale. Leave it keyless-width.
         e2 = (
             e.unionByName(nodes.select(
                 F.col("node").alias("s"), F.col("node").alias("d")))

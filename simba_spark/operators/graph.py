@@ -640,11 +640,16 @@ def betweenness_centrality(
     # level's join on a runs as an SMJ whose und side is already
     # hash(a) — removing the exchange regressed sf1 2x+ while reading
     # as a saved per-round job at sf0.1 (where frontiers broadcast)
+    # ONE exchange, not two (r12): repartition("a") BEFORE the dedup —
+    # hash(a) clustering satisfies the (a, b) aggregate (subset
+    # clustering, the louvain-round trick), so dropDuplicates adds no
+    # exchange and the output keeps the load-bearing hash(a)
+    # partitioning; the node distinct below is satisfied by it too
     und = (
         e0.unionByName(e0.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
-        .distinct()
         .repartition("a")
+        .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("a").alias("node")).distinct() \
@@ -681,9 +686,14 @@ def betweenness_centrality(
             .select("s", F.col("b").alias("v"), "sig")
             .groupBy("s", "v").agg(F.sum("sig").alias("sig"))
         )
+        # EAGER (r12): the next level's materialization references this
+        # checkpoint twice — in nxt AND in reached's union leg — and a
+        # lazy checkpoint's final stage is recomputed per concurrent
+        # reference (the louvain lesson); the frontier is (seed, node)
+        # rows, so the blocking materialization is cheap at any SF
         frontier = (
             nxt.join(reached, ["s", "v"], "left_anti")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         sigs.append(frontier)
         reached = reached.unionByName(frontier.select("s", "v"))

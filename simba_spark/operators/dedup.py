@@ -395,12 +395,16 @@ def connected_components(
     # at sf1 — the classic local-only trap. persist() as the carrier
     # was measured and rejected earlier (1.2-1.7x slower both SFs).
     # Exchanges carry NO explicit partition count so AQE sizes them.
+    # ONE exchange, not two (r12): repartition("dst") BEFORE the dedup
+    # — hash(dst) clustering satisfies the (src, dst) aggregate
+    # (subset clustering), so dropDuplicates adds no exchange and the
+    # output keeps the load-bearing hash(dst) partitioning
     edges = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .repartition("dst")
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()

@@ -219,11 +219,14 @@ def pagerank(
                        + F.col("__dm") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            # lazy checkpoint: still truncates lineage (each rank is
-            # referenced 3x next iteration — without it the plan grows
-            # 3^iters), but the per-iteration materialization jobs
-            # collapse into the final action
-            .localCheckpoint(eager=False)
+            # EAGER checkpoint (r12): the next iteration references
+            # this frame 2-3x (dangling aggregate + contrib join), and
+            # concurrent first-materialization of a LAZY checkpoint
+            # recomputes its post-exchange final stage once per
+            # reference (the louvain/betweenness lesson) — duplicated
+            # real work that serializes under load; the blocking
+            # materialization is the same join the first consumer ran
+            .localCheckpoint(eager=True)
         )
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
@@ -550,7 +553,7 @@ def k_hop(
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # r12: 2 refs next round (join+union)
         )
     return dist
 
@@ -905,7 +908,7 @@ def personalized_pagerank(
                     + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # r12: 2 refs next iter (see pagerank)
         )
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
@@ -1181,7 +1184,7 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # r12: 2 refs next round (join+union)
         )
     return dist.select("node", F.round("dist", int(round_to)).alias("dist"))
 

@@ -1598,6 +1598,13 @@ def bpe_apply(
     hundreds; a production encoder for K in the tens of thousands
     would batch by symbol length — out of scope here).
     """
+    # the encode is compute-dense per row (K chained replaces over
+    # every word's symbol string) and the bench corpus arrives as a
+    # one-split small-file scan — spread it or the pass runs on one
+    # core; the plan-time guards skip the exchange at scale (r12)
+    from ..functions import parallelize_small
+
+    df = parallelize_small(df)
     pairs = []
     for m in merges or []:
         if hasattr(m, "lhs"):

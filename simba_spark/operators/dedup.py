@@ -1344,6 +1344,13 @@ def remove_duplicated_ngrams(
     n = int(n)
     pat = "\\Q" + sep + "\\E"
     chr1 = "\x01"
+    # tokenize + in-array gram hashing is compute-dense per row and the
+    # bench corpus is a one-split small-file scan — spread it or the
+    # pre-exchange map stages run on one core; the plan-time guards
+    # skip the exchange at scale (r12)
+    from ..functions import parallelize_small
+
+    df = parallelize_small(df)
     arr = df.select(
         F.col(id_col).alias("__id"),
         F.split(F.col(text_col), pat, -1).alias("__ts"),
@@ -1438,6 +1445,11 @@ def dup_ngram_fraction(
     """
     n = int(n)
     toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    # spread the one-split corpus scan before the compute-dense
+    # tokenize+gram map stage (r12; guards no-op at scale)
+    from ..functions import parallelize_small
+
+    df = parallelize_small(df)
     # gram strings are built INSIDE the array (transform+slice) before
     # the explode, so exploded rows are skinny (id, gram) — the
     # explode-then-slice formulation replicates the whole token array

@@ -490,11 +490,17 @@ def dbscan(
     from .dedup import connected_components
     from .distance_join import self_distance_join
 
+    # EAGER (r12): the self-distance-join references base twice and
+    # sym's union references pairs twice — concurrent first-
+    # materialization of a lazy checkpoint recomputes its final stage
+    # per reference (the louvain lesson), here the caller's whole
+    # point-build scan and the grid join's post-exchange stage
     base = df.select(F.col(id_col).alias("pid"),
-                     *[F.col(c) for c in cols]).localCheckpoint(eager=False)
+                     *[F.col(c) for c in cols]).localCheckpoint(eager=True)
     pairs = self_distance_join(
         base, list(cols), float(eps), id_col="pid", algo=algo
-    ).select(F.col("a_pid").alias("a"), F.col("b_pid").alias("b"))
+    ).select(F.col("a_pid").alias("a"), F.col("b_pid").alias("b")) \
+        .localCheckpoint(eager=True)
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)

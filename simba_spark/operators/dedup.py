@@ -636,7 +636,7 @@ def incremental_minhash_dedup(
     new_sh = _spread(new_df).select(
         F.col(id_col).alias("__nid"),
         shingles(F.col(text_col), shingle_k).alias("__nsh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)  # r12: multi-ref first materialization (see louvain lesson)
     nb = minhash_band_table(new_df, text_col, id_col, **kw).select(
         F.col(id_col).alias("__nid"), "__band", "__bh")
     cb = corpus_bands if corpus_bands is not None else \
@@ -725,7 +725,7 @@ def ngram_jaccard_join(
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)  # r12: multi-ref first materialization (see louvain lesson)
     # SKINNY exploded view: (id, |set|, shingle hash) — arrays never
     # enter the candidate shuffle
     ex = base.select(
@@ -1739,9 +1739,10 @@ def edit_distance_pairs(
         F.least(F.col("__q0"), F.col("__minl") - F.col("__p")).alias("__q"),
     )
     # the 1-row meta feeds every branch of the plan (segments, probes,
-    # short path, both refine sides) — lazy-checkpoint it so the corpus
-    # min/max aggregate runs ONCE, not once per branch
-    meta = meta.localCheckpoint(eager=False)
+    # short path, both refine sides) — EAGER checkpoint (r12): branches
+    # materialize concurrently, and a lazy checkpoint's corpus min/max
+    # aggregate would be recomputed once per concurrent branch
+    meta = meta.localCheckpoint(eager=True)
     base = full.crossJoin(F.broadcast(meta)).select(
         "__id",
         F.expr("substring(__sf, __p + 1, __lf - __p - __q)").alias("__s"),

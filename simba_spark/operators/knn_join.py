@@ -1079,11 +1079,10 @@ def _zrank_candidates_tagged(lz, rz, k: int, lid: str, rid: str, zbits: int = 32
     pbits = min(8, zbits - 1)
     d = u.withColumn("__pid", F.shiftright(F.col("__z"), zbits - pbits))
     # the offsets subplan below and the main ranked pass both read
-    # `d`; a LAZY lineage cut materializes the skinny (tag, uid, z,
-    # isr, pid) rows once instead of scanning + z-evaluating both
-    # inputs twice (once inside the offsets broadcast, once in the
-    # main pass)
-    d = d.localCheckpoint(eager=False)
+    # `d` — EAGER (r12): the two reads materialize concurrently, and a
+    # lazy cut's scan+z-eval would be recomputed once per concurrent
+    # reference instead of once
+    d = d.localCheckpoint(eager=True)
     # per-(shift, bucket) offset = right rows in earlier buckets of
     # the same shift: a tiny cumulative window over ≤ shifts·2^pbits
     # rows, broadcast back — fully declarative, no driver round-trip
@@ -1104,12 +1103,12 @@ def _zrank_candidates_tagged(lz, rz, k: int, lid: str, rid: str, zbits: int = 32
     ranked = d.join(
         F.broadcast(offsets), on=["__tag", "__pid"], how="inner"
     ).withColumn("__c", F.sum("__isr").over(w) + F.col("__off"))
-    # both the right-rank and left-count branches read `ranked`; a LAZY
-    # lineage cut materializes the skinny ranked rows once at first use
-    # instead of re-running the scan→window pipeline per branch (round
-    # 2's EAGER checkpoint of the pre-rank union was a blocking job;
-    # this is neither eager nor pre-rank)
-    ranked = ranked.localCheckpoint(eager=False)
+    # both the right-rank and left-count branches read `ranked` in ONE
+    # final plan — EAGER (r12): concurrent references to a lazy cut
+    # recompute the scan→window pipeline per branch; the blocking
+    # materialization is the same window pass the first branch ran
+    # (still post-rank, unlike round 2's rejected pre-rank checkpoint)
+    ranked = ranked.localCheckpoint(eager=True)
     lcounts = ranked.filter(F.col("__isr") == 0).select(
         "__tag", F.col("__uid").alias(lid), "__c"
     )

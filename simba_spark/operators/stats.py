@@ -678,11 +678,12 @@ def psi_drift(
     qs = tuple(i / nbins for i in range(1, nbins))
     cuts = [f"__pc{i}" for i in range(1, nbins)]
     # the 1-row cut frame feeds three plan branches (both bin
-    # assignments and the bins spine) — lazy-checkpoint it so the
-    # reference sketch runs ONCE, not once per branch
+    # assignments and the bins spine) — EAGER checkpoint (r12): the
+    # branches materialize concurrently, and a lazy checkpoint would
+    # recompute the reference sketch once per concurrent branch
     qrow = quantile_digest(
         ref, col, id_col, qs=qs, k=k, seed=seed
-    ).toDF(*cuts).localCheckpoint(eager=False)
+    ).toDF(*cuts).localCheckpoint(eager=True)
 
     def _binned(df: DataFrame) -> DataFrame:
         x = F.col(col).cast("double")

@@ -927,16 +927,17 @@ def bm25_topk_batch(
         .filter(F.col("term") != "")
     )
     # the aggregated frames are SMALL (one row per doc / per query-term
-    # posting) but each is consumed twice; localCheckpoint them so the
-    # corpus-sized token explode runs exactly once per frame instead of
-    # once per downstream reference (Catalyst inlines shared DataFrames)
+    # posting) but each is consumed twice — EAGER checkpoints (r12):
+    # the consumers materialize concurrently, and a lazy checkpoint
+    # would recompute the corpus-sized token explode once per
+    # concurrent reference (Catalyst inlines shared DataFrames)
     dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     tf = (
         toks.filter(F.col("term").isin(all_terms))
         .groupBy("term", "__id")
         .agg(F.count(F.lit(1)).alias("__tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     scalars = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
         dl.agg(F.avg("__dl").alias("__avgdl"))

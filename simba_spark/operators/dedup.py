@@ -636,7 +636,7 @@ def incremental_minhash_dedup(
     new_sh = _spread(new_df).select(
         F.col(id_col).alias("__nid"),
         shingles(F.col(text_col), shingle_k).alias("__nsh"),
-    ).localCheckpoint(eager=True)  # r12: multi-ref first materialization (see louvain lesson)
+    ).localCheckpoint(eager=False)
     nb = minhash_band_table(new_df, text_col, id_col, **kw).select(
         F.col(id_col).alias("__nid"), "__band", "__bh")
     cb = corpus_bands if corpus_bands is not None else \
@@ -725,7 +725,7 @@ def ngram_jaccard_join(
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("__sh"),
-    ).localCheckpoint(eager=True)  # r12: multi-ref first materialization (see louvain lesson)
+    ).localCheckpoint(eager=False)  # r12: multi-ref first materialization (see louvain lesson)
     # SKINNY exploded view: (id, |set|, shingle hash) — arrays never
     # enter the candidate shuffle
     ex = base.select(

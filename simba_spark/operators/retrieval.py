@@ -214,7 +214,7 @@ def mmr_rerank(
         F.col(id_col).alias("__id"),
         F.col(score_col).cast("double").alias("__rel"),
         F.col(vec_col).alias("__vec"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     selected = None
     for i in range(1, int(k) + 1):
         if selected is None:

@@ -4323,8 +4323,14 @@ def q_geo_stream_knn(spark, sf_dir):
     equality is pytest-checked in test_streaming.py)."""
     from simba_spark.streaming import streaming_geo_knn_join
 
-    ev = _geo_coords(_t(spark, sf_dir, "events").select("event_id"),
-                     "event_id", 37, 59)
+    from simba_spark.functions import parallelize_small
+
+    # the per-row top-k (25 great-circle distances + array_sort per
+    # event) is compute-dense and events is a one-split scan — spread
+    # it; the plan-time guards no-op at scale (r12)
+    ev = _geo_coords(
+        parallelize_small(_t(spark, sf_dir, "events").select("event_id")),
+        "event_id", 37, 59)
     sites = _geo_coords(
         _t(spark, sf_dir, "nation").select("n_nationkey"),
         "n_nationkey", 41, 71, "t_lat", "t_lon")

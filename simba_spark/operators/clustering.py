@@ -193,6 +193,11 @@ def kmeans(
         if row is None:
             raise ValueError("kmeans: no non-null vectors")
         dim = int(row["d"])
+    # NOT spread off the one-split bench scan (r12, examined): the
+    # centroid update is round(avg(double), 6) — a repartition changes
+    # the partial-agg accumulation order, and a mean near a rounding
+    # boundary could flip vs the committed oracle trajectory. The
+    # serial-scan cost stays; bit-stability of the float fold wins.
     base = df.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
         & (F.size(vec_col) == dim)
